@@ -1,0 +1,54 @@
+"""Testdata catalog: load the driver's parquet tables as DataFrames.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings -- one parquet file per table under
+/root/testdata/sf{0.001,0.01,0.1}/.
+
+At 100 TB the same API points at a partitioned lake (see sources/lake.py);
+here the scan is a plain parquet read so Catalyst gets pushdown/pruning
+for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet timestamp[ns], which Spark's reader rejects;
+        # read nanos as long, truncate to micros with exact integer math
+        # (double division would lose sub-us precision at 1.7e18), rebuild
+        # the timestamp. DuckDB truncates ns->us the same way.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,61 @@
+"""SparkSession builder tuned for the engine.
+
+The reference ran stock Spark 3.4.1 standalone with tiny executors and no
+tuning (reference: bigdata-project/src/spark_batch_v2.py:16-29). Here we
+centralize the session config we actually want at scale:
+
+- AQE on (runtime coalescing, skew-join splitting) -- free re-planning.
+- shuffle partitions sized to the local test harness; on a real cluster
+  AQE coalesces, so a higher initial number is safe.
+- Arrow enabled so any Pandas-UDF path is vectorized.
+- UTC session timezone so date/window semantics are reproducible against
+  the DuckDB oracle regardless of machine TZ.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "bigdata-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-built session.
+
+    The driver harness constructs its own SparkSession; these are the
+    conf keys that are safe to set post-construction and that our
+    queries' semantics rely on (TZ for date/window reproducibility).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
