@@ -1,0 +1,58 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a noop-format write (full execution, zero
+driver materialization) -- the same way a sink-bound production job would
+run, so timings reflect scan+shuffle+agg, not collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdata_storage_and_proccess_job_data_spark.plans import registry  # noqa: E402
+from bigdata_storage_and_proccess_job_data_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num: float | str = float(sf)
+    except ValueError:
+        sf_num = sf
+
+    spark = get_spark(app_name="engine-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    heads = registry.headline_queries()
+    timings: dict[str, float] = {}
+    for name, qd in heads.items():
+        df = qd.fn(spark, sf_dir)  # build plan (not timed separately)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
