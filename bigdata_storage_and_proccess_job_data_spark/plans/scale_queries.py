@@ -7,8 +7,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+from bigdata_storage_and_proccess_job_data_spark.functions import text
+from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+    sql_round,
+    stable_round,
+)
 from bigdata_storage_and_proccess_job_data_spark.operators import dedup
 from bigdata_storage_and_proccess_job_data_spark.plans.registry import register
+
+# SQL mirrors of functions/text.py expressions (DuckDB dialect).
+SQL_TOKENS = r"string_split_regex(trim(text), '\s+')"
+SQL_TOKENS_LOWER = r"string_split_regex(lower(trim(text)), '\s+')"
+SQL_BPE = r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')"
+
+
+def _sql_char_ratio(pattern: str) -> str:
+    return (
+        "CASE WHEN length(text) > 0 THEN "
+        f"CAST(length(text) - length(regexp_replace(text, '{pattern}', '', 'g')) AS DOUBLE)"
+        " / length(text) ELSE 0.0 END"
+    )
+
+
+def _sql_stopword_hits(words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return (
+        f"CAST(len(list_filter({SQL_TOKENS_LOWER}, "
+        f"t -> list_contains({arr}, t))) AS BIGINT)"
+    )
 
 
 @register(
@@ -31,3 +57,126 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     document body (operators/dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.duplicate_groups(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counting + character-class stats
+# ---------------------------------------------------------------------------
+_ALPHA = _sql_char_ratio("[A-Za-z ]")
+_PUNCT = _sql_char_ratio(r"[^A-Za-z0-9\s]")
+
+
+@register(
+    "text_stats",
+    tags=("text",),
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({SQL_TOKENS}) AS BIGINT)  AS n_tokens,
+               CAST(len({SQL_BPE}) AS BIGINT)     AS n_bpe_tokens,
+               {sql_round(_ALPHA, 4)}             AS alpha_ratio,
+               {sql_round(_PUNCT, 4)}             AS punct_ratio
+        FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts (whitespace + BPE-ish regex) and
+    character-class ratios -- all native split/regexp expressions
+    (functions/text.py), zero Python in the row path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.bpe_token_count("text").alias("n_bpe_tokens"),
+        stable_round(text.char_class_ratio("text", r"[A-Za-z ]"), 4).alias(
+            "alpha_ratio"
+        ),
+        stable_round(text.char_class_ratio("text", r"[^A-Za-z0-9\s]"), 4).alias(
+            "punct_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: quality scoring
+# ---------------------------------------------------------------------------
+@register(
+    "quality_scores",
+    tags=("text",),
+    oracle=f"""
+        SELECT doc_id,
+               {sql_round(
+                   f"0.4 * least(1.0, CAST(len({SQL_TOKENS}) AS DOUBLE) / 50.0)"
+                   f" + 0.4 * ({_ALPHA}) + 0.2 * (1.0 - ({_PUNCT}))", 4)}
+               AS quality
+        FROM documents
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length/alpha/punct mix, functions/text.py)
+    -- the reference's rule-based classifiers (spark_batch_v2.py:123-158)
+    generalized to content quality for training-data filtering."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        stable_round(text.quality_score("text"), 4).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: stopword-overlap language ID + distribution
+# ---------------------------------------------------------------------------
+_HITS = {code: _sql_stopword_hits(words) for code, words in text.STOPWORDS.items()}
+_LANG_SQL = f"""
+    CASE WHEN greatest({_HITS['de']}, {_HITS['en']}, {_HITS['es']}, {_HITS['fr']}) = 0
+         THEN 'und'
+         WHEN {_HITS['de']} = greatest({_HITS['de']}, {_HITS['en']}, {_HITS['es']}, {_HITS['fr']}) THEN 'de'
+         WHEN {_HITS['en']} = greatest({_HITS['de']}, {_HITS['en']}, {_HITS['es']}, {_HITS['fr']}) THEN 'en'
+         WHEN {_HITS['es']} = greatest({_HITS['de']}, {_HITS['en']}, {_HITS['es']}, {_HITS['fr']}) THEN 'es'
+         ELSE 'fr'
+    END
+"""
+
+
+@register(
+    "lang_distribution",
+    tags=("text", "agg"),
+    oracle=f"""
+        SELECT lang_pred, lang AS lang_actual, COUNT(*) AS doc_count
+        FROM (SELECT {_LANG_SQL} AS lang_pred, lang FROM documents)
+        GROUP BY 1, 2
+    """,
+)
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword overlap argmax, alphabetical
+    tie-break, functions/text.py:lang_id) cross-tabulated against the
+    labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            text.lang_id("text").alias("lang_pred"),
+            F.col("lang").alias("lang_actual"),
+        )
+        .groupBy("lang_pred", "lang_actual")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: order-insensitive document fingerprint
+# ---------------------------------------------------------------------------
+@register(
+    "fingerprint_docs",
+    tags=("text", "dedup"),
+    oracle=f"""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct({SQL_TOKENS_LOWER})), ' '))
+               AS fingerprint
+        FROM documents
+    """,
+)
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set fingerprint (md5 of sorted distinct lowercased tokens,
+    functions/text.py:fingerprint): reorder-robust content identity for
+    near-dup candidate generation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))
