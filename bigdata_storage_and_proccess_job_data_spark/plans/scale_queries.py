@@ -180,3 +180,154 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup candidate generation."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup: exact n-gram Jaccard via inverted-index self-join
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_pairs",
+    headline=True,
+    tags=("dedup", "text", "join"),
+    oracle=r"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks)),
+                                              i -> toks[i] || ' ' || toks[i+1]))
+                 AS shingles
+          FROM t WHERE len(toks) >= 2
+        ),
+        inv AS (
+          SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle
+          FROM sh
+        ),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n AS n_a, b.n AS n_b, COUNT(*) AS n_inter
+          FROM inv a JOIN inv b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT id_a, id_b, n_inter,
+               CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+        FROM pairs
+        WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.8
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard >= 0.8 pairs via inverted-index
+    self-join (operators/neardup.py:jaccard_pairs): candidates are
+    shingle-sharing pairs only -- never an all-pairs cross join. Integer
+    count arithmetic => bit-identical across engines, no rounding."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup.jaccard_pairs(docs, "doc_id", "text", ngram=2, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup: MinHash + LSH candidates (rows-only: xxhash64 not in DuckDB)
+# ---------------------------------------------------------------------------
+@register("minhash_near_dups", tags=("dedup", "text", "join"))
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 hashes)+LSH(8 bands) candidate pairs confirmed by exact
+    Jaccard >= 0.8 (operators/neardup.py). Non-SQL-expressible (xxhash64
+    signatures); correctness established by tests/test_neardup.py, which
+    checks recall of the LSH candidates against the exact
+    ngram_jaccard_pairs oracle query."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = neardup.minhash_candidates(
+        docs, "doc_id", "text", ngram=2, num_hashes=32, bands=8
+    )
+    exact = neardup.jaccard_pairs(docs, "doc_id", "text", ngram=2, threshold=0.8)
+    return cands.join(exact, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup: SimHash hamming candidates (rows-only)
+# ---------------------------------------------------------------------------
+@register("simhash_near_dups", tags=("dedup", "text"))
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit)+banded hamming<=8 near-dup pairs
+    (operators/neardup.py:simhash_candidates). Non-SQL-expressible;
+    recall vs exact Jaccard checked in tests/test_neardup.py."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup.simhash_candidates(docs, "doc_id", "text", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: exact brute-force cosine top-k (oracle-checked)
+# ---------------------------------------------------------------------------
+_KNN_SIM = (
+    "CASE WHEN sqrt(list_dot_product(qv, qv)) > 0 "
+    "AND sqrt(list_dot_product(cv, cv)) > 0 "
+    "THEN list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) END"
+)
+
+
+@register(
+    "knn_brute_force",
+    tags=("similarity", "vector", "join", "window"),
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 20
+        ),
+        c AS (
+          SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 {sql_round(_KNN_SIM, 4)} AS sim
+          FROM q CROSS JOIN c
+          WHERE query_id <> neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, sim
+        FROM (
+          SELECT query_id, neighbor_id, sim,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC
+                 ) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """,
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for a 20-vector query set against the full
+    embedding corpus (operators/similarity.py:brute_force_topk):
+    broadcast queries x corpus, window-ranked per query with
+    deterministic (rounded sim, id) ordering."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: random-hyperplane LSH top-k (rows-only; scale path)
+# ---------------------------------------------------------------------------
+@register("knn_lsh", tags=("similarity", "vector", "join"))
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via multi-table random-hyperplane LSH (8 tables
+    x 4 planes, operators/similarity.py:lsh_topk): bucket equi-join
+    instead of cross product. Recall vs knn_brute_force measured in
+    tests/test_similarity.py."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)

@@ -1,0 +1,66 @@
+"""Near-dup operator quality: LSH candidate recall against the exact
+Jaccard baseline (the planted near-duplicates in documents)."""
+
+from __future__ import annotations
+
+from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+from bigdata_storage_and_proccess_job_data_spark.operators import neardup
+
+
+def test_minhash_lsh_recall(spark, oracle_sf_dir):
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in neardup.jaccard_pairs(
+            docs, "doc_id", "text", ngram=2, threshold=0.8
+        ).collect()
+    }
+    cands = {
+        (r.id_a, r.id_b)
+        for r in neardup.minhash_candidates(
+            docs, "doc_id", "text", ngram=2, num_hashes=32, bands=8
+        ).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    recall = len(exact & cands) / len(exact)
+    # 8 bands x 4 rows: P(candidate | j=0.8) = 1-(1-0.8^4)^8 ~ 0.99
+    assert recall >= 0.9, f"LSH recall too low: {recall:.2f} over {len(exact)} pairs"
+
+
+def test_simhash_finds_neardups(spark, oracle_sf_dir):
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in neardup.jaccard_pairs(
+            docs, "doc_id", "text", ngram=2, threshold=0.9
+        ).collect()
+    }
+    sim = {
+        (r.id_a, r.id_b)
+        for r in neardup.simhash_candidates(
+            docs, "doc_id", "text", max_hamming=8
+        ).collect()
+    }
+    assert exact
+    recall = len(exact & sim) / len(exact)
+    assert recall >= 0.5, f"simhash recall too low: {recall:.2f}"
+
+
+def test_dedup_by_key_deterministic(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    order = [
+        F.col("l_linenumber").desc(),
+        F.col("l_partkey").asc(),
+        F.col("l_suppkey").asc(),
+        F.col("l_extendedprice").asc(),
+    ]
+    a = neardup  # noqa: F841  (module import sanity)
+    from bigdata_storage_and_proccess_job_data_spark.operators import dedup
+
+    d1 = dedup.dedup_by_key(li, ["l_orderkey"], order_by=order)
+    d2 = dedup.dedup_by_key(li.repartition(7), ["l_orderkey"], order_by=order)
+    rows1 = {tuple(r) for r in d1.collect()}
+    rows2 = {tuple(r) for r in d2.collect()}
+    assert rows1 == rows2, "winner must be partitioning-independent"
