@@ -51,3 +51,95 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W2: sliding window counts (10-min window, 5-min slide)
+# ---------------------------------------------------------------------------
+@register(
+    "window_sliding",
+    tags=("streaming", "window", "agg"),
+    oracle=f"""
+        SELECT window_start, user_id,
+               COUNT(*)                     AS event_count,
+               {sql_round('SUM(value)', 2)} AS total_value
+        FROM (
+          SELECT unnest([time_bucket(INTERVAL 5 MINUTES, ts),
+                         time_bucket(INTERVAL 5 MINUTES, ts) - INTERVAL 5 MINUTES])
+                 AS window_start,
+                 user_id, value
+          FROM events
+        )
+        GROUP BY 1, 2
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference W2 (sliding window(10m,5m) x dim -> count,
+    spark_streaming.py:62-74) in batch form. Each event lands in exactly
+    two 5-min-phased windows; the oracle unnests both phase buckets."""
+    from bigdata_storage_and_proccess_job_data_spark.streaming import windows
+
+    events = load_table(spark, sf_dir, "events")
+    return windows.windowed_agg(
+        events,
+        "ts",
+        "10 minutes",
+        {
+            "event_count": F.count(F.lit(1)),
+            "total_value": stable_round(F.sum("value"), 2),
+        },
+        slide="5 minutes",
+        dims=["user_id"],
+    ).drop("window_end")
+
+
+# ---------------------------------------------------------------------------
+# W6 + S8: stateless stream enrichment with synthetic upsert key
+# ---------------------------------------------------------------------------
+@register(
+    "stream_detail_enrich",
+    tags=("streaming", "expr"),
+    oracle="""
+        SELECT event_id,
+               CAST(ts AS TIMESTAMP)  AS event_time,
+               event_type,
+               CASE WHEN value IS NULL  THEN 'unknown'
+                    WHEN value < 10     THEN 'small'
+                    WHEN value < 100    THEN 'medium'
+                    ELSE 'large' END   AS value_bucket,
+               (event_type = 'error')  AS is_error,
+               CAST(hour(ts) AS BIGINT) AS event_hour,
+               CAST(user_id AS VARCHAR) || '_' || CAST(event_id AS VARCHAR)
+                                       AS doc_id
+        FROM events
+    """,
+)
+def stream_detail_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference W6 (stateless per-record enrichment shared batch/stream,
+    spark_streaming_v2.py:103-218) + S8's synthetic doc id: identical
+    code path runs under readStream (tests/test_streaming.py)."""
+    from bigdata_storage_and_proccess_job_data_spark.functions import enrich
+
+    events = load_table(spark, sf_dir, "events")
+    return _enrich_events(events)
+
+
+def _enrich_events(events: DataFrame) -> DataFrame:
+    """The shared stateless enrichment plan (batch & streaming)."""
+    from bigdata_storage_and_proccess_job_data_spark.functions import enrich
+
+    bucket = enrich.bucketize(
+        "value", [(10, "small"), (100, "medium")], default="large",
+        null_label="unknown",
+    )
+    return events.select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("event_time"),
+        "event_type",
+        bucket.alias("value_bucket"),
+        (F.col("event_type") == "error").alias("is_error"),
+        F.hour("ts").cast("long").alias("event_hour"),
+        F.concat_ws(
+            "_", F.col("user_id").cast("string"), F.col("event_id").cast("string")
+        ).alias("doc_id"),
+    )

@@ -1,0 +1,115 @@
+"""Streaming pipeline wiring: sources, sinks, and the multi-query /
+foreachBatch fan-out patterns (reference S7-S11).
+
+Key scale decision vs the reference: its v2 streaming job runs 6
+concurrent queries that each re-read Kafka (spark_streaming_v2.py:211-369
+-- SURVEY.md §4 anti-pattern). Here the default is ONE query with
+foreachBatch: the micro-batch is cached once, the detail sink and every
+windowed aggregate are computed from that cache, and update-mode upserts
+become deterministic partition overwrites keyed by the upsert id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based streaming source (test/backfill stand-in for Kafka;
+    one file per micro-batch when max_files_per_trigger=1 -- that is how
+    the tests drive watermark semantics deterministically)."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    value_schema: StructType,
+    starting_offsets: str = "latest",
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """Kafka source -> parsed typed frame (reference S3+S4:
+    spark_streaming_v2.py:57-68): CAST(value AS STRING) -> from_json ->
+    flatten. Requires the spark-sql-kafka package on the classpath; the
+    load() call raises a clear error if it is absent (not installed in
+    the test container -- covered by construct-only tests)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+        .load()
+    )
+    return raw.selectExpr("CAST(value AS STRING) AS _json").select(
+        F.from_json(F.col("_json"), value_schema).alias("data")
+    ).select("data.*")
+
+
+def fan_out_foreach_batch(
+    stream_df: DataFrame,
+    detail_writer: Callable[[DataFrame, int], None] | None,
+    agg_builders: dict[str, Callable[[DataFrame], DataFrame]],
+    agg_writers: dict[str, Callable[[DataFrame, int], None]],
+    checkpoint_dir: str,
+    trigger_available_now: bool = False,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """ONE streaming query fanning out to N sinks per micro-batch.
+
+    Replaces the reference's 6-query/6-checkpoint/6-Kafka-reader design
+    (S10) with: cache the micro-batch, write detail, compute each agg
+    from the cache, write it, unpersist. Exactly one source read per
+    batch regardless of sink count.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            if detail_writer is not None:
+                detail_writer(batch_df, batch_id)
+            for name, build in agg_builders.items():
+                agg_writers[name](build(batch_df), batch_id)
+        finally:
+            batch_df.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def memory_sink(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """In-memory sink for tests (reference used console, S9)."""
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
