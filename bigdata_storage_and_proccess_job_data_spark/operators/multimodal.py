@@ -1,0 +1,115 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media is carried as opaque BINARY columns plus typed metadata, processed
+with Arrow-batched mapInPandas (the right shape for per-item Python
+work: batch transfer, no per-row pickling, partition-parallel). The
+actual codec step is STUBBED -- image/audio libraries are not in this
+container -- behind ``decode_fn``: the default deterministic fake parses
+a tiny header our fixture writer emits, so schema/partitioning/batching
+are fully real and tested while the codec is swappable (pass a real
+PIL/ffmpeg-backed decode_fn in production).
+
+Scale notes: mapInPandas streams Arrow batches, so peak memory is
+O(batch), not O(partition); media bytes never shuffle (metadata-only
+projections drop the binary column before any wide stage).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("content", BinaryType()),
+        StructField("source_uri", StringType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+MAGIC = b"FAKE"
+_HEADER = struct.Struct(">4sHHH")  # magic, width, height, n_frames
+
+
+def encode_fake_media(width: int, height: int, n_frames: int = 1) -> bytes:
+    """Deterministic fixture payload: 10-byte header + zero body."""
+    return _HEADER.pack(MAGIC, width, height, n_frames) + b"\x00" * 16
+
+
+def fake_decode(content: bytes) -> tuple[int, int, int, str]:
+    """STUB decode (deterministic): parse the fake header. A real
+    implementation would hand bytes to PIL/libav here; swap via the
+    decode_fn parameter of decode_media."""
+    if content[:4] == MAGIC:
+        _, w, h, f = _HEADER.unpack(content[: _HEADER.size])
+        return int(w), int(h), int(f), "fake"
+    raise NotImplementedError(
+        "real media decoding requires PIL/ffmpeg (not in this container); "
+        "pass decode_fn= to decode_media"
+    )
+
+
+def decode_media(
+    df: DataFrame,
+    decode_fn: Callable[[bytes], tuple[int, int, int, str]] = fake_decode,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """BINARY media -> typed metadata via Arrow-batched mapInPandas."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "byte_len": pdf["content"].map(len).astype("int64"),
+            }
+            decoded = pdf["content"].map(decode_fn)
+            out["width"] = decoded.map(lambda t: t[0]).astype("int32")
+            out["height"] = decoded.map(lambda t: t[1]).astype("int32")
+            out["n_frames"] = decoded.map(lambda t: t[2]).astype("int32")
+            out["format"] = decoded.map(lambda t: t[3])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def frame_sample_plan(decoded: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling *plan*: one output row per sampled frame index
+    (posexplode over the frame count). The per-frame pixel fetch is the
+    stubbed codec step; the Spark-side shape (explode -> per-frame rows,
+    binary never carried) is the real scale design."""
+    return decoded.select(
+        "media_id",
+        "kind",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n)
+            )
+        ).alias("frame_index"),
+    )

@@ -1,0 +1,104 @@
+"""Partitioned data lake IO (reference §2.1 mapped to Parquet).
+
+| Reference                                   | Here                        |
+|---------------------------------------------|-----------------------------|
+| S1 daily JSON dirs, partition in path       | Parquet partitionBy(key);   |
+|   (s3a://.../event_date=D/*.json)           |   filter => partition prune |
+| S5 ES detail upsert by doc id               | upsert_by_key: append +     |
+|                                             |   latest-wins view, or      |
+|                                             |   dynamic partition overwrite|
+| S6 Cassandra agg tables                     | keyed parquet dirs          |
+| S11 Kafka->MinIO archiver (50 rec/60 s)     | Structured Streaming        |
+|                                             |   partitionBy + trigger     |
+
+Scale notes: writers never coalesce(1); partition counts follow the
+upstream parallelism and AQE. Readers rely on Catalyst partition
+pruning -- tests/test_lake.py asserts the pruned-scan plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_by: list[str], mode: str = "append"
+) -> None:
+    """Hive-style partitioned parquet write (the canonical store; the
+    reference encoded the partition key in the path by hand,
+    kafka_to_minio.py:64-65)."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def read_partition(
+    spark: SparkSession, path: str, **partition_values
+) -> DataFrame:
+    """Read with partition-pruning filters (replaces the reference's
+    path-glob construction, spark_job.py:31 -- a filter on the partition
+    column prunes at planning time, PruneFileSourcePartitions)."""
+    df = spark.read.parquet(path)
+    for k, v in partition_values.items():
+        df = df.filter(F.col(k) == v)
+    return df
+
+
+def read_json_lake(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """JSON ingest with an EXPLICIT schema -- never inference (the
+    reference's spark.read.json(path) schema-inference pass reads all
+    data twice; at 100 TB that is a doubled scan, SURVEY.md §4)."""
+    return spark.read.schema(schema).json(path)
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key: str,
+    version_col: str,
+) -> None:
+    """Idempotent keyed upsert onto an append-only parquet dir: append
+    the batch; readers resolve latest-wins via read_upserted (the
+    ES es.mapping.id doc-upsert semantics, spark_job.py:78-80, without a
+    mutable store). Append is O(batch); compaction can fold the log into
+    a snapshot offline."""
+    df.write.mode("append").parquet(path)
+
+
+def read_upserted(
+    spark: SparkSession, path: str, key: str, version_col: str
+) -> DataFrame:
+    """Latest-wins view over an upsert log written by upsert_by_key:
+    row_number over (key, version desc) = 1 -- same deterministic-winner
+    dedup as operators/dedup.py."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import dedup
+
+    df = spark.read.parquet(path)
+    return dedup.dedup_by_key(
+        df, [key], order_by=[F.col(version_col).desc(), F.col(key).asc()]
+    )
+
+
+def archive_stream(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_by: list[str],
+    processing_interval: str = "60 seconds",
+    fmt: str = "parquet",
+):
+    """The Kafka->lake archiver (reference S11/X4, kafka_to_minio.py:47-80):
+    its hand-rolled count-or-time micro-batcher collapses to a
+    processing-time trigger + partitionBy; checkpointing replaces the
+    manual consumer-group offset management."""
+    return (
+        stream_df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy(*partition_by)
+        .trigger(processingTime=processing_interval)
+        .start()
+    )
