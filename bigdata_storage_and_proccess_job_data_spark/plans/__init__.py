@@ -11,6 +11,7 @@ from bigdata_storage_and_proccess_job_data_spark.plans.registry import (  # noqa
 
 # Importing these modules populates the registry.
 from bigdata_storage_and_proccess_job_data_spark.plans import (  # noqa: F401,E402
+    analytics_queries,
     reference_queries,
     scale_queries,
     streaming_queries,

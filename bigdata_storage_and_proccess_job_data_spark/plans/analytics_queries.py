@@ -1,0 +1,182 @@
+"""Beyond-reference analytics operators (SURVEY.md §2.6 gap list + north
+star): multi-table joins, rollup/grouping sets, distinct aggregates,
+JSON extraction, and the spark.sql surface. All oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_storage_and_proccess_job_data_spark.catalog import (
+    load_table,
+    register_views,
+)
+from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+    sql_round,
+    stable_round,
+)
+from bigdata_storage_and_proccess_job_data_spark.plans.registry import register
+
+
+# ---------------------------------------------------------------------------
+# Star join: segment revenue (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "segment_revenue",
+    headline=True,
+    tags=("join", "agg"),
+    oracle=f"""
+        SELECT c_mktsegment AS segment,
+               COUNT(DISTINCT o_orderkey)     AS order_count,
+               {sql_round("SUM(l_extendedprice * (1 - l_discount))", 2)}
+                                              AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= DATE '1996-01-01'
+        GROUP BY c_mktsegment
+    """,
+)
+def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join (orders x lineitem, shuffle join on the order key --
+    AQE picks broadcast when the filtered side shrinks enough) + broadcast
+    customer dim. Date filter is pushed to the orders scan."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count_distinct("o_orderkey").alias("order_count"),
+        stable_round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup (hierarchical subtotals)
+# ---------------------------------------------------------------------------
+@register(
+    "region_rollup",
+    tags=("agg", "rollup"),
+    oracle=f"""
+        SELECT r_name AS region, n_name AS country,
+               COUNT(c_custkey)               AS customer_count,
+               {sql_round("SUM(c_acctbal)", 2)}   AS total_balance
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, country): per-country rows + per-region subtotals +
+    grand total in one pass (SURVEY.md §2.6: grouping sets absent from
+    the reference). Spark expands to grouping sets before the hash agg."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("country"),
+            "c_custkey",
+            "c_acctbal",
+        )
+        .rollup("region", "country")
+        .agg(
+            F.count("c_custkey").alias("customer_count"),
+            stable_round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregate
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_customers",
+    tags=("agg", "distinct"),
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               COUNT(DISTINCT o_custkey) AS distinct_customers,
+               COUNT(*)                  AS order_count
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregate (expand + two-phase agg under the hood).
+    The approximate variant (approx_count_distinct/HLL, the 100 TB
+    default) is asserted within 5% of this in tests/test_analytics.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count_distinct("o_custkey").alias("distinct_customers"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (events.props)
+# ---------------------------------------------------------------------------
+@register(
+    "json_extract_props",
+    tags=("expr", "json", "agg"),
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                    AS BIGINT)            AS k_total,
+               COUNT(props)               AS with_props
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (the batch analogue of
+    the reference's from_json decode, S4/F13) -- get_json_object keeps it
+    JVM-side; no Python."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.sum(
+            F.get_json_object("props", "$.k").cast("int")
+        ).cast("long").alias("k_total"),
+        F.count("props").alias("with_props"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# spark.sql surface: one ANSI string that runs on BOTH engines unchanged
+# ---------------------------------------------------------------------------
+_SHARED_SQL = f"""
+    SELECT n_name AS nation,
+           COUNT(*)                                  AS order_count,
+           {sql_round("SUM(o_totalprice)", 2)}       AS total_sales,
+           {sql_round("AVG(o_totalprice)", 4)}       AS avg_sale
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+@register(
+    "sql_surface_nation_sales",
+    tags=("sql", "join", "agg"),
+    oracle=_SHARED_SQL,
+)
+def sql_surface_nation_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point (SURVEY.md §3: the reference exposes none; the
+    engine exposes both DataFrame and spark.sql over the same Catalyst
+    plans). The query text is the SAME ANSI string the DuckDB oracle
+    runs -- one dialect, two engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARED_SQL)
