@@ -187,7 +187,6 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "ngram_jaccard_pairs",
-    headline=True,
     tags=("dedup", "text", "join"),
     oracle=r"""
         WITH t AS (
@@ -232,22 +231,20 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Near-dup: MinHash + LSH candidates (rows-only: xxhash64 not in DuckDB)
 # ---------------------------------------------------------------------------
-@register("minhash_near_dups", tags=("dedup", "text", "join"))
+@register("minhash_near_dups", headline=True, tags=("dedup", "text", "join"))
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32 hashes)+LSH(8 bands) candidate pairs confirmed by exact
-    Jaccard >= 0.8 (operators/neardup.py). Non-SQL-expressible (xxhash64
-    signatures); correctness established by tests/test_neardup.py, which
-    checks recall of the LSH candidates against the exact
-    ngram_jaccard_pairs oracle query."""
+    """MinHash(32 hashes)+LSH(8 bands) candidates verified by exact
+    Jaccard >= 0.8 on the candidate set only
+    (operators/neardup.py:minhash_dedup_pairs) -- the 100 TB near-dup
+    path: cost follows the true near-dup count, not corpus^2 (the exact
+    ngram_jaccard_pairs query is the quadratic baseline it replaces at
+    scale). Non-SQL-expressible (xxhash64 signatures); recall vs the
+    exact oracle query is asserted in tests/test_neardup.py."""
     from bigdata_storage_and_proccess_job_data_spark.operators import neardup
 
     docs = load_table(spark, sf_dir, "documents")
-    cands = neardup.minhash_candidates(
-        docs, "doc_id", "text", ngram=2, num_hashes=32, bands=8
-    )
-    exact = neardup.jaccard_pairs(docs, "doc_id", "text", ngram=2, threshold=0.8)
-    return cands.join(exact, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "jaccard"
+    return neardup.minhash_dedup_pairs(
+        docs, "doc_id", "text", ngram=2, threshold=0.8, num_hashes=32, bands=8
     )
 
 
