@@ -1,0 +1,71 @@
+"""As-of (point-in-time) join: for each left row, the most recent right
+row with right_ts <= left_ts per key.
+
+Spark has no native ASOF join; the scalable formulation is the
+union + last_value(ignorenulls) trick:
+
+  union(left-tagged, right-tagged)
+    -> window per key ordered by (ts, right-before-left on ties)
+    -> last_value(right_cols, ignorenulls) over rows unbounded..current
+    -> keep left rows
+
+ONE shuffle+sort on the key -- never a range cross join (a theta-join
+formulation explodes to |L|x|R| per key before filtering, which is
+exactly what kills point-in-time joins at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward (inclusive) as-of join. Right rows are deduplicated to
+    one per (key, ts) beforehand by callers if multiple candidates per
+    instant need a deterministic winner.
+
+    Returns all left columns + ``<value_col><suffix>`` columns (null when
+    no right row precedes the left row).
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_is_right"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    tagged_right = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_is_right"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    # right rows sort BEFORE left rows at equal ts => inclusive backward
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_filled_{c}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("_is_right") == 0).select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[F.col(f"_filled_{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )

@@ -180,3 +180,61 @@ def sql_surface_nation_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs -- one dialect, two engines."""
     register_views(spark, sf_dir)
     return spark.sql(_SHARED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# As-of join: latest prior purchase per click (point-in-time semantics)
+# ---------------------------------------------------------------------------
+@register(
+    "asof_last_purchase",
+    tags=("join", "asof", "window"),
+    oracle="""
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+          SELECT user_id, ts, value FROM (
+            SELECT user_id, ts, value,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY user_id, ts ORDER BY event_id DESC
+                   ) AS rn
+            FROM events WHERE event_type = 'purchase'
+          ) WHERE rn = 1
+        )
+        SELECT c.event_id,
+               c.user_id,
+               CAST(c.ts AS TIMESTAMP) AS click_time,
+               p.value                 AS value_asof
+        FROM clicks c
+        ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): for every click, the
+    value of the user's most recent prior purchase. Spark lacks a native
+    ASOF join; the union+last_value formulation is one shuffle on the
+    key -- the DuckDB oracle uses its native ASOF JOIN, so this also
+    cross-validates the operator's semantics engine-to-engine."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import asof
+    from bigdata_storage_and_proccess_job_data_spark.operators import dedup
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("click_time")
+    )
+    purchases = dedup.dedup_by_key(
+        events.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value", "event_id"
+        ),
+        ["user_id", "ts"],
+        order_by=[F.col("event_id").desc()],
+    ).select("user_id", F.col("ts").cast("timestamp_ntz").alias("pts"), "value")
+    return asof.asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="click_time",
+        right_ts="pts",
+        value_cols=["value"],
+    )

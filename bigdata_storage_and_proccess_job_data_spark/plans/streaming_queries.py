@@ -143,3 +143,55 @@ def _enrich_events(events: DataFrame) -> DataFrame:
             "_", F.col("user_id").cast("string"), F.col("event_id").cast("string")
         ).alias("doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: session windows (gap-based user sessions)
+# ---------------------------------------------------------------------------
+@register(
+    "session_windows",
+    tags=("streaming", "window", "agg", "session"),
+    oracle=f"""
+        WITH ordered AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           > INTERVAL 30 MINUTES
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        numbered AS (
+          SELECT user_id, ts, value,
+                 SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS session_no
+          FROM ordered
+        )
+        SELECT MIN(ts)                          AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTES    AS session_end,
+               user_id,
+               COUNT(*)                         AS event_count,
+               {sql_round('SUM(value)', 2)}     AS total_value
+        FROM numbered
+        GROUP BY user_id, session_no
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (30-min inactivity gap) via
+    F.session_window (streaming/windows.py:session_agg). The oracle is
+    the classic gaps-and-islands formulation -- lag + cumulative session
+    numbering -- which is exactly what session_window computes."""
+    from bigdata_storage_and_proccess_job_data_spark.streaming import windows
+
+    events = load_table(spark, sf_dir, "events")
+    return windows.session_agg(
+        events,
+        "ts",
+        "30 minutes",
+        {
+            "event_count": F.count(F.lit(1)),
+            "total_value": stable_round(F.sum("value"), 2),
+        },
+        dims=["user_id"],
+    )

@@ -53,6 +53,32 @@ def windowed_agg(
     return out
 
 
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    measures: dict[str, Column],
+    dims: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows (gap-based): F.session_window(ts, gap) x dims.
+    Sessions close after ``gap`` of inactivity; session_end = last event
+    + gap. Works on static frames and (with a watermark) on streams --
+    beyond the reference surface (SURVEY.md §2.5: no session windows
+    there), standard for user-activity analytics."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.session_window(ts_col, gap)
+    aggs = [expr.alias(name) for name, expr in measures.items()]
+    out = df.groupBy(win.alias("session"), *(dims or [])).agg(*aggs)
+    return out.select(
+        F.col("session.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session.end").cast("timestamp_ntz").alias("session_end"),
+        *(dims or []),
+        *measures.keys(),
+    )
+
+
 def upsert_key(dims: list[str], window_start: str = "window_start") -> Column:
     """Synthetic per-window upsert doc id: concat_ws('_', dims...,
     window_start-as-string) -- reference S8
