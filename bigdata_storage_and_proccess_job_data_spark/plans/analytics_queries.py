@@ -238,3 +238,95 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="pts",
         value_cols=["value"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operation: intersect
+# ---------------------------------------------------------------------------
+@register(
+    "setop_intersect",
+    tags=("setop",),
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) -- customers with both finished and
+    open orders. Spark plans it as a left-semi aggregate join."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f.intersect(o)
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide conditional aggregation)
+# ---------------------------------------------------------------------------
+@register(
+    "pivot_status_by_priority",
+    tags=("agg", "pivot"),
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (unbounded pivots force an extra
+    distinct pass; always enumerate at scale). Equivalent to conditional
+    counts, which is the oracle formulation."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return pivoted.select(
+        "priority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic aggregate: running revenue per customer
+# ---------------------------------------------------------------------------
+@register(
+    "running_total",
+    tags=("window", "agg"),
+    oracle=f"""
+        SELECT o_custkey, o_orderkey,
+               {sql_round('''SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING)''', 2)} AS running_spend
+        FROM orders
+    """,
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) aggregate over an ordered window -- the
+    analytic-aggregate family the reference lacks (SURVEY.md §2.6).
+    Deterministic frame via (date, key) ordering."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        stable_round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
