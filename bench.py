@@ -32,6 +32,10 @@ def main() -> None:
     spark = get_spark(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen warmup outside the timed region (one trivial job);
+    # file reads inside the loop stay cold -- timings reflect real scans.
+    spark.range(100_000).selectExpr("sum(id)").collect()
+
     heads = registry.headline_queries()
     timings: dict[str, float] = {}
     for name, qd in heads.items():

@@ -32,6 +32,19 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """The driver fixtures are ONE parquet file per table (often a single
+    row group), so the scan yields a single partition and every per-row
+    expression runs on one core. Spread once after read so downstream
+    work uses the full machine. On a real lake this is unnecessary --
+    file splits provide scan parallelism -- so only repartition when the
+    scan is genuinely narrower than the cluster."""
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(parallelism, 16):
+        return df.repartition(min(parallelism, 16))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -44,8 +57,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _spread(spark, df)
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

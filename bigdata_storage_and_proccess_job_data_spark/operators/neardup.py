@@ -82,8 +82,11 @@ def minhash_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) from banded minhash signatures.
+    ``shingle_frame`` (columns _id, _sh) lets callers reuse an already
+    materialized shingle set instead of re-tokenizing.
 
     shingle -> signature -> band explode -> self-equi-join on
     (band, band_hash). The join is on a 12-byte key, so at 100 TB the
@@ -95,10 +98,13 @@ def minhash_candidates(
     materializing signatures to storage once per corpus snapshot.
     """
     rows = num_hashes // bands
-    shingles = df.select(
-        F.col(id_col).alias("_id"),
-        text.word_ngrams(content_col, ngram).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
+    if shingle_frame is not None:
+        shingles = shingle_frame.select("_id", "_sh")
+    else:
+        shingles = df.select(
+            F.col(id_col).alias("_id"),
+            text.word_ngrams(content_col, ngram).alias("_sh"),
+        ).filter(F.size("_sh") > 0)
     sigs = shingles.select(
         "_id", minhash_signature(F.col("_sh"), num_hashes, seed).alias("_sig")
     )
@@ -243,10 +249,11 @@ def minhash_dedup_pairs(
     Jaccard verification on candidates ONLY. Candidate volume scales
     with the number of true near-dups (plus the banding false-positive
     rate), not with corpus size squared -- unlike any exact threshold
-    join, which degenerates on low-diversity corpora."""
-    cands = minhash_candidates(
-        df, id_col, content_col, ngram, num_hashes, bands, seed
-    )
+    join, which degenerates on low-diversity corpora.
+
+    The shingle frame is tokenized ONCE, persisted, and shared by the
+    signature path and the verification path (tokenization dominates
+    signature cost on short documents)."""
     sized = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -254,6 +261,11 @@ def minhash_dedup_pairs(
         )
         .filter(F.size("_sh") > 0)
         .withColumn("_n", F.size("_sh"))
+        .persist()
+    )
+    cands = minhash_candidates(
+        df, id_col, content_col, ngram, num_hashes, bands, seed,
+        shingle_frame=sized,
     )
     return verify_jaccard(cands, sized, threshold)
 

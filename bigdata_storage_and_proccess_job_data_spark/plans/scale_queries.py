@@ -328,3 +328,47 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup: embedding-cosine pairs (exact, oracle-checked)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_neardup_pairs",
+    tags=("dedup", "similarity", "vector"),
+    oracle=f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {sql_round(
+                   'list_dot_product(a.v, b.v) / '
+                   '(sqrt(list_dot_product(a.v, a.v)) * '
+                   ' sqrt(list_dot_product(b.v, b.v)))', 4)} AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))) >= 0.85
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs >= 0.85;
+    the fifth dedup modality alongside exact/minhash/simhash/jaccard).
+    Exact is the oracle baseline; at corpus scale the hyperplane-LSH
+    bucketing in operators/similarity.py:lsh_topk is the same candidate
+    machinery applied before verification."""
+    from bigdata_storage_and_proccess_job_data_spark.functions import vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), vectors.as_double("embedding").alias("_va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), vectors.as_double("embedding").alias("_vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim_raw = vectors.cosine(F.col("_va"), F.col("_vb"))
+    return (
+        pairs.select("id_a", "id_b", sim_raw.alias("_sim"))
+        .filter(F.col("_sim") >= 0.85)
+        .select("id_a", "id_b", stable_round(F.col("_sim"), 4).alias("sim"))
+    )

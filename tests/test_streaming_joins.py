@@ -107,9 +107,16 @@ def test_stateful_update_mode_cumulative(spark, sf_dir, tmp_path):
 
     events = load_table(spark, sf_dir, "events")
     src = str(tmp_path / "ev")
-    events.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+    # exactly one file per half => exactly two micro-batches (events are
+    # unordered across files, so more batches would legitimately trigger
+    # watermark late-drops and the cumulative assertion would not hold)
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
     _t.sleep(1.1)
-    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
 
     sink = str(tmp_path / "upsert_sink")
     stream = pipeline.file_stream(spark, src, events.schema, max_files_per_trigger=1)
