@@ -39,23 +39,27 @@ from bigdata_storage_and_proccess_job_data_spark.plans.registry import register
     """,
 )
 def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-fact join (orders x lineitem, shuffle join on the order key --
-    AQE picks broadcast when the filtered side shrinks enough) + broadcast
-    customer dim. Date filter is pushed to the orders scan."""
+    """Fact-fact join with MANUAL aggregate-below-join: lineitem revenue
+    is partially aggregated per order key BEFORE joining (Catalyst does
+    not push aggregates through joins) -- the join input shrinks from
+    |lineitem| rows to |orders| rows, and because the pre-agg makes the
+    join 1:1, COUNT(DISTINCT o_orderkey) degrades to a plain count.
+    Customer dim broadcasts; the only wide ops are the per-order partial
+    agg and the orderkey join."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("date")
     )
     li = load_table(spark, sf_dir, "lineitem")
-    joined = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
+    rev_per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
     )
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).join(rev_per_order, rev_per_order.l_orderkey == orders.o_orderkey)
     return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
-        F.count_distinct("o_orderkey").alias("order_count"),
-        stable_round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        F.count(F.lit(1)).alias("order_count"),
+        stable_round(F.sum("_rev"), 2).alias("revenue"),
     )
 
 
@@ -329,4 +333,72 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         stable_round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS subquery (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "priority_with_late_lines",
+    tags=("join", "subquery", "agg"),
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= DATE '1997-01-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+    """,
+)
+def priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (SURVEY.md §2.6: subqueries absent from the
+    reference) expressed as a left-semi join -- the same physical plan
+    Catalyst de-correlates EXISTS into. Date filter pushed to the orders
+    scan; the semi join shuffles only (orderkey, shipdate>date) pairs."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    semi = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# min_by / max_by (argmin/argmax aggregates, deterministic tiebreak)
+# ---------------------------------------------------------------------------
+@register(
+    "extreme_orders",
+    tags=("agg", "argminmax"),
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(MIN([o_totalprice, CAST(o_orderkey AS DOUBLE)])[2] AS BIGINT)
+                   AS cheapest_order,
+               CAST(MAX([o_totalprice, CAST(o_orderkey AS DOUBLE)])[2] AS BIGINT)
+                   AS priciest_order
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def extreme_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax aggregates (min_by/max_by). The ordering value is
+    [price, orderkey] so price ties resolve deterministically on the key
+    -- both engines compare arrays lexicographically (DuckDB 1.0's
+    arg_min rejects list values, so its oracle extracts the embedded key
+    from MIN/MAX of the composite instead -- same winner)."""
+    orders = load_table(spark, sf_dir, "orders")
+    val = F.array(F.col("o_totalprice"), F.col("o_orderkey").cast("double"))
+    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.min_by("o_orderkey", val).alias("cheapest_order"),
+        F.max_by("o_orderkey", val).alias("priciest_order"),
     )
