@@ -1,0 +1,127 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference has no arbitrary stateful ops and no streaming dedup
+(SURVEY.md §2.5); these fill that gap with the Arrow-batched state API:
+
+- dedup_stream: exactly-once-per-key emission across micro-batches with
+  a processing-time TTL (bounded state -- unbounded keyed state is what
+  kills long-running streams at scale; dropDuplicates on a stream keeps
+  state forever unless watermark-scoped).
+- running_totals_stream: per-key cumulative counters emitted every
+  micro-batch (the stateful generalization of the reference's windowed
+  counts).
+
+State is per group key, stored as a tiny tuple; Arrow moves batches, so
+the Python hop is amortized. At 100 TB of stream history the state
+store only holds live keys x state-tuple, not data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def dedup_stream(
+    df: DataFrame, key_col: str, ttl_ms: int | None = 3_600_000
+) -> DataFrame:
+    """Emit only the FIRST row per key across the whole stream (state
+    remembers seen keys; optional TTL evicts state after ``ttl_ms`` of
+    processing-time inactivity, after which a key may be emitted again).
+
+    Output schema: (key, first_seen_count) -- count is how many rows
+    arrived in the batch that first contained the key (diagnostic).
+
+    NOTE: pass ``ttl_ms=None`` for bounded replays (Trigger.AvailableNow):
+    with ProcessingTimeTimeout, live state keeps the query scheduling
+    timeout-check micro-batches, so an availableNow query never stops.
+    TTL is for always-on streams where eviction bounds the state store.
+    """
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("first_seen_count", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("seen", LongType())])
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState  # noqa: F821
+    ) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        if not state.exists and n > 0:
+            state.update((1,))
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
+            yield pd.DataFrame({"key": [str(key[0])], "first_seen_count": [n]})
+        else:
+            if ttl_ms and state.exists:
+                state.setTimeoutDuration(ttl_ms)
+
+    grouped = df.withColumn("key", df[key_col].cast("string")).groupBy("key")
+    return grouped.applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )
+
+
+def running_totals_stream(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Cumulative per-key (count, sum) emitted each micro-batch the key
+    appears in -- arbitrary stateful aggregation beyond windowed aggs."""
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("total_count", LongType()),
+            StructField("total_sum", StringType()),  # stringified double
+        ]
+    )
+    state_schema = StructType(
+        [StructField("cnt", LongType()), StructField("sm", StringType())]
+    )
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState  # noqa: F821
+    ) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        cnt, sm = (state.get if state.exists else (0, "0.0"))
+        sm = float(sm)
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            sm += float(pdf[value_col].sum())
+        if n:
+            cnt += n
+            state.update((cnt, repr(sm)))
+            yield pd.DataFrame(
+                {
+                    "key": [str(key[0])],
+                    "total_count": [cnt],
+                    "total_sum": [repr(sm)],
+                }
+            )
+
+    grouped = df.withColumn("key", df[key_col].cast("string")).groupBy("key")
+    return grouped.applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -1,0 +1,97 @@
+"""applyInPandasWithState operators: cross-batch streaming dedup and
+running totals (two micro-batches via mtime-ordered single files)."""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bigdata_storage_and_proccess_job_data_spark.streaming import pipeline, stateful
+
+SCHEMA = StructType(
+    [
+        StructField("user", StringType()),
+        StructField("amount", DoubleType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+@pytest.fixture(autouse=True)
+def few_shuffle_partitions(spark):
+    # each micro-batch spins a Python state worker per shuffle partition;
+    # 32 partitions for 6 rows is pure overhead in these tests
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@pytest.fixture()
+def two_batch_src(spark, tmp_path):
+    src = str(tmp_path / "src")
+    b1 = [("alice", 10.0, 1), ("bob", 5.0, 2), ("alice", 1.0, 3)]
+    b2 = [("alice", 2.0, 4), ("carol", 7.0, 5), ("bob", 3.0, 6)]
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+def _run(df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # state ops spin Python workers per shuffle partition per batch --
+    # slow to warm up on a cold JVM, hence the generous bound
+    q.awaitTermination(240)
+    assert not q.isActive
+    return q
+
+
+def test_dedup_stream_cross_batch(spark, two_batch_src):
+    stream = pipeline.file_stream(
+        spark, two_batch_src, SCHEMA, max_files_per_trigger=1
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    # ttl_ms=None: with ProcessingTimeTimeout live state keeps scheduling
+    # timeout-check batches, so an availableNow query never terminates --
+    # TTL is for always-on streams, NoTimeout for bounded replays
+    _run(stateful.dedup_stream(stream, "user", ttl_ms=None), name, "append")
+    rows = {r.key: r.first_seen_count for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    # alice/bob first seen in batch 1 (alice twice there), carol in batch 2;
+    # batch-2 re-occurrences of alice/bob suppressed by state
+    assert rows == {"alice": 2, "bob": 1, "carol": 1}
+
+
+def test_running_totals_cumulative(spark, two_batch_src):
+    stream = pipeline.file_stream(
+        spark, two_batch_src, SCHEMA, max_files_per_trigger=1
+    )
+    name = f"run_{uuid.uuid4().hex[:8]}"
+    _run(
+        stateful.running_totals_stream(stream, "user", "amount"), name, "update"
+    )
+    # update mode emits once per batch the key appears in; the LAST
+    # emission per key is the cumulative total
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    final: dict[str, tuple] = {}
+    for r in rows:
+        final[r.key] = (r.total_count, float(r.total_sum))
+    assert final["alice"] == (3, 13.0)
+    assert final["bob"] == (2, 8.0)
+    assert final["carol"] == (1, 7.0)
