@@ -25,6 +25,21 @@ from bigdata_storage_and_proccess_job_data_spark.functions import vectors
 from bigdata_storage_and_proccess_job_data_spark.functions.numeric import stable_round
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Window top-k per query over (sim DESC, neighbor_id ASC) -- the
+    shared deterministic ranking tail of every search path."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim"
+        )
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -58,16 +73,7 @@ def brute_force_topk(
             ).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim"
-        )
-    )
+    return _rank_topk(scored, k)
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -163,13 +169,131 @@ def lsh_topk(
             ).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
+    return _rank_topk(scored, k)
+
+
+def train_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    n_iters: int = 5,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer, trained on a deterministic
+    sample (xxhash64-ordered, so the same rows are picked regardless of
+    partitioning). The sample -- not the corpus -- comes to the driver:
+    IVF training is a model-fit step over O(sample_size x dim) floats
+    (~1 MB here), the classic train-small / assign-distributed split.
+    Lloyd iterations run in numpy; empty clusters keep their previous
+    centroid; centroids are L2-normalized (spherical = cosine geometry).
+    """
+    import numpy as np
+
+    sample = (
+        corpus.select(
+            F.col(id_col).alias("_id"), vectors.as_double(vec_col).alias("_v")
+        )
+        .filter(F.col("_v").isNotNull())
+        .orderBy(F.xxhash64(F.col("_id"), F.lit(seed)))
+        .limit(sample_size)
+        .collect()
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    x = np.asarray([r._v for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    cent = x[: min(n_centroids, len(x))].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return [[float(v) for v in row] for row in cent]
+
+
+def _cell_sims(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<sim:double, cell:int>> -- dot against every centroid.
+    Struct field order (sim first) makes array_max/sort_array rank by
+    similarity with cell id as the tiebreak, all inside codegen."""
+    return F.array(
+        *[
+            F.struct(
+                vectors.dot(vec, F.array(*[F.lit(x) for x in c])).alias("sim"),
+                F.lit(i).cast("int").alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index: a
+    spherical-k-means coarse quantizer partitions the corpus into
+    ``n_centroids`` cells; each corpus vector lands in exactly ONE cell
+    (argmax centroid dot), each query probes its ``n_probe`` nearest
+    cells. The cross product becomes a cell equi-join touching roughly
+    n_probe/n_centroids of the corpus per query.
+
+    vs lsh_topk: IVF is data-adaptive (centroids follow the actual
+    distribution, so clustered corpora get high recall at low probe
+    cost) where hyperplane LSH is data-oblivious. At 100 TB the cell id
+    doubles as a partition key: write the corpus partitioned by cell and
+    probes prune to n_probe partitions at scan time (no query-time
+    shuffle of the corpus at all). Candidate pairs are unique by
+    construction (one cell per corpus row, distinct probe cells per
+    query), so no dedup step is needed before scoring.
+    """
+    centroids = train_centroids(
+        corpus, id_col, vec_col, n_centroids, sample_size, seed=seed
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        vectors.as_double(vec_col).alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        vectors.as_double(vec_col).alias("_cv"),
+    )
+    cb = c.withColumn(
+        "cell", F.array_max(_cell_sims(F.col("_cv"), centroids))["cell"]
+    )
+    qb = (
+        q.withColumn(
+            "_probe",
+            F.slice(
+                F.sort_array(_cell_sims(F.col("_qv"), centroids), asc=False),
+                1,
+                n_probe,
+            ),
+        )
+        .select("query_id", "_qv", F.explode("_probe").alias("p"))
+        .select("query_id", "_qv", F.col("p.cell").alias("cell"))
+    )
+    scored = (
+        qb.join(cb, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim"
+            "query_id",
+            "neighbor_id",
+            stable_round(
+                vectors.cosine(F.col("_qv"), F.col("_cv")), 4
+            ).alias("sim"),
         )
     )
+    return _rank_topk(scored, k)

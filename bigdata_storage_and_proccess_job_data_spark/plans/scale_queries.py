@@ -331,6 +331,24 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Similarity search: IVF coarse-quantizer top-k (rows-only; scale path)
+# ---------------------------------------------------------------------------
+@register("knn_ivf", tags=("similarity", "vector", "join"))
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF index (spherical k-means trained on
+    a deterministic sample, operators/similarity.py:ivf_topk): corpus
+    partitioned into cells, queries probe their 6 nearest of 16 cells.
+    Data-adaptive counterpart to knn_lsh; recall vs knn_brute_force
+    measured in tests/test_similarity.py."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, n_probe=6
+    )
+
+
+# ---------------------------------------------------------------------------
 # Near-dup: embedding-cosine pairs (exact, oracle-checked)
 # ---------------------------------------------------------------------------
 @register(

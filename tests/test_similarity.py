@@ -22,6 +22,34 @@ def test_lsh_topk_recall(spark, oracle_sf_dir):
     assert recall >= 0.5, f"LSH recall {recall:.2f}"
 
 
+def test_ivf_topk_recall(spark, oracle_sf_dir):
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(queries, emb, k=5).collect()
+    approx = similarity.ivf_topk(
+        queries, emb, k=5, n_centroids=16, n_probe=6
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    assert exact_set
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing 6/16 cells of unclustered Gaussians scans ~38% of the
+    # corpus; true neighbors concentrate in near cells, so recall >> 38%
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+
+
+def test_ivf_probe_bound_and_determinism(spark, oracle_sf_dir):
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = similarity.ivf_topk(queries, emb, k=3).collect()
+    b = similarity.ivf_topk(queries, emb, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)), "seeded => reproducible"
+    # full-probe IVF (n_probe == n_centroids) degenerates to exact search
+    full = similarity.ivf_topk(queries, emb, k=3, n_centroids=8, n_probe=8)
+    exact = similarity.brute_force_topk(queries, emb, k=3)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
+
+
 def test_brute_force_topk_is_sane(spark, oracle_sf_dir):
     emb = load_table(spark, oracle_sf_dir, "embeddings")
     res = similarity.brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=3)
