@@ -102,3 +102,36 @@ def archive_stream(
         .trigger(processingTime=processing_interval)
         .start()
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+    sort_key: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (hash-partitioned ON DISK by ``bucket_key``
+    into ``n_buckets`` files per write task, catalog-registered so the
+    reader knows the layout).
+
+    This is the co-located join primitive for the 100 TB fact-fact case:
+    two tables bucketed by their join key with the SAME bucket count
+    join with ZERO Exchange on either side -- the shuffle is paid once
+    at write time and amortized over every subsequent join/aggregate on
+    that key. ``sort_key`` additionally pre-sorts within buckets so
+    sort-merge join skips its sort. tests/test_bucketing.py asserts the
+    exchange-free plan.
+    """
+    w = (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, bucket_key)
+    )
+    if sort_key:
+        w = w.sortBy(sort_key)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
