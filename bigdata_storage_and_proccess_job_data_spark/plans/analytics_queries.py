@@ -402,3 +402,151 @@ def extreme_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", val).alias("cheapest_order"),
         F.max_by("o_orderkey", val).alias("priciest_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join: cross-nation trade volume (TPC-H Q7 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "nation_trade_volume",
+    tags=("join", "agg"),
+    oracle=f"""
+        SELECT n2.n_name AS supp_nation,
+               n1.n_name AS cust_nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+               {sql_round('SUM(l.l_extendedprice * (1 - l.l_discount))', 2)}
+                 AS revenue
+        FROM lineitem l
+        JOIN orders o    ON l.l_orderkey = o.o_orderkey
+        JOIN customer c  ON o.o_custkey = c.c_custkey
+        JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1   ON c.c_nationkey = n1.n_nationkey
+        JOIN nation n2   ON s.s_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation trade revenue by (supplier nation, customer nation,
+    order year) -- the 5-way join shape (TPC-H Q7). Scale plan: nation /
+    supplier / customer are broadcast dims (no shuffle for them); only
+    lineitem |X| orders shuffles, on the join key both sides already
+    share. Cross-nation filter applies post-join on dim columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lead/lag window: inter-event gaps per user
+# ---------------------------------------------------------------------------
+@register(
+    "event_gaps",
+    tags=("window", "agg", "events"),
+    oracle=f"""
+        WITH gaps AS (
+          SELECT user_id,
+                 (epoch_us(ts) - epoch_us(
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 )) / 1e6 AS gap_s
+          FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(gap_s) AS BIGINT)      AS n_gaps,
+               {sql_round('AVG(gap_s)', 3)}      AS avg_gap_s,
+               {sql_round('MAX(gap_s)', 3)}      AS max_gap_s
+        FROM gaps
+        GROUP BY user_id
+    """,
+)
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap stats via lag over (ts, event_id) --
+    the lead/lag analytic family on the event stream. Single shuffle:
+    the window partition key is reused by the groupBy (no second
+    Exchange; tests/test_plans.py pattern)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "user_id",
+        (
+            (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+            )
+            / 1e6
+        ).alias("gap_s"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        stable_round(F.avg("gap_s"), 3).alias("avg_gap_s"),
+        stable_round(F.max("gap_s"), 3).alias("max_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical moment aggregates: corr / covar / stddev
+# ---------------------------------------------------------------------------
+@register(
+    "stat_moments",
+    tags=("agg",),
+    oracle=f"""
+        SELECT l_returnflag,
+               {sql_round('corr(l_quantity, l_extendedprice)', 4)}
+                 AS qty_price_corr,
+               {sql_round('covar_samp(l_quantity, l_extendedprice)', 2)}
+                 AS qty_price_covar,
+               {sql_round('stddev_samp(l_discount)', 4)}
+                 AS discount_stddev
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (Pearson corr, sample covariance,
+    sample stddev) per return flag -- single-pass partial-aggregable
+    statistics (each is a fold over (n, sum x, sum y, sum xy, ...), so
+    map-side combine applies at scale like any sum/count)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        stable_round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_corr"
+        ),
+        stable_round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        stable_round(F.stddev_samp("l_discount"), 4).alias("discount_stddev"),
+    )
