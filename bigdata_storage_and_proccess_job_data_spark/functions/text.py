@@ -109,13 +109,20 @@ def fingerprint(col: Column | str) -> Column:
 
 def word_ngrams(col: Column | str, n: int = 2) -> Column:
     """Word n-gram (shingle) array: contiguous n-token windows joined by a
-    single space. Documents shorter than n tokens -> empty array."""
+    single space. Documents shorter than n tokens -> empty array.
+
+    Built by zip-folding ``n`` shifted slices of the token array rather
+    than slicing per window index (transform(sequence(1,k), i ->
+    slice(toks, i, n))): the per-index form re-evaluates the token-split
+    subtree for every window after projection collapse, turning an O(L)
+    tokenization into O(L^2) per document -- measured ~10x slower on the
+    near-dup path at sf0.1."""
     c = F.col(col) if isinstance(col, str) else col
     toks = tokens(F.lower(c))
-    k = F.size(toks) - (n - 1)
-    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, k)
+    for i in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, 1 + i, k), lambda a, b: F.concat_ws(" ", a, b)
         )
-    )
+    return acc
