@@ -550,3 +550,71 @@ def stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         stable_round(F.stddev_samp("l_discount"), 4).alias("discount_stddev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cube (all grouping-set combinations)
+# ---------------------------------------------------------------------------
+@register(
+    "cube_segment_priority",
+    tags=("agg", "cube"),
+    oracle=f"""
+        SELECT c_mktsegment AS segment,
+               o_orderpriority AS priority,
+               CAST(GROUPING(c_mktsegment) AS BIGINT) * 2
+                 + CAST(GROUPING(o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS order_count,
+               {sql_round('SUM(o_totalprice)', 2)} AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY CUBE (c_mktsegment, o_orderpriority)
+    """,
+)
+def cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (segment, priority): all four grouping sets in one
+    pass (Expand + single shuffle, not four scans). grouping_id
+    disambiguates subtotal NULLs from data NULLs -- same bit order as
+    DuckDB's GROUPING(a, b)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .cube(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("order_count"),
+            stable_round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact median / interpolated percentile aggregates
+# ---------------------------------------------------------------------------
+@register(
+    "median_metrics",
+    tags=("agg", "percentile"),
+    oracle=f"""
+        SELECT l_returnflag,
+               {sql_round('median(l_extendedprice)', 2)} AS median_price,
+               {sql_round('quantile_cont(l_quantity, 0.9)', 2)} AS p90_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def median_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median and p90 per return flag (F.median /
+    F.percentile). Exact percentiles buffer per-group values -- right for
+    low-cardinality groups; high-cardinality rollups use
+    percentile_approx (category_percentiles) at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        stable_round(F.median("l_extendedprice"), 2).alias("median_price"),
+        stable_round(F.percentile("l_quantity", F.lit(0.9)), 2).alias("p90_qty"),
+    )
