@@ -22,7 +22,9 @@ from collections.abc import Callable, Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -113,3 +115,94 @@ def frame_sample_plan(decoded: DataFrame, every_n: int = 10) -> DataFrame:
             )
         ).alias("frame_index"),
     )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def fake_features(content: bytes, dim: int) -> list[float]:
+    """STUB feature extractor (deterministic): derive ``dim`` floats in
+    [-1, 1) by hashing (content, lane). A real implementation would run
+    an encoder model here; swap via feature_fn."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.blake2b(content, digest_size=8, salt=i.to_bytes(8, "big"))
+        out.append(int.from_bytes(h.digest(), "big") / 2**63 - 1.0)
+    return out
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 64,
+    feature_fn: Callable[[bytes, int], list[float]] = fake_features,
+) -> DataFrame:
+    """BINARY media -> fixed-dim embedding column via Arrow-batched
+    mapInPandas: the bridge from media to the similarity operators
+    (operators/similarity.py top-k / IVF run unchanged on the output).
+    One model invocation per item, batch-amortized; the binary column is
+    dropped in the output so downstream shuffles move only vectors."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "embedding": pdf["content"].map(
+                        lambda b: feature_fn(b, dim)
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def fake_resize(content: bytes, width: int, height: int) -> bytes:
+    """STUB resize (deterministic): rewrite the fake header's dimensions,
+    body untouched. A real implementation calls PIL/libswscale."""
+    if content[:4] != MAGIC:
+        raise NotImplementedError(
+            "real media resizing requires PIL/ffmpeg (not in this "
+            "container); pass resize_fn= to resize_media"
+        )
+    _, _, _, f = _HEADER.unpack(content[: _HEADER.size])
+    return _HEADER.pack(MAGIC, width, height, f) + content[_HEADER.size :]
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resize_fn: Callable[[bytes, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """BINARY -> BINARY transform preserving MEDIA_SCHEMA (so resize
+    composes with decode_media/extract_features). mapInPandas keeps the
+    bytes inside one partition end-to-end -- a resize never causes a
+    shuffle of media payloads."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": pdf["content"].map(
+                        lambda b: resize_fn(b, width, height)
+                    ),
+                    "source_uri": pdf["source_uri"],
+                }
+            )
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -46,3 +46,30 @@ def test_unknown_format_raises_not_implemented(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|real media"):
         M.decode_media(bad).collect()
+
+
+def test_extract_features_deterministic_and_knn_compatible(spark, media_df):
+    feats = M.extract_features(media_df, dim=8)
+    rows = {r.media_id: r.embedding for r in feats.collect()}
+    again = {r.media_id: r.embedding for r in M.extract_features(media_df, dim=8).collect()}
+    assert rows == again, "feature stub must be deterministic"
+    assert all(len(v) == 8 for v in rows.values())
+    assert all(-1.0 <= x < 1.0 for v in rows.values() for x in v)
+    # identical payload dims differ per item -> embeddings differ
+    assert rows[1] != rows[2]
+
+    # plugs straight into the similarity operators
+    from bigdata_storage_and_proccess_job_data_spark.operators import similarity
+
+    renamed = feats.withColumnRenamed("media_id", "vec_id")
+    topk = similarity.brute_force_topk(renamed, renamed, k=1)
+    assert topk.count() == 3  # one neighbor each, no self-match
+
+
+def test_resize_then_decode_roundtrip(spark, media_df):
+    resized = M.resize_media(media_df, 320, 240)
+    assert resized.schema == M.MEDIA_SCHEMA
+    out = {r.media_id: r.asDict() for r in M.decode_media(resized).collect()}
+    assert all(r["width"] == 320 and r["height"] == 240 for r in out.values())
+    # frame counts survive the resize untouched
+    assert out[2]["n_frames"] == 120
