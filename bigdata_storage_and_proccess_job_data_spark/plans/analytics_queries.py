@@ -618,3 +618,46 @@ def median_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.median("l_extendedprice"), 2).alias("median_price"),
         stable_round(F.percentile("l_quantity", F.lit(0.9)), 2).alias("p90_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-family window functions: ntile / percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+@register(
+    "customer_value_ranks",
+    tags=("window", "rank"),
+    oracle=f"""
+        WITH spend AS (
+          SELECT o_custkey AS custkey,
+                 {sql_round('SUM(o_totalprice)', 2)} AS total_spend
+          FROM orders
+          GROUP BY o_custkey
+        )
+        SELECT custkey, total_spend,
+               CAST(ntile(4) OVER w AS BIGINT)       AS spend_quartile,
+               {sql_round('percent_rank() OVER w', 4)} AS pct_rank,
+               {sql_round('cume_dist() OVER w', 4)}    AS cume
+        FROM spend
+        WINDOW w AS (ORDER BY total_spend, custkey)
+    """,
+)
+def customer_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend quartiles + distribution ranks (ntile/percent_rank/
+    cume_dist over one shared ordered window). The un-partitioned window
+    is a deliberate single-reducer stage over the AGGREGATED frame
+    (|customers| rows, not |orders|) -- at 100 TB you window per
+    partition key instead; this exercises the global-ordering form."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        stable_round(F.sum("o_totalprice"), 2).alias("total_spend")
+    )
+    w = Window.orderBy("total_spend", "custkey")
+    return spend.select(
+        "custkey",
+        "total_spend",
+        F.ntile(4).over(w).cast("bigint").alias("spend_quartile"),
+        stable_round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        stable_round(F.cume_dist().over(w), 4).alias("cume"),
+    )

@@ -125,3 +125,15 @@ def running_totals_stream(df: DataFrame, key_col: str, value_col: str) -> DataFr
     return grouped.applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def dedup_within_watermark(
+    df: DataFrame, keys: list[str], ts_col: str, delay: str
+) -> DataFrame:
+    """Built-in watermark-scoped streaming dedup: one row per key within
+    the watermark horizon, state evicted as event time advances (the
+    declarative counterpart of dedup_stream's processing-time TTL --
+    prefer this when an event-time column exists, since eviction then
+    follows the data clock, not the wall clock; plain dropDuplicates on
+    a stream retains state forever)."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)

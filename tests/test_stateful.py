@@ -95,3 +95,33 @@ def test_running_totals_cumulative(spark, two_batch_src):
     assert final["alice"] == (3, 13.0)
     assert final["bob"] == (2, 8.0)
     assert final["carol"] == (1, 7.0)
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql.types import TimestampType
+
+    schema = StructType(
+        [
+            StructField("user", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = str(tmp_path / "src")
+    b1 = [("alice", base), ("alice", base + dt.timedelta(minutes=1)),
+          ("bob", base)]
+    b2 = [("alice", base + dt.timedelta(minutes=2)),
+          ("carol", base + dt.timedelta(minutes=3))]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = pipeline.file_stream(spark, src, schema, max_files_per_trigger=1)
+    out = stateful.dedup_within_watermark(stream, ["user"], "ts", "10 minutes")
+    name = f"wmdedup_{uuid.uuid4().hex[:8]}"
+    _run(out, name, "append")
+    rows = spark.sql(f"SELECT user FROM {name}").collect()
+    # every duplicate lands inside the 10-min horizon -> one row per user
+    assert sorted(r.user for r in rows) == ["alice", "bob", "carol"]
