@@ -661,3 +661,40 @@ def customer_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.percent_rank().over(w), 4).alias("pct_rank"),
         stable_round(F.cume_dist().over(w), 4).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Global ordered top-N (sort + limit => TakeOrdered, never a full sort)
+# ---------------------------------------------------------------------------
+@register(
+    "top_revenue_customers",
+    tags=("sort", "limit", "join"),
+    oracle=f"""
+        SELECT c_custkey AS custkey, c_name AS name,
+               {sql_round('SUM(o_totalprice)', 2)} AS total_spend
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1, 2
+        ORDER BY total_spend DESC, custkey ASC
+        LIMIT 10
+    """,
+)
+def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 customers by spend: orderBy+limit plans as
+    TakeOrderedAndProject -- each partition keeps its local top-10 and
+    only those reach the driver-side merge, so the global sort never
+    materializes (the scale-safe form of ORDER BY ... LIMIT)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(stable_round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .join(
+            F.broadcast(
+                customer.select(F.col("c_custkey"), F.col("c_name").alias("name"))
+            ),
+            F.col("custkey") == F.col("c_custkey"),
+        )
+        .select("custkey", "name", "total_spend")
+        .orderBy(F.col("total_spend").desc(), F.col("custkey").asc())
+        .limit(10)
+    )

@@ -87,21 +87,25 @@ def archive_stream(
     path: str,
     checkpoint_dir: str,
     partition_by: list[str],
-    processing_interval: str = "60 seconds",
+    processing_interval: str | None = "60 seconds",
     fmt: str = "parquet",
 ):
     """The Kafka->lake archiver (reference S11/X4, kafka_to_minio.py:47-80):
     its hand-rolled count-or-time micro-batcher collapses to a
     processing-time trigger + partitionBy; checkpointing replaces the
-    manual consumer-group offset management."""
-    return (
+    manual consumer-group offset management. ``processing_interval=None``
+    runs one availableNow drain instead (backfill / tests)."""
+    w = (
         stream_df.writeStream.format(fmt)
         .option("path", path)
         .option("checkpointLocation", checkpoint_dir)
         .partitionBy(*partition_by)
-        .trigger(processingTime=processing_interval)
-        .start()
     )
+    if processing_interval is None:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=processing_interval)
+    return w.start()
 
 
 def write_bucketed(

@@ -70,3 +70,42 @@ def test_upsert_latest_wins(spark, tmp_path):
         for r in lake.read_upserted(spark, path, "key", "version").collect()
     }
     assert got == {"k1": (2, "v1-new"), "k2": (1, "v2"), "k3": (1, "v3")}
+
+
+def test_archive_stream_partitions_by_key(spark, tmp_path):
+    """S11: the Kafka->lake archiver lands files under partition dirs and
+    resumes from its checkpoint (second drain appends only new data)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from bigdata_storage_and_proccess_job_data_spark.streaming import pipeline
+
+    schema = StructType(
+        [
+            StructField("event_date", StringType()),
+            StructField("payload", LongType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "archive")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = pipeline.file_stream(spark, src, schema)
+    q = lake.archive_stream(stream, out, ckpt, ["event_date"], None)
+    q.awaitTermination(120)
+    archived = spark.read.parquet(out)
+    assert archived.count() == 2
+    dirs = {p.name for p in __import__("pathlib").Path(out).iterdir()
+            if p.is_dir()}
+    assert {"event_date=2024-01-01", "event_date=2024-01-02"} <= dirs
+
+    # resume: new source file -> only the delta lands
+    spark.createDataFrame([("2024-01-03", 3)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = pipeline.file_stream(spark, src, schema)
+    q2 = lake.archive_stream(stream2, out, ckpt, ["event_date"], None)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3

@@ -1,0 +1,99 @@
+"""Property-based checks (hypothesis) for the scalar expression library.
+
+Each property generates a BATCH of adversarial strings, ships them
+through Spark ONCE, and asserts the invariant on every row -- one Spark
+job per property, not per example (hypothesis drives generation only;
+round-tripping each example individually would be ~100 jobs).
+"""
+
+from __future__ import annotations
+
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bigdata_storage_and_proccess_job_data_spark.functions import text
+
+TEXTS = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("L", "N", "P", "Zs"), max_codepoint=0x2FF
+    ),
+    max_size=120,
+)
+
+
+def _examples(n=200):
+    # draw a deterministic batch via hypothesis' internal engine
+    from hypothesis import HealthCheck, given, settings
+
+    collected: list[str] = []
+
+    @settings(
+        max_examples=n,
+        database=None,
+        derandomize=True,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(TEXTS)
+    def grab(s):
+        collected.append(s)
+
+    grab()
+    return collected
+
+
+def test_text_function_invariants(spark):
+    samples = _examples(250) + [
+        "", " ", "  a  ", "a b", "a\tb\nc", "word " * 50, "$1,2.3!",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], ["i", "s"])
+    rows = df.select(
+        "s",
+        text.token_count("s").alias("tc"),
+        F.size(text.word_ngrams("s", 2)).alias("n2"),
+        F.size(text.word_ngrams("s", 3)).alias("n3"),
+        text.quality_score("s").alias("q"),
+        text.fingerprint("s").alias("fp"),
+        text.fingerprint(
+            F.concat_ws(" ", F.reverse(text.tokens(F.lower(F.col("s")))))
+        ).alias("fp_rev"),
+    ).collect()
+    for r in rows:
+        # ngram count follows token count exactly
+        assert r.n2 == max(0, r.tc - 1), (r.s, r.tc, r.n2)
+        assert r.n3 == max(0, r.tc - 2), (r.s, r.tc, r.n3)
+        # quality score bounded
+        assert 0.0 <= r.q <= 1.0 + 1e-9, (r.s, r.q)
+        # fingerprint is token-order-invariant
+        assert r.fp == r.fp_rev, (r.s,)
+
+
+def test_stable_round_matches_duckdb_on_grid(spark):
+    """stable_round's tie-break delta must agree with the SQL twin on the
+    exact-decimal grid where Spark ROUND and DuckDB ROUND diverge."""
+    import duckdb
+
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+
+    vals = [i / 1000.0 for i in range(-2000, 2001, 7)] + [
+        0.005, 0.015, 0.025, 2.675, -0.005, -2.675, 1e12 + 0.005,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = [
+        r.r
+        for r in df.select(stable_round(F.col("x"), 2).alias("r"))
+        .orderBy("x")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                ",".join(f"(CAST({v!r} AS DOUBLE))" for v in vals) + ") v(x)")
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {sql_round('x', 2)} AS r FROM t ORDER BY x"
+        ).fetchall()
+    ]
+    assert got == want
