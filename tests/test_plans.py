@@ -52,3 +52,32 @@ def test_window_queries_single_shuffle(spark, oracle_sf_dir, name):
     plan = _plan(spark, oracle_sf_dir, name)
     # one hash-partition exchange for the window, nothing else
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_global_topn_is_take_ordered(spark, oracle_sf_dir):
+    # ORDER BY + LIMIT must never plan a full global sort
+    plan = _plan(spark, oracle_sf_dir, "top_revenue_customers")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_cube_is_single_expand_pass(spark, oracle_sf_dir):
+    # all four grouping sets from ONE Expand, not a union of scans
+    plan = _plan(spark, oracle_sf_dir, "cube_segment_priority")
+    assert plan.count("Expand") == 1
+    assert "Union" not in plan
+
+
+def test_trade_volume_broadcasts_all_dims(spark, oracle_sf_dir):
+    # customer/supplier/nation x2 broadcast; the one shuffle join is
+    # lineitem |X| orders
+    plan = _plan(spark, oracle_sf_dir, "nation_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_event_gaps_reuses_window_partitioning(spark, oracle_sf_dir):
+    # groupBy(user_id) after the lag window must not add a second
+    # hash-partition exchange on user_id
+    plan = _plan(spark, oracle_sf_dir, "event_gaps")
+    assert plan.count("hashpartitioning(user_id") <= 1
