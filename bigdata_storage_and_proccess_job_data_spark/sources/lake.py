@@ -24,21 +24,26 @@ from pyspark.sql.types import StructType
 
 
 def write_partitioned(
-    df: DataFrame, path: str, partition_by: list[str], mode: str = "append"
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "append",
+    fmt: str = "parquet",
 ) -> None:
-    """Hive-style partitioned parquet write (the canonical store; the
+    """Hive-style partitioned columnar write (the canonical store; the
     reference encoded the partition key in the path by hand,
-    kafka_to_minio.py:64-65)."""
-    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+    kafka_to_minio.py:64-65). ``fmt``: parquet (default) or orc -- both
+    get the same pruning/pushdown from Catalyst."""
+    df.write.mode(mode).partitionBy(*partition_by).format(fmt).save(path)
 
 
 def read_partition(
-    spark: SparkSession, path: str, **partition_values
+    spark: SparkSession, path: str, fmt: str = "parquet", **partition_values
 ) -> DataFrame:
     """Read with partition-pruning filters (replaces the reference's
     path-glob construction, spark_job.py:31 -- a filter on the partition
     column prunes at planning time, PruneFileSourcePartitions)."""
-    df = spark.read.parquet(path)
+    df = spark.read.format(fmt).load(path)
     for k, v in partition_values.items():
         df = df.filter(F.col(k) == v)
     return df

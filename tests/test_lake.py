@@ -109,3 +109,30 @@ def test_archive_stream_partitions_by_key(spark, tmp_path):
     q2 = lake.archive_stream(stream2, out, ckpt, ["event_date"], None)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 3
+
+
+def test_orc_lake_round_trip_with_pruning(spark, sf_dir, tmp_path):
+    """ORC is a first-class lake format: same partitioned write, same
+    planning-time pruning and predicate pushdown as parquet."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orc_lake")
+    lake.write_partitioned(orders, path, ["o_year"], fmt="orc")
+
+    pruned = lake.read_partition(spark, path, fmt="orc", o_year=1995)
+    assert pruned.count() == orders.filter(F.col("o_year") == 1995).count()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower()
+    assert "PartitionFilters: [" in plan and "o_year" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+
+    # predicate pushdown reaches the ORC scan too
+    filtered = lake.read_partition(spark, path, fmt="orc").filter(
+        F.col("o_totalprice") > 100000.0
+    )
+    fplan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in fplan and "o_totalprice" in fplan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
