@@ -1,0 +1,58 @@
+"""Join helpers: null-skew bypass equivalence and upsert-log compaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+from bigdata_storage_and_proccess_job_data_spark.operators import joins
+from bigdata_storage_and_proccess_job_data_spark.sources import lake
+
+
+def test_null_skew_left_join_matches_plain_left_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        # poison 1/3 of the keys with NULL -- the skew slice
+        "custkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None).otherwise(F.col("o_custkey")),
+    ).select("o_orderkey", "custkey", "o_totalprice")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    fast = joins.null_skew_left_join(orders, customer, "custkey", "c_custkey")
+    plain = orders.join(
+        customer, F.col("custkey") == F.col("c_custkey"), "left"
+    )
+    key = lambda r: (r.o_orderkey, r.custkey, r.c_custkey, r.c_mktsegment)  # noqa: E731
+    assert sorted(map(key, fast.collect())) == sorted(map(key, plain.collect()))
+    # null rows exist and carry null right-side columns
+    nulls = [r for r in fast.collect() if r.custkey is None]
+    assert nulls and all(r.c_mktsegment is None for r in nulls)
+
+
+def test_compact_upserts_preserves_latest_wins(spark, sf_dir, tmp_path):
+    import pathlib
+
+    path = str(tmp_path / "log")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).limit(100)
+    v2 = orders.withColumn("o_totalprice", F.col("o_totalprice") + 1).withColumn(
+        "o_orderdate", F.date_add("o_orderdate", 1)
+    )
+    lake.upsert_by_key(spark, orders, path, "o_orderkey", "o_orderdate")
+    lake.upsert_by_key(spark, v2, path, "o_orderkey", "o_orderdate")
+
+    before = {
+        r.o_orderkey: r.o_totalprice
+        for r in lake.read_upserted(spark, path, "o_orderkey", "o_orderdate").collect()
+    }
+    raw_before = spark.read.parquet(path).count()
+    joins.compact_upserts(spark, path, "o_orderkey", "o_orderdate")
+    after = {
+        r.o_orderkey: r.o_totalprice
+        for r in lake.read_upserted(spark, path, "o_orderkey", "o_orderdate").collect()
+    }
+    assert after == before, "snapshot must equal the latest-wins view"
+    assert spark.read.parquet(path).count() == len(before) < raw_before
+    assert pathlib.Path(path).is_dir()
