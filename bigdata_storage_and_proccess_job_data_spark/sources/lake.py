@@ -58,6 +58,12 @@ def read_json_lake(
     return spark.read.schema(schema).json(path)
 
 
+class SchemaMismatchError(TypeError):
+    """Raised when an append would mix incompatible file schemas in one
+    log dir (parquet readers infer the table schema from a sample file,
+    so a drifted append poisons every subsequent scan nondeterministically)."""
+
+
 def upsert_by_key(
     spark: SparkSession,
     df: DataFrame,
@@ -69,7 +75,29 @@ def upsert_by_key(
     the batch; readers resolve latest-wins via read_upserted (the
     ES es.mapping.id doc-upsert semantics, spark_job.py:78-80, without a
     mutable store). Append is O(batch); compaction can fold the log into
-    a snapshot offline."""
+    a snapshot offline.
+
+    Schema is enforced on write (like any real table format): an append
+    whose column names/types differ from the existing log is rejected
+    with SchemaMismatchError instead of silently corrupting reads."""
+    import os
+
+    if os.path.isdir(path) and any(
+        n.endswith(".parquet") for n in os.listdir(path)
+    ):
+        existing = spark.read.parquet(path).schema
+        incoming = df.schema
+        want = {f.name: f.dataType for f in existing}
+        got = {f.name: f.dataType for f in incoming}
+        if want != got:
+            drift = sorted(
+                f"{n}: {want.get(n)} -> {got.get(n)}"
+                for n in set(want) | set(got)
+                if want.get(n) != got.get(n)
+            )
+            raise SchemaMismatchError(
+                f"append to {path} drifts from the table schema: {drift}"
+            )
     df.write.mode("append").parquet(path)
 
 

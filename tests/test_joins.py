@@ -38,7 +38,10 @@ def test_compact_upserts_preserves_latest_wins(spark, sf_dir, tmp_path):
         "o_orderkey", "o_totalprice", "o_orderdate"
     ).limit(100)
     v2 = orders.withColumn("o_totalprice", F.col("o_totalprice") + 1).withColumn(
-        "o_orderdate", F.date_add("o_orderdate", 1)
+        # keep the column's type: date_add would flip timestamp->date and
+        # mix file schemas in the log (now rejected by upsert_by_key)
+        "o_orderdate",
+        F.date_add("o_orderdate", 1).cast(dict(orders.dtypes)["o_orderdate"]),
     )
     lake.upsert_by_key(spark, orders, path, "o_orderkey", "o_orderdate")
     lake.upsert_by_key(spark, v2, path, "o_orderkey", "o_orderdate")

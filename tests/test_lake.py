@@ -136,3 +136,20 @@ def test_orc_lake_round_trip_with_pruning(spark, sf_dir, tmp_path):
     assert "PushedFilters: [" in fplan and "o_totalprice" in fplan.split(
         "PushedFilters"
     )[1].split("]")[0]
+
+
+def test_upsert_rejects_schema_drift(spark, sf_dir, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "drift_log")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).limit(10)
+    lake.upsert_by_key(spark, orders, path, "o_orderkey", "o_orderdate")
+
+    drifted = orders.withColumn("o_orderdate", F.to_date("o_orderdate"))
+    with pytest.raises(lake.SchemaMismatchError, match="o_orderdate"):
+        lake.upsert_by_key(spark, drifted, path, "o_orderkey", "o_orderdate")
+
+    # the log is untouched: still one file-schema, still readable
+    assert spark.read.parquet(path).count() == 10
