@@ -1,0 +1,75 @@
+"""Range (interval) join: points joined to the ranges containing them.
+
+The reference has no joins at all (SURVEY.md §2.6); this is the
+beyond-reference interval primitive (as-of's sibling, operators/asof.py)
+that Spark also lacks natively: ``p.ts >= r.start AND p.ts < r.end`` as
+a bare predicate plans as BroadcastNestedLoopJoin -- O(|P| x |R|) and
+OOM-prone once the range side outgrows a broadcast.
+
+Scale path = bin-and-verify:
+
+1. pick a bin width W (seconds) comparable to the typical range length;
+2. each point maps to exactly ONE bin (epoch div W);
+3. each range replicates to EVERY bin it overlaps (sequence(start_bin,
+   end_bin) -- ~len/W + 1 copies);
+4. equi-join on the bin key, then verify the exact predicate.
+
+The cross product becomes a shuffle hash join on a narrow long key;
+each (point, range) candidate pair meets in exactly one bin (the
+point's), so the output needs no dedup. Replication cost is explicit
+and tunable via W; AQE's skew split covers hot bins. An optional
+``partition_key`` (e.g. user_id, tenant) joins equi + bin, shrinking
+candidates further.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bin(ts: Column, width_s: int) -> Column:
+    # cast timestamp->long truncates to whole epoch seconds; integer div
+    # by an integer W preserves floor(epoch/W), so a point and any range
+    # overlapping it always agree on the point's bin id.
+    return ts.cast("long") - (ts.cast("long") % F.lit(width_s))
+
+
+def point_in_range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_seconds: int = 600,
+    partition_key: tuple[str, str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every range row whose half-open interval
+    [start_ts, end_ts) contains it. Columns of both inputs pass through
+    (names must not collide). ``partition_key=(point_col, range_col)``
+    adds an equi condition evaluated in the same shuffle."""
+    if bin_seconds <= 0:
+        raise ValueError("bin_seconds must be positive")
+    p = points.withColumn("_bin", _bin(F.col(point_ts), bin_seconds))
+    r = ranges.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                _bin(F.col(start_ts), bin_seconds),
+                _bin(F.col(end_ts), bin_seconds),
+                F.lit(bin_seconds).cast("long"),
+            )
+        ),
+    )
+    on = [p["_bin"] == r["_bin"]]
+    if partition_key is not None:
+        on.append(p[partition_key[0]] == r[partition_key[1]])
+    joined = p.join(
+        r,
+        on[0] if len(on) == 1 else on[0] & on[1],
+        how,
+    ).filter(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+    )
+    return joined.drop("_bin")

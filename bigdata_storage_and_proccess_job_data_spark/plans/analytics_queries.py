@@ -698,3 +698,60 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_spend").desc(), F.col("custkey").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join: incident windows over the event stream
+# ---------------------------------------------------------------------------
+@register(
+    "range_join_incidents",
+    tags=("join", "range", "events"),
+    headline=True,
+    oracle=f"""
+        SELECT i.incident_id,
+               CAST(COUNT(*) AS BIGINT)               AS n_events,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+               {sql_round("SUM(e.value)", 2)}         AS total_value
+        FROM events e
+        JOIN (
+          SELECT event_id AS incident_id,
+                 ts                        AS start_ts,
+                 ts + INTERVAL 10 MINUTE   AS end_ts
+          FROM events
+          WHERE event_type = 'error' AND value > 9.5
+        ) i
+          ON e.ts >= i.start_ts AND e.ts < i.end_ts
+        GROUP BY i.incident_id
+    """,
+)
+def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-range join (operators/rangejoin.py): high-severity error
+    events open 10-minute incident windows; every event inside a window
+    is attributed to it. Bin-and-verify turns the interval predicate into
+    a shuffle equi-join on a long bin key (the naive predicate-only form
+    plans as BroadcastNestedLoopJoin -- quadratic at 100 TB)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators.rangejoin import (
+        point_in_range_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    incidents = events.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 9.5)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    joined = point_in_range_join(
+        events.select("ts", "user_id", "value"),
+        incidents,
+        point_ts="ts",
+        start_ts="start_ts",
+        end_ts="end_ts",
+        bin_seconds=600,
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        stable_round(F.sum("value"), 2).alias("total_value"),
+    )

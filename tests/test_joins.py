@@ -59,3 +59,50 @@ def test_compact_upserts_preserves_latest_wins(spark, sf_dir, tmp_path):
     assert after == before, "snapshot must equal the latest-wins view"
     assert spark.read.parquet(path).count() == len(before) < raw_before
     assert pathlib.Path(path).is_dir()
+
+
+def test_point_in_range_join_matches_naive_predicate_join(spark, sf_dir):
+    from bigdata_storage_and_proccess_job_data_spark.operators.rangejoin import (
+        point_in_range_join,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    ranges = (
+        events.filter(F.col("event_id") % 97 == 0)
+        .select(
+            F.col("event_id").alias("range_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 7 MINUTES")).alias("end_ts"),
+        )
+    )
+    fast = point_in_range_join(
+        events, ranges, "ts", "start_ts", "end_ts", bin_seconds=180
+    ).select("event_id", "range_id")
+    naive = events.join(
+        ranges,
+        (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")),
+    ).select("event_id", "range_id")
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_point_in_range_join_half_open_and_partition_key(spark):
+    from bigdata_storage_and_proccess_job_data_spark.operators.rangejoin import (
+        point_in_range_join,
+    )
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7), (2, "2024-01-01 10:05:00", 7),
+         (3, "2024-01-01 10:05:00", 8)],
+        "pid INT, ts STRING, tenant INT",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ranges = spark.createDataFrame(
+        [(100, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 7)],
+        "rid INT, s STRING, e STRING, rtenant INT",
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+
+    out = point_in_range_join(
+        points, ranges, "ts", "s", "e", bin_seconds=60,
+        partition_key=("tenant", "rtenant"),
+    ).select("pid", "rid").collect()
+    # start inclusive, end exclusive, tenant 8 filtered by the equi key
+    assert sorted((r.pid, r.rid) for r in out) == [(1, 100)]
