@@ -273,10 +273,9 @@ _KNN_SIM = (
 )
 
 
-@register(
-    "knn_brute_force",
-    tags=("similarity", "vector", "join", "window"),
-    oracle=f"""
+# shared by knn_brute_force (SQL-fold path) and knn_arrow (numpy path):
+# both are EXACT with identical stable rounding, so one oracle fits both
+_KNN_ORACLE = f"""
         WITH q AS (
           SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
           FROM embeddings WHERE vec_id < 20
@@ -300,7 +299,13 @@ _KNN_SIM = (
                  ) AS rank
           FROM scored
         ) WHERE rank <= 5
-    """,
+    """
+
+
+@register(
+    "knn_brute_force",
+    tags=("similarity", "vector", "join", "window"),
+    oracle=_KNN_ORACLE,
 )
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for a 20-vector query set against the full
@@ -311,6 +316,26 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5
+    )
+
+
+@register(
+    "knn_arrow",
+    tags=("similarity", "vector", "pandas-udf"),
+    oracle=_KNN_ORACLE,
+)
+def knn_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact top-5 as knn_brute_force, computed by the Arrow path
+    (operators/similarity.py:brute_force_topk_arrow): broadcast query
+    matrix, one numpy GEMM per corpus batch, per-batch partial top-k.
+    The wide-vector (>~512 dims) scale path where the per-pair JVM fold
+    loses to vectorized matmul; hash-matches the same oracle because
+    rounding and ranking orders are identical."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk_arrow(
         emb.filter(F.col("vec_id") < 20), emb, k=5
     )
 

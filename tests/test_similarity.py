@@ -64,3 +64,23 @@ def test_brute_force_topk_is_sane(spark, oracle_sf_dir):
         assert sims == sorted(sims, reverse=True), "rank must follow sim desc"
         assert all(r.neighbor_id != q for r in rs), "no self-match"
         assert all(-1.0001 <= r.sim <= 1.0001 for r in rs)
+
+
+def test_arrow_topk_matches_fold_topk(spark, oracle_sf_dir):
+    """The numpy GEMM path and the JVM fold path are both exact with the
+    same stable rounding + (sim, id) order, so they must agree row-for-row."""
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 12)
+    fold = similarity.brute_force_topk(q, emb, k=4)
+    arrow = similarity.brute_force_topk_arrow(q, emb, k=4)
+    assert sorted(map(tuple, fold.collect())) == sorted(map(tuple, arrow.collect()))
+
+
+def test_arrow_topk_excludes_zero_norm(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(1, 6)] + [(99, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = similarity.brute_force_topk_arrow(
+        emb.filter(F.col("vec_id") == 1), emb, k=10
+    ).collect()
+    ids = {r.neighbor_id for r in out}
+    assert 99 not in ids and 1 not in ids and len(out) == 4
