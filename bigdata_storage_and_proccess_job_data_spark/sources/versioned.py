@@ -1,0 +1,111 @@
+"""Versioned table dir: minimal snapshot-isolated table format.
+
+The reference's serving stores (ES doc upsert, Cassandra rows --
+SURVEY.md §2.1 S5/S6) give readers a consistent view while writers
+mutate. Plain parquet dirs don't: an overwrite deletes files while a
+concurrent reader lists them. This module adds the smallest table-format
+core that fixes it, the same commit idea as Delta/Iceberg reduced to one
+pointer:
+
+    table/
+      v=1/part-*.parquet       immutable snapshot dirs
+      v=2/part-*.parquet
+      _latest                  text file holding the committed version
+
+- writers produce a NEW snapshot dir (distributed write, any size),
+  then commit by atomically replacing ``_latest`` (os.replace -- POSIX
+  rename, also atomic on object stores with a metadata layer);
+- readers resolve ``_latest`` once and only ever list files inside an
+  immutable snapshot => no torn reads, writers never block readers;
+- history stays until vacuum(), so any version is time-travel readable.
+
+Commit races: last-committer-wins on the pointer (fine for the
+single-writer compaction/ETL cadence here; a CAS on the pointer object
+is the multi-writer upgrade).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_latest"
+
+
+def _pointer_path(table_dir: str) -> str:
+    return os.path.join(table_dir, _POINTER)
+
+
+def current_version(table_dir: str) -> int | None:
+    """Committed version, or None for an empty/uninitialized table."""
+    try:
+        with open(_pointer_path(table_dir)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def versions(table_dir: str) -> list[int]:
+    """All snapshot versions present on disk (committed or orphaned)."""
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for name in os.listdir(table_dir):
+        if name.startswith("v=") and name[2:].isdigit():
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def commit_version(df: DataFrame, table_dir: str) -> int:
+    """Write ``df`` as the next snapshot and atomically publish it.
+    The data write is fully distributed; only the tiny pointer swap is
+    driver-side. Returns the committed version number."""
+    os.makedirs(table_dir, exist_ok=True)
+    nxt = (max(versions(table_dir), default=0)) + 1
+    snap = os.path.join(table_dir, f"v={nxt}")
+    df.write.mode("error").parquet(snap)
+    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._latest_")
+    with os.fdopen(fd, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, _pointer_path(table_dir))  # the atomic commit point
+    return nxt
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the committed snapshot (or a pinned ``version`` for time
+    travel). Raises FileNotFoundError on an uncommitted table."""
+    v = current_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"{table_dir} has no committed version")
+    return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
+
+
+def vacuum(table_dir: str, keep: int = 1) -> list[int]:
+    """Drop all but the newest ``keep`` snapshots, never the committed
+    one. Returns the versions removed."""
+    import shutil
+
+    committed = current_version(table_dir)
+    vs = versions(table_dir)
+    drop = [v for v in vs[: max(0, len(vs) - keep)] if v != committed]
+    for v in drop:
+        shutil.rmtree(os.path.join(table_dir, f"v={v}"))
+    return drop
+
+
+def compact_log_versioned(
+    spark: SparkSession, log_path: str, table_dir: str, key: str, version_col: str
+) -> int:
+    """Versioned twin of operators/joins.py:compact_upserts: fold the
+    append-only upsert log into a latest-wins snapshot COMMITTED under
+    ``table_dir`` -- readers of the previous snapshot are unaffected at
+    every instant of the rewrite."""
+    from bigdata_storage_and_proccess_job_data_spark.sources.lake import (
+        read_upserted,
+    )
+
+    return commit_version(read_upserted(spark, log_path, key, version_col), table_dir)

@@ -1,0 +1,61 @@
+"""Versioned table dir: atomic commits, snapshot isolation, time travel."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+from bigdata_storage_and_proccess_job_data_spark.sources import lake, versioned
+
+
+def test_commit_read_time_travel_vacuum(spark, sf_dir, tmp_path):
+    table = str(tmp_path / "t")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    v1 = versioned.commit_version(nation, table)
+    v2 = versioned.commit_version(nation.filter(F.col("n_nationkey") < 5), table)
+    assert (v1, v2) == (1, 2)
+    assert versioned.current_version(table) == 2
+
+    assert versioned.read_version(spark, table).count() == 5
+    assert versioned.read_version(spark, table, version=1).count() == nation.count()
+
+    assert versioned.vacuum(table, keep=1) == [1]
+    assert versioned.versions(table) == [2]
+    assert versioned.read_version(spark, table).count() == 5
+
+
+def test_reader_pinned_to_snapshot_while_writer_commits(spark, sf_dir, tmp_path):
+    """Snapshot isolation: a DataFrame resolved before a new commit keeps
+    reading its own immutable version dir afterwards."""
+    table = str(tmp_path / "t")
+    region = load_table(spark, sf_dir, "region")
+    versioned.commit_version(region, table)
+
+    pinned = versioned.read_version(spark, table)  # resolves v=1 paths now
+    before = pinned.count()
+    versioned.commit_version(region.limit(1), table)  # writer moves on to v=2
+    assert pinned.count() == before  # untouched by the commit
+    assert versioned.read_version(spark, table).count() == 1  # fresh resolve
+
+
+def test_compact_log_versioned_latest_wins(spark, sf_dir, tmp_path):
+    log = str(tmp_path / "log")
+    table = str(tmp_path / "t")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).limit(50)
+    bumped = orders.withColumn("o_totalprice", F.col("o_totalprice") + 5)
+    lake.upsert_by_key(spark, orders, log, "o_orderkey", "o_orderdate")
+    lake.upsert_by_key(spark, bumped, log, "o_orderkey", "o_orderdate")
+
+    want = {
+        r.o_orderkey: r.o_totalprice
+        for r in lake.read_upserted(spark, log, "o_orderkey", "o_orderdate").collect()
+    }
+    versioned.compact_log_versioned(spark, log, table, "o_orderkey", "o_orderdate")
+    got = {
+        r.o_orderkey: r.o_totalprice
+        for r in versioned.read_version(spark, table).collect()
+    }
+    assert got == want and len(got) == 50
