@@ -755,3 +755,42 @@ def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         stable_round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "small_quantity_revenue",
+    tags=("subquery", "join", "agg", "sql"),
+    oracle=f"""
+        SELECT p_brand,
+               {sql_round("SUM(l_extendedprice) / 7.0", 2)} AS avg_weekly_revenue,
+               CAST(COUNT(*) AS BIGINT)                     AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < (
+          SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = part.p_partkey
+        )
+        GROUP BY p_brand
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (no reference analogue -- §2.6 gap):
+    per-part average quantity gates each lineitem. Written as SQL so
+    Catalyst's de-correlation rewrites it into an aggregate + join (a
+    hand-rolled groupBy-then-join produces the same plan; the point is
+    the declarative form stays scalable -- one shuffle on l_partkey, no
+    per-row subquery execution)."""
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT p_brand,
+               {sql_round("SUM(l_extendedprice) / 7.0", 2)} AS avg_weekly_revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < (
+          SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = part.p_partkey
+        )
+        GROUP BY p_brand
+    """)

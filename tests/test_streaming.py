@@ -210,3 +210,48 @@ def test_foreach_batch_fan_out(spark, sf_dir, events_stream_dir, tmp_path):
     }
     assert by_type == expected
     assert os.path.isdir(out["by_user"])
+
+
+def test_rate_source_through_windowed_agg(spark):
+    """Throughput smoke on the built-in deterministic rate source
+    (rate-micro-batch: exactly rowsPerBatch rows per trigger, monotonic
+    timestamps): the shared windowed_agg builder runs unchanged on it,
+    and a bounded run moves a known row volume end to end."""
+    import time
+    import uuid
+
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1000)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 30000)
+        .load()
+    )
+    agg = windows.windowed_agg(
+        stream,
+        "timestamp",
+        "1 minute",
+        {"n": F.count(F.lit(1)), "max_v": F.max("value")},
+        watermark="0 seconds",
+    )
+    q = pipeline.memory_sink(
+        agg, name, output_mode="complete", trigger_available_now=False
+    )
+    try:
+        deadline = time.time() + 60
+        total = 0
+        while time.time() < deadline:
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            total = sum(r.n for r in rows)
+            if total >= 3000:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert total >= 3000, f"only {total} rows flowed through"
+    # windows partition the value space cleanly: per-window counts are
+    # the 2 batches/minute x 1000 rows (the last open window may be partial)
+    done = [r for r in rows if r.n == 2000]
+    assert done, rows
