@@ -312,6 +312,27 @@ def _cell_sims(vec: Column, centroids: list[list[float]]) -> Column:
     )
 
 
+def assign_cells(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vector, cell): each corpus vector labeled with its nearest
+    centroid. This is the IVF build step made storable: write the result
+    partitioned by ``cell`` (sources/lake.py:write_partitioned) and a
+    probe that filters on its n_probe cells prunes the scan to those
+    partitions -- no query-time shuffle of the corpus at all
+    (tests/test_similarity.py asserts the pruned plan)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        vectors.as_double(vec_col).alias("_cv"),
+    )
+    return c.withColumn(
+        "cell", F.array_max(_cell_sims(F.col("_cv"), centroids))["cell"]
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -346,13 +367,7 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         vectors.as_double(vec_col).alias("_qv"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        vectors.as_double(vec_col).alias("_cv"),
-    )
-    cb = c.withColumn(
-        "cell", F.array_max(_cell_sims(F.col("_cv"), centroids))["cell"]
-    )
+    cb = assign_cells(corpus, centroids, id_col, vec_col)
     qb = (
         q.withColumn(
             "_probe",

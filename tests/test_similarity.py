@@ -84,3 +84,26 @@ def test_arrow_topk_excludes_zero_norm(spark):
     ).collect()
     ids = {r.neighbor_id for r in out}
     assert 99 not in ids and 1 not in ids and len(out) == 4
+
+
+def test_ivf_cells_as_partition_key_prune_scan(spark, oracle_sf_dir, tmp_path):
+    """The IVF build step written partitioned by cell: a probe filtering
+    on its n_probe cells must prune the scan to those partitions
+    (PartitionFilters on cell), i.e. the corpus is never reshuffled or
+    even fully scanned at query time."""
+    from bigdata_storage_and_proccess_job_data_spark.sources import lake
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    cents = similarity.train_centroids(emb, n_centroids=8, sample_size=512)
+    assigned = similarity.assign_cells(emb, cents)
+    path = str(tmp_path / "ivf_corpus")
+    lake.write_partitioned(assigned, path, ["cell"])
+
+    probe_cells = [0, 3]
+    pruned = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    expect = assigned.filter(F.col("cell").isin(probe_cells)).count()
+    assert pruned.count() == expect > 0
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "cell" in pf, plan[:1500]
