@@ -141,6 +141,33 @@ def archive_stream(
     return w.start()
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Range-cluster the data on ``cluster_by`` before writing: global
+    range partitioning (sampled boundaries) gives each output file a
+    narrow, non-overlapping key range, and the in-file sort tightens
+    per-row-group min/max stats. Point/range filters on those columns
+    then skip whole row groups at scan time via the pushed parquet
+    predicates -- the data-skipping complement to partitionBy for
+    high-cardinality keys where one-dir-per-value is infeasible
+    (tests/test_lake.py asserts the scan reads a fraction of the rows).
+
+    Unlike partition pruning this is statistics-based: it needs no
+    catalog and composes with partitionBy (partition on the coarse key,
+    cluster on the fine one)."""
+    (
+        df.repartitionByRange(n_files, *cluster_by)
+        .sortWithinPartitions(*cluster_by)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -153,3 +153,40 @@ def test_upsert_rejects_schema_drift(spark, sf_dir, tmp_path):
 
     # the log is untouched: still one file-schema, still readable
     assert spark.read.parquet(path).count() == 10
+
+
+def _scan_rows_read(df) -> int:
+    """numOutputRows of the leaf parquet scan after an action: rows the
+    scan actually produced, i.e. surviving row-group skipping."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    leaves = plan.collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        if m.contains("numOutputRows"):
+            total += m.apply("numOutputRows").value()
+    return total
+
+
+def test_clustered_write_skips_row_groups(spark, sf_dir, tmp_path):
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    plain = str(tmp_path / "plain")
+    clustered = str(tmp_path / "clustered")
+    # force multiple row groups per layout: small pages via many files
+    lineitem.write.parquet(plain)
+    lake.write_clustered(lineitem, clustered, ["l_partkey"], n_files=16)
+
+    lo, hi = 100, 120
+    pred = (F.col("l_partkey") >= lo) & (F.col("l_partkey") <= hi)
+    want = lineitem.filter(pred).count()
+
+    read_plain = _scan_rows_read(spark.read.parquet(plain).filter(pred))
+    read_clustered = _scan_rows_read(spark.read.parquet(clustered).filter(pred))
+
+    assert spark.read.parquet(clustered).filter(pred).count() == want
+    # plain layout: the narrow range is scattered -> scan reads ~everything;
+    # clustered: all matches live in one file's tight row groups
+    assert read_clustered * 4 <= read_plain, (read_clustered, read_plain)
