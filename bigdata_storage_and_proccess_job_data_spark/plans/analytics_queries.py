@@ -794,3 +794,94 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GROUP BY p_brand
     """)
+
+
+# ---------------------------------------------------------------------------
+# Frame-bounded window: per-customer moving average
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_order_avg",
+    tags=("window", "frame"),
+    oracle=f"""
+        SELECT o_custkey, o_orderkey,
+               {sql_round("AVG(o_totalprice) OVER ("
+                          "PARTITION BY o_custkey "
+                          "ORDER BY o_orderdate ASC, o_orderkey ASC "
+                          "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 2)}
+                   AS avg_last3
+        FROM orders
+        WHERE o_custkey < 200
+    """,
+)
+def rolling_order_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame moving average (3-order trailing window per customer)
+    -- the frame-bounded analytic the reference lacks (§2.6). One
+    shuffle on o_custkey; the frame is evaluated in a single sorted
+    pass per partition, state = 3 rows."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-2, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        stable_round(F.avg("o_totalprice").over(w), 2).alias("avg_last3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-total: nation revenue share (window over the whole frame)
+# ---------------------------------------------------------------------------
+@register(
+    "nation_revenue_share",
+    tags=("window", "agg", "join"),
+    oracle=f"""
+        WITH nat AS (
+          SELECT n_name,
+                 SUM(o_totalprice) AS revenue
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          GROUP BY n_name
+        )
+        SELECT n_name,
+               {sql_round("revenue", 2)} AS revenue,
+               {sql_round("100.0 * revenue / SUM(revenue) OVER ()", 4)}
+                   AS pct_of_total
+        FROM nat
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total via an unpartitioned window over the PRE-AGGREGATED
+    frame (25 nation rows) -- the global window costs a single-partition
+    exchange of 25 rows, never of the fact table; the heavy lifting stays
+    a partial+final hash agg after two broadcast dim joins."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    nat = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy()
+    return nat.select(
+        "n_name",
+        stable_round(F.col("revenue"), 2).alias("revenue"),
+        stable_round(100.0 * F.col("revenue") / F.sum("revenue").over(w), 4).alias(
+            "pct_of_total"
+        ),
+    )

@@ -190,3 +190,33 @@ def test_clustered_write_skips_row_groups(spark, sf_dir, tmp_path):
     # plain layout: the narrow range is scattered -> scan reads ~everything;
     # clustered: all matches live in one file's tight row groups
     assert read_clustered * 4 <= read_plain, (read_clustered, read_plain)
+
+
+def test_zorder_skips_on_both_dims(spark, sf_dir, tmp_path):
+    """Linear clustering on (a, b) skips on a but not b; Z-order on
+    (a, b) skips on either dimension alone."""
+    from bigdata_storage_and_proccess_job_data_spark.functions import zorder
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    linear = str(tmp_path / "linear")
+    zpath = str(tmp_path / "zorder")
+    lake.write_clustered(li, linear, ["l_partkey", "l_suppkey"], n_files=16)
+    zorder.write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=16)
+
+    hi = li.agg(F.max("l_suppkey")).first()[0]
+    pred_b = F.col("l_suppkey") <= int(hi * 0.1)  # narrow range on the SECOND key
+    want = li.filter(pred_b).count()
+    assert spark.read.parquet(zpath).filter(pred_b).count() == want
+
+    read_linear = _scan_rows_read(spark.read.parquet(linear).filter(pred_b))
+    read_z = _scan_rows_read(spark.read.parquet(zpath).filter(pred_b))
+    assert read_z * 2 <= read_linear, (read_z, read_linear)
+
+    # and the first key still skips in the z layout
+    ha = li.agg(F.max("l_partkey")).first()[0]
+    pred_a = F.col("l_partkey") <= int(ha * 0.1)
+    total = li.count()
+    read_z_a = _scan_rows_read(spark.read.parquet(zpath).filter(pred_a))
+    assert read_z_a < total, (read_z_a, total)
