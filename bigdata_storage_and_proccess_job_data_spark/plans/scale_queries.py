@@ -415,3 +415,45 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_sim") >= 0.85)
         .select("id_a", "id_b", stable_round(F.col("_sim"), 4).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Token explode: corpus word frequencies (lateral-view shape)
+# ---------------------------------------------------------------------------
+@register(
+    "word_frequencies",
+    tags=("text", "explode", "agg", "topk"),
+    oracle=f"""
+        SELECT word,
+               CAST(COUNT(*) AS BIGINT)           AS occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM (
+          SELECT doc_id, unnest({SQL_TOKENS_LOWER}) AS word
+          FROM documents
+        )
+        GROUP BY word
+        ORDER BY occurrences DESC, word ASC
+        LIMIT 20
+    """,
+)
+def word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus vocabulary via explode(tokens): generate -> hash agg
+    on the word -- the flatMap shape (no reference analogue; the array
+    ops its imports declared but never used, SURVEY.md §2.3). Explode
+    feeds the partial agg inside one stage; only (word, counts) rows
+    shuffle, never the exploded corpus. TakeOrdered gives the global
+    top-20 without a full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(text.tokens(F.lower(F.col("text")))).alias("word"),
+    )
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("occurrences").desc(), F.col("word").asc())
+        .limit(20)
+    )

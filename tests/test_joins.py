@@ -106,3 +106,32 @@ def test_point_in_range_join_half_open_and_partition_key(spark):
     ).select("pid", "rid").collect()
     # start inclusive, end exclusive, tenant 8 filtered by the equi key
     assert sorted((r.pid, r.rid) for r in out) == [(1, 100)]
+
+
+def test_interval_overlap_join_matches_naive(spark, sf_dir):
+    from bigdata_storage_and_proccess_job_data_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    # two families of intervals with different lengths and offsets
+    a = events.filter(F.col("event_id") % 83 == 0).select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_start"),
+        (F.col("ts") + F.expr("INTERVAL 11 MINUTES")).alias("a_end"),
+    )
+    b = events.filter(F.col("event_id") % 59 == 0).select(
+        F.col("event_id").alias("b_id"),
+        (F.col("ts") - F.expr("INTERVAL 3 MINUTES")).alias("b_start"),
+        (F.col("ts") + F.expr("INTERVAL 4 MINUTES")).alias("b_end"),
+    )
+    fast = interval_overlap_join(
+        a, b, ("a_start", "a_end"), ("b_start", "b_end"), bin_seconds=240
+    ).select("a_id", "b_id")
+    naive = a.join(
+        b,
+        (F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end")),
+    ).select("a_id", "b_id")
+    f = sorted(map(tuple, fast.collect()))
+    n = sorted(map(tuple, naive.collect()))
+    assert f == n and len(f) > 0
