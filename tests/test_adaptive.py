@@ -79,3 +79,47 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark, sf_dir):
+    """Runtime row-level filtering (InjectRuntimeFilter): a selective
+    filter on one join side builds a bloom filter that pre-filters the
+    big side BEFORE its shuffle -- the row-level sibling of DPP for
+    non-partition keys. Thresholds lowered to fixture scale; results
+    must be identical to the unfiltered plan."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # raw scans, not load_table: its _spread repartition counts as an
+        # existing shuffle on the application side and InjectRuntimeFilter
+        # declines (it only guards scan-shaped subtrees)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        rows = joined.count()
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # parity against the plain plan (bloom filter is a may-contain
+    # pre-filter; the exact join predicate still applies)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    assert rows == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
