@@ -885,3 +885,31 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_of_total"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Set op: EXCEPT (customers in BUILDING segment with no urgent orders)
+# ---------------------------------------------------------------------------
+@register(
+    "setop_except",
+    tags=("setop",),
+    oracle="""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference) -- plans as a left-anti join
+    after per-side distinct; completes the set-op family alongside
+    setop_intersect and the anti-join query (§2.6 gap list)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.subtract(urgent)

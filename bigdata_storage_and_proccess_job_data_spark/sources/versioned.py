@@ -58,11 +58,29 @@ def versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
-def commit_version(df: DataFrame, table_dir: str) -> int:
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed since the expected version was read."""
+
+
+def commit_version(
+    df: DataFrame, table_dir: str, expected: int | None = None
+) -> int:
     """Write ``df`` as the next snapshot and atomically publish it.
     The data write is fully distributed; only the tiny pointer swap is
-    driver-side. Returns the committed version number."""
+    driver-side. Returns the committed version number.
+
+    ``expected`` enables optimistic concurrency: pass the version your
+    read was based on and the commit refuses (ConcurrentCommitError) if
+    someone else committed meanwhile -- the read-modify-write pattern
+    for derived tables. (The check-then-replace window here is as narrow
+    as the local fs allows; a conditional-put object store closes it.)"""
     os.makedirs(table_dir, exist_ok=True)
+    if expected is not None:
+        cur = current_version(table_dir) or 0
+        if cur != expected:
+            raise ConcurrentCommitError(
+                f"{table_dir}: expected v{expected}, found v{cur}"
+            )
     nxt = (max(versions(table_dir), default=0)) + 1
     snap = os.path.join(table_dir, f"v={nxt}")
     df.write.mode("error").parquet(snap)

@@ -59,3 +59,17 @@ def test_compact_log_versioned_latest_wins(spark, sf_dir, tmp_path):
         for r in versioned.read_version(spark, table).collect()
     }
     assert got == want and len(got) == 50
+
+
+def test_optimistic_commit_detects_concurrent_writer(spark, sf_dir, tmp_path):
+    import pytest
+
+    table = str(tmp_path / "t")
+    region = load_table(spark, sf_dir, "region")
+    base = versioned.commit_version(region, table)  # v1
+
+    # writer A read v1, writer B commits first, A's CAS must fail
+    versioned.commit_version(region.limit(2), table, expected=base)  # v2 ok
+    with pytest.raises(versioned.ConcurrentCommitError, match="expected v1"):
+        versioned.commit_version(region.limit(3), table, expected=base)
+    assert versioned.current_version(table) == 2
