@@ -81,3 +81,20 @@ def test_event_gaps_reuses_window_partitioning(spark, oracle_sf_dir):
     # hash-partition exchange on user_id
     plan = _plan(spark, oracle_sf_dir, "event_gaps")
     assert plan.count("hashpartitioning(user_id") <= 1
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, oracle_sf_dir):
+    # the bin key must make the interval predicate an equi join; the
+    # naive form plans as BroadcastNestedLoopJoin (quadratic)
+    plan = _plan(spark, oracle_sf_dir, "range_join_incidents")
+    assert "NestedLoop" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_small_quantity_revenue_decorrelates(spark, oracle_sf_dir):
+    # Catalyst must rewrite the correlated scalar subquery into an
+    # aggregate + join, never a per-row subquery or nested loop
+    plan = _plan(spark, oracle_sf_dir, "small_quantity_revenue")
+    assert "NestedLoop" not in plan
