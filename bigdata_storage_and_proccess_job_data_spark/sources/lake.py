@@ -58,6 +58,27 @@ def read_json_lake(
     return spark.read.schema(schema).json(path)
 
 
+def read_csv_lake(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    bad_records_path: str | None = None,
+) -> DataFrame:
+    """CSV ingest, same contract as read_json_lake: explicit schema only
+    (CSV inference is another full pre-scan), PERMISSIVE parsing so a
+    malformed row nulls out instead of killing a 100 TB job; route
+    rejects to ``bad_records_path`` for replay instead of losing them."""
+    reader = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+    )
+    if bad_records_path:
+        reader = reader.option("badRecordsPath", bad_records_path)
+    return reader.csv(path)
+
+
 class SchemaMismatchError(TypeError):
     """Raised when an append would mix incompatible file schemas in one
     log dir (parquet readers infer the table schema from a sample file,

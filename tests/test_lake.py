@@ -220,3 +220,24 @@ def test_zorder_skips_on_both_dims(spark, sf_dir, tmp_path):
     total = li.count()
     read_z_a = _scan_rows_read(spark.read.parquet(zpath).filter(pred_a))
     assert read_z_a < total, (read_z_a, total)
+
+
+def test_csv_ingest_explicit_schema_and_pushdown(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "csv")
+    nation.write.option("header", "true").csv(path)
+
+    df = lake.read_csv_lake(spark, path, nation.schema)
+    assert df.count() == nation.count()
+    assert df.schema == nation.schema
+
+    filtered = df.filter(F.col("n_regionkey") == 2).select("n_name")
+    got = {r.n_name for r in filtered.collect()}
+    want = {r.n_name for r in nation.filter(F.col("n_regionkey") == 2).collect()}
+    assert got == want
+    # filter is pushed to the CSV scan (row-level pushdown; CSV has no
+    # row-group stats, but the scan still applies it before materializing)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
