@@ -353,3 +353,72 @@ def simhash_candidates(
         "hamming",
         F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
     ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Transitive closure of a near-dup pair list: (id, component) where
+    component = min id reachable through any chain of pairs. Pair ops
+    (minhash_dedup_pairs, simhash_candidates, jaccard_pairs) say A~B and
+    B~C; keeping one doc per GROUP needs {A,B,C} as one cluster -- this
+    is the cluster step of every dedup pipeline.
+
+    Distributed min-label propagation: each iteration every vertex takes
+    the min label over itself and its neighbors (one shuffle join + one
+    groupBy per iteration); converges in O(cluster diameter) rounds --
+    near-dup clusters are shallow (quasi-cliques from banding), so this
+    terminates in 2-3 rounds in practice, checked by an exact
+    changed-row count each round. Raises if max_iters rounds don't
+    converge (pathological chain -- raise max_iters or pre-bucket).
+
+    Vertices appearing in no pair are their own component and are NOT in
+    the output (join back against the corpus for singletons).
+    """
+    edges = (
+        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+        .union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("component").alias("_nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce("_nmin", F.col("component"))
+                    ).alias("component"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels.select("id", "component")
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    finally:
+        edges.unpersist()

@@ -457,3 +457,21 @@ def word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("occurrences").desc(), F.col("word").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: transitive closure over the minhash pair graph
+# ---------------------------------------------------------------------------
+@register("neardup_clusters", tags=("dedup", "graph", "join"))
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering end-to-end: MinHash-LSH verified pairs
+    (operators/neardup.py:minhash_dedup_pairs) -> distributed min-label
+    propagation (connected_components) -> (id, component) cluster
+    assignment, component = min doc_id of the cluster. Rows-only (the
+    signature family is not SQL-expressible); exact-dup subsets proven
+    fully merged in tests/test_neardup.py."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = neardup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.9)
+    return neardup.connected_components(pairs, "id_a", "id_b").orderBy("id")

@@ -3,6 +3,8 @@ Jaccard baseline (the planted near-duplicates in documents)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
 from bigdata_storage_and_proccess_job_data_spark.operators import neardup
 
@@ -64,3 +66,43 @@ def test_dedup_by_key_deterministic(spark, sf_dir):
     rows1 = {tuple(r) for r in d1.collect()}
     rows2 = {tuple(r) for r in d2.collect()}
     assert rows1 == rows2, "winner must be partitioning-independent"
+
+
+def test_connected_components_chains_and_cliques(spark):
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4, clique {10,11,12}, isolated pair (20,21)
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a LONG, id_b LONG",
+    )
+    got = {
+        (r.id, r.component)
+        for r in neardup.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_connected_components_on_minhash_pairs(spark, oracle_sf_dir):
+    """End-to-end dedup clustering: exact-dup docs (same normalized text)
+    must land in one component of the minhash pair graph."""
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    pairs = neardup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.9)
+    comp = neardup.connected_components(pairs, "id_a", "id_b")
+    # exact duplicates (jaccard 1.0 > any threshold) are a subset of pairs:
+    # every exact-dup group with >1 member must be fully merged
+    from bigdata_storage_and_proccess_job_data_spark.operators import dedup
+
+    groups = dedup.duplicate_groups(docs, "text", "doc_id").filter(
+        F.col("dup_count") > 1
+    )
+    exact = docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash")
+    ).join(groups, "content_hash")
+    merged = exact.join(comp, exact.doc_id == comp.id).groupBy(
+        "content_hash"
+    ).agg(F.count_distinct("component").alias("n_comp"))
+    bad = merged.filter(F.col("n_comp") > 1).count()
+    assert bad == 0
