@@ -24,9 +24,14 @@ def normalize_to_bits(
     col: Column, lo: float, hi: float, bits: int
 ) -> Column:
     """Map [lo, hi] linearly onto [0, 2^bits - 1] as a long (rank-space
-    quantization; ties are fine -- Z-order only needs locality)."""
+    quantization; ties are fine -- Z-order only needs locality).
+
+    ``lo``/``hi`` of None (empty input or an all-null column -- min/max
+    aggregates return null) degrade to a constant 0 code: that column
+    contributes no ordering signal but the write still succeeds and any
+    other columns still cluster."""
     top = (1 << bits) - 1
-    if hi <= lo:
+    if lo is None or hi is None or hi <= lo:
         return F.lit(0).cast("long")
     scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
     clamped = F.least(F.greatest(scaled, F.lit(0.0)), F.lit(1.0))
@@ -49,6 +54,25 @@ def z_value(normalized: list[Column], bits: int = 16) -> Column:
     return reduce(lambda a, b: a.bitwiseOR(b), terms)
 
 
+def _as_double(df: DataFrame, c: str) -> Column:
+    """Numeric-space view of a cluster column: numerics cast directly,
+    timestamps become fractional epoch seconds, dates become epoch days
+    (a bare date->double cast is null in Spark, so both temporal types
+    get an explicit normalization)."""
+    t = dict(df.dtypes)[c]
+    if t == "date":
+        return F.unix_date(F.col(c)).cast("double")
+    if t.startswith("timestamp"):
+        # covers timestamp_ntz too (no direct ->double cast in Spark 4);
+        # the ntz->ltz reinterpretation is monotonic, all Z-order needs.
+        # NB: the LAYOUT localizes ntz fine, but Spark's parquet stats
+        # evaluator won't row-group-prune ntz predicates (pushed yet
+        # unapplied) -- cast such columns to timestamp/date before
+        # writing if read-side skipping on them matters.
+        return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+    return F.col(c).cast("double")
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -57,18 +81,22 @@ def write_zordered(
     n_files: int = 16,
     mode: str = "overwrite",
 ) -> None:
-    """Z-order-cluster ``df`` on ``cols`` and write parquet: one tiny
+    """Z-order-cluster ``df`` on ``cols`` (any count with k*bits <= 63;
+    numeric, timestamp, or date typed) and write parquet: one tiny
     min/max agg (2k scalars to the driver -- bounds, not data), Morton
     code as a derived column, global range partitioning + in-file sort
     on it, code column dropped before write. Filters on ANY of ``cols``
     then skip row groups via parquet stats
-    (tests/test_lake.py::test_zorder_skips_on_both_dims)."""
+    (tests/test_lake.py::test_zorder_skips_on_both_dims and
+    ::test_zorder_three_dims_and_timestamp). Empty input or an all-null
+    column degrades gracefully (constant code for that column)."""
+    exprs = {c: _as_double(df, c) for c in cols}
     bounds = df.agg(
-        *[F.min(c).cast("double").alias(f"_lo_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"_hi_{c}") for c in cols],
+        *[F.min(exprs[c]).alias(f"_lo_{c}") for c in cols],
+        *[F.max(exprs[c]).alias(f"_hi_{c}") for c in cols],
     ).first()
     normalized = [
-        normalize_to_bits(F.col(c), bounds[f"_lo_{c}"], bounds[f"_hi_{c}"], bits)
+        normalize_to_bits(exprs[c], bounds[f"_lo_{c}"], bounds[f"_hi_{c}"], bits)
         for c in cols
     ]
     (

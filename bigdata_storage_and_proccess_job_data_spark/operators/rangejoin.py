@@ -48,12 +48,24 @@ def point_in_range_join(
     """Join each point row to every range row whose half-open interval
     [start_ts, end_ts) contains it. Columns of both inputs pass through
     (names must not collide). ``partition_key=(point_col, range_col)``
-    adds an equi condition evaluated in the same shuffle."""
+    adds an equi condition evaluated in the same shuffle.
+
+    ``how`` is 'inner' or 'left': the containment predicate is part of
+    the JOIN CONDITION (not a post-filter), so with 'left' an unmatched
+    point survives with null range columns instead of being silently
+    dropped by a null-comparison filter. Outer modes on the RANGE side
+    are rejected -- ranges replicate to every bin they overlap, so an
+    unmatched range would surface once per replica."""
     if bin_seconds <= 0:
         raise ValueError("bin_seconds must be positive")
-    p = points.withColumn("_bin", _bin(F.col(point_ts), bin_seconds))
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how={how!r}: only 'inner'/'left' are well-defined (the range "
+            "side is bin-replicated, outer-preserving it duplicates rows)"
+        )
+    p = points.withColumn("_pbin", _bin(F.col(point_ts), bin_seconds))
     r = ranges.withColumn(
-        "_bin",
+        "_rbin",
         F.explode(
             F.sequence(
                 _bin(F.col(start_ts), bin_seconds),
@@ -62,17 +74,14 @@ def point_in_range_join(
             )
         ),
     )
-    on = [p["_bin"] == r["_bin"]]
-    if partition_key is not None:
-        on.append(p[partition_key[0]] == r[partition_key[1]])
-    joined = p.join(
-        r,
-        on[0] if len(on) == 1 else on[0] & on[1],
-        how,
-    ).filter(
-        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+    cond = (
+        (p["_pbin"] == r["_rbin"])
+        & (p[point_ts] >= r[start_ts])
+        & (p[point_ts] < r[end_ts])
     )
-    return joined.drop("_bin")
+    if partition_key is not None:
+        cond = cond & (p[partition_key[0]] == r[partition_key[1]])
+    return p.join(r, cond, how).drop("_pbin", "_rbin")
 
 
 def interval_overlap_join(

@@ -22,12 +22,35 @@ def test_null_skew_left_join_matches_plain_left_join(spark, sf_dir):
     fast = joins.null_skew_left_join(orders, customer, "custkey", "c_custkey")
     plain = orders.join(
         customer, F.col("custkey") == F.col("c_custkey"), "left"
-    )
-    key = lambda r: (r.o_orderkey, r.custkey, r.c_custkey, r.c_mktsegment)  # noqa: E731
+    ).drop("c_custkey")  # helper drops the (redundant) right key column
+    assert sorted(fast.columns) == sorted(plain.columns)
+    key = lambda r: (r.o_orderkey, r.custkey, r.c_mktsegment)  # noqa: E731
     assert sorted(map(key, fast.collect())) == sorted(map(key, plain.collect()))
     # null rows exist and carry null right-side columns
     nulls = [r for r in fast.collect() if r.custkey is None]
     assert nulls and all(r.c_mktsegment is None for r in nulls)
+
+
+def test_null_skew_left_join_same_key_name(spark):
+    """The common FK case -- both sides call the key 'user_id' -- must not
+    raise an ambiguous-reference AnalysisException (ADVICE r1)."""
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c")], "user_id INT, payload STRING"
+    )
+    right = spark.createDataFrame([(1, "x")], "user_id INT, attr STRING")
+    out = joins.null_skew_left_join(left, right, "user_id", "user_id")
+    rows = {r.payload: (r.user_id, r.attr) for r in out.collect()}
+    assert rows == {"a": (1, "x"), "b": (2, None), "c": (None, None)}
+    assert out.columns.count("user_id") == 1
+
+
+def test_null_skew_left_join_rejects_non_key_collisions(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, "a")], "k INT, attr STRING")
+    right = spark.createDataFrame([(1, "x")], "rk INT, attr STRING")
+    with pytest.raises(ValueError, match="collide"):
+        joins.null_skew_left_join(left, right, "k", "rk")
 
 
 def test_compact_upserts_preserves_latest_wins(spark, sf_dir, tmp_path):
@@ -106,6 +129,34 @@ def test_point_in_range_join_half_open_and_partition_key(spark):
     ).select("pid", "rid").collect()
     # start inclusive, end exclusive, tenant 8 filtered by the equi key
     assert sorted((r.pid, r.rid) for r in out) == [(1, 100)]
+
+
+def test_point_in_range_join_left_keeps_unmatched_points(spark):
+    """how='left': the containment predicate lives in the join condition,
+    so unmatched points survive with null range columns instead of being
+    eaten by a post-join filter (ADVICE r1)."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.operators.rangejoin import (
+        point_in_range_join,
+    )
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 23:00:00")],
+        "pid INT, ts STRING",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ranges = spark.createDataFrame(
+        [(100, "2024-01-01 10:00:00", "2024-01-01 10:05:00")],
+        "rid INT, s STRING, e STRING",
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+
+    out = point_in_range_join(
+        points, ranges, "ts", "s", "e", bin_seconds=60, how="left"
+    )
+    rows = {r.pid: r.rid for r in out.collect()}
+    assert rows == {1: 100, 2: None}, "unmatched point must pass through once"
+    with pytest.raises(ValueError, match="inner"):
+        point_in_range_join(points, ranges, "ts", "s", "e", how="full")
 
 
 def test_interval_overlap_join_matches_naive(spark, sf_dir):
