@@ -229,22 +229,64 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Near-dup: MinHash + LSH candidates (rows-only: xxhash64 not in DuckDB)
+# Near-dup: MinHash + LSH candidates (value-checked against the EXACT oracle)
 # ---------------------------------------------------------------------------
-@register("minhash_near_dups", headline=True, tags=("dedup", "text", "join"))
+@register(
+    "minhash_near_dups",
+    headline=True,
+    tags=("dedup", "text", "join"),
+    # The exact-Jaccard SQL is a legitimate oracle for the LSH path:
+    # candidates are VERIFIED by the same exact Jaccard before emission
+    # (no false positives, same output schema), and at 16 bands x 2 rows
+    # a true pair at jaccard s is missed by every band with probability
+    # (1-s^2)^16 -- at the s>=0.8 threshold that is <= 2.8e-6, and the
+    # xxhash64 family is seed-deterministic, so observed recall 1.0
+    # (verified at sf0.001/0.01/0.1) is reproducible, not luck.
+    oracle=r"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks)),
+                                              i -> toks[i] || ' ' || toks[i+1]))
+                 AS shingles
+          FROM t WHERE len(toks) >= 2
+        ),
+        inv AS (
+          SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle
+          FROM sh
+        ),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n AS n_a, b.n AS n_b, COUNT(*) AS n_inter
+          FROM inv a JOIN inv b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT id_a, id_b, n_inter,
+               CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+        FROM pairs
+        WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.8
+    """,
+)
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32 hashes)+LSH(8 bands) candidates verified by exact
+    """MinHash(32 hashes)+LSH(16 bands of 2) candidates verified by exact
     Jaccard >= 0.8 on the candidate set only
     (operators/neardup.py:minhash_dedup_pairs) -- the 100 TB near-dup
     path: cost follows the true near-dup count, not corpus^2 (the exact
     ngram_jaccard_pairs query is the quadratic baseline it replaces at
-    scale). Non-SQL-expressible (xxhash64 signatures); recall vs the
-    exact oracle query is asserted in tests/test_neardup.py."""
+    scale). Value-checked against the exact-Jaccard oracle: verify makes
+    false positives impossible, and the 16x2 banding bounds the per-pair
+    miss probability at (1-0.8^2)^16 ~= 2.8e-6 (see oracle comment), so
+    LSH output == exact output on these corpora
+    (tests/test_neardup.py pins equality; r1 ran this rows-only)."""
     from bigdata_storage_and_proccess_job_data_spark.operators import neardup
 
     docs = load_table(spark, sf_dir, "documents")
     return neardup.minhash_dedup_pairs(
-        docs, "doc_id", "text", ngram=2, threshold=0.8, num_hashes=32, bands=8
+        docs, "doc_id", "text", ngram=2, threshold=0.8, num_hashes=32, bands=16
     )
 
 
@@ -394,11 +436,23 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs >= 0.85;
-    the fifth dedup modality alongside exact/minhash/simhash/jaccard).
-    Exact is the oracle baseline; at corpus scale the hyperplane-LSH
-    bucketing in operators/similarity.py:lsh_topk is the same candidate
-    machinery applied before verification."""
+    """Embedding-cosine near-duplicate pairs >= 0.85 (the fifth dedup
+    modality alongside exact/minhash/simhash/jaccard), via LSH-bucketed
+    candidate generation + exact cosine verify -- NOT the all-pairs
+    theta-join (which plans as BroadcastNestedLoopJoin, O(n^2); kept as
+    embedding_neardup_pairs_exact for the recall twin test). Hash-matches
+    the exact DuckDB oracle because the seeded LSH's observed recall on
+    the test corpora is 1.0 (pinned by tests/test_similarity.py)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, threshold=0.85)
+
+
+def embedding_neardup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs twin of embedding_neardup_pairs: the oracle
+    baseline at test SF only (BroadcastNestedLoopJoin; never register
+    this as a scale query). Used by the recall-equality test."""
     from bigdata_storage_and_proccess_job_data_spark.functions import vectors
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -93,6 +93,15 @@ def test_range_join_is_equi_join_not_nested_loop(spark, oracle_sf_dir):
     )
 
 
+def test_embedding_neardup_is_bucketed_not_nested_loop(spark, oracle_sf_dir):
+    """VERDICT r1's one flagged scale-killer: the embedding near-dup
+    query must plan as LSH bucket equi-joins, never an all-pairs
+    BroadcastNestedLoopJoin."""
+    plan = _plan(spark, oracle_sf_dir, "embedding_neardup_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_small_quantity_revenue_decorrelates(spark, oracle_sf_dir):
     # Catalyst must rewrite the correlated scalar subquery into an
     # aggregate + join, never a per-row subquery or nested loop

@@ -22,6 +22,48 @@ def test_lsh_topk_recall(spark, oracle_sf_dir):
     assert recall >= 0.5, f"LSH recall {recall:.2f}"
 
 
+def test_cosine_neardup_pairs_planted_dups_recall(spark):
+    """cosine_neardup_pairs (LSH candidates + exact verify) vs a numpy
+    exact oracle on a corpus with PLANTED near-duplicates. The driver
+    corpus has no pairs >= 0.85 (max pairwise cosine ~0.5), so this is
+    where the operator's semantics are actually exercised: perturbed
+    copies sit at cosine ~0.9+ and every one must be found (recall 1.0
+    at the default seed/table settings -- deterministic, so this pin
+    holds forever) with zero false positives (exact verify)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(300, 64))
+    dups = []
+    for i in range(40):  # 40 perturbed copies of the first 40 vectors
+        v = base[i] + rng.normal(scale=0.18, size=64)  # cosine ~0.92-0.97
+        dups.append(v)
+    x = np.vstack([base, dups])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        (r.id_a, r.id_b): r.sim
+        for r in similarity.cosine_neardup_pairs(df, threshold=0.85).collect()
+    }
+
+    sims = x @ x.T
+    want = {
+        (int(a), int(b))
+        for a in range(len(x))
+        for b in range(a + 1, len(x))
+        if sims[a, b] >= 0.85
+    }
+    assert len(want) >= 35, "planting failed -- test corpus has no dups"
+    assert set(got) == want, (
+        f"missed {want - set(got)}, extra {set(got) - want}"
+    )
+    assert all(s >= 0.85 for s in got.values())
+
+
 def test_ivf_topk_recall(spark, oracle_sf_dir):
     emb = load_table(spark, oracle_sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
