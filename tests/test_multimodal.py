@@ -73,3 +73,44 @@ def test_resize_then_decode_roundtrip(spark, media_df):
     assert all(r["width"] == 320 and r["height"] == 240 for r in out.values())
     # frame counts survive the resize untouched
     assert out[2]["n_frames"] == 120
+
+
+def test_media_features_knn_query_recall(spark, sf_dir):
+    """The registry query (driver checks rows-only): IVF ANN over
+    fake-codec features must rank sanely and reach decent recall vs
+    exact brute force over the same feature frame."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        multimodal,
+        similarity,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.plans import all_queries
+
+    q = all_queries()["media_features_knn"].fn
+    rows = q(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert 1 <= r.rank <= 3 and r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 10 and all(len(v) == 3 for v in by_q.values())
+
+    # recall vs exact brute force on the same deterministic features
+    from pyspark.sql import functions as F
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    header = multimodal.encode_fake_media(32, 16, n_frames=1)[:10]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(F.lit(header), F.encode(F.col("text"), "utf-8")).alias("content"),
+    )
+    feats = multimodal.extract_features(media, dim=16)
+    exact = similarity.brute_force_topk(
+        feats.filter(F.col("media_id") < 10), feats,
+        id_col="media_id", vec_col="embedding", k=3,
+    ).collect()
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    want = {(r.query_id, r.neighbor_id) for r in exact}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, f"media ANN recall {recall:.2f}"

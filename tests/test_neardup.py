@@ -31,12 +31,13 @@ def test_minhash_lsh_recall(spark, oracle_sf_dir):
 
 def test_minhash_dedup_pairs_equals_exact(spark, oracle_sf_dir):
     """The registry query's oracle guarantee (VERDICT r1 item 3): at
-    16 bands x 2 rows a >= 0.8 pair is missed with prob <= (1-.64)^16
-    ~= 2.8e-6 per pair, the hash family is seed-deterministic, and every
-    candidate is verified by exact Jaccard -- so minhash_dedup_pairs must
-    EQUAL the exact jaccard_pairs output, values included. This pin is
-    what lets minhash_near_dups carry the exact-Jaccard SQL as a real
-    DuckDB oracle instead of a rows-only check."""
+    16 bands x 4 rows a >= 0.8 pair is missed with prob <= (1-.41)^16
+    ~= 2.1e-4 (3.9e-8 at the corpus-typical jaccard >= 0.9), the hash
+    family is seed-deterministic, and every candidate is verified by
+    exact Jaccard -- so minhash_dedup_pairs must EQUAL the exact
+    jaccard_pairs output, values included. This pin is what lets
+    minhash_near_dups carry the exact-Jaccard SQL as a real DuckDB
+    oracle instead of a rows-only check."""
     docs = load_table(spark, oracle_sf_dir, "documents")
     exact = {
         (r.id_a, r.id_b, r.n_inter, r.jaccard)
@@ -48,7 +49,7 @@ def test_minhash_dedup_pairs_equals_exact(spark, oracle_sf_dir):
         (r.id_a, r.id_b, r.n_inter, r.jaccard)
         for r in neardup.minhash_dedup_pairs(
             docs, "doc_id", "text", ngram=2, threshold=0.8,
-            num_hashes=32, bands=16,
+            num_hashes=64, bands=16,
         ).collect()
     }
     assert exact and mh == exact, (
