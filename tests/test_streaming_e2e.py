@@ -1,0 +1,157 @@
+"""End-to-end streaming continuity (VERDICT r1 item 7): the reference's
+full loop -- Kafka -> MinIO archive -> batch/serving rollup
+(kafka_to_minio.py:47-80 + spark_batch_v2.py) -- as one file-source-backed
+pipeline:
+
+    source files -> archive_stream (checkpointed, partitioned)
+                 -> readStream over the archive
+                 -> continuous_rollup (windowed agg -> upsert log)
+                 -> read_rollup == batch recompute over the same archive
+
+Both stages resume from checkpoints across "restarts" (new driver runs of
+availableNow), late rows re-emit their window, and latest-wins reads stay
+equal to a from-scratch batch recompute at every step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bigdata_storage_and_proccess_job_data_spark.sources import lake
+from bigdata_storage_and_proccess_job_data_spark.streaming import (
+    pipeline,
+    rollup,
+    windows,
+)
+
+SRC_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts_raw", StringType()),
+        StructField("value", LongType()),
+    ]
+)
+
+def _measures():
+    # built lazily: Column exprs need an active SparkContext at import
+    return {
+        "n_events": F.count(F.lit(1)),
+        "total_value": F.sum("value").cast("long"),
+    }
+
+
+def _emit(spark, src: str, rows) -> None:
+    spark.createDataFrame(rows, SRC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+
+def _with_ts(df):
+    return df.withColumn("ts", F.to_timestamp("ts_raw")).withColumn(
+        "event_date", F.to_date("ts")
+    )
+
+
+def _drain_archive(spark, src: str, archive: str, ckpt: str) -> None:
+    stream = _with_ts(pipeline.file_stream(spark, src, SRC_SCHEMA))
+    q = lake.archive_stream(stream, archive, ckpt, ["event_date"], None)
+    q.awaitTermination(120)
+
+
+def _drain_rollup(spark, archive: str, log: str, ckpt: str) -> None:
+    # stream FROM the archive -- the serving stage reads what the
+    # archiver landed, exactly the reference's MinIO -> batch hop
+    archived_schema = spark.read.parquet(archive).schema
+    stream = spark.readStream.schema(archived_schema).parquet(archive)
+    q = rollup.continuous_rollup(
+        stream,
+        "ts",
+        "10 minutes",
+        _measures(),
+        log,
+        ckpt,
+        dims=["user_id"],
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+
+def _batch_recompute(spark, archive: str):
+    return windows.windowed_agg(
+        spark.read.parquet(archive), "ts", "10 minutes", _measures(),
+        dims=["user_id"],
+    )
+
+
+def _as_dict(df):
+    return {
+        (r.window_start, r.user_id): (r.n_events, r.total_value)
+        for r in df.collect()
+    }
+
+
+def test_archive_to_rollup_continuity(spark, tmp_path):
+    src = str(tmp_path / "src")
+    archive = str(tmp_path / "archive")
+    log = str(tmp_path / "rollup_log")
+    ckpt_a = str(tmp_path / "ckpt_archive")
+    ckpt_r = str(tmp_path / "ckpt_rollup")
+
+    # --- phase 1: two users, two windows
+    _emit(
+        spark,
+        src,
+        [
+            (1, "2024-03-01 10:01:00", 5),
+            (1, "2024-03-01 10:04:00", 7),
+            (2, "2024-03-01 10:02:00", 1),
+            (1, "2024-03-01 10:12:00", 3),
+        ],
+    )
+    _drain_archive(spark, src, archive, ckpt_a)
+    _drain_rollup(spark, archive, log, ckpt_r)
+
+    got = _as_dict(rollup.read_rollup(spark, log))
+    want = _as_dict(_batch_recompute(spark, archive))
+    assert got == want and len(got) == 3
+
+    # --- phase 2 ("restart"): new files -- a new window AND a late row
+    # into the already-emitted 10:00 window of user 1
+    _emit(
+        spark,
+        src,
+        [
+            (1, "2024-03-01 10:07:00", 100),  # late: re-opens 10:00 window
+            (2, "2024-03-01 10:25:00", 9),    # new window
+        ],
+    )
+    _drain_archive(spark, src, archive, ckpt_a)  # same checkpoint: delta only
+    _drain_rollup(spark, archive, log, ckpt_r)   # same checkpoint + log
+
+    got2 = _as_dict(rollup.read_rollup(spark, log))
+    want2 = _as_dict(_batch_recompute(spark, archive))
+    assert got2 == want2 and len(got2) == 4
+    # the late row really superseded the earlier emission (latest wins,
+    # not double-count): 2 original events + 1 late = 3, value 5+7+100
+    w1 = [k for k in got2 if k[1] == 1 and str(k[0]).endswith("10:00:00")]
+    assert len(w1) == 1 and got2[w1[0]] == (3, 112)
+
+    # the archive itself only grew by the delta (checkpointed resume,
+    # no reprocessing): 4 + 2 rows
+    assert spark.read.parquet(archive).count() == 6
+
+    # --- serving compaction: fold the log into a versioned snapshot and
+    # check the committed table equals the live view
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    table_dir = str(tmp_path / "rollup_table")
+    v = rollup.compact_rollup(spark, log, table_dir)
+    snap = versioned.read_version(spark, table_dir).drop("_key", "_version")
+    assert v >= 1
+    assert _as_dict(snap) == got2
