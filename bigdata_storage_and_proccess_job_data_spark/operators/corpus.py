@@ -1,0 +1,209 @@
+"""Corpus-preparation operators for training-data pipelines: chunking,
+PII scrubbing, benchmark-contamination checks, deterministic sampling,
+length histograms.
+
+These are the steps between "raw documents in a lake" and "training
+mixture" that the dedup/similarity suite (operators/neardup.py,
+operators/similarity.py) doesn't cover. All native Column expressions --
+no Python in the row path -- so they run inside whole-stage codegen, and
+every one has a DuckDB-expressible twin so the driver's oracle gate
+value-checks them.
+
+Scale shapes:
+- chunking explodes AFTER the tokens array is materialized per document
+  (the Generate node is a projection barrier), so tokenization is O(L)
+  per doc, never O(L^2) via projection collapse (see
+  functions/text.py:word_ngrams for the same trap).
+- contamination is an inverted-index equi-join on shingle strings --
+  candidates are shingle-sharing pairs only, the same sub-quadratic
+  shape as neardup.jaccard_pairs, with the (small) benchmark side
+  broadcastable.
+- sampling is a deterministic hash filter: no sampleBy nondeterminism,
+  no driver-side state, reproducible across engines and runs, and it
+  pushes down to the scan like any other filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_storage_and_proccess_job_data_spark.functions import text
+
+# Shared PII patterns (dialect-portable: plain char classes, no
+# lookaround, so Java regex and DuckDB's RE2 agree).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into token-windowed chunks with overlap -- the
+    standard context-window prep step. Chunk i covers tokens
+    [i*stride+1, i*stride+chunk_tokens] (1-based, stride = chunk_tokens -
+    overlap); the last chunk may be short; an empty/short doc yields one
+    chunk. Output: (id, chunk_index, n_tokens, chunk_text).
+
+    The tokens array materializes once per document BELOW the Generate
+    (explode) node; each chunk row then slices the attribute -- O(tokens)
+    tokenization per DOCUMENT, not per chunk. This needs the two-step
+    select below: tokenize first, explode in a SEPARATE projection whose
+    generator references the ``_toks`` attribute. Folding both into one
+    select lets ColumnPruning push the tokenization above the Generate,
+    where it re-runs per chunk row (the same projection-collapse trap as
+    functions/text.py:word_ngrams; pinned by
+    tests/test_plans.py::test_chunking_tokenizes_once_per_document)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    tokenized = df.select(
+        F.col(id_col), text.tokens(F.col(text_col)).alias("_toks")
+    )
+    n = F.size(F.col("_toks"))
+    # ceil((n - overlap)/stride) in exact integer math, min 1
+    n_chunks = F.greatest(
+        F.floor((n - overlap + stride - 1) / F.lit(float(stride))).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    base = tokenized.select(
+        F.col(id_col),
+        "_toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_index"
+        ),
+    )
+    piece = F.slice(
+        F.col("_toks"),
+        (F.col("chunk_index") * stride + 1).cast("int"),
+        chunk_tokens,
+    )
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_index"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def scrub_pii(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Redact emails/phone numbers and count what was removed:
+    (id, n_emails, n_phones, clean_text). Counting runs on the ORIGINAL
+    text, then two global regexp_replace passes redact -- all codegen'd
+    string ops, the shape that survives a 100 TB scrub pass."""
+    c = F.col(text_col)
+    cleaned = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>"),
+        PHONE_PATTERN,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_PATTERN), 0))
+        .cast("long")
+        .alias("n_phones"),
+        cleaned.alias("clean_text"),
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 5,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: train documents sharing >=
+    ``min_shared`` distinct word ``ngram``-shingles with any benchmark
+    document. Output: (train_id, bench_id, n_shared).
+
+    Inverted-index equi-join on the shingle string: each side explodes to
+    (id, shingle) rows, the join meets only shingle-sharing pairs, and a
+    count-per-pair aggregation applies the threshold -- never an
+    all-pairs product. The benchmark side is typically small enough to
+    broadcast."""
+
+    def inv(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array_distinct(text.word_ngrams(text_col, ngram))
+            ).alias("_shingle"),
+        )
+
+    t = inv(train, "train_id")
+    b = inv(bench, "bench_id")
+    return (
+        t.join(b, "_shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def hash_bucket(key: Column, salt: str = "", buckets: int = 100) -> Column:
+    """Deterministic engine-portable bucket in [0, buckets): md5 of the
+    stringified key (+salt), first 8 hex digits as an integer, mod
+    buckets. md5 is bit-identical everywhere (unlike xxhash64, which
+    DuckDB lacks), so oracle queries can reproduce the exact sample."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    rate_pct: int,
+    salt: str = "",
+) -> DataFrame:
+    """Keep ~rate_pct% of rows by hash of the id -- reproducible across
+    runs, engines, and partitionings (none of which holds for
+    df.sample), and stable under data growth: a row's membership never
+    changes when other rows appear. The filter is a plain expression, so
+    it pushes toward the scan."""
+    if not 0 <= rate_pct <= 100:
+        raise ValueError("rate_pct must be in [0, 100]")
+    return df.filter(hash_bucket(F.col(id_col), salt) < rate_pct)
+
+
+def length_histogram(
+    df: DataFrame,
+    text_col: str,
+    bucket_width: int = 10,
+    max_bucket: int = 20,
+) -> DataFrame:
+    """Token-length histogram: bucket = min(floor(tokens/width), max) --
+    the corpus-shape diagnostic run before choosing chunk sizes. Output:
+    (bucket, lo_tokens, doc_count) sorted by bucket."""
+    n = text.token_count(text_col)
+    bucket = F.least(
+        F.floor(n / F.lit(float(bucket_width))).cast("long"),
+        F.lit(max_bucket).cast("long"),
+    )
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .select(
+            "bucket",
+            (F.col("bucket") * bucket_width).alias("lo_tokens"),
+            "doc_count",
+        )
+        .orderBy("bucket")
+    )

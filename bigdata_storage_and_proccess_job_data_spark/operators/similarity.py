@@ -82,6 +82,7 @@ def brute_force_topk_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k, Arrow-vectorized: the wide-vector counterpart
     of brute_force_topk. The JVM zip_with/aggregate fold costs O(dim)
@@ -113,8 +114,16 @@ def brute_force_topk_arrow(
             F.col(id_col).alias("query_id"), vectors.as_double(vec_col).alias("_qv")
         )
         .filter(F.col("_qv").isNotNull())
+        .limit(max_queries + 1)
         .collect()
     ]
+    if len(q_rows) > max_queries:
+        # the docstring's "small, broadcast query set" promise, enforced:
+        # a larger Q belongs in the bucketed paths (lsh_topk / ivf_topk)
+        raise ValueError(
+            f"query set exceeds max_queries={max_queries}; use lsh_topk/"
+            "ivf_topk (or raise the cap) for large query fan-out"
+        )
     qids = np.asarray([q[0] for q in q_rows], dtype=np.int64)
     qm = np.asarray([q[1] for q in q_rows], dtype=np.float64)
     qnorm = np.linalg.norm(qm, axis=1)

@@ -960,3 +960,99 @@ def skewed_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets=16,
         key_name="company",
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap (range x range) join
+# ---------------------------------------------------------------------------
+@register(
+    "interval_overlap_pairs",
+    tags=("join", "range"),
+    oracle="""
+        WITH a AS (
+          SELECT event_id AS a_id, ts AS a_start,
+                 ts + INTERVAL 11 MINUTE AS a_end
+          FROM events WHERE event_id % 83 = 0
+        ),
+        b AS (
+          SELECT event_id AS b_id, ts - INTERVAL 3 MINUTE AS b_start,
+                 ts + INTERVAL 4 MINUTE AS b_end
+          FROM events WHERE event_id % 59 = 0
+        )
+        SELECT a_id, b_id,
+               CAST(date_diff('second', greatest(a_start, b_start),
+                              least(a_end, b_end)) AS BIGINT)
+                 AS overlap_seconds
+        FROM a JOIN b ON a_start < b_end AND b_start < a_end
+    """,
+)
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range x range join (operators/rangejoin.py:interval_overlap_join):
+    two derived interval families joined on span overlap via
+    bin-and-verify with the later-start dedup rule -- each overlapping
+    pair survives in exactly ONE shared bin, so no distinct shuffle. The
+    oracle runs the naive theta join (fine at oracle SF; quadratic at
+    scale, which is the point of the operator)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_id") % 83 == 0).select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_start"),
+        (F.col("ts") + F.expr("INTERVAL 11 MINUTES")).alias("a_end"),
+    )
+    b = events.filter(F.col("event_id") % 59 == 0).select(
+        F.col("event_id").alias("b_id"),
+        (F.col("ts") - F.expr("INTERVAL 3 MINUTES")).alias("b_start"),
+        (F.col("ts") + F.expr("INTERVAL 4 MINUTES")).alias("b_end"),
+    )
+    joined = interval_overlap_join(
+        a, b, ("a_start", "a_end"), ("b_start", "b_end"), bin_seconds=240
+    )
+    return joined.select(
+        "a_id",
+        "b_id",
+        (
+            F.least(F.col("a_end"), F.col("b_end")).cast("long")
+            - F.greatest(F.col("a_start"), F.col("b_start")).cast("long")
+        ).alias("overlap_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-skew left join (NULL keys bypass the shuffle)
+# ---------------------------------------------------------------------------
+@register(
+    "null_skew_enriched",
+    tags=("join", "skew"),
+    oracle="""
+        WITH o AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                      ELSE o_custkey END AS custkey
+          FROM orders
+        )
+        SELECT o.o_orderkey, o.custkey, c.c_mktsegment
+        FROM o LEFT JOIN customer c ON o.custkey = c.c_custkey
+    """,
+)
+def null_skew_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT join where a third of the foreign keys are NULL
+    (operators/joins.py:null_skew_left_join): the NULL slice -- which
+    would all hash to ONE reducer and can never match anyway -- bypasses
+    the shuffle entirely and unions back with null right columns.
+    Value-identical to the oracle's plain LEFT JOIN."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import joins
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("custkey"),
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return joins.null_skew_left_join(orders, customer, "custkey", "c_custkey")

@@ -570,3 +570,209 @@ def media_features_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, feats, id_col="media_id", vec_col="embedding",
         k=3, n_centroids=8, n_probe=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus prep: token-window chunking with overlap
+# ---------------------------------------------------------------------------
+@register(
+    "chunk_documents",
+    tags=("text", "explode", "corpus"),
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+        ),
+        sized AS (
+          SELECT doc_id, toks,
+                 greatest(CAST(floor((len(toks) - 16 + 48 - 1) / 48.0) AS BIGINT),
+                          1) AS n_chunks
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_index,
+               CAST(len(list_slice(toks, i * 48 + 1, i * 48 + 64)) AS BIGINT)
+                 AS n_tokens,
+               array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ')
+                 AS chunk_text
+        FROM sized, unnest(range(0, n_chunks)) AS u(i)
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window prep: 64-token chunks, 16-token overlap (stride 48),
+    short/odd tails kept (operators/corpus.py:chunk_documents). The
+    tokens array materializes once per doc at the explode barrier --
+    chunking is O(tokens) per document, not per chunk."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, overlap=16
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus prep: PII scrub (redact + count)
+# ---------------------------------------------------------------------------
+_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_SQL = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+@register(
+    "pii_scrub",
+    tags=("text", "corpus"),
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_EMAIL_SQL}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_PHONE_SQL}')) AS BIGINT)
+                 AS n_phones,
+               regexp_replace(regexp_replace(text, '{_EMAIL_SQL}', '<EMAIL>', 'g'),
+                              '{_PHONE_SQL}', '<PHONE>', 'g') AS clean_text
+        FROM documents
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone redaction with removal counts
+    (operators/corpus.py:scrub_pii): two global regexp passes, all
+    codegen string ops. Patterns are dialect-portable (plain char
+    classes), so DuckDB reproduces the redaction byte-for-byte."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.scrub_pii(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Corpus prep: benchmark-contamination check (cross-set shingle overlap)
+# ---------------------------------------------------------------------------
+@register(
+    "contamination_check",
+    tags=("text", "join", "corpus"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, {SQL_TOKENS_LOWER} AS t FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(t) - 3),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                        t[i+3] || ' ' || t[i+4])) AS shingles
+          FROM toks WHERE len(t) >= 5
+        ),
+        inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        train AS (SELECT * FROM inv WHERE doc_id % 20 <> 0),
+        bench AS (SELECT * FROM inv WHERE doc_id % 20 = 0)
+        SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM train t JOIN bench b ON t.shingle = b.shingle
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: train docs (doc_id % 20 != 0) sharing >= 3
+    distinct 5-gram shingles with any 'benchmark' doc (doc_id % 20 == 0)
+    -- the eval-leak scan every training corpus needs
+    (operators/corpus.py:contamination_pairs). Inverted-index equi-join
+    on the shingle, count per pair: sub-quadratic, benchmark side
+    broadcastable."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.contamination_pairs(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        "doc_id",
+        "text",
+        ngram=5,
+        min_shared=3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus prep: deterministic hash sampling
+# ---------------------------------------------------------------------------
+@register(
+    "sample_deterministic",
+    tags=("corpus", "filter"),
+    oracle="""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8))::BIGINT
+              % 100 < 20
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~20% corpus sample by md5(doc_id) bucket
+    (operators/corpus.py:deterministic_sample): reproducible across
+    engines/runs/partitionings -- unlike df.sample -- and membership is
+    stable under corpus growth. The hash filter is a plain expression,
+    value-checked here against DuckDB computing the SAME sample."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return corpus.deterministic_sample(docs, "doc_id", rate_pct=20, salt="v1")
+
+
+# ---------------------------------------------------------------------------
+# Corpus prep: token-length histogram
+# ---------------------------------------------------------------------------
+@register(
+    "doc_length_histogram",
+    tags=("corpus", "agg"),
+    oracle=f"""
+        SELECT bucket,
+               bucket * 10 AS lo_tokens,
+               CAST(COUNT(*) AS BIGINT) AS doc_count
+        FROM (
+          SELECT least(CAST(floor(len({SQL_TOKENS}) / 10.0) AS BIGINT), 20)
+                 AS bucket
+          FROM documents
+        )
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution (10-token buckets, capped at 200+):
+    the diagnostic run before choosing chunk sizes
+    (operators/corpus.py:length_histogram)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.length_histogram(docs, "text", bucket_width=10, max_bucket=20)
+
+
+# ---------------------------------------------------------------------------
+# Vector hygiene: norms via higher-order array functions
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_norms",
+    tags=("vector", "hof"),
+    oracle=f"""
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               {sql_round('sqrt(list_dot_product(embedding::DOUBLE[],'
+                          ' embedding::DOUBLE[]))', 4)} AS l2_norm,
+               {sql_round('list_max(list_transform(embedding::DOUBLE[],'
+                          ' x -> abs(x)))', 4)} AS max_abs
+        FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm and max|x| via higher-order array functions
+    (F.aggregate fold + transform/array_max) -- the pre-ANN hygiene scan
+    that catches zero/degenerate vectors. All JVM-side expressions; at
+    100 TB this is a single narrow projection over the vector column."""
+    from bigdata_storage_and_proccess_job_data_spark.functions import vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = vectors.as_double("embedding")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        stable_round(F.sqrt(vectors.dot(v, v)), 4).alias("l2_norm"),
+        stable_round(
+            F.array_max(F.transform(v, lambda x: F.abs(x))), 4
+        ).alias("max_abs"),
+    )

@@ -30,6 +30,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _POINTER = "_latest"
 
@@ -113,6 +114,50 @@ def vacuum(table_dir: str, keep: int = 1) -> list[int]:
     for v in drop:
         shutil.rmtree(os.path.join(table_dir, f"v={v}"))
     return drop
+
+
+def apply_changes(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "_op",
+    expected: int | None = None,
+) -> int:
+    """MERGE-style change application onto a versioned table: ``changes``
+    carries the table's columns plus ``op_col`` in {'upsert','delete'}.
+    Every key present in the batch is first removed from the current
+    snapshot (left-anti on the touched-key set -- one narrow join), then
+    the batch's upsert rows are appended; the result commits as the next
+    snapshot. Semantics per key in one batch:
+
+        delete only            -> key gone
+        upsert only            -> key replaced by the batch's row(s)
+        delete + upsert        -> replace (the upsert wins; delete is
+                                  implied by the touched-key anti-join)
+
+    Readers stay on the old snapshot until the pointer swap; pass
+    ``expected`` for optimistic concurrency. Works on an uninitialized
+    table (pure-insert first commit; deletes to nothing are no-ops).
+
+    This is the ES-style doc CRUD surface (reference S5,
+    spark_job.py:78-80 upserts; deletes had no reference path at all)
+    expressed as immutable snapshots + one anti-join -- the
+    copy-on-write MERGE shape, which at 100 TB pairs with partition
+    pruning so only touched partitions rewrite."""
+    ops = {r[0] for r in changes.select(op_col).distinct().collect()}
+    bad = ops - {"upsert", "delete"}
+    if bad:
+        raise ValueError(f"unknown {op_col} values: {sorted(bad)}")
+    upserts = changes.filter(F.col(op_col) == "upsert").drop(op_col)
+    if current_version(table_dir) is None:
+        return commit_version(upserts, table_dir, expected=expected)
+    base = read_version(spark, table_dir)
+    touched = changes.select(F.col(key)).distinct()
+    survivors = base.join(touched, key, "left_anti")
+    return commit_version(
+        survivors.unionByName(upserts), table_dir, expected=expected
+    )
 
 
 def compact_log_versioned(

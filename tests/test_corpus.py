@@ -1,0 +1,101 @@
+"""Corpus-prep operators: chunking geometry, PII scrubbing, contamination
+pairs, deterministic sampling. (Engine-vs-DuckDB value parity for the
+registry queries is covered by test_oracle_parity.py; these pin the
+operator-level semantics and edge cases.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+
+def test_chunk_documents_geometry(spark):
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b"), (3, ""), (4, "solo")],
+        "doc_id LONG, text STRING",
+    )
+    out = corpus.chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1)
+    rows = {(r.doc_id, r.chunk_index): (r.n_tokens, r.chunk_text) for r in out.collect()}
+
+    # doc 1: stride 3 -> ceil((10-1)/3) = 3 chunks: [1..4], [4..7], [7..10]
+    assert rows[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert rows[(1, 1)] == (4, "w3 w4 w5 w6")
+    assert rows[(1, 2)] == (4, "w6 w7 w8 w9")
+    # overlap: chunk i's last token == chunk i+1's first token
+    assert rows[(1, 0)][1].split()[-1] == rows[(1, 1)][1].split()[0]
+    # short doc -> one (short) chunk; empty doc -> one empty chunk
+    assert rows[(2, 0)] == (2, "a b")
+    assert rows[(3, 0)] == (0, "")
+    assert rows[(4, 0)] == (1, "solo")
+    assert len(rows) == 6
+
+    with pytest.raises(ValueError, match="overlap"):
+        corpus.chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.example.com or call +1 (555) 123-4567 now"),
+            (2, "no pii here"),
+            (3, "two mails: a@b.io and c@d.org"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in corpus.scrub_pii(df, "doc_id", "text").collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert "<EMAIL>" in out[1].clean_text and "<PHONE>" in out[1].clean_text
+    assert "corp.example.com" not in out[1].clean_text
+    assert "555" not in out[1].clean_text
+    assert out[2].n_emails == 0 and out[2].clean_text == "no pii here"
+    assert out[3].n_emails == 2 and out[3].clean_text == "two mails: <EMAIL> and <EMAIL>"
+
+
+def test_contamination_pairs_finds_planted_overlap(spark):
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} trailing text"),
+            (2, "completely unrelated content about databases and joins"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"benchmark prompt: {shared}")], "doc_id LONG, text STRING"
+    )
+    out = corpus.contamination_pairs(
+        train, bench, "doc_id", "text", ngram=5, min_shared=3
+    ).collect()
+    assert {(r.train_id, r.bench_id) for r in out} == {(1, 100)}
+    assert out[0].n_shared >= 3  # the shared sentence yields 6 5-grams
+
+
+def test_deterministic_sample_is_stable_and_bounded(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id LONG")
+    a = {r.id for r in corpus.deterministic_sample(df, "id", 20, "s").collect()}
+    b = {r.id for r in corpus.deterministic_sample(df, "id", 20, "s").collect()}
+    assert a == b, "same salt => identical sample"
+    assert 0.15 <= len(a) / 2000 <= 0.25, f"rate off: {len(a)/2000:.3f}"
+    # membership is monotone in the rate: 20% sample contains the 10% one
+    c = {r.id for r in corpus.deterministic_sample(df, "id", 10, "s").collect()}
+    assert c <= a
+    # a different salt draws a different sample
+    d = {r.id for r in corpus.deterministic_sample(df, "id", 20, "t").collect()}
+    assert d != a
+    with pytest.raises(ValueError):
+        corpus.deterministic_sample(df, "id", 101)
+
+
+def test_length_histogram_buckets(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "x " * 14), (3, "y " * 500), (4, "")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.bucket: (r.lo_tokens, r.doc_count) for r in
+           corpus.length_histogram(df, "text", 10, 20).collect()}
+    assert out[0] == (0, 2)    # 3 tokens and empty doc
+    assert out[1] == (10, 1)   # 14 tokens
+    assert out[20] == (200, 1)  # 500 tokens, capped bucket

@@ -109,6 +109,19 @@ def test_skewed_agg_is_two_phase_salted(spark, oracle_sf_dir):
     assert "_salt" not in df.columns
 
 
+def test_chunking_tokenizes_once_per_document(spark, oracle_sf_dir):
+    """chunk_documents must materialize the token array BELOW the explode
+    (once per doc); if ColumnPruning pushes the split above the Generate
+    it re-tokenizes per chunk row -- O(tokens x chunks) per document."""
+    df = QS["chunk_documents"].fn(spark, oracle_sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+    gen = plan.find("Generate")
+    assert gen != -1 and "split(" in plan[gen:], (
+        "tokenization must sit below the Generate node"
+    )
+
+
 def test_embedding_neardup_is_bucketed_not_nested_loop(spark, oracle_sf_dir):
     """VERDICT r1's one flagged scale-killer: the embedding near-dup
     query must plan as LSH bucket equi-joins, never an all-pairs

@@ -73,3 +73,45 @@ def test_optimistic_commit_detects_concurrent_writer(spark, sf_dir, tmp_path):
     with pytest.raises(versioned.ConcurrentCommitError, match="expected v1"):
         versioned.commit_version(region.limit(3), table, expected=base)
     assert versioned.current_version(table) == 2
+
+
+def test_apply_changes_merge_semantics(spark, tmp_path):
+    """MERGE via copy-on-write: upsert replaces, delete removes,
+    delete+upsert in one batch = replace; history stays time-travelable."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    table = str(tmp_path / "merged")
+    rows = lambda *r: spark.createDataFrame(  # noqa: E731
+        list(r), "id LONG, val STRING, _op STRING"
+    )
+
+    # first commit on an uninitialized table: pure insert (delete no-ops)
+    v1 = versioned.apply_changes(
+        spark, table, rows((1, "a", "upsert"), (2, "b", "upsert"),
+                           (9, "x", "delete")), "id"
+    )
+    assert v1 == 1
+    got = {r.id: r.val for r in versioned.read_version(spark, table).collect()}
+    assert got == {1: "a", 2: "b"}
+
+    # update 1, delete 2, insert 3, and replace-via-delete+upsert on 1?
+    v2 = versioned.apply_changes(
+        spark, table, rows((1, "a2", "upsert"), (2, "b", "delete"),
+                           (3, "c", "upsert")), "id"
+    )
+    got2 = {r.id: r.val for r in versioned.read_version(spark, table).collect()}
+    assert v2 == 2 and got2 == {1: "a2", 3: "c"}
+
+    # time travel still sees v1; unknown ops rejected
+    got1 = {r.id: r.val for r in versioned.read_version(spark, table, 1).collect()}
+    assert got1 == {1: "a", 2: "b"}
+    with pytest.raises(ValueError, match="unknown"):
+        versioned.apply_changes(spark, table, rows((1, "z", "merge")), "id")
+
+    # optimistic concurrency still applies
+    with pytest.raises(versioned.ConcurrentCommitError):
+        versioned.apply_changes(
+            spark, table, rows((4, "d", "upsert")), "id", expected=1
+        )
