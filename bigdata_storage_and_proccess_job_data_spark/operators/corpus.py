@@ -182,6 +182,67 @@ def deterministic_sample(
     return df.filter(hash_bucket(F.col(id_col), salt) < rate_pct)
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, int],
+    default_pct: int,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group sampling rates in one pass -- the training-mixture
+    rebalance step ("keep all of source A, 25% of source B"). Same
+    deterministic md5 bucketing as deterministic_sample, so membership
+    is reproducible and monotone in each group's rate; the rate lookup
+    is a CASE chain, the whole thing one codegen'd filter."""
+    for v, p in rates.items():
+        if not 0 <= p <= 100:
+            raise ValueError(f"rate for {v!r} must be in [0, 100]")
+    rate: Column = F.lit(default_pct)
+    for v, p in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == v, F.lit(p)).otherwise(rate)
+    return df.filter(hash_bucket(F.col(id_col), salt) < rate)
+
+
+def token_repetition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Intra-document repetition diagnostics: distinct-token ratio and
+    the share of the single most frequent token -- the boilerplate /
+    degenerate-generation signal used to filter training text. Two
+    hash aggregations (explode -> (doc, token) counts -> per-doc fold);
+    only (doc_id, token, count) rows shuffle, never document bodies."""
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(text.tokens(F.lower(F.col(text_col)))).alias("_tok"),
+    )
+    counts = toks.groupBy(id_col, "_tok").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("_cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("_cnt").cast("long").alias("_top"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_distinct",
+        stable_round(
+            F.col("n_distinct") / F.col("n_tokens").cast("double"), 4
+        ).alias("distinct_ratio"),
+        stable_round(
+            F.col("_top") / F.col("n_tokens").cast("double"), 4
+        ).alias("top_token_share"),
+    )
+
+
 def length_histogram(
     df: DataFrame,
     text_col: str,

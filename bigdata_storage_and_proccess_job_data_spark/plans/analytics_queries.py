@@ -1056,3 +1056,83 @@ def null_skew_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
     return joins.null_skew_left_join(orders, customer, "custkey", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling (calendar densification)
+# ---------------------------------------------------------------------------
+@register(
+    "daily_activity_gapfill",
+    tags=("timeseries", "explode", "join"),
+    oracle="""
+        WITH d AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        span AS (
+          SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM d GROUP BY 1
+        ),
+        cal AS (
+          SELECT user_id,
+                 CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+          FROM span
+        )
+        SELECT c.user_id, c.day, COALESCE(d.n, 0) AS n_events
+        FROM cal c LEFT JOIN d ON c.user_id = d.user_id AND c.day = d.day
+    """,
+)
+def daily_activity_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: every day in each user's active span gets
+    a row, zero-filled where no events happened -- the gap-filling step
+    timeseries stores build in (and plain SQL lacks). sequence(lo, hi)
+    explodes per user (bounded by span days), then a left join back to
+    the daily counts; both sides shuffle on (user, day) only."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    return cal.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide -> long)
+# ---------------------------------------------------------------------------
+@register(
+    "part_measures_unpivot",
+    tags=("reshape",),
+    oracle="""
+        SELECT p_partkey, 'retailprice' AS measure,
+               CAST(p_retailprice AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value
+        FROM part
+    """,
+)
+def part_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape via the native unpivot operator (Expand node
+    -- one pass, no self-union re-scan like the SQL UNION ALL form the
+    oracle uses). Pivot's inverse, completing the reshape pair."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return part.unpivot(
+        ["p_partkey"], ["retailprice", "size"], "measure", "value"
+    )

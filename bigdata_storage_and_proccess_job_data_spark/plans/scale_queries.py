@@ -776,3 +776,80 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(F.transform(v, lambda x: F.abs(x))), 4
         ).alias("max_abs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus prep: per-source mixture rebalancing
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_mixture",
+    tags=("corpus", "filter"),
+    oracle="""
+        SELECT doc_id, source, lang
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 8))::BIGINT
+              % 100 <
+              CASE WHEN source = 'src0' THEN 100
+                   WHEN source = 'src1' THEN 60
+                   WHEN source = 'src2' THEN 10
+                   ELSE 40 END
+    """,
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalance (operators/corpus.py:mixture_sample):
+    keep 100% of src0, 60% of src1, 10% of src2, 40% of everything else
+    -- one deterministic md5-bucket filter with a CASE rate lookup, so
+    the mixture is reproducible across engines and runs and each
+    group's membership is monotone in its rate."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    return corpus.mixture_sample(
+        docs,
+        "doc_id",
+        "source",
+        {"src0": 100, "src1": 60, "src2": 10},
+        default_pct=40,
+        salt="mix1",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus prep: intra-document repetition diagnostics
+# ---------------------------------------------------------------------------
+@register(
+    "token_repetition",
+    tags=("corpus", "text", "agg"),
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({SQL_TOKENS_LOWER}) AS t FROM documents
+        ),
+        counts AS (
+          SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 MAX(c) AS top
+          FROM counts GROUP BY 1
+        )
+        SELECT doc_id, n_tokens, n_distinct,
+               {sql_round('CAST(n_distinct AS DOUBLE) / n_tokens', 4)}
+                 AS distinct_ratio,
+               {sql_round('CAST(top AS DOUBLE) / n_tokens', 4)}
+                 AS top_token_share
+        FROM per_doc
+    """,
+)
+def token_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition diagnostics (operators/corpus.py:token_repetition):
+    distinct-token ratio + most-frequent-token share per document -- the
+    boilerplate/degenerate-text filter signal. Explode feeds the first
+    hash agg map-side; only (doc_id, token, count) rows shuffle."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.token_repetition(docs, "doc_id", "text")

@@ -99,3 +99,34 @@ def test_length_histogram_buckets(spark):
     assert out[0] == (0, 2)    # 3 tokens and empty doc
     assert out[1] == (10, 1)   # 14 tokens
     assert out[20] == (200, 1)  # 500 tokens, capped bucket
+
+
+def test_mixture_sample_rates_and_reproducibility(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "id LONG, src STRING",
+    )
+    out = corpus.mixture_sample(df, "id", "src", {"a": 100, "b": 10}, 50, "s")
+    got = out.groupBy("src").count().collect()
+    by_src = {r.src: r["count"] for r in got}
+    assert by_src["a"] == 1000, "rate 100 keeps every row"
+    assert 60 <= by_src["b"] <= 140, f"rate 10 way off: {by_src['b']}"
+    again = corpus.mixture_sample(df, "id", "src", {"a": 100, "b": 10}, 50, "s")
+    assert sorted(r.id for r in out.collect()) == sorted(
+        r.id for r in again.collect()
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        corpus.mixture_sample(df, "id", "src", {"a": 200}, 50)
+
+
+def test_token_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here are different")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in corpus.token_repetition(df, "doc_id", "text").collect()}
+    assert out[1].n_tokens == 4 and out[1].n_distinct == 1
+    assert out[1].distinct_ratio == 0.25 and out[1].top_token_share == 1.0
+    assert out[2].n_distinct == 5 and out[2].top_token_share == 0.2

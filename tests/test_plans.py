@@ -136,3 +136,11 @@ def test_small_quantity_revenue_decorrelates(spark, oracle_sf_dir):
     # aggregate + join, never a per-row subquery or nested loop
     plan = _plan(spark, oracle_sf_dir, "small_quantity_revenue")
     assert "NestedLoop" not in plan
+
+
+def test_unpivot_is_single_pass_expand(spark, oracle_sf_dir):
+    """unpivot must plan as one Expand over one scan -- not the UNION ALL
+    double-scan the SQL oracle spells out."""
+    plan = _plan(spark, oracle_sf_dir, "part_measures_unpivot")
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1, plan
