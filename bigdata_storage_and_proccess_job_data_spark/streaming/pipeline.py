@@ -113,3 +113,32 @@ def memory_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_watermark: str,
+    right_watermark: str,
+    within: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join with an event-time interval condition -- the
+    impressions|X|clicks shape: match right rows whose timestamp falls in
+    [left_ts, left_ts + within]. BOTH sides need watermarks plus the time
+    bound: that is what lets the state store evict buffered rows (an
+    unconstrained stream-stream join would buffer both streams forever).
+    Outer modes emit the unmatched row only after the watermark proves no
+    match can still arrive -- Spark enforces the constraint; this builder
+    just makes it impossible to express the unbounded form."""
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, how)

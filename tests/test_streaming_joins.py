@@ -193,3 +193,62 @@ def test_salted_aggregation_equivalence(spark, sf_dir):
         .collect()
     }
     assert direct == phase2
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Impressions |X| clicks within 10 minutes: the canonical
+    stream-stream join. Both sides watermarked (state eviction), the
+    interval bound in the join condition, and the streaming result must
+    equal the same join run in batch."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    imp_schema = StructType(
+        [StructField("ad_id", LongType()), StructField("imp_ts_raw", StringType())]
+    )
+    clk_schema = StructType(
+        [StructField("ad_id", LongType()), StructField("clk_ts_raw", StringType())]
+    )
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    spark.createDataFrame(
+        [(1, "2024-05-01 10:00:00"), (2, "2024-05-01 10:00:00"),
+         (3, "2024-05-01 11:00:00")],
+        imp_schema,
+    ).coalesce(1).write.parquet(imp_dir)
+    spark.createDataFrame(
+        [(1, "2024-05-01 10:04:00"),   # within 10 min -> match
+         (2, "2024-05-01 10:20:00"),   # outside window -> no match
+         (3, "2024-05-01 10:59:00"),   # BEFORE the impression -> no match
+         (9, "2024-05-01 10:01:00")],  # unknown ad -> no match
+        clk_schema,
+    ).coalesce(1).write.parquet(clk_dir)
+
+    def prep(df, raw, out):
+        return df.withColumn(out, F.to_timestamp(raw)).drop(raw)
+
+    imp_s = prep(pipeline.file_stream(spark, imp_dir, imp_schema), "imp_ts_raw", "imp_ts")
+    clk_s = prep(pipeline.file_stream(spark, clk_dir, clk_schema), "clk_ts_raw", "clk_ts")
+    joined = pipeline.stream_stream_interval_join(
+        imp_s, clk_s, "ad_id", "imp_ts", "clk_ts",
+        "30 minutes", "30 minutes", "10 MINUTES",
+    ).select(imp_s["ad_id"].alias("ad_id"), "imp_ts", "clk_ts")
+
+    q = pipeline.memory_sink(joined, "ssjoin", output_mode="append")
+    q.awaitTermination(120)
+    got = {(r.ad_id, str(r.clk_ts)) for r in spark.sql("select * from ssjoin").collect()}
+    assert got == {(1, "2024-05-01 10:04:00")}
+
+    # batch equivalence: same condition on static frames
+    imp_b = prep(spark.read.parquet(imp_dir), "imp_ts_raw", "imp_ts")
+    clk_b = prep(spark.read.parquet(clk_dir), "clk_ts_raw", "clk_ts")
+    batch = imp_b.alias("i").join(
+        clk_b.alias("c"),
+        (F.col("i.ad_id") == F.col("c.ad_id"))
+        & (F.col("c.clk_ts") >= F.col("i.imp_ts"))
+        & (F.col("c.clk_ts") <= F.col("i.imp_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(F.col("i.ad_id"), "clk_ts")
+    assert {(r.ad_id, str(r.clk_ts)) for r in batch.collect()} == got
