@@ -1136,3 +1136,103 @@ def part_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.unpivot(
         ["p_partkey"], ["retailprice", "size"], "measure", "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (disjoint dimension margins in one pass)
+# ---------------------------------------------------------------------------
+@register(
+    "grouping_sets_mix",
+    tags=("agg", "rollup", "sql"),
+    oracle="""
+        SELECT c_mktsegment, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))
+    """,
+)
+def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS -- two disjoint margins (per-segment and
+    per-priority totals) from ONE Expand pass over one scan, where
+    rollup/cube would force the full lattice. Runs through the spark.sql
+    surface on registered views."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi join (EXISTS)
+# ---------------------------------------------------------------------------
+@register(
+    "urgent_customers_semi",
+    tags=("join", "semi"),
+    oracle="""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT'
+        )
+    """,
+)
+def urgent_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join: customers with at least one urgent
+    order, each emitted once no matter how many matches -- the semi
+    completes the join family (inner/left/anti/semi/asof/range). The
+    probe side never duplicates, so output is bounded by |customer|."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Window first/last/nth value (full-frame analytics)
+# ---------------------------------------------------------------------------
+@register(
+    "order_window_extremes",
+    tags=("window",),
+    oracle="""
+        SELECT DISTINCT o_custkey,
+               first_value(o_totalprice) OVER w AS first_price,
+               last_value(o_totalprice)  OVER w AS last_price,
+               nth_value(o_totalprice, 3) OVER w AS third_price
+        FROM orders
+        WINDOW w AS (
+          PARTITION BY o_custkey
+          ORDER BY o_orderdate ASC, o_orderkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
+)
+def order_window_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over the FULL partition frame: each
+    customer's first, latest, and third-ever order price in one window
+    pass. The explicit UNBOUNDED FOLLOWING frame matters -- the default
+    frame ends at CURRENT ROW, where last_value degenerates to the row
+    itself (a classic silent-wrong-answer; both engines agree only with
+    the frame spelled out)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
+    ).distinct()

@@ -144,3 +144,10 @@ def test_unpivot_is_single_pass_expand(spark, oracle_sf_dir):
     plan = _plan(spark, oracle_sf_dir, "part_measures_unpivot")
     assert "Expand" in plan
     assert plan.count("FileScan") == 1, plan
+
+
+def test_semi_join_and_grouping_sets_shapes(spark, oracle_sf_dir):
+    plan = _plan(spark, oracle_sf_dir, "urgent_customers_semi")
+    assert "LeftSemi" in plan
+    plan = _plan(spark, oracle_sf_dir, "grouping_sets_mix")
+    assert plan.count("Expand") == 1 and "Union" not in plan
