@@ -519,18 +519,69 @@ def word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Near-dup clusters: transitive closure over the minhash pair graph
 # ---------------------------------------------------------------------------
-@register("neardup_clusters", tags=("dedup", "graph", "join"))
+@register(
+    "neardup_clusters",
+    tags=("dedup", "graph", "join"),
+    # Value-checked via a RECURSIVE CTE: the LSH pair set equals the
+    # exact >= 0.9 Jaccard pair set (same verify+banding argument as
+    # minhash_near_dups, stronger at 0.9: per-pair miss (1-.9^4)^16 ~=
+    # 5e-7), and component-of-min-reachable-id is engine-agnostic, so
+    # DuckDB's transitive closure reproduces the distributed label
+    # propagation exactly.
+    oracle=r"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks)),
+                                              i -> toks[i] || ' ' || toks[i+1]))
+                 AS shingles
+          FROM t WHERE len(toks) >= 2
+        ),
+        inv AS (
+          SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle
+          FROM sh
+        ),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+                 COUNT(*) AS n_inter
+          FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM p
+          WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.9
+        ),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+          SELECT a AS node, a AS lbl FROM edges
+          UNION
+          SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+        )
+        SELECT node AS id, CAST(MIN(lbl) AS BIGINT) AS component
+        FROM reach GROUP BY node ORDER BY id
+    """,
+)
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering end-to-end: MinHash-LSH verified pairs
     (operators/neardup.py:minhash_dedup_pairs) -> distributed min-label
     propagation (connected_components) -> (id, component) cluster
-    assignment, component = min doc_id of the cluster. Rows-only (the
-    signature family is not SQL-expressible); exact-dup subsets proven
-    fully merged in tests/test_neardup.py."""
+    assignment, component = min doc_id of the cluster. Value-checked:
+    the oracle rebuilds the exact pair graph in SQL and takes its
+    transitive closure with a recursive CTE (r1 ran this rows-only);
+    exact-dup subsets also proven fully merged in
+    tests/test_neardup.py."""
     from bigdata_storage_and_proccess_job_data_spark.operators import neardup
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = neardup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.9)
+    pairs = neardup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.9, num_hashes=64, bands=16
+    )
     return neardup.connected_components(pairs, "id_a", "id_b").orderBy("id")
 
 
