@@ -904,3 +904,106 @@ def token_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return corpus.token_repetition(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Corpus prep: the full C4-style filter chain in one pass
+# ---------------------------------------------------------------------------
+@register(
+    "clean_corpus",
+    tags=("corpus", "text", "dedup", "window"),
+    oracle=f"""
+        WITH q AS (
+          SELECT doc_id, source,
+                 0.4 * least(1.0, CAST(len({SQL_TOKENS}) AS DOUBLE) / 50.0)
+                   + 0.4 * ({_ALPHA}) + 0.2 * (1.0 - ({_PUNCT})) AS quality,
+                 {_LANG_SQL} AS lang_pred,
+                 MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+                   AS keeper
+          FROM documents
+        )
+        SELECT doc_id, source, {sql_round('quality', 4)} AS quality
+        FROM q
+        WHERE quality >= 0.5 AND lang_pred = 'en' AND doc_id = keeper
+    """,
+)
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data filter chain composed end-to-end in ONE pass:
+    quality >= 0.5 (functions/text.py:quality_score) AND predicted
+    English (lang_id) AND exact-dup keeper (min doc_id per normalized
+    content hash, a window over md5 -- no self-join). Everything is
+    codegen expressions over a single scan + one hash-partition exchange
+    for the dedup window; at 100 TB this chain is one shuffle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keeper = F.min("doc_id").over(
+        Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        text.quality_score("text").alias("quality"),
+        text.lang_id("text").alias("lang_pred"),
+        keeper.alias("keeper"),
+    )
+    return scored.filter(
+        (F.col("quality") >= 0.5)
+        & (F.col("lang_pred") == "en")
+        & (F.col("doc_id") == F.col("keeper"))
+    ).select("doc_id", "source", stable_round(F.col("quality"), 4).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus prep: decontaminated training set (anti-join over the leak scan)
+# ---------------------------------------------------------------------------
+@register(
+    "decontaminated_train",
+    tags=("corpus", "join", "anti"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, {SQL_TOKENS_LOWER} AS t FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(t) - 3),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                        t[i+3] || ' ' || t[i+4])) AS shingles
+          FROM toks WHERE len(t) >= 5
+        ),
+        inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        contaminated AS (
+          SELECT t.doc_id
+          FROM (SELECT * FROM inv WHERE doc_id % 20 <> 0) t
+          JOIN (SELECT * FROM inv WHERE doc_id % 20 = 0) b
+            ON t.shingle = b.shingle
+          GROUP BY t.doc_id, b.doc_id
+          HAVING COUNT(*) >= 3
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d
+        WHERE d.doc_id % 20 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def decontaminated_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination check closed end-to-end: train docs that share >= 3
+    distinct 5-gram shingles with any benchmark doc are REMOVED via a
+    left-anti join on the contaminated-id set -- the step that actually
+    protects the eval. The contaminated set is tiny relative to the
+    corpus, so the anti-join probe side broadcasts at scale."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    contaminated = (
+        corpus.contamination_pairs(
+            train, bench, "doc_id", "text", ngram=5, min_shared=3
+        )
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    return train.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "lang"
+    )

@@ -1,0 +1,127 @@
+"""End-to-end training-corpus prep demo: the operators/corpus.py +
+dedup/similarity suite composed the way a data-engineering team would run
+it nightly over a raw document lake:
+
+  1. load raw documents (the driver parquet stands in for the lake)
+  2. scrub PII (redact emails/phones, keep removal counts)
+  3. drop exact duplicates (normalized-content hash, min-id keeper)
+  4. drop near-duplicates (MinHash-LSH candidates + exact Jaccard
+     verify -> connected components -> keep each cluster's min id)
+  5. decontaminate against a benchmark split (5-gram shingle overlap)
+  6. quality/language filter (C4-style chain)
+  7. rebalance the source mixture (deterministic md5 buckets)
+  8. chunk into 64-token windows with 16-token overlap
+  9. land the chunks z-ordered by (source bucket, length) for skipping
+
+Run:  python examples/corpus_pipeline.py   (reads sf0.001, ~60 s)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bigdata_storage_and_proccess_job_data_spark.catalog import load_table  # noqa: E402
+from bigdata_storage_and_proccess_job_data_spark.functions import text  # noqa: E402
+from bigdata_storage_and_proccess_job_data_spark.operators import (  # noqa: E402
+    corpus,
+    neardup,
+)
+from bigdata_storage_and_proccess_job_data_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark(app_name="corpus-pipeline-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = tempfile.mkdtemp(prefix="corpus_demo_")
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n0 = docs.count()
+
+    # 2. PII scrub (text fixture has none -- counts prove it)
+    scrubbed = corpus.scrub_pii(docs, "doc_id", "text")
+    pii = scrubbed.agg(
+        F.sum("n_emails").alias("e"), F.sum("n_phones").alias("p")
+    ).first()
+    docs = docs.join(
+        scrubbed.select("doc_id", "clean_text"), "doc_id"
+    ).select("doc_id", F.col("clean_text").alias("text"), "lang", "source")
+
+    # 3. exact dedup: keep the min doc_id per normalized content
+    from pyspark.sql import Window
+
+    keeper = F.min("doc_id").over(
+        Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
+    )
+    docs = docs.withColumn("_keep", keeper).filter(
+        F.col("doc_id") == F.col("_keep")
+    ).drop("_keep")
+    n_exact = docs.count()
+
+    # 4. near-dup dedup: verified pairs -> components -> keep cluster min
+    pairs = neardup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16
+    )
+    clusters = neardup.connected_components(pairs, "id_a", "id_b")
+    losers = clusters.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    docs = docs.join(losers, "doc_id", "left_anti")
+    n_near = docs.count()
+
+    # 5. decontaminate vs a benchmark split (doc_id % 20 == 0 stands in)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    contaminated = (
+        corpus.contamination_pairs(
+            train, bench, "doc_id", "text", ngram=5, min_shared=3
+        )
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    docs = train.join(contaminated, "doc_id", "left_anti")
+    n_decon = docs.count()
+
+    # 6. quality + language filter
+    docs = docs.withColumn("quality", text.quality_score("text")).filter(
+        (F.col("quality") >= 0.5) & (text.lang_id("text") == "en")
+    )
+    n_clean = docs.count()
+
+    # 7. mixture rebalance: keep all of src0/src1, half of the rest
+    docs = corpus.mixture_sample(
+        docs, "doc_id", "source", {"src0": 100, "src1": 100}, 50, "demo"
+    )
+    n_mix = docs.count()
+
+    # 8. chunk for the context window
+    chunks = corpus.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, overlap=16
+    )
+
+    # 9. land z-ordered by (doc, chunk length) for two-dim skipping
+    from bigdata_storage_and_proccess_job_data_spark.functions import zorder
+
+    zorder.write_zordered(
+        chunks, f"{out_dir}/chunks", ["doc_id", "n_tokens"], n_files=4
+    )
+    n_chunks = spark.read.parquet(f"{out_dir}/chunks").count()
+
+    print(
+        f"raw={n0} pii(emails={pii.e},phones={pii.p}) exact_dedup={n_exact} "
+        f"near_dedup={n_near} decontaminated={n_decon} clean={n_clean} "
+        f"mixed={n_mix} chunks={n_chunks} -> {out_dir}/chunks"
+    )
+    assert n0 >= n_exact >= n_near >= n_decon >= n_clean >= n_mix > 0
+    assert n_chunks >= n_mix
+
+
+if __name__ == "__main__":
+    main()
