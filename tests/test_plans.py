@@ -151,3 +151,26 @@ def test_semi_join_and_grouping_sets_shapes(spark, oracle_sf_dir):
     assert "LeftSemi" in plan
     plan = _plan(spark, oracle_sf_dir, "grouping_sets_mix")
     assert plan.count("Expand") == 1 and "Union" not in plan
+
+
+def test_no_scale_antipatterns_anywhere(spark, oracle_sf_dir):
+    """Global plan hygiene: NO registry query may plan a nested-loop
+    join, a cartesian product, or row-at-a-time Python (BatchEvalPython)
+    -- the three shapes that do not survive a 100x scale-up. Arrow paths
+    (MapInPandas/ArrowEvalPython) are fine. Documented exemptions:
+    knn_brute_force IS the broadcast exact-scoring baseline, and
+    impute_mean attaches a ONE-ROW broadcast scalar (O(n x 1))."""
+    exempt = {"knn_brute_force", "impute_mean"}
+    bad_shapes = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
+    hits = []
+    for name, qd in QS.items():
+        if name in exempt:
+            continue
+        plan = (
+            qd.fn(spark, oracle_sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        hits.extend(f"{name}:{b}" for b in bad_shapes if b in plan)
+    assert not hits, hits
