@@ -220,3 +220,44 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    preserve_order_by: list[str] | None = None,
+) -> tuple[int, int, int]:
+    """Small-file compaction: rewrite a parquet dir whose file count has
+    drifted (streaming appends, per-batch upserts -- the classic lake
+    disease: a 128 MB dataset in 4,000 x 32 KB files costs 4,000 scan
+    tasks and 4,000 footer reads) into ~target-sized files, COMMITTED as
+    a versioned snapshot so concurrent readers never see a half-rewritten
+    dir. Returns (files_before, files_after, committed_version).
+
+    File count is chosen from on-disk bytes / target (>= 1), a plain
+    ``coalesce`` (no shuffle) unless ``preserve_order_by`` asks for a
+    re-cluster, in which case the rewrite also restores range layout
+    (repartitionByRange + in-file sort -- one shuffle, same as
+    write_clustered)."""
+    import glob
+    import os
+
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    files = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    if preserve_order_by:
+        df = df.repartitionByRange(n_out, *preserve_order_by).sortWithinPartitions(
+            *preserve_order_by
+        )
+    else:
+        df = df.coalesce(n_out)
+    v = versioned.commit_version(df, table_dir)
+    return len(files), n_out, v

@@ -309,3 +309,34 @@ def test_csv_ingest_explicit_schema_and_pushdown(spark, sf_dir, tmp_path):
     assert "PushedFilters: [" in plan and "n_regionkey" in plan.split(
         "PushedFilters"
     )[1].split("]")[0]
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """4000-file disease -> a handful of target-sized files, committed as
+    a versioned snapshot with identical content."""
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    src = str(tmp_path / "fragmented")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    orders.repartition(64).write.parquet(src)  # 64 tiny files
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) >= 32
+
+    table = str(tmp_path / "compacted")
+    before, after, v = lake.compact_small_files(
+        spark, src, table, target_file_bytes=512 * 1024
+    )
+    assert before >= 32 and after < before and v == 1
+
+    got = versioned.read_version(spark, table)
+    import pathlib
+
+    n_files = len(list(pathlib.Path(table, "v=1").glob("*.parquet")))
+    assert n_files == after
+    assert got.count() == orders.count()
+    assert {r.o_orderkey for r in got.collect()} == {
+        r.o_orderkey for r in orders.collect()
+    }
