@@ -92,3 +92,25 @@ def global_sum(df: DataFrame, col: str, alias: str = "total") -> DataFrame:
     """Whole-table sum -- the DataFrame form of the reference's RDD
     map/reduce demo (k8s/job.py:24-35, SURVEY.md A8)."""
     return df.agg(F.sum(col).alias(alias))
+
+
+def expectation_report(
+    df: DataFrame,
+    checks: dict[str, Column],
+    extra_aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Data-quality expectations as ONE aggregation pass: each check is a
+    boolean Column evaluated per row; the report is one row of violation
+    counts (sum of failures per rule) plus the row total -- the
+    dbt-test / Deequ shape without a framework. ``extra_aggs`` lets
+    whole-table rules (key uniqueness = count - count_distinct) ride the
+    SAME pass. At 100 TB this is a single scan with a partial+final agg,
+    never N per-rule scans."""
+    aggs = [
+        F.sum(F.when(~cond, 1).otherwise(0)).cast("long").alias(name)
+        for name, cond in checks.items()
+    ]
+    aggs += [
+        expr.alias(name) for name, expr in (extra_aggs or {}).items()
+    ]
+    return df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"), *aggs)

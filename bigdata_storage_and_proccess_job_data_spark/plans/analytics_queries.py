@@ -1236,3 +1236,49 @@ def order_window_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations (single-pass violation report)
+# ---------------------------------------------------------------------------
+@register(
+    "dq_orders_report",
+    tags=("agg", "quality"),
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS null_custkey,
+               CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+                 AS nonpositive_price,
+               CAST(SUM(CASE WHEN o_orderdate BETWEEN DATE '1990-01-01'
+                                  AND DATE '2000-12-31' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS date_out_of_range,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                 AS duplicate_keys
+        FROM orders
+    """,
+)
+def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (operators/aggregates.py:expectation_report):
+    null FK, non-positive amounts, out-of-range dates, duplicate keys --
+    ALL rules in one partial+final aggregation pass over one scan (the
+    dbt-test/Deequ shape without N per-rule scans). Key uniqueness rides
+    the same pass via extra_aggs (count - count_distinct)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    orders = load_table(spark, sf_dir, "orders")
+    return aggregates.expectation_report(
+        orders,
+        {
+            "null_custkey": F.col("o_custkey").isNotNull(),
+            "nonpositive_price": F.col("o_totalprice") > 0,
+            "date_out_of_range": F.col("o_orderdate").between(
+                "1990-01-01", "2000-12-31"
+            ),
+        },
+        extra_aggs={
+            "duplicate_keys": (
+                F.count(F.lit(1)) - F.count_distinct("o_orderkey")
+            ).cast("long")
+        },
+    )

@@ -261,3 +261,52 @@ def compact_small_files(
         df = df.coalesce(n_out)
     v = versioned.commit_version(df, table_dir)
     return len(files), n_out, v
+
+
+def read_resilient(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Read a lake dir SKIPPING corrupt/truncated files instead of
+    failing the whole job -- at 100 TB some file is always half-written
+    by a crashed task or torn by an object-store race. Scope the option
+    to this read (DataFrameReader option, not the session-wide conf) so
+    correctness-critical reads elsewhere still fail loudly."""
+    return (
+        spark.read.option("ignoreCorruptFiles", "true").format(fmt).load(path)
+    )
+
+
+def evolve_append(
+    spark: SparkSession, df: DataFrame, path: str
+) -> None:
+    """Schema-EVOLVING append: additive, nullable-safe column changes are
+    allowed (new columns backfill as null on old rows; missing columns
+    write as null), anything else still raises SchemaMismatchError --
+    the middle ground between upsert_by_key's strict mode and silent
+    drift. Readers must use read_evolved (mergeSchema) to see the union
+    schema."""
+    import os
+
+    if os.path.isdir(path) and any(
+        n.endswith(".parquet") for n in os.listdir(path)
+    ):
+        existing = {
+            f.name: f.dataType for f in spark.read.parquet(path).schema
+        }
+        incoming = {f.name: f.dataType for f in df.schema}
+        conflicts = sorted(
+            f"{n}: {existing[n]} -> {incoming[n]}"
+            for n in set(existing) & set(incoming)
+            if existing[n] != incoming[n]
+        )
+        if conflicts:
+            raise SchemaMismatchError(
+                f"append to {path} RETYPES existing columns: {conflicts}"
+            )
+    df.write.mode("append").option("mergeSchema", "true").parquet(path)
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Union-schema read over an evolved log (mergeSchema reconciles the
+    per-file footers; absent columns are null)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -340,3 +340,43 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     assert {r.o_orderkey for r in got.collect()} == {
         r.o_orderkey for r in orders.collect()
     }
+
+
+def test_read_resilient_skips_corrupt_files(spark, sf_dir, tmp_path):
+    """A half-written/garbage file in the dir must not kill the read --
+    and the strict read must still fail loudly."""
+    import pytest
+
+    path = str(tmp_path / "lake_with_garbage")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.coalesce(1).write.parquet(path)
+    with open(f"{path}/part-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not really parquet")
+
+    with pytest.raises(Exception):
+        spark.read.parquet(path).count()  # strict read fails
+    got = lake.read_resilient(spark, path)
+    assert got.count() == nation.count()
+
+
+def test_evolve_append_additive_only(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id LONG, val STRING")
+    lake.evolve_append(spark, v1, path)
+    # additive: new column ok, old rows read as null
+    v2 = spark.createDataFrame(
+        [(2, "b", 9.5)], "id LONG, val STRING, score DOUBLE"
+    )
+    lake.evolve_append(spark, v2, path)
+    got = {r.id: (r.val, r.score) for r in lake.read_evolved(spark, path).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+    # missing column also ok (writes null)
+    v3 = spark.createDataFrame([(3, "c")], "id LONG, val STRING")
+    lake.evolve_append(spark, v3, path)
+    assert lake.read_evolved(spark, path).count() == 3
+    # retype is still rejected
+    bad = spark.createDataFrame([(4, 7)], "id LONG, val LONG")
+    with pytest.raises(lake.SchemaMismatchError, match="RETYPES"):
+        lake.evolve_append(spark, bad, path)
