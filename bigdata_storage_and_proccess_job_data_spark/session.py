@@ -63,4 +63,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    # externally-built sessions default to 200 shuffle partitions; on this
+    # harness that's 6x the cores -- AQE coalesces most of it, but the
+    # iterative operators (connected components) pay per-round scheduling
+    # for empty partitions. Runtime-settable, so align with get_spark.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
+    )
     return spark
