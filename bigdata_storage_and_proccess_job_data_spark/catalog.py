@@ -43,19 +43,23 @@ def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     Narrowness is estimated from filesystem metadata the same way
     FilePartition planning does (file count + bytes/maxPartitionBytes) --
     no ``df.rdd`` probe, which would be a per-load plan-to-RDD conversion
-    on the driver (VERDICT r1 minor #2)."""
-    import glob
+    on the driver (VERDICT r1 minor #2). Non-local paths (s3://, ...)
+    are left alone: the lake's own file splits provide scan parallelism
+    there, and an unconditional repartition would add a full shuffle."""
+    from bigdata_storage_and_proccess_job_data_spark.sources.lake import (
+        local_dir_stats,
+        parse_byte_conf,
+    )
 
     parallelism = min(spark.sparkContext.defaultParallelism, 16)
-    files = (
-        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        if os.path.isdir(path)
-        else [path]
+    stats = local_dir_stats(path)
+    if stats is None:
+        return df
+    n_files, total = stats
+    max_bytes = parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
     )
-    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    max_bytes = int("".join(c for c in str(raw) if c.isdigit()) or "134217728")
-    total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
-    splits = max(len(files), -(-total // max_bytes))
+    splits = max(n_files, -(-total // max_bytes))
     if splits < parallelism:
         return df.repartition(parallelism)
     return df

@@ -105,9 +105,15 @@ def expectation_report(
     dbt-test / Deequ shape without a framework. ``extra_aggs`` lets
     whole-table rules (key uniqueness = count - count_distinct) ride the
     SAME pass. At 100 TB this is a single scan with a partial+final agg,
-    never N per-rule scans."""
+    never N per-rule scans.
+
+    NULL semantics: a check that evaluates to NULL (e.g. ``price > 0``
+    on a NULL price) counts as a VIOLATION -- expectations are
+    must-prove-true, and `when(cond, 0).otherwise(1)` encodes that; the
+    inverted `when(~cond, 1).otherwise(0)` would silently PASS null rows
+    (the three-valued-logic trap)."""
     aggs = [
-        F.sum(F.when(~cond, 1).otherwise(0)).cast("long").alias(name)
+        F.sum(F.when(cond, 0).otherwise(1)).cast("long").alias(name)
         for name, cond in checks.items()
     ]
     aggs += [

@@ -191,6 +191,21 @@ def signature_expr(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _check_dim(df: DataFrame, vec_col: str, dim: int) -> None:
+    """One-row probe asserting the data's real dimension matches the
+    hyperplane dimension. Without it a mismatch is SILENT and
+    catastrophic: zip_with pads with nulls, every dot folds to null,
+    every sign bit goes 0, all vectors land in one bucket per table, and
+    the 'bucketed' join degenerates to the all-pairs product it exists
+    to avoid."""
+    row = df.select(F.size(vectors.as_double(vec_col)).alias("d")).first()
+    if row is not None and row.d != dim:
+        raise ValueError(
+            f"{vec_col} has dimension {row.d}, hyperplanes built for {dim}; "
+            "pass dim= matching the data"
+        )
+
+
 def _bucket_array(vec: Column, tables: list[list[list[float]]]) -> Column:
     """array<struct<table:int, bucket:bigint>> -- one LSH bucket per table."""
     return F.array(
@@ -226,6 +241,7 @@ def lsh_topk(
     equi-join shuffles (table, bucket, id) keys instead of replicating
     the corpus per query.
     """
+    _check_dim(corpus, vec_col, dim)
     tables = [
         hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
@@ -297,6 +313,7 @@ def cosine_neardup_pairs(
     holds because of it. At higher corpus scale, raise n_planes (bucket
     selectivity) and n_tables (recall) together.
     """
+    _check_dim(corpus, vec_col, dim)
     tables = [
         hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]

@@ -16,8 +16,18 @@ from bigdata_storage_and_proccess_job_data_spark.operators import dedup
 from bigdata_storage_and_proccess_job_data_spark.plans.registry import register
 
 # SQL mirrors of functions/text.py expressions (DuckDB dialect).
-SQL_TOKENS = r"string_split_regex(trim(text), '\s+')"
-SQL_TOKENS_LOWER = r"string_split_regex(lower(trim(text)), '\s+')"
+# The CASE guard mirrors text.tokens' empty-string rule: Spark maps ''
+# to [], but DuckDB's string_split_regex('') yields [''] (len 1) -- on a
+# corpus with a blank/whitespace-only doc the unguarded form diverges on
+# every token-count-derived value.
+SQL_TOKENS = (
+    r"CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    r"ELSE string_split_regex(trim(text), '\s+') END"
+)
+SQL_TOKENS_LOWER = (
+    r"CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    r"ELSE string_split_regex(lower(trim(text)), '\s+') END"
+)
 SQL_BPE = r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')"
 
 

@@ -222,6 +222,44 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def local_dir_stats(path: str) -> tuple[int, int] | None:
+    """(n_parquet_files, total_bytes) for a LOCAL file or dir, or None
+    when the path isn't local (s3://, hdfs:// -- callers should then
+    trust the scan's own file-split planning). Shared by
+    catalog._spread's narrowness estimate and compact_small_files."""
+    import glob
+    import os
+
+    if os.path.isfile(path):
+        return 1, os.path.getsize(path)
+    if os.path.isdir(path):
+        files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        return len(files), sum(
+            os.path.getsize(f) for f in files if os.path.exists(f)
+        )
+    return None
+
+
+def parse_byte_conf(raw: str | int, default: int = 128 * 1024 * 1024) -> int:
+    """Parse a Spark byte conf value ('134217728b', '128m', '1g', plain
+    int). Digit-stripping alone would read '128m' as 128 BYTES and wreck
+    any estimate built on it."""
+    if isinstance(raw, int):
+        return raw
+    s = str(raw).strip().lower()
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "b": 1}
+    num, mult = s, 1
+    # longest recognized suffix first ('kb' before 'b')
+    for suf in ("kb", "mb", "gb", "tb", "k", "m", "g", "t", "b"):
+        if s.endswith(suf):
+            num, mult = s[: -len(suf)], units[suf[0]]
+            break
+    try:
+        return int(float(num) * mult)
+    except ValueError:
+        return default
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,
@@ -241,16 +279,12 @@ def compact_small_files(
     re-cluster, in which case the rewrite also restores range layout
     (repartitionByRange + in-file sort -- one shuffle, same as
     write_clustered)."""
-    import glob
-    import os
-
     from bigdata_storage_and_proccess_job_data_spark.sources import versioned
 
-    files = [
-        f
-        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-    ]
-    total = sum(os.path.getsize(f) for f in files)
+    stats = local_dir_stats(path)
+    if stats is None:
+        raise ValueError(f"{path}: not a local path; compute stats lake-side")
+    n_files, total = stats
     n_out = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(path)
     if preserve_order_by:
@@ -260,7 +294,7 @@ def compact_small_files(
     else:
         df = df.coalesce(n_out)
     v = versioned.commit_version(df, table_dir)
-    return len(files), n_out, v
+    return n_files, n_out, v
 
 
 def read_resilient(
@@ -290,8 +324,13 @@ def evolve_append(
     if os.path.isdir(path) and any(
         n.endswith(".parquet") for n in os.listdir(path)
     ):
+        # guard against the UNION schema (mergeSchema), not one arbitrary
+        # file footer: after a prior evolution, a plain read may infer
+        # from an old file that lacks the evolved column, the conflict
+        # set would come up empty, and a retyping append would poison
+        # every subsequent mergeSchema read instead of being rejected
         existing = {
-            f.name: f.dataType for f in spark.read.parquet(path).schema
+            f.name: f.dataType for f in read_evolved(spark, path).schema
         }
         incoming = {f.name: f.dataType for f in df.schema}
         conflicts = sorted(

@@ -145,19 +145,26 @@ def apply_changes(
     expressed as immutable snapshots + one anti-join -- the
     copy-on-write MERGE shape, which at 100 TB pairs with partition
     pruning so only touched partitions rewrite."""
-    ops = {r[0] for r in changes.select(op_col).distinct().collect()}
-    bad = ops - {"upsert", "delete"}
-    if bad:
-        raise ValueError(f"unknown {op_col} values: {sorted(bad)}")
-    upserts = changes.filter(F.col(op_col) == "upsert").drop(op_col)
-    if current_version(table_dir) is None:
-        return commit_version(upserts, table_dir, expected=expected)
-    base = read_version(spark, table_dir)
-    touched = changes.select(F.col(key)).distinct()
-    survivors = base.join(touched, key, "left_anti")
-    return commit_version(
-        survivors.unionByName(upserts), table_dir, expected=expected
-    )
+    # the batch is read three times (op validation, upsert slice,
+    # touched-key set) -- persist once so the lineage isn't re-evaluated
+    # per use; a change batch is small relative to the table by nature
+    changes = changes.persist()
+    try:
+        ops = {r[0] for r in changes.select(op_col).distinct().collect()}
+        bad = ops - {"upsert", "delete"}
+        if bad:
+            raise ValueError(f"unknown {op_col} values: {sorted(bad)}")
+        upserts = changes.filter(F.col(op_col) == "upsert").drop(op_col)
+        if current_version(table_dir) is None:
+            return commit_version(upserts, table_dir, expected=expected)
+        base = read_version(spark, table_dir)
+        touched = changes.select(F.col(key)).distinct()
+        survivors = base.join(touched, key, "left_anti")
+        return commit_version(
+            survivors.unionByName(upserts), table_dir, expected=expected
+        )
+    finally:
+        changes.unpersist()
 
 
 def compact_log_versioned(

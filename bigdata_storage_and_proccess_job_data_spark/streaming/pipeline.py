@@ -139,6 +139,10 @@ def stream_stream_interval_join(
     cond = (
         (lw[key] == rw[key])
         & (rw[right_ts] >= lw[left_ts])
-        & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {within}"))
+        # bound built from the frame-qualified column + a bare INTERVAL
+        # literal: an f-string'd `expr("ts + INTERVAL ...")` would be
+        # ambiguous whenever both streams name their event-time column
+        # the same (the canonical case)
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond, how)

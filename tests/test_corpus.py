@@ -130,3 +130,17 @@ def test_token_repetition_signals(spark):
     assert out[1].n_tokens == 4 and out[1].n_distinct == 1
     assert out[1].distinct_ratio == 0.25 and out[1].top_token_share == 1.0
     assert out[2].n_distinct == 5 and out[2].top_token_share == 0.2
+
+
+def test_expectation_report_null_counts_as_violation(spark):
+    """Three-valued-logic trap: a NULL-evaluating check must COUNT as a
+    violation (when(cond,0).otherwise(1)), not silently pass."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "id LONG, price DOUBLE"
+    )
+    r = aggregates.expectation_report(
+        df, {"positive_price": F.col("price") > 0}
+    ).first()
+    assert r.n_rows == 3 and r.positive_price == 2  # NULL and -5 both fail

@@ -380,3 +380,27 @@ def test_evolve_append_additive_only(spark, tmp_path):
     bad = spark.createDataFrame([(4, 7)], "id LONG, val LONG")
     with pytest.raises(lake.SchemaMismatchError, match="RETYPES"):
         lake.evolve_append(spark, bad, path)
+
+
+def test_evolve_append_guards_union_schema(spark, tmp_path):
+    """The retype guard must compare against the UNION (mergeSchema)
+    schema: retyping a column added in a PRIOR evolution is rejected even
+    if some old file footer lacks it."""
+    import pytest
+
+    path = str(tmp_path / "evolve_union_guard")
+    lake.evolve_append(
+        spark, spark.createDataFrame([(1, "a")], "id LONG, val STRING"), path
+    )
+    lake.evolve_append(
+        spark,
+        spark.createDataFrame([(2, "b", 1.5)], "id LONG, val STRING, score DOUBLE"),
+        path,
+    )
+    retyped = spark.createDataFrame(
+        [(3, "c", "oops")], "id LONG, val STRING, score STRING"
+    )
+    with pytest.raises(lake.SchemaMismatchError, match="score"):
+        lake.evolve_append(spark, retyped, path)
+    # the dir is still readable (the poison write never landed)
+    assert lake.read_evolved(spark, path).count() == 2

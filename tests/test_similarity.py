@@ -149,3 +149,17 @@ def test_ivf_cells_as_partition_key_prune_scan(spark, oracle_sf_dir, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "cell" in pf, plan[:1500]
+
+
+def test_lsh_paths_reject_dim_mismatch(spark):
+    """A dim= that doesn't match the data must raise, not silently put
+    every vector in one bucket (all-pairs blowup)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 128), (2, [0.2] * 128)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="dimension 128"):
+        similarity.cosine_neardup_pairs(df, dim=64)
+    with pytest.raises(ValueError, match="dimension 128"):
+        similarity.lsh_topk(df, df, dim=64)

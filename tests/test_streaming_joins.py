@@ -252,3 +252,25 @@ def test_stream_stream_interval_join(spark, tmp_path):
         & (F.col("c.clk_ts") <= F.col("i.imp_ts") + F.expr("INTERVAL 10 MINUTES")),
     ).select(F.col("i.ad_id"), "clk_ts")
     assert {(r.ad_id, str(r.clk_ts)) for r in batch.collect()} == got
+
+
+def test_stream_stream_join_same_ts_name_analyzes(spark, tmp_path):
+    """Both streams naming their event-time column 'ts' (the canonical
+    case) must analyze cleanly -- the interval bound is built from the
+    frame-qualified column, not an ambiguous expr string."""
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("ts", TimestampType())]
+    )
+    d1, d2 = str(tmp_path / "l"), str(tmp_path / "r")
+    empty = spark.createDataFrame([], schema)
+    empty.write.parquet(d1)
+    empty.write.parquet(d2)
+    left = pipeline.file_stream(spark, d1, schema)
+    right = pipeline.file_stream(spark, d2, schema)
+    joined = pipeline.stream_stream_interval_join(
+        left, right, "k", "ts", "ts",
+        "10 minutes", "10 minutes", "5 MINUTES",
+    )
+    _ = joined.schema  # forces analysis; ambiguous refs raise here
