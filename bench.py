@@ -56,6 +56,36 @@ def main() -> None:
         .save()
     )
 
+    def scan_rows(df) -> int:
+        """numOutputRows summed over the file scans of the EXECUTED plan
+        -- rows that survived pushdown/pruning, the scale-behavior figure
+        timings alone can't show. AQE wraps the tree (AdaptiveSparkPlan /
+        QueryStageExec), so the walk descends into the materialized
+        stages; plain collectLeaves() would see un-executed copies."""
+
+        def walk(node, acc: list) -> None:
+            name = node.getClass().getSimpleName()
+            if name == "AdaptiveSparkPlanExec":
+                walk(node.executedPlan(), acc)
+                return
+            if name.endswith("QueryStageExec"):
+                walk(node.plan(), acc)
+                return
+            if "ScanExec" in name:
+                m = node.metrics()
+                if m.contains("numOutputRows"):
+                    acc.append(m.apply("numOutputRows").value())
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i), acc)
+
+        try:
+            acc: list = []
+            walk(df._jdf.queryExecution().executedPlan(), acc)
+            return int(sum(acc))
+        except Exception:
+            return -1  # metrics are best-effort; never fail the bench
+
     heads = registry.headline_queries()
     samples: dict[str, list[float]] = {name: [] for name in heads}
     for _ in range(max(1, iters)):
@@ -64,6 +94,14 @@ def main() -> None:
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+
+    # untimed metrics pass: a noop WRITE runs its own query execution, so
+    # scan metrics only populate on a DataFrame-owned action (collect)
+    rows_read: dict[str, int] = {}
+    for name, qd in heads.items():
+        df = qd.fn(spark, sf_dir)
+        df.collect()
+        rows_read[name] = scan_rows(df)
 
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
@@ -81,6 +119,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "rows_read": rows_read,
                 "sf": sf_num,
                 "iters": max(1, iters),
                 "spread": round(
