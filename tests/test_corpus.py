@@ -144,3 +144,43 @@ def test_expectation_report_null_counts_as_violation(spark):
         df, {"positive_price": F.col("price") > 0}
     ).first()
     assert r.n_rows == 3 and r.positive_price == 2  # NULL and -5 both fail
+
+
+def test_chunk_documents_properties(spark):
+    """Property pins over random geometries: (1) concatenating chunks
+    with the overlap removed reconstructs the document exactly, (2) every
+    chunk except possibly the last has exactly chunk_tokens tokens, (3)
+    consecutive chunks share exactly `overlap` tokens."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(rng.randint(0, 40))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    for chunk_tokens, overlap in [(8, 3), (5, 0), (16, 15)]:
+        stride = chunk_tokens - overlap
+        out = corpus.chunk_documents(
+            df, "doc_id", "text", chunk_tokens=chunk_tokens, overlap=overlap
+        ).collect()
+        by_doc: dict[int, list] = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc_id, text_ in rows:
+            toks = text_.split()
+            chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_index)
+            # (2): full chunks everywhere but the tail
+            for r in chunks[:-1]:
+                assert r.n_tokens == chunk_tokens, (doc_id, r)
+            # (3): consecutive overlap is exactly `overlap` tokens
+            for a, b in zip(chunks, chunks[1:]):
+                a_toks = a.chunk_text.split()
+                b_toks = b.chunk_text.split()
+                assert a_toks[stride:] == b_toks[: len(a_toks) - stride]
+            # (1): de-overlapped concatenation reconstructs the doc
+            rebuilt = []
+            for i, r in enumerate(chunks):
+                ts = r.chunk_text.split()
+                rebuilt.extend(ts if i == 0 else ts[overlap:])
+            assert rebuilt == toks, (doc_id, chunk_tokens, overlap)
