@@ -64,6 +64,25 @@ def register(
     return deco
 
 
+def set_driver_order(priority: list[str]) -> None:
+    """Reorder the registry so ``priority`` names come first, in that order.
+
+    The correctness driver checks exactly the first 50 registry entries by
+    registration (dict) order, so the dict order IS the driver-facing
+    contract. Names in ``priority`` are moved to the front; every remaining
+    query keeps its original relative order after them. Unknown names raise
+    so the curated list can't silently drift from the registry.
+    """
+    unknown = [n for n in priority if n not in _REGISTRY]
+    if unknown:
+        raise ValueError(f"set_driver_order: unknown queries {unknown!r}")
+    seen = set(priority)
+    tail = [n for n in _REGISTRY if n not in seen]
+    reordered = {n: _REGISTRY[n] for n in list(priority) + tail}
+    _REGISTRY.clear()
+    _REGISTRY.update(reordered)
+
+
 def all_queries() -> dict[str, QueryDef]:
     return dict(_REGISTRY)
 

@@ -174,3 +174,15 @@ def test_no_scale_antipatterns_anywhere(spark, oracle_sf_dir):
         )
         hits.extend(f"{name}:{b}" for b in bad_shapes if b in plan)
     assert not hits, hits
+
+
+def test_driver_window_is_first_50():
+    """The driver checks exactly the first 50 registry entries; the curated
+    window (plans/__init__.py) must BE those 50, with no duplicates and no
+    names that drifted out of the registry."""
+    from bigdata_storage_and_proccess_job_data_spark import plans
+
+    window = plans.DRIVER_WINDOW_R3
+    assert len(window) == 50
+    assert len(set(window)) == 50
+    assert list(QS)[:50] == window
