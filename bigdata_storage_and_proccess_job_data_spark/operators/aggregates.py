@@ -33,13 +33,23 @@ def cube(
     return df.groupBy(*keys).agg(*aggs)
 
 
+def _row_salt(buckets: int) -> Column:
+    """A salt that is INDEPENDENT of any grouping key: derived from the
+    row's physical position (monotonically_increasing_id embeds the
+    partition id in its high bits), so the rows of one hot key land in
+    ~``buckets`` distinct (key, salt) groups. Salting by a hash OF THE
+    KEY would be a no-op -- every row of the hot key would get the same
+    salt and still melt a single reducer."""
+    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
+
+
 def salt_keys(df: DataFrame, key: str, buckets: int = 16) -> DataFrame:
     """Two-phase aggregation prep for a skewed key: add a salt column so
     the first aggregation spreads hot keys over ``buckets`` reducers; the
     caller aggregates (key, _salt) first, then re-aggregates by key.
 
     Use only for re-aggregatable measures (count/sum/min/max)."""
-    return df.withColumn("_salt", F.pmod(F.xxhash64(F.col(key)), F.lit(buckets)))
+    return df.withColumn("_salt", _row_salt(buckets))
 
 
 def salted_two_phase(
@@ -63,7 +73,7 @@ def salted_two_phase(
     expression Column (aliased to ``key_name``)."""
     key_col = F.col(key) if isinstance(key, str) else key
     salted = df.withColumn(key_name, key_col).withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(key_name)), F.lit(buckets))
+        "_salt", _row_salt(buckets)
     )
     partial_aggs, final_aggs = [], []
     for name, (agg, col) in measures.items():
