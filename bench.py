@@ -95,12 +95,23 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
 
+    def force_metrics(df) -> None:
+        """Execute the DataFrame's OWN physical plan without materializing
+        rows on the driver: toRdd().count() runs the exact executedPlan
+        (so its scan metrics populate) and ships back one long, where
+        collect() would ship every result row (ADVICE r2). Fallback to
+        collect only if the internal API moves."""
+        try:
+            df._jdf.queryExecution().toRdd().count()
+        except Exception:
+            df.collect()
+
     # untimed metrics pass: a noop WRITE runs its own query execution, so
-    # scan metrics only populate on a DataFrame-owned action (collect)
+    # scan metrics only populate on a DataFrame-owned action
     rows_read: dict[str, int] = {}
     for name, qd in heads.items():
         df = qd.fn(spark, sf_dir)
-        df.collect()
+        force_metrics(df)
         rows_read[name] = scan_rows(df)
 
     timings = {

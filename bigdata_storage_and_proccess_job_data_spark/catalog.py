@@ -16,6 +16,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata_storage_and_proccess_job_data_spark.functions.eventtime import ensure_ltz
+
 TABLES = (
     "region",
     "nation",
@@ -59,7 +61,16 @@ def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     max_bytes = parse_byte_conf(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
     )
-    splits = max(n_files, -(-total // max_bytes))
+    # mirror FilePartition packing: each file also costs openCostInBytes,
+    # so many small files split across more partitions than raw bytes
+    # alone suggest (ADVICE r2 — without it the estimate under-counts
+    # splits for small-file dirs and repartitions when the scan would
+    # already be wide enough)
+    open_cost = parse_byte_conf(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304b"),
+        default=4 * 1024 * 1024,
+    )
+    splits = max(n_files, -(-(total + n_files * open_cost) // max_bytes))
     if splits < parallelism:
         return df.repartition(parallelism)
     return df
@@ -69,18 +80,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet timestamp[ns], which Spark's reader rejects;
-        # read nanos as long, truncate to micros with exact integer math
-        # (double division would lose sub-us precision at 1.7e18), rebuild
-        # the timestamp. DuckDB truncates ns->us the same way.
+        # Older fixtures wrote events.ts as parquet timestamp[ns], which
+        # Spark's reader rejects; read nanos as long, truncate to micros
+        # with exact integer math (double division would lose sub-us
+        # precision at 1.7e18), rebuild the timestamp. DuckDB truncates
+        # ns->us the same way. Current fixtures are micros (NTZ-inferred),
+        # so the bigint branch is a no-op guard.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         path = f"{sf_dir}/{name}.parquet"
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return _spread(spark, df, path)
+        return _spread(spark, ensure_ltz(df), path)
     path = f"{sf_dir}/{name}.parquet"
-    return _spread(spark, spark.read.parquet(path), path)
+    return _spread(spark, ensure_ltz(spark.read.parquet(path)), path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

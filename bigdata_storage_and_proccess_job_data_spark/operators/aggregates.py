@@ -39,14 +39,26 @@ def _row_salt(buckets: int) -> Column:
     partition id in its high bits), so the rows of one hot key land in
     ~``buckets`` distinct (key, salt) groups. Salting by a hash OF THE
     KEY would be a no-op -- every row of the hot key would get the same
-    salt and still melt a single reducer."""
+    salt and still melt a single reducer.
+
+    BATCH-ONLY, and nondeterministic in the standard rand()-salting
+    sense: monotonically_increasing_id is position-dependent, so a map
+    partition recomputed after a shuffle-fetch failure can re-salt its
+    rows differently. That is harmless here -- the salt only splits the
+    PARTIAL aggregation, and every re-aggregatable measure (count/sum/
+    min/max) yields the same final value for any row->salt assignment.
+    Streaming frames reject monotonically_increasing_id outright; a
+    streaming skew fix would salt by a hash of (key, event-time) cols
+    instead (deterministic per row, still spreads a hot key)."""
     return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
 
 
-def salt_keys(df: DataFrame, key: str, buckets: int = 16) -> DataFrame:
-    """Two-phase aggregation prep for a skewed key: add a salt column so
-    the first aggregation spreads hot keys over ``buckets`` reducers; the
-    caller aggregates (key, _salt) first, then re-aggregates by key.
+def salt_keys(df: DataFrame, buckets: int = 16) -> DataFrame:
+    """Two-phase aggregation prep for a skewed BATCH frame: add a `_salt`
+    column so the first aggregation spreads hot keys over ``buckets``
+    reducers; the caller aggregates (key, _salt) first, then
+    re-aggregates by key. The salt is key-independent (see _row_salt) --
+    no key argument, it would be dead weight (ADVICE r3).
 
     Use only for re-aggregatable measures (count/sum/min/max)."""
     return df.withColumn("_salt", _row_salt(buckets))

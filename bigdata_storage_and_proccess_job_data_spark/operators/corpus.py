@@ -195,6 +195,8 @@ def mixture_sample(
     deterministic md5 bucketing as deterministic_sample, so membership
     is reproducible and monotone in each group's rate; the rate lookup
     is a CASE chain, the whole thing one codegen'd filter."""
+    if not 0 <= default_pct <= 100:
+        raise ValueError("default_pct must be in [0, 100]")
     for v, p in rates.items():
         if not 0 <= p <= 100:
             raise ValueError(f"rate for {v!r} must be in [0, 100]")

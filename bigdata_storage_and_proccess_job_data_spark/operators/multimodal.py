@@ -139,6 +139,26 @@ def fake_features(content: bytes, dim: int) -> list[float]:
     return out
 
 
+def md5_features(content: bytes, dim: int) -> list[float]:
+    """STUB feature extractor, oracle-reproducible variant: ``dim``
+    floats in [-1, 1) from md5 over (hex(content), lane), truncated to
+    float32 like FEATURE_SCHEMA stores them. Unlike fake_features'
+    blake2b (Python-only), every step here -- md5, 60-bit prefix,
+    scaling, float32 truncation -- has an exact DuckDB twin, which is
+    what lets a full multimodal pipeline be value-checked cross-engine
+    (plans/scale_queries.py:media_features_exact)."""
+    import hashlib
+
+    hx = content.hex()
+    out = []
+    for i in range(dim):
+        v = int(hashlib.md5(f"{hx}-{i}".encode()).hexdigest()[:15], 16)
+        # float32 truncation mirrors the Arrow float column; do it here
+        # so the Python- and SQL-side values agree bit-for-bit
+        out.append(struct.unpack("f", struct.pack("f", v / 2**59 - 1.0))[0])
+    return out
+
+
 def extract_features(
     df: DataFrame,
     dim: int = 64,

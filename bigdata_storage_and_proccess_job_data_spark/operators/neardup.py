@@ -14,6 +14,8 @@ spark_batch_v2.py:49) generalized to near-dup, per the north-star scope
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -294,22 +296,37 @@ def simhash64(hashes: Column, n: Column) -> Column:
     return reduce(lambda a, b: a.bitwiseOR(b), bits)
 
 
+def md5_hash60(t: Column) -> Column:
+    """60-bit token hash from the first 15 hex chars of md5 -- slower
+    than xxhash64 but reproducible in DuckDB (md5_number_upper with a
+    byte swap), which is what lets simhash get an exact cross-engine
+    oracle. 60 bits keep the value positive in a signed BIGINT on both
+    engines, sidestepping sign/shift divergence."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
 def simhash_candidates(
     df: DataFrame,
     id_col: str,
     content_col: str,
     max_hamming: int = 8,
     bands: int = 4,
+    token_hash: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates: band the 64-bit simhash into ``bands``
     16-bit chunks (pigeonhole: hamming <= bands-1 guarantees a shared
     band; higher max_hamming trades recall), bucket-join on equal chunks,
-    then filter by exact hamming distance via bit_count(xor)."""
+    then filter by exact hamming distance via bit_count(xor).
+
+    ``token_hash`` maps a token Column to a BIGINT hash Column; default
+    xxhash64 (the scale path -- cheapest JVM hash). Pass md5_hash60 when
+    the run must be reproducible against a non-Spark engine."""
     width = 64 // bands
+    th = token_hash or F.xxhash64
     hashed = df.select(
         F.col(id_col).alias("_id"),
         F.transform(
-            text.tokens(F.lower(F.col(content_col))), lambda t: F.xxhash64(t)
+            text.tokens(F.lower(F.col(content_col))), lambda t: th(t)
         ).alias("_h"),
     ).withColumn("_n", F.size("_h"))
     sims = hashed.select(

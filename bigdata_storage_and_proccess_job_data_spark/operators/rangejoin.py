@@ -31,8 +31,12 @@ from pyspark.sql import functions as F
 def _bin(ts: Column, width_s: int) -> Column:
     # cast timestamp->long truncates to whole epoch seconds; integer div
     # by an integer W preserves floor(epoch/W), so a point and any range
-    # overlapping it always agree on the point's bin id.
-    return ts.cast("long") - (ts.cast("long") % F.lit(width_s))
+    # overlapping it always agree on the point's bin id. The intermediate
+    # cast to timestamp_ltz makes this legal on TIMESTAMP_NTZ inputs too
+    # (Spark 4 rejects NTZ->BIGINT directly); session TZ is pinned UTC
+    # (session.py), so both join sides bin against the same epoch.
+    epoch = ts.cast("timestamp_ltz").cast("long")
+    return epoch - (epoch % F.lit(width_s))
 
 
 def point_in_range_join(

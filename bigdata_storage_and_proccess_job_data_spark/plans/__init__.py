@@ -24,12 +24,77 @@ from bigdata_storage_and_proccess_job_data_spark.plans import (  # noqa: F401,E4
 #
 # Rotation policy (see README "Driver correctness window"): the window is
 # curated per round so that over any two consecutive rounds every registered
-# query receives a driver row. Round 3 window = the 23 queries never checked
-# in r1/r2 (all of scale_queries + streaming_queries), the 9 LLM-suite
-# queries that were green in r1 but fell outside the r2 window, and one
-# representative per SURVEY.md §2 operator family (18). The remaining 32
-# analytics variants all have green rows in CORRECTNESS_r02.json and rotate
-# back in next round.
+# query receives a driver row, AND any query whose operator code changed
+# in-round MUST be in that round's window (VERDICT r3 procedural note —
+# changed code never ships on a stale row).
+#
+# Round 4 window = the 32 analytics variants whose last rows are r2 (per
+# the two-round rotation; includes the three NTZ-fixed queries
+# range_join_incidents / interval_overlap_pairs / event_gaps, which must
+# prove the Spark-4.1 timestamp fix at the driver level, and
+# skewed_hot_key_agg, whose salt fix shipped in r3 without a row), plus
+# the queries touching code changed THIS round: the windowed/session
+# builders (streaming/windows.py LTZ normalization) and
+# simhash_near_dups (new md5_hash60 token hash + first exact oracle),
+# plus representatives that exercise the catalog NTZ->LTZ load seam.
+DRIVER_WINDOW_R4 = [
+    # -- r2-checked analytics variants rotating back in (32)
+    "segment_revenue",
+    "pricing_summary",
+    "range_join_incidents",  # NTZ fix proof (headline bench query)
+    "interval_overlap_pairs",  # NTZ fix proof
+    "event_gaps",  # NTZ fix proof (unix_micros path)
+    "skewed_hot_key_agg",  # r3 salt fix, rowless in r3 — policy case
+    "asof_last_purchase",
+    "cube_segment_priority",
+    "customer_value_ranks",
+    "daily_activity_gapfill",
+    "distinct_customers",
+    "dq_orders_report",
+    "extreme_orders",
+    "grouping_sets_mix",
+    "median_metrics",
+    "nation_revenue_share",
+    "nation_trade_volume",
+    "null_skew_enriched",
+    "order_window_extremes",
+    "part_measures_unpivot",
+    "pivot_status_by_priority",
+    "priority_with_late_lines",
+    "region_rollup",
+    "rolling_order_avg",
+    "running_total",
+    "setop_except",
+    "setop_intersect",
+    "small_quantity_revenue",
+    "sql_surface_nation_sales",
+    "stat_moments",
+    "top_revenue_customers",
+    "urgent_customers_semi",
+    # -- operator code changed this round: streaming/windows.py (LTZ seam)
+    "window_tumbling",
+    "window_sliding",
+    "session_windows",
+    "stream_detail_enrich",
+    # -- changed this round: md5_hash60 token hash + new exact oracle
+    "simhash_near_dups",
+    # -- catalog NTZ->LTZ load-seam representatives (timestamp-heavy)
+    "temporal_stats",
+    "freshness_buckets",
+    "dedup_latest",
+    # -- §2 family representatives keeping rows fresh
+    "company_stats_v2",
+    "minhash_near_dups",
+    "knn_arrow",
+    "chunk_documents",
+    "topk_per_group",
+    "dedup_exact_docs",
+    "json_extract_props",
+    "global_reduce",
+    "impute_mean",
+    "media_features_knn",
+]
+
 DRIVER_WINDOW_R3 = [
     # -- streaming operators (W2, W3, W4, W6, F12): zero driver rows in r1+r2
     "window_tumbling",
@@ -87,4 +152,4 @@ DRIVER_WINDOW_R3 = [
     "impute_mean",  # A9/X2
 ]
 
-set_driver_order(DRIVER_WINDOW_R3)
+set_driver_order(DRIVER_WINDOW_R4)

@@ -304,17 +304,83 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Near-dup: SimHash hamming candidates (rows-only)
+# Near-dup: SimHash hamming candidates (exact cross-engine oracle)
 # ---------------------------------------------------------------------------
-@register("simhash_near_dups", tags=("dedup", "text"))
+# The oracle recomputes the full simhash pipeline in DuckDB SQL. The only
+# non-portable piece is the token hash: Spark's xxhash64 has no DuckDB
+# twin, so the driver-graded query pins token_hash=md5_hash60 (first 15
+# md5 hex nibbles as a positive BIGINT). DuckDB's md5_number_upper is the
+# first 8 digest bytes LITTLE-endian, so the oracle byte-swaps to
+# big-endian and drops the low nibble (>> 4) to land on the identical
+# 60-bit value.
+_MD5_BE = " + ".join(
+    f"(((md5_number_upper(t) >> {8 * i}) & 255) * {1 << (8 * (7 - i))}::UBIGINT)"
+    for i in range(8)
+)
+_TOKEN_HASH60 = f"(({_MD5_BE}) >> 4)::BIGINT"
+# per-bit majority vote: bit j of the simhash is set when more than half
+# the token hashes have bit j set (bits 60-63 of a 60-bit hash are always
+# zero on both engines, so summing j in 0..59 equals Spark's 0..63 loop)
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> {j}) & 1)) > n "
+    f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+    for j in range(60)
+)
+
+
+@register(
+    "simhash_near_dups",
+    tags=("dedup", "text"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                      ELSE string_split_regex(trim(lower(text)), '\\s+')
+                 END AS ts
+          FROM documents
+        ),
+        hashed AS (
+          SELECT doc_id,
+                 list_transform(ts, t -> {_TOKEN_HASH60}) AS hs,
+                 len(ts) AS n
+          FROM toks
+        ),
+        sims AS (
+          SELECT doc_id, ({_SIMHASH_BITS}) AS sim FROM hashed
+        ),
+        banded AS (
+          SELECT doc_id, sim, b.band,
+                 (sim >> (b.band * 16)) & 65535 AS chunk
+          FROM sims, (VALUES (0), (1), (2), (3)) b(band)
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.sim AS sim_a, b.sim AS sim_b
+          FROM banded a
+          JOIN banded b
+            ON a.band = b.band AND a.chunk = b.chunk
+           AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               bit_count(xor(sim_a, sim_b))::INT AS hamming
+        FROM pairs
+        WHERE bit_count(xor(sim_a, sim_b)) <= 8
+    """,
+)
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit)+banded hamming<=8 near-dup pairs
-    (operators/neardup.py:simhash_candidates). Non-SQL-expressible;
-    recall vs exact Jaccard checked in tests/test_neardup.py."""
+    (operators/neardup.py:simhash_candidates). Driver-graded with an
+    exact DuckDB oracle (VERDICT r3 #5): deterministic given the token
+    hash, which is pinned to md5_hash60 here so both engines compute
+    identical signatures; the xxhash64 default stays the scale path and
+    its recall vs exact Jaccard is checked in tests/test_neardup.py."""
     from bigdata_storage_and_proccess_job_data_spark.operators import neardup
 
     docs = load_table(spark, sf_dir, "documents")
-    return neardup.simhash_candidates(docs, "doc_id", "text", max_hamming=8)
+    return neardup.simhash_candidates(
+        docs, "doc_id", "text", max_hamming=8,
+        token_hash=neardup.md5_hash60,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -630,6 +696,108 @@ def media_features_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         queries, feats, id_col="media_id", vec_col="embedding",
         k=3, n_centroids=8, n_probe=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal bridge, oracle-graded: md5 features -> exact cosine top-k
+# ---------------------------------------------------------------------------
+# media_features_knn above is rows-only because neither blake2b nor the
+# k-means IVF step is SQL-expressible. This sibling swaps in the
+# md5-derived feature stub (multimodal.md5_features) and the EXACT top-k
+# tail, so the whole multimodal pipeline -- binary assembly, Arrow
+# mapInPandas feature extraction, similarity ranking -- gets a value
+# hash against DuckDB. The fake-codec header is a fixed 10-byte blob
+# (encode_fake_media(32,16,1)[:10]); the oracle re-assembles the same
+# bytes with a blob literal.
+_MEDIA_HEADER_HEX = "46414b45002000100001"
+_MEDIA_BLOB = (
+    "'"
+    + "".join(
+        f"\\x{_MEDIA_HEADER_HEX[i:i + 2]}"
+        for i in range(0, len(_MEDIA_HEADER_HEX), 2)
+    )
+    + "'::BLOB"
+)
+_MD5_BE_FEAT = " + ".join(
+    f"(((md5_number_upper(hx || '-' || i::VARCHAR) >> {8 * j}) & 255) "
+    f"* {1 << (8 * (7 - j))}::UBIGINT)"
+    for j in range(8)
+)
+# v/2^59 - 1 in DOUBLE, truncated to FLOAT exactly like the Arrow
+# float32 embedding column, then widened back for the cosine fold
+_FEAT_EXPR = (
+    f"(((({_MD5_BE_FEAT}) >> 4)::BIGINT::DOUBLE"
+    " / 576460752303423488.0 - 1.0)::FLOAT::DOUBLE)"
+)
+_MEDIA_SIM = (
+    "CASE WHEN sqrt(list_dot_product(q.v, q.v)) > 0 "
+    "AND sqrt(list_dot_product(c.v, c.v)) > 0 "
+    "THEN list_dot_product(q.v, c.v) / "
+    "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) END"
+)
+
+
+@register(
+    "media_features_exact",
+    tags=("multimodal", "similarity", "pandas-udf"),
+    oracle=f"""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 lower(hex({_MEDIA_BLOB} || encode(text))) AS hx
+          FROM documents
+        ),
+        feats AS (
+          SELECT media_id,
+                 list_transform(range(16), i -> {_FEAT_EXPR}) AS v
+          FROM m
+        ),
+        scored AS (
+          SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
+                 {sql_round(_MEDIA_SIM, 4)} AS sim
+          FROM feats q
+          JOIN feats c
+            ON q.media_id < 10 AND c.media_id <> q.media_id
+        )
+        SELECT query_id, neighbor_id, rank, sim
+        FROM (
+          SELECT query_id, neighbor_id, sim,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC
+                 ) AS BIGINT) AS rank
+          FROM scored
+        )
+        WHERE rank <= 3
+    """,
+)
+def media_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline, value-checked end-to-end (VERDICT r3 #5):
+    documents -> 10-byte fake-codec header + utf8 payload as BINARY ->
+    md5_features via Arrow-batched mapInPandas (the same plumbing as
+    media_features_knn; only the hash inside the stub differs) -> exact
+    cosine top-3 (similarity.brute_force_topk). Media bytes still never
+    shuffle -- the binary column dies inside the map stage."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        multimodal,
+        similarity,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    header = multimodal.encode_fake_media(32, 16, n_frames=1)[:10]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(F.lit(header), F.encode(F.col("text"), "utf-8")).alias(
+            "content"
+        ),
+    )
+    feats = multimodal.extract_features(
+        media, dim=16, feature_fn=multimodal.md5_features
+    )
+    queries = feats.filter(F.col("media_id") < 10)
+    return similarity.brute_force_topk(
+        queries, feats, id_col="media_id", vec_col="embedding", k=3
     )
 
 

@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
+from bigdata_storage_and_proccess_job_data_spark.functions.eventtime import ensure_ltz
+
 
 def file_stream(
     spark: SparkSession,
@@ -134,8 +136,8 @@ def stream_stream_interval_join(
     Outer modes emit the unmatched row only after the watermark proves no
     match can still arrive -- Spark enforces the constraint; this builder
     just makes it impossible to express the unbounded form."""
-    lw = left.withWatermark(left_ts, left_watermark)
-    rw = right.withWatermark(right_ts, right_watermark)
+    lw = ensure_ltz(left, left_ts).withWatermark(left_ts, left_watermark)
+    rw = ensure_ltz(right, right_ts).withWatermark(right_ts, right_watermark)
     cond = (
         (lw[key] == rw[key])
         & (rw[right_ts] >= lw[left_ts])

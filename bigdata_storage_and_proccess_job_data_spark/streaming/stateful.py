@@ -30,6 +30,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from bigdata_storage_and_proccess_job_data_spark.functions.eventtime import ensure_ltz
+
 
 def dedup_stream(
     df: DataFrame, key_col: str, ttl_ms: int | None = 3_600_000
@@ -136,4 +138,8 @@ def dedup_within_watermark(
     prefer this when an event-time column exists, since eviction then
     follows the data clock, not the wall clock; plain dropDuplicates on
     a stream retains state forever)."""
-    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+    return (
+        ensure_ltz(df, ts_col)
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(keys)
+    )

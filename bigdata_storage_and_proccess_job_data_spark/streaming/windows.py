@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bigdata_storage_and_proccess_job_data_spark.functions.eventtime import ensure_ltz
+
 
 def windowed_agg(
     df: DataFrame,
@@ -34,6 +36,10 @@ def windowed_agg(
     - ``flatten``: project window.start/window.end to window_start /
       window_end (timestamp_ntz, so values are tz-stable) -- reference W4.
     """
+    # withWatermark requires TIMESTAMP event time; Spark 4.1 infers NTZ
+    # from naive-datetime fixtures and NTZ-annotated parquet, so pin LTZ
+    # at this boundary (wall-clock-preserving under the UTC session TZ).
+    df = ensure_ltz(df, ts_col)
     if watermark and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     win = (
@@ -66,6 +72,7 @@ def session_agg(
     + gap. Works on static frames and (with a watermark) on streams --
     beyond the reference surface (SURVEY.md §2.5: no session windows
     there), standard for user-activity analytics."""
+    df = ensure_ltz(df, ts_col)
     if watermark and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     win = F.session_window(ts_col, gap)

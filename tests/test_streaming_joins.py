@@ -182,7 +182,7 @@ def test_salted_aggregation_equivalence(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s"))
         .collect()
     }
-    salted = aggregates.salt_keys(orders, "o_orderpriority", buckets=8)
+    salted = aggregates.salt_keys(orders, buckets=8)
     phase1 = salted.groupBy("o_orderpriority", "_salt").agg(
         F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s")
     )
