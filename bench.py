@@ -117,6 +117,11 @@ def main() -> None:
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
+    # min per query, reported alongside the median: on a box with +-40%
+    # background noise the min is the low-noise estimator (noise only ever
+    # ADDS time), so round-over-round comparisons should read value_min
+    # when the spread is large
+    timings_min = {name: round(min(ts), 3) for name, ts in samples.items()}
     spreads = [
         (max(ts) - min(ts)) / statistics.median(ts)
         for ts in samples.values()
@@ -130,6 +135,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_min": round(sum(timings_min.values()), 3),
+                "queries_min": timings_min,
                 "rows_read": rows_read,
                 "sf": sf_num,
                 "iters": max(1, iters),

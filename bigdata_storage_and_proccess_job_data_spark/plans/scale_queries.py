@@ -973,6 +973,49 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus accounting: per-(source, lang) token budget for mixture planning
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_token_budget",
+    tags=("corpus", "agg", "percentile"),
+    oracle=f"""
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT)              AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT)         AS total_tokens,
+               {sql_round('AVG(n_tokens)', 4)}       AS avg_tokens,
+               {sql_round('quantile_cont(n_tokens, 0.50)', 4)} AS p50_tokens
+        FROM (
+          SELECT source, lang, len({SQL_TOKENS}) AS n_tokens
+          FROM documents
+        )
+        GROUP BY source, lang
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per (source, lang) -- the table a training-
+    mixture planner reads before setting mixture_sample rates: how many
+    documents and tokens each slice contributes, with median length.
+    Single hash aggregation over a narrow projection (token counting is
+    a native expression, functions/text.py:token_count -- no Python in
+    the 100 TB scan); exact interpolated median here, approx_percentile
+    is the stated scale default as with category_percentiles."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "source",
+        "lang",
+        text.token_count("text").alias("n_tokens"),
+    )
+    return counted.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        stable_round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        stable_round(
+            F.percentile("n_tokens", F.lit(0.5)), 4
+        ).alias("p50_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Vector hygiene: norms via higher-order array functions
 # ---------------------------------------------------------------------------
 @register(

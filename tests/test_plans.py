@@ -158,9 +158,12 @@ def test_no_scale_antipatterns_anywhere(spark, oracle_sf_dir):
     join, a cartesian product, or row-at-a-time Python (BatchEvalPython)
     -- the three shapes that do not survive a 100x scale-up. Arrow paths
     (MapInPandas/ArrowEvalPython) are fine. Documented exemptions:
-    knn_brute_force IS the broadcast exact-scoring baseline, and
-    impute_mean attaches a ONE-ROW broadcast scalar (O(n x 1))."""
-    exempt = {"knn_brute_force", "impute_mean"}
+    knn_brute_force and media_features_exact ARE the broadcast
+    exact-scoring baseline (similarity.brute_force_topk: tiny broadcast
+    query set x corpus, the documented correctness anchor for the
+    bucketed ANN paths), and impute_mean attaches a ONE-ROW broadcast
+    scalar (O(n x 1))."""
+    exempt = {"knn_brute_force", "media_features_exact", "impute_mean"}
     bad_shapes = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
     hits = []
     for name, qd in QS.items():
