@@ -245,6 +245,107 @@ def token_repetition(
     )
 
 
+def duplicate_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring signal at n-gram granularity: every
+    positional n-token shingle that occurs in >= ``min_docs`` DISTINCT
+    documents, emitted as (doc_id, pos, gram) spans. This is the
+    detection half of exact-substring training-data dedup (the
+    remove-repeated-spans step of Lee et al.-style pipelines): callers
+    cut or mask the returned spans, or aggregate them per doc as a
+    duplication-rate quality score.
+
+    Scale shape: tokenize once per doc, explode positional shingles
+    (Generate is a projection barrier, so tokenization stays O(L)),
+    aggregate shingle -> distinct-doc count, semi-join the >= min_docs
+    set back to the positional rows. Only (gram, doc, pos) tuples ever
+    shuffle -- document bodies never move. At 100 TB you would hash the
+    gram to a 64-bit key before the shuffle (xxhash64, same trade as
+    neardup.minhash_candidates); the string key is kept here so the
+    DuckDB oracle can recompute it verbatim."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = text.tokens(F.lower(F.col(text_col)))
+    # filter BEFORE the explode: sequence(0, size-n) with size < n would
+    # run backwards (Spark infers step -1), producing negative offsets
+    grams = df.filter(F.size(toks) >= n).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ).alias("pos", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("gram")
+    )
+    return grams.join(dup, "gram", "left_semi").select(id_col, "pos", "gram")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    capacity_tokens: int,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Deterministic greedy sequence packing: assign documents, in
+    ``id_col`` order, to training-context bins of ``capacity_tokens`` --
+    the docs-to-sequences step between a cleaned corpus and a token
+    loader. A doc lands in the bin its RUNNING TOKEN TOTAL (exclusive
+    prefix sum) falls in; docs are never split, so a bin may overflow by
+    at most one document (the standard greedy-fill variant; loaders
+    truncate or span the boundary downstream).
+
+    Output: (id, [partition_col], seq_id, n_tokens, offset_tokens)
+    where offset_tokens is the doc's start inside its packing stream.
+
+    Scale shape: the prefix sum is a window over ``partition_col``
+    (default: one global stream -- fine for tests, but a single total
+    order at 100 TB serializes into one task; ALWAYS pass a partition
+    column such as source/shard there, which packs each slice
+    independently and in parallel, the same contract as every
+    distributed packer)."""
+    if capacity_tokens < 1:
+        raise ValueError("capacity_tokens must be >= 1")
+    from pyspark.sql import Window
+
+    part = [partition_col] if partition_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = text.token_count(text_col)
+    counted = df.select(
+        F.col(id_col), *part, n.alias("n_tokens")
+    )
+    prev = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_prev")
+    return counted.select(
+        id_col,
+        *part,
+        "n_tokens",
+        prev,
+    ).select(
+        id_col,
+        *part,
+        F.floor(F.col("_prev") / capacity_tokens)
+        .cast("long")
+        .alias("seq_id"),
+        "n_tokens",
+        F.col("_prev").cast("long").alias("offset_tokens"),
+    )
+
+
 def length_histogram(
     df: DataFrame,
     text_col: str,

@@ -973,6 +973,89 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (n-gram granularity)
+# ---------------------------------------------------------------------------
+@register(
+    "duplicate_ngram_spans",
+    tags=("dedup", "corpus", "text"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, {SQL_TOKENS_LOWER} AS ts FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 UNNEST(range(len(ts) - 8 + 1)) AS pos,
+                 UNNEST(list_transform(range(len(ts) - 8 + 1),
+                        i -> array_to_string(ts[i+1:i+8], ' '))) AS gram
+          FROM toks
+          WHERE len(ts) >= 8
+        ),
+        dup AS (
+          SELECT gram FROM grams
+          GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+        )
+        SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos, g.gram
+        FROM grams g JOIN dup USING (gram)
+    """,
+)
+def duplicate_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every positional 8-token shingle occurring in >= 2 distinct docs
+    (operators/corpus.py:duplicate_ngram_spans) -- the detection half of
+    exact-substring dedup; downstream cuts/masks the spans or scores
+    per-doc duplication rate. Only (gram, doc, pos) tuples shuffle."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = corpus.duplicate_ngram_spans(
+        docs, "doc_id", "text", n=8, min_docs=2
+    )
+    return spans.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "gram"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: docs -> training-context bins
+# ---------------------------------------------------------------------------
+@register(
+    "pack_training_sequences",
+    tags=("corpus", "window"),
+    oracle=f"""
+        WITH counted AS (
+          SELECT doc_id, source, CAST(len({SQL_TOKENS}) AS BIGINT)
+                 AS n_tokens
+          FROM documents
+        ),
+        run AS (
+          SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) - n_tokens AS prev
+          FROM counted
+        )
+        SELECT doc_id, source,
+               CAST(floor(prev / 512) AS BIGINT)  AS seq_id,
+               n_tokens,
+               CAST(prev AS BIGINT)               AS offset_tokens
+        FROM run
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic greedy packing of documents into 512-token training
+    sequences, independent streams per source
+    (operators/corpus.py:pack_sequences): running-token-total window per
+    source slice -- each slice packs in parallel, no global total order
+    at 100 TB."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.pack_sequences(
+        docs, "doc_id", "text", capacity_tokens=512, partition_col="source"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus accounting: per-(source, lang) token budget for mixture planning
 # ---------------------------------------------------------------------------
 @register(

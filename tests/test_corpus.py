@@ -184,3 +184,62 @@ def test_chunk_documents_properties(spark):
                 ts = r.chunk_text.split()
                 rebuilt.extend(ts if i == 0 else ts[overlap:])
             assert rebuilt == toks, (doc_id, chunk_tokens, overlap)
+
+
+def test_duplicate_ngram_spans_planted(spark):
+    shared = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro {shared} outro one"),
+            (2, f"{shared} tail words here"),
+            (3, "completely different text entirely"),
+            (4, "tiny"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = corpus.duplicate_ngram_spans(df, "doc_id", "text", n=4, min_docs=2)
+    rows = {(r.doc_id, r.pos): r.gram for r in out.collect()}
+    # the shared 4-gram is found at its position in both docs, nowhere else
+    assert rows == {(1, 1): shared, (2, 0): shared}
+
+
+def test_duplicate_ngram_spans_min_docs_threshold(spark):
+    t = "a b c d"
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, t)], "doc_id LONG, text STRING"
+    )
+    assert corpus.duplicate_ngram_spans(df, "doc_id", "text", n=4, min_docs=4).count() == 0
+    assert corpus.duplicate_ngram_spans(df, "doc_id", "text", n=4, min_docs=3).count() == 3
+    # intra-doc repetition alone does not cross the distinct-doc bar
+    solo = spark.createDataFrame([(1, f"{t} {t}")], "doc_id LONG, text STRING")
+    assert corpus.duplicate_ngram_spans(solo, "doc_id", "text", n=4, min_docs=2).count() == 0
+
+
+def test_pack_sequences_invariants(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, "s%d" % (i % 3), " ".join("w" for _ in range(rng.randint(1, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    cap = 64
+    out = corpus.pack_sequences(df, "doc_id", "text", cap, partition_col="source").collect()
+    by_src: dict = {}
+    for r in sorted(out, key=lambda r: (r.source, r.doc_id)):
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        run = 0
+        for r in rs:
+            # offset is the exclusive prefix sum, seq_id derives from it
+            assert r.offset_tokens == run
+            assert r.seq_id == run // cap
+            run += r.n_tokens
+        # seq ids are nondecreasing and start at 0
+        assert rs[0].seq_id == 0
+    # every doc appears exactly once
+    assert len(out) == 60
+
+    with pytest.raises(ValueError, match="capacity"):
+        corpus.pack_sequences(df, "doc_id", "text", 0, partition_col="source")
