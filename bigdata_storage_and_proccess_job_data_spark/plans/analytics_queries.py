@@ -1282,3 +1282,49 @@ def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered event funnel: view -> click -> purchase
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_view_click_purchase",
+    tags=("events", "funnel", "join"),
+    oracle="""
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+          GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          GROUP BY e.user_id
+        )
+        SELECT * FROM (VALUES
+          (CAST(0 AS BIGINT), 'view',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s1)),
+          (CAST(1 AS BIGINT), 'click',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)),
+          (CAST(2 AS BIGINT), 'purchase',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s3))
+        ) AS t(step_index, step, users)
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel over the event stream
+    (operators/funnel.py): users whose earliest click follows their
+    earliest view, then earliest purchase after that click. One
+    aggregation per step, every stage keyed by user_id so the exchange
+    is reusable and each stage's input shrinks to the surviving
+    funnel population."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import funnel
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel.funnel_counts(events, ["view", "click", "purchase"])

@@ -1311,3 +1311,68 @@ def decontaminated_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.join(contaminated, "doc_id", "left_anti").select(
         "doc_id", "lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval: BM25 corpus search
+# ---------------------------------------------------------------------------
+@register(
+    "bm25_search",
+    tags=("corpus", "text", "ranking"),
+    oracle=f"""
+        WITH sized AS (
+          SELECT doc_id, len({SQL_TOKENS_LOWER}) AS dl,
+                 {SQL_TOKENS_LOWER} AS ts
+          FROM documents
+        ),
+        scalars AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl
+          FROM sized
+        ),
+        hits AS (
+          SELECT doc_id, dl,
+                 UNNEST(list_filter(ts,
+                        t -> t IN ('spark', 'window', 'fast'))) AS term
+          FROM sized
+        ),
+        tf AS (
+          SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM hits GROUP BY doc_id, dl, term
+        ),
+        dfreq AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ),
+        scored AS (
+          SELECT doc_id,
+                 {sql_round(
+                     'SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))'
+                     ' * (tf * 2.2)'
+                     ' / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))', 4)}
+                   AS score
+          FROM tf, dfreq, scalars
+          WHERE tf.term = dfreq.term
+          GROUP BY doc_id
+        )
+        SELECT doc_id, score, rank
+        FROM (
+          SELECT doc_id, score,
+                 CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                      AS BIGINT) AS rank
+          FROM scored
+        )
+        WHERE rank <= 20
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for the query {{spark, window, fast}}
+    (operators/ranking.py:bm25_topk): explode only query-term tokens,
+    tf/df/idf as narrow aggregates, one-row (N, avgdl) broadcast attach,
+    TakeOrdered top-k -- the corpus-audit retrieval primitive with no
+    global sort and no Python in the row path."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ranking.bm25_topk(
+        docs, ["spark", "window", "fast"], id_col="doc_id",
+        text_col="text", k=20,
+    )

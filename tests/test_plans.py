@@ -161,9 +161,14 @@ def test_no_scale_antipatterns_anywhere(spark, oracle_sf_dir):
     knn_brute_force and media_features_exact ARE the broadcast
     exact-scoring baseline (similarity.brute_force_topk: tiny broadcast
     query set x corpus, the documented correctness anchor for the
-    bucketed ANN paths), and impute_mean attaches a ONE-ROW broadcast
-    scalar (O(n x 1))."""
-    exempt = {"knn_brute_force", "media_features_exact", "impute_mean"}
+    bucketed ANN paths), and impute_mean / bm25_search attach a ONE-ROW
+    broadcast scalar frame (global mean; (N, avgdl)) -- O(n x 1)."""
+    exempt = {
+        "knn_brute_force",
+        "media_features_exact",
+        "impute_mean",
+        "bm25_search",
+    }
     bad_shapes = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
     hits = []
     for name, qd in QS.items():
