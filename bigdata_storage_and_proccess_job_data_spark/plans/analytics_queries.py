@@ -1328,3 +1328,63 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return funnel.funnel_counts(events, ["view", "click", "purchase"])
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: signup week x activity-week offset
+# ---------------------------------------------------------------------------
+@register(
+    "cohort_retention",
+    tags=("events", "agg", "join"),
+    oracle="""
+        WITH signup AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+          FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        activity AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS DATE) AS activity_week
+          FROM events
+        )
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, activity_week) / 7
+                    AS BIGINT)                          AS week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT)  AS users
+        FROM activity JOIN signup USING (user_id)
+        WHERE activity_week >= cohort_week
+        GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by their first-signup week
+    (ISO Monday truncation), counted as retained in every later week
+    they show ANY event. Two aggregations keyed by user (distinct
+    activity weeks ride the same shuffle as the signup min), then a
+    user-keyed join -- the cohort dimension stays tiny, the heavy side
+    shrinks to distinct (user, week) pairs before anything joins."""
+    ev = load_table(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+        )
+    )
+    activity = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("activity_week"),
+    ).distinct()
+    return (
+        activity.join(signup, "user_id")
+        .filter(F.col("activity_week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("users"))
+    )

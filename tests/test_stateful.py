@@ -125,3 +125,56 @@ def test_dedup_within_watermark(spark, tmp_path):
     rows = spark.sql(f"SELECT user FROM {name}").collect()
     # every duplicate lands inside the 10-min horizon -> one row per user
     assert sorted(r.user for r in rows) == ["alice", "bob", "carol"]
+
+
+def test_running_totals_tws_cross_batch(spark, two_batch_src):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): same
+    cumulative semantics as running_totals_stream, typed ValueState,
+    RocksDB state store. The sandbox lacks protobuf (required by the
+    TWS state protocol), so this asserts the documented clear-failure
+    gate there and runs the full cross-batch check where protobuf
+    exists -- the kafka_stream testing pattern."""
+    try:
+        import google.protobuf  # noqa: F401
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+
+    stream = pipeline.file_stream(
+        spark, two_batch_src, SCHEMA, max_files_per_trigger=1
+    )
+    if not have_protobuf:
+        with pytest.raises(ImportError, match="protobuf"):
+            stateful.running_totals_tws(stream, "user", "amount")
+        return
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        _run(
+            stateful.running_totals_tws(stream, "user", "amount"),
+            name,
+            "update",
+        )
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        final = {}
+        for r in rows:
+            if r.user not in final or r.count > final[r.user][0]:
+                final[r.user] = (r.count, r.total)
+        assert final == {
+            "alice": (3, 13.0),
+            "bob": (2, 8.0),
+            "carol": (1, 7.0),
+        }
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
