@@ -267,7 +267,13 @@ def duplicate_ngram_spans(
     shuffle -- document bodies never move. At 100 TB you would hash the
     gram to a 64-bit key before the shuffle (xxhash64, same trade as
     neardup.minhash_candidates); the string key is kept here so the
-    DuckDB oracle can recompute it verbatim."""
+    DuckDB oracle can recompute it verbatim.
+
+    The positional gram frame is deliberately NOT persisted even though
+    both the dup aggregate and the semi-join consume it: it is LARGER
+    than the corpus (one row per token position), so re-tokenizing on
+    the second pass is cheaper than caching it -- the opposite call from
+    ranking.bm25_topk's tiny tf frame."""
     if n < 1:
         raise ValueError("n must be >= 1")
     toks = text.tokens(F.lower(F.col(text_col)))

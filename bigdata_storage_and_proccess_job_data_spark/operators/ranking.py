@@ -60,7 +60,12 @@ def bm25_topk(
         F.count(F.lit(1)).cast("long").alias("_n_docs"),
         F.avg("_dl").alias("_avgdl"),
     )
-    # per-(doc, term) tf over query terms only
+    # per-(doc, term) tf over query terms only. Persisted: both the
+    # df-per-term aggregate and the final scoring join consume this
+    # frame, and without the persist each consumer re-runs the corpus
+    # tokenize+explode lineage (2 full scans instead of 1). It is the
+    # small side -- one row per (matching doc, term) -- the same
+    # precedent as neardup's persisted signature frame.
     hits = (
         base.select(
             id_col,
@@ -73,6 +78,7 @@ def bm25_topk(
         )
         .groupBy(id_col, "_dl", "_term")
         .agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+        .persist()
     )
     # per-term document frequency -> idf (joined broadcast: |terms| rows)
     df_by_term = hits.groupBy("_term").agg(

@@ -691,7 +691,9 @@ def media_features_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content"
         ),
     )
-    feats = multimodal.extract_features(media, dim=16)
+    # persisted: the query side and the corpus side both consume feats;
+    # without it the Arrow feature-extraction stage runs twice
+    feats = multimodal.extract_features(media, dim=16).persist()
     queries = feats.filter(F.col("media_id") < 10)
     return similarity.ivf_topk(
         queries, feats, id_col="media_id", vec_col="embedding",
@@ -792,9 +794,11 @@ def media_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content"
         ),
     )
+    # persisted for the same reason as media_features_knn: two consumers,
+    # one Arrow feature-extraction pass
     feats = multimodal.extract_features(
         media, dim=16, feature_fn=multimodal.md5_features
-    )
+    ).persist()
     queries = feats.filter(F.col("media_id") < 10)
     return similarity.brute_force_topk(
         queries, feats, id_col="media_id", vec_col="embedding", k=3
