@@ -10,8 +10,10 @@ it nightly over a raw document lake:
   5. decontaminate against a benchmark split (5-gram shingle overlap)
   6. quality/language filter (C4-style chain)
   7. rebalance the source mixture (deterministic md5 buckets)
-  8. chunk into 64-token windows with 16-token overlap
-  9. land the chunks z-ordered by (source bucket, length) for skipping
+  8. audit duplicated substrings (8-gram spans shared across docs)
+  9. chunk into 64-token windows with 16-token overlap
+ 10. pack the surviving docs into 512-token training streams per source
+ 11. land the chunks z-ordered by (source bucket, length) for skipping
 
 Run:  python examples/corpus_pipeline.py   (reads sf0.001, ~60 s)
 """
@@ -101,12 +103,26 @@ def main() -> None:
     )
     n_mix = docs.count()
 
-    # 8. chunk for the context window
+    # 8. duplicated-substring audit: verbatim 8-gram spans shared across
+    # surviving docs (post-dedup this should be small; a spike means the
+    # near-dup thresholds are too loose)
+    n_spans = corpus.duplicate_ngram_spans(
+        docs, "doc_id", "text", n=8, min_docs=2
+    ).count()
+
+    # 9. chunk for the context window
     chunks = corpus.chunk_documents(
         docs, "doc_id", "text", chunk_tokens=64, overlap=16
     )
 
-    # 9. land z-ordered by (doc, chunk length) for two-dim skipping
+    # 10. pack docs into 512-token training streams, one stream per
+    # source slice (parallel packing, no global order)
+    packed = corpus.pack_sequences(
+        docs, "doc_id", "text", 512, partition_col="source"
+    )
+    n_seqs = packed.select("source", "seq_id").distinct().count()
+
+    # 11. land z-ordered by (doc, chunk length) for two-dim skipping
     from bigdata_storage_and_proccess_job_data_spark.functions import zorder
 
     zorder.write_zordered(
@@ -117,10 +133,12 @@ def main() -> None:
     print(
         f"raw={n0} pii(emails={pii.e},phones={pii.p}) exact_dedup={n_exact} "
         f"near_dedup={n_near} decontaminated={n_decon} clean={n_clean} "
-        f"mixed={n_mix} chunks={n_chunks} -> {out_dir}/chunks"
+        f"mixed={n_mix} dup_spans={n_spans} chunks={n_chunks} "
+        f"seqs={n_seqs} -> {out_dir}/chunks"
     )
     assert n0 >= n_exact >= n_near >= n_decon >= n_clean >= n_mix > 0
     assert n_chunks >= n_mix
+    assert n_seqs > 0
 
 
 if __name__ == "__main__":
