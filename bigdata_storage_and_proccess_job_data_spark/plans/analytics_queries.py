@@ -1388,3 +1388,59 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Path analysis: top 3-step event sequences
+# ---------------------------------------------------------------------------
+@register(
+    "event_paths_top",
+    tags=("events", "window", "agg"),
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 LEAD(event_type, 1) OVER w AS s2,
+                 LEAD(event_type, 2) OVER w AS s3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT path, n_occurrences
+        FROM (
+          SELECT event_type || ' > ' || s2 || ' > ' || s3 AS path,
+                 CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                 ROW_NUMBER() OVER (
+                   ORDER BY COUNT(*) DESC,
+                            event_type || ' > ' || s2 || ' > ' || s3 ASC
+                 ) AS rn
+          FROM seq WHERE s3 IS NOT NULL
+          GROUP BY path
+        )
+        WHERE rn <= 20
+    """,
+)
+def event_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 three-step per-user event sequences (path analysis): lead
+    windows over (ts, event_id) build each consecutive triple, one count
+    aggregation, TakeOrdered top-k -- no global sort, and the window /
+    groupBy stages are the only shuffles. The deterministic (ts,
+    event_id) tiebreak makes paths reproducible across engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).filter(F.col("s3").isNotNull())
+    counted = (
+        seq.select(
+            F.concat_ws(" > ", "event_type", "s2", "s3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counted.orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(20)
+    )
