@@ -1359,25 +1359,35 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by their first-signup week
     (ISO Monday truncation), counted as retained in every later week
-    they show ANY event. Two aggregations keyed by user (distinct
-    activity weeks ride the same shuffle as the signup min), then a
-    user-keyed join -- the cohort dimension stays tiny, the heavy side
-    shrinks to distinct (user, week) pairs before anything joins."""
+    they show ANY event. ONE scan of the event table: reduce to
+    (user, week, had_signup) in the first aggregation, derive each
+    user's cohort week as the min signup week via a user-partitioned
+    window over that already-tiny frame (a signup's week IS the week of
+    the earliest signup timestamp, so no raw timestamps survive the
+    first reduction), then count distinct users per (cohort, offset).
+    The two-scan join formulation reads the 100 TB table twice for the
+    same answer."""
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
-    signup = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(
-            F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    per_week = (
+        ev.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias(
+                "activity_week"
+            ),
+            (F.col("event_type") == "signup").alias("_is_signup"),
         )
+        .groupBy("user_id", "activity_week")
+        .agg(F.max("_is_signup").alias("_signed_up"))
     )
-    activity = ev.select(
-        "user_id",
-        F.date_trunc("week", F.col("ts")).cast("date").alias("activity_week"),
-    ).distinct()
+    w = Window.partitionBy("user_id")
+    with_cohort = per_week.withColumn(
+        "cohort_week",
+        F.min(F.when(F.col("_signed_up"), F.col("activity_week"))).over(w),
+    )
     return (
-        activity.join(signup, "user_id")
-        .filter(F.col("activity_week") >= F.col("cohort_week"))
+        with_cohort.filter(F.col("activity_week") >= F.col("cohort_week"))
         .groupBy(
             "cohort_week",
             (
