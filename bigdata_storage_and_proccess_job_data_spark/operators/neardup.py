@@ -392,6 +392,17 @@ def connected_components(
     changed-row count each round. Raises if max_iters rounds don't
     converge (pathological chain -- raise max_iters or pre-bucket).
 
+    Each round's label frame is localCheckpoint-ed, not just persisted:
+    persistence caches the DATA but the logical plan still accumulates
+    one join+agg layer per round, so Catalyst re-analyzes an ever-deeper
+    tree (the classic iterative-algorithm lineage blowup; the final plan
+    text here held 2000+ scan nodes before truncation). localCheckpoint
+    cuts the lineage at the materialized RDD -- constant-size plan per
+    round, the GraphFrames checkpointing pattern. Executor-local
+    storage is the trade (an executor loss mid-run fails the job; rounds
+    are few and the frame is (id, component) pairs, so a rerun is
+    cheap -- switch to reliable checkpoint() if that ever matters).
+
     Vertices appearing in no pair are their own component and are NOT in
     the output (join back against the corpus for singletons).
     """
@@ -405,7 +416,7 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
     try:
         for _ in range(max_iters):
@@ -422,7 +433,7 @@ def connected_components(
                         F.col("component"), F.coalesce("_nmin", F.col("component"))
                     ).alias("component"),
                 )
-                .persist()
+                .localCheckpoint()
             )
             changed = (
                 new_labels.alias("n")
@@ -430,7 +441,6 @@ def connected_components(
                 .filter(F.col("n.component") != F.col("o.component"))
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 return labels.select("id", "component")
