@@ -97,3 +97,61 @@ def test_stable_round_matches_duckdb_on_grid(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_pack_and_span_invariants_on_generated_corpus(spark):
+    """One generated corpus, two operator invariants:
+
+    - pack_sequences: offsets are the exact exclusive prefix sum in id
+      order per partition slice, seq_id = offset // capacity, and every
+      bin except possibly the last per slice reaches capacity once its
+      successor starts (greedy fill never skips a bin).
+    - duplicate_ngram_spans: every returned (doc, pos, gram) matches the
+      doc's tokens at that position, every returned gram occurs in at
+      least min_docs distinct docs, and no qualifying span is missed.
+    """
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    samples = _examples(120) + ["a b c d e", "a b c d e", "", " ", "x " * 30]
+    rows = [(i, f"s{i % 4}", s) for i, s in enumerate(samples)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+
+    cap = 16
+    packed = corpus.pack_sequences(
+        df, "doc_id", "text", cap, partition_col="source"
+    ).collect()
+    by_src: dict = {}
+    for r in sorted(packed, key=lambda r: (r.source, r.doc_id)):
+        by_src.setdefault(r.source, []).append(r)
+    for rs in by_src.values():
+        run = 0
+        for r in rs:
+            assert r.offset_tokens == run
+            assert r.seq_id == run // cap
+            run += r.n_tokens
+
+    n = 3
+    spans = corpus.duplicate_ngram_spans(
+        df, "doc_id", "text", n=n, min_docs=2
+    ).collect()
+    toks = {
+        r.doc_id: (r.text or "").lower().split()
+        for r in df.collect()
+    }
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for d, ts in toks.items():
+        for i in range(max(0, len(ts) - n + 1)):
+            gram_docs[" ".join(ts[i : i + n])].add(d)
+    for r in spans:
+        assert " ".join(toks[r.doc_id][r.pos : r.pos + n]) == r.gram
+        assert len(gram_docs[r.gram]) >= 2
+    # completeness: every qualifying positional gram is returned
+    expected = sum(
+        1
+        for d, ts in toks.items()
+        for i in range(max(0, len(ts) - n + 1))
+        if len(gram_docs[" ".join(ts[i : i + n])]) >= 2
+    )
+    assert len(spans) == expected
