@@ -1454,3 +1454,66 @@ def event_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency: time-to-convert stats for funnel completers
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_latency",
+    tags=("events", "funnel", "agg"),
+    oracle=f"""
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+          GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, s1.t1, MIN(e.ts) AS t3
+          FROM events e
+          JOIN s2 USING (user_id)
+          JOIN s1 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          GROUP BY e.user_id, s1.t1
+        ),
+        lat AS (
+          SELECT (epoch_us(t3) - epoch_us(t1)) / 1e6 AS secs FROM s3
+        )
+        SELECT CAST(COUNT(*) AS BIGINT)          AS n_converted,
+               {sql_round('AVG(secs)', 3)}       AS avg_s,
+               {sql_round('quantile_cont(secs, 0.50)', 3)} AS p50_s,
+               {sql_round('MAX(secs)', 3)}       AS max_s
+        FROM lat
+    """,
+)
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for users who completed the full view -> click ->
+    purchase funnel: count, mean, exact median, max of (purchase time -
+    view time) in seconds. Rides funnel_times' single-scan window
+    cascade; the latency aggregation runs over one tiny per-user row
+    set. Microsecond-exact arithmetic (unix_micros), the event_gaps
+    pattern, so both engines compute identical fractional seconds."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    times = funnel.funnel_times(ev, ["view", "click", "purchase"])
+    lat = times.filter(F.col("t_purchase").isNotNull()).select(
+        (
+            (
+                F.unix_micros(F.col("t_purchase"))
+                - F.unix_micros(F.col("t_view"))
+            )
+            / 1e6
+        ).alias("secs")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        stable_round(F.avg("secs"), 3).alias("avg_s"),
+        stable_round(F.percentile("secs", F.lit(0.5)), 3).alias("p50_s"),
+        stable_round(F.max("secs"), 3).alias("max_s"),
+    )
