@@ -392,16 +392,21 @@ def connected_components(
     changed-row count each round. Raises if max_iters rounds don't
     converge (pathological chain -- raise max_iters or pre-bucket).
 
-    Each round's label frame is localCheckpoint-ed, not just persisted:
-    persistence caches the DATA but the logical plan still accumulates
-    one join+agg layer per round, so Catalyst re-analyzes an ever-deeper
-    tree (the classic iterative-algorithm lineage blowup; the final plan
-    text here held 2000+ scan nodes before truncation). localCheckpoint
-    cuts the lineage at the materialized RDD -- constant-size plan per
-    round, the GraphFrames checkpointing pattern. Executor-local
-    storage is the trade (an executor loss mid-run fails the job; rounds
-    are few and the frame is (id, component) pairs, so a rerun is
-    cheap -- switch to reliable checkpoint() if that ever matters).
+    Lineage management (the classic iterative-algorithm trap): persisting
+    alone caches the DATA but the logical plan still accumulates one
+    join+agg layer per round, so Catalyst re-analyzes an ever-deeper
+    tree (the final plan text here held 2000+ scan nodes before this
+    fix). But localCheckpoint-ing EVERY round has the opposite problem:
+    DataFrame.unpersist() cannot release checkpoint blocks, so
+    superseded rounds linger in executor storage until GC. The hybrid is
+    GraphFrames' pattern: persist each round and unpersist the
+    superseded frame deterministically, with a localCheckpoint every
+    ``_CHECKPOINT_EVERY`` rounds to cut lineage -- plan depth is bounded
+    by the interval, and only the (few, tiny (id, component)) checkpoint
+    frames wait for the ContextCleaner. Executor-local checkpoint
+    storage is the remaining trade (an executor loss mid-run fails the
+    job; rounds are few, a rerun is cheap -- switch to reliable
+    checkpoint() if that ever matters).
 
     Vertices appearing in no pair are their own component and are NOT in
     the output (join back against the corpus for singletons).
@@ -418,8 +423,10 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    _CHECKPOINT_EVERY = 3
+    persisted_prev: DataFrame | None = None
     try:
-        for _ in range(max_iters):
+        for i in range(max_iters):
             neighbor_min = (
                 edges.join(labels, edges.dst == labels.id)
                 .groupBy("src")
@@ -433,14 +440,24 @@ def connected_components(
                         F.col("component"), F.coalesce("_nmin", F.col("component"))
                     ).alias("component"),
                 )
-                .localCheckpoint()
             )
+            if (i + 1) % _CHECKPOINT_EVERY == 0:
+                new_labels = new_labels.localCheckpoint()
+                newly_persisted = None
+            else:
+                new_labels = new_labels.persist()
+                newly_persisted = new_labels
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")
                 .filter(F.col("n.component") != F.col("o.component"))
                 .count()
             )
+            # the count materialized new_labels, so the prior round's
+            # persisted frame can be released deterministically
+            if persisted_prev is not None:
+                persisted_prev.unpersist()
+            persisted_prev = newly_persisted
             labels = new_labels
             if changed == 0:
                 return labels.select("id", "component")

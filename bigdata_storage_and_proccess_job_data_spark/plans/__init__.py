@@ -85,6 +85,10 @@ DRIVER_WINDOW_R4 = [
     "stream_detail_enrich",
     # -- changed this round: md5_hash60 token hash + new exact oracle
     "simhash_near_dups",
+    # -- changed this round: connected_components localCheckpoint rewrite
+    "neardup_clusters",
+    # -- changed this round: mixture_sample default_pct validation
+    "corpus_mixture",
     # -- catalog NTZ->LTZ load-seam representatives (timestamp-heavy)
     "temporal_stats",
     "freshness_buckets",
@@ -96,10 +100,11 @@ DRIVER_WINDOW_R4 = [
     "chunk_documents",
     "topk_per_group",
     "dedup_exact_docs",
-    "json_extract_props",
-    "global_reduce",
     "impute_mean",
     "media_features_knn",
+    # (json_extract_props and global_reduce rotated out to make room for
+    # the two changed-code queries above; both hold green r3 rows and
+    # their code is untouched this round -- two-round coverage holds)
 ]
 
 DRIVER_WINDOW_R3 = [

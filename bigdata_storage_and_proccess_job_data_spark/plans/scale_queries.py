@@ -313,11 +313,21 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first 8 digest bytes LITTLE-endian, so the oracle byte-swaps to
 # big-endian and drops the low nibble (>> 4) to land on the identical
 # 60-bit value.
-_MD5_BE = " + ".join(
-    f"(((md5_number_upper(t) >> {8 * i}) & 255) * {1 << (8 * (7 - i))}::UBIGINT)"
-    for i in range(8)
-)
-_TOKEN_HASH60 = f"(({_MD5_BE}) >> 4)::BIGINT"
+def _md5_hash60_sql(arg: str) -> str:
+    """DuckDB twin of operators/neardup.py:md5_hash60 for any hashed
+    VARCHAR expression ``arg``: byte-swap md5_number_upper to big-endian,
+    drop the low nibble (>> 4) -> the identical positive 60-bit BIGINT.
+    ONE definition -- the simhash token hash and the media feature hash
+    both build on it, so an endianness/width fix lands in both oracles."""
+    be = " + ".join(
+        f"(((md5_number_upper({arg}) >> {8 * i}) & 255)"
+        f" * {1 << (8 * (7 - i))}::UBIGINT)"
+        for i in range(8)
+    )
+    return f"((({be}) >> 4)::BIGINT)"
+
+
+_TOKEN_HASH60 = _md5_hash60_sql("t")
 # per-bit majority vote: bit j of the simhash is set when more than half
 # the token hashes have bit j set (bits 60-63 of a 60-bit hash are always
 # zero on both engines, so summing j in 0..59 equals Spark's 0..63 loop)
@@ -721,15 +731,12 @@ _MEDIA_BLOB = (
     )
     + "'::BLOB"
 )
-_MD5_BE_FEAT = " + ".join(
-    f"(((md5_number_upper(hx || '-' || i::VARCHAR) >> {8 * j}) & 255) "
-    f"* {1 << (8 * (7 - j))}::UBIGINT)"
-    for j in range(8)
-)
 # v/2^59 - 1 in DOUBLE, truncated to FLOAT exactly like the Arrow
-# float32 embedding column, then widened back for the cosine fold
+# float32 embedding column, then widened back for the cosine fold;
+# the 60-bit hash is the shared _md5_hash60_sql bridge
+_FEAT_HASH60 = _md5_hash60_sql("hx || '-' || i::VARCHAR")
 _FEAT_EXPR = (
-    f"(((({_MD5_BE_FEAT}) >> 4)::BIGINT::DOUBLE"
+    f"(({_FEAT_HASH60}::DOUBLE"
     " / 576460752303423488.0 - 1.0)::FLOAT::DOUBLE)"
 )
 _MEDIA_SIM = (

@@ -164,8 +164,9 @@ def test_running_totals_tws_cross_batch(spark, two_batch_src):
         rows = spark.sql(f"SELECT * FROM {name}").collect()
         final = {}
         for r in rows:
-            if r.user not in final or r.count > final[r.user][0]:
-                final[r.user] = (r.count, r.total)
+            # bracket access: Row.count is the tuple method, not the field
+            if r.user not in final or r["count"] > final[r.user][0]:
+                final[r.user] = (r["count"], r["total"])
         assert final == {
             "alice": (3, 13.0),
             "bob": (2, 8.0),
