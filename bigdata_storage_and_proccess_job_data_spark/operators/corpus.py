@@ -245,6 +245,35 @@ def token_repetition(
     )
 
 
+def stratified_take_k(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``k`` rows per group (fewer if the group is smaller),
+    chosen by deterministic hash order -- the eval-set / spot-check
+    sampler: reproducible across runs, engines, and partitionings
+    (sampleBy guarantees none of these), and unbiased per group because
+    the md5 order is independent of any data column. Tie-break on the
+    id keeps even hash collisions deterministic.
+
+    One shuffle (the group window); the rank filter drops everything
+    beyond k before any downstream stage."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def duplicate_ngram_spans(
     df: DataFrame,
     id_col: str,

@@ -1387,3 +1387,37 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ["spark", "window", "fast"], id_col="doc_id",
         text_col="text", k=20,
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified exact-k sampling (eval-set construction)
+# ---------------------------------------------------------------------------
+@register(
+    "stratified_sample_k",
+    tags=("corpus", "sampling", "window"),
+    oracle="""
+        SELECT doc_id, source, lang
+        FROM (
+          SELECT doc_id, source, lang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(doc_id::VARCHAR || 'eval'), doc_id
+                 ) AS rn
+          FROM documents
+        )
+        WHERE rn <= 5
+    """,
+)
+def stratified_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per source by deterministic md5 order
+    (operators/corpus.py:stratified_take_k) -- the reproducible
+    spot-check / eval-split sampler; same hash, same 5 docs on any
+    engine or partitioning."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    return corpus.stratified_take_k(
+        docs, "doc_id", "source", k=5, salt="eval"
+    )

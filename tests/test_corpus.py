@@ -243,3 +243,25 @@ def test_pack_sequences_invariants(spark):
 
     with pytest.raises(ValueError, match="capacity"):
         corpus.pack_sequences(df, "doc_id", "text", 0, partition_col="source")
+
+
+def test_stratified_take_k_exact_and_deterministic(spark):
+    rows = [(i, f"g{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id LONG, grp STRING")
+    a = corpus.stratified_take_k(df, "doc_id", "grp", k=4, salt="s")
+    b = corpus.stratified_take_k(df, "doc_id", "grp", k=4, salt="s")
+    got_a = sorted((r.grp, r.doc_id) for r in a.collect())
+    got_b = sorted((r.grp, r.doc_id) for r in b.collect())
+    # deterministic across invocations, exactly k per group
+    assert got_a == got_b
+    from collections import Counter
+
+    assert Counter(g for g, _ in got_a) == {"g0": 4, "g1": 4, "g2": 4}
+    # a different salt draws a different sample
+    c = corpus.stratified_take_k(df, "doc_id", "grp", k=4, salt="other")
+    assert sorted((r.grp, r.doc_id) for r in c.collect()) != got_a
+    # small groups yield all their rows, not an error
+    tiny = spark.createDataFrame([(1, "g")], "doc_id LONG, grp STRING")
+    assert corpus.stratified_take_k(tiny, "doc_id", "grp", k=5).count() == 1
+    with pytest.raises(ValueError, match="k must"):
+        corpus.stratified_take_k(df, "doc_id", "grp", k=0)
