@@ -116,6 +116,28 @@ def global_sum(df: DataFrame, col: str, alias: str = "total") -> DataFrame:
     return df.agg(F.sum(col).alias(alias))
 
 
+def key_skew_report(df: DataFrame, key: str | Column) -> DataFrame:
+    """Key-distribution diagnostic: one row with n_keys, n_rows,
+    max_key_count, and skew_ratio = max_count / mean_count -- the number
+    you read BEFORE reaching for salted_two_phase (ratio ~1 = uniform;
+    ratio >> shuffle-partition count = one reducer melts). Two hash
+    aggregations: per-key counts (the only wide stage, map-side partial
+    combine applies), then a single-row fold over the tiny count frame.
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    counts = df.groupBy(key_col.alias("_k")).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_cnt").cast("long").alias("n_rows"),
+        F.max("_cnt").cast("long").alias("max_key_count"),
+        (
+            F.max("_cnt") * F.count(F.lit(1)) / F.sum("_cnt")
+        ).alias("skew_ratio"),
+    )
+
+
 def expectation_report(
     df: DataFrame,
     checks: dict[str, Column],

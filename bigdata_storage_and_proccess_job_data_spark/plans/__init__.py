@@ -40,10 +40,10 @@ from bigdata_storage_and_proccess_job_data_spark.plans import (  # noqa: F401,E4
 # R5 planning note (rotation policy): the queries REGISTERED in round 4 —
 # media_features_exact, corpus_token_budget, duplicate_ngram_spans,
 # pack_training_sequences, bm25_search, funnel_view_click_purchase,
-# cohort_retention, event_paths_top, funnel_latency, stratified_sample_k —
-# have no driver row yet (new registrations sit behind the curated 50) and
-# MUST be in DRIVER_WINDOW_R5, together with the r3-window queries rotating
-# back per the two-round rule.
+# cohort_retention, event_paths_top, funnel_latency, stratified_sample_k,
+# key_skew_report — have no driver row yet (new registrations sit behind
+# the curated 50) and MUST be in DRIVER_WINDOW_R5, together with the
+# r3-window queries rotating back per the two-round rule.
 DRIVER_WINDOW_R4 = [
     # -- r2-checked analytics variants rotating back in (32)
     "segment_revenue",

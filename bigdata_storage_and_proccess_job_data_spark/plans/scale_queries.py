@@ -1421,3 +1421,37 @@ def stratified_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.stratified_take_k(
         docs, "doc_id", "source", k=5, salt="eval"
     )
+
+
+# ---------------------------------------------------------------------------
+# Ops diagnostic: key-distribution skew report
+# ---------------------------------------------------------------------------
+@register(
+    "key_skew_report",
+    tags=("agg", "diagnostics"),
+    oracle=f"""
+        WITH c AS (
+          SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT)  AS n_keys,
+               CAST(SUM(cnt) AS BIGINT)  AS n_rows,
+               CAST(MAX(cnt) AS BIGINT)  AS max_key_count,
+               {sql_round('MAX(cnt) * COUNT(*) / SUM(cnt)', 4)} AS skew_ratio
+        FROM c
+    """,
+)
+def key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostic on orders.o_custkey
+    (operators/aggregates.py:key_skew_report): skew_ratio = max key
+    count over mean key count, the pre-flight number for choosing
+    between a plain groupBy and salted_two_phase."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    orders = load_table(spark, sf_dir, "orders")
+    report = aggregates.key_skew_report(orders, "o_custkey")
+    return report.select(
+        "n_keys",
+        "n_rows",
+        "max_key_count",
+        stable_round(F.col("skew_ratio"), 4).alias("skew_ratio"),
+    )
