@@ -103,7 +103,16 @@ def main() -> None:
         collect only if the internal API moves."""
         try:
             df._jdf.queryExecution().toRdd().count()
-        except Exception:
+        except Exception as exc:
+            # loud fallback (ADVICE r4): a Spark upgrade that moves the
+            # internal API must be visible, because collect() ships every
+            # result row to the driver -- exactly what this helper exists
+            # to avoid
+            print(
+                "WARNING: force_metrics internal-API path failed "
+                f"({type(exc).__name__}: {exc}); falling back to collect()",
+                file=sys.stderr,
+            )
             df.collect()
 
     # untimed metrics pass: a noop WRITE runs its own query execution, so

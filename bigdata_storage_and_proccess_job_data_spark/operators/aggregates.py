@@ -110,6 +110,36 @@ def salted_two_phase(
     return partial.groupBy(key_name).agg(*final_aggs)
 
 
+def count_distinct_spread(
+    df: DataFrame,
+    key: str | Column,
+    val: str | Column,
+    key_name: str = "key",
+    out: str = "n_distinct",
+) -> DataFrame:
+    """Skew-safe EXACT distinct count per key: shuffle the (key, value)
+    PAIRS first -- the value acts as a perfect salt, so a hot key's rows
+    spread over every reducer -- then count the pre-deduped pairs per
+    key (second shuffle moves one row per distinct pair, already tiny).
+
+    The naive form, groupBy(key).agg(collect_set(value)), funnels every
+    value of a hot key through ONE reducer's in-memory set buffer: at
+    100 TB that single task is the job's wall-clock (or its OOM). Here
+    both heavy stages are uniform regardless of key skew. This is the
+    rewrite Catalyst applies to count_distinct internally -- exposed as
+    an operator because the naive collect_set shape is what users
+    actually write, and the registered skew_distinct_naive/spread bench
+    pair measures the difference on a Zipf key (VERDICT r4 #6)."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    val_col = F.col(val) if isinstance(val, str) else val
+    pairs = df.select(
+        key_col.alias(key_name), val_col.alias("_v")
+    ).distinct()
+    return pairs.groupBy(key_name).agg(
+        F.count(F.lit(1)).cast("long").alias(out)
+    )
+
+
 def global_sum(df: DataFrame, col: str, alias: str = "total") -> DataFrame:
     """Whole-table sum -- the DataFrame form of the reference's RDD
     map/reduce demo (k8s/job.py:24-35, SURVEY.md A8)."""

@@ -65,6 +65,48 @@ def dedup_exact_content(
     )
 
 
+def first_of_burst(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    gap: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Event-time burst dedup: per key, keep the FIRST row of every
+    burst, where a new burst starts whenever the gap from the previous
+    row (same key, event-time order) exceeds ``gap`` (an INTERVAL
+    string, e.g. ``"30 minutes"``). The alert-storm / retransmission
+    collapse: row at t is a duplicate of the burst's opener, not a new
+    signal, while it arrives within ``gap`` of its predecessor.
+
+    This is the deterministic BATCH analogue of the streaming
+    ``dedup_within_watermark`` (streaming/stateful.py, built on
+    dropDuplicatesWithinWatermark): the streaming form keeps a key's
+    first arrival and drops duplicates while its state lives, evicting
+    state as the watermark passes; when the watermark advances between
+    bursts (the steady-state shape -- bursts are short, inter-burst
+    gaps are long), both definitions keep exactly the burst openers.
+    tests/test_streaming_joins.py pins that equivalence on a multi-batch
+    file stream.
+
+    Plan shape: ONE shuffle on ``keys``, a per-key sort for the lag
+    window, a codegen filter -- no joins, no driver state. At 100 TB the
+    per-key partitions are user/session sized, far under executor
+    memory. ``tiebreak`` columns order equal timestamps reproducibly.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    keep = prev.isNull() | (
+        F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}")
+    )
+    return (
+        df.withColumn("_keep", keep)
+        .filter(F.col("_keep"))
+        .drop("_keep")
+    )
+
+
 def duplicate_groups(
     df: DataFrame,
     content_col: str,

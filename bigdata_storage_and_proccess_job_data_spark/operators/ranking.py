@@ -65,7 +65,10 @@ def bm25_topk(
     # frame, and without the persist each consumer re-runs the corpus
     # tokenize+explode lineage (2 full scans instead of 1). It is the
     # small side -- one row per (matching doc, term) -- the same
-    # precedent as neardup's persisted signature frame.
+    # precedent as neardup's persisted signature frame. Released
+    # deterministically below (ADVICE r4): the final top-k is <= k rows
+    # by contract, so it is materialized eagerly and the cache dropped
+    # in the finally -- no storage survives the call.
     hits = (
         base.select(
             id_col,
@@ -80,39 +83,50 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).cast("long").alias("_tf"))
         .persist()
     )
-    # per-term document frequency -> idf (joined broadcast: |terms| rows)
-    df_by_term = hits.groupBy("_term").agg(
-        F.count(F.lit(1)).cast("long").alias("_df")
-    )
-    scored = (
-        hits.join(F.broadcast(df_by_term), "_term")
-        .crossJoin(F.broadcast(scalars))
-        .select(
-            F.col(id_col),
-            (
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("_n_docs") - F.col("_df") + 0.5)
-                    / (F.col("_df") + 0.5)
-                )
-                * (F.col("_tf") * (k1 + 1))
-                / (
-                    F.col("_tf")
-                    + k1
-                    * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
-                )
-            ).alias("_part"),
+    try:
+        # per-term document frequency -> idf (broadcast: |terms| rows)
+        df_by_term = hits.groupBy("_term").agg(
+            F.count(F.lit(1)).cast("long").alias("_df")
         )
-        .groupBy(id_col)
-        .agg(stable_round(F.sum("_part"), 4).alias("score"))
-    )
-    # TakeOrderedAndProject first (distributed partial top-k per
-    # partition, k rows to the driver-side merge), THEN a row_number
-    # window over only those k rows -- never a single-partition window
-    # over the whole scored corpus
-    topk = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        topk.withColumn("rank", F.row_number().over(w))
-        .select(id_col, "score", F.col("rank").cast("long").alias("rank"))
-    )
+        scored = (
+            hits.join(F.broadcast(df_by_term), "_term")
+            .crossJoin(F.broadcast(scalars))
+            .select(
+                F.col(id_col),
+                (
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("_n_docs") - F.col("_df") + 0.5)
+                        / (F.col("_df") + 0.5)
+                    )
+                    * (F.col("_tf") * (k1 + 1))
+                    / (
+                        F.col("_tf")
+                        + k1
+                        * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+                    )
+                ).alias("_part"),
+            )
+            .groupBy(id_col)
+            .agg(stable_round(F.sum("_part"), 4).alias("score"))
+        )
+        # TakeOrderedAndProject first (distributed partial top-k per
+        # partition, k rows to the driver-side merge), THEN a row_number
+        # window over only those k rows -- never a single-partition
+        # window over the whole scored corpus
+        topk = scored.orderBy(
+            F.col("score").desc(), F.col(id_col).asc()
+        ).limit(k)
+        w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        ranked = (
+            topk.withColumn("rank", F.row_number().over(w))
+            .select(id_col, "score", F.col("rank").cast("long").alias("rank"))
+        )
+        # materialize the <= k result rows (driver-sized by definition --
+        # the same bounded-collect precedent as the Arrow query cap),
+        # then release the cached hits frame before returning
+        rows = ranked.collect()
+        schema = ranked.schema
+    finally:
+        hits.unpersist()
+    return docs.sparkSession.createDataFrame(rows, schema)

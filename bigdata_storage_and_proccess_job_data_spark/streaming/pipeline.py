@@ -127,6 +127,7 @@ def stream_stream_interval_join(
     right_watermark: str,
     within: str,
     how: str = "inner",
+    right_key: str | None = None,
 ) -> DataFrame:
     """Stream-stream join with an event-time interval condition -- the
     impressions|X|clicks shape: match right rows whose timestamp falls in
@@ -135,11 +136,22 @@ def stream_stream_interval_join(
     unconstrained stream-stream join would buffer both streams forever).
     Outer modes emit the unmatched row only after the watermark proves no
     match can still arrive -- Spark enforces the constraint; this builder
-    just makes it impossible to express the unbounded form."""
+    just makes it impossible to express the unbounded form.
+
+    ``right_key`` names the right side's join column when it differs
+    from the left's -- the self-join case (both sides carved from one
+    source, e.g. views |X| clicks of one events stream) NEEDS distinct
+    names, because identically-named columns from a shared lineage
+    resolve to the same expression id and the output would be ambiguous.
+
+    The builder is watermark-transparent on BATCH frames (withWatermark
+    is a no-op there), so the exact same call expresses the batch
+    backfill of a streaming attribution job -- one code path, proven by
+    the view_click_attribution registered query + the streaming test."""
     lw = ensure_ltz(left, left_ts).withWatermark(left_ts, left_watermark)
     rw = ensure_ltz(right, right_ts).withWatermark(right_ts, right_watermark)
     cond = (
-        (lw[key] == rw[key])
+        (lw[key] == rw[right_key or key])
         & (rw[right_ts] >= lw[left_ts])
         # bound built from the frame-qualified column + a bare INTERVAL
         # literal: an f-string'd `expr("ts + INTERVAL ...")` would be
@@ -148,3 +160,43 @@ def stream_stream_interval_join(
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond, how)
+
+
+def exactly_once_append(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    delay: str,
+    path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Exactly-once keyed append sink: watermark-scoped dedup UPSTREAM
+    (dropDuplicatesWithinWatermark via stateful.dedup_within_watermark
+    -- duplicate deliveries from an at-least-once source collapse while
+    their key's state lives) + an IDEMPOTENT per-batch write downstream:
+    each micro-batch lands in its own ``batch_id=N`` hive-partition
+    directory with mode=overwrite, so a batch replayed after a failure
+    rewrites the same directory instead of appending a second copy.
+    Dedup handles source-side duplicates; the keyed overwrite handles
+    sink-side replays -- together, effectively-exactly-once on a plain
+    parquet lake, no transactional table format required. Read the sink
+    back with ``spark.read.parquet(path)`` (batch_id surfaces as a
+    partition column; drop it for consumer-facing views)."""
+    from bigdata_storage_and_proccess_job_data_spark.streaming.stateful import (
+        dedup_within_watermark,
+    )
+
+    deduped = dedup_within_watermark(df, keys, ts_col, delay)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{path}/batch_id={batch_id}"
+        )
+
+    writer = deduped.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -168,6 +168,9 @@ def test_no_scale_antipatterns_anywhere(spark, oracle_sf_dir):
         "media_features_exact",
         "impute_mean",
         "bm25_search",
+        # embeds brute_force_topk as the exact recall denominator -- the
+        # same broadcast exact-scoring baseline as knn_brute_force
+        "ann_recall",
     }
     bad_shapes = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
     hits = []

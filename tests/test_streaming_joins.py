@@ -274,3 +274,166 @@ def test_stream_stream_join_same_ts_name_analyzes(spark, tmp_path):
         "10 minutes", "10 minutes", "5 MINUTES",
     )
     _ = joined.schema  # forces analysis; ambiguous refs raise here
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """LEFT-OUTER stream-stream join: the unmatched impression must be
+    emitted with a NULL click -- but only after the watermark proves no
+    match can still arrive (state-store eviction). Sentinel events on
+    BOTH streams advance the global watermark past imp_ts + within, and
+    a final sentinel batch triggers the null emission. The emitted set
+    must equal the batch left-outer join of the same frames."""
+    import datetime as dt
+    import time as _t
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    imp_schema = StructType(
+        [StructField("ad_id", LongType()), StructField("imp_ts", TimestampType())]
+    )
+    clk_schema = StructType(
+        [StructField("ad_id", LongType()), StructField("clk_ts", TimestampType())]
+    )
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    t = dt.datetime(2024, 5, 1, 10, 0, 0)
+
+    def write(path, schema, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    # b1: the real data -- ad 1 matches, ad 2 never will
+    write(imp_dir, imp_schema, [(1, t), (2, t)])
+    write(clk_dir, clk_schema, [(1, t + dt.timedelta(minutes=4))])
+    _t.sleep(1.1)  # mtime granularity: files must sort in write order
+    # b2: sentinels on BOTH streams -> watermark 13:00 - 30m = 12:30,
+    # far past ad 2's emission horizon (10:10)
+    far = t + dt.timedelta(hours=3)
+    write(imp_dir, imp_schema, [(99, far)])
+    write(clk_dir, clk_schema, [(98, far)])
+    _t.sleep(1.1)
+    # b3: one more right-side sentinel so a batch RUNS at the advanced
+    # watermark and flushes the unmatched-left state
+    write(clk_dir, clk_schema, [(97, far + dt.timedelta(minutes=30))])
+
+    imp_s = pipeline.file_stream(
+        spark, imp_dir, imp_schema, max_files_per_trigger=1
+    )
+    clk_s = pipeline.file_stream(
+        spark, clk_dir, clk_schema, max_files_per_trigger=1
+    )
+    joined = pipeline.stream_stream_interval_join(
+        imp_s, clk_s, "ad_id", "imp_ts", "clk_ts",
+        "30 minutes", "30 minutes", "10 MINUTES",
+        how="left_outer",
+    ).select(
+        imp_s["ad_id"].alias("ad_id"),
+        "imp_ts",
+        "clk_ts",
+    )
+    name = f"ssloj_{uuid.uuid4().hex[:8]}"
+    q = pipeline.memory_sink(joined, name, output_mode="append")
+    q.awaitTermination(120)
+    got = {
+        (r.ad_id, str(r.imp_ts), str(r.clk_ts) if r.clk_ts else None)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        if r.ad_id < 90  # sentinel imps can't flush (watermark ends)
+    }
+    assert got == {
+        (1, "2024-05-01 10:00:00", "2024-05-01 10:04:00"),
+        (2, "2024-05-01 10:00:00", None),
+    }
+
+    # batch equivalence: identical builder call on static frames
+    # (withWatermark is a no-op in batch) must produce the same set
+    imp_b = spark.read.parquet(imp_dir)
+    clk_b = spark.read.parquet(clk_dir)
+    batch = pipeline.stream_stream_interval_join(
+        imp_b, clk_b, "ad_id", "imp_ts", "clk_ts",
+        "30 minutes", "30 minutes", "10 MINUTES",
+        how="left_outer",
+    ).select(imp_b["ad_id"].alias("ad_id"), "imp_ts", "clk_ts")
+    batch_got = {
+        (r.ad_id, str(r.imp_ts), str(r.clk_ts) if r.clk_ts else None)
+        for r in batch.collect()
+        if r.ad_id < 90
+    }
+    assert batch_got == got
+
+
+def test_dedup_stream_batch_equivalence(spark, tmp_path):
+    """dropDuplicatesWithinWatermark through the exactly-once sink must
+    keep exactly the burst openers that the batch analogue
+    (operators/dedup.py:first_of_burst) keeps: duplicates inside a
+    burst collapse while the key's state lives; the state evicts as the
+    watermark passes (filler batches advance it), so the next burst's
+    opener is kept again. Also proves the sink mechanics: each batch in
+    its own batch_id=N dir (idempotent overwrite on replay)."""
+    import datetime as dt
+    import time as _t
+
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import dedup
+
+    schema = StructType(
+        [StructField("user", StringType()), StructField("ts", TimestampType())]
+    )
+    src = str(tmp_path / "src")
+    t = dt.datetime(2024, 5, 1, 10, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    m = dt.timedelta(minutes=1)
+    # b1: burst 1 -- openers A@10:00, B@10:00; dups within 30m dropped
+    write([("A", t), ("A", t + 5 * m), ("A", t + 8 * m), ("B", t)])
+    _t.sleep(1.1)
+    # b2/b3: fillers advance the watermark past burst 1's state expiry
+    # (10:30); two fillers so eviction is certain even if it lags a batch
+    write([("C", t + 90 * m)])
+    _t.sleep(1.1)
+    write([("D", t + 150 * m)])
+    _t.sleep(1.1)
+    # b4: burst 2 -- state evicted, openers kept again
+    write([("A", t + 180 * m), ("A", t + 182 * m), ("B", t + 180 * m)])
+
+    stream = pipeline.file_stream(
+        spark, src, schema, max_files_per_trigger=1
+    )
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = pipeline.exactly_once_append(
+        stream, ["user"], "ts", "30 minutes", sink, ckpt
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user, str(r.ts))
+        for r in spark.read.parquet(sink).select("user", "ts").collect()
+    }
+    expected_batch = dedup.first_of_burst(
+        spark.read.parquet(src), ["user"], "ts", "30 minutes"
+    )
+    want = {(r.user, str(r.ts)) for r in expected_batch.collect()}
+    assert got == want, f"stream={sorted(got)} batch={sorted(want)}"
+    assert len(got) == 6  # A,B openers x2 bursts + C + D
+
+    # exactly-once mechanics: per-batch hive dirs, so a replayed batch
+    # overwrites its own directory instead of double-appending
+    import os
+
+    batch_dirs = [d for d in os.listdir(sink) if d.startswith("batch_id=")]
+    assert len(batch_dirs) >= 2
