@@ -44,6 +44,87 @@ from bigdata_storage_and_proccess_job_data_spark.plans import (  # noqa: F401,E4
 # key_skew_report — have no driver row yet (new registrations sit behind
 # the curated 50) and MUST be in DRIVER_WINDOW_R5, together with the
 # r3-window queries rotating back per the two-round rule.
+#
+# Round 5 window (honors the note above + VERDICT r4 #1/#2):
+#   - the 32 queries whose last driver row is r3 (two-round rotation);
+#   - the 11 round-4 registrations, driver-rowless until now — including
+#     media_features_exact, swapped IN for the rows-only
+#     media_features_knn per VERDICT r4 "What's wrong #1" (the knn
+#     variant holds its r4 rows-only row and its recall is now ALSO
+#     driver-visible via ann_recall);
+#   - the 6 queries REGISTERED this round (changed-code rule: new code
+#     never ships without a row): view_click_attribution,
+#     dedup_within_delay, skew_distinct_naive, skew_distinct_spread,
+#     zipf_key_skew, ann_recall (rows-only by design — approximate ANN);
+#   - 1 spare -> segment_revenue, the flagship/headline entry query
+#     (freshest possible row for the query the driver smoke-checks).
+# Streaming-window obligation (VERDICT r4 #2): round 5 does NOT touch
+# streaming/windows.py, operators/funnel.py, or functions/eventtime.py
+# (the new streaming work lives in streaming/pipeline.py +
+# operators/dedup.py, and view_click_attribution/dedup_within_delay —
+# the queries exercising that changed code — are in-window), so
+# window_tumbling/window_sliding/session_windows/stream_detail_enrich
+# keep their green r4 rows and rotate back in r6.
+# R6 planning note: the 43 non-r5-window queries with r4 rows (the
+# DRIVER_WINDOW_R4 set minus media_features_knn's replacement overlap)
+# must rotate back in DRIVER_WINDOW_R6 per the two-round rule.
+DRIVER_WINDOW_R5 = [
+    # -- r3-rowed queries rotating back in (32)
+    "knn_brute_force",
+    "knn_lsh",
+    "knn_ivf",
+    "embedding_neardup_pairs",
+    "embedding_norms",
+    "word_frequencies",
+    "pii_scrub",
+    "contamination_check",
+    "sample_deterministic",
+    "doc_length_histogram",
+    "token_repetition",
+    "clean_corpus",
+    "decontaminated_train",
+    "customers_without_orders",
+    "text_stats",
+    "quality_scores",
+    "lang_distribution",
+    "fingerprint_docs",
+    "ngram_jaccard_pairs",
+    "json_extract_props",
+    "global_reduce",
+    "company_stats_v1",
+    "clean_numeric_cast",
+    "classify_text",
+    "merge_fallback",
+    "derive_salary_fields",
+    "currency_convert",
+    "location_stats",
+    "category_percentiles",
+    "worktype_stats",
+    "value_distribution",
+    "union_normalize",
+    # -- round-4 registrations, rowless until now (11)
+    "media_features_exact",  # swapped in for rows-only media_features_knn
+    "corpus_token_budget",
+    "duplicate_ngram_spans",
+    "pack_training_sequences",
+    "bm25_search",
+    "funnel_view_click_purchase",
+    "cohort_retention",
+    "event_paths_top",
+    "funnel_latency",
+    "stratified_sample_k",
+    "key_skew_report",
+    # -- round-5 registrations (changed-code rule) (6)
+    "view_click_attribution",
+    "dedup_within_delay",
+    "skew_distinct_naive",
+    "skew_distinct_spread",
+    "zipf_key_skew",
+    "ann_recall",
+    # -- spare (1): flagship entry query, freshest row
+    "segment_revenue",
+]
+
 DRIVER_WINDOW_R4 = [
     # -- r2-checked analytics variants rotating back in (32)
     "segment_revenue",
@@ -164,4 +245,4 @@ DRIVER_WINDOW_R3 = [
     "impute_mean",  # A9/X2
 ]
 
-set_driver_order(DRIVER_WINDOW_R4)
+set_driver_order(DRIVER_WINDOW_R5)

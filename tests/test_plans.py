@@ -193,7 +193,7 @@ def test_driver_window_is_first_50():
     names that drifted out of the registry."""
     from bigdata_storage_and_proccess_job_data_spark import plans
 
-    window = plans.DRIVER_WINDOW_R4
+    window = plans.DRIVER_WINDOW_R5
     assert len(window) == 50
     assert len(set(window)) == 50
     assert list(QS)[:50] == window

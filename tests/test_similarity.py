@@ -163,3 +163,21 @@ def test_lsh_paths_reject_dim_mismatch(spark):
         similarity.cosine_neardup_pairs(df, dim=64)
     with pytest.raises(ValueError, match="dimension 128"):
         similarity.lsh_topk(df, df, dim=64)
+
+
+def test_ann_recall_registered_query(spark, oracle_sf_dir):
+    """The registered ann_recall query (the driver-visible form of the
+    recall gates above) must emit one deterministic row per method with
+    recall_at_5 over the 0.5 floor the per-method tests enforce."""
+    from bigdata_storage_and_proccess_job_data_spark.plans import all_queries
+
+    rows = all_queries()["ann_recall"].fn(spark, oracle_sf_dir).collect()
+    got = {r.method: r.recall_at_5 for r in rows}
+    assert set(got) == {"lsh", "ivf"}
+    assert all(v >= 0.5 for v in got.values()), got
+    # deterministic: a second run emits identical values
+    again = {
+        r.method: r.recall_at_5
+        for r in all_queries()["ann_recall"].fn(spark, oracle_sf_dir).collect()
+    }
+    assert got == again
