@@ -52,12 +52,16 @@ from bigdata_storage_and_proccess_job_data_spark.plans import (  # noqa: F401,E4
 #     media_features_knn per VERDICT r4 "What's wrong #1" (the knn
 #     variant holds its r4 rows-only row and its recall is now ALSO
 #     driver-visible via ann_recall);
-#   - the 6 queries REGISTERED this round (changed-code rule: new code
+#   - the 7 queries REGISTERED this round (changed-code rule: new code
 #     never ships without a row): view_click_attribution,
 #     dedup_within_delay, skew_distinct_naive, skew_distinct_spread,
-#     zipf_key_skew, ann_recall (rows-only by design — approximate ANN);
-#   - 1 spare -> segment_revenue, the flagship/headline entry query
-#     (freshest possible row for the query the driver smoke-checks).
+#     zipf_key_skew, ann_recall (rows-only by design — approximate ANN),
+#     and hybrid_search (BM25 -> cosine rerank, exact oracle).
+# Registry-saturation note: 100 registered queries is the hard ceiling
+# under the two-round rule with a 50-row window (2 x 50); hybrid_search
+# is deliberately the 100th. From r6 on the rotation is exactly
+# periodic — r6 = the DRIVER_WINDOW_R4 set, r7 = this set — and any new
+# registration must retire or merge an existing query to keep coverage.
 # Streaming-window obligation (VERDICT r4 #2): round 5 does NOT touch
 # streaming/windows.py, operators/funnel.py, or functions/eventtime.py
 # (the new streaming work lives in streaming/pipeline.py +
@@ -114,15 +118,14 @@ DRIVER_WINDOW_R5 = [
     "funnel_latency",
     "stratified_sample_k",
     "key_skew_report",
-    # -- round-5 registrations (changed-code rule) (6)
+    # -- round-5 registrations (changed-code rule) (7)
     "view_click_attribution",
     "dedup_within_delay",
     "skew_distinct_naive",
     "skew_distinct_spread",
     "zipf_key_skew",
     "ann_recall",
-    # -- spare (1): flagship entry query, freshest row
-    "segment_revenue",
+    "hybrid_search",
 ]
 
 DRIVER_WINDOW_R4 = [

@@ -1474,6 +1474,162 @@ def key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 candidates -> embedding-cosine rerank
+# ---------------------------------------------------------------------------
+# The cosine and the BM25 CTE chain reuse the exact expression forms the
+# knn and bm25_search oracles already hash-match, so the composite stays
+# bit-identical across engines.
+_HS_COS = (
+    "CASE WHEN sqrt(list_dot_product(ev, ev)) > 0 "
+    "AND sqrt(list_dot_product(qvv, qvv)) > 0 "
+    "THEN list_dot_product(ev, qvv) / "
+    "(sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qvv, qvv))) END"
+)
+
+
+@register(
+    "hybrid_search",
+    tags=("corpus", "ranking", "similarity", "vector"),
+    oracle=f"""
+        WITH sized AS (
+          SELECT doc_id, len({SQL_TOKENS_LOWER}) AS dl,
+                 {SQL_TOKENS_LOWER} AS ts
+          FROM documents
+        ),
+        scalars AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl
+          FROM sized
+        ),
+        hits AS (
+          SELECT doc_id, dl,
+                 UNNEST(list_filter(ts,
+                        t -> t IN ('spark', 'window', 'fast'))) AS term
+          FROM sized
+        ),
+        tf AS (
+          SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM hits GROUP BY doc_id, dl, term
+        ),
+        dfreq AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ),
+        scored AS (
+          SELECT doc_id,
+                 {sql_round(
+                     'SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))'
+                     ' * (tf * 2.2)'
+                     ' / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))', 4)}
+                   AS score
+          FROM tf, dfreq, scalars
+          WHERE tf.term = dfreq.term
+          GROUP BY doc_id
+        ),
+        cand AS (
+          SELECT doc_id, score, brank
+          FROM (
+            SELECT doc_id, score,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                        AS BIGINT) AS brank
+            FROM scored
+          )
+          WHERE brank <= 50
+        ),
+        maxs AS (SELECT MAX(score) AS ms FROM cand),
+        qv AS (
+          SELECT e.embedding::DOUBLE[] AS qvv
+          FROM embeddings e JOIN cand ON e.vec_id = cand.doc_id
+          WHERE cand.brank = 1
+        ),
+        rer AS (
+          SELECT c.doc_id, c.score AS bm25_score,
+                 {sql_round(_HS_COS, 4)} AS cos_sim,
+                 ms
+          FROM cand c
+          JOIN (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings) e
+            ON e.vec_id = c.doc_id
+          CROSS JOIN qv CROSS JOIN maxs
+        ),
+        hyb AS (
+          SELECT doc_id, bm25_score, cos_sim,
+                 {sql_round(
+                     '0.5 * (bm25_score / ms) + 0.5 * cos_sim', 4)}
+                   AS hybrid_score
+          FROM rer
+        )
+        SELECT doc_id, bm25_score, cos_sim, hybrid_score, rank
+        FROM (
+          SELECT doc_id, bm25_score, cos_sim, hybrid_score,
+                 CAST(ROW_NUMBER() OVER (
+                   ORDER BY hybrid_score DESC, doc_id ASC
+                 ) AS BIGINT) AS rank
+          FROM hyb
+        )
+        WHERE rank <= 10
+    """,
+)
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, the RAG / decontamination-triage shape: BM25
+    candidate generation (top-50, operators/ranking.py:bm25_topk) ->
+    embedding-cosine rerank against a pseudo-relevance query vector
+    (the top-1 BM25 doc's embedding -- no external query encoder
+    needed) -> hybrid score 0.5*normalized-BM25 + 0.5*cosine, top-10.
+
+    Scale shape: the BM25 stage is the existing distributed pipeline
+    (its <=50-row result is driver-sized by definition -- the bounded
+    materialization the engine allows for top-k outputs); the rerank is
+    ONE broadcast hash join of the 50-row candidate frame against the
+    embeddings scan with the query vector inlined as a literal array
+    (no crossJoin, no second scan, no Python row path). Both stages
+    reuse expression forms the bm25_search / knn oracles already
+    hash-match, so the composite is value-checked end-to-end."""
+    from bigdata_storage_and_proccess_job_data_spark.functions import vectors
+    from bigdata_storage_and_proccess_job_data_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = ranking.bm25_topk(
+        docs, ["spark", "window", "fast"], k=50
+    )
+    rows = cands.collect()  # <= 50 rows, already driver-local
+    max_score = max(r.score for r in rows)
+    top1_id = next(r.doc_id for r in rows if r.rank == 1)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        vectors.as_double("embedding").alias("_v"),
+    )
+    qv = emb.filter(F.col("doc_id") == top1_id).select("_v").collect()[0]._v
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+
+    cand_df = spark.createDataFrame(rows, cands.schema).select(
+        "doc_id", "score"
+    )
+    rer = emb.join(F.broadcast(cand_df), "doc_id").select(
+        "doc_id",
+        F.col("score").alias("bm25_score"),
+        stable_round(vectors.cosine(F.col("_v"), qcol), 4).alias("cos_sim"),
+    )
+    hyb = rer.select(
+        "doc_id",
+        "bm25_score",
+        "cos_sim",
+        stable_round(
+            0.5 * (F.col("bm25_score") / F.lit(max_score))
+            + 0.5 * F.col("cos_sim"),
+            4,
+        ).alias("hybrid_score"),
+    )
+    from pyspark.sql import Window
+
+    topk = hyb.orderBy(
+        F.col("hybrid_score").desc(), F.col("doc_id").asc()
+    ).limit(10)
+    w = Window.orderBy(F.col("hybrid_score").desc(), F.col("doc_id").asc())
+    return topk.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("doc_id", "bm25_score", "cos_sim", "hybrid_score", "rank")
+
+
+# ---------------------------------------------------------------------------
 # ANN quality metric: recall@5 of the approximate indexes vs exact KNN
 # ---------------------------------------------------------------------------
 @register("ann_recall", tags=("similarity", "vector", "metric"))
