@@ -135,8 +135,14 @@ def count_distinct_spread(
     pairs = df.select(
         key_col.alias(key_name), val_col.alias("_v")
     ).distinct()
+    # F.count("_v") (not count(*)): COUNT(DISTINCT v) and
+    # size(collect_set(v)) both IGNORE null values, so the distinct
+    # (key, NULL) pair must contribute 0 -- counting rows would report
+    # one phantom distinct value per key that has any NULLs, and a key
+    # whose values are all NULL still surfaces (with 0), exactly like
+    # the naive form.
     return pairs.groupBy(key_name).agg(
-        F.count(F.lit(1)).cast("long").alias(out)
+        F.count("_v").cast("long").alias(out)
     )
 
 

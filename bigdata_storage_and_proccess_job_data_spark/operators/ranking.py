@@ -36,13 +36,21 @@ def bm25_topk(
     k: int = 20,
     k1: float = 1.2,
     b: float = 0.75,
+    materialize: bool = True,
 ) -> DataFrame:
     """Okapi BM25 top-k: (id, score, rank) for the ``k`` highest-scoring
     documents against ``query_terms`` (matched case-insensitively,
     whitespace tokenization -- the corpus suite's shared tokenizer).
     idf uses the +1 ("Lucene") form, ln(1 + (N - df + .5)/(df + .5)),
     so scores stay positive for terms in most documents. Score rounded
-    via stable_round(4) for cross-engine determinism; ties rank by id."""
+    via stable_round(4) for cross-engine determinism; ties rank by id.
+
+    ``materialize=True`` (default) eagerly computes the <= k result
+    rows and releases the internal cache before returning (the
+    deterministic-release contract, ADVICE r4); ``materialize=False``
+    returns the LAZY pipeline un-persisted -- the tokenize+explode
+    lineage will run once per consumer, but the full operator plan
+    stays inspectable (the plan-hygiene gate probes this form)."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = [t.lower() for t in query_terms]
@@ -81,8 +89,9 @@ def bm25_topk(
         )
         .groupBy(id_col, "_dl", "_term")
         .agg(F.count(F.lit(1)).cast("long").alias("_tf"))
-        .persist()
     )
+    if materialize:
+        hits = hits.persist()
     try:
         # per-term document frequency -> idf (broadcast: |terms| rows)
         df_by_term = hits.groupBy("_term").agg(
@@ -122,11 +131,14 @@ def bm25_topk(
             topk.withColumn("rank", F.row_number().over(w))
             .select(id_col, "score", F.col("rank").cast("long").alias("rank"))
         )
+        if not materialize:
+            return ranked
         # materialize the <= k result rows (driver-sized by definition --
         # the same bounded-collect precedent as the Arrow query cap),
         # then release the cached hits frame before returning
         rows = ranked.collect()
         schema = ranked.schema
     finally:
-        hits.unpersist()
+        if materialize:
+            hits.unpersist()
     return docs.sparkSession.createDataFrame(rows, schema)

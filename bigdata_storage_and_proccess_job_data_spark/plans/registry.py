@@ -38,6 +38,13 @@ class QueryDef:
     tags: tuple[str, ...] = field(default_factory=tuple)
     headline: bool = False
     doc: str = ""
+    # Lazy stand-ins for queries that eagerly materialize their bounded
+    # result (the deterministic cache-release contract turns the
+    # returned frame into a LocalTableScan, hiding the real pipeline
+    # from plan inspection). Each probe rebuilds a heavy internal stage
+    # UN-materialized so the plan-hygiene gate (test_plans) can still
+    # see it; probes are never run, only planned.
+    plan_probes: tuple[QueryFn, ...] = field(default_factory=tuple)
 
 
 def register(
@@ -45,6 +52,7 @@ def register(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     headline: bool = False,
+    plan_probes: tuple[QueryFn, ...] = (),
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query with its oracle SQL."""
 
@@ -58,6 +66,7 @@ def register(
             tags=tuple(tags),
             headline=headline,
             doc=(fn.__doc__ or "").strip(),
+            plan_probes=tuple(plan_probes),
         )
         return fn
 

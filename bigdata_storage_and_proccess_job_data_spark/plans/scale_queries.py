@@ -674,7 +674,64 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Multimodal bridge: fake-codec media -> features -> ANN (rows-only)
 # ---------------------------------------------------------------------------
-@register("media_features_knn", tags=("multimodal", "similarity", "pandas-udf"))
+def _media_frame(spark: SparkSession, sf_dir: str):
+    """Shared media-corpus assembly for the media_features_* queries:
+    documents -> (media_id, kind, content BINARY) with the 10-byte
+    fake-codec header prepended (unique bytes per doc)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    header = multimodal.encode_fake_media(32, 16, n_frames=1)[:10]
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(F.lit(header), F.encode(F.col("text"), "utf-8")).alias(
+            "content"
+        ),
+    )
+
+
+def _media_knn_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan probe: media_features_knn's full pipeline UN-persisted and
+    un-materialized, so the hygiene gate inspects the real Arrow map +
+    IVF join stages instead of the LocalTableScan the eager query
+    returns (the eager form exists only for deterministic cache
+    release)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        multimodal,
+        similarity,
+    )
+
+    feats = multimodal.extract_features(_media_frame(spark, sf_dir), dim=16)
+    return similarity.ivf_topk(
+        feats.filter(F.col("media_id") < 10), feats,
+        id_col="media_id", vec_col="embedding",
+        k=3, n_centroids=8, n_probe=4,
+    )
+
+
+def _media_exact_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan probe: media_features_exact's pipeline, un-materialized."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        multimodal,
+        similarity,
+    )
+
+    feats = multimodal.extract_features(
+        _media_frame(spark, sf_dir), dim=16,
+        feature_fn=multimodal.md5_features,
+    )
+    return similarity.brute_force_topk(
+        feats.filter(F.col("media_id") < 10), feats,
+        id_col="media_id", vec_col="embedding", k=3,
+    )
+
+
+@register(
+    "media_features_knn",
+    tags=("multimodal", "similarity", "pandas-udf"),
+    plan_probes=(_media_knn_lazy,),
+)
 def media_features_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full multimodal pipeline as one driver-graded query: build a
     deterministic BINARY media corpus from documents (10-byte fake-codec
@@ -692,15 +749,7 @@ def media_features_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    header = multimodal.encode_fake_media(32, 16, n_frames=1)[:10]
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.concat(F.lit(header), F.encode(F.col("text"), "utf-8")).alias(
-            "content"
-        ),
-    )
+    media = _media_frame(spark, sf_dir)
     # persisted: the query side and the corpus side both consume feats;
     # without it the Arrow feature-extraction stage runs twice. Released
     # deterministically (ADVICE r4): the top-3-of-10-queries result is
@@ -759,6 +808,7 @@ _MEDIA_SIM = (
 @register(
     "media_features_exact",
     tags=("multimodal", "similarity", "pandas-udf"),
+    plan_probes=(_media_exact_lazy,),
     oracle=f"""
         WITH m AS (
           SELECT doc_id AS media_id,
@@ -801,15 +851,7 @@ def media_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    header = multimodal.encode_fake_media(32, 16, n_frames=1)[:10]
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.concat(F.lit(header), F.encode(F.col("text"), "utf-8")).alias(
-            "content"
-        ),
-    )
+    media = _media_frame(spark, sf_dir)
     # persisted for the same reason as media_features_knn: two consumers,
     # one Arrow feature-extraction pass. Same deterministic release: the
     # <= 30-row result is materialized eagerly, cache dropped in finally.
@@ -1343,9 +1385,28 @@ def decontaminated_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Retrieval: BM25 corpus search
 # ---------------------------------------------------------------------------
+def _bm25_lazy(k: int):
+    """Plan probe factory: the BM25 pipeline with materialize=False, so
+    the hygiene gate inspects the tokenize/explode/agg/broadcast stages
+    the eager form hides behind its LocalTableScan result."""
+
+    def probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bigdata_storage_and_proccess_job_data_spark.operators import ranking
+
+        return ranking.bm25_topk(
+            load_table(spark, sf_dir, "documents"),
+            ["spark", "window", "fast"],
+            k=k,
+            materialize=False,
+        )
+
+    return probe
+
+
 @register(
     "bm25_search",
     tags=("corpus", "text", "ranking"),
+    plan_probes=(_bm25_lazy(20),),
     oracle=f"""
         WITH sized AS (
           SELECT doc_id, len({SQL_TOKENS_LOWER}) AS dl,
@@ -1490,6 +1551,10 @@ _HS_COS = (
 @register(
     "hybrid_search",
     tags=("corpus", "ranking", "similarity", "vector"),
+    # the rerank join is visible in the returned frame's own plan (its
+    # inputs are the local candidate rows + the embeddings scan); only
+    # the eagerly-executed BM25 stage needs a probe
+    plan_probes=(_bm25_lazy(50),),
     oracle=f"""
         WITH sized AS (
           SELECT doc_id, len({SQL_TOKENS_LOWER}) AS dl,
@@ -1538,21 +1603,23 @@ _HS_COS = (
         qv AS (
           SELECT e.embedding::DOUBLE[] AS qvv
           FROM embeddings e JOIN cand ON e.vec_id = cand.doc_id
-          WHERE cand.brank = 1
+          ORDER BY cand.brank ASC LIMIT 1
         ),
         rer AS (
           SELECT c.doc_id, c.score AS bm25_score,
                  {sql_round(_HS_COS, 4)} AS cos_sim,
                  ms
           FROM cand c
-          JOIN (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings) e
+          LEFT JOIN (SELECT vec_id, embedding::DOUBLE[] AS ev
+                     FROM embeddings) e
             ON e.vec_id = c.doc_id
           CROSS JOIN qv CROSS JOIN maxs
         ),
         hyb AS (
           SELECT doc_id, bm25_score, cos_sim,
                  {sql_round(
-                     '0.5 * (bm25_score / ms) + 0.5 * cos_sim', 4)}
+                     '0.5 * (bm25_score / ms)'
+                     ' + 0.5 * COALESCE(cos_sim, 0)', 4)}
                    AS hybrid_score
           FROM rer
         )
@@ -1571,8 +1638,15 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval, the RAG / decontamination-triage shape: BM25
     candidate generation (top-50, operators/ranking.py:bm25_topk) ->
     embedding-cosine rerank against a pseudo-relevance query vector
-    (the top-1 BM25 doc's embedding -- no external query encoder
-    needed) -> hybrid score 0.5*normalized-BM25 + 0.5*cosine, top-10.
+    (the best-BM25-ranked candidate that HAS an embedding row -- no
+    external query encoder needed) -> hybrid score 0.5*normalized-BM25
+    + 0.5*cosine, top-10. Candidates without an embedding row are NOT
+    dropped: the rerank is a LEFT join and their cosine contribution
+    coalesces to 0 (cos_sim stays NULL in the output for honesty), so
+    a strong BM25 hit survives partial embedding coverage -- at sf0.1
+    only 2000 of 5000 documents are embedded. If no document matches
+    any query term, or no candidate has an embedding, the result is
+    empty on both engines (the oracle's qv CTE empties the chain).
 
     Scale shape: the BM25 stage is the existing distributed pipeline
     (its <=50-row result is driver-sized by definition -- the bounded
@@ -1582,31 +1656,61 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no crossJoin, no second scan, no Python row path). Both stages
     reuse expression forms the bm25_search / knn oracles already
     hash-match, so the composite is value-checked end-to-end."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
     from bigdata_storage_and_proccess_job_data_spark.functions import vectors
     from bigdata_storage_and_proccess_job_data_spark.operators import ranking
 
     docs = load_table(spark, sf_dir, "documents")
     cands = ranking.bm25_topk(
         docs, ["spark", "window", "fast"], k=50
-    )
-    rows = cands.collect()  # <= 50 rows, already driver-local
-    max_score = max(r.score for r in rows)
-    top1_id = next(r.doc_id for r in rows if r.rank == 1)
+    )  # materialized: already a <= 50-row driver-local relation
+    rows = cands.collect()
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"),
         vectors.as_double("embedding").alias("_v"),
     )
-    qv = emb.filter(F.col("doc_id") == top1_id).select("_v").collect()[0]._v
-    qcol = F.array(*[F.lit(float(x)) for x in qv])
-
-    cand_df = spark.createDataFrame(rows, cands.schema).select(
-        "doc_id", "score"
+    # pseudo-relevance vector: the best-ranked candidate WITH an
+    # embedding (one broadcast-join + limit(1) job; rank is unique so
+    # the pick is deterministic) -- the unguarded "top-1's embedding"
+    # form crashes whenever the top BM25 hit is un-embedded
+    qrow = (
+        emb.join(F.broadcast(cands.select("doc_id", "rank")), "doc_id")
+        .orderBy("rank")
+        .limit(1)
+        .select("_v")
+        .collect()
+        if rows
+        else []
     )
-    rer = emb.join(F.broadcast(cand_df), "doc_id").select(
+    if not qrow:
+        id_field = next(f for f in cands.schema.fields if f.name == "doc_id")
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("doc_id", id_field.dataType),
+                    StructField("bm25_score", DoubleType()),
+                    StructField("cos_sim", DoubleType()),
+                    StructField("hybrid_score", DoubleType()),
+                    StructField("rank", LongType()),
+                ]
+            ),
+        )
+    max_score = max(r.score for r in rows)
+    qcol = F.array(*[F.lit(float(x)) for x in qrow[0]._v])
+
+    cos_df = emb.join(F.broadcast(cands.select("doc_id")), "doc_id").select(
+        "doc_id",
+        stable_round(vectors.cosine(F.col("_v"), qcol), 4).alias("cos_sim"),
+    )
+    rer = cands.select("doc_id", "score").join(
+        F.broadcast(cos_df), "doc_id", "left"
+    ).select(
         "doc_id",
         F.col("score").alias("bm25_score"),
-        stable_round(vectors.cosine(F.col("_v"), qcol), 4).alias("cos_sim"),
+        "cos_sim",
     )
     hyb = rer.select(
         "doc_id",
@@ -1614,7 +1718,7 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
         stable_round(
             0.5 * (F.col("bm25_score") / F.lit(max_score))
-            + 0.5 * F.col("cos_sim"),
+            + 0.5 * F.coalesce(F.col("cos_sim"), F.lit(0.0)),
             4,
         ).alias("hybrid_score"),
     )

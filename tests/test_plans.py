@@ -157,33 +157,45 @@ def test_no_scale_antipatterns_anywhere(spark, oracle_sf_dir):
     """Global plan hygiene: NO registry query may plan a nested-loop
     join, a cartesian product, or row-at-a-time Python (BatchEvalPython)
     -- the three shapes that do not survive a 100x scale-up. Arrow paths
-    (MapInPandas/ArrowEvalPython) are fine. Documented exemptions:
-    knn_brute_force and media_features_exact ARE the broadcast
-    exact-scoring baseline (similarity.brute_force_topk: tiny broadcast
-    query set x corpus, the documented correctness anchor for the
-    bucketed ANN paths), and impute_mean / bm25_search attach a ONE-ROW
-    broadcast scalar frame (global mean; (N, avgdl)) -- O(n x 1)."""
-    exempt = {
+    (MapInPandas/ArrowEvalPython) are fine.
+
+    Inspected plans: the returned frame AND every declared plan probe
+    (queries that eagerly materialize their bounded result return a
+    LocalTableScan, which hides the real pipeline -- the probes rebuild
+    those stages lazily; registry.QueryDef.plan_probes). Any query whose
+    returned plan reads NO source at all (no file scan, no RDD scan)
+    MUST declare probes, so an eager refactor can never silently
+    vacate this gate again (round-5 review finding).
+
+    BroadcastNestedLoopJoin exemptions (name-scoped, shape-scoped):
+    knn_brute_force / media_features_exact / ann_recall ARE the
+    broadcast exact-scoring baseline (similarity.brute_force_topk: tiny
+    broadcast query set x corpus, the documented correctness anchor for
+    the bucketed ANN paths), and impute_mean / bm25_search attach a
+    ONE-ROW broadcast scalar frame (global mean; (N, avgdl)) -- O(n x 1).
+    CartesianProduct and BatchEvalPython have no exemptions anywhere."""
+    bnlj_ok = {
         "knn_brute_force",
         "media_features_exact",
         "impute_mean",
         "bm25_search",
-        # embeds brute_force_topk as the exact recall denominator -- the
-        # same broadcast exact-scoring baseline as knn_brute_force
+        "hybrid_search",  # probe is the bm25 pipeline (one-row scalars)
         "ann_recall",
     }
-    bad_shapes = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
+    always_bad = ("CartesianProduct", "BatchEvalPython")
     hits = []
     for name, qd in QS.items():
-        if name in exempt:
-            continue
-        plan = (
-            qd.fn(spark, oracle_sf_dir)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-        hits.extend(f"{name}:{b}" for b in bad_shapes if b in plan)
+        frames = [qd.fn(spark, oracle_sf_dir)]
+        frames.extend(p(spark, oracle_sf_dir) for p in qd.plan_probes)
+        for i, frame in enumerate(frames):
+            plan = frame._jdf.queryExecution().executedPlan().toString()
+            label = name if i == 0 else f"{name}#probe{i}"
+            if i == 0 and not qd.plan_probes:
+                if "FileScan" not in plan and "ExistingRDD" not in plan:
+                    hits.append(f"{label}:sourceless-plan-without-probes")
+            hits.extend(f"{label}:{b}" for b in always_bad if b in plan)
+            if name not in bnlj_ok and "BroadcastNestedLoopJoin" in plan:
+                hits.append(f"{label}:BroadcastNestedLoopJoin")
     assert not hits, hits
 
 

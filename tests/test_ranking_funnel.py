@@ -86,3 +86,100 @@ def test_bm25_validates_inputs(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id LONG, text STRING")
     with pytest.raises(ValueError, match="query_terms"):
         ranking.bm25_topk(df, [])
+
+
+def _write_hybrid_fixture(tmp_path, embedded_ids):
+    """Tiny documents/embeddings parquet pair where the BM25 top-1 doc
+    has NO embedding row -- the shape that crashed the unguarded
+    top-1-embedding lookup and silently dropped candidates under the
+    inner-join rerank (code review, round 5)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "spark window fast spark window fast",  # BM25 top-1
+                    "spark window fast",
+                    "spark window other words here",
+                    "fast other",
+                    "unrelated text entirely",  # never a candidate
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    vecs = {2: [1.0, 0.0, 0.0], 3: [0.5, 0.5, 0.0], 5: [0.0, 1.0, 0.0]}
+    emb = pa.table(
+        {
+            "vec_id": pa.array(sorted(embedded_ids), pa.int64()),
+            "embedding": pa.array(
+                [vecs[i] for i in sorted(embedded_ids)],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+
+
+def _hybrid_oracle_con(tmp_path):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'"
+        )
+    return con
+
+
+def test_hybrid_search_survives_unembedded_top1(spark, tmp_path):
+    """Top-1 BM25 doc (1) has no embedding: the pseudo-relevance vector
+    falls back to the best-ranked embedded candidate (2), and the
+    un-embedded candidates (1, 4) stay in the result with NULL cos_sim
+    and a pure-BM25 hybrid score -- on both engines."""
+    from bigdata_storage_and_proccess_job_data_spark.plans import all_queries
+    from tests.parity import compare
+
+    _write_hybrid_fixture(tmp_path, embedded_ids={2, 3})
+    q = all_queries()["hybrid_search"]
+    df = q.fn(spark, str(tmp_path))
+    rows = {r.doc_id: r for r in df.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].cos_sim is None and rows[4].cos_sim is None
+    # doc 1 holds the max BM25 score: hybrid = 0.5 * 1.0 + 0.5 * 0
+    assert rows[1].hybrid_score == 0.5
+    # doc 2 supplied the query vector: cosine with itself is 1.0
+    assert rows[2].cos_sim == 1.0
+    con = _hybrid_oracle_con(tmp_path)
+    try:
+        problems = compare(df, con, q.oracle)
+    finally:
+        con.close()
+    assert not problems, problems
+
+
+def test_hybrid_search_empty_when_no_embedded_candidate(spark, tmp_path):
+    """No candidate has an embedding row (only non-candidate doc 5 is
+    embedded): no pseudo-relevance vector exists, so the result is empty
+    with the full output schema -- matching the oracle, whose qv CTE
+    empties the chain."""
+    from bigdata_storage_and_proccess_job_data_spark.plans import all_queries
+    from tests.parity import compare
+
+    _write_hybrid_fixture(tmp_path, embedded_ids={5})
+    q = all_queries()["hybrid_search"]
+    df = q.fn(spark, str(tmp_path))
+    assert df.columns == [
+        "doc_id", "bm25_score", "cos_sim", "hybrid_score", "rank",
+    ]
+    assert df.count() == 0
+    con = _hybrid_oracle_con(tmp_path)
+    try:
+        problems = compare(df, con, q.oracle)
+    finally:
+        con.close()
+    assert not problems, problems
