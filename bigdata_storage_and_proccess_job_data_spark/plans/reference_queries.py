@@ -461,13 +461,21 @@ def category_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     library exposes approx_percentile as the default and exact as opt-in."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    # classify on the DIM side, before the join: category is a function
+    # of p_name alone, so the regex CASE chain runs once per part row
+    # (|part|) instead of once per joined fact row (|lineitem|, ~30x
+    # more at every SF) -- the broadcast then carries the tiny
+    # (key, category, brand) projection instead of p_name
+    part_c = part.select(
+        "p_partkey",
         enrich.regex_classify("p_name", PART_RULES, default="Other").alias(
             "category"
         ),
         F.col("p_brand").alias("brand"),
-        "l_extendedprice",
     )
+    joined = li.join(
+        F.broadcast(part_c), li.l_partkey == part_c.p_partkey
+    ).select("category", "brand", "l_extendedprice")
     return joined.groupBy("category", "brand").agg(
         F.count(F.lit(1)).alias("item_count"),
         stable_round(F.avg("l_extendedprice"), 4).alias("avg_price"),

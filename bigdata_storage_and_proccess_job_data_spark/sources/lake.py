@@ -189,6 +189,44 @@ def write_clustered(
     )
 
 
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: dict[str, int],
+    fpp: float = 0.01,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet with per-column BLOOM FILTERS for the given columns
+    (``bloom_cols`` maps column name -> expected distinct values per
+    file, which sizes the filter).
+
+    This is the POINT-LOOKUP complement to write_clustered /
+    write_zordered: min/max row-group stats only skip when the data is
+    range-clustered on the filter column, so an equality probe on a
+    high-cardinality UNSORTED key (doc ids, session ids, content
+    hashes) reads every row group. A bloom filter gives each row group
+    a probabilistic absence proof instead -- the reader (Spark's
+    parquet-mr path honors them out of the box) skips every row group
+    whose filter rules the value out, no re-layout or table format
+    required. At 100 TB this is the "find one document by id in the
+    raw corpus" path: blooms cost ~1.2 bytes/value at fpp=1% in file
+    footers and turn a full-corpus scan into a handful of row groups.
+
+    Sizing: ndv is per FILE (not global) -- overshooting wastes footer
+    bytes, undershooting inflates the false-positive rate; either way
+    reads stay CORRECT (bloom hits fall back to reading the group).
+    tests/test_lake.py:test_bloom_filter_skips_point_lookup measures
+    the skip on a scattered key."""
+    w = df.write.mode(mode)
+    for col, ndv in bloom_cols.items():
+        w = (
+            w.option(f"parquet.bloom.filter.enabled#{col}", "true")
+            .option(f"parquet.bloom.filter.expected.ndv#{col}", str(int(ndv)))
+            .option(f"parquet.bloom.filter.fpp#{col}", str(float(fpp)))
+        )
+    w.parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

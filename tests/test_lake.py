@@ -404,3 +404,32 @@ def test_evolve_append_guards_union_schema(spark, tmp_path):
         lake.evolve_append(spark, retyped, path)
     # the dir is still readable (the poison write never landed)
     assert lake.read_evolved(spark, path).count() == 2
+
+
+def test_bloom_filter_skips_point_lookup(spark, tmp_path):
+    """Equality probe on a high-cardinality SCATTERED key: min/max stats
+    can't skip (every file spans the full hash range), but per-column
+    parquet bloom filters let the reader drop every file/row-group that
+    provably lacks the value -- the point-lookup complement to
+    write_clustered/write_zordered, no re-layout needed."""
+    df = spark.range(400_000).select(
+        F.xxhash64("id").cast("string").alias("k"),
+        F.col("id").alias("v"),
+    )
+    plain = str(tmp_path / "plain")
+    bloomed = str(tmp_path / "bloomed")
+    df.repartition(8).write.mode("overwrite").parquet(plain)
+    lake.write_with_bloom(
+        df.repartition(8), bloomed, bloom_cols={"k": 50_000}
+    )
+
+    target = df.filter(F.col("v") == 123_456).select("k").first()[0]
+    pred = F.col("k") == target
+
+    assert spark.read.parquet(bloomed).filter(pred).count() == 1
+    read_plain = _scan_rows_read(spark.read.parquet(plain).filter(pred))
+    read_bloom = _scan_rows_read(spark.read.parquet(bloomed).filter(pred))
+    # plain: scattered key -> every row group read; bloomed: only the
+    # group(s) whose filter admits the value
+    assert read_plain == 400_000
+    assert read_bloom * 4 <= read_plain, (read_bloom, read_plain)
