@@ -103,6 +103,67 @@ def read_version(
     return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
 
 
+def diff_versions(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int,
+    key: str,
+) -> DataFrame:
+    """Row-level CHANGE FEED between two committed snapshots (the
+    table_changes / CDF idea on the one-pointer format): returns one row
+    per key whose state differs, with
+
+        key, change_type in {'insert','update','delete'},
+        before (full old row as a struct, null for inserts),
+        after  (full new row as a struct, null for deletes).
+
+    Contract: ``key`` is unique per snapshot (the upsert/MERGE writers
+    here guarantee it) and both snapshots share a schema (additive
+    evolution between the two versions raises -- a changed column set
+    makes "update" ill-defined).
+
+    This is what turns the versioned table into an INCREMENTAL source:
+    a downstream pipeline consumes diff_versions(last_seen, current)
+    instead of re-reading the full snapshot -- at 100 TB the difference
+    between a keyed shuffle of two snapshots and a full recompute of
+    everything downstream.
+
+    Scale shape: ONE full-outer shuffle join on the key; row comparison
+    is a single null-safe struct equality (JVM-side, no per-column
+    Python, exact -- no hash-collision blind spot). Pair with bucketed
+    or partition-pruned snapshots to make the join co-located."""
+    old = read_version(spark, table_dir, v_from)
+    new = read_version(spark, table_dir, v_to)
+    if old.columns != new.columns:
+        raise ValueError(
+            f"schema changed between v{v_from} and v{v_to}: "
+            f"{old.columns} vs {new.columns}"
+        )
+    cols = old.columns
+    o = old.select(
+        F.col(key).alias("_k"), F.struct(*cols).alias("before")
+    )
+    n = new.select(
+        F.col(key).alias("_k"), F.struct(*cols).alias("after")
+    )
+    j = o.join(n, "_k", "full_outer")
+    return (
+        j.select(
+            F.col("_k").alias(key),
+            F.when(F.col("before").isNull(), F.lit("insert"))
+            .when(F.col("after").isNull(), F.lit("delete"))
+            .when(
+                ~F.col("before").eqNullSafe(F.col("after")), F.lit("update")
+            )
+            .alias("change_type"),
+            "before",
+            "after",
+        )
+        .filter(F.col("change_type").isNotNull())
+    )
+
+
 def vacuum(table_dir: str, keep: int = 1) -> list[int]:
     """Drop all but the newest ``keep`` snapshots, never the committed
     one. Returns the versions removed."""

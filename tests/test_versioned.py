@@ -115,3 +115,44 @@ def test_apply_changes_merge_semantics(spark, tmp_path):
         versioned.apply_changes(
             spark, table, rows((4, "d", "upsert")), "id", expected=1
         )
+
+
+def test_diff_versions_change_feed(spark, tmp_path):
+    """insert/update/delete between two snapshots, unchanged rows
+    absent; before/after carry the full rows; a self-diff is empty;
+    schema drift raises."""
+    import pytest
+
+    path = str(tmp_path / "tbl")
+    v1 = versioned.commit_version(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "id LONG, name STRING, score LONG",
+        ),
+        path,
+    )
+    v2 = versioned.commit_version(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 25), (4, "d", 40)],
+            "id LONG, name STRING, score LONG",
+        ),
+        path,
+    )
+
+    changes = {
+        r.id: r for r in versioned.diff_versions(spark, path, v1, v2, "id").collect()
+    }
+    assert {k: c.change_type for k, c in changes.items()} == {
+        2: "update", 3: "delete", 4: "insert",
+    }  # id=1 unchanged -> absent
+    assert changes[2].before.score == 20 and changes[2].after.score == 25
+    assert changes[3].after is None and changes[3].before.name == "c"
+    assert changes[4].before is None and changes[4].after.name == "d"
+
+    assert versioned.diff_versions(spark, path, v2, v2, "id").count() == 0
+
+    v3 = versioned.commit_version(
+        spark.createDataFrame([(1, "a")], "id LONG, name STRING"), path
+    )
+    with pytest.raises(ValueError, match="schema changed"):
+        versioned.diff_versions(spark, path, v2, v3, "id")
