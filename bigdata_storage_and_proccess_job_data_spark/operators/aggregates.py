@@ -192,11 +192,52 @@ def expectation_report(
     must-prove-true, and `when(cond, 0).otherwise(1)` encodes that; the
     inverted `when(~cond, 1).otherwise(0)` would silently PASS null rows
     (the three-valued-logic trap)."""
-    aggs = [
-        F.sum(F.when(cond, 0).otherwise(1)).cast("long").alias(name)
-        for name, cond in checks.items()
-    ]
+    aggs = _violation_aggs(checks)
     aggs += [
         expr.alias(name) for name, expr in (extra_aggs or {}).items()
     ]
     return df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"), *aggs)
+
+
+def _violation_aggs(checks: dict[str, Column]) -> list[Column]:
+    """Violation-count aggregate per rule, NULL-counts-as-violation
+    encoding shared by expectation_report and observe_expectations."""
+    return [
+        F.sum(F.when(cond, 0).otherwise(1)).cast("long").alias(name)
+        for name, cond in checks.items()
+    ]
+
+
+def observe_expectations(
+    df: DataFrame,
+    checks: dict[str, Column],
+    name: str = "expectations",
+):
+    """The same expectation rules as ``expectation_report``, computed
+    DURING the frame's own action instead of by a dedicated aggregation
+    job: ``df.observe`` piggybacks the violation counters on whatever
+    the caller already executes (the production write, the downstream
+    agg), so at 100 TB data quality costs ZERO extra scans -- an
+    expectation_report pass would re-read the table.
+
+    Returns ``(observed_df, observation)``:
+    - batch: ``observation`` is a ``pyspark.sql.Observation``; run any
+      action on ``observed_df`` (or a descendant), then read
+      ``observation.get`` -> {n_rows, <rule>: violations, ...};
+    - streaming: Spark's Observation helper is batch-only, so
+      ``observation`` is None and the metrics surface per micro-batch
+      in StreamingQueryProgress.observedMetrics[name] -- same counters,
+      delivered through the progress stream (the monitoring hook a
+      long-running ingest needs anyway).
+
+    Gotcha encoded in the test: observed metrics are computed where the
+    observe node sits in the plan -- attach it BEFORE filters/joins that
+    drop rows, or the counters see only the surviving rows."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    aggs += _violation_aggs(checks)
+    if df.isStreaming:
+        return df.observe(name, *aggs), None
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *aggs), obs

@@ -54,3 +54,31 @@ def test_count_distinct_spread_ignores_null_values(spark):
         .collect()
     }
     assert spread == naive == {"k1": 1, "k2": 0}
+
+
+def test_observe_expectations_rides_the_main_action(spark, oracle_sf_dir):
+    """The observed counters must equal a dedicated expectation_report
+    pass -- but come from the frame's OWN action (a noop write here; no
+    second scan). Also pins the placement gotcha: a filter added AFTER
+    the observe node does not change the observed counts."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    checks = {
+        "positive_total": F.col("o_totalprice") > 0,
+        "priority_known": F.col("o_orderpriority").isNotNull(),
+        "impossible_rule": F.col("o_totalprice") > 1e12,  # violations > 0
+    }
+    observed, obs = aggregates.observe_expectations(orders, checks)
+    # downstream work happens on top of the observed frame; metrics
+    # reflect rows AT the observe node, not post-filter survivors
+    observed.filter(F.col("o_totalprice") > 100000).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    got = obs.get
+
+    want = aggregates.expectation_report(orders, checks).first().asDict()
+    assert got == want
+    assert got["n_rows"] == orders.count()
+    assert got["impossible_rule"] == got["n_rows"]
+    assert got["positive_total"] == 0

@@ -255,3 +255,58 @@ def test_rate_source_through_windowed_agg(spark):
     # the 2 batches/minute x 1000 rows (the last open window may be partial)
     done = [r for r in rows if r.n == 2000]
     assert done, rows
+
+
+def test_observe_expectations_on_stream_progress(spark):
+    """Streaming variant of observe_expectations: the counters surface
+    per micro-batch in StreamingQueryProgress.observedMetrics (Spark's
+    Observation helper is batch-only), summing to the full input volume
+    -- the zero-extra-cost DQ monitoring hook for a long-running
+    ingest."""
+    import time
+    import uuid
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    name = f"obs_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 500)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    observed, obs = aggregates.observe_expectations(
+        stream,
+        {"value_nonneg": F.col("value") >= 0, "impossible": F.col("value") < 0},
+        name="dq",
+    )
+    assert obs is None  # streaming: metrics come via progress, not Observation
+    q = (
+        observed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        seen_rows = 0
+        violations = 0
+        batches = 0
+        while time.time() < deadline and batches < 3:
+            time.sleep(1)
+            batches = len(
+                [p for p in q.recentProgress if p["observedMetrics"].get("dq")]
+            )
+        assert batches >= 3, q.recentProgress
+        for p in q.recentProgress:
+            m = p["observedMetrics"].get("dq")
+            if m:
+                seen_rows += m["n_rows"]
+                violations += m["value_nonneg"]
+                assert m["impossible"] == m["n_rows"]
+        assert seen_rows >= 1500 and seen_rows % 500 == 0
+        assert violations == 0
+    finally:
+        q.stop()
