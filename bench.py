@@ -31,7 +31,10 @@ from bigdata_storage_and_proccess_job_data_spark.session import get_spark  # noq
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    # 5 iterations (was 3): this box's +-40% noise makes a 3-sample
+    # median swing ~10% between runs (r4 verdict read a +8.6% total as
+    # noise); 5 samples tighten the median at ~90s extra wall
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_num: float | str = float(sf)
