@@ -76,6 +76,43 @@ def lsh_bands(signature: Column, bands: int, rows: int) -> Column:
     )
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    ngram: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    shingle_frame: DataFrame | None = None,
+) -> DataFrame:
+    """The banded LSH index frame: one (_id, band, band_hash) row per
+    band per document -- the PERSISTABLE dedup artifact. Written to
+    storage once per corpus snapshot (a versioned table is the natural
+    home) it makes dedup INCREMENTAL: a new ingest batch computes
+    signatures for its own documents only and band-joins against the
+    stored index (incremental_dedup_pairs), instead of re-signing the
+    full corpus -- at 100 TB the difference between touching |batch|
+    and |corpus| every day. Append each accepted batch's index rows to
+    keep it current. All parameters (ngram/num_hashes/bands/seed) must
+    match between index build and probe -- signatures from different
+    parameters never collide meaningfully."""
+    rows = num_hashes // bands
+    if shingle_frame is not None:
+        shingles = shingle_frame.select("_id", "_sh")
+    else:
+        shingles = df.select(
+            F.col(id_col).alias("_id"),
+            text.word_ngrams(content_col, ngram).alias("_sh"),
+        ).filter(F.size("_sh") > 0)
+    sigs = shingles.select(
+        "_id", minhash_signature(F.col("_sh"), num_hashes, seed).alias("_sig")
+    )
+    return sigs.select(
+        "_id", F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("b")
+    ).select("_id", "b.band", "b.band_hash")
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -97,26 +134,13 @@ def minhash_candidates(
     The banded frame is persisted before the self-join: lineage-based
     self-joins otherwise recompute the signature fold on both sides
     (2x the dominant cost). At cluster scale the equivalent is
-    materializing signatures to storage once per corpus snapshot.
+    materializing signatures to storage once per corpus snapshot
+    (minhash_index is exactly that artifact).
     """
-    rows = num_hashes // bands
-    if shingle_frame is not None:
-        shingles = shingle_frame.select("_id", "_sh")
-    else:
-        shingles = df.select(
-            F.col(id_col).alias("_id"),
-            text.word_ngrams(content_col, ngram).alias("_sh"),
-        ).filter(F.size("_sh") > 0)
-    sigs = shingles.select(
-        "_id", minhash_signature(F.col("_sh"), num_hashes, seed).alias("_sig")
-    )
-    banded = (
-        sigs.select(
-            "_id", F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("b")
-        )
-        .select("_id", "b.band", "b.band_hash")
-        .persist()
-    )
+    banded = minhash_index(
+        df, id_col, content_col, ngram, num_hashes, bands, seed,
+        shingle_frame=shingle_frame,
+    ).persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -270,6 +294,78 @@ def minhash_dedup_pairs(
         shingle_frame=sized,
     )
     return verify_jaccard(cands, sized, threshold)
+
+
+def incremental_dedup_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str,
+    content_col: str,
+    ngram: int = 2,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dups of a NEW ingest batch against an EXISTING corpus
+    without recomputing any corpus signature: the daily-ingest shape.
+    ``corpus_index`` is a stored minhash_index frame (same
+    ngram/num_hashes/bands/seed -- the caller's contract); only the new
+    batch is shingled and signed, candidates come from ONE equi-join of
+    the new bands against the index, and exact-Jaccard verification
+    re-tokenizes ONLY the corpus documents that appear as candidates
+    (semi-join slice -- candidate volume scales with true dup density,
+    so the touched corpus slice is batch-sized, not corpus-sized).
+
+    Returns (id_a=new doc, id_b=corpus doc, n_inter, jaccard) pairs at
+    or above ``threshold``. Within-batch duplicates are NOT covered --
+    run minhash_dedup_pairs on the (small) batch for those. Id spaces
+    must be disjoint (same-id rows are skipped as self-matches, the
+    re-ingestion case).
+
+    After accepting the batch, append minhash_index(new_docs) rows to
+    the stored index so the next batch sees this one.
+
+    Persist contract (same as minhash_dedup_pairs' shingle frame): the
+    new batch's shingle cache feeds both the signing and the
+    verification consumers and stays cached for the job's lifetime --
+    a one-shot ingest run; batch-sized, released at session teardown."""
+    new_sized = (
+        new_docs.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(text.word_ngrams(content_col, ngram)).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+        .withColumn("_n", F.size("_sh"))
+        .persist()
+    )
+    new_banded = minhash_index(
+        new_docs, id_col, content_col, ngram, num_hashes, bands, seed,
+        shingle_frame=new_sized,
+    )
+    cands = (
+        new_banded.alias("n")
+        .join(
+            corpus_index.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_hash") == F.col("c.band_hash"))
+            & (F.col("n._id") != F.col("c._id")),
+        )
+        .select(F.col("n._id").alias("id_a"), F.col("c._id").alias("id_b"))
+        .distinct()
+    )
+    touched = cands.select(F.col("id_b").alias(id_col)).distinct()
+    corpus_sized = (
+        corpus_docs.join(touched, id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(text.word_ngrams(content_col, ngram)).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+        .withColumn("_n", F.size("_sh"))
+    )
+    return verify_jaccard(cands, new_sized.unionByName(corpus_sized), threshold)
 
 
 def simhash64(hashes: Column, n: Column) -> Column:

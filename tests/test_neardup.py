@@ -134,3 +134,50 @@ def test_connected_components_on_minhash_pairs(spark, oracle_sf_dir):
     ).agg(F.count_distinct("component").alias("n_comp"))
     bad = merged.filter(F.col("n_comp") > 1).count()
     assert bad == 0
+
+
+def test_incremental_dedup_matches_full_batch(spark, oracle_sf_dir):
+    """Split the documents table into 'corpus' and 'new batch': probing
+    the new batch against a stored minhash_index must find EXACTLY the
+    cross-set pairs the full-batch minhash_dedup_pairs run finds on the
+    union (same parameters), with identical jaccard values -- and never
+    re-sign the corpus. Then the accepted batch's index rows append, and
+    a re-probe of the same batch against the grown index sees each doc
+    collide with its own entry skipped (self-match guard)."""
+    docs = load_table(spark, oracle_sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    params = dict(ngram=2, num_hashes=64, bands=16, seed=42)
+
+    index = neardup.minhash_index(corpus, "doc_id", "text", **params)
+    inc = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in neardup.incremental_dedup_pairs(
+            batch, corpus, index, "doc_id", "text",
+            threshold=0.9, **params,
+        ).collect()
+    }
+
+    full = neardup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.9, **params
+    )
+    cross = {}
+    for r in full.collect():
+        a_new, b_new = r.id_a % 5 == 0, r.id_b % 5 == 0
+        if a_new != b_new:  # cross-set pairs only (id_a < id_b ordering)
+            k = (r.id_a, r.id_b) if a_new else (r.id_b, r.id_a)
+            cross[k] = r.jaccard
+    assert inc == cross
+    assert inc, "fixture should contain cross-set near-dups"
+
+    # append the accepted batch to the index; re-probing the SAME batch
+    # must not report a doc as a duplicate of itself
+    grown = index.unionByName(
+        neardup.minhash_index(batch, "doc_id", "text", **params)
+    )
+    again = neardup.incremental_dedup_pairs(
+        batch, docs, grown, "doc_id", "text", threshold=0.9, **params
+    )
+    assert again.filter(F.col("id_a") == F.col("id_b")).count() == 0
