@@ -1,0 +1,135 @@
+"""End-to-end INCREMENTAL ingest demo: how a corpus grows day over day
+without ever reprocessing what is already accepted.
+
+Day 0 bootstraps the corpus; every later day runs the same loop:
+
+  1. a new raw batch arrives (here: a slice of the driver fixtures)
+  2. data-quality counters ride the batch's own materialization
+     (observe_expectations -- zero extra scans)
+  3. the batch probes the STORED MinHash-LSH index for near-dups
+     against the accepted corpus (incremental_dedup_pairs -- only the
+     batch is signed; only candidate corpus docs are re-tokenized)
+  4. duplicate rows are dropped; survivors MERGE into the versioned
+     corpus table (apply_changes -- snapshot-isolated, readers of the
+     old version are never torn)
+  5. the survivors' index rows APPEND to the stored index so the next
+     batch sees them
+  6. downstream consumers read diff_versions(prev, new) -- the change
+     feed -- instead of re-reading the whole corpus
+
+At 100 TB this loop touches |batch| + |candidate slice| per day; the
+full corpus is only ever read by the day-0 bootstrap.
+
+Run:  python examples/incremental_ingest.py   (reads sf0.001, ~60 s)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bigdata_storage_and_proccess_job_data_spark.catalog import load_table  # noqa: E402
+from bigdata_storage_and_proccess_job_data_spark.operators import (  # noqa: E402
+    aggregates,
+    neardup,
+)
+from bigdata_storage_and_proccess_job_data_spark.session import get_spark  # noqa: E402
+from bigdata_storage_and_proccess_job_data_spark.sources import versioned  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+LSH = dict(ngram=2, num_hashes=64, bands=16, seed=42)
+
+
+def _checks():
+    # built lazily: string-arg functions like F.length resolve the
+    # active SparkContext at construction time
+    return {
+        "has_text": F.length("text") > 0,
+        "has_source": F.col("source").isNotNull(),
+    }
+
+
+def ingest_batch(spark, batch, table_dir, index_dir):
+    """One day's loop: observe -> dedup vs index -> merge -> index append.
+    Returns (accepted_count, duplicate_count, new_version)."""
+    observed, obs = aggregates.observe_expectations(batch, _checks())
+    observed = observed.persist()
+    observed.write.format("noop").mode("overwrite").save()  # the "write"
+    corpus = versioned.read_version(spark, table_dir)
+    index = spark.read.parquet(index_dir)
+
+    dups = neardup.incremental_dedup_pairs(
+        observed, corpus, index, "doc_id", "text", threshold=0.9, **LSH
+    )
+    dup_ids = dups.select(F.col("id_a").alias("doc_id")).distinct().persist()
+    accepted = observed.join(dup_ids, "doc_id", "left_anti").persist()
+    # MATERIALIZE the dedup verdict BEFORE appending anything: the dup
+    # frame's lineage reads the index parquet lazily, so an action run
+    # after the append below would re-list the directory and see this
+    # very batch's own index rows -- within-batch pairs would suddenly
+    # count as corpus dups (observed live: 18 vs 12 dups for the same
+    # batch). Caching + counting here pins one consistent evaluation.
+    n_acc, n_dup = accepted.count(), dup_ids.count()
+
+    v = versioned.apply_changes(
+        spark,
+        table_dir,
+        accepted.withColumn("_op", F.lit("upsert")),
+        key="doc_id",
+    )
+    neardup.minhash_index(accepted, "doc_id", "text", **LSH).write.mode(
+        "append"
+    ).parquet(index_dir)
+    observed.unpersist()
+    accepted.unpersist()
+    dup_ids.unpersist()
+    print(
+        f"  batch: {obs.get['n_rows']} rows, dq={obs.get}, "
+        f"dups dropped={n_dup}, accepted={n_acc}, version v{v}"
+    )
+    return n_acc, n_dup, v
+
+
+def main() -> None:
+    spark = get_spark(app_name="incremental-ingest-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    tmp = Path(tempfile.mkdtemp(prefix="ingest_"))
+    table_dir, index_dir = str(tmp / "corpus"), str(tmp / "index")
+
+    # ---- day 0: bootstrap (the only full-corpus pass there will ever be)
+    day0 = docs.filter(F.col("doc_id") % 3 == 0)
+    v0 = versioned.commit_version(day0, table_dir)
+    neardup.minhash_index(day0, "doc_id", "text", **LSH).write.parquet(index_dir)
+    print(f"day 0: bootstrapped v{v0} with {day0.count()} docs")
+
+    # ---- day 1 and day 2: the incremental loop
+    prev = v0
+    for day, m in ((1, 1), (2, 2)):
+        batch = docs.filter(F.col("doc_id") % 3 == m)
+        print(f"day {day}:")
+        _, _, v = ingest_batch(spark, batch, table_dir, index_dir)
+        feed = versioned.diff_versions(spark, table_dir, prev, v, "doc_id")
+        by_type = {
+            r.change_type: r.n
+            for r in feed.groupBy("change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        print(f"  change feed v{prev}->v{v}: {by_type}")
+        prev = v
+
+    total = versioned.read_version(spark, table_dir).count()
+    print(f"final corpus: {total} docs across {len(versioned.versions(table_dir))} versions")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
