@@ -206,6 +206,78 @@ def mixture_sample(
     return df.filter(hash_bucket(F.col(id_col), salt) < rate)
 
 
+def plan_mixture(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    salt: str = "",
+) -> tuple[DataFrame, dict[str, dict[str, float]]]:
+    """Token-budget-aware mixture planning: given target WEIGHTS per
+    source ("web:code:books at 2:1:1") and a total TOKEN budget, compute
+    the per-source sampling rate that hits each source's token share and
+    apply it (mixture_sample) in one deterministic pass. The "plan the
+    500B-token mix" step between corpus accounting (corpus_token_budget)
+    and the actual sample.
+
+    Returns (sampled_df, report) where report[source] carries
+    available/target/shortfall token counts and the chosen rate_pct.
+    Sources absent from ``weights`` are dropped (rate 0). A source whose
+    available tokens can't meet its target caps at 100% and the
+    shortfall is REPORTED, not silently redistributed -- rebalancing is
+    a policy decision the caller makes by adjusting weights.
+
+    Granularity contract: rates are whole percents (mixture_sample's md5
+    buckets) and sampling is DOC-level, so achieved token counts match
+    targets in expectation, not exactly -- fine at corpus scale, where
+    per-source token mass is huge relative to any document. Any positive
+    target keeps at least 1% so a tiny-weight source never vanishes.
+
+    Scale shape: one hash aggregation over the corpus for the
+    availability frame (native token_count, partial+final), a
+    driver-side fold over its |sources| rows (bounded-collect
+    precedent), then one codegen'd filter pass. Nothing else touches
+    the data."""
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative, at least one source")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to > 0")
+    avail = {
+        r[0]: r[1] or 0
+        for r in df.groupBy(group_col)
+        .agg(F.sum(text.token_count(F.col(text_col))).alias("_t"))
+        .collect()
+    }
+    report: dict[str, dict[str, float]] = {}
+    rates: dict[str, int] = {}
+    for src, w in sorted(weights.items()):
+        have = int(avail.get(src, 0))
+        target = token_budget * w / total_w
+        if have <= 0:
+            rate = 0
+        elif target >= have:
+            rate = 100
+        else:
+            rate = max(1, round(100.0 * target / have)) if target > 0 else 0
+        rates[src] = min(100, rate)
+        report[src] = {
+            "available_tokens": have,
+            "target_tokens": target,
+            "rate_pct": rates[src],
+            "expected_tokens": have * rates[src] / 100.0,
+            "shortfall_tokens": max(0.0, target - have),
+        }
+    sampled = mixture_sample(
+        df, id_col, group_col, rates, default_pct=0, salt=salt
+    )
+    return sampled, report
+
+
 def token_repetition(
     df: DataFrame,
     id_col: str,

@@ -265,3 +265,47 @@ def test_stratified_take_k_exact_and_deterministic(spark):
     assert corpus.stratified_take_k(tiny, "doc_id", "grp", k=5).count() == 1
     with pytest.raises(ValueError, match="k must"):
         corpus.stratified_take_k(df, "doc_id", "grp", k=0)
+
+
+def test_plan_mixture_rates_and_report(spark):
+    """Rate math pinned exactly: a 2:1:1 weight plan where one source
+    can't meet its target (caps at 100%, shortfall reported), one is
+    downsampled to its computed percent, one is absent from the data
+    (rate 0, full shortfall). The sampled frame must equal
+    mixture_sample under the planned rates (same md5 buckets), and
+    unlisted sources are dropped."""
+    rows = []
+    for i in range(200):  # web: 200 docs x 10 tokens = 2000 tokens
+        rows.append((i, "web", "w " * 10))
+    for i in range(200, 230):  # code: 30 docs x 10 tokens = 300 tokens
+        rows.append((i, "code", "c " * 10))
+    for i in range(230, 240):  # junk: unlisted -> dropped
+        rows.append((i, "junk", "j " * 10))
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+
+    sampled, report = corpus.plan_mixture(
+        df, "doc_id", "source", "text",
+        weights={"web": 2.0, "code": 1.0, "books": 1.0},
+        token_budget=1600,
+    )
+    # web: target 800 of 2000 -> 40%; code: target 400 of 300 -> capped
+    # 100%, shortfall 100; books: nothing available
+    assert report["web"]["rate_pct"] == 40
+    assert report["web"]["shortfall_tokens"] == 0
+    assert report["code"]["rate_pct"] == 100
+    assert report["code"]["shortfall_tokens"] == 100
+    assert report["books"]["rate_pct"] == 0
+    assert report["books"]["shortfall_tokens"] == 400
+    assert report["web"]["expected_tokens"] == 800
+
+    got = sorted(r.doc_id for r in sampled.collect())
+    want = sorted(
+        r.doc_id
+        for r in corpus.mixture_sample(
+            df, "doc_id", "source",
+            {"web": 40, "code": 100, "books": 0}, default_pct=0,
+        ).collect()
+    )
+    assert got == want
+    srcs = {r.source for r in sampled.select("source").distinct().collect()}
+    assert "junk" not in srcs and "code" in srcs
