@@ -76,6 +76,25 @@ def lsh_bands(signature: Column, bands: int, rows: int) -> Column:
     )
 
 
+def sized_shingles(
+    df: DataFrame, id_col: str, content_col: str, ngram: int
+) -> DataFrame:
+    """The shared (_id, _sh, _n) shingle frame every near-dup path
+    builds on: distinct word n-grams per doc, empty docs dropped, set
+    size attached. One definition so the exact-verify, signature, and
+    incremental paths can never drift apart on shingle hygiene."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(text.word_ngrams(content_col, ngram)).alias(
+                "_sh"
+            ),
+        )
+        .filter(F.size("_sh") > 0)
+        .withColumn("_n", F.size("_sh"))
+    )
+
+
 def minhash_index(
     df: DataFrame,
     id_col: str,
@@ -96,15 +115,22 @@ def minhash_index(
     and |corpus| every day. Append each accepted batch's index rows to
     keep it current. All parameters (ngram/num_hashes/bands/seed) must
     match between index build and probe -- signatures from different
-    parameters never collide meaningfully."""
+    parameters never collide meaningfully (the frame carries no
+    parameter metadata; when persisting the index, store them alongside,
+    e.g. in the table path or a sidecar)."""
+    if num_hashes % bands != 0:
+        # silently truncating trailing lanes would weaken every band
+        # below the requested strength with no failure signal
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows = num_hashes // bands
     if shingle_frame is not None:
         shingles = shingle_frame.select("_id", "_sh")
     else:
-        shingles = df.select(
-            F.col(id_col).alias("_id"),
-            text.word_ngrams(content_col, ngram).alias("_sh"),
-        ).filter(F.size("_sh") > 0)
+        # sized_shingles' array_distinct is a no-op for the signature
+        # (a duplicated shingle can't change any per-lane minimum)
+        shingles = sized_shingles(df, id_col, content_col, ngram)
     sigs = shingles.select(
         "_id", minhash_signature(F.col("_sh"), num_hashes, seed).alias("_sig")
     )
@@ -181,11 +207,7 @@ def jaccard_pairs(
     hash joins to re-attach full shingle arrays to the (small) candidate
     set. No driver collects.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(text.word_ngrams(content_col, ngram)).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
-    sized = sh.withColumn("_n", F.size("_sh"))
+    sized = sized_shingles(df, id_col, content_col, ngram)
 
     exploded = sized.select("_id", "_n", F.explode("_sh").alias("shingle"))
     freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
@@ -225,11 +247,19 @@ def jaccard_pairs(
 
 
 def verify_jaccard(
-    cands: DataFrame, sized: DataFrame, threshold: float
+    cands: DataFrame,
+    sized: DataFrame,
+    threshold: float,
+    sized_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs only: re-attach the full shingle
     arrays with two hash joins, intersect natively. ``sized`` must have
-    (_id, _sh, _n). Cost is O(|candidates|), never all-pairs."""
+    (_id, _sh, _n). Cost is O(|candidates|), never all-pairs.
+
+    ``sized_b`` (same columns) resolves id_b from a DIFFERENT frame --
+    the cross-set case (incremental_dedup_pairs), where id_a is a new
+    doc and id_b a corpus doc; with one shared frame, an id present in
+    both sets would join twice and duplicate every pair it appears in."""
     verified = (
         cands.join(
             sized.select(
@@ -240,7 +270,7 @@ def verify_jaccard(
             "id_a",
         )
         .join(
-            sized.select(
+            (sized_b if sized_b is not None else sized).select(
                 F.col("_id").alias("id_b"),
                 F.col("_sh").alias("_shb"),
                 F.col("_n").alias("n_b"),
@@ -280,15 +310,7 @@ def minhash_dedup_pairs(
     The shingle frame is tokenized ONCE, persisted, and shared by the
     signature path and the verification path (tokenization dominates
     signature cost on short documents)."""
-    sized = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.array_distinct(text.word_ngrams(content_col, ngram)).alias("_sh"),
-        )
-        .filter(F.size("_sh") > 0)
-        .withColumn("_n", F.size("_sh"))
-        .persist()
-    )
+    sized = sized_shingles(df, id_col, content_col, ngram).persist()
     cands = minhash_candidates(
         df, id_col, content_col, ngram, num_hashes, bands, seed,
         shingle_frame=sized,
@@ -329,17 +351,12 @@ def incremental_dedup_pairs(
 
     Persist contract (same as minhash_dedup_pairs' shingle frame): the
     new batch's shingle cache feeds both the signing and the
-    verification consumers and stays cached for the job's lifetime --
-    a one-shot ingest run; batch-sized, released at session teardown."""
-    new_sized = (
-        new_docs.select(
-            F.col(id_col).alias("_id"),
-            F.array_distinct(text.word_ngrams(content_col, ngram)).alias("_sh"),
-        )
-        .filter(F.size("_sh") > 0)
-        .withColumn("_n", F.size("_sh"))
-        .persist()
-    )
+    verification consumers, and the candidate frame feeds both the
+    corpus-slice semi-join and verification (without its cache the
+    index band-join would execute once per consumer); both stay cached
+    for the job's lifetime -- a one-shot ingest run; batch- and
+    candidate-sized, released at session teardown."""
+    new_sized = sized_shingles(new_docs, id_col, content_col, ngram).persist()
     new_banded = minhash_index(
         new_docs, id_col, content_col, ngram, num_hashes, bands, seed,
         shingle_frame=new_sized,
@@ -354,18 +371,17 @@ def incremental_dedup_pairs(
         )
         .select(F.col("n._id").alias("id_a"), F.col("c._id").alias("id_b"))
         .distinct()
+        .persist()
     )
     touched = cands.select(F.col("id_b").alias(id_col)).distinct()
-    corpus_sized = (
-        corpus_docs.join(touched, id_col, "left_semi")
-        .select(
-            F.col(id_col).alias("_id"),
-            F.array_distinct(text.word_ngrams(content_col, ngram)).alias("_sh"),
-        )
-        .filter(F.size("_sh") > 0)
-        .withColumn("_n", F.size("_sh"))
+    corpus_sized = sized_shingles(
+        corpus_docs.join(touched, id_col, "left_semi"),
+        id_col, content_col, ngram,
     )
-    return verify_jaccard(cands, new_sized.unionByName(corpus_sized), threshold)
+    # id_b resolves against the CORPUS frame only (sized_b): a batch id
+    # that also exists in corpus_docs (re-probe after index append)
+    # must not contribute a second shingle row and duplicate pairs
+    return verify_jaccard(cands, new_sized, threshold, sized_b=corpus_sized)
 
 
 def simhash64(hashes: Column, n: Column) -> Column:

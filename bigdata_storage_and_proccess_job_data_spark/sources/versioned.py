@@ -135,22 +135,33 @@ def diff_versions(
     or partition-pruned snapshots to make the join co-located."""
     old = read_version(spark, table_dir, v_from)
     new = read_version(spark, table_dir, v_to)
-    if old.columns != new.columns:
+    # guard on NAME AND TYPE, order-insensitive: column order is a
+    # write artifact (both structs below are built in the old order),
+    # but a retyped column would otherwise slip past a name-only check
+    # and die later as a struct-comparison AnalysisException instead of
+    # this contract error
+    old_schema = {f.name: f.dataType for f in old.schema.fields}
+    new_schema = {f.name: f.dataType for f in new.schema.fields}
+    if old_schema != new_schema:
+        changed = sorted(
+            set(old_schema.items()) ^ set(new_schema.items()), key=str
+        )
         raise ValueError(
-            f"schema changed between v{v_from} and v{v_to}: "
-            f"{old.columns} vs {new.columns}"
+            f"schema changed between v{v_from} and v{v_to}: {changed}"
         )
     cols = old.columns
     o = old.select(
-        F.col(key).alias("_k"), F.struct(*cols).alias("before")
+        F.col(key).alias("_ko"), F.struct(*cols).alias("before")
     )
     n = new.select(
-        F.col(key).alias("_k"), F.struct(*cols).alias("after")
+        F.col(key).alias("_kn"), F.struct(*cols).alias("after")
     )
-    j = o.join(n, "_k", "full_outer")
+    # null-safe key equality: a NULL key present in both snapshots is
+    # one (unchanged or updated) row, not a spurious delete+insert pair
+    j = o.join(n, F.col("_ko").eqNullSafe(F.col("_kn")), "full_outer")
     return (
         j.select(
-            F.col("_k").alias(key),
+            F.coalesce(F.col("_ko"), F.col("_kn")).alias(key),
             F.when(F.col("before").isNull(), F.lit("insert"))
             .when(F.col("after").isNull(), F.lit("delete"))
             .when(

@@ -66,7 +66,21 @@ def ingest_batch(spark, batch, table_dir, index_dir):
     dups = neardup.incremental_dedup_pairs(
         observed, corpus, index, "doc_id", "text", threshold=0.9, **LSH
     )
-    dup_ids = dups.select(F.col("id_a").alias("doc_id")).distinct().persist()
+    # within-batch near-dups are NOT covered by the index probe (two
+    # near-copies arriving the same day would otherwise BOTH enter the
+    # corpus forever): run the ordinary batch dedup on the (small)
+    # batch and drop each pair's later id. The full-pipeline demo
+    # (corpus_pipeline.py) shows the connected-components variant for
+    # transitive clusters.
+    within = neardup.minhash_dedup_pairs(
+        observed, "doc_id", "text", threshold=0.9, **LSH
+    )
+    dup_ids = (
+        dups.select(F.col("id_a").alias("doc_id"))
+        .unionByName(within.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .persist()
+    )
     accepted = observed.join(dup_ids, "doc_id", "left_anti").persist()
     # MATERIALIZE the dedup verdict BEFORE appending anything: the dup
     # frame's lineage reads the index parquet lazily, so an action run
@@ -82,6 +96,13 @@ def ingest_batch(spark, batch, table_dir, index_dir):
         accepted.withColumn("_op", F.lit("upsert")),
         key="doc_id",
     )
+    # NOT atomic with the table commit above: a crash between the two
+    # leaves the corpus ahead of the index, and future probes would
+    # silently miss this batch's docs. The production recovery is
+    # cheap BECAUSE of the change feed: on restart, rebuild index rows
+    # for diff_versions(index_high_water_version, current) inserts --
+    # or commit the index as a versioned table in the same job step so
+    # both snapshots advance together.
     neardup.minhash_index(accepted, "doc_id", "text", **LSH).write.mode(
         "append"
     ).parquet(index_dir)

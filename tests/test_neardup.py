@@ -173,11 +173,28 @@ def test_incremental_dedup_matches_full_batch(spark, oracle_sf_dir):
     assert inc, "fixture should contain cross-set near-dups"
 
     # append the accepted batch to the index; re-probing the SAME batch
-    # must not report a doc as a duplicate of itself
+    # must not report a doc as a duplicate of itself, and -- since batch
+    # ids now exist on BOTH sides (corpus_docs=docs includes them) --
+    # must not emit any pair row twice (the one-shingle-row-per-side
+    # guarantee of verify_jaccard's sized_b split)
     grown = index.unionByName(
         neardup.minhash_index(batch, "doc_id", "text", **params)
     )
     again = neardup.incremental_dedup_pairs(
         batch, docs, grown, "doc_id", "text", threshold=0.9, **params
     )
-    assert again.filter(F.col("id_a") == F.col("id_b")).count() == 0
+    rows = again.collect()
+    assert all(r.id_a != r.id_b for r in rows)
+    pairs = [(r.id_a, r.id_b) for r in rows]
+    assert len(pairs) == len(set(pairs)), "duplicated pair rows"
+
+
+def test_minhash_index_rejects_nondivisible_bands(spark, oracle_sf_dir):
+    """Silent truncation of trailing hash lanes (num_hashes % bands != 0)
+    would weaken every band below the requested strength; the index
+    builder must refuse instead."""
+    import pytest
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    with pytest.raises(ValueError, match="must divide"):
+        neardup.minhash_index(docs, "doc_id", "text", num_hashes=60, bands=16)

@@ -156,3 +156,53 @@ def test_diff_versions_change_feed(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="schema changed"):
         versioned.diff_versions(spark, path, v2, v3, "id")
+
+
+def test_diff_versions_null_keys_and_schema_edges(spark, tmp_path):
+    """A NULL-key row is ONE row under the null-safe key join (unchanged
+    -> absent; changed -> one update), never a delete+insert pair; a
+    reordered column set is NOT schema drift (order is a write
+    artifact); a retyped same-name column IS (ValueError, not a later
+    AnalysisException)."""
+    import pytest
+
+    path = str(tmp_path / "tbl")
+    v1 = versioned.commit_version(
+        spark.createDataFrame(
+            [(None, "keep", 1), (1, "also", 2)],
+            "id LONG, name STRING, score LONG",
+        ),
+        path,
+    )
+    # unchanged null-key row, column order permuted on write
+    v2 = versioned.commit_version(
+        spark.createDataFrame(
+            [("keep", None, 1), ("also", 1, 2)],
+            "name STRING, id LONG, score LONG",
+        ).select("name", "id", "score"),
+        path,
+    )
+    assert versioned.diff_versions(spark, path, v1, v2, "id").count() == 0
+
+    # null-key row updated -> exactly one 'update' row
+    v3 = versioned.commit_version(
+        spark.createDataFrame(
+            [(None, "keep", 9), (1, "also", 2)],
+            "id LONG, name STRING, score LONG",
+        ),
+        path,
+    )
+    feed = versioned.diff_versions(spark, path, v2, v3, "id").collect()
+    assert len(feed) == 1
+    assert feed[0].change_type == "update" and feed[0].id is None
+    assert feed[0].before.score == 1 and feed[0].after.score == 9
+
+    # retype with identical names: contract error, not a plan-time crash
+    v4 = versioned.commit_version(
+        spark.createDataFrame(
+            [(None, "keep", "9")], "id LONG, name STRING, score STRING"
+        ),
+        path,
+    )
+    with pytest.raises(ValueError, match="schema changed"):
+        versioned.diff_versions(spark, path, v3, v4, "id")
