@@ -176,6 +176,42 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def md5_hyperplanes(
+    dim: int, n_planes: int, table: int, seed: int = 42
+) -> list[list[float]]:
+    """Hyperplanes whose components are md5-derived uniforms in [-1, 1) --
+    the cross-engine-reproducible generator (same idea as
+    operators/neardup.py:md5_hash60): component (t, p, d) is the first
+    15 md5 hex nibbles of ``"hp:{seed}:{t}:{p}:{d}"`` as a 60-bit int,
+    scaled by 2^-59 and shifted to [-1, 1). Any engine with md5 can
+    recompute the planes exactly (DuckDB twin:
+    plans/scale_queries._md5_hash60_sql; h/2^59 is a power-of-two scale,
+    so int->double rounding is identical on both sides).
+
+    Deliberately UNNORMALIZED: LSH bucketing uses only the SIGN of the
+    dot product, which is invariant to positive scaling, so skipping the
+    norm removes a sqrt from the cross-engine float contract.
+    Cube-uniform directions are not sphere-uniform (the collision
+    probability is no longer exactly 1 - theta/pi), but multi-table
+    banding is what carries recall either way -- observed recall is
+    pinned in tests/test_similarity.py, same as the Gaussian generator
+    it replaces on the lsh_topk path."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        v = []
+        for d in range(dim):
+            h = int(
+                hashlib.md5(f"hp:{seed}:{table}:{p}:{d}".encode())
+                .hexdigest()[:15],
+                16,
+            )
+            v.append(h / 2**59 - 1.0)
+        planes.append(v)
+    return planes
+
+
 def signature_expr(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature (BIGINT bucket id) of a vector against the
     hyperplane set: bit p = (vec . plane_p) >= 0."""
@@ -240,10 +276,15 @@ def lsh_topk(
     The scale path for corpora where |Q| x |C| is infeasible: the bucket
     equi-join shuffles (table, bucket, id) keys instead of replicating
     the corpus per query.
+
+    Hyperplanes come from md5_hyperplanes (cross-engine-reproducible),
+    which is what lets the registered knn_lsh query carry an EXACT
+    DuckDB oracle: the oracle re-derives the same planes from md5 and
+    recomputes bucketing + cosine + rank in SQL (VERDICT r5 #3).
     """
     _check_dim(corpus, vec_col, dim)
     tables = [
-        hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+        md5_hyperplanes(dim, n_planes, t, seed) for t in range(n_tables)
     ]
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -166,14 +166,17 @@ def test_lsh_paths_reject_dim_mismatch(spark):
 
 
 def test_ann_recall_registered_query(spark, oracle_sf_dir):
-    """The registered ann_recall query (the driver-visible form of the
-    recall gates above) must emit one deterministic row per method with
-    recall_at_5 over the 0.5 floor the per-method tests enforce."""
+    """The registered ann_recall query (the driver-visible, since-r6
+    oracle-backed form of the LSH recall gate above) must emit one
+    deterministic LSH row with recall_at_5 over the 0.5 floor. IVF's
+    recall moved out of the registered query when it graduated to an
+    exact oracle (k-means is not SQL-recomputable) -- its gate is
+    test_ivf_topk_recall plus knn_ivf's rows-only driver row."""
     from bigdata_storage_and_proccess_job_data_spark.plans import all_queries
 
     rows = all_queries()["ann_recall"].fn(spark, oracle_sf_dir).collect()
     got = {r.method: r.recall_at_5 for r in rows}
-    assert set(got) == {"lsh", "ivf"}
+    assert set(got) == {"lsh"}
     assert all(v >= 0.5 for v in got.values()), got
     # deterministic: a second run emits identical values
     again = {
