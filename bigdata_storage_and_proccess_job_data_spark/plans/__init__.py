@@ -69,10 +69,12 @@ from bigdata_storage_and_proccess_job_data_spark.plans import (  # noqa: F401,E4
 # the queries exercising that changed code — are in-window), so
 # window_tumbling/window_sliding/session_windows/stream_detail_enrich
 # keep their green r4 rows and rotate back in r6.
-# R6 planning note: the complement of this window is EXACTLY the 50
+# R6 planning note (r5): the complement of this window is EXACTLY the 50
 # queries of DRIVER_WINDOW_R4 (verified: R4 and R5 are disjoint 50-sets
 # whose union is the full 100-query registry), all holding r4 rows --
 # DRIVER_WINDOW_R6 must be that set, per the two-round rule.
+# R6 RESOLUTION (below): that is the base, with the changed-code
+# displacement procedure applied -- see DRIVER_WINDOW_R6.
 # Changed-code exception, recorded (round-5 review): media_features_knn's
 # body was restructured this round (eager materialize + shared
 # _media_frame assembly) yet sits OUTSIDE this window -- the rule
@@ -139,6 +141,101 @@ DRIVER_WINDOW_R5 = [
     "ann_recall",
     "hybrid_search",
 ]
+
+# Round 6 window (VERDICT r5 #1/#2). Base = the DRIVER_WINDOW_R4 50-set
+# (two-round rule: every query there holds an r4 row, oldest allowed).
+# Displacement procedure for changed-code queries, applied and recorded:
+#   IN (3) -- queries whose code or registration changed this round and
+#   therefore may NOT ship on a stale row:
+#     - knn_lsh        (lsh_topk switched to md5-derived hyperplanes and
+#                       gained an exact DuckDB oracle, VERDICT r5 #3)
+#     - ann_recall     (restructured to the oracle-backed LSH-only form;
+#                       IVF coverage moved to test_ivf_topk_recall +
+#                       knn_ivf's rows-only row, documented in its
+#                       docstring)
+#     - snapshot_change_feed (NEW registration this round, VERDICT r5
+#                       #6; slot freed by retiring embedding_norms --
+#                       registry.RETIRED carries the coverage-merge
+#                       record)
+#   OUT (3) -- displaced to the round-7 window (r4 rows go 3 rounds
+#   stale at end of r6; R7 MUST carry them, pinned by
+#   DRIVER_WINDOW_R7_PLAN and the partition-invariant test):
+#     - impute_mean      (code untouched since r3; A9/X2 family also
+#                         covered in-window by company_stats_v2 + the
+#                         union_normalize pipeline tests)
+#     - freshness_buckets (code untouched; F10/F11 temporal family
+#                         covered in-window by temporal_stats)
+#     - dedup_latest     (code untouched; P3 dedup family covered
+#                         in-window by dedup_exact_docs)
+DRIVER_WINDOW_R6 = [
+    # -- r2-checked analytics variants rotating back in (32)
+    "segment_revenue",
+    "pricing_summary",
+    "range_join_incidents",
+    "interval_overlap_pairs",
+    "event_gaps",
+    "skewed_hot_key_agg",
+    "asof_last_purchase",
+    "cube_segment_priority",
+    "customer_value_ranks",
+    "daily_activity_gapfill",
+    "distinct_customers",
+    "dq_orders_report",
+    "extreme_orders",
+    "grouping_sets_mix",
+    "median_metrics",
+    "nation_revenue_share",
+    "nation_trade_volume",
+    "null_skew_enriched",
+    "order_window_extremes",
+    "part_measures_unpivot",
+    "pivot_status_by_priority",
+    "priority_with_late_lines",
+    "region_rollup",
+    "rolling_order_avg",
+    "running_total",
+    "setop_except",
+    "setop_intersect",
+    "small_quantity_revenue",
+    "sql_surface_nation_sales",
+    "stat_moments",
+    "top_revenue_customers",
+    "urgent_customers_semi",
+    # -- streaming window/session builders (r4 rows; code untouched r5/r6)
+    "window_tumbling",
+    "window_sliding",
+    "session_windows",
+    "stream_detail_enrich",
+    # -- near-dup suite rotating back (minhash_near_dups' operator file
+    #    changed this round: deterministic persist release -- in-window)
+    "simhash_near_dups",
+    "neardup_clusters",
+    "corpus_mixture",
+    "temporal_stats",
+    # -- §2 family representatives keeping rows fresh
+    "company_stats_v2",
+    "minhash_near_dups",
+    "knn_arrow",
+    "chunk_documents",
+    "topk_per_group",
+    "dedup_exact_docs",
+    "media_features_knn",
+    # -- changed-code swaps (displacement procedure above)
+    "knn_lsh",
+    "ann_recall",
+    "snapshot_change_feed",
+]
+
+# Round-7 obligation, pinned NOW so the displacement above can't silently
+# strand a query: R7 = the R5 window, minus the retired embedding_norms
+# and the two queries re-rowed in r6 (knn_lsh, ann_recall), plus the
+# three queries displaced out of R6. test_plans.py asserts
+# R6 ∪ R7_PLAN == registry with R6 ∩ R7_PLAN == ∅ -- the two-round
+# coverage invariant as code, not prose (VERDICT r5 #2).
+DRIVER_WINDOW_R7_PLAN = sorted(
+    (set(DRIVER_WINDOW_R5) - {"embedding_norms", "knn_lsh", "ann_recall"})
+    | {"impute_mean", "freshness_buckets", "dedup_latest"}
+)
 
 DRIVER_WINDOW_R4 = [
     # -- r2-checked analytics variants rotating back in (32)
@@ -260,4 +357,4 @@ DRIVER_WINDOW_R3 = [
     "impute_mean",  # A9/X2
 ]
 
-set_driver_order(DRIVER_WINDOW_R5)
+set_driver_order(DRIVER_WINDOW_R6)

@@ -29,6 +29,32 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _REGISTRY: dict[str, "QueryDef"] = {}
 
+# Registry-saturation mechanics (VERDICT r5 #2). 100 registered queries is
+# the HARD ceiling: the driver writes rows for exactly the first 50
+# registry entries per round, and the two-round coverage rule (every
+# query re-rowed within 2 rounds) makes 2 x 50 the most the rotation can
+# carry. Any new registration therefore RETIRES or MERGES an existing
+# query, recorded here: name -> (round retired, where its coverage
+# moved). register() refuses a retired name (a retirement is permanent --
+# resurrecting a name would silently orphan the coverage note), and
+# test_plans.py pins ceiling + partition invariants against this table.
+MAX_REGISTERED = 100
+RETIRED: dict[str, dict[str, str]] = {
+    "embedding_norms": {
+        "round": "r6",
+        "replaced_by": "snapshot_change_feed",
+        "coverage": (
+            "per-vector L2 norm / HOF fold: the same norm computation is "
+            "a hash-checked sub-expression of the knn_brute_force, "
+            "embedding_neardup_pairs and hybrid_search oracles (cosine = "
+            "dot / (norm * norm) on both engines); the narrow-projection "
+            "hygiene-scan shape stays exercised by text_stats / "
+            "token_repetition. No operator code was removed -- "
+            "functions/vectors.py norm/dot are unchanged and tested."
+        ),
+    },
+}
+
 
 @dataclass
 class QueryDef:
@@ -59,6 +85,17 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+        if name in RETIRED:
+            raise ValueError(
+                f"query name {name!r} was retired in {RETIRED[name]['round']}"
+                " -- pick a new name and record the old coverage note"
+            )
+        if len(_REGISTRY) >= MAX_REGISTERED:
+            raise ValueError(
+                f"registry is at the {MAX_REGISTERED}-query ceiling; "
+                f"registering {name!r} requires retiring or merging an "
+                "existing query first (registry.RETIRED)"
+            )
         _REGISTRY[name] = QueryDef(
             name=name,
             fn=fn,

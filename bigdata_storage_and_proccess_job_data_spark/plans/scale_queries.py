@@ -1240,37 +1240,91 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Vector hygiene: norms via higher-order array functions
+# RETIRED r6: embedding_norms (per-vector L2 norm / max|x| hygiene scan).
+# The registry sits at the 100-query ceiling (registry.MAX_REGISTERED);
+# registering snapshot_change_feed required a retirement, and this was
+# the query whose checked surface is most completely subsumed elsewhere:
+# the identical norm computation (sequential fold on Spark,
+# list_dot_product in DuckDB) is a hash-checked sub-expression of the
+# knn_brute_force / embedding_neardup_pairs / hybrid_search oracles, and
+# functions/vectors.py itself is unchanged and unit-tested. Full record:
+# registry.RETIRED["embedding_norms"]; the name is permanently reserved.
+
+
+# ---------------------------------------------------------------------------
+# Versioned table: snapshot change feed (CDF semantics, exact oracle)
 # ---------------------------------------------------------------------------
 @register(
-    "embedding_norms",
-    tags=("vector", "hof"),
-    oracle=f"""
-        SELECT vec_id,
-               CAST(len(embedding) AS BIGINT) AS dim,
-               {sql_round('sqrt(list_dot_product(embedding::DOUBLE[],'
-                          ' embedding::DOUBLE[]))', 4)} AS l2_norm,
-               {sql_round('list_max(list_transform(embedding::DOUBLE[],'
-                          ' x -> abs(x)))', 4)} AS max_abs
-        FROM embeddings
+    "snapshot_change_feed",
+    tags=("table-format", "join", "cdc"),
+    oracle="""
+        WITH old AS (
+          SELECT * FROM orders WHERE o_orderkey % 8 <> 6
+        ),
+        new AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 o_orderdate,
+                 CASE WHEN o_orderkey % 8 = 1 THEN o_orderpriority || '+'
+                      ELSE o_orderpriority END AS o_orderpriority
+          FROM orders WHERE o_orderkey % 8 <> 3
+        )
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               o.o_orderstatus   AS before_status,
+               n.o_orderstatus   AS after_status,
+               o.o_orderpriority AS before_priority,
+               n.o_orderpriority AS after_priority,
+               o.o_totalprice    AS before_price,
+               n.o_totalprice    AS after_price
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR ROW(o.o_custkey, o.o_orderstatus, o.o_totalprice,
+                  o.o_orderdate, o.o_orderpriority)
+              IS DISTINCT FROM
+              ROW(n.o_custkey, n.o_orderstatus, n.o_totalprice,
+                  n.o_orderdate, n.o_orderpriority)
     """,
 )
-def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector L2 norm and max|x| via higher-order array functions
-    (F.aggregate fold + transform/array_max) -- the pre-ANN hygiene scan
-    that catches zero/degenerate vectors. All JVM-side expressions; at
-    100 TB this is a single narrow projection over the vector column."""
-    from bigdata_storage_and_proccess_job_data_spark.functions import vectors
+def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed between two table snapshots
+    (sources/versioned.py:change_feed -- the operator behind
+    diff_versions, VERDICT r5 #6): one full-outer null-safe key join,
+    change classification by whole-row struct equality (exact, no
+    hash-collision blind spot), unchanged rows absent. The snapshots
+    here are two derived views of ``orders`` -- keys = 3 (mod 8) exist
+    only in the old one (deletes), = 6 (mod 8) only in the new one
+    (inserts), and = 1 (mod 8) carry a mutated priority (updates) -- so
+    all three change classes are hash-checked. Output flattens the
+    before/after structs to scalar columns (the driver compare hashes
+    scalars; the struct-building path itself is what the operator runs).
+    The stored-snapshot form (commit_version -> diff_versions over a
+    table dir) runs the same operator and is pinned by
+    tests/test_versioned.py. Scale: ONE keyed shuffle of the two
+    snapshots -- the incremental-consumer alternative to full
+    downstream recompute."""
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = vectors.as_double("embedding")
-    return emb.select(
-        "vec_id",
-        F.size("embedding").cast("long").alias("dim"),
-        stable_round(F.sqrt(vectors.dot(v, v)), 4).alias("l2_norm"),
-        stable_round(
-            F.array_max(F.transform(v, lambda x: F.abs(x))), 4
-        ).alias("max_abs"),
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 8 != 6)
+    new = orders.filter(F.col("o_orderkey") % 8 != 3).withColumn(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 8 == 1,
+            F.concat(F.col("o_orderpriority"), F.lit("+")),
+        ).otherwise(F.col("o_orderpriority")),
+    )
+    feed = versioned.change_feed(old, new, "o_orderkey")
+    return feed.select(
+        "o_orderkey",
+        "change_type",
+        F.col("before.o_orderstatus").alias("before_status"),
+        F.col("after.o_orderstatus").alias("after_status"),
+        F.col("before.o_orderpriority").alias("before_priority"),
+        F.col("after.o_orderpriority").alias("after_priority"),
+        F.col("before.o_totalprice").alias("before_price"),
+        F.col("after.o_totalprice").alias("after_price"),
     )
 
 

@@ -135,6 +135,37 @@ def diff_versions(
     or partition-pruned snapshots to make the join co-located."""
     old = read_version(spark, table_dir, v_from)
     new = read_version(spark, table_dir, v_to)
+    try:
+        return change_feed(old, new, key)
+    except ValueError as exc:
+        raise ValueError(
+            f"{table_dir} v{v_from}..v{v_to}: {exc}"
+        ) from None
+
+
+def _uncomparable_fields(dataType) -> bool:
+    """True when a type cannot sit inside an equality-compared struct
+    (MapType has no defined equality in Spark -- eqNullSafe on a struct
+    containing one fails at ANALYSIS time with an opaque exception)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dataType, T.MapType):
+        return True
+    if isinstance(dataType, T.ArrayType):
+        return _uncomparable_fields(dataType.elementType)
+    if isinstance(dataType, T.StructType):
+        return any(_uncomparable_fields(f.dataType) for f in dataType.fields)
+    return False
+
+
+def change_feed(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """The frame-level core of diff_versions: row-level changes between
+    any two same-schema keyed frames, independent of where the snapshots
+    came from (versioned table, two parquet dirs, two query results).
+    diff_versions = change_feed over two committed versions; the
+    registered snapshot_change_feed query drives this operator directly
+    over derived frames so the driver hash-checks the full-outer +
+    struct-compare semantics every rotation (VERDICT r5 #6)."""
     # guard on NAME AND TYPE, order-insensitive: column order is a
     # write artifact (both structs below are built in the old order),
     # but a retyped column would otherwise slip past a name-only check
@@ -146,8 +177,18 @@ def diff_versions(
         changed = sorted(
             set(old_schema.items()) ^ set(new_schema.items()), key=str
         )
+        raise ValueError(f"schema changed between snapshots: {changed}")
+    # non-comparable columns fail struct equality at ANALYSIS time with
+    # an opaque AnalysisException -- surface the contract error instead,
+    # naming the offending columns (ADVICE r5)
+    bad = sorted(
+        name for name, dt in old_schema.items() if _uncomparable_fields(dt)
+    )
+    if bad:
         raise ValueError(
-            f"schema changed between v{v_from} and v{v_to}: {changed}"
+            f"columns {bad} contain MAP types, which have no equality "
+            "semantics in Spark; drop or re-encode them (e.g. "
+            "map_entries -> sorted array) before diffing"
         )
     cols = old.columns
     o = old.select(

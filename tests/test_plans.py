@@ -205,7 +205,40 @@ def test_driver_window_is_first_50():
     names that drifted out of the registry."""
     from bigdata_storage_and_proccess_job_data_spark import plans
 
-    window = plans.DRIVER_WINDOW_R5
+    window = plans.DRIVER_WINDOW_R6
     assert len(window) == 50
     assert len(set(window)) == 50
     assert list(QS)[:50] == window
+
+
+def test_windows_partition_registry():
+    """Registry-saturation mechanics as invariants, not prose (VERDICT
+    r5 #2): at the 100-query ceiling the current window and the pinned
+    next-round plan must PARTITION the registry -- disjoint, exhaustive,
+    50 each -- so every registered query is re-rowed within two rounds
+    and a displacement can never silently strand one. Also pins the
+    ceiling itself and that retired names really left the registry."""
+    from bigdata_storage_and_proccess_job_data_spark import plans
+    from bigdata_storage_and_proccess_job_data_spark.plans import registry
+
+    r6, r7 = set(plans.DRIVER_WINDOW_R6), set(plans.DRIVER_WINDOW_R7_PLAN)
+    names = set(QS)
+    assert len(names) == registry.MAX_REGISTERED == 100
+    assert r6 & r7 == set(), sorted(r6 & r7)
+    assert r6 | r7 == names, {
+        "unscheduled": sorted(names - (r6 | r7)),
+        "unknown": sorted((r6 | r7) - names),
+    }
+    assert len(r6) == len(r7) == 50
+    # retirement is real: retired names are out of the registry, out of
+    # both windows, and re-registration is refused
+    for retired in registry.RETIRED:
+        assert retired not in names
+        assert retired not in r6 and retired not in r7
+    import pytest
+
+    with pytest.raises(ValueError, match="retired"):
+        registry.register("embedding_norms")(lambda s, d: None)
+    # the ceiling is enforced at registration time
+    with pytest.raises(ValueError, match="ceiling"):
+        registry.register("one_query_too_many")(lambda s, d: None)

@@ -206,3 +206,48 @@ def test_diff_versions_null_keys_and_schema_edges(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="schema changed"):
         versioned.diff_versions(spark, path, v3, v4, "id")
+
+
+def test_change_feed_rejects_map_columns(spark):
+    """MAP columns have no equality semantics in Spark; struct compare
+    would die at analysis time with an opaque AnalysisException -- the
+    guard must raise a contract ValueError NAMING the columns instead
+    (ADVICE r5), including maps nested inside arrays/structs."""
+    import pytest
+
+    flat = spark.createDataFrame(
+        [(1, {"a": 1})], "id LONG, props MAP<STRING, LONG>"
+    )
+    with pytest.raises(ValueError, match=r"\['props'\].*MAP"):
+        versioned.change_feed(flat, flat, "id")
+
+    nested = spark.createDataFrame(
+        [(1, [{"a": 1}])], "id LONG, tags ARRAY<MAP<STRING, LONG>>"
+    )
+    with pytest.raises(ValueError, match=r"\['tags'\].*MAP"):
+        versioned.change_feed(nested, nested, "id")
+
+
+def test_change_feed_frame_level_matches_diff_versions(spark, tmp_path):
+    """change_feed over two in-memory frames must equal diff_versions
+    over the same frames committed as snapshots -- the registered
+    snapshot_change_feed query drives the frame form; this pins that
+    both forms are the same operator."""
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id LONG, name STRING"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "id LONG, name STRING"
+    )
+    direct = {
+        (r.id, r.change_type)
+        for r in versioned.change_feed(old, new, "id").collect()
+    }
+    path = str(tmp_path / "tbl")
+    v1 = versioned.commit_version(old, path)
+    v2 = versioned.commit_version(new, path)
+    stored = {
+        (r.id, r.change_type)
+        for r in versioned.diff_versions(spark, path, v1, v2, "id").collect()
+    }
+    assert direct == stored == {(2, "update"), (3, "delete"), (4, "insert")}
