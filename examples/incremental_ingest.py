@@ -72,8 +72,11 @@ def ingest_batch(spark, batch, table_dir, index_dir):
     # batch and drop each pair's later id. The full-pipeline demo
     # (corpus_pipeline.py) shows the connected-components variant for
     # transitive clusters.
+    # materialize=True (and incremental_dedup_pairs' default): each
+    # day's call releases its internal shingle/signature caches before
+    # returning, so this loop accumulates nothing session-wide
     within = neardup.minhash_dedup_pairs(
-        observed, "doc_id", "text", threshold=0.9, **LSH
+        observed, "doc_id", "text", threshold=0.9, materialize=True, **LSH
     )
     dup_ids = (
         dups.select(F.col("id_a").alias("doc_id"))

@@ -198,3 +198,48 @@ def test_minhash_index_rejects_nondivisible_bands(spark, oracle_sf_dir):
     docs = load_table(spark, oracle_sf_dir, "documents")
     with pytest.raises(ValueError, match="must divide"):
         neardup.minhash_index(docs, "doc_id", "text", num_hashes=60, bands=16)
+
+
+def test_incremental_dedup_releases_caches(spark, oracle_sf_dir):
+    """The repeated-batch contract (VERDICT r5 #4): each default
+    (materialize=True) incremental_dedup_pairs call must release its
+    internal persists before returning -- a long session running one
+    call per ingest day may accumulate only result-sized checkpoint
+    storage, never the per-batch shingle/candidate caches. The lazy
+    (materialize=False) mode keeps its two caches alive, which is the
+    delta this test measures."""
+    docs = load_table(spark, oracle_sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    params = dict(ngram=2, num_hashes=64, bands=16, seed=42)
+    index = neardup.minhash_index(corpus, "doc_id", "text", **params)
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_persisted()
+    eager = neardup.incremental_dedup_pairs(
+        batch, corpus, index, "doc_id", "text", threshold=0.9, **params
+    )
+    eager_rows = {(r.id_a, r.id_b) for r in eager.collect()}
+    # only the returned frame's own checkpoint blocks may remain
+    assert n_persisted() <= base + 1, (
+        "internal caches survived a materialize=True call"
+    )
+
+    lazy = neardup.incremental_dedup_pairs(
+        batch, corpus, index, "doc_id", "text",
+        threshold=0.9, materialize=False, **params,
+    )
+    lazy_rows = {(r.id_a, r.id_b) for r in lazy.collect()}
+    assert lazy_rows == eager_rows, "materialize modes must agree"
+    # sanity lower bound only (CacheManager may fold nested caches into
+    # one materialized entry): lazy mode leaves at least one cache
+    # behind, proving the counter observes what materialize=True removed
+    assert n_persisted() >= base + 2, (
+        "lazy mode should hold caches (sanity check that the counter "
+        "actually observes persists)"
+    )
+    spark.catalog.clearCache()
