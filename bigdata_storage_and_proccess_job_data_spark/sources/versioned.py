@@ -63,6 +63,21 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer committed since the expected version was read."""
 
 
+def _claim(table_dir: str, name: str) -> bool:
+    """Atomically create an empty marker file; False if it exists.
+    O_EXCL is the local-fs compare-and-set primitive (atomic on POSIX;
+    the object-store equivalent is a conditional put)."""
+    try:
+        fd = os.open(
+            os.path.join(table_dir, name),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+    except FileExistsError:
+        return False
+    os.close(fd)
+    return True
+
+
 def commit_version(
     df: DataFrame, table_dir: str, expected: int | None = None
 ) -> int:
@@ -73,8 +88,30 @@ def commit_version(
     ``expected`` enables optimistic concurrency: pass the version your
     read was based on and the commit refuses (ConcurrentCommitError) if
     someone else committed meanwhile -- the read-modify-write pattern
-    for derived tables. (The check-then-replace window here is as narrow
-    as the local fs allows; a conditional-put object store closes it.)"""
+    for derived tables.
+
+    Concurrency control is two O_EXCL markers (VERDICT r5 #7 -- the old
+    check-then-replace window is closed at local-fs level):
+
+    - ``._claim_v{N}`` reserves the snapshot NUMBER, so two in-flight
+      writers never write into the same ``v=N`` dir (a late writer just
+      claims the next free number);
+    - ``._commit_from_v{E}`` is the CAS on the pointer transition: only
+      ONE expected-mode writer ever moves the table out of version E --
+      created AFTER the data write, immediately before the pointer
+      swap, so the race loser always gets ConcurrentCommitError no
+      matter how the two commits interleave (tests pin a real
+      two-thread race). The guarantee covers expected-mode writers;
+      ``expected=None`` stays documented last-committer-wins and takes
+      no transition marker.
+
+    Crash recovery: a writer dying between marker and pointer swap
+    leaves ``._commit_from_v{E}`` with the pointer still at E; further
+    expected=E commits then fail closed (never torn). vacuum() clears
+    markers from completed transitions; clear a stale one manually (or
+    re-commit with expected=None) after confirming the writer is dead.
+    On an object store without atomic-exclusive creation, replace
+    _claim with a conditional put -- the structure is unchanged."""
     os.makedirs(table_dir, exist_ok=True)
     if expected is not None:
         cur = current_version(table_dir) or 0
@@ -83,8 +120,17 @@ def commit_version(
                 f"{table_dir}: expected v{expected}, found v{cur}"
             )
     nxt = (max(versions(table_dir), default=0)) + 1
+    while not _claim(table_dir, f"._claim_v{nxt}"):
+        nxt += 1  # number taken by an in-flight writer; take the next
     snap = os.path.join(table_dir, f"v={nxt}")
     df.write.mode("error").parquet(snap)
+    if expected is not None and not _claim(
+        table_dir, f"._commit_from_v{expected}"
+    ):
+        raise ConcurrentCommitError(
+            f"{table_dir}: another writer already committed the "
+            f"transition out of v{expected}"
+        )
     fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._latest_")
     with os.fdopen(fd, "w") as f:
         f.write(str(nxt))
@@ -218,7 +264,11 @@ def change_feed(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
 
 def vacuum(table_dir: str, keep: int = 1) -> list[int]:
     """Drop all but the newest ``keep`` snapshots, never the committed
-    one. Returns the versions removed."""
+    one. Returns the versions removed. Also clears commit markers that
+    can no longer matter: number claims for the dropped snapshots and
+    transition markers from versions BELOW the committed one (those
+    transitions completed; a marker AT the committed version may belong
+    to an in-flight writer and is left alone)."""
     import shutil
 
     committed = current_version(table_dir)
@@ -226,7 +276,21 @@ def vacuum(table_dir: str, keep: int = 1) -> list[int]:
     drop = [v for v in vs[: max(0, len(vs) - keep)] if v != committed]
     for v in drop:
         shutil.rmtree(os.path.join(table_dir, f"v={v}"))
+        _rm_quiet(os.path.join(table_dir, f"._claim_v{v}"))
+    if committed is not None:
+        for name in os.listdir(table_dir):
+            if name.startswith("._commit_from_v"):
+                tail = name[len("._commit_from_v"):]
+                if tail.isdigit() and int(tail) < committed:
+                    _rm_quiet(os.path.join(table_dir, name))
     return drop
+
+
+def _rm_quiet(path: str) -> None:
+    try:
+        os.remove(path)
+    except FileNotFoundError:
+        pass
 
 
 def apply_changes(
