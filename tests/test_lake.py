@@ -429,7 +429,11 @@ def test_bloom_filter_skips_point_lookup(spark, tmp_path):
     assert spark.read.parquet(bloomed).filter(pred).count() == 1
     read_plain = _scan_rows_read(spark.read.parquet(plain).filter(pred))
     read_bloom = _scan_rows_read(spark.read.parquet(bloomed).filter(pred))
-    # plain: scattered key -> every row group read; bloomed: only the
-    # group(s) whose filter admits the value
-    assert read_plain == 400_000
-    assert read_bloom * 4 <= read_plain, (read_bloom, read_plain)
+    # plain: scattered key -> (almost) every row group read; the RATIO
+    # is the invariant, not the exact plain count -- dictionary-page
+    # filtering in Spark's parquet reader is version-dependent and may
+    # legitimately skip some plain groups too (ADVICE r5)
+    assert read_plain >= read_bloom * 4, (read_bloom, read_plain)
+    assert read_bloom <= 100_000, (
+        "bloomed layout read more than ~2 row groups worth"
+    )

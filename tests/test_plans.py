@@ -167,19 +167,22 @@ def test_no_scale_antipatterns_anywhere(spark, oracle_sf_dir):
     MUST declare probes, so an eager refactor can never silently
     vacate this gate again (round-5 review finding).
 
-    BroadcastNestedLoopJoin exemptions (name-scoped, shape-scoped):
-    knn_brute_force / media_features_exact / ann_recall ARE the
+    BroadcastNestedLoopJoin exemptions are LABEL-scoped (ADVICE r5: a
+    name-scoped exemption would also mask a future real BNLJ in the
+    eager queries' returned frames, which are LocalTableScans today):
+    knn_brute_force / ann_recall / media_features_exact's probe ARE the
     broadcast exact-scoring baseline (similarity.brute_force_topk: tiny
     broadcast query set x corpus, the documented correctness anchor for
-    the bucketed ANN paths), and impute_mean / bm25_search attach a
-    ONE-ROW broadcast scalar frame (global mean; (N, avgdl)) -- O(n x 1).
+    the bucketed ANN paths), and impute_mean / bm25_search's probe /
+    hybrid_search's probe (the bm25 pipeline) attach a ONE-ROW broadcast
+    scalar frame (global mean; (N, avgdl)) -- O(n x 1).
     CartesianProduct and BatchEvalPython have no exemptions anywhere."""
     bnlj_ok = {
         "knn_brute_force",
-        "media_features_exact",
+        "media_features_exact#probe1",
         "impute_mean",
-        "bm25_search",
-        "hybrid_search",  # probe is the bm25 pipeline (one-row scalars)
+        "bm25_search#probe1",
+        "hybrid_search#probe1",
         "ann_recall",
     }
     always_bad = ("CartesianProduct", "BatchEvalPython")
@@ -194,7 +197,7 @@ def test_no_scale_antipatterns_anywhere(spark, oracle_sf_dir):
                 if "FileScan" not in plan and "ExistingRDD" not in plan:
                     hits.append(f"{label}:sourceless-plan-without-probes")
             hits.extend(f"{label}:{b}" for b in always_bad if b in plan)
-            if name not in bnlj_ok and "BroadcastNestedLoopJoin" in plan:
+            if label not in bnlj_ok and "BroadcastNestedLoopJoin" in plan:
                 hits.append(f"{label}:BroadcastNestedLoopJoin")
     assert not hits, hits
 
