@@ -58,6 +58,14 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # data-skipping layout for the point-lookup probe: built ONCE here,
+    # outside the timed region (the layout is a write-time investment;
+    # the probe is the recurring cost being measured)
+    from bigdata_storage_and_proccess_job_data_spark.plans import (  # noqa: E402
+        bench_probes,
+    )
+
+    bench_probes.ensure_layouts(spark, sf_dir)
 
     def scan_rows(df) -> int:
         """numOutputRows summed over the file scans of the EXECUTED plan
@@ -89,11 +97,16 @@ def main() -> None:
         except Exception:
             return -1  # metrics are best-effort; never fail the bench
 
-    heads = registry.headline_queries()
-    samples: dict[str, list[float]] = {name: [] for name in heads}
+    # registered headline queries + bench-only probes (data-skipping
+    # point lookup -- not in the registry, see plans/bench_probes.py)
+    runnable = {
+        name: qd.fn for name, qd in registry.headline_queries().items()
+    }
+    runnable.update(bench_probes.bench_probes())
+    samples: dict[str, list[float]] = {name: [] for name in runnable}
     for _ in range(max(1, iters)):
-        for name, qd in heads.items():
-            df = qd.fn(spark, sf_dir)  # build plan (not timed separately)
+        for name, fn in runnable.items():
+            df = fn(spark, sf_dir)  # build plan (not timed separately)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
@@ -121,8 +134,8 @@ def main() -> None:
     # untimed metrics pass: a noop WRITE runs its own query execution, so
     # scan metrics only populate on a DataFrame-owned action
     rows_read: dict[str, int] = {}
-    for name, qd in heads.items():
-        df = qd.fn(spark, sf_dir)
+    for name, fn in runnable.items():
+        df = fn(spark, sf_dir)
         force_metrics(df)
         rows_read[name] = scan_rows(df)
 

@@ -437,3 +437,33 @@ def test_bloom_filter_skips_point_lookup(spark, tmp_path):
     assert read_bloom <= 100_000, (
         "bloomed layout read more than ~2 row groups worth"
     )
+
+
+def test_point_lookup_probe_matches_plain_scan_and_skips(spark, oracle_sf_dir):
+    """The bench-only point-lookup probe (plans/bench_probes.py,
+    VERDICT r5 #8): its result over the clustered+bloomed layout must
+    equal the same filter over the plain fixture table, and its scan
+    must read a small fraction of the table's rows -- the measured
+    data-skipping number the bench reports as rows_read."""
+    from bigdata_storage_and_proccess_job_data_spark.plans import bench_probes
+
+    probe = bench_probes.point_lookup_lineitem(spark, oracle_sf_dir)
+    got = sorted(
+        (r.l_orderkey, r.l_linenumber, r.l_quantity, r.l_extendedprice)
+        for r in probe.collect()
+    )
+    table = load_table(spark, oracle_sf_dir, "lineitem")
+    k = table.agg(F.max("l_orderkey")).first()[0]
+    want = sorted(
+        (r.l_orderkey, r.l_linenumber, r.l_quantity, r.l_extendedprice)
+        for r in table.filter(F.col("l_orderkey") == k)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    assert got == want and got, "probe must equal the plain-scan answer"
+
+    read_probe = _scan_rows_read(
+        bench_probes.point_lookup_lineitem(spark, oracle_sf_dir)
+    )
+    total = table.count()
+    assert read_probe * 4 <= total, (read_probe, total)
