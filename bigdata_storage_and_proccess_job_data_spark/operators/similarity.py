@@ -469,6 +469,242 @@ def assign_cells(
     )
 
 
+def train_pq(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 32,
+    sample_size: int = 2048,
+    n_iters: int = 8,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): vectors are
+    L2-normalized, split into ``m`` contiguous subspaces, and each
+    subspace gets its own ``n_codes``-centroid k-means codebook.
+
+    Same train-small/assign-distributed split as train_centroids: a
+    deterministic xxhash64-ordered sample (the only thing collected)
+    fits the model; encoding and search stay distributed. Returns
+    ``codebooks[m][n_codes][dim/m]``.
+
+    Why this exists at 100 TB: a float64[64] embedding is 512 bytes; its
+    PQ code is ``m`` small ints (8 bytes at m=8) -- a 64x compression
+    that turns "the index can't fit anywhere" into "the codes column
+    scans like any other parquet column", with search reading ONLY the
+    codes. Accuracy is bounded by quantization distortion; recall pins
+    live in tests/test_similarity.py.
+    """
+    import numpy as np
+
+    sample = (
+        corpus.select(vectors.as_double(vec_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r._v for r in sample], dtype=np.float64)
+    if x.ndim != 2 or x.shape[1] % m:
+        dim = x.shape[1] if x.ndim == 2 else "?"
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
+    dsub = x.shape[1] // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        k0 = min(n_codes, len(xs))
+        cent = xs[rng.permutation(len(xs))[:k0]].copy()
+        for _ in range(n_iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k0):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append([[float(v) for v in row] for row in cent])
+    return books
+
+
+def encode_pq(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(neighbor_id, codes): each corpus vector L2-normalized and
+    quantized to its nearest centroid per subspace -- the PQ build step
+    made storable. Write the result as the corpus's search index (codes
+    are ``m`` ints; the raw vectors never need to be read again at
+    query time). Zero-norm vectors are excluded (undefined cosine).
+
+    Distributed numpy over Arrow batches (mapInPandas): argmin over
+    n_codes centroids per subspace is a GEMM-shaped batch op, the wrong
+    fit for per-row codegen expressions.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(
+        [np.asarray(b, dtype=np.float64) for b in codebooks]
+    )
+
+    def encode(batches):
+        books = bc.value
+        dsub = books[0].shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            xm = np.stack(pdf["_cv"].to_numpy()).astype(np.float64)
+            if xm.shape[1] != m * dsub:
+                raise ValueError(
+                    f"{vec_col} has dimension {xm.shape[1]}, codebooks "
+                    f"built for {m * dsub}; retrain with matching m/dim"
+                )
+            nrm = np.linalg.norm(xm, axis=1)
+            valid = nrm > 0
+            nids, xm = nids[valid], xm[valid] / nrm[valid, None]
+            if not len(nids):
+                continue
+            codes = np.empty((len(xm), m), dtype=np.int32)
+            for j in range(m):
+                xs = xm[:, j * dsub : (j + 1) * dsub]
+                # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; drop the x term
+                d2 = -2.0 * (xs @ books[j].T) + (books[j] ** 2).sum(axis=1)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"neighbor_id": nids, "codes": list(codes)}
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        vectors.as_double(vec_col).alias("_cv"),
+    ).mapInPandas(encode, "neighbor_id long, codes array<int>")
+
+
+def pq_topk_from_codes(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Approximate cosine top-k by asymmetric distance computation (ADC)
+    over a stored PQ-code index: each query builds an (m x n_codes)
+    lookup table of subspace dot products against the codebooks ONCE,
+    then every corpus row scores as m table lookups summed -- no
+    per-pair arithmetic on raw vectors, and the scan reads only the
+    codes column. Per-batch partial top-k (same (rounded sim DESC, id
+    ASC) total order as the final window rank) keeps the shuffle at
+    O(parts x |Q| x k) rows, exactly the brute_force_topk_arrow shape.
+
+    ``sim`` is the ADC approximation of cosine (query exact, neighbor
+    quantized); ranking quality is pinned by recall tests, not equality.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import DELTA
+
+    spark = codes.sparkSession
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m, dsub = len(books), books[0].shape[1]
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            vectors.as_double(vec_col).alias("_qv"),
+        )
+        .filter(F.col("_qv").isNotNull())
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"query set exceeds max_queries={max_queries}; batch the "
+            "queries (the LUT set must stay broadcastable)"
+        )
+    qids = np.asarray([r.query_id for r in q_rows], dtype=np.int64)
+    qm = np.asarray([r._qv for r in q_rows], dtype=np.float64)
+    if qm.ndim != 2 or qm.shape[1] != m * dsub:
+        dim = qm.shape[1] if qm.ndim == 2 else "?"
+        raise ValueError(
+            f"{vec_col} has dimension {dim}, codebooks built for {m * dsub}"
+        )
+    qnorm = np.linalg.norm(qm, axis=1)
+    keep = qnorm > 0
+    qids, qm = qids[keep], qm[keep] / qnorm[keep, None]
+    # LUT[q, j, c] = q_sub_j . codebook_j[c]  -> approx dot = sum_j LUT
+    lut = np.stack(
+        [qm[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)],
+        axis=1,
+    )
+    bc = spark.sparkContext.broadcast((qids, lut))
+    scale = 10**4
+
+    def score(batches):
+        b_qids, b_lut = bc.value
+        for pdf in batches:
+            if not len(pdf) or not len(b_qids):
+                continue
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cm = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            # (|Q|, batch): ADC = sum over subspaces of LUT lookups
+            sims = np.zeros((len(b_qids), len(nids)))
+            for j in range(m):
+                sims += b_lut[:, j, cm[:, j]]
+            rounded = np.floor(sims.T * scale + (0.5 + DELTA)) / scale
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(b_qids):
+                col = rounded[:, qi]
+                mask = nids != qid
+                ids_j, col_j = nids[mask], col[mask]
+                top = np.lexsort((ids_j, -col_j))[:k]
+                out_q.extend([qid] * len(top))
+                out_n.extend(ids_j[top])
+                out_s.extend(col_j[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    candidates = codes.select("neighbor_id", "codes").mapInPandas(
+        score, "query_id long, neighbor_id long, sim double"
+    )
+    return _rank_topk(candidates, k)
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 32,
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """train_pq -> encode_pq -> ADC search, in one call -- the
+    convenience form for ad-hoc use. Production use at scale stores the
+    encode_pq output once and calls pq_topk_from_codes per query batch
+    (the codebooks and the codes frame are the persistent artifacts;
+    re-encoding the corpus per query batch would defeat the point)."""
+    books = train_pq(
+        corpus, id_col, vec_col, m, n_codes, sample_size, seed=seed
+    )
+    return pq_topk_from_codes(
+        queries, encode_pq(corpus, books, id_col, vec_col), books, k,
+        id_col, vec_col,
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -165,6 +165,100 @@ def test_lsh_paths_reject_dim_mismatch(spark):
         similarity.lsh_topk(df, df, dim=64)
 
 
+def _planted_dup_corpus(spark, n_base=300, n_dups=40, scale=0.18, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n_base, 64))
+    dups = [
+        base[i] + rng.normal(scale=scale, size=64) for i in range(n_dups)
+    ]
+    x = np.vstack([base, dups])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    return df, x
+
+
+def test_pq_topk_finds_planted_neighbors(spark):
+    """ADC over PQ codes on a corpus with planted near-duplicates: each
+    perturbed copy's true nearest neighbor (its base, cosine ~0.95 vs
+    ~0.3 background) must surface in the PQ top-5. This is the signal PQ
+    exists to preserve through 64x compression; distinguishing
+    same-magnitude background neighbors is what it legitimately blurs
+    (hence no exact-equality pin against brute force)."""
+    df, x = _planted_dup_corpus(spark)
+    n_base = 300
+    queries = df.filter(F.col("vec_id") >= n_base)
+    got = similarity.pq_topk(queries, df, k=5, m=8, n_codes=32)
+    by_q: dict[int, set] = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(
+        1 for q, ns in by_q.items() if (q - n_base) in ns
+    )
+    assert len(by_q) == 40
+    assert hits >= 38, f"planted-neighbor hits {hits}/40"
+
+
+def test_pq_codes_shape_compression_and_determinism(spark, oracle_sf_dir):
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    books = similarity.train_pq(emb, m=8, n_codes=16, sample_size=512)
+    assert len(books) == 8 and all(len(b) <= 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)  # 64/8 dims each
+    codes = similarity.encode_pq(emb, books)
+    rows = codes.collect()
+    assert rows and all(len(r.codes) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.codes)
+    # training + encoding are seed-deterministic end to end
+    books2 = similarity.train_pq(emb, m=8, n_codes=16, sample_size=512)
+    assert books == books2
+    q = emb.filter(F.col("vec_id") < 5)
+    a = similarity.pq_topk_from_codes(q, codes, books, k=3).collect()
+    b = similarity.pq_topk_from_codes(q, codes, books, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pq_stored_codes_roundtrip(spark, tmp_path):
+    """The codes frame is the persistent index: write it, read it back,
+    search from the stored copy -- results identical to searching the
+    freshly-encoded frame, and the stored schema is (long, array<int>),
+    never the raw vectors."""
+    df, _ = _planted_dup_corpus(spark, n_base=80, n_dups=10)
+    books = similarity.train_pq(df, m=8, n_codes=16, sample_size=512)
+    codes = similarity.encode_pq(df, books)
+    path = str(tmp_path / "pq_index")
+    codes.write.parquet(path)
+    stored = spark.read.parquet(path)
+    assert [f.name for f in stored.schema.fields] == ["neighbor_id", "codes"]
+    q = df.filter(F.col("vec_id") < 5)
+    fresh = similarity.pq_topk_from_codes(q, codes, books, k=4).collect()
+    again = similarity.pq_topk_from_codes(q, stored, books, k=4).collect()
+    assert sorted(map(tuple, fresh)) == sorted(map(tuple, again))
+
+
+def test_pq_rejects_dim_mismatch(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 64), (2, [0.2] * 64)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.train_pq(df, m=7)
+    books = similarity.train_pq(df, m=8, n_codes=2, sample_size=8)
+    wide = spark.createDataFrame(
+        [(3, [0.3] * 128)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="dimension 128"):
+        similarity.pq_topk_from_codes(
+            wide, similarity.encode_pq(df, books), books
+        )
+    with pytest.raises(Exception, match="dimension 128"):
+        similarity.encode_pq(wide, books).collect()
+
+
 def test_ann_recall_registered_query(spark, oracle_sf_dir):
     """The registered ann_recall query (the driver-visible, since-r6
     oracle-backed form of the LSH recall gate above) must emit one
