@@ -177,6 +177,8 @@ def test_no_scale_antipatterns_anywhere(spark, oracle_sf_dir):
     hybrid_search's probe (the bm25 pipeline) attach a ONE-ROW broadcast
     scalar frame (global mean; (N, avgdl)) -- O(n x 1).
     CartesianProduct and BatchEvalPython have no exemptions anywhere."""
+    from bigdata_storage_and_proccess_job_data_spark.plans import lint
+
     bnlj_ok = {
         "knn_brute_force",
         "media_features_exact#probe1",
@@ -185,21 +187,59 @@ def test_no_scale_antipatterns_anywhere(spark, oracle_sf_dir):
         "hybrid_search#probe1",
         "ann_recall",
     }
-    always_bad = ("CartesianProduct", "BatchEvalPython")
     hits = []
     for name, qd in QS.items():
         frames = [qd.fn(spark, oracle_sf_dir)]
         frames.extend(p(spark, oracle_sf_dir) for p in qd.plan_probes)
         for i, frame in enumerate(frames):
-            plan = frame._jdf.queryExecution().executedPlan().toString()
             label = name if i == 0 else f"{name}#probe{i}"
-            if i == 0 and not qd.plan_probes:
-                if "FileScan" not in plan and "ExistingRDD" not in plan:
-                    hits.append(f"{label}:sourceless-plan-without-probes")
-            hits.extend(f"{label}:{b}" for b in always_bad if b in plan)
-            if label not in bnlj_ok and "BroadcastNestedLoopJoin" in plan:
-                hits.append(f"{label}:BroadcastNestedLoopJoin")
+            found = lint.lint_plan(
+                frame,
+                allow_bnlj=label in bnlj_ok,
+                # a sourceless returned frame is fine IFF probes rebuild
+                # the real pipeline; probe frames always carry sources
+                require_source=(i == 0 and not qd.plan_probes) or i > 0,
+            )
+            hits.extend(f"{label}:{f}" for f in found)
     assert not hits, hits
+
+
+def test_lint_plan_api(spark, oracle_sf_dir):
+    """The user-facing linter (plans/lint.py) must flag each anti-pattern
+    shape and pass clean pipelines -- it is the same check the registry
+    sweep above runs, so this pins that factoring."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udf
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.plans import lint
+
+    nation = load_table(spark, oracle_sf_dir, "nation")
+
+    clean = nation.groupBy("n_regionkey").count()
+    assert lint.lint_plan(clean) == []
+
+    # row-at-a-time Python UDF -> BatchEvalPython
+    slow = nation.select(udf(lambda s: s.upper())("n_name"))
+    assert "BatchEvalPython" in lint.lint_plan(slow)
+
+    # non-equi join of two unbounded frames -> BNLJ, flagged by default,
+    # waivable where a side is provably tiny
+    bnlj = nation.alias("a").join(
+        nation.alias("b"), F.col("a.n_nationkey") > F.col("b.n_nationkey")
+    )
+    assert "BroadcastNestedLoopJoin" in lint.lint_plan(bnlj)
+    assert lint.lint_plan(bnlj, allow_bnlj=True) == []
+
+    # driver-materialized frame reads no source: flagged unless waived
+    local = spark.sql("SELECT 1 AS x")
+    assert "sourceless-plan" in lint.lint_plan(local)
+    assert lint.lint_plan(local, require_source=False) == []
+
+    import pytest
+
+    with pytest.raises(lint.ScalePlanError, match="BatchEvalPython"):
+        lint.assert_scalable(slow)
 
 
 def test_driver_window_is_first_50():
