@@ -206,6 +206,44 @@ def mixture_sample(
     return df.filter(hash_bucket(F.col(id_col), salt) < rate)
 
 
+def source_availability(
+    df: DataFrame, group_col: str, text_col: str
+) -> dict[str, int]:
+    """Tokens available per source: ONE partial+final hash aggregation
+    over the corpus (native token_count), collected as |sources| rows
+    (bounded-collect precedent). The availability frame is the shared
+    input of temperature_weights and plan_mixture -- compute it once,
+    pass it to both."""
+    return {
+        r[0]: int(r[1] or 0)
+        for r in df.groupBy(group_col)
+        .agg(F.sum(text.token_count(F.col(text_col))).alias("_t"))
+        .collect()
+    }
+
+
+def temperature_weights(
+    availability: dict[str, int | float], alpha: float = 0.5
+) -> dict[str, float]:
+    """Exponentially-smoothed mixture weights w_i = n_i^alpha (the
+    multilingual-pretraining rebalance: XLM, Conneau & Lample 2019,
+    sect. 3.1; mBERT's exponential smoothing): alpha=1 keeps natural
+    proportions, alpha -> 0 approaches uniform, the usual 0.3-0.7 band
+    upsamples tail sources without letting head sources drown them.
+    Driver-side arithmetic over |sources| numbers; feed the result to
+    plan_mixture as ``weights`` (and pass the same availability dict so
+    the corpus is scanned once)."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    if any(v < 0 for v in availability.values()):
+        raise ValueError("availability must be non-negative")
+    w = {s: float(v) ** alpha for s, v in availability.items() if v > 0}
+    if not w:
+        raise ValueError("no source has tokens available")
+    total = sum(w.values())
+    return {s: v / total for s, v in sorted(w.items())}
+
+
 def plan_mixture(
     df: DataFrame,
     id_col: str,
@@ -214,6 +252,7 @@ def plan_mixture(
     weights: dict[str, float],
     token_budget: int,
     salt: str = "",
+    availability: dict[str, int] | None = None,
 ) -> tuple[DataFrame, dict[str, dict[str, float]]]:
     """Token-budget-aware mixture planning: given target WEIGHTS per
     source ("web:code:books at 2:1:1") and a total TOKEN budget, compute
@@ -239,7 +278,9 @@ def plan_mixture(
     availability frame (native token_count, partial+final), a
     driver-side fold over its |sources| rows (bounded-collect
     precedent), then one codegen'd filter pass. Nothing else touches
-    the data."""
+    the data. Pass ``availability`` (a source_availability result) to
+    skip even that scan -- the temperature_weights composition computes
+    it once and shares it."""
     if token_budget <= 0:
         raise ValueError("token_budget must be positive")
     if not weights or any(w < 0 for w in weights.values()):
@@ -247,12 +288,11 @@ def plan_mixture(
     total_w = sum(weights.values())
     if total_w <= 0:
         raise ValueError("weights must sum to > 0")
-    avail = {
-        r[0]: r[1] or 0
-        for r in df.groupBy(group_col)
-        .agg(F.sum(text.token_count(F.col(text_col))).alias("_t"))
-        .collect()
-    }
+    avail = (
+        availability
+        if availability is not None
+        else source_availability(df, group_col, text_col)
+    )
     report: dict[str, dict[str, float]] = {}
     rates: dict[str, int] = {}
     for src, w in sorted(weights.items()):

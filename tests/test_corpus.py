@@ -309,3 +309,71 @@ def test_plan_mixture_rates_and_report(spark):
     assert got == want
     srcs = {r.source for r in sampled.select("source").distinct().collect()}
     assert "junk" not in srcs and "code" in srcs
+
+
+def test_temperature_weights_math():
+    """The n^alpha smoothing pinned arithmetically: alpha=1 is natural
+    proportions, alpha=0.5 squeezes a 16:1 corpus ratio to 4:1, smaller
+    alpha is closer to uniform, zero-token sources drop out, and the
+    weights always sum to 1."""
+    import pytest
+
+    avail = {"web": 1600, "code": 100, "empty": 0}
+    natural = corpus.temperature_weights(avail, alpha=1.0)
+    assert abs(natural["web"] / natural["code"] - 16.0) < 1e-9
+    assert "empty" not in natural
+
+    smoothed = corpus.temperature_weights(avail, alpha=0.5)
+    assert abs(smoothed["web"] / smoothed["code"] - 4.0) < 1e-9
+    assert abs(sum(smoothed.values()) - 1.0) < 1e-9
+
+    flatter = corpus.temperature_weights(avail, alpha=0.25)
+    assert flatter["code"] > smoothed["code"] > natural["code"]
+
+    with pytest.raises(ValueError, match="alpha"):
+        corpus.temperature_weights(avail, alpha=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        corpus.temperature_weights(avail, alpha=1.5)
+    with pytest.raises(ValueError, match="non-negative"):
+        corpus.temperature_weights({"a": -1})
+    with pytest.raises(ValueError, match="no source"):
+        corpus.temperature_weights({"a": 0})
+
+
+def test_temperature_mixture_composition(spark):
+    """source_availability -> temperature_weights -> plan_mixture as one
+    single-scan composition: the precomputed availability must produce
+    the identical plan to letting plan_mixture rescan, and the smoothed
+    weights must upsample the tail source relative to natural-proportion
+    weights (the rebalance the smoothing exists for)."""
+    rows = []
+    for i in range(320):  # web: 3200 tokens
+        rows.append((i, "web", "w " * 10))
+    for i in range(320, 340):  # code: 200 tokens (the tail source)
+        rows.append((i, "code", "c " * 10))
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+
+    avail = corpus.source_availability(df, "source", "text")
+    assert avail == {"web": 3200, "code": 200}
+
+    weights = corpus.temperature_weights(avail, alpha=0.5)
+    _, rep_pre = corpus.plan_mixture(
+        df, "doc_id", "source", "text", weights, 1000, availability=avail
+    )
+    _, rep_scan = corpus.plan_mixture(
+        df, "doc_id", "source", "text", weights, 1000
+    )
+    assert rep_pre == rep_scan
+
+    _, rep_nat = corpus.plan_mixture(
+        df, "doc_id", "source", "text",
+        corpus.temperature_weights(avail, alpha=1.0), 1000,
+        availability=avail,
+    )
+    # natural: code target = 1000 * 200/3400 ~= 59 tokens; smoothed at
+    # alpha=.5: sqrt ratio 4:1 -> code target = 200 -- the tail source's
+    # share quadruples
+    assert (
+        rep_pre["code"]["target_tokens"]
+        > 3 * rep_nat["code"]["target_tokens"]
+    )
