@@ -9,11 +9,15 @@ it nightly over a raw document lake:
      verify -> connected components -> keep each cluster's min id)
   5. decontaminate against a benchmark split (5-gram shingle overlap)
   6. quality/language filter (C4-style chain)
-  7. rebalance the source mixture (deterministic md5 buckets)
+  7. rebalance the source mixture: availability -> temperature-smoothed
+     weights (n^0.5) -> token-budgeted rates, one scan, shortfalls
+     reported (deterministic md5 buckets)
   8. audit duplicated substrings (8-gram spans shared across docs)
   9. chunk into 64-token windows with 16-token overlap
  10. pack the surviving docs into 512-token training streams per source
  11. land the chunks z-ordered by (source bucket, length) for skipping
+ 12. build the PQ retrieval index over the embeddings and serve an ANN
+     query batch from the stored codes (ADC)
 
 Run:  python examples/corpus_pipeline.py   (reads sf0.001, ~60 s)
 """
@@ -97,11 +101,22 @@ def main() -> None:
     )
     n_clean = docs.count()
 
-    # 7. mixture rebalance: keep all of src0/src1, half of the rest
-    docs = corpus.mixture_sample(
-        docs, "doc_id", "source", {"src0": 100, "src1": 100}, 50, "demo"
+    # 7. mixture rebalance: availability -> temperature-smoothed weights
+    # (n^0.5 upsamples tail sources) -> token-budgeted per-source rates,
+    # all off ONE availability scan
+    avail = corpus.source_availability(docs, "source", "text")
+    weights = corpus.temperature_weights(avail, alpha=0.5)
+    budget = int(sum(avail.values()) * 0.6)
+    docs, mix_report = corpus.plan_mixture(
+        docs, "doc_id", "source", "text", weights, budget,
+        salt="demo", availability=avail,
     )
     n_mix = docs.count()
+    short = {
+        s: r["shortfall_tokens"]
+        for s, r in mix_report.items()
+        if r["shortfall_tokens"] > 0
+    }
 
     # 8. duplicated-substring audit: verbatim 8-gram spans shared across
     # surviving docs (post-dedup this should be small; a spike means the
@@ -130,15 +145,31 @@ def main() -> None:
     )
     n_chunks = spark.read.parquet(f"{out_dir}/chunks").count()
 
+    # 12. retrieval index over the embeddings table: PQ-encode once (the
+    # stored index is m ints per vector, 64x smaller than the vectors),
+    # then serve an ANN query batch from the stored codes via ADC
+    from bigdata_storage_and_proccess_job_data_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = similarity.train_pq(emb, m=8, n_codes=32, sample_size=1024)
+    similarity.encode_pq(emb, books).write.parquet(f"{out_dir}/pq_index")
+    index = spark.read.parquet(f"{out_dir}/pq_index")
+    hits = similarity.pq_topk_from_codes(
+        emb.filter(F.col("vec_id") < 5), index, books, k=3
+    )
+    n_hits = hits.count()
+
     print(
         f"raw={n0} pii(emails={pii.e},phones={pii.p}) exact_dedup={n_exact} "
         f"near_dedup={n_near} decontaminated={n_decon} clean={n_clean} "
-        f"mixed={n_mix} dup_spans={n_spans} chunks={n_chunks} "
-        f"seqs={n_seqs} -> {out_dir}/chunks"
+        f"mixed={n_mix} (shortfalls={short or 'none'}) dup_spans={n_spans} "
+        f"chunks={n_chunks} seqs={n_seqs} ann_hits={n_hits} "
+        f"-> {out_dir}/chunks"
     )
     assert n0 >= n_exact >= n_near >= n_decon >= n_clean >= n_mix > 0
     assert n_chunks >= n_mix
     assert n_seqs > 0
+    assert n_hits == 5 * 3
 
 
 if __name__ == "__main__":
