@@ -82,3 +82,46 @@ def test_observe_expectations_rides_the_main_action(spark, oracle_sf_dir):
     assert got["n_rows"] == orders.count()
     assert got["impossible_rule"] == got["n_rows"]
     assert got["positive_total"] == 0
+
+
+def test_time_range_rolling_window_parity(spark, oracle_sf_dir):
+    """Time-RANGE window frames (RANGE BETWEEN INTERVAL ... PRECEDING):
+    per customer, each order's trailing-90-day revenue. Distinct from
+    the ROWS-frame query (rolling_order_avg): the frame is bounded by
+    EVENT TIME, so gaps matter and equal-timestamp rows are peers. The
+    registry sits at its ceiling, so this query is oracle-checked here
+    through the same parity gate the driver uses (tests/parity.py)
+    rather than holding a registry slot. Spark expresses the interval
+    frame as rangeBetween over epoch seconds (UTC-pinned session makes
+    that identical to DuckDB's naive-timestamp interval arithmetic)."""
+    from pyspark.sql import Window
+
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("long"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    res = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        stable_round(F.sum("o_totalprice").over(w), 2).alias("trailing_90d"),
+    )
+    sql = f"""
+        SELECT o_orderkey, o_custkey,
+               CAST(o_orderdate AS DATE) AS order_date,
+               {sql_round('''SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW
+               )''', 2)} AS trailing_90d
+        FROM orders
+    """
+    errs = compare(res, duckdb_connect(oracle_sf_dir), sql)
+    assert not errs, errs

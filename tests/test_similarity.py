@@ -239,6 +239,49 @@ def test_pq_stored_codes_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, fresh)) == sorted(map(tuple, again))
 
 
+def test_pq_adc_math_exact_on_perfectly_quantized_corpus(spark):
+    """Hand-built codebooks whose centroids ARE the corpus subvectors:
+    quantization is lossless, so the ADC score must equal the exact
+    cosine, value for value -- this pins the encode (argmin) and search
+    (LUT build + per-subspace sum + rank) arithmetic with no k-means in
+    the loop."""
+    books = [
+        [[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]],  # subspace 0 centroids
+        [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]],  # subspace 1 centroids
+    ]
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 0.0, 1.0]),
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    codes = {
+        r.neighbor_id: list(r.codes)
+        for r in similarity.encode_pq(corpus, books).collect()
+    }
+    assert codes == {1: [0, 0], 2: [1, 0], 3: [2, 1], 4: [2, 2]}
+
+    q = spark.createDataFrame(
+        [(100, [0.6, 0.8, 0.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    got = (
+        similarity.pq_topk_from_codes(
+            q, similarity.encode_pq(corpus, books), books, k=4
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(r.neighbor_id, r.sim) for r in got] == [
+        (2, 0.8),
+        (1, 0.6),
+        (3, 0.0),  # zero-sim tie breaks by id asc
+        (4, 0.0),
+    ]
+
+
 def test_pq_rejects_dim_mismatch(spark):
     import pytest
 
