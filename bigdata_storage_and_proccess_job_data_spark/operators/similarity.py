@@ -705,6 +705,162 @@ def pq_topk(
     )
 
 
+def ivfpq_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 32,
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> tuple[list[list[float]], list[list[list[float]]], DataFrame]:
+    """IVF-PQ index build (the FAISS IVFPQ composition, Jegou et al.
+    2011 sect. V): a spherical-k-means coarse quantizer assigns every
+    vector to a cell (IVF -- the probe prunes WHICH rows are scored)
+    and per-subspace PQ codebooks compress each vector to ``m`` ints
+    (PQ -- HOW the survivors are scored). Returns (centroids,
+    codebooks, index) where index = (neighbor_id, cell, codes).
+
+    At 100 TB: write the index partitioned by ``cell``
+    (sources/lake.py:write_partitioned) -- a probe reads n_probe
+    partitions of an m-byte-per-row table, so query cost is
+    (n_probe/n_centroids) x (compressed corpus), while the raw vectors
+    are never read after the build. Both models train on one
+    deterministic sample; assignment and encoding are distributed."""
+    centroids = train_centroids(
+        corpus, id_col, vec_col, n_centroids, sample_size, seed=seed
+    )
+    codebooks = train_pq(
+        corpus, id_col, vec_col, m, n_codes, sample_size, seed=seed
+    )
+    cells = assign_cells(corpus, centroids, id_col, vec_col).select(
+        "neighbor_id", "cell"
+    )
+    codes = encode_pq(corpus, codebooks, id_col, vec_col)
+    index = cells.join(codes, "neighbor_id").select(
+        "neighbor_id", "cell", "codes"
+    )
+    return centroids, codebooks, index
+
+
+def ivfpq_topk_from_index(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Approximate cosine top-k over a stored IVF-PQ index: each query
+    probes its ``n_probe`` nearest cells (a cell equi-join -- on a
+    cell-partitioned index this is partition pruning, no corpus
+    shuffle), and the surviving candidates score by ADC against the
+    query's broadcast lookup tables inside one Arrow batch pass.
+    Full probe (n_probe == n_centroids) degenerates to exactly
+    pq_topk_from_codes -- pinned in tests.
+
+    The candidate frame never carries vectors: (query_id, neighbor_id,
+    codes) rows are m ints wide, and the per-batch gather
+    ``lut[row_query, subspace, code]`` is one fancy-index per batch."""
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import DELTA
+
+    spark = index.sparkSession
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m, dsub = len(books), books[0].shape[1]
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            vectors.as_double(vec_col).alias("_qv"),
+        )
+        .filter(F.col("_qv").isNotNull())
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"query set exceeds max_queries={max_queries}; batch the "
+            "queries (the LUT set must stay broadcastable)"
+        )
+    qids = np.asarray([r.query_id for r in q_rows], dtype=np.int64)
+    qm = np.asarray([r._qv for r in q_rows], dtype=np.float64)
+    if qm.ndim != 2 or qm.shape[1] != m * dsub:
+        dim = qm.shape[1] if qm.ndim == 2 else "?"
+        raise ValueError(
+            f"{vec_col} has dimension {dim}, codebooks built for {m * dsub}"
+        )
+    qnorm = np.linalg.norm(qm, axis=1)
+    keep = qnorm > 0
+    qids, qm = qids[keep], qm[keep] / qnorm[keep, None]
+    lut = np.stack(
+        [qm[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)],
+        axis=1,
+    )
+    # probe cells driver-side (|Q| x n_centroids dots -- the query set
+    # is bounded by contract) and ship (query_id, cell) pairs; the LUTs
+    # travel once by broadcast
+    cents = np.asarray(centroids, dtype=np.float64)
+    order = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
+    probe = spark.createDataFrame(
+        [
+            (int(qids[i]), int(c))
+            for i in range(len(qids))
+            for c in order[i]
+        ],
+        "query_id LONG, cell INT",
+    )
+    pos = {int(q): i for i, q in enumerate(qids)}
+    bc = spark.sparkContext.broadcast((pos, lut))
+    scale = 10**4
+
+    def score(batches):
+        b_pos, b_lut = bc.value
+        for pdf in batches:
+            if not len(pdf) or not b_pos:
+                continue
+            qarr = pdf["query_id"].to_numpy(dtype=np.int64)
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cm = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            qpos = np.asarray([b_pos[q] for q in qarr])
+            sims = np.zeros(len(pdf))
+            for j in range(m):
+                sims += b_lut[qpos, j, cm[:, j]]
+            rounded = np.floor(sims * scale + (0.5 + DELTA)) / scale
+            keep_row = qarr != nids
+            out = pd.DataFrame(
+                {
+                    "query_id": qarr[keep_row],
+                    "neighbor_id": nids[keep_row],
+                    "sim": rounded[keep_row],
+                }
+            )
+            # per-batch partial top-k per query (same total order as the
+            # final rank) -- the map-side combine that bounds the shuffle
+            out = (
+                out.sort_values(
+                    ["query_id", "sim", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+            yield out
+
+    candidates = (
+        F.broadcast(probe)
+        .join(index, "cell")
+        .select("query_id", "neighbor_id", "codes")
+        .mapInPandas(score, "query_id long, neighbor_id long, sim double")
+    )
+    return _rank_topk(candidates, k)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -282,6 +282,49 @@ def test_pq_adc_math_exact_on_perfectly_quantized_corpus(spark):
     ]
 
 
+def test_ivfpq_full_probe_equals_pq(spark, oracle_sf_dir):
+    """IVF-PQ with n_probe == n_centroids scores every cell, so it must
+    degenerate to exactly the flat PQ search over the same codebooks --
+    the equivalence that pins the probe join + grouped ADC gather
+    against the already-pinned flat ADC path."""
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    cents, books, index = similarity.ivfpq_build(
+        emb, n_centroids=8, m=8, n_codes=16, sample_size=512
+    )
+    full = similarity.ivfpq_topk_from_index(
+        q, index, cents, books, k=4, n_probe=8
+    )
+    flat = similarity.pq_topk_from_codes(
+        q, index.select("neighbor_id", "codes"), books, k=4
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, flat.collect())
+    )
+
+
+def test_ivfpq_finds_planted_neighbors(spark):
+    """Partial probe on the planted-duplicate corpus: each perturbed
+    copy's base (cosine ~0.95) lands in the same or a probed cell and
+    must surface in the top-5 -- cell pruning plus 64x compression,
+    and the signal still comes through."""
+    df, _ = _planted_dup_corpus(spark)
+    n_base = 300
+    queries = df.filter(F.col("vec_id") >= n_base)
+    cents, books, index = similarity.ivfpq_build(
+        df, n_centroids=8, m=8, n_codes=32, sample_size=1024
+    )
+    got = similarity.ivfpq_topk_from_index(
+        queries, index, cents, books, k=5, n_probe=3
+    )
+    by_q: dict[int, set] = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(1 for q, ns in by_q.items() if (q - n_base) in ns)
+    assert len(by_q) == 40
+    assert hits >= 36, f"planted-neighbor hits {hits}/40"
+
+
 def test_pq_rejects_dim_mismatch(spark):
     import pytest
 
