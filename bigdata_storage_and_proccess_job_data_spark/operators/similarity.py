@@ -498,6 +498,22 @@ def train_pq(
     """
     import numpy as np
 
+    x = _sample_matrix(corpus, id_col, vec_col, sample_size, seed, m)
+    return _fit_pq(x, m, n_codes, n_iters, seed)
+
+
+def _sample_matrix(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_size: int,
+    seed: int,
+    m: int,
+):
+    """Deterministic training sample as a unit-normalized numpy matrix
+    (zero-norm rows dropped); validates dim % m."""
+    import numpy as np
+
     sample = (
         corpus.select(vectors.as_double(vec_col).alias("_v"))
         .filter(F.col("_v").isNotNull())
@@ -510,7 +526,17 @@ def train_pq(
         dim = x.shape[1] if x.ndim == 2 else "?"
         raise ValueError(f"dim {dim} not divisible by m={m}")
     norms = np.linalg.norm(x, axis=1, keepdims=True)
-    x = x[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
+    return x[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
+
+
+def _fit_pq(
+    x, m: int, n_codes: int, n_iters: int, seed: int
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd k-means over a (n, dim) matrix -- the shared
+    fitting loop of train_pq (raw vectors) and the residual path of
+    ivfpq_build (vector minus assigned centroid)."""
+    import numpy as np
+
     dsub = x.shape[1] // m
     rng = np.random.default_rng(seed)
     books = []
@@ -714,6 +740,7 @@ def ivfpq_build(
     n_codes: int = 32,
     sample_size: int = 2048,
     seed: int = 42,
+    residual: bool = True,
 ) -> tuple[list[list[float]], list[list[list[float]]], DataFrame]:
     """IVF-PQ index build (the FAISS IVFPQ composition, Jegou et al.
     2011 sect. V): a spherical-k-means coarse quantizer assigns every
@@ -722,26 +749,101 @@ def ivfpq_build(
     (PQ -- HOW the survivors are scored). Returns (centroids,
     codebooks, index) where index = (neighbor_id, cell, codes).
 
+    ``residual=True`` (default, and the detail that makes IVFPQ
+    accurate in practice) quantizes x - centroid(cell) instead of x:
+    residuals have a fraction of the raw vectors' variance, so the same
+    code budget spends its precision on the part the coarse quantizer
+    didn't already explain. Search adds the exactly-known q.centroid
+    term back per probed cell, so only the residual carries
+    quantization error. Pass residual=False for a flat-PQ-compatible
+    index (its codes score identically via pq_topk_from_codes).
+
     At 100 TB: write the index partitioned by ``cell``
     (sources/lake.py:write_partitioned) -- a probe reads n_probe
     partitions of an m-byte-per-row table, so query cost is
     (n_probe/n_centroids) x (compressed corpus), while the raw vectors
     are never read after the build. Both models train on one
-    deterministic sample; assignment and encoding are distributed."""
+    deterministic sample; assignment and encoding are distributed in
+    ONE pass over the corpus (encode_ivfpq)."""
+    import numpy as np
+
     centroids = train_centroids(
         corpus, id_col, vec_col, n_centroids, sample_size, seed=seed
     )
-    codebooks = train_pq(
-        corpus, id_col, vec_col, m, n_codes, sample_size, seed=seed
-    )
-    cells = assign_cells(corpus, centroids, id_col, vec_col).select(
-        "neighbor_id", "cell"
-    )
-    codes = encode_pq(corpus, codebooks, id_col, vec_col)
-    index = cells.join(codes, "neighbor_id").select(
-        "neighbor_id", "cell", "codes"
+    x = _sample_matrix(corpus, id_col, vec_col, sample_size, seed, m)
+    if residual:
+        cents = np.asarray(centroids, dtype=np.float64)
+        x = x - cents[np.argmax(x @ cents.T, axis=1)]
+    codebooks = _fit_pq(x, m, n_codes, n_iters=8, seed=seed)
+    index = encode_ivfpq(
+        corpus, centroids, codebooks, id_col, vec_col, residual=residual
     )
     return centroids, codebooks, index
+
+
+def encode_ivfpq(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = True,
+) -> DataFrame:
+    """(neighbor_id, cell, codes) in ONE distributed pass: normalize,
+    assign the nearest centroid (cell), optionally subtract it, and
+    PQ-encode -- cell assignment and code assignment share the batch,
+    so the build scans the corpus once (vs assign + encode + join).
+    Zero-norm vectors are excluded."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (
+            np.asarray(centroids, dtype=np.float64),
+            [np.asarray(b, dtype=np.float64) for b in codebooks],
+        )
+    )
+
+    def encode(batches):
+        cents, books = bc.value
+        dsub = books[0].shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            xm = np.stack(pdf["_cv"].to_numpy()).astype(np.float64)
+            if xm.shape[1] != m * dsub:
+                raise ValueError(
+                    f"{vec_col} has dimension {xm.shape[1]}, codebooks "
+                    f"built for {m * dsub}; retrain with matching m/dim"
+                )
+            nrm = np.linalg.norm(xm, axis=1)
+            valid = nrm > 0
+            nids, xm = nids[valid], xm[valid] / nrm[valid, None]
+            if not len(nids):
+                continue
+            cell = np.argmax(xm @ cents.T, axis=1)
+            if residual:
+                xm = xm - cents[cell]
+            codes = np.empty((len(xm), m), dtype=np.int32)
+            for j in range(m):
+                xs = xm[:, j * dsub : (j + 1) * dsub]
+                d2 = -2.0 * (xs @ books[j].T) + (books[j] ** 2).sum(axis=1)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": nids,
+                    "cell": cell.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        vectors.as_double(vec_col).alias("_cv"),
+    ).mapInPandas(encode, "neighbor_id long, cell int, codes array<int>")
 
 
 def ivfpq_topk_from_index(
@@ -754,14 +856,21 @@ def ivfpq_topk_from_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 10_000,
+    residual: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k over a stored IVF-PQ index: each query
     probes its ``n_probe`` nearest cells (a cell equi-join -- on a
     cell-partitioned index this is partition pruning, no corpus
     shuffle), and the surviving candidates score by ADC against the
     query's broadcast lookup tables inside one Arrow batch pass.
-    Full probe (n_probe == n_centroids) degenerates to exactly
-    pq_topk_from_codes -- pinned in tests.
+    Full probe (n_probe == n_centroids) with ``residual=False``
+    degenerates to exactly pq_topk_from_codes -- pinned in tests.
+
+    ``residual`` must match the index build: residual codes reconstruct
+    x ~= centroid(cell) + r, so the score is q.centroid (exact, carried
+    on the probe row -- the probe already computed every q.centroid
+    dot) + sum_j LUT_j[code_j] (the ADC part, now only as wrong as the
+    residual quantization).
 
     The candidate frame never carries vectors: (query_id, neighbor_id,
     codes) rows are m ints wide, and the per-batch gather
@@ -806,14 +915,19 @@ def ivfpq_topk_from_index(
     # is bounded by contract) and ship (query_id, cell) pairs; the LUTs
     # travel once by broadcast
     cents = np.asarray(centroids, dtype=np.float64)
-    order = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
+    qdots = qm @ cents.T
+    order = np.argsort(-qdots, axis=1)[:, :n_probe]
     probe = spark.createDataFrame(
         [
-            (int(qids[i]), int(c))
+            (
+                int(qids[i]),
+                int(c),
+                float(qdots[i, c]) if residual else 0.0,
+            )
             for i in range(len(qids))
             for c in order[i]
         ],
-        "query_id LONG, cell INT",
+        "query_id LONG, cell INT, base DOUBLE",
     )
     pos = {int(q): i for i, q in enumerate(qids)}
     bc = spark.sparkContext.broadcast((pos, lut))
@@ -828,7 +942,7 @@ def ivfpq_topk_from_index(
             nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
             cm = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
             qpos = np.asarray([b_pos[q] for q in qarr])
-            sims = np.zeros(len(pdf))
+            sims = pdf["base"].to_numpy(dtype=np.float64).copy()
             for j in range(m):
                 sims += b_lut[qpos, j, cm[:, j]]
             rounded = np.floor(sims * scale + (0.5 + DELTA)) / scale
@@ -855,7 +969,7 @@ def ivfpq_topk_from_index(
     candidates = (
         F.broadcast(probe)
         .join(index, "cell")
-        .select("query_id", "neighbor_id", "codes")
+        .select("query_id", "neighbor_id", "codes", "base")
         .mapInPandas(score, "query_id long, neighbor_id long, sim double")
     )
     return _rank_topk(candidates, k)
