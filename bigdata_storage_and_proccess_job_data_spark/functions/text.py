@@ -126,3 +126,60 @@ def word_ngrams(col: Column | str, n: int = 2) -> Column:
             acc, F.slice(toks, 1 + i, k), lambda a, b: F.concat_ws(" ", a, b)
         )
     return acc
+
+
+def hashed_doc_vector(
+    col: Column | str, dim: int = 64, seed: int = 0
+) -> Column:
+    """Feature-hashed document vector (the hashing trick, Weinberger et
+    al., ICML 2009): each lowercased whitespace token hashes to one of
+    ``dim`` cells with a +-1 sign, and the vector is the signed count
+    per cell -- an embedding-free document representation that plugs
+    straight into the cosine/ANN operators (near-dup, KNN, PQ) with no
+    model and no Python.
+
+    Scale shape: a pure per-row expression fold -- tokens are struct-
+    encoded ONCE ((idx, sign) per token, one md5 each), then a single
+    sequential aggregate adds each token into a dim-wide accumulator,
+    so vectorization costs zero shuffles and rides the projection that
+    computes it. Cross-engine: the hash is the md5-derived 60-bit value
+    (same formula as operators/neardup.py:md5_hash60, duplicated here
+    because functions/ sits below operators/ in the layering), and
+    ``dim`` must be a power of two so cell and sign come from BITS of
+    the hash (h & (dim-1), bit log2(dim)) -- no division, which a
+    double-precision engine could round differently. DuckDB recomputes
+    the vector exactly (tests/test_analytics.py parity test).
+    """
+    if dim <= 0 or dim & (dim - 1):
+        raise ValueError(f"dim must be a positive power of two, got {dim}")
+    c = F.col(col) if isinstance(col, str) else col
+    lb = dim.bit_length() - 1
+
+    def enc(tok: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"hv:{seed}:"), tok)), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        return F.struct(
+            h.bitwiseAND(F.lit(dim - 1)).cast("int").alias("idx"),
+            F.when(
+                F.shiftright(h, lb).bitwiseAND(F.lit(1)) == 0, F.lit(1.0)
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("sgn"),
+        )
+
+    pre = F.transform(tokens(F.lower(c)), enc)
+    return F.aggregate(
+        pre,
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, e: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda v, i: v
+            + F.when(e["idx"] == i.cast("int"), e["sgn"]).otherwise(
+                F.lit(0.0)
+            ),
+        ),
+    )

@@ -125,3 +125,74 @@ def test_time_range_rolling_window_parity(spark, oracle_sf_dir):
     """
     errs = compare(res, duckdb_connect(oracle_sf_dir), sql)
     assert not errs, errs
+
+
+def test_hashed_doc_vector_parity(spark, oracle_sf_dir):
+    """Feature-hashed document vectors recomputed exactly in DuckDB:
+    same md5-derived 60-bit hash (the simhash bridge), same bit-sliced
+    cell/sign, same signed counts -- value-for-value over the whole
+    documents table. Cross-engine exactness is what lets the hashing
+    trick serve as a deterministic, model-free embedding everywhere an
+    oracle is wanted."""
+    from bigdata_storage_and_proccess_job_data_spark.functions import text
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        _md5_hash60_sql,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    res = docs.select(
+        "doc_id", text.hashed_doc_vector("text", dim=64).alias("vec")
+    )
+    h = _md5_hash60_sql("'hv:0:' || t")
+    cells = ", ".join(
+        f"COALESCE(list_sum(list_transform(hs, h -> "
+        f"CASE WHEN (h & 63) = {i} THEN "
+        f"(CASE WHEN ((h >> 6) & 1) = 0 THEN 1.0 ELSE -1.0 END) "
+        f"ELSE 0.0 END)), 0.0)"
+        for i in range(64)
+    )
+    sql = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\\s+')
+                 END AS ts
+          FROM documents
+        ), enc AS (
+          SELECT doc_id, list_transform(ts, t -> {h}) AS hs FROM toks
+        )
+        SELECT doc_id, [{cells}] AS vec FROM enc
+    """
+    errs = compare(res, duckdb_connect(oracle_sf_dir), sql)
+    assert not errs, errs[:5]
+
+
+def test_hashed_doc_vector_feeds_ann_stack(spark):
+    """The hashed vectors are real embeddings to the similarity suite:
+    duplicate texts land at cosine 1.0 and surface as each other's
+    top-1 via brute_force_topk with no glue code."""
+    from bigdata_storage_and_proccess_job_data_spark.functions import text
+    from bigdata_storage_and_proccess_job_data_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words entirely unrelated content"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    vecs = df.select(
+        "doc_id", text.hashed_doc_vector("text", dim=64).alias("embedding")
+    )
+    top = similarity.brute_force_topk(
+        vecs.filter(F.col("doc_id") == 1), vecs, id_col="doc_id", k=1
+    ).collect()
+    assert len(top) == 1
+    assert top[0].neighbor_id == 2 and top[0].sim == 1.0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="power of two"):
+        text.hashed_doc_vector("text", dim=48)

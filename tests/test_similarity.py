@@ -365,6 +365,48 @@ def test_ivfpq_finds_planted_neighbors(spark):
     assert hits >= 36, f"planted-neighbor hits {hits}/40"
 
 
+def test_ivfpq_incremental_append(spark, tmp_path):
+    """The daily-ingest lifecycle: models (centroids + codebooks) are
+    trained ONCE on the initial corpus; a later batch is encoded with
+    the stored models (one pass over the batch only -- nothing about
+    the existing corpus is touched) and appended to the stored index;
+    search over the appended index finds the new batch's planted
+    neighbors AND equals a from-scratch encode of the union with the
+    same models (append changes storage, never results)."""
+    df, _ = _planted_dup_corpus(spark)
+    n_base = 300
+    day0 = df.filter(F.col("vec_id") < n_base)  # bases only
+    day1 = df.filter(F.col("vec_id") >= n_base)  # the dup batch arrives
+
+    cents, books, index0 = similarity.ivfpq_build(
+        day0, n_centroids=8, m=8, n_codes=32, sample_size=1024
+    )
+    path = str(tmp_path / "ivfpq_index")
+    index0.write.parquet(path)
+    # day-1 ingest: encode ONLY the batch with the stored models, append
+    similarity.encode_ivfpq(day1, cents, books).write.mode(
+        "append"
+    ).parquet(path)
+
+    stored = spark.read.parquet(path)
+    got = similarity.ivfpq_topk_from_index(
+        day1, stored, cents, books, k=5, n_probe=3
+    )
+    by_q: dict[int, set] = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(1 for q, ns in by_q.items() if (q - n_base) in ns)
+    assert len(by_q) == 40 and hits >= 36, f"hits {hits}/40"
+
+    rebuilt = similarity.encode_ivfpq(df, cents, books)
+    want = similarity.ivfpq_topk_from_index(
+        day1, rebuilt, cents, books, k=5, n_probe=3
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_pq_rejects_dim_mismatch(spark):
     import pytest
 
