@@ -79,7 +79,10 @@ def _claim(table_dir: str, name: str) -> bool:
 
 
 def commit_version(
-    df: DataFrame, table_dir: str, expected: int | None = None
+    df: DataFrame,
+    table_dir: str,
+    expected: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot and atomically publish it.
     The data write is fully distributed; only the tiny pointer swap is
@@ -89,6 +92,12 @@ def commit_version(
     read was based on and the commit refuses (ConcurrentCommitError) if
     someone else committed meanwhile -- the read-modify-write pattern
     for derived tables.
+
+    ``stats_cols`` writes the snapshot's per-file min/max manifest
+    (write_stats_manifest) before publishing, enabling manifest-based
+    file pruning at read time (read_version(prune=...)). Pair with
+    repartitionByRange on the stats column so files carry disjoint
+    ranges worth skipping.
 
     Concurrency control is two O_EXCL markers (VERDICT r5 #7 -- the old
     check-then-replace window is closed at local-fs level):
@@ -124,6 +133,11 @@ def commit_version(
         nxt += 1  # number taken by an in-flight writer; take the next
     snap = os.path.join(table_dir, f"v={nxt}")
     df.write.mode("error").parquet(snap)
+    if stats_cols:
+        # footer pass BEFORE the pointer swap: a published snapshot
+        # always carries its manifest (readers never race a half-built
+        # one -- the snapshot isn't visible until the swap below)
+        write_stats_manifest(snap, stats_cols)
     if expected is not None and not _claim(
         table_dir, f"._commit_from_v{expected}"
     ):
@@ -139,14 +153,185 @@ def commit_version(
 
 
 def read_version(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    prune: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Read the committed snapshot (or a pinned ``version`` for time
-    travel). Raises FileNotFoundError on an uncommitted table."""
+    travel). Raises FileNotFoundError on an uncommitted table.
+
+    ``prune=(col, lo, hi)`` (inclusive bounds, None = unbounded) is
+    manifest-based scan planning: when the snapshot carries a stats
+    manifest (commit_version(stats_cols=[...])), only files whose
+    [min, max] for ``col`` intersects [lo, hi] are handed to Spark at
+    all -- the Iceberg/Delta trick of pruning from METADATA before any
+    data file (or even footer) is opened. The matching filter is also
+    applied to the frame, so results equal the unpruned read + filter
+    by construction; files without stats for the column are kept
+    (conservative)."""
     v = current_version(table_dir) if version is None else version
     if v is None:
         raise FileNotFoundError(f"{table_dir} has no committed version")
-    return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
+    snap = os.path.join(table_dir, f"v={v}")
+    if prune is None:
+        return spark.read.parquet(snap)
+    col, lo, hi = prune
+    files = prune_files(snap, col, lo, hi)
+    c = F.col(col)
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (c >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (c <= F.lit(hi))
+    if not files:
+        # every file excluded by stats: an empty frame with the real
+        # schema (read the snapshot's schema without scanning data)
+        return spark.read.parquet(snap).filter(F.lit(False))
+    return spark.read.parquet(*files).filter(cond)
+
+
+_STATS = "_stats.json"
+
+
+def write_stats_manifest(
+    snapshot_dir: str, cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Collect per-file [min, max, null-only?] for ``cols`` from the
+    parquet FOOTERS of a snapshot dir and persist them as
+    ``_stats.json`` (underscore-prefixed: invisible to Spark's dir
+    listing). Footers are KB-sized regardless of file size, so this is
+    a metadata pass -- the manifest is what lets a reader skip whole
+    files without opening them. Snapshot dirs are immutable, so the
+    manifest is written once, at commit time.
+
+    Only numeric/string/date-comparable leaf columns make sense here;
+    a column with no stats in a file simply isn't recorded for it
+    (readers treat that as "keep the file"). At extreme file counts
+    the footer walk itself would be distributed; driver-side is the
+    right shape for the per-snapshot file counts this format targets."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    manifest: dict[str, dict[str, list]] = {}
+    for path in sorted(glob.glob(os.path.join(snapshot_dir, "*.parquet"))):
+        md = pq.ParquetFile(path).metadata
+        names = {c: i for i, c in enumerate(md.schema.names)}
+        per_col: dict[str, list] = {}
+        for col in cols:
+            i = names.get(col)
+            if i is None:
+                continue
+            mins, maxs = [], []
+            all_null = True
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    if st is not None and st.num_values == 0:
+                        continue  # all-null row group: no bounds needed
+                    ok = False
+                    break
+                all_null = False
+                mins.append(st.min)
+                maxs.append(st.max)
+            if not ok:
+                continue
+            if all_null:
+                per_col[col] = [None, None]
+            else:
+                per_col[col] = [min(mins), max(maxs)]
+        manifest[os.path.basename(path)] = per_col
+    ser = {
+        f: {c: _stats_ser(v) for c, v in cs.items()}
+        for f, cs in manifest.items()
+    }
+    tmp = os.path.join(snapshot_dir, f".{_STATS}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(ser, fh)
+    os.replace(tmp, os.path.join(snapshot_dir, _STATS))
+    return manifest
+
+
+def _stats_ser(bounds: list) -> list:
+    """JSON-safe [min, max]: datetimes/dates as tagged isoformat."""
+    import datetime as dt
+
+    out = []
+    for v in bounds:
+        if isinstance(v, (dt.datetime, dt.date)):
+            out.append({"$dt": v.isoformat()})
+        elif isinstance(v, bytes):
+            out.append({"$b": v.decode("utf-8", "replace")})
+        else:
+            out.append(v)
+    return out
+
+
+def _stats_de(v):
+    import datetime as dt
+
+    if isinstance(v, dict):
+        if "$dt" in v:
+            s = v["$dt"]
+            return (
+                dt.datetime.fromisoformat(s)
+                if "T" in s or " " in s
+                else dt.date.fromisoformat(s)
+            )
+        if "$b" in v:
+            return v["$b"]
+    return v
+
+
+def read_stats_manifest(snapshot_dir: str) -> dict | None:
+    """The snapshot's stats manifest, or None if it wasn't written."""
+    import json
+
+    try:
+        with open(os.path.join(snapshot_dir, _STATS)) as fh:
+            raw = json.load(fh)
+    except FileNotFoundError:
+        return None
+    return {
+        f: {c: [_stats_de(v) for v in b] for c, b in cs.items()}
+        for f, cs in raw.items()
+    }
+
+
+def prune_files(
+    snapshot_dir: str, col: str, lo, hi
+) -> list[str]:
+    """Files of a snapshot whose [min, max] for ``col`` intersects
+    [lo, hi] (inclusive; None = unbounded). Files without recorded
+    stats for the column -- or the whole snapshot when no manifest
+    exists -- are kept: pruning may only ever REMOVE provably-excluded
+    files. All-null files ([None, None] bounds) can't match a bounded
+    range and are dropped when either bound is set."""
+    import glob
+
+    manifest = read_stats_manifest(snapshot_dir)
+    if manifest is None:
+        return sorted(glob.glob(os.path.join(snapshot_dir, "*.parquet")))
+    keep = []
+    for fname, cs in manifest.items():
+        bounds = cs.get(col)
+        if bounds is None:
+            keep.append(fname)
+            continue
+        fmin, fmax = bounds
+        if fmin is None:  # all-null file
+            if lo is None and hi is None:
+                keep.append(fname)
+            continue
+        if lo is not None and fmax < lo:
+            continue
+        if hi is not None and fmin > hi:
+            continue
+        keep.append(fname)
+    return [os.path.join(snapshot_dir, f) for f in sorted(keep)]
 
 
 def diff_versions(

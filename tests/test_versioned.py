@@ -322,3 +322,92 @@ def test_two_writer_race_loser_always_fails(spark, tmp_path):
         path,
         expected=versioned.current_version(path),
     )
+
+
+def test_stats_manifest_prunes_files(spark, tmp_path):
+    """Manifest-based scan planning: a range-clustered commit with
+    stats_cols records per-file [min, max] from the parquet footers;
+    a pruned read hands Spark only the intersecting files (metadata
+    decision -- no data file opened for the rest) and equals the full
+    scan + filter exactly. Covers numeric and timestamp bounds (the
+    tagged JSON roundtrip)."""
+    import datetime as dt
+    import glob
+
+    table = str(tmp_path / "stats_table")
+    df = spark.range(0, 8000).selectExpr(
+        "id AS k",
+        "id % 97 AS payload",
+        "timestampadd(HOUR, CAST(id AS INT), "
+        "CAST(timestamp'2024-01-01 00:00:00' AS timestamp_ntz)) AS ts",
+    )
+    v = versioned.commit_version(
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        table,
+        stats_cols=["k", "ts"],
+    )
+    snap = f"{table}/v={v}"
+    all_files = glob.glob(f"{snap}/*.parquet")
+    assert len(all_files) == 8
+    manifest = versioned.read_stats_manifest(snap)
+    assert manifest and all("k" in cs and "ts" in cs for cs in manifest.values())
+
+    # numeric prune: a 500-wide slice of an 8000-row range-clustered
+    # table must touch a strict minority of files
+    files = versioned.prune_files(snap, "k", 2000, 2499)
+    assert 1 <= len(files) <= 2, files
+    got = versioned.read_version(spark, table, prune=("k", 2000, 2499))
+    want = versioned.read_version(spark, table).filter(
+        (F.col("k") >= 2000) & (F.col("k") <= 2499)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # timestamp prune (k and ts are correlated, so the same slice)
+    lo = dt.datetime(2024, 1, 1) + dt.timedelta(hours=2000)
+    hi = dt.datetime(2024, 1, 1) + dt.timedelta(hours=2499)
+    tfiles = versioned.prune_files(snap, "ts", lo, hi)
+    assert 1 <= len(tfiles) <= 2, tfiles
+    tgot = versioned.read_version(spark, table, prune=("ts", lo, hi))
+    assert tgot.count() == 500
+
+    # unbounded side: only an upper bound (range-partition boundaries
+    # are sample-approximate, so allow the straddling file)
+    half = versioned.prune_files(snap, "k", None, 3999)
+    assert 3 <= len(half) <= 5
+
+    # fully-excluded range: zero files, empty frame, schema intact
+    none = versioned.read_version(spark, table, prune=("k", 100000, 200000))
+    assert none.count() == 0
+    assert none.columns == versioned.read_version(spark, table).columns
+
+
+def test_prune_is_conservative_without_stats(spark, tmp_path):
+    """No manifest (or no stats for the column) must mean NO pruning:
+    every file is kept and the pruned read still equals scan+filter."""
+    import glob
+
+    table = str(tmp_path / "plain_table")
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    v = versioned.commit_version(df.repartition(4), table)  # no stats_cols
+    snap = f"{table}/v={v}"
+    assert versioned.read_stats_manifest(snap) is None
+    files = versioned.prune_files(snap, "k", 0, 10)
+    assert sorted(files) == sorted(glob.glob(f"{snap}/*.parquet"))
+    got = versioned.read_version(spark, table, prune=("k", 0, 10))
+    assert got.count() == 11
+
+    # manifest present but the queried column has no recorded stats:
+    # files are kept (conservative), results still exact
+    v2 = versioned.commit_version(
+        df.repartition(4), table, stats_cols=["nonexistent_col"]
+    )
+    snap2 = f"{table}/v={v2}"
+    m = versioned.read_stats_manifest(snap2)
+    assert m is not None and all(cs == {} for cs in m.values())
+    files2 = versioned.prune_files(snap2, "k", 0, 10)
+    assert len(files2) == 4
+    assert versioned.read_version(
+        spark, table, version=v2, prune=("k", 0, 10)
+    ).count() == 11
