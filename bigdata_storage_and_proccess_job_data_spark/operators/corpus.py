@@ -206,6 +206,36 @@ def mixture_sample(
     return df.filter(hash_bucket(F.col(id_col), salt) < rate)
 
 
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str | Column, salt: str = ""
+) -> DataFrame:
+    """Row-level deterministic importance sampling: keep each row with
+    probability equal to its weight in [0, 1] -- the quality-weighted
+    corpus selection pattern (keep high-quality docs surely, low-quality
+    ones proportionally). The coin is an md5-derived uniform from
+    (id, salt), so the sample is reproducible across runs, engines and
+    partitionings, and MONOTONE in the weight: raising a row's weight
+    can only ever ADD it to the sample (same u, bigger threshold),
+    which makes threshold sweeps nested like deterministic_sample's
+    rate sweeps.
+
+    u = first 13 md5 nibbles / 2^52 -- 52 bits fit a double exactly and
+    the scale is a power of two, so u is bit-identical on any engine
+    with md5 (DuckDB twin: md5_hash60-style value >> 8, same grid).
+    Weights > 1 just always keep; weights < 0 never; a NULL weight
+    drops the row (null comparison), matching filter semantics.
+    One codegen'd filter pass; nothing shuffles."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.filter((h / F.lit(float(2**52))) < w)
+
+
 def source_availability(
     df: DataFrame, group_col: str, text_col: str
 ) -> dict[str, int]:

@@ -377,3 +377,50 @@ def test_temperature_mixture_composition(spark):
         rep_pre["code"]["target_tokens"]
         > 3 * rep_nat["code"]["target_tokens"]
     )
+
+
+def test_weighted_sample_parity_and_semantics(spark, oracle_sf_dir):
+    """Deterministic importance sampling: DuckDB reproduces the exact
+    sample (md5-uniform vs per-row weight), the keep rate tracks the
+    mean weight, weight 1/0 are always/never, and raising weights only
+    ever ADDS rows (monotone nesting -- the property that makes quality
+    thresholds sweepable without resampling)."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        _md5_hash60_sql,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    w = (F.col("doc_id") % 10) / 10.0
+    got = corpus.weighted_sample(docs, "doc_id", w, salt="q").select(
+        "doc_id"
+    )
+    h = _md5_hash60_sql("doc_id::VARCHAR || 'q'")
+    sql = f"""
+        SELECT doc_id FROM documents
+        WHERE (({h} >> 8) / 4503599627370496.0) < (doc_id % 10) / 10.0
+    """
+    errs = compare(got, duckdb_connect(oracle_sf_dir), sql)
+    assert not errs, errs[:5]
+
+    n = docs.count()
+    kept = got.count()
+    # mean weight is ~0.45 on doc_id % 10; binomial spread at n>=500
+    assert 0.35 * n < kept < 0.55 * n, (kept, n)
+
+    ones = corpus.weighted_sample(docs, "doc_id", F.lit(1.0)).count()
+    zeros = corpus.weighted_sample(docs, "doc_id", F.lit(0.0)).count()
+    nulls = corpus.weighted_sample(
+        docs, "doc_id", F.lit(None).cast("double")
+    ).count()
+    assert ones == n and zeros == 0 and nulls == 0
+
+    lower = {
+        r.doc_id
+        for r in corpus.weighted_sample(docs, "doc_id", w * 0.5, salt="q")
+        .select("doc_id")
+        .collect()
+    }
+    higher = {r.doc_id for r in got.collect()}
+    assert lower <= higher and len(lower) < len(higher)
