@@ -28,19 +28,30 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Backward (inclusive) as-of join. Right rows are deduplicated to
     one per (key, ts) beforehand by callers if multiple candidates per
     instant need a deterministic winner.
 
+    ``tolerance`` (an SQL INTERVAL literal body, e.g. "15 minutes")
+    bounds how STALE the matched right row may be: a match older than
+    left_ts - tolerance is nulled out, exactly pandas merge_asof's
+    tolerance semantics -- the point-in-time-correctness knob for
+    feature lookups where "the last known value" stops being meaningful
+    after a while. Implemented as a post-fill predicate on the matched
+    row's own timestamp (also carried through the window fill), so the
+    plan shape is unchanged: still ONE shuffle+sort, no range join.
+
     Returns all left columns + ``<value_col><suffix>`` columns (null when
-    no right row precedes the left row).
+    no right row precedes the left row, or none within tolerance).
     """
     lcols = left.columns
     tagged_left = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(0).alias("_is_right"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
     )
@@ -48,6 +59,7 @@ def asof_join(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_is_right"),
+        F.col(right_ts).alias("_rts"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
     )
@@ -60,12 +72,24 @@ def asof_join(
     )
     filled = unioned.select(
         "*",
+        F.last("_rts", ignorenulls=True).over(w).alias("_filled_rts"),
         *[
             F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_filled_{c}")
             for c in value_cols
         ],
     )
+    if tolerance is None:
+        fresh = F.lit(True)
+    else:
+        fresh = F.col("_filled_rts") >= (
+            F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+        )
     return filled.filter(F.col("_is_right") == 0).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        *[F.col(f"_filled_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[
+            F.when(fresh, F.col(f"_filled_{c}"))
+            .otherwise(F.lit(None))
+            .alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
     )

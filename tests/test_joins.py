@@ -186,3 +186,51 @@ def test_interval_overlap_join_matches_naive(spark, sf_dir):
     f = sorted(map(tuple, fast.collect()))
     n = sorted(map(tuple, naive.collect()))
     assert f == n and len(f) > 0
+
+
+def test_asof_join_tolerance(spark):
+    """merge_asof-style tolerance: the matched right row is nulled when
+    it is staler than the bound; within the bound it is the normal
+    backward match; a huge tolerance is identical to no tolerance.
+    Plan shape unchanged (one window fill, no range join)."""
+    import datetime as dt
+
+    from bigdata_storage_and_proccess_job_data_spark.operators.asof import asof_join
+
+    t = dt.datetime(2024, 3, 1, 9, 0, 0)
+
+    def ts(minutes):
+        return t + dt.timedelta(minutes=minutes)
+
+    quotes = spark.createDataFrame(
+        [(1, ts(0), 10.0), (1, ts(80), 11.0), (2, ts(0), 99.0)],
+        "k LONG, qts TIMESTAMP, price DOUBLE",
+    )
+    trades = spark.createDataFrame(
+        [(1, ts(60)), (1, ts(90)), (2, ts(300)), (3, ts(10))],
+        "k LONG, tts TIMESTAMP",
+    )
+
+    def run(tol):
+        rows = asof_join(
+            trades, quotes, "k", "tts", "qts", ["price"], tolerance=tol
+        ).collect()
+        return {(r.k, r.tts.minute + 60 * r.tts.hour): r.price_asof for r in rows}
+
+    plain = run(None)
+    assert plain == {
+        (1, 9 * 60 + 60): 10.0,   # 10:00 <- 9:00 quote
+        (1, 9 * 60 + 90): 11.0,   # 10:30 <- 10:20 quote
+        (2, 14 * 60): 99.0,       # stale but no bound
+        (3, 9 * 60 + 10): None,   # no quote for key 3
+    }
+
+    tight = run("15 minutes")
+    assert tight == {
+        (1, 9 * 60 + 60): None,   # 9:00 quote is 60 min stale
+        (1, 9 * 60 + 90): 11.0,   # 10 min old: within bound
+        (2, 14 * 60): None,       # 5 h stale
+        (3, 9 * 60 + 10): None,
+    }
+
+    assert run("1000 days") == plain
