@@ -200,3 +200,45 @@ def exactly_once_append(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def merge_stream(
+    df: DataFrame,
+    table_dir: str,
+    key: str,
+    checkpoint_dir: str,
+    op_col: str = "_op",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming MERGE sink: each micro-batch of change rows (the
+    table's columns + ``op_col`` in {'upsert','delete'}) applies onto
+    the versioned table as ONE copy-on-write apply_changes commit --
+    the CDC-ingest shape (Kafka upsert topic -> serving table) that
+    plain append sinks can't express because rows REPLACE and DELETE.
+
+    Consistency: readers always see a committed snapshot (the pointer
+    swap is the only publish); a micro-batch is one atomic commit, so
+    there is no state where half a batch is visible. Replays after a
+    failure re-apply the same change set, which is CONTENT-idempotent
+    (upsert-replace and delete-absent converge to the same table) at
+    the cost of an extra version in history -- vacuum() reclaims it.
+    The checkpoint bounds replays to the last uncommitted batch.
+
+    At 100 TB the copy-on-write rewrite pairs with partition pruning
+    (only touched partitions rewrite); the per-batch commit cadence is
+    the same trade Delta/Iceberg streaming MERGE makes."""
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        versioned.apply_changes(
+            batch_df.sparkSession, table_dir, batch_df, key, op_col
+        )
+
+    writer = df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

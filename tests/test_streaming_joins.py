@@ -545,3 +545,66 @@ def test_dedup_stream_batch_equivalence(spark, tmp_path):
 
     batch_dirs = [d for d in os.listdir(sink) if d.startswith("batch_id=")]
     assert len(batch_dirs) >= 2
+
+
+def test_merge_stream_applies_cdc_batches_in_order(spark, tmp_path):
+    """Streaming MERGE into the versioned table: three micro-batches of
+    change rows (insert, update+delete, insert) must leave exactly the
+    net state, one snapshot commit per non-empty batch, and re-applying
+    the last change set must be content-idempotent (the replay-safety
+    claim)."""
+    import time as _t
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("val", StringType()),
+            StructField("_op", StringType()),
+        ]
+    )
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "merged_table")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write([(1, "a1", "upsert"), (2, "b1", "upsert")])
+    _t.sleep(1.1)
+    write([(2, "b2", "upsert"), (1, None, "delete")])
+    _t.sleep(1.1)
+    write([(3, "c1", "upsert")])
+
+    stream = pipeline.file_stream(
+        spark, src, schema, max_files_per_trigger=1
+    )
+    q = pipeline.merge_stream(
+        stream, table, "k", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.k, r.val)
+        for r in versioned.read_version(spark, table).collect()
+    }
+    assert got == {(2, "b2"), (3, "c1")}
+    assert versioned.current_version(table) == 3
+
+    # replaying the last change set converges to the same content
+    last = spark.createDataFrame([(3, "c1", "upsert")], schema)
+    versioned.apply_changes(spark, table, last, "k")
+    again = {
+        (r.k, r.val)
+        for r in versioned.read_version(spark, table).collect()
+    }
+    assert again == got and versioned.current_version(table) == 4
