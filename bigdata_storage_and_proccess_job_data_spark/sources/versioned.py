@@ -485,6 +485,7 @@ def apply_changes(
     key: str,
     op_col: str = "_op",
     expected: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """MERGE-style change application onto a versioned table: ``changes``
     carries the table's columns plus ``op_col`` in {'upsert','delete'}.
@@ -518,12 +519,17 @@ def apply_changes(
             raise ValueError(f"unknown {op_col} values: {sorted(bad)}")
         upserts = changes.filter(F.col(op_col) == "upsert").drop(op_col)
         if current_version(table_dir) is None:
-            return commit_version(upserts, table_dir, expected=expected)
+            return commit_version(
+                upserts, table_dir, expected=expected, stats_cols=stats_cols
+            )
         base = read_version(spark, table_dir)
         touched = changes.select(F.col(key)).distinct()
         survivors = base.join(touched, key, "left_anti")
         return commit_version(
-            survivors.unionByName(upserts), table_dir, expected=expected
+            survivors.unionByName(upserts),
+            table_dir,
+            expected=expected,
+            stats_cols=stats_cols,
         )
     finally:
         changes.unpersist()

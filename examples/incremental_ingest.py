@@ -98,6 +98,7 @@ def ingest_batch(spark, batch, table_dir, index_dir):
         table_dir,
         accepted.withColumn("_op", F.lit("upsert")),
         key="doc_id",
+        stats_cols=["doc_id"],  # every snapshot carries its file-stats manifest
     )
     # NOT atomic with the table commit above: a crash between the two
     # leaves the corpus ahead of the index, and future probes would
@@ -130,7 +131,12 @@ def main() -> None:
 
     # ---- day 0: bootstrap (the only full-corpus pass there will ever be)
     day0 = docs.filter(F.col("doc_id") % 3 == 0)
-    v0 = versioned.commit_version(day0, table_dir)
+    # range-cluster on doc_id so per-file stats carry disjoint ranges
+    # worth pruning (the manifest is only as good as the layout)
+    v0 = versioned.commit_version(
+        day0.repartitionByRange(4, "doc_id"), table_dir,
+        stats_cols=["doc_id"],
+    )
     neardup.minhash_index(day0, "doc_id", "text", **LSH).write.parquet(index_dir)
     print(f"day 0: bootstrapped v{v0} with {day0.count()} docs")
 
@@ -152,6 +158,21 @@ def main() -> None:
 
     total = versioned.read_version(spark, table_dir).count()
     print(f"final corpus: {total} docs across {len(versioned.versions(table_dir))} versions")
+
+    # manifest-based point read: the stats written at each commit let a
+    # doc-range lookup exclude files from METADATA alone
+    import os
+
+    snap = f"{table_dir}/v={versioned.current_version(table_dir)}"
+    pruned = versioned.prune_files(snap, "doc_id", 0, 49)
+    n_files = len([f for f in os.listdir(snap) if f.endswith(".parquet")])
+    hit = versioned.read_version(
+        spark, table_dir, prune=("doc_id", 0, 49)
+    ).count()
+    print(
+        f"pruned read doc_id<=49: {hit} docs from "
+        f"{len(pruned)}/{n_files} files"
+    )
     spark.stop()
 
 

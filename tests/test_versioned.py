@@ -411,3 +411,22 @@ def test_prune_is_conservative_without_stats(spark, tmp_path):
     assert versioned.read_version(
         spark, table, version=v2, prune=("k", 0, 10)
     ).count() == 11
+
+
+def test_apply_changes_writes_stats_manifest(spark, tmp_path):
+    """stats_cols plumbs through MERGE commits: both the bootstrap
+    (pure-insert) and a later apply_changes snapshot carry manifests,
+    and a pruned read of the merged table is exact."""
+    table = str(tmp_path / "merge_stats")
+    rows = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    v1 = versioned.apply_changes(
+        spark, table,
+        rows.withColumn("_op", F.lit("upsert")),
+        "k", stats_cols=["k"],
+    )
+    assert versioned.read_stats_manifest(f"{table}/v={v1}") is not None
+    upd = spark.createDataFrame([(5, 999, "upsert")], "k LONG, v LONG, _op STRING")
+    v2 = versioned.apply_changes(spark, table, upd, "k", stats_cols=["k"])
+    assert versioned.read_stats_manifest(f"{table}/v={v2}") is not None
+    got = versioned.read_version(spark, table, prune=("k", 5, 5)).collect()
+    assert [(r.k, r.v) for r in got] == [(5, 999)]
