@@ -241,3 +241,54 @@ def observe_expectations(
 
     obs = Observation(name)
     return df.observe(obs, *aggs), obs
+
+
+def hll_sketch(
+    df: DataFrame,
+    key: str,
+    dims: list[str] | None = None,
+    lgk: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count sketch per dimension group: one
+    Datasketches HLL register set (a few KB at lgk=12, ~1.6% relative
+    error) per group, computed in a single partial+final hash
+    aggregation. The sketch column is plain BINARY -- write it to
+    parquet (or a versioned table) and it becomes an INCREMENTAL
+    distinct-count artifact: per-day sketches union into any window's
+    estimate without ever rescanning the raw data, which at 100 TB is
+    the difference between "distinct users, trailing 2 years" being a
+    metadata query vs a full-history scan.
+
+    Register-union is lossless: merging per-batch sketches equals
+    sketching the unioned data EXACTLY (same registers), pinned in
+    tests -- so daily incremental accumulation gives the identical
+    estimate a monolithic scan would."""
+    keys = [F.col(d) for d in (dims or [])]
+    agg = F.hll_sketch_agg(F.col(key), F.lit(lgk)).alias("sketch")
+    if keys:
+        return df.groupBy(*keys).agg(agg)
+    return df.agg(agg)
+
+
+def hll_merge(
+    sketches: DataFrame, dims: list[str] | None = None
+) -> DataFrame:
+    """Union previously-computed sketches (per dimension group when
+    ``dims`` given): the incremental step. Input is any union/append of
+    hll_sketch outputs -- e.g. a parquet dir the daily job appends to."""
+    agg = F.hll_union_agg("sketch").alias("sketch")
+    if dims:
+        return sketches.groupBy(*[F.col(d) for d in dims]).agg(agg)
+    return sketches.agg(agg)
+
+
+def hll_estimate(sketches: DataFrame) -> DataFrame:
+    """Replace the sketch column with its cardinality estimate
+    (``distinct_estimate`` BIGINT)."""
+    others = [c for c in sketches.columns if c != "sketch"]
+    return sketches.select(
+        *others,
+        F.hll_sketch_estimate("sketch").cast("long").alias(
+            "distinct_estimate"
+        ),
+    )

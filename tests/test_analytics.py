@@ -196,3 +196,67 @@ def test_hashed_doc_vector_feeds_ann_stack(spark):
 
     with pytest.raises(ValueError, match="power of two"):
         text.hashed_doc_vector("text", dim=48)
+
+
+def test_hll_sketch_incremental_distinct(spark, oracle_sf_dir, tmp_path):
+    """Mergeable HLL distinct sketches: (1) the estimate tracks exact
+    COUNT(DISTINCT) within the lgk=12 error band, (2) merging per-batch
+    sketches equals sketching all data EXACTLY (register union is
+    lossless -- the property that makes daily accumulation trustworthy),
+    (3) the sketch survives a parquet roundtrip as a plain binary
+    column, so the incremental artifact is just a table."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    events = load_table(spark, oracle_sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {
+        r.event_type: r.distinct_estimate
+        for r in aggregates.hll_estimate(
+            aggregates.hll_sketch(events, "user_id", dims=["event_type"])
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(2, 0.05 * n), (k, est[k], n)
+
+    # batch-merge == monolithic, exactly
+    b1 = events.filter(F.col("event_id") % 2 == 0)
+    b2 = events.filter(F.col("event_id") % 2 == 1)
+    parts = aggregates.hll_sketch(b1, "user_id", dims=["event_type"]).unionByName(
+        aggregates.hll_sketch(b2, "user_id", dims=["event_type"])
+    )
+    merged = {
+        r.event_type: r.distinct_estimate
+        for r in aggregates.hll_estimate(
+            aggregates.hll_merge(parts, dims=["event_type"])
+        ).collect()
+    }
+    assert merged == est
+
+    # storable: append per-batch sketches to parquet, merge from disk
+    path = str(tmp_path / "sketches")
+    aggregates.hll_sketch(b1, "user_id", dims=["event_type"]).write.mode(
+        "append"
+    ).parquet(path)
+    aggregates.hll_sketch(b2, "user_id", dims=["event_type"]).write.mode(
+        "append"
+    ).parquet(path)
+    stored = {
+        r.event_type: r.distinct_estimate
+        for r in aggregates.hll_estimate(
+            aggregates.hll_merge(spark.read.parquet(path), dims=["event_type"])
+        ).collect()
+    }
+    assert stored == est
+
+    # global (no dims) shape
+    g = aggregates.hll_estimate(
+        aggregates.hll_sketch(events, "user_id")
+    ).first()
+    total = events.select("user_id").distinct().count()
+    assert abs(g.distinct_estimate - total) <= max(2, 0.05 * total)
