@@ -292,3 +292,56 @@ def hll_estimate(sketches: DataFrame) -> DataFrame:
             "distinct_estimate"
         ),
     )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, min_share: float = 0.01
+) -> DataFrame:
+    """Keys holding at least ``min_share`` of all rows, with EXACT
+    counts -- the hot-key pre-flight that tells you what to salt (or
+    broadcast, or quarantine) before a join/agg melts one reducer.
+
+    Approximate-then-verify, the same shape as the LSH paths: pass 1 is
+    Spark's freqItems (Karp-Papadimitriou-Shenker lossy counting --
+    one scan, NO shuffle of the key space, candidate set bounded by
+    1/min_share); pass 2 exactly counts ONLY the candidates (the
+    semi-join filter means the shuffle carries candidate rows, never
+    the full key cardinality) with the row total riding the same scan
+    via observe. Exact groupBy over a 10^9-cardinality key would
+    shuffle everything to find the 5 keys that matter; this never
+    shuffles more than the hot keys' own rows.
+
+    Returns (key, exact_count, share) ordered by count desc. KPS
+    guarantees every key above the support threshold IS in the
+    candidate set (no false negatives); false positives are removed by
+    the exact verify."""
+    if not 0 < min_share < 1:
+        raise ValueError("min_share must be in (0, 1)")
+    cands = df.stat.freqItems([col], support=min_share).first()[0]
+    if not cands:
+        return df.sparkSession.createDataFrame(
+            [], f"{col} {df.schema[col].dataType.simpleString()}, "
+            "exact_count LONG, share DOUBLE",
+        )
+    from pyspark.sql import Observation
+
+    obs = Observation("hh_total")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    counts = (
+        observed.filter(F.col(col).isin(list(cands)))
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .collect()
+    )
+    total = obs.get["n"]
+    rows = [
+        (r[0], r.exact_count, r.exact_count / total)
+        for r in counts
+        if r.exact_count >= min_share * total
+    ]
+    rows.sort(key=lambda t: (-t[1], str(t[0])))
+    return df.sparkSession.createDataFrame(
+        rows,
+        f"{col} {df.schema[col].dataType.simpleString()}, "
+        "exact_count LONG, share DOUBLE",
+    )

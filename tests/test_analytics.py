@@ -260,3 +260,31 @@ def test_hll_sketch_incremental_distinct(spark, oracle_sf_dir, tmp_path):
     ).first()
     total = events.select("user_id").distinct().count()
     assert abs(g.distinct_estimate - total) <= max(2, 0.05 * total)
+
+
+def test_heavy_hitters_on_skewed_key(spark, oracle_sf_dir):
+    """Approximate-then-verify hot-key detection on the engine's Zipf
+    company key: the planted MEGACORP (75% of rows) must surface with
+    its EXACT count; uniform keys (each ~0.1%) must not; counts match a
+    full groupBy; the candidate shuffle never carries the key space."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+    from bigdata_storage_and_proccess_job_data_spark.plans.analytics_queries import (
+        _zipf_company,
+    )
+
+    lineitem = load_table(spark, oracle_sf_dir, "lineitem")
+    df = lineitem.withColumn("company", _zipf_company())
+    hh = aggregates.heavy_hitters(df, "company", min_share=0.10)
+    rows = hh.collect()
+    assert [r.company for r in rows] == ["MEGACORP"]
+    exact = df.filter(F.col("company") == "MEGACORP").count()
+    assert rows[0].exact_count == exact
+    assert rows[0].share > 0.5
+
+    # a threshold above the hot key's share finds nothing
+    assert aggregates.heavy_hitters(df, "company", min_share=0.9).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="min_share"):
+        aggregates.heavy_hitters(df, "company", min_share=0)
