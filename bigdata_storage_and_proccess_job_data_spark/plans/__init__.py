@@ -167,6 +167,17 @@ DRIVER_WINDOW_R5 = [
 #                         covered in-window by temporal_stats)
 #     - dedup_latest     (code untouched; P3 dedup family covered
 #                         in-window by dedup_exact_docs)
+# Late-round-6 operator work and the changed-code rule, audited: the
+# only changes that touched a REGISTERED query's code path are
+# asof.py (tolerance refactor -> asof_last_purchase, in-window, oracle
+# re-verified) and versioned.py commit/read internals (-> the in-window
+# snapshot_change_feed; its query drives change_feed, which is
+# unchanged). Everything else this round is additive (new functions:
+# PQ/IVF-PQ, hashed_doc_vector, weighted_sample, temperature_weights,
+# hll_* sketches, heavy_hitters, merge_stream, stats manifests, plan
+# lint) -- no existing registered path changed, so no further window
+# displacement is required; the new surfaces are test-pinned, several
+# with local DuckDB parity through tests/parity.py.
 DRIVER_WINDOW_R6 = [
     # -- r2-checked analytics variants rotating back in (32)
     "segment_revenue",
