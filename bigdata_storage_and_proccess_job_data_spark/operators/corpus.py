@@ -416,6 +416,56 @@ def stratified_take_k(
     )
 
 
+def weighted_take_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+    group_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``k`` rows (per group when ``group_col`` is given),
+    sampled WITHOUT replacement with probability proportional to a
+    per-row weight -- Efraimidis-Spirakis A-ES (IPL 2006): each row
+    draws priority u^(1/w) from a uniform u and the k highest
+    priorities win. Deterministic: u is the md5-derived uniform from
+    (id, salt) (the weighted_sample coin shifted to (0, 1]), so the
+    sample is reproducible across runs, engines, and partitionings.
+    Ranking uses ln(u)/w (monotone with u^(1/w), avoids underflow for
+    large weights); tie-break on the id. Rows with NULL or
+    non-positive weights are excluded (zero weight = never sampled,
+    matching the limit of the inclusion probability).
+
+    The quality-weighted eval-set sampler: stratified_take_k's shape
+    (one group-window shuffle, rank filter before anything downstream)
+    with importance instead of uniformity.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    # u in (0, 1]: the +1 shift keeps ln(u) finite at the grid floor
+    u = (h + F.lit(1)) / F.lit(float(2**52))
+    prio = F.log(u) / wcol
+    win = Window.partitionBy(
+        *([group_col] if group_col else [])
+    ).orderBy(prio.desc(), F.col(id_col).asc())
+    return (
+        df.filter(wcol.isNotNull() & (wcol > 0))
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def duplicate_ngram_spans(
     df: DataFrame,
     id_col: str,

@@ -424,3 +424,72 @@ def test_weighted_sample_parity_and_semantics(spark, oracle_sf_dir):
     }
     higher = {r.doc_id for r in got.collect()}
     assert lower <= higher and len(lower) < len(higher)
+
+
+
+def test_weighted_take_k_bias_determinism_and_parity(spark, oracle_sf_dir):
+    """Efraimidis-Spirakis exact-k weighted sampling: (1) DuckDB
+    reproduces the exact selected set from the same md5 coin and
+    ln(u)/w priority, (2) in a 100-heavy/900-light corpus the
+    9x-weighted rows dominate the top-100 (uniform would give ~10),
+    (3) per-group exact-k and zero/NULL-weight exclusion hold."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        _md5_hash60_sql,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    w = 1.0 + (F.col("doc_id") % 10)
+    got = corpus.weighted_take_k(
+        docs, "doc_id", w, k=25, group_col="source", salt="s"
+    ).select("doc_id", "source")
+    h = _md5_hash60_sql("doc_id::VARCHAR || 's'")
+    sql = f"""
+        WITH prio AS (
+          SELECT doc_id, source,
+                 ln((({h} >> 8) + 1) / 4503599627370496.0)
+                   / (1.0 + doc_id % 10) AS p
+          FROM documents
+        ), ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY p DESC, doc_id ASC
+                 ) AS rn
+          FROM prio
+        )
+        SELECT doc_id, source FROM ranked WHERE rn <= 25
+    """
+    errs = compare(got, duckdb_connect(oracle_sf_dir), sql)
+    assert not errs, errs[:5]
+
+    # bias: 100 rows at weight 9, 900 at weight 1, take the top 100.
+    # The heavy rows carry 900/1800 of the mass, so sequential
+    # proportional-to-weight draws put ~45 of them in the top-100
+    # (declining as they deplete); uniform sampling would give ~10.
+    # Deterministic at this salt -- observed 40.
+    skew = spark.createDataFrame(
+        [(i, 9.0 if i < 100 else 1.0) for i in range(1000)],
+        "id LONG, wt DOUBLE",
+    )
+    heavy = (
+        corpus.weighted_take_k(skew, "id", "wt", k=100, salt="bias")
+        .filter(F.col("id") < 100)
+        .count()
+    )
+    assert 30 <= heavy <= 60, heavy
+
+    # per-group exact-k + exclusion of null/zero weights
+    g = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b", float(i % 3)) for i in range(100)],
+        "id LONG, grp STRING, wt DOUBLE",
+    )  # wt cycles 0,1,2 -> a third of rows excluded
+    out = corpus.weighted_take_k(g, "id", "wt", k=10, group_col="grp")
+    counts = {r.grp: r.n for r in out.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"a": 10, "b": 10}
+    assert out.filter(F.col("wt") <= 0).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="k must"):
+        corpus.weighted_take_k(g, "id", "wt", k=0)
