@@ -288,3 +288,56 @@ def test_heavy_hitters_on_skewed_key(spark, oracle_sf_dir):
 
     with pytest.raises(ValueError, match="min_share"):
         aggregates.heavy_hitters(df, "company", min_share=0)
+
+
+def test_variant_extraction_parity_and_drift(spark, oracle_sf_dir, tmp_path):
+    """VARIANT semi-structured columns: (1) typed JSONPath extraction
+    over the events props column matches DuckDB's JSON operators
+    value-for-value, (2) the binary encoding round-trips through
+    parquet, (3) two producer generations with different shapes coexist
+    in one column -- new fields are preserved (where from_json's fixed
+    schema would drop them) and absent paths are NULL, never errors."""
+    from bigdata_storage_and_proccess_job_data_spark.functions import (
+        semistructured as sv,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    events = load_table(spark, oracle_sf_dir, "events")
+    got = events.select(
+        "event_id",
+        sv.variant_field(sv.to_variant("props"), "$.k", "long").alias("k"),
+    )
+    sql = """
+        SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+    """
+    errs = compare(got, duckdb_connect(oracle_sf_dir), sql)
+    assert not errs, errs[:5]
+
+    # parquet roundtrip + schema drift across producer generations
+    drifted = spark.createDataFrame(
+        [
+            (1, '{"k": 1, "old_style": true}'),
+            (2, '{"k": 2, "meta": {"region": "eu", "tags": ["a", "b"]}}'),
+        ],
+        "id LONG, js STRING",
+    ).select("id", sv.to_variant("js").alias("v"))
+    path = str(tmp_path / "variants")
+    drifted.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert back.schema["v"].dataType.typeName() == "variant"
+    rows = {
+        r.id: r
+        for r in back.select(
+            "id",
+            sv.variant_field("v", "$.k", "long").alias("k"),
+            sv.variant_field("v", "$.meta.region").alias("region"),
+            sv.variant_field("v", "$.meta.tags[1]").alias("tag1"),
+            sv.variant_field("v", "$.old_style", "boolean").alias("old"),
+            sv.variant_schema("v").alias("shape"),
+        ).collect()
+    }
+    assert rows[1].k == 1 and rows[1].old is True
+    assert rows[1].region is None and rows[1].tag1 is None  # absent: NULL
+    assert rows[2].region == "eu" and rows[2].tag1 == "b"
+    assert rows[2].old is None
+    assert "meta" in rows[2].shape and "old_style" in rows[1].shape
