@@ -345,3 +345,123 @@ def heavy_hitters(
         f"{col} {df.schema[col].dataType.simpleString()}, "
         "exact_count LONG, share DOUBLE",
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    key: str,
+    width: int = 2048,
+    depth: int = 5,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a DataFrame:
+    ``depth`` independent md5-derived hash rows x ``width`` buckets,
+    each cell the sum of row weights (default 1) hashing into it. The
+    result is at most depth*width rows of (row, bucket, cnt) -- a
+    fixed-size frequency summary of an unbounded key space, built by
+    ONE partial+final hash aggregation (the explode ships depth tiny
+    ints per input row, never the key).
+
+    Like hll_sketch, the artifact is storable and MERGEABLE: cell-wise
+    summation (cms_merge) of per-batch sketches equals the monolithic
+    sketch EXACTLY, so daily sketches answer "how often did key X
+    appear this quarter" without rescanning -- with CMS's one-sided
+    guarantee (estimate >= truth; overestimate bounded by
+    e * total_weight / width per row, driven down by the min over
+    depth rows). Point lookups: cms_lookup."""
+    if width < 1 or depth < 1:
+        raise ValueError("width and depth must be positive")
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).cast("int").alias("row"),
+                    F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(f"cms:{d}:"),
+                                        F.col(key).cast("string"),
+                                    )
+                                ),
+                                1,
+                                13,
+                            ),
+                            16,
+                            10,
+                        ).cast("long"),
+                        F.lit(width),
+                    )
+                    .cast("int")
+                    .alias("bucket"),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("_c")
+    return (
+        df.select(w.alias("_w"), rows)
+        .groupBy(F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
+        .agg(F.sum("_w").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of unioned/appended cms_sketch outputs -- the
+    lossless incremental step (sums commute)."""
+    return sketches.groupBy("row", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key: str,
+    width: int = 2048,
+    depth: int = 5,
+) -> DataFrame:
+    """Frequency estimates for a frame of keys against a sketch:
+    recompute each key's (row, bucket) cells, broadcast-join the
+    (bounded, depth*width-row) sketch, take the min over rows. Returns
+    (key, estimate) with estimate >= the true count (absent cells
+    count 0 -- an absent key can still collide upward, never down).
+    ``width``/``depth`` must match the sketch's build parameters."""
+    cells = keys.select(F.col(key)).distinct().select(
+        F.col(key),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("row"),
+                        F.pmod(
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"cms:{d}:"),
+                                            F.col(key).cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    13,
+                                ),
+                                16,
+                                10,
+                            ).cast("long"),
+                            F.lit(width),
+                        )
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("_c"),
+    ).select(key, F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
+    joined = cells.join(F.broadcast(sketch), ["row", "bucket"], "left").select(
+        key, F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt")
+    )
+    return joined.groupBy(key).agg(F.min("cnt").alias("estimate"))

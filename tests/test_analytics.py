@@ -341,3 +341,74 @@ def test_variant_extraction_parity_and_drift(spark, oracle_sf_dir, tmp_path):
     assert rows[2].region == "eu" and rows[2].tag1 == "b"
     assert rows[2].old is None
     assert "meta" in rows[2].shape and "old_style" in rows[1].shape
+
+
+def test_cms_sketch_bounds_and_mergeability(spark, oracle_sf_dir, tmp_path):
+    """Count-min frequency sketch: (1) every estimate >= the true count
+    (one-sided), (2) on the Zipf company key the hot key's estimate is
+    near-exact and within the epsilon bound, (3) cell-wise merge of
+    per-batch sketches EQUALS the monolithic sketch (sums commute), (4)
+    the sketch survives parquet as a plain table."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+    from bigdata_storage_and_proccess_job_data_spark.plans.analytics_queries import (
+        _zipf_company,
+    )
+
+    li = load_table(spark, oracle_sf_dir, "lineitem")
+    df = li.withColumn("company", _zipf_company()).select("company")
+    W, D = 1024, 5
+    sk = aggregates.cms_sketch(df, "company", width=W, depth=D)
+
+    truth = {
+        r.company: r.n
+        for r in df.groupBy("company").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(truth.values())
+    some = spark.createDataFrame(
+        [(k,) for k in list(truth)[:50]] + [("NEVER_SEEN_KEY",)],
+        "company STRING",
+    )
+    est = {
+        r.company: r.estimate
+        for r in aggregates.cms_lookup(sk, some, "company", width=W, depth=D).collect()
+    }
+    import math
+
+    eps_bound = math.e * total / W
+    for k, e in est.items():
+        t = truth.get(k, 0)
+        assert e >= t, (k, e, t)
+        assert e - t <= eps_bound, (k, e, t, eps_bound)
+    hot = aggregates.cms_lookup(
+        sk, spark.createDataFrame([("MEGACORP",)], "company STRING"),
+        "company", width=W, depth=D,
+    ).first().estimate
+    assert abs(hot - truth["MEGACORP"]) <= eps_bound
+    assert truth["MEGACORP"] > 0.5 * total  # the skew premise
+
+    # merge == monolithic, exactly: two disjoint halves
+    dfi = li.withColumn("company", _zipf_company()).select(
+        "company", "l_orderkey"
+    )
+    p1 = dfi.filter(F.col("l_orderkey") % 2 == 0).select("company")
+    p2 = dfi.filter(F.col("l_orderkey") % 2 == 1).select("company")
+    merged = aggregates.cms_merge(
+        aggregates.cms_sketch(p1, "company", width=W, depth=D).unionByName(
+            aggregates.cms_sketch(p2, "company", width=W, depth=D)
+        )
+    )
+    mono = aggregates.cms_sketch(df, "company", width=W, depth=D)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, mono.collect())
+    )
+
+    # storable roundtrip
+    path = str(tmp_path / "cms")
+    sk.write.parquet(path)
+    est2 = {
+        r.company: r.estimate
+        for r in aggregates.cms_lookup(
+            spark.read.parquet(path), some, "company", width=W, depth=D
+        ).collect()
+    }
+    assert est2 == est
