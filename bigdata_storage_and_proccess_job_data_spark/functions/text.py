@@ -183,3 +183,30 @@ def hashed_doc_vector(
             ),
         ),
     )
+
+
+def normalize_unicode(col: Column | str, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) -- the corpus
+    canonicalization step that makes visually-identical strings
+    byte-identical (composed vs combining-mark sequences, fullwidth
+    compatibility forms), which exact dedup, fingerprinting, and
+    token hashing all silently depend on.
+
+    Spark SQL has no normalization builtin, so this is the sanctioned
+    Python path: an Arrow-vectorized pandas_udf (pandas
+    ``Series.str.normalize``) -- ArrowEvalPython in the plan, NOT the
+    row-at-a-time BatchEvalPython the plan lint forbids. Place it once
+    at the ingest edge (before hashing/dedup), not in per-query hot
+    paths. NFC matches DuckDB's nfc_normalize, which is what lets
+    normalized pipelines keep exact cross-engine oracles."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.str.normalize(form)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _norm(c)

@@ -412,3 +412,49 @@ def test_cms_sketch_bounds_and_mergeability(spark, oracle_sf_dir, tmp_path):
         ).collect()
     }
     assert est2 == est
+
+
+def test_normalize_unicode_parity_and_plan(spark, oracle_sf_dir):
+    """NFC normalization: composed == normalized(decomposed), DuckDB's
+    nfc_normalize agrees value-for-value (inline frame + the whole
+    documents table), and the plan stays on the Arrow path
+    (ArrowEvalPython, never BatchEvalPython)."""
+    from bigdata_storage_and_proccess_job_data_spark.functions import text
+    from tests.parity import compare, duckdb_connect
+
+    rows = [
+        (1, "café"),              # composed
+        (2, "café"),             # decomposed -> same after NFC
+        (3, "ＡBC Å"),        # fullwidth A, angstrom (NFC keeps)
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, s STRING")
+    out = {r.id: r.n for r in df.select(
+        "id", text.normalize_unicode("s").alias("n")).collect()}
+    assert out[1] == out[2] == "café"
+    assert out[4] == ""
+
+    con = duckdb_connect(oracle_sf_dir)
+    vals = ", ".join(f"({i}, '{s}')" for i, s in rows if "'" not in s)
+    errs = compare(
+        df.select("id", text.normalize_unicode("s").alias("n")),
+        con,
+        f"SELECT id, nfc_normalize(s) AS n FROM (VALUES {vals}) t(id, s)",
+    )
+    assert not errs, errs
+
+    docs_norm = load_table(spark, oracle_sf_dir, "documents").select(
+        "doc_id", text.normalize_unicode("text").alias("n")
+    )
+    errs2 = compare(
+        docs_norm, con, "SELECT doc_id, nfc_normalize(text) AS n FROM documents"
+    )
+    assert not errs2, errs2[:3]
+
+    plan = docs_norm._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+    import pytest
+
+    with pytest.raises(ValueError, match="normalization form"):
+        text.normalize_unicode("s", form="NFX")
