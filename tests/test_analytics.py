@@ -458,3 +458,76 @@ def test_normalize_unicode_parity_and_plan(spark, oracle_sf_dir):
 
     with pytest.raises(ValueError, match="normalization form"):
         text.normalize_unicode("s", form="NFX")
+
+
+def test_argmin_argmax_and_twap_parity(spark, oracle_sf_dir):
+    """Two temporal-aggregate families with full DuckDB value parity:
+    (1) min_by/max_by -- first/last order value per customer WITHOUT a
+    window (one hash agg; the aggregate-side alternative to the
+    row_number dedup shape, with (ts, key) struct ordering making ties
+    deterministic on both engines); (2) time-weighted average price per
+    customer (TWAP): each order's price weighted by its holding
+    interval to the next order via lead(), the finance/telemetry
+    aggregate a plain AVG gets wrong when samples are irregular."""
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from pyspark.sql import Window
+    from tests.parity import compare, duckdb_connect
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    con = duckdb_connect(oracle_sf_dir)
+
+    # (1) arg-min/arg-max, tie-broken by a composite BIGINT ordering key
+    # (epoch-seconds * 1e7 + orderkey -- struct keys bind differently
+    # across engines, a single orderable scalar does not)
+    key = (
+        F.unix_timestamp("o_orderdate") * F.lit(10_000_000)
+        + F.col("o_orderkey")
+    )
+    got = orders.groupBy("o_custkey").agg(
+        F.min_by("o_totalprice", key).alias("first_price"),
+        F.max_by("o_totalprice", key).alias("last_price"),
+    )
+    sql = """
+        SELECT o_custkey,
+               arg_min(o_totalprice,
+                       epoch(o_orderdate)::BIGINT * 10000000 + o_orderkey)
+                 AS first_price,
+               arg_max(o_totalprice,
+                       epoch(o_orderdate)::BIGINT * 10000000 + o_orderkey)
+                 AS last_price
+        FROM orders GROUP BY o_custkey
+    """
+    errs = compare(got, con, sql)
+    assert not errs, errs[:5]
+
+    # (2) TWAP over each customer's order sequence
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    dur = F.unix_timestamp(nxt) - F.unix_timestamp(F.col("o_orderdate"))
+    weighted = orders.select(
+        "o_custkey", "o_totalprice", dur.alias("_dur")
+    ).filter(F.col("_dur").isNotNull() & (F.col("_dur") > 0))
+    twap = weighted.groupBy("o_custkey").agg(
+        stable_round(
+            F.sum(F.col("o_totalprice") * F.col("_dur")) / F.sum("_dur"), 2
+        ).alias("twap")
+    )
+    twap_expr = sql_round("SUM(o_totalprice * _dur) / SUM(_dur)", 2)
+    sql2 = f"""
+        WITH seq AS (
+          SELECT o_custkey, o_totalprice,
+                 epoch(lead(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                 )) - epoch(o_orderdate) AS _dur
+          FROM orders
+        )
+        SELECT o_custkey, {twap_expr} AS twap
+        FROM seq WHERE _dur IS NOT NULL AND _dur > 0
+        GROUP BY o_custkey
+    """
+    errs2 = compare(twap, con, sql2)
+    assert not errs2, errs2[:5]
