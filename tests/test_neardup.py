@@ -243,3 +243,65 @@ def test_incremental_dedup_releases_caches(spark, oracle_sf_dir):
         "actually observes persists)"
     )
     spark.catalog.clearCache()
+
+
+def test_recursive_cte_closure_matches_connected_components(spark, oracle_sf_dir):
+    """Spark 4's recursive CTEs give the dedup-clustering semantics a
+    declarative twin: a depth-bounded UNION ALL transitive closure
+    (Spark doesn't yet allow UNION-distinct recursion, so the level
+    guard bounds ping-pong on undirected edges) must agree with BOTH
+    the engine's distributed connected_components operator AND DuckDB
+    running the IDENTICAL SQL text -- three engines, one answer. The
+    iterative operator remains the scale path (each CC round is one
+    shuffle; the naive closure materializes all reach pairs), which is
+    exactly what this cross-validation licenses it against."""
+    from tests.parity import duckdb_connect
+
+    # planted forest: chain 1-2-3-4, pair 10-11, singleton 20
+    nodes = [1, 2, 3, 4, 10, 11, 20]
+    undirected = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    edges = undirected + [(b, a) for a, b in undirected]
+
+    spark.createDataFrame([(n,) for n in nodes], "id INT").createOrReplaceTempView(
+        "cc_nodes"
+    )
+    spark.createDataFrame(edges, "src INT, dst INT").createOrReplaceTempView(
+        "cc_edges"
+    )
+    closure = """
+        WITH RECURSIVE reach(a, b, lvl) AS (
+          SELECT id, id, 0 FROM cc_nodes
+          UNION ALL
+          SELECT r.a, e.dst, r.lvl + 1
+          FROM reach r JOIN cc_edges e ON r.b = e.src
+          WHERE r.lvl < 6
+        )
+        SELECT a AS id, min(b) AS component FROM reach GROUP BY a
+    """
+    got = {r.id: r.component for r in spark.sql(closure).collect()}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+    assert got == want
+
+    # the distributed operator agrees (it only sees nodes with edges;
+    # singletons are their own trivial component by construction)
+    pairs = spark.createDataFrame(undirected, "id_a INT, id_b INT")
+    cc = {
+        r.id: r.component
+        for r in neardup.connected_components(pairs, "id_a", "id_b").collect()
+    }
+    assert cc == {k: v for k, v in want.items() if k != 20}
+
+    # DuckDB runs the same SQL text over inlined data
+    con = duckdb_connect(oracle_sf_dir)
+    con.execute(
+        "CREATE VIEW cc_nodes AS SELECT * FROM (VALUES "
+        + ", ".join(f"({n})" for n in nodes)
+        + ") t(id)"
+    )
+    con.execute(
+        "CREATE VIEW cc_edges AS SELECT * FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b in edges)
+        + ") t(src, dst)"
+    )
+    duck = dict(con.execute(closure).fetchall())
+    assert duck == want
