@@ -465,3 +465,91 @@ def cms_lookup(
         key, F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt")
     )
     return joined.groupBy(key).agg(F.min("cnt").alias("estimate"))
+
+
+def dd_sketch(
+    df: DataFrame,
+    col: str,
+    gamma: float = 1.02,
+    dims: list[str] | None = None,
+) -> DataFrame:
+    """Quantile sketch with RELATIVE-error guarantee (the DDSketch
+    idea, Masson/Rim/Lee VLDB 2019): positive values land in
+    log-spaced bins ``bin = ceil(log_gamma(x))``, so any quantile
+    reconstructed from bin counts is within a factor gamma of the true
+    value -- 2% at the default, at any scale of x, which fixed-width
+    histograms can't promise. Zero/negative/NULL values are counted in
+    a reserved bin (-2^31) and excluded from quantiles (log-bins are
+    for positive metrics: latencies, prices, sizes).
+
+    The artifact is (dims..., bin, cnt) -- a few hundred rows per
+    group for real-world ranges -- built by one partial+final hash
+    aggregation, stored as a plain table, and merged EXACTLY by
+    summing bin counts (dd_merge): per-day sketches answer "p99 over
+    any window" without rescanning, completing the stored-sketch trio
+    (HLL = distinct, CMS = frequency, DD = quantiles)."""
+    if gamma <= 1.0:
+        raise ValueError("gamma must be > 1")
+    import math
+
+    c = F.col(col)
+    log_g = math.log(gamma)
+    b = F.when(
+        c.isNotNull() & (c > 0),
+        F.ceil(F.log(c.cast("double")) / F.lit(log_g)).cast("int"),
+    ).otherwise(F.lit(-(2**31)).cast("int"))
+    keys = [F.col(d) for d in (dims or [])]
+    return df.groupBy(*keys, b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def dd_merge(sketches: DataFrame, dims: list[str] | None = None) -> DataFrame:
+    """Bin-wise sum of unioned dd_sketch outputs -- lossless (counts
+    commute), so incremental accumulation equals the monolithic build."""
+    return sketches.groupBy(*[F.col(d) for d in (dims or [])], "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def dd_quantile(
+    sketch: DataFrame,
+    q: float,
+    gamma: float = 1.02,
+    dims: list[str] | None = None,
+) -> DataFrame:
+    """Estimate the q-quantile (per dimension group) from a dd_sketch:
+    walk the cumulative bin counts to the target rank and return the
+    bin's geometric midpoint 2*gamma^b/(gamma+1), which is within a
+    factor gamma of the true quantile. One window cumulative sum over
+    the (small) sketch frame; the reserved non-positive bin is
+    excluded. ``gamma`` must match the build."""
+    if not 0 < q < 1:
+        raise ValueError("q must be in (0, 1)")
+    import math
+
+    from pyspark.sql import Window
+
+    pos = sketch.filter(F.col("bin") != -(2**31))
+    keys = [F.col(d) for d in (dims or [])]
+    w = Window.partitionBy(*keys).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy(*keys)
+    ranked = pos.select(
+        *keys,
+        "bin",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(tot).alias("_n"),
+    ).filter(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")))
+    first = Window.partitionBy(*keys).orderBy("bin")
+    est = (
+        F.lit(2.0)
+        * F.pow(F.lit(gamma), F.col("bin"))
+        / F.lit(gamma + 1.0)
+    )
+    return (
+        ranked.withColumn("_rn", F.row_number().over(first))
+        .filter(F.col("_rn") == 1)
+        .select(*keys, est.alias("quantile_estimate"))
+    )

@@ -531,3 +531,70 @@ def test_argmin_argmax_and_twap_parity(spark, oracle_sf_dir):
     """
     errs2 = compare(twap, con, sql2)
     assert not errs2, errs2[:5]
+
+
+def test_dd_sketch_relative_error_and_merge(spark, oracle_sf_dir, tmp_path):
+    """DDSketch-style quantiles: (1) p50/p95/p99 of o_totalprice from
+    the sketch are within the gamma relative-error bound of the exact
+    percentiles, per priority group and globally, (2) bin-wise merge of
+    disjoint halves EQUALS the monolithic sketch, (3) the artifact
+    survives parquet, (4) non-positive values park in the reserved bin
+    and never pollute quantiles."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    G = 1.02
+    sk = aggregates.dd_sketch(orders, "o_totalprice", gamma=G,
+                              dims=["o_orderpriority"])
+
+    exact = {
+        (r.o_orderpriority, q): r[f"p{int(q*100)}"]
+        for q in (0.5, 0.95, 0.99)
+        for r in orders.groupBy("o_orderpriority").agg(
+            F.expr(
+                f"percentile(o_totalprice, {q})"
+            ).alias(f"p{int(q*100)}")
+        ).collect()
+    }
+    for q in (0.5, 0.95, 0.99):
+        est = {
+            r.o_orderpriority: r.quantile_estimate
+            for r in aggregates.dd_quantile(
+                sk, q, gamma=G, dims=["o_orderpriority"]
+            ).collect()
+        }
+        for grp, e in est.items():
+            t = exact[(grp, q)]
+            assert t / G**1.01 <= e <= t * G**1.01, (grp, q, e, t)
+
+    # merge == monolithic
+    h1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    h2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    merged = aggregates.dd_merge(
+        aggregates.dd_sketch(h1, "o_totalprice", G, ["o_orderpriority"])
+        .unionByName(
+            aggregates.dd_sketch(h2, "o_totalprice", G, ["o_orderpriority"])
+        ),
+        dims=["o_orderpriority"],
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, sk.collect())
+    )
+
+    # parquet roundtrip + reserved-bin behavior
+    path = str(tmp_path / "dd")
+    sk.write.parquet(path)
+    r1 = aggregates.dd_quantile(
+        spark.read.parquet(path), 0.5, G, ["o_orderpriority"]
+    ).collect()
+    r2 = aggregates.dd_quantile(sk, 0.5, G, ["o_orderpriority"]).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+    mixed = spark.createDataFrame(
+        [(0.0,), (-5.0,), (None,), (100.0,), (100.0,), (100.0,)],
+        "x DOUBLE",
+    )
+    msk = aggregates.dd_sketch(mixed, "x", gamma=G)
+    assert msk.filter(F.col("bin") == -(2**31)).first().cnt == 3
+    mq = aggregates.dd_quantile(msk, 0.5, G).first().quantile_estimate
+    assert 100 / G**1.01 <= mq <= 100 * G**1.01
