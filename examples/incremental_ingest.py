@@ -16,6 +16,10 @@ Day 0 bootstraps the corpus; every later day runs the same loop:
      batch sees them
   6. downstream consumers read diff_versions(prev, new) -- the change
      feed -- instead of re-reading the whole corpus
+  7. per-day summary sketches (HLL distinct sources, DDSketch doc-length
+     quantiles) append to a metrics table; any trailing window's
+     distinct count / p95 comes from merging KB-sized sketches, never
+     from rescanning accepted days
 
 At 100 TB this loop touches |batch| + |candidate slice| per day; the
 full corpus is only ever read by the day-0 bootstrap.
@@ -110,6 +114,19 @@ def ingest_batch(spark, batch, table_dir, index_dir):
     neardup.minhash_index(accepted, "doc_id", "text", **LSH).write.mode(
         "append"
     ).parquet(index_dir)
+    # per-day summary sketches: tiny mergeable artifacts (HLL + DD bins)
+    from bigdata_storage_and_proccess_job_data_spark.functions import text as text_fn
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates as agg
+
+    day_stats = accepted.withColumn(
+        "n_tokens", text_fn.token_count("text").cast("double")
+    )
+    agg.hll_sketch(day_stats, "source").write.mode("append").parquet(
+        f"{index_dir}_hll"
+    )
+    agg.dd_sketch(day_stats, "n_tokens").write.mode("append").parquet(
+        f"{index_dir}_dd"
+    )
     observed.unpersist()
     accepted.unpersist()
     dup_ids.unpersist()
@@ -172,6 +189,20 @@ def main() -> None:
     print(
         f"pruned read doc_id<=49: {hit} docs from "
         f"{len(pruned)}/{n_files} files"
+    )
+
+    # trailing-window metrics from the stored sketches alone
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates as agg
+
+    n_sources = agg.hll_estimate(
+        agg.hll_merge(spark.read.parquet(f"{index_dir}_hll"))
+    ).first().distinct_estimate
+    p95_tokens = agg.dd_quantile(
+        agg.dd_merge(spark.read.parquet(f"{index_dir}_dd")), 0.95
+    ).first().quantile_estimate
+    print(
+        f"sketch metrics over all ingested days: ~{n_sources} distinct "
+        f"sources, p95 doc length ~{p95_tokens:.0f} tokens"
     )
     spark.stop()
 
