@@ -608,3 +608,106 @@ def test_merge_stream_applies_cdc_batches_in_order(spark, tmp_path):
         for r in versioned.read_version(spark, table).collect()
     }
     assert again == got and versioned.current_version(table) == 4
+
+
+def test_stream_stream_right_outer_join(spark, tmp_path):
+    """RIGHT-OUTER completes the stream-stream outer matrix: an orphan
+    click (no impression within the interval) must emit with NULL
+    impression columns after the watermark proves none can arrive,
+    while matched pairs emit normally -- and the set equals the batch
+    right-outer join."""
+    import datetime as dt
+    import time as _t
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    imp_schema = StructType(
+        [StructField("ad_id", LongType()), StructField("imp_ts", TimestampType())]
+    )
+    clk_schema = StructType(
+        [StructField("ad_id", LongType()), StructField("clk_ts", TimestampType())]
+    )
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    t = dt.datetime(2024, 5, 1, 10, 0, 0)
+
+    def write(path, schema, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    write(imp_dir, imp_schema, [(1, t)])
+    write(
+        clk_dir,
+        clk_schema,
+        [(1, t + dt.timedelta(minutes=4)), (3, t + dt.timedelta(minutes=2))],
+    )
+    _t.sleep(1.1)
+    far = t + dt.timedelta(hours=3)
+    write(imp_dir, imp_schema, [(99, far)])
+    write(clk_dir, clk_schema, [(98, far)])
+    _t.sleep(1.1)
+    write(imp_dir, imp_schema, [(97, far + dt.timedelta(minutes=30))])
+
+    imp_s = pipeline.file_stream(
+        spark, imp_dir, imp_schema, max_files_per_trigger=1
+    )
+    clk_s = pipeline.file_stream(
+        spark, clk_dir, clk_schema, max_files_per_trigger=1
+    )
+
+    def project(joined, imp, clk):
+        return joined.select(
+            imp["ad_id"].alias("imp_ad"),
+            clk["ad_id"].alias("clk_ad"),
+            "imp_ts",
+            "clk_ts",
+        )
+
+    joined = project(
+        pipeline.stream_stream_interval_join(
+            imp_s, clk_s, "ad_id", "imp_ts", "clk_ts",
+            "30 minutes", "30 minutes", "10 MINUTES",
+            how="right_outer",
+        ),
+        imp_s,
+        clk_s,
+    )
+    name = f"ssroj_{uuid.uuid4().hex[:8]}"
+    q = pipeline.memory_sink(joined, name, output_mode="append")
+    q.awaitTermination(120)
+
+    def canon(rows):
+        return {
+            (
+                r.imp_ad,
+                r.clk_ad,
+                str(r.imp_ts) if r.imp_ts else None,
+                str(r.clk_ts) if r.clk_ts else None,
+            )
+            for r in rows
+            if (r.clk_ad or r.imp_ad) < 90
+        }
+
+    got = canon(spark.sql(f"SELECT * FROM {name}").collect())
+    assert got == {
+        (1, 1, "2024-05-01 10:00:00", "2024-05-01 10:04:00"),
+        (None, 3, None, "2024-05-01 10:02:00"),
+    }
+
+    imp_b = spark.read.parquet(imp_dir)
+    clk_b = spark.read.parquet(clk_dir)
+    batch = project(
+        pipeline.stream_stream_interval_join(
+            imp_b, clk_b, "ad_id", "imp_ts", "clk_ts",
+            "30 minutes", "30 minutes", "10 MINUTES",
+            how="right_outer",
+        ),
+        imp_b,
+        clk_b,
+    )
+    assert canon(batch.collect()) == got
