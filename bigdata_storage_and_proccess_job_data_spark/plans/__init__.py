@@ -173,11 +173,13 @@ DRIVER_WINDOW_R5 = [
 # re-verified) and versioned.py commit/read internals (-> the in-window
 # snapshot_change_feed; its query drives change_feed, which is
 # unchanged). Everything else this round is additive (new functions:
-# PQ/IVF-PQ, hashed_doc_vector, weighted_sample, temperature_weights,
-# hll_* sketches, heavy_hitters, merge_stream, stats manifests, plan
-# lint) -- no existing registered path changed, so no further window
-# displacement is required; the new surfaces are test-pinned, several
-# with local DuckDB parity through tests/parity.py.
+# PQ/IVF-PQ, hashed_doc_vector, weighted_sample/weighted_take_k,
+# temperature_weights, hll_*/cms_*/dd_* sketches, heavy_hitters,
+# merge_stream, stats manifests + optimize_table, plan lint, VARIANT
+# helpers, normalize_unicode) -- no existing registered path changed,
+# so no further window displacement is required; the new surfaces are
+# test-pinned, several with local DuckDB parity through
+# tests/parity.py.
 DRIVER_WINDOW_R6 = [
     # -- r2-checked analytics variants rotating back in (32)
     "segment_revenue",

@@ -711,3 +711,49 @@ def test_stream_stream_right_outer_join(spark, tmp_path):
         clk_b,
     )
     assert canon(batch.collect()) == got
+
+
+def test_merge_stream_skips_empty_batches(spark, tmp_path):
+    """An all-filtered (empty) micro-batch must NOT commit a snapshot:
+    version count reflects only batches that carried change rows."""
+    import time as _t
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("val", StringType()),
+            StructField("_op", StringType()),
+        ]
+    )
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "tbl")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write([(1, "a", "upsert")])
+    _t.sleep(1.1)
+    write([(99, "zz", "upsert")])  # filtered out below -> empty batch
+    _t.sleep(1.1)
+    write([(2, "b", "upsert")])
+
+    stream = pipeline.file_stream(
+        spark, src, schema, max_files_per_trigger=1
+    ).filter(F.col("k") < 50)
+    q = pipeline.merge_stream(stream, table, "k", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    assert versioned.current_version(table) == 2  # not 3
+    got = {r.k for r in versioned.read_version(spark, table).collect()}
+    assert got == {1, 2}

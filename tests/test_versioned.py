@@ -473,3 +473,30 @@ def test_optimize_table_recluster_and_stats(spark, tmp_path):
         versioned.optimize_table(
             spark, table, cluster_by="k", expected=v - 1
         )
+
+
+def test_optimize_table_coalesce_path(spark, tmp_path):
+    """optimize_table without cluster_by: pure compaction (coalesce to
+    the target file count), content identical, no stats manifest
+    unless requested."""
+    import glob
+
+    table = str(tmp_path / "compact_only")
+    for i in range(6):
+        versioned.apply_changes(
+            spark,
+            table,
+            spark.range(i * 100, (i + 1) * 100).selectExpr(
+                "id AS k", "'upsert' AS _op"
+            ),
+            "k",
+        )
+    before = sorted(
+        r.k for r in versioned.read_version(spark, table).collect()
+    )
+    v = versioned.optimize_table(spark, table, target_files=2)
+    snap = f"{table}/v={v}"
+    assert len(glob.glob(f"{snap}/*.parquet")) == 2
+    assert versioned.read_stats_manifest(snap) is None
+    after = sorted(r.k for r in versioned.read_version(spark, table).collect())
+    assert after == before
