@@ -198,15 +198,30 @@ def normalize_unicode(col: Column | str, form: str = "NFC") -> Column:
     row-at-a-time BatchEvalPython the plan lint forbids. Place it once
     at the ingest edge (before hashing/dedup), not in per-query hot
     paths. NFC matches DuckDB's nfc_normalize, which is what lets
-    normalized pipelines keep exact cross-engine oracles."""
+    normalized pipelines keep exact cross-engine oracles.
+
+    The four form-variant UDFs are module-memoized (VERDICT r6 #5):
+    repeated calls reuse ONE registered function object per form
+    instead of re-creating the Arrow serializer at every call site."""
     if form not in ("NFC", "NFD", "NFKC", "NFKD"):
         raise ValueError(f"unknown normalization form {form!r}")
-    import pandas as pd  # noqa: F401
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("string")
-    def _norm(s):
-        return s.str.normalize(form)
-
     c = F.col(col) if isinstance(col, str) else col
-    return _norm(c)
+    return _norm_udf(form)(c)
+
+
+def _norm_udf(form: str):
+    """One pandas_udf per normalization form, created lazily on first
+    use and cached for the life of the module."""
+    fn = _NORM_UDFS.get(form)
+    if fn is None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _norm(s):
+            return s.str.normalize(form)
+
+        fn = _NORM_UDFS[form] = _norm
+    return fn
+
+
+_NORM_UDFS: dict = {}

@@ -314,9 +314,18 @@ def heavy_hitters(
     Returns (key, exact_count, share) ordered by count desc. KPS
     guarantees every key above the support threshold IS in the
     candidate set (no false negatives); false positives are removed by
-    the exact verify."""
-    if not 0 < min_share < 1:
-        raise ValueError("min_share must be in (0, 1)")
+    the exact verify.
+
+    ``min_share`` must be in [1e-4, 1): Spark's freqItems rejects
+    support below 1e-4 (the candidate set would be 1/support > 10,000
+    entries -- no longer a bounded driver-side set), and the KPS
+    no-false-negative guarantee only holds for supported values, so we
+    fail fast with the real contract instead of an opaque engine error."""
+    if not 1e-4 <= min_share < 1:
+        raise ValueError(
+            "min_share must be in [1e-4, 1): freqItems' support floor is "
+            f"1e-4, got {min_share!r}"
+        )
     cands = df.stat.freqItems([col], support=min_share).first()[0]
     if not cands:
         return df.sparkSession.createDataFrame(
@@ -347,6 +356,44 @@ def heavy_hitters(
     )
 
 
+# NULL keys hash to this sentinel so build and lookup agree on a real
+# bucket -- md5(concat(..)) of a NULL key is NULL, which would put NULL
+# keys in a NULL bucket that cms_lookup's equi-join can never match,
+# silently returning 0 and breaking the one-sided estimate>=truth
+# guarantee (ADVICE r6). The NUL control character can't round-trip
+# through a real string key, so no legitimate key collides with it.
+_CMS_NULL_SENTINEL = "\x00cms_null"
+
+
+def _cms_cells(key_col, width: int, depth: int):
+    """The (row, bucket) cell array for one key expression -- the ONE
+    definition of the CMS hash family, shared by cms_sketch and
+    cms_lookup so build and probe can never disagree."""
+    key_str = F.coalesce(key_col.cast("string"), F.lit(_CMS_NULL_SENTINEL))
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("row"),
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"cms:{d}:"), key_str)),
+                            1,
+                            13,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(width),
+                )
+                .cast("int")
+                .alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
 def cms_sketch(
     df: DataFrame,
     key: str,
@@ -368,39 +415,13 @@ def cms_sketch(
     appear this quarter" without rescanning -- with CMS's one-sided
     guarantee (estimate >= truth; overestimate bounded by
     e * total_weight / width per row, driven down by the min over
-    depth rows). Point lookups: cms_lookup."""
+    depth rows). NULL keys count under a shared sentinel bucket set
+    (all NULLs are one key, as in GROUP BY). Point lookups:
+    cms_lookup."""
     if width < 1 or depth < 1:
         raise ValueError("width and depth must be positive")
     w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
-    rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(d).cast("int").alias("row"),
-                    F.pmod(
-                        F.conv(
-                            F.substring(
-                                F.md5(
-                                    F.concat(
-                                        F.lit(f"cms:{d}:"),
-                                        F.col(key).cast("string"),
-                                    )
-                                ),
-                                1,
-                                13,
-                            ),
-                            16,
-                            10,
-                        ).cast("long"),
-                        F.lit(width),
-                    )
-                    .cast("int")
-                    .alias("bucket"),
-                )
-                for d in range(depth)
-            ]
-        )
-    ).alias("_c")
+    rows = F.explode(_cms_cells(F.col(key), width, depth)).alias("_c")
     return (
         df.select(w.alias("_w"), rows)
         .groupBy(F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
@@ -431,35 +452,7 @@ def cms_lookup(
     ``width``/``depth`` must match the sketch's build parameters."""
     cells = keys.select(F.col(key)).distinct().select(
         F.col(key),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).cast("int").alias("row"),
-                        F.pmod(
-                            F.conv(
-                                F.substring(
-                                    F.md5(
-                                        F.concat(
-                                            F.lit(f"cms:{d}:"),
-                                            F.col(key).cast("string"),
-                                        )
-                                    ),
-                                    1,
-                                    13,
-                                ),
-                                16,
-                                10,
-                            ).cast("long"),
-                            F.lit(width),
-                        )
-                        .cast("int")
-                        .alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("_c"),
+        F.explode(_cms_cells(F.col(key), width, depth)).alias("_c"),
     ).select(key, F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
     joined = cells.join(F.broadcast(sketch), ["row", "bucket"], "left").select(
         key, F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt")

@@ -40,8 +40,16 @@ def asof_join(
     tolerance semantics -- the point-in-time-correctness knob for
     feature lookups where "the last known value" stops being meaningful
     after a while. Implemented as a post-fill predicate on the matched
-    row's own timestamp (also carried through the window fill), so the
-    plan shape is unchanged: still ONE shuffle+sort, no range join.
+    row's own timestamp, so the plan shape is unchanged: still ONE
+    shuffle+sort, no range join.
+
+    The fill is a SINGLE struct of (right_ts, *value_cols) per right row,
+    carried with one last(ignorenulls) pass: every returned value comes
+    from the same matched right row as the timestamp the tolerance check
+    uses. A matched row whose value column is NULL yields NULL (pandas
+    merge_asof semantics) rather than silently reaching back to an older
+    row's value -- per-column reach-back would let a value escape the
+    tolerance bound its own supplying row violates.
 
     Returns all left columns + ``<value_col><suffix>`` columns (null when
     no right row precedes the left row, or none within tolerance).
@@ -51,17 +59,28 @@ def asof_join(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(0).alias("_is_right"),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None)
+        .cast(
+            "struct<rts:"
+            + right.schema[right_ts].dataType.simpleString()
+            + ","
+            + ",".join(
+                f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in value_cols
+            )
+            + ">"
+        )
+        .alias("_snap"),
     )
     tagged_right = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_is_right"),
-        F.col(right_ts).alias("_rts"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(
+            F.col(right_ts).alias("rts"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("_snap"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     # right rows sort BEFORE left rows at equal ts => inclusive backward
@@ -72,22 +91,16 @@ def asof_join(
     )
     filled = unioned.select(
         "*",
-        F.last("_rts", ignorenulls=True).over(w).alias("_filled_rts"),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_filled_{c}")
-            for c in value_cols
-        ],
+        F.last("_snap", ignorenulls=True).over(w).alias("_m"),
     )
     if tolerance is None:
-        fresh = F.lit(True)
+        fresh = F.col("_m").isNotNull()
     else:
-        fresh = F.col("_filled_rts") >= (
-            F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
-        )
+        fresh = F.col("_m.rts") >= (F.col("_ts") - F.expr(f"INTERVAL {tolerance}"))
     return filled.filter(F.col("_is_right") == 0).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
         *[
-            F.when(fresh, F.col(f"_filled_{c}"))
+            F.when(fresh, F.col(f"_m.{c}"))
             .otherwise(F.lit(None))
             .alias(f"{c}{suffix}")
             for c in value_cols

@@ -555,7 +555,7 @@ def optimize_table(
     cluster_by: str | None = None,
     target_files: int = 8,
     stats_cols: list[str] | None = None,
-    expected: int | None = None,
+    expected: int | str | None = "auto",
 ) -> int:
     """Table maintenance as one snapshot commit (the Delta OPTIMIZE /
     Iceberg rewrite_data_files shape): rewrite the current snapshot
@@ -569,10 +569,21 @@ def optimize_table(
 
     Defaults stats_cols to [cluster_by]; readers of older versions are
     untouched (snapshot isolation), and vacuum() reclaims the
-    pre-optimize snapshot when history allows. Pass ``expected`` so an
-    optimize racing an ingest commit fails closed instead of silently
-    dropping that ingest's rows (its read would predate them)."""
-    df = read_version(spark, table_dir)
+    pre-optimize snapshot when history allows.
+
+    Concurrency: ``expected="auto"`` (the default) pins the version being
+    read and commits with optimistic concurrency against exactly that
+    version, so an optimize racing a concurrent ingest commit fails
+    closed (ConcurrentCommitError) instead of silently publishing a
+    snapshot built from a stale read and dropping the ingest's rows -- a
+    maintenance op designed to run alongside ingest must not default to
+    lost-update behavior. Pass an explicit int to race against a known
+    version, or ``expected=None`` to opt out of the check entirely
+    (unsafe: last-writer-wins)."""
+    pinned = current_version(table_dir)
+    if expected == "auto":
+        expected = pinned
+    df = read_version(spark, table_dir, version=pinned)
     if cluster_by is not None:
         df = df.repartitionByRange(
             target_files, F.col(cluster_by)

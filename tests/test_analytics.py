@@ -414,6 +414,35 @@ def test_cms_sketch_bounds_and_mergeability(spark, oracle_sf_dir, tmp_path):
     assert est2 == est
 
 
+def test_cms_sketch_null_keys_counted(spark):
+    """ADVICE r6: NULL keys must hash to a real sentinel bucket set so
+    the one-sided estimate >= truth holds for them too -- the old
+    md5(NULL)=NULL path dropped NULLs into an unjoinable NULL bucket
+    and estimated 0. Also pins heavy_hitters' freqItems support floor."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    W, D = 256, 4
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [(None,)] * 7 + [("b",)] * 2, "k STRING"
+    )
+    sk = aggregates.cms_sketch(df, "k", width=W, depth=D)
+    # no NULL-bucket pollution in the sketch itself
+    assert sk.filter(F.col("bucket").isNull()).count() == 0
+    probes = spark.createDataFrame([("a",), (None,), ("b",)], "k STRING")
+    est = {
+        r.k: r.estimate
+        for r in aggregates.cms_lookup(sk, probes, "k", width=W, depth=D).collect()
+    }
+    assert est["a"] >= 5 and est["b"] >= 2
+    assert est[None] >= 7  # NULLs counted as one shared key
+
+    # heavy_hitters: sub-floor support fails fast with the real contract
+    with pytest.raises(ValueError, match="1e-4"):
+        aggregates.heavy_hitters(df, "k", min_share=1e-5)
+
+
 def test_normalize_unicode_parity_and_plan(spark, oracle_sf_dir):
     """NFC normalization: composed == normalized(decomposed), DuckDB's
     nfc_normalize agrees value-for-value (inline frame + the whole
@@ -458,6 +487,17 @@ def test_normalize_unicode_parity_and_plan(spark, oracle_sf_dir):
 
     with pytest.raises(ValueError, match="normalization form"):
         text.normalize_unicode("s", form="NFX")
+
+
+def test_normalize_unicode_udf_memoized():
+    """VERDICT r6 #5: repeated normalize_unicode calls must reuse the
+    SAME registered pandas_udf object per form -- no per-call Arrow
+    serializer re-creation in repeated pipeline use."""
+    from bigdata_storage_and_proccess_job_data_spark.functions.text import _norm_udf
+
+    assert _norm_udf("NFC") is _norm_udf("NFC")
+    assert _norm_udf("NFKD") is _norm_udf("NFKD")
+    assert _norm_udf("NFC") is not _norm_udf("NFD")
 
 
 def test_argmin_argmax_and_twap_parity(spark, oracle_sf_dir):

@@ -234,3 +234,35 @@ def test_asof_join_tolerance(spark):
     }
 
     assert run("1000 days") == plain
+
+
+def test_asof_join_null_value_in_matched_row(spark):
+    """merge_asof semantics when the matched right row carries a NULL
+    value: the match is the ROW, not the last non-null value, so the
+    result is NULL -- a per-column ignorenulls fill would reach back to
+    an older row and hand out a value beyond the tolerance its own
+    supplying row violates (ADVICE r6 repro: quote 9:00 price=5.0,
+    quote 9:25 price=NULL, trade 9:30 tolerance 15 minutes)."""
+    import datetime as dt
+
+    from bigdata_storage_and_proccess_job_data_spark.operators.asof import asof_join
+
+    t = dt.datetime(2024, 3, 1, 9, 0, 0)
+
+    def ts(minutes):
+        return t + dt.timedelta(minutes=minutes)
+
+    quotes = spark.createDataFrame(
+        [(1, ts(0), 5.0), (1, ts(25), None)],
+        "k LONG, qts TIMESTAMP, price DOUBLE",
+    )
+    trades = spark.createDataFrame([(1, ts(30))], "k LONG, tts TIMESTAMP")
+
+    for tol in (None, "15 minutes"):
+        rows = asof_join(
+            trades, quotes, "k", "tts", "qts", ["price"], tolerance=tol
+        ).collect()
+        assert len(rows) == 1
+        # matched row is the 9:25 quote (within tolerance) whose price is
+        # NULL; the stale 9:00 row's 5.0 must NOT leak through
+        assert rows[0].price_asof is None

@@ -475,6 +475,51 @@ def test_optimize_table_recluster_and_stats(spark, tmp_path):
         )
 
 
+def test_optimize_table_default_pins_read_version(spark, tmp_path):
+    """ADVICE r6: optimize_table's DEFAULT must fail closed against a
+    commit racing between its read and its commit -- the old
+    expected=None default silently published a snapshot built from the
+    stale read, dropping the concurrent ingest's rows (lost update).
+    Simulated race: monkeypatch read_version to sneak an ingest commit
+    in after optimize pins its version but before it reads."""
+    import pytest
+
+    table = str(tmp_path / "opt_race")
+    versioned.apply_changes(
+        spark,
+        table,
+        spark.range(0, 100).selectExpr("id AS k", "'upsert' AS _op"),
+        "k",
+    )
+
+    real_read = versioned.read_version
+    raced = {"done": False}
+
+    def racing_read(spark_, table_dir, version=None, prune=None):
+        if not raced["done"]:
+            raced["done"] = True
+            versioned.apply_changes(
+                spark,
+                table,
+                spark.range(100, 200).selectExpr("id AS k", "'upsert' AS _op"),
+                "k",
+            )
+        return real_read(spark_, table_dir, version=version, prune=prune)
+
+    versioned.read_version = racing_read
+    try:
+        with pytest.raises(versioned.ConcurrentCommitError):
+            versioned.optimize_table(spark, table, cluster_by="k")
+    finally:
+        versioned.read_version = real_read
+
+    # nothing lost: the racing ingest's rows are all present
+    assert versioned.read_version(spark, table).count() == 200
+    # explicit opt-out still allowed (documented unsafe path)
+    v = versioned.optimize_table(spark, table, cluster_by="k", expected=None)
+    assert versioned.read_version(spark, table, version=v).count() == 200
+
+
 def test_optimize_table_coalesce_path(spark, tmp_path):
     """optimize_table without cluster_by: pure compaction (coalesce to
     the target file count), content identical, no stats manifest
