@@ -212,6 +212,46 @@ def md5_hyperplanes(
     return planes
 
 
+def md5_codebooks(
+    m: int, n_codes: int, dsub: int, seed: int = 42
+) -> list[list[list[float]]]:
+    """PQ codebooks whose centroid components are md5-derived uniforms
+    in [-1, 1) -- md5_hyperplanes' generator applied to product
+    quantization: component (j, c, t) of subspace j, code c is the first
+    15 md5 hex nibbles of ``"pq:{seed}:{j}:{c}:{t}"`` scaled by 2^-59
+    and shifted, so any engine with md5 rebuilds the identical books
+    (DuckDB twin in plans/scale_queries' knn_pq oracle).
+
+    Untrained random codebooks quantize worse than k-means-fit ones
+    (train_pq / ivfpq_build remain the production fit, their recall
+    floors pinned in tests/test_similarity.py); what these buy is
+    CROSS-ENGINE REPRODUCIBILITY of the encode + ADC machinery itself
+    -- the same trade md5_hyperplanes makes for LSH -- which is what
+    lets a driver query hash-match the full PQ search path against an
+    independent SQL recomputation."""
+    import hashlib
+
+    books = []
+    for j in range(m):
+        book = []
+        for c in range(n_codes):
+            book.append(
+                [
+                    int(
+                        hashlib.md5(
+                            f"pq:{seed}:{j}:{c}:{t}".encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    / 2**59
+                    - 1.0
+                    for t in range(dsub)
+                ]
+            )
+        books.append(book)
+    return books
+
+
 def signature_expr(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature (BIGINT bucket id) of a vector against the
     hyperplane set: bit p = (vec . plane_p) >= 0."""

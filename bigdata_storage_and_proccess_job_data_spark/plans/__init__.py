@@ -239,15 +239,85 @@ DRIVER_WINDOW_R6 = [
     "snapshot_change_feed",
 ]
 
-# Round-7 obligation, pinned NOW so the displacement above can't silently
-# strand a query: R7 = the R5 window, minus the retired embedding_norms
-# and the two queries re-rowed in r6 (knn_lsh, ann_recall), plus the
-# three queries displaced out of R6. test_plans.py asserts
-# R6 ∪ R7_PLAN == registry with R6 ∩ R7_PLAN == ∅ -- the two-round
-# coverage invariant as code, not prose (VERDICT r5 #2).
+# Round-7 obligation, pinned in r6 so the displacement above couldn't
+# silently strand a query: R7 = the R5 window, minus the retired
+# embedding_norms and the two queries re-rowed in r6 (knn_lsh,
+# ann_recall), plus the three queries displaced out of R6.
 DRIVER_WINDOW_R7_PLAN = sorted(
     (set(DRIVER_WINDOW_R5) - {"embedding_norms", "knn_lsh", "ann_recall"})
     | {"impute_mean", "freshness_buckets", "dedup_latest"}
+)
+
+# Round 7 window (VERDICT r6 #2/#3/#4 executed). Base = the pinned
+# DRIVER_WINDOW_R7_PLAN above, with this round's registry changes and
+# the changed-code displacement procedure applied and recorded:
+#   RETIRED (5, registry.RETIRED carries each coverage-merge record):
+#     - media_features_knn  (VERDICT r6 #3; was in R6, holds a fresh r6
+#                            rows-only row -- retiring removes the
+#                            guaranteed-no_oracle slot burn, coverage in
+#                            media_features_exact + knn_ivf + the
+#                            multimodal recall test, which now drives
+#                            the pipeline via _media_knn_lazy)
+#     - currency_convert, clean_numeric_cast (VERDICT r6 #4 named both
+#                            as strict subsumptions)
+#     - sample_deterministic (md5-bucket membership subsumed by
+#                            stratified_sample_k + the promoted
+#                            weighted_take_k, same md5 coin)
+#     - doc_length_histogram (fixed-width binning = value_distribution's
+#                            shape over the token_count already hashed
+#                            in text_stats/corpus_token_budget)
+#   REGISTERED (5, all with exact DuckDB oracles, in-window by the
+#   changed-code rule): weighted_take_k, hashed_doc_vector,
+#     cms_point_estimates, knn_pq (the PQ/ADC path with md5-derived
+#     codebooks -- VERDICT r6 #5's driver-visible PQ quality row, done
+#     as a full hash-matched top-k instead of a rows-only recall
+#     scalar), temperature_mixture.
+#   IN (1) -- changed-code displacement: asof_last_purchase
+#     (operators/asof.py rewrote the fill to a single matched-row
+#     struct per ADVICE r6 -- the fix must not ship on a stale row).
+#   OUT (2) -- displaced to the round-8 plan (their r5 rows go 3 rounds
+#   stale at end of r7; R8 MUST carry them, pinned by
+#   DRIVER_WINDOW_R8_PLAN and the partition test):
+#     - knn_brute_force (code untouched; exact-KNN family in-window via
+#       hybrid_search's exact rerank and re-rowed via knn_arrow in R8)
+#     - global_reduce   (code untouched; the S13/A8 RDD demo, smallest
+#       information loss of any candidate)
+# Changed-code audit for the rest of this round: versioned.py's
+# optimize_table default (no registered query calls optimize_table),
+# aggregates.py's cms/heavy_hitters (cms_point_estimates is the NEW
+# in-window query on that code; heavy_hitters is test-only), and
+# text.py's normalize_unicode memoization (no registered query path) --
+# no further displacement required.
+DRIVER_WINDOW_R7 = sorted(
+    (
+        set(DRIVER_WINDOW_R7_PLAN)
+        - {
+            "currency_convert",
+            "clean_numeric_cast",
+            "sample_deterministic",
+            "doc_length_histogram",
+            "knn_brute_force",
+            "global_reduce",
+        }
+    )
+    | {
+        "weighted_take_k",
+        "hashed_doc_vector",
+        "cms_point_estimates",
+        "knn_pq",
+        "temperature_mixture",
+        "asof_last_purchase",
+    }
+)
+
+# Round-8 obligation, pinned NOW: the exact complement of
+# DRIVER_WINDOW_R7 in the post-retirement registry -- the R6 window
+# minus the retired media_features_knn and the re-rowed
+# asof_last_purchase, plus the two queries displaced out of R7.
+# test_plans.py asserts R7 ∪ R8_PLAN == registry with R7 ∩ R8_PLAN == ∅.
+DRIVER_WINDOW_R8_PLAN = sorted(
+    (set(DRIVER_WINDOW_R6) - {"media_features_knn", "asof_last_purchase"})
+    | {"knn_brute_force", "global_reduce"}
 )
 
 DRIVER_WINDOW_R4 = [
@@ -370,4 +440,4 @@ DRIVER_WINDOW_R3 = [
     "impute_mean",  # A9/X2
 ]
 
-set_driver_order(DRIVER_WINDOW_R6)
+set_driver_order(DRIVER_WINDOW_R7)

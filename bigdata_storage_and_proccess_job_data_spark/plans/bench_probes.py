@@ -93,7 +93,78 @@ def point_lookup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _versioned_dir(sf_dir: str) -> str:
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"vt:{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"sgraft_vt_probe_{key}")
+
+
+def ensure_versioned_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per fixture generation) the versioned-orders probe
+    table: 10 interleaved MERGE commits fragment the layout exactly the
+    way incremental ingest does -- each commit's files carry scattered
+    o_orderkey ranges -- then one OPTIMIZE commit range-clusters into 16
+    files and writes the stats manifest. The probe below reads the
+    post-OPTIMIZE snapshot through manifest pruning; the build is the
+    write-time investment the recurring read amortizes (same split as
+    ensure_layouts)."""
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    dest = _versioned_dir(sf_dir)
+    if versioned.current_version(dest) is None:
+        orders = load_table(spark, sf_dir, "orders")
+        for i in range(10):
+            batch = orders.filter(F.col("o_orderkey") % 10 == i).withColumn(
+                "_op", F.lit("upsert")
+            )
+            versioned.apply_changes(spark, dest, batch, "o_orderkey")
+        versioned.optimize_table(
+            spark,
+            dest,
+            cluster_by="o_orderkey",
+            target_files=16,
+            stats_cols=["o_orderkey"],
+        )
+    return dest
+
+
+def version_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue over the top ~1% of the o_orderkey range, read from the
+    versioned table via manifest pruning (read_version(prune=...)):
+    prune_files drops every file whose [min, max] misses the band
+    BEFORE Spark sees a path, so the scan opens ~1 of 16 files -- the
+    table format's main scale claim, measured (VERDICT r6 #6).
+    bench.py records latency AND rows_read; correctness (pruned ==
+    full scan + filter) is pinned in tests/test_versioned.py."""
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    dest = ensure_versioned_table(spark, sf_dir)
+    ck = f"vt:{sf_dir}"
+    kmax = _KEY_CACHE.get(ck)
+    if kmax is None:
+        kmax = (
+            load_table(spark, sf_dir, "orders")
+            .agg(F.max("o_orderkey").alias("k"))
+            .first()[0]
+        )
+        _KEY_CACHE[ck] = kmax
+    lo = kmax - max(1, kmax // 100)
+    pruned = versioned.read_version(
+        spark, dest, prune=("o_orderkey", lo, kmax)
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("revenue"),
+    )
+
+
 def bench_probes() -> dict:
     """name -> (spark, sf_dir) -> DataFrame, merged into bench.py's run
     set after the registered headline queries."""
-    return {"point_lookup_lineitem": point_lookup_lineitem}
+    return {
+        "point_lookup_lineitem": point_lookup_lineitem,
+        "version_prune_orders": version_prune_orders,
+    }

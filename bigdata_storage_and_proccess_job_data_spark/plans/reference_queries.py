@@ -219,29 +219,10 @@ def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # F1 + F3: numeric-with-garbage cleaning (regexp_replace + cast)
-# ---------------------------------------------------------------------------
-@register(
-    "clean_numeric_cast",
-    tags=("expr", "clean"),
-    oracle="""
-        SELECT o_orderkey,
-               CAST(regexp_replace('$' || CAST(o_totalprice AS VARCHAR),
-                                   '[^0-9.]', '', 'g') AS DOUBLE) AS cleaned_salary
-        FROM orders
-    """,
-)
-def clean_numeric_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference F1/F3 (spark_job.py:45,47): strip `[^0-9.]` from a
-    currency-decorated string and cast to double. The garbage string is
-    derived on the fly so the fixture exercises the same round trip."""
-    orders = load_table(spark, sf_dir, "orders")
-    garbage = F.concat(F.lit("$"), F.col("o_totalprice").cast("string"))
-    return orders.select(
-        "o_orderkey",
-        cleaning.clean_numeric_string(garbage).alias("cleaned_salary"),
-    )
-
-
+# RETIRED r7 (registry.RETIRED["clean_numeric_cast"]): the F1/F3 chain
+# (clean_numeric_string + cast) is a hash-checked sub-expression of
+# company_stats_v1's oracle and the normalize_raw golden tests; the slot
+# funds the r7 promotions (VERDICT r6 #4).
 # ---------------------------------------------------------------------------
 # F2: first-match-wins regex classifier chain
 # ---------------------------------------------------------------------------
@@ -359,38 +340,9 @@ def derive_salary_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # F8 variant: table-driven conditional currency conversion
-# ---------------------------------------------------------------------------
-@register(
-    "currency_convert",
-    tags=("expr", "join"),
-    oracle=f"""
-        SELECT c_custkey,
-               {sql_round('''CASE WHEN n_name = 'UNITED KINGDOM' THEN c_acctbal * 1.27
-                          WHEN n_name = 'FRANCE'         THEN c_acctbal * 1.08
-                          ELSE c_acctbal * 1.0 END''', 4)} AS acctbal_usd
-        FROM customer JOIN nation ON c_nationkey = n_nationkey
-    """,
-)
-def currency_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference F8 currency conversion (GBP*1.27, spark_batch_v2.py:83-89)
-    generalized to a rate table; nation dim is broadcast."""
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    joined = customer.join(
-        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
-    )
-    return joined.select(
-        "c_custkey",
-        stable_round(
-            enrich.convert_currency(
-                "c_acctbal", "n_name",
-                {"UNITED KINGDOM": 1.27, "FRANCE": 1.08},
-            ),
-            4,
-        ).alias("acctbal_usd"),
-    )
-
-
+# RETIRED r7 (registry.RETIRED["currency_convert"]): a strict
+# sub-expression of derive_salary_fields' oracle (VERDICT r6 #4 named
+# it); enrich.convert_currency stays tested in test_domain golden values.
 # ---------------------------------------------------------------------------
 # A3: location stats (multi-key groupBy over a dim snowflake)
 # ---------------------------------------------------------------------------

@@ -53,6 +53,63 @@ RETIRED: dict[str, dict[str, str]] = {
             "functions/vectors.py norm/dot are unchanged and tested."
         ),
     },
+    "media_features_knn": {
+        "round": "r7",
+        "replaced_by": "(window slot freed, VERDICT r6 #3)",
+        "coverage": (
+            "the blake2b+IVF tail is not SQL-expressible, so this row "
+            "was rows-only by construction every round it ran. Unique "
+            "surface covered by: media_features_exact (exact oracle over "
+            "the same binary assembly + Arrow mapInPandas extraction), "
+            "knn_ivf (rows-only row + test_ivf_topk_recall), and "
+            "tests/test_multimodal.py:test_media_features_knn_query_recall, "
+            "which now drives the identical pipeline via _media_knn_lazy. "
+            "Operator code unchanged."
+        ),
+    },
+    "currency_convert": {
+        "round": "r7",
+        "replaced_by": "weighted_take_k",
+        "coverage": (
+            "strict sub-expression of derive_salary_fields' oracle "
+            "(CASE-rate conversion over a broadcast dim; VERDICT r6 #4 "
+            "named the subsumption); enrich.convert_currency keeps its "
+            "test_domain golden-value tests."
+        ),
+    },
+    "clean_numeric_cast": {
+        "round": "r7",
+        "replaced_by": "hashed_doc_vector",
+        "coverage": (
+            "the F1/F3 regexp_replace+cast chain is a hash-checked "
+            "sub-expression of company_stats_v1's oracle pipeline and "
+            "the domain normalize_raw golden tests; "
+            "cleaning.clean_numeric_string unchanged and tested."
+        ),
+    },
+    "sample_deterministic": {
+        "round": "r7",
+        "replaced_by": "cms_point_estimates",
+        "coverage": (
+            "md5-bucket membership sampling is strictly weaker than the "
+            "registered samplers sharing the same md5 coin: "
+            "stratified_sample_k (group-window md5 order, exact oracle) "
+            "and weighted_take_k (A-ES priorities from the identical "
+            "52-bit uniform, exact set parity). "
+            "corpus.deterministic_sample keeps its stability/"
+            "monotonicity tests."
+        ),
+    },
+    "doc_length_histogram": {
+        "round": "r7",
+        "replaced_by": "knn_pq",
+        "coverage": (
+            "fixed-width bucket counting is value_distribution's "
+            "hash-checked shape applied to token_count, itself "
+            "hash-checked inside text_stats and corpus_token_budget; "
+            "corpus.length_histogram keeps its bucket tests."
+        ),
+    },
 }
 
 

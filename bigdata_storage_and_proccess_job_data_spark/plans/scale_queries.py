@@ -799,46 +799,14 @@ def _media_exact_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "media_features_knn",
-    tags=("multimodal", "similarity", "pandas-udf"),
-    plan_probes=(_media_knn_lazy,),
-)
-def media_features_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full multimodal pipeline as one driver-graded query: build a
-    deterministic BINARY media corpus from documents (10-byte fake-codec
-    header + utf8 payload -- unique bytes per doc), extract fixed-dim
-    embeddings via Arrow-batched mapInPandas
-    (operators/multimodal.py:extract_features, STUB codec -- the
-    container has no PIL/ffmpeg; the Spark plumbing is the real thing),
-    then IVF top-3 ANN over the feature vectors
-    (operators/similarity.py:ivf_topk). Media bytes never shuffle: the
-    binary column dies inside extract_features' map stage. Rows-only for
-    the driver (blake2b features are not SQL-expressible); recall vs
-    exact brute force is pinned in tests/test_multimodal.py."""
-    from bigdata_storage_and_proccess_job_data_spark.operators import (
-        multimodal,
-        similarity,
-    )
-
-    media = _media_frame(spark, sf_dir)
-    # persisted: the query side and the corpus side both consume feats;
-    # without it the Arrow feature-extraction stage runs twice. Released
-    # deterministically (ADVICE r4): the top-3-of-10-queries result is
-    # <= 30 rows, so it is materialized eagerly and the cache dropped in
-    # the finally -- no storage survives the call.
-    feats = multimodal.extract_features(media, dim=16).persist()
-    try:
-        queries = feats.filter(F.col("media_id") < 10)
-        out = similarity.ivf_topk(
-            queries, feats, id_col="media_id", vec_col="embedding",
-            k=3, n_centroids=8, n_probe=4,
-        )
-        rows = out.collect()
-        schema = out.schema
-    finally:
-        feats.unpersist()
-    return spark.createDataFrame(rows, schema)
+# media_features_knn RETIRED r7 (registry.RETIRED["media_features_knn"],
+# VERDICT r6 #3): the blake2b + IVF tail is not SQL-expressible, so the
+# registration spent a driver window slot on a guaranteed rows-only row
+# every other round while its unique surface stayed covered by
+# media_features_exact (exact oracle over the same binary assembly +
+# Arrow extraction), knn_ivf's rows-only row + recall tests, and
+# tests/test_multimodal.py's recall gate, which now drives the pipeline
+# via _media_knn_lazy directly (the operator code is unchanged).
 
 
 # ---------------------------------------------------------------------------
@@ -1061,58 +1029,20 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Corpus prep: deterministic hash sampling
+# RETIRED r7 (registry.RETIRED["sample_deterministic"]): the md5-bucket
+# membership filter is strictly weaker than the two A-ES/importance
+# sampling queries that use the same coin (stratified_sample_k in the
+# registry since r4, weighted_take_k promoted r7 with exact set parity);
+# corpus.deterministic_sample keeps its stability/monotonicity tests.
 # ---------------------------------------------------------------------------
-@register(
-    "sample_deterministic",
-    tags=("corpus", "filter"),
-    oracle="""
-        SELECT doc_id, lang
-        FROM documents
-        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8))::BIGINT
-              % 100 < 20
-    """,
-)
-def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """~20% corpus sample by md5(doc_id) bucket
-    (operators/corpus.py:deterministic_sample): reproducible across
-    engines/runs/partitionings -- unlike df.sample -- and membership is
-    stable under corpus growth. The hash filter is a plain expression,
-    value-checked here against DuckDB computing the SAME sample."""
-    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    return corpus.deterministic_sample(docs, "doc_id", rate_pct=20, salt="v1")
 
 
 # ---------------------------------------------------------------------------
 # Corpus prep: token-length histogram
-# ---------------------------------------------------------------------------
-@register(
-    "doc_length_histogram",
-    tags=("corpus", "agg"),
-    oracle=f"""
-        SELECT bucket,
-               bucket * 10 AS lo_tokens,
-               CAST(COUNT(*) AS BIGINT) AS doc_count
-        FROM (
-          SELECT least(CAST(floor(len({SQL_TOKENS}) / 10.0) AS BIGINT), 20)
-                 AS bucket
-          FROM documents
-        )
-        GROUP BY bucket
-        ORDER BY bucket
-    """,
-)
-def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus length distribution (10-token buckets, capped at 200+):
-    the diagnostic run before choosing chunk sizes
-    (operators/corpus.py:length_histogram)."""
-    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
-
-    docs = load_table(spark, sf_dir, "documents")
-    return corpus.length_histogram(docs, "text", bucket_width=10, max_bucket=20)
-
-
+# RETIRED r7 (registry.RETIRED["doc_length_histogram"]): fixed-width
+# bucket counting is the value_distribution shape (hash-checked every
+# window) applied to token_count, itself hash-checked inside text_stats /
+# corpus_token_budget; corpus.length_histogram keeps its bucket tests.
 # ---------------------------------------------------------------------------
 # Exact duplicated-substring spans (n-gram granularity)
 # ---------------------------------------------------------------------------
@@ -1931,4 +1861,297 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_5")
         )
         .select(F.lit("lsh").alias("method"), "recall_at_5")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: PQ/ADC top-k with md5-derived codebooks (exact oracle)
+# ---------------------------------------------------------------------------
+# The PQ counterpart of knn_lsh's graduation (VERDICT r6 #5): k-means-fit
+# codebooks are not SQL-reproducible, but the ENCODE + ADC machinery is,
+# once the codebooks are md5-derived (similarity.md5_codebooks). The
+# oracle rebuilds the identical centroids from md5, re-runs nearest-code
+# assignment with encode_pq's exact formula (-2*dot + ||c||^2, ties to
+# the lowest code), re-sums the ADC lookups and re-ranks -- so the whole
+# PQ search path (normalize -> quantize -> LUT sum -> round -> rank) is
+# value-hashed cross-engine. Trained-PQ/IVF-PQ quality stays pinned by
+# tests/test_similarity.py recall floors (k-means is the one
+# SQL-inexpressible step, same status as knn_ivf).
+_PQ_CENT_COMPONENT = _md5_hash60_sql(
+    "'pq:42:' || j::VARCHAR || ':' || c::VARCHAR || ':' || t::VARCHAR"
+)
+_PQ_TOPK_SQL = f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id,
+                 list_transform(
+                   v, x -> x / sqrt(list_dot_product(v, v))
+                 ) AS nv
+          FROM e WHERE sqrt(list_dot_product(v, v)) > 0
+        ),
+        cent AS (
+          SELECT j, c, t,
+                 (({_PQ_CENT_COMPONENT})::DOUBLE
+                   / 576460752303423488.0 - 1.0) AS val
+          FROM range(8) js(j), range(16) cs(c), range(8) ts(t)
+        ),
+        enc AS (
+          SELECT n.vec_id, ct.j, ct.c,
+                 -2.0 * SUM(n.nv[ct.j * 8 + ct.t + 1] * ct.val)
+                   + SUM(ct.val * ct.val) AS d2
+          FROM n CROSS JOIN cent ct
+          GROUP BY n.vec_id, ct.j, ct.c
+        ),
+        codes AS (
+          SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC
+                   ) AS rn
+            FROM enc
+          ) WHERE rn = 1
+        ),
+        adc AS (
+          SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
+                 SUM(q.nv[cd.j * 8 + ct.t + 1] * ct.val) AS sim_raw
+          FROM (SELECT vec_id, nv FROM n WHERE vec_id < 20) q
+          CROSS JOIN codes cd
+          JOIN cent ct ON ct.j = cd.j AND ct.c = cd.c
+          WHERE q.vec_id <> cd.vec_id
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 {sql_round("sim_raw", 4)} AS sim
+          FROM adc
+        )
+        SELECT query_id, neighbor_id, rank, sim
+        FROM (
+          SELECT query_id, neighbor_id, sim,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC
+                 ) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """
+
+
+@register(
+    "knn_pq",
+    tags=("similarity", "vector", "pandas-udf", "sketch"),
+    oracle=_PQ_TOPK_SQL,
+)
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 by product quantization + asymmetric distance
+    (operators/similarity.py:encode_pq -> pq_topk_from_codes): the
+    corpus is stored as m=8 4-bit-ish codes (16 codes/subspace over
+    64-dim embeddings) and every query scores rows by m LUT lookups --
+    the raw vectors are never touched at query time. Codebooks are
+    md5-derived (similarity.md5_codebooks) so the DuckDB oracle
+    reconstructs them exactly and re-runs the whole encode + ADC + rank
+    path; the codes column is the persistent index artifact at scale
+    (64x smaller than the vectors)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.md5_codebooks(m=8, n_codes=16, dsub=8, seed=42)
+    codes = similarity.encode_pq(emb, books)
+    return similarity.pq_topk_from_codes(
+        emb.filter(F.col("vec_id") < 20), codes, books, k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus sampling: exact-k weighted (A-ES) -- promoted r7 (VERDICT r6 #4)
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_take_k",
+    tags=("corpus", "sample", "window"),
+    oracle=f"""
+        WITH prio AS (
+          SELECT doc_id, source,
+                 ln((({_md5_hash60_sql("doc_id::VARCHAR || 's'")} >> 8) + 1)
+                    / 4503599627370496.0)
+                   / (1.0 + doc_id % 10) AS p
+          FROM documents
+        ),
+        ranked AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY p DESC, doc_id ASC
+                 ) AS rn
+          FROM prio
+        )
+        SELECT doc_id, source FROM ranked WHERE rn <= 25
+    """,
+)
+def weighted_take_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 25 docs per source, sampled WITHOUT replacement with
+    probability proportional to a per-row weight -- Efraimidis-Spirakis
+    A-ES (operators/corpus.py:weighted_take_k): priority ln(u)/w from
+    the md5-derived uniform u, top-k per group by one window rank. The
+    weight here is a deterministic fixture expression (1 + doc_id % 10)
+    so DuckDB reproduces the EXACT selected set from the same coin --
+    the quality-weighted eval-set sampler with cross-engine parity.
+    ONE group-window shuffle; at 100 TB the rank filter cuts the corpus
+    before anything downstream touches it."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.weighted_take_k(
+        docs,
+        "doc_id",
+        1.0 + (F.col("doc_id") % 10),
+        k=25,
+        group_col="source",
+        salt="s",
+    ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Text -> vector: feature hashing -- promoted r7 (VERDICT r6 #4)
+# ---------------------------------------------------------------------------
+_FEATHASH_CELLS = ", ".join(
+    f"COALESCE(list_sum(list_transform(hs, h -> "
+    f"CASE WHEN (h & 63) = {i} THEN "
+    f"(CASE WHEN ((h >> 6) & 1) = 0 THEN 1.0 ELSE -1.0 END) "
+    f"ELSE 0.0 END)), 0.0)"
+    for i in range(64)
+)
+
+
+@register(
+    "hashed_doc_vector",
+    tags=("text", "vector", "expr"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\\s+')
+                 END AS ts
+          FROM documents
+        ),
+        enc AS (
+          SELECT doc_id,
+                 list_transform(ts, t -> {_md5_hash60_sql("'hv:0:' || t")})
+                   AS hs
+          FROM toks
+        )
+        SELECT doc_id, [{_FEATHASH_CELLS}] AS vec FROM enc
+    """,
+)
+def hashed_doc_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic model-free document embeddings by signed feature
+    hashing (functions/text.py:hashed_doc_vector, Weinberger et al.
+    2009): each token lands in cell md5&63 with sign bit md5>>6, summed
+    by a pure JVM expression fold -- zero shuffles, zero Python. The
+    md5-derived hash makes the vectors byte-recomputable in DuckDB
+    (value parity for all 64 cells per doc), and the output composes
+    directly with the ANN stack (see
+    tests/test_analytics.py:test_hashed_doc_vector_feeds_ann_stack)."""
+    from bigdata_storage_and_proccess_job_data_spark.functions import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.hashed_doc_vector("text", dim=64).alias("vec")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch surface: count-min point estimates -- promoted r7
+# ---------------------------------------------------------------------------
+@register(
+    "cms_point_estimates",
+    tags=("sketch", "agg"),
+    oracle=f"""
+        WITH ds AS (SELECT unnest(range(4)) AS d),
+        sk AS (
+          SELECT ds.d,
+                 (({_md5_hash60_sql(
+                     "'cms:' || ds.d::VARCHAR || ':' || o_custkey::VARCHAR"
+                 )} >> 8) % 256) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM orders, ds
+          GROUP BY 1, 2
+        ),
+        probes AS (SELECT unnest(range(1, 26)) AS o_custkey),
+        cells AS (
+          SELECT p.o_custkey, ds.d,
+                 (({_md5_hash60_sql(
+                     "'cms:' || ds.d::VARCHAR || ':' || p.o_custkey::VARCHAR"
+                 )} >> 8) % 256) AS bucket
+          FROM probes p, ds
+        )
+        SELECT c.o_custkey,
+               CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS estimate
+        FROM cells c
+        LEFT JOIN sk ON c.d = sk.d AND c.bucket = sk.bucket
+        GROUP BY c.o_custkey
+    """,
+)
+def cms_point_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build + point lookups as one driver-graded
+    query (operators/aggregates.py:cms_sketch/cms_lookup, VERDICT r6
+    #4): sketch orders by o_custkey into 4x256 md5-hashed cells, then
+    estimate the order count of customers 1..25 as the min over the 4
+    hash rows. The md5-derived hash family is SQL-recomputable (the
+    simhash/LSH precedent), so DuckDB rebuilds the identical sketch and
+    lookups -- CMS's one-sided estimate>=truth guarantee rides along
+    because both engines compute the same cells. At 100 TB the sketch
+    is the stored artifact: per-batch sketches merge cell-wise
+    (cms_merge) instead of rescanning history."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    orders = load_table(spark, sf_dir, "orders")
+    sk = aggregates.cms_sketch(
+        orders.select("o_custkey"), "o_custkey", width=256, depth=4
+    )
+    probes = spark.range(1, 26).select(F.col("id").alias("o_custkey"))
+    return aggregates.cms_lookup(sk, probes, "o_custkey", width=256, depth=4)
+
+
+# ---------------------------------------------------------------------------
+# Mixture planning: temperature-smoothed source weights -- promoted r7
+# ---------------------------------------------------------------------------
+@register(
+    "temperature_mixture",
+    tags=("corpus", "agg"),
+    oracle=f"""
+        WITH avail AS (
+          SELECT source, CAST(SUM(len({SQL_TOKENS})) AS DOUBLE) AS n
+          FROM documents GROUP BY source
+        )
+        SELECT source,
+               CAST(n AS BIGINT) AS tokens_available,
+               {sql_round("sqrt(n) / SUM(sqrt(n)) OVER ()", 4)} AS weight
+        FROM avail WHERE n > 0
+    """,
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed mixture weights w_i = n_i^alpha at alpha=0.5
+    (operators/corpus.py:source_availability + temperature_weights --
+    the XLM/mBERT rebalance): ONE hash aggregation over the corpus for
+    per-source token availability, then driver arithmetic over
+    |sources| numbers (the documented bounded-collect class). The
+    oracle recomputes availability from the shared token-count SQL and
+    the smoothing in-engine, so the whole mixture-planning input --
+    counts exact, weights to 4dp -- is value-hashed."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        corpus as corpus_ops,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    avail = corpus_ops.source_availability(docs, "source", "text")
+    weights = corpus_ops.temperature_weights(avail, alpha=0.5)
+    out = spark.createDataFrame(
+        [(s, int(avail[s]), float(w)) for s, w in weights.items()],
+        "source STRING, tokens_available LONG, weight DOUBLE",
+    )
+    return out.select(
+        "source",
+        "tokens_available",
+        stable_round(F.col("weight"), 4).alias("weight"),
     )

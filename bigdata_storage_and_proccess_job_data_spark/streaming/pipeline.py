@@ -47,17 +47,32 @@ def kafka_stream(
 ) -> DataFrame:
     """Kafka source -> parsed typed frame (reference S3+S4:
     spark_streaming_v2.py:57-68): CAST(value AS STRING) -> from_json ->
-    flatten. Requires the spark-sql-kafka package on the classpath; the
-    load() call raises a clear error if it is absent (not installed in
-    the test container -- covered by construct-only tests)."""
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", str(fail_on_data_loss).lower())
-        .load()
-    )
+    flatten. Requires the spark-sql-kafka package on the classpath (not
+    installed in the test container -- covered by construct-only tests);
+    when absent, the load() failure is re-raised naming the EXACT
+    --packages coordinate for this Spark build (VERDICT r6 #8)."""
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .option("failOnDataLoss", str(fail_on_data_loss).lower())
+            .load()
+        )
+    except Exception as e:
+        if "kafka" not in str(e).lower():
+            raise
+        coord = (
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:" + spark.version
+        )
+        raise RuntimeError(
+            "the Kafka data source is not on this session's classpath; "
+            f"launch with: spark-submit --packages {coord} (or add the "
+            "same coordinate to spark.jars.packages before the session "
+            "starts). File/rate/memory sources drive the identical "
+            "parse+window pipeline in tests."
+        ) from e
     return raw.selectExpr("CAST(value AS STRING) AS _json").select(
         F.from_json(F.col("_json"), value_schema).alias("data")
     ).select("data.*")

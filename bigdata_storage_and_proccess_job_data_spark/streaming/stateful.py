@@ -174,9 +174,12 @@ def running_totals_tws(
         import google.protobuf  # noqa: F401
     except ImportError as e:
         raise ImportError(
-            "transformWithStateInPandas requires the protobuf package "
-            "(pip install protobuf); running_totals_stream provides the "
-            "same semantics on applyInPandasWithState"
+            "transformWithStateInPandas needs the protobuf runtime for "
+            "pyspark.sql.streaming.proto.StateMessage_pb2 (generated "
+            "with Protobuf 6.33.0, which enforces a matching runtime): "
+            "pip install 'protobuf>=6.33'. Absent in this sandbox; "
+            "running_totals_stream provides the same semantics on "
+            "applyInPandasWithState and carries the cross-batch tests"
         ) from e
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (

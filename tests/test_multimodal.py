@@ -76,17 +76,20 @@ def test_resize_then_decode_roundtrip(spark, media_df):
 
 
 def test_media_features_knn_query_recall(spark, sf_dir):
-    """The registry query (driver checks rows-only): IVF ANN over
-    fake-codec features must rank sanely and reach decent recall vs
-    exact brute force over the same feature frame."""
+    """The media->IVF pipeline (registry entry RETIRED r7 -- the blake2b
+    + IVF tail is not SQL-expressible, so its driver row was rows-only
+    by construction; this test IS the retirement's coverage note): IVF
+    ANN over fake-codec features must rank sanely and reach decent
+    recall vs exact brute force over the same feature frame."""
     from bigdata_storage_and_proccess_job_data_spark.operators import (
         multimodal,
         similarity,
     )
-    from bigdata_storage_and_proccess_job_data_spark.plans import all_queries
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        _media_knn_lazy,
+    )
 
-    q = all_queries()["media_features_knn"].fn
-    rows = q(spark, sf_dir).collect()
+    rows = _media_knn_lazy(spark, sf_dir).collect()
     by_q: dict[int, list] = {}
     for r in rows:
         assert 1 <= r.rank <= 3 and r.query_id != r.neighbor_id

@@ -160,11 +160,17 @@ def test_stateful_update_mode_cumulative(spark, sf_dir, tmp_path):
 
 
 def test_kafka_builder_fails_clearly_without_package(spark):
+    """The gate message must name the exact --packages coordinate for
+    this Spark build (VERDICT r6 #8), not just re-raise Spark's
+    data-source-not-found error."""
     from bigdata_storage_and_proccess_job_data_spark.domain.schemas import (
         NORMALIZED_POSTING_SCHEMA,
     )
 
-    with pytest.raises(Exception, match="kafka|KAFKA|DATA_SOURCE"):
+    with pytest.raises(
+        RuntimeError,
+        match=r"spark-sql-kafka-0-10_2\.13:" + spark.version.replace(".", r"\."),
+    ):
         pipeline.kafka_stream(
             spark, "localhost:9092", "jobs-topic", NORMALIZED_POSTING_SCHEMA
         )
