@@ -213,22 +213,31 @@ def md5_hyperplanes(
 
 
 def md5_codebooks(
-    m: int, n_codes: int, dsub: int, seed: int = 42
+    m: int, n_codes: int, dsub: int, seed: int = 42, scale: float = 1.0
 ) -> list[list[list[float]]]:
     """PQ codebooks whose centroid components are md5-derived uniforms
-    in [-1, 1) -- md5_hyperplanes' generator applied to product
+    in [-scale, scale) -- md5_hyperplanes' generator applied to product
     quantization: component (j, c, t) of subspace j, code c is the first
-    15 md5 hex nibbles of ``"pq:{seed}:{j}:{c}:{t}"`` scaled by 2^-59
-    and shifted, so any engine with md5 rebuilds the identical books
-    (DuckDB twin in plans/scale_queries' knn_pq oracle).
+    15 md5 hex nibbles of ``"pq:{seed}:{j}:{c}:{t}"`` scaled by 2^-59,
+    shifted, and multiplied by ``scale`` (one IEEE multiply -- still
+    bit-identical on any engine with md5; DuckDB twin in
+    plans/scale_queries' knn_pq oracle).
 
-    Untrained random codebooks quantize worse than k-means-fit ones
-    (train_pq / ivfpq_build remain the production fit, their recall
-    floors pinned in tests/test_similarity.py); what these buy is
-    CROSS-ENGINE REPRODUCIBILITY of the encode + ADC machinery itself
-    -- the same trade md5_hyperplanes makes for LSH -- which is what
-    lets a driver query hash-match the full PQ search path against an
-    independent SQL recomputation."""
+    ``scale`` should roughly match the data's per-component spread or
+    the ||c||^2 term dominates nearest-code assignment and most codes go
+    unused: for L2-normalized dim-D vectors the subvector components
+    have rms 1/sqrt(D), so uniform centroids want scale ~ sqrt(3/D)
+    (~0.22 at D=64; 0.35 measured best on the fixture corpus, matching
+    TRAINED 16-code PQ's recall there -- see
+    tests/test_similarity.py:test_knn_pq_registered_query_quality*).
+
+    Untrained random codebooks generally quantize worse than
+    k-means-fit ones (train_pq / ivfpq_build remain the production fit,
+    their recall floors pinned in tests/test_similarity.py); what these
+    buy is CROSS-ENGINE REPRODUCIBILITY of the encode + ADC machinery
+    itself -- the same trade md5_hyperplanes makes for LSH -- which is
+    what lets a driver query hash-match the full PQ search path against
+    an independent SQL recomputation."""
     import hashlib
 
     books = []
@@ -237,14 +246,17 @@ def md5_codebooks(
         for c in range(n_codes):
             book.append(
                 [
-                    int(
-                        hashlib.md5(
-                            f"pq:{seed}:{j}:{c}:{t}".encode()
-                        ).hexdigest()[:15],
-                        16,
+                    (
+                        int(
+                            hashlib.md5(
+                                f"pq:{seed}:{j}:{c}:{t}".encode()
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        / 2**59
+                        - 1.0
                     )
-                    / 2**59
-                    - 1.0
+                    * scale
                     for t in range(dsub)
                 ]
             )

