@@ -595,3 +595,81 @@ def optimize_table(
     return commit_version(
         df, table_dir, expected=expected, stats_cols=stats_cols
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    table_dir: str,
+    small_bytes: int = 8 * 1024 * 1024,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    stats_cols: list[str] | None = None,
+    expected: int | str | None = "auto",
+) -> int:
+    """INCREMENTAL compaction: rewrite only the snapshot's files smaller
+    than ``small_bytes``; every already-right-sized file is HARD-LINKED
+    into the new snapshot unchanged. optimize_table rewrites the whole
+    table -- O(table) I/O to fix fragmentation that lives in a handful
+    of trailing micro-batch files; this is the Delta OPTIMIZE
+    bin-packing behavior instead: cost proportional to the small files
+    only, which is what makes periodic compaction affordable on a
+    100 TB table that grows by small commits. (Hard links are the
+    local-fs realization of manifest reuse -- on an object store the
+    new snapshot's manifest would simply reference the kept objects;
+    link counts also keep vacuum() of either snapshot safe, since an
+    unlink in one dir never touches the other's entry.)
+
+    Small files are read once and re-written as
+    ceil(small_total / target_file_bytes) files. Returns the new
+    version, or the CURRENT version unchanged when fewer than two small
+    files exist (nothing to bin-pack -- no empty commit).
+
+    Concurrency matches optimize_table: ``expected="auto"`` pins the
+    compacted version and fails closed (ConcurrentCommitError) if an
+    ingest commits meanwhile. ``stats_cols`` refreshes the whole
+    snapshot's manifest (footer walk only -- linked files are not
+    re-read beyond their KB-sized footers)."""
+    import glob
+    import math
+
+    pinned = current_version(table_dir)
+    if pinned is None:
+        raise FileNotFoundError(f"{table_dir} has no committed version")
+    if expected == "auto":
+        expected = pinned
+    snap = os.path.join(table_dir, f"v={pinned}")
+    parts = sorted(glob.glob(os.path.join(snap, "*.parquet")))
+    small = [p for p in parts if os.path.getsize(p) < small_bytes]
+    large = [p for p in parts if p not in set(small)]
+    if len(small) < 2:
+        return pinned
+    if expected is not None:
+        cur = current_version(table_dir) or 0
+        if cur != expected:
+            raise ConcurrentCommitError(
+                f"{table_dir}: expected v{expected}, found v{cur}"
+            )
+    small_total = sum(os.path.getsize(p) for p in small)
+    n_out = max(1, math.ceil(small_total / target_file_bytes))
+    nxt = (max(versions(table_dir), default=0)) + 1
+    while not _claim(table_dir, f"._claim_v{nxt}"):
+        nxt += 1
+    new_snap = os.path.join(table_dir, f"v={nxt}")
+    spark.read.parquet(*small).coalesce(n_out).write.mode("error").parquet(
+        new_snap
+    )
+    for p in large:
+        os.link(p, os.path.join(new_snap, os.path.basename(p)))
+    if stats_cols:
+        write_stats_manifest(new_snap, stats_cols)
+    if expected is not None and not _claim(
+        table_dir, f"._commit_from_v{expected}"
+    ):
+        raise ConcurrentCommitError(
+            f"{table_dir}: another writer already committed the "
+            f"transition out of v{expected}"
+        )
+    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._latest_")
+    with os.fdopen(fd, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, _pointer_path(table_dir))
+    return nxt

@@ -555,6 +555,67 @@ def test_version_prune_probe_correct_and_skips_files(spark, oracle_sf_dir):
     assert kept <= 2, (kept, total)  # ~1% band -> ~1 of 16 files
 
 
+def test_compact_small_files_links_large_rewrites_small(spark, tmp_path):
+    """Incremental compaction: only small files rewrite; the big file is
+    HARD-LINKED into the new snapshot (same inode -- zero data I/O for
+    the already-right-sized bulk), content identical, old snapshot still
+    time-travel readable, stats manifest refreshed on request, racing
+    commit fails closed, and a snapshot with <2 small files is a no-op
+    (no empty commit)."""
+    import glob
+    import os
+
+    import pytest
+
+    table = str(tmp_path / "bins")
+    big = spark.range(0, 200_000).selectExpr("id AS k", "id * 2 AS v").coalesce(1)
+    tiny = (
+        spark.range(200_000, 200_080)
+        .selectExpr("id AS k", "id * 2 AS v")
+        .repartition(8)
+    )
+    versioned.commit_version(big.unionAll(tiny), table)
+    snap1 = f"{table}/v=1"
+    parts1 = sorted(glob.glob(f"{snap1}/*.parquet"), key=os.path.getsize)
+    assert len(parts1) == 9
+    big_file = parts1[-1]
+    threshold = os.path.getsize(big_file)  # everything below the big one
+
+    v = versioned.compact_small_files(
+        spark, table, small_bytes=threshold, stats_cols=["k"]
+    )
+    assert v == 2
+    snap2 = f"{table}/v=2"
+    parts2 = glob.glob(f"{snap2}/*.parquet")
+    # 8 tiny files became 1; the big file was linked, not copied
+    assert len(parts2) == 2
+    linked = os.path.join(snap2, os.path.basename(big_file))
+    assert os.path.exists(linked)
+    assert os.stat(linked).st_ino == os.stat(big_file).st_ino
+    assert versioned.read_stats_manifest(snap2) is not None
+
+    after = versioned.read_version(spark, table)
+    assert after.count() == 200_080
+    assert after.agg(F.sum("v")).first()[0] == sum(
+        2 * i for i in range(200_080)
+    )
+    # old snapshot untouched (time travel), and vacuuming it does not
+    # break the linked file in the new snapshot
+    assert versioned.read_version(spark, table, version=1).count() == 200_080
+    versioned.vacuum(table, keep=1)
+    assert versioned.read_version(spark, table).count() == 200_080
+
+    # <2 small files now -> no-op, same version back
+    assert versioned.compact_small_files(spark, table, small_bytes=10) == 2
+
+    # stale expected fails closed (small_bytes high enough that both
+    # remaining files qualify, so the check is actually reached)
+    with pytest.raises(versioned.ConcurrentCommitError):
+        versioned.compact_small_files(
+            spark, table, small_bytes=threshold * 10, expected=1
+        )
+
+
 def test_optimize_table_coalesce_path(spark, tmp_path):
     """optimize_table without cluster_by: pure compaction (coalesce to
     the target file count), content identical, no stats manifest
