@@ -191,6 +191,17 @@ def main() -> None:
         f"{len(pruned)}/{n_files} files"
     )
 
+    # incremental maintenance: daily MERGE commits leave small trailing
+    # files; bin-pack ONLY those (right-sized files hard-link into the
+    # new snapshot -- O(small files) I/O, not a full rewrite), stats
+    # manifest refreshed in the same commit so pruning keeps working
+    vc = versioned.compact_small_files(
+        spark, table_dir, small_bytes=512 * 1024, stats_cols=["doc_id"]
+    )
+    csnap = f"{table_dir}/v={vc}"
+    n_post = len([f for f in os.listdir(csnap) if f.endswith(".parquet")])
+    print(f"compacted small files: {n_files} -> {n_post} files at v{vc}")
+
     # trailing-window metrics from the stored sketches alone
     from bigdata_storage_and_proccess_job_data_spark.operators import aggregates as agg
 
