@@ -156,7 +156,9 @@ def read_version(
     spark: SparkSession,
     table_dir: str,
     version: int | None = None,
-    prune: tuple[str, object, object] | None = None,
+    prune: tuple[str, object, object]
+    | list[tuple[str, object, object]]
+    | None = None,
 ) -> DataFrame:
     """Read the committed snapshot (or a pinned ``version`` for time
     travel). Raises FileNotFoundError on an uncommitted table.
@@ -169,26 +171,35 @@ def read_version(
     data file (or even footer) is opened. The matching filter is also
     applied to the frame, so results equal the unpruned read + filter
     by construction; files without stats for the column are kept
-    (conservative)."""
+    (conservative).
+
+    Pass a LIST of (col, lo, hi) tuples for a CONJUNCTION: a file
+    survives only if it intersects every predicate's range (set
+    intersection over the per-column keeps), the compound shape of real
+    lake reads -- partition-date band AND key band -- where either
+    predicate alone keeps most files but their intersection keeps few."""
     v = current_version(table_dir) if version is None else version
     if v is None:
         raise FileNotFoundError(f"{table_dir} has no committed version")
     snap = os.path.join(table_dir, f"v={v}")
     if prune is None:
         return spark.read.parquet(snap)
-    col, lo, hi = prune
-    files = prune_files(snap, col, lo, hi)
-    c = F.col(col)
+    preds = [prune] if isinstance(prune, tuple) else list(prune)
+    files: set | None = None
     cond = F.lit(True)
-    if lo is not None:
-        cond = cond & (c >= F.lit(lo))
-    if hi is not None:
-        cond = cond & (c <= F.lit(hi))
+    for col, lo, hi in preds:
+        kept = set(prune_files(snap, col, lo, hi))
+        files = kept if files is None else files & kept
+        c = F.col(col)
+        if lo is not None:
+            cond = cond & (c >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (c <= F.lit(hi))
     if not files:
         # every file excluded by stats: an empty frame with the real
         # schema (read the snapshot's schema without scanning data)
         return spark.read.parquet(snap).filter(F.lit(False))
-    return spark.read.parquet(*files).filter(cond)
+    return spark.read.parquet(*sorted(files)).filter(cond)
 
 
 _STATS = "_stats.json"

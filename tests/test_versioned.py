@@ -383,6 +383,53 @@ def test_stats_manifest_prunes_files(spark, tmp_path):
     assert none.columns == versioned.read_version(spark, table).columns
 
 
+def test_compound_prune_intersects_predicates(spark, tmp_path):
+    """Conjunction pruning (prune=[(col, lo, hi), ...]): on a 4x4 grid
+    layout where the k-band keeps 4 files and the g-band keeps 4 files,
+    their conjunction must keep exactly the 1 intersecting file -- the
+    compound lake-read shape (date band AND key band) where either
+    predicate alone barely prunes. Result equals the full filter."""
+    import os
+
+    # the snapshot is assembled file-by-file (16 append writes): a union
+    # of tiny frames gets AQE-coalesced into one partition/file, and the
+    # on-disk layout (v=N dir + _latest pointer) IS the format contract
+    table = str(tmp_path / "grid")
+    snap = f"{table}/v=1"
+    for i in range(4):
+        for j in range(4):
+            spark.range(100).selectExpr(
+                f"id + {i * 1000} AS k", f"id + {j * 100} AS g"
+            ).coalesce(1).write.mode("append").parquet(snap)
+    versioned.write_stats_manifest(snap, ["k", "g"])
+    with open(os.path.join(table, "_latest"), "w") as f:
+        f.write("1")
+    assert versioned.current_version(table) == 1
+
+    k_only = versioned.prune_files(snap, "k", 2000, 2099)
+    g_only = versioned.prune_files(snap, "g", 100, 199)
+    assert len(k_only) == 4 and len(g_only) == 4
+
+    got = versioned.read_version(
+        spark, table, prune=[("k", 2000, 2099), ("g", 100, 199)]
+    )
+    want = versioned.read_version(spark, table).filter(
+        F.col("k").between(2000, 2099) & F.col("g").between(100, 199)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() == 100
+    # the conjunction's file set is the ONE grid cell both bands share
+    assert len(set(k_only) & set(g_only)) == 1
+
+    # disjoint conjunction -> empty frame, schema intact
+    none = versioned.read_version(
+        spark, table, prune=[("k", 0, 99), ("g", 300, 399), ("g", 0, 50)]
+    )
+    assert none.count() == 0 and none.columns == ["k", "g"]
+
+
 def test_prune_is_conservative_without_stats(spark, tmp_path):
     """No manifest (or no stats for the column) must mean NO pruning:
     every file is kept and the pruned read still equals scan+filter."""
