@@ -224,6 +224,8 @@ def merge_stream(
     checkpoint_dir: str,
     op_col: str = "_op",
     trigger_available_now: bool = True,
+    compact_every: int | None = None,
+    compact_small_bytes: int = 8 * 1024 * 1024,
 ) -> StreamingQuery:
     """Streaming MERGE sink: each micro-batch of change rows (the
     table's columns + ``op_col`` in {'upsert','delete'}) applies onto
@@ -239,10 +241,22 @@ def merge_stream(
     the cost of an extra version in history -- vacuum() reclaims it.
     The checkpoint bounds replays to the last uncommitted batch.
 
+    ``compact_every=N`` adds inline maintenance: after every Nth
+    applied batch the sink bin-packs the snapshot's small files
+    (versioned.compact_small_files -- right-sized files hard-link, so
+    the extra commit costs O(small files)). The compaction runs inside
+    the same foreachBatch callback, so it can never race its own
+    stream's next MERGE; a failure between merge and compaction is
+    benign (content identical, the next trigger compacts). Without it
+    a long-running CDC stream accretes one small file set per batch
+    until reads are metadata-bound.
+
     At 100 TB the copy-on-write rewrite pairs with partition pruning
     (only touched partitions rewrite); the per-batch commit cadence is
     the same trade Delta/Iceberg streaming MERGE makes."""
     from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    applied = {"n": 0}
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -250,6 +264,13 @@ def merge_stream(
         versioned.apply_changes(
             batch_df.sparkSession, table_dir, batch_df, key, op_col
         )
+        applied["n"] += 1
+        if compact_every and applied["n"] % compact_every == 0:
+            versioned.compact_small_files(
+                batch_df.sparkSession,
+                table_dir,
+                small_bytes=compact_small_bytes,
+            )
 
     writer = df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -616,6 +616,66 @@ def test_merge_stream_applies_cdc_batches_in_order(spark, tmp_path):
     assert again == got and versioned.current_version(table) == 4
 
 
+def test_merge_stream_inline_compaction(spark, tmp_path):
+    """merge_stream(compact_every=2): after every 2nd applied batch the
+    sink bin-packs the snapshot's small files inside the same
+    foreachBatch callback, so a long-running CDC stream does not
+    accrete one file set per batch. Content identical; the compaction
+    appears as its own snapshot version."""
+    import glob
+    import time as _t
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("val", StringType()),
+            StructField("_op", StringType()),
+        ]
+    )
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "merged_table")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write([(i, f"a{i}", "upsert") for i in range(10)])
+    _t.sleep(1.1)
+    write([(i, f"b{i}", "upsert") for i in range(10, 20)])
+
+    stream = pipeline.file_stream(spark, src, schema, max_files_per_trigger=1)
+    q = pipeline.merge_stream(
+        stream,
+        table,
+        "k",
+        str(tmp_path / "ckpt"),
+        compact_every=2,
+        compact_small_bytes=64 * 1024 * 1024,
+    )
+    q.awaitTermination(120)
+
+    # 2 merge commits + 1 compaction commit after the 2nd batch
+    assert versioned.current_version(table) == 3
+    snap = f"{table}/v=3"
+    assert len(glob.glob(f"{snap}/*.parquet")) == 1
+    got = {
+        (r.k, r.val) for r in versioned.read_version(spark, table).collect()
+    }
+    assert got == {(i, f"a{i}") for i in range(10)} | {
+        (i, f"b{i}") for i in range(10, 20)
+    }
+
+
 def test_stream_stream_right_outer_join(spark, tmp_path):
     """RIGHT-OUTER completes the stream-stream outer matrix: an orphan
     click (no impression within the interval) must emit with NULL
