@@ -497,6 +497,7 @@ def apply_changes(
     op_col: str = "_op",
     expected: int | None = None,
     stats_cols: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """MERGE-style change application onto a versioned table: ``changes``
     carries the table's columns plus ``op_col`` in {'upsert','delete'}.
@@ -513,6 +514,14 @@ def apply_changes(
     Readers stay on the old snapshot until the pointer swap; pass
     ``expected`` for optimistic concurrency. Works on an uninitialized
     table (pure-insert first commit; deletes to nothing are no-ops).
+
+    Schema evolution: by default a batch whose columns differ from the
+    table's raises (unionByName -- drift fails loudly, the safe default
+    for CDC). ``merge_schema=True`` opts into ADDITIVE evolution, the
+    Delta mergeSchema behavior: columns new in the batch are added to
+    the table (existing rows read NULL there), columns missing from the
+    batch are kept (batch rows get NULL) -- never a drop, never a
+    retype (a same-name type conflict still fails in the union).
 
     This is the ES-style doc CRUD surface (reference S5,
     spark_job.py:78-80 upserts; deletes had no reference path at all)
@@ -534,10 +543,17 @@ def apply_changes(
                 upserts, table_dir, expected=expected, stats_cols=stats_cols
             )
         base = read_version(spark, table_dir)
+        if not merge_schema and set(upserts.columns) != set(base.columns):
+            raise ValueError(
+                "change batch columns "
+                f"{sorted(set(upserts.columns) ^ set(base.columns))} differ "
+                "from the table's; pass merge_schema=True for additive "
+                "evolution (new columns added, missing columns NULL-filled)"
+            )
         touched = changes.select(F.col(key)).distinct()
         survivors = base.join(touched, key, "left_anti")
         return commit_version(
-            survivors.unionByName(upserts),
+            survivors.unionByName(upserts, allowMissingColumns=merge_schema),
             table_dir,
             expected=expected,
             stats_cols=stats_cols,

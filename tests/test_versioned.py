@@ -117,6 +117,65 @@ def test_apply_changes_merge_semantics(spark, tmp_path):
         )
 
 
+def test_apply_changes_schema_evolution(spark, tmp_path):
+    """Additive schema evolution on MERGE (the Delta mergeSchema
+    behavior): default is fail-loud on ANY column drift (extra or
+    missing); merge_schema=True adds batch-new columns (existing rows
+    NULL there), keeps table columns the batch lacks (batch rows NULL
+    there), and never drops a column. Time travel still reads the old
+    schema's snapshot as written."""
+    import pytest
+
+    table = str(tmp_path / "evolving")
+    versioned.apply_changes(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(1, "a", "upsert"), (2, "b", "upsert")],
+            "id LONG, val STRING, _op STRING",
+        ),
+        "id",
+    )
+
+    widened = spark.createDataFrame(
+        [(2, "b2", 0.9, "upsert"), (3, "c", 0.5, "upsert")],
+        "id LONG, val STRING, score DOUBLE, _op STRING",
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        versioned.apply_changes(spark, table, widened, "id")
+    v2 = versioned.apply_changes(
+        spark, table, widened, "id", merge_schema=True
+    )
+    got = {
+        r.id: (r.val, r.score)
+        for r in versioned.read_version(spark, table).collect()
+    }
+    assert got == {1: ("a", None), 2: ("b2", 0.9), 3: ("c", 0.5)}
+
+    # a narrower later batch keeps the evolved column, NULL for its rows
+    narrow = spark.createDataFrame(
+        [(4, "d", "upsert")], "id LONG, val STRING, _op STRING"
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        versioned.apply_changes(spark, table, narrow, "id")
+    versioned.apply_changes(spark, table, narrow, "id", merge_schema=True)
+    got3 = {
+        r.id: (r.val, r.score)
+        for r in versioned.read_version(spark, table).collect()
+    }
+    assert got3 == {
+        1: ("a", None), 2: ("b2", 0.9), 3: ("c", 0.5), 4: ("d", None),
+    }
+
+    # time travel: the pre-evolution snapshot keeps its original schema
+    assert versioned.read_version(spark, table, version=1).columns == [
+        "id", "val",
+    ]
+    assert set(versioned.read_version(spark, table, version=v2).columns) == {
+        "id", "val", "score",
+    }
+
+
 def test_diff_versions_change_feed(spark, tmp_path):
     """insert/update/delete between two snapshots, unchanged rows
     absent; before/after carry the full rows; a self-diff is empty;
