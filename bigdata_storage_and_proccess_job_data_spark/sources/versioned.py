@@ -351,6 +351,7 @@ def diff_versions(
     v_from: int,
     v_to: int,
     key: str,
+    align_additive: bool = False,
 ) -> DataFrame:
     """Row-level CHANGE FEED between two committed snapshots (the
     table_changes / CDF idea on the one-pointer format): returns one row
@@ -361,9 +362,10 @@ def diff_versions(
         after  (full new row as a struct, null for deletes).
 
     Contract: ``key`` is unique per snapshot (the upsert/MERGE writers
-    here guarantee it) and both snapshots share a schema (additive
-    evolution between the two versions raises -- a changed column set
-    makes "update" ill-defined).
+    here guarantee it) and both snapshots share a schema. A feed across
+    an additive evolution boundary (apply_changes(merge_schema=True))
+    raises by default; pass ``align_additive=True`` to NULL-fill the
+    one-sided columns and diff across it (see change_feed).
 
     This is what turns the versioned table into an INCREMENTAL source:
     a downstream pipeline consumes diff_versions(last_seen, current)
@@ -378,7 +380,7 @@ def diff_versions(
     old = read_version(spark, table_dir, v_from)
     new = read_version(spark, table_dir, v_to)
     try:
-        return change_feed(old, new, key)
+        return change_feed(old, new, key, align_additive=align_additive)
     except ValueError as exc:
         raise ValueError(
             f"{table_dir} v{v_from}..v{v_to}: {exc}"
@@ -400,19 +402,37 @@ def _uncomparable_fields(dataType) -> bool:
     return False
 
 
-def change_feed(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+def change_feed(
+    old: DataFrame, new: DataFrame, key: str, align_additive: bool = False
+) -> DataFrame:
     """The frame-level core of diff_versions: row-level changes between
     any two same-schema keyed frames, independent of where the snapshots
     came from (versioned table, two parquet dirs, two query results).
     diff_versions = change_feed over two committed versions; the
     registered snapshot_change_feed query drives this operator directly
     over derived frames so the driver hash-checks the full-outer +
-    struct-compare semantics every rotation (VERDICT r5 #6)."""
+    struct-compare semantics every rotation (VERDICT r5 #6).
+
+    ``align_additive=True`` lets the feed span an ADDITIVE schema
+    evolution (apply_changes(merge_schema=True)): a column present on
+    only one side is NULL-filled on the other before comparing, so a
+    row unchanged except for the evolved column's NULL does not emit,
+    while a row that gained a value there emits as a normal update. A
+    same-name TYPE conflict still raises -- evolution never retypes."""
     # guard on NAME AND TYPE, order-insensitive: column order is a
     # write artifact (both structs below are built in the old order),
     # but a retyped column would otherwise slip past a name-only check
     # and die later as a struct-comparison AnalysisException instead of
     # this contract error
+    if align_additive:
+        old_types = {f.name: f.dataType for f in old.schema.fields}
+        new_types = {f.name: f.dataType for f in new.schema.fields}
+        for name, dt in new_types.items():
+            if name not in old_types:
+                old = old.withColumn(name, F.lit(None).cast(dt))
+        for name, dt in old_types.items():
+            if name not in new_types:
+                new = new.withColumn(name, F.lit(None).cast(dt))
     old_schema = {f.name: f.dataType for f in old.schema.fields}
     new_schema = {f.name: f.dataType for f in new.schema.fields}
     if old_schema != new_schema:

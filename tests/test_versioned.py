@@ -175,6 +175,22 @@ def test_apply_changes_schema_evolution(spark, tmp_path):
         "id", "val", "score",
     }
 
+    # change feed ACROSS the evolution boundary: raises by default,
+    # align_additive=True NULL-fills the one-sided column -- the row
+    # whose only difference is NULL score on both sides does not emit
+    with pytest.raises(ValueError, match="schema changed"):
+        versioned.diff_versions(spark, table, 1, v2, "id")
+    feed = {
+        r.id: r
+        for r in versioned.diff_versions(
+            spark, table, 1, v2, "id", align_additive=True
+        ).collect()
+    }
+    assert {k: c.change_type for k, c in feed.items()} == {
+        2: "update", 3: "insert",
+    }  # id=1 unchanged (val same, score NULL<->NULL) -> absent
+    assert feed[2].before.score is None and feed[2].after.score == 0.9
+
 
 def test_diff_versions_change_feed(spark, tmp_path):
     """insert/update/delete between two snapshots, unchanged rows
