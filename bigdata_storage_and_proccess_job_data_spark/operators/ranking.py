@@ -142,3 +142,117 @@ def bm25_topk(
         if materialize:
             hits.unpersist()
     return docs.sparkSession.createDataFrame(rows, schema)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    vec_col: str = "embedding",
+    score_col: str = "sim",
+    k: int = 10,
+    lam: float = 0.7,
+    max_candidates: int = 1000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
+    1998) over per-query candidate sets: greedily select k candidates
+    maximizing
+
+        lam * relevance  -  (1 - lam) * max cosine(candidate, selected)
+
+    -- the diversity step after a similarity search, which is what keeps
+    a retrieval-built training set (or a RAG context window) from
+    filling up with near-duplicates of the single best hit. lam=1 is
+    plain top-k by relevance; lam->0 maximizes spread.
+
+    Scale shape: greedy MMR is inherently sequential WITHIN a query but
+    independent ACROSS queries, so this is one applyInPandas over
+    query_col groups -- each group is a candidate set some upstream
+    top-k already bounded (the hybrid_search/brute_force_topk contract),
+    enforced per group by ``max_candidates`` (a group above it raises:
+    an unbounded candidate set means the upstream search is missing its
+    own cap, and O(k * n * dim) greedy work per group should never
+    silently absorb that). Candidates with NULL or zero-norm vectors are
+    dropped (undefined cosine). Ties break on (score desc, id asc) --
+    deterministic across runs and partitionings.
+
+    Returns (query_col, id_col, mmr_rank, relevance, mmr_score), k rows
+    per query (fewer when the candidate set is smaller).
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    import numpy as np
+    import pandas as pd
+
+    def rerank(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) > max_candidates:
+            raise ValueError(
+                f"candidate group of {len(pdf)} exceeds "
+                f"max_candidates={max_candidates}; bound the upstream "
+                "search's top-k before diversifying"
+            )
+        pdf = pdf[pdf["_v"].notna()]
+        if not len(pdf):
+            return pd.DataFrame(
+                columns=["_q", "_id", "mmr_rank", "relevance", "mmr_score"]
+            )
+        x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(x, axis=1)
+        keep = nrm > 0
+        pdf, x, nrm = pdf[keep], x[keep], nrm[keep]
+        x = x / nrm[:, None]
+        ids = pdf["_id"].to_numpy()
+        rel = pdf["_rel"].to_numpy(dtype=np.float64)
+        # deterministic processing order (score desc, id asc) so argmax
+        # ties resolve identically everywhere
+        order = np.lexsort((ids, -rel))
+        ids, rel, x = ids[order], rel[order], x[order]
+        sims = x @ x.T
+        selected: list[int] = []
+        out_rows = []
+        remaining = list(range(len(ids)))
+        for rank in range(1, min(k, len(ids)) + 1):
+            if selected:
+                penalty = sims[np.ix_(remaining, selected)].max(axis=1)
+            else:
+                penalty = np.zeros(len(remaining))
+            mmr = lam * rel[remaining] - (1.0 - lam) * penalty
+            best = remaining[int(np.argmax(mmr))]  # first max = best tie
+            out_rows.append(
+                (
+                    pdf["_q"].iloc[0],
+                    ids[best],
+                    rank,
+                    float(rel[best]),
+                    float(mmr[int(np.argmax(mmr))]),
+                )
+            )
+            selected.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            out_rows,
+            columns=["_q", "_id", "mmr_rank", "relevance", "mmr_score"],
+        )
+
+    prepared = candidates.select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_id"),
+        F.col(score_col).cast("double").alias("_rel"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    q_t = prepared.schema["_q"].dataType.simpleString()
+    id_t = prepared.schema["_id"].dataType.simpleString()
+    out = prepared.groupBy("_q").applyInPandas(
+        rerank,
+        f"_q {q_t}, _id {id_t}, mmr_rank LONG, "
+        "relevance DOUBLE, mmr_score DOUBLE",
+    )
+    return out.select(
+        F.col("_q").alias(query_col),
+        F.col("_id").alias(id_col),
+        "mmr_rank",
+        "relevance",
+        "mmr_score",
+    )

@@ -183,3 +183,73 @@ def test_hybrid_search_empty_when_no_embedded_candidate(spark, tmp_path):
     finally:
         con.close()
     assert not problems, problems
+
+
+def test_mmr_rerank_diversity_and_degenerate_lambda(spark):
+    """MMR re-rank: (1) lam=1 reduces to plain top-k by (relevance desc,
+    id asc); (2) at lam=0.5 two near-identical high-relevance twins do
+    NOT both make a k=2 cut -- the diverse lower-relevance candidate
+    displaces the second twin (the whole point of MMR for training-set
+    retrieval); (3) the per-group candidate bound raises; (4) zero-norm
+    vectors are dropped."""
+    from pyspark.sql import functions as F
+
+    # one query, 4 candidates: twins a/b (same direction, top scores),
+    # c orthogonal (lower score), d zero-norm (must be dropped)
+    rows = [
+        (1, 10, 0.95, [1.0, 0.0, 0.0]),
+        (1, 11, 0.94, [0.999, 0.01, 0.0]),
+        (1, 12, 0.80, [0.0, 1.0, 0.0]),
+        (1, 13, 0.99, [0.0, 0.0, 0.0]),
+    ]
+    cand = spark.createDataFrame(
+        rows,
+        "query_id LONG, neighbor_id LONG, sim DOUBLE, "
+        "embedding ARRAY<DOUBLE>",
+    )
+
+    plain = ranking.mmr_rerank(cand, k=3, lam=1.0).collect()
+    assert [(r.neighbor_id, r.mmr_rank) for r in sorted(plain, key=lambda r: r.mmr_rank)] == [
+        (10, 1), (11, 2), (12, 3),
+    ]  # zero-norm 13 dropped despite top raw score
+
+    diverse = ranking.mmr_rerank(cand, k=2, lam=0.5).collect()
+    picked = [r.neighbor_id for r in sorted(diverse, key=lambda r: r.mmr_rank)]
+    assert picked == [10, 12], picked  # twin 11 displaced by orthogonal 12
+
+    with pytest.raises(Exception, match="max_candidates"):
+        ranking.mmr_rerank(cand, k=2, max_candidates=2).collect()
+
+    with pytest.raises(ValueError, match="lam"):
+        ranking.mmr_rerank(cand, lam=1.5)
+
+
+def test_mmr_rerank_composes_with_knn_and_is_per_query(spark, oracle_sf_dir):
+    """MMR consumes a real top-k: brute_force_topk candidates joined
+    back to their vectors, diversified per query -- k rows per query,
+    rank-1 is each query's relevance argmax, deterministic across
+    runs."""
+    from pyspark.sql import functions as F
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.operators import similarity
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    topk = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=10
+    )
+    cand = topk.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    )
+    out = ranking.mmr_rerank(cand, k=4, lam=0.6).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 5 and all(len(v) == 4 for v in by_q.values())
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.mmr_rank)
+        best_rel = max(r.relevance for r in rs)
+        assert rs[0].relevance == best_rel  # rank 1 = relevance argmax
+    again = ranking.mmr_rerank(cand, k=4, lam=0.6).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
