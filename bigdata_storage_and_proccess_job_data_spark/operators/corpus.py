@@ -166,6 +166,58 @@ def hash_bucket(key: Column, salt: str = "", buckets: int = 100) -> Column:
     return F.pmod(h, F.lit(buckets))
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    label_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment that is ATOMIC per group:
+    every row sharing ``group_col`` (url domain, source document,
+    conversation id...) lands in the same split, which is what prevents
+    near-identical rows of one origin straddling the train/eval boundary
+    -- the leakage mode row-level random splits cannot avoid, and the
+    reason eval numbers go soft. The coin is the md5 uniform of the
+    GROUP key (+salt), so membership is reproducible across runs,
+    engines, and partitionings, and stable under corpus growth: adding
+    new groups never moves an existing group's split.
+
+    ``weights`` maps label -> fraction (must sum to 1 within 1e-9);
+    labels are assigned by cumulative thresholds in sorted-label order,
+    so the mapping itself is deterministic. One codegen'd expression --
+    no shuffle, no join; at 100 TB the split column costs what any
+    derived column costs. NULL group keys share one split (the md5
+    coin of the NULL-coalesced string), mirroring GROUP BY semantics.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("every split weight must be positive")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    key_str = F.coalesce(
+        F.col(group_col).cast("string"), F.lit("\x00split_null")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(key_str, F.lit(salt))), 1, 13), 16, 10
+    ).cast("long")
+    u = h / F.lit(float(2**52))
+    expr = None
+    acc = 0.0
+    ordered = sorted(weights)
+    for label in ordered[:-1]:
+        acc += weights[label]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(
+            cond, F.lit(label)
+        )
+    last = F.lit(ordered[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(label_col, expr)
+
+
 def deterministic_sample(
     df: DataFrame,
     id_col: str,

@@ -493,3 +493,75 @@ def test_weighted_take_k_bias_determinism_and_parity(spark, oracle_sf_dir):
 
     with pytest.raises(ValueError, match="k must"):
         corpus.weighted_take_k(g, "id", "wt", k=0)
+
+
+def test_leakage_safe_split_group_atomic_and_parity(spark, oracle_sf_dir):
+    """Leakage-safe splitting: (1) every row of a group gets ONE label
+    (zero straddling groups -- the leakage property itself), (2) group
+    proportions track the weights, (3) deterministic across calls and
+    stable under growth (a subset's labels never move), (4) DuckDB
+    recomputes the identical assignment from the same md5 coin
+    (oracle-grade parity), (5) weight validation."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        _md5_hash60_sql,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    # group by source: all docs of one source must share a split
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = corpus.leakage_safe_split(docs, "source", weights, salt="v1")
+
+    per_group = (
+        out.groupBy("source")
+        .agg(F.count_distinct("split").alias("n_labels"))
+        .collect()
+    )
+    assert per_group and all(r.n_labels == 1 for r in per_group)
+
+    # proportions over GROUPS (the unit the coin flips): with few groups
+    # just sanity-check every label set is a subset of the weights'
+    labels = {r.split for r in out.select("split").distinct().collect()}
+    assert labels <= set(weights)
+
+    # determinism + growth stability: a filtered subset keeps its labels
+    full = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
+    sub = corpus.leakage_safe_split(
+        docs.filter(F.col("doc_id") % 2 == 0), "source", weights, salt="v1"
+    )
+    sub_labels = {(r.doc_id, r.split) for r in sub.select("doc_id", "split").collect()}
+    assert sub_labels <= full
+
+    # cross-engine parity: DuckDB reproduces the exact assignment
+    h = _md5_hash60_sql("source::VARCHAR || 'v1'")
+    sql = f"""
+        SELECT doc_id,
+               CASE WHEN (({h} >> 8) / 4503599627370496.0) < 0.1 THEN 'test'
+                    WHEN (({h} >> 8) / 4503599627370496.0) < 0.9 THEN 'train'
+                    ELSE 'val' END AS split
+        FROM documents
+    """
+    errs = compare(
+        out.select("doc_id", "split"), duckdb_connect(oracle_sf_dir), sql
+    )
+    assert not errs, errs[:5]
+
+    # per-doc splitting reaches all three labels at this corpus size and
+    # roughly tracks the weights
+    by_doc = corpus.leakage_safe_split(docs, "doc_id", weights, salt="v1")
+    counts = {
+        r.split: r.n
+        for r in by_doc.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(counts.values())
+    assert set(counts) == set(weights)
+    for label, w in weights.items():
+        assert abs(counts[label] / n - w) < 0.08, (label, counts)
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        corpus.leakage_safe_split(docs, "source", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="positive"):
+        corpus.leakage_safe_split(docs, "source", {"a": 1.5, "b": -0.5})

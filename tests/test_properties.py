@@ -155,3 +155,66 @@ def test_pack_and_span_invariants_on_generated_corpus(spark):
         if len(gram_docs[" ".join(ts[i : i + n])]) >= 2
     )
     assert len(spans) == expected
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """asof_join cross-validated against pandas.merge_asof on generated
+    data, with and without tolerance -- including NULL right-side values
+    (the ADVICE r6 class: the matched ROW's value must come through,
+    never an older row's reaching past a NULL). One deterministic
+    generated batch, one Spark job per tolerance setting."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    from bigdata_storage_and_proccess_job_data_spark.operators.asof import asof_join
+
+    rng = random.Random(42)
+    t0 = dt.datetime(2024, 5, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    quotes = []
+    for key in range(6):
+        minutes = sorted(rng.sample(range(0, 500), rng.randint(0, 25)))
+        for m in minutes:
+            # ~25% NULL values: the matched-row-NULL semantics under test
+            val = None if rng.random() < 0.25 else round(rng.uniform(1, 9), 3)
+            quotes.append((key, ts(m), val))
+    trades = [
+        (key, ts(m))
+        for key in range(8)  # keys 6,7 have no quotes at all
+        for m in sorted(rng.sample(range(0, 500), 40))
+    ]
+
+    qdf = spark.createDataFrame(quotes, "k LONG, qts TIMESTAMP, price DOUBLE")
+    tdf = spark.createDataFrame(trades, "k LONG, tts TIMESTAMP")
+    qpd = pd.DataFrame(quotes, columns=["k", "qts", "price"]).sort_values("qts")
+    tpd = pd.DataFrame(trades, columns=["k", "tts"]).sort_values("tts")
+
+    for tol in (None, "15 minutes", "90 minutes"):
+        got = {
+            (r.k, r.tts): r.price_asof
+            for r in asof_join(
+                tdf, qdf, "k", "tts", "qts", ["price"], tolerance=tol
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            tpd,
+            qpd,
+            left_on="tts",
+            right_on="qts",
+            by="k",
+            tolerance=pd.Timedelta(tol) if tol else None,
+        )
+        want = {
+            (int(r.k), r.tts.to_pydatetime()): (
+                None if pd.isna(r.price) else float(r.price)
+            )
+            for r in want_df.itertuples()
+        }
+        assert got == want, {
+            kk: (got[kk], want[kk]) for kk in got if got[kk] != want[kk]
+        }
