@@ -118,6 +118,23 @@ def main() -> None:
         if r["shortfall_tokens"] > 0
     }
 
+    # 7b. leakage-safe train/val/test split BEFORE chunking: all chunks
+    # of one source inherit one split, so near-identical chunks of one
+    # origin can never straddle the train/eval boundary
+    docs = corpus.leakage_safe_split(
+        docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="demo"
+    )
+    split_sizes = {
+        r.split: r.n
+        for r in docs.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    straddlers = (
+        docs.groupBy("source")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+
     # 8. duplicated-substring audit: verbatim 8-gram spans shared across
     # surviving docs (post-dedup this should be small; a spike means the
     # near-dup thresholds are too loose)
@@ -155,21 +172,36 @@ def main() -> None:
     similarity.encode_pq(emb, books).write.parquet(f"{out_dir}/pq_index")
     index = spark.read.parquet(f"{out_dir}/pq_index")
     hits = similarity.pq_topk_from_codes(
-        emb.filter(F.col("vec_id") < 5), index, books, k=3
+        emb.filter(F.col("vec_id") < 5), index, books, k=10
     )
     n_hits = hits.count()
+
+    # 13. diversify the retrieval: MMR re-rank of each query's top-10 to
+    # 3 (penalizing similarity to already-selected hits), so a
+    # retrieval-built set doesn't fill with near-copies of the best hit
+    from bigdata_storage_and_proccess_job_data_spark.operators import ranking
+
+    cand = hits.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    )
+    n_div = ranking.mmr_rerank(cand, k=3, lam=0.6).count()
 
     print(
         f"raw={n0} pii(emails={pii.e},phones={pii.p}) exact_dedup={n_exact} "
         f"near_dedup={n_near} decontaminated={n_decon} clean={n_clean} "
-        f"mixed={n_mix} (shortfalls={short or 'none'}) dup_spans={n_spans} "
+        f"mixed={n_mix} (shortfalls={short or 'none'}) "
+        f"splits={split_sizes} straddling_groups={straddlers} "
+        f"dup_spans={n_spans} "
         f"chunks={n_chunks} seqs={n_seqs} ann_hits={n_hits} "
-        f"-> {out_dir}/chunks"
+        f"mmr_kept={n_div} -> {out_dir}/chunks"
     )
     assert n0 >= n_exact >= n_near >= n_decon >= n_clean >= n_mix > 0
+    assert straddlers == 0
     assert n_chunks >= n_mix
     assert n_seqs > 0
-    assert n_hits == 5 * 3
+    assert n_hits == 5 * 10
+    assert n_div == 5 * 3
 
 
 if __name__ == "__main__":
