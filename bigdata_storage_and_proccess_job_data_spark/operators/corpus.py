@@ -650,3 +650,100 @@ def length_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def unigram_logprob_table(
+    ref: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Smoothed unigram language model fit on a reference corpus,
+    returned as a (token, logp) FRAME -- the model artifact of the
+    CCNet-style quality filter (Wenzek et al. 2020 score corpora by LM
+    perplexity against a trusted reference; the in-engine counterpart is
+    unigram surprisal, which needs no external LM binary).
+
+    Add-alpha smoothing over the top-``vocab_size`` tokens plus one OOV
+    bucket (token NULL): logp(w) = ln((c_w + alpha) / (N + alpha*(V+1)))
+    with every out-of-vocabulary token sharing the OOV mass. Everything
+    is distributed: one explode + hash agg for counts, a TakeOrdered
+    top-V cut (never a global sort), and the scalar (N, V) terms ride a
+    one-row broadcast. The result is a small stored table -- write it
+    once, broadcast-join it per scoring run."""
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (smoothing mass)")
+    counts = (
+        ref.select(F.explode(text.tokens(F.lower(F.col(text_col)))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("t").asc()).limit(vocab_size)
+    scalars = counts.agg(
+        F.sum("c").cast("double").alias("_n"),
+    ).crossJoin(top.agg(F.count(F.lit(1)).cast("double").alias("_v")))
+    oov = scalars.select(
+        F.lit(None).cast("string").alias("token"),
+        (F.log(F.lit(alpha)) - F.log(F.col("_n") + alpha * (F.col("_v") + 1)))
+        .alias("logp"),
+    )
+    in_vocab = top.crossJoin(F.broadcast(scalars)).select(
+        F.col("t").alias("token"),
+        (
+            F.log(F.col("c") + F.lit(alpha))
+            - F.log(F.col("_n") + alpha * (F.col("_v") + 1))
+        ).alias("logp"),
+    )
+    return in_vocab.unionByName(oov)
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mean token surprisal (-logp, nats) of every document under a
+    unigram_logprob_table model -- the quality score: text that looks
+    like the reference corpus scores LOW, gibberish / wrong-language /
+    rare-token soup scores HIGH, and thresholding on it is the CCNet
+    perplexity-filter shape. Empty documents return NULL (no tokens to
+    score).
+
+    Scale shape: explode doc tokens, ONE broadcast left join against the
+    (bounded, <= vocab+1 row) LM table with OOV fallback via coalesce,
+    one hash agg back to doc grain. No Python in the row path; at 100 TB
+    the LM table is a stored artifact shared by every scoring run.
+
+    Returns (id_col, n_tokens, surprisal)."""
+    oov = lm.filter(F.col("token").isNull()).select(
+        F.col("logp").alias("_oov_logp")
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(text.tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    scored = (
+        toks.join(F.broadcast(lm.filter(F.col("token").isNotNull())), "token", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            id_col,
+            F.coalesce(F.col("logp"), F.col("_oov_logp")).alias("_lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.avg("_lp")).alias("surprisal"),
+    )
+    # empty docs never reach the explode: re-attach them with NULL score
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "surprisal",
+        )
+    )

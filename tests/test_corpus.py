@@ -565,3 +565,94 @@ def test_leakage_safe_split_group_atomic_and_parity(spark, oracle_sf_dir):
         corpus.leakage_safe_split(docs, "source", {"a": 0.5, "b": 0.4})
     with pytest.raises(ValueError, match="positive"):
         corpus.leakage_safe_split(docs, "source", {"a": 1.5, "b": -0.5})
+
+
+def test_unigram_surprisal_quality_scoring(spark, oracle_sf_dir):
+    """CCNet-style LM quality proxy: (1) gibberish scores strictly
+    higher surprisal than reference-like text, (2) empty docs yield NULL
+    with n_tokens=0, (3) the whole fit+score pipeline is recomputed
+    value-for-value in DuckDB (top-V cut, add-alpha smoothing, OOV
+    fallback, mean -logp), (4) parameter validation."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        SQL_TOKENS_LOWER,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    lm = corpus.unigram_logprob_table(docs, vocab_size=500, alpha=1.0)
+
+    # the most common reference token, repeated, vs OOV gibberish
+    top_tok = (
+        lm.filter(F.col("token").isNotNull())
+        .orderBy(F.col("logp").desc())
+        .first()
+        .token
+    )
+    probe = spark.createDataFrame(
+        [
+            (1, " ".join([top_tok] * 20)),
+            (2, "zzqx9v7k qqv8zzt xq9zzv wvzz7q " * 5),
+            (3, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: r
+        for r in corpus.unigram_surprisal(probe, lm).collect()
+    }
+    assert got[1].surprisal < got[2].surprisal
+    assert got[3].surprisal is None and got[3].n_tokens == 0
+    assert got[1].n_tokens == 20
+
+    # cross-engine parity over the real corpus (vocab cut exercises OOV)
+    scored = corpus.unigram_surprisal(docs, lm).select(
+        "doc_id",
+        "n_tokens",
+        stable_round(F.col("surprisal"), 4).alias("surprisal"),
+    )
+    sql = f"""
+        WITH toks AS (
+          SELECT unnest({SQL_TOKENS_LOWER}) AS t FROM documents
+        ),
+        counts AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+        top AS (SELECT t, c FROM counts ORDER BY c DESC, t ASC LIMIT 500),
+        scal AS (
+          SELECT (SELECT SUM(c) FROM counts)::DOUBLE AS n,
+                 (SELECT COUNT(*) FROM top)::DOUBLE AS v
+        ),
+        lm AS (
+          SELECT t, ln(c + 1.0) - ln(n + 1.0 * (v + 1)) AS logp
+          FROM top, scal
+        ),
+        oov AS (SELECT ln(1.0) - ln(n + 1.0 * (v + 1)) AS logp FROM scal),
+        dtoks AS (
+          SELECT doc_id, unnest({SQL_TOKENS_LOWER}) AS t FROM documents
+        ),
+        per_doc AS (
+          SELECT d.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 -AVG(COALESCE(lm.logp, (SELECT logp FROM oov)))
+                   AS s_raw
+          FROM dtoks d LEFT JOIN lm ON d.t = lm.t
+          GROUP BY d.doc_id
+        )
+        SELECT doc_id,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               {sql_round("p.s_raw", 4)} AS surprisal
+        FROM (SELECT DISTINCT doc_id FROM documents) base
+        LEFT JOIN per_doc p USING (doc_id)
+    """
+    errs = compare(scored, duckdb_connect(oracle_sf_dir), sql)
+    assert not errs, errs[:5]
+
+    with pytest.raises(ValueError, match="vocab_size"):
+        corpus.unigram_logprob_table(docs, vocab_size=0)
+    with pytest.raises(ValueError, match="alpha"):
+        corpus.unigram_logprob_table(docs, alpha=0.0)
