@@ -95,9 +95,27 @@ def main() -> None:
     docs = train.join(contaminated, "doc_id", "left_anti")
     n_decon = docs.count()
 
-    # 6. quality + language filter
+    # 6. quality + language filter, then the CCNet-style LM gate: fit a
+    # unigram surprisal model on the surviving reference slice and drop
+    # the worst decile (gibberish / wrong-register text the heuristic
+    # quality score misses); the (token, logp) frame is the stored model
     docs = docs.withColumn("quality", text.quality_score("text")).filter(
         (F.col("quality") >= 0.5) & (text.lang_id("text") == "en")
+    )
+    lm = corpus.unigram_logprob_table(docs, vocab_size=5000)
+    scored = docs.join(
+        corpus.unigram_surprisal(docs, lm).select("doc_id", "surprisal"),
+        "doc_id",
+    )
+    cut = scored.agg(
+        F.percentile_approx("surprisal", 0.9).alias("p90")
+    ).first().p90
+    # localCheckpoint: every later funnel stage re-derives `docs`, and
+    # without cutting lineage here each would re-run the LM fit + join
+    docs = (
+        scored.filter(F.col("surprisal") <= cut)
+        .drop("surprisal")
+        .localCheckpoint(eager=True)
     )
     n_clean = docs.count()
 
