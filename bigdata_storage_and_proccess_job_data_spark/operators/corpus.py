@@ -747,3 +747,36 @@ def unigram_surprisal(
             "surprisal",
         )
     )
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "split",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Cross-split leakage report: near-duplicate PAIRS whose endpoints
+    landed in different splits. leakage_safe_split keeps one ORIGIN
+    together, but near-copies living under different group keys (the
+    same article on two domains, a quote recycled across sources) still
+    straddle the boundary -- exactly the rows that inflate eval scores.
+    Feed it any pair frame (minhash_dedup_pairs, simhash_pairs,
+    embedding near-dups) plus the split-labeled corpus; audit before
+    training, then either drop the eval-side twin or re-split.
+
+    Two broadcast-friendly equi-joins on the pair endpoints + one
+    filter; output is the pair frame's columns + split_a / split_b,
+    only rows with split_a != split_b."""
+    a = docs.select(
+        F.col(id_col).alias(a_col), F.col(label_col).alias("split_a")
+    )
+    b = docs.select(
+        F.col(id_col).alias(b_col), F.col(label_col).alias("split_b")
+    )
+    return (
+        pairs.join(a, a_col)
+        .join(b, b_col)
+        .filter(F.col("split_a") != F.col("split_b"))
+    )

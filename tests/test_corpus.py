@@ -656,3 +656,34 @@ def test_unigram_surprisal_quality_scoring(spark, oracle_sf_dir):
         corpus.unigram_logprob_table(docs, vocab_size=0)
     with pytest.raises(ValueError, match="alpha"):
         corpus.unigram_logprob_table(docs, alpha=0.0)
+
+
+def test_split_leakage_audit_finds_cross_split_twins(spark):
+    """Near-dup pairs straddling the split boundary are reported; pairs
+    inside one split are not -- the audit that catches what group-atomic
+    splitting cannot (near-copies under DIFFERENT group keys)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "srcA", "the quick brown fox jumps over the lazy dog"),
+            (2, "srcB", "the quick brown fox jumps over the lazy dog!"),
+            (3, "srcA", "a completely different document about spark"),
+            (4, "srcA", "a completely different document about spark"),
+        ],
+        "doc_id LONG, source STRING, text STRING",
+    )
+    # force the interesting layout: srcA -> train, srcB -> test
+    labeled = docs.withColumn(
+        "split", F.when(F.col("source") == "srcB", "test").otherwise("train")
+    )
+    from bigdata_storage_and_proccess_job_data_spark.operators import neardup
+
+    pairs = neardup.minhash_dedup_pairs(
+        docs, "doc_id", "text", ngram=2, threshold=0.6,
+        num_hashes=64, bands=16,
+    )
+    leaks = corpus.split_leakage_audit(labeled, pairs).collect()
+    # (1,2) straddles train/test; (3,4) is train-internal -> absent
+    assert {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in leaks} == {
+        (1, 2)
+    }
+    assert all({r.split_a, r.split_b} == {"train", "test"} for r in leaks)
