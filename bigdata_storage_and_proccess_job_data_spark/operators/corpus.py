@@ -780,3 +780,61 @@ def split_leakage_audit(
         .join(b, b_col)
         .filter(F.col("split_a") != F.col("split_b"))
     )
+
+
+def duplication_density(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplication score: the fraction of a doc's distinct
+    word ``n``-grams that also appear in at least ``min_docs - 1`` OTHER
+    documents -- the doc-level filter signal behind Lee et al. 2022's
+    "Deduplicating Training Data Makes Language Models Better":
+    duplicate_ngram_spans locates WHERE the verbatim overlap is, this
+    says WHICH documents are mostly recycled text (drop above a
+    threshold, e.g. dup_frac > 0.8 boilerplate mirrors).
+
+    Shape: one inverted index of (gram, doc) distinct pairs; the
+    per-gram distinct-doc count is a hash agg on the gram; the verdict
+    joins back and re-aggregates to doc grain -- only (doc, gram) pairs
+    ever shuffle, never text. Docs shorter than ``n`` tokens have no
+    grams: dup_frac NULL, n_grams 0.
+
+    Returns (id_col, n_grams, dup_grams, dup_frac)."""
+    if n < 1 or min_docs < 2:
+        raise ValueError("need n >= 1 and min_docs >= 2")
+    inv = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(text.word_ngrams(F.lower(F.col(text_col)), n))
+        ).alias("_g"),
+    )
+    gram_df = inv.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_docs")  # inv is distinct per (doc, gram)
+    )
+    per_doc = (
+        inv.join(gram_df, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("_docs") >= min_docs, 1).otherwise(0)
+            ).cast("long").alias("dup_grams"),
+        )
+        .withColumn(
+            "dup_frac", F.col("dup_grams") / F.col("n_grams")
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("dup_grams"), F.lit(0)).alias("dup_grams"),
+            "dup_frac",
+        )
+    )

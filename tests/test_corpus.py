@@ -687,3 +687,34 @@ def test_split_leakage_audit_finds_cross_split_twins(spark):
         (1, 2)
     }
     assert all({r.split_a, r.split_b} == {"train", "test"} for r in leaks)
+
+
+def test_duplication_density_flags_recycled_docs(spark):
+    """Per-doc duplicated-n-gram fraction: a doc that is mostly a
+    verbatim copy of another scores near 1, a unique doc scores 0, a
+    too-short doc gets NULL -- the Lee-et-al doc-level drop signal on
+    top of duplicate_ngram_spans' span locator."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " lambda mu"),
+            (2, base + " nu xi"),  # shares base's 8-grams with doc 1
+            (3, "one two three four five six seven eight nine ten"),
+            (4, "short text"),  # < 8 tokens: no grams
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: r
+        for r in corpus.duplication_density(docs, n=8, min_docs=2).collect()
+    }
+    assert got[1].dup_frac > 0.5 and got[2].dup_frac > 0.5
+    assert got[3].dup_frac == 0.0 and got[3].n_grams == 3
+    assert got[4].n_grams == 0 and got[4].dup_frac is None
+    # exact: docs 1/2 share exactly the 3 8-grams inside `base`
+    assert got[1].dup_grams == 3 and got[1].n_grams == 5
+
+    import pytest
+
+    with pytest.raises(ValueError, match="min_docs"):
+        corpus.duplication_density(docs, min_docs=1)
