@@ -320,6 +320,17 @@ DRIVER_WINDOW_R8_PLAN = sorted(
     | {"knn_brute_force", "global_reduce"}
 )
 
+# R8 promotion candidates (note for the next curation pass, the r7
+# VERDICT-#4 procedure): late-r7 surfaces with oracle-grade local parity
+# already written, each needing a paired retirement to enter the
+# registry -- unigram_surprisal (full fit+score DuckDB parity in
+# test_unigram_surprisal_quality_scoring), leakage_safe_split (exact
+# assignment parity in test_leakage_safe_split_group_atomic_and_parity),
+# duplication_density (inverted-index shape, SQL-expressible like
+# duplicate_ngram_spans). mmr_rerank and split_leakage_audit are
+# iterative/compositional -- test-only by design, the heavy_hitters
+# precedent.
+
 DRIVER_WINDOW_R4 = [
     # -- r2-checked analytics variants rotating back in (32)
     "segment_revenue",
