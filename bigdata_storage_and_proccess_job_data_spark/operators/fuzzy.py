@@ -1,0 +1,165 @@
+"""Blocked fuzzy string matching: edit-distance joins without a
+cartesian product.
+
+The reference has no string-similarity operator (SURVEY.md §2.6); this
+is the beyond-reference entity-resolution primitive (typo-tolerant key
+matching, near-identical name linking) that Spark also lacks natively:
+``levenshtein(a, b) <= d`` as a bare join predicate plans as
+BroadcastNestedLoopJoin -- O(|L| x |R|) edit-distance calls, each
+itself O(len^2).
+
+Scale path = q-gram pigeonhole blocking, COMPLETE by construction:
+
+1. Count filter (Gravano et al., VLDB 2001): strings within edit
+   distance d share >= max(|a|,|b|) - q + 1 - d*q positional q-grams
+   (each edit destroys at most q grams). Whenever the longer string has
+   length >= q*(d+1) that bound is >= 1, so the pair MUST share at
+   least one q-gram string -- an equi-join on exploded distinct q-grams
+   finds it. (|a|-|b|| <= d then forces the shorter side >= q, so both
+   sides produce grams.)
+2. Short-string band: pairs where BOTH sides are shorter than q*(d+1)
+   can share zero grams, so all short strings additionally join on a
+   length band -- the right side replicates to length keys l-d..l+d,
+   the left joins on its exact length. Still an equi-join; the short
+   class is a constant-bounded length range, never a cross product.
+3. Union, distinct (a pair can surface via many grams), then verify the
+   exact predicate with the engine's levenshtein. Only (id, gram) pairs
+   ever shuffle -- candidate verification re-joins the strings by id.
+
+Hot-gram caveat at 100 TB: a gram appearing in f strings contributes
+O(f^2) candidates (the "th"-in-English problem). ``max_gram_freq``
+drops grams above a frequency ceiling -- an explicit RECALL-trading
+knob (a dropped pair is only lost if it shares no other surviving
+gram); the default None keeps the join exact/complete.
+
+NULL strings never match (grams of NULL explode to nothing; the band
+path filters them), mirroring SQL equi-join NULL semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_storage_and_proccess_job_data_spark.functions import text
+
+
+def _gram_side(df: DataFrame, id_col: str, str_col: str, q: int) -> DataFrame:
+    """(id, len, gram) with distinct grams per string, NULLs dropped."""
+    return df.select(
+        F.col(id_col),
+        F.length(str_col).alias("_len"),
+        F.explode(
+            F.array_distinct(text.char_qgrams(F.col(str_col), q))
+        ).alias("_g"),
+    )
+
+
+def _short_side(
+    df: DataFrame, id_col: str, str_col: str, short_cutoff: int
+) -> DataFrame:
+    return df.select(F.col(id_col), F.length(str_col).alias("_len")).filter(
+        F.col("_len") < short_cutoff
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_col: str,
+    right_id: str,
+    right_col: str,
+    max_dist: int = 2,
+    q: int = 2,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """All (left, right) pairs with levenshtein(left_col, right_col) <=
+    max_dist, as (left_id, right_id, dist). Complete (no blocking
+    recall loss) unless ``max_gram_freq`` is set -- see module
+    docstring for the two-path candidate construction.
+
+    ``left_id`` / ``right_id`` must differ (they name the output
+    columns); rename one side first if they collide."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    if q < 1:
+        raise ValueError("q must be >= 1")
+    if max_gram_freq is not None and max_gram_freq < 1:
+        raise ValueError("max_gram_freq must be >= 1 (or None for exact)")
+    if left_id == right_id:
+        raise ValueError(
+            "left_id and right_id name the output columns and must differ"
+        )
+    d = max_dist
+    short_cutoff = q * (d + 1)
+
+    lg = _gram_side(left, left_id, left_col, q)
+    rg = _gram_side(right, right_id, right_col, q)
+    if max_gram_freq is not None:
+        # recall knob: drop grams hotter than the ceiling on EITHER side
+        # (candidate volume for gram g is |L_g| x |R_g|).
+        hot = (
+            lg.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .unionByName(rg.groupBy("_g").agg(F.count(F.lit(1)).alias("_f")))
+            .groupBy("_g")
+            .agg(F.max("_f").alias("_f"))
+            .filter(F.col("_f") > max_gram_freq)
+            .select("_g")
+        )
+        lg = lg.join(hot, "_g", "left_anti")
+        rg = rg.join(hot, "_g", "left_anti")
+    cand_gram = (
+        lg.join(rg.withColumnRenamed("_len", "_rlen"), "_g")
+        .filter(F.abs(F.col("_len") - F.col("_rlen")) <= d)
+        .select(left_id, right_id)
+    )
+
+    ls = _short_side(left, left_id, left_col, short_cutoff)
+    rs = _short_side(right, right_id, right_col, short_cutoff).select(
+        right_id,
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("_len") - d, F.lit(0)), F.col("_len") + d
+            )
+        ).alias("_len"),
+    )
+    cand_short = ls.join(rs, "_len").select(left_id, right_id)
+
+    cand = cand_gram.unionByName(cand_short).distinct()
+    return (
+        cand.join(left.select(left_id, left_col), left_id)
+        .join(right.select(right_id, right_col), right_id)
+        .withColumn("dist", F.levenshtein(F.col(left_col), F.col(right_col)))
+        .filter(F.col("dist") <= d)
+        .select(left_id, right_id, "dist")
+    )
+
+
+def fuzzy_self_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 2,
+    q: int = 2,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """All unordered within-table pairs with edit distance <= max_dist,
+    as (id_a, id_b, dist) with id_a < id_b -- the entity-resolution /
+    typo-cluster primitive (feed the pairs to neardup.connected_components
+    for canonical-entity groups). Same completeness contract as
+    fuzzy_join."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(str_col).alias("_sa"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(str_col).alias("_sb"))
+    return fuzzy_join(
+        a,
+        b,
+        "id_a",
+        "_sa",
+        "id_b",
+        "_sb",
+        max_dist=max_dist,
+        q=q,
+        max_gram_freq=max_gram_freq,
+    ).filter(F.col("id_a") < F.col("id_b"))
