@@ -546,3 +546,127 @@ def dd_quantile(
         .filter(F.col("_rn") == 1)
         .select(*keys, est.alias("quantile_estimate"))
     )
+
+
+def decayed_agg(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    half_life_s: float,
+    ref_ts=None,
+    digits: int = 4,
+) -> DataFrame:
+    """Exponentially time-decayed aggregates per key: each row weighs
+    2^(-age / half_life) where age = ref - ts in seconds (microsecond
+    precision), so a row exactly one half-life old counts half as much
+    as a fresh one -- the freshness-weighted score behind trending
+    metrics and recency-weighted sampling (pair decayed_weight with
+    corpus.weighted_sample / weighted_take_k for "sample recent data
+    harder" mixtures).
+
+    ``ref_ts`` anchors the decay: a Column/literal timestamp, or None
+    to use max(ts) over ``df`` (deterministic -- never wall-clock; rows
+    newer than an explicit ref weigh > 1, which is the correct algebra
+    for a stale anchor). Computed as one hash agg plus, for the default
+    ref, a one-row broadcast crossJoin -- the established scalar
+    pattern; no second scan of the data.
+
+    NULL ts rows carry NULL weight and drop out of every measure; NULL
+    values drop out of decayed_sum/avg but still count toward
+    decayed_weight (they exist, they're just unvalued).
+
+    Returns keys + (decayed_sum, decayed_weight, decayed_avg), all
+    stable-rounded for cross-engine parity."""
+    if half_life_s <= 0:
+        raise ValueError("half_life_s must be > 0")
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    if ref_ts is None:
+        ref = df.agg(F.max(ts_col).alias("_ref"))
+        base = df.crossJoin(F.broadcast(ref))
+        ref_col = F.col("_ref")
+    else:
+        base = df
+        ref_col = ref_ts if isinstance(ref_ts, Column) else F.lit(ref_ts)
+    age_s = (
+        F.unix_micros(ref_col) - F.unix_micros(F.col(ts_col))
+    ) / F.lit(1e6)
+    w = F.pow(F.lit(2.0), -age_s / F.lit(float(half_life_s)))
+    return (
+        base.withColumn("_w", w)
+        .groupBy(*keys)
+        .agg(
+            stable_round(F.sum(F.col("_w") * F.col(value_col)), digits).alias(
+                "decayed_sum"
+            ),
+            stable_round(F.sum("_w"), digits).alias("decayed_weight"),
+            stable_round(
+                F.sum(F.col("_w") * F.col(value_col))
+                / F.sum(
+                    F.when(F.col(value_col).isNotNull(), F.col("_w"))
+                ),
+                digits,
+            ).alias("decayed_avg"),
+        )
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: float = 3.5,
+    digits: int = 4,
+) -> DataFrame:
+    """Per-group robust outlier annotation via median/MAD (the
+    Iglewicz-Hoaglin modified z-score): robust_z = (x - median) /
+    (1.4826 * MAD), flagged when |robust_z| > k. Unlike mean/stddev
+    z-scores, the breakdown point is 50% -- the outliers themselves
+    can't mask the fence, which is what makes it usable as an automated
+    data-quality gate over arbitrary partner feeds.
+
+    Exact medians (F.percentile, interpolated -- matches DuckDB
+    quantile_cont bit-for-bit on doubles), two hash aggs + two
+    equi-joins on the group keys; no window over the whole group, no
+    broadcast assumption on group count. Degenerate groups (MAD = 0,
+    i.e. >= half the group sits AT the median) get NULL robust_z and
+    flag any value != median.
+
+    NULL values are dropped (they're a completeness problem, not an
+    outlier problem -- expectation_report covers them). Returns keys +
+    (value_col, med, mad, robust_z, is_outlier) for every non-NULL
+    input row; filter is_outlier for the violations feed."""
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    v = F.col(value_col)
+    rows = df.filter(v.isNotNull()).select(*keys, value_col)
+    med = rows.groupBy(*keys).agg(
+        F.percentile(v, F.lit(0.5)).alias("_med")
+    )
+    j = rows.join(med, list(keys))
+    mad = j.groupBy(*keys).agg(
+        F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)).alias("_mad")
+    )
+    z = (v - F.col("_med")) / (F.lit(1.4826) * F.col("_mad"))
+    return (
+        j.join(mad, list(keys))
+        .select(
+            *keys,
+            value_col,
+            stable_round(F.col("_med"), digits).alias("med"),
+            stable_round(F.col("_mad"), digits).alias("mad"),
+            F.when(
+                F.col("_mad") > 0, stable_round(z, digits)
+            ).alias("robust_z"),
+            F.when(F.col("_mad") > 0, F.abs(z) > k)
+            .otherwise(v != F.col("_med"))
+            .alias("is_outlier"),
+        )
+    )

@@ -1,0 +1,134 @@
+"""Time-decayed aggregates and robust median/MAD outliers: hand-math
+micro pins plus full-value DuckDB parity on the driver tables."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+    sql_round,
+)
+from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+from tests.parity import compare, duckdb_connect
+
+T0 = datetime.datetime(2024, 1, 2, 12, 0, 0)
+
+
+def test_decayed_agg_hand_math(spark):
+    """Fresh row weighs 1, a row exactly one half-life old weighs 0.5,
+    NULL value rows count toward weight but not sum/avg, NULL ts rows
+    vanish entirely."""
+    hl = 3600.0
+    rows = [
+        ("a", T0, 10.0),
+        ("a", T0 - datetime.timedelta(seconds=hl), 10.0),
+        ("a", T0, None),  # valueless but present
+        ("a", None, 99.0),  # no timestamp -> no weight
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = aggregates.decayed_agg(df, ["k"], "ts", "v", hl).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.decayed_sum == pytest.approx(15.0, abs=1e-2)
+    assert r.decayed_weight == pytest.approx(2.5, abs=1e-2)
+    assert r.decayed_avg == pytest.approx(10.0, abs=1e-2)
+
+
+def test_decayed_agg_explicit_ref(spark):
+    """An explicit ref one half-life after the data halves every weight
+    (relative mix unchanged, absolute level halved)."""
+    hl = 3600.0
+    df = spark.createDataFrame([("a", T0, 8.0)], ["k", "ts", "v"])
+    ref = T0 + datetime.timedelta(seconds=hl)
+    r = aggregates.decayed_agg(df, ["k"], "ts", "v", hl, ref_ts=ref).collect()[0]
+    assert r.decayed_weight == pytest.approx(0.5, abs=1e-3)
+    assert r.decayed_sum == pytest.approx(4.0, abs=1e-3)
+    with pytest.raises(ValueError, match="half_life_s"):
+        aggregates.decayed_agg(df, ["k"], "ts", "v", 0)
+
+
+def test_decayed_agg_duckdb_parity(spark, oracle_sf_dir):
+    """Cross-engine value parity on orders: the decay weight is pure
+    IEEE double arithmetic (epoch_us difference -> pow), so DuckDB
+    recomputes the identical measures from the same parquet."""
+    hl = 30 * 86400.0
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    out = aggregates.decayed_agg(
+        orders, ["o_orderpriority"], "o_orderdate", "o_totalprice", hl
+    )
+    w = f"pow(2.0, -((epoch_us(r) - epoch_us(o_orderdate)) / 1e6) / {hl!r})"
+    sql = f"""
+    WITH ref AS (SELECT max(o_orderdate) AS r FROM orders)
+    SELECT o_orderpriority,
+      {sql_round(f'sum({w} * o_totalprice)', 4)} AS decayed_sum,
+      {sql_round(f'sum({w})', 4)} AS decayed_weight,
+      {sql_round(
+          f'sum({w} * o_totalprice) / '
+          f'sum(CASE WHEN o_totalprice IS NOT NULL THEN {w} END)', 4
+      )} AS decayed_avg
+    FROM orders, ref
+    GROUP BY o_orderpriority
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_robust_outliers_hand_math(spark):
+    """[1,2,3,4,100]: med 3, MAD 1 -> only 100 breaches |z| > 3.5.
+    Degenerate [5,5,5,9]: MAD 0 -> 9 flagged with NULL z, the 5s clean.
+    NULL values dropped."""
+    rows = [("g1", float(x)) for x in (1, 2, 3, 4, 100)]
+    rows += [("g2", 5.0), ("g2", 5.0), ("g2", 5.0), ("g2", 9.0)]
+    rows += [("g1", None)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = aggregates.robust_outliers(df, ["g"], "v", k=3.5)
+    got = {(r.g, r.v): (r.med, r.mad, r.robust_z, r.is_outlier)
+           for r in out.collect()}
+    assert len(got) == 7  # NULL row dropped, 5.0 dupes collapse in dict
+    assert got[("g1", 100.0)][3] is True
+    assert got[("g1", 100.0)][2] == pytest.approx(97 / 1.4826, abs=1e-2)
+    for x in (1.0, 2.0, 3.0, 4.0):
+        assert got[("g1", x)][3] is False
+    assert got[("g2", 9.0)][1] == 0.0
+    assert got[("g2", 9.0)][2] is None
+    assert got[("g2", 9.0)][3] is True
+    assert got[("g2", 5.0)][3] is False
+    with pytest.raises(ValueError, match="k must"):
+        aggregates.robust_outliers(df, ["g"], "v", k=0)
+
+
+def test_robust_outliers_duckdb_parity(spark, oracle_sf_dir):
+    """Row-level annotated output matches DuckDB quantile_cont-based
+    recomputation exactly (F.percentile and quantile_cont are both
+    interpolated medians over doubles)."""
+    li = load_table(spark, oracle_sf_dir, "lineitem")
+    out = aggregates.robust_outliers(
+        li, ["l_returnflag"], "l_extendedprice", k=3.0
+    )
+    z = "(l_extendedprice - _med) / (1.4826 * _mad)"
+    sql = f"""
+    WITH rows_ AS (
+      SELECT l_returnflag, l_extendedprice FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+    ), med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS _med
+      FROM rows_ GROUP BY l_returnflag
+    ), j AS (
+      SELECT rows_.*, _med FROM rows_ JOIN med USING (l_returnflag)
+    ), mad AS (
+      SELECT l_returnflag,
+             quantile_cont(abs(l_extendedprice - _med), 0.5) AS _mad
+      FROM j GROUP BY l_returnflag
+    )
+    SELECT j.l_returnflag, j.l_extendedprice,
+      {sql_round('_med', 4)} AS med,
+      {sql_round('_mad', 4)} AS mad,
+      CASE WHEN _mad > 0 THEN {sql_round(z, 4)} END AS robust_z,
+      CASE WHEN _mad > 0 THEN abs({z}) > 3.0
+           ELSE l_extendedprice != _med END AS is_outlier
+    FROM j JOIN mad USING (l_returnflag)
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
