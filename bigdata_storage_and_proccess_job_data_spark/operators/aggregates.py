@@ -614,6 +614,57 @@ def decayed_agg(
     )
 
 
+def corr_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    keys: Sequence[str] | None = None,
+    digits: int = 4,
+) -> DataFrame:
+    """Pairwise Pearson correlation + sample covariance over ``cols``,
+    optionally per group, in ONE aggregation pass: every pair's corr /
+    covar_samp / pairwise row count are sibling aggregate expressions in
+    a single hash agg (no per-pair scans, no driver loop over columns),
+    then the wide row unpivots to long (col_a, col_b, n_pairs, cov,
+    corr) with col_a <= col_b via an inline of literal-keyed structs --
+    pure projection, no shuffle.
+
+    Pairwise NULL deletion (both engines' corr/covar semantics): a row
+    contributes to a pair iff both columns are non-NULL. Constant
+    columns yield NULL corr (zero variance), matching SQL. The column
+    list is the unpivot width -- O(|cols|^2) expressions, fine for the
+    tens-of-columns feature-matrix case this serves; it is NOT a
+    key-cardinality blowup (still one pass over the data)."""
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns")
+    if len(set(cols)) != len(cols):
+        raise ValueError("duplicate columns")
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    keys = list(keys or [])
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in list(cols)[i:]
+    ]
+    aggs = []
+    for idx, (a, b) in enumerate(pairs):
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        aggs.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.sum(both.cast("long")).alias("n_pairs"),
+                stable_round(F.covar_samp(a, b), digits).alias("cov"),
+                stable_round(F.corr(a, b), digits).alias("corr"),
+            ).alias(f"_p_{idx}")
+        )
+    wide = df.groupBy(*keys).agg(*aggs)
+    pair_cols = [c for c in wide.columns if c.startswith("_p_")]
+    return wide.select(
+        *keys, F.inline(F.array(*[F.col(c) for c in pair_cols]))
+    )
+
+
 def robust_outliers(
     df: DataFrame,
     keys: list[str],

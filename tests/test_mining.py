@@ -132,3 +132,49 @@ def test_robust_outliers_duckdb_parity(spark, oracle_sf_dir):
     FROM j JOIN mad USING (l_returnflag)
     """
     assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_corr_matrix_hand_math(spark):
+    """y = 2x -> corr 1; z = -x -> corr -1; NULL rows pairwise-delete
+    (n_pairs tracks each pair separately); single-pair count check."""
+    rows = [
+        (1.0, 2.0, -1.0),
+        (2.0, 4.0, -2.0),
+        (3.0, 6.0, -3.0),
+        (4.0, None, -4.0),
+    ]
+    df = spark.createDataFrame(rows, ["x", "y", "z"])
+    out = {
+        (r.col_a, r.col_b): (r.n_pairs, r.corr)
+        for r in aggregates.corr_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert len(out) == 6  # upper triangle incl. diagonal
+    assert out[("x", "y")][0] == 3
+    assert out[("x", "y")][1] == pytest.approx(1.0, abs=1e-3)
+    assert out[("x", "z")][0] == 4
+    assert out[("x", "z")][1] == pytest.approx(-1.0, abs=1e-3)
+    assert out[("x", "x")][1] == pytest.approx(1.0, abs=1e-3)
+    with pytest.raises(ValueError, match="at least 2"):
+        aggregates.corr_matrix(df, ["x"])
+    with pytest.raises(ValueError, match="duplicate"):
+        aggregates.corr_matrix(df, ["x", "x"])
+
+
+def test_corr_matrix_duckdb_parity(spark, oracle_sf_dir):
+    """Grouped correlation matrix over the lineitem measure columns
+    matches DuckDB's corr/covar_samp exactly under stable rounding."""
+    li = load_table(spark, oracle_sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    out = aggregates.corr_matrix(li, cols, keys=["l_returnflag"])
+    selects = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            selects.append(f"""
+            SELECT l_returnflag, '{a}' AS col_a, '{b}' AS col_b,
+              count(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL THEN 1 END)
+                AS n_pairs,
+              {sql_round(f'covar_samp({a}, {b})', 4)} AS cov,
+              {sql_round(f'corr({a}, {b})', 4)} AS corr
+            FROM lineitem GROUP BY l_returnflag""")
+    sql = " UNION ALL ".join(selects)
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
