@@ -614,6 +614,92 @@ def decayed_agg(
     )
 
 
+def profile_table(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    distinct: str = "approx",
+    rsd: float = 0.05,
+    digits: int = 4,
+) -> DataFrame:
+    """Schema-driven table profile in ONE aggregation pass: one output
+    row per column with (dtype, n_rows, n_nulls, null_frac, n_distinct,
+    min, max, mean, stddev) -- the discovery complement to
+    expectation_report (which checks rules you already know). All
+    columns' measures are sibling expressions in a single agg, then the
+    wide row unpivots via inline; min/max cast to string for a uniform
+    schema, mean/stddev populated for numeric columns only.
+
+    ``distinct='approx'`` (default) uses approx_count_distinct (HLL,
+    ``rsd`` relative error) -- the 100 TB path, since EXACT multi-column
+    count_distinct plans an Expand that multiplies every input row by
+    the number of distinct aggregates. ``distinct='exact'`` accepts that
+    cost for audit runs (and is what the cross-engine parity test uses);
+    ``distinct='skip'`` omits the measure entirely (NULL)."""
+    if distinct not in ("approx", "exact", "skip"):
+        raise ValueError("distinct must be approx | exact | skip")
+    from pyspark.sql.types import NumericType
+
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = list(cols or fields)
+    missing = [c for c in cols if c not in fields]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    structs = []
+    for i, c in enumerate(cols):
+        dt = fields[c]
+        numeric = isinstance(dt, NumericType)
+        col = F.col(c)
+        if distinct == "exact":
+            nd = F.count_distinct(col).cast("long")
+        elif distinct == "approx":
+            nd = F.approx_count_distinct(col, rsd).cast("long")
+        else:
+            nd = F.lit(None).cast("long")
+        null_double = F.lit(None).cast("double")
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dt.simpleString()).alias("dtype"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(col.isNull().cast("long")).alias("n_nulls"),
+                nd.alias("n_distinct"),
+                F.min(col).cast("string").alias("min"),
+                F.max(col).cast("string").alias("max"),
+                (
+                    stable_round(F.avg(col), digits)
+                    if numeric
+                    else null_double
+                ).alias("mean"),
+                (
+                    stable_round(F.stddev_samp(col), digits)
+                    if numeric
+                    else null_double
+                ).alias("stddev"),
+            ).alias(f"_c_{i}")
+        )
+    wide = df.agg(*structs)
+    return wide.select(
+        F.inline(F.array(*[F.col(f"_c_{i}") for i in range(len(cols))]))
+    ).select(
+        "column",
+        "dtype",
+        "n_rows",
+        "n_nulls",
+        stable_round(
+            F.col("n_nulls") / F.col("n_rows"), digits
+        ).alias("null_frac"),
+        "n_distinct",
+        "min",
+        "max",
+        "mean",
+        "stddev",
+    )
+
+
 def corr_matrix(
     df: DataFrame,
     cols: Sequence[str],

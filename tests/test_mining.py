@@ -178,3 +178,52 @@ def test_corr_matrix_duckdb_parity(spark, oracle_sf_dir):
             FROM lineitem GROUP BY l_returnflag""")
     sql = " UNION ALL ".join(selects)
     assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_profile_table_hand_math(spark):
+    """Nulls, distincts, min/max, numeric-only mean/stddev, and the
+    non-numeric columns' NULL mean -- plus validation."""
+    rows = [("a", 1.0), ("a", 3.0), ("b", None), (None, 2.0)]
+    df = spark.createDataFrame(rows, ["s", "v"])
+    prof = {
+        r.column: r
+        for r in aggregates.profile_table(df, distinct="exact").collect()
+    }
+    s, v = prof["s"], prof["v"]
+    assert (s.n_rows, s.n_nulls, s.n_distinct) == (4, 1, 2)
+    assert (s.min, s.max, s.mean, s.stddev) == ("a", "b", None, None)
+    assert (v.n_rows, v.n_nulls, v.n_distinct) == (4, 1, 3)
+    assert v.null_frac == pytest.approx(0.25, abs=1e-3)
+    assert v.mean == pytest.approx(2.0, abs=1e-3)
+    with pytest.raises(ValueError, match="unknown columns"):
+        aggregates.profile_table(df, ["nope"])
+    with pytest.raises(ValueError, match="distinct must"):
+        aggregates.profile_table(df, distinct="bogus")
+    skip = aggregates.profile_table(df, distinct="skip").collect()
+    assert all(r.n_distinct is None for r in skip)
+
+
+def test_profile_table_duckdb_parity(spark, oracle_sf_dir):
+    """Exact-mode profile of orders (string, numeric, and timestamp
+    columns) matches a per-column DuckDB recomputation."""
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    out = aggregates.profile_table(orders, cols, distinct="exact")
+    dtypes = dict(orders.dtypes)
+    selects = []
+    for c in cols:
+        numeric = c in ("o_orderkey", "o_totalprice")
+        mean = sql_round(f"avg({c})", 4) if numeric else "NULL::DOUBLE"
+        std = sql_round(f"stddev_samp({c})", 4) if numeric else "NULL::DOUBLE"
+        selects.append(f"""
+        SELECT '{c}' AS column, '{dtypes[c]}' AS dtype,
+          count(*) AS n_rows,
+          count(*) - count({c}) AS n_nulls,
+          {sql_round(f'(count(*) - count({c})) / count(*)::DOUBLE', 4)}
+            AS null_frac,
+          count(DISTINCT {c}) AS n_distinct,
+          min({c})::VARCHAR AS min, max({c})::VARCHAR AS max,
+          {mean} AS mean, {std} AS stddev
+        FROM orders""")
+    sql = " UNION ALL ".join(selects)
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
