@@ -1,0 +1,93 @@
+"""PageRank: exact agreement with a dense numpy power iteration (same
+update rule), probability-mass conservation, dangling handling, and
+validation. Iterative -> test-pinned rather than SQL-oracled (the
+heavy_hitters / connected_components precedent)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+from bigdata_storage_and_proccess_job_data_spark.operators import graph
+
+
+def _numpy_pagerank(edge_list, damping, iters):
+    nodes = sorted({u for u, v in edge_list} | {v for u, v in edge_list})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for u, v in set(edge_list):
+        out.setdefault(u, []).append(v)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - damping) / n)
+        dang = 0.0
+        for u in nodes:
+            targets = out.get(u)
+            if not targets:
+                dang += r[idx[u]]
+            else:
+                share = r[idx[u]] / len(targets)
+                for v in targets:
+                    nxt[idx[v]] += damping * share
+        nxt += damping * dang / n
+        r = nxt
+    return {u: r[idx[u]] for u in nodes}
+
+
+def test_pagerank_matches_numpy_micro(spark):
+    """4-node graph with a dangling sink and a duplicate edge: ranks
+    match the dense reference to 1e-9 and sum to 1."""
+    edge_list = [(1, 2), (1, 2), (2, 3), (3, 1), (1, 4)]  # 4 is dangling
+    df = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {
+        r.node: r.rank
+        for r in graph.pagerank(df, damping=0.85, iters=12).collect()
+    }
+    want = _numpy_pagerank(edge_list, 0.85, 12)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # node 1 receives 3's entire rank (its only out-edge) and tops the
+    # graph; 2 and 4 each get half of 1's mass and tie exactly
+    assert got[1] == max(got.values())
+    assert got[2] == pytest.approx(got[4], abs=1e-12)
+
+
+def test_pagerank_matches_numpy_bipartite(spark, sf_dir):
+    """Customer -> part interaction graph from the driver tables (~350
+    nodes): distributed ranks equal the dense reference."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") + 1_000_000).alias("src"),
+            F.col("l_partkey").alias("dst"),
+        )
+    )
+    edge_list = [(r.src, r.dst) for r in edges.collect()]
+    got = {
+        r.node: r.rank
+        for r in graph.pagerank(edges, damping=0.85, iters=7).collect()
+    }
+    want = _numpy_pagerank(edge_list, 0.85, 7)
+    assert set(got) == set(want)
+    worst = max(abs(got[k] - want[k]) for k in want)
+    assert worst < 1e-9
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_null_edges_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, None), (None, 3)], ["src", "dst"]
+    )
+    got = {r.node: r.rank for r in graph.pagerank(df, iters=3).collect()}
+    assert set(got) == {1, 2}  # NULL endpoints drop their edges entirely
+    with pytest.raises(ValueError, match="damping"):
+        graph.pagerank(df, damping=1.0)
+    with pytest.raises(ValueError, match="iters"):
+        graph.pagerank(df, iters=0)
