@@ -137,6 +137,54 @@ def fuzzy_join(
     )
 
 
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 2,
+    q: int = 2,
+    max_gram_freq: int | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Typo-tolerant entity resolution: rows whose strings sit within
+    ``max_dist`` edits of each other -- directly or through a CHAIN of
+    near-matches -- collapse into one entity. fuzzy_self_pairs supplies
+    the match edges, neardup.connected_components the transitive
+    closure (min-id label propagation, its documented lineage
+    discipline), and every row gets (entity_id, canonical) where
+    entity_id is the cluster's minimum id and canonical is that row's
+    string -- a deterministic survivor rule. Singletons are their own
+    entity. NULL strings resolve to themselves (they never match
+    anything, by the fuzzy-join NULL contract).
+
+    Returns (id_col, str_col, entity_id, canonical). Chain semantics
+    are the honest ones for edit distance (A~B and B~C does not imply
+    A~C within max_dist) -- callers wanting radius-bounded clusters
+    should lower max_dist rather than post-filter."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import neardup
+
+    pairs = fuzzy_self_pairs(
+        df, id_col, str_col, max_dist=max_dist, q=q,
+        max_gram_freq=max_gram_freq,
+    )
+    comp = neardup.connected_components(
+        pairs, "id_a", "id_b", max_iters=max_iters
+    ).select(F.col("id").alias(id_col), "component")
+    rows = df.select(id_col, str_col).join(comp, id_col, "left")
+    with_entity = rows.select(
+        id_col,
+        str_col,
+        F.coalesce(F.col("component"), F.col(id_col)).alias("entity_id"),
+    )
+    canon = df.select(
+        F.col(id_col).alias("entity_id"),
+        F.col(str_col).alias("canonical"),
+    )
+    return with_entity.join(canon, "entity_id").select(
+        id_col, str_col, "entity_id", "canonical"
+    )
+
+
 def fuzzy_self_pairs(
     df: DataFrame,
     id_col: str,

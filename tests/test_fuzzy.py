@@ -149,3 +149,41 @@ def test_fuzzy_validation():
         fuzzy.fuzzy_join(None, None, "a", "x", "b", "y", max_gram_freq=0)
     with pytest.raises(ValueError, match="must differ"):
         fuzzy.fuzzy_join(None, None, "k", "x", "k", "y")
+
+
+def test_resolve_entities_typo_families(spark):
+    """Two typo families (one linked only through a CHAIN of 1-edit
+    steps), a singleton, and a NULL: min-id canonicals, chain collapse,
+    singletons self-resolved."""
+    rows = [
+        (10, "acme corp"),
+        (11, "acme c0rp"),   # 1 edit from 10
+        (12, "acme c0rpx"),  # 1 edit from 11, 2 from 10 (chain)
+        (20, "globex"),
+        (21, "globexx"),
+        (30, "initech"),     # singleton
+        (40, None),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = {
+        r.id: (r.entity_id, r.canonical)
+        for r in fuzzy.resolve_entities(df, "id", "name", max_dist=1).collect()
+    }
+    assert out[10] == (10, "acme corp")
+    assert out[11] == (10, "acme corp")
+    assert out[12] == (10, "acme corp")  # joined through the chain
+    assert out[20] == (20, "globex")
+    assert out[21] == (20, "globex")
+    assert out[30] == (30, "initech")
+    assert out[40] == (40, None)
+    assert len(out) == 7
+
+
+def test_resolve_entities_all_unique(spark):
+    """No matches anywhere -> every row is its own entity."""
+    df = spark.createDataFrame(
+        [(1, "alpha-one"), (2, "betabetab"), (3, "gamma-xyz")], ["id", "name"]
+    )
+    out = {r.id: r.entity_id
+           for r in fuzzy.resolve_entities(df, "id", "name", 1).collect()}
+    assert out == {1: 1, 2: 2, 3: 3}
