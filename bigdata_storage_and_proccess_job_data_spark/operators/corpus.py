@@ -652,6 +652,128 @@ def length_histogram(
     )
 
 
+def _bigram_pairs(toks: Column) -> Column:
+    """array<struct<prev,token>> of adjacent token pairs -- the same
+    shifted-slice zip as text.word_ngrams (and for the same O(L) vs
+    O(L^2) reason)."""
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("token")),
+    )
+
+
+def bigram_prob_table(
+    ref: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximum-likelihood conditional bigram probabilities fit on a
+    reference corpus: (prev, token, p_cond) with p_cond = c(prev,token)
+    / c(prev, *) for bigrams seen >= ``min_count`` times -- the
+    second-order companion to unigram_logprob_table. Context totals
+    include PRUNED bigrams, so retained probs are true ML fractions
+    (they sum to <= 1 per context); the missing mass is exactly what
+    interpolation backs off to. One explode + two hash aggs + one
+    equi-join; the result is a stored artifact like the unigram table."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    pairs = ref.select(
+        F.explode(
+            _bigram_pairs(text.tokens(F.lower(F.col(text_col))))
+        ).alias("_z")
+    ).select(F.col("_z.prev").alias("prev"), F.col("_z.token").alias("token"))
+    bc = pairs.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("_c"))
+    ctx = bc.groupBy("prev").agg(F.sum("_c").alias("_ctx"))
+    return (
+        bc.filter(F.col("_c") >= min_count)
+        .join(ctx, "prev")
+        .select(
+            "prev",
+            "token",
+            (F.col("_c") / F.col("_ctx")).alias("p_cond"),
+        )
+    )
+
+
+def bigram_surprisal(
+    docs: DataFrame,
+    uni_lm: DataFrame,
+    bi_lm: DataFrame,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mean token surprisal under a Jelinek-Mercer interpolated bigram
+    model: p(w_i | w_{i-1}) = lam * p_bigram + (1 - lam) * p_unigram,
+    with the unigram term carrying add-alpha smoothing + OOV mass (so p
+    is never zero), and each document's FIRST token scored
+    unigram-only (no context -- the no-BOS convention, documented
+    rather than synthesized). Word order now matters: a shuffled
+    document keeps its unigram score but loses its bigram mass, which
+    is exactly the fluency signal the unigram filter can't see.
+
+    Scale shape: one explode to (doc, prev, token) rows, a broadcast
+    join against the bounded unigram table, a SHUFFLE equi-join against
+    the bigram table (unbounded artifact -- AQE broadcasts it when it
+    fits), one hash agg to doc grain. Returns (id_col, n_tokens,
+    surprisal); empty docs NULL."""
+    if not 0 < lam < 1:
+        raise ValueError("lam must be in (0, 1)")
+    toks = docs.select(
+        F.col(id_col), text.tokens(F.lower(F.col(text_col))).alias("_tk")
+    )
+    first = toks.filter(F.size("_tk") >= 1).select(
+        id_col,
+        F.lit(None).cast("string").alias("prev"),
+        F.element_at("_tk", 1).alias("token"),
+    )
+    rest = toks.filter(F.size("_tk") > 1).select(
+        id_col, F.explode(_bigram_pairs(F.col("_tk"))).alias("_z")
+    ).select(
+        id_col,
+        F.col("_z.prev").alias("prev"),
+        F.col("_z.token").alias("token"),
+    )
+    oov = uni_lm.filter(F.col("token").isNull()).select(
+        F.col("logp").alias("_oov_logp")
+    )
+    scored = (
+        first.unionByName(rest)
+        .join(
+            F.broadcast(uni_lm.filter(F.col("token").isNotNull())),
+            "token",
+            "left",
+        )
+        .crossJoin(F.broadcast(oov))
+        .withColumn(
+            "_pu", F.exp(F.coalesce(F.col("logp"), F.col("_oov_logp")))
+        )
+        .join(bi_lm, ["prev", "token"], "left")
+        .withColumn(
+            "_p",
+            F.when(F.col("prev").isNull(), F.col("_pu")).otherwise(
+                F.lit(lam) * F.coalesce(F.col("p_cond"), F.lit(0.0))
+                + F.lit(1.0 - lam) * F.col("_pu")
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.avg(F.log("_p"))).alias("surprisal"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "surprisal",
+        )
+    )
+
+
 def unigram_logprob_table(
     ref: DataFrame,
     text_col: str = "text",

@@ -718,3 +718,129 @@ def test_duplication_density_flags_recycled_docs(spark):
 
     with pytest.raises(ValueError, match="min_docs"):
         corpus.duplication_density(docs, min_docs=1)
+
+
+def test_bigram_surprisal_order_sensitivity_and_parity(spark, oracle_sf_dir):
+    """Interpolated bigram LM: (1) a document using reference word ORDER
+    scores strictly lower than the same multiset shuffled (the fluency
+    signal unigrams can't see -- their unigram scores are identical),
+    (2) one-token docs score unigram-only, empty docs NULL, (3) the
+    whole fit+score (bigram ML fit with min_count prune, JM
+    interpolation, OOV fallback, first-token convention) is recomputed
+    value-for-value in DuckDB, (4) validation."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        SQL_TOKENS_LOWER,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    # --- order sensitivity on a controlled reference
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    uni = corpus.unigram_logprob_table(ref, vocab_size=100, alpha=1.0)
+    bi = corpus.bigram_prob_table(ref, min_count=2)
+    probe = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "mat the on sat cat the"),  # same multiset, broken order
+            (3, "the"),
+            (4, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: r
+        for r in corpus.bigram_surprisal(probe, uni, bi, lam=0.5).collect()
+    }
+    assert got[1].surprisal < got[2].surprisal
+    u = {
+        r.doc_id: r.surprisal
+        for r in corpus.unigram_surprisal(probe, uni).collect()
+    }
+    assert u[1] == pytest.approx(u[2], abs=1e-9)  # unigram is order-blind
+    assert got[3].n_tokens == 1 and got[3].surprisal is not None
+    assert got[4].n_tokens == 0 and got[4].surprisal is None
+
+    # retained conditional probs are true ML fractions: sum <= 1 per ctx
+    mass = bi.groupBy("prev").agg(F.sum("p_cond").alias("m")).collect()
+    assert all(r.m <= 1.0 + 1e-9 for r in mass)
+
+    # --- cross-engine parity over the real corpus
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    uni_r = corpus.unigram_logprob_table(docs, vocab_size=500, alpha=1.0)
+    bi_r = corpus.bigram_prob_table(docs, min_count=2)
+    scored = corpus.bigram_surprisal(docs, uni_r, bi_r, lam=0.5).select(
+        "doc_id",
+        "n_tokens",
+        stable_round(F.col("surprisal"), 4).alias("surprisal"),
+    )
+    sql = f"""
+        WITH base AS (SELECT doc_id, {SQL_TOKENS_LOWER} AS l FROM documents),
+        toks AS (SELECT unnest(l) AS t FROM base),
+        counts AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+        top AS (SELECT t, c FROM counts ORDER BY c DESC, t ASC LIMIT 500),
+        scal AS (
+          SELECT (SELECT SUM(c) FROM counts)::DOUBLE AS n,
+                 (SELECT COUNT(*) FROM top)::DOUBLE AS v
+        ),
+        lm AS (
+          SELECT t, ln(c + 1.0) - ln(n + 1.0 * (v + 1)) AS logp
+          FROM top, scal
+        ),
+        oov AS (SELECT ln(1.0) - ln(n + 1.0 * (v + 1)) AS logp FROM scal),
+        zips AS (
+          SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+          FROM base WHERE len(l) > 1
+        ),
+        bc AS (
+          SELECT z[1] AS prev, z[2] AS token, COUNT(*) AS c
+          FROM zips GROUP BY 1, 2
+        ),
+        ctx AS (SELECT prev, SUM(c) AS ctxc FROM bc GROUP BY prev),
+        bi AS (
+          SELECT bc.prev, bc.token, c / ctxc AS p_cond
+          FROM bc JOIN ctx USING (prev) WHERE c >= 2
+        ),
+        allt AS (
+          SELECT doc_id, NULL::VARCHAR AS prev, l[1] AS token
+          FROM base WHERE len(l) >= 1
+          UNION ALL
+          SELECT doc_id, z[1] AS prev, z[2] AS token FROM zips
+        ),
+        ju AS (
+          SELECT a.doc_id, a.prev, a.token,
+                 exp(COALESCE(lm.logp, (SELECT logp FROM oov))) AS pu
+          FROM allt a LEFT JOIN lm ON a.token = lm.t
+        ),
+        jb AS (
+          SELECT ju.*, bi.p_cond
+          FROM ju LEFT JOIN bi
+            ON ju.prev = bi.prev AND ju.token = bi.token
+        ),
+        perdoc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 -AVG(ln(CASE WHEN prev IS NULL THEN pu
+                              ELSE 0.5 * COALESCE(p_cond, 0) + 0.5 * pu
+                         END)) AS s
+          FROM jb GROUP BY doc_id
+        )
+        SELECT b.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+               {sql_round("p.s", 4)} AS surprisal
+        FROM (SELECT DISTINCT doc_id FROM documents) b
+        LEFT JOIN perdoc p USING (doc_id)
+    """
+    errs = compare(scored, duckdb_connect(oracle_sf_dir), sql)
+    assert not errs, errs[:5]
+
+    with pytest.raises(ValueError, match="min_count"):
+        corpus.bigram_prob_table(ref, min_count=0)
+    with pytest.raises(ValueError, match="lam"):
+        corpus.bigram_surprisal(probe, uni, bi, lam=1.0)
