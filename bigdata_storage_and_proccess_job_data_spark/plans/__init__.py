@@ -329,7 +329,13 @@ DRIVER_WINDOW_R8_PLAN = sorted(
 # duplication_density (inverted-index shape, SQL-expressible like
 # duplicate_ngram_spans). mmr_rerank and split_leakage_audit are
 # iterative/compositional -- test-only by design, the heavy_hitters
-# precedent.
+# precedent. Late-r7 additions with the same oracle-grade local parity
+# (tests/test_fuzzy.py, test_mining.py, test_baskets.py,
+# test_corpus.py): fuzzy_self_pairs (brute-force levenshtein oracle),
+# decayed_agg, robust_outliers, corr_matrix, profile_table (exact
+# mode), frequent_pairs, bigram_surprisal. Test-only by design:
+# pagerank + resolve_entities (iterative, the connected_components
+# precedent).
 
 DRIVER_WINDOW_R4 = [
     # -- r2-checked analytics variants rotating back in (32)
