@@ -652,6 +652,79 @@ def length_histogram(
     )
 
 
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 1,
+) -> DataFrame:
+    """Corpus-level line deduplication -- the CCNet/RefinedWeb
+    boilerplate strip: a (trimmed) line appearing in MORE than
+    ``max_docs`` distinct documents is boilerplate (nav bars, cookie
+    banners, license headers) and is removed from every document; each
+    document is rebuilt from its surviving lines in original order.
+    Whitespace-only lines are structural, never counted and never
+    removed. This is the line-grain complement to duplication_density
+    (which scores docs) and minhash dedup (which drops docs): here the
+    DOCS survive, the repeated LINES go.
+
+    Scale shape: posexplode to (doc, pos, line), one hash agg on the
+    trimmed line for distinct-doc counts, one equi-join back (hot keys
+    are exactly the boilerplate -- AQE skew split's case), and the
+    rebuild is a hash agg to doc grain via array_sort(collect_list(
+    struct(pos, line))) -- deterministic order without a window sort.
+    Returns (id_col, text, n_lines, n_removed); NULL-text docs pass
+    through with NULL text and zero counts."""
+    if max_docs < 1:
+        raise ValueError("max_docs must be >= 1")
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "_pos", "_line"
+        ),
+    ).withColumn("_key", F.trim(F.col("_line")))
+    counts = (
+        lines.filter(F.col("_key") != "")
+        .groupBy("_key")
+        .agg(F.count_distinct(id_col).alias("_docs"))
+    )
+    kept = (
+        lines.join(counts, "_key", "left")
+        .withColumn(
+            "_keep",
+            (F.col("_key") == "") | (F.col("_docs") <= max_docs),
+        )
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((~F.col("_keep")).cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"),
+                            F.struct(F.col("_pos"), F.col("_line")),
+                        )
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias(text_col),
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            text_col,
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+        )
+    )
+
+
 def _bigram_pairs(toks: Column) -> Column:
     """array<struct<prev,token>> of adjacent token pairs -- the same
     shifted-slice zip as text.word_ngrams (and for the same O(L) vs

@@ -844,3 +844,74 @@ def test_bigram_surprisal_order_sensitivity_and_parity(spark, oracle_sf_dir):
         corpus.bigram_prob_table(ref, min_count=0)
     with pytest.raises(ValueError, match="lam"):
         corpus.bigram_surprisal(probe, uni, bi, lam=1.0)
+
+
+def test_line_dedup_boilerplate_strip(spark):
+    """Planted boilerplate: a header shared by 3 docs is stripped from
+    all of them, unique lines and whitespace-only structure survive in
+    order, a doc repeating a line only within ITSELF keeps it
+    (cross-document counts), NULL text passes through."""
+    hdr = "subscribe to our newsletter"
+    rows = [
+        (1, f"{hdr}\nalpha body one\n\nalpha tail"),
+        (2, f"{hdr}\nbeta body two"),
+        (3, f"{hdr}\ngamma body three"),
+        (4, "self repeat\nself repeat"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in corpus.line_dedup(docs, max_docs=1).collect()}
+    assert got[1].text == "alpha body one\n\nalpha tail"
+    assert (got[1].n_lines, got[1].n_removed) == (4, 1)
+    assert got[2].text == "beta body two"
+    assert got[3].text == "gamma body three"
+    assert got[4].text == "self repeat\nself repeat"  # 1 distinct doc
+    assert got[4].n_removed == 0
+    assert got[5].text is None and got[5].n_lines == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="max_docs"):
+        corpus.line_dedup(docs, max_docs=0)
+
+
+def test_line_dedup_duckdb_parity(spark, oracle_sf_dir):
+    """Full rebuilt-text parity on the real corpus (exact-dup documents
+    make their lines cross-document boilerplate at max_docs=1)."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from tests.parity import compare, duckdb_connect
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    out = corpus.line_dedup(docs, max_docs=1)
+    sql = """
+    WITH keyed AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+             unnest(string_split(text, chr(10))) AS line
+      FROM documents
+    ), k2 AS (
+      SELECT doc_id, pos, line, trim(line) AS key FROM keyed
+    ), counts AS (
+      SELECT key, count(DISTINCT doc_id) AS docs
+      FROM k2 WHERE key <> '' GROUP BY key
+    ), kept AS (
+      SELECT k2.doc_id, k2.pos, k2.line,
+             (k2.key = '' OR c.docs <= 1) AS keep
+      FROM k2 LEFT JOIN counts c USING (key)
+    ), reb AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_removed,
+             string_agg(CASE WHEN keep THEN line END, chr(10)
+                        ORDER BY pos) AS text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CASE WHEN r.n_lines IS NULL THEN NULL
+                ELSE COALESCE(r.text, '') END AS text,
+           COALESCE(r.n_lines, 0) AS n_lines,
+           COALESCE(r.n_removed, 0) AS n_removed
+    FROM (SELECT DISTINCT doc_id FROM documents) b
+    LEFT JOIN reb r USING (doc_id)
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
