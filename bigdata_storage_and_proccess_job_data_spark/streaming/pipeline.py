@@ -278,3 +278,126 @@ def merge_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_ingest_stream(
+    df: DataFrame,
+    docs_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    ngram: int = 2,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous corpus ingestion with near-duplicate suppression: the
+    streaming composition of the batch dedup stack, closing the loop the
+    incremental_dedup_pairs docstring describes. Each micro-batch:
+
+      1. exact within-batch dedup (normalized-content md5, min-id keeper);
+      2. NEAR-dup within the batch (minhash_dedup_pairs -> drop every
+         id_b of an (id_a < id_b) pair -- keep the min of each pair
+         chain);
+      3. near-dup against EVERYTHING ACCEPTED SO FAR via the stored
+         minhash index (incremental_dedup_pairs: only the batch is
+         signed, the corpus is touched only on candidate verification);
+      4. survivors land in ``docs_dir/batch_id=N`` and their
+         minhash_index rows in ``index_dir/batch_id=N`` -- both
+         mode=overwrite, so a replayed batch rewrites its own partition
+         instead of appending a second copy (the exactly_once_append
+         idempotence pattern; docs and index can't drift because both
+         rewrite together on replay). Replay convergence: re-ingested
+         ids are skipped as self-matches inside incremental_dedup_pairs;
+         the one asymmetric case (a replayed row matching a DIFFERENT
+         id from its own batch's partial write) can only over-suppress
+         -- never double-accept -- and the partition overwrite removes
+         the stale copy.
+
+    The stored index is the scale lever: day N+1 never re-signs days
+    1..N -- it equi-joins its own band rows against the index
+    (O(batch), not O(corpus)). Readers see the corpus as
+    ``spark.read.parquet(docs_dir)``.
+
+    First-batch bootstrap: with no accepted docs yet, step 3 is skipped
+    (nothing to collide with). Within-batch pair chains use the
+    min-of-pair rule, not full connected components -- for the
+    transitive-cluster variant run the batch through
+    neardup.connected_components first (the corpus_pipeline example)."""
+    import os
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import neardup
+
+    params = dict(
+        ngram=ngram, num_hashes=num_hashes, bands=bands, seed=seed
+    )
+
+    def _accepted(spark: SparkSession) -> DataFrame | None:
+        if not os.path.isdir(docs_dir):
+            return None
+        try:
+            return spark.read.parquet(docs_dir)
+        except Exception:
+            return None
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # 1. exact within-batch dedup, deterministic keeper
+        from pyspark.sql import Window
+
+        keeper = F.min(id_col).over(
+            Window.partitionBy(
+                F.md5(F.lower(F.trim(F.col(content_col))))
+            )
+        )
+        batch = (
+            batch_df.withColumn("_keep", keeper)
+            .filter(F.col(id_col) == F.col("_keep"))
+            .drop("_keep")
+            .persist()
+        )
+        try:
+            # 2. near-dup within the batch: drop the larger id of each pair
+            within = neardup.minhash_dedup_pairs(
+                batch, id_col, content_col,
+                threshold=threshold, **params,
+            ).select(F.col("id_b").alias(id_col)).distinct()
+            batch2 = batch.join(within, id_col, "left_anti").persist()
+            # 3. near-dup vs the accepted corpus through the stored index
+            corpus = _accepted(spark)
+            if corpus is not None:
+                index = spark.read.parquet(index_dir)
+                dup_new = neardup.incremental_dedup_pairs(
+                    batch2, corpus, index, id_col, content_col,
+                    threshold=threshold, **params,
+                ).select(F.col("id_a").alias(id_col)).distinct()
+                survivors = batch2.join(dup_new, id_col, "left_anti")
+            else:
+                survivors = batch2
+            # 4. idempotent paired writes
+            survivors.write.mode("overwrite").parquet(
+                f"{docs_dir}/batch_id={batch_id}"
+            )
+            neardup.minhash_index(
+                survivors, id_col, content_col, **params
+            ).write.mode("overwrite").parquet(
+                f"{index_dir}/batch_id={batch_id}"
+            )
+        finally:
+            batch.unpersist()
+            try:
+                batch2.unpersist()
+            except NameError:
+                pass
+
+    writer = df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -155,3 +155,63 @@ def test_archive_to_rollup_continuity(spark, tmp_path):
     snap = versioned.read_version(spark, table_dir).drop("_key", "_version")
     assert v >= 1
     assert _as_dict(snap) == got2
+
+
+def test_dedup_ingest_stream_suppresses_near_dups(spark, tmp_path):
+    """Continuous dedup ingestion across two driver runs of the same
+    checkpointed stream: batch 2's near-copy of an ACCEPTED batch-1 doc
+    is suppressed through the STORED index (not by re-signing the
+    corpus), its exact within-batch twin collapses to the min id, and
+    the fresh doc lands. Index rows exist for exactly the accepted
+    docs."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    in_dir = str(tmp_path / "in")
+    docs_dir = str(tmp_path / "docs")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    a_text = "the quick brown fox jumps over the lazy dog"
+    spark.createDataFrame(
+        [(1, a_text), (2, "completely different content about spark engines")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run_once():
+        q = pipeline.dedup_ingest_stream(
+            pipeline.file_stream(spark, in_dir, schema),
+            docs_dir,
+            index_dir,
+            ckpt,
+            threshold=0.8,
+            num_hashes=64,
+            bands=16,
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = {r.doc_id for r in spark.read.parquet(docs_dir).collect()}
+    assert first == {1, 2}
+
+    spark.createDataFrame(
+        [
+            (3, a_text + " tonight"),  # near-copy of accepted doc 1
+            (4, "a fresh unrelated document mentioning graphs and ranking"),
+            (5, "twin text payload for the exact pair"),
+            (6, "twin text payload for the exact pair"),  # exact dup of 5
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    run_once()
+    final = {r.doc_id for r in spark.read.parquet(docs_dir).collect()}
+    assert final == {1, 2, 4, 5}
+
+    indexed = {
+        r._id for r in spark.read.parquet(index_dir).select("_id").distinct().collect()
+    }
+    assert indexed == final
