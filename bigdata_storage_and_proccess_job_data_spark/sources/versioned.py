@@ -159,6 +159,9 @@ def read_version(
     prune: tuple[str, object, object]
     | list[tuple[str, object, object]]
     | None = None,
+    prune_eq: tuple[str, object]
+    | list[tuple[str, object]]
+    | None = None,
 ) -> DataFrame:
     """Read the committed snapshot (or a pinned ``version`` for time
     travel). Raises FileNotFoundError on an uncommitted table.
@@ -177,14 +180,34 @@ def read_version(
     survives only if it intersects every predicate's range (set
     intersection over the per-column keeps), the compound shape of real
     lake reads -- partition-date band AND key band -- where either
-    predicate alone keeps most files but their intersection keeps few."""
+    predicate alone keeps most files but their intersection keeps few.
+
+    ``prune_eq=(col, value)`` (or a list, AND semantics, freely mixed
+    with ``prune``) adds EQUALITY pruning through the snapshot's bloom
+    manifest (write_bloom_manifest) -- the point-lookup case where an
+    unsorted high-cardinality key spans every file's [min, max] and
+    range stats prune nothing. The equality filter is applied to the
+    frame as well, so results always equal unpruned-read + filter."""
     v = current_version(table_dir) if version is None else version
     if v is None:
         raise FileNotFoundError(f"{table_dir} has no committed version")
     snap = os.path.join(table_dir, f"v={v}")
-    if prune is None:
+    if prune is None and prune_eq is None:
         return spark.read.parquet(snap)
-    preds = [prune] if isinstance(prune, tuple) else list(prune)
+    preds = (
+        []
+        if prune is None
+        else [prune]
+        if isinstance(prune, tuple)
+        else list(prune)
+    )
+    eqs = (
+        []
+        if prune_eq is None
+        else [prune_eq]
+        if isinstance(prune_eq, tuple)
+        else list(prune_eq)
+    )
     files: set | None = None
     cond = F.lit(True)
     for col, lo, hi in preds:
@@ -195,6 +218,10 @@ def read_version(
             cond = cond & (c >= F.lit(lo))
         if hi is not None:
             cond = cond & (c <= F.lit(hi))
+    for col, value in eqs:
+        kept = set(prune_files_bloom(snap, col, value))
+        files = kept if files is None else files & kept
+        cond = cond & (F.col(col) == F.lit(value))
     if not files:
         # every file excluded by stats: an empty frame with the real
         # schema (read the snapshot's schema without scanning data)
@@ -343,6 +370,140 @@ def prune_files(
             continue
         keep.append(fname)
     return [os.path.join(snapshot_dir, f) for f in sorted(keep)]
+
+
+_BLOOM = "_bloom.json"
+
+
+def _bloom_pos(i: int, value: str, m: int) -> int:
+    """Python twin of the Spark position expression in
+    write_bloom_manifest -- MUST stay bit-identical (same md5-prefix
+    bridge as the engine's other cross-engine hashes)."""
+    import hashlib
+
+    return int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:15], 16) % m
+
+
+def write_bloom_manifest(
+    spark: SparkSession,
+    snapshot_dir: str,
+    cols: list[str],
+    m: int = 4096,
+    k: int = 5,
+) -> dict:
+    """Per-file BLOOM bitmaps for equality pruning -- the skipping power
+    min/max zones can't give: a high-cardinality key written unsorted
+    spans nearly the full value range in EVERY file, so range stats keep
+    everything, but a point predicate only truly touches the files whose
+    bloom has all k bits set. This is Iceberg's file-level bloom idea on
+    the manifest layer (the in-FILE parquet blooms from
+    lake.write_with_bloom still prune row groups inside the kept files
+    -- the two compose).
+
+    Built in ONE distributed pass per column: distinct (input_file,
+    value-string) pairs -> k md5-derived bit positions each -> bit_or
+    hash agg to (file, word) grain -- m/64 int64 words per file land in
+    ``_bloom.json`` next to ``_stats.json`` (driver holds only
+    files x words, never values). Intended for string/integer key
+    columns (values hash via their Spark string cast; the Python-side
+    membership probe recomputes the identical cast for those types).
+    NULLs are not indexed -- equality pruning never matches NULL anyway.
+
+    Sizing: with d distinct keys per file, false-positive rate ~=
+    (1 - e^(-k*d/m))^k; the default (m=4096, k=5) holds ~1% at d=400.
+    A false positive only costs a kept file, never correctness."""
+    import json
+
+    if m < 64 or m % 64 != 0:
+        raise ValueError("m must be a positive multiple of 64")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    df = spark.read.parquet(snapshot_dir)
+    out: dict[str, dict] = {}
+    for col in cols:
+        pos_exprs = [
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{i}:"), F.col("_v")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+            for i in range(k)
+        ]
+        words = (
+            df.select(
+                F.input_file_name().alias("_f"),
+                F.col(col).cast("string").alias("_v"),
+            )
+            .filter(F.col("_v").isNotNull())
+            .distinct()
+            .select("_f", F.explode(F.array(*pos_exprs)).alias("_p"))
+            .select(
+                "_f",
+                (F.col("_p") / 64).cast("int").alias("_w"),
+                # expr form: pyspark's shiftleft only takes a literal
+                # int for numBits, not a Column
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))"
+                ).alias("_m"),
+            )
+            .groupBy("_f", "_w")
+            .agg(F.bit_or("_m").alias("_bits"))
+            .collect()
+        )
+        for r in words:
+            fname = os.path.basename(r._f)
+            out.setdefault(fname, {}).setdefault(col, {})[str(r._w)] = (
+                r._bits
+            )
+    payload = {"m": m, "k": k, "files": out}
+    tmp = os.path.join(snapshot_dir, f".{_BLOOM}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, os.path.join(snapshot_dir, _BLOOM))
+    return payload
+
+
+def prune_files_bloom(snapshot_dir: str, col: str, value) -> list[str]:
+    """Files of a snapshot whose bloom bitmap for ``col`` may contain
+    ``value`` (all k bits set). No manifest, or no bitmap recorded for a
+    (file, col) -- e.g. an all-NULL file -- keeps the file for columns
+    it has no evidence about, EXCEPT that a file present in the
+    manifest with a bitmap for ``col`` and missing bits is provably
+    excluded (no false negatives by bloom construction)."""
+    import glob
+    import json
+
+    if value is None:
+        raise ValueError("bloom pruning is for non-NULL equality probes")
+    try:
+        with open(os.path.join(snapshot_dir, _BLOOM)) as fh:
+            payload = json.load(fh)
+    except FileNotFoundError:
+        return sorted(glob.glob(os.path.join(snapshot_dir, "*.parquet")))
+    m, k, files = payload["m"], payload["k"], payload["files"]
+    probe = [_bloom_pos(i, str(value), m) for i in range(k)]
+    keep = []
+    for path in sorted(glob.glob(os.path.join(snapshot_dir, "*.parquet"))):
+        fname = os.path.basename(path)
+        words = files.get(fname, {}).get(col)
+        if words is None:
+            keep.append(path)  # no evidence recorded: conservative
+            continue
+        if all(
+            (int(words.get(str(p // 64), 0)) >> (p % 64)) & 1
+            for p in probe
+        ):
+            keep.append(path)
+    return keep
 
 
 def diff_versions(

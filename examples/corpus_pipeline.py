@@ -4,6 +4,8 @@ it nightly over a raw document lake:
 
   1. load raw documents (the driver parquet stands in for the lake)
   2. scrub PII (redact emails/phones, keep removal counts)
+     ... then strip cross-document boilerplate LINES (line_dedup), so
+     docs differing only in chrome collapse as exact duplicates next
   3. drop exact duplicates (normalized-content hash, min-id keeper)
   4. drop near-duplicates (MinHash-LSH candidates + exact Jaccard
      verify -> connected components -> keep each cluster's min id)
@@ -59,6 +61,15 @@ def main() -> None:
     docs = docs.join(
         scrubbed.select("doc_id", "clean_text"), "doc_id"
     ).select("doc_id", F.col("clean_text").alias("text"), "lang", "source")
+
+    # 2.5 boilerplate strip: lines shared across documents (nav bars,
+    # footers) go BEFORE dedup, so two docs differing only in chrome
+    # become exact duplicates and collapse in step 3
+    stripped = corpus.line_dedup(docs, "doc_id", "text", max_docs=2)
+    n_boiler = stripped.agg(F.sum("n_removed")).first()[0]
+    docs = docs.select("doc_id", "lang", "source").join(
+        stripped.select("doc_id", "text"), "doc_id"
+    )
 
     # 3. exact dedup: keep the min doc_id per normalized content
     from pyspark.sql import Window
@@ -206,7 +217,8 @@ def main() -> None:
     n_div = ranking.mmr_rerank(cand, k=3, lam=0.6).count()
 
     print(
-        f"raw={n0} pii(emails={pii.e},phones={pii.p}) exact_dedup={n_exact} "
+        f"raw={n0} pii(emails={pii.e},phones={pii.p}) "
+        f"boiler_lines={n_boiler} exact_dedup={n_exact} "
         f"near_dedup={n_near} decontaminated={n_decon} clean={n_clean} "
         f"mixed={n_mix} (shortfalls={short or 'none'}) "
         f"splits={split_sizes} straddling_groups={straddlers} "

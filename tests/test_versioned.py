@@ -763,3 +763,72 @@ def test_optimize_table_coalesce_path(spark, tmp_path):
     assert versioned.read_stats_manifest(snap) is None
     after = sorted(r.k for r in versioned.read_version(spark, table).collect())
     assert after == before
+
+
+def test_bloom_manifest_equality_pruning(spark, tmp_path):
+    """The point-lookup case range zones can't prune: a high-cardinality
+    key written UNSORTED spans nearly every file's [min, max], so
+    prune_files keeps everything -- the bloom manifest prunes to the
+    file(s) actually holding the probe (no false negatives by
+    construction, FPs only cost a kept file). read_version(prune_eq=)
+    equals the unpruned filter exactly; an absent key reads empty."""
+    import os as _os
+
+    table = str(tmp_path / "bloomtab")
+    rows = [(f"k{i:05d}", i, i % 7) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["k", "val", "g"]).repartition(8, "val")
+    v = versioned.commit_version(df, table, stats_cols=["k"])
+    snap = _os.path.join(table, f"v={v}")
+    payload = versioned.write_bloom_manifest(spark, snap, ["k"])
+    assert payload["m"] == 4096 and payload["k"] == 5
+
+    all_files = versioned.prune_files(snap, "k", None, None)
+    assert len(all_files) == 8
+    probe = "k01234"
+    # range stats are useless here: the unsorted key spans every file
+    assert len(versioned.prune_files(snap, "k", probe, probe)) == 8
+    kept = versioned.prune_files_bloom(snap, "k", probe)
+    truth = {
+        r._f
+        for r in spark.read.parquet(snap)
+        .select(F.input_file_name().alias("_f"), "k")
+        .filter(F.col("k") == probe)
+        .collect()
+    }
+    assert truth  # the probe exists
+    assert {_os.path.basename(t) for t in truth} <= {
+        _os.path.basename(p) for p in kept
+    }  # no false negatives
+    assert len(kept) <= 3  # pruned to the true file (+ rare FPs)
+
+    got = {
+        (r.k, r.val)
+        for r in versioned.read_version(
+            spark, table, prune_eq=("k", probe)
+        ).collect()
+    }
+    want = {
+        (r.k, r.val)
+        for r in spark.read.parquet(snap).filter(F.col("k") == probe).collect()
+    }
+    assert got == want and len(got) == 1
+
+    # absent key: provably-excluded files drop; the read is empty
+    assert versioned.read_version(
+        spark, table, prune_eq=("k", "nope!")
+    ).count() == 0
+
+    # mixed prune + prune_eq conjunction keeps correctness
+    mixed = versioned.read_version(
+        spark, table, prune=("val", 0, 2000), prune_eq=("k", probe)
+    )
+    assert {(r.k, r.val) for r in mixed.collect()} == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple of 64"):
+        versioned.write_bloom_manifest(spark, snap, ["k"], m=100)
+    with pytest.raises(ValueError, match="k must"):
+        versioned.write_bloom_manifest(spark, snap, ["k"], k=0)
+    with pytest.raises(ValueError, match="non-NULL"):
+        versioned.prune_files_bloom(snap, "k", None)
