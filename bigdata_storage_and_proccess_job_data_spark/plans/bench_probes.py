@@ -128,6 +128,14 @@ def ensure_versioned_table(spark: SparkSession, sf_dir: str) -> str:
             target_files=16,
             stats_cols=["o_orderkey"],
         )
+    # manifests on the FRAGMENTED penultimate snapshot for the bloom
+    # probe (backfilled idempotently so layouts built by older rounds
+    # gain them too): its files carry interleaved key ranges, the shape
+    # where range stats prune nothing and only the bloom can
+    frag = os.path.join(dest, f"v={versioned.current_version(dest) - 1}")
+    if not os.path.exists(os.path.join(frag, versioned._BLOOM)):
+        versioned.write_stats_manifest(frag, ["o_orderkey"])
+        versioned.write_bloom_manifest(spark, frag, ["o_orderkey"])
     return dest
 
 
@@ -161,10 +169,48 @@ def version_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def version_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE order fetched from the FRAGMENTED snapshot (time travel to
+    the pre-OPTIMIZE version) through BLOOM-manifest equality pruning
+    (read_version(prune_eq=...)): the interleaved ingest commits left
+    every file's [min, max] spanning nearly the whole key range, so
+    range stats keep ALL files -- the shape where only an
+    absence-proving structure can skip. The bloom keeps just the
+    file(s) whose bitmap admits the key, and bench.py's rows_read
+    records the difference. Together with version_prune_orders (range
+    pruning after OPTIMIZE) the pair measures both halves of the
+    manifest story: zones for sorted bands, blooms for unsorted points.
+    Correctness (pruned == full snapshot + filter) is pinned in
+    tests/test_versioned.py."""
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    dest = ensure_versioned_table(spark, sf_dir)
+    # probe a MID-RANGE key, not the max: extremes are exactly what
+    # zone stats excel at (only one file's max reaches kmax); a key in
+    # the middle of the range sits inside every fragmented file's
+    # [min, max] (measured: range keeps 33/33 files, bloom keeps 1-3)
+    ck = f"vtmid:{sf_dir}"
+    kmid = _KEY_CACHE.get(ck)
+    if kmid is None:
+        orders = load_table(spark, sf_dir, "orders")
+        half = orders.agg((F.max("o_orderkey") / 2).alias("h")).first()[0]
+        kmid = (
+            orders.filter(F.col("o_orderkey") <= half)
+            .agg(F.max("o_orderkey").alias("k"))
+            .first()[0]
+        )
+        _KEY_CACHE[ck] = kmid
+    frag_v = versioned.current_version(dest) - 1
+    return versioned.read_version(
+        spark, dest, version=frag_v, prune_eq=("o_orderkey", kmid)
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
 def bench_probes() -> dict:
     """name -> (spark, sf_dir) -> DataFrame, merged into bench.py's run
     set after the registered headline queries."""
     return {
         "point_lookup_lineitem": point_lookup_lineitem,
         "version_prune_orders": version_prune_orders,
+        "version_bloom_lookup": version_bloom_lookup,
     }

@@ -832,3 +832,34 @@ def test_bloom_manifest_equality_pruning(spark, tmp_path):
         versioned.write_bloom_manifest(spark, snap, ["k"], k=0)
     with pytest.raises(ValueError, match="non-NULL"):
         versioned.prune_files_bloom(snap, "k", None)
+
+
+def test_version_bloom_lookup_probe_correct_and_skipping(spark, oracle_sf_dir):
+    """The bench bloom probe: result rows equal the full fragmented
+    snapshot + filter, and the bloom keeps a small fraction of files
+    where range stats (measured in-test) keep everything."""
+    import os as _os
+
+    from bigdata_storage_and_proccess_job_data_spark.plans import bench_probes
+
+    dest = bench_probes.ensure_versioned_table(spark, oracle_sf_dir)
+    frag = _os.path.join(
+        dest, f"v={versioned.current_version(dest) - 1}"
+    )
+    probe = bench_probes.version_bloom_lookup(spark, oracle_sf_dir)
+    rows = probe.collect()
+    assert len(rows) == 1
+    k = rows[0].o_orderkey
+    full = (
+        spark.read.parquet(frag)
+        .filter(F.col("o_orderkey") == k)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .collect()
+    )
+    assert {tuple(r) for r in rows} == {tuple(r) for r in full}
+
+    n_all = len(versioned.prune_files(frag, "o_orderkey", None, None))
+    n_range = len(versioned.prune_files(frag, "o_orderkey", k, k))
+    n_bloom = len(versioned.prune_files_bloom(frag, "o_orderkey", k))
+    assert n_range == n_all  # zones can't skip the mid-range point...
+    assert n_bloom <= max(3, n_all // 4)  # ...the bloom can
