@@ -614,6 +614,87 @@ def decayed_agg(
     )
 
 
+def chi_square(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    digits: int = 4,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical columns,
+    with Cramer's V effect size -- the "are these features related"
+    statistic (feature selection, drift detection between a column and
+    a partition label). Unlike DataFrame.crosstab (which materializes
+    the full contingency MATRIX on the driver), everything here stays
+    distributed in long form: one hash agg for observed cell counts,
+    two marginal aggs, an equi-join to attach expected counts, one
+    final fold -- category cardinality never touches the driver.
+
+    chi2 = sum over observed cells (obs - exp)^2 / exp plus the
+    correction for structurally-empty cells (a cell with obs = 0 still
+    contributes exp; summing only observed cells would understate, so
+    the missing mass n - sum(exp_observed) is added back -- algebra:
+    sum_all exp = n). dof = (R-1)(C-1); cramers_v = sqrt(chi2 / (n *
+    min(R-1, C-1))). Rows with a NULL in either column are excluded
+    (they form no category pair). Returns one row:
+    (n, r_levels, c_levels, dof, chi2, cramers_v)."""
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+    obs = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_o"))
+    ra = base.groupBy("_a").agg(F.count(F.lit(1)).alias("_ra"))
+    cb = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
+    joined = obs.join(ra, "_a").join(cb, "_b")
+    return (
+        joined.agg(
+            F.sum("_o").cast("double").alias("_n"),
+            F.count_distinct("_a").alias("r_levels"),
+            F.count_distinct("_b").alias("c_levels"),
+            F.sum(
+                F.col("_o")
+                * F.col("_o")
+                / (F.col("_ra") * F.col("_cb"))
+            ).alias("_s"),
+        )
+        # identity: sum (o-e)^2/e over ALL cells = n * (sum o^2/(ra*cb) - 1)
+        # (expected e = ra*cb/n; empty cells contribute exactly their e,
+        # which the algebra absorbs -- no driver-side matrix needed)
+        .select(
+            F.col("_n").cast("long").alias("n"),
+            "r_levels",
+            "c_levels",
+            (
+                (F.col("r_levels") - 1) * (F.col("c_levels") - 1)
+            ).alias("dof"),
+            stable_round(
+                F.col("_n") * (F.col("_s") - 1), digits
+            ).alias("chi2"),
+            stable_round(
+                F.sqrt(
+                    F.when(
+                        F.least(
+                            F.col("r_levels") - 1, F.col("c_levels") - 1
+                        )
+                        > 0,
+                        (F.col("_n") * (F.col("_s") - 1))
+                        / (
+                            F.col("_n")
+                            * F.least(
+                                F.col("r_levels") - 1,
+                                F.col("c_levels") - 1,
+                            )
+                        ),
+                    )
+                ),
+                digits,
+            ).alias("cramers_v"),
+        )
+    )
+
+
 def profile_table(
     df: DataFrame,
     cols: Sequence[str] | None = None,

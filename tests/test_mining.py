@@ -227,3 +227,82 @@ def test_profile_table_duckdb_parity(spark, oracle_sf_dir):
         FROM orders""")
     sql = " UNION ALL ".join(selects)
     assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_chi_square_hand_math(spark):
+    """Perfect association -> Cramer's V = 1; an exactly-independent
+    2x2 -> chi2 = 0; a single-level column -> dof 0, V NULL; NULL rows
+    excluded."""
+    perfect = spark.createDataFrame(
+        [("x", "p")] * 5 + [("y", "q")] * 5, ["a", "b"]
+    )
+    r = aggregates.chi_square(perfect, "a", "b").collect()[0]
+    assert (r.n, r.r_levels, r.c_levels, r.dof) == (10, 2, 2, 1)
+    assert r.chi2 == pytest.approx(10.0, abs=1e-3)  # chi2 = n for 2x2 perfect
+    assert r.cramers_v == pytest.approx(1.0, abs=1e-3)
+
+    indep = spark.createDataFrame(
+        [("x", "p")] * 4 + [("x", "q")] * 4 + [("y", "p")] * 2
+        + [("y", "q")] * 2 + [(None, "p"), ("x", None)],
+        ["a", "b"],
+    )
+    r = aggregates.chi_square(indep, "a", "b").collect()[0]
+    assert r.n == 12  # NULL rows excluded
+    assert r.chi2 == pytest.approx(0.0, abs=1e-6)
+
+    one = spark.createDataFrame([("x", "p"), ("x", "q")], ["a", "b"])
+    r = aggregates.chi_square(one, "a", "b").collect()[0]
+    assert r.dof == 0 and r.cramers_v is None
+
+
+def test_chi_square_matches_numpy_and_duckdb(spark, oracle_sf_dir):
+    """Dense numpy contingency recomputation (classic sum-over-all-cells
+    form, including empty cells) agrees with the distributed algebraic
+    identity; DuckDB recomputes the identical value."""
+    import numpy as np
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    out = aggregates.chi_square(orders, "o_orderstatus", "o_orderpriority")
+    r = out.collect()[0]
+
+    rows = orders.select("o_orderstatus", "o_orderpriority").collect()
+    pairs = [(x.o_orderstatus, x.o_orderpriority) for x in rows
+             if x.o_orderstatus is not None and x.o_orderpriority is not None]
+    avals = sorted({a for a, _ in pairs})
+    bvals = sorted({b for _, b in pairs})
+    m = np.zeros((len(avals), len(bvals)))
+    for a, b in pairs:
+        m[avals.index(a), bvals.index(b)] += 1
+    n = m.sum()
+    exp = np.outer(m.sum(1), m.sum(0)) / n
+    chi2 = ((m - exp) ** 2 / exp).sum()
+    assert r.chi2 == pytest.approx(chi2, abs=1e-2)
+    assert r.cramers_v == pytest.approx(
+        float(np.sqrt(chi2 / (n * (min(m.shape) - 1)))), abs=1e-3
+    )
+
+    sql = f"""
+    WITH base AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+    ), obs AS (
+      SELECT a, b, count(*)::DOUBLE AS o FROM base GROUP BY a, b
+    ), ra AS (SELECT a, count(*)::DOUBLE AS ra FROM base GROUP BY a),
+    cb AS (SELECT b, count(*)::DOUBLE AS cb FROM base GROUP BY b),
+    agg AS (
+      SELECT sum(o) AS n,
+             count(DISTINCT obs.a) AS r_levels,
+             count(DISTINCT obs.b) AS c_levels,
+             sum(o * o / (ra.ra * cb.cb)) AS s
+      FROM obs JOIN ra USING (a) JOIN cb USING (b)
+    )
+    SELECT CAST(n AS BIGINT) AS n, r_levels, c_levels,
+           (r_levels - 1) * (c_levels - 1) AS dof,
+           {sql_round('n * (s - 1)', 4)} AS chi2,
+           {sql_round(
+               'sqrt((n * (s - 1)) / (n * least(r_levels - 1, c_levels - 1)))',
+               4,
+           )} AS cramers_v
+    FROM agg
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
