@@ -333,9 +333,11 @@ DRIVER_WINDOW_R8_PLAN = sorted(
 # (tests/test_fuzzy.py, test_mining.py, test_baskets.py,
 # test_corpus.py): fuzzy_self_pairs (brute-force levenshtein oracle),
 # decayed_agg, robust_outliers, corr_matrix, profile_table (exact
-# mode), frequent_pairs, bigram_surprisal. Test-only by design:
+# mode), frequent_pairs, bigram_surprisal, line_dedup (rebuilt-text
+# parity), chi_square (numpy + DuckDB). Test-only by design:
 # pagerank + resolve_entities (iterative, the connected_components
-# precedent).
+# precedent), dedup_ingest_stream (streaming), bloom manifests
+# (bench-probed instead: version_bloom_lookup).
 
 DRIVER_WINDOW_R4 = [
     # -- r2-checked analytics variants rotating back in (32)

@@ -20,6 +20,9 @@ Day 0 bootstraps the corpus; every later day runs the same loop:
      quantiles) append to a metrics table; any trailing window's
      distinct count / p95 comes from merging KB-sized sketches, never
      from rescanning accepted days
+  8. point reads use BOTH manifest layers: zone pruning for the
+     clustered doc_id band, bloom pruning (write_bloom_manifest /
+     prune_eq) for unsorted columns zones can't exclude
 
 At 100 TB this loop touches |batch| + |candidate slice| per day; the
 full corpus is only ever read by the day-0 bootstrap.
@@ -189,6 +192,23 @@ def main() -> None:
     print(
         f"pruned read doc_id<=49: {hit} docs from "
         f"{len(pruned)}/{n_files} files"
+    )
+
+    # bloom-manifest point lookup on the SAME pre-compaction snapshot:
+    # day 1/2's MERGE files each span nearly the whole doc_id range
+    # (the % 3 interleave), so a zone probe for one mid-range id keeps
+    # every merge-era file -- the bloom's absence proofs keep only the
+    # file(s) actually holding it
+    versioned.write_bloom_manifest(spark, snap, ["doc_id"])
+    probe_id = 151  # a day-1 doc (151 % 3 == 1), mid-range
+    zkept = versioned.prune_files(snap, "doc_id", probe_id, probe_id)
+    bkept = versioned.prune_files_bloom(snap, "doc_id", probe_id)
+    bhit = versioned.read_version(
+        spark, table_dir, prune_eq=("doc_id", probe_id)
+    ).count()
+    print(
+        f"bloom point read doc_id={probe_id}: {bhit} doc from "
+        f"{len(bkept)}/{n_files} files (zones alone keep {len(zkept)})"
     )
 
     # incremental maintenance: daily MERGE commits leave small trailing
