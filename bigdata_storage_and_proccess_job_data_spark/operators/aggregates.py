@@ -614,6 +614,70 @@ def decayed_agg(
     )
 
 
+def autocorr(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    lags: Sequence[int] = (1,),
+    digits: int = 4,
+) -> DataFrame:
+    """Per-key serial correlation at the given lags -- the "is this
+    series momentum-driven or mean-reverting (or is my residual still
+    structured)" diagnostic. For each lag L, Pearson corr between the
+    series and itself shifted by L positions in ``order_col`` order,
+    Pearson-over-pairs convention (moments from the overlapping pairs,
+    not the full series).
+
+    One window pass builds ALL requested lag columns (shared sort --
+    lag(L) over the same ordered window reuses one shuffle+sort), one
+    hash agg computes every lag's corr as sibling expressions, and the
+    wide row unpivots via inline. Ties in ``order_col`` make lag
+    nondeterministic (Spark sorts are not stable) -- pass a composite
+    ordering via a struct-ordered column upstream if ties exist.
+
+    Returns keys + (lag, n_pairs, acf)."""
+    if not lags or any(
+        (not isinstance(lg, int)) or lg < 1 for lg in lags
+    ):
+        raise ValueError("lags must be positive integers")
+    if len(set(lags)) != len(lags):
+        raise ValueError("duplicate lags")
+    from pyspark.sql import Window
+
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(order_col)
+    lagged = df.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        *[
+            F.lag(value_col, lg).over(w).alias(f"_l{lg}")
+            for lg in lags
+        ],
+    )
+    aggs = []
+    for lg in lags:
+        lcol = F.col(f"_l{lg}")
+        both = F.col("_v").isNotNull() & lcol.isNotNull()
+        aggs.append(
+            F.struct(
+                F.lit(lg).alias("lag"),
+                F.sum(both.cast("long")).alias("n_pairs"),
+                stable_round(F.corr("_v", f"_l{lg}"), digits).alias(
+                    "acf"
+                ),
+            ).alias(f"_a{lg}")
+        )
+    wide = lagged.groupBy(*keys).agg(*aggs)
+    return wide.select(
+        *keys,
+        F.inline(F.array(*[F.col(f"_a{lg}") for lg in lags])),
+    )
+
+
 def chi_square(
     df: DataFrame,
     col_a: str,

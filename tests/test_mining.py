@@ -306,3 +306,62 @@ def test_chi_square_matches_numpy_and_duckdb(spark, oracle_sf_dir):
     FROM agg
     """
     assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_autocorr_hand_math(spark):
+    """A strictly increasing series has lag-1 ACF 1 (pairs convention);
+    an alternating series has lag-1 ACF -1 but lag-2 ACF 1; pair counts
+    shrink by the lag; validation."""
+    inc = [("a", i, float(i)) for i in range(10)]
+    alt = [("b", i, float(1 if i % 2 else -1)) for i in range(10)]
+    df = spark.createDataFrame(inc + alt, ["k", "t", "v"])
+    out = {
+        (r.k, r.lag): (r.n_pairs, r.acf)
+        for r in aggregates.autocorr(df, ["k"], "t", "v", lags=[1, 2]).collect()
+    }
+    assert out[("a", 1)][0] == 9 and out[("a", 1)][1] == pytest.approx(1.0, 1e-6)
+    assert out[("a", 2)][0] == 8
+    assert out[("b", 1)][1] == pytest.approx(-1.0, abs=1e-6)
+    assert out[("b", 2)][1] == pytest.approx(1.0, abs=1e-6)
+    with pytest.raises(ValueError, match="positive"):
+        aggregates.autocorr(df, ["k"], "t", "v", lags=[0])
+    with pytest.raises(ValueError, match="duplicate"):
+        aggregates.autocorr(df, ["k"], "t", "v", lags=[1, 1])
+
+
+def test_autocorr_duckdb_parity(spark, oracle_sf_dir):
+    """Daily order totals per priority: lag-1/2 serial correlation
+    matches a DuckDB lag+corr recomputation exactly."""
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("d")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    out = aggregates.autocorr(
+        daily, ["o_orderpriority"], "d", "rev", lags=[1, 2]
+    )
+    sql = f"""
+    WITH daily AS (
+      SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1, 2
+    ), lagged AS (
+      SELECT o_orderpriority, rev,
+             lag(rev, 1) OVER (PARTITION BY o_orderpriority ORDER BY d)
+               AS l1,
+             lag(rev, 2) OVER (PARTITION BY o_orderpriority ORDER BY d)
+               AS l2
+      FROM daily
+    )
+    SELECT o_orderpriority, 1 AS lag,
+           count(CASE WHEN rev IS NOT NULL AND l1 IS NOT NULL THEN 1 END)
+             AS n_pairs,
+           {sql_round('corr(rev, l1)', 4)} AS acf
+    FROM lagged GROUP BY o_orderpriority
+    UNION ALL
+    SELECT o_orderpriority, 2 AS lag,
+           count(CASE WHEN rev IS NOT NULL AND l2 IS NOT NULL THEN 1 END)
+             AS n_pairs,
+           {sql_round('corr(rev, l2)', 4)} AS acf
+    FROM lagged GROUP BY o_orderpriority
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
