@@ -920,9 +920,13 @@ def robust_outliers(
     NULL values are dropped (they're a completeness problem, not an
     outlier problem -- expectation_report covers them). Returns keys +
     (value_col, med, mad, robust_z, is_outlier) for every non-NULL
-    input row; filter is_outlier for the violations feed."""
+    input row; filter is_outlier for the violations feed. ``keys`` must
+    be non-empty (the fences join back on them); for a global fence
+    pass a constant key column."""
     if k <= 0:
         raise ValueError("k must be > 0")
+    if not keys:
+        raise ValueError("keys must be non-empty (join-back columns)")
     from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
         stable_round,
     )

@@ -98,6 +98,8 @@ def test_robust_outliers_hand_math(spark):
     assert got[("g2", 5.0)][3] is False
     with pytest.raises(ValueError, match="k must"):
         aggregates.robust_outliers(df, ["g"], "v", k=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        aggregates.robust_outliers(df, [], "v")
 
 
 def test_robust_outliers_duckdb_parity(spark, oracle_sf_dir):
