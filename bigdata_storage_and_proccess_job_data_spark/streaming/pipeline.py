@@ -336,12 +336,21 @@ def dedup_ingest_stream(
     )
 
     def _accepted(spark: SparkSession) -> DataFrame | None:
+        # bootstrap probe: only "nothing accepted yet" may read as None
+        # -- a corrupt corpus must FAIL the batch, not silently restart
+        # dedup from scratch, so only the empty-dir shape is caught
         if not os.path.isdir(docs_dir):
             return None
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.parquet(docs_dir)
-        except Exception:
-            return None
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(
+                e
+            ):
+                return None  # dir exists but holds no data yet
+            raise
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
