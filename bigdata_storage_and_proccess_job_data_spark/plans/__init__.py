@@ -338,6 +338,20 @@ DRIVER_WINDOW_R8_PLAN = sorted(
 # pagerank + resolve_entities (iterative, the connected_components
 # precedent), dedup_ingest_stream (streaming), bloom manifests
 # (bench-probed instead: version_bloom_lookup).
+#
+# Late-round-7 work and the changed-code rule, audited (the r6
+# precedent above): every addition is append-only -- new modules
+# (fuzzy, baskets, graph) and new functions appended to text/corpus/
+# aggregates/versioned/streaming.pipeline. The one touched existing
+# body is versioned.read_version, which grew the optional prune_eq
+# parameter with identical behavior for all existing call shapes; no
+# REGISTERED query calls read_version (the version probes are
+# bench-only), so no window displacement is required. In-window
+# queries on the touched FILES (company_stats_v1, cms_point_estimates,
+# skewed_hot_key_agg, key_skew_report, chunk_documents, corpus_mixture,
+# snapshot_change_feed, view_click_attribution, window_tumbling,
+# global_reduce) were oracle re-verified against DuckDB after each
+# commit this session via the verify recipe.
 
 DRIVER_WINDOW_R4 = [
     # -- r2-checked analytics variants rotating back in (32)
