@@ -1,2 +1,9 @@
-"""DataFrame -> DataFrame operators (dedup, similarity, aggregation
-cubes, normalization, imputation, multimodal plumbing)."""
+"""DataFrame -> DataFrame operators: dedup / near-dup (exact, MinHash,
+SimHash, incremental, clustering), similarity search (brute-force, LSH,
+IVF, PQ), fuzzy string joins + entity resolution, as-of and range joins,
+aggregation cubes + sketches (HLL/CMS/DDSketch) + robust stats
+(median/MAD outliers, correlation matrix, chi-square, autocorrelation,
+time-decayed aggregates, table profiler), market-basket pair mining,
+PageRank, training-corpus prep (chunking, PII, contamination, sampling,
+splits, LM quality scoring, line dedup), ranking/retrieval (BM25, MMR),
+funnels, and multimodal plumbing."""
