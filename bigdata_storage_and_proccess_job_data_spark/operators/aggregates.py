@@ -614,6 +614,97 @@ def decayed_agg(
     )
 
 
+def psi_bins(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    digits: int = 4,
+) -> DataFrame:
+    """Population Stability Index bins: has a numeric column's
+    distribution DRIFTED between a reference snapshot and a current one
+    -- the standard feed/model monitoring metric (chi_square is the
+    categorical twin, profile_table the first-look). Bin edges are the
+    reference's exact quantiles (equal-population binning, the PSI
+    convention), both sides bucket against those SAME edges, and each
+    bin contributes (p - q) * ln(p / q); sum `contrib` for the
+    headline PSI (rule of thumb: < 0.1 stable, > 0.25 action).
+
+    Fully distributed: the edge array is a one-row exact-percentile agg
+    broadcast to both sides (never collected), the bucket index is a
+    pure expression (count of edges below the value -- no UDF, no
+    width_bucket scalar-bounds limitation), shares come from one hash
+    agg per side with add-half smoothing ((n_b + 0.5) / (n + 0.5 *
+    bins)) so empty bins stay finite and the zero-drift identity
+    psi(ref, ref) = 0 holds exactly. NULLs are excluded on both sides
+    (null-rate drift belongs to profile_table/expectation_report).
+
+    Returns (bin, ref_n, cur_n, ref_share, cur_share, contrib), one row
+    per bin 0..bins-1."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    qs = [i / bins for i in range(1, bins)]
+    edges = ref.filter(F.col(value_col).isNotNull()).agg(
+        F.percentile(value_col, F.array(*[F.lit(q) for q in qs])).alias(
+            "_edges"
+        )
+    )
+
+    def shares(df: DataFrame, n_name: str, s_name: str) -> DataFrame:
+        v = F.col(value_col)
+        binned = (
+            df.filter(v.isNotNull())
+            .crossJoin(F.broadcast(edges))
+            .select(
+                F.size(
+                    F.filter("_edges", lambda e: v > e)
+                ).alias("bin")
+            )
+        )
+        counts = binned.groupBy("bin").agg(
+            F.count(F.lit(1)).alias(n_name)
+        )
+        # every bin present even when empty: edges are quantiles, so the
+        # frame of all indices is a bounded literal range
+        allbins = ref.sparkSession.range(bins).select(
+            F.col("id").cast("int").alias("bin")
+        )
+        filled = allbins.join(counts, "bin", "left").select(
+            "bin", F.coalesce(F.col(n_name), F.lit(0)).alias(n_name)
+        )
+        tot = filled.agg(F.sum(n_name).cast("double").alias("_t"))
+        return filled.crossJoin(F.broadcast(tot)).select(
+            "bin",
+            n_name,
+            (
+                (F.col(n_name) + 0.5) / (F.col("_t") + 0.5 * bins)
+            ).alias(s_name),
+        )
+
+    r = shares(ref, "ref_n", "_rs")
+    c = shares(cur, "cur_n", "_cs")
+    return (
+        r.join(c, "bin")
+        .select(
+            "bin",
+            "ref_n",
+            "cur_n",
+            stable_round(F.col("_rs"), digits).alias("ref_share"),
+            stable_round(F.col("_cs"), digits).alias("cur_share"),
+            stable_round(
+                (F.col("_rs") - F.col("_cs"))
+                * F.log(F.col("_rs") / F.col("_cs")),
+                digits,
+            ).alias("contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
 def autocorr(
     df: DataFrame,
     keys: list[str],

@@ -367,3 +367,74 @@ def test_autocorr_duckdb_parity(spark, oracle_sf_dir):
     FROM lagged GROUP BY o_orderpriority
     """
     assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_psi_bins_identity_and_shift(spark):
+    """psi(ref, ref) = 0 in every bin (the smoothing preserves the
+    identity); a location-shifted current distribution concentrates in
+    the top bins and produces a large PSI; validation."""
+    import random
+
+    rnd = random.Random(7)
+    ref = spark.createDataFrame(
+        [(rnd.gauss(0, 1),) for _ in range(2000)], ["x"]
+    )
+    same = aggregates.psi_bins(ref, ref, "x", bins=10).collect()
+    assert len(same) == 10
+    assert all(r.contrib == pytest.approx(0.0, abs=1e-9) for r in same)
+    assert all(r.ref_n == r.cur_n for r in same)
+
+    shifted = ref.select((F.col("x") + 2.0).alias("x"))
+    moved = aggregates.psi_bins(ref, shifted, "x", bins=10).collect()
+    total = sum(r.contrib for r in moved)
+    assert total > 0.25  # "action" threshold for a 2-sigma shift
+    assert moved[-1].cur_share > moved[-1].ref_share  # mass moved up
+
+    with pytest.raises(ValueError, match="bins"):
+        aggregates.psi_bins(ref, ref, "x", bins=1)
+
+
+def test_psi_bins_duckdb_parity(spark, oracle_sf_dir):
+    """Exact cross-engine parity: reference = returned lineitems,
+    current = the rest; DuckDB recomputes edges (quantile_cont), the
+    same filter-count bucketing, smoothing, and contributions."""
+    li = load_table(spark, oracle_sf_dir, "lineitem")
+    ref = li.filter(F.col("l_returnflag") == "R")
+    cur = li.filter(F.col("l_returnflag") != "R")
+    out = aggregates.psi_bins(ref, cur, "l_extendedprice", bins=8)
+    qs = ", ".join(str(i / 8) for i in range(1, 8))
+    sql = f"""
+    WITH edges AS (
+      SELECT quantile_cont(l_extendedprice, [{qs}]) AS e
+      FROM lineitem WHERE l_returnflag = 'R'
+        AND l_extendedprice IS NOT NULL
+    ), rb AS (
+      SELECT len(list_filter(e, x -> l_extendedprice > x)) AS bin
+      FROM lineitem, edges
+      WHERE l_returnflag = 'R' AND l_extendedprice IS NOT NULL
+    ), cb AS (
+      SELECT len(list_filter(e, x -> l_extendedprice > x)) AS bin
+      FROM lineitem, edges
+      WHERE l_returnflag != 'R' AND l_extendedprice IS NOT NULL
+    ), bins AS (SELECT CAST(range AS INT) AS bin FROM range(8)),
+    rc AS (
+      SELECT bins.bin, count(rb.bin) AS ref_n
+      FROM bins LEFT JOIN rb ON bins.bin = rb.bin GROUP BY bins.bin
+    ), cc AS (
+      SELECT bins.bin, count(cb.bin) AS cur_n
+      FROM bins LEFT JOIN cb ON bins.bin = cb.bin GROUP BY bins.bin
+    ), rt AS (SELECT sum(ref_n)::DOUBLE AS t FROM rc),
+    ct AS (SELECT sum(cur_n)::DOUBLE AS t FROM cc),
+    j AS (
+      SELECT rc.bin, ref_n, cur_n,
+             (ref_n + 0.5) / (rt.t + 0.5 * 8) AS rs,
+             (cur_n + 0.5) / (ct.t + 0.5 * 8) AS cs
+      FROM rc JOIN cc ON rc.bin = cc.bin, rt, ct
+    )
+    SELECT bin, ref_n, cur_n,
+           {sql_round('rs', 4)} AS ref_share,
+           {sql_round('cs', 4)} AS cur_share,
+           {sql_round('(rs - cs) * ln(rs / cs)', 4)} AS contrib
+    FROM j
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
