@@ -90,6 +90,24 @@ def write_zordered(
     (tests/test_lake.py::test_zorder_skips_on_both_dims and
     ::test_zorder_three_dims_and_timestamp). Empty input or an all-null
     column degrades gracefully (constant code for that column)."""
+    (
+        zorder_cluster(df, cols, bits=bits, n_files=n_files)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def zorder_cluster(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int = 16,
+) -> DataFrame:
+    """The clustering half of write_zordered, reusable by any sink that
+    commits a DataFrame instead of writing a path (versioned
+    optimize_table(zorder_by=...)): Morton-code derived column, global
+    range partition + in-file sort on it, code dropped. Same bounds agg
+    and degradation contract as write_zordered."""
     exprs = {c: _as_double(df, c) for c in cols}
     bounds = df.agg(
         *[F.min(exprs[c]).alias(f"_lo_{c}") for c in cols],
@@ -99,11 +117,9 @@ def write_zordered(
         normalize_to_bits(exprs[c], bounds[f"_lo_{c}"], bounds[f"_hi_{c}"], bits)
         for c in cols
     ]
-    (
+    return (
         df.withColumn("_z", z_value(normalized, bits))
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
-        .write.mode(mode)
-        .parquet(path)
     )

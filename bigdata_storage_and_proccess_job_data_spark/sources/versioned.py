@@ -764,6 +764,7 @@ def optimize_table(
     target_files: int = 8,
     stats_cols: list[str] | None = None,
     expected: int | str | None = "auto",
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Table maintenance as one snapshot commit (the Delta OPTIMIZE /
     Iceberg rewrite_data_files shape): rewrite the current snapshot
@@ -787,12 +788,30 @@ def optimize_table(
     maintenance op designed to run alongside ingest must not default to
     lost-update behavior. Pass an explicit int to race against a known
     version, or ``expected=None`` to opt out of the check entirely
-    (unsafe: last-writer-wins)."""
+    (unsafe: last-writer-wins).
+
+    ``zorder_by=[c1, c2, ...]`` (mutually exclusive with ``cluster_by``)
+    is the Delta OPTIMIZE ZORDER BY shape: Morton-code clustering so
+    band predicates on ANY of the listed dimensions prune files through
+    the stats manifest -- single-column range clustering serves one
+    dimension perfectly and the others not at all; z-order trades a
+    little of the first dimension's locality for skipping on all of
+    them. Defaults stats_cols to zorder_by."""
+    if cluster_by is not None and zorder_by is not None:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
     pinned = current_version(table_dir)
     if expected == "auto":
         expected = pinned
     df = read_version(spark, table_dir, version=pinned)
-    if cluster_by is not None:
+    if zorder_by is not None:
+        from bigdata_storage_and_proccess_job_data_spark.functions.zorder import (
+            zorder_cluster,
+        )
+
+        df = zorder_cluster(df, zorder_by, n_files=target_files)
+        if stats_cols is None:
+            stats_cols = list(zorder_by)
+    elif cluster_by is not None:
         df = df.repartitionByRange(
             target_files, F.col(cluster_by)
         ).sortWithinPartitions(cluster_by)

@@ -863,3 +863,48 @@ def test_version_bloom_lookup_probe_correct_and_skipping(spark, oracle_sf_dir):
     n_bloom = len(versioned.prune_files_bloom(frag, "o_orderkey", k))
     assert n_range == n_all  # zones can't skip the mid-range point...
     assert n_bloom <= max(3, n_all // 4)  # ...the bloom can
+
+
+def test_optimize_zorder_prunes_both_dims(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: after z-order maintenance, band predicates on
+    EITHER dimension prune files through the stats manifest (a
+    single-column clustering would serve only its own column), and the
+    table content is unchanged. cluster_by + zorder_by together is
+    rejected."""
+    import pytest
+
+    table = str(tmp_path / "ztab")
+    rows = [(i, float(i % 100), float((i * 37) % 100)) for i in range(20000)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"]).coalesce(8)
+    versioned.commit_version(df, table)
+    before = versioned.read_version(spark, table).agg(
+        F.count(F.lit(1)), F.sum("x"), F.sum("y")
+    ).first()
+
+    v = versioned.optimize_table(
+        spark, table, zorder_by=["x", "y"], target_files=16
+    )
+    snap = f"{tmp_path}/ztab/v={v}"
+    after = versioned.read_version(spark, table).agg(
+        F.count(F.lit(1)), F.sum("x"), F.sum("y")
+    ).first()
+    assert tuple(before) == tuple(after)  # content-identical
+
+    n_all = len(versioned.prune_files(snap, "x", None, None))
+    n_x = len(versioned.prune_files(snap, "x", 0.0, 12.0))
+    n_y = len(versioned.prune_files(snap, "y", 0.0, 12.0))
+    assert n_all == 16
+    assert n_x < n_all and n_y < n_all  # BOTH dims skip
+    # and the pruned reads stay exact
+    got = versioned.read_version(
+        spark, table, prune=("y", 0.0, 12.0)
+    ).count()
+    want = versioned.read_version(spark, table).filter(
+        (F.col("y") >= 0.0) & (F.col("y") <= 12.0)
+    ).count()
+    assert got == want
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        versioned.optimize_table(
+            spark, table, cluster_by="x", zorder_by=["y"]
+        )
