@@ -1,5 +1,8 @@
-"""Time-decayed aggregates and robust median/MAD outliers: hand-math
-micro pins plus full-value DuckDB parity on the driver tables."""
+"""The statistical-aggregate family: time-decayed aggregates, robust
+median/MAD outliers, one-pass correlation matrix, table profiler,
+chi-square independence, autocorrelation, and PSI drift bins -- each
+with hand-math micro pins plus full-value DuckDB parity on the driver
+tables (numpy cross-checks where a dense reference is clearer)."""
 
 from __future__ import annotations
 
