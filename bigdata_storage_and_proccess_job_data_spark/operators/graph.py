@@ -5,22 +5,24 @@ connected_components (operators/neardup.py, the dedup-cluster step) as
 the second iterative graph primitive -- authority scoring for document
 graphs (hyperlinks, citations, user-item interactions), the classic
 quality prior for crawl-corpus curation (e.g. the OPIC/harmonic-rank
-features in CommonCrawl-derived training sets).
+features in CommonCrawl-derived training sets). Weighted edges and a
+personalized teleport set make it the random-walk-with-restart form
+used for recommendation ("rank items near THESE seeds").
 
 Power iteration, all DataFrame ops: each round is one equi-join of the
 rank vector against the edge list (shuffle on src) plus one hash agg on
 dst -- O(|E|) per round, no adjacency matrix, no driver-side graph.
 Dangling mass (rank parked on nodes with no out-edges) is redistributed
-uniformly each round via a one-row broadcast scalar, the standard
-Page-Brin correction that keeps the rank vector a probability
+to the teleport vector each round via a one-row broadcast scalar, the
+standard Page-Brin correction that keeps the rank vector a probability
 distribution (sums to 1 every round -- tested).
 
 Lineage management follows connected_components' hybrid (see its
 docstring for the full rationale): persist each round, unpersist the
 superseded frame deterministically, localCheckpoint every few rounds to
-bound plan depth. The single driver-side materialization is the node
-count (one long -- bounded, like the documented scalar collects
-elsewhere in the engine).
+bound plan depth. Driver-side materializations are the node count and
+(personalized only) the in-graph seed count -- two bounded longs, like
+the documented scalar collects elsewhere in the engine.
 """
 
 from __future__ import annotations
@@ -37,51 +39,105 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iters: int = 15,
+    weight_col: str | None = None,
+    personalize: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over the directed graph ``edges``: (node, rank) for
     every node appearing as a source or destination, ranks summing to 1.
-    Duplicate edges collapse (unweighted graph); NULL endpoints drop;
-    self-loops count like any edge. Fixed ``iters`` rounds of power
-    iteration -- no per-round convergence collect, so the driver loop
-    stays lazy between checkpoints; 10-20 rounds is the standard
-    operating range (residual decays as damping^iters)."""
+    NULL endpoints drop; self-loops count like any edge. Fixed
+    ``iters`` rounds of power iteration -- no per-round convergence
+    collect, so the driver loop stays lazy between checkpoints; 10-20
+    rounds is the standard operating range (residual decays as
+    damping^iters).
+
+    Unweighted (default): duplicate edges collapse, each out-edge gets
+    an equal share. ``weight_col``: duplicate (src, dst) edge weights
+    SUM, shares are weight-proportional, non-positive weights drop.
+
+    ``personalize``: a DataFrame whose FIRST column lists seed nodes --
+    the teleport (and dangling) mass concentrates uniformly on the
+    seeds instead of all nodes, giving random-walk-with-restart
+    proximity to the seed set (seeds outside the graph are ignored; an
+    empty in-graph seed set raises). Iteration starts from the teleport
+    vector, so non-personalized behavior is unchanged (uniform)."""
     if not 0 < damping < 1:
         raise ValueError("damping must be in (0, 1)")
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    e = (
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
-        .distinct()
-        .persist()
+    sel = [F.col(src).alias("_s"), F.col(dst).alias("_d")]
+    if weight_col is not None:
+        sel.append(F.col(weight_col).cast("double").alias("_w"))
+    e0 = edges.select(*sel).filter(
+        F.col("_s").isNotNull() & F.col("_d").isNotNull()
     )
+    if weight_col is not None:
+        e = (
+            e0.filter(F.col("_w") > 0)
+            .groupBy("_s", "_d")
+            .agg(F.sum("_w").alias("_w"))
+            .persist()
+        )
+        deg = e.groupBy("_s").agg(F.sum("_w").alias("_deg")).persist()
+    else:
+        e = e0.distinct().withColumn("_w", F.lit(1.0)).persist()
+        deg = (
+            e.groupBy("_s")
+            .agg(F.count(F.lit(1)).cast("double").alias("_deg"))
+            .persist()
+        )
     nodes = (
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))
         .distinct()
         .persist()
     )
-    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg")).persist()
     n = nodes.count()  # bounded driver scalar (one long)
     if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        deg.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
 
     d = float(damping)
-    base = (1.0 - d) / n
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    if personalize is None:
+        tele = nodes.withColumn("_t", F.lit(1.0 / n)).persist()
+    else:
+        seed_col = personalize.columns[0]
+        seeds = personalize.select(
+            F.col(seed_col).alias("node")
+        ).distinct()
+        in_graph = nodes.join(seeds, "node").persist()
+        m = in_graph.count()  # bounded driver scalar (one long)
+        if m == 0:
+            e.unpersist()
+            nodes.unpersist()
+            deg.unpersist()
+            in_graph.unpersist()
+            raise ValueError("no personalization seed is in the graph")
+        tele = (
+            nodes.join(
+                in_graph.withColumn("_t", F.lit(1.0 / m)), "node", "left"
+            )
+            .select("node", F.coalesce(F.col("_t"), F.lit(0.0)).alias("_t"))
+            .persist()
+        )
+        in_graph.unpersist()
+    ranks = tele.select("node", F.col("_t").alias("rank")).localCheckpoint()
     persisted_prev: DataFrame | None = None
     try:
         for i in range(iters):
             contribs = (
                 e.join(
-                    ranks.select(
-                        F.col("node").alias("_s"), "rank"
-                    ),
+                    ranks.select(F.col("node").alias("_s"), "rank"),
                     "_s",
                 )
                 .join(deg, "_s")
                 .groupBy("_d")
-                .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_c"))
+                .agg(
+                    F.sum(
+                        F.col("rank") * F.col("_w") / F.col("_deg")
+                    ).alias("_c")
+                )
             )
             dangling = (
                 ranks.join(deg, ranks.node == deg._s, "left_anti")
@@ -95,15 +151,16 @@ def pagerank(
                     "node",
                     "left",
                 )
+                .join(tele, "node")
                 .crossJoin(F.broadcast(dangling))
                 .select(
                     "node",
                     (
-                        F.lit(base)
+                        F.lit(1.0 - d) * F.col("_t")
                         + F.lit(d)
                         * (
                             F.coalesce(F.col("_c"), F.lit(0.0))
-                            + F.col("_dang") / F.lit(float(n))
+                            + F.col("_dang") * F.col("_t")
                         )
                     ).alias("rank"),
                 )
@@ -124,3 +181,4 @@ def pagerank(
         e.unpersist()
         nodes.unpersist()
         deg.unpersist()
+        tele.unpersist()

@@ -91,3 +91,89 @@ def test_pagerank_null_edges_and_validation(spark):
         graph.pagerank(df, damping=1.0)
     with pytest.raises(ValueError, match="iters"):
         graph.pagerank(df, iters=0)
+
+
+def _numpy_pr_general(edge_list, damping, iters, weights=None, seeds=None):
+    """Dense reference for the weighted/personalized forms: teleport
+    vector t over seeds (uniform over all nodes when None), init r = t,
+    nxt = (1-d)t + d(W^T r + dang * t)."""
+    nodes = sorted({u for u, v in edge_list} | {v for u, v in edge_list})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    w = {}
+    for j, (u, v) in enumerate(edge_list):
+        wt = 1.0 if weights is None else weights[j]
+        if weights is None:
+            w[(u, v)] = 1.0
+        elif wt > 0:
+            w[(u, v)] = w.get((u, v), 0.0) + wt
+    out_tot = {}
+    for (u, v), wt in w.items():
+        out_tot[u] = out_tot.get(u, 0.0) + wt
+    t = np.zeros(n)
+    if seeds is None:
+        t[:] = 1.0 / n
+    else:
+        live = [s for s in seeds if s in idx]
+        for s in live:
+            t[idx[s]] = 1.0 / len(live)
+    r = t.copy()
+    d = damping
+    for _ in range(iters):
+        nxt = (1.0 - d) * t
+        dang = sum(r[idx[u]] for u in nodes if u not in out_tot)
+        for (u, v), wt in w.items():
+            nxt[idx[v]] += d * r[idx[u]] * wt / out_tot[u]
+        nxt += d * dang * t
+        r = nxt
+    return {u: r[idx[u]] for u in nodes}
+
+
+def test_pagerank_weighted_matches_numpy(spark):
+    """Duplicate weighted edges sum; shares go weight-proportional
+    (node 3 gets 9x node 4's share of node 1's mass); non-positive
+    weights drop; exact numpy agreement."""
+    rows = [
+        (1, 3, 4.5), (1, 3, 4.5), (1, 4, 1.0),  # dup (1,3) sums to 9
+        (3, 1, 1.0), (4, 1, 2.0), (2, 1, 0.0),  # zero-weight edge drops
+        (2, 3, 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["src", "dst", "w"])
+    got = {
+        r.node: r.rank
+        for r in graph.pagerank(df, weight_col="w", iters=9).collect()
+    }
+    kept = [(u, v) for u, v, wt in rows if wt > 0]
+    want = _numpy_pr_general(
+        kept, 0.85, 9, weights=[wt for _, _, wt in rows if wt > 0]
+    )
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    assert got[3] > got[4]  # 9:1 share split
+
+
+def test_pagerank_personalized_concentrates_on_seeds(spark):
+    """Random-walk-with-restart: teleporting to {1} pulls rank toward
+    the seed's neighborhood vs the uniform run; exact numpy agreement;
+    out-of-graph seeds ignored; empty in-graph seed set raises."""
+    edge_list = [(1, 2), (2, 1), (3, 4), (4, 3), (2, 3)]
+    df = spark.createDataFrame(edge_list, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,), (99,)], ["node"])  # 99 not in graph
+    got = {
+        r.node: r.rank
+        for r in graph.pagerank(df, personalize=seeds, iters=10).collect()
+    }
+    want = _numpy_pr_general(edge_list, 0.85, 10, seeds=[1, 99])
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    uniform = {
+        r.node: r.rank for r in graph.pagerank(df, iters=10).collect()
+    }
+    assert got[1] > uniform[1]  # mass concentrates near the seed
+    assert got[4] < uniform[4]  # and drains from the far component
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    only_ghost = spark.createDataFrame([(99,)], ["node"])
+    with pytest.raises(ValueError, match="seed"):
+        graph.pagerank(df, personalize=only_ghost, iters=2)
