@@ -1,4 +1,5 @@
-"""Link-graph analytics: PageRank over an edge DataFrame.
+"""Link-graph analytics: PageRank, degrees, triangles over an edge
+DataFrame.
 
 The reference has no graph operators (SURVEY.md §2.6); this joins
 connected_components (operators/neardup.py, the dedup-cluster step) as
@@ -182,3 +183,189 @@ def pagerank(
         nodes.unpersist()
         deg.unpersist()
         tele.unpersist()
+
+
+def undirected_edges(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Canonical undirected edge set: distinct (a, b) with a < b.
+    Self-loops and NULL endpoints drop; (u, v) and (v, u) collapse.
+    The normalization every undirected graph op here builds on."""
+    a = F.least(F.col(src), F.col(dst))
+    b = F.greatest(F.col(src), F.col(dst))
+    return (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def degrees(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, out_deg, in_deg, deg) for every node in ``edges``.
+    out/in count distinct directed neighbors; ``deg`` is the undirected
+    distinct-neighbor degree (a reciprocal pair counts once). One scan,
+    three hash aggs on key columns -- no joins wider than node id."""
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    outd = e.groupBy(F.col("_s").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ind = e.groupBy(F.col("_d").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    und = (
+        undirected_edges(e, "_s", "_d")
+        .select(
+            F.explode(F.array(F.col("a"), F.col("b"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        und.join(outd, "node", "left")
+        .join(ind, "node", "left")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            "deg",
+        )
+    )
+
+
+def _oriented(und: DataFrame) -> DataFrame:
+    """Degree-ordered orientation (Cohen's MR triangle algorithm /
+    compact-forward): each undirected edge points from its lower-
+    (degree, id) endpoint to the higher one, so every node's oriented
+    out-degree is O(sqrt(|E|)) and the wedge self-join below is
+    O(|E|^1.5) total work instead of O(sum deg^2) -- the difference
+    between a web-scale hub melting one reducer and a balanced shuffle.
+    Output: (u, v, ku, kv) with ku/kv the (deg, id) order keys."""
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    e = (
+        und.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("_deg", "_da")
+        .join(deg.withColumnRenamed("node", "b"), "b")
+        .withColumnRenamed("_deg", "_db")
+    )
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    return e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(
+            a_first,
+            F.struct(F.col("_da").alias("d"), F.col("a").alias("n")),
+        )
+        .otherwise(
+            F.struct(F.col("_db").alias("d"), F.col("b").alias("n"))
+        )
+        .alias("ku"),
+        F.when(
+            a_first,
+            F.struct(F.col("_db").alias("d"), F.col("b").alias("n")),
+        )
+        .otherwise(
+            F.struct(F.col("_da").alias("d"), F.col("a").alias("n"))
+        )
+        .alias("kv"),
+    )
+
+
+def triangles(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Every triangle of the undirected graph, once: (x, y, z) with
+    x < y < z. Wedges come from the degree-ordered orientation's
+    out-edge self-join (see _oriented -- the skew-proof formulation),
+    closed by one semi-join back to the oriented edge set. Only edge
+    pairs sharing a pivot shuffle; vertices never fan out by degree."""
+    und = undirected_edges(edges, src, dst)
+    o = _oriented(und).persist()
+    try:
+        w1 = o.select("u", F.col("v").alias("x"), F.col("kv").alias("kx"))
+        w2 = o.select("u", F.col("v").alias("y"), F.col("kv").alias("ky"))
+        wedges = w1.join(w2, "u").filter(F.col("kx") < F.col("ky"))
+        closed = wedges.join(
+            o.select(F.col("u").alias("x"), F.col("v").alias("y")),
+            ["x", "y"],
+            "semi",
+        )
+        out = closed.select(
+            F.least("u", "x", "y").alias("x"),
+            F.expr(
+                "array_sort(array(u, x, y))[1]"
+            ).alias("y"),
+            F.greatest("u", "x", "y").alias("z"),
+        )
+        # Materialize before releasing the oriented frame.
+        return out.localCheckpoint()
+    finally:
+        o.unpersist()
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, triangles) for every node of the undirected graph --
+    nodes on no triangle report 0."""
+    und = undirected_edges(edges, src, dst)
+    tri = triangles(und, "a", "b")
+    per_node = (
+        tri.select(
+            F.explode(F.array("x", "y", "z")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    nodes = und.select(
+        F.explode(F.array("a", "b")).alias("node")
+    ).distinct()
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("triangles", F.lit(0)).alias("triangles")
+    )
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node: 2*T(v) / (d(v)*(d(v)-1))
+    over the undirected graph, 0.0 where degree < 2. Output
+    (node, deg, triangles, lcc) -- the transitivity profile used to
+    spot tightly-knit near-dup neighborhoods vs hub-and-spoke link
+    farms in document graphs."""
+    und = undirected_edges(edges, src, dst).persist()
+    try:
+        tc = triangle_counts(und, "a", "b")
+        d = (
+            und.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        out = d.join(tc, "node").select(
+            "node",
+            "deg",
+            "triangles",
+            F.when(F.col("deg") < 2, F.lit(0.0))
+            .otherwise(
+                2.0
+                * F.col("triangles")
+                / (F.col("deg") * (F.col("deg") - F.lit(1)))
+            )
+            .alias("lcc"),
+        )
+        return out.localCheckpoint()
+    finally:
+        und.unpersist()

@@ -177,3 +177,173 @@ def test_pagerank_personalized_concentrates_on_seeds(spark):
     only_ghost = spark.createDataFrame([(99,)], ["node"])
     with pytest.raises(ValueError, match="seed"):
         graph.pagerank(df, personalize=only_ghost, iters=2)
+
+
+def test_triangles_micro_shapes(spark):
+    """K4 has 4 triangles (3 per node, lcc 1.0); C4 and a star have
+    none. Exercises the degree-ordered orientation end to end."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    tri = graph.triangles(df).collect()
+    assert len(tri) == 4
+    assert all(r.x < r.y < r.z for r in tri)
+    counts = {
+        r.node: r.triangles for r in graph.triangle_counts(df).collect()
+    }
+    assert counts == {0: 3, 1: 3, 2: 3, 3: 3}
+    lcc = {
+        r.node: r.lcc
+        for r in graph.clustering_coefficients(df).collect()
+    }
+    assert lcc == {0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0}
+
+    c4 = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    assert graph.triangles(c4).count() == 0
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 30)], "src long, dst long"
+    )
+    assert graph.triangles(star).count() == 0
+    star_lcc = {
+        r.node: r.lcc
+        for r in graph.clustering_coefficients(star).collect()
+    }
+    assert star_lcc[0] == 0.0  # hub degree 29, no closed wedge
+
+
+def test_triangles_reciprocal_and_self_edges_collapse(spark):
+    """(u,v) + (v,u) is ONE undirected edge; self-loops and NULLs
+    drop. A directed 3-cycle is still one triangle."""
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (None, 2)],
+        "src long, dst long",
+    )
+    rows = graph.triangles(df).collect()
+    assert [(r.x, r.y, r.z) for r in rows] == [(1, 2, 3)]
+    deg = {r.node: r.deg for r in graph.degrees(df).collect()}
+    assert deg == {1: 2, 2: 2, 3: 2}
+
+
+def test_triangle_counts_duckdb_parity(spark, sf_dir):
+    """Full per-node triangle counts + lcc on a mod-derived lineitem
+    graph match DuckDB computing the naive a<b<c three-way join --
+    the oriented formulation changes the shuffle shape, never the
+    answer."""
+    from tests.parity import compare, duckdb_connect
+
+    edges = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 53).alias("src"),
+        (F.col("l_partkey") % 53).alias("dst"),
+    )
+    con = duckdb_connect(sf_dir)
+    problems = compare(
+        graph.triangle_counts(edges),
+        con,
+        """
+        WITH raw AS (
+          SELECT l_orderkey % 53 AS s, l_partkey % 53 AS d FROM lineitem
+        ),
+        e AS (
+          SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+          FROM raw WHERE s IS NOT NULL AND d IS NOT NULL AND s <> d
+        ),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        pern AS (
+          SELECT node, COUNT(*) AS triangles FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+          ) GROUP BY node
+        ),
+        nodes AS (
+          SELECT a AS node FROM e UNION SELECT b AS node FROM e
+        )
+        SELECT n.node, COALESCE(p.triangles, 0) AS triangles
+        FROM nodes n LEFT JOIN pern p USING (node)
+        """,
+    )
+    assert problems == [], problems
+
+    problems = compare(
+        graph.clustering_coefficients(edges),
+        con,
+        """
+        WITH raw AS (
+          SELECT l_orderkey % 53 AS s, l_partkey % 53 AS d FROM lineitem
+        ),
+        e AS (
+          SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+          FROM raw WHERE s IS NOT NULL AND d IS NOT NULL AND s <> d
+        ),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        pern AS (
+          SELECT node, COUNT(*) AS triangles FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+          ) GROUP BY node
+        ),
+        und AS (
+          SELECT node, COUNT(*) AS deg FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+          ) GROUP BY node
+        )
+        SELECT und.node, deg, COALESCE(p.triangles, 0) AS triangles,
+               CASE WHEN deg < 2 THEN 0.0
+                    ELSE 2.0 * COALESCE(p.triangles, 0)
+                         / (deg * (deg - 1)) END AS lcc
+        FROM und LEFT JOIN pern p USING (node)
+        """,
+    )
+    assert problems == [], problems
+
+
+def test_degrees_duckdb_parity(spark, sf_dir):
+    """Directed in/out + undirected distinct-neighbor degrees match
+    DuckDB on a two-key derived graph."""
+    from tests.parity import compare, duckdb_connect
+
+    edges = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 101).alias("src"),
+        (F.col("l_suppkey") % 97).alias("dst"),
+    )
+    con = duckdb_connect(sf_dir)
+    problems = compare(
+        graph.degrees(edges),
+        con,
+        """
+        WITH raw AS (
+          SELECT l_orderkey % 101 AS s, l_suppkey % 97 AS d FROM lineitem
+        ),
+        e AS (
+          SELECT DISTINCT s, d FROM raw
+          WHERE s IS NOT NULL AND d IS NOT NULL AND s <> d
+        ),
+        u AS (
+          SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e
+        ),
+        outd AS (SELECT s AS node, COUNT(*) AS out_deg FROM e GROUP BY s),
+        ind AS (SELECT d AS node, COUNT(*) AS in_deg FROM e GROUP BY d),
+        und AS (
+          SELECT node, COUNT(*) AS deg FROM (
+            SELECT a AS node FROM u UNION ALL SELECT b AS node FROM u
+          ) GROUP BY node
+        )
+        SELECT und.node, COALESCE(out_deg, 0) AS out_deg,
+               COALESCE(in_deg, 0) AS in_deg, deg
+        FROM und LEFT JOIN outd USING (node) LEFT JOIN ind USING (node)
+        """,
+    )
+    assert problems == [], problems
