@@ -1,0 +1,111 @@
+"""Distributed spherical k-means: exact agreement with a numpy Lloyd
+running the identical update from the identical init, blob recovery
+with perfect purity, objective monotonicity (the Dhillon-Modha
+guarantee), and edge handling. Iterative -> test-pinned rather than
+SQL-oracled (the pagerank / connected_components precedent)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+from bigdata_storage_and_proccess_job_data_spark.operators import clustering
+
+
+def _blobs(seed=7, per=40, dim=8, k=3, noise=0.05):
+    """k well-separated unit directions + small noise, deterministic."""
+    rng = np.random.default_rng(seed)
+    centers = np.zeros((k, dim))
+    for i in range(k):
+        centers[i, 2 * i] = 1.0  # orthogonal axes
+    pts, labels = [], []
+    for i in range(k):
+        p = centers[i] + noise * rng.standard_normal((per, dim))
+        pts.append(p)
+        labels += [i] * per
+    x = np.vstack(pts)
+    return x, np.array(labels)
+
+
+def _numpy_spherical_lloyd(x, init, iters):
+    """The exact update kmeans_refine implements: unit-normalize rows,
+    argmax-dot assign (cell-id tiebreak), per-cell mean, renormalize,
+    empty cells keep previous."""
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cent = np.asarray(init, dtype=np.float64)
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    for _ in range(iters):
+        sims = xn @ cent.T
+        assign = sims.argmax(axis=1)  # numpy argmax = first max = low id
+        nxt = cent.copy()
+        for c in range(len(cent)):
+            members = xn[assign == c]
+            if len(members):
+                nxt[c] = members.mean(axis=0)
+        n = np.linalg.norm(nxt, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        cent = nxt / n
+    return cent
+
+
+def test_kmeans_refine_matches_numpy(spark):
+    x, _ = _blobs()
+    df = spark.createDataFrame(
+        [([float(v) for v in row],) for row in x], "embedding array<double>"
+    )
+    init = [list(x[0]), list(x[40]), list(x[80])]
+    got = np.asarray(
+        clustering.kmeans_refine(df, init, n_iters=4), dtype=np.float64
+    )
+    want = _numpy_spherical_lloyd(x, init, 4)
+    assert np.abs(got - want).max() < 1e-9
+
+
+def test_kmeans_fit_recovers_blobs_with_pure_cells(spark):
+    x, labels = _blobs(per=50)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = clustering.kmeans_fit(
+        df, n_centroids=3, sample_size=150, refine_iters=5
+    )
+    assert len(cents) == 3 and all(len(c) == 8 for c in cents)
+    # every point's nearest centroid agrees with its blob mates
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    assign = (xn @ np.asarray(cents).T).argmax(axis=1)
+    for blob in range(3):
+        cells = set(assign[labels == blob])
+        assert len(cells) == 1, f"blob {blob} split across cells {cells}"
+    assert len(set(assign)) == 3  # and no two blobs merged
+
+
+def test_kmeans_objective_monotone_under_refinement(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    init = clustering.train_centroids(
+        emb, n_centroids=8, sample_size=128, n_iters=1
+    )
+    obj0 = clustering.kmeans_objective(emb, init)
+    refined = clustering.kmeans_refine(emb, init, n_iters=3)
+    obj1 = clustering.kmeans_objective(emb, refined)
+    more = clustering.kmeans_refine(emb, refined, n_iters=2)
+    obj2 = clustering.kmeans_objective(emb, more)
+    assert obj1 >= obj0 - 1e-9
+    assert obj2 >= obj1 - 1e-9
+    assert -1.0 <= obj2 <= 1.0  # cosine objective on unit vectors
+
+
+def test_kmeans_refine_validation_and_nulls(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0],), (None,), ([0.0, 0.0],)],
+        "embedding array<double>",
+    )
+    with pytest.raises(ValueError):
+        clustering.kmeans_refine(df, [])
+    with pytest.raises(ValueError):
+        clustering.kmeans_refine(df, [[1.0, 0.0]], n_iters=-1)
+    # NULL and zero vectors drop; the one live vector pulls its centroid
+    out = clustering.kmeans_refine(df, [[0.6, 0.8]], n_iters=2)
+    assert np.abs(np.asarray(out[0]) - np.array([1.0, 0.0])).max() < 1e-12
