@@ -908,3 +908,126 @@ def test_optimize_zorder_prunes_both_dims(spark, tmp_path):
         versioned.optimize_table(
             spark, table, cluster_by="x", zorder_by=["y"]
         )
+
+
+def test_agg_state_maintenance_matches_recompute(spark):
+    """Incremental aggregate maintenance over a change feed is exactly
+    a full recompute on the new snapshot: inserts (incl. a brand-new
+    group), deletes (a group emptying out drops), updates (value
+    change, group MOVE, NULL->value, value->NULL), NULL group keys.
+    Long measures -> bit-identical."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates as A
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "a", None),
+            (3, "b", 5),
+            (4, None, 7),
+            (5, "c", 1),
+            (6, "c", 2),
+        ],
+        "id long, grp string, val long",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 11),      # update: value change
+            (2, "b", None),    # update: group move, still NULL val
+            (3, "b", None),    # update: value -> NULL
+            (4, None, 7),      # unchanged
+            # 5, 6 deleted -> group c drops entirely
+            (7, "d", 100),     # insert: new group
+            (8, "a", None),    # insert: NULL value
+            (9, None, None),   # insert: NULL group and value
+        ],
+        "id long, grp string, val long",
+    )
+    keys, measures = ["grp"], ["val"]
+    state0 = A.agg_state_init(old, keys, measures)
+    feed = versioned.change_feed(old, new, "id")
+    state1 = A.agg_state_apply(state0, feed, keys, measures)
+
+    got = sorted(
+        A.agg_state_result(state1, keys, measures).collect(),
+        key=str,
+    )
+    want = sorted(
+        A.agg_state_result(
+            A.agg_state_init(new, keys, measures), keys, measures
+        ).collect(),
+        key=str,
+    )
+    assert got == want
+    grps = {r.grp for r in got}
+    assert "c" not in grps and "d" in grps and None in grps
+
+
+def test_agg_state_maintenance_versioned_end_to_end(spark, sf_dir, tmp_path):
+    """The materialized-view loop on a real versioned table: state
+    built at v1, refreshed from diff_versions(v1, v2), equals the
+    recompute at v2 (float sums within 1e-9 relative)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates as A
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table = str(tmp_path / "orders_v")
+    v1 = versioned.commit_version(orders, table)
+    changed = (
+        orders.filter(F.col("o_orderkey") % 7 != 0)  # deletes
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0,
+                F.col("o_totalprice") * 1.1,
+            ).otherwise(F.col("o_totalprice")),  # updates
+        )
+    )
+    extra = spark.createDataFrame(
+        [(10_000_001, "9-NEW", 42.5)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    v2 = versioned.commit_version(changed.unionByName(extra), table)
+
+    keys, measures = ["o_orderpriority"], ["o_totalprice"]
+    state = A.agg_state_init(
+        versioned.read_version(spark, table, v1), keys, measures
+    )
+    feed = versioned.diff_versions(
+        spark, table, v1, v2, "o_orderkey"
+    )
+    refreshed = A.agg_state_result(
+        A.agg_state_apply(state, feed, keys, measures), keys, measures
+    )
+    recomputed = A.agg_state_result(
+        A.agg_state_init(
+            versioned.read_version(spark, table, v2), keys, measures
+        ),
+        keys,
+        measures,
+    )
+    got = {r.o_orderpriority: r for r in refreshed.collect()}
+    want = {r.o_orderpriority: r for r in recomputed.collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g.cnt == w.cnt
+        assert abs(g.sum_o_totalprice - w.sum_o_totalprice) < 1e-9 * max(
+            1.0, abs(w.sum_o_totalprice)
+        )
+        assert abs(g.avg_o_totalprice - w.avg_o_totalprice) < 1e-9 * max(
+            1.0, abs(w.avg_o_totalprice)
+        )
+    assert "9-NEW" in got
+
+
+def test_agg_state_validation(spark):
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates as A
+
+    df = spark.createDataFrame([(1, "a", 2)], "id long, grp string, v long")
+    import pytest
+
+    with pytest.raises(ValueError):
+        A.agg_state_init(df, [], ["v"])
+    with pytest.raises(ValueError):
+        A.agg_state_apply(df, df, ["grp"], [])
