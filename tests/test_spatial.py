@@ -1,0 +1,145 @@
+"""Geospatial radius join: brute-force completeness (the blocking must
+never lose a qualifying pair -- antimeridian and near-polar points
+included), exact DuckDB parity on derived coordinates, and validation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+    sql_round,
+    stable_round,
+)
+from bigdata_storage_and_proccess_job_data_spark.operators import spatial
+
+R_EARTH = 6371.0088
+
+
+def _np_haversine(lat1, lon1, lat2, lon2):
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dp = np.radians(lat2 - lat1) / 2
+    dl = np.radians(lon2 - lon1) / 2
+    a = np.sin(dp) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl) ** 2
+    return 2 * R_EARTH * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+
+
+def _points():
+    """Deterministic world scatter + adversarial edge points."""
+    rng = np.random.default_rng(11)
+    lats = rng.uniform(-85, 85, 300)
+    lons = rng.uniform(-180, 180, 300)
+    extra = [
+        (0.0, 179.95), (0.0, -179.95),        # antimeridian pair
+        (0.05, 179.99), (-0.05, -179.99),     # antimeridian + band edge
+        (89.8, 0.0), (89.8, 90.0),            # near-polar: same tiny circle
+        (89.9, -170.0), (89.85, 10.0),        # near-polar across meridians
+        (-89.8, 45.0), (-89.82, -135.0),      # south polar
+        (45.0, 0.0), (45.0, 0.001),           # near-identical
+        (-33.0, 151.0), (-33.1, 151.1),       # ~14 km metro pair
+    ]
+    pts = list(zip(lats.tolist(), lons.tolist())) + extra
+    return [(i, la, lo) for i, (la, lo) in enumerate(pts)]
+
+
+def test_self_pairs_match_brute_force(spark):
+    pts = _points()
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    radius = 500.0
+    got = {
+        (r.id_a, r.id_b)
+        for r in spatial.spatial_self_pairs(df, radius).collect()
+    }
+    ids = [p[0] for p in pts]
+    la = np.array([p[1] for p in pts])
+    lo = np.array([p[2] for p in pts])
+    want = set()
+    for i in range(len(pts)):
+        d = _np_haversine(la[i], lo[i], la, lo)
+        for j in np.nonzero(d <= radius)[0]:
+            if ids[i] < ids[int(j)]:
+                want.add((ids[i], ids[int(j)]))
+    # no boundary flakiness: nothing within 1 m of the radius
+    assert want == got
+    # the adversarial pairs are all found
+    must_have = {(300, 301), (304, 305), (310, 311), (312, 313)}
+    assert must_have <= got
+
+
+def test_two_sided_join_and_nulls(spark):
+    left = spark.createDataFrame(
+        [(1, 48.8566, 2.3522), (2, None, 0.0)],
+        "l_id long, lat double, lon double",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 48.8606, 2.3376),   # Louvre: ~1.2 km from Notre-Dame-ish
+            (11, 51.5074, -0.1278),  # London: ~340 km
+            (12, 48.8566, None),
+        ],
+        "r_id long, lat double, lon double",
+    )
+    rows = spatial.spatial_join_radius(left, right, 5.0).collect()
+    assert [(r.l_id, r.r_id) for r in rows] == [(1, 10)]
+    assert 0.5 < rows[0].distance_km < 2.0
+    rows = spatial.spatial_join_radius(left, right, 400.0).collect()
+    assert {(r.l_id, r.r_id) for r in rows} == {(1, 10), (1, 11)}
+
+
+def test_spatial_duckdb_parity(spark, sf_dir):
+    """Pair set + rounded distances match a DuckDB brute-force
+    haversine self-join on integer-derived coordinates (exact same
+    doubles on both sides)."""
+    from tests.parity import compare, duckdb_connect
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919 % 17001) / 100.0 - 85.0).alias(
+            "lat"
+        ),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias(
+            "lon"
+        ),
+    )
+    out = spatial.spatial_self_pairs(cust, 300.0).select(
+        "id_a",
+        "id_b",
+        stable_round(F.col("distance_km"), 3).alias("distance_km"),
+    )
+    con = duckdb_connect(sf_dir)
+    dist = (
+        "2 * 6371.0088 * asin(sqrt(least(1.0, "
+        "sin(radians(b.lat - a.lat) / 2) ^ 2 "
+        "+ cos(radians(a.lat)) * cos(radians(b.lat)) "
+        "* sin(radians(b.lon - a.lon) / 2) ^ 2)))"
+    )
+    problems = compare(
+        out,
+        con,
+        f"""
+        WITH pts AS (
+          SELECT c_custkey AS id,
+                 (c_custkey * 7919 % 17001) / 100.0 - 85.0 AS lat,
+                 (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+          FROM customer
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               {sql_round(dist, 3)} AS distance_km
+        FROM pts a JOIN pts b ON a.id < b.id
+        WHERE {dist} <= 300.0
+        """,
+    )
+    assert problems == [], problems
+
+
+def test_radius_validation(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0)], "id long, lat double, lon double"
+    )
+    with pytest.raises(ValueError):
+        spatial.spatial_self_pairs(df, 0.0)
+    with pytest.raises(ValueError):
+        spatial.spatial_self_pairs(df, 1500.0)
