@@ -1033,3 +1033,62 @@ def duplication_density(
             "dup_frac",
         )
     )
+
+
+def keywords_tfidf(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF -- the
+    classic per-doc keyword extractor (topic labeling, dedup-cluster
+    naming, index summaries). Smoothed idf = ln((1+N)/(1+df)) + 1
+    (the sklearn formulation: never negative, never divides by zero);
+    score = tf * idf; ties break lexicographically so the cut is
+    deterministic.
+
+    Scale shape: one explode + (doc, term) hash agg for tf, one term
+    hash agg for df, the corpus size rides a one-row broadcast, and
+    the top-k cut is a row_number window partitioned by doc_id --
+    per-document state only, no global sort, nothing wider than the
+    (doc, term) pairs ever shuffles. ``min_df`` prunes hapax noise
+    before the window.
+
+    Output: (id, term, tf, df, score, rank in 1..k)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    pairs = docs.select(
+        F.col(id_col),
+        F.explode(text.tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = pairs.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    scored = (
+        tf.join(df_.filter(F.col("df") >= min_df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log((1.0 + F.col("_n")) / (1.0 + F.col("df")))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )

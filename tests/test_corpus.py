@@ -915,3 +915,88 @@ def test_line_dedup_duckdb_parity(spark, oracle_sf_dir):
     LEFT JOIN reb r USING (doc_id)
     """
     assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_keywords_tfidf_ranking_and_parity(spark, oracle_sf_dir):
+    """(1) A term concentrated in one doc outranks corpus-wide terms;
+    (2) deterministic lexicographic tiebreak; (3) full cross-engine
+    DuckDB parity of the per-doc top-3 on the real documents table;
+    (4) validation."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        SQL_TOKENS_LOWER,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    probe = spark.createDataFrame(
+        [
+            (1, "common common zebra zebra zebra"),
+            (2, "common aardvark aardvark"),
+            (3, "common"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = corpus.keywords_tfidf(probe, k=2).collect()
+    top = {r.doc_id: r.term for r in got if r.rank == 1}
+    # 'zebra'/'aardvark' are df=1 -> high idf; 'common' is in all docs
+    assert top[1] == "zebra" and top[2] == "aardvark"
+    assert top[3] == "common"  # only term left
+    second = {r.doc_id: r.term for r in got if r.rank == 2}
+    assert second[1] == "common" and second[2] == "common"
+
+    with pytest.raises(ValueError):
+        corpus.keywords_tfidf(probe, k=0)
+    with pytest.raises(ValueError):
+        corpus.keywords_tfidf(probe, min_df=0)
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    out = corpus.keywords_tfidf(docs, k=3, min_df=2).select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        stable_round(F.col("score"), 6).alias("score"),
+        "rank",
+    )
+    con = duckdb_connect(oracle_sf_dir)
+    problems = compare(
+        out,
+        con,
+        f"""
+        WITH pairs AS (
+          SELECT doc_id, unnest({SQL_TOKENS_LOWER}) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM pairs GROUP BY doc_id, term
+        ),
+        df AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 tf.tf * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0)
+                   AS score
+          FROM tf JOIN df USING (term), n
+          WHERE df.df >= 2
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score DESC, term ASC) AS rank
+          FROM scored
+        )
+        SELECT doc_id, term, tf, df,
+               {sql_round('score', 6)} AS score, rank
+        FROM ranked WHERE rank <= 3
+        """,
+    )
+    assert problems == [], problems

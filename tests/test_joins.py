@@ -266,3 +266,110 @@ def test_asof_join_null_value_in_matched_row(spark):
         # matched row is the 9:25 quote (within tolerance) whose price is
         # NULL; the stale 9:00 row's 5.0 must NOT leak through
         assert rows[0].price_asof is None
+
+
+def test_interpolate_linear_hand_math(spark):
+    """Time-weighted fill between observations (never row-position
+    weighted), pass-through of observed rows, NULL edges by default,
+    nearest-extrapolation mode, all-NULL keys stay NULL."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import asof
+
+    rows = [
+        ("a", 0, 10.0),
+        ("a", 10, None),   # 1/4 of the way 0->40: 10 + 0.25*20 = 15
+        ("a", 40, 30.0),
+        ("a", 50, None),   # trailing edge
+        ("b", 0, None),    # leading edge
+        ("b", 5, 7.0),
+        ("c", 3, None),    # key with no observations
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    out = asof.interpolate_linear(df, ["k"], "ts", "v")
+    got = {(r.k, r.ts): r.v_filled for r in out.collect()}
+    assert got[("a", 0)] == 10.0
+    assert abs(got[("a", 10)] - 15.0) < 1e-12
+    assert got[("a", 40)] == 30.0
+    assert got[("a", 50)] is None
+    assert got[("b", 0)] is None
+    assert got[("b", 5)] == 7.0
+    assert got[("c", 3)] is None
+
+    near = asof.interpolate_linear(
+        df, ["k"], "ts", "v", extrapolate="nearest"
+    )
+    gotn = {(r.k, r.ts): r.v_filled for r in near.collect()}
+    assert gotn[("a", 50)] == 30.0
+    assert gotn[("b", 0)] == 7.0
+    assert gotn[("c", 3)] is None
+
+    with pytest.raises(ValueError):
+        asof.interpolate_linear(df, ["k"], "ts", "v", extrapolate="x")
+
+
+def test_interpolate_linear_timestamps_duckdb_parity(spark, sf_dir):
+    """Interpolating a punched-out orders price series per priority
+    (timestamp axis) matches DuckDB's window formulation exactly."""
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.operators import asof
+    from tests.parity import compare, duckdb_connect
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").alias("ts"),
+        F.when(
+            F.col("o_orderkey") % 3 != 0, F.col("o_totalprice")
+        ).alias("v"),  # punch out every third value
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof.interpolate_linear(
+        orders, ["o_orderpriority"], "ts", "v",
+        tiebreak_cols=["o_orderkey"],
+    ).select(
+        "o_orderkey",
+        stable_round(F.col("v_filled"), 4).alias("v_filled"),
+    )
+    con = duckdb_connect(sf_dir)
+    problems = compare(
+        out,
+        con,
+        f"""
+        WITH base AS (
+          SELECT o_orderkey, o_orderpriority,
+                 o_orderdate::TIMESTAMP AS ts,
+                 CASE WHEN o_orderkey % 3 <> 0
+                      THEN o_totalprice END AS v
+          FROM orders
+        ),
+        w AS (
+          SELECT *,
+            LAST_VALUE(CASE WHEN v IS NOT NULL
+                            THEN struct_pack(ts := ts, v := v) END
+                       IGNORE NULLS) OVER (
+              PARTITION BY o_orderpriority ORDER BY ts, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+            FIRST_VALUE(CASE WHEN v IS NOT NULL
+                             THEN struct_pack(ts := ts, v := v) END
+                        IGNORE NULLS) OVER (
+              PARTITION BY o_orderpriority ORDER BY ts, o_orderkey
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+          FROM base
+        )
+        SELECT o_orderkey,
+               {sql_round('''
+                 CASE WHEN v IS NOT NULL THEN v
+                      WHEN p IS NOT NULL AND n IS NOT NULL
+                           AND n.ts <> p.ts THEN
+                        p.v + (n.v - p.v)
+                          * (epoch(ts) - epoch(p.ts))
+                          / (epoch(n.ts) - epoch(p.ts))
+                      WHEN p IS NOT NULL AND n IS NOT NULL THEN p.v
+                 END''', 4)} AS v_filled
+        FROM w
+        """,
+    )
+    assert problems == [], problems
