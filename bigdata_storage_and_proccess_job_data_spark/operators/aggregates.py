@@ -1180,3 +1180,132 @@ def agg_state_result(state, keys: list[str], measures: list[str]):
             ).alias(f"avg_{m}")
         )
     return state.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Experiment analysis: two-sample tests + per-group linear fits
+# ---------------------------------------------------------------------------
+
+
+def welch_ttest(
+    df,
+    treat_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    keys: list[str] | None = None,
+):
+    """Welch's unequal-variance two-sample t statistic per key group
+    (the A/B-test default -- no pooled-variance assumption): one row
+    per key with per-arm n/mean/variance, the mean difference, its
+    standard error, ``t_stat``, and the Welch-Satterthwaite degrees of
+    freedom. Deliberately stops at the statistic: Spark SQL has no
+    t-distribution CDF, and shipping a homegrown p-value approximation
+    would invite silent misuse -- threshold t against critical values
+    downstream. NULL values and rows in neither arm are excluded.
+
+    Scale shape: ONE hash aggregation with conditional sibling
+    aggregates (no per-arm scans, no join between arms); grouped by
+    ``keys`` so one pass scores every experiment/metric slice."""
+    keys = keys or []
+    t = F.col(treat_col)
+    v = F.col(value_col)
+    in_a, in_b = t == F.lit(group_a), t == F.lit(group_b)
+
+    def arm(cond, fn, alias):
+        return fn(F.when(cond, v)).alias(alias)
+
+    g = df.filter(in_a | in_b).groupBy(*keys).agg(
+        arm(in_a, F.count, "n_a"),
+        arm(in_b, F.count, "n_b"),
+        arm(in_a, F.avg, "mean_a"),
+        arm(in_b, F.avg, "mean_b"),
+        arm(in_a, F.var_samp, "var_a"),
+        arm(in_b, F.var_samp, "var_b"),
+    )
+    sa2 = F.col("var_a") / F.col("n_a")
+    sb2 = F.col("var_b") / F.col("n_b")
+    se = F.sqrt(sa2 + sb2)
+    dof = (sa2 + sb2) * (sa2 + sb2) / (
+        sa2 * sa2 / (F.col("n_a") - 1) + sb2 * sb2 / (F.col("n_b") - 1)
+    )
+    return g.select(
+        *keys,
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        (F.col("mean_b") - F.col("mean_a")).alias("diff"),
+        F.when(se > 0, se).alias("se"),
+        F.when(se > 0, (F.col("mean_b") - F.col("mean_a")) / se).alias(
+            "t_stat"
+        ),
+        F.when(se > 0, dof).alias("dof"),
+    )
+
+
+def proportion_ztest(
+    df,
+    treat_col: str,
+    success_col: str,
+    group_a,
+    group_b,
+    keys: list[str] | None = None,
+):
+    """Two-proportion pooled z statistic per key group (conversion-
+    rate A/B): success_col is evaluated as a boolean. One hash agg of
+    conditional counts; z is NULL when an arm is empty or the pooled
+    rate is degenerate (0 or 1 -- zero variance). The standard-normal
+    p-value is left to the caller for the same reason welch_ttest
+    stops at t."""
+    keys = keys or []
+    t = F.col(treat_col)
+    s = F.col(success_col).cast("boolean")
+    in_a, in_b = t == F.lit(group_a), t == F.lit(group_b)
+    g = df.filter((in_a | in_b) & s.isNotNull()).groupBy(*keys).agg(
+        F.count(F.when(in_a, 1)).alias("n_a"),
+        F.count(F.when(in_b, 1)).alias("n_b"),
+        F.count(F.when(in_a & s, 1)).alias("succ_a"),
+        F.count(F.when(in_b & s, 1)).alias("succ_b"),
+    )
+    p_a = F.col("succ_a") / F.col("n_a")
+    p_b = F.col("succ_b") / F.col("n_b")
+    pooled = (F.col("succ_a") + F.col("succ_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    return g.select(
+        *keys,
+        "n_a",
+        "n_b",
+        p_a.alias("rate_a"),
+        p_b.alias("rate_b"),
+        (p_b - p_a).alias("diff"),
+        F.when(se > 0, (p_b - p_a) / se).alias("z_stat"),
+    )
+
+
+def group_linear_fit(
+    df,
+    x_col: str,
+    y_col: str,
+    keys: list[str] | None = None,
+):
+    """Per-group ordinary-least-squares line y = slope*x + intercept
+    with r2 and the pair count -- trend extraction over millions of
+    groups in ONE hash aggregation (Spark's regr_* family, map-side
+    combinable; the oracle uses DuckDB's identical regr_* aggregates).
+    Rows where either coordinate is NULL are excluded (regr_count
+    semantics). Degenerate groups (constant x) report NULL slope."""
+    keys = keys or []
+    y, x = F.col(y_col), F.col(x_col)
+    return df.groupBy(*keys).agg(
+        F.regr_count(y, x).alias("n"),
+        F.regr_slope(y, x).alias("slope"),
+        F.regr_intercept(y, x).alias("intercept"),
+        F.regr_r2(y, x).alias("r2"),
+    )

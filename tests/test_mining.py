@@ -14,7 +14,12 @@ from pyspark.sql import functions as F
 from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
 from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
     sql_round,
+    stable_round,
 )
+
+
+def sql_round_col(c, digits):
+    return stable_round(F.col(c), digits).alias(c)
 from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
 from tests.parity import compare, duckdb_connect
 
@@ -441,3 +446,168 @@ def test_psi_bins_duckdb_parity(spark, oracle_sf_dir):
     FROM j
     """
     assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_welch_ttest_hand_math(spark):
+    """t statistic and Welch-Satterthwaite dof match an independent
+    numpy computation; empty/singleton arms degrade to NULL."""
+    import numpy as np
+
+    a = [10.0, 12.0, 9.0, 11.0, 13.0]
+    b = [14.0, 15.0, 13.5, 16.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + [
+        ("c", 99.0),          # third arm: excluded
+        ("a", None),          # NULL value: excluded
+    ]
+    df = spark.createDataFrame(rows, "arm string, v double")
+    r = aggregates.welch_ttest(df, "arm", "v", "a", "b").collect()[0]
+    va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+    se = np.sqrt(va / len(a) + vb / len(b))
+    t = (np.mean(b) - np.mean(a)) / se
+    dof = (va / len(a) + vb / len(b)) ** 2 / (
+        (va / len(a)) ** 2 / (len(a) - 1)
+        + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert r.n_a == 5 and r.n_b == 4
+    assert abs(r.t_stat - t) < 1e-12
+    assert abs(r.dof - dof) < 1e-12
+
+    # singleton arm: var_samp undefined -> NULL t, never a crash
+    tiny = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 3.0)], "arm string, v double"
+    )
+    r = aggregates.welch_ttest(tiny, "arm", "v", "a", "b").collect()[0]
+    assert r.t_stat is None and r.dof is None
+
+
+def test_welch_and_ztest_duckdb_parity(spark, oracle_sf_dir):
+    """Grouped Welch t + two-proportion z over orders match DuckDB
+    computing the identical formulas."""
+    from tests.parity import compare, duckdb_connect
+
+    orders = load_table(spark, oracle_sf_dir, "orders").withColumn(
+        "arm", F.when(F.col("o_orderkey") % 2 == 0, "a").otherwise("b")
+    )
+    con = duckdb_connect(oracle_sf_dir)
+
+    t_out = aggregates.welch_ttest(
+        orders, "arm", "o_totalprice", "a", "b",
+        keys=["o_orderpriority"],
+    ).select(
+        "o_orderpriority", "n_a", "n_b",
+        *[
+            sql_round_col(c, 6)
+            for c in ("mean_a", "mean_b", "diff", "se", "t_stat", "dof")
+        ],
+    )
+    problems = compare(
+        t_out,
+        con,
+        f"""
+        WITH base AS (
+          SELECT o_orderpriority,
+                 CASE WHEN o_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+                 o_totalprice AS v
+          FROM orders
+        ),
+        g AS (
+          SELECT o_orderpriority,
+                 COUNT(CASE WHEN arm = 'a' THEN v END) AS n_a,
+                 COUNT(CASE WHEN arm = 'b' THEN v END) AS n_b,
+                 AVG(CASE WHEN arm = 'a' THEN v END) AS mean_a,
+                 AVG(CASE WHEN arm = 'b' THEN v END) AS mean_b,
+                 VAR_SAMP(CASE WHEN arm = 'a' THEN v END) AS var_a,
+                 VAR_SAMP(CASE WHEN arm = 'b' THEN v END) AS var_b
+          FROM base GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, n_a, n_b,
+               {sql_round('mean_a', 6)} AS mean_a,
+               {sql_round('mean_b', 6)} AS mean_b,
+               {sql_round('mean_b - mean_a', 6)} AS diff,
+               {sql_round('sqrt(var_a/n_a + var_b/n_b)', 6)} AS se,
+               {sql_round('(mean_b - mean_a) / sqrt(var_a/n_a + var_b/n_b)', 6)} AS t_stat,
+               {sql_round('pow(var_a/n_a + var_b/n_b, 2) / (pow(var_a/n_a, 2)/(n_a-1) + pow(var_b/n_b, 2)/(n_b-1))', 6)} AS dof
+        FROM g
+        """,
+    )
+    assert problems == [], problems
+
+    z_out = aggregates.proportion_ztest(
+        orders.withColumn("converted", F.col("o_orderkey") % 5 == 0),
+        "arm", "converted", "a", "b",
+        keys=["o_orderpriority"],
+    ).select(
+        "o_orderpriority", "n_a", "n_b", "rate_a",
+        *[sql_round_col(c, 6) for c in ("rate_b", "diff", "z_stat")],
+    )
+    problems = compare(
+        z_out,
+        con,
+        f"""
+        WITH base AS (
+          SELECT o_orderpriority,
+                 CASE WHEN o_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+                 o_orderkey % 5 = 0 AS s
+          FROM orders
+        ),
+        g AS (
+          SELECT o_orderpriority,
+                 COUNT(CASE WHEN arm = 'a' THEN 1 END) AS n_a,
+                 COUNT(CASE WHEN arm = 'b' THEN 1 END) AS n_b,
+                 COUNT(CASE WHEN arm = 'a' AND s THEN 1 END) AS succ_a,
+                 COUNT(CASE WHEN arm = 'b' AND s THEN 1 END) AS succ_b
+          FROM base GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, n_a, n_b,
+               succ_a / n_a AS rate_a,
+               {sql_round('succ_b / n_b', 6)} AS rate_b,
+               {sql_round('succ_b / n_b - succ_a / n_a', 6)} AS diff,
+               {sql_round('''(succ_b/n_b - succ_a/n_a) / sqrt(
+                  ((succ_a+succ_b)/(n_a+n_b)) * (1 - (succ_a+succ_b)/(n_a+n_b))
+                  * (1.0/n_a + 1.0/n_b))''', 6)} AS z_stat
+        FROM g
+        """,
+    )
+    assert problems == [], problems
+
+
+def test_group_linear_fit_pins_and_parity(spark, oracle_sf_dir):
+    """A perfect line recovers slope/intercept/r2 exactly; constant-x
+    groups degrade to NULL slope; grouped fit over lineitem matches
+    DuckDB's regr_* aggregates."""
+    from tests.parity import compare, duckdb_connect
+
+    df = spark.createDataFrame(
+        [("g", float(x), 3.0 * x - 1.0) for x in range(5)]
+        + [("const", 2.0, 5.0), ("const", 2.0, 7.0)],
+        "k string, x double, y double",
+    )
+    got = {r.k: r for r in aggregates.group_linear_fit(
+        df, "x", "y", keys=["k"]
+    ).collect()}
+    assert abs(got["g"].slope - 3.0) < 1e-12
+    assert abs(got["g"].intercept + 1.0) < 1e-12
+    assert abs(got["g"].r2 - 1.0) < 1e-12
+    assert got["const"].slope is None
+
+    li = load_table(spark, oracle_sf_dir, "lineitem")
+    out = aggregates.group_linear_fit(
+        li, "l_quantity", "l_extendedprice", keys=["l_returnflag"]
+    ).select(
+        "l_returnflag", "n",
+        *[sql_round_col(c, 4) for c in ("slope", "intercept", "r2")],
+    )
+    con = duckdb_connect(oracle_sf_dir)
+    problems = compare(
+        out,
+        con,
+        f"""
+        SELECT l_returnflag,
+               regr_count(l_extendedprice, l_quantity) AS n,
+               {sql_round('regr_slope(l_extendedprice, l_quantity)', 4)} AS slope,
+               {sql_round('regr_intercept(l_extendedprice, l_quantity)', 4)} AS intercept,
+               {sql_round('regr_r2(l_extendedprice, l_quantity)', 4)} AS r2
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    )
+    assert problems == [], problems
