@@ -369,3 +369,103 @@ def clustering_coefficients(
         return out.localCheckpoint()
     finally:
         und.unpersist()
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    undirected graph: every node starts as its own community and each
+    round adopts the label with the greatest neighbor weight, counting
+    ITSELF as one vote (self-inclusion damps the classic two-cycle
+    oscillation of pure synchronous LPA) and breaking ties toward the
+    smallest label -- fully deterministic, unlike the random-order
+    variants. Returns (node, label); nodes sharing a label share a
+    community. Labels are member ids, not normalized ranks -- feed
+    them to a groupBy or join as-is.
+
+    Per round: one equi-join of the label vector against the
+    bidirectional edge list + one (node, label) hash agg + one
+    struct-max per node -- O(|E|) like pagerank, same persist/
+    localCheckpoint lineage hybrid, no driver-side graph. Duplicate
+    edges collapse (unweighted) or their weights sum."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    und = undirected_edges(edges, src, dst)
+    if weight_col is not None:
+        w = (
+            edges.filter(
+                F.col(src).isNotNull() & F.col(dst).isNotNull()
+            )
+            .select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+                F.col(weight_col).cast("double").alias("_w"),
+            )
+            .filter((F.col("a") != F.col("b")) & (F.col("_w") > 0))
+            .groupBy("a", "b")
+            .agg(F.sum("_w").alias("_w"))
+        )
+    else:
+        w = und.withColumn("_w", F.lit(1.0))
+    bi = (
+        w.select(
+            F.col("a").alias("node"), F.col("b").alias("nbr"), "_w"
+        )
+        .union(
+            w.select(
+                F.col("b").alias("node"), F.col("a").alias("nbr"), "_w"
+            )
+        )
+        .persist()
+    )
+    labels = (
+        bi.select("node").distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    persisted_prev: DataFrame | None = None
+    try:
+        for i in range(iters):
+            votes = (
+                bi.join(
+                    labels.select(
+                        F.col("node").alias("nbr"), "label"
+                    ),
+                    "nbr",
+                )
+                .select("node", "label", "_w")
+                .union(
+                    labels.select(
+                        "node", "label", F.lit(1.0).alias("_w")
+                    )
+                )
+                .groupBy("node", "label")
+                .agg(F.sum("_w").alias("_v"))
+            )
+            # max weight, then MIN label among the maximizers -- two
+            # cheap aggs keep the tiebreak type-generic (string ids
+            # can't ride a negated struct-max)
+            best = votes.groupBy("node").agg(F.max("_v").alias("_b"))
+            nxt = (
+                votes.join(best, "node")
+                .filter(F.col("_v") == F.col("_b"))
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+            if (i + 1) % _CHECKPOINT_EVERY == 0 or i == iters - 1:
+                nxt = nxt.localCheckpoint()
+                if persisted_prev is not None:
+                    persisted_prev.unpersist()
+                    persisted_prev = None
+            else:
+                nxt = nxt.persist()
+                if persisted_prev is not None:
+                    persisted_prev.unpersist()
+                persisted_prev = nxt
+            labels = nxt
+        return labels
+    finally:
+        bi.unpersist()

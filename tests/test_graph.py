@@ -347,3 +347,50 @@ def test_degrees_duckdb_parity(spark, sf_dir):
         """,
     )
     assert problems == [], problems
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 5-cliques joined by one bridge edge resolve into exactly
+    two communities (each labeled by its min member); deterministic
+    across reruns."""
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique(range(5)) + clique(range(10, 15)) + [(4, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.label for r in graph.label_propagation(df).collect()}
+    assert {out[i] for i in range(5)} == {0}
+    assert {out[i] for i in range(10, 15)} == {10}
+    again = {
+        r.node: r.label for r in graph.label_propagation(df).collect()
+    }
+    assert out == again
+
+
+def test_label_propagation_weighted_and_string_ids(spark):
+    """Heavy edges dominate the vote; string node ids work (the
+    tiebreak is type-generic)."""
+    # x is 1-hop from both triangles; the heavier bridge wins it for B
+    # (intra-clique weights stay dominant so the clique labels are
+    # stable -- a bridge heavier than a whole clique is the classic
+    # synchronous-LPA oscillator, deliberately avoided here)
+    edges = [
+        ("a1", "a2", 1.0), ("a1", "a3", 1.0), ("a2", "a3", 1.0),
+        ("b1", "b2", 5.0), ("b1", "b3", 5.0), ("b2", "b3", 5.0),
+        ("x", "a1", 1.0), ("x", "b1", 2.0),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    out = {
+        r.node: r.label
+        for r in graph.label_propagation(
+            df, weight_col="w", iters=8
+        ).collect()
+    }
+    assert out["x"] == out["b1"] == out["b2"] == out["b3"]
+    assert out["a1"] == out["a2"] == out["a3"]
+    assert out["x"] != out["a1"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        graph.label_propagation(df, iters=0)
