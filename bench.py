@@ -67,6 +67,7 @@ def main() -> None:
 
     bench_probes.ensure_layouts(spark, sf_dir)
     bench_probes.ensure_versioned_table(spark, sf_dir)
+    bench_probes.ensure_ivm_state(spark, sf_dir)
 
     def scan_rows(df) -> int:
         """numOutputRows summed over the file scans of the EXECUTED plan

@@ -213,4 +213,92 @@ def bench_probes() -> dict:
         "point_lookup_lineitem": point_lookup_lineitem,
         "version_prune_orders": version_prune_orders,
         "version_bloom_lookup": version_bloom_lookup,
+        "incr_agg_refresh": incr_agg_refresh,
+        "full_agg_recompute": full_agg_recompute,
     }
+
+
+def _ivm_dir(sf_dir: str) -> str:
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"ivm:{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"sgraft_ivm_probe_{key}")
+
+
+def ensure_ivm_state(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per fixture generation) the incremental-maintenance
+    probe artifacts: the OLD orders snapshot's aggregate state
+    (agg_state_init over priority x order-month), the NEW snapshot
+    (~1% of keys deleted, ~1% price-bumped, a handful inserted), and
+    the CHANGE FEED between them, each as parquet. The probes below
+    then measure the two refresh strategies over identical stored
+    inputs; correctness (apply == recompute) is pinned in
+    tests/test_versioned.py."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    dest = _ivm_dir(sf_dir)
+    if os.path.exists(os.path.join(dest, "_DONE")):
+        return dest
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.month("o_orderdate").alias("o_month"),
+        "o_totalprice",
+    )
+    new = orders.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") * 1.07
+        ).otherwise(F.col("o_totalprice")),
+    )
+    keys, measures = ["o_orderpriority", "o_month"], ["o_totalprice"]
+    aggregates.agg_state_init(orders, keys, measures).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dest, "state"))
+    new.write.mode("overwrite").parquet(os.path.join(dest, "new"))
+    versioned.change_feed(orders, new, "o_orderkey").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dest, "feed"))
+    with open(os.path.join(dest, "_DONE"), "w") as fh:
+        fh.write("ok")
+    return dest
+
+
+_IVM_KEYS = ["o_orderpriority", "o_month"]
+_IVM_MEASURES = ["o_totalprice"]
+
+
+def incr_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refresh the stored aggregate by folding the change feed into the
+    stored state (agg_state_apply): reads |state| + |feed| rows -- the
+    O(changes) refresh. Its measured twin below re-aggregates the full
+    new snapshot; at 100 TB the gap between the two IS the materialized-
+    view argument, and rows_read records it at bench scale."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    dest = ensure_ivm_state(spark, sf_dir)
+    state = spark.read.parquet(os.path.join(dest, "state"))
+    feed = spark.read.parquet(os.path.join(dest, "feed"))
+    return aggregates.agg_state_result(
+        aggregates.agg_state_apply(state, feed, _IVM_KEYS, _IVM_MEASURES),
+        _IVM_KEYS,
+        _IVM_MEASURES,
+    )
+
+
+def full_agg_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The twin: the same result aggregated from scratch over the full
+    new snapshot -- what every refresh costs WITHOUT incremental
+    maintenance. Reads |table| rows by construction."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    dest = ensure_ivm_state(spark, sf_dir)
+    new = spark.read.parquet(os.path.join(dest, "new"))
+    return aggregates.agg_state_result(
+        aggregates.agg_state_init(new, _IVM_KEYS, _IVM_MEASURES),
+        _IVM_KEYS,
+        _IVM_MEASURES,
+    )

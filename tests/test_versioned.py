@@ -1031,3 +1031,26 @@ def test_agg_state_validation(spark):
         A.agg_state_init(df, [], ["v"])
     with pytest.raises(ValueError):
         A.agg_state_apply(df, df, ["grp"], [])
+
+
+def test_ivm_probe_twins_agree(spark, sf_dir):
+    """The bench probe pair (incr_agg_refresh vs full_agg_recompute)
+    produce the same aggregate view: the measured read gap is a cost
+    difference, never an answer difference."""
+    from bigdata_storage_and_proccess_job_data_spark.plans import bench_probes
+
+    a = {
+        (r.o_orderpriority, r.o_month): r
+        for r in bench_probes.incr_agg_refresh(spark, sf_dir).collect()
+    }
+    b = {
+        (r.o_orderpriority, r.o_month): r
+        for r in bench_probes.full_agg_recompute(spark, sf_dir).collect()
+    }
+    assert set(a) == set(b) and len(a) > 0
+    for k, w in b.items():
+        g = a[k]
+        assert g.cnt == w.cnt
+        assert abs(g.sum_o_totalprice - w.sum_o_totalprice) < 1e-9 * max(
+            1.0, abs(w.sum_o_totalprice)
+        )
