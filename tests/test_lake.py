@@ -467,3 +467,39 @@ def test_point_lookup_probe_matches_plain_scan_and_skips(spark, oracle_sf_dir):
     )
     total = table.count()
     assert read_probe * 4 <= total, (read_probe, total)
+
+
+def test_orc_lake_roundtrip_prune_and_pushdown(spark, sf_dir, tmp_path):
+    """The generic fmt seam covers ORC end to end: partitioned write,
+    partition pruning AND predicate pushdown both reach the ORC scan,
+    and values match the parquet-sourced frame exactly. (Avro needs the
+    external spark-avro package -- the kafka/protobuf gate pattern;
+    ORC is in-box and is the columnar alternative worth proving.)"""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_orc")
+    lake.write_partitioned(
+        orders, path, ["o_year"], mode="overwrite", fmt="orc"
+    )
+
+    yr = orders.select(F.min("o_year").alias("y")).collect()[0].y
+    part = lake.read_partition(spark, path, fmt="orc", o_year=yr).filter(
+        F.col("o_totalprice") > 100_000.0
+    )
+    expected = orders.filter(
+        (F.col("o_year") == yr) & (F.col("o_totalprice") > 100_000.0)
+    )
+    assert part.count() == expected.count() > 0
+    assert sorted(
+        r.o_orderkey for r in part.select("o_orderkey").collect()
+    ) == sorted(r.o_orderkey for r in expected.select("o_orderkey").collect())
+
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "OrcScan" in plan or "orc" in plan.lower(), plan
+    assert "PartitionFilters" in plan and "o_year" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], plan
