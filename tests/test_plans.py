@@ -295,3 +295,69 @@ def test_windows_partition_registry():
     # the ceiling is enforced at registration time
     with pytest.raises(ValueError, match="ceiling"):
         registry.register("one_query_too_many")(lambda s, d: None)
+
+
+def test_late_r7_operator_plans_scale_safe(spark, sf_dir):
+    """Plan lint over the round-7 additions that are not registry
+    queries (the sweep above only covers registered plans): spatial
+    blocking must resolve to an equi-join (never a cartesian/BNLJ),
+    incremental agg maintenance and interpolation stay clean, and
+    keywords_tfidf's single BroadcastNestedLoopJoin is exactly the
+    one-row corpus-size scalar broadcast -- the documented exemption
+    class (probe-scoped bounded frames)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        aggregates,
+        asof,
+        corpus,
+        spatial,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.plans import lint
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919 % 17001) / 100.0 - 85.0).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias(
+            "lon"
+        ),
+    )
+    state = aggregates.agg_state_init(
+        orders, ["o_orderpriority"], ["o_totalprice"]
+    )
+    feed = versioned.change_feed(
+        orders, orders.filter(F.col("o_orderkey") % 7 != 0), "o_orderkey"
+    )
+    clean = {
+        "spatial": spatial.spatial_self_pairs(cust, 300.0),
+        "agg_state": aggregates.agg_state_apply(
+            state, feed, ["o_orderpriority"], ["o_totalprice"]
+        ),
+        "interpolate": asof.interpolate_linear(
+            orders.withColumn(
+                "v",
+                F.when(
+                    F.col("o_orderkey") % 3 != 0, F.col("o_totalprice")
+                ),
+            ).withColumn("ts", F.col("o_orderkey")),
+            ["o_orderpriority"],
+            "ts",
+            "v",
+        ),
+    }
+    for name, df in clean.items():
+        df.write.format("noop").mode("overwrite").save()
+        assert lint.lint_plan(df) == [], name
+
+    kw = corpus.keywords_tfidf(docs, k=3)
+    kw.write.format("noop").mode("overwrite").save()
+    assert lint.lint_plan(kw, allow_bnlj=True) == []
+    # and the BNLJ really is the scalar broadcast, nothing larger
+    plan = lint.plan_string(kw)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
