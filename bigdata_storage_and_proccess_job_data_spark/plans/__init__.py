@@ -338,6 +338,17 @@ DRIVER_WINDOW_R8_PLAN = sorted(
 # pagerank + resolve_entities (iterative, the connected_components
 # precedent), dedup_ingest_stream (streaming), bloom manifests
 # (bench-probed instead: version_bloom_lookup).
+# Second late-r7 wave, same split. Oracle-grade local parity already
+# written (each named test does the full cross-engine value compare):
+# keywords_tfidf (test_corpus), triangle_counts + clustering_
+# coefficients + degrees (test_graph, naive three-way-join oracle),
+# welch_ttest + proportion_ztest + group_linear_fit (test_mining),
+# spatial_self_pairs (test_spatial, brute-force haversine oracle),
+# interpolate_linear (test_joins). Test-only by design: kmeans_fit/
+# kmeans_refine + label_propagation (iterative), agg_state_apply
+# (its oracle IS recompute equality, frame- and table-level in
+# test_versioned, plus the measured incr_agg_refresh/
+# full_agg_recompute bench twins).
 #
 # Late-round-7 work and the changed-code rule, audited (the r6
 # precedent above): every addition is append-only -- new modules
