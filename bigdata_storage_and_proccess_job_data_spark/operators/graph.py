@@ -469,3 +469,63 @@ def label_propagation(
         return labels
     finally:
         bi.unpersist()
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 20,
+    directed: bool = True,
+) -> DataFrame:
+    """Unweighted shortest-path distance (hop count) from a seed SET:
+    (node, dist) for every node reachable within ``max_hops``, dist 0
+    for the seeds themselves -- the landmark-distance feature for link
+    graphs (crawl depth, citation distance), and the exact counterpart
+    of personalized PageRank's soft proximity. Unreachable nodes are
+    simply absent. ``seeds``' first column is the seed ids.
+
+    Frontier BFS, all DataFrame ops: each level is one equi-join of the
+    CURRENT FRONTIER (not the whole distance table) against the edge
+    list plus one anti-join against the known set -- O(edges touched by
+    the frontier) per level, the delta-iteration formulation. Levels
+    localCheckpoint (bounded lineage, pagerank's discipline); the only
+    driver materialization is one frontier-size long per level, which
+    also gives early exit the moment the frontier drains."""
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+    if not directed:
+        e = e.union(
+            e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+        )
+    e = e.distinct().persist()
+    seed_col = seeds.columns[0]
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = dist.select("node")
+    try:
+        for h in range(1, max_hops + 1):
+            nxt = (
+                e.join(frontier.withColumnRenamed("node", "_s"), "_s")
+                .select(F.col("_d").alias("node"))
+                .distinct()
+                .join(dist.select("node"), "node", "left_anti")
+                .withColumn("dist", F.lit(h))
+                .localCheckpoint()
+            )
+            if nxt.count() == 0:  # bounded driver scalar per level
+                break
+            dist = dist.union(nxt)
+            frontier = nxt.select("node")
+        return dist
+    finally:
+        e.unpersist()

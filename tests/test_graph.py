@@ -394,3 +394,76 @@ def test_label_propagation_weighted_and_string_ids(spark):
 
     with pytest.raises(ValueError):
         graph.label_propagation(df, iters=0)
+
+
+def test_shortest_paths_hand_and_early_exit(spark):
+    """Path graph distances, multi-seed min semantics, directed vs
+    undirected, unreachable absence."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "s long")
+    got = {
+        r.node: r.dist
+        for r in graph.shortest_paths(edges, seeds).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # 4,5 unreachable: absent
+
+    undirected = {
+        r.node: r.dist
+        for r in graph.shortest_paths(
+            spark.createDataFrame([(1, 0), (1, 2)], "src long, dst long"),
+            seeds,
+            directed=False,
+        ).collect()
+    }
+    assert undirected == {0: 0, 1: 1, 2: 2}
+
+    two_seeds = spark.createDataFrame([(0,), (3,)], "s long")
+    got2 = {
+        r.node: r.dist
+        for r in graph.shortest_paths(edges, two_seeds).collect()
+    }
+    assert got2[2] == 2 and got2[3] == 0
+
+    capped = {
+        r.node: r.dist
+        for r in graph.shortest_paths(edges, seeds, max_hops=1).collect()
+    }
+    assert capped == {0: 0, 1: 1}
+
+
+def test_shortest_paths_duckdb_recursive_cte_parity(spark, sf_dir):
+    """Distances on a derived lineitem graph match DuckDB's recursive
+    CTE computing the same capped BFS -- the connected_components
+    cross-validation precedent, now for distances."""
+    from tests.parity import compare, duckdb_connect
+
+    edges = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 211).alias("src"),
+        (F.col("l_partkey") % 211).alias("dst"),
+    )
+    seeds = spark.createDataFrame([(0,), (1,)], "s long")
+    out = graph.shortest_paths(edges, seeds, max_hops=6)
+    con = duckdb_connect(sf_dir)
+    problems = compare(
+        out,
+        con,
+        """
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT l_orderkey % 211 AS s, l_partkey % 211 AS d
+          FROM lineitem
+          WHERE l_orderkey % 211 IS NOT NULL
+            AND l_partkey % 211 IS NOT NULL
+        ),
+        walk(node, dist) AS (
+          SELECT * FROM (VALUES (0, 0), (1, 0)) v(node, dist)
+          UNION
+          SELECT e.d, walk.dist + 1
+          FROM walk JOIN e ON e.s = walk.node
+          WHERE walk.dist < 6
+        )
+        SELECT node, MIN(dist)::INT AS dist FROM walk GROUP BY node
+        """,
+    )
+    assert problems == [], problems
