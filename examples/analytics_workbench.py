@@ -1,0 +1,197 @@
+"""Analytics-workbench demo: the round-7 statistics / feature / graph
+suite over the driver fixtures, end to end.
+
+The other examples cover the reference dataflow (run_pipeline), corpus
+curation (corpus_pipeline), and incremental ingest; this one is the
+"data science on the lake" loop the engine's aggregate additions serve:
+
+  1. profile the table (one-pass schema-driven stats)
+  2. fit feature artifacts on a TRAIN snapshot (standardize + quantile
+     bins), persist them, apply to a later batch -- the train/serve
+     split with stored statistics
+  3. read out a synthetic A/B experiment: Welch t on order value,
+     two-proportion z on a conversion flag, per-group OLS trend
+  4. graph analytics on the customer->part interaction graph:
+     PageRank authority, label-propagation communities, triangle
+     density, seed-set hop distances
+  5. geo-dedup: radius self-pairs over derived coordinates
+  6. refresh a stored revenue view from a change feed instead of
+     recomputing it (agg_state_* -- O(changes), verified equal)
+
+Every step prints a small summary; nothing wider than bounded top-k
+results ever reaches the driver.
+
+Run:  python examples/analytics_workbench.py   (reads sf0.001, ~90 s)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bigdata_storage_and_proccess_job_data_spark.catalog import load_table  # noqa: E402
+from bigdata_storage_and_proccess_job_data_spark.operators import (  # noqa: E402
+    aggregates,
+    features,
+    graph,
+    spatial,
+)
+from bigdata_storage_and_proccess_job_data_spark.session import get_spark  # noqa: E402
+from bigdata_storage_and_proccess_job_data_spark.sources import versioned  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark(app_name="analytics-workbench")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="workbench_")
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+
+    # -- 1. profile ----------------------------------------------------
+    prof = aggregates.profile_table(
+        orders.select("o_orderpriority", "o_totalprice")
+    )
+    print("== profile ==")
+    for r in prof.collect():
+        print(
+            f"  {r.column}: nulls={r.n_nulls} distinct~{r.n_distinct} "
+            f"min={r['min']} max={r['max']}"
+        )
+
+    # -- 2. feature artifacts: fit on train, apply to serve ------------
+    train = orders.filter(F.col("o_orderkey") % 10 != 0)
+    serve = orders.filter(F.col("o_orderkey") % 10 == 0)
+    fit = features.standardize_fit(
+        train, ["o_totalprice"], keys=["o_orderpriority"]
+    )
+    bins = features.quantile_bins_fit(
+        train, "o_totalprice", 10, keys=["o_orderpriority"]
+    )
+    fit.write.mode("overwrite").parquet(os.path.join(work, "fit"))
+    bins.write.mode("overwrite").parquet(os.path.join(work, "bins"))
+    scored = features.quantile_bins_apply(
+        features.standardize_apply(
+            serve,
+            spark.read.parquet(os.path.join(work, "fit")),
+            ["o_totalprice"],
+            keys=["o_orderpriority"],
+        ),
+        spark.read.parquet(os.path.join(work, "bins")),
+        "o_totalprice",
+        keys=["o_orderpriority"],
+    )
+    ex = scored.orderBy("o_orderkey").limit(3).collect()
+    print("== features (serve batch, stored artifacts) ==")
+    for r in ex:
+        print(
+            f"  order {r.o_orderkey}: price={r.o_totalprice:.2f} "
+            f"z={r.o_totalprice_z:+.3f} bin={r.o_totalprice_bin}"
+        )
+
+    # -- 3. experiment readout -----------------------------------------
+    exp = orders.withColumn(
+        "arm", F.when(F.col("o_orderkey") % 2 == 0, "a").otherwise("b")
+    ).withColumn("converted", F.col("o_orderkey") % 5 == 0)
+    t = aggregates.welch_ttest(
+        exp, "arm", "o_totalprice", "a", "b"
+    ).collect()[0]
+    z = aggregates.proportion_ztest(
+        exp, "arm", "converted", "a", "b"
+    ).collect()[0]
+    print("== A/B readout ==")
+    print(
+        f"  value: diff={t.diff:+.2f} t={t.t_stat:+.3f} dof={t.dof:.0f}"
+    )
+    print(
+        f"  conversion: {z.rate_a:.3f} vs {z.rate_b:.3f} "
+        f"z={z.z_stat:+.3f}"
+    )
+    trend = aggregates.group_linear_fit(
+        load_table(spark, SF_DIR, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        keys=["l_returnflag"],
+    )
+    for r in trend.orderBy("l_returnflag").collect():
+        print(
+            f"  trend[{r.l_returnflag}]: slope={r.slope:.1f} "
+            f"r2={r.r2:.3f} n={r.n}"
+        )
+
+    # -- 4. graph analytics --------------------------------------------
+    li = load_table(spark, SF_DIR, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 500 + 1_000_000).alias("src"),
+        F.col("l_partkey").alias("dst"),
+    )
+    pr = graph.pagerank(edges, iters=8)
+    top = pr.orderBy(F.col("rank").desc()).limit(3).collect()
+    comms = graph.label_propagation(edges, iters=5)
+    n_comm = comms.select("label").distinct().count()
+    tri = graph.triangle_counts(
+        li.select(
+            (F.col("l_orderkey") % 101).alias("src"),
+            (F.col("l_partkey") % 101).alias("dst"),
+        )
+    )
+    tri_total = tri.agg(F.sum("triangles")).collect()[0][0] // 3
+    seeds = spark.createDataFrame([(1_000_000,)], "s long")
+    hops = graph.shortest_paths(edges, seeds, max_hops=4, directed=False)
+    reach = hops.groupBy("dist").count().orderBy("dist").collect()
+    print("== graph ==")
+    print(f"  top authority nodes: {[int(r.node) for r in top]}")
+    print(f"  communities (LPA): {n_comm}")
+    print(f"  triangles (mod-101 projection): {tri_total}")
+    print(
+        "  reachable by hops: "
+        + ", ".join(f"{r.dist}:{r['count']}" for r in reach)
+    )
+
+    # -- 5. geo-dedup --------------------------------------------------
+    pts = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919 % 17001) / 100.0 - 85.0).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias(
+            "lon"
+        ),
+    )
+    pairs = spatial.spatial_self_pairs(pts, 500.0)
+    print(f"== geo == pairs within 500 km: {pairs.count()}")
+
+    # -- 6. incremental view refresh -----------------------------------
+    keys, measures = ["o_orderpriority"], ["o_totalprice"]
+    state = aggregates.agg_state_init(orders, keys, measures)
+    new = orders.filter(F.col("o_orderkey") % 13 != 0)
+    feed = versioned.change_feed(orders, new, "o_orderkey")
+    refreshed = aggregates.agg_state_result(
+        aggregates.agg_state_apply(state, feed, keys, measures),
+        keys,
+        measures,
+    )
+    recomputed = aggregates.agg_state_result(
+        aggregates.agg_state_init(new, keys, measures), keys, measures
+    )
+    a = {r.o_orderpriority: r.cnt for r in refreshed.collect()}
+    b = {r.o_orderpriority: r.cnt for r in recomputed.collect()}
+    n_changes = feed.count()
+    assert a == b, "incremental refresh diverged from recompute"
+    print(
+        f"== incremental view == {n_changes} feed rows folded; "
+        f"refresh == recompute across {len(a)} groups"
+    )
+    print("workbench done")
+
+
+if __name__ == "__main__":
+    main()
