@@ -110,3 +110,73 @@ def frequent_pairs(
             ).alias("lift"),
         )
     )
+
+
+def cooccurrence_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    top_k: int | None = None,
+    max_basket_items: int | None = None,
+    digits: int = 4,
+) -> DataFrame:
+    """Item-item cosine similarity on binary basket vectors:
+    sim(i, j) = co(i, j) / sqrt(n_i * n_j) -- the classic item-based
+    collaborative-filtering precompute (Sarwar et al. 2001), built
+    directly on frequent_pairs' apriori-pruned co-occurrence join so
+    hot items never explode the pair space. Output is SYMMETRIC
+    ((i, j) and (j, i) both emitted) so a per-item top-k is one
+    row_number window; ``top_k`` keeps the k strongest neighbors per
+    item (score desc, neighbor asc -- deterministic), which is the
+    artifact a recommender serves from."""
+    from pyspark.sql import Window
+
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    pairs = frequent_pairs(
+        df,
+        basket_col,
+        item_col,
+        min_count=min_count,
+        max_basket_items=max_basket_items,
+        digits=digits,
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("neighbor"),
+        "pair_count",
+        F.col("count_a").alias("n_item"),
+        F.col("count_b").alias("n_neighbor"),
+    ).union(
+        pairs.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("neighbor"),
+            "pair_count",
+            F.col("count_b").alias("n_item"),
+            F.col("count_a").alias("n_neighbor"),
+        )
+    )
+    scored = sym.withColumn(
+        "cosine",
+        stable_round(
+            F.col("pair_count")
+            / F.sqrt(
+                F.col("n_item").cast("double") * F.col("n_neighbor")
+            ),
+            digits,
+        ),
+    )
+    if top_k is None:
+        return scored
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1 (or None for all pairs)")
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )

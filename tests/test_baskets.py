@@ -110,3 +110,79 @@ def test_frequent_pairs_plan_scalable(spark, sf_dir):
     )
     assert lint_plan(df, allow_bnlj=True) == []
     assert plan_string(df).count("BroadcastNestedLoopJoin") == 1
+
+
+def test_cooccurrence_similarity_hand_math_and_topk(spark):
+    """cosine = co / sqrt(n_i * n_j) on binary baskets; symmetric
+    emission; deterministic per-item top-k."""
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "y"),
+        (4, "x"), (4, "z"),
+        (5, "y"), (5, "z"),
+        (6, "z"),
+    ]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    out = {
+        (r.item, r.neighbor): r.cosine
+        for r in baskets.cooccurrence_similarity(
+            df, "b", "i", min_count=1
+        ).collect()
+    }
+    # n_x=4, n_y=4, n_z=3; co(x,y)=3, co(x,z)=1, co(y,z)=1
+    assert out[("x", "y")] == pytest.approx(3 / 4, abs=2e-4)
+    assert out[("y", "x")] == out[("x", "y")]
+    assert out[("x", "z")] == pytest.approx(1 / (12 ** 0.5), abs=2e-4)
+
+    top1 = {
+        r.item: r.neighbor
+        for r in baskets.cooccurrence_similarity(
+            df, "b", "i", min_count=1, top_k=1
+        ).collect()
+    }
+    assert top1 == {"x": "y", "y": "x", "z": "x"}
+    # z's ties (x and y both 1/sqrt(12)) break toward the smaller name
+
+    with pytest.raises(ValueError, match="top_k"):
+        baskets.cooccurrence_similarity(df, "b", "i", top_k=0)
+
+
+def test_cooccurrence_similarity_duckdb_parity(spark, oracle_sf_dir):
+    """Symmetric item-item cosine over customer x part baskets matches
+    DuckDB exactly (stable-rounded scores)."""
+    out = baskets.cooccurrence_similarity(
+        _customer_baskets(spark, oracle_sf_dir),
+        "o_custkey",
+        "l_partkey",
+        min_count=5,
+    ).select("item", "neighbor", "pair_count", "cosine")
+    sql = f"""
+    WITH bi AS (
+      SELECT DISTINCT o_custkey AS b, l_partkey AS i
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    ic AS (SELECT i, COUNT(*) AS c FROM bi GROUP BY i),
+    fb AS (SELECT bi.b, bi.i FROM bi JOIN ic USING (i) WHERE ic.c >= 5),
+    pairs AS (
+      SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS pair_count
+      FROM fb a JOIN fb b ON a.b = b.b AND a.i < b.i
+      GROUP BY a.i, b.i HAVING COUNT(*) >= 5
+    ),
+    sym AS (
+      SELECT item_a AS item, item_b AS neighbor, pair_count,
+             ca.c AS n_item, cb.c AS n_neighbor
+      FROM pairs JOIN ic ca ON ca.i = item_a JOIN ic cb ON cb.i = item_b
+      UNION ALL
+      SELECT item_b, item_a, pair_count, cb.c, ca.c
+      FROM pairs JOIN ic ca ON ca.i = item_a JOIN ic cb ON cb.i = item_b
+    )
+    SELECT item, neighbor, pair_count,
+           {sql_round('pair_count / sqrt(n_item::DOUBLE * n_neighbor)', 4)}
+             AS cosine
+    FROM sym
+    """
+    con = duckdb_connect(oracle_sf_dir)
+    problems = compare(out, con, sql)
+    assert problems == [], problems
