@@ -538,6 +538,11 @@ _LSH_TOPK_CTES = f"""
 @register(
     "knn_lsh",
     tags=("similarity", "vector", "join"),
+    # headline since late r7: the ANN stack is the similarity-search
+    # north star; this puts a measured sf0.1 number on it every round.
+    # Registration METADATA only -- the query body/plan is unchanged
+    # (holds its green r6 row), so no window displacement applies.
+    headline=True,
     oracle=f"""
         WITH {_LSH_TOPK_CTES}
         SELECT query_id, neighbor_id, rank, sim FROM lsh_topk
