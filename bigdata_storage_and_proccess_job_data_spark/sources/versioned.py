@@ -83,6 +83,7 @@ def commit_version(
     table_dir: str,
     expected: int | None = None,
     stats_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot and atomically publish it.
     The data write is fully distributed; only the tiny pointer swap is
@@ -114,6 +115,17 @@ def commit_version(
       ``expected=None`` stays documented last-committer-wins and takes
       no transition marker.
 
+    ``partition_by`` writes the snapshot hive-partitioned on the named
+    columns. Because every snapshot is its own immutable directory,
+    each commit may choose a DIFFERENT layout -- partition evolution
+    for free (the repartition-by-new-column migration that Hive-style
+    tables can't do without a rewrite-in-place): old versions stay
+    readable with their old layout, time travel included, and
+    partition pruning applies per snapshot. Mutually exclusive with
+    ``stats_cols`` (the file-manifest pruners hand Spark bare file
+    paths, which would drop hive partition values; partitioned
+    snapshots get their pruning from partition pruning itself).
+
     Crash recovery: a writer dying between marker and pointer swap
     leaves ``._commit_from_v{E}`` with the pointer still at E; further
     expected=E commits then fail closed (never torn). vacuum() clears
@@ -121,6 +133,13 @@ def commit_version(
     re-commit with expected=None) after confirming the writer is dead.
     On an object store without atomic-exclusive creation, replace
     _claim with a conditional put -- the structure is unchanged."""
+    if partition_by and stats_cols:
+        raise ValueError(
+            "partition_by and stats_cols are mutually exclusive: "
+            "manifest pruning reads bare file paths, which would drop "
+            "hive partition values -- partitioned snapshots prune via "
+            "partition pruning instead"
+        )
     os.makedirs(table_dir, exist_ok=True)
     if expected is not None:
         cur = current_version(table_dir) or 0
@@ -132,7 +151,10 @@ def commit_version(
     while not _claim(table_dir, f"._claim_v{nxt}"):
         nxt += 1  # number taken by an in-flight writer; take the next
     snap = os.path.join(table_dir, f"v={nxt}")
-    df.write.mode("error").parquet(snap)
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(snap)
     if stats_cols:
         # footer pass BEFORE the pointer swap: a published snapshot
         # always carries its manifest (readers never race a half-built

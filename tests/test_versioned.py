@@ -1054,3 +1054,59 @@ def test_ivm_probe_twins_agree(spark, sf_dir):
         assert abs(g.sum_o_totalprice - w.sum_o_totalprice) < 1e-9 * max(
             1.0, abs(w.sum_o_totalprice)
         )
+
+
+def test_partition_evolution_across_versions(spark, sf_dir, tmp_path):
+    """Each snapshot owns its layout: v1 partitioned by priority, v2 by
+    order-year -- both readable (time travel included), both pruned at
+    the scan by THEIR OWN partition column, contents exact. The
+    rewrite-free partition evolution immutable snapshots buy."""
+    import pytest
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    table = str(tmp_path / "orders_pevo")
+    v1 = versioned.commit_version(
+        orders, table, partition_by=["o_orderpriority"]
+    )
+    v2 = versioned.commit_version(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        table,
+        partition_by=["o_year"],
+    )
+
+    old = versioned.read_version(spark, table, v1)
+    new = versioned.read_version(spark, table, v2)
+    assert old.count() == orders.count()
+    assert new.count() == orders.filter(
+        F.col("o_orderkey") % 2 == 0
+    ).count()
+    # hive layout round-trips every column (partition cols come back)
+    assert sorted(old.columns) == sorted(orders.columns)
+    assert sorted(new.columns) == sorted(orders.columns)
+
+    # v1 prunes on ITS column...
+    p1 = old.filter(F.col("o_orderpriority") == "1-URGENT")
+    plan1 = p1._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderpriority" in plan1.split("PartitionFilters")[1].split(
+        "]"
+    )[0]
+    # ...and v2 on its different one
+    yr = orders.select(F.min("o_year").alias("y")).collect()[0].y
+    p2 = new.filter(F.col("o_year") == yr)
+    plan2 = p2._jdf.queryExecution().executedPlan().toString()
+    assert "o_year" in plan2.split("PartitionFilters")[1].split("]")[0]
+
+    # values identical to the source filters
+    assert p1.count() == orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).count()
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        versioned.commit_version(
+            orders,
+            str(tmp_path / "bad"),
+            partition_by=["o_year"],
+            stats_cols=["o_orderkey"],
+        )
