@@ -1092,3 +1092,29 @@ def keywords_tfidf(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "score", "rank")
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    salt: str = "",
+    label_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment, ATOMIC per group -- the
+    cross-validation counterpart of leakage_safe_split (same md5 coin
+    of the group key + salt, same guarantees: reproducible across
+    engines and partitionings, stable under corpus growth, NULL groups
+    share one fold, zero shuffles). Fold ids are 0..k-1, uniform in
+    expectation over groups. Train/eval for fold i is
+    ``fold != i`` / ``fold == i``; the salt yields independent
+    replications."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    key_str = F.coalesce(
+        F.col(group_col).cast("string"), F.lit("\x00fold_null")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(key_str, F.lit(salt))), 1, 13), 16, 10
+    ).cast("long")
+    return df.withColumn(label_col, (h % F.lit(k)).cast("int"))

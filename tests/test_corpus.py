@@ -1000,3 +1000,61 @@ def test_keywords_tfidf_ranking_and_parity(spark, oracle_sf_dir):
         """,
     )
     assert problems == [], problems
+
+
+def test_kfold_assign_group_atomic_and_parity(spark, oracle_sf_dir):
+    """Every group lands whole in one fold; folds cover 0..k-1 about
+    evenly; assignment is stable under corpus growth and exactly
+    reproducible in DuckDB from the same md5 coin."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from tests.parity import compare, duckdb_connect
+
+    li = load_table(spark, oracle_sf_dir, "lineitem")
+    out = corpus.kfold_assign(li, "l_orderkey", k=5)
+    per_group = out.groupBy("l_orderkey").agg(
+        F.count_distinct("fold").alias("nf")
+    )
+    assert per_group.filter(F.col("nf") != 1).count() == 0
+
+    sizes = {
+        r.fold: r["count"]
+        for r in out.groupBy("fold").count().collect()
+    }
+    assert set(sizes) == {0, 1, 2, 3, 4}
+    assert max(sizes.values()) < 2 * min(sizes.values())
+
+    # subset stability: restricting the corpus never moves a group
+    sub = corpus.kfold_assign(
+        li.filter(F.col("l_orderkey") % 3 == 0), "l_orderkey", k=5
+    )
+    a = {r.l_orderkey: r.fold for r in sub.select("l_orderkey", "fold").distinct().collect()}
+    b = {
+        r.l_orderkey: r.fold
+        for r in out.select("l_orderkey", "fold")
+        .distinct()
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .collect()
+    }
+    assert a == b
+
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        _md5_hash60_sql,
+    )
+
+    h = _md5_hash60_sql("l_orderkey::VARCHAR || ''")
+    con = duckdb_connect(oracle_sf_dir)
+    problems = compare(
+        out.select("l_orderkey", "l_linenumber", "fold"),
+        con,
+        f"""
+        SELECT l_orderkey, l_linenumber,
+               CAST((({h} >> 8) % 5) AS INT) AS fold
+        FROM lineitem
+        """,
+    )
+    assert problems == [], problems
+
+    with pytest.raises(ValueError):
+        corpus.kfold_assign(li, "l_orderkey", k=1)
