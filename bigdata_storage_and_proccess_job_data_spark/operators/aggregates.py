@@ -1309,3 +1309,31 @@ def group_linear_fit(
         F.regr_intercept(y, x).alias("intercept"),
         F.regr_r2(y, x).alias("r2"),
     )
+
+
+def agg_state_merge(
+    a, b, keys: list[str], measures: list[str]
+):
+    """Merge two aggregate states (same keys/measures contract):
+    counts and non-null counts add, sums add with NULL preserved iff
+    both sides hold no values -- the MERGEABLE-summary property the
+    sketch trio (hll/cms/dd) uses, here for exact count/sum state.
+    agg_state_init(A union B) == merge(init(A), init(B)) (tested), so
+    partial states built per partition/day/stream-batch combine
+    without touching rows again. One union + one hash agg."""
+    if not keys or not measures:
+        raise ValueError("keys and measures must be non-empty")
+    cols = [*keys, "cnt"]
+    for m in measures:
+        cols += [f"sum_{m}", f"nn_{m}"]
+    u = a.select(*cols).unionByName(b.select(*cols))
+    aggs = [F.sum("cnt").alias("cnt")]
+    for m in measures:
+        nn = F.sum(F.col(f"nn_{m}")).alias(f"nn_{m}")
+        aggs.append(
+            F.when(
+                F.sum(F.col(f"nn_{m}")) > 0, F.sum(F.col(f"sum_{m}"))
+            ).alias(f"sum_{m}")
+        )
+        aggs.append(nn)
+    return u.groupBy(*keys).agg(*aggs).filter(F.col("cnt") > 0)

@@ -26,6 +26,7 @@ is the multi-writer upgrade).
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 
@@ -84,6 +85,7 @@ def commit_version(
     expected: int | None = None,
     stats_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot and atomically publish it.
     The data write is fully distributed; only the tiny pointer swap is
@@ -114,6 +116,13 @@ def commit_version(
       two-thread race). The guarantee covers expected-mode writers;
       ``expected=None`` stays documented last-committer-wins and takes
       no transition marker.
+
+    ``meta`` attaches a small JSON document to the snapshot, written
+    BEFORE the pointer swap so a published version always carries it
+    atomically (read back with commit_meta). The hook consumers use to
+    make non-idempotent derived-table updates exactly-once: record the
+    upstream position (micro-batch id, feed version) in the same
+    commit that applies it, and a replay sees its own marker.
 
     ``partition_by`` writes the snapshot hive-partitioned on the named
     columns. Because every snapshot is its own immutable directory,
@@ -160,6 +169,9 @@ def commit_version(
         # always carries its manifest (readers never race a half-built
         # one -- the snapshot isn't visible until the swap below)
         write_stats_manifest(snap, stats_cols)
+    if meta is not None:
+        with open(os.path.join(snap, _META), "w") as fh:
+            json.dump(meta, fh)
     if expected is not None and not _claim(
         table_dir, f"._commit_from_v{expected}"
     ):
@@ -249,6 +261,23 @@ def read_version(
         # schema (read the snapshot's schema without scanning data)
         return spark.read.parquet(snap).filter(F.lit(False))
     return spark.read.parquet(*sorted(files)).filter(cond)
+
+
+_META = "_commit_meta.json"
+
+
+def commit_meta(table_dir: str, version: int | None = None) -> dict | None:
+    """The JSON document attached to a snapshot at commit time
+    (commit_version(meta=...)), or None if the snapshot has none.
+    Reads the committed version by default."""
+    v = current_version(table_dir) if version is None else version
+    if v is None:
+        return None
+    path = os.path.join(table_dir, f"v={v}", _META)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
 
 
 _STATS = "_stats.json"

@@ -410,3 +410,84 @@ def dedup_ingest_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _apply_view_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_dir: str,
+    keys: list[str],
+    measures: list[str],
+) -> bool:
+    """One micro-batch of the maintained-view sink, factored out so the
+    exactly-once guard is directly testable. Returns True if the batch
+    was applied, False if it was recognized as a replay and skipped.
+
+    Exactly-once without content-idempotence: folding the same rows
+    into count/sum state twice double-counts, so the sink records the
+    batch id IN the snapshot it publishes (commit_version(meta=...) --
+    the marker and the fold share one atomic pointer swap) and a
+    replayed batch sees its own marker and no-ops. Concurrency: the
+    commit carries expected=<read version>, so an unrelated writer
+    racing the view table fails the sink loudly instead of losing
+    either update."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    if batch_df.isEmpty():
+        return False
+    spark = batch_df.sparkSession
+    cur = versioned.current_version(table_dir)
+    if cur is not None:
+        meta = versioned.commit_meta(table_dir, cur) or {}
+        if meta.get("last_batch", -1) >= batch_id:
+            return False  # replay of an already-folded batch
+        state = versioned.read_version(spark, table_dir, cur)
+        new_state = aggregates.agg_state_merge(
+            state,
+            aggregates.agg_state_init(batch_df, keys, measures),
+            keys,
+            measures,
+        )
+    else:
+        new_state = aggregates.agg_state_init(batch_df, keys, measures)
+    versioned.commit_version(
+        new_state,
+        table_dir,
+        expected=cur,
+        meta={"last_batch": batch_id},
+    )
+    return True
+
+
+def maintain_view_stream(
+    df: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    measures: list[str],
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously-maintained aggregate view: every micro-batch of
+    APPEND rows folds into the versioned count/sum/avg state table via
+    agg_state_merge -- O(batch + |state|) per trigger, never a rescan
+    of history, and readers query the view with
+    agg_state_result(read_version(...)) at full snapshot isolation.
+    The streaming composition of the batch incremental-maintenance
+    stack (agg_state_* + the measured incr_agg_refresh bench twin);
+    for streams carrying updates/deletes, land them with merge_stream
+    and refresh the view from diff_versions instead.
+
+    Exactly-once: see _apply_view_batch -- the applied batch id rides
+    the snapshot's atomic commit, so failure replays converge instead
+    of double-counting (pinned by a direct double-apply test)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _apply_view_batch(batch_df, batch_id, table_dir, keys, measures)
+
+    writer = df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -215,3 +215,121 @@ def test_dedup_ingest_stream_suppresses_near_dups(spark, tmp_path):
         r._id for r in spark.read.parquet(index_dir).select("_id").distinct().collect()
     }
     assert indexed == final
+
+
+def test_maintain_view_stream_folds_and_survives_replay(spark, tmp_path):
+    """Continuously-maintained aggregate view: two driver runs of the
+    checkpointed stream fold two file batches into the versioned state,
+    the readable view equals the batch recompute over ALL rows, and a
+    direct double-apply of the same batch id no-ops (the exactly-once
+    marker rides the snapshot commit)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("v", LongType()),
+        ]
+    )
+    in_dir = str(tmp_path / "in")
+    view_dir = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt_view")
+    keys, measures = ["k"], ["v"]
+
+    batch1 = [("a", 1), ("a", 2), ("b", 10), ("c", None)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    def run_once():
+        q = pipeline.maintain_view_stream(
+            pipeline.file_stream(spark, in_dir, schema),
+            view_dir,
+            keys,
+            measures,
+            ckpt,
+        )
+        q.awaitTermination()
+
+    run_once()
+    batch2 = [("a", 4), ("d", 7), ("b", None)]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_once()
+
+    view = aggregates.agg_state_result(
+        versioned.read_version(spark, view_dir), keys, measures
+    )
+    want = aggregates.agg_state_result(
+        aggregates.agg_state_init(
+            spark.createDataFrame(batch1 + batch2, schema), keys, measures
+        ),
+        keys,
+        measures,
+    )
+    got = {r.k: (r.cnt, r.sum_v, r.avg_v) for r in view.collect()}
+    exp = {r.k: (r.cnt, r.sum_v, r.avg_v) for r in want.collect()}
+    assert got == exp
+    assert got["a"] == (3, 7, 7 / 3)
+    assert got["c"][1] is None  # all-NULL group keeps SQL NULL sum
+
+    # exactly-once: re-applying an already-folded batch id no-ops
+    v_before = versioned.current_version(view_dir)
+    meta = versioned.commit_meta(view_dir)
+    applied = pipeline._apply_view_batch(
+        spark.createDataFrame(batch2, schema),
+        meta["last_batch"],
+        view_dir,
+        keys,
+        measures,
+    )
+    assert applied is False
+    assert versioned.current_version(view_dir) == v_before
+    # ...and a NEW batch id applies and bumps the marker
+    applied = pipeline._apply_view_batch(
+        spark.createDataFrame([("a", 100)], schema),
+        meta["last_batch"] + 1,
+        view_dir,
+        keys,
+        measures,
+    )
+    assert applied is True
+    after = {
+        r.k: r.sum_v
+        for r in aggregates.agg_state_result(
+            versioned.read_version(spark, view_dir), keys, measures
+        ).collect()
+    }
+    assert after["a"] == 107
+
+
+def test_agg_state_merge_equals_union_init(spark):
+    """merge(init(A), init(B)) == init(A union B) exactly -- the
+    mergeable-summary law the streaming view sink relies on."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    a = spark.createDataFrame(
+        [("x", 1), ("x", None), ("y", 5)], "k string, v long"
+    )
+    b = spark.createDataFrame(
+        [("x", 2), ("z", None), (None, 9)], "k string, v long"
+    )
+    keys, ms = ["k"], ["v"]
+    merged = aggregates.agg_state_result(
+        aggregates.agg_state_merge(
+            aggregates.agg_state_init(a, keys, ms),
+            aggregates.agg_state_init(b, keys, ms),
+            keys,
+            ms,
+        ),
+        keys,
+        ms,
+    )
+    direct = aggregates.agg_state_result(
+        aggregates.agg_state_init(a.unionByName(b), keys, ms), keys, ms
+    )
+    assert sorted(merged.collect(), key=str) == sorted(
+        direct.collect(), key=str
+    )
