@@ -1337,3 +1337,142 @@ def agg_state_merge(
         )
         aggs.append(nn)
     return u.groupBy(*keys).agg(*aggs).filter(F.col("cnt") > 0)
+
+
+def minmax_state_init(df, keys: list[str], measures: list[str]):
+    """Min/max aggregate state: one row per group with min_m / max_m
+    per measure. Unlike count/sum state these are NOT delta-
+    maintainable under deletes (removing the extremal value needs a
+    look at the remaining rows) -- minmax_state_apply below does the
+    honest version: pure delta where possible, targeted rescan of
+    exactly the affected groups where not."""
+    if not keys or not measures:
+        raise ValueError("keys and measures must be non-empty")
+    aggs = []
+    for m in measures:
+        aggs.append(F.min(F.col(m)).alias(f"min_{m}"))
+        aggs.append(F.max(F.col(m)).alias(f"max_{m}"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def _minmax_fold_cols(measures: list[str]):
+    """Fold stored extremes with the add-side partials (_a_min/_a_max),
+    NULL-safe on either side: SQL min/max ignore NULLs, so a NULL
+    partial means 'no new values', never 'new minimum NULL'."""
+    cols = []
+    for m in measures:
+        cols.append(
+            F.when(F.col(f"_a_min_{m}").isNull(), F.col(f"min_{m}"))
+            .when(F.col(f"min_{m}").isNull(), F.col(f"_a_min_{m}"))
+            .otherwise(F.least(F.col(f"min_{m}"), F.col(f"_a_min_{m}")))
+            .alias(f"min_{m}")
+        )
+        cols.append(
+            F.when(F.col(f"_a_max_{m}").isNull(), F.col(f"max_{m}"))
+            .when(F.col(f"max_{m}").isNull(), F.col(f"_a_max_{m}"))
+            .otherwise(F.greatest(F.col(f"max_{m}"), F.col(f"_a_max_{m}")))
+            .alias(f"max_{m}")
+        )
+    return cols
+
+
+def minmax_state_apply(
+    state, feed, base_new, keys: list[str], measures: list[str]
+):
+    """Refresh min/max state from a change feed, rescanning ONLY dirty
+    groups. A group is dirty when a delete/update_pre removes a value
+    AT its stored min or max (the extremal might have been the last
+    one) or when its key vanishes from state entirely; inserts and
+    interior deletes fold as pure deltas. ``base_new`` is the NEW
+    snapshot -- touched only via one semi-join on the dirty key set,
+    so refresh cost is O(|changes| + rows of affected groups), not
+    O(|table|): the targeted-rescan compromise real lakehouse IVM
+    makes for non-abelian aggregates (min/max/distinct).
+
+    Groups with no remaining rows drop. Result == minmax_state_init
+    on the new snapshot (tested, including the extremal-delete and
+    interior-delete paths)."""
+    if not keys or not measures:
+        raise ValueError("keys and measures must be non-empty")
+    fields = list(keys) + list(measures)
+
+    def side(struct_col, tag):
+        return F.struct(
+            *[struct_col[f].alias(f) for f in fields],
+            F.lit(tag).alias("_side"),
+        )
+
+    signed = (
+        feed.select(
+            F.explode(
+                F.array(
+                    F.when(
+                        F.col("change_type").isin("delete", "update"),
+                        side(F.col("before"), "rm"),
+                    ),
+                    F.when(
+                        F.col("change_type").isin("insert", "update"),
+                        side(F.col("after"), "add"),
+                    ),
+                )
+            ).alias("_x")
+        )
+        .filter(F.col("_x").isNotNull())
+        .select("_x.*")
+    )
+    adds = signed.filter(F.col("_side") == "add")
+    rms = signed.filter(F.col("_side") == "rm")
+
+    sk = lambda df_: df_.select(F.struct(*keys).alias("_k"), "*")  # noqa: E731
+    st = sk(state)
+    # dirty: any removed value at the stored extremal of its group
+    rm_k = sk(rms)
+    dirty_cond = F.lit(False)
+    for m in measures:
+        dirty_cond = (
+            dirty_cond
+            | (F.col(m) <= F.col(f"min_{m}"))
+            | (F.col(m) >= F.col(f"max_{m}"))
+        )
+    dirty = (
+        rm_k.join(
+            st.select("_k", *[c for m in measures for c in (f"min_{m}", f"max_{m}")]),
+            "_k",
+            "left",
+        )
+        # a removal from a group state never saw is dirty by definition
+        .filter(dirty_cond | F.col(f"min_{measures[0]}").isNull())
+        .select("_k")
+        .distinct()
+    )
+    # clean part: state minus dirty groups, min/max folded with adds only
+    add_state = sk(minmax_state_init(adds, keys, measures))
+    clean = (
+        st.join(dirty, "_k", "left_anti")
+        .join(
+            add_state.select(
+                "_k",
+                *[
+                    F.col(f"{agg}_{m}").alias(f"_a_{agg}_{m}")
+                    for m in measures
+                    for agg in ("min", "max")
+                ],
+            ),
+            "_k",
+            "left",
+        )
+        .select(*keys, *_minmax_fold_cols(measures))
+    )
+    # brand-new groups (adds whose key is in neither state nor dirty)
+    born = (
+        add_state.join(st.select("_k"), "_k", "left_anti")
+        .join(dirty, "_k", "left_anti")
+        .select(*keys, *[c for m in measures for c in (f"min_{m}", f"max_{m}")])
+    )
+    # dirty groups: recompute from the new snapshot, semi-join pruned
+    rescan = minmax_state_init(
+        sk(base_new).join(dirty, "_k", "semi").drop("_k"),
+        keys,
+        measures,
+    )
+    return clean.unionByName(born).unionByName(rescan)

@@ -951,3 +951,55 @@ def compact_small_files(
         f.write(str(nxt))
     os.replace(tmp, _pointer_path(table_dir))
     return nxt
+
+
+def clone_table(
+    src_dir: str, dst_dir: str, version: int | None = None
+) -> int:
+    """Zero-copy clone: publish ``src_dir``'s committed snapshot (or a
+    pinned ``version``) as v=1 of a NEW table at ``dst_dir``, hard-
+    linking every data file -- the Delta SHALLOW CLONE idea on the
+    one-pointer format. At 100 TB this is a metadata-priced operation
+    (links + one pointer write), and because snapshots are immutable
+    the clone can never be torn by the source: later source commits
+    write NEW files, the clone keeps holding the old inodes, and
+    vacuum() on either side only unlinks its own directory entries
+    (the shared inode survives until the last link drops). Manifests
+    (_stats/_bloom/_commit_meta sidecars) link along, so pruning works
+    on the clone unchanged. The clone is a fully independent table:
+    commit, optimize, vacuum it freely.
+
+    The dev/test-sandbox move: fork production data for an experiment
+    without copying a byte or blocking a writer. On object stores,
+    swap the hard links for a copy-manifest (server-side copy or
+    reference counting); the structure is unchanged."""
+    v = current_version(src_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"{src_dir} has no committed version")
+    src_snap = os.path.join(src_dir, f"v={v}")
+    if not os.path.isdir(src_snap):
+        raise FileNotFoundError(f"{src_snap} does not exist")
+    os.makedirs(dst_dir, exist_ok=True)
+    if versions(dst_dir) or current_version(dst_dir) is not None:
+        raise FileExistsError(
+            f"{dst_dir} already holds a table; clone only into a fresh "
+            "directory"
+        )
+    if not _claim(dst_dir, "._claim_v1"):
+        raise ConcurrentCommitError(f"{dst_dir}: concurrent clone")
+    dst_snap = os.path.join(dst_dir, "v=1")
+    for root, _dirs, files in os.walk(src_snap):
+        rel = os.path.relpath(root, src_snap)
+        target = (
+            dst_snap if rel == "." else os.path.join(dst_snap, rel)
+        )
+        os.makedirs(target, exist_ok=True)
+        for name in files:
+            os.link(
+                os.path.join(root, name), os.path.join(target, name)
+            )
+    fd, tmp = tempfile.mkstemp(dir=dst_dir, prefix="._latest_")
+    with os.fdopen(fd, "w") as f:
+        f.write("1")
+    os.replace(tmp, _pointer_path(dst_dir))
+    return 1

@@ -1110,3 +1110,105 @@ def test_partition_evolution_across_versions(spark, sf_dir, tmp_path):
             partition_by=["o_year"],
             stats_cols=["o_orderkey"],
         )
+
+
+def test_minmax_state_targeted_rescan_matches_recompute(spark):
+    """Min/max maintenance under every interesting change shape:
+    extremal delete (dirty -> rescan), interior delete (pure delta),
+    update that moves an extreme, inserts extending/interior, brand-new
+    group, group emptied entirely, NULL values and NULL keys. Result
+    equals minmax_state_init on the new snapshot exactly."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates as A
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10), (2, "a", 5), (3, "a", 7),     # a: [5, 10]
+            (4, "b", 1), (5, "b", 2), (6, "b", 3),      # b: [1, 3]
+            (7, "c", 9),                                 # c: [9, 9]
+            (8, None, 4), (9, None, 6),                  # NULL key group
+            (10, "d", None), (11, "d", 2),               # NULL value in d
+        ],
+        "id long, grp string, val long",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10), (3, "a", 7),        # a: extremal delete (5 gone)
+            (4, "b", 1), (6, "b", 3),          # b: interior delete (2 gone)
+            (7, "c", 20),                      # c: update moves the max
+            (8, None, 4), (9, None, 0),        # NULL-key group: new min
+            (10, "d", None),                   # d: its only value deleted
+            (12, "e", 50),                     # brand-new group
+            (13, "a", 11),                     # a also gets a new max
+        ],
+        "id long, grp string, val long",
+    )
+    keys, ms = ["grp"], ["val"]
+    state = A.minmax_state_init(old, keys, ms)
+    feed = versioned.change_feed(old, new, "id")
+    got = sorted(
+        A.minmax_state_apply(state, feed, new, keys, ms).collect(),
+        key=str,
+    )
+    want = sorted(A.minmax_state_init(new, keys, ms).collect(), key=str)
+    assert got == want
+    by_grp = {r.grp: (r.min_val, r.max_val) for r in got}
+    assert by_grp["a"] == (7, 11)
+    assert by_grp["b"] == (1, 3)
+    assert by_grp["c"] == (20, 20)
+    assert by_grp["d"] == (None, None)  # group exists, all values NULL
+    assert by_grp["e"] == (50, 50)
+    assert by_grp[None] == (0, 4)
+
+
+def test_clone_table_zero_copy_independent(spark, sf_dir, tmp_path):
+    """Shallow clone: same contents via hard links (same inodes, no
+    byte copied), fully independent afterward -- source commits and
+    vacuum never change the clone; the clone commits on its own;
+    manifests ride along so pruning still works; guards refuse
+    overwriting an existing table."""
+    import os
+
+    import pytest
+
+    nation = load_table(spark, sf_dir, "nation")
+    src = str(tmp_path / "src")
+    v1 = versioned.commit_version(
+        nation.repartitionByRange(4, "n_nationkey"),
+        src,
+        stats_cols=["n_nationkey"],
+    )
+    dst = str(tmp_path / "dst")
+    assert versioned.clone_table(src, dst) == 1
+
+    a = versioned.read_version(spark, src, v1)
+    b = versioned.read_version(spark, dst)
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+    # same inodes: zero-copy, not a byte duplicated
+    src_files = sorted(
+        f for f in os.listdir(os.path.join(src, f"v={v1}"))
+        if f.endswith(".parquet")
+    )
+    for f in src_files:
+        s = os.stat(os.path.join(src, f"v={v1}", f))
+        d = os.stat(os.path.join(dst, "v=1", f))
+        assert s.st_ino == d.st_ino and s.st_nlink >= 2
+
+    # manifest linked along -> pruning works on the clone
+    pruned = versioned.read_version(spark, dst, prune=("n_nationkey", 0, 3))
+    assert pruned.count() == nation.filter(
+        F.col("n_nationkey") <= 3
+    ).count()
+
+    # independence: source moves on and vacuums; clone is untouched
+    versioned.commit_version(nation.limit(2), src)
+    versioned.vacuum(src, keep=1)
+    assert versioned.read_version(spark, dst).count() == nation.count()
+    # and the clone commits on its own timeline
+    v2 = versioned.commit_version(nation.limit(5), dst)
+    assert versioned.read_version(spark, dst, v2).count() == 5
+
+    with pytest.raises(FileExistsError):
+        versioned.clone_table(src, dst)
+    with pytest.raises(FileNotFoundError):
+        versioned.clone_table(str(tmp_path / "nope"), str(tmp_path / "x"))
