@@ -823,3 +823,92 @@ def test_merge_stream_skips_empty_batches(spark, tmp_path):
     assert versioned.current_version(table) == 2  # not 3
     got = {r.k for r in versioned.read_version(spark, table).collect()}
     assert got == {1, 2}
+
+
+def test_stream_stream_semi_join(spark, tmp_path):
+    """LEFT-SEMI stream-stream join completes the matrix (inner/left/
+    right/full/semi): 'impressions that converted', left columns only,
+    each matched left row emitted once even with several matching
+    clicks. Batch call of the identical builder produces the same
+    set."""
+    import datetime as dt
+    import time as _t
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    imp_schema = StructType(
+        [StructField("ad_id", LongType()), StructField("imp_ts", TimestampType())]
+    )
+    clk_schema = StructType(
+        [StructField("ad_id", LongType()), StructField("clk_ts", TimestampType())]
+    )
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    t = dt.datetime(2024, 5, 1, 10, 0, 0)
+
+    def write(path, schema, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    # ad 1 converts TWICE (one emission expected); ad 2 never does;
+    # ad 3's click is outside the attribution window
+    write(imp_dir, imp_schema, [(1, t), (2, t), (3, t)])
+    write(
+        clk_dir,
+        clk_schema,
+        [
+            (1, t + dt.timedelta(minutes=4)),
+            (1, t + dt.timedelta(minutes=6)),
+            (3, t + dt.timedelta(minutes=40)),  # > within
+        ],
+    )
+    _t.sleep(1.1)
+    far = t + dt.timedelta(hours=3)
+    write(imp_dir, imp_schema, [(99, far)])
+    write(clk_dir, clk_schema, [(98, far)])
+
+    imp_s = pipeline.file_stream(
+        spark, imp_dir, imp_schema, max_files_per_trigger=1
+    )
+    clk_s = pipeline.file_stream(
+        spark, clk_dir, clk_schema, max_files_per_trigger=1
+    )
+    joined = pipeline.stream_stream_interval_join(
+        imp_s, clk_s, "ad_id", "imp_ts", "clk_ts",
+        "30 minutes", "30 minutes", "10 MINUTES",
+        how="left_semi",
+    )
+    assert set(joined.columns) == {"ad_id", "imp_ts"}  # left side only
+    name = f"sssemi_{uuid.uuid4().hex[:8]}"
+    q = pipeline.memory_sink(joined, name, output_mode="append")
+    q.awaitTermination(120)
+    got = {
+        (r.ad_id, str(r.imp_ts))
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        if r.ad_id < 90
+    }
+    assert got == {(1, "2024-05-01 10:00:00")}
+    # exactly one emission despite two qualifying clicks
+    n = spark.sql(
+        f"SELECT COUNT(*) AS n FROM {name} WHERE ad_id = 1"
+    ).collect()[0].n
+    assert n == 1
+
+    batch = pipeline.stream_stream_interval_join(
+        spark.read.parquet(imp_dir),
+        spark.read.parquet(clk_dir),
+        "ad_id", "imp_ts", "clk_ts",
+        "30 minutes", "30 minutes", "10 MINUTES",
+        how="left_semi",
+    )
+    batch_got = {
+        (r.ad_id, str(r.imp_ts))
+        for r in batch.collect()
+        if r.ad_id < 90
+    }
+    assert batch_got == got
