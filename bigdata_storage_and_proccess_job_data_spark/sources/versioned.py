@@ -1003,3 +1003,76 @@ def clone_table(
         f.write("1")
     os.replace(tmp, _pointer_path(dst_dir))
     return 1
+
+
+def scd2_init(
+    snapshot: DataFrame, key: str, ts
+) -> DataFrame:
+    """Bootstrap a slowly-changing-dimension TYPE 2 history from a
+    snapshot: every row becomes current (valid_from = ``ts``,
+    valid_to = NULL, is_current = true). ``ts`` is the load timestamp
+    (pass a datetime or an ISO string); history rows carry it as
+    TIMESTAMP_NTZ so cross-engine comparisons stay wall-clock."""
+    t = F.lit(ts).cast("timestamp_ntz")
+    return snapshot.select(
+        "*",
+        t.alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def scd2_apply(
+    history: DataFrame, feed: DataFrame, key: str, ts
+) -> DataFrame:
+    """Fold a change feed (change_feed/diff_versions shape) into a
+    TYPE 2 history: updated/deleted keys CLOSE their current row
+    (valid_to = ``ts``, is_current = false); inserted/updated keys OPEN
+    a new current row (valid_from = ``ts``). Closed rows are immutable
+    forever -- the audit-trail dimension table (Kimball SCD2), built on
+    the same feed the aggregate maintainers consume, so one
+    diff_versions pass can refresh metrics AND history.
+
+    Cost shape: the only work against HISTORY is one broadcast-sized
+    hash semi-lookup of changed keys to flip their current rows
+    (|changes| keys) plus a union of |changes| new rows; untouched
+    history streams through unchanged -- append-friendly at 100 TB.
+    as_of() below reads any point in time.
+
+    Contract: ``history`` rows for one key never overlap in
+    [valid_from, valid_to) and have at most one is_current row (the
+    invariant scd2_init establishes and this preserves -- tested)."""
+    t = F.lit(ts).cast("timestamp_ntz")
+    changed_keys = feed.filter(
+        F.col("change_type").isin("update", "delete", "insert")
+    ).select(F.col(key).alias("_ck")).distinct()
+    flip = F.col("_ck").isNotNull() & F.col("is_current")
+    cols = []
+    for c in history.columns:
+        if c == "valid_to":
+            cols.append(F.when(flip, t).otherwise(F.col(c)).alias(c))
+        elif c == "is_current":
+            cols.append(
+                F.when(flip, F.lit(False)).otherwise(F.col(c)).alias(c)
+            )
+        else:
+            cols.append(F.col(c))
+    closed = history.join(
+        changed_keys, history[key].eqNullSafe(F.col("_ck")), "left"
+    ).select(*cols)
+    opened_src = feed.filter(
+        F.col("change_type").isin("insert", "update")
+    ).select("after.*")
+    opened = scd2_init(opened_src, key, ts)
+    return closed.unionByName(opened)
+
+
+def scd2_as_of(history: DataFrame, ts) -> DataFrame:
+    """Rows valid at instant ``ts``: valid_from <= ts < valid_to (open
+    rows have NULL valid_to). Pure filter -- partition/cluster history
+    by valid_from and this prunes."""
+    t = F.lit(ts).cast("timestamp_ntz")
+    return history.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )

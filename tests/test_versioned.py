@@ -1212,3 +1212,124 @@ def test_clone_table_zero_copy_independent(spark, sf_dir, tmp_path):
         versioned.clone_table(src, dst)
     with pytest.raises(FileNotFoundError):
         versioned.clone_table(str(tmp_path / "nope"), str(tmp_path / "x"))
+
+
+def test_scd2_history_lifecycle_and_parity(spark):
+    """Type-2 dimension history: bootstrap -> two feed applications.
+    Invariants: at most one current row per key, closed rows immutable,
+    as_of reconstructs every intermediate snapshot exactly, and the
+    full history matches a DuckDB recomputation of the same fold."""
+    import datetime as dt
+
+    from tests.parity import compare, duckdb_connect
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 2, 1)
+    t2 = dt.datetime(2024, 3, 1)
+
+    s0 = spark.createDataFrame(
+        [(1, "alice", "NYC"), (2, "bob", "SF"), (3, "carol", "LA")],
+        "id long, name string, city string",
+    )
+    s1 = spark.createDataFrame(
+        [(1, "alice", "BOSTON"), (2, "bob", "SF"), (4, "dan", "SEA")],
+        "id long, name string, city string",  # 1 moves, 3 deleted, 4 new
+    )
+    s2 = spark.createDataFrame(
+        [(1, "alice", "BOSTON"), (2, "bob", "CHI"), (4, "dan", "SEA")],
+        "id long, name string, city string",  # 2 moves
+    )
+
+    h = versioned.scd2_init(s0, "id", t0)
+    h = versioned.scd2_apply(h, versioned.change_feed(s0, s1, "id"), "id", t1)
+    h = versioned.scd2_apply(h, versioned.change_feed(s1, s2, "id"), "id", t2)
+    rows = h.collect()
+
+    # one current row per live key; closed rows carry valid_to
+    current = [r for r in rows if r.is_current]
+    assert {r.id for r in current} == {1, 2, 4}
+    assert all(r.valid_to is None for r in current)
+    closed = [r for r in rows if not r.is_current]
+    assert all(r.valid_to is not None for r in closed)
+    # key 3 (deleted at t1): one closed row, no current row
+    k3 = [r for r in rows if r.id == 3]
+    assert len(k3) == 1 and k3[0].valid_to == t1
+
+    # as_of reconstructs each snapshot exactly
+    for ts, snap in [(t0, s0), (t1, s1), (t2, s2)]:
+        got = sorted(
+            (r.id, r.name, r.city)
+            for r in versioned.scd2_as_of(h, ts).collect()
+        )
+        want = sorted((r.id, r.name, r.city) for r in snap.collect())
+        assert got == want, ts
+    # and between loads the older snapshot still reads
+    mid = sorted(
+        (r.id, r.city)
+        for r in versioned.scd2_as_of(
+            h, dt.datetime(2024, 1, 15)
+        ).collect()
+    )
+    assert mid == [(1, "NYC"), (2, "SF"), (3, "LA")]
+
+    # cross-engine: DuckDB folds the same three loads into the same
+    # history (full value parity, timestamps included)
+    con = duckdb_connect("/root/testdata/sf0.001")
+    con.execute(
+        "CREATE TABLE s0 AS SELECT * FROM (VALUES "
+        "(1,'alice','NYC'),(2,'bob','SF'),(3,'carol','LA')"
+        ") t(id, name, city)"
+    )
+    con.execute(
+        "CREATE TABLE s1 AS SELECT * FROM (VALUES "
+        "(1,'alice','BOSTON'),(2,'bob','SF'),(4,'dan','SEA')"
+        ") t(id, name, city)"
+    )
+    con.execute(
+        "CREATE TABLE s2 AS SELECT * FROM (VALUES "
+        "(1,'alice','BOSTON'),(2,'bob','CHI'),(4,'dan','SEA')"
+        ") t(id, name, city)"
+    )
+    problems = compare(
+        h.select(
+            "id", "name", "city", "valid_from", "valid_to", "is_current"
+        ),
+        con,
+        """
+        WITH loads AS (
+          SELECT *, TIMESTAMP '2024-01-01' AS ld FROM s0
+          UNION ALL SELECT *, TIMESTAMP '2024-02-01' FROM s1
+          UNION ALL SELECT *, TIMESTAMP '2024-03-01' FROM s2
+        ),
+        versions AS (  -- collapse consecutive identical loads per key
+          SELECT id, name, city, ld,
+                 LAG(name || '|' || city) OVER w AS prev_val,
+                 name || '|' || city AS val
+          FROM loads WINDOW w AS (PARTITION BY id ORDER BY ld)
+        ),
+        opens AS (
+          SELECT id, name, city, ld AS valid_from
+          FROM versions WHERE prev_val IS NULL OR prev_val <> val
+        ),
+        ends AS (  -- a key absent from the NEXT load closes at that load
+          SELECT o.id, o.name, o.city, o.valid_from,
+                 LEAD(o.valid_from) OVER (PARTITION BY o.id
+                                          ORDER BY o.valid_from)
+                   AS next_open,
+                 (SELECT MIN(l2.ld) FROM (
+                    SELECT DISTINCT ld FROM loads) l2
+                  WHERE l2.ld > o.valid_from
+                    AND NOT EXISTS (SELECT 1 FROM loads l3
+                                    WHERE l3.ld = l2.ld
+                                      AND l3.id = o.id)) AS deleted_at
+          FROM opens o
+        )
+        SELECT id, name, city, valid_from,
+               CASE WHEN next_open IS NOT NULL
+                      AND (deleted_at IS NULL OR next_open < deleted_at)
+                    THEN next_open ELSE deleted_at END AS valid_to,
+               (next_open IS NULL AND deleted_at IS NULL) AS is_current
+        FROM ends
+        """,
+    )
+    assert problems == [], problems
