@@ -41,12 +41,17 @@ def frequent_pairs(
     min_count: int = 2,
     max_basket_items: int | None = None,
     digits: int = 4,
+    with_lift: bool = True,
 ) -> DataFrame:
     """All unordered item pairs co-occurring in >= min_count baskets, as
     (item_a, item_b, pair_count, count_a, count_b, lift) with
     item_a < item_b. Presence counts: duplicate (basket, item) rows
     collapse first, NULL baskets/items drop. Exact unless
-    ``max_basket_items`` is set (see module docstring)."""
+    ``max_basket_items`` is set (see module docstring).
+    ``with_lift=False`` drops the lift column AND the one-row
+    basket-count scalar broadcast that computes it -- consumers that
+    only need counts (cooccurrence_similarity) get a plan with no
+    BNLJ at all."""
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
     if max_basket_items is not None and max_basket_items < 2:
@@ -79,10 +84,7 @@ def frequent_pairs(
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= min_count)
     )
-    n_baskets = bi.agg(
-        F.count_distinct("_b").cast("double").alias("_n")
-    )
-    return (
+    with_counts = (
         pairs.join(
             item_counts.select(
                 F.col("_i").alias("item_a"), F.col("_c").alias("count_a")
@@ -95,6 +97,16 @@ def frequent_pairs(
             ),
             "item_b",
         )
+    )
+    if not with_lift:
+        return with_counts.select(
+            "item_a", "item_b", "pair_count", "count_a", "count_b"
+        )
+    n_baskets = bi.agg(
+        F.count_distinct("_b").cast("double").alias("_n")
+    )
+    return (
+        with_counts
         .crossJoin(F.broadcast(n_baskets))
         .select(
             "item_a",
@@ -143,6 +155,7 @@ def cooccurrence_similarity(
         min_count=min_count,
         max_basket_items=max_basket_items,
         digits=digits,
+        with_lift=False,  # cosine needs counts only; no scalar BNLJ
     )
     sym = pairs.select(
         F.col("item_a").alias("item"),

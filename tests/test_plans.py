@@ -361,3 +361,44 @@ def test_late_r7_operator_plans_scale_safe(spark, sf_dir):
     # and the BNLJ really is the scalar broadcast, nothing larger
     plan = lint.plan_string(kw)
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+    # second wave: sessionize, item-item CF, SCD2 fold, minmax rescan
+    from bigdata_storage_and_proccess_job_data_spark.operators import baskets, funnel
+
+    events = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    s0 = orders
+    s1 = orders.filter(F.col("o_orderkey") % 5 != 0)
+    feed2 = versioned.change_feed(s0, s1, "o_orderkey")
+    mm_state = aggregates.minmax_state_init(
+        s0, ["o_orderpriority"], ["o_totalprice"]
+    )
+    clean2 = {
+        "sessionize": funnel.sessionize(events, gap="45 minutes"),
+        "scd2_apply": versioned.scd2_apply(
+            versioned.scd2_init(s0, "o_orderkey", "2024-01-01"),
+            feed2,
+            "o_orderkey",
+            "2024-02-01",
+        ),
+        "minmax_apply": aggregates.minmax_state_apply(
+            mm_state, feed2, s1, ["o_orderpriority"], ["o_totalprice"]
+        ),
+    }
+    for name, df in clean2.items():
+        df.write.format("noop").mode("overwrite").save()
+        assert lint.lint_plan(df) == [], name
+
+    # cooccurrence builds on frequent_pairs(with_lift=False), so the
+    # symmetric union duplicates NO scalar subtree: zero BNLJ
+    cf = baskets.cooccurrence_similarity(
+        li.join(s0, li.l_orderkey == s0.o_orderkey, "inner").select(
+            "o_orderkey", "l_partkey"
+        ),
+        "o_orderkey",
+        "l_partkey",
+        min_count=2,
+        top_k=3,
+    )
+    cf.write.format("noop").mode("overwrite").save()
+    assert lint.lint_plan(cf) == []
