@@ -1476,3 +1476,35 @@ def minmax_state_apply(
         measures,
     )
     return clean.unionByName(born).unionByName(rescan)
+
+
+def split_by_rules(df, checks: dict):
+    """Row-level quarantine split on the SAME rule shape as
+    expectation_report: returns (passed, quarantined) where quarantined
+    rows carry a ``violations`` array naming every failed rule (NULL
+    evaluations count as violations -- the must-prove-true encoding
+    shared with the report/observe pair). The ingest-hardening step:
+    MERGE ``passed`` into the serving table, land ``quarantined`` in a
+    side table with its reasons attached for triage, and nothing is
+    silently dropped.
+
+    One pass, pure codegen expressions (an array of conditional rule
+    names + a filter each way); Spark plans the two outputs as two
+    reads of the same lineage -- persist upstream if the source is
+    expensive, exactly like any fan-out."""
+    if not checks:
+        raise ValueError("checks must be non-empty")
+    viol = F.array_compact(
+        F.array(
+            *[
+                F.when(cond, F.lit(None).cast("string")).otherwise(
+                    F.lit(name)
+                )
+                for name, cond in checks.items()
+            ]
+        )
+    )
+    tagged = df.withColumn("violations", viol)
+    passed = tagged.filter(F.size("violations") == 0).drop("violations")
+    quarantined = tagged.filter(F.size("violations") > 0)
+    return passed, quarantined

@@ -1058,3 +1058,66 @@ def test_kfold_assign_group_atomic_and_parity(spark, oracle_sf_dir):
 
     with pytest.raises(ValueError):
         corpus.kfold_assign(li, "l_orderkey", k=1)
+
+
+def test_split_by_rules_quarantine_and_parity(spark, oracle_sf_dir):
+    """Quarantine split: NULL-evaluating rules quarantine (three-valued
+    trap), violations name every failed rule, passed+quarantined is a
+    partition of the input, and the full split matches DuckDB."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+    from tests.parity import compare, duckdb_connect
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, None, "y"), (3, -5.0, None), (4, 2.0, "ok")],
+        "id long, price double, tag string",
+    )
+    checks = {
+        "positive_price": F.col("price") > 0,
+        "has_tag": F.col("tag").isNotNull(),
+    }
+    passed, quarantined = aggregates.split_by_rules(df, checks)
+    assert {r.id for r in passed.collect()} == {1, 4}
+    q = {r.id: sorted(r.violations) for r in quarantined.collect()}
+    # row 2: NULL price -> positive_price is a violation (3-valued trap)
+    # row 3: fails BOTH (negative price, NULL tag)
+    assert q == {
+        2: ["positive_price"],
+        3: ["has_tag", "positive_price"],
+    }
+
+    with pytest.raises(ValueError):
+        aggregates.split_by_rules(df, {})
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    p2, q2 = aggregates.split_by_rules(
+        orders,
+        {
+            "big": F.col("o_totalprice") > 50_000,
+            "urgent": F.col("o_orderpriority") < "3",
+        },
+    )
+    assert p2.count() + q2.count() == orders.count()
+    con = duckdb_connect(oracle_sf_dir)
+    problems = compare(
+        q2.select(
+            "o_orderkey", F.array_join("violations", ",").alias("v")
+        ),
+        con,
+        """
+        SELECT o_orderkey,
+               array_to_string(
+                 list_filter(
+                   [CASE WHEN NOT COALESCE(o_totalprice > 50000, FALSE)
+                         THEN 'big' END,
+                    CASE WHEN NOT COALESCE(o_orderpriority < '3', FALSE)
+                         THEN 'urgent' END],
+                   x -> x IS NOT NULL), ',') AS v
+        FROM orders
+        WHERE NOT (COALESCE(o_totalprice > 50000, FALSE)
+               AND COALESCE(o_orderpriority < '3', FALSE))
+        """,
+    )
+    assert problems == [], problems
