@@ -529,3 +529,83 @@ def shortest_paths(
         return dist
     finally:
         e.unpersist()
+
+
+def tree_rollup(
+    edges: DataFrame,
+    values: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    node_col: str = "node",
+    value_col: str = "value",
+    max_depth: int = 20,
+) -> DataFrame:
+    """Parent-child hierarchy rollup (the OLAP org-tree / category-tree
+    aggregate): for every node, the SUM of ``values`` over the node
+    itself and all its descendants. ``edges`` is (child, parent) rows;
+    ``values`` is (node, value) leaf-or-interior facts (missing nodes
+    count 0, NULL values ignored). Cycles are cut by the depth bound;
+    forests and multiple roots are fine. On a DAG a node with several
+    parents contributes once per PATH to a shared ancestor
+    (path-counting semantics -- the multi-category rollup); trees get
+    the classic exact subtree sum.
+
+    Formulation: bottom-up level propagation -- each round, every
+    node's CURRENT subtotal flows one hop up (one equi-join of the
+    subtotal delta frame against the edge list + one hash agg), so
+    after depth-of-tree rounds each ancestor has absorbed its whole
+    subtree. Only (node, partial) pairs ever shuffle; the fact table
+    is aggregated to per-node subtotals FIRST, so fact volume touches
+    one hash agg regardless of tree depth. Early exit when a level
+    carries no mass (one bounded count per level, the shortest_paths
+    discipline)."""
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    e = edges.select(
+        F.col(child).alias("_c"), F.col(parent).alias("_p")
+    ).filter(
+        F.col("_c").isNotNull()
+        & F.col("_p").isNotNull()
+        & (F.col("_c") != F.col("_p"))
+    ).distinct().persist()
+    own = (
+        values.select(
+            F.col(node_col).alias("_n"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .filter(F.col("_n").isNotNull() & F.col("_v").isNotNull())
+        .groupBy("_n")
+        .agg(F.sum("_v").alias("_v"))
+        .localCheckpoint()
+    )
+    total = own
+    level = own  # mass arriving at this depth
+    try:
+        for _ in range(max_depth):
+            nxt = (
+                e.join(level.withColumnRenamed("_n", "_c"), "_c")
+                .groupBy(F.col("_p").alias("_n"))
+                .agg(F.sum("_v").alias("_v"))
+                .localCheckpoint()
+            )
+            if nxt.count() == 0:  # bounded driver scalar per level
+                break
+            total = (
+                total.unionByName(nxt)
+                .groupBy("_n")
+                .agg(F.sum("_v").alias("_v"))
+                .localCheckpoint()
+            )
+            level = nxt
+        nodes = (
+            e.select(F.col("_c").alias("_n"))
+            .union(e.select(F.col("_p").alias("_n")))
+            .union(own.select("_n"))
+            .distinct()
+        )
+        return nodes.join(total, "_n", "left").select(
+            F.col("_n").alias(node_col),
+            F.coalesce("_v", F.lit(0.0)).alias("subtree_total"),
+        )
+    finally:
+        e.unpersist()

@@ -467,3 +467,94 @@ def test_shortest_paths_duckdb_recursive_cte_parity(spark, sf_dir):
         """,
     )
     assert problems == [], problems
+
+
+def test_tree_rollup_hand_math(spark):
+    """Org tree: every node's subtree total; interior nodes with their
+    own value; isolated valued node; NULL values ignored; depth cap."""
+    #        1
+    #      /   \
+    #     2     3
+    #    / \     \
+    #   4   5     6
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 2), (5, 2), (6, 3)],
+        "child long, parent long",
+    )
+    values = spark.createDataFrame(
+        [(4, 10.0), (5, 20.0), (6, 5.0), (2, 1.0), (9, 7.0), (3, None)],
+        "node long, value double",
+    )
+    got = {
+        r.node: r.subtree_total
+        for r in graph.tree_rollup(edges, values).collect()
+    }
+    assert got[4] == 10.0 and got[5] == 20.0 and got[6] == 5.0
+    assert got[2] == 31.0          # own 1 + children 30
+    assert got[3] == 5.0           # NULL own ignored
+    assert got[1] == 36.0          # whole tree
+    assert got[9] == 7.0           # isolated valued node
+    # depth cap: with max_depth=1 the root only sees one hop
+    capped = {
+        r.node: r.subtree_total
+        for r in graph.tree_rollup(edges, values, max_depth=1).collect()
+    }
+    assert capped[1] == 1.0  # only node 2's own value is one hop away
+
+
+def test_tree_rollup_duckdb_recursive_parity(spark, sf_dir):
+    """Subtree sums over a derived binary tree match DuckDB computing
+    the transitive-closure aggregate with a recursive CTE."""
+    from tests.parity import compare, duckdb_connect
+
+    orders = load_table(spark, sf_dir, "orders")
+    # binary tree on 1..400: child i -> parent i/2
+    ids = orders.select(
+        (F.col("o_orderkey") % 400 + 1).alias("n")
+    ).distinct()
+    edges = ids.filter(F.col("n") > 1).select(
+        F.col("n").alias("child"),
+        F.floor(F.col("n") / 2).cast("long").alias("parent"),
+    )
+    values = orders.select(
+        (F.col("o_orderkey") % 400 + 1).alias("node"),
+        F.col("o_totalprice").alias("value"),
+    )
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+
+    out = graph.tree_rollup(edges, values).select(
+        "node", stable_round(F.col("subtree_total"), 4).alias("subtree_total")
+    )
+    con = duckdb_connect(sf_dir)
+    problems = compare(
+        out,
+        con,
+        f"""
+        WITH RECURSIVE ids AS (
+          SELECT DISTINCT o_orderkey % 400 + 1 AS n FROM orders
+        ),
+        e AS (
+          SELECT n AS child, CAST(FLOOR(n / 2) AS BIGINT) AS parent
+          FROM ids WHERE n > 1
+        ),
+        closure(descendant, ancestor) AS (
+          SELECT n, n FROM ids
+          UNION
+          SELECT c.descendant, e.parent
+          FROM closure c JOIN e ON e.child = c.ancestor
+        ),
+        own AS (
+          SELECT o_orderkey % 400 + 1 AS node, SUM(o_totalprice) AS v
+          FROM orders GROUP BY 1
+        )
+        SELECT cl.ancestor AS node,
+               {sql_round('COALESCE(SUM(own.v), 0.0)', 4)}
+                 AS subtree_total
+        FROM closure cl LEFT JOIN own ON own.node = cl.descendant
+        GROUP BY cl.ancestor
+        """,
+    )
+    assert problems == [], problems
