@@ -332,6 +332,9 @@ def write_stats_manifest(
                 per_col[col] = [None, None]
             else:
                 per_col[col] = [min(mins), max(maxs)]
+        # file row count from the same footer: makes COUNT(*) (and
+        # file-level accounting) a metadata-only query via table_stats
+        per_col["__nrows__"] = [md.num_rows]
         manifest[os.path.basename(path)] = per_col
     ser = {
         f: {c: _stats_ser(v) for c, v in cs.items()}
@@ -1076,3 +1079,46 @@ def scd2_as_of(history: DataFrame, ts) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     )
+
+
+def table_stats(table_dir: str, version: int | None = None) -> dict:
+    """Metadata-only table statistics from the snapshot's stats
+    manifest -- no Spark session, no data scan, no footer reads:
+    {n_files, n_rows, columns: {col: [min, max]}} for the committed
+    (or pinned) version. ``n_rows`` is None on manifests written
+    before row counts were recorded; column bounds fold per-file
+    bounds and ignore all-null files. The COUNT(*)/MIN/MAX answers a
+    catalog serves from metadata at any scale -- the same footer walk
+    the manifest already paid at commit time, never again."""
+    v = current_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"{table_dir} has no committed version")
+    snap = os.path.join(table_dir, f"v={v}")
+    manifest = read_stats_manifest(snap)
+    if manifest is None:
+        raise FileNotFoundError(
+            f"{snap} carries no stats manifest (commit with "
+            "stats_cols=[...] or write_stats_manifest)"
+        )
+    n_rows: int | None = 0
+    cols: dict[str, list] = {}
+    for _fname, cs in manifest.items():
+        nr = cs.get("__nrows__")
+        if nr is None:
+            n_rows = None
+        elif n_rows is not None:
+            n_rows += nr[0]
+        for col, bounds in cs.items():
+            if col == "__nrows__" or bounds[0] is None:
+                continue
+            cur = cols.get(col)
+            if cur is None:
+                cols[col] = [bounds[0], bounds[1]]
+            else:
+                cur[0] = min(cur[0], bounds[0])
+                cur[1] = max(cur[1], bounds[1])
+    return {
+        "n_files": len(manifest),
+        "n_rows": n_rows,
+        "columns": cols,
+    }

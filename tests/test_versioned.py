@@ -527,7 +527,10 @@ def test_prune_is_conservative_without_stats(spark, tmp_path):
     )
     snap2 = f"{table}/v={v2}"
     m = versioned.read_stats_manifest(snap2)
-    assert m is not None and all(cs == {} for cs in m.values())
+    # only the row-count bookkeeping is recorded -- no column stats
+    assert m is not None and all(
+        set(cs) == {"__nrows__"} for cs in m.values()
+    )
     files2 = versioned.prune_files(snap2, "k", 0, 10)
     assert len(files2) == 4
     assert versioned.read_version(
@@ -1333,3 +1336,34 @@ def test_scd2_history_lifecycle_and_parity(spark):
         """,
     )
     assert problems == [], problems
+
+
+def test_table_stats_metadata_only(spark, sf_dir, tmp_path):
+    """COUNT(*)/MIN/MAX served from the manifest with no scan: matches
+    the real data; clones inherit it; missing manifest raises."""
+    import pytest
+
+    orders = load_table(spark, sf_dir, "orders")
+    table = str(tmp_path / "orders_stats")
+    versioned.commit_version(
+        orders.repartitionByRange(4, "o_orderkey"),
+        table,
+        stats_cols=["o_orderkey", "o_totalprice"],
+    )
+    st = versioned.table_stats(table)
+    assert st["n_files"] == 4
+    assert st["n_rows"] == orders.count()
+    lo, hi = st["columns"]["o_orderkey"]
+    real_lo, real_hi = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    assert (lo, hi) == (real_lo, real_hi)
+
+    clone = str(tmp_path / "clone_stats")
+    versioned.clone_table(table, clone)
+    assert versioned.table_stats(clone)["n_rows"] == st["n_rows"]
+
+    bare = str(tmp_path / "bare")
+    versioned.commit_version(orders.limit(5), bare)
+    with pytest.raises(FileNotFoundError, match="manifest"):
+        versioned.table_stats(bare)
