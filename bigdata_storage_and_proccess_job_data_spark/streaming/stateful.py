@@ -229,3 +229,135 @@ def running_totals_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def session_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_ms: int = 1_800_000,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom sessionization with EVENT-TIME state timeouts: per key,
+    events within ``gap_ms`` of each other extend the open session;
+    the session EMITS when the watermark passes its last event +
+    gap_ms (state.hasTimedOut -- the timeout-driven emission pattern
+    the other stateful ops here don't exercise). Output one row per
+    CLOSED session: (key, session_start, session_end, n_events) with
+    epoch-ms timestamps.
+
+    vs session_window aggregation (streaming/windows.py): the built-in
+    gives per-session built-in aggregates declaratively; this is the
+    escape hatch for session logic the built-in can't express (custom
+    state transitions, early triggers, per-event sequences), at the
+    cost of an Arrow hop per batch. vs batch sessionize
+    (operators/funnel.py): same gap rule, streaming state instead of a
+    sort.
+
+    Bounded state: one (start, end, n) tuple per OPEN session key;
+    eviction is driven by the event-time watermark, so state size
+    follows live keys, not history. Late events beyond the watermark
+    are dropped by the watermark itself (the standard contract).
+    Within a micro-batch, events gap-split exactly (sorted timestamps);
+    every segment but the newest emits immediately as closed, the
+    newest waits on its timeout. Out-of-order arrivals WITHIN the
+    watermark merge into the open session as an interval (state keeps
+    a summary, not events), so a straggler can extend but never
+    retroactively split an open session -- the documented
+    approximation interval-summary state makes."""
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("session_start", LongType()),
+            StructField("session_end", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_ms", LongType()),
+            StructField("end_ms", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState  # noqa: F821
+    ) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def emit(segs):
+            return pd.DataFrame(
+                {
+                    "key": [str(key[0])] * len(segs),
+                    "session_start": [s[0] for s in segs],
+                    "session_end": [s[1] for s in segs],
+                    "n_events": [s[2] for s in segs],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_ms, end_ms, n = state.get
+            state.remove()
+            yield emit([(start_ms, end_ms, n)])
+            return
+        ts_all: list[int] = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_all.extend(int(x) for x in pdf["_ts_ms"])
+        if not ts_all:
+            return
+        ts_all.sort()
+        # gap-split the batch into session segments (start, end, n)
+        segs: list[tuple[int, int, int]] = []
+        s = e = ts_all[0]
+        n = 1
+        for x in ts_all[1:]:
+            if x - e > gap_ms:
+                segs.append((s, e, n))
+                s, e, n = x, x, 1
+            else:
+                e = x
+                n += 1
+        segs.append((s, e, n))
+        # fold the OPEN session (an interval summary) in, then
+        # interval-merge anything within gap of each other
+        if state.exists:
+            segs.append(state.get)
+            segs.sort()
+            merged: list[tuple[int, int, int]] = []
+            for seg in segs:
+                if merged and seg[0] - merged[-1][1] <= gap_ms:
+                    last = merged[-1]
+                    merged[-1] = (
+                        last[0],
+                        max(last[1], seg[1]),
+                        last[2] + seg[2],
+                    )
+                else:
+                    merged.append(seg)
+            segs = merged
+        # every segment but the newest is closed by construction;
+        # the newest stays open pending its event-time timeout
+        closed, open_seg = segs[:-1], segs[-1]
+        state.update(open_seg)
+        state.setTimeoutTimestamp(open_seg[1] + gap_ms)
+        if closed:
+            yield emit(closed)
+
+    src = ensure_ltz(df, ts_col).withWatermark(ts_col, watermark)
+    grouped = (
+        src.withColumn("key", src[key_col].cast("string"))
+        .withColumn(
+            "_ts_ms",
+            (src[ts_col].cast("double") * 1000).cast("long"),
+        )
+        .groupBy("key")
+    )
+    return grouped.applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

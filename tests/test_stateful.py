@@ -179,3 +179,98 @@ def test_running_totals_tws_cross_batch(spark, two_batch_src):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_session_stream_event_time_timeout(spark, tmp_path):
+    """Custom stateful sessionization: two sessions of one user split
+    by a gap, a second user interleaved, emission ONLY after the
+    watermark passes last-event + gap (state timeout), sentinel's own
+    open session never emits. Totals match the batch sessionizer on
+    the same data."""
+    import datetime as dt
+    import time as _t
+    import uuid
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import funnel
+    from bigdata_storage_and_proccess_job_data_spark.streaming import (
+        pipeline,
+        stateful,
+    )
+
+    schema = StructType(
+        [
+            StructField("user", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    in_dir = str(tmp_path / "in_sess")
+    t = dt.datetime(2024, 5, 1, 10, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    m = dt.timedelta(minutes=1)
+    # u1: session A (10:00-10:05, 3 events), gap 40m, session B (10:45)
+    # u2: one session (10:02-10:03)
+    write(
+        [
+            ("u1", t), ("u1", t + 2 * m), ("u1", t + 5 * m),
+            ("u2", t + 2 * m), ("u2", t + 3 * m),
+            ("u1", t + 45 * m),
+        ]
+    )
+    _t.sleep(1.1)
+    far = t + dt.timedelta(hours=6)
+    write([("zz", far)])
+    _t.sleep(1.1)
+    write([("zz", far + 30 * m)])
+
+    stream = pipeline.file_stream(
+        spark, in_dir, schema, max_files_per_trigger=1
+    )
+    sessions = stateful.session_stream(
+        stream, "user", "ts", gap_ms=30 * 60 * 1000, watermark="5 minutes"
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = pipeline.memory_sink(sessions, name, output_mode="append")
+    q.awaitTermination(120)
+    rows = [
+        r
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        if r.key != "zz"
+    ]
+    got = {
+        (r.key, r.session_start, r.session_end, r.n_events) for r in rows
+    }
+
+    def ms(x):
+        return int(x.timestamp() * 1000)
+
+    assert got == {
+        ("u1", ms(t), ms(t + 5 * m), 3),
+        ("u1", ms(t + 45 * m), ms(t + 45 * m), 1),
+        ("u2", ms(t + 2 * m), ms(t + 3 * m), 2),
+    }
+
+    # batch cross-check: same gap rule over the same closed events
+    batch = funnel.session_stats(
+        funnel.sessionize(
+            spark.read.parquet(in_dir).filter(F.col("user") != "zz")
+            .withColumnRenamed("user", "user_id"),
+            gap="30 minutes",
+        )
+    )
+    batch_got = {
+        (r.user_id, r.n_events) for r in batch.collect()
+    }
+    assert batch_got == {("u1", 3), ("u1", 1), ("u2", 2)}
