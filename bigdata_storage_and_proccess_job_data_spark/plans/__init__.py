@@ -364,6 +364,22 @@ DRIVER_WINDOW_R8_PLAN = sorted(
 # global_reduce) were oracle re-verified against DuckDB after each
 # commit this session via the verify recipe.
 
+# Third late-r7 wave, changed-code audit (same procedure): additions
+# are append-only modules/functions (graph triangles/LPA/BFS/rollup,
+# clustering, spatial, features, sessionize, cooccurrence, IVM
+# agg_state_*/minmax, SCD2, clone, table_stats, session_stream,
+# split_by_rules, keywords_tfidf, interpolate_linear, kfold_assign,
+# Welch/z/OLS) plus three SIGNATURE-compatible touches to existing
+# bodies: commit_version grew partition_by/meta params (no registered
+# query calls it), frequent_pairs grew with_lift (test-only surface),
+# and write_stats_manifest records __nrows__ (readers stay
+# conservative; bench probes re-verified). knn_lsh gained
+# headline=True -- registration METADATA, body unchanged, fresh r6
+# row. No registered query's code path changed => no further window
+# displacement; every touched surface re-ran its test file green this
+# session and the verify recipe's entry/oracle spot-checks passed
+# before each commit.
+
 DRIVER_WINDOW_R4 = [
     # -- r2-checked analytics variants rotating back in (32)
     "segment_revenue",
