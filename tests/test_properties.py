@@ -218,3 +218,137 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         assert got == want, {
             kk: (got[kk], want[kk]) for kk in got if got[kk] != want[kk]
         }
+
+
+def test_agg_state_random_feeds_equal_recompute(spark):
+    """Randomized IVM property: for arbitrary old/new snapshot pairs
+    (NULL keys, NULL measures, key moves, churn), folding the change
+    feed into old-state count/sum equals recompute on new, and the
+    minmax targeted-rescan variant likewise. One Spark pass per
+    deterministic generated scenario batch."""
+    import random
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates as A
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    rng = random.Random(1234)
+    for round_ in range(3):
+        ids = list(range(1, 60))
+        groups = ["a", "b", "c", None]
+
+        def row(i):
+            return (
+                i,
+                rng.choice(groups),
+                rng.choice([None, *range(-20, 100, 7)]),
+            )
+
+        old_rows = [row(i) for i in ids]
+        # new: drop ~1/4, mutate ~1/3, add a few fresh ids
+        new_rows = []
+        for r in old_rows:
+            roll = rng.random()
+            if roll < 0.25:
+                continue
+            if roll < 0.58:
+                new_rows.append(row(r[0]))
+            else:
+                new_rows.append(r)
+        new_rows += [row(i) for i in range(100, 100 + rng.randint(1, 6))]
+
+        schema = "id long, grp string, val long"
+        old = spark.createDataFrame(old_rows, schema)
+        new = spark.createDataFrame(new_rows, schema)
+        keys, ms = ["grp"], ["val"]
+        feed = versioned.change_feed(old, new, "id")
+
+        got = sorted(
+            A.agg_state_result(
+                A.agg_state_apply(
+                    A.agg_state_init(old, keys, ms), feed, keys, ms
+                ),
+                keys,
+                ms,
+            ).collect(),
+            key=str,
+        )
+        want = sorted(
+            A.agg_state_result(
+                A.agg_state_init(new, keys, ms), keys, ms
+            ).collect(),
+            key=str,
+        )
+        assert got == want, f"count/sum diverged (round {round_})"
+
+        mm_got = sorted(
+            A.minmax_state_apply(
+                A.minmax_state_init(old, keys, ms), feed, new, keys, ms
+            ).collect(),
+            key=str,
+        )
+        mm_want = sorted(
+            A.minmax_state_init(new, keys, ms).collect(), key=str
+        )
+        assert mm_got == mm_want, f"minmax diverged (round {round_})"
+
+
+def test_sessionize_and_interpolate_invariants(spark):
+    """Generated per-key event series: (1) sessionize's session count
+    equals 1 + number of over-gap steps, sessions partition each key's
+    rows, ids are contiguous from 1; (2) interpolate_linear output is
+    always within the neighbor bounds, observed rows pass through, and
+    a fully-observed series is untouched."""
+    import random
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import asof, funnel
+
+    rng = random.Random(77)
+    rows = []
+    for uid in range(1, 25):
+        t = 0
+        for _ in range(rng.randint(1, 30)):
+            t += rng.choice([1, 5, 40, 120, 3000, 7200])
+            rows.append(
+                (uid, t, rng.choice([None, float(rng.randint(0, 50))]))
+            )
+    df = spark.createDataFrame(rows, "user_id long, ts long, v double")
+
+    gap_s = 1800
+    out = funnel.sessionize(
+        df.withColumn("ts", F.col("ts").cast("timestamp")),
+        gap=gap_s,
+        tiebreak_cols=["v"],
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for uid, t, v in rows:
+        series[uid].append(t)
+    for uid, ts_list in series.items():
+        ts_list.sort()
+        want_sessions = 1 + sum(
+            1 for a, b in zip(ts_list, ts_list[1:]) if b - a > gap_s
+        )
+        got_sessions = len({r.session_seq for r in by_user[uid]})
+        assert got_sessions == want_sessions, uid
+        assert len(by_user[uid]) == len(ts_list)  # partition property
+        assert min(r.session_seq for r in by_user[uid]) == 1
+        assert max(r.session_seq for r in by_user[uid]) == want_sessions
+
+    filled = asof.interpolate_linear(
+        df, ["user_id"], "ts", "v", tiebreak_cols=["v"]
+    ).collect()
+    per_key_vals = defaultdict(list)
+    for uid, t, v in rows:
+        if v is not None:
+            per_key_vals[uid].append(v)
+    for r in filled:
+        if r.v is not None:
+            assert r.v_filled == r.v  # pass-through
+        elif r.v_filled is not None:
+            lo = min(per_key_vals[r.user_id])
+            hi = max(per_key_vals[r.user_id])
+            assert lo - 1e-9 <= r.v_filled <= hi + 1e-9
