@@ -185,3 +185,84 @@ def session_stats(
             - F.min(F.col(ts_col).cast("double"))
         ).alias("duration_s"),
     )
+
+
+def attribute_conversions(
+    events: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    model: str = "last",
+    window: str = "7 days",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch attribution: split each conversion's credit over the
+    qualifying touchpoints (``touch_types`` events by the same user in
+    the ``window`` before the conversion, inclusive of equal
+    timestamps). Models: 'first' / 'last' (single-touch, deterministic
+    id tiebreak), 'linear' (equal split). Output one row per credited
+    (conversion, touch) pair: (user, conversion_id, conversion_ts,
+    touch_id, touch_type, touch_ts, credit); conversions with NO
+    qualifying touch emit one row with NULL touch columns and credit 1
+    (the 'direct' bucket -- nothing silently drops).
+
+    Scale shape: one equi-join on the user key with the time band as a
+    join-level filter (the view_click_attribution shape, generalized),
+    then per-conversion window functions for the weights -- state per
+    conversion is its touch list, never a user's full history beyond
+    the band. Hot users are bounded by the window length."""
+    if model not in ("first", "last", "linear"):
+        raise ValueError("model must be 'first', 'last' or 'linear'")
+    gap_s = _interval_seconds(window)
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("conversion_id"),
+        F.col(ts_col).alias("conversion_ts"),
+    )
+    touch = events.filter(F.col(type_col).isin(touch_types)).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("touch_id"),
+        F.col(type_col).alias("touch_type"),
+        F.col(ts_col).alias("touch_ts"),
+    )
+    j = conv.join(
+        touch,
+        (conv["_u"] == touch["_u"])
+        & (touch["touch_ts"] <= conv["conversion_ts"])
+        & (
+            touch["touch_ts"].cast("double")
+            >= conv["conversion_ts"].cast("double") - gap_s
+        ),
+        "left",
+    ).select(
+        conv["_u"].alias(user_col),
+        "conversion_id",
+        "conversion_ts",
+        "touch_id",
+        "touch_type",
+        "touch_ts",
+    )
+    w = Window.partitionBy("conversion_id")
+    n = F.count("touch_id").over(w)
+    if model == "linear":
+        credited = j.withColumn(
+            "credit",
+            F.when(F.col("touch_id").isNull(), F.lit(1.0)).otherwise(
+                1.0 / n
+            ),
+        )
+    else:
+        asc = model == "first"
+        order = (
+            [F.col("touch_ts").asc(), F.col("touch_id").asc()]
+            if asc
+            else [F.col("touch_ts").desc(), F.col("touch_id").desc()]
+        )
+        rw = Window.partitionBy("conversion_id").orderBy(*order)
+        ranked = j.withColumn("_rk", F.row_number().over(rw))
+        credited = ranked.filter(
+            F.col("touch_id").isNull() | (F.col("_rk") == 1)
+        ).withColumn("credit", F.lit(1.0)).drop("_rk")
+    return credited

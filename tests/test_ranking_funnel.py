@@ -348,3 +348,119 @@ def test_sessionize_duckdb_parity(spark, sf_dir):
         """,
     )
     assert problems == [], problems
+
+
+def test_attribute_conversions_models(spark):
+    """First/last/linear credit assignment: window cut, equal-ts
+    inclusion, deterministic tiebreak, the direct (no-touch) bucket,
+    and per-conversion credit always summing to 1."""
+    import datetime as dt
+
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import funnel
+
+    t = dt.datetime(2024, 6, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # u1: three touches then a conversion; one touch outside window
+        (1, 1, "view", t - dt.timedelta(days=9)),     # too old
+        (2, 1, "view", t - 30 * m),
+        (3, 1, "click", t - 10 * m),
+        (4, 1, "view", t),                             # equal ts: counts
+        (5, 1, "purchase", t),
+        # u2: conversion with no touches at all -> direct bucket
+        (6, 2, "purchase", t),
+        # u3: a touch AFTER the conversion never counts
+        (7, 3, "click", t + 5 * m),
+        (8, 3, "purchase", t),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+
+    lin = funnel.attribute_conversions(
+        df, ["view", "click"], "purchase", model="linear"
+    ).collect()
+    per_conv = {}
+    for r in lin:
+        per_conv.setdefault(r.conversion_id, []).append(r)
+    assert {r.touch_id for r in per_conv[5]} == {2, 3, 4}
+    assert all(abs(r.credit - 1 / 3) < 1e-12 for r in per_conv[5])
+    assert [r.touch_id for r in per_conv[6]] == [None]
+    assert per_conv[6][0].credit == 1.0
+    assert [r.touch_id for r in per_conv[8]] == [None]  # future touch
+    for conv_rows in per_conv.values():
+        assert abs(sum(r.credit for r in conv_rows) - 1.0) < 1e-12
+
+    first = {
+        r.conversion_id: r.touch_id
+        for r in funnel.attribute_conversions(
+            df, ["view", "click"], "purchase", model="first"
+        ).collect()
+    }
+    last = {
+        r.conversion_id: r.touch_id
+        for r in funnel.attribute_conversions(
+            df, ["view", "click"], "purchase", model="last"
+        ).collect()
+    }
+    assert first[5] == 2 and last[5] == 4
+    assert first[6] is None and last[6] is None
+
+    with pytest.raises(ValueError, match="model"):
+        funnel.attribute_conversions(df, ["view"], "purchase", model="x")
+
+
+def test_attribute_conversions_duckdb_parity(spark, sf_dir):
+    """Linear-model credits over the full events table match DuckDB
+    computing the identical band join + equal split."""
+    from pyspark.sql import functions as F
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.operators import funnel
+    from tests.parity import compare, duckdb_connect
+
+    events = load_table(spark, sf_dir, "events")
+    out = funnel.attribute_conversions(
+        events, ["view", "click"], "purchase",
+        model="linear", window="2 days",
+    ).select(
+        "conversion_id",
+        "touch_id",
+        stable_round(F.col("credit"), 6).alias("credit"),
+    )
+    con = duckdb_connect(sf_dir)
+    problems = compare(
+        out,
+        con,
+        f"""
+        WITH conv AS (
+          SELECT user_id AS u, event_id AS conversion_id, ts AS cts
+          FROM events WHERE event_type = 'purchase'
+        ),
+        touch AS (
+          SELECT user_id AS u, event_id AS touch_id, ts AS tts
+          FROM events WHERE event_type IN ('view', 'click')
+        ),
+        j AS (
+          SELECT conv.conversion_id, touch.touch_id
+          FROM conv LEFT JOIN touch
+            ON conv.u = touch.u
+           AND touch.tts <= conv.cts
+           AND epoch(touch.tts) >= epoch(conv.cts) - 172800
+        ),
+        n AS (
+          SELECT conversion_id, COUNT(touch_id) AS n_t
+          FROM j GROUP BY conversion_id
+        )
+        SELECT j.conversion_id, j.touch_id,
+               {sql_round("CASE WHEN j.touch_id IS NULL THEN 1.0 ELSE 1.0 / n.n_t END", 6)} AS credit
+        FROM j JOIN n USING (conversion_id)
+        """,
+    )
+    assert problems == [], problems
