@@ -1508,3 +1508,48 @@ def split_by_rules(df, checks: dict):
     passed = tagged.filter(F.size("violations") == 0).drop("violations")
     quarantined = tagged.filter(F.size("violations") > 0)
     return passed, quarantined
+
+
+def period_over_period(
+    df,
+    period_col: str,
+    value_exprs: dict,
+    keys: list[str] | None = None,
+    lag_periods: int = 1,
+):
+    """Period-over-period comparison per key: aggregate ``value_exprs``
+    by (keys, period), then attach each period's value ``lag_periods``
+    back and the absolute/percent change -- the MoM/YoY report shape.
+    Periods compare by sort order of ``period_col`` (use a date or a
+    sortable period string); gaps mean the Nth PRECEDING period, not
+    calendar arithmetic (document your period grain upstream). First
+    periods report NULL changes; a zero prior value yields NULL pct
+    (never an infinity).
+
+    One hash agg + one per-key window over the (small) aggregated
+    frame -- fact volume shuffles once."""
+    from pyspark.sql import Window
+
+    if not value_exprs:
+        raise ValueError("value_exprs must be non-empty")
+    if lag_periods < 1:
+        raise ValueError("lag_periods must be >= 1")
+    keys = keys or []
+    agg = df.groupBy(*keys, period_col).agg(
+        *[e.alias(n) for n, e in value_exprs.items()]
+    )
+    w = Window.partitionBy(*keys).orderBy(period_col)
+    out = agg
+    for name in value_exprs:
+        prev = F.lag(F.col(name), lag_periods).over(w)
+        out = out.withColumn(f"{name}_prev", prev)
+        out = out.withColumn(
+            f"{name}_change", F.col(name) - prev
+        ).withColumn(
+            f"{name}_pct_change",
+            F.when(
+                prev.isNotNull() & (prev != 0),
+                (F.col(name) - prev) / prev,
+            ),
+        )
+    return out

@@ -1122,3 +1122,44 @@ def table_stats(table_dir: str, version: int | None = None) -> dict:
         "n_rows": n_rows,
         "columns": cols,
     }
+
+
+def scd2_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    fact_ts: str,
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time fact-to-dimension join: each fact row picks the
+    history version valid AT its own timestamp (valid_from <= ts <
+    valid_to, open rows unbounded) -- the lookup that makes SCD2 worth
+    storing, and the correctness difference between 'the customer's
+    segment TODAY' and 'the segment when the order happened'.
+
+    Scale shape: ONE equi-join on the dimension key; the validity
+    interval is a join-level filter, not a range cross join -- a key's
+    candidate set is its handful of history versions, so the join
+    stays hash/broadcast-shaped no matter how long the history grows.
+    Facts with no valid version (or NULL keys) keep NULL dimension
+    columns under the default left join."""
+    ts = F.col(f"_f.{fact_ts}")
+    cond = (
+        (F.col(f"_f.{key}") == F.col(f"_h.{key}"))
+        & (F.col("_h.valid_from") <= ts.cast("timestamp_ntz"))
+        & (
+            F.col("_h.valid_to").isNull()
+            | (F.col("_h.valid_to") > ts.cast("timestamp_ntz"))
+        )
+    )
+    dim_cols = [
+        c for c in history.columns if c != key
+    ]
+    return (
+        facts.alias("_f")
+        .join(history.alias("_h"), cond, how)
+        .select(
+            *[F.col(f"_f.{c}") for c in facts.columns],
+            *[F.col(f"_h.{c}").alias(c) for c in dim_cols],
+        )
+    )

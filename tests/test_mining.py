@@ -611,3 +611,76 @@ def test_group_linear_fit_pins_and_parity(spark, oracle_sf_dir):
         """,
     )
     assert problems == [], problems
+
+
+def test_period_over_period_pins_and_parity(spark, oracle_sf_dir):
+    """MoM revenue per priority: first-period NULLs, zero-prior NULL
+    pct, exact DuckDB parity of the whole report."""
+    import pytest
+
+    from tests.parity import compare, duckdb_connect
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 0.0), ("a", 3, 5.0), ("b", 1, 2.0)],
+        "k string, p long, v double",
+    )
+    got = {
+        (r.k, r.p): (r.rev_prev, r.rev_change, r.rev_pct_change)
+        for r in aggregates.period_over_period(
+            df, "p", {"rev": F.sum("v")}, keys=["k"]
+        ).collect()
+    }
+    assert got[("a", 1)] == (None, None, None)
+    assert got[("a", 2)] == (10.0, -10.0, -1.0)
+    assert got[("a", 3)] == (0.0, 5.0, None)  # zero prior: NULL pct
+    assert got[("b", 1)] == (None, None, None)
+
+    with pytest.raises(ValueError):
+        aggregates.period_over_period(df, "p", {})
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    out = aggregates.period_over_period(
+        orders.withColumn(
+            "month", F.date_trunc("month", "o_orderdate").cast("date")
+        ),
+        "month",
+        {"rev": F.sum("o_totalprice"), "n": F.count(F.lit(1))},
+        keys=["o_orderpriority"],
+    ).select(
+        "o_orderpriority", "month", "n",
+        *[
+            sql_round_col(c, 4)
+            for c in ("rev", "rev_prev", "rev_change", "rev_pct_change")
+        ],
+        "n_prev", "n_change",
+        sql_round_col("n_pct_change", 6),
+    )
+    con = duckdb_connect(oracle_sf_dir)
+    problems = compare(
+        out,
+        con,
+        f"""
+        WITH agg AS (
+          SELECT o_orderpriority,
+                 date_trunc('month', o_orderdate)::DATE AS month,
+                 SUM(o_totalprice) AS rev, COUNT(*) AS n
+          FROM orders GROUP BY 1, 2
+        ),
+        lagged AS (
+          SELECT *,
+                 LAG(rev) OVER w AS rev_prev,
+                 LAG(n) OVER w AS n_prev
+          FROM agg
+          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+        )
+        SELECT o_orderpriority, month, n,
+               {sql_round('rev', 4)} AS rev,
+               {sql_round('rev_prev', 4)} AS rev_prev,
+               {sql_round('rev - rev_prev', 4)} AS rev_change,
+               {sql_round('CASE WHEN rev_prev IS NOT NULL AND rev_prev <> 0 THEN (rev - rev_prev) / rev_prev END', 4)} AS rev_pct_change,
+               n_prev, n - n_prev AS n_change,
+               {sql_round('CASE WHEN n_prev IS NOT NULL AND n_prev <> 0 THEN (n - n_prev) / n_prev::DOUBLE END', 6)} AS n_pct_change
+        FROM lagged
+        """,
+    )
+    assert problems == [], problems

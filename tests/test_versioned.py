@@ -1367,3 +1367,52 @@ def test_table_stats_metadata_only(spark, sf_dir, tmp_path):
     versioned.commit_version(orders.limit(5), bare)
     with pytest.raises(FileNotFoundError, match="manifest"):
         versioned.table_stats(bare)
+
+
+def test_scd2_join_point_in_time(spark):
+    """Facts pick the dimension version valid at THEIR timestamp: the
+    order from January sees the January city, the March order the
+    March city; facts before the key existed (or with unknown keys)
+    keep NULLs; equality at a boundary belongs to the NEW version
+    (valid_to exclusive)."""
+    import datetime as dt
+
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    s0 = spark.createDataFrame(
+        [(1, "NYC"), (2, "SF")], "id long, city string"
+    )
+    s1 = spark.createDataFrame(
+        [(1, "BOSTON"), (2, "SF")], "id long, city string"
+    )
+    h = versioned.scd2_apply(
+        versioned.scd2_init(s0, "id", t0),
+        versioned.change_feed(s0, s1, "id"),
+        "id",
+        t1,
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, dt.datetime(2024, 1, 15)),  # mid-january: NYC
+            (101, 1, dt.datetime(2024, 2, 1)),   # boundary: BOSTON
+            (102, 1, dt.datetime(2024, 3, 1)),   # current: BOSTON
+            (103, 2, dt.datetime(2024, 3, 1)),   # unchanged dim
+            (104, 9, dt.datetime(2024, 3, 1)),   # unknown key
+            (105, 1, dt.datetime(2023, 1, 1)),   # before history began
+        ],
+        "order_id long, id long, ts timestamp",
+    )
+    got = {
+        r.order_id: r.city
+        for r in versioned.scd2_join(facts, h, "id", "ts").collect()
+    }
+    assert got == {
+        100: "NYC",
+        101: "BOSTON",
+        102: "BOSTON",
+        103: "SF",
+        104: None,
+        105: None,
+    }
+    # every fact row survives exactly once (interval versions never
+    # fan a fact out)
+    assert versioned.scd2_join(facts, h, "id", "ts").count() == 6
