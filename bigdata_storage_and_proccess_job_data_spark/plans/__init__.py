@@ -338,6 +338,17 @@ DRIVER_WINDOW_R8_PLAN = sorted(
 # pagerank + resolve_entities (iterative, the connected_components
 # precedent), dedup_ingest_stream (streaming), bloom manifests
 # (bench-probed instead: version_bloom_lookup).
+# Third-wave candidates with oracle-grade local parity (same split):
+# sessionize (row-level DuckDB parity on events), attribute_conversions
+# (linear-model parity), period_over_period (multi-measure parity),
+# spatial_self_pairs, keywords_tfidf, kfold_assign, split_by_rules,
+# interpolate_linear, triangle_counts/clustering_coefficients/degrees,
+# welch_ttest/proportion_ztest/group_linear_fit, tree_rollup +
+# shortest_paths (recursive-CTE parity), scd2 history (DuckDB fold
+# parity), cooccurrence_similarity. Test-only by design: kmeans,
+# label_propagation, agg_state_*/minmax (recompute-equality oracles +
+# bench twins), session_stream (streaming), clone/table_stats/
+# partition evolution (filesystem semantics).
 # Second late-r7 wave, same split. Oracle-grade local parity already
 # written (each named test does the full cross-engine value compare):
 # keywords_tfidf (test_corpus), triangle_counts + clustering_
