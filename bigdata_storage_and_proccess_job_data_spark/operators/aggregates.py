@@ -1066,26 +1066,40 @@ def robust_outliers(
 
 
 def agg_state_init(
-    df, keys: list[str], measures: list[str]
+    df, keys: list[str], measures: list[str], track_var: bool = False
 ):
     """Build maintainable aggregate state from a base snapshot:
     one row per group with ``cnt`` = COUNT(*) plus, per measure m,
     ``sum_m`` = SUM(m) and ``nn_m`` = COUNT(m). Groups join on a
     null-safe struct key, so NULL group keys are first-class. Persist
     this frame (e.g. as a versioned table) and refresh it with
-    agg_state_apply."""
+    agg_state_apply.
+
+    ``track_var=True`` also keeps ``ss_m`` = SUM(m^2) -- the third
+    abelian moment, which makes VARIANCE/STDDEV delta-maintainable too
+    (agg_state_result derives var_samp from (ss, sum, nn)). Textbook
+    caveat: the ss-based formula loses precision when |mean| >>
+    stddev (catastrophic cancellation) -- for metrics living far from
+    zero, center the measure upstream or accept ~1e-7 relative noise.
+    """
     if not keys or not measures:
         raise ValueError("keys and measures must be non-empty")
     aggs = [F.count(F.lit(1)).alias("cnt")]
     for m in measures:
         aggs.append(F.sum(F.col(m)).alias(f"sum_{m}"))
         aggs.append(F.count(F.col(m)).alias(f"nn_{m}"))
+        if track_var:
+            aggs.append(
+                F.sum(F.col(m) * F.col(m)).alias(f"ss_{m}")
+            )
     return df.groupBy(*keys).agg(*aggs)
 
 
 def agg_state_apply(
     state, feed, keys: list[str], measures: list[str]
 ):
+    # variance tracking is detected from the STATE's own columns, so
+    # callers never repeat the track_var flag after init
     """Fold a change feed (change_type / before / after struct rows --
     the exact shape versioned.change_feed emits) into stored aggregate
     state. Inserts contribute +1 via ``after``, deletes -1 via
@@ -1123,6 +1137,9 @@ def agg_state_apply(
         .filter(F.col("_x").isNotNull())
         .select("_x.*")
     )
+    track_var = any(
+        f"ss_{m}" in state.columns for m in measures
+    )
     daggs = [F.sum("_sign").alias("d_cnt")]
     for m in measures:
         daggs.append(
@@ -1135,6 +1152,12 @@ def agg_state_apply(
                 )
             ).alias(f"d_nn_{m}")
         )
+        if track_var:
+            daggs.append(
+                F.sum(F.col("_sign") * F.col(m) * F.col(m)).alias(
+                    f"d_ss_{m}"
+                )
+            )
     deltas = signed.groupBy(*keys).agg(*daggs)
 
     s = state.select(
@@ -1162,6 +1185,13 @@ def agg_state_apply(
         )
         out_cols.append(sm.alias(f"sum_{m}"))
         out_cols.append(nn.alias(f"nn_{m}"))
+        if track_var:
+            ss = F.when(
+                nn > 0,
+                F.coalesce(F.col(f"_s.ss_{m}"), F.lit(0))
+                + F.coalesce(F.col(f"_d.d_ss_{m}"), F.lit(0)),
+            )
+            out_cols.append(ss.alias(f"ss_{m}"))
     return j.select(*out_cols).filter(F.col("cnt") > 0)
 
 
@@ -1179,6 +1209,17 @@ def agg_state_result(state, keys: list[str], measures: list[str]):
                 F.col(f"sum_{m}") / F.col(f"nn_{m}"),
             ).alias(f"avg_{m}")
         )
+        if f"ss_{m}" in state.columns:
+            nn = F.col(f"nn_{m}")
+            var = (
+                F.col(f"ss_{m}")
+                - F.col(f"sum_{m}") * F.col(f"sum_{m}") / nn
+            ) / (nn - 1)
+            cols.append(
+                F.when(nn > 1, F.greatest(var, F.lit(0.0))).alias(
+                    f"var_{m}"
+                )
+            )
     return state.select(*cols)
 
 
@@ -1323,9 +1364,12 @@ def agg_state_merge(
     without touching rows again. One union + one hash agg."""
     if not keys or not measures:
         raise ValueError("keys and measures must be non-empty")
+    track_var = any(f"ss_{m}" in a.columns for m in measures)
     cols = [*keys, "cnt"]
     for m in measures:
         cols += [f"sum_{m}", f"nn_{m}"]
+        if track_var:
+            cols.append(f"ss_{m}")
     u = a.select(*cols).unionByName(b.select(*cols))
     aggs = [F.sum("cnt").alias("cnt")]
     for m in measures:
@@ -1336,6 +1380,13 @@ def agg_state_merge(
             ).alias(f"sum_{m}")
         )
         aggs.append(nn)
+        if track_var:
+            aggs.append(
+                F.when(
+                    F.sum(F.col(f"nn_{m}")) > 0,
+                    F.sum(F.col(f"ss_{m}")),
+                ).alias(f"ss_{m}")
+            )
     return u.groupBy(*keys).agg(*aggs).filter(F.col("cnt") > 0)
 
 

@@ -1416,3 +1416,68 @@ def test_scd2_join_point_in_time(spark):
     # every fact row survives exactly once (interval versions never
     # fan a fact out)
     assert versioned.scd2_join(facts, h, "id", "ts").count() == 6
+
+
+def test_agg_state_variance_maintenance(spark):
+    """track_var: variance survives inserts/deletes/updates through the
+    delta fold and through state MERGE, matching var_samp recompute;
+    singleton/empty groups degrade to NULL; plain state (no ss) keeps
+    its old result schema."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates as A
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 14), (3, "a", 6), (4, "b", 5), (5, "b", 7)],
+        "id long, grp string, val long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (4, "b", 5), (6, "c", 1)],
+        "id long, grp string, val long",  # del 3,5; upd 2; new c
+    )
+    keys, ms = ["grp"], ["val"]
+    state = A.agg_state_init(old, keys, ms, track_var=True)
+    feed = versioned.change_feed(old, new, "id")
+    got = {
+        r.grp: r
+        for r in A.agg_state_result(
+            A.agg_state_apply(state, feed, keys, ms), keys, ms
+        ).collect()
+    }
+    want = {
+        r.grp: r.var_val
+        for r in new.groupBy("grp").agg(
+            F.var_samp("val").alias("var_val")
+        ).collect()
+    }
+    for g, w in want.items():
+        if w is None:
+            assert got[g].var_val is None, g
+        else:
+            assert abs(got[g].var_val - w) < 1e-9, g
+
+    # merge path: init(A) ++ init(B) == init(A union B), variance incl.
+    half1 = old.filter(F.col("id") <= 2)
+    half2 = old.filter(F.col("id") > 2)
+    merged = A.agg_state_result(
+        A.agg_state_merge(
+            A.agg_state_init(half1, keys, ms, track_var=True),
+            A.agg_state_init(half2, keys, ms, track_var=True),
+            keys,
+            ms,
+        ),
+        keys,
+        ms,
+    )
+    direct = A.agg_state_result(
+        A.agg_state_init(old, keys, ms, track_var=True), keys, ms
+    )
+    gm = {r.grp: r.var_val for r in merged.collect()}
+    gd = {r.grp: r.var_val for r in direct.collect()}
+    assert gm.keys() == gd.keys()
+    for g in gd:
+        assert abs(gm[g] - gd[g]) < 1e-9
+
+    # no-ss state: result schema unchanged (no var columns)
+    plain = A.agg_state_result(
+        A.agg_state_init(old, keys, ms), keys, ms
+    )
+    assert "var_val" not in plain.columns
