@@ -1604,3 +1604,70 @@ def period_over_period(
             ),
         )
     return out
+
+
+def binary_auc(
+    df,
+    label_col: str,
+    score_col: str,
+    bins: int | None = None,
+    keys: list[str] | None = None,
+):
+    """ROC-AUC via the Mann-Whitney rank statistic with EXACT tie
+    handling: AUC = (sum of positive ranks - npos(npos+1)/2) /
+    (npos * nneg), ranks averaged over tied scores. One row per key
+    group: (keys..., n_pos, n_neg, auc); degenerate groups (single
+    class) report NULL.
+
+    Scale shape (the mllib BinaryClassificationMetrics design): rows
+    aggregate per DISTINCT score first -- the only pass over the data
+    is one hash agg -- and the ordered prefix-sum runs over that
+    per-score frame. With continuous scores its cardinality can reach
+    n; pass ``bins`` to quantize scores onto a fixed grid (floor to
+    1/bins steps) and the ordered pass touches <= bins rows per group
+    -- the documented exactness/size trade every at-scale AUC makes.
+    NULL labels/scores drop; labels are evaluated as booleans."""
+    from pyspark.sql import Window
+
+    if bins is not None and bins < 2:
+        raise ValueError("bins must be >= 2 (or None for exact)")
+    keys = keys or []
+    lab = F.col(label_col).cast("boolean")
+    s = F.col(score_col).cast("double")
+    if bins is not None:
+        s = F.floor(s * bins) / F.lit(float(bins))
+    base = df.filter(lab.isNotNull() & s.isNotNull()).select(
+        *keys, lab.alias("_y"), s.alias("_s")
+    )
+    per_score = base.groupBy(*keys, "_s").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count(F.when(F.col("_y"), 1)).alias("_np"),
+    )
+    w = (
+        Window.partitionBy(*keys).orderBy("_s")
+        if keys
+        else Window.orderBy("_s")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    # average rank of a tied block = rows before it + (size + 1) / 2
+    ranked = per_score.withColumn(
+        "_before", F.sum("_n").over(w) - F.col("_n")
+    ).withColumn(
+        "_avg_rank", F.col("_before") + (F.col("_n") + 1) / 2.0
+    )
+    g = ranked.groupBy(*keys).agg(
+        F.sum("_np").alias("n_pos"),
+        (F.sum("_n") - F.sum("_np")).alias("n_neg"),
+        F.sum(F.col("_np") * F.col("_avg_rank")).alias("_rank_sum"),
+    )
+    auc = (
+        F.col("_rank_sum")
+        - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+    ) / (F.col("n_pos") * F.col("n_neg"))
+    return g.select(
+        *keys,
+        "n_pos",
+        "n_neg",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc).alias(
+            "auc"
+        ),
+    )

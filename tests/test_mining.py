@@ -684,3 +684,103 @@ def test_period_over_period_pins_and_parity(spark, oracle_sf_dir):
         """,
     )
     assert problems == [], problems
+
+
+def test_binary_auc_hand_math_and_parity(spark, oracle_sf_dir):
+    """AUC: perfect separation = 1, inverted = 0, random-ish constant
+    score = 0.5 exactly via tie averaging; numpy rank cross-check on a
+    mixed case; single-class NULL; grouped DuckDB parity on orders;
+    bins monotone approximation."""
+    import numpy as np
+    import pytest
+
+    from tests.parity import compare, duckdb_connect
+
+    perfect = spark.createDataFrame(
+        [(True, 0.9), (True, 0.8), (False, 0.2), (False, 0.1)],
+        "y boolean, s double",
+    )
+    assert aggregates.binary_auc(perfect, "y", "s").collect()[0].auc == 1.0
+    inverted = spark.createDataFrame(
+        [(True, 0.1), (False, 0.9)], "y boolean, s double"
+    )
+    assert aggregates.binary_auc(inverted, "y", "s").collect()[0].auc == 0.0
+    const = spark.createDataFrame(
+        [(True, 0.5), (False, 0.5), (True, 0.5), (False, 0.5)],
+        "y boolean, s double",
+    )
+    assert aggregates.binary_auc(const, "y", "s").collect()[0].auc == 0.5
+    onecls = spark.createDataFrame([(True, 0.5)], "y boolean, s double")
+    assert aggregates.binary_auc(onecls, "y", "s").collect()[0].auc is None
+
+    # numpy cross-check with ties
+    rng = np.random.default_rng(5)
+    ys = rng.random(300) < 0.4
+    ss = np.round(rng.random(300) + ys * 0.3, 2)  # ties via rounding
+    df = spark.createDataFrame(
+        [(bool(y), float(x)) for y, x in zip(ys, ss)],
+        "y boolean, s double",
+    )
+    got = aggregates.binary_auc(df, "y", "s").collect()[0].auc
+    # reference: average ranks (scipy-free)
+    order = np.argsort(ss, kind="stable")
+    ranks = np.empty(len(ss))
+    sorted_s = ss[order]
+    i = 0
+    while i < len(ss):
+        j = i
+        while j + 1 < len(ss) and sorted_s[j + 1] == sorted_s[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    npos, nneg = ys.sum(), (~ys).sum()
+    want = (ranks[ys].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+    assert abs(got - want) < 1e-12
+
+    with pytest.raises(ValueError):
+        aggregates.binary_auc(df, "y", "s", bins=1)
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    labeled = orders.select(
+        "o_orderpriority",
+        (F.col("o_orderkey") % 3 == 0).alias("y"),
+        (F.col("o_totalprice") / 600000.0).alias("s"),
+    )
+    out = aggregates.binary_auc(
+        labeled, "y", "s", keys=["o_orderpriority"]
+    ).select(
+        "o_orderpriority", "n_pos", "n_neg",
+        sql_round_col("auc", 6),
+    )
+    con = duckdb_connect(oracle_sf_dir)
+    problems = compare(
+        out,
+        con,
+        f"""
+        WITH base AS (
+          SELECT o_orderpriority AS k,
+                 o_orderkey % 3 = 0 AS y,
+                 o_totalprice / 600000.0 AS s
+          FROM orders
+        ),
+        ranked AS (
+          SELECT k, y,
+                 -- average rank over ties, per group
+                 RANK() OVER (PARTITION BY k ORDER BY s)
+                   + (COUNT(*) OVER (PARTITION BY k, s) - 1) / 2.0
+                   AS r
+          FROM base
+        ),
+        g AS (
+          SELECT k AS o_orderpriority,
+                 COUNT(CASE WHEN y THEN 1 END) AS n_pos,
+                 COUNT(CASE WHEN NOT y THEN 1 END) AS n_neg,
+                 SUM(CASE WHEN y THEN r END) AS rank_sum
+          FROM ranked GROUP BY k
+        )
+        SELECT o_orderpriority, n_pos, n_neg,
+               {sql_round('(rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)', 6)} AS auc
+        FROM g
+        """,
+    )
+    assert problems == [], problems
