@@ -1671,3 +1671,77 @@ def binary_auc(
             "auc"
         ),
     )
+
+
+def calibration_bins(
+    df,
+    label_col: str,
+    score_col: str,
+    bins: int = 10,
+    keys: list[str] | None = None,
+):
+    """Reliability-diagram data: scores bucket onto a fixed [0, 1)
+    grid (floor to 1/bins steps, score 1.0 clamps into the top bin)
+    and each bin reports n, mean predicted score, observed positive
+    rate, and the gap -- the calibration readout next to binary_auc's
+    ranking readout. One hash agg; empty bins simply absent."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    keys = keys or []
+    lab = F.col(label_col).cast("boolean")
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.floor(s * bins).cast("int"), F.lit(bins - 1)
+    )
+    base = df.filter(lab.isNotNull() & s.isNotNull()).select(
+        *keys, b.alias("bin"), lab.alias("_y"), s.alias("_s")
+    )
+    return base.groupBy(*keys, "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_s").alias("mean_score"),
+        F.avg(F.col("_y").cast("double")).alias("observed_rate"),
+        (
+            F.avg(F.col("_y").cast("double")) - F.avg("_s")
+        ).alias("gap"),
+    )
+
+
+def categorical_entropy(
+    df,
+    cat_col: str,
+    keys: list[str] | None = None,
+    base: float = 2.0,
+):
+    """Shannon entropy of a categorical column per key group (feature
+    screening / diversity monitoring; pair with chi_square for the
+    association readout). NULL categories count as a category of their
+    own -- disappearance into NULL is exactly the collapse entropy
+    should see. Two hash aggregations ((keys, cat) counts, then the
+    per-key fold); output (keys..., n, n_categories, entropy) with
+    entropy in ``base`` units (default bits), 0 for single-category
+    groups."""
+    import math
+
+    if base <= 1:
+        raise ValueError("base must be > 1")
+    keys = keys or []
+    cat = F.coalesce(
+        F.col(cat_col).cast("string"), F.lit("\x00entropy_null")
+    )
+    counts = df.select(*keys, cat.alias("_c")).groupBy(*keys, "_c").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    p = F.col("_n") / F.sum("_n").over(w)
+    plogp = p * F.log(p) / F.lit(math.log(base))
+    return (
+        counts.withColumn("_plogp", plogp)
+        .groupBy(*keys)
+        .agg(
+            F.sum("_n").alias("n"),
+            F.count(F.lit(1)).alias("n_categories"),
+            (-F.sum("_plogp")).alias("entropy"),
+        )
+    )

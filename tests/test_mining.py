@@ -784,3 +784,100 @@ def test_binary_auc_hand_math_and_parity(spark, oracle_sf_dir):
         """,
     )
     assert problems == [], problems
+
+
+def test_calibration_and_entropy_pins_and_parity(spark, oracle_sf_dir):
+    """Calibration bins: perfect calibration gap ~0, top-bin clamp,
+    DuckDB parity. Entropy: uniform = log2(k), single category = 0,
+    NULL is a category, DuckDB parity."""
+    import math
+
+    import pytest
+
+    from tests.parity import compare, duckdb_connect
+
+    cal = spark.createDataFrame(
+        [(True, 1.0), (False, 0.0), (True, 0.95), (False, 0.05)],
+        "y boolean, s double",
+    )
+    rows = {
+        r.bin: r
+        for r in aggregates.calibration_bins(cal, "y", "s", bins=10).collect()
+    }
+    assert set(rows) == {0, 9}
+    assert rows[9].observed_rate == 1.0 and rows[0].observed_rate == 0.0
+    with pytest.raises(ValueError):
+        aggregates.calibration_bins(cal, "y", "s", bins=1)
+
+    uni = spark.createDataFrame(
+        [(c,) for c in "abcd" * 25], "c string"
+    )
+    e = aggregates.categorical_entropy(uni, "c").collect()[0]
+    assert abs(e.entropy - 2.0) < 1e-12 and e.n_categories == 4
+    single = spark.createDataFrame([("x",), ("x",)], "c string")
+    assert aggregates.categorical_entropy(single, "c").collect()[0].entropy == 0.0
+    withnull = spark.createDataFrame([("x",), (None,)], "c string")
+    r = aggregates.categorical_entropy(withnull, "c").collect()[0]
+    assert r.n_categories == 2 and abs(r.entropy - 1.0) < 1e-12
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    out = aggregates.calibration_bins(
+        orders.select(
+            "o_orderpriority",
+            (F.col("o_orderkey") % 4 == 0).alias("y"),
+            (F.col("o_totalprice") / 600000.0).alias("s"),
+        ),
+        "y",
+        "s",
+        bins=10,
+        keys=["o_orderpriority"],
+    ).select(
+        "o_orderpriority", "bin", "n",
+        *[sql_round_col(c, 6) for c in ("mean_score", "observed_rate", "gap")],
+    )
+    con = duckdb_connect(oracle_sf_dir)
+    problems = compare(
+        out,
+        con,
+        f"""
+        WITH base AS (
+          SELECT o_orderpriority,
+                 LEAST(FLOOR((o_totalprice / 600000.0) * 10), 9)::INT AS bin,
+                 (o_orderkey % 4 = 0)::INT AS y,
+                 o_totalprice / 600000.0 AS s
+          FROM orders
+        )
+        SELECT o_orderpriority, bin, COUNT(*) AS n,
+               {sql_round('AVG(s)', 6)} AS mean_score,
+               {sql_round('AVG(y)', 6)} AS observed_rate,
+               {sql_round('AVG(y) - AVG(s)', 6)} AS gap
+        FROM base GROUP BY 1, 2
+        """,
+    )
+    assert problems == [], problems
+
+    ent = aggregates.categorical_entropy(
+        orders, "o_orderstatus", keys=["o_orderpriority"]
+    ).select(
+        "o_orderpriority", "n", "n_categories",
+        sql_round_col("entropy", 6),
+    )
+    problems = compare(
+        ent,
+        con,
+        f"""
+        WITH counts AS (
+          SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+          FROM orders GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT o_orderpriority, SUM(n) AS t FROM counts GROUP BY 1
+        )
+        SELECT c.o_orderpriority, t.t AS n,
+               COUNT(*) AS n_categories,
+               {sql_round('-SUM((c.n / t.t) * ln(c.n / t.t) / ln(2))', 6)} AS entropy
+        FROM counts c JOIN tot t USING (o_orderpriority)
+        GROUP BY 1, 2
+        """,
+    )
+    assert problems == [], problems
