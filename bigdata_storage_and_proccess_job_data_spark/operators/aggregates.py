@@ -1745,3 +1745,46 @@ def categorical_entropy(
             (-F.sum("_plogp")).alias("entropy"),
         )
     )
+
+
+def running_distinct(
+    df,
+    value_col: str,
+    ts_col: str,
+    keys: list[str] | None = None,
+    out_col: str = "n_distinct_so_far",
+    tiebreak_cols: list[str] | None = None,
+):
+    """Cumulative distinct count per key over time: each row reports
+    how many distinct ``value_col`` values its key has seen up to and
+    including that row -- the new-vs-returning readout (unique users
+    so far, vocabulary growth). Spark has no DISTINCT over a running
+    window; the scalable formulation is the first-occurrence flag:
+    row_number over (key, value) marks each value's first row, and a
+    running SUM of flags over the time order counts them --
+    two window passes, both partitioned by the key, no per-row sets.
+    NULL values don't count (COUNT DISTINCT semantics); rows with
+    NULL timestamps drop. Deterministic under timestamp ties via
+    ``tiebreak_cols`` (which also pin WHICH tied row is 'first')."""
+    from pyspark.sql import Window
+
+    keys = keys or []
+    order = [ts_col, *(tiebreak_cols or [])]
+    w_first = Window.partitionBy(*keys, value_col).orderBy(*order)
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = df.filter(F.col(ts_col).isNotNull())
+    flagged = base.withColumn(
+        "_first",
+        F.when(
+            F.col(value_col).isNotNull()
+            & (F.row_number().over(w_first) == 1),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.withColumn(
+        out_col, F.sum("_first").over(w_run)
+    ).drop("_first")

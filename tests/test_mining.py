@@ -881,3 +881,57 @@ def test_calibration_and_entropy_pins_and_parity(spark, oracle_sf_dir):
         """,
     )
     assert problems == [], problems
+
+
+def test_running_distinct_pins_and_parity(spark, oracle_sf_dir):
+    """New-value steps increment, repeats don't, NULL values never
+    count, keys independent; full row-level DuckDB parity on events
+    (distinct users seen per event_type over time)."""
+    from tests.parity import compare, duckdb_connect
+
+    rows = [
+        ("a", 1, "x"), ("a", 2, "y"), ("a", 3, "x"),
+        ("a", 4, None), ("a", 5, "z"),
+        ("b", 1, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, v string")
+    got = {
+        (r.k, r.ts): r.n_distinct_so_far
+        for r in aggregates.running_distinct(
+            df, "v", "ts", keys=["k"]
+        ).collect()
+    }
+    assert got == {
+        ("a", 1): 1, ("a", 2): 2, ("a", 3): 2,
+        ("a", 4): 2, ("a", 5): 3,
+        ("b", 1): 1,
+    }
+
+    events = load_table(spark, oracle_sf_dir, "events")
+    out = aggregates.running_distinct(
+        events, "user_id", "ts",
+        keys=["event_type"], tiebreak_cols=["event_id"],
+    ).select("event_id", "n_distinct_so_far")
+    con = duckdb_connect(oracle_sf_dir)
+    problems = compare(
+        out,
+        con,
+        """
+        WITH flagged AS (
+          SELECT event_id, event_type, ts,
+                 CASE WHEN user_id IS NOT NULL
+                       AND ROW_NUMBER() OVER (
+                             PARTITION BY event_type, user_id
+                             ORDER BY ts, event_id) = 1
+                      THEN 1 ELSE 0 END AS f
+          FROM events WHERE ts IS NOT NULL
+        )
+        SELECT event_id,
+               SUM(f) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING)
+                 AS n_distinct_so_far
+        FROM flagged
+        """,
+    )
+    assert problems == [], problems

@@ -402,3 +402,43 @@ def test_late_r7_operator_plans_scale_safe(spark, sf_dir):
     )
     cf.write.format("noop").mode("overwrite").save()
     assert lint.lint_plan(cf) == []
+
+    # third wave: attribution, PoP, AUC, running distinct, PIT join
+    clean3 = {
+        "attribution": funnel.attribute_conversions(
+            events, ["view", "click"], "purchase", model="linear"
+        ),
+        "period_over_period": aggregates.period_over_period(
+            s0.withColumn("m", F.col("o_orderkey") % 12),
+            "m",
+            {"rev": F.sum("o_totalprice")},
+            keys=["o_orderpriority"],
+        ),
+        "binary_auc": aggregates.binary_auc(
+            s0.select(
+                "o_orderpriority",
+                (F.col("o_orderkey") % 3 == 0).alias("y"),
+                (F.col("o_totalprice") / 600000.0).alias("s"),
+            ),
+            "y",
+            "s",
+            keys=["o_orderpriority"],
+        ),
+        "running_distinct": aggregates.running_distinct(
+            events, "user_id", "ts",
+            keys=["event_type"], tiebreak_cols=["event_id"],
+        ),
+        "scd2_join": versioned.scd2_join(
+            s0.withColumn("ts2", F.current_timestamp()),
+            versioned.scd2_init(
+                s1.select("o_orderkey", "o_orderpriority"),
+                "o_orderkey",
+                "2024-01-01",
+            ),
+            "o_orderkey",
+            "ts2",
+        ),
+    }
+    for name, df in clean3.items():
+        df.write.format("noop").mode("overwrite").save()
+        assert lint.lint_plan(df) == [], name
