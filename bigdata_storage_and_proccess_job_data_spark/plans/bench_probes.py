@@ -215,6 +215,8 @@ def bench_probes() -> dict:
         "version_bloom_lookup": version_bloom_lookup,
         "incr_agg_refresh": incr_agg_refresh,
         "full_agg_recompute": full_agg_recompute,
+        "geo_self_pairs": geo_self_pairs,
+        "graph_triangles": graph_triangles,
     }
 
 
@@ -302,3 +304,43 @@ def full_agg_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
         _IVM_KEYS,
         _IVM_MEASURES,
     )
+
+
+def geo_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-dedup pairs over integer-derived customer coordinates
+    (operators/spatial.py): measures the banded-grid blocking at sf0.1
+    -- candidate generation is <= 9 probe cells per row and the join
+    shuffles on (band, cell) only, so latency tracks the candidate
+    count, never |customers|^2. Correctness (brute-force completeness)
+    is pinned in tests/test_spatial.py; the bench records the shape's
+    cost."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import spatial
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919 % 17001) / 100.0 - 85.0).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias(
+            "lon"
+        ),
+    )
+    return spatial.spatial_self_pairs(cust, 150.0)
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on a mod-derived lineitem graph
+    (operators/graph.py): measures the degree-ordered orientation --
+    the wedge self-join is bounded by oriented out-degree O(sqrt(E)),
+    the property that keeps hub vertices off a single reducer at
+    100 TB. DuckDB parity is pinned in tests/test_graph.py."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import graph
+
+    # mod 20011 (prime): ~600k rows over ~20k nodes = avg degree ~30,
+    # a SPARSE graph -- the regime triangle counting is for. (A small
+    # modulus makes the projection nearly complete and the triangle
+    # set cubic: mod 997 at sf0.1 is ~165M triangles, an OOM, not a
+    # benchmark.)
+    edges = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 20011).alias("src"),
+        (F.col("l_partkey") % 20011).alias("dst"),
+    )
+    return graph.triangle_counts(edges)
