@@ -81,3 +81,70 @@ def assert_scalable(
     )
     if findings:
         raise ScalePlanError(findings, plan_string(df))
+
+
+def scan_report(df: DataFrame) -> list[dict]:
+    """Structured per-scan diagnostics from the EXECUTED plan: one dict
+    per file scan with the relation name, pushed filters, partition
+    filters, the read schema, and (when the plan has run) the
+    post-pushdown output row count -- the numbers behind 'did my filter
+    reach the scan'. The programmatic twin of eyeballing
+    .explain('formatted'); bench.py records the same rows_read figure.
+
+    Run an action first if you want ``rows_read`` populated (metrics
+    are filled by execution); on an un-run plan the counts are None.
+    AQE wrappers are descended like the bench's walker."""
+    import re
+
+    out: list[dict] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        if "ScanExec" in name:
+            text = node.toString().splitlines()[0] if node else ""
+            full = node.toString()
+            entry = {
+                "node": name,
+                "relation": None,
+                "pushed_filters": None,
+                "partition_filters": None,
+                "read_schema": None,
+                "rows_read": None,
+            }
+            m = re.search(r"Location:.*?\[([^\]]*)\]", full)
+            if m:
+                entry["relation"] = m.group(1)
+            for field, label, pat in (
+                ("pushed_filters", "PushedFilters", r"(\[[^\]]*\])"),
+                (
+                    "partition_filters",
+                    "PartitionFilters",
+                    r"(\[[^\]]*\])",
+                ),
+                ("read_schema", "ReadSchema", r"([^\n]*)"),
+            ):
+                m = re.search(label + r": " + pat, full)
+                if m:
+                    entry[field] = m.group(1).strip()
+            try:
+                metrics = node.metrics()
+                if metrics.contains("numOutputRows"):
+                    v = metrics.apply("numOutputRows").value()
+                    if v >= 0:
+                        entry["rows_read"] = int(v)
+            except Exception:
+                pass
+            out.append(entry)
+            _ = text
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
