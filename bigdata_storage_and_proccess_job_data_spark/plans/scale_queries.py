@@ -2055,8 +2055,12 @@ _FEATHASH_CELLS = ", ".join(
                  list_transform(ts, t -> {_md5_hash60_sql("'hv:0:' || t")})
                    AS hs
           FROM toks
-        )
-        SELECT doc_id, [{_FEATHASH_CELLS}] AS vec FROM enc
+        ),
+        vecs AS (SELECT doc_id, [{_FEATHASH_CELLS}] AS vec FROM enc)
+        SELECT doc_id,
+               CAST(generate_subscripts(vec, 1) - 1 AS INTEGER) AS cell,
+               CAST(unnest(vec) AS DOUBLE) AS value
+        FROM vecs
     """,
 )
 def hashed_doc_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2067,12 +2071,22 @@ def hashed_doc_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived hash makes the vectors byte-recomputable in DuckDB
     (value parity for all 64 cells per doc), and the output composes
     directly with the ANN stack (see
-    tests/test_analytics.py:test_hashed_doc_vector_feeds_ann_stack)."""
+    tests/test_analytics.py:test_hashed_doc_vector_feeds_ann_stack).
+
+    Output is LONG form -- ``(doc_id, cell, value)`` via ``posexplode``
+    -- not an array column: the driver's canonicalizer sorts result
+    cells with pandas and cannot hash list-typed values (r7 err row).
+    The wide ``array<double>`` form stays available as
+    ``functions.text.hashed_doc_vector`` for the ANN composition path;
+    only the driver-facing query reshapes."""
     from bigdata_storage_and_proccess_job_data_spark.functions import text
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    vecs = docs.select(
         "doc_id", text.hashed_doc_vector("text", dim=64).alias("vec")
+    )
+    return vecs.select(
+        "doc_id", F.posexplode("vec").alias("cell", "value")
     )
 
 

@@ -167,6 +167,20 @@ def test_hashed_doc_vector_parity(spark, oracle_sf_dir):
     errs = compare(res, duckdb_connect(oracle_sf_dir), sql)
     assert not errs, errs[:5]
 
+    # The REGISTERED query is the long form (posexplode; r7 driver-err
+    # fix) -- same values, driver-canonicalizable shape: run it against
+    # its registered oracle end to end.
+    from bigdata_storage_and_proccess_job_data_spark import plans
+
+    reg = plans.queries()["hashed_doc_vector"](spark, oracle_sf_dir)
+    assert [f.name for f in reg.schema.fields] == ["doc_id", "cell", "value"]
+    errs = compare(
+        reg,
+        duckdb_connect(oracle_sf_dir),
+        plans.oracle_sql()["hashed_doc_vector"],
+    )
+    assert not errs, errs[:5]
+
 
 def test_hashed_doc_vector_feeds_ann_stack(spark):
     """The hashed vectors are real embeddings to the similarity suite:

@@ -471,3 +471,26 @@ def test_scan_report_surfaces_pushdown_and_rows(spark, sf_dir):
     # tell (the filter is pushed, the layout decides the skipping;
     # point_lookup_lineitem's clustered layout shows the <1% case)
     assert scan["rows_read"] == 1500
+
+
+def test_driver_outputs_are_canonicalizable(spark, oracle_sf_dir):
+    """Every registered query's RETURNED schema must be flat scalars:
+    the driver's correctness gate canonicalizes results with a pandas
+    sort over all columns, which crashes on list/struct/map cells
+    (r7's `hashed_doc_vector` err row -- the math was right, the SHAPE
+    burned a window slot). Vector-valued surfaces reshape to long form
+    (posexplode + generate_subscripts oracle) before registering; the
+    wide array forms stay available as library functions."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, qd in QS.items():
+        df = qd.fn(spark, oracle_sf_dir)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            offenders.append((name, complex_cols))
+    assert not offenders, offenders
