@@ -133,7 +133,17 @@ def ensure_versioned_table(spark: SparkSession, sf_dir: str) -> str:
     # gain them too): its files carry interleaved key ranges, the shape
     # where range stats prune nothing and only the bloom can
     frag = os.path.join(dest, f"v={versioned.current_version(dest) - 1}")
-    if not os.path.exists(os.path.join(frag, versioned._BLOOM)):
+    bloom_path = os.path.join(frag, versioned._BLOOM)
+    needs_bloom = True
+    if os.path.exists(bloom_path):
+        import json
+
+        with open(bloom_path) as fh:
+            _payload = json.load(fh)
+        # a legacy fixed-m manifest (r7) saturates at bench scale --
+        # rebuild with per-file sizing; per-file manifests are kept
+        needs_bloom = _payload.get("m") is not None
+    if needs_bloom:
         versioned.write_stats_manifest(frag, ["o_orderkey"])
         versioned.write_bloom_manifest(spark, frag, ["o_orderkey"])
     return dest

@@ -438,12 +438,27 @@ def _bloom_pos(i: int, value: str, m: int) -> int:
     return int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:15], 16) % m
 
 
+def _bloom_bits(d: int, k: int, target_fpp: float) -> int:
+    """Bits needed for a k-hash bloom over ``d`` distinct keys at
+    ``target_fpp``: FP = (1 - e^(-k*d/m))^k  =>  m = -k*d /
+    ln(1 - fpp^(1/k)), rounded up to a multiple of 64 (word grain),
+    floor 64. At the defaults (k=5, fpp=1%) this is ~9.9 bits/key with
+    fill factor ~0.40 -- always under the 0.5 saturation guard."""
+    import math
+
+    if d <= 0:
+        return 64
+    m = -k * d / math.log(1.0 - target_fpp ** (1.0 / k))
+    return max(64, ((int(math.ceil(m)) + 63) // 64) * 64)
+
+
 def write_bloom_manifest(
     spark: SparkSession,
     snapshot_dir: str,
     cols: list[str],
-    m: int = 4096,
+    m: int | None = None,
     k: int = 5,
+    target_fpp: float = 0.01,
 ) -> dict:
     """Per-file BLOOM bitmaps for equality pruning -- the skipping power
     min/max zones can't give: a high-cardinality key written unsorted
@@ -454,70 +469,118 @@ def write_bloom_manifest(
     lake.write_with_bloom still prune row groups inside the kept files
     -- the two compose).
 
-    Built in ONE distributed pass per column: distinct (input_file,
-    value-string) pairs -> k md5-derived bit positions each -> bit_or
-    hash agg to (file, word) grain -- m/64 int64 words per file land in
-    ``_bloom.json`` next to ``_stats.json`` (driver holds only
-    files x words, never values). Intended for string/integer key
+    Built in ONE distinct pass per column: distinct (input_file,
+    value-string) pairs (persisted across its two consumers) -> per-file
+    distinct counts size each file's bitmap -> k md5-derived bit
+    positions each -> bit_or hash agg to (file, word) grain -- the
+    words land in ``_bloom.json`` next to ``_stats.json`` (driver holds
+    only files x words, never values). Intended for string/integer key
     columns (values hash via their Spark string cast; the Python-side
     membership probe recomputes the identical cast for those types).
     NULLs are not indexed -- equality pruning never matches NULL anyway.
 
-    Sizing: with d distinct keys per file, false-positive rate ~=
-    (1 - e^(-k*d/m))^k; the default (m=4096, k=5) holds ~1% at d=400.
-    A false positive only costs a kept file, never correctness."""
+    Sizing (r7 verdict #2 -- the fixed default saturated at bench
+    scale): with d distinct keys in a file, FP rate = (1-e^(-k*d/m))^k,
+    so ``m`` is derived PER FILE from that file's own distinct count
+    for ``target_fpp`` (_bloom_bits; ~9.9 bits/key at the 1% default)
+    and stored per (file, col) in the manifest. Passing an explicit
+    ``m`` forces one fixed size for every file (back-compat / testing);
+    a file whose fill factor then exceeds 0.5 -- past the optimal-fill
+    point, FP deteriorating toward "keeps everything" -- raises a
+    saturation warning naming the file and its fill. A false positive
+    only ever costs a kept file, never correctness."""
     import json
+    import warnings
 
-    if m < 64 or m % 64 != 0:
+    if m is not None and (m < 64 or m % 64 != 0):
         raise ValueError("m must be a positive multiple of 64")
     if k < 1:
         raise ValueError("k must be >= 1")
+    if not 0.0 < target_fpp < 1.0:
+        raise ValueError("target_fpp must be in (0, 1)")
     df = spark.read.parquet(snapshot_dir)
     out: dict[str, dict] = {}
     for col in cols:
-        pos_exprs = [
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(f"{i}:"), F.col("_v")
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % m
-            for i in range(k)
-        ]
-        words = (
+        pairs = (
             df.select(
                 F.input_file_name().alias("_f"),
                 F.col(col).cast("string").alias("_v"),
             )
             .filter(F.col("_v").isNotNull())
             .distinct()
-            .select("_f", F.explode(F.array(*pos_exprs)).alias("_p"))
-            .select(
-                "_f",
-                (F.col("_p") / 64).cast("int").alias("_w"),
-                # expr form: pyspark's shiftleft only takes a literal
-                # int for numBits, not a Column
-                F.expr(
-                    "shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))"
-                ).alias("_m"),
-            )
-            .groupBy("_f", "_w")
-            .agg(F.bit_or("_m").alias("_bits"))
-            .collect()
+            .persist()
         )
+        try:
+            counts = {
+                os.path.basename(r._f): r.d
+                for r in pairs.groupBy("_f")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .collect()
+            }
+            m_by_file = {
+                f: (m if m is not None else _bloom_bits(d, k, target_fpp))
+                for f, d in counts.items()
+            }
+            if m_by_file:
+                sizes = spark.createDataFrame(
+                    [(f, mm) for f, mm in m_by_file.items()],
+                    "_b string, _m long",
+                )
+                raw_exprs = [
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i}:"), F.col("_v"))),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    for i in range(k)
+                ]
+                words = (
+                    pairs.withColumn(
+                        "_b", F.element_at(F.split("_f", "/"), -1)
+                    )
+                    .join(F.broadcast(sizes), "_b")
+                    .select(
+                        "_b",
+                        F.explode(F.array(*raw_exprs)).alias("_h"),
+                        "_m",
+                    )
+                    .select("_b", (F.col("_h") % F.col("_m")).alias("_p"))
+                    .select(
+                        "_b",
+                        (F.col("_p") / 64).cast("int").alias("_w"),
+                        # expr form: pyspark's shiftleft only takes a
+                        # literal int for numBits, not a Column
+                        F.expr(
+                            "shiftleft(CAST(1 AS BIGINT),"
+                            " CAST(_p % 64 AS INT))"
+                        ).alias("_bit"),
+                    )
+                    .groupBy("_b", "_w")
+                    .agg(F.bit_or("_bit").alias("_bits"))
+                    .collect()
+                )
+            else:
+                words = []
+        finally:
+            pairs.unpersist()
+        per_file_words: dict[str, dict[str, int]] = {}
         for r in words:
-            fname = os.path.basename(r._f)
-            out.setdefault(fname, {}).setdefault(col, {})[str(r._w)] = (
-                r._bits
-            )
+            per_file_words.setdefault(r._b, {})[str(r._w)] = r._bits
+        for fname, wmap in per_file_words.items():
+            mf = m_by_file[fname]
+            fill = sum(bin(v & ((1 << 64) - 1)).count("1") for v in wmap.values()) / mf
+            if fill > 0.5:
+                warnings.warn(
+                    f"bloom manifest saturated: {fname} col {col!r} fill "
+                    f"{fill:.2f} > 0.5 at m={mf} over ~{counts.get(fname)} "
+                    f"distinct keys -- pass m=None for per-file sizing",
+                    stacklevel=2,
+                )
+            out.setdefault(fname, {})[col] = {"m": mf, "words": wmap}
     payload = {"m": m, "k": k, "files": out}
     tmp = os.path.join(snapshot_dir, f".{_BLOOM}.tmp")
     with open(tmp, "w") as fh:
@@ -532,7 +595,12 @@ def prune_files_bloom(snapshot_dir: str, col: str, value) -> list[str]:
     (file, col) -- e.g. an all-NULL file -- keeps the file for columns
     it has no evidence about, EXCEPT that a file present in the
     manifest with a bitmap for ``col`` and missing bits is provably
-    excluded (no false negatives by bloom construction)."""
+    excluded (no false negatives by bloom construction).
+
+    Bitmap sizes are PER FILE (r7 verdict #2): each (file, col) entry
+    carries its own ``m`` next to its words, so the probe positions are
+    recomputed per file; pre-r8 manifests (flat word maps, one global
+    ``m``) still read correctly."""
     import glob
     import json
 
@@ -543,15 +611,23 @@ def prune_files_bloom(snapshot_dir: str, col: str, value) -> list[str]:
             payload = json.load(fh)
     except FileNotFoundError:
         return sorted(glob.glob(os.path.join(snapshot_dir, "*.parquet")))
-    m, k, files = payload["m"], payload["k"], payload["files"]
-    probe = [_bloom_pos(i, str(value), m) for i in range(k)]
+    k, files = payload["k"], payload["files"]
+    probe_cache: dict[int, list[int]] = {}
     keep = []
     for path in sorted(glob.glob(os.path.join(snapshot_dir, "*.parquet"))):
         fname = os.path.basename(path)
-        words = files.get(fname, {}).get(col)
-        if words is None:
+        entry = files.get(fname, {}).get(col)
+        if entry is None:
             keep.append(path)  # no evidence recorded: conservative
             continue
+        if "words" in entry:  # per-file-sized format (r8+)
+            m, words = entry["m"], entry["words"]
+        else:  # legacy flat map with one global m
+            m, words = payload["m"], entry
+        probe = probe_cache.get(m)
+        if probe is None:
+            probe = [_bloom_pos(i, str(value), m) for i in range(k)]
+            probe_cache[m] = probe
         if all(
             (int(words.get(str(p // 64), 0)) >> (p % 64)) & 1
             for p in probe
@@ -873,8 +949,17 @@ def optimize_table(
             stats_cols = [cluster_by]
     else:
         df = df.coalesce(target_files)
+    # carry the commit-meta sidecar forward (ADVICE r7): meta contents
+    # (e.g. maintain_view_stream's applied-batch-id replay marker) are
+    # layout-independent, and losing them across maintenance would
+    # reset exactly-once tracking -- a replayed micro-batch after an
+    # OPTIMIZE would double-fold into maintained aggregate state
     return commit_version(
-        df, table_dir, expected=expected, stats_cols=stats_cols
+        df,
+        table_dir,
+        expected=expected,
+        stats_cols=stats_cols,
+        meta=commit_meta(table_dir, version=pinned),
     )
 
 
@@ -942,6 +1027,11 @@ def compact_small_files(
         os.link(p, os.path.join(new_snap, os.path.basename(p)))
     if stats_cols:
         write_stats_manifest(new_snap, stats_cols)
+    # carry the commit-meta sidecar forward (ADVICE r7; see
+    # optimize_table): replay markers must survive maintenance commits
+    old_meta = os.path.join(snap, _META)
+    if os.path.exists(old_meta):
+        os.link(old_meta, os.path.join(new_snap, _META))
     if expected is not None and not _claim(
         table_dir, f"._commit_from_v{expected}"
     ):
@@ -1142,7 +1232,22 @@ def scd2_join(
     candidate set is its handful of history versions, so the join
     stays hash/broadcast-shaped no matter how long the history grows.
     Facts with no valid version (or NULL keys) keep NULL dimension
-    columns under the default left join."""
+    columns under the default left join.
+
+    Fact and non-key dimension column names must be disjoint (ADVICE
+    r7: a shared audit-ish column would otherwise produce DUPLICATE
+    output column names, breaking downstream selects ambiguously far
+    from the cause) -- collisions raise here, at the join; rename or
+    drop on the dimension side first."""
+    clash = sorted(
+        (set(history.columns) - {key}) & set(facts.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"scd2_join: column name collision between facts and "
+            f"history (non-key): {clash} -- alias or drop them on one "
+            f"side (e.g. history.withColumnRenamed) before joining"
+        )
     ts = F.col(f"_f.{fact_ts}")
     cond = (
         (F.col(f"_f.{key}") == F.col(f"_h.{key}"))

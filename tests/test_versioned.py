@@ -783,7 +783,28 @@ def test_bloom_manifest_equality_pruning(spark, tmp_path):
     v = versioned.commit_version(df, table, stats_cols=["k"])
     snap = _os.path.join(table, f"v={v}")
     payload = versioned.write_bloom_manifest(spark, snap, ["k"])
-    assert payload["m"] == 4096 and payload["k"] == 5
+    # auto-sizing (r7 verdict #2): every file's bitmap is derived from
+    # its own distinct count (~500 keys/file here -> ~10 bits/key) and
+    # sits at the designed ~0.40 fill, never past the 0.5 guard
+    assert payload["m"] is None and payload["k"] == 5
+    d_by_file = {
+        _os.path.basename(r._f): r.d
+        for r in spark.read.parquet(snap)
+        .select(F.input_file_name().alias("_f"), "k")
+        .distinct()
+        .groupBy("_f")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    }
+    for fname, cols_ in payload["files"].items():
+        entry = cols_["k"]
+        m_f, words = entry["m"], entry["words"]
+        assert m_f == versioned._bloom_bits(d_by_file[fname], 5, 0.01)
+        assert m_f % 64 == 0
+        fill = sum(
+            bin(v & ((1 << 64) - 1)).count("1") for v in words.values()
+        ) / m_f
+        assert 0.2 < fill <= 0.5, (fname, fill)
 
     all_files = versioned.prune_files(snap, "k", None, None)
     assert len(all_files) == 8
@@ -835,6 +856,53 @@ def test_bloom_manifest_equality_pruning(spark, tmp_path):
         versioned.write_bloom_manifest(spark, snap, ["k"], k=0)
     with pytest.raises(ValueError, match="non-NULL"):
         versioned.prune_files_bloom(snap, "k", None)
+
+
+def test_bloom_sizing_holds_at_probe_scale(spark, tmp_path):
+    """The r7 failure mode, pinned at its own scale: ~5,000 distinct
+    keys per file (the sf0.1 fragmented-orders shape) saturates a fixed
+    4 Kib bitmap (fill ~0.998 -> FP ~99%, bloom keeps everything and
+    warns), while per-file auto-sizing keeps fill ~0.40 and prunes to
+    the true file."""
+    import warnings
+
+    import os as _os
+
+    table = str(tmp_path / "bloomscale")
+    rows = [(f"k{i:06d}", i) for i in range(10_000)]
+    df = spark.createDataFrame(rows, ["k", "val"]).repartition(2, "val")
+    v = versioned.commit_version(df, table, stats_cols=["k"])
+    snap = _os.path.join(table, f"v={v}")
+
+    # fixed r7 default at this scale: saturation warning + no pruning
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        versioned.write_bloom_manifest(spark, snap, ["k"], m=4096)
+    assert any("saturated" in str(w.message) for w in caught)
+    assert len(versioned.prune_files_bloom(snap, "k", "k001234")) == 2
+
+    # auto-sized (default): healthy fill, prunes to the true file
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        payload = versioned.write_bloom_manifest(spark, snap, ["k"])
+    assert not any("saturated" in str(w.message) for w in caught)
+    for cols_ in payload["files"].values():
+        entry = cols_["k"]
+        fill = sum(
+            bin(b & ((1 << 64) - 1)).count("1")
+            for b in entry["words"].values()
+        ) / entry["m"]
+        assert fill <= 0.5, fill
+    kept = versioned.prune_files_bloom(snap, "k", "k001234")
+    assert len(kept) == 1
+    truth = {
+        _os.path.basename(r._f)
+        for r in spark.read.parquet(snap)
+        .select(F.input_file_name().alias("_f"), "k")
+        .filter(F.col("k") == "k001234")
+        .collect()
+    }
+    assert truth <= {_os.path.basename(p) for p in kept}
 
 
 def test_version_bloom_lookup_probe_correct_and_skipping(spark, oracle_sf_dir):
@@ -1161,6 +1229,63 @@ def test_minmax_state_targeted_rescan_matches_recompute(spark):
     assert by_grp["d"] == (None, None)  # group exists, all values NULL
     assert by_grp["e"] == (50, 50)
     assert by_grp[None] == (0, 4)
+
+
+def test_minmax_dirty_all_null_first_measure_interior_delete(spark):
+    """Cost-model pin (ADVICE r7 low): a group whose FIRST measure is
+    all-NULL in state must not be marked dirty by an interior delete on
+    a later measure -- the old absence inference (min of measure[0] IS
+    NULL) rescanned such groups on every removal. Extremal deletes on
+    it still go dirty, and results match recompute either way."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates as A
+
+    old = spark.createDataFrame(
+        [
+            (1, "g", None, 10),
+            (2, "g", None, 5),
+            (3, "g", None, 7),
+            (4, "h", 1, 1),
+        ],
+        "id long, grp string, a long, b long",
+    )
+    keys, ms = ["grp"], ["a", "b"]
+    state = A.minmax_state_init(old, keys, ms)
+    sk = lambda df_: df_.select(F.struct(*keys).alias("_k"), "*")  # noqa: E731
+
+    # interior delete on b (7 is strictly inside [5, 10]): clean
+    new_interior = old.filter(F.col("id") != 3)
+    feed = versioned.change_feed(old, new_interior, "id")
+    rms = (
+        feed.filter(F.col("change_type").isin("delete", "update"))
+        .select("before.*")
+    )
+    dirty = A._minmax_dirty(sk(state), sk(rms), ms).collect()
+    assert dirty == [], dirty
+    got = sorted(
+        A.minmax_state_apply(state, feed, new_interior, keys, ms).collect(),
+        key=str,
+    )
+    want = sorted(
+        A.minmax_state_init(new_interior, keys, ms).collect(), key=str
+    )
+    assert got == want
+
+    # extremal delete on b (10 is the stored max): dirty, and correct
+    new_extremal = old.filter(F.col("id") != 1)
+    feed2 = versioned.change_feed(old, new_extremal, "id")
+    rms2 = (
+        feed2.filter(F.col("change_type").isin("delete", "update"))
+        .select("before.*")
+    )
+    assert A._minmax_dirty(sk(state), sk(rms2), ms).count() == 1
+    got2 = sorted(
+        A.minmax_state_apply(state, feed2, new_extremal, keys, ms).collect(),
+        key=str,
+    )
+    want2 = sorted(
+        A.minmax_state_init(new_extremal, keys, ms).collect(), key=str
+    )
+    assert got2 == want2
 
 
 def test_clone_table_zero_copy_independent(spark, sf_dir, tmp_path):
