@@ -105,11 +105,23 @@ def main() -> None:
         name: qd.fn for name, qd in registry.headline_queries().items()
     }
     runnable.update(bench_probes.bench_probes())
+    # one untimed pass first: probes that build fixtures on first call
+    # (ensure_versioned_table, key caches) pay that cost here, not in
+    # iteration 1 of the timed loop
+    for name, fn in runnable.items():
+        fn(spark, sf_dir)
     samples: dict[str, list[float]] = {name: [] for name in runnable}
     for _ in range(max(1, iters)):
         for name, fn in runnable.items():
-            df = fn(spark, sf_dir)  # build plan (not timed separately)
+            # the timed region INCLUDES plan construction (r8): eager
+            # operators (triangle counting, connected components --
+            # anything that localCheckpoints for lineage control) do
+            # their real work inside fn(); timing only the noop save
+            # would credit them with reading a checkpoint. Lazy queries
+            # add only catalyst analysis (~ms), so round-over-round
+            # comparability holds within spread.
             t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
 

@@ -1427,6 +1427,38 @@ def _minmax_fold_cols(measures: list[str]):
     return cols
 
 
+def _minmax_dirty(st, rm_k, measures: list[str]):
+    """Dirty key set for minmax_state_apply: removals touching a stored
+    extremal, or removals from a group absent from state. Presence is
+    an EXPLICIT marker carried from the state side (ADVICE r7 low):
+    inferring absence from a nullable stats column mis-flagged groups
+    whose first measure is all-NULL -- results stayed correct, but
+    every interior delete on such a group triggered a needless rescan,
+    defeating the targeted-rescan cost model."""
+    dirty_cond = F.lit(False)
+    for m in measures:
+        dirty_cond = (
+            dirty_cond
+            | (F.col(m) <= F.col(f"min_{m}"))
+            | (F.col(m) >= F.col(f"max_{m}"))
+        )
+    return (
+        rm_k.join(
+            st.select(
+                "_k",
+                F.lit(True).alias("_in_state"),
+                *[c for m in measures for c in (f"min_{m}", f"max_{m}")],
+            ),
+            "_k",
+            "left",
+        )
+        # a removal from a group state never saw is dirty by definition
+        .filter(dirty_cond | F.col("_in_state").isNull())
+        .select("_k")
+        .distinct()
+    )
+
+
 def minmax_state_apply(
     state, feed, base_new, keys: list[str], measures: list[str]
 ):
@@ -1476,26 +1508,7 @@ def minmax_state_apply(
 
     sk = lambda df_: df_.select(F.struct(*keys).alias("_k"), "*")  # noqa: E731
     st = sk(state)
-    # dirty: any removed value at the stored extremal of its group
-    rm_k = sk(rms)
-    dirty_cond = F.lit(False)
-    for m in measures:
-        dirty_cond = (
-            dirty_cond
-            | (F.col(m) <= F.col(f"min_{m}"))
-            | (F.col(m) >= F.col(f"max_{m}"))
-        )
-    dirty = (
-        rm_k.join(
-            st.select("_k", *[c for m in measures for c in (f"min_{m}", f"max_{m}")]),
-            "_k",
-            "left",
-        )
-        # a removal from a group state never saw is dirty by definition
-        .filter(dirty_cond | F.col(f"min_{measures[0]}").isNull())
-        .select("_k")
-        .distinct()
-    )
+    dirty = _minmax_dirty(st, sk(rms), measures)
     # clean part: state minus dirty groups, min/max folded with adds only
     add_state = sk(minmax_state_init(adds, keys, measures))
     clean = (

@@ -285,24 +285,48 @@ def _oriented(und: DataFrame) -> DataFrame:
 
 
 def triangles(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    assume_undirected: bool = False,
 ) -> DataFrame:
     """Every triangle of the undirected graph, once: (x, y, z) with
     x < y < z. Wedges come from the degree-ordered orientation's
     out-edge self-join (see _oriented -- the skew-proof formulation),
     closed by one semi-join back to the oriented edge set. Only edge
-    pairs sharing a pivot shuffle; vertices never fan out by degree."""
-    und = undirected_edges(edges, src, dst)
+    pairs sharing a pivot shuffle; vertices never fan out by degree.
+
+    ``assume_undirected=True`` declares the input ALREADY canonical
+    (distinct, src < dst -- i.e. undirected_edges output) and skips
+    re-canonicalizing: the callers that normalize once and fan out
+    (triangle_counts, clustering_coefficients) pass it so the full
+    edge set is distinct-shuffled exactly once per pipeline
+    (r7 verdict #4 -- the old path double-distincted 600k edges in the
+    most expensive headline query)."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        if assume_undirected
+        else undirected_edges(edges, src, dst)
+    )
     o = _oriented(und).persist()
     try:
+        # fills the persist the wedge join reads anyway, and the count
+        # gates the closure strategy below
+        n_edges = o.count()
         w1 = o.select("u", F.col("v").alias("x"), F.col("kv").alias("kx"))
         w2 = o.select("u", F.col("v").alias("y"), F.col("kv").alias("ky"))
         wedges = w1.join(w2, "u").filter(F.col("kx") < F.col("ky"))
-        closed = wedges.join(
-            o.select(F.col("u").alias("x"), F.col("v").alias("y")),
-            ["x", "y"],
-            "semi",
-        )
+        closer = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        # closure: wedges outnumber edges ~C(out-degree, 2)-fold, so
+        # when the EDGE set is driver-broadcastable (<=4M rows ~ 64MB
+        # of pairs) a broadcast semi keeps the wedge stream unshuffled
+        # -- measured 1.5x on the sf0.1 probe (10.6M wedges, 600k
+        # edges). Past the gate (a 100 TB edge list) both sides
+        # shuffle-partition on (x, y) as before.
+        if n_edges <= 4_000_000:
+            closer = F.broadcast(closer)
+        closed = wedges.join(closer, ["x", "y"], "semi")
         out = closed.select(
             F.least("u", "x", "y").alias("x"),
             F.expr(
@@ -317,25 +341,45 @@ def triangles(
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    assume_undirected: bool = False,
 ) -> DataFrame:
     """(node, triangles) for every node of the undirected graph --
-    nodes on no triangle report 0."""
-    und = undirected_edges(edges, src, dst)
-    tri = triangles(und, "a", "b")
-    per_node = (
-        tri.select(
-            F.explode(F.array("x", "y", "z")).alias("node")
+    nodes on no triangle report 0. Canonicalizes once and threads the
+    canonical frame into triangles() (assume_undirected), so the edge
+    set is distinct-shuffled a single time: standalone calls persist
+    their own canonical frame across its two consumers (the wedge join
+    and the node list); assume_undirected callers own the caching of
+    the frame they pass (clustering_coefficients' persisted und)."""
+
+    def build(und: DataFrame) -> DataFrame:
+        tri = triangles(und, "a", "b", assume_undirected=True)
+        per_node = (
+            tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("triangles"))
         )
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("triangles"))
-    )
-    nodes = und.select(
-        F.explode(F.array("a", "b")).alias("node")
-    ).distinct()
-    return nodes.join(per_node, "node", "left").select(
-        "node", F.coalesce("triangles", F.lit(0)).alias("triangles")
-    )
+        nodes = und.select(
+            F.explode(F.array("a", "b")).alias("node")
+        ).distinct()
+        return nodes.join(per_node, "node", "left").select(
+            "node", F.coalesce("triangles", F.lit(0)).alias("triangles")
+        )
+
+    if assume_undirected:
+        return build(
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        )
+    und = undirected_edges(edges, src, dst).persist()
+    try:
+        # triangles() localCheckpoints (materializes) inside build, so
+        # both consumers of the persisted frame run before the release
+        return build(und).localCheckpoint()
+    finally:
+        und.unpersist()
 
 
 def clustering_coefficients(
@@ -348,7 +392,7 @@ def clustering_coefficients(
     farms in document graphs."""
     und = undirected_edges(edges, src, dst).persist()
     try:
-        tc = triangle_counts(und, "a", "b")
+        tc = triangle_counts(und, "a", "b", assume_undirected=True)
         d = (
             und.select(F.explode(F.array("a", "b")).alias("node"))
             .groupBy("node")
