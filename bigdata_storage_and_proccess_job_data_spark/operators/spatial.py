@@ -73,9 +73,21 @@ def _cell_width(cell_deg: float, band: Column) -> Column:
 
 
 def _n_cells(width: Column) -> Column:
-    return F.greatest(F.lit(1), F.ceil(F.lit(360.0) / width)).cast(
+    """Cells per band: floor(360 / width), so the UNIFORM effective
+    width 360/n is always >= the requested minimum width -- including
+    the seam-adjacent cell. (ADVICE r7, antimeridian completeness:
+    ceil() left the seam's remainder cell NARROWER than the max
+    in-radius longitude separation, so a qualifying pair could land 2
+    cells apart mod n and escape the +-1 probe.)"""
+    return F.greatest(F.lit(1), F.floor(F.lit(360.0) / width)).cast(
         "long"
     )
+
+
+def _cell_index(lon: Column, n: Column) -> Column:
+    """Cell index of a longitude under n uniform cells of 360/n deg:
+    floor((lon+180) * n / 360), wrapped (lon exactly 180 -> cell 0)."""
+    return F.pmod(F.floor((lon + 180.0) * n / F.lit(360.0)), n)
 
 
 def _validated(radius_km: float) -> float:
@@ -110,15 +122,13 @@ def spatial_join_radius(
         F.col(lon_col).cast("double").alias("_rlon"),
     ).filter(F.col("_rlat").isNotNull() & F.col("_rlon").isNotNull())
     band_r = F.floor(F.col("_rlat") / F.lit(cell_deg))
-    w_r = _cell_width(cell_deg, band_r)
+    n_r = _n_cells(_cell_width(cell_deg, band_r))
     rt = rt.select(
         "_rid",
         "_rlat",
         "_rlon",
         band_r.alias("_band"),
-        F.pmod(
-            F.floor((F.col("_rlon") + 180.0) / w_r), _n_cells(w_r)
-        ).alias("_cell"),
+        _cell_index(F.col("_rlon"), n_r).alias("_cell"),
     )
 
     lt = left.select(
@@ -131,9 +141,8 @@ def spatial_join_radius(
         "_band",
         F.floor(F.col("_llat") / F.lit(cell_deg)) + F.col("_db"),
     )
-    w_l = _cell_width(cell_deg, F.col("_band"))
-    n_l = _n_cells(w_l)
-    base = F.floor((F.col("_llon") + 180.0) / w_l)
+    n_l = _n_cells(_cell_width(cell_deg, F.col("_band")))
+    base = _cell_index(F.col("_llon"), n_l)
     lt = (
         lt.withColumn("_dc", F.explode(offsets))
         .withColumn("_cell", F.pmod(base + F.col("_dc"), n_l))

@@ -69,6 +69,56 @@ def test_self_pairs_match_brute_force(spark):
     assert must_have <= got
 
 
+def test_seam_remainder_cell_complete(spark):
+    """ADVICE r7 (high): under ceil-based cell counts the seam's
+    remainder cell was narrower than the max in-radius longitude
+    separation, so this qualifying pair straddled TWO cell boundaries
+    and escaped the +-1 probe. Uniform 360/n cells (floor) make every
+    cell at least the requested width; the pair (9.97 km apart at the
+    antimeridian, radius 10) must surface. Sweep nearby radii too --
+    the failing regime depends on the remainder width, which varies
+    with radius."""
+    pts = [(0, 0.0, 179.9108), (1, 0.0, -179.9995)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    d = float(
+        _np_haversine(
+            np.array([0.0]), np.array([179.9108]),
+            np.array([0.0]), np.array([-179.9995]),
+        )[0]
+    )
+    for radius in (10.0, 11.0, 13.0, 17.0, 25.0):
+        got = {
+            (r.id_a, r.id_b)
+            for r in spatial.spatial_self_pairs(df, radius).collect()
+        }
+        want = {(0, 1)} if d <= radius else set()
+        assert got == want, (radius, d, got)
+
+    # randomized seam sweep: points scattered within 0.2 deg of the
+    # antimeridian on both sides, many radii -- full brute-force match
+    rng = np.random.default_rng(7)
+    lats = rng.uniform(-60, 60, 120)
+    lons = np.where(
+        rng.random(120) < 0.5,
+        rng.uniform(179.8, 180.0, 120),
+        rng.uniform(-180.0, -179.8, 120),
+    )
+    pts = [(i, float(lats[i]), float(lons[i])) for i in range(120)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    for radius in (5.0, 12.0, 40.0):
+        got = {
+            (r.id_a, r.id_b)
+            for r in spatial.spatial_self_pairs(df, radius).collect()
+        }
+        want = set()
+        for i in range(120):
+            dd = _np_haversine(lats[i], lons[i], lats, lons)
+            for j in np.nonzero(dd <= radius)[0]:
+                if i < int(j):
+                    want.add((i, int(j)))
+        assert want == got, radius
+
+
 def test_two_sided_join_and_nulls(spark):
     left = spark.createDataFrame(
         [(1, 48.8566, 2.3522), (2, None, 0.0)],

@@ -304,6 +304,40 @@ def test_maintain_view_stream_folds_and_survives_replay(spark, tmp_path):
     }
     assert after["a"] == 107
 
+    # maintenance must not reset the replay guard (ADVICE r7 medium):
+    # optimize_table / compact_small_files publish a NEW version -- if
+    # the _commit_meta sidecar didn't travel, last_batch would read -1
+    # and a replayed micro-batch would double-fold. Both maintenance
+    # ops carry it; the already-applied batch id still no-ops after.
+    marker = meta["last_batch"] + 1
+    versioned.optimize_table(spark, view_dir, target_files=1)
+    assert versioned.commit_meta(view_dir)["last_batch"] == marker
+    assert (
+        pipeline._apply_view_batch(
+            spark.createDataFrame([("a", 999)], schema),
+            marker,
+            view_dir,
+            keys,
+            measures,
+        )
+        is False
+    )
+    # compact path: force fresh small commits, then compact and re-check
+    versioned.commit_version(
+        versioned.read_version(spark, view_dir).repartition(4),
+        view_dir,
+        meta=versioned.commit_meta(view_dir),
+    )
+    versioned.compact_small_files(spark, view_dir, small_bytes=1 << 30)
+    assert versioned.commit_meta(view_dir)["last_batch"] == marker
+    still = {
+        r.k: r.sum_v
+        for r in aggregates.agg_state_result(
+            versioned.read_version(spark, view_dir), keys, measures
+        ).collect()
+    }
+    assert still["a"] == 107  # replay after maintenance did not double-fold
+
 
 def test_agg_state_merge_equals_union_init(spark):
     """merge(init(A), init(B)) == init(A union B) exactly -- the
