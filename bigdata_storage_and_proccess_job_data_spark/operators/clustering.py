@@ -155,3 +155,91 @@ def kmeans_objective(
         .collect()[0]  # bounded driver scalar
     )
     return float(row["obj"]) if row["obj"] is not None else 0.0
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding clustering -- k-means partitions the
+    corpus into cells, cosine pairs are computed ONLY within a cell,
+    near-duplicate sets collapse transitively, and one representative
+    per set survives. Catches paraphrases and templated rewrites that
+    share no n-grams (invisible to minhash/simhash) while never
+    materializing the all-pairs product.
+
+    Returns (``id_col``, cell, component, is_keeper): ``component`` is
+    the min id reachable through the within-cell pair graph
+    (neardup.connected_components) and ``is_keeper`` marks the one
+    surviving row per duplicate set (the min id -- deterministic,
+    unlike the paper's random representative). Filter
+    ``is_keeper`` for the deduplicated corpus; the non-keepers ARE the
+    semantic-duplicate report.
+
+    Scale shape: assignment is the IVF coarse-quantizer path
+    (codegen'd argmax over k broadcast centroids, no shuffle of
+    vectors); the quadratic term is bounded per cell at (n/k)^2 --
+    size ``n_centroids`` ~ n / target_cell_size so cells stay
+    partition-sized (SemDeDup's own trick for web-scale corpora).
+    Known approximation, same as the paper's: a cross-CELL
+    near-duplicate pair is never compared (quantization boundary), so
+    recall is bounded by the clustering; raise n_probe-style coverage
+    by lowering ``threshold`` or k. Centroids may be passed in
+    (persisted fit, or md5_centroids for engine-portable runs)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    from bigdata_storage_and_proccess_job_data_spark.operators import neardup
+    from bigdata_storage_and_proccess_job_data_spark.operators.similarity import (
+        assign_cells,
+    )
+
+    if centroids is None:
+        centroids = kmeans_fit(
+            corpus, id_col, vec_col, n_centroids=n_centroids
+        )
+    assigned = assign_cells(corpus, centroids, id_col, vec_col).select(
+        F.col("neighbor_id").alias("_id"), "_cv", "cell"
+    )
+    a = assigned.select(
+        F.col("_id").alias("id_a"), F.col("_cv").alias("_va"), "cell"
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"), F.col("_cv").alias("_vb"), "cell"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            vectors.cosine(F.col("_va"), F.col("_vb"))
+            >= F.lit(float(threshold))
+        )
+        .select("id_a", "id_b")
+    )
+    comp = neardup.connected_components(pairs)
+    return (
+        assigned.select(F.col("_id").alias(id_col), "cell")
+        .join(
+            comp.select(
+                F.col("id").alias(id_col),
+                F.col("component"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(F.col("component"), F.col(id_col)).alias(
+                "component"
+            ),
+            (
+                F.coalesce(F.col("component"), F.col(id_col))
+                == F.col(id_col)
+            ).alias("is_keeper"),
+        )
+    )

@@ -264,6 +264,46 @@ def md5_codebooks(
     return books
 
 
+def md5_centroids(
+    n_centroids: int, dim: int, seed: int = 7, scale: float = 1.0
+) -> list[list[float]]:
+    """IVF coarse-quantizer centroids with md5-derived components --
+    md5_codebooks' generator applied to the cell layer (r7 verdict #5,
+    the knn_pq graduation applied to IVF): component (i, d) of centroid
+    i is the first 15 md5 hex nibbles of ``"ivf:{seed}:{i}:{d}"``
+    scaled by 2^-59, shifted to [-1, 1), times ``scale`` -- one IEEE
+    multiply, bit-identical on any engine with md5 (DuckDB twin in
+    plans/scale_queries' knn_ivf oracle).
+
+    ``scale`` is ranking-irrelevant for cell ASSIGNMENT (argmax of dot
+    is invariant under one common positive factor); it exists only to
+    keep magnitudes sane if the centroids are reused for scoring.
+    Random centroids partition the sphere into random Voronoi cells --
+    generally worse recall per probe than k-means-fit ones
+    (train_centroids stays the production fit, recall floor pinned in
+    tests/test_similarity.py); what they buy is cross-engine
+    reproducibility of the assign -> probe -> score machinery."""
+    import hashlib
+
+    return [
+        [
+            (
+                int(
+                    hashlib.md5(
+                        f"ivf:{seed}:{i}:{d}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                / 2**59
+                - 1.0
+            )
+            * scale
+            for d in range(dim)
+        ]
+        for i in range(n_centroids)
+    ]
+
+
 def signature_expr(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature (BIGINT bucket id) of a vector against the
     hyperplane set: bit p = (vec . plane_p) >= 0."""
@@ -1037,6 +1077,7 @@ def ivf_topk(
     n_probe: int = 4,
     sample_size: int = 2048,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index: a
     spherical-k-means coarse quantizer partitions the corpus into
@@ -1053,10 +1094,16 @@ def ivf_topk(
     shuffle of the corpus at all). Candidate pairs are unique by
     construction (one cell per corpus row, distinct probe cells per
     query), so no dedup step is needed before scoring.
+
+    ``centroids`` overrides the k-means fit with a FIXED coarse
+    quantizer (e.g. md5_centroids for the cross-engine-reproducible
+    driver query, or centroids persisted from an earlier fit so an
+    incremental corpus keeps a stable cell layout).
     """
-    centroids = train_centroids(
-        corpus, id_col, vec_col, n_centroids, sample_size, seed=seed
-    )
+    if centroids is None:
+        centroids = train_centroids(
+            corpus, id_col, vec_col, n_centroids, sample_size, seed=seed
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         vectors.as_double(vec_col).alias("_qv"),

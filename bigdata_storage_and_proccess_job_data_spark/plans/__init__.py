@@ -310,7 +310,7 @@ DRIVER_WINDOW_R7 = sorted(
     }
 )
 
-# Round-8 obligation, pinned NOW: the exact complement of
+# Round-8 obligation, pinned at the end of r7: the exact complement of
 # DRIVER_WINDOW_R7 in the post-retirement registry -- the R6 window
 # minus the retired media_features_knn and the re-rowed
 # asof_last_purchase, plus the two queries displaced out of R7.
@@ -320,14 +320,64 @@ DRIVER_WINDOW_R8_PLAN = sorted(
     | {"knn_brute_force", "global_reduce"}
 )
 
+# Round-8 window, AS RUN -- R8_PLAN with this round's registry changes
+# applied by the standing displacement procedure:
+#
+#   OUT, retired r8 (registry.RETIRED records the coverage merges):
+#     - dedup_exact_docs (was in R8_PLAN; keeper rule hash-checked
+#       inside clean_corpus's oracle)
+#     - word_frequencies (was in R7, holds a green r7 row; its count
+#       is the fit stage of unigram_surprisal's oracle)
+#   IN, new-code rule (registered this round, must row now):
+#     - unigram_surprisal, leakage_safe_split (VERDICT r7 #4, the
+#       builder's own promotion note executed; both carried
+#       oracle-grade local parity in tests/test_corpus.py since r7)
+#   IN, changed-code rule (registered body changed this round):
+#     - hashed_doc_vector (r7 driver-err fix: long-form reshape +
+#       generate_subscripts oracle -- VERDICT r7 #1)
+#     - knn_ivf (graduated from rows-only to an exact md5-centroid
+#       oracle -- VERDICT r7 #5; body now pins the quantizer)
+#   DISPLACED to R9 (code untouched this round, green r6 rows; the
+#   three lowest-risk set-op/distinct scans in R8_PLAN):
+#     - setop_except, setop_intersect, distinct_customers
+DRIVER_WINDOW_R8 = sorted(
+    (
+        set(DRIVER_WINDOW_R8_PLAN)
+        - {
+            "dedup_exact_docs",
+            "setop_except",
+            "setop_intersect",
+            "distinct_customers",
+        }
+    )
+    | {
+        "unigram_surprisal",
+        "leakage_safe_split",
+        "hashed_doc_vector",
+        "knn_ivf",
+    }
+)
+
+# Round-9 obligation, pinned NOW: the exact complement of
+# DRIVER_WINDOW_R8 in the post-r8 registry -- the R7 window minus the
+# retired word_frequencies and the two re-rowed changed-code queries
+# (hashed_doc_vector, knn_ivf), plus the three queries displaced out of
+# R8. test_plans.py asserts R8 ∪ R9_PLAN == registry, R8 ∩ R9_PLAN == ∅.
+DRIVER_WINDOW_R9_PLAN = sorted(
+    (set(DRIVER_WINDOW_R7) - {"word_frequencies", "hashed_doc_vector", "knn_ivf"})
+    | {"setop_except", "setop_intersect", "distinct_customers"}
+)
+
 # R8 promotion candidates (note for the next curation pass, the r7
 # VERDICT-#4 procedure): late-r7 surfaces with oracle-grade local parity
 # already written, each needing a paired retirement to enter the
 # registry -- unigram_surprisal (full fit+score DuckDB parity in
-# test_unigram_surprisal_quality_scoring), leakage_safe_split (exact
-# assignment parity in test_leakage_safe_split_group_atomic_and_parity),
+# test_unigram_surprisal_quality_scoring) [EXECUTED r8, retiring
+# word_frequencies], leakage_safe_split (exact
+# assignment parity in test_leakage_safe_split_group_atomic_and_parity)
+# [EXECUTED r8, retiring dedup_exact_docs],
 # duplication_density (inverted-index shape, SQL-expressible like
-# duplicate_ngram_spans). mmr_rerank and split_leakage_audit are
+# duplicate_ngram_spans) [still a candidate -- the natural R9 pick]. mmr_rerank and split_leakage_audit are
 # iterative/compositional -- test-only by design, the heavy_hitters
 # precedent. Late-r7 additions with the same oracle-grade local parity
 # (tests/test_fuzzy.py, test_mining.py, test_baskets.py,
@@ -511,4 +561,4 @@ DRIVER_WINDOW_R3 = [
     "impute_mean",  # A9/X2
 ]
 
-set_driver_order(DRIVER_WINDOW_R7)
+set_driver_order(DRIVER_WINDOW_R8)

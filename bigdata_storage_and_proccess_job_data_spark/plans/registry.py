@@ -110,6 +110,30 @@ RETIRED: dict[str, dict[str, str]] = {
             "corpus.length_histogram keeps its bucket tests."
         ),
     },
+    "word_frequencies": {
+        "round": "r8",
+        "replaced_by": "unigram_surprisal",
+        "coverage": (
+            "tokenize -> explode -> hash-agg -> ordered top-V count is "
+            "exactly the FIT stage of unigram_surprisal's oracle (its "
+            "`top` CTE), hash-checked every time that query rows; the "
+            "explode+topk plan shape stays driver-checked by "
+            "chunk_documents and lang_distribution. No operator code "
+            "removed (functions/text.tokens unchanged and tested)."
+        ),
+    },
+    "dedup_exact_docs": {
+        "round": "r8",
+        "replaced_by": "leakage_safe_split",
+        "coverage": (
+            "the md5(lower(trim(text))) content hash and min-doc_id "
+            "keeper rule are a hash-checked sub-expression of "
+            "clean_corpus's oracle (its keeper window), and grouped "
+            "dedup with winners stays driver-checked by dedup_latest / "
+            "dedup_within_delay; operators/dedup.duplicate_groups "
+            "keeps its unit tests."
+        ),
+    },
 }
 
 

@@ -12,7 +12,6 @@ from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
     sql_round,
     stable_round,
 )
-from bigdata_storage_and_proccess_job_data_spark.operators import dedup
 from bigdata_storage_and_proccess_job_data_spark.plans.registry import register
 
 # SQL mirrors of functions/text.py expressions (DuckDB dialect).
@@ -47,26 +46,19 @@ def _sql_stopword_hits(words: list[str]) -> str:
     )
 
 
-@register(
-    "dedup_exact_docs",
-    tags=("dedup", "text"),
-    oracle="""
-        SELECT content_hash, dup_count, keep_id
-        FROM (
-          SELECT md5(lower(trim(text))) AS content_hash,
-                 COUNT(*)               AS dup_count,
-                 MIN(doc_id)            AS keep_id
-          FROM documents
-          GROUP BY 1
-        )
-    """,
-)
-def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact content dedup over documents: md5 of normalized text, keep
-    min doc_id per cluster. Fixed-width hash is the shuffle key, not the
-    document body (operators/dedup.py)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.duplicate_groups(docs, "text", "doc_id")
+# ---------------------------------------------------------------------------
+# RETIRED r8 (registry.RETIRED["dedup_exact_docs"]): the md5-of-
+# normalized-text content hash and min-doc_id keeper rule are a
+# hash-checked sub-expression of clean_corpus's oracle (its keeper
+# window: MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text))))), and
+# the grouped dup-count shape stays driver-checked by dedup_latest /
+# duplicate_ngram_spans. operators/dedup.duplicate_groups keeps its
+# unit tests.
+# ---------------------------------------------------------------------------
+
+
+# (leakage_safe_split -- the paired r8 promotion -- is registered in the
+# corpus-sampling section below, after _md5_hash60_sql is defined.)
 
 
 # ---------------------------------------------------------------------------
@@ -564,20 +556,102 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Similarity search: IVF coarse-quantizer top-k (rows-only; scale path)
+# Similarity search: IVF coarse-quantizer top-k (exact oracle since r8)
 # ---------------------------------------------------------------------------
-@register("knn_ivf", tags=("similarity", "vector", "join"))
+# The knn_pq graduation applied to IVF (r7 verdict #5, closing the
+# registry's last no_oracle row): the k-means FIT is the one step SQL
+# can't reproduce, so the registered query pins the coarse quantizer to
+# md5-derived centroids (similarity.md5_centroids) and the oracle
+# rebuilds them, re-runs cell assignment (argmax dot; Spark's array_max
+# tiebreak is the HIGHEST cell id, mirrored by ORDER BY sim DESC, i
+# DESC), the n_probe=6 probe ranking, the cell equi-join, cosine and
+# rank -- the full assign -> probe -> score path value-hashed
+# cross-engine. Trained-IVF quality (the data-adaptive fit) stays
+# pinned by tests/test_similarity.py:test_ivf_topk_recall.
+_IVF_CENT_COMPONENT = _md5_hash60_sql(
+    "'ivf:9:' || i::VARCHAR || ':' || d::VARCHAR"
+)
+_IVF_TOPK_SQL = f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        cent AS (
+          SELECT i, d,
+                 ({_IVF_CENT_COMPONENT})::DOUBLE
+                   / 576460752303423488.0 - 1.0 AS val
+          FROM range(16) cs(i), range(64) ds(d)
+        ),
+        sims AS (
+          SELECT e.vec_id, c.i, SUM(e.v[c.d + 1] * c.val) AS sim
+          FROM e CROSS JOIN cent c
+          GROUP BY e.vec_id, c.i
+        ),
+        cells AS (
+          SELECT vec_id, i AS cell FROM (
+            SELECT vec_id, i,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY sim DESC, i DESC
+                   ) AS rn
+            FROM sims
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id, i AS cell FROM (
+            SELECT vec_id, i,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY sim DESC, i DESC
+                   ) AS rn
+            FROM sims WHERE vec_id < 20
+          ) WHERE rn <= 6
+        ),
+        scored AS (
+          SELECT p.vec_id AS query_id, cb.vec_id AS neighbor_id,
+                 {sql_round(
+                     'list_dot_product(q.v, n.v) / '
+                     '(sqrt(list_dot_product(q.v, q.v)) * '
+                     ' sqrt(list_dot_product(n.v, n.v)))', 4)} AS sim
+          FROM probes p
+          JOIN cells cb ON cb.cell = p.cell AND cb.vec_id <> p.vec_id
+          JOIN e q ON q.vec_id = p.vec_id
+          JOIN e n ON n.vec_id = cb.vec_id
+        )
+        SELECT query_id, neighbor_id, rank, sim
+        FROM (
+          SELECT query_id, neighbor_id, sim,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC
+                 ) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """
+
+
+@register(
+    "knn_ivf",
+    tags=("similarity", "vector", "join"),
+    oracle=_IVF_TOPK_SQL,
+)
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via an IVF index (spherical k-means trained on
-    a deterministic sample, operators/similarity.py:ivf_topk): corpus
-    partitioned into cells, queries probe their 6 nearest of 16 cells.
-    Data-adaptive counterpart to knn_lsh; recall vs knn_brute_force
-    measured in tests/test_similarity.py."""
+    """Approximate top-5 via an IVF index
+    (operators/similarity.py:ivf_topk): the corpus is partitioned into
+    16 cells by nearest centroid, queries probe their 6 nearest cells,
+    and only those cells' vectors are scored -- the cross product
+    becomes a cell equi-join. The registered form pins md5-derived
+    centroids (similarity.md5_centroids) so the DuckDB oracle
+    reconstructs the identical quantizer and hash-matches the whole
+    path; the production fit (train_centroids, data-adaptive spherical
+    k-means) keeps its recall floor in
+    tests/test_similarity.py:test_ivf_topk_recall."""
     from bigdata_storage_and_proccess_job_data_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
-        emb.filter(F.col("vec_id") < 20), emb, k=5, n_probe=6
+        emb.filter(F.col("vec_id") < 20),
+        emb,
+        k=5,
+        n_probe=6,
+        centroids=similarity.md5_centroids(16, 64, seed=9, scale=1.0),
     )
 
 
@@ -639,43 +713,76 @@ def embedding_neardup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # ---------------------------------------------------------------------------
 # Token explode: corpus word frequencies (lateral-view shape)
+# RETIRED r8 (registry.RETIRED["word_frequencies"]): the tokenize ->
+# explode -> hash-agg -> top-V count is EXACTLY the fit stage of
+# unigram_surprisal's registered oracle (its `top` CTE: token counts
+# ordered c DESC, t ASC, LIMIT V) -- hash-checked there every time the
+# query rows; the explode+topk plan shape also stays pinned by
+# chunk_documents and lang_distribution. No operator code removed.
+# ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Corpus quality: unigram LM surprisal (CCNet shape) -- promoted r8
+# (VERDICT r7 #4, the builder's own R8 promotion note)
 # ---------------------------------------------------------------------------
 @register(
-    "word_frequencies",
-    tags=("text", "explode", "agg", "topk"),
+    "unigram_surprisal",
+    tags=("corpus", "text", "agg", "join"),
     oracle=f"""
-        SELECT word,
-               CAST(COUNT(*) AS BIGINT)           AS occurrences,
-               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
-        FROM (
-          SELECT doc_id, unnest({SQL_TOKENS_LOWER}) AS word
-          FROM documents
+        WITH toks AS (
+          SELECT unnest({SQL_TOKENS_LOWER}) AS t FROM documents
+        ),
+        counts AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+        top AS (SELECT t, c FROM counts ORDER BY c DESC, t ASC LIMIT 500),
+        scal AS (
+          SELECT (SELECT SUM(c) FROM counts)::DOUBLE AS n,
+                 (SELECT COUNT(*) FROM top)::DOUBLE AS v
+        ),
+        lm AS (
+          SELECT t, ln(c + 1.0) - ln(n + 1.0 * (v + 1)) AS logp
+          FROM top, scal
+        ),
+        oov AS (SELECT ln(1.0) - ln(n + 1.0 * (v + 1)) AS logp FROM scal),
+        dtoks AS (
+          SELECT doc_id, unnest({SQL_TOKENS_LOWER}) AS t FROM documents
+        ),
+        per_doc AS (
+          SELECT d.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 -AVG(COALESCE(lm.logp, (SELECT logp FROM oov)))
+                   AS s_raw
+          FROM dtoks d LEFT JOIN lm ON d.t = lm.t
+          GROUP BY d.doc_id
         )
-        GROUP BY word
-        ORDER BY occurrences DESC, word ASC
-        LIMIT 20
+        SELECT doc_id,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               {sql_round("p.s_raw", 4)} AS surprisal
+        FROM (SELECT DISTINCT doc_id FROM documents) base
+        LEFT JOIN per_doc p USING (doc_id)
     """,
 )
-def word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 corpus vocabulary via explode(tokens): generate -> hash agg
-    on the word -- the flatMap shape (no reference analogue; the array
-    ops its imports declared but never used, SURVEY.md §2.3). Explode
-    feeds the partial agg inside one stage; only (word, counts) rows
-    shuffle, never the exploded corpus. TakeOrdered gives the global
-    top-20 without a full sort."""
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020, operators/
+    corpus.py:unigram_logprob_table + unigram_surprisal): fit an
+    add-alpha-smoothed top-500 unigram LM on the corpus, then score
+    every document by mean token surprisal (-logp, nats) -- gibberish /
+    wrong-language / rare-token soup scores high, reference-like text
+    low; thresholding on it is the perplexity filter of every serious
+    pretraining pipeline. The whole fit+score path is recomputed
+    value-for-value in DuckDB (top-V cut, smoothing, OOV fallback,
+    mean). Scale shape: explode feeds the fit's hash agg map-side, the
+    (token, logp) model is a broadcast join against the re-exploded
+    corpus, and empty docs come back NULL via the left join -- one
+    tokenize per stage, no driver math beyond the two model scalars."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
+    lm = corpus.unigram_logprob_table(docs, vocab_size=500, alpha=1.0)
+    return corpus.unigram_surprisal(docs, lm).select(
         "doc_id",
-        F.explode(text.tokens(F.lower(F.col("text")))).alias("word"),
-    )
-    return (
-        words.groupBy("word")
-        .agg(
-            F.count(F.lit(1)).alias("occurrences"),
-            F.count_distinct("doc_id").alias("doc_freq"),
-        )
-        .orderBy(F.col("occurrences").desc(), F.col("word").asc())
-        .limit(20)
+        "n_tokens",
+        stable_round(F.col("surprisal"), 4).alias("surprisal"),
     )
 
 
@@ -809,7 +916,7 @@ def _media_exact_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration spent a driver window slot on a guaranteed rows-only row
 # every other round while its unique surface stayed covered by
 # media_features_exact (exact oracle over the same binary assembly +
-# Arrow extraction), knn_ivf's rows-only row + recall tests, and
+# Arrow extraction), knn_ivf (exact md5-centroid oracle since r8) + recall tests, and
 # tests/test_multimodal.py's recall gate, which now drives the pipeline
 # via _media_knn_lazy directly (the operator code is unchanged).
 
@@ -1040,6 +1147,47 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry since r4, weighted_take_k promoted r7 with exact set parity);
 # corpus.deterministic_sample keeps its stability/monotonicity tests.
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Corpus splitting: leakage-safe train/val/test -- promoted r8
+# (VERDICT r7 #4, the builder's own R8 promotion note)
+# ---------------------------------------------------------------------------
+@register(
+    "leakage_safe_split",
+    tags=("corpus", "sampling", "expr"),
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN (({_md5_hash60_sql("source::VARCHAR || 'v1'")}
+                           >> 8) / 4503599627370496.0) < 0.1 THEN 'test'
+                    WHEN (({_md5_hash60_sql("source::VARCHAR || 'v1'")}
+                           >> 8) / 4503599627370496.0) < 0.9 THEN 'train'
+                    ELSE 'val' END AS split
+        FROM documents
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment ATOMIC per source
+    (operators/corpus.py:leakage_safe_split): every row of one group
+    flips ONE md5 coin, so near-identical rows of one origin can never
+    straddle the train/eval boundary -- the leakage mode that makes
+    row-level random splits overstate eval numbers. The coin is the
+    52-bit md5 uniform of the salted group key, so DuckDB recomputes
+    the EXACT assignment; labels bucket the [0,1) line in sorted-label
+    order (test < train < val at these weights). Scale shape: a pure
+    per-row expression -- zero shuffles, zero state; stable under
+    corpus growth (a group's label never moves when other groups
+    appear), which is what makes the split reusable across corpus
+    versions."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.leakage_safe_split(
+        docs,
+        "source",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="v1",
+    ).select("doc_id", "split")
 
 
 # ---------------------------------------------------------------------------
@@ -1842,7 +1990,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     means) is not reproducible in SQL. That row moved OUT of this query
     so the whole result is hash-matched; IVF quality stays covered by
     tests/test_similarity.py:test_ivf_topk_recall (floor 0.5) plus
-    knn_ivf's own rows-only driver row.
+    knn_ivf's driver row (rows-only then; exact md5-centroid oracle since r8).
 
     r7 resolution of VERDICT r6 #5 (driver-visible PQ quality): rather
     than re-opening this query with a rows-only ivfpq row -- the driver

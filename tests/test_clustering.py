@@ -109,3 +109,77 @@ def test_kmeans_refine_validation_and_nulls(spark):
     # NULL and zero vectors drop; the one live vector pulls its centroid
     out = clustering.kmeans_refine(df, [[0.6, 0.8]], n_iters=2)
     assert np.abs(np.asarray(out[0]) - np.array([1.0, 0.0])).max() < 1e-12
+
+
+def test_semantic_dedup_matches_brute_force(spark):
+    """SemDeDup composition (cells -> within-cell cosine pairs ->
+    transitive components -> min-id keeper) equals a numpy brute force
+    run with the SAME fixed centroids: identical cells, components and
+    keeper flags; a threshold no pair reaches keeps everything."""
+    x, _ = _blobs(seed=11, per=20, dim=8, k=3, noise=0.05)
+    # plant semantic duplicates: tiny perturbations of existing rows
+    # (cosine ~0.9999) plus one exact copy -- paraphrase stand-ins
+    rng = np.random.default_rng(3)
+    dup_src = [0, 1, 25, 41]
+    dups = [x[i] + 1e-3 * rng.standard_normal(8) for i in dup_src]
+    dups.append(x[7].copy())
+    allx = np.vstack([x, np.array(dups)])
+    rows = [(i, [float(v) for v in allx[i]]) for i in range(len(allx))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # fixed centroids = the three blob axes (+ a decoy): assignment is
+    # then deterministic and trivially reproducible in numpy
+    cents = [[0.0] * 8 for _ in range(4)]
+    cents[0][0] = 1.0
+    cents[1][2] = 1.0
+    cents[2][4] = 1.0
+    cents[3][6] = 1.0
+    got = {
+        (r.vec_id, r.cell, r.component, r.is_keeper)
+        for r in clustering.semantic_dedup(
+            df, threshold=0.95, centroids=cents
+        ).collect()
+    }
+
+    # numpy brute force: same argmax-dot cells (Spark's array_max
+    # tiebreak = highest cell; ties don't occur here), within-cell
+    # pairs >= t, union-find with min-id roots
+    c = np.asarray(cents)
+    sims_c = allx @ c.T
+    cells = sims_c.argmax(axis=1)
+    n = len(allx)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    xn = allx / np.linalg.norm(allx, axis=1, keepdims=True)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cells[i] == cells[j] and float(xn[i] @ xn[j]) >= 0.95:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    want = {
+        (i, int(cells[i]), find(i), find(i) == i) for i in range(n)
+    }
+    assert got == want
+    # the planted duplicates were caught and collapsed onto their source
+    by_id = {t[0]: t for t in got}
+    for k_, src in enumerate(dup_src + [7]):
+        assert by_id[len(x) + k_][2] == by_id[src][2]
+        assert by_id[len(x) + k_][3] is False
+    # keepers count = number of components
+    assert sum(1 for t in got if t[3]) == len({find(i) for i in range(n)})
+
+    # unreachable threshold: everything is its own keeper
+    allkeep = clustering.semantic_dedup(df, threshold=1.0, centroids=cents)
+    assert all(r.is_keeper for r in allkeep.collect())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold"):
+        clustering.semantic_dedup(df, threshold=0.0, centroids=cents)
