@@ -633,3 +633,65 @@ def connected_components(
         )
     finally:
         edges.unpersist()
+
+
+def lsh_plan(
+    threshold: float,
+    num_hashes: int = 64,
+    max_fn: float = 0.05,
+    max_fp_work: float = 0.25,
+) -> dict:
+    """Banding-parameter advisor for the MinHash LSH S-curve (Leskovec
+    et al., Mining of Massive Datasets ch. 3): given a target Jaccard
+    ``threshold``, pick (bands, rows) so the candidate probability
+    p(s) = 1 - (1 - s^rows)^bands has its rise near the threshold, the
+    MISS rate at the threshold stays under ``max_fn`` (false negatives
+    are the silent corruption mode of dedup -- a missed dup ships twice
+    into training), and the candidate rate for clearly-dissimilar pairs
+    (s = threshold/2) stays under ``max_fp_work`` (false positives only
+    cost verify-stage work, so the bound is looser by design).
+
+    Scans the divisor pairs of ``num_hashes`` and returns the plan with
+    the fewest expected verify candidates among those meeting the miss
+    bound; if none meets it, returns the lowest-miss plan with
+    ``"meets_fn_bound": False`` so callers fail loudly rather than ship
+    a silently-lossy dedup. Pure driver-side arithmetic -- call it once
+    at job-config time, feed the result to minhash_dedup_pairs.
+
+    Returns {bands, rows, p_at_threshold, p_at_half_threshold,
+    s_curve_midpoint, meets_fn_bound, meets_fp_bound}."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+
+    def p_cand(s: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    plans = []
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        if b < 1 or (b == 1 and r == 1):
+            continue
+        hit = p_cand(threshold, b, r)
+        waste = p_cand(threshold / 2.0, b, r)
+        # S-curve midpoint ~ (1/b)^(1/r): where p crosses ~0.5
+        mid = (1.0 / b) ** (1.0 / r)
+        plans.append(
+            {
+                "bands": b,
+                "rows": r,
+                "p_at_threshold": hit,
+                "p_at_half_threshold": waste,
+                "s_curve_midpoint": mid,
+                "meets_fn_bound": (1.0 - hit) <= max_fn,
+                "meets_fp_bound": waste <= max_fp_work,
+            }
+        )
+    ok = [p for p in plans if p["meets_fn_bound"]]
+    if ok:
+        # among safe plans, minimize verify-stage waste
+        return min(ok, key=lambda p: p["p_at_half_threshold"])
+    return max(plans, key=lambda p: p["p_at_threshold"])

@@ -306,17 +306,29 @@ def md5_centroids(
 
 def signature_expr(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature (BIGINT bucket id) of a vector against the
-    hyperplane set: bit p = (vec . plane_p) >= 0."""
-    sig = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        coeffs = F.array(*[F.lit(x) for x in plane])
-        d = vectors.dot(vec, coeffs)
-        sig = sig.bitwiseOR(
-            F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return sig
+    hyperplane set: bit p = (vec . plane_p) >= 0.
+
+    The plane set rides ONE parsed nested-array literal
+    (vectors.lit_matrix) and a fold over plane indices, not
+    per-component Literal nodes (r8): the old unrolled form spent
+    seconds of DRIVER time per lsh_topk call at 8x4x64 constructing
+    the expression tree over py4j -- invisible to executor metrics,
+    pure query-latency overhead.
+    Values are bit-identical (same dots, same order), so the md5-plane
+    DuckDB oracles are unaffected. Bits come from pow(2, p) (exact in a
+    double for p <= 52; sign bits are distinct, so sum == bitwise OR)."""
+    if len(planes) > 52:
+        raise ValueError("signature_expr supports at most 52 planes")
+    pl = vectors.lit_matrix(planes)
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(len(planes) - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.when(
+            vectors.dot(vec, F.element_at(pl, p + 1)) >= 0,
+            F.pow(F.lit(2.0), p).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
 
 
 def _check_dim(df: DataFrame, vec_col: str, dim: int) -> None:
@@ -335,15 +347,35 @@ def _check_dim(df: DataFrame, vec_col: str, dim: int) -> None:
 
 
 def _bucket_array(vec: Column, tables: list[list[list[float]]]) -> Column:
-    """array<struct<table:int, bucket:bigint>> -- one LSH bucket per table."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).cast("int").alias("table"),
-                signature_expr(vec, planes).alias("bucket"),
-            )
-            for t, planes in enumerate(tables)
-        ]
+    """array<struct<table:int, bucket:bigint>> -- one LSH bucket per
+    table. All tables ride ONE parsed 3-d literal (vectors.lit_cube)
+    and a transform over table indices (r8 driver-latency fix, see
+    signature_expr): the per-table unroll re-built the signature fold
+    n_tables times over py4j. Same sign-bit semantics, same values."""
+    n_planes = len(tables[0])
+    if any(len(t) != n_planes for t in tables):
+        raise ValueError("all LSH tables must have the same plane count")
+    if n_planes > 52:
+        raise ValueError("_bucket_array supports at most 52 planes")
+    cube = vectors.lit_cube(tables)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(len(tables) - 1)),
+        lambda t: F.struct(
+            t.cast("int").alias("table"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, p: acc
+                + F.when(
+                    vectors.dot(
+                        vec,
+                        F.element_at(F.element_at(cube, t + 1), p + 1),
+                    )
+                    >= 0,
+                    F.pow(F.lit(2.0), p).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ).alias("bucket"),
+        ),
     )
 
 
@@ -528,15 +560,20 @@ def train_centroids(
 def _cell_sims(vec: Column, centroids: list[list[float]]) -> Column:
     """array<struct<sim:double, cell:int>> -- dot against every centroid.
     Struct field order (sim first) makes array_max/sort_array rank by
-    similarity with cell id as the tiebreak, all inside codegen."""
-    return F.array(
-        *[
-            F.struct(
-                vectors.dot(vec, F.array(*[F.lit(x) for x in c])).alias("sim"),
-                F.lit(i).cast("int").alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    similarity with cell id as the tiebreak, all inside codegen.
+
+    Centroids ride ONE parsed nested-array literal
+    (vectors.lit_matrix) + transform over cell indices (r8, same
+    driver-latency fix as signature_expr): the unrolled form spent the
+    call's time constructing k x dim Literal nodes over py4j. Values
+    are bit-identical."""
+    cl = vectors.lit_matrix(centroids)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: F.struct(
+            vectors.dot(vec, F.element_at(cl, i + 1)).alias("sim"),
+            i.cast("int").alias("cell"),
+        ),
     )
 
 

@@ -337,9 +337,19 @@ DRIVER_WINDOW_R8_PLAN = sorted(
 #       generate_subscripts oracle -- VERDICT r7 #1)
 #     - knn_ivf (graduated from rows-only to an exact md5-centroid
 #       oracle -- VERDICT r7 #5; body now pins the quantizer)
+#   IN, changed-code rule (library path changed late r8): the
+#   driver-latency fix moved LSH planes / IVF centroids onto parsed
+#   nested-array literals (vectors.lit_matrix/lit_cube;
+#   similarity.signature_expr/_bucket_array/_cell_sims) -- value-
+#   identical by construction, but the rule is mechanical:
+#     - embedding_neardup_pairs (cosine_neardup_pairs rides
+#       _bucket_array; its R7 row predates the change). knn_lsh,
+#       knn_ivf, ann_recall, knn_brute_force, knn_arrow -- the other
+#       queries on similarity.py -- are already in this window.
 #   DISPLACED to R9 (code untouched this round, green r6 rows; the
-#   three lowest-risk set-op/distinct scans in R8_PLAN):
-#     - setop_except, setop_intersect, distinct_customers
+#   lowest-risk set-op/distinct/rollup scans in R8_PLAN):
+#     - setop_except, setop_intersect, distinct_customers,
+#       region_rollup
 DRIVER_WINDOW_R8 = sorted(
     (
         set(DRIVER_WINDOW_R8_PLAN)
@@ -348,6 +358,7 @@ DRIVER_WINDOW_R8 = sorted(
             "setop_except",
             "setop_intersect",
             "distinct_customers",
+            "region_rollup",
         }
     )
     | {
@@ -355,6 +366,7 @@ DRIVER_WINDOW_R8 = sorted(
         "leakage_safe_split",
         "hashed_doc_vector",
         "knn_ivf",
+        "embedding_neardup_pairs",
     }
 )
 
@@ -364,8 +376,21 @@ DRIVER_WINDOW_R8 = sorted(
 # (hashed_doc_vector, knn_ivf), plus the three queries displaced out of
 # R8. test_plans.py asserts R8 ∪ R9_PLAN == registry, R8 ∩ R9_PLAN == ∅.
 DRIVER_WINDOW_R9_PLAN = sorted(
-    (set(DRIVER_WINDOW_R7) - {"word_frequencies", "hashed_doc_vector", "knn_ivf"})
-    | {"setop_except", "setop_intersect", "distinct_customers"}
+    (
+        set(DRIVER_WINDOW_R7)
+        - {
+            "word_frequencies",
+            "hashed_doc_vector",
+            "knn_ivf",
+            "embedding_neardup_pairs",
+        }
+    )
+    | {
+        "setop_except",
+        "setop_intersect",
+        "distinct_customers",
+        "region_rollup",
+    }
 )
 
 # R8 promotion candidates (note for the next curation pass, the r7

@@ -313,3 +313,35 @@ def test_recursive_cte_closure_matches_connected_components(spark, oracle_sf_dir
     )
     duck = dict(con.execute(closure).fetchall())
     assert duck == want
+
+
+def test_lsh_plan_advisor():
+    """lsh_plan picks (bands, rows) whose S-curve protects the miss rate
+    at the threshold and minimizes verify waste among safe plans; the
+    registry's own 16x4 default at threshold 0.8 is confirmed safe; an
+    impossible bound returns the best-effort plan flagged unsafe."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import neardup
+
+    plan = neardup.lsh_plan(0.8, num_hashes=64, max_fn=0.05)
+    assert plan["bands"] * plan["rows"] == 64
+    p = 1.0 - (1.0 - 0.8 ** plan["rows"]) ** plan["bands"]
+    assert abs(p - plan["p_at_threshold"]) < 1e-12
+    assert plan["meets_fn_bound"] and 1.0 - p <= 0.05
+    # every SAFE divisor plan has at least this much half-threshold waste
+    for r in (1, 2, 4, 8, 16, 32):
+        b = 64 // r
+        miss = (1.0 - 0.8**r) ** b
+        waste = 1.0 - (1.0 - 0.4**r) ** b
+        if miss <= 0.05:
+            assert plan["p_at_half_threshold"] <= waste + 1e-12
+    # the shipped minhash default (16 bands x 4 rows) is in the safe set
+    assert (1.0 - (1.0 - 0.8**4) ** 16) >= 0.95
+    # unreachable bound -> flagged, not silently returned as safe
+    hard = neardup.lsh_plan(0.95, num_hashes=4, max_fn=1e-9)
+    assert hard["meets_fn_bound"] is False
+    with pytest.raises(ValueError, match="threshold"):
+        neardup.lsh_plan(1.5)
+    with pytest.raises(ValueError, match="num_hashes"):
+        neardup.lsh_plan(0.5, num_hashes=1)

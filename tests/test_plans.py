@@ -285,7 +285,12 @@ def test_windows_partition_registry():
         assert obligated in r8 or obligated in registry.RETIRED or (
             obligated in r9
             and obligated
-            in ("setop_except", "setop_intersect", "distinct_customers")
+            in (
+                "setop_except",
+                "setop_intersect",
+                "distinct_customers",
+                "region_rollup",
+            )
         ), obligated
     # retirement is real: retired names are out of the registry, out of
     # both windows, and re-registration is refused
