@@ -248,11 +248,21 @@ def _oriented(und: DataFrame) -> DataFrame:
     O(|E|^1.5) total work instead of O(sum deg^2) -- the difference
     between a web-scale hub melting one reducer and a balanced shuffle.
     Output: (u, v, ku, kv) with ku/kv the (deg, id) order keys."""
-    deg = (
+    return _orient_by(und, _node_degrees(und))
+
+
+def _node_degrees(und: DataFrame) -> DataFrame:
+    """(node, _deg) over the canonical undirected frame -- every node
+    of the graph appears (degree >= 1 by construction), so the frame
+    doubles as the node universe for per-node rollups."""
+    return (
         und.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("_deg"))
     )
+
+
+def _orient_by(und: DataFrame, deg: DataFrame) -> DataFrame:
     e = (
         und.join(deg.withColumnRenamed("node", "a"), "a")
         .withColumnRenamed("_deg", "_da")
@@ -284,6 +294,59 @@ def _oriented(und: DataFrame) -> DataFrame:
     )
 
 
+def _triangle_parts(und: DataFrame):
+    """Shared core of the triangle family over a CANONICAL undirected
+    frame (distinct, a < b -- i.e. undirected_edges output, ideally
+    persisted by the caller). Returns ``(tri, deg, o)``:
+
+    - ``tri``: the LAZY (x, y, z) triangle list, x < y < z;
+    - ``deg``: the PERSISTED (node, _deg) frame the orientation was
+      built from -- it contains every node of the graph, so per-node
+      consumers (triangle_counts, clustering_coefficients) reuse it as
+      the node universe instead of re-exploding + distinct-shuffling
+      the edge set;
+    - ``o``: the PERSISTED oriented frame, cached PRE-PARTITIONED on
+      the wedge pivot ``u`` so the wedge self-join reads both sides
+      exchange-free from the cache (one repartition at fill time
+      replaces two exchanges at join time).
+
+    The caller must materialize everything derived from ``tri`` before
+    unpersisting ``deg`` and ``o``."""
+    deg = _node_degrees(und).persist()
+    try:
+        o = _orient_by(und, deg).repartition("u").persist()
+    except Exception:
+        deg.unpersist()
+        raise
+    try:
+        # fills the persist the wedge join reads anyway, and the count
+        # gates the closure strategy below
+        n_edges = o.count()
+    except Exception:
+        o.unpersist()
+        deg.unpersist()
+        raise
+    w1 = o.select("u", F.col("v").alias("x"), F.col("kv").alias("kx"))
+    w2 = o.select("u", F.col("v").alias("y"), F.col("kv").alias("ky"))
+    wedges = w1.join(w2, "u").filter(F.col("kx") < F.col("ky"))
+    closer = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    # closure: wedges outnumber edges ~C(out-degree, 2)-fold, so
+    # when the EDGE set is driver-broadcastable (<=4M rows ~ 64MB
+    # of pairs) a broadcast semi keeps the wedge stream unshuffled
+    # -- measured 1.5x on the sf0.1 probe (10.6M wedges, 600k
+    # edges). Past the gate (a 100 TB edge list) both sides
+    # shuffle-partition on (x, y) as before.
+    if n_edges <= 4_000_000:
+        closer = F.broadcast(closer)
+    closed = wedges.join(closer, ["x", "y"], "semi")
+    tri = closed.select(
+        F.least("u", "x", "y").alias("x"),
+        F.expr("array_sort(array(u, x, y))[1]").alias("y"),
+        F.greatest("u", "x", "y").alias("z"),
+    )
+    return tri, deg, o
+
+
 def triangles(
     edges: DataFrame,
     src: str = "src",
@@ -293,51 +356,28 @@ def triangles(
 ) -> DataFrame:
     """Every triangle of the undirected graph, once: (x, y, z) with
     x < y < z. Wedges come from the degree-ordered orientation's
-    out-edge self-join (see _oriented -- the skew-proof formulation),
-    closed by one semi-join back to the oriented edge set. Only edge
-    pairs sharing a pivot shuffle; vertices never fan out by degree.
+    out-edge self-join (see _triangle_parts -- the skew-proof
+    formulation), closed by one semi-join back to the oriented edge
+    set. Only edge pairs sharing a pivot shuffle; vertices never fan
+    out by degree.
 
     ``assume_undirected=True`` declares the input ALREADY canonical
     (distinct, src < dst -- i.e. undirected_edges output) and skips
-    re-canonicalizing: the callers that normalize once and fan out
-    (triangle_counts, clustering_coefficients) pass it so the full
-    edge set is distinct-shuffled exactly once per pipeline
-    (r7 verdict #4 -- the old path double-distincted 600k edges in the
-    most expensive headline query)."""
+    re-canonicalizing: callers that normalize once and fan out pass it
+    so the full edge set is distinct-shuffled exactly once per
+    pipeline (r7 verdict #4)."""
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         if assume_undirected
         else undirected_edges(edges, src, dst)
     )
-    o = _oriented(und).persist()
+    tri, deg, o = _triangle_parts(und)
     try:
-        # fills the persist the wedge join reads anyway, and the count
-        # gates the closure strategy below
-        n_edges = o.count()
-        w1 = o.select("u", F.col("v").alias("x"), F.col("kv").alias("kx"))
-        w2 = o.select("u", F.col("v").alias("y"), F.col("kv").alias("ky"))
-        wedges = w1.join(w2, "u").filter(F.col("kx") < F.col("ky"))
-        closer = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
-        # closure: wedges outnumber edges ~C(out-degree, 2)-fold, so
-        # when the EDGE set is driver-broadcastable (<=4M rows ~ 64MB
-        # of pairs) a broadcast semi keeps the wedge stream unshuffled
-        # -- measured 1.5x on the sf0.1 probe (10.6M wedges, 600k
-        # edges). Past the gate (a 100 TB edge list) both sides
-        # shuffle-partition on (x, y) as before.
-        if n_edges <= 4_000_000:
-            closer = F.broadcast(closer)
-        closed = wedges.join(closer, ["x", "y"], "semi")
-        out = closed.select(
-            F.least("u", "x", "y").alias("x"),
-            F.expr(
-                "array_sort(array(u, x, y))[1]"
-            ).alias("y"),
-            F.greatest("u", "x", "y").alias("z"),
-        )
         # Materialize before releasing the oriented frame.
-        return out.localCheckpoint()
+        return tri.localCheckpoint()
     finally:
         o.unpersist()
+        deg.unpersist()
 
 
 def triangle_counts(
@@ -348,38 +388,43 @@ def triangle_counts(
     assume_undirected: bool = False,
 ) -> DataFrame:
     """(node, triangles) for every node of the undirected graph --
-    nodes on no triangle report 0. Canonicalizes once and threads the
-    canonical frame into triangles() (assume_undirected), so the edge
-    set is distinct-shuffled a single time: standalone calls persist
-    their own canonical frame across its two consumers (the wedge join
-    and the node list); assume_undirected callers own the caching of
-    the frame they pass (clustering_coefficients' persisted und)."""
-
-    def build(und: DataFrame) -> DataFrame:
-        tri = triangles(und, "a", "b", assume_undirected=True)
-        per_node = (
-            tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("triangles"))
-        )
-        nodes = und.select(
-            F.explode(F.array("a", "b")).alias("node")
-        ).distinct()
-        return nodes.join(per_node, "node", "left").select(
-            "node", F.coalesce("triangles", F.lit(0)).alias("triangles")
-        )
-
-    if assume_undirected:
-        return build(
-            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        )
-    und = undirected_edges(edges, src, dst).persist()
+    nodes on no triangle report 0. One canonicalization, one shared
+    degree frame (doubling as the node universe -- no second
+    explode+distinct over the edges), and ONE materialization: the
+    20k-row per-node aggregate is the only thing checkpointed, never
+    the raw triangle list (r8 -- the old path checkpointed the full
+    (x,y,z) list just to release the oriented cache, paying an extra
+    job barrier in the most expensive headline probe)."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        if assume_undirected
+        else undirected_edges(edges, src, dst).persist()
+    )
     try:
-        # triangles() localCheckpoints (materializes) inside build, so
-        # both consumers of the persisted frame run before the release
-        return build(und).localCheckpoint()
+        tri, deg, o = _triangle_parts(und)
+        try:
+            per_node = (
+                tri.select(
+                    F.explode(F.array("x", "y", "z")).alias("node")
+                )
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("triangles"))
+            )
+            out = (
+                deg.select("node")
+                .join(per_node, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("triangles", F.lit(0)).alias("triangles"),
+                )
+            )
+            return out.localCheckpoint()
+        finally:
+            o.unpersist()
+            deg.unpersist()
     finally:
-        und.unpersist()
+        if not assume_undirected:
+            und.unpersist()
 
 
 def clustering_coefficients(
@@ -389,29 +434,40 @@ def clustering_coefficients(
     over the undirected graph, 0.0 where degree < 2. Output
     (node, deg, triangles, lcc) -- the transitivity profile used to
     spot tightly-knit near-dup neighborhoods vs hub-and-spoke link
-    farms in document graphs."""
+    farms in document graphs. Shares _triangle_parts' degree frame for
+    both the denominator and the node universe -- degrees are computed
+    once per call."""
     und = undirected_edges(edges, src, dst).persist()
     try:
-        tc = triangle_counts(und, "a", "b", assume_undirected=True)
-        d = (
-            und.select(F.explode(F.array("a", "b")).alias("node"))
+        tri, deg, o = _triangle_parts(und)
+    except Exception:
+        und.unpersist()
+        raise
+    try:
+        per_node = (
+            tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
             .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
+            .agg(F.count(F.lit(1)).alias("triangles"))
         )
-        out = d.join(tc, "node").select(
-            "node",
-            "deg",
-            "triangles",
-            F.when(F.col("deg") < 2, F.lit(0.0))
-            .otherwise(
-                2.0
-                * F.col("triangles")
-                / (F.col("deg") * (F.col("deg") - F.lit(1)))
+        out = (
+            deg.join(per_node, "node", "left")
+            .select(
+                "node",
+                F.col("_deg").alias("deg"),
+                F.coalesce("triangles", F.lit(0)).alias("triangles"),
+                F.when(F.col("_deg") < 2, F.lit(0.0))
+                .otherwise(
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("_deg") * (F.col("_deg") - F.lit(1)))
+                )
+                .alias("lcc"),
             )
-            .alias("lcc"),
         )
         return out.localCheckpoint()
     finally:
+        o.unpersist()
+        deg.unpersist()
         und.unpersist()
 
 
