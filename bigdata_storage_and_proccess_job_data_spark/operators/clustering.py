@@ -83,7 +83,7 @@ def kmeans_refine(
             cents = [[float(x) for x in row] for row in cent]
             assigned = v.withColumn(
                 "_cell",
-                F.array_max(_cell_sims(F.col("_v"), cents))["cell"],
+                F.array_max(_cell_sims("_v", cents))["cell"],
             )
             agg = (
                 assigned.groupBy("_cell")
@@ -147,7 +147,7 @@ def kmeans_objective(
     row = (
         _unit_vectors(corpus, vec_col)
         .select(
-            F.array_max(_cell_sims(F.col("_v"), cents))["sim"].alias(
+            F.array_max(_cell_sims("_v", cents))["sim"].alias(
                 "_s"
             )
         )

@@ -69,7 +69,7 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             stable_round(
-                vectors.cosine(F.col("_qv"), F.col("_cv")), 4
+                vectors.cosine_expr("_qv", "_cv"), 4
             ).alias("sim"),
         )
     )
@@ -304,78 +304,85 @@ def md5_centroids(
     ]
 
 
-def signature_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature (BIGINT bucket id) of a vector against the
-    hyperplane set: bit p = (vec . plane_p) >= 0.
-
-    The plane set rides ONE parsed nested-array literal
-    (vectors.lit_matrix) and a fold over plane indices, not
-    per-component Literal nodes (r8): the old unrolled form spent
-    seconds of DRIVER time per lsh_topk call at 8x4x64 constructing
-    the expression tree over py4j -- invisible to executor metrics,
-    pure query-latency overhead.
-    Values are bit-identical (same dots, same order), so the md5-plane
-    DuckDB oracles are unaffected. Bits come from pow(2, p) (exact in a
-    double for p <= 52; sign bits are distinct, so sum == bitwise OR)."""
-    if len(planes) > 52:
-        raise ValueError("signature_expr supports at most 52 planes")
-    pl = vectors.lit_matrix(planes)
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(len(planes) - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, p: acc
-        + F.when(
-            vectors.dot(vec, F.element_at(pl, p + 1)) >= 0,
-            F.pow(F.lit(2.0), p).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+def _sig_fold_sql(vec_sql: str, mat_sql: str, n_planes: int) -> str:
+    """SQL text of the sign-bit fold: bit p set iff
+    (vec . planes[p]) >= 0, summed as pow(2, p) (exact in a double for
+    p <= 52; sign bits are distinct, so sum == bitwise OR). Same
+    catalyst tree the Column-API fold produced, one parse."""
+    return (
+        f"aggregate(sequence(0, {n_planes - 1}), cast(0 as bigint), "
+        "(acc, p) -> acc + (case when "
+        + vectors.dot_sql(vec_sql, f"element_at({mat_sql}, p + 1)")
+        + " >= 0 then cast(pow(2.0D, p) as bigint) "
+        "else cast(0 as bigint) end))"
     )
 
 
-def _check_dim(df: DataFrame, vec_col: str, dim: int) -> None:
-    """One-row probe asserting the data's real dimension matches the
-    hyperplane dimension. Without it a mismatch is SILENT and
-    catastrophic: zip_with pads with nulls, every dot folds to null,
-    every sign bit goes 0, all vectors land in one bucket per table, and
-    the 'bucketed' join degenerates to the all-pairs product it exists
-    to avoid."""
-    row = df.select(F.size(vectors.as_double(vec_col)).alias("d")).first()
-    if row is not None and row.d != dim:
-        raise ValueError(
-            f"{vec_col} has dimension {row.d}, hyperplanes built for {dim}; "
-            "pass dim= matching the data"
+def signature_expr(
+    vec: Column | str, planes: list[list[float]]
+) -> Column:
+    """Sign-bit signature (BIGINT bucket id) of a vector against the
+    hyperplane set: bit p = (vec . plane_p) >= 0.
+
+    Built as ONE SQL string parsed JVM-side (r8): the old unrolled
+    form spent seconds of DRIVER time per lsh_topk call at 8x4x64
+    constructing the expression tree over py4j -- invisible to
+    executor metrics, pure query-latency overhead -- and even the
+    lambda-HOF fold still paid ~100 py4j round-trips per call. Values
+    are bit-identical (same dots, same fold order), so the md5-plane
+    DuckDB oracles are unaffected."""
+    if len(planes) > 52:
+        raise ValueError("signature_expr supports at most 52 planes")
+    return F.expr(
+        _sig_fold_sql(
+            vectors.sql_of(vec), vectors.matrix_sql(planes), len(planes)
         )
+    )
 
 
-def _bucket_array(vec: Column, tables: list[list[list[float]]]) -> Column:
+def _dim_guard_sql(vec_sql: str, dim: int, body_sql: str, what: str) -> str:
+    """Wrap ``body_sql`` in a per-row dimension assertion. A mismatch
+    between the data's real dimension and the hyperplane/centroid
+    dimension is otherwise SILENT and catastrophic: zip_with pads with
+    nulls, every dot folds to null, every sign bit goes 0, all vectors
+    land in one bucket per table, and the 'bucketed' join degenerates
+    to the all-pairs product it exists to avoid. The guard compiles
+    into the row expression (one size() + branch, negligible next to
+    the dot folds) instead of the old eager one-row probe, which ran a
+    whole Spark JOB inside plan construction (~0.2 s per call at
+    bench scale). NULL vectors keep their pre-guard semantics (the
+    fold's own null propagation)."""
+    return (
+        f"case when {vec_sql} is null or size({vec_sql}) = {dim} "
+        f"then {body_sql} else raise_error(concat("
+        f"'{what}: vector dimension ', cast(size({vec_sql}) as string), "
+        f"' does not match parameter dimension {dim}')) end"
+    )
+
+
+def _bucket_array(
+    vec: Column | str, tables: list[list[list[float]]]
+) -> Column:
     """array<struct<table:int, bucket:bigint>> -- one LSH bucket per
-    table. All tables ride ONE parsed 3-d literal (vectors.lit_cube)
-    and a transform over table indices (r8 driver-latency fix, see
-    signature_expr): the per-table unroll re-built the signature fold
-    n_tables times over py4j. Same sign-bit semantics, same values."""
+    table. The whole thing is ONE SQL string parsed JVM-side (r8
+    driver-latency fix, see signature_expr): the per-table unroll
+    re-built the signature fold n_tables times over py4j, and even the
+    lambda-HOF rewrite still paid ~0.7 s of construction per call at
+    8x4x64. Same sign-bit semantics, same values."""
     n_planes = len(tables[0])
     if any(len(t) != n_planes for t in tables):
         raise ValueError("all LSH tables must have the same plane count")
     if n_planes > 52:
         raise ValueError("_bucket_array supports at most 52 planes")
-    cube = vectors.lit_cube(tables)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(len(tables) - 1)),
-        lambda t: F.struct(
-            t.cast("int").alias("table"),
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(n_planes - 1)),
-                F.lit(0).cast("long"),
-                lambda acc, p: acc
-                + F.when(
-                    vectors.dot(
-                        vec,
-                        F.element_at(F.element_at(cube, t + 1), p + 1),
-                    )
-                    >= 0,
-                    F.pow(F.lit(2.0), p).cast("long"),
-                ).otherwise(F.lit(0).cast("long")),
-            ).alias("bucket"),
-        ),
+    vec_sql = vectors.sql_of(vec)
+    cube = vectors.cube_sql(tables)
+    fold = _sig_fold_sql(vec_sql, f"element_at({cube}, t + 1)", n_planes)
+    body = (
+        f"transform(sequence(0, {len(tables) - 1}), t -> "
+        f"named_struct('table', cast(t as int), 'bucket', {fold}))"
+    )
+    return F.expr(
+        _dim_guard_sql(vec_sql, len(tables[0][0]), body, "_bucket_array")
     )
 
 
@@ -406,7 +413,7 @@ def lsh_topk(
     DuckDB oracle: the oracle re-derives the same planes from md5 and
     recomputes bucketing + cosine + rank in SQL (VERDICT r5 #3).
     """
-    _check_dim(corpus, vec_col, dim)
+    # dim mismatch raises per-row inside _bucket_array (_dim_guard_sql)
     tables = [
         md5_hyperplanes(dim, n_planes, t, seed) for t in range(n_tables)
     ]
@@ -419,12 +426,12 @@ def lsh_topk(
         vectors.as_double(vec_col).alias("_cv"),
     )
     qb = q.select(
-        "query_id", "_qv", F.explode(_bucket_array(F.col("_qv"), tables)).alias("b")
+        "query_id", "_qv", F.explode(_bucket_array("_qv", tables)).alias("b")
     ).select("query_id", "_qv", "b.table", "b.bucket")
     cb = c.select(
         "neighbor_id",
         "_cv",
-        F.explode(_bucket_array(F.col("_cv"), tables)).alias("b"),
+        F.explode(_bucket_array("_cv", tables)).alias("b"),
     ).select("neighbor_id", "_cv", "b.table", "b.bucket")
     scored = (
         qb.join(cb, ["table", "bucket"])
@@ -435,7 +442,7 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             stable_round(
-                vectors.cosine(F.col("_qv"), F.col("_cv")), 4
+                vectors.cosine_expr("_qv", "_cv"), 4
             ).alias("sim"),
         )
     )
@@ -478,7 +485,7 @@ def cosine_neardup_pairs(
     holds because of it. At higher corpus scale, raise n_planes (bucket
     selectivity) and n_tables (recall) together.
     """
-    _check_dim(corpus, vec_col, dim)
+    # dim mismatch raises per-row inside _bucket_array (_dim_guard_sql)
     tables = [
         hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
@@ -486,7 +493,7 @@ def cosine_neardup_pairs(
         F.col(id_col).alias("_id"), vectors.as_double(vec_col).alias("_v")
     ).filter(F.col("_v").isNotNull())
     buckets = v.select(
-        "_id", F.explode(_bucket_array(F.col("_v"), tables)).alias("b")
+        "_id", F.explode(_bucket_array("_v", tables)).alias("b")
     ).select("_id", "b.table", "b.bucket")
     cand = (
         buckets.select(F.col("_id").alias("id_a"), "table", "bucket")
@@ -500,7 +507,7 @@ def cosine_neardup_pairs(
     )
     va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
     vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
-    sim_raw = vectors.cosine(F.col("_va"), F.col("_vb"))
+    sim_raw = vectors.cosine_expr("_va", "_vb")
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -557,23 +564,26 @@ def train_centroids(
     return [[float(v) for v in row] for row in cent]
 
 
-def _cell_sims(vec: Column, centroids: list[list[float]]) -> Column:
+def _cell_sims(
+    vec: Column | str, centroids: list[list[float]]
+) -> Column:
     """array<struct<sim:double, cell:int>> -- dot against every centroid.
     Struct field order (sim first) makes array_max/sort_array rank by
     similarity with cell id as the tiebreak, all inside codegen.
 
-    Centroids ride ONE parsed nested-array literal
-    (vectors.lit_matrix) + transform over cell indices (r8, same
-    driver-latency fix as signature_expr): the unrolled form spent the
-    call's time constructing k x dim Literal nodes over py4j. Values
-    are bit-identical."""
-    cl = vectors.lit_matrix(centroids)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-        lambda i: F.struct(
-            vectors.dot(vec, F.element_at(cl, i + 1)).alias("sim"),
-            i.cast("int").alias("cell"),
-        ),
+    ONE SQL string parsed JVM-side (r8, same driver-latency fix as
+    signature_expr): the unrolled form spent the call's time
+    constructing k x dim Literal nodes over py4j. Values are
+    bit-identical."""
+    vec_sql = vectors.sql_of(vec)
+    mat = vectors.matrix_sql(centroids)
+    d = vectors.dot_sql(vec_sql, f"element_at({mat}, i + 1)")
+    body = (
+        f"transform(sequence(0, {len(centroids) - 1}), i -> "
+        f"named_struct('sim', {d}, 'cell', cast(i as int)))"
+    )
+    return F.expr(
+        _dim_guard_sql(vec_sql, len(centroids[0]), body, "_cell_sims")
     )
 
 
@@ -594,7 +604,7 @@ def assign_cells(
         vectors.as_double(vec_col).alias("_cv"),
     )
     return c.withColumn(
-        "cell", F.array_max(_cell_sims(F.col("_cv"), centroids))["cell"]
+        "cell", F.array_max(_cell_sims("_cv", centroids))["cell"]
     )
 
 
@@ -1150,7 +1160,7 @@ def ivf_topk(
         q.withColumn(
             "_probe",
             F.slice(
-                F.sort_array(_cell_sims(F.col("_qv"), centroids), asc=False),
+                F.sort_array(_cell_sims("_qv", centroids), asc=False),
                 1,
                 n_probe,
             ),
@@ -1165,7 +1175,7 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             stable_round(
-                vectors.cosine(F.col("_qv"), F.col("_cv")), 4
+                vectors.cosine_expr("_qv", "_cv"), 4
             ).alias("sim"),
         )
     )

@@ -184,10 +184,14 @@ def test_lsh_paths_reject_dim_mismatch(spark):
     df = spark.createDataFrame(
         [(1, [0.1] * 128), (2, [0.2] * 128)], "vec_id LONG, embedding ARRAY<DOUBLE>"
     )
-    with pytest.raises(ValueError, match="dimension 128"):
-        similarity.cosine_neardup_pairs(df, dim=64)
-    with pytest.raises(ValueError, match="dimension 128"):
-        similarity.lsh_topk(df, df, dim=64)
+    # since r8 the guard compiles into the row expression
+    # (_dim_guard_sql) instead of running an eager one-row Spark job at
+    # plan-construction time, so the error surfaces on the first
+    # executed row
+    with pytest.raises(Exception, match="dimension 128"):
+        similarity.cosine_neardup_pairs(df, dim=64).collect()
+    with pytest.raises(Exception, match="dimension 128"):
+        similarity.lsh_topk(df, df, dim=64).collect()
 
 
 def _planted_dup_corpus(spark, n_base=300, n_dups=40, scale=0.18, seed=7):
