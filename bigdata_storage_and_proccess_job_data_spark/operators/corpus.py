@@ -1118,3 +1118,299 @@ def kfold_assign(
         F.substring(F.md5(F.concat(key_str, F.lit(salt))), 1, 13), 16, 10
     ).cast("long")
     return df.withColumn(label_col, (h % F.lit(k)).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier (fastText shape) + DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def nb_token_odds_table(
+    pos: DataFrame,
+    neg: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Binary Naive Bayes token log-odds fit on two labeled corpora --
+    the in-engine counterpart of the fastText-style linear quality
+    classifier big pretraining pipelines use to keep "reference-like"
+    text (Joulin et al. 2016 for the model family; GPT-3/Gopher-style
+    pipelines describe filtering CommonCrawl with exactly this shape:
+    a linear classifier over token features with a high-quality
+    positive set).
+
+    Model: odds(w) = ln P(w|pos) - ln P(w|neg) with add-``alpha``
+    smoothing over the top-``vocab_size`` tokens BY COMBINED COUNT plus
+    one OOV bucket (token NULL):
+
+        ln((c_pos + a) / (N_pos + a*(V+1))) -
+        ln((c_neg + a) / (N_neg + a*(V+1)))
+
+    where N_* are the full corpus token totals (not just in-vocab), the
+    unigram_logprob_table convention. Distributed end to end: two
+    explode + hash-agg count passes, a full-outer token join, a
+    TakeOrdered top-V cut (never a global sort), scalar totals on a
+    one-row broadcast. The result is a tiny stored artifact (<= V+1
+    rows) -- fit once, broadcast-join it into every scoring run.
+
+    Returns (token nullable, odds)."""
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (smoothing mass)")
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(text.tokens(F.lower(F.col(text_col)))).alias("t")
+            )
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    cp, cn = counts(pos, "cp"), counts(neg, "cn")
+    both = (
+        cp.join(cn, "t", "full")
+        .select(
+            "t",
+            F.coalesce("cp", F.lit(0)).alias("cp"),
+            F.coalesce("cn", F.lit(0)).alias("cn"),
+        )
+    )
+    top = both.orderBy(
+        (F.col("cp") + F.col("cn")).desc(), F.col("t").asc()
+    ).limit(vocab_size)
+    scalars = (
+        cp.agg(F.coalesce(F.sum("cp"), F.lit(0)).cast("double").alias("_np"))
+        .crossJoin(
+            cn.agg(
+                F.coalesce(F.sum("cn"), F.lit(0)).cast("double").alias("_nn")
+            )
+        )
+        .crossJoin(top.agg(F.count(F.lit(1)).cast("double").alias("_v")))
+    )
+
+    def odds(cp_col: Column, cn_col: Column) -> Column:
+        return (
+            F.log(cp_col + F.lit(alpha))
+            - F.log(F.col("_np") + alpha * (F.col("_v") + 1))
+        ) - (
+            F.log(cn_col + F.lit(alpha))
+            - F.log(F.col("_nn") + alpha * (F.col("_v") + 1))
+        )
+
+    in_vocab = top.crossJoin(F.broadcast(scalars)).select(
+        F.col("t").alias("token"),
+        odds(F.col("cp"), F.col("cn")).alias("odds"),
+    )
+    oov = scalars.select(
+        F.lit(None).cast("string").alias("token"),
+        odds(F.lit(0.0), F.lit(0.0)).alias("odds"),
+    )
+    return in_vocab.unionByName(oov)
+
+
+def nb_log_odds(
+    docs: DataFrame,
+    odds: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prior_log_odds: float = 0.0,
+) -> DataFrame:
+    """Per-document classifier score under an nb_token_odds_table model:
+    log_odds(doc) = prior + sum over tokens of odds(token), OOV tokens
+    falling back to the model's NULL-token row. Positive means
+    "looks like the positive corpus"; threshold on it (or on a
+    sigmoid of it) for the quality-filter decision.
+
+    Scale shape (the unigram_surprisal pattern): explode doc tokens,
+    ONE broadcast left join against the bounded model table, one hash
+    agg back to doc grain -- no Python in the row path. Documents with
+    no tokens carry no evidence and score exactly the prior.
+
+    Returns (id_col, n_tokens, log_odds)."""
+    oov = odds.filter(F.col("token").isNull()).select(
+        F.col("odds").alias("_oov_odds")
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(text.tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    scored = (
+        toks.join(
+            F.broadcast(odds.filter(F.col("token").isNotNull())),
+            "token",
+            "left",
+        )
+        .crossJoin(F.broadcast(oov))
+        .select(
+            id_col,
+            F.coalesce(F.col("odds"), F.col("_oov_odds")).alias("_o"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("_o").alias("_sum"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            (F.lit(float(prior_log_odds)) + F.coalesce(F.col("_sum"), F.lit(0.0))).alias(
+                "log_odds"
+            ),
+        )
+    )
+
+
+def _hashed_ngram_buckets(text_expr: Column, ngram: int, buckets: int) -> Column:
+    """array<long> of hashed word-n-gram feature buckets (with
+    multiplicity -- multinomial features, not a set). md5-derived so any
+    engine can recompute the bucketing exactly (neardup.md5_hash60)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators.neardup import (
+        md5_hash60,
+    )
+
+    return F.transform(
+        text.word_ngrams(text_expr, ngram),
+        lambda g: F.pmod(md5_hash60(g), F.lit(buckets)),
+    )
+
+
+def dsir_logratio_table(
+    target: DataFrame,
+    source: DataFrame,
+    text_col: str = "text",
+    ngram: int = 2,
+    buckets: int = 10_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Hashed-n-gram importance-ratio model for data selection (DSIR,
+    Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): fit multinomial bucket distributions of the TARGET
+    (what you want more of) and SOURCE (what you have) corpora over
+    md5-hashed word n-grams, and store, per bucket,
+
+        logratio(b) = ln((c_t + a)/(N_t + a*B)) - ln((c_s + a)/(N_s + a*B))
+
+    A document's importance log-weight is then the sum of logratio over
+    its hashed features (dsir_log_weights); resample the source corpus
+    proportionally to exp(weight) (weighted_take_k) to shift it toward
+    the target distribution.
+
+    Only buckets observed in either corpus materialize as rows; the
+    never-seen-bucket constant rides a NULL-bucket row (the OOV
+    pattern), so the artifact is <= min(B, observed)+1 rows and
+    broadcast-joins into scoring runs. Two explode + hash-agg passes,
+    one full-outer bucket join, scalars on a one-row broadcast.
+
+    Returns (bucket nullable, logratio)."""
+    if ngram < 1:
+        raise ValueError("ngram must be >= 1")
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (smoothing mass)")
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    _hashed_ngram_buckets(F.col(text_col), ngram, buckets)
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    ct, cs = counts(target, "ct"), counts(source, "cs")
+    both = ct.join(cs, "bucket", "full").select(
+        "bucket",
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+        F.coalesce("cs", F.lit(0)).alias("cs"),
+    )
+    scalars = (
+        ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("_nt"))
+        .crossJoin(
+            cs.agg(
+                F.coalesce(F.sum("cs"), F.lit(0)).cast("double").alias("_ns")
+            )
+        )
+    )
+
+    def ratio(ct_col: Column, cs_col: Column) -> Column:
+        return (
+            F.log(ct_col + F.lit(alpha))
+            - F.log(F.col("_nt") + alpha * buckets)
+        ) - (
+            F.log(cs_col + F.lit(alpha))
+            - F.log(F.col("_ns") + alpha * buckets)
+        )
+
+    seen = both.crossJoin(F.broadcast(scalars)).select(
+        "bucket", ratio(F.col("ct"), F.col("cs")).alias("logratio")
+    )
+    unseen = scalars.select(
+        F.lit(None).cast("long").alias("bucket"),
+        ratio(F.lit(0.0), F.lit(0.0)).alias("logratio"),
+    )
+    return seen.unionByName(unseen)
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    table: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight under a
+    dsir_logratio_table model: sum of logratio over the document's
+    hashed n-gram features (with multiplicity), unseen buckets falling
+    back to the model's NULL-bucket row. ``ngram``/``buckets`` MUST
+    match the fit call (the hash space is part of the model).
+
+    Documents with fewer than ``ngram`` tokens have no features and
+    weigh ln(1) = 0 -- equally likely under both distributions, by
+    construction. Scale shape: explode hashed features, one broadcast
+    left join against the bounded model, one hash agg to doc grain.
+
+    Returns (id_col, n_features, log_weight)."""
+    dflt = table.filter(F.col("bucket").isNull()).select(
+        F.col("logratio").alias("_dflt")
+    )
+    feats = docs.select(
+        F.col(id_col),
+        F.explode(
+            _hashed_ngram_buckets(F.col(text_col), ngram, buckets)
+        ).alias("bucket"),
+    )
+    scored = (
+        feats.join(
+            F.broadcast(table.filter(F.col("bucket").isNotNull())),
+            "bucket",
+            "left",
+        )
+        .crossJoin(F.broadcast(dflt))
+        .select(
+            id_col,
+            F.coalesce(F.col("logratio"), F.col("_dflt")).alias("_lr"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.sum("_lr").alias("_sum"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_features"), F.lit(0)).alias("n_features"),
+            F.coalesce(F.col("_sum"), F.lit(0.0)).alias("log_weight"),
+        )
+    )

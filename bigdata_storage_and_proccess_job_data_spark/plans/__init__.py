@@ -402,7 +402,13 @@ DRIVER_WINDOW_R9_PLAN = sorted(
 # assignment parity in test_leakage_safe_split_group_atomic_and_parity)
 # [EXECUTED r8, retiring dedup_exact_docs],
 # duplication_density (inverted-index shape, SQL-expressible like
-# duplicate_ngram_spans) [still a candidate -- the natural R9 pick]. mmr_rerank and split_leakage_audit are
+# duplicate_ngram_spans) [still a candidate -- the natural R9 pick].
+# Mid-r8 additions with the same oracle-grade local parity, both
+# R9-promotable (full fit+score DuckDB value compare in
+# tests/test_corpus.py): nb_log_odds (fastText-shape quality filter,
+# test_nb_quality_filter_fit_score_parity) and dsir_log_weights
+# (DSIR importance weights, test_dsir_importance_weights_parity).
+# mmr_rerank and split_leakage_audit are
 # iterative/compositional -- test-only by design, the heavy_hitters
 # precedent. Late-r7 additions with the same oracle-grade local parity
 # (tests/test_fuzzy.py, test_mining.py, test_baskets.py,

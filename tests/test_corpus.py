@@ -1121,3 +1121,220 @@ def test_split_by_rules_quarantine_and_parity(spark, oracle_sf_dir):
         """,
     )
     assert problems == [], problems
+
+
+def test_nb_quality_filter_fit_score_parity(spark, oracle_sf_dir):
+    """fastText-shape binary quality filter: (1) a doc of positive-
+    corpus tokens scores positive log-odds and a negative-corpus doc
+    scores negative, (2) an empty doc carries no evidence and scores
+    exactly the prior, (3) the whole fit+score pipeline (combined-count
+    top-V cut, add-alpha smoothing, OOV fallback, prior) is recomputed
+    value-for-value in DuckDB, (4) parameter validation."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        SQL_TOKENS_LOWER,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    pos = spark.createDataFrame(
+        [(i, "clean prose with careful grammar here") for i in range(5)],
+        "doc_id LONG, text STRING",
+    )
+    neg = spark.createDataFrame(
+        [(i, "zzspam buy now zzclick zzspam now") for i in range(5)],
+        "doc_id LONG, text STRING",
+    )
+    model = corpus.nb_token_odds_table(pos, neg, vocab_size=50, alpha=1.0)
+    probe = spark.createDataFrame(
+        [(1, "careful clean prose"), (2, "zzspam zzclick now"), (3, "")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: r
+        for r in corpus.nb_log_odds(probe, model, prior_log_odds=0.25).collect()
+    }
+    assert got[1].log_odds > 0.25 and got[2].log_odds < 0.25
+    assert got[3].log_odds == pytest.approx(0.25) and got[3].n_tokens == 0
+
+    with pytest.raises(ValueError, match="vocab_size"):
+        corpus.nb_token_odds_table(pos, neg, vocab_size=0)
+    with pytest.raises(ValueError, match="alpha"):
+        corpus.nb_token_odds_table(pos, neg, alpha=0.0)
+
+    # cross-engine parity on the real corpus: pos = doc_id % 3 == 0
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    p = docs.filter(F.col("doc_id") % 3 == 0)
+    n = docs.filter(F.col("doc_id") % 3 != 0)
+    model = corpus.nb_token_odds_table(p, n, vocab_size=300, alpha=1.0)
+    scored = corpus.nb_log_odds(docs, model).select(
+        "doc_id",
+        "n_tokens",
+        stable_round(F.col("log_odds"), 4).alias("log_odds"),
+    )
+    sql = f"""
+        WITH ptoks AS (
+          SELECT unnest({SQL_TOKENS_LOWER}) AS t FROM documents
+          WHERE doc_id % 3 = 0
+        ),
+        ntoks AS (
+          SELECT unnest({SQL_TOKENS_LOWER}) AS t FROM documents
+          WHERE doc_id % 3 <> 0
+        ),
+        cp AS (SELECT t, COUNT(*) AS cp FROM ptoks GROUP BY t),
+        cn AS (SELECT t, COUNT(*) AS cn FROM ntoks GROUP BY t),
+        merged AS (
+          SELECT COALESCE(cp.t, cn.t) AS t,
+                 COALESCE(cp.cp, 0) AS cp, COALESCE(cn.cn, 0) AS cn
+          FROM cp FULL JOIN cn ON cp.t = cn.t
+        ),
+        top AS (SELECT * FROM merged ORDER BY (cp + cn) DESC, t ASC LIMIT 300),
+        scal AS (
+          SELECT (SELECT COALESCE(SUM(cp), 0) FROM cp)::DOUBLE AS np,
+                 (SELECT COALESCE(SUM(cn), 0) FROM cn)::DOUBLE AS nn,
+                 (SELECT COUNT(*) FROM top)::DOUBLE AS v
+        ),
+        odds AS (
+          SELECT t,
+                 (ln(cp + 1.0) - ln(np + 1.0 * (v + 1)))
+               - (ln(cn + 1.0) - ln(nn + 1.0 * (v + 1))) AS odds
+          FROM top, scal
+        ),
+        oov AS (
+          SELECT (ln(1.0) - ln(np + 1.0 * (v + 1)))
+               - (ln(1.0) - ln(nn + 1.0 * (v + 1))) AS odds
+          FROM scal
+        ),
+        dtoks AS (
+          SELECT doc_id, unnest({SQL_TOKENS_LOWER}) AS t FROM documents
+        ),
+        per_doc AS (
+          SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 SUM(COALESCE(o.odds, (SELECT odds FROM oov))) AS s
+          FROM dtoks d LEFT JOIN odds o ON d.t = o.t
+          GROUP BY d.doc_id
+        )
+        SELECT b.doc_id,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               {sql_round("0.0 + COALESCE(p.s, 0.0)", 4)} AS log_odds
+        FROM (SELECT DISTINCT doc_id FROM documents) b
+        LEFT JOIN per_doc p USING (doc_id)
+    """
+    con = duckdb_connect(oracle_sf_dir)
+    assert compare(scored, con, sql) == []
+
+
+def test_dsir_importance_weights_parity(spark, oracle_sf_dir):
+    """DSIR hashed-n-gram importance weights: (1) a target-like doc
+    outweighs a source-like doc, (2) docs with fewer than n tokens have
+    no features and weigh ln(1)=0, (3) fit+score recomputed
+    value-for-value in DuckDB through the md5 bucket hash, (4)
+    parameter validation."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        SQL_TOKENS_LOWER,
+        _md5_hash60_sql,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma delta alpha beta") for i in range(5)],
+        "doc_id LONG, text STRING",
+    )
+    source = spark.createDataFrame(
+        [(i, "omega psi chi phi omega psi") for i in range(5)],
+        "doc_id LONG, text STRING",
+    )
+    table = corpus.dsir_logratio_table(target, source, buckets=97)
+    probe = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "omega psi chi"), (3, "solo")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: r
+        for r in corpus.dsir_log_weights(probe, table, buckets=97).collect()
+    }
+    assert got[1].log_weight > got[2].log_weight
+    assert got[1].log_weight > 0 > got[2].log_weight
+    assert got[3].log_weight == 0.0 and got[3].n_features == 0
+
+    with pytest.raises(ValueError, match="ngram"):
+        corpus.dsir_logratio_table(target, source, ngram=0)
+    with pytest.raises(ValueError, match="buckets"):
+        corpus.dsir_logratio_table(target, source, buckets=1)
+    with pytest.raises(ValueError, match="alpha"):
+        corpus.dsir_logratio_table(target, source, alpha=-1.0)
+
+    # cross-engine parity: target = doc_id % 3 == 0, bigram features
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    t = docs.filter(F.col("doc_id") % 3 == 0)
+    s = docs.filter(F.col("doc_id") % 3 != 0)
+    B = 1000
+    table = corpus.dsir_logratio_table(t, s, buckets=B, alpha=1.0)
+    scored = corpus.dsir_log_weights(docs, table, buckets=B).select(
+        "doc_id",
+        "n_features",
+        stable_round(F.col("log_weight"), 4).alias("log_weight"),
+    )
+    h = _md5_hash60_sql("g")
+    sql = f"""
+        WITH t0 AS (
+          SELECT doc_id, {SQL_TOKENS_LOWER} AS toks FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i + 1]))
+                 AS g
+          FROM t0
+        ),
+        feats AS (SELECT doc_id, ({h} % {B}) AS bucket FROM grams),
+        ct AS (
+          SELECT bucket, COUNT(*) AS ct FROM feats
+          WHERE doc_id % 3 = 0 GROUP BY bucket
+        ),
+        cs AS (
+          SELECT bucket, COUNT(*) AS cs FROM feats
+          WHERE doc_id % 3 <> 0 GROUP BY bucket
+        ),
+        merged AS (
+          SELECT COALESCE(ct.bucket, cs.bucket) AS bucket,
+                 COALESCE(ct.ct, 0) AS ct, COALESCE(cs.cs, 0) AS cs
+          FROM ct FULL JOIN cs ON ct.bucket = cs.bucket
+        ),
+        scal AS (
+          SELECT (SELECT COALESCE(SUM(ct), 0) FROM ct)::DOUBLE AS nt,
+                 (SELECT COALESCE(SUM(cs), 0) FROM cs)::DOUBLE AS ns
+        ),
+        ratio AS (
+          SELECT bucket,
+                 (ln(ct + 1.0) - ln(nt + 1.0 * {B}))
+               - (ln(cs + 1.0) - ln(ns + 1.0 * {B})) AS logratio
+          FROM merged, scal
+        ),
+        dflt AS (
+          SELECT (ln(1.0) - ln(nt + 1.0 * {B}))
+               - (ln(1.0) - ln(ns + 1.0 * {B})) AS logratio
+          FROM scal
+        ),
+        per_doc AS (
+          SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+                 SUM(COALESCE(r.logratio, (SELECT logratio FROM dflt))) AS s
+          FROM feats f LEFT JOIN ratio r ON f.bucket = r.bucket
+          GROUP BY f.doc_id
+        )
+        SELECT b.doc_id,
+               COALESCE(p.n_features, 0) AS n_features,
+               {sql_round("COALESCE(p.s, 0.0)", 4)} AS log_weight
+        FROM (SELECT DISTINCT doc_id FROM documents) b
+        LEFT JOIN per_doc p USING (doc_id)
+    """
+    con = duckdb_connect(oracle_sf_dir)
+    assert compare(scored, con, sql) == []
