@@ -386,6 +386,54 @@ def _bucket_array(
     )
 
 
+def _probe_buckets(
+    vec_sql: str, tables: list[list[list[float]]], n_probes: int
+) -> Column:
+    """Query-directed multi-probe bucket set (Lv et al. 2007,
+    "Multi-Probe LSH"): per table, the base sign-bit bucket plus
+    ``n_probes - 1`` single-bit perturbations flipping the bits whose
+    |dot| margin is smallest -- the planes the vector sits closest to,
+    i.e. the flips most likely to recover a near neighbor that landed
+    just across one boundary. array<struct<table:int, bucket:bigint>>
+    of n_tables * n_probes entries (perturbed buckets are distinct from
+    base by construction: each flips exactly one bit)."""
+    n_planes = len(tables[0])
+    cube = vectors.cube_sql(tables)
+    d = vectors.dot_sql(
+        vec_sql, f"element_at(element_at({cube}, t + 1), p + 1)"
+    )
+    dots = f"transform(sequence(0, {n_planes - 1}), p -> {d})"
+    base = (
+        f"aggregate(sequence(0, {n_planes - 1}), cast(0 as bigint), "
+        "(acc, p) -> acc + (case when element_at(ds, p + 1) >= 0 "
+        "then cast(pow(2.0D, p) as bigint) else cast(0 as bigint) end))"
+    )
+    # planes ranked by |margin| asc, plane index as tiebreak
+    order = (
+        f"array_sort(transform(sequence(0, {n_planes - 1}), "
+        "p -> named_struct('m', abs(element_at(ds, p + 1)), 'p', p)))"
+    )
+    probes = (
+        f"transform(sequence(0, {n_probes - 1}), i -> named_struct("
+        "'table', cast(t as int), 'bucket', "
+        "case when i = 0 then bb else bb ^ cast(pow(2.0D, "
+        "element_at(ord, i).p) as bigint) end))"
+    )
+    # let-binding via nested aggregate-free lambdas is unavailable in
+    # Spark SQL, so thread ds/bb/ord through single-element transforms
+    # (each binds one name; the optimizer collapses them)
+    expr = (
+        f"flatten(transform(sequence(0, {len(tables) - 1}), t -> "
+        f"element_at(transform(array({dots}), ds -> "
+        f"element_at(transform(array({base}), bb -> "
+        f"element_at(transform(array({order}), ord -> {probes}), 1)"
+        "), 1)), 1)))"
+    )
+    return F.expr(
+        _dim_guard_sql(vec_sql, len(tables[0][0]), expr, "_probe_buckets")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -396,6 +444,7 @@ def lsh_topk(
     n_planes: int = 4,
     n_tables: int = 8,
     seed: int = 42,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table random-hyperplane LSH:
     ``n_tables`` independent hash tables of ``n_planes`` sign bits each;
@@ -408,11 +457,25 @@ def lsh_topk(
     equi-join shuffles (table, bucket, id) keys instead of replicating
     the corpus per query.
 
+    ``n_probes > 1`` turns on query-directed multi-probe (Lv et al.
+    2007): each QUERY additionally probes the buckets reached by
+    flipping its lowest-|margin| sign bits, one bit per extra probe.
+    Probing substitutes for tables -- recall that needs L tables at
+    n_probes=1 needs far fewer tables with a handful of probes -- and
+    at 100 TB that trade matters: tables multiply the CORPUS index
+    (n_tables rows per corpus vector through the shuffle), probes only
+    multiply the (small) query side. The corpus side never changes.
+
     Hyperplanes come from md5_hyperplanes (cross-engine-reproducible),
     which is what lets the registered knn_lsh query carry an EXACT
     DuckDB oracle: the oracle re-derives the same planes from md5 and
-    recomputes bucketing + cosine + rank in SQL (VERDICT r5 #3).
+    recomputes bucketing + cosine + rank in SQL (VERDICT r5 #3). The
+    default n_probes=1 keeps the original single-probe plan unchanged.
     """
+    if not 1 <= n_probes <= n_planes + 1:
+        raise ValueError(
+            f"n_probes must be in [1, n_planes + 1 = {n_planes + 1}]"
+        )
     # dim mismatch raises per-row inside _bucket_array (_dim_guard_sql)
     tables = [
         md5_hyperplanes(dim, n_planes, t, seed) for t in range(n_tables)
@@ -425,8 +488,13 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         vectors.as_double(vec_col).alias("_cv"),
     )
+    q_buckets = (
+        _bucket_array("_qv", tables)
+        if n_probes == 1
+        else _probe_buckets("`_qv`", tables, n_probes)
+    )
     qb = q.select(
-        "query_id", "_qv", F.explode(_bucket_array("_qv", tables)).alias("b")
+        "query_id", "_qv", F.explode(q_buckets).alias("b")
     ).select("query_id", "_qv", "b.table", "b.bucket")
     cb = c.select(
         "neighbor_id",

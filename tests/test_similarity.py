@@ -512,3 +512,73 @@ def test_knn_pq_registered_query_quality_and_codebooks(spark, oracle_sf_dir):
     # 0.21 -- the floor guards against scale/assignment regressions, not
     # against the corpus
     assert recall >= 0.15, f"md5-codebook PQ recall@5 {recall:.2f}"
+
+
+def test_multi_probe_lsh_trades_probes_for_tables(spark):
+    """Query-directed multi-probe (Lv et al. 2007): (1) extra probes
+    never lose recall and strictly help on the planted corpus, (2) a
+    FEW tables + probes reach the recall a larger table count needs --
+    the 100 TB trade, since tables multiply the corpus index while
+    probes only multiply the query side, (3) probe sets are exactly
+    n_tables * n_probes one-bit perturbations of the base bucket with
+    the base itself first, (4) n_probes=1 is plan-identical to the
+    single-probe path, (5) validation."""
+    import pytest
+
+    df, _ = _planted_dup_corpus(spark)
+    q = df.filter(F.col("vec_id") < 30)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(q, df, k=5).collect()
+    }
+
+    def recall(**kw):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.lsh_topk(q, df, k=5, **kw).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_base = recall()
+    r_probe = recall(n_probes=3)
+    assert r_probe >= r_base
+    # the trade: 2 tables + 3 probes matches-or-beats 4 tables alone
+    r_2t_probed = recall(n_tables=2, n_probes=3)
+    r_4t_single = recall(n_tables=4)
+    assert r_2t_probed >= r_4t_single
+    assert r_probe > 0.8  # planted dups are reachable with probing
+
+    # structure: per table, n_probes distinct buckets, each non-base
+    # differing from base in exactly one bit; base leads
+    tables = [similarity.md5_hyperplanes(64, 4, t, 42) for t in range(8)]
+    row = df.limit(1).select(
+        similarity._probe_buckets("`embedding`", tables, 3).alias("pb"),
+        similarity._bucket_array("embedding", tables).alias("bb"),
+    ).first()
+    assert len(row.pb) == 8 * 3
+    base = {(e.table, e.bucket) for e in row.bb}
+    assert {(e.table, e.bucket) for e in row.pb[::3]} == base
+    by_t: dict = {}
+    for ent in row.pb:
+        by_t.setdefault(ent.table, []).append(ent.bucket)
+    for bs in by_t.values():
+        assert len(set(bs)) == 3
+        assert all(bin(bs[0] ^ alt).count("1") == 1 for alt in bs[1:])
+
+    # n_probes=1 goes through the unchanged single-probe expression
+    # (compare plans modulo the per-instance expression ids)
+    import re
+
+    def plan(d):
+        return re.sub(
+            r"#\d+", "#x", d._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    assert plan(similarity.lsh_topk(q, df, k=5, n_probes=1)) == plan(
+        similarity.lsh_topk(q, df, k=5)
+    )
+
+    with pytest.raises(ValueError, match="n_probes"):
+        similarity.lsh_topk(q, df, n_probes=0)
+    with pytest.raises(ValueError, match="n_probes"):
+        similarity.lsh_topk(q, df, n_probes=6)
