@@ -216,6 +216,26 @@ def version_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+def knn_lsh_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered knn_lsh workload run at 2 TABLES + 3 PROBES
+    instead of 8 tables + 1 probe (operators/similarity.py:lsh_topk
+    n_probes, Lv et al. 2007): the measured twin of the multi-probe
+    trade. Tables multiply the CORPUS side of the bucket index (every
+    corpus vector ships n_tables rows into the candidate join); probes
+    only multiply the small query side -- so this variant shuffles 1/4
+    of the corpus bucket rows for comparable recall
+    (tests/test_similarity.py:test_multi_probe_lsh_trades_probes_for_
+    tables pins the recall half of the claim)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, n_tables=2, n_probes=3
+    )
+
+
 def bench_probes() -> dict:
     """name -> (spark, sf_dir) -> DataFrame, merged into bench.py's run
     set after the registered headline queries."""
@@ -227,6 +247,7 @@ def bench_probes() -> dict:
         "full_agg_recompute": full_agg_recompute,
         "geo_self_pairs": geo_self_pairs,
         "graph_triangles": graph_triangles,
+        "knn_lsh_probed": knn_lsh_probed,
     }
 
 
