@@ -570,6 +570,113 @@ def duplicate_ngram_spans(
     return grams.join(dup, "gram", "left_semi").select(id_col, "pos", "gram")
 
 
+def excise_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The removal half of exact-substring training-data dedup (Lee et
+    al.-style): cut every token covered by a duplicated positional
+    n-gram (one occurring in >= ``min_docs`` DISTINCT documents, the
+    duplicate_ngram_spans detection rule) and reassemble the survivors.
+    Overlapping spans union at token granularity, so runs of duplicated
+    shingles excise as one maximal interval without any interval-merge
+    step.
+
+    Untouched documents pass through with their ORIGINAL text (bytes
+    preserved -- they are never re-tokenized on the output side);
+    touched documents come back as the space-join of their kept tokens
+    in order, case preserved (detection lowercases, excision does not).
+    A document whose every token is covered returns ''.
+
+    Scale shape: the positional-gram pass is the duplicate_ngram_spans
+    plan (tokenize once, explode, hash-agg, semi-join back -- bodies
+    never shuffle, and the gram frame is deliberately NOT persisted: it
+    is larger than the corpus, so re-deriving beats caching). The
+    rebuild explodes tokens ONLY for documents that own at least one
+    duplicated span (left-semi gate), so the expensive
+    collect_list-and-reorder group-by is proportional to the duplicated
+    slice of the corpus, not its full size. Covered indexes expand from
+    span starts (explode(sequence(pos, pos+n-1)) + distinct), bounded
+    by n x dup_positions.
+
+    Returns (id_col, text_col [rewritten], n_tokens [original count],
+    n_removed)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+    toks_l = text.tokens(F.lower(F.col(text_col)))
+    grams = df.filter(F.size(toks_l) >= n).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks_l) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks_l, i + 1, n)),
+            )
+        ).alias("pos", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    touched = covered.select(id_col).distinct()
+    # original-case token rows, touched docs only; LEFT join the covered
+    # set (not anti) so an all-covered doc still aggregates to one row
+    # with an empty kept list -- collect_list drops the NULL structs
+    tok_rows = df.join(touched, id_col, "left_semi").select(
+        F.col(id_col),
+        F.posexplode(text.tokens(F.col(text_col))).alias("idx", "tok"),
+    )
+    flagged = tok_rows.join(
+        covered.withColumn("_cov", F.lit(True)), [id_col, "idx"], "left"
+    )
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_cov").isNull(), F.struct("idx", "tok")
+                        )
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("_new"),
+        F.sum(F.when(F.col("_cov").isNotNull(), 1).otherwise(0)).alias(
+            "_removed"
+        ),
+    )
+    return (
+        df.select(id_col, text_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_new"), F.col(text_col)).alias(text_col),
+            text.token_count(text_col).alias("n_tokens"),
+            F.coalesce(F.col("_removed"), F.lit(0)).cast("long").alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -114,21 +114,62 @@ def main() -> None:
         (F.col("quality") >= 0.5) & (text.lang_id("text") == "en")
     )
     lm = corpus.unigram_logprob_table(docs, vocab_size=5000)
+    # localCheckpoint: every later funnel stage (the decile cut, the NB
+    # classifier's pos/neg splits, the kept-doc frame) re-derives
+    # `scored`, and without cutting lineage HERE each would re-run the
+    # whole steps-1..6 funnel plus the LM fit + join -- the resulting
+    # plan trees are what blow the driver heap, not the data
     scored = docs.join(
         corpus.unigram_surprisal(docs, lm).select("doc_id", "surprisal"),
         "doc_id",
-    )
+    ).localCheckpoint(eager=True)
     cut = scored.agg(
         F.percentile_approx("surprisal", 0.9).alias("p90")
     ).first().p90
-    # localCheckpoint: every later funnel stage re-derives `docs`, and
-    # without cutting lineage here each would re-run the LM fit + join
-    docs = (
-        scored.filter(F.col("surprisal") <= cut)
-        .drop("surprisal")
-        .localCheckpoint(eager=True)
-    )
+    docs = scored.filter(F.col("surprisal") <= cut).drop("surprisal")
     n_clean = docs.count()
+
+    # 6b. classifier gate (fastText shape): fit binary NB token
+    # log-odds with the LM gate's own verdicts as labels -- the
+    # surviving docs as positives, the dropped worst-decile as
+    # negatives -- and keep docs the classifier agrees look
+    # reference-like. In production the positive set is a curated
+    # corpus (wiki/books) and the model a stored (token, odds) artifact
+    nb = corpus.nb_token_odds_table(
+        scored.filter(F.col("surprisal") <= cut),
+        scored.filter(F.col("surprisal") > cut),
+        vocab_size=5000,
+    )
+    docs = (
+        docs.join(
+            corpus.nb_log_odds(docs, nb).select("doc_id", "log_odds"),
+            "doc_id",
+        )
+        .filter(F.col("log_odds") > -1.0)
+        .drop("log_odds")
+    )
+
+    # 6c. DSIR importance weights (hashed-bigram multinomial ratio of a
+    # TARGET slice vs the full pool): report how far the pool sits from
+    # the target distribution; weighted_take_k(exp(w)) would resample
+    # toward it (plan_mixture below balances by SOURCE instead)
+    top_src = (
+        docs.groupBy("source")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("source").asc())
+        .first()
+    )
+    if top_src is not None:
+        # stand-in curated slice: the largest surviving source
+        tgt = docs.filter(F.col("source") == top_src.source)
+        dsir = corpus.dsir_logratio_table(tgt, docs, buckets=4096)
+        wts = corpus.dsir_log_weights(docs, dsir, buckets=4096)
+        spread = wts.agg(
+            F.min("log_weight").alias("lo"), F.max("log_weight").alias("hi")
+        ).first()
+        print(f"dsir log-weight spread: [{spread.lo:.2f}, {spread.hi:.2f}]")
+    n_gated = docs.count()
+    print(f"classifier gate kept {n_gated}/{n_clean}")
 
     # 7. mixture rebalance: availability -> temperature-smoothed weights
     # (n^0.5 upsamples tail sources) -> token-budgeted per-source rates,

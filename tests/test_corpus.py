@@ -1338,3 +1338,104 @@ def test_dsir_importance_weights_parity(spark, oracle_sf_dir):
     """
     con = duckdb_connect(oracle_sf_dir)
     assert compare(scored, con, sql) == []
+
+
+def test_excise_duplicate_spans_planted(spark):
+    """Planted semantics: a 4-gram shared by two docs excises from both
+    (unioned at token granularity when spans overlap), untouched docs
+    keep their ORIGINAL bytes, an all-covered doc returns '', and
+    original case survives excision (detection lowercases, the rebuild
+    does not)."""
+    df = spark.createDataFrame(
+        [
+            # docs 1+2 share "A b c d" (case-insensitively); doc 1 also
+            # has the shifted copy "b c d e" -> union covers tokens 0..4
+            (1, "A b c d e tail1 tail2 tail3"),
+            (2, "x1 x2 a B c d e x3 x4"),
+            (3, "nothing shared   here at all"),
+            (4, "a b c d"),  # all four tokens covered -> ''
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: r
+        for r in corpus.excise_duplicate_spans(
+            df, "doc_id", "text", n=4, min_docs=2
+        ).collect()
+    }
+    assert out[1].text == "tail1 tail2 tail3" and out[1].n_removed == 5
+    assert out[2].text == "x1 x2 x3 x4" and out[2].n_removed == 5
+    # untouched: original whitespace preserved, not re-tokenized
+    assert out[3].text == "nothing shared   here at all"
+    assert out[3].n_removed == 0 and out[3].n_tokens == 5
+    assert out[4].text == "" and out[4].n_removed == 4
+    assert out[1].n_tokens == 8  # original count, pre-excision
+
+    with pytest.raises(ValueError, match="n must"):
+        corpus.excise_duplicate_spans(df, "doc_id", "text", n=0)
+    with pytest.raises(ValueError, match="min_docs"):
+        corpus.excise_duplicate_spans(df, "doc_id", "text", min_docs=0)
+
+
+def test_excise_duplicate_spans_duckdb_parity(spark, oracle_sf_dir):
+    """Cross-engine value parity on the real documents table (sf0.01
+    carries ~1k duplicated 5-grams): rewritten text, token and removal
+    counts all recomputed in DuckDB."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from tests.parity import compare, duckdb_connect
+
+    n = 5
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    out = corpus.excise_duplicate_spans(docs, "doc_id", "text", n=n, min_docs=2)
+    sql = rf"""
+        WITH tl AS (
+          SELECT doc_id, text,
+                 CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                      ELSE string_split_regex(lower(trim(text)), '\s+')
+                 END AS lt,
+                 CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                      ELSE string_split_regex(trim(text), '\s+')
+                 END AS ot
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(lt[i:i+{n - 1}], ' ') AS gram
+          FROM tl, unnest(generate_series(1, len(lt) - {n} + 1)) AS g(i)
+          WHERE len(lt) >= {n}
+        ),
+        dup AS (
+          SELECT gram FROM grams
+          GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        covered AS (
+          SELECT DISTINCT doc_id, idx FROM (
+            SELECT s.doc_id, unnest(generate_series(s.pos, s.pos + {n - 1})) AS idx
+            FROM (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)) s
+          )
+        ),
+        toks AS (
+          SELECT tl.doc_id, i - 1 AS idx, ot[i] AS tok
+          FROM tl, unnest(generate_series(1, len(ot))) AS t(i)
+          WHERE EXISTS (SELECT 1 FROM covered c WHERE c.doc_id = tl.doc_id)
+        ),
+        rebuilt AS (
+          SELECT t.doc_id,
+                 COALESCE(string_agg(CASE WHEN c.doc_id IS NULL THEN t.tok END,
+                                     ' ' ORDER BY t.idx), '') AS newt,
+                 CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                   AS removed
+          FROM toks t
+          LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.idx
+          GROUP BY t.doc_id
+        )
+        SELECT tl.doc_id,
+               CASE WHEN r.doc_id IS NULL THEN tl.text ELSE r.newt END AS text,
+               CAST(len(ot) AS BIGINT) AS n_tokens,
+               COALESCE(r.removed, 0) AS n_removed
+        FROM tl LEFT JOIN rebuilt r USING (doc_id)
+    """
+    con = duckdb_connect(oracle_sf_dir)
+    assert compare(out, con, sql) == []
+    # the fixture genuinely exercises the excision path
+    assert out.filter(F.col("n_removed") > 0).count() > 0
