@@ -153,6 +153,177 @@ def contamination_pairs(
     )
 
 
+def contamination_fraction(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 13,
+    keep_frac: bool = True,
+) -> DataFrame:
+    """Per-train-document benchmark-overlap fraction (the GPT-3 paper's
+    13-gram decontamination statistic): the share of a document's
+    DISTINCT word n-grams that occur ANYWHERE in the benchmark corpus.
+    contamination_pairs answers "which train/bench pairs overlap"; this
+    answers "how dirty is each train doc overall", the number pipelines
+    threshold on (and report distributions of) when the benchmark is a
+    union of many small eval sets. Documents with fewer than ``ngram``
+    tokens have no n-grams and score 0 over 0 grams.
+
+    Scale shape: both sides explode to distinct shingles; the benchmark
+    side collapses to a DISTINCT gram set (small -- eval suites are
+    MBs, broadcastable) and a left-semi-flag join marks hits; one
+    hash-agg back to doc grain. Only (id, gram) tuples shuffle. At
+    100 TB hash grams to 64-bit before the join (the
+    duplicate_ngram_spans note); strings are kept so the DuckDB twin
+    recomputes verbatim.
+
+    Returns (id_col, n_grams, n_contaminated, contaminated_frac)."""
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    if ngram < 1:
+        raise ValueError("ngram must be >= 1")
+    t = train.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(text.word_ngrams(text_col, ngram))
+        ).alias("_g"),
+    )
+    bg = (
+        bench.select(
+            F.explode(
+                F.array_distinct(text.word_ngrams(text_col, ngram))
+            ).alias("_g")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    per_doc = (
+        t.join(F.broadcast(bg), "_g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("_hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+    )
+    out = (
+        train.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+    )
+    if not keep_frac:
+        return out
+    return out.withColumn(
+        "contaminated_frac",
+        stable_round(
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_contaminated") / F.col("n_grams").cast("double"),
+            ).otherwise(0.0),
+            4,
+        ),
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_ellipsis_line_frac: float = 0.3,
+    max_bullet_line_frac: float = 0.9,
+    min_alpha_word_frac: float = 0.8,
+) -> DataFrame:
+    """Gopher-rule document filter (Rae et al. 2021, Appendix A): the
+    repetition-free subset of the rules as per-rule measurements plus
+    one combined ``pass`` verdict (repetition itself is
+    token_repetition's job; stopword/language gating is lang_id's).
+    Pure Column expressions over one row -- no shuffle at all, the
+    whole thing runs inside codegen at scan speed, and every measure is
+    emitted so downstream can re-threshold without recomputing.
+
+    Rules measured: word count in [min_words, max_words]; mean word
+    length in [min, max]; '#'-or-'...' symbol-to-word ratio <= max;
+    fraction of lines ending in an ellipsis <= max; fraction of lines
+    starting with a bullet <= max; fraction of words containing at
+    least one alphabetic character >= min.
+
+    Returns (id_col, n_words, mean_word_len, symbol_ratio,
+    ellipsis_line_frac, bullet_line_frac, alpha_word_frac, pass)."""
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    toks = text.tokens(F.col(text_col))
+    n_words = F.size(toks).cast("long")
+    nw_d = n_words.cast("double")
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(
+            toks, F.lit(0.0), lambda a, t: a + F.length(t)
+        )
+        / nw_d,
+    ).otherwise(0.0)
+    n_hash = F.size(F.split(F.col(text_col), "#", -1)) - 1
+    n_ellipsis = F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis) / nw_d
+    ).otherwise(0.0)
+    lines = F.filter(
+        F.split(F.col(text_col), "\n", -1), lambda l: F.trim(l) != ""
+    )
+    n_lines = F.size(lines).cast("double")
+    line_frac = lambda pred: F.when(  # noqa: E731
+        n_lines > 0,
+        F.size(F.filter(lines, pred)).cast("double") / n_lines,
+    ).otherwise(0.0)
+    ellipsis_frac = line_frac(lambda l: F.trim(l).rlike(r"\.\.\.$"))
+    bullet_frac = line_frac(
+        lambda l: F.trim(l).rlike(r"^([-*•‣◦])")
+    )
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast(
+            "double"
+        )
+        / nw_d,
+    ).otherwise(0.0)
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        stable_round(mean_wl, 4).alias("mean_word_len"),
+        stable_round(symbol_ratio, 4).alias("symbol_ratio"),
+        stable_round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        stable_round(bullet_frac, 4).alias("bullet_line_frac"),
+        stable_round(alpha_frac, 4).alias("alpha_word_frac"),
+    )
+    return out.withColumn(
+        "pass",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac),
+    )
+
+
 def hash_bucket(key: Column, salt: str = "", buckets: int = 100) -> Column:
     """Deterministic engine-portable bucket in [0, buckets): md5 of the
     stringified key (+salt), first 8 hex digits as an integer, mod

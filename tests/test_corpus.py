@@ -1439,3 +1439,195 @@ def test_excise_duplicate_spans_duckdb_parity(spark, oracle_sf_dir):
     assert compare(out, con, sql) == []
     # the fixture genuinely exercises the excision path
     assert out.filter(F.col("n_removed") > 0).count() > 0
+
+
+def test_contamination_fraction_planted(spark):
+    """Planted overlap: doc sharing its only 3-gram with the benchmark
+    scores 1.0; a clean doc scores 0; a too-short doc has 0 grams."""
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),  # grams: 2, one shared
+            (2, "totally novel text here"),
+            (3, "ab"),  # < n tokens
+        ],
+        "doc_id LONG, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown cat jumps")], "doc_id LONG, text STRING"
+    )
+    out = {
+        r.doc_id: r
+        for r in corpus.contamination_fraction(
+            train, bench, "doc_id", "text", ngram=3
+        ).collect()
+    }
+    assert out[1].n_grams == 2 and out[1].n_contaminated == 1
+    assert out[1].contaminated_frac == 0.5
+    assert out[2].n_contaminated == 0 and out[2].contaminated_frac == 0.0
+    assert out[3].n_grams == 0 and out[3].contaminated_frac == 0.0
+    with pytest.raises(ValueError, match="ngram"):
+        corpus.contamination_fraction(train, bench, "doc_id", "text", ngram=0)
+
+
+def test_contamination_fraction_duckdb_parity(spark, oracle_sf_dir):
+    """Cross-engine parity on the real documents table: train/bench by
+    doc_id % 20, 5-gram overlap fraction recomputed in DuckDB."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        SQL_TOKENS_LOWER,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    out = corpus.contamination_fraction(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        "doc_id",
+        "text",
+        ngram=5,
+    )
+    gram5 = (
+        "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || "
+        "t[i+3] || ' ' || t[i+4]"
+    )
+    sql = f"""
+        WITH toks AS (
+          SELECT doc_id, {SQL_TOKENS_LOWER} AS t FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 5 THEN
+                   list_distinct(list_transform(range(1, len(t) - 3),
+                                 i -> {gram5}))
+                 ELSE []::VARCHAR[] END AS shingles
+          FROM toks
+        ),
+        inv AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        bench AS (
+          SELECT DISTINCT g FROM inv WHERE doc_id % 20 = 0
+        ),
+        per_doc AS (
+          SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN b.g IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_contaminated
+          FROM inv i LEFT JOIN bench b USING (g)
+          WHERE i.doc_id % 20 <> 0
+          GROUP BY i.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_grams, 0) AS n_grams,
+               COALESCE(p.n_contaminated, 0) AS n_contaminated,
+               {sql_round(
+                   'CASE WHEN COALESCE(p.n_grams, 0) > 0 THEN '
+                   'COALESCE(p.n_contaminated, 0)::DOUBLE / p.n_grams '
+                   'ELSE 0.0 END', 4)} AS contaminated_frac
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        LEFT JOIN per_doc p USING (doc_id)
+    """
+    con = duckdb_connect(oracle_sf_dir)
+    assert compare(out, con, sql) == []
+    assert out.filter(F.col("n_contaminated") > 0).count() > 0
+
+
+def test_gopher_quality_flags_planted(spark):
+    """Planted rule hits: bullet-heavy and ellipsis-heavy docs fail
+    their line rules, symbol soup fails the ratio, a normal doc with
+    enough words passes, empty doc fails on word count only."""
+    good = " ".join(["sentence"] * 60)
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "- a\n- b\n- c"),  # 100% bullet lines
+            (3, "wait...\nmore...\nok fine\nhm...\nyes...\nstill..."),
+            (4, "# # # # words here"),
+            (5, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: r for r in corpus.gopher_quality_flags(df, "doc_id", "text").collect()
+    }
+    assert out[1]["pass"] is True and out[1].n_words == 60
+    assert out[2].bullet_line_frac == 1.0 and out[2]["pass"] is False
+    assert out[3].ellipsis_line_frac == round(5 / 6, 4)
+    assert out[4].symbol_ratio == round(4 / 6, 4) and out[4]["pass"] is False
+    assert out[5].n_words == 0 and out[5]["pass"] is False
+    assert out[1].mean_word_len == 8.0
+
+
+def test_gopher_quality_flags_duckdb_parity(spark, oracle_sf_dir):
+    """Every measure and the combined verdict recomputed in DuckDB on
+    the real documents table."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        SQL_TOKENS,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    out = corpus.gopher_quality_flags(docs, "doc_id", "text")
+    sql = f"""
+        WITH base AS (
+          SELECT doc_id, text, {SQL_TOKENS} AS t,
+                 list_filter(string_split(text, chr(10)),
+                             l -> trim(l) <> '') AS lines
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(t) AS BIGINT) AS n_words,
+                 CASE WHEN len(t) > 0 THEN
+                   list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
+                 ELSE 0.0 END AS mean_wl,
+                 CASE WHEN len(t) > 0 THEN
+                   ((length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '...', ''))) / 3
+                   )::DOUBLE / len(t)
+                 ELSE 0.0 END AS sym,
+                 CASE WHEN len(lines) > 0 THEN
+                   len(list_filter(lines,
+                       l -> regexp_matches(trim(l), '\\.\\.\\.$')))::DOUBLE
+                   / len(lines)
+                 ELSE 0.0 END AS ell,
+                 CASE WHEN len(lines) > 0 THEN
+                   len(list_filter(lines,
+                       l -> regexp_matches(trim(l), '^([-*•‣◦])')))::DOUBLE
+                   / len(lines)
+                 ELSE 0.0 END AS bul,
+                 CASE WHEN len(t) > 0 THEN
+                   len(list_filter(t,
+                       x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(t)
+                 ELSE 0.0 END AS alp
+          FROM base
+        ),
+        r AS (
+          SELECT doc_id, n_words,
+                 {sql_round('mean_wl', 4)} AS mean_word_len,
+                 {sql_round('sym', 4)} AS symbol_ratio,
+                 {sql_round('ell', 4)} AS ellipsis_line_frac,
+                 {sql_round('bul', 4)} AS bullet_line_frac,
+                 {sql_round('alp', 4)} AS alpha_word_frac
+          FROM m
+        )
+        SELECT *,
+               (n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_ratio <= 0.1
+                AND ellipsis_line_frac <= 0.3
+                AND bullet_line_frac <= 0.9
+                AND alpha_word_frac >= 0.8) AS pass
+        FROM r
+    """
+    con = duckdb_connect(oracle_sf_dir)
+    assert compare(out, con, sql) == []
+    got = out.agg(
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).alias("p"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert 0 < got.p  # fixture docs exercise both outcomes
