@@ -1222,6 +1222,75 @@ def unigram_surprisal(
     )
 
 
+def surprisal_buckets(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet's head/middle/tail partitioning: score every document's
+    mean surprisal under the LM (unigram_surprisal), cut the
+    distribution at the ``cuts`` quantiles -- per ``group_col`` (CCNet
+    buckets per language; per source works the same way) or globally --
+    and label each doc 'head' (most reference-like), 'middle', or
+    'tail'. Downstream mixes sample bucket-aware (e.g. all of head,
+    half of middle, a tail sliver) instead of hard-thresholding.
+
+    Determinism: bucketing compares the ROUNDED surprisal (4 decimals,
+    stable_round) against EXACT linear-interpolation percentiles of
+    those rounded scores, so the boundary rule is reproducible
+    cross-engine (DuckDB twin: quantile_cont over the same rounded
+    values -- same interpolation). Docs with NULL surprisal (empty)
+    get a NULL bucket.
+
+    Scale shape: the unigram_surprisal plan (explode, broadcast LM
+    join, hash agg) plus ONE tiny per-group percentile aggregate
+    broadcast-joined back -- the group cut table has one row per group,
+    never more. Returns (id_col[, group_col], n_tokens, surprisal,
+    bucket)."""
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    lo, hi = cuts
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError("cuts must satisfy 0 < lo < hi < 1")
+    keys = [id_col] + ([group_col] if group_col else [])
+    scored = (
+        docs.select(*keys)
+        .join(unigram_surprisal(docs, lm, id_col, text_col), id_col)
+        .withColumn("surprisal", stable_round(F.col("surprisal"), 4))
+    )
+    grouping = (
+        scored.filter(F.col("surprisal").isNotNull()).groupBy(
+            *( [group_col] if group_col else [] )
+        )
+    )
+    cut_tbl = grouping.agg(
+        F.percentile("surprisal", F.lit(lo)).alias("_c1"),
+        F.percentile("surprisal", F.lit(hi)).alias("_c2"),
+    )
+    # left join: a group whose docs are ALL empty has no cut row, but
+    # its rows must survive (they bucket to NULL via NULL surprisal)
+    joined = (
+        scored.join(F.broadcast(cut_tbl), group_col, "left")
+        if group_col
+        else scored.crossJoin(F.broadcast(cut_tbl))
+    )
+    return joined.select(
+        *keys,
+        "n_tokens",
+        "surprisal",
+        F.when(F.col("surprisal").isNull(), F.lit(None).cast("string"))
+        .when(F.col("surprisal") <= F.col("_c1"), F.lit("head"))
+        .when(F.col("surprisal") <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def split_leakage_audit(
     docs: DataFrame,
     pairs: DataFrame,

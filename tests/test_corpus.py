@@ -1631,3 +1631,101 @@ def test_gopher_quality_flags_duckdb_parity(spark, oracle_sf_dir):
         F.count(F.lit(1)).alias("n"),
     ).first()
     assert 0 < got.p  # fixture docs exercise both outcomes
+
+
+def test_surprisal_buckets_planted(spark):
+    """Global terciles on a hand-checkable corpus: 3 docs with clearly
+    ordered surprisal land head/middle/tail; an empty doc buckets NULL;
+    bad cuts raise."""
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common rare1 rare2"),
+            (3, "zz1 zz2 zz3 zz4"),
+            (4, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    lm = corpus.unigram_logprob_table(docs, vocab_size=2)
+    out = {
+        r.doc_id: r
+        for r in corpus.surprisal_buckets(docs, lm, "doc_id", "text").collect()
+    }
+    assert out[1].bucket == "head"
+    assert out[2].bucket == "middle"
+    assert out[3].bucket == "tail"
+    assert out[4].bucket is None and out[4].n_tokens == 0
+    assert out[1].surprisal < out[2].surprisal < out[3].surprisal
+    with pytest.raises(ValueError, match="cuts"):
+        corpus.surprisal_buckets(docs, lm, cuts=(0.5, 0.4))
+
+
+def test_surprisal_buckets_duckdb_parity(spark, oracle_sf_dir):
+    """Per-source head/middle/tail on the real documents table, the
+    whole fit+score+cut+label path recomputed in DuckDB (quantile_cont
+    mirrors F.percentile's linear interpolation over the same rounded
+    scores)."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        SQL_TOKENS_LOWER,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    lm = corpus.unigram_logprob_table(docs, vocab_size=500, alpha=1.0)
+    out = corpus.surprisal_buckets(
+        docs, lm, "doc_id", "text", group_col="source"
+    )
+    sql = f"""
+        WITH toks AS (
+          SELECT unnest({SQL_TOKENS_LOWER}) AS t FROM documents
+        ),
+        counts AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+        top AS (SELECT t, c FROM counts ORDER BY c DESC, t ASC LIMIT 500),
+        scal AS (
+          SELECT (SELECT SUM(c) FROM counts)::DOUBLE AS n,
+                 (SELECT COUNT(*) FROM top)::DOUBLE AS v
+        ),
+        lm AS (
+          SELECT t, ln(c + 1.0) - ln(n + 1.0 * (v + 1)) AS logp
+          FROM top, scal
+        ),
+        oov AS (SELECT ln(1.0) - ln(n + 1.0 * (v + 1)) AS logp FROM scal),
+        dtoks AS (
+          SELECT doc_id, unnest({SQL_TOKENS_LOWER}) AS t FROM documents
+        ),
+        per_doc AS (
+          SELECT d.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 -AVG(COALESCE(lm.logp, (SELECT logp FROM oov))) AS s_raw
+          FROM dtoks d LEFT JOIN lm ON d.t = lm.t
+          GROUP BY d.doc_id
+        ),
+        scored AS (
+          SELECT b.doc_id, b.source,
+                 COALESCE(p.n_tokens, 0) AS n_tokens,
+                 {sql_round("p.s_raw", 4)} AS surprisal
+          FROM (SELECT doc_id, source FROM documents) b
+          LEFT JOIN per_doc p USING (doc_id)
+        ),
+        cut AS (
+          SELECT source,
+                 quantile_cont(surprisal, 1.0/3.0) AS c1,
+                 quantile_cont(surprisal, 2.0/3.0) AS c2
+          FROM scored WHERE surprisal IS NOT NULL
+          GROUP BY source
+        )
+        SELECT s.doc_id, s.source, s.n_tokens, s.surprisal,
+               CASE WHEN s.surprisal IS NULL THEN NULL
+                    WHEN s.surprisal <= c.c1 THEN 'head'
+                    WHEN s.surprisal <= c.c2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s LEFT JOIN cut c USING (source)
+    """
+    con = duckdb_connect(oracle_sf_dir)
+    assert compare(out, con, sql) == []
+    dist = {r.bucket: r.c for r in out.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert dist.get("head", 0) > 0 and dist.get("tail", 0) > 0
