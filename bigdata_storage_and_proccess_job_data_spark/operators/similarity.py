@@ -587,90 +587,6 @@ def cosine_neardup_pairs(
     )
 
 
-def semantic_dedup_pairs(
-    corpus: DataFrame,
-    centroids: list[list[float]],
-    threshold: float = 0.85,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """SemDeDup-style (Abbas et al. 2023, arXiv:2303.09540) semantic
-    duplicate pairs: partition the corpus into Voronoi cells by nearest
-    centroid (assign_cells -- the IVF coarse quantizer reused as the
-    dedup blocker), then score cosine EXHAUSTIVELY within each cell and
-    emit (id_a < id_b, cell, sim) for every in-cell pair at or above
-    ``threshold``. By design duplicates are only found WITHIN a
-    cluster -- that is the paper's recall-for-scale trade (vs
-    cosine_neardup_pairs' LSH blocking, which probes across the whole
-    space probabilistically); cross-cell misses are bounded by how
-    rarely near-identical embeddings straddle a Voronoi boundary.
-
-    Scale shape: ONE shuffle of the corpus, keyed by cell -- vectors
-    move exactly once, and the in-cell self-join needs no candidate
-    re-attach join because every in-cell pair gets scored anyway.
-    Per-cell cost is quadratic in cell size, so k sizes the trade
-    (SemDeDup's own knob: N/k in the low thousands); a skewed hot cell
-    is a plain skewed join key, which AQE's skew-join split handles.
-    With md5_centroids the whole path is engine-reproducible and
-    DuckDB-checkable (tests/test_similarity.py); train_centroids stays
-    the production fit."""
-    if not 0.0 <= threshold <= 1.0:
-        raise ValueError("threshold must be in [0, 1]")
-    assigned = assign_cells(
-        corpus, centroids, id_col=id_col, vec_col=vec_col
-    )
-    a = assigned.select(
-        F.col("neighbor_id").alias("id_a"),
-        F.col("_cv").alias("_va"),
-        "cell",
-    )
-    b = assigned.select(
-        F.col("neighbor_id").alias("id_b"),
-        F.col("_cv").alias("_vb"),
-        "cell",
-    )
-    sim_raw = vectors.cosine_expr("_va", "_vb")
-    return (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "cell", sim_raw.alias("_sim"))
-        .filter(F.col("_sim") >= threshold)
-        .select(
-            "id_a",
-            "id_b",
-            "cell",
-            stable_round(F.col("_sim"), 4).alias("sim"),
-        )
-    )
-
-
-def semantic_dedup(
-    corpus: DataFrame,
-    centroids: list[list[float]],
-    threshold: float = 0.85,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Rows surviving SemDeDup pruning: drop every row that has an
-    in-cell duplicate with a SMALLER id (the deterministic greedy
-    keep-first rule -- each duplicate neighborhood keeps its min id,
-    matching operators/dedup.py's winner conventions; the paper keeps a
-    random/centroid-extremal representative, which no oracle could
-    recompute). Input columns pass through untouched."""
-    losers = (
-        semantic_dedup_pairs(
-            corpus,
-            centroids,
-            threshold=threshold,
-            id_col=id_col,
-            vec_col=vec_col,
-        )
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
-    return corpus.join(losers, id_col, "left_anti")
-
-
 def train_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",

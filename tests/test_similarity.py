@@ -582,106 +582,3 @@ def test_multi_probe_lsh_trades_probes_for_tables(spark):
         similarity.lsh_topk(q, df, n_probes=0)
     with pytest.raises(ValueError, match="n_probes"):
         similarity.lsh_topk(q, df, n_probes=6)
-
-
-def test_semantic_dedup_planted(spark):
-    """SemDeDup semantics on planted vectors: a near-identical pair in
-    the same Voronoi cell prunes to the min id; an orthogonal vector
-    survives; keep rule is deterministic."""
-    base = [1.0] + [0.0] * 63
-    near = [0.999] + [0.03] + [0.0] * 62
-    ortho = [0.0, 0.0, 1.0] + [0.0] * 61
-    df = spark.createDataFrame(
-        [(1, base), (2, near), (3, ortho)],
-        "vec_id LONG, embedding ARRAY<DOUBLE>",
-    )
-    cents = similarity.md5_centroids(4, 64, seed=3)
-    pairs = similarity.semantic_dedup_pairs(df, cents, threshold=0.9).collect()
-    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
-    kept = {
-        r.vec_id
-        for r in similarity.semantic_dedup(df, cents, threshold=0.9).collect()
-    }
-    assert kept == {1, 3}
-
-    import pytest
-
-    with pytest.raises(ValueError, match="threshold"):
-        similarity.semantic_dedup_pairs(df, cents, threshold=1.5)
-
-
-def test_semantic_dedup_duckdb_parity(spark, oracle_sf_dir):
-    """Full cross-engine value parity of the SemDeDup path on the real
-    embeddings table with md5-derived centroids: DuckDB recomputes the
-    quantizer, the cell assignment (same sim-desc/cell-desc tiebreak),
-    the in-cell pairs, and the kept set."""
-    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
-        sql_round,
-    )
-    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
-        _md5_hash60_sql,
-    )
-    from tests.parity import compare, duckdb_connect
-
-    emb = load_table(spark, oracle_sf_dir, "embeddings")
-    cents = similarity.md5_centroids(8, 64, seed=3)
-    # the driver corpus has no 0.85 pairs; 0.35 exercises real output
-    pairs = similarity.semantic_dedup_pairs(emb, cents, threshold=0.35)
-    comp = _md5_hash60_sql("'ivf:3:' || i::VARCHAR || ':' || d::VARCHAR")
-    cells_cte = f"""
-        WITH e AS (
-          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        ),
-        cent AS (
-          SELECT i, d,
-                 ({comp})::DOUBLE / 576460752303423488.0 - 1.0 AS val
-          FROM range(8) cs(i), range(64) ds(d)
-        ),
-        sims AS (
-          SELECT e.vec_id, c.i, SUM(e.v[c.d + 1] * c.val) AS sim
-          FROM e CROSS JOIN cent c
-          GROUP BY e.vec_id, c.i
-        ),
-        cells AS (
-          SELECT vec_id, i AS cell FROM (
-            SELECT vec_id, i,
-                   ROW_NUMBER() OVER (
-                     PARTITION BY vec_id ORDER BY sim DESC, i DESC
-                   ) AS rn
-            FROM sims
-          ) WHERE rn = 1
-        ),
-        pairs AS (
-          SELECT ca.vec_id AS id_a, cb.vec_id AS id_b,
-                 CAST(ca.cell AS INTEGER) AS cell,
-                 list_dot_product(a.v, b.v) /
-                   (sqrt(list_dot_product(a.v, a.v)) *
-                    sqrt(list_dot_product(b.v, b.v))) AS sim_raw
-          FROM cells ca
-          JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
-          JOIN e a ON a.vec_id = ca.vec_id
-          JOIN e b ON b.vec_id = cb.vec_id
-          WHERE list_dot_product(a.v, b.v) /
-                  (sqrt(list_dot_product(a.v, a.v)) *
-                   sqrt(list_dot_product(b.v, b.v))) >= 0.35
-        )
-    """
-    sql = (
-        cells_cte
-        + f"SELECT id_a, id_b, cell, {sql_round('sim_raw', 4)} AS sim FROM pairs"
-    )
-    con = duckdb_connect(oracle_sf_dir)
-    assert compare(pairs, con, sql) == []
-    assert pairs.count() > 0  # the threshold genuinely fires
-
-    kept = similarity.semantic_dedup(emb, cents, threshold=0.35).select(
-        "vec_id"
-    )
-    kept_sql = (
-        cells_cte
-        + """
-        SELECT vec_id FROM e
-        WHERE vec_id NOT IN (SELECT DISTINCT id_b FROM pairs)
-        """
-    )
-    assert compare(kept, con, kept_sql) == []
