@@ -183,3 +183,81 @@ def test_semantic_dedup_matches_brute_force(spark):
 
     with _pytest.raises(ValueError, match="threshold"):
         clustering.semantic_dedup(df, threshold=0.0, centroids=cents)
+
+
+def test_semantic_dedup_duckdb_parity(spark, oracle_sf_dir):
+    """Full cross-engine value parity of the SemDeDup path on the real
+    embeddings table with md5-derived centroids: DuckDB recomputes the
+    quantizer, the argmax cell assignment (sim-desc/cell-desc
+    tiebreak), the within-cell pair graph, the transitive closure
+    (recursive CTE with UNION fixpoint -- the
+    neardup.connected_components cross-check idiom), and the keeper
+    verdicts. Complements test_semantic_dedup_matches_brute_force,
+    which pins the operator against a local union-find."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import similarity
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        _md5_hash60_sql,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    cents = similarity.md5_centroids(8, 64, seed=3)
+    # the fixture has no 0.95 pairs; 0.35 exercises multi-node clusters
+    out = clustering.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.35, centroids=cents
+    )
+    comp = _md5_hash60_sql("'ivf:3:' || i::VARCHAR || ':' || d::VARCHAR")
+    sql = f"""
+        WITH RECURSIVE e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        cent AS (
+          SELECT i, d,
+                 ({comp})::DOUBLE / 576460752303423488.0 - 1.0 AS val
+          FROM range(8) cs(i), range(64) ds(d)
+        ),
+        sims AS (
+          SELECT e.vec_id, c.i, SUM(e.v[c.d + 1] * c.val) AS sim
+          FROM e CROSS JOIN cent c
+          GROUP BY e.vec_id, c.i
+        ),
+        cells AS (
+          SELECT vec_id, i AS cell FROM (
+            SELECT vec_id, i,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY sim DESC, i DESC
+                   ) AS rn
+            FROM sims
+          ) WHERE rn = 1
+        ),
+        pairs AS (
+          SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+          FROM cells ca
+          JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+          JOIN e a ON a.vec_id = ca.vec_id
+          JOIN e b ON b.vec_id = cb.vec_id
+          WHERE list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) *
+                   sqrt(list_dot_product(b.v, b.v))) >= 0.35
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+          SELECT vec_id AS a, vec_id AS b FROM e
+          UNION
+          SELECT r.a, ed.dst FROM reach r JOIN edges ed ON r.b = ed.src
+        ),
+        comp AS (
+          SELECT a AS vec_id, MIN(b) AS component FROM reach GROUP BY a
+        )
+        SELECT c.vec_id, CAST(cl.cell AS INTEGER) AS cell, c.component,
+               c.component = c.vec_id AS is_keeper
+        FROM comp c JOIN cells cl USING (vec_id)
+    """
+    con = duckdb_connect(oracle_sf_dir)
+    assert compare(out, con, sql) == []
+    # the threshold genuinely produced duplicate sets
+    assert out.filter(~F.col("is_keeper")).count() > 0
