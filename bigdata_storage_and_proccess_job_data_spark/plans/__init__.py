@@ -408,6 +408,17 @@ DRIVER_WINDOW_R9_PLAN = sorted(
 # tests/test_corpus.py): nb_log_odds (fastText-shape quality filter,
 # test_nb_quality_filter_fit_score_parity) and dsir_log_weights
 # (DSIR importance weights, test_dsir_importance_weights_parity).
+# Late-r8 additions, same split, all R9-promotable with full DuckDB
+# value parity in tests/test_corpus.py: excise_duplicate_spans (the
+# Lee-et-al span-removal half of duplicate_ngram_spans),
+# contamination_fraction (per-doc GPT-3 overlap statistic),
+# gopher_quality_flags (rule-measure bundle + verdict),
+# surprisal_buckets (CCNet head/middle/tail; percentile cuts mirror
+# quantile_cont). clustering.semantic_dedup additionally gained a
+# DuckDB recursive-CTE closure oracle
+# (test_semantic_dedup_duckdb_parity) -- promotable IF a bounded-depth
+# variant is acceptable, else it stays the connected_components
+# precedent (test-only, iterative).
 # mmr_rerank and split_leakage_audit are
 # iterative/compositional -- test-only by design, the heavy_hitters
 # precedent. Late-r7 additions with the same oracle-grade local parity
