@@ -1,7 +1,7 @@
 """DataFrame -> DataFrame operators: dedup / near-dup (exact, MinHash,
 SimHash, incremental, clustering), similarity search (brute-force, LSH,
 IVF, PQ), fuzzy string joins + entity resolution, as-of and range joins,
-aggregation cubes + sketches (HLL/CMS/DDSketch) + robust stats
+aggregation cubes + sketches (HLL/CMS/DDSketch/KMV) + robust stats
 (median/MAD outliers, correlation matrix, chi-square, autocorrelation,
 time-decayed aggregates, table profiler), market-basket pair mining,
 PageRank, training-corpus prep (chunking, PII, contamination, sampling,

@@ -1801,3 +1801,164 @@ def running_distinct(
     return flagged.withColumn(
         out_col, F.sum("_first").over(w_run)
     ).drop("_first")
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch: the set-OPERATIONS member of the stored-sketch
+# family (HLL = distinct union, CMS = frequency, DD = quantiles, KMV =
+# distinct + intersection/Jaccard). HLL registers union losslessly but
+# cannot intersect; audience-overlap / cross-source dedup-rate questions
+# ("how many users did segments A and B share last quarter?") need a
+# sketch whose ELEMENTS survive, which is exactly the k-minimum-values
+# idea (Bar-Yossef et al. 2002; Beyer et al. SIGMOD 2007): keep the k
+# smallest distinct hash values per group. Everything downstream is
+# deterministic arithmetic on those arrays, so the whole family gets an
+# exact cross-engine oracle through the md5_hash60 bridge -- unlike
+# register-based HLL, a KMV run is reproducible in any engine.
+# ---------------------------------------------------------------------------
+
+_KMV_SPACE = float(1 << 60)  # md5_hash60 values are uniform on [0, 2^60)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key: str,
+    dims: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct md5_hash60
+    values of ``key``, as a sorted ``array<bigint>`` column ``sketch``
+    (shorter than k when the group has fewer distinct keys -- then every
+    estimate is EXACT). Two bounded exchanges: a map-side-combined
+    distinct over (dims, hash) first reduces the frame to one row per
+    distinct key, then the rank window sorts only those survivors --
+    the raw table is never sorted. NULL keys are excluded (COUNT
+    DISTINCT semantics).
+
+    The artifact is mergeable EXACTLY (kmv_merge): the k smallest of a
+    union are each among the k smallest of their source, so per-day
+    sketches compose into any window's sketch bit-for-bit -- same
+    incremental contract as hll_sketch, plus set ops (kmv_set_ops)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from pyspark.sql import Window
+
+    from .neardup import md5_hash60
+
+    keys = [F.col(d) for d in (dims or [])]
+    hashed = (
+        df.filter(F.col(key).isNotNull())
+        .select(*keys, md5_hash60(F.col(key).cast("string")).alias("_h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*[F.col(d) for d in (dims or [])]).orderBy("_h")
+    topk = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return topk.groupBy(*[F.col(d) for d in (dims or [])]).agg(
+        F.array_sort(F.collect_list("_h")).alias("sketch")
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame, dims: list[str] | None = None, k: int = 256
+) -> DataFrame:
+    """Union previously-built sketches (per group when ``dims`` given):
+    distinct-merge the arrays, keep the k smallest. Lossless by the
+    subset argument above -- merge(sketch(A), sketch(B)) equals
+    sketch(A UNION B) exactly, pinned in tests. Per-group work is
+    bounded by (#input sketches x k) longs: this is a metadata-scale
+    query over stored artifacts, never a rescan of raw data."""
+    merged = F.slice(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("sketch")))
+        ),
+        1,
+        k,
+    ).alias("sketch")
+    if dims:
+        return sketches.groupBy(*[F.col(d) for d in dims]).agg(merged)
+    return sketches.agg(merged)
+
+
+def _kmv_estimate_expr(sketch: Column, k: int) -> Column:
+    """Distinct-count estimate from one sketch array: exact size when
+    the group never filled the sketch; otherwise the classic unbiased
+    KMV estimator (k-1) / U_(k) with U_(k) = the k-th smallest hash
+    normalized to (0, 1]."""
+    n = F.size(sketch)
+    kth = F.element_at(sketch, k).cast("double") / F.lit(_KMV_SPACE)
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / kth
+    )
+
+
+def kmv_estimate(sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Replace the sketch column with its cardinality estimate
+    (``distinct_estimate`` BIGINT, exact below k distinct keys;
+    relative error ~1/sqrt(k-2) above -- ~6% at the default).
+    ``k`` must match the build."""
+    others = [c for c in sketches.columns if c != "sketch"]
+    return sketches.select(
+        *others,
+        F.round(_kmv_estimate_expr(F.col("sketch"), k))
+        .cast("long")
+        .alias("distinct_estimate"),
+    )
+
+
+def kmv_set_ops(
+    pairs: DataFrame,
+    left: str = "sketch_a",
+    right: str = "sketch_b",
+    k: int = 256,
+) -> DataFrame:
+    """Set-operation estimates for two sketch columns side by side
+    (join your per-segment sketch frames however the question demands,
+    then call this): appends ``union_estimate``, ``jaccard``,
+    ``intersection_estimate``, ``left_only_estimate`` and
+    ``right_only_estimate`` (DOUBLE; BIGINT for the union).
+
+    Method (Beyer et al.): the k smallest of the combined arrays form
+    the union's own KMV sketch; within that sketch, the fraction of
+    values present in BOTH inputs is an unbiased Jaccard estimate, and
+    intersection = jaccard * |union|. Pure array expressions -- codegen,
+    no shuffle, no UDF; both empty -> jaccard NULL, estimates 0."""
+    a, b = F.col(left), F.col(right)
+    u = F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+    out = pairs.withColumn("_u", u)
+    union_est = _kmv_estimate_expr(F.col("_u"), k)
+    inter_in_u = F.size(
+        F.array_intersect(F.array_intersect(F.col("_u"), a), b)
+    )
+    jac = F.when(
+        F.size(F.col("_u")) > 0,
+        inter_in_u.cast("double") / F.size(F.col("_u")).cast("double"),
+    )
+    out = (
+        out.withColumn("union_estimate", F.round(union_est).cast("long"))
+        .withColumn("jaccard", jac)
+        .withColumn(
+            "intersection_estimate",
+            F.coalesce(jac * union_est, F.lit(0.0)),
+        )
+    )
+    return (
+        out.withColumn(
+            "left_only_estimate",
+            F.greatest(
+                _kmv_estimate_expr(a, k)
+                - F.col("intersection_estimate"),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn(
+            "right_only_estimate",
+            F.greatest(
+                _kmv_estimate_expr(b, k)
+                - F.col("intersection_estimate"),
+                F.lit(0.0),
+            ),
+        )
+        .drop("_u")
+    )

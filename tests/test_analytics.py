@@ -652,3 +652,132 @@ def test_dd_sketch_relative_error_and_merge(spark, oracle_sf_dir, tmp_path):
     assert msk.filter(F.col("bin") == -(2**31)).first().cnt == 3
     mq = aggregates.dd_quantile(msk, 0.5, G).first().quantile_estimate
     assert 100 / G**1.01 <= mq <= 100 * G**1.01
+
+
+def test_kmv_sketch_estimates_merge_law_and_duckdb_parity(
+    spark, oracle_sf_dir
+):
+    """KMV distinct sketches, the set-operations sibling of HLL:
+    (1) per-group sketch arrays recomputed bit-for-bit in DuckDB
+    through the md5_hash60 bridge (row_number <= k over distinct
+    hashes -- unlike HLL registers, the whole artifact is
+    engine-portable), (2) estimates exact below k and within the
+    ~1/sqrt(k-2) band above, (3) merge(sketch(A), sketch(B)) ==
+    sketch(A UNION B) EXACTLY -- the k smallest of a union are each
+    among the k smallest of their source."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        _md5_hash60_sql,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    k = 64
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    sk = aggregates.kmv_sketch(
+        orders, "o_custkey", dims=["o_orderpriority"], k=k
+    )
+
+    # (1) array-level DuckDB parity: the strongest possible check --
+    # if the stored artifact matches bit-for-bit, every estimate built
+    # on it matches too.
+    h = _md5_hash60_sql("o_custkey::VARCHAR")
+    sql = f"""
+        WITH h AS (
+          SELECT DISTINCT o_orderpriority, {h} AS hh
+          FROM orders WHERE o_custkey IS NOT NULL
+        ), r AS (
+          SELECT o_orderpriority, hh,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY hh) AS rn
+          FROM h
+        )
+        SELECT o_orderpriority, list(hh ORDER BY hh) AS sketch
+        FROM r WHERE rn <= {k}
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    errs = compare(sk, duckdb_connect(oracle_sf_dir), sql)
+    assert not errs, errs
+
+    # (2) estimates: exact when the group has < k distinct keys,
+    # within the KMV error band when it saturates.
+    exact = {
+        r.o_orderpriority: r.n
+        for r in orders.filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    est = {
+        r.o_orderpriority: r.distinct_estimate
+        for r in aggregates.kmv_estimate(sk, k=k).collect()
+    }
+    assert set(est) == set(exact)
+    for g, n in exact.items():
+        if n < k:
+            assert est[g] == n, (g, est[g], n)
+        else:
+            assert abs(est[g] - n) <= 0.5 * n, (g, est[g], n)
+
+    # (3) merge law, exact on the arrays themselves
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    parts = aggregates.kmv_sketch(
+        b1, "o_custkey", dims=["o_orderpriority"], k=k
+    ).unionByName(
+        aggregates.kmv_sketch(b2, "o_custkey", dims=["o_orderpriority"], k=k)
+    )
+    merged = aggregates.kmv_merge(parts, dims=["o_orderpriority"], k=k)
+    mono = {r.o_orderpriority: r.sketch for r in sk.collect()}
+    for r in merged.collect():
+        assert r.sketch == mono[r.o_orderpriority], r.o_orderpriority
+
+
+def test_kmv_set_ops_overlap_math(spark):
+    """Intersection/Jaccard estimates -- the question HLL cannot
+    answer. Planted integer segments with known overlap: exact when
+    both sets fit in the sketch (k > |union|), inside a generous
+    error band when saturated; empty-side edge pinned."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    def seg(lo, hi, k):
+        df = spark.range(lo, hi).select(F.col("id").alias("k"))
+        return aggregates.kmv_sketch(df, "k", k=k).collect()[0].sketch
+
+    # exact regime: A = [0, 1000), B = [500, 1500) -> J = 1/3
+    k = 2048
+    a, b = seg(0, 1000, k), seg(500, 1500, k)
+    row = aggregates.kmv_set_ops(
+        spark.createDataFrame(
+            [(a, b)], "sketch_a array<long>, sketch_b array<long>"
+        ),
+        k=k,
+    ).collect()[0]
+    assert row.union_estimate == 1500
+    assert abs(row.jaccard - 1 / 3) < 1e-12
+    assert abs(row.intersection_estimate - 500.0) < 1e-9
+    assert abs(row.left_only_estimate - 500.0) < 1e-9
+    assert abs(row.right_only_estimate - 500.0) < 1e-9
+
+    # estimation regime: 20k-element sets, 50% overlap, k = 256
+    k = 256
+    a, b = seg(0, 20000, k), seg(10000, 30000, k)
+    row = aggregates.kmv_set_ops(
+        spark.createDataFrame(
+            [(a, b)], "sketch_a array<long>, sketch_b array<long>"
+        ),
+        k=k,
+    ).collect()[0]
+    assert abs(row.union_estimate - 30000) <= 0.25 * 30000
+    assert abs(row.jaccard - 1 / 3) <= 0.15
+    assert abs(row.intersection_estimate - 10000) <= 0.45 * 10000
+
+    # empty side: no shared elements, union = the nonempty side
+    row = aggregates.kmv_set_ops(
+        spark.createDataFrame(
+            [([], b)], "sketch_a array<long>, sketch_b array<long>"
+        ),
+        k=k,
+    ).collect()[0]
+    assert row.jaccard == 0.0 and row.intersection_estimate == 0.0
+    assert row.left_only_estimate == 0.0
+    assert row.union_estimate == round(row.right_only_estimate)
