@@ -414,7 +414,11 @@ DRIVER_WINDOW_R9_PLAN = sorted(
 # contamination_fraction (per-doc GPT-3 overlap statistic),
 # gopher_quality_flags (rule-measure bundle + verdict),
 # surprisal_buckets (CCNet head/middle/tail; percentile cuts mirror
-# quantile_cont). clustering.semantic_dedup additionally gained a
+# quantile_cont). kmv_set_ops (KMV distinct sketch, test_analytics)
+# is R9-promotable at ARTIFACT level: the sketch arrays themselves
+# rebuild bit-for-bit in DuckDB (row_number <= k over distinct
+# md5_hash60), so a build+overlap query oracles exactly.
+# clustering.semantic_dedup additionally gained a
 # DuckDB recursive-CTE closure oracle
 # (test_semantic_dedup_duckdb_parity) -- promotable IF a bounded-depth
 # variant is acceptable, else it stays the connected_components
