@@ -16,7 +16,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdata_storage_and_proccess_job_data_spark.functions.eventtime import ensure_ltz
 
 TABLES = (
     "region",
@@ -32,6 +31,34 @@ TABLES = (
 )
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Schema memo: a real lake serves table schemas from its metastore /
+# table-format metadata; re-running parquet footer inference on every
+# load_table call is a test-fixture artifact that costs a driver round
+# trip per query. Keyed on (path, mtime, size) so a rewritten fixture
+# invalidates naturally. Local filesystem paths only -- non-local URIs
+# skip the memo (no cheap stat) and infer as before.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet_cached(spark: SparkSession, path: str):
+    """Returns ``(df, schema)`` -- schema is the StructType either from
+    the memo or freshly inferred, so callers can answer type questions
+    (NTZ targets, the events bigint guard) in pure Python instead of a
+    per-call ``df.dtypes`` driver round trip."""
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    cached = _SCHEMA_CACHE.get(key) if key is not None else None
+    if cached is not None:
+        return spark.read.schema(cached).parquet(path), cached
+    df = spark.read.parquet(path)
+    schema = df.schema
+    if key is not None:
+        _SCHEMA_CACHE[key] = schema
+    return df, schema
 
 
 def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
@@ -88,12 +115,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # so the bigint branch is a no-op guard.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         path = f"{sf_dir}/{name}.parquet"
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        df, schema = _read_parquet_cached(spark, path)
+        if any(
+            f.name == "ts" and f.dataType.simpleString() == "bigint"
+            for f in schema.fields
+        ):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return _spread(spark, ensure_ltz(df), path)
+        return _spread(spark, _ltz_from_schema(df, schema), path)
     path = f"{sf_dir}/{name}.parquet"
-    return _spread(spark, ensure_ltz(spark.read.parquet(path)), path)
+    df, schema = _read_parquet_cached(spark, path)
+    return _spread(spark, _ltz_from_schema(df, schema), path)
+
+
+def _ltz_from_schema(df: DataFrame, schema) -> DataFrame:
+    """ensure_ltz with the NTZ targets read off the already-known
+    StructType (no df.dtypes round trip)."""
+    targets = [
+        f.name
+        for f in schema.fields
+        if f.dataType.simpleString() == "timestamp_ntz"
+    ]
+    if not targets:
+        return df
+    return df.withColumns(
+        {c: F.col(c).cast("timestamp_ltz") for c in targets}
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
