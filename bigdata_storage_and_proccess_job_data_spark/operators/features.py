@@ -145,25 +145,27 @@ def winsorize(
     if not 0 <= lower < upper <= 1:
         raise ValueError("need 0 <= lower < upper <= 1")
     d, ks = _with_key(df, keys)
-    aggs = []
-    for c in cols:
-        aggs.append(
-            F.percentile(F.col(c), F.lit(lower)).alias(f"_lo_{c}")
-        )
-        aggs.append(
-            F.percentile(F.col(c), F.lit(upper)).alias(f"_hi_{c}")
-        )
-    fit = d.groupBy(*ks).agg(*aggs)
+    # both cut points from ONE percentile aggregate per column (array
+    # of percentages shares the sort buffer; two sibling calls each
+    # kept their own)
+    fit = d.groupBy(*ks).agg(
+        *[
+            F.percentile(
+                F.col(c), F.array(F.lit(lower), F.lit(upper))
+            ).alias(f"_q_{c}")
+            for c in cols
+        ]
+    )
     out = d.join(F.broadcast(fit), ks, "left")
     for c in cols:
         out = out.withColumn(
             c + suffix,
             F.least(
-                F.greatest(F.col(c), F.col(f"_lo_{c}")),
-                F.col(f"_hi_{c}"),
+                F.greatest(F.col(c), F.col(f"_q_{c}")[0]),
+                F.col(f"_q_{c}")[1],
             ),
         )
-    drop = [f"_lo_{c}" for c in cols] + [f"_hi_{c}" for c in cols]
+    drop = [f"_q_{c}" for c in cols]
     if keys is None:
         drop.append(_GLOBAL_KEY)
     return out.drop(*drop)
