@@ -1761,3 +1761,108 @@ def dsir_log_weights(
             F.coalesce(F.col("_sum"), F.lit(0.0)).alias("log_weight"),
         )
     )
+
+
+def negative_samples(
+    positives: DataFrame,
+    items: DataFrame,
+    k: int = 5,
+    anchor_col: str = "anchor_id",
+    positive_col: str = "positive_id",
+    item_col: str = "item_id",
+    salt: str = "",
+    draws: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive / retrieval
+    training pairs: for each distinct anchor in ``positives``, up to
+    ``k`` items from ``items`` that are NOT that anchor's positives
+    (and not the anchor itself when ``exclude_self``), drawn uniformly
+    and REPRODUCIBLY -- the md5 coin of (anchor, salt, draw slot) picks
+    a dense item index, so the sample is bit-identical across runs,
+    partitionings, and engines (the DuckDB twin replays it exactly;
+    same determinism contract as leakage_safe_split / weighted_take_k).
+
+    Output: (anchor, negative, rank) with rank 1..k in draw order --
+    rank is stable, so downstream "use the first j negatives" slicing
+    is deterministic too.
+
+    ``draws`` (default 2k + 16) bounds the per-anchor draw budget:
+    slots that land on a positive, the anchor itself, or an
+    already-drawn item are discarded, so an anchor can emit FEWER than
+    k rows when the budget exhausts -- callers with dense positive
+    sets (|positives per anchor| comparable to |items|) should raise
+    ``draws``. That trade is what keeps the operator scale-safe: cost
+    is O(|anchors| * draws), never the O(|anchors| * |items|)
+    cross-join a rejection-free sampler needs.
+
+    Scale shape: the item pool gets a dense index via ONE global
+    row_number over the pool -- items is the dim side (a candidate
+    catalog), so the single-partition sort is bounded by the pool, not
+    the corpus; anchors explode to ``draws`` slot rows, equi-join the
+    index (dim-sized, AQE-broadcastable), anti-join the positives on
+    (anchor, item) -- the only corpus-sized shuffle -- and two bounded
+    per-anchor aggregates finish. No cross join anywhere."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    m = draws if draws is not None else 2 * k + 16
+    if m < k:
+        raise ValueError("draws must be >= k")
+    from pyspark.sql import Window
+
+    from .neardup import md5_hash60
+
+    pos = positives.select(
+        F.col(anchor_col).alias("_a"), F.col(positive_col).alias("_item")
+    ).filter(F.col("_a").isNotNull() & F.col("_item").isNotNull())
+    pool = (
+        items.select(F.col(item_col).alias("_item"))
+        .filter(F.col("_item").isNotNull())
+        .distinct()
+    )
+    idx = pool.select(
+        "_item",
+        (
+            F.row_number().over(Window.orderBy("_item")) - 1
+        ).alias("_idx"),
+    )
+    n_row = F.broadcast(idx.agg(F.count(F.lit(1)).alias("_n")))
+
+    slots = (
+        pos.select("_a")
+        .distinct()
+        .select("_a", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_slot"))
+    )
+    drawn = slots.crossJoin(n_row).withColumn(
+        "_idx",
+        F.pmod(
+            md5_hash60(
+                F.concat_ws(
+                    ":",
+                    F.col("_a").cast("string"),
+                    F.lit(salt),
+                    F.col("_slot").cast("string"),
+                )
+            ),
+            F.col("_n"),
+        ),
+    )
+    cand = drawn.join(idx, "_idx").select("_a", "_item", "_slot")
+    if exclude_self:
+        cand = cand.filter(
+            F.col("_item").cast("string") != F.col("_a").cast("string")
+        )
+    cand = cand.join(pos, ["_a", "_item"], "left_anti")
+    # each slot maps to exactly one item, so per (anchor, item) the
+    # min slot is unique per anchor -- draw order is a total order
+    first = cand.groupBy("_a", "_item").agg(F.min("_slot").alias("_slot"))
+    w = Window.partitionBy("_a").orderBy("_slot")
+    return (
+        first.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .select(
+            F.col("_a").alias("anchor"),
+            F.col("_item").alias("negative"),
+            F.col("_rank").alias("rank"),
+        )
+    )

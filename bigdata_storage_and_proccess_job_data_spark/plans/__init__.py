@@ -414,7 +414,9 @@ DRIVER_WINDOW_R9_PLAN = sorted(
 # contamination_fraction (per-doc GPT-3 overlap statistic),
 # gopher_quality_flags (rule-measure bundle + verdict),
 # surprisal_buckets (CCNet head/middle/tail; percentile cuts mirror
-# quantile_cont). kmv_set_ops (KMV distinct sketch, test_analytics)
+# quantile_cont). negative_samples (deterministic contrastive
+# negative sampling, test_corpus: full DuckDB replay parity) is
+# R9-promotable. kmv_set_ops (KMV distinct sketch, test_analytics)
 # is R9-promotable at ARTIFACT level: the sketch arrays themselves
 # rebuild bit-for-bit in DuckDB (row_number <= k over distinct
 # md5_hash60), so a build+overlap query oracles exactly.

@@ -1729,3 +1729,107 @@ def test_surprisal_buckets_duckdb_parity(spark, oracle_sf_dir):
     assert compare(out, con, sql) == []
     dist = {r.bucket: r.c for r in out.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()}
     assert dist.get("head", 0) > 0 and dist.get("tail", 0) > 0
+
+
+def test_negative_samples_semantics_and_parity(spark, oracle_sf_dir):
+    """Deterministic negative sampling: (1) hand frame -- no sampled
+    negative is a positive or the anchor itself, ranks are 1..k dense,
+    two runs identical; (2) draw-budget exhaustion emits FEWER than k,
+    never a forbidden item; (3) cross-source negatives on the real
+    documents table replayed EXACTLY in DuckDB from the same md5 coin
+    (full anchor/negative/rank value parity)."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        _md5_hash60_sql,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    # (1) hand frame: anchors q1/q2 over a 10-item pool
+    pos = spark.createDataFrame(
+        [("q1", "i1"), ("q1", "i2"), ("q2", "i3")],
+        "anchor_id string, positive_id string",
+    )
+    pool = spark.createDataFrame(
+        [(f"i{j}",) for j in range(10)], "item_id string"
+    )
+    out = corpus.negative_samples(pos, pool, k=4, salt="v1").collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.anchor, []).append(r)
+    forbidden = {"q1": {"i1", "i2", "q1"}, "q2": {"i3", "q2"}}
+    for a, rows in by_anchor.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+            range(1, len(rows) + 1)
+        )
+        assert len(rows) == 4
+        negs = {r.negative for r in rows}
+        assert not (negs & forbidden[a])
+        assert len(negs) == 4
+    again = corpus.negative_samples(pos, pool, k=4, salt="v1").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    # different salt -> different draw order somewhere
+    other = corpus.negative_samples(pos, pool, k=4, salt="v2").collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, out))
+
+    # (2) budget exhaustion: anchor whose positives cover 3 of 4 items
+    dense_pos = spark.createDataFrame(
+        [("q", "a"), ("q", "b"), ("q", "c")],
+        "anchor_id string, positive_id string",
+    )
+    tiny = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "item_id string"
+    )
+    rows = corpus.negative_samples(dense_pos, tiny, k=3, draws=8).collect()
+    assert {r.negative for r in rows} == {"d"} and len(rows) == 1
+
+    # (3) real-table parity: for each source, negatives drawn from
+    # OTHER sources' documents -- the cross-source contrastive shape
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    pos_r = docs.select(
+        F.col("source").alias("anchor_id"), F.col("doc_id").alias("positive_id")
+    )
+    pool_r = docs.select(F.col("doc_id").alias("item_id"))
+    k, m, salt = 5, 26, "r8"
+    out_r = corpus.negative_samples(pos_r, pool_r, k=k, salt=salt)
+    h = _md5_hash60_sql(f"a::VARCHAR || ':{salt}:' || j::VARCHAR")
+    sql = f"""
+        WITH pos AS (
+          SELECT source AS a, doc_id AS item FROM documents
+          WHERE source IS NOT NULL AND doc_id IS NOT NULL
+        ),
+        idx AS (
+          SELECT item, row_number() OVER (ORDER BY item) - 1 AS _idx
+          FROM (SELECT DISTINCT doc_id AS item FROM documents
+                WHERE doc_id IS NOT NULL)
+        ),
+        slots AS (
+          SELECT a, j FROM (SELECT DISTINCT a FROM pos)
+          CROSS JOIN generate_series(0, {m - 1}) AS t(j)
+        ),
+        drawn AS (
+          SELECT a, j, ({h} % (SELECT count(*) FROM idx)) AS _idx
+          FROM slots
+        ),
+        cand AS (
+          SELECT d.a, i.item, d.j FROM drawn d JOIN idx i USING (_idx)
+          WHERE i.item::VARCHAR <> d.a::VARCHAR
+        ),
+        kept AS (
+          SELECT c.a, c.item, c.j FROM cand c
+          WHERE NOT EXISTS (
+            SELECT 1 FROM pos p WHERE c.a = p.a AND c.item = p.item
+          )
+        ),
+        first AS (
+          SELECT a, item, min(j) AS j FROM kept GROUP BY a, item
+        ),
+        ranked AS (
+          SELECT a, item,
+                 row_number() OVER (PARTITION BY a ORDER BY j) AS rank
+          FROM first
+        )
+        SELECT a AS anchor, item AS negative, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+    con = duckdb_connect(oracle_sf_dir)
+    assert compare(out_r, con, sql) == []
