@@ -1248,3 +1248,60 @@ def ivf_topk(
         )
     )
     return _rank_topk(scored, k)
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_col: str = "anchor_id",
+    positive_col: str = "positive_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query anchor,
+    the ``k`` MOST SIMILAR corpus items that are not that anchor's
+    positives -- the near-the-decision-boundary complement of the
+    uniform sampler (operators/corpus.py:negative_samples). Training on
+    hard negatives is what makes a bi-encoder discriminate lookalikes;
+    uniform negatives alone saturate early.
+
+    ``positives`` maps (anchor_col, positive_col) pairs onto the
+    query/corpus id space. The anti-join happens BEFORE ranking, on the
+    full scored frame, so the result is EXACT: no overfetch heuristic,
+    no risk of positives crowding the window out of true negatives.
+    Self-matches are excluded like every search path here.
+
+    Returns (query_id, neighbor_id, rank, sim) with brute_force_topk's
+    deterministic (rounded sim DESC, id ASC) ordering -- the same
+    ranking tail, so the DuckDB twin replays it exactly. Scale contract
+    matches brute_force_topk: the QUERY side is the bounded set (a
+    training batch's anchors), broadcast against the corpus; swap the
+    scorer for an ANN path when the anchor set itself is corpus-sized.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        vectors.as_double(vec_col).alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        vectors.as_double(vec_col).alias("_cv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            stable_round(
+                vectors.cosine_expr("_qv", "_cv"), 4
+            ).alias("sim"),
+        )
+    )
+    pos = positives.select(
+        F.col(anchor_col).alias("query_id"),
+        F.col(positive_col).alias("neighbor_id"),
+    )
+    return _rank_topk(scored.join(pos, ["query_id", "neighbor_id"], "left_anti"), k)

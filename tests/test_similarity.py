@@ -582,3 +582,87 @@ def test_multi_probe_lsh_trades_probes_for_tables(spark):
         similarity.lsh_topk(q, df, n_probes=0)
     with pytest.raises(ValueError, match="n_probes"):
         similarity.lsh_topk(q, df, n_probes=6)
+
+
+def test_hard_negatives_excludes_positives_and_duckdb_parity(
+    spark, oracle_sf_dir
+):
+    """Hard-negative mining: (1) planted frame -- a positive that would
+    top the similarity ranking is excluded and the next-most-similar
+    non-positive takes rank 1; (2) with no positives the output equals
+    brute_force_topk exactly; (3) full DuckDB replay parity on the real
+    embeddings table with a deterministic same-residue positive
+    relation (vec_id % 10)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.operators import similarity
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        _KNN_SIM,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    # (1) planted: q=(1,0); c1=(1,0) is a positive, c2=(0.9,0.1) next
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pos = spark.createDataFrame([(0, 1)], "anchor_id long, positive_id long")
+    out = similarity.hard_negatives(
+        emb.filter(F.col("vec_id") == 0), emb, pos, k=2
+    ).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [2, 3]
+
+    # (2) no positives == brute_force_topk
+    empty = spark.createDataFrame([], "anchor_id long, positive_id long")
+    a = similarity.hard_negatives(
+        emb.filter(F.col("vec_id") == 0), emb, empty, k=3
+    ).collect()
+    b = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=3
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # (3) real-table parity: positives = same vec_id residue mod 10
+    real = load_table(spark, oracle_sf_dir, "embeddings")
+    q = real.filter(F.col("vec_id") < 15)
+    pos_r = (
+        q.select(F.col("vec_id").alias("anchor_id"))
+        .join(
+            real.select(F.col("vec_id").alias("positive_id")),
+            F.col("anchor_id") % 10 == F.col("positive_id") % 10,
+        )
+    )
+    got = similarity.hard_negatives(q, real, pos_r, k=5)
+    sql = f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 15
+        ),
+        c AS (
+          SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT query_id, neighbor_id, {sql_round(_KNN_SIM, 4)} AS sim
+          FROM q CROSS JOIN c
+          WHERE query_id <> neighbor_id
+            AND query_id % 10 <> neighbor_id % 10
+        )
+        SELECT query_id, neighbor_id, rank, sim
+        FROM (
+          SELECT query_id, neighbor_id, sim,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC
+                 ) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """
+    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
