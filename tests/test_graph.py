@@ -558,3 +558,72 @@ def test_tree_rollup_duckdb_recursive_parity(spark, sf_dir):
         """,
     )
     assert problems == [], problems
+
+
+def test_k_core_hand_graphs_and_brute_force(spark, oracle_sf_dir):
+    """k-core peeling: (1) K4 with a pendant path -- the 3-core is
+    exactly the K4, the 2-core adds nothing from the tree tail, the
+    1-core keeps every non-isolated node; (2) a pure tree has no
+    2-core; (3) exact agreement with an independent pure-Python peel
+    on a derived lineitem graph for k in {2, 3, 5}; (4) within-core
+    degrees are >= k; (5) max_iter exhaustion raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.operators import graph
+
+    # (1) K4 on {0,1,2,3} + path 3-4-5
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    e = spark.createDataFrame(k4 + [(3, 4), (4, 5)], "src long, dst long")
+    core3 = graph.k_core(e, 3).collect()
+    assert {r.node for r in core3} == {0, 1, 2, 3}
+    assert all(r.deg >= 3 for r in core3)
+    core2 = {r.node for r in graph.k_core(e, 2).collect()}
+    assert core2 == {0, 1, 2, 3}
+    core1 = {r.node for r in graph.k_core(e, 1).collect()}
+    assert core1 == {0, 1, 2, 3, 4, 5}
+
+    # (2) trees have no 2-core
+    tree = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (1, 4)], "src long, dst long"
+    )
+    assert graph.k_core(tree, 2).count() == 0
+
+    # (5) pathological chain + max_iter=1 raises
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError):
+        graph.k_core(chain, 2, max_iter=1)
+
+    # (3) brute-force agreement on a real derived graph
+    li = load_table(spark, oracle_sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 311).alias("src"),
+        (F.col("l_partkey") % 311).alias("dst"),
+    )
+    pairs = {
+        (min(r.src, r.dst), max(r.src, r.dst))
+        for r in edges.collect()
+        if r.src != r.dst
+    }
+    for k in (2, 3, 5):
+        # python peel
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            weak = [n for n, ns in adj.items() if len(ns) < k]
+            changed = bool(weak)
+            for n in weak:
+                for m in adj.pop(n):
+                    if m in adj:
+                        adj[m].discard(n)
+        got = {
+            r.node: r.deg for r in graph.k_core(edges, k).collect()
+        }
+        assert set(got) == set(adj), k
+        assert got == {n: len(ns) for n, ns in adj.items()}, k
