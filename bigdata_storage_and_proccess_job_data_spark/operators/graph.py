@@ -742,19 +742,71 @@ def k_core(
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
     und = undirected_edges(edges, src, dst).localCheckpoint()
+    _, deg = _peel(und, k, max_iter, what="k_core")
+    return deg.select("node", F.col("_deg").alias("deg"))
+
+
+def _peel(und: DataFrame, k: int, max_iter: int, what: str):
+    """Shared fixed-point peel at threshold ``k`` over a CANONICAL
+    (checkpointed) undirected frame. Returns ``(edges, degrees)`` of
+    the surviving subgraph; raises past ``max_iter`` rounds."""
     for _ in range(max_iter):
         deg = _node_degrees(und)
         weak = (
             deg.filter(F.col("_deg") < k).select("node").localCheckpoint()
         )
         if weak.count() == 0:  # bounded driver scalar per round
-            return deg.select("node", F.col("_deg").alias("deg"))
+            return und, deg
         und = (
             und.join(weak.withColumnRenamed("node", "a"), "a", "left_anti")
             .join(weak.withColumnRenamed("node", "b"), "b", "left_anti")
             .localCheckpoint()
         )
     raise RuntimeError(
-        f"k_core did not reach a fixed point in {max_iter} rounds; "
+        f"{what} did not reach a fixed point in {max_iter} rounds; "
         "raise max_iter (long chains under small k peel slowly)"
+    )
+
+
+def core_numbers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter_per_k: int = 100,
+    max_core: int = 10_000,
+) -> DataFrame:
+    """Full core decomposition: (node, core) where ``core`` is the
+    largest k for which the node survives in the k-core -- THE standard
+    graph-density feature (degeneracy ordering, spam-score tiers,
+    influence shells) of which k_core answers one slice. Every node of
+    the undirected graph appears; isolated-by-canonicalization nodes
+    don't exist here (undirected_edges guarantees degree >= 1, so cores
+    start at 1).
+
+    Level-by-level peel: the k-core survivor graph at level k seeds the
+    (k+1)-peel, so each edge is processed only while it is still alive
+    -- total work tracks the degeneracy ordering, and the level count
+    is the graph's degeneracy (small for real link graphs: tens, not
+    |V|). Nodes dropped while peeling at level k+1 get core = k. Per
+    level the dropped-node frame rides the already-checkpointed
+    survivor frames, so the output union tree stays shallow.
+    ``max_core`` guards runaway loops (degeneracy cannot exceed
+    sqrt(2|E|); hitting the guard raises)."""
+    und = undirected_edges(edges, src, dst).localCheckpoint()
+    prev_nodes = _node_degrees(und).select("node")
+    out: DataFrame | None = None
+    k = 2
+    while k <= max_core + 1:
+        und, deg = _peel(und, k, max_iter_per_k, what="core_numbers")
+        survivors = deg.select("node").localCheckpoint()
+        dropped = prev_nodes.join(survivors, "node", "left_anti").select(
+            "node", F.lit(k - 1).alias("core")
+        )
+        out = dropped if out is None else out.union(dropped)
+        if survivors.count() == 0:  # bounded driver scalar per level
+            return out
+        prev_nodes = survivors
+        k += 1
+    raise RuntimeError(
+        f"core_numbers exceeded max_core={max_core} levels"
     )

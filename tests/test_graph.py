@@ -627,3 +627,56 @@ def test_k_core_hand_graphs_and_brute_force(spark, oracle_sf_dir):
         }
         assert set(got) == set(adj), k
         assert got == {n: len(ns) for n, ns in adj.items()}, k
+
+
+def test_core_numbers_matches_python_decomposition(spark, oracle_sf_dir):
+    """Full core decomposition: (1) hand graph -- K4 members have core
+    3, the pendant path has core 1; (2) every node appears exactly
+    once with core >= 1, and each node's core agrees with k_core
+    membership at that k; (3) exact equality with an independent
+    pure-Python decomposition on a derived lineitem graph."""
+    from pyspark.sql import functions as F
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.operators import graph
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    e = spark.createDataFrame(k4 + [(3, 4), (4, 5)], "src long, dst long")
+    got = {r.node: r.core for r in graph.core_numbers(e).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1}
+
+    li = load_table(spark, oracle_sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 311).alias("src"),
+        (F.col("l_partkey") % 311).alias("dst"),
+    )
+    pairs = {
+        (min(r.src, r.dst), max(r.src, r.dst))
+        for r in edges.collect()
+        if r.src != r.dst
+    }
+    # python decomposition: peel level by level
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect, k = {}, 2
+    while adj:
+        while True:
+            weak = [n for n, ns in adj.items() if len(ns) < k]
+            if not weak:
+                break
+            for n in weak:
+                expect[n] = k - 1
+                for m in adj.pop(n):
+                    if m in adj:
+                        adj[m].discard(n)
+        k += 1
+        if k > 1000:
+            raise AssertionError("runaway")
+    got_r = {r.node: r.core for r in graph.core_numbers(edges).collect()}
+    assert got_r == expect
+    # consistency with k_core at an interior level
+    mid = max(expect.values()) // 2 or 1
+    members = {r.node for r in graph.k_core(edges, mid).collect()}
+    assert members == {n for n, c in expect.items() if c >= mid}
