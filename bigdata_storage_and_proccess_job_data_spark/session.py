@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4 wraps EVERY DataFrame/Column call in a call-site
+        # capture (stack inspection + a Py4J origin push) so error
+        # messages can cite the user's line. Measured ~40-60% of plan-
+        # CONSTRUCTION latency on expression-heavy queries. A production
+        # engine prefers fast planning; errors still carry the full JVM
+        # analysis context, just not the Python file:line.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
