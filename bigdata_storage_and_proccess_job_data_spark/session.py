@@ -45,6 +45,9 @@ def get_spark(
         # predicates can never row-group-prune; micros is the modern
         # footprint every engine (Iceberg/Delta/DuckDB) stats-prunes on
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # filter-free MIN/MAX/COUNT aggregates answer from parquet
+        # footers instead of scanning row groups (off by default)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # PySpark 4 wraps EVERY DataFrame/Column call in a call-site
