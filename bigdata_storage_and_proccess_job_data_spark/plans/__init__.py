@@ -415,8 +415,13 @@ DRIVER_WINDOW_R9_PLAN = sorted(
 # gopher_quality_flags (rule-measure bundle + verdict),
 # surprisal_buckets (CCNet head/middle/tail; percentile cuts mirror
 # quantile_cont). negative_samples (deterministic contrastive
-# negative sampling, test_corpus: full DuckDB replay parity) is
-# R9-promotable. kmv_set_ops (KMV distinct sketch, test_analytics)
+# negative sampling, test_corpus: full DuckDB replay parity) and
+# hard_negatives (similarity.py, anti-join-before-rank mining,
+# test_similarity: full DuckDB replay parity) are both R9-promotable.
+# k_core / core_numbers (graph.py) are test-only by design (iterative
+# peel, the connected_components/pagerank precedent; pure-Python
+# decomposition equality in test_graph).
+# kmv_set_ops (KMV distinct sketch, test_analytics)
 # is R9-promotable at ARTIFACT level: the sketch arrays themselves
 # rebuild bit-for-bit in DuckDB (row_number <= k over distinct
 # md5_hash60), so a build+overlap query oracles exactly.
