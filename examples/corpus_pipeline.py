@@ -257,6 +257,25 @@ def main() -> None:
     )
     n_div = ranking.mmr_rerank(cand, k=3, lam=0.6).count()
 
+    # 12. contrastive pair mining for a bi-encoder: each query anchor's
+    # ANN hits play the positives; uniform negatives come from the md5
+    # coin (reproducible across reruns -- the training set is stable),
+    # hard negatives are the most-similar NON-positives (the lookalikes
+    # the encoder must learn to separate)
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus as corpus_ops
+
+    pos_pairs = hits.select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("neighbor_id").alias("positive_id"),
+    )
+    n_uniform = corpus_ops.negative_samples(
+        pos_pairs, emb.select(F.col("vec_id").alias("item_id")), k=4,
+        salt="demo",
+    ).count()
+    n_hard = similarity.hard_negatives(
+        emb.filter(F.col("vec_id") < 5), emb, pos_pairs, k=4
+    ).count()
+
     print(
         f"raw={n0} pii(emails={pii.e},phones={pii.p}) "
         f"boiler_lines={n_boiler} exact_dedup={n_exact} "
@@ -265,7 +284,8 @@ def main() -> None:
         f"splits={split_sizes} straddling_groups={straddlers} "
         f"dup_spans={n_spans} "
         f"chunks={n_chunks} seqs={n_seqs} ann_hits={n_hits} "
-        f"mmr_kept={n_div} -> {out_dir}/chunks"
+        f"mmr_kept={n_div} uniform_negs={n_uniform} "
+        f"hard_negs={n_hard} -> {out_dir}/chunks"
     )
     assert n0 >= n_exact >= n_near >= n_decon >= n_clean >= n_mix > 0
     assert straddlers == 0
@@ -273,6 +293,8 @@ def main() -> None:
     assert n_seqs > 0
     assert n_hits == 5 * 10
     assert n_div == 5 * 3
+    assert n_uniform == 5 * 4
+    assert n_hard == 5 * 4
 
 
 if __name__ == "__main__":
