@@ -84,9 +84,11 @@ def ensure_lake(spark: SparkSession, sf_dir: str) -> str:
     if not os.path.exists(marker):
         for t in TABLES:
             src = os.path.join(sf_dir, f"{t}.parquet")
-            # split count tracks fixture bytes (~1 MiB/file, capped at
-            # the bench parallelism) so small dims stay one file
-            n = max(1, min(16, os.path.getsize(src) >> 20))
+            # every non-tiny table gets the full split count so the
+            # scan itself clears catalog._spread's parallelism
+            # threshold (n_files >= 16 -> no repartition anywhere in
+            # the plan); true dims stay one file
+            n = 16 if os.path.getsize(src) >= (512 << 10) else 1
             load_table(spark, sf_dir, t).repartition(n).write.mode(
                 "overwrite"
             ).parquet(os.path.join(dest, f"{t}.parquet"))
