@@ -1962,3 +1962,83 @@ def kmv_set_ops(
         )
         .drop("_u")
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    period: int,
+    digits: int = 4,
+) -> DataFrame:
+    """Classical additive decomposition of a regularly-spaced series
+    into trend + seasonal + remainder, per key group -- the step that
+    turns period_over_period's ratios and autocorr's diagnostics into
+    components you can actually subtract (deseasonalized KPIs, anomaly
+    detection on the remainder instead of the raw spiky series).
+
+    Method (the textbook moving-average decomposition, stated so the
+    oracle can replay it): ``trend`` is the centered moving average
+    over exactly ``period`` consecutive positions (NULL wherever the
+    centered frame is incomplete -- series edges); ``seasonal`` is the
+    per-(key, phase) mean of the detrended values, with phase =
+    0-based position mod period, centered so seasonal components sum
+    to ~0 per key; ``remainder`` = value - trend - seasonal where the
+    trend exists. Rounded to ``digits`` (stable_round, cross-engine).
+
+    ONE sorted window exchange per key serves the position index, the
+    centered mean and its completeness count; the per-(key, phase)
+    seasonal means and the per-key centering are two bounded hash aggs
+    broadcast back. Ties in ``order_col`` make positions
+    nondeterministic -- pre-compose a tiebreaker like autocorr.
+
+    Returns keys + (order_col, value_col, phase, trend, seasonal,
+    remainder)."""
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    from pyspark.sql import Window
+
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    lo, hi = -(period // 2), (period - 1) // 2
+    w_ord = Window.partitionBy(*keys).orderBy(order_col)
+    w_frame = w_ord.rowsBetween(lo, hi)
+    v = F.col(value_col).cast("double")
+    base = df.select(
+        *keys,
+        order_col,
+        v.alias("_v"),
+        ((F.row_number().over(w_ord) - 1) % period).alias("phase"),
+        F.when(
+            F.count(F.lit(1)).over(w_frame) == period,
+            F.avg(v).over(w_frame),
+        ).alias("_trend"),
+    )
+    season_raw = (
+        base.filter(F.col("_trend").isNotNull())
+        .groupBy(*keys, "phase")
+        .agg(F.avg(F.col("_v") - F.col("_trend")).alias("_s_raw"))
+    )
+    centering = season_raw.groupBy(*keys).agg(
+        F.avg("_s_raw").alias("_s_mean")
+    )
+    season = season_raw.join(centering, list(keys)).select(
+        *keys,
+        "phase",
+        (F.col("_s_raw") - F.col("_s_mean")).alias("_seasonal"),
+    )
+    out = base.join(F.broadcast(season), [*keys, "phase"], "left")
+    return out.select(
+        *keys,
+        order_col,
+        F.col("_v").alias(value_col),
+        "phase",
+        stable_round(F.col("_trend"), digits).alias("trend"),
+        stable_round(F.col("_seasonal"), digits).alias("seasonal"),
+        stable_round(
+            F.col("_v") - F.col("_trend") - F.col("_seasonal"), digits
+        ).alias("remainder"),
+    )

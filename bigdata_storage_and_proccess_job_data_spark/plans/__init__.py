@@ -417,7 +417,9 @@ DRIVER_WINDOW_R9_PLAN = sorted(
 # quantile_cont). negative_samples (deterministic contrastive
 # negative sampling, test_corpus: full DuckDB replay parity) and
 # hard_negatives (similarity.py, anti-join-before-rank mining,
-# test_similarity: full DuckDB replay parity) are both R9-promotable.
+# test_similarity: full DuckDB replay parity) are both R9-promotable,
+# as is seasonal_decompose (aggregates.py, test_mining: full DuckDB
+# replay parity on the monthly orders series).
 # k_core / core_numbers (graph.py) are test-only by design (iterative
 # peel, the connected_components/pagerank precedent; pure-Python
 # decomposition equality in test_graph).

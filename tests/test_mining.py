@@ -935,3 +935,84 @@ def test_running_distinct_pins_and_parity(spark, oracle_sf_dir):
         """,
     )
     assert problems == [], problems
+
+
+def test_seasonal_decompose_pins_and_parity(spark, oracle_sf_dir):
+    """Classical additive decomposition: (1) a noise-free planted
+    series (linear trend + zero-sum period-4 season) recovers the
+    EXACT seasonal pattern, a linear trend, and a constant remainder
+    (the known half-step MA artifact of an even period); (2) centered-
+    frame edges have NULL trend; (3) full DuckDB replay parity on the
+    per-priority monthly orders revenue series; (4) period validation."""
+    season = {0: 3.0, 1: -1.0, 2: -4.0, 3: 2.0}  # sums to 0
+    rows = [
+        ("k", t, 10.0 + 0.5 * t + season[t % 4]) for t in range(16)
+    ]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    out = aggregates.seasonal_decompose(df, ["g"], "t", "v", period=4)
+    got = {r.t: r for r in out.collect()}
+    assert len(got) == 16
+    # edges: centered frame rowsBetween(-2, 1) incomplete at t=0,1,15
+    for t in (0, 1, 15):
+        assert got[t].trend is None and got[t].remainder is None
+    for t in range(2, 15):
+        # trend of the linear+zero-sum-season series = linear at t-0.5
+        assert abs(got[t].trend - (10.0 + 0.5 * (t - 0.5))) < 1e-9, t
+        # seasonal recovered exactly; remainder = the constant 0.25
+        # half-step offset
+        assert abs(got[t].seasonal - season[t % 4]) < 1e-9, t
+        assert abs(got[t].remainder - 0.25) < 1e-9, t
+    # seasonal components centered per key
+    s_by_phase = {r.phase: r.seasonal for r in out.collect()}
+    assert abs(sum(s_by_phase.values())) < 1e-9
+
+    with pytest.raises(ValueError):
+        aggregates.seasonal_decompose(df, ["g"], "t", "v", period=1)
+
+    # DuckDB replay on the real monthly revenue series
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    series = orders.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+    ).agg(stable_round(F.sum("o_totalprice"), 2).alias("v"))
+    got_r = aggregates.seasonal_decompose(
+        series, ["prio"], "m", "v", period=12
+    )
+    p, lo_p, hi_f = 12, 6, 5
+    sql = f"""
+        WITH series AS (
+          SELECT o_orderpriority AS prio,
+                 date_trunc('month', o_orderdate)::DATE AS m,
+                 {sql_round('SUM(o_totalprice)', 2)} AS v
+          FROM orders GROUP BY 1, 2
+        ),
+        base AS (
+          SELECT prio, m, v,
+                 (row_number() OVER w_ord - 1) % {p} AS phase,
+                 CASE WHEN count(*) OVER w_f = {p}
+                      THEN avg(v) OVER w_f END AS _trend
+          FROM series
+          WINDOW w_ord AS (PARTITION BY prio ORDER BY m),
+                 w_f AS (PARTITION BY prio ORDER BY m
+                         ROWS BETWEEN {lo_p} PRECEDING
+                                  AND {hi_f} FOLLOWING)
+        ),
+        sr AS (
+          SELECT prio, phase, avg(v - _trend) AS _s_raw
+          FROM base WHERE _trend IS NOT NULL GROUP BY prio, phase
+        ),
+        ctr AS (
+          SELECT prio, avg(_s_raw) AS _s_mean FROM sr GROUP BY prio
+        ),
+        season AS (
+          SELECT sr.prio, sr.phase, sr._s_raw - ctr._s_mean AS _seasonal
+          FROM sr JOIN ctr USING (prio)
+        )
+        SELECT b.prio, b.m, b.v, CAST(b.phase AS BIGINT) AS phase,
+               {sql_round('b._trend', 4)} AS trend,
+               {sql_round('s._seasonal', 4)} AS seasonal,
+               {sql_round('b.v - b._trend - s._seasonal', 4)} AS remainder
+        FROM base b LEFT JOIN season s
+          ON b.prio = s.prio AND b.phase = s.phase
+    """
+    assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []
