@@ -2042,3 +2042,90 @@ def seasonal_decompose(
             F.col("_v") - F.col("_trend") - F.col("_seasonal"), digits
         ).alias("remainder"),
     )
+
+
+def survival_curve(
+    df: DataFrame,
+    keys: list[str],
+    duration_col: str,
+    event_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival estimate per key group -- the
+    right-censoring-aware retention curve (subscription churn, time-to-
+    conversion, device lifetime) that cohort_retention's raw ratios
+    cannot give when observation windows differ per subject. Input is
+    one row per subject: ``duration_col`` (time observed, any ordered
+    numeric) and ``event_col`` (1 = the event happened AT duration,
+    0 = censored at duration -- still alive when we stopped looking).
+
+    S(t) = prod over event times u <= t of (1 - d_u / n_u), with d_u =
+    events at u and n_u = subjects still at risk (duration >= u). The
+    product is computed in LOG space as exp(running sum of
+    ln(1 - d/n)) over ONE ordered window per key, so the whole curve
+    costs one hash agg to the per-(key, time) table (tiny: distinct
+    event times, not subjects) plus one sorted exchange of that table.
+    Output rows are event times only; censoring times shape n_t but
+    emit no step, per the estimator. The d=n terminal case (everyone
+    at risk dies) is handled by an explicit flag -- Spark's ln(0) is
+    NULL, not -inf, so the zero survival is pinned rather than floated.
+    Stable-rounded to ``digits`` for cross-engine replay.
+
+    Returns keys + (t, n_at_risk, events, survival)."""
+    from pyspark.sql import Window
+
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    ev = F.col(event_col).cast("double")
+    per_t = (
+        df.filter(
+            F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+        )
+        .groupBy(*keys, F.col(duration_col).alias("t"))
+        .agg(
+            F.sum(ev).alias("_d"),
+            F.count(F.lit(1)).alias("_m"),
+        )
+    )
+    w_ord = Window.partitionBy(*keys).orderBy("t")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_prior = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy(*keys)
+    stepped = per_t.select(
+        *keys,
+        "t",
+        "_d",
+        (
+            F.sum("_m").over(w_all)
+            - F.coalesce(F.sum("_m").over(w_prior), F.lit(0))
+        ).alias("_n"),
+    ).withColumns(
+        {
+            "_logS": F.sum(
+                F.when(
+                    (F.col("_d") > 0) & (F.col("_d") < F.col("_n")),
+                    F.log(
+                        F.lit(1.0)
+                        - F.col("_d") / F.col("_n").cast("double")
+                    ),
+                ).otherwise(F.lit(0.0))
+            ).over(w_cum),
+            "_died": F.max(
+                (F.col("_d") == F.col("_n")).cast("int")
+            ).over(w_cum),
+        }
+    )
+    return stepped.filter(F.col("_d") > 0).select(
+        *keys,
+        "t",
+        F.col("_n").alias("n_at_risk"),
+        F.col("_d").cast("long").alias("events"),
+        stable_round(
+            F.when(F.col("_died") == 1, F.lit(0.0)).otherwise(
+                F.exp("_logS")
+            ),
+            digits,
+        ).alias("survival"),
+    )

@@ -1016,3 +1016,83 @@ def test_seasonal_decompose_pins_and_parity(spark, oracle_sf_dir):
           ON b.prio = s.prio AND b.phase = s.phase
     """
     assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_survival_curve_km_hand_math_and_parity(spark, oracle_sf_dir):
+    """Kaplan-Meier: (1) the classic Freireich 6-MP arm (21 subjects,
+    12 censored) reproduces the textbook curve to 6dp; censored-only
+    times emit no step but shape n_at_risk; (2) everyone-dies terminal
+    case pins survival exactly 0; (3) full DuckDB replay parity on a
+    derived orders cohort (duration/event from order keys)."""
+    times = [6, 6, 6, 7, 10, 13, 16, 22, 23]          # events
+    cens = [6, 9, 10, 11, 17, 19, 20, 25, 32, 32, 34, 35]  # censored
+    rows = [("a", t, 1) for t in times] + [("a", t, 0) for t in cens]
+    df = spark.createDataFrame(rows, "g string, dur int, ev int")
+    out = {
+        r.t: r
+        for r in aggregates.survival_curve(df, ["g"], "dur", "ev").collect()
+    }
+    expect = {
+        6: (21, 3, 0.857143),
+        7: (17, 1, 0.806723),
+        10: (15, 1, 0.752941),
+        13: (12, 1, 0.690196),
+        16: (11, 1, 0.627451),
+        22: (7, 1, 0.537815),
+        23: (6, 1, 0.448179),
+    }
+    assert set(out) == set(expect)
+    for t, (n, d, s) in expect.items():
+        assert out[t].n_at_risk == n, t
+        assert out[t].events == d, t
+        assert abs(out[t].survival - s) < 1e-6, t
+    assert 9 not in out  # censored-only time: no step
+
+    dead = spark.createDataFrame(
+        [("z", 5, 1), ("z", 5, 1)], "g string, dur int, ev int"
+    )
+    row = aggregates.survival_curve(dead, ["g"], "dur", "ev").collect()[0]
+    assert row.survival == 0.0 and row.n_at_risk == 2 and row.events == 2
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    subj = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_orderkey") % 50 + 1).alias("dur"),
+        (F.col("o_orderkey") % 3 != 0).cast("int").alias("ev"),
+    )
+    got = aggregates.survival_curve(subj, ["prio"], "dur", "ev")
+    sql = f"""
+        WITH subj AS (
+          SELECT o_orderpriority AS prio,
+                 o_orderkey % 50 + 1 AS t,
+                 CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END AS ev
+          FROM orders
+        ),
+        per_t AS (
+          SELECT prio, t, SUM(ev)::DOUBLE AS d, COUNT(*) AS m
+          FROM subj GROUP BY prio, t
+        ),
+        st AS (
+          SELECT prio, t, d,
+                 (SUM(m) OVER (PARTITION BY prio)
+                  - COALESCE(SUM(m) OVER (
+                      PARTITION BY prio ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0))::BIGINT AS n
+          FROM per_t
+        ),
+        cum AS (
+          SELECT prio, t, d, n,
+                 SUM(CASE WHEN d > 0 AND d < n
+                          THEN ln(1 - d / n) ELSE 0 END) OVER w AS logS,
+                 MAX(CASE WHEN d = n THEN 1 ELSE 0 END) OVER w AS died
+          FROM st
+          WINDOW w AS (PARTITION BY prio ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT prio, t, n AS n_at_risk, d::BIGINT AS events,
+               {sql_round('CASE WHEN died = 1 THEN 0.0 ELSE exp(logS) END', 6)}
+                 AS survival
+        FROM cum WHERE d > 0
+    """
+    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
