@@ -2129,3 +2129,78 @@ def survival_curve(
             digits,
         ).alias("survival"),
     )
+
+
+def rate_anomalies(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    bucket: str = "1 hour",
+    trailing: int = 24,
+    min_history: int = 6,
+    digits: int = 4,
+) -> DataFrame:
+    """Event-rate anomaly report: per key, bucket the stream into
+    fixed windows, and score each bucket's count against the TRAILING
+    ``trailing``-bucket baseline (mean/stddev over the preceding
+    OBSERVED buckets only -- the bucket being scored never leaks into
+    its own baseline). The observability primitive for "did error
+    volume spike" / "did ingest stall" over a 100 TB event stream:
+    one hash agg to the per-(key, bucket) table, one sorted window
+    over THAT table (bucket counts, not events), nothing else.
+
+    z = (count - trailing_mean) / trailing_std, NULL while fewer than
+    ``min_history`` prior buckets exist or when the baseline is
+    constant (std = 0) -- a constant-rate history cannot be z-scored,
+    it can only be eyeballed via the also-emitted mean. Gaps: buckets
+    with zero events do NOT materialize rows (nothing to aggregate);
+    the baseline is over observed buckets, which UNDERSTATES spikes
+    after quiet gaps -- callers wanting dense zero-filled buckets
+    should interval-join a calendar first (documented trade, keeps
+    this operator join-free).
+
+    Returns keys + (bucket_start, n, trailing_mean, trailing_std, z).
+    """
+    if trailing < 2:
+        raise ValueError("trailing must be >= 2")
+    if min_history < 2:
+        raise ValueError("min_history must be >= 2")
+    from pyspark.sql import Window
+
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    per_b = df.groupBy(
+        *keys,
+        F.window(F.col(ts_col), bucket)["start"].alias("bucket_start"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_start")
+        .rowsBetween(-trailing, -1)
+    )
+    nn = F.col("n").cast("double")
+    scored = per_b.select(
+        *keys,
+        F.col("bucket_start").cast("timestamp_ntz"),
+        "n",
+        F.count(F.lit(1)).over(w).alias("_h"),
+        F.avg(nn).over(w).alias("_mu"),
+        F.stddev_samp(nn).over(w).alias("_sd"),
+    )
+    ok = (F.col("_h") >= min_history) & (F.col("_sd") > 0)
+    return scored.select(
+        *keys,
+        "bucket_start",
+        "n",
+        stable_round(
+            F.when(F.col("_h") >= min_history, F.col("_mu")), digits
+        ).alias("trailing_mean"),
+        stable_round(
+            F.when(F.col("_h") >= min_history, F.col("_sd")), digits
+        ).alias("trailing_std"),
+        stable_round(
+            F.when(ok, (nn - F.col("_mu")) / F.col("_sd")), digits
+        ).alias("z"),
+    )

@@ -1096,3 +1096,67 @@ def test_survival_curve_km_hand_math_and_parity(spark, oracle_sf_dir):
         FROM cum WHERE d > 0
     """
     assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_rate_anomalies_pins_and_parity(spark, oracle_sf_dir):
+    """Trailing z-score rate anomalies: (1) a planted 10x spike over a
+    noisy-but-steady baseline scores a large positive z and the quiet
+    bucket after it a negative one; (2) warm-up buckets (< min_history
+    priors) and constant-baseline buckets emit NULL z; (3) full DuckDB
+    replay parity on hourly event_type counts."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # steady alternating 3/4 events per hour for 11 hours, then a
+    # 30-event spike at hour 11, then 1 event at hour 12
+    for h in range(11):
+        for i in range(3 + (h % 2)):
+            rows.append(("svc", base + dt.timedelta(hours=h, minutes=i)))
+    for i in range(30):
+        rows.append(("svc", base + dt.timedelta(hours=11, minutes=i)))
+    rows.append(("svc", base + dt.timedelta(hours=12)))
+    # a constant-rate key: exactly 2 events every hour -> std 0 -> NULL z
+    for h in range(10):
+        for i in range(2):
+            rows.append(("flat", base + dt.timedelta(hours=h, minutes=i)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = aggregates.rate_anomalies(
+        df, ["k"], "ts", bucket="1 hour", trailing=24, min_history=6
+    )
+    svc = {r.bucket_start.hour: r for r in out.filter(F.col("k") == "svc").collect()}
+    for h in range(6):  # warm-up: fewer than 6 prior buckets
+        assert svc[h].z is None and svc[h].trailing_mean is None
+    assert svc[11].z is not None and svc[11].z > 10
+    assert svc[12].z is not None and svc[12].z < 0
+    flat = {r.bucket_start.hour: r for r in out.filter(F.col("k") == "flat").collect()}
+    assert all(r.z is None for r in flat.values())
+    assert flat[9].trailing_mean == 2.0  # mean still emitted
+
+    events = load_table(spark, oracle_sf_dir, "events")
+    got = aggregates.rate_anomalies(
+        events, ["event_type"], "ts", bucket="1 hour",
+        trailing=24, min_history=6,
+    )
+    sql = f"""
+        WITH per_b AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT event_type, bucket_start, n,
+                 COUNT(*) OVER w AS h,
+                 AVG(n::DOUBLE) OVER w AS mu,
+                 STDDEV_SAMP(n::DOUBLE) OVER w AS sd
+          FROM per_b
+          WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, bucket_start, n,
+               {sql_round('CASE WHEN h >= 6 THEN mu END', 4)} AS trailing_mean,
+               {sql_round('CASE WHEN h >= 6 THEN sd END', 4)} AS trailing_std,
+               {sql_round('CASE WHEN h >= 6 AND sd > 0 THEN (n::DOUBLE - mu) / sd END', 4)} AS z
+        FROM scored
+    """
+    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
