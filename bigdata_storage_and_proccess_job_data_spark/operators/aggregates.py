@@ -2204,3 +2204,51 @@ def rate_anomalies(
             F.when(ok, (nn - F.col("_mu")) / F.col("_sd")), digits
         ).alias("z"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    adjust: bool = False,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average -- the recursive
+    smoother (s_t = alpha*x_t + (1-alpha)*s_{t-1}) that rounds out the
+    time-series set: seasonal_decompose isolates structure, autocorr
+    diagnoses it, ewma tracks level with O(1) state per step. The
+    recursion is ORDER-SEQUENTIAL and has no closed window form, so
+    this is one of the engine's few justified Arrow paths: ONE
+    applyInPandas per key group (vectorized pandas ewm inside), after
+    one shuffle on the keys. Per-key series must fit an executor --
+    the same per-group bound every applyInPandas op carries; at 100 TB
+    that means keys like (device, day), not one global key.
+
+    ``adjust=False`` (default) is the recursive form above;
+    ``adjust=True`` is the bias-corrected weighted mean over all
+    history (pandas semantics, stated so the replica test pins the
+    convention). A NULL value emits the carried-forward smoothed
+    value and the weights keep decaying across the gap (pandas
+    ignore_na=False). Rows keep their input columns; output adds
+    ``out_col``."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        df.schema.fields + [StructField(out_col, DoubleType())]
+    )
+
+    def smooth(pdf):
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        pdf[out_col] = (
+            pdf[value_col]
+            .astype("float64")
+            .ewm(alpha=alpha, adjust=adjust, ignore_na=False)
+            .mean()
+        )
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(smooth, schema=schema)

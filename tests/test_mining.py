@@ -1160,3 +1160,53 @@ def test_rate_anomalies_pins_and_parity(spark, oracle_sf_dir):
         FROM scored
     """
     assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_ewma_matches_pandas_replica(spark, oracle_sf_dir):
+    """Per-key EWMA (the justified Arrow path -- order-sequential
+    recursion): (1) hand recursion pins for adjust=False; (2) exact
+    agreement with an independent pandas groupby-ewm replica on a
+    derived orders series for both adjust conventions; (3) NULLs emit
+    NULL without resetting state; (4) alpha validation."""
+    import pandas as pd
+
+    rows = [("a", 0, 2.0), ("a", 1, 4.0), ("a", 2, None), ("a", 3, 8.0)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = {
+        r.t: r.ewma
+        for r in aggregates.ewma(df, ["k"], "t", "v", alpha=0.5).collect()
+    }
+    # s0=2; s1=0.5*4+0.5*2=3; the NULL at t=2 carries s1 forward; the
+    # gap decays the carried state's weight to (1-a)^2, renormalized
+    # (pandas adjust=False, ignore_na=False):
+    # s3 = (a*8 + (1-a)^2*s1) / (a + (1-a)^2)
+    assert out[0] == 2.0 and out[1] == 3.0 and out[2] == 3.0
+    expect3 = (0.5 * 8 + 0.25 * 3.0) / (0.5 + 0.25)
+    assert abs(out[3] - expect3) < 1e-12
+
+    with pytest.raises(ValueError):
+        aggregates.ewma(df, ["k"], "t", "v", alpha=0.0)
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    series = orders.select(
+        F.col("o_orderpriority").alias("k"),
+        F.col("o_orderkey").alias("t"),
+        F.col("o_totalprice").alias("v"),
+    )
+    pdf = series.toPandas()
+    for adjust in (False, True):
+        got = (
+            aggregates.ewma(series, ["k"], "t", "v", 0.3, adjust=adjust)
+            .select("k", "t", "ewma")
+            .toPandas()
+            .sort_values(["k", "t"])
+            .reset_index(drop=True)
+        )
+        exp = pdf.sort_values(["k", "t"]).reset_index(drop=True)
+        exp["ewma"] = (
+            exp.groupby("k")["v"]
+            .transform(lambda s: s.ewm(alpha=0.3, adjust=adjust).mean())
+        )
+        pd.testing.assert_series_equal(
+            got["ewma"], exp["ewma"], check_exact=False, rtol=1e-12
+        )
