@@ -418,8 +418,11 @@ DRIVER_WINDOW_R9_PLAN = sorted(
 # negative sampling, test_corpus: full DuckDB replay parity) and
 # hard_negatives (similarity.py, anti-join-before-rank mining,
 # test_similarity: full DuckDB replay parity) are both R9-promotable,
-# as is seasonal_decompose (aggregates.py, test_mining: full DuckDB
-# replay parity on the monthly orders series).
+# as are seasonal_decompose, survival_curve (Kaplan-Meier) and
+# rate_anomalies (all aggregates.py, test_mining: full DuckDB
+# replay parity each). Test-only by design: ewma (applyInPandas,
+# pandas-replica oracle) and kmeans_update (driver-blend math,
+# numpy replica), per the kmeans/heavy_hitters precedents.
 # k_core / core_numbers (graph.py) are test-only by design (iterative
 # peel, the connected_components/pagerank precedent; pure-Python
 # decomposition equality in test_graph).
