@@ -1825,15 +1825,21 @@ def negative_samples(
         (
             F.row_number().over(Window.orderBy("_item")) - 1
         ).alias("_idx"),
-    )
-    n_row = F.broadcast(idx.agg(F.count(F.lit(1)).alias("_n")))
+    ).persist()
+    # bounded driver scalar (one long -- the documented collect class):
+    # the modulo constant folds into codegen instead of riding a
+    # one-row BNLJ through every slot row
+    n_items = idx.count()
+    if n_items == 0:
+        idx.unpersist()
+        raise ValueError("items pool is empty")
 
     slots = (
         pos.select("_a")
         .distinct()
         .select("_a", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_slot"))
     )
-    drawn = slots.crossJoin(n_row).withColumn(
+    drawn = slots.withColumn(
         "_idx",
         F.pmod(
             md5_hash60(
@@ -1844,7 +1850,7 @@ def negative_samples(
                     F.col("_slot").cast("string"),
                 )
             ),
-            F.col("_n"),
+            F.lit(n_items),
         ),
     )
     cand = drawn.join(idx, "_idx").select("_a", "_item", "_slot")

@@ -512,3 +512,96 @@ def test_driver_outputs_are_canonicalizable(spark, oracle_sf_dir):
         if complex_cols:
             offenders.append((name, complex_cols))
     assert not offenders, offenders
+
+
+def test_late_r8_library_ops_pass_the_plan_lint(spark, oracle_sf_dir):
+    """The registry-wide lint sweep only gates REGISTERED queries; the
+    late-r8 library operators get the same hygiene check here: no
+    CartesianProduct, no row-at-a-time Python, BNLJ only where the
+    operator's contract documents it (hard_negatives' bounded broadcast
+    query set -- the brute_force_topk precedent), and a Python Arrow
+    node only in ewma (the documented applyInPandas exception)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        aggregates,
+        corpus,
+        graph,
+        similarity,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.plans import lint
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    events = load_table(spark, oracle_sf_dir, "events")
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+
+    clean = {
+        "kmv_sketch": aggregates.kmv_sketch(
+            orders, "o_custkey", dims=["o_orderpriority"], k=16
+        ),
+        "negative_samples": corpus.negative_samples(
+            docs.select(
+                F.col("source").alias("anchor_id"),
+                F.col("doc_id").alias("positive_id"),
+            ),
+            docs.select(F.col("doc_id").alias("item_id")),
+            k=3,
+        ),
+        "seasonal_decompose": aggregates.seasonal_decompose(
+            orders.groupBy(
+                F.col("o_orderpriority").alias("g"),
+                F.date_trunc("month", "o_orderdate").alias("m"),
+            ).agg(F.sum("o_totalprice").alias("v")),
+            ["g"], "m", "v", period=4,
+        ),
+        "survival_curve": aggregates.survival_curve(
+            orders.select(
+                F.col("o_orderpriority").alias("g"),
+                (F.col("o_orderkey") % 50).alias("dur"),
+                (F.col("o_orderkey") % 3 != 0).cast("int").alias("ev"),
+            ),
+            ["g"], "dur", "ev",
+        ),
+        "rate_anomalies": aggregates.rate_anomalies(
+            events, ["event_type"], "ts"
+        ),
+    }
+    for name, df in clean.items():
+        assert lint.lint_plan(df) == [], name
+
+    # documented exceptions
+    hn = similarity.hard_negatives(
+        emb.filter(F.col("vec_id") < 3),
+        emb,
+        emb.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("vec_id").alias("positive_id"),
+        ),
+        k=2,
+    )
+    assert lint.lint_plan(hn, allow_bnlj=True) == []
+
+    ew = aggregates.ewma(
+        orders.select(
+            F.col("o_orderpriority").alias("k"),
+            F.col("o_orderkey").alias("t"),
+            F.col("o_totalprice").alias("v"),
+        ),
+        ["k"], "t", "v", 0.3,
+    )
+    findings = lint.lint_plan(ew)
+    # the ONLY finding may be the Arrow map node (never CartesianProduct)
+    assert all("Cartesian" not in f and "NestedLoop" not in f for f in findings)
+
+    # the iterative graph ops checkpoint internally (sourceless plans
+    # by design) -- lint their pre-checkpoint shape is covered by the
+    # peel construction itself; here just pin they run and return sane
+    # shapes on a small graph
+    e = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long",
+    )
+    assert graph.k_core(e, 2).columns == ["node", "deg"]
+    assert graph.core_numbers(e).columns == ["node", "core"]
