@@ -1,0 +1,227 @@
+"""Distributed BPE tokenizer training (byte-pair encoding merges).
+
+The missing end of the corpus stack's tokenizer story: token COUNTING
+(functions/text.py) assumes a tokenizer exists; this trains one. The
+classic trick makes it tractable at 100 TB: BPE statistics depend only
+on the WORD FREQUENCY table, so the corpus is touched exactly once (one
+explode + hash agg), and the merge loop runs over distinct words -- a
+frame ~5-6 orders of magnitude smaller than the corpus, still processed
+distributedly (no driver materialization of the vocabulary; the only
+per-iteration driver traffic is the argmax pair, one row).
+
+Merge-application convention (stated because replicas must match): one
+merge pass scans each word's token list LEFT TO RIGHT, fusing
+non-overlapping occurrences greedily ("aaa" under merge (a,a) becomes
+["aa", "a"]). The trainer's fold, the encoder, and the pure-Python
+test replica all implement exactly this pass.
+
+Reference scope: the reference repo has no tokenizer machinery; this is
+part of the beyond-reference LLM-pipeline mandate (TESTDATA documents
+table). Public-knowledge basis: Sennrich et al. 2016 (Neural Machine
+Translation of Rare Words with Subword Units).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# end-of-word marker, appended as a standalone token so merges can
+# learn suffixes ("ing</w>") without crossing word boundaries
+EOW = "</w>"
+
+_WORD_SPLIT = r"\s+"
+
+
+def _word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over the corpus -- the ONE corpus-sized pass."""
+    return (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), _WORD_SPLIT)
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_tokens(word: Column) -> Column:
+    """Characters of the word plus the end-of-word marker (split by
+    empty pattern can emit empty strings at the edges on some Spark
+    versions -- filtered defensively)."""
+    return F.concat(
+        F.filter(F.split(word, ""), lambda t: t != ""),
+        F.array(F.lit(EOW)),
+    )
+
+
+def _merge_pass(tokens: Column, a: str, b: str) -> Column:
+    """Apply ONE merge (a, b) -> a+b to a token array: left-to-right
+    greedy single pass as a codegen'd fold. The accumulator carries
+    (out array, pending token); a pending ``a`` followed by ``b`` fuses
+    and clears the pending slot, so overlapping runs ("aaa") fuse only
+    the leftmost pair -- the stated convention."""
+    merged = F.lit(a + b)
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+    step = lambda acc, t: F.when(  # noqa: E731
+        acc["pend"].isNull(),
+        F.struct(acc["out"].alias("out"), t.alias("pend")),
+    ).otherwise(
+        F.when(
+            (acc["pend"] == F.lit(a)) & (t == F.lit(b)),
+            F.struct(
+                F.concat(acc["out"], F.array(merged)).alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                t.alias("pend"),
+            )
+        )
+    )
+    fin = lambda acc: F.when(  # noqa: E731
+        acc["pend"].isNull(), acc["out"]
+    ).otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+    return F.aggregate(tokens, init, step, fin)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    min_freq: int = 1,
+) -> list[tuple[str, str]]:
+    """Train ``n_merges`` BPE merges over the corpus. Returns the
+    ordered merge list [(left, right), ...] -- the tokenizer artifact
+    bpe_encode consumes (store it next to the corpus snapshot).
+
+    Each iteration over the persisted word-frequency frame: explode
+    adjacent token pairs (positional transform -- no self-join), one
+    hash agg of pair frequencies, ONE argmax row to the driver
+    (deterministic tiebreak: freq DESC, then pair lexicographic), then
+    a codegen'd fold rewrites every word's token array. Token arrays
+    re-checkpoint every few merges to bound lineage (the iterative-op
+    discipline). Stops early when no pair reaches ``min_freq`` (or any
+    pair at all) -- the returned list is then shorter than requested.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    if min_freq < 1:
+        raise ValueError("min_freq must be >= 1")
+    words = _word_freqs(df, text_col).select(
+        _initial_tokens(F.col("w")).alias("toks"), "freq"
+    ).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        pairs = words.select(
+            F.explode(
+                F.when(
+                    F.size("toks") >= 2,
+                    F.transform(
+                        F.sequence(
+                            F.lit(0), F.size("toks") - F.lit(2)
+                        ),
+                        lambda j: F.struct(
+                            F.col("toks")[j].alias("a"),
+                            F.col("toks")[j + 1].alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast(
+                    "array<struct<a:string,b:string>>"
+                ))
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(
+                F.col("n").desc(), F.col("p.a"), F.col("p.b")
+            )
+            .limit(1)
+            .collect()  # bounded: ONE row per iteration
+        )
+        if not top or top[0]["n"] < min_freq:
+            break
+        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+        merges.append((a, b))
+        words = words.select(
+            _merge_pass(F.col("toks"), a, b).alias("toks"), "freq"
+        )
+        if (i + 1) % 4 == 0 or i == n_merges - 1:
+            words = words.localCheckpoint()
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` with a trained merge list: lowercase,
+    whitespace-split, char + end-of-word init, then the merges applied
+    IN TRAINING ORDER per word (each a left-to-right greedy pass --
+    identical to the trainer's fold, so encoding the training corpus
+    reproduces the trainer's final segmentations exactly, pinned in
+    tests). Appends ``out_col`` (array<string>).
+
+    Arrow path (mapInPandas-free: one applyInPandas-less pandas_udf):
+    the merge list is a plain broadcast closure; per batch the encoder
+    runs the rank-dict algorithm in Python -- the justified exception,
+    like ewma: a rank-ordered iterative rewrite has no bounded
+    expression form once the merge list is long (chaining N folds
+    nests N expression trees). Cost is one Arrow round trip; no
+    shuffle."""
+    merges = merges or []
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    fuse = {pair: pair[0] + pair[1] for pair in merges}
+
+    def encode_word(word: str) -> list[str]:
+        toks = list(word) + [EOW]
+        while len(toks) >= 2:
+            best, best_rank = None, None
+            for j in range(len(toks) - 1):
+                r = ranks.get((toks[j], toks[j + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = (toks[j], toks[j + 1]), r
+            if best is None:
+                break
+            # one left-to-right greedy pass for the chosen merge
+            out, pend = [], None
+            for t in toks:
+                if pend is None:
+                    pend = t
+                elif (pend, t) == best:
+                    out.append(fuse[best])
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = t
+            if pend is not None:
+                out.append(pend)
+            toks = out
+        return toks
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def enc(col: pd.Series) -> pd.Series:
+        def doc(text):
+            if text is None:
+                return None
+            toks: list[str] = []
+            for w in text.lower().split():
+                toks.extend(encode_word(w))
+            return toks
+
+        return col.map(doc)
+
+    return df.withColumn(out_col, enc(F.col(text_col)))

@@ -422,7 +422,9 @@ DRIVER_WINDOW_R9_PLAN = sorted(
 # rate_anomalies (all aggregates.py, test_mining: full DuckDB
 # replay parity each). Test-only by design: ewma (applyInPandas,
 # pandas-replica oracle) and kmeans_update (driver-blend math,
-# numpy replica), per the kmeans/heavy_hitters precedents.
+# numpy replica), per the kmeans/heavy_hitters precedents, and
+# bpe_train/bpe_encode (operators/bpe.py -- iterative merge loop;
+# exact pure-Python replica equality in test_bpe.py).
 # k_core / core_numbers (graph.py) are test-only by design (iterative
 # peel, the connected_components/pagerank precedent; pure-Python
 # decomposition equality in test_graph).
