@@ -5,5 +5,6 @@ aggregation cubes + sketches (HLL/CMS/DDSketch/KMV) + robust stats
 (median/MAD outliers, correlation matrix, chi-square, autocorrelation,
 time-decayed aggregates, table profiler), market-basket pair mining,
 PageRank, training-corpus prep (chunking, PII, contamination, sampling,
-splits, LM quality scoring, line dedup), ranking/retrieval (BM25, MMR),
-funnels, and multimodal plumbing."""
+splits, LM quality scoring, line dedup, BPE tokenizer training,
+negative sampling), ranking/retrieval (BM25, MMR), funnels, and
+multimodal plumbing."""
