@@ -276,6 +276,19 @@ def main() -> None:
         emb.filter(F.col("vec_id") < 5), emb, pos_pairs, k=4
     ).count()
 
+    # 13. tokenizer: train BPE merges on the clean corpus (one
+    # corpus-sized pass + a distributed merge loop over distinct
+    # words), then encode with the learned artifact
+    from bigdata_storage_and_proccess_job_data_spark.operators import bpe
+
+    merges = bpe.bpe_train(docs, "text", n_merges=10)
+    n_bpe_tokens = (
+        bpe.bpe_encode(docs.limit(50), "text", merges)
+        .select(F.sum(F.size("bpe_tokens")).alias("n"))
+        .first()
+        .n
+    )
+
     print(
         f"raw={n0} pii(emails={pii.e},phones={pii.p}) "
         f"boiler_lines={n_boiler} exact_dedup={n_exact} "
@@ -285,7 +298,8 @@ def main() -> None:
         f"dup_spans={n_spans} "
         f"chunks={n_chunks} seqs={n_seqs} ann_hits={n_hits} "
         f"mmr_kept={n_div} uniform_negs={n_uniform} "
-        f"hard_negs={n_hard} -> {out_dir}/chunks"
+        f"hard_negs={n_hard} bpe_merges={len(merges)} "
+        f"bpe_tokens_50docs={n_bpe_tokens} -> {out_dir}/chunks"
     )
     assert n0 >= n_exact >= n_near >= n_decon >= n_clean >= n_mix > 0
     assert straddlers == 0
@@ -295,6 +309,7 @@ def main() -> None:
     assert n_div == 5 * 3
     assert n_uniform == 5 * 4
     assert n_hard == 5 * 4
+    assert len(merges) == 10 and n_bpe_tokens > 0
 
 
 if __name__ == "__main__":
