@@ -2252,3 +2252,63 @@ def ewma(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(smooth, schema=schema)
+
+
+def gini_coefficient(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Gini concentration per key group -- "how unevenly is revenue /
+    token count / engagement spread across its members", the
+    concentration complement of key_skew_report's hot-key diagnostics
+    (skew reports find WHICH keys are heavy; Gini scores HOW unequal a
+    group's distribution is on one 0..1 scale). Standard rank formula
+    on ascending-sorted non-negative values:
+
+        G = 2 * sum(i * x_(i)) / (n * sum(x)) - (n + 1) / n
+
+    One ordered window per key for the ranks (value, then a stable
+    arbitrary tiebreak has no effect -- equal values commute in the
+    formula), one hash agg for the two sums. NULLs drop; negative
+    values raise (Gini is undefined); all-zero groups emit NULL.
+    Returns keys + (n, total, gini), stable-rounded."""
+    from pyspark.sql import Window
+
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(*keys, v.alias("_v"))
+    w = Window.partitionBy(*keys).orderBy("_v")
+    ranked = base.withColumn("_i", F.row_number().over(w))
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_v").alias("_tot"),
+        F.sum(F.col("_i") * F.col("_v")).alias("_iw"),
+        F.min("_v").alias("_min"),
+    )
+    n = F.col("n").cast("double")
+    # runtime guard, lazily inside the used expression tree (an eager
+    # driver check would cost a construction-time job): assert_true
+    # yields NULL when the guard holds, so the when() routes to the
+    # formula; a negative value fails the whole job with the message
+    guard = F.assert_true(
+        F.col("_min") >= 0,
+        F.lit(f"gini_coefficient: negative values in {value_col}"),
+    )
+    return agg.select(
+        *keys,
+        "n",
+        stable_round(F.col("_tot"), digits).alias("total"),
+        stable_round(
+            F.when(
+                guard.isNull() & (F.col("_tot") > 0),
+                F.lit(2.0) * F.col("_iw") / (n * F.col("_tot"))
+                - (n + 1.0) / n,
+            ),
+            digits,
+        ).alias("gini"),
+    )

@@ -1210,3 +1210,62 @@ def test_ewma_matches_pandas_replica(spark, oracle_sf_dir):
         pd.testing.assert_series_equal(
             got["ewma"], exp["ewma"], check_exact=False, rtol=1e-12
         )
+
+
+def test_gini_coefficient_pins_and_parity(spark, oracle_sf_dir):
+    """Concentration scoring: (1) perfect equality pins gini ~0 (the
+    finite-n rank formula gives exactly 0 for equal values), full
+    concentration (one member owns everything) pins (n-1)/n; (2)
+    all-zero groups emit NULL, negative values fail the job; (3) full
+    DuckDB replay parity of per-priority customer-spend concentration
+    on orders."""
+    eq = spark.createDataFrame(
+        [("a", 5.0)] * 8, "g string, v double"
+    )
+    row = aggregates.gini_coefficient(eq, ["g"], "v").collect()[0]
+    assert row.n == 8 and abs(row.gini) < 1e-12
+
+    conc = spark.createDataFrame(
+        [("a", 0.0)] * 9 + [("a", 100.0)], "g string, v double"
+    )
+    row = aggregates.gini_coefficient(conc, ["g"], "v").collect()[0]
+    assert abs(row.gini - 0.9) < 1e-9  # (n-1)/n with n=10
+
+    zeros = spark.createDataFrame(
+        [("z", 0.0), ("z", 0.0)], "g string, v double"
+    )
+    assert (
+        aggregates.gini_coefficient(zeros, ["g"], "v").collect()[0].gini
+        is None
+    )
+
+    neg = spark.createDataFrame([("g", -1.0)], "g string, v double")
+    with pytest.raises(Exception, match="negative values"):
+        aggregates.gini_coefficient(neg, ["g"], "v").collect()
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    spend = orders.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_custkey").alias("c"),
+    ).agg(stable_round(F.sum("o_totalprice"), 2).alias("v"))
+    got = aggregates.gini_coefficient(spend, ["prio"], "v", digits=4)
+    sql = f"""
+        WITH spend AS (
+          SELECT o_orderpriority AS prio, o_custkey AS c,
+                 {sql_round('SUM(o_totalprice)', 2)} AS v
+          FROM orders GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT prio, v,
+                 row_number() OVER (PARTITION BY prio ORDER BY v) AS i
+          FROM spend
+        )
+        SELECT prio, COUNT(*) AS n,
+               {sql_round('SUM(v)', 4)} AS total,
+               {sql_round(
+                   'CASE WHEN SUM(v) > 0 THEN '
+                   '2.0 * SUM(i * v) / (COUNT(*) * SUM(v)) '
+                   '- (COUNT(*) + 1.0) / COUNT(*) END', 4)} AS gini
+        FROM ranked GROUP BY prio
+    """
+    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
