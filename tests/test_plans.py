@@ -567,6 +567,9 @@ def test_late_r8_library_ops_pass_the_plan_lint(spark, oracle_sf_dir):
         "rate_anomalies": aggregates.rate_anomalies(
             events, ["event_type"], "ts"
         ),
+        "gini_coefficient": aggregates.gini_coefficient(
+            orders, ["o_orderpriority"], "o_totalprice"
+        ),
     }
     for name, df in clean.items():
         assert lint.lint_plan(df) == [], name
@@ -593,6 +596,12 @@ def test_late_r8_library_ops_pass_the_plan_lint(spark, oracle_sf_dir):
     )
     findings = lint.lint_plan(ew)
     # the ONLY finding may be the Arrow map node (never CartesianProduct)
+    assert all("Cartesian" not in f and "NestedLoop" not in f for f in findings)
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import bpe
+
+    enc = bpe.bpe_encode(docs.limit(5), "text", [("t", "h"), ("th", "e")])
+    findings = lint.lint_plan(enc)
     assert all("Cartesian" not in f and "NestedLoop" not in f for f in findings)
 
     # the iterative graph ops checkpoint internally (sourceless plans
