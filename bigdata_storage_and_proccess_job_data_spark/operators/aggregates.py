@@ -2312,3 +2312,134 @@ def gini_coefficient(
             digits,
         ).alias("gini"),
     )
+
+
+# Poisson(1) CDF thresholds for the bootstrap weights: hard-coded
+# literals so Spark and DuckDB make bit-identical comparisons. The
+# tail is truncated at weight 7 (P(X >= 7) ~ 8.3e-5 -- statistically
+# negligible, deterministically identical across engines).
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def _bootstrap_u_sql(id_sql: str, salt: str, r: int) -> str:
+    """SQL text for one replicate's md5-uniform on [0, 1): the coin of
+    (id, salt, replicate). Spark dialect; the DuckDB twin mirrors it
+    through the md5_hash60 bridge."""
+    return (
+        f"conv(substring(md5(concat_ws(':', {id_sql}, '{salt}', "
+        f"'{r}')), 1, 15), 16, 10) / 1152921504606846976.0"
+    )
+
+
+def _pois1_case_sql(u_sql: str) -> str:
+    """Poisson(1) weight from a uniform: the hard-coded CDF step."""
+    cases = " ".join(
+        f"WHEN {u_sql} < {t!r} THEN {float(k)}"
+        for k, t in enumerate(_POIS1_CDF)
+    )
+    return f"(CASE {cases} ELSE 7.0 END)"
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    id_col: str,
+    n_boot: int = 100,
+    level: float = 0.95,
+    salt: str = "",
+    digits: int = 4,
+) -> DataFrame:
+    """Bootstrap confidence interval for the per-key MEAN via the
+    Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012) -- the distributed bootstrap:
+    instead of resampling rows (a shuffle per replicate), every row
+    gets an independent Poisson(1) weight per replicate, so ALL
+    ``n_boot`` replicate means come out of ONE hash aggregate as
+    sibling weighted sums. No second pass over the data, no shuffle
+    beyond the group-by.
+
+    Weights are md5-derived from (``id_col``, salt, replicate) --
+    deterministic, partition-independent, and exactly replayable by
+    the DuckDB twin (the coin convention of leakage_safe_split /
+    negative_samples). ``id_col`` must identify rows stably across
+    runs. CI bounds are the nearest-rank percentiles of the sorted
+    replicate means (indices round(B*a/2) and round(B*(1-a/2)),
+    1-clamped); NULL values drop; a replicate whose weights all land 0
+    contributes a NULL mean, ignored by the rank pick (array_compact).
+
+    Returns keys + (n, mean, ci_lo, ci_hi), stable-rounded. Plan cost:
+    2*n_boot sibling aggregate expressions -- large but flat; keep
+    n_boot in the hundreds, not thousands."""
+    if not 0 < level < 1:
+        raise ValueError("level must be in (0, 1)")
+    if n_boot < 10:
+        raise ValueError("n_boot must be >= 10")
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & F.col(id_col).isNotNull()).select(
+        *keys, v.alias("_v"), F.col(id_col).cast("string").alias("_id")
+    )
+    # one md5 per replicate per row: hoist the uniform into its own
+    # projection so the CDF CASE reads a column reference, not seven
+    # re-evaluations of the hash
+    base = base.select(
+        "*",
+        *[
+            F.expr(_bootstrap_u_sql("_id", salt, r)).alias(f"_u{r}")
+            for r in range(n_boot)
+        ],
+    ).select(
+        *keys,
+        "_v",
+        *[
+            F.expr(_pois1_case_sql(f"_u{r}")).alias(f"_wt{r}")
+            for r in range(n_boot)
+        ],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_v").alias("_mean"),
+    ]
+    for r in range(n_boot):
+        aggs.append(F.expr(f"sum(_wt{r} * _v)").alias(f"_s{r}"))
+        aggs.append(F.expr(f"sum(_wt{r})").alias(f"_w{r}"))
+    agg = base.groupBy(*keys).agg(*aggs)
+    means = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    F.col(f"_w{r}") > 0,
+                    F.col(f"_s{r}") / F.col(f"_w{r}"),
+                )
+                for r in range(n_boot)
+            ]
+        )
+    )
+    alpha = 1.0 - level
+    sorted_means = F.array_sort(means)
+    b = F.size(sorted_means)
+    lo_i = F.greatest(F.lit(1), F.round(b * F.lit(alpha / 2)).cast("int"))
+    hi_i = F.least(b, F.round(b * F.lit(1 - alpha / 2)).cast("int"))
+    return agg.select(
+        *keys,
+        "n",
+        stable_round(F.col("_mean"), digits).alias("mean"),
+        stable_round(
+            F.element_at(sorted_means, lo_i), digits
+        ).alias("ci_lo"),
+        stable_round(
+            F.element_at(sorted_means, hi_i), digits
+        ).alias("ci_hi"),
+    )

@@ -1269,3 +1269,95 @@ def test_gini_coefficient_pins_and_parity(spark, oracle_sf_dir):
         FROM ranked GROUP BY prio
     """
     assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_bootstrap_ci_poisson_replay_and_sanity(spark, oracle_sf_dir):
+    """Poisson-bootstrap mean CIs: (1) deterministic across runs and
+    salt-sensitive; (2) the interval brackets the plain mean and
+    widens when the level rises; (3) EXACT DuckDB replay -- weights,
+    replicate means and nearest-rank picks all recomputed from the
+    same md5 coin; (4) validation."""
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        _md5_hash60_sql,
+    )
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    args = dict(keys=["o_orderpriority"], value_col="o_totalprice",
+                id_col="o_orderkey", n_boot=40, salt="b1")
+    a = aggregates.bootstrap_ci(orders, **args).collect()
+    b = aggregates.bootstrap_ci(orders, **args).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a:
+        assert r.ci_lo <= r.mean <= r.ci_hi
+    other = {
+        row.o_orderpriority: row
+        for row in aggregates.bootstrap_ci(
+            orders, ["o_orderpriority"], "o_totalprice", "o_orderkey",
+            n_boot=40, salt="b2",
+        ).collect()
+    }
+    assert any(
+        (other[r.o_orderpriority].ci_lo, other[r.o_orderpriority].ci_hi)
+        != (r.ci_lo, r.ci_hi)
+        for r in a
+    )
+    wide = {
+        row.o_orderpriority: row
+        for row in aggregates.bootstrap_ci(
+            orders, ["o_orderpriority"], "o_totalprice", "o_orderkey",
+            n_boot=40, salt="b1", level=0.99,
+        ).collect()
+    }
+    for r in a:
+        w = wide[r.o_orderpriority]
+        assert w.ci_lo <= r.ci_lo and w.ci_hi >= r.ci_hi
+
+    with pytest.raises(ValueError):
+        aggregates.bootstrap_ci(
+            orders, ["o_orderpriority"], "o_totalprice", "o_orderkey",
+            n_boot=5,
+        )
+
+    # exact DuckDB replay: level 0.95, B=40 -> nearest-rank indices
+    # 1 and 39 (no rounding ties)
+    h = _md5_hash60_sql("o_orderkey::VARCHAR || ':b1:' || r::VARCHAR")
+    cdf = aggregates._POIS1_CDF
+    case = " ".join(
+        f"WHEN u < {t!r} THEN {float(k)}" for k, t in enumerate(cdf)
+    )
+    sql = f"""
+        WITH base AS (
+          SELECT o_orderpriority AS k, o_totalprice::DOUBLE AS v,
+                 o_orderkey
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+        ),
+        u AS (
+          SELECT k, v, r,
+                 ({h}) / 1152921504606846976.0 AS u
+          FROM base CROSS JOIN generate_series(0, 39) AS t(r)
+        ),
+        w AS (
+          SELECT k, v, r, (CASE {case} ELSE 7.0 END) AS wt FROM u
+        ),
+        reps AS (
+          SELECT k, r, SUM(wt * v) AS s, SUM(wt) AS wsum
+          FROM w GROUP BY k, r
+        ),
+        means AS (
+          SELECT k, s / wsum AS m FROM reps WHERE wsum > 0
+        ),
+        arrs AS (
+          SELECT k, list(m ORDER BY m) AS ms FROM means GROUP BY k
+        ),
+        pt AS (
+          SELECT k, COUNT(*) AS n, AVG(v) AS mean FROM base GROUP BY k
+        )
+        SELECT pt.k AS o_orderpriority, pt.n,
+               {sql_round('pt.mean', 4)} AS mean,
+               {sql_round('ms[GREATEST(1, CAST(ROUND(len(ms) * 0.025) AS INT))]', 4)} AS ci_lo,
+               {sql_round('ms[LEAST(len(ms), CAST(ROUND(len(ms) * 0.975) AS INT))]', 4)} AS ci_hi
+        FROM pt JOIN arrs ON pt.k = arrs.k
+    """
+    got = aggregates.bootstrap_ci(orders, **args)
+    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
