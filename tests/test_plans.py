@@ -570,6 +570,10 @@ def test_late_r8_library_ops_pass_the_plan_lint(spark, oracle_sf_dir):
         "gini_coefficient": aggregates.gini_coefficient(
             orders, ["o_orderpriority"], "o_totalprice"
         ),
+        "bootstrap_ci": aggregates.bootstrap_ci(
+            orders, ["o_orderpriority"], "o_totalprice", "o_orderkey",
+            n_boot=12,
+        ),
     }
     for name, df in clean.items():
         assert lint.lint_plan(df) == [], name
