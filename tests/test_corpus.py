@@ -1782,6 +1782,10 @@ def test_negative_samples_semantics_and_parity(spark, oracle_sf_dir):
     rows = corpus.negative_samples(dense_pos, tiny, k=3, draws=8).collect()
     assert {r.negative for r in rows} == {"d"} and len(rows) == 1
 
+    empty_pool = spark.createDataFrame([], "item_id string")
+    with pytest.raises(ValueError, match="pool is empty"):
+        corpus.negative_samples(dense_pos, empty_pool, k=1)
+
     # (3) real-table parity: for each source, negatives drawn from
     # OTHER sources' documents -- the cross-source contrastive shape
     docs = load_table(spark, oracle_sf_dir, "documents")
