@@ -2377,8 +2377,11 @@ def bootstrap_ci(
     contributes a NULL mean, ignored by the rank pick (array_compact).
 
     Returns keys + (n, mean, ci_lo, ci_hi), stable-rounded. Plan cost:
-    2*n_boot sibling aggregate expressions -- large but flat; keep
-    n_boot in the hundreds, not thousands."""
+    2*n_boot sibling aggregate expressions plus n_boot md5 evaluations
+    per row -- flat but real; keep n_boot in the hundreds, and at
+    extreme row counts run it over a deterministic_sample slice (the
+    bootstrap's own Monte-Carlo error, ~1/sqrt(n_boot), dominates the
+    subsampling error long before the sample gets small)."""
     if not 0 < level < 1:
         raise ValueError("level must be in (0, 1)")
     if n_boot < 10:
