@@ -2446,3 +2446,97 @@ def bootstrap_ci(
             F.element_at(sorted_means, hi_i), digits
         ).alias("ci_hi"),
     )
+
+
+def bootstrap_ratio_ci(
+    df: DataFrame,
+    keys: list[str],
+    num_col: str,
+    den_col: str,
+    id_col: str,
+    n_boot: int = 100,
+    level: float = 0.95,
+    salt: str = "",
+    digits: int = 6,
+) -> DataFrame:
+    """Bootstrap CI for a per-key RATIO OF SUMS -- the shape most A/B
+    metrics actually take (CTR = clicks/impressions, revenue per user,
+    tokens per document), where the delta method's normality is shaky
+    and a row-level mean CI answers the wrong question. Same Poisson
+    machinery as bootstrap_ci: every row draws an md5-deterministic
+    Poisson(1) weight per replicate and each replicate's ratio is
+    sum(w*num)/sum(w*den) -- all B of them siblings in ONE hash
+    aggregate, exactly replayable cross-engine. Rows need BOTH columns
+    non-NULL (a ratio metric's unit contributes numerator and
+    denominator together or not at all); replicates with a zero
+    denominator drop from the rank pick.
+
+    Returns keys + (n, ratio, ci_lo, ci_hi)."""
+    if not 0 < level < 1:
+        raise ValueError("level must be in (0, 1)")
+    if n_boot < 10:
+        raise ValueError("n_boot must be >= 10")
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    num = F.col(num_col).cast("double")
+    den = F.col(den_col).cast("double")
+    base = df.filter(
+        num.isNotNull() & den.isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        *keys,
+        num.alias("_num"),
+        den.alias("_den"),
+        F.col(id_col).cast("string").alias("_id"),
+    )
+    base = base.select(
+        "*",
+        *[
+            F.expr(_bootstrap_u_sql("_id", salt, r)).alias(f"_u{r}")
+            for r in range(n_boot)
+        ],
+    ).select(
+        *keys,
+        "_num",
+        "_den",
+        *[
+            F.expr(_pois1_case_sql(f"_u{r}")).alias(f"_wt{r}")
+            for r in range(n_boot)
+        ],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_num").alias("_sn"),
+        F.sum("_den").alias("_sd"),
+    ]
+    for r in range(n_boot):
+        aggs.append(F.expr(f"sum(_wt{r} * _num)").alias(f"_n{r}"))
+        aggs.append(F.expr(f"sum(_wt{r} * _den)").alias(f"_d{r}"))
+    agg = base.groupBy(*keys).agg(*aggs)
+    ratios = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    F.col(f"_d{r}") != 0,
+                    F.col(f"_n{r}") / F.col(f"_d{r}"),
+                )
+                for r in range(n_boot)
+            ]
+        )
+    )
+    alpha = 1.0 - level
+    sr = F.array_sort(ratios)
+    b = F.size(sr)
+    lo_i = F.greatest(F.lit(1), F.round(b * F.lit(alpha / 2)).cast("int"))
+    hi_i = F.least(b, F.round(b * F.lit(1 - alpha / 2)).cast("int"))
+    return agg.select(
+        *keys,
+        "n",
+        stable_round(
+            F.when(F.col("_sd") != 0, F.col("_sn") / F.col("_sd")),
+            digits,
+        ).alias("ratio"),
+        stable_round(F.element_at(sr, lo_i), digits).alias("ci_lo"),
+        stable_round(F.element_at(sr, hi_i), digits).alias("ci_hi"),
+    )

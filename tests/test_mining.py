@@ -1361,3 +1361,76 @@ def test_bootstrap_ci_poisson_replay_and_sanity(spark, oracle_sf_dir):
     """
     got = aggregates.bootstrap_ci(orders, **args)
     assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_bootstrap_ratio_ci_replay_and_sanity(spark, oracle_sf_dir):
+    """Ratio-of-sums bootstrap (the A/B metric shape): (1) interval
+    brackets the point ratio, deterministic reruns; (2) EXACT DuckDB
+    replay of weights, replicate ratios and rank picks on a
+    value-per-event metric over events; (3) both-columns-required
+    NULL handling."""
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        _md5_hash60_sql,
+    )
+
+    events = load_table(spark, oracle_sf_dir, "events")
+    args = dict(
+        keys=["event_type"], num_col="value",
+        den_col="user_id", id_col="event_id", n_boot=40, salt="rb",
+    )
+    # denominators: user_id as an arbitrary positive per-row weight
+    a = aggregates.bootstrap_ratio_ci(events, **args).collect()
+    b = aggregates.bootstrap_ratio_ci(events, **args).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a:
+        assert r.ci_lo <= r.ratio <= r.ci_hi
+
+    h = _md5_hash60_sql("event_id::VARCHAR || ':rb:' || r::VARCHAR")
+    cdf = aggregates._POIS1_CDF
+    case = " ".join(
+        f"WHEN u < {t!r} THEN {float(k)}" for k, t in enumerate(cdf)
+    )
+    sql = f"""
+        WITH base AS (
+          SELECT event_type AS k, value::DOUBLE AS num,
+                 user_id::DOUBLE AS den, event_id
+          FROM events
+          WHERE value IS NOT NULL AND user_id IS NOT NULL
+            AND event_id IS NOT NULL
+        ),
+        u AS (
+          SELECT k, num, den, r, ({h}) / 1152921504606846976.0 AS u
+          FROM base CROSS JOIN generate_series(0, 39) AS t(r)
+        ),
+        w AS (
+          SELECT k, num, den, r, (CASE {case} ELSE 7.0 END) AS wt FROM u
+        ),
+        reps AS (
+          SELECT k, r, SUM(wt * num) AS sn, SUM(wt * den) AS sd
+          FROM w GROUP BY k, r
+        ),
+        ratios AS (
+          SELECT k, sn / sd AS m FROM reps WHERE sd <> 0
+        ),
+        arrs AS (
+          SELECT k, list(m ORDER BY m) AS ms FROM ratios GROUP BY k
+        ),
+        pt AS (
+          SELECT k, COUNT(*) AS n, SUM(num) / SUM(den) AS ratio
+          FROM base GROUP BY k
+        )
+        SELECT pt.k AS event_type, pt.n,
+               {sql_round('pt.ratio', 6)} AS ratio,
+               {sql_round('ms[GREATEST(1, CAST(ROUND(len(ms) * 0.025) AS INT))]', 6)} AS ci_lo,
+               {sql_round('ms[LEAST(len(ms), CAST(ROUND(len(ms) * 0.975) AS INT))]', 6)} AS ci_hi
+        FROM pt JOIN arrs ON pt.k = arrs.k
+    """
+    got = aggregates.bootstrap_ratio_ci(events, **args)
+    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
+
+    rows = [("g", 1.0, None, "a"), ("g", 1.0, 2.0, "b")]
+    df = spark.createDataFrame(rows, "k string, num double, den double, id string")
+    out = aggregates.bootstrap_ratio_ci(
+        df, ["k"], "num", "den", "id", n_boot=10
+    ).collect()[0]
+    assert out.n == 1 and abs(out.ratio - 0.5) < 1e-12
