@@ -2540,3 +2540,61 @@ def bootstrap_ratio_ci(
         stable_round(F.element_at(sr, lo_i), digits).alias("ci_lo"),
         stable_round(F.element_at(sr, hi_i), digits).alias("ci_hi"),
     )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    keys: list[str],
+    metric_col: str,
+    covariate_col: str,
+    out_col: str = "metric_cuped",
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013): adjust an
+    experiment metric by a PRE-PERIOD covariate so welch_ttest /
+    bootstrap_ci read a tighter signal at the same traffic --
+    y' = y - theta * (x - mean(x)), theta = cov(x, y) / var(x), fitted
+    PER KEY GROUP (the experiment slice). The adjustment preserves the
+    group mean exactly and shrinks variance by the squared correlation
+    -- both pinned in tests.
+
+    One hash agg fits (theta, mean_x) per group, broadcast-joined back;
+    rows with a NULL covariate or metric pass through unadjusted (NULL
+    out_col -- the caller decides whether unadjusted units enter the
+    readout). Degenerate groups (var(x) = 0 or < 2 pairs) adjust by
+    theta = 0, i.e. out_col = metric unchanged -- never a silent drop.
+    Returns the input plus ``out_col``."""
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    both = x.isNotNull() & y.isNotNull()
+    fit = (
+        df.filter(both)
+        .groupBy(*keys)
+        .agg(
+            F.covar_samp(x, y).alias("_cov"),
+            F.var_samp(x).alias("_var"),
+            F.avg(x).alias("_mx"),
+            F.count(F.lit(1)).alias("_np"),
+        )
+        .select(
+            *keys,
+            F.when(
+                (F.col("_np") >= 2)
+                & F.col("_var").isNotNull()
+                & (F.col("_var") > 0),
+                F.col("_cov") / F.col("_var"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("_theta"),
+            "_mx",
+        )
+    )
+    out = df.join(F.broadcast(fit), list(keys), "left")
+    return out.withColumn(
+        out_col,
+        F.when(
+            both & F.col("_theta").isNotNull(),
+            y - F.col("_theta") * (x - F.col("_mx")),
+        ),
+    ).drop("_theta", "_mx")

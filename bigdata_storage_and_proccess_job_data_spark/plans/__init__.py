@@ -420,8 +420,8 @@ DRIVER_WINDOW_R9_PLAN = sorted(
 # test_similarity: full DuckDB replay parity) are both R9-promotable,
 # as are seasonal_decompose, survival_curve (Kaplan-Meier),
 # rate_anomalies, gini_coefficient, bootstrap_ci and
-# bootstrap_ratio_ci (all aggregates.py, test_mining: full DuckDB
-# replay parity each). Test-only by design: ewma (applyInPandas,
+# bootstrap_ratio_ci and cuped_adjust (all aggregates.py,
+# test_mining: full DuckDB replay parity each). Test-only by design: ewma (applyInPandas,
 # pandas-replica oracle) and kmeans_update (driver-blend math,
 # numpy replica), per the kmeans/heavy_hitters precedents, and
 # bpe_train/bpe_encode (operators/bpe.py -- iterative merge loop;

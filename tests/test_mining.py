@@ -1434,3 +1434,82 @@ def test_bootstrap_ratio_ci_replay_and_sanity(spark, oracle_sf_dir):
         df, ["k"], "num", "den", "id", n_boot=10
     ).collect()[0]
     assert out.n == 1 and abs(out.ratio - 0.5) < 1e-12
+
+
+def test_cuped_adjust_variance_reduction_and_parity(spark, oracle_sf_dir):
+    """CUPED: (1) on a planted metric y = x + noise the adjusted
+    series keeps the group mean EXACTLY and cuts variance by ~rho^2;
+    (2) zero-variance covariate adjusts by theta=0 (metric unchanged);
+    NULL covariate rows emit NULL adjusted values; (3) full DuckDB
+    replay parity on orders (totalprice adjusted by the custkey-derived
+    pre-metric)."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        x = rng.gauss(50, 10)
+        rows.append(("a", x + rng.gauss(0, 3), x))
+    df = spark.createDataFrame(rows, "g string, y double, x double")
+    out = aggregates.cuped_adjust(df, ["g"], "y", "x").collect()
+    ys = [r.y for r in out]
+    adj = [r.metric_cuped for r in out]
+    mean = lambda v: sum(v) / len(v)  # noqa: E731
+    var = lambda v: sum((a - mean(v)) ** 2 for a in v) / (len(v) - 1)  # noqa: E731
+    assert abs(mean(adj) - mean(ys)) < 1e-9
+    assert var(adj) < 0.25 * var(ys)  # rho^2 ~ 0.92 here; generous
+    assert math.isfinite(var(adj))
+
+    const = spark.createDataFrame(
+        [("c", 5.0, 1.0), ("c", 9.0, 1.0)], "g string, y double, x double"
+    )
+    got = {r.y: r.metric_cuped for r in
+           aggregates.cuped_adjust(const, ["g"], "y", "x").collect()}
+    assert got == {5.0: 5.0, 9.0: 9.0}
+
+    holes = spark.createDataFrame(
+        [("h", 5.0, None), ("h", 7.0, 2.0), ("h", 9.0, 4.0)],
+        "g string, y double, x double",
+    )
+    out_h = {r.y: r.metric_cuped for r in
+             aggregates.cuped_adjust(holes, ["g"], "y", "x").collect()}
+    assert out_h[5.0] is None and out_h[7.0] is not None
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    pre = orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("y"),
+        (F.col("o_custkey") % 1000).cast("double").alias("x"),
+        F.col("o_orderkey").alias("oid"),
+    )
+    got_r = aggregates.cuped_adjust(
+        pre, ["o_orderpriority"], "y", "x"
+    ).select(
+        "o_orderpriority", "oid", "y", "x",
+        stable_round(F.col("metric_cuped"), 4).alias("metric_cuped"),
+    )
+    sql = f"""
+        WITH base AS (
+          SELECT o_orderpriority, o_orderkey AS oid,
+                 o_totalprice::DOUBLE AS y,
+                 (o_custkey % 1000)::DOUBLE AS x
+          FROM orders
+        ),
+        fit AS (
+          SELECT o_orderpriority,
+                 CASE WHEN COUNT(*) >= 2 AND var_samp(x) > 0
+                      THEN covar_samp(x, y) / var_samp(x)
+                      ELSE 0.0 END AS theta,
+                 AVG(x) AS mx
+          FROM base WHERE x IS NOT NULL AND y IS NOT NULL
+          GROUP BY o_orderpriority
+        )
+        SELECT b.o_orderpriority, b.oid, b.y, b.x,
+               {sql_round('CASE WHEN b.x IS NOT NULL AND b.y IS NOT NULL '
+                           'AND theta IS NOT NULL '
+                           'THEN b.y - theta * (b.x - mx) END', 4)}
+                 AS metric_cuped
+        FROM base b LEFT JOIN fit USING (o_orderpriority)
+    """
+    assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []
