@@ -190,6 +190,66 @@ def main() -> None:
         f"== incremental view == {n_changes} feed rows folded; "
         f"refresh == recompute across {len(a)} groups"
     )
+    # -- 7. experiment readout: CUPED -> t-stat + bootstrap CI --------
+    # arms from the md5 coin of the customer key (leakage_safe_split's
+    # group-atomic assignment), pre-period covariate from the customer
+    # key, metric = order totalprice
+    exp = orders.select(
+        F.col("o_orderkey").alias("oid"),
+        F.col("o_totalprice").alias("y"),
+        (F.col("o_custkey") % 997).cast("double").alias("x_pre"),
+        F.when(
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("o_custkey").cast("string")), 1, 8
+                    ), 16, 10
+                ).cast("long"), F.lit(2)
+            ) == 0, "control"
+        ).otherwise("treat").alias("arm"),
+    )
+    adj = aggregates.cuped_adjust(exp, ["arm"], "y", "x_pre")
+    tt = aggregates.welch_ttest(
+        adj.filter(F.col("metric_cuped").isNotNull()),
+        treat_col="arm", value_col="metric_cuped",
+        group_a="control", group_b="treat",
+    )
+    ci = aggregates.bootstrap_ci(
+        adj, ["arm"], "metric_cuped", "oid", n_boot=40, salt="wb"
+    )
+    tt_row = tt.collect()[0]
+    ci_rows = {r.arm: r for r in ci.collect()}
+    print(
+        "== experiment == welch t="
+        f"{tt_row.t_stat:.3f} (A/A-shaped split, expect |t| small); "
+        + "; ".join(
+            f"{a}: mean {r.mean:.1f} CI [{r.ci_lo:.1f}, {r.ci_hi:.1f}]"
+            for a, r in sorted(ci_rows.items())
+        )
+    )
+    for r in ci_rows.values():
+        assert r.ci_lo <= r.mean <= r.ci_hi
+
+    # -- 8. audience overlap via KMV sketches --------------------------
+    sk = aggregates.kmv_sketch(
+        orders, "o_custkey", dims=["o_orderpriority"], k=128
+    )
+    two = sk.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).collect()
+    if len(two) == 2:
+        pair = spark.createDataFrame(
+            [(two[0].sketch, two[1].sketch)],
+            "sketch_a array<long>, sketch_b array<long>",
+        )
+        ov = aggregates.kmv_set_ops(pair, k=128).collect()[0]
+        print(
+            f"== kmv overlap == urgent vs low buyers: "
+            f"jaccard ~{ov.jaccard:.2f}, "
+            f"union ~{ov.union_estimate}, both ~{ov.intersection_estimate:.0f}"
+        )
+        assert ov.union_estimate > 0
+
     print("workbench done")
 
 
