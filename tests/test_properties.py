@@ -383,3 +383,25 @@ def test_kmv_merge_law_on_generated_keys(spark):
         k=max(n_distinct + 1, 4),
     ).collect()[0].distinct_estimate
     assert est == n_distinct
+
+
+def test_bootstrap_ci_partition_independent_on_generated_values(spark):
+    """Property: the Poisson-bootstrap CI is a pure function of the row
+    SET -- md5 weights depend on ids, not placement -- so any
+    repartitioning yields the identical interval. Generated values
+    (unicode-keyed ids, arbitrary doubles from text lengths)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    texts = _examples(120)
+    rows = [
+        (f"g{i % 2}", float(len(t) * (1 + i % 5)), f"id{i}:{t[:8]}")
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, id string")
+    a = aggregates.bootstrap_ci(
+        df, ["g"], "v", "id", n_boot=20, salt="pp"
+    ).collect()
+    b = aggregates.bootstrap_ci(
+        df.repartition(7), ["g"], "v", "id", n_boot=20, salt="pp"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
