@@ -1829,20 +1829,26 @@ def kmv_sketch(
     """Per-group KMV sketch: the ``k`` smallest distinct md5_hash60
     values of ``key``, as a sorted ``array<bigint>`` column ``sketch``
     (shorter than k when the group has fewer distinct keys -- then every
-    estimate is EXACT). Two bounded exchanges: a map-side-combined
-    distinct over (dims, hash) first reduces the frame to one row per
-    distinct key, then the rank window sorts only those survivors --
-    the raw table is never sorted. NULL keys are excluded (COUNT
-    DISTINCT semantics).
+    estimate is EXACT). NULL keys are excluded (COUNT DISTINCT
+    semantics).
 
-    The artifact is mergeable EXACTLY (kmv_merge): the k smallest of a
-    union are each among the k smallest of their source, so per-day
-    sketches compose into any window's sketch bit-for-bit -- same
-    incremental contract as hll_sketch, plus set ops (kmv_set_ops)."""
+    Skew-proof build (no rank window): a map-side-combined distinct over
+    (dims, hash) first reduces the frame to one row per distinct key;
+    then each post-shuffle partition folds ITS OWN slice of a group into
+    a partial sketch (group x spark_partition_id), cut at k; finally the
+    partials fold with the exact kmv_merge law. No task ever sorts a hot
+    group's full distinct set -- a partial's state is bounded by its
+    partition-local distincts (~group/shuffle-partitions, the distinct
+    shuffle is uniform on the hash), and the final merge state per group
+    is at most (shuffle partitions x k) longs. The result is
+    deterministic regardless of partitioning: the k smallest of a union
+    are each among the k smallest of their source partition.
+
+    The artifact is mergeable EXACTLY (kmv_merge): per-day sketches
+    compose into any window's sketch bit-for-bit -- same incremental
+    contract as hll_sketch, plus set ops (kmv_set_ops)."""
     if k < 2:
         raise ValueError("k must be >= 2")
-    from pyspark.sql import Window
-
     from .neardup import md5_hash60
 
     keys = [F.col(d) for d in (dims or [])]
@@ -1851,13 +1857,17 @@ def kmv_sketch(
         .select(*keys, md5_hash60(F.col(key).cast("string")).alias("_h"))
         .distinct()
     )
-    w = Window.partitionBy(*[F.col(d) for d in (dims or [])]).orderBy("_h")
-    topk = hashed.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= k
+    partial = (
+        hashed.withColumn("_p", F.spark_partition_id())
+        .groupBy(*[F.col(d) for d in (dims or [])], F.col("_p"))
+        .agg(
+            F.slice(F.array_sort(F.collect_list("_h")), 1, k).alias(
+                "sketch"
+            )
+        )
+        .drop("_p")
     )
-    return topk.groupBy(*[F.col(d) for d in (dims or [])]).agg(
-        F.array_sort(F.collect_list("_h")).alias("sketch")
-    )
+    return kmv_merge(partial, dims=dims, k=k)
 
 
 def kmv_merge(

@@ -732,6 +732,60 @@ def test_kmv_sketch_estimates_merge_law_and_duckdb_parity(
         assert r.sketch == mono[r.o_orderpriority], r.o_orderpriority
 
 
+def test_kmv_sketch_skew_proof_build(spark, oracle_sf_dir):
+    """VERDICT r8 #1: the sketch build must never funnel a hot group's
+    full distinct set through one task. (1) The plan contains NO rank
+    window (the old build's Window.partitionBy(dims).orderBy(_h) moved
+    every distinct hash of a group into a single task's sort; the
+    bounded build folds per-partition partials with the exact merge
+    law instead). (2) On the planted Zipf company fixture (MEGACORP =
+    75% of rows) the result still equals the definitional k smallest
+    distinct hashes -- partitioning cannot change the answer. Holds for
+    dims=None too (ADVICE r8: the unpartitioned window was the worst
+    case -- ALL distinct hashes in one task)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+    from bigdata_storage_and_proccess_job_data_spark.operators.neardup import (
+        md5_hash60,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.plans.analytics_queries import (
+        _zipf_company,
+    )
+
+    k = 32
+    lineitem = load_table(spark, oracle_sf_dir, "lineitem")
+    df = lineitem.withColumn("company", _zipf_company()).withColumn(
+        "buyer", F.concat_ws("-", "company", (F.col("l_orderkey") % 997))
+    )
+
+    for dims in (["company"], None):
+        sk = aggregates.kmv_sketch(df, "buyer", dims=dims, k=k)
+        plan = sk._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+
+        # definitional reference: k smallest distinct hashes per group,
+        # computed by an ordinary sort-limit per group (test-side only)
+        hashed = (
+            df.filter(F.col("buyer").isNotNull())
+            .select(
+                *(dims or []),
+                md5_hash60(F.col("buyer").cast("string")).alias("_h"),
+            )
+            .distinct()
+        )
+        got = {
+            tuple(r[d] for d in (dims or [])): r.sketch
+            for r in sk.collect()
+        }
+        for g in got:
+            ref = hashed
+            for d, v in zip(dims or [], g):
+                ref = ref.filter(F.col(d) == v)
+            expect = [
+                r._h for r in ref.orderBy("_h").limit(k).collect()
+            ]
+            assert got[g] == expect, g
+
+
 def test_kmv_set_ops_overlap_math(spark):
     """Intersection/Jaccard estimates -- the question HLL cannot
     answer. Planted integer segments with known overlap: exact when
