@@ -84,16 +84,47 @@ def cosine_expr(a: Column | str, b: Column | str) -> Column:
     return F.expr(cosine_sql(sql_of(a), sql_of(b)))
 
 
+# Lambda variable names used anywhere in the composed-SQL builders
+# (vectors.dot_sql/norm_sql + similarity's _cell_sims/_sig_fold_sql/
+# _probe_buckets/PQ folds). Spark lambda parameters SHADOW column
+# references of the same name -- backquotes do not protect them -- so a
+# user column named e.g. `v` embedded inside `(acc, v) -> ...` would be
+# captured and silently compute garbage. sql_of rejects these up front.
+_RESERVED_LAMBDA_VARS = frozenset(
+    {"x", "y", "s", "v", "acc", "p", "i", "t", "ds", "bb", "ord",
+     "pq", "probe", "assign"}
+)
+
+
 def sql_of(col: Column | str) -> str:
     """SQL text of a column reference for embedding into a composed
     F.expr string. Plain names pass through quoted; Column objects
     round-trip through the JVM column node's own sql() (one py4j
     call; Spark 4 classic -- prefer passing names, which skips the
     internal API entirely). Composed-SQL builders accept
-    `Column | str` via this seam."""
+    `Column | str` via this seam.
+
+    Names colliding with the builders' lambda variables are rejected
+    (ADVICE r8): inside a higher-order-function lambda the parameter
+    shadows any same-named column, silently producing wrong values.
+    Alias such columns first (df.select(F.col(c).alias("_vec")))."""
     if isinstance(col, str):
+        if col in _RESERVED_LAMBDA_VARS:
+            raise ValueError(
+                f"column name {col!r} collides with a lambda variable "
+                "used by the composed vector SQL builders and would be "
+                "captured by it; alias the column first (e.g. "
+                f'.select(F.col("{col}").alias("_vec")))'
+            )
         return f"`{col}`"
-    return col._jc.node().sql()  # noqa: SLF001 -- classic-mode Column
+    sql = col._jc.node().sql()  # noqa: SLF001 -- classic-mode Column
+    bare = sql.removeprefix("`").removesuffix("`")
+    if bare in _RESERVED_LAMBDA_VARS and sql == f"`{bare}`":
+        raise ValueError(
+            f"column name {bare!r} collides with a lambda variable "
+            "used by the composed vector SQL builders; alias it first"
+        )
+    return sql
 
 
 def _finite_or_raise(x: float, what: str) -> float:

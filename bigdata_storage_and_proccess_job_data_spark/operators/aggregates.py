@@ -2339,12 +2339,30 @@ _POIS1_CDF = (
 )
 
 
+def _safe_salt(salt: str) -> str:
+    """Validate a salt destined for a SQL string literal (ADVICE r8:
+    the interpolation is an injection seam in a public API). A strict
+    charset beats escaping here because the coin must parse IDENTICALLY
+    in Spark and the DuckDB twin, and the two dialects disagree on
+    backslash escapes ('' vs \\')."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_\-./:]*", salt):
+        raise ValueError(
+            "salt must contain only [A-Za-z0-9_-./:] characters "
+            f"(got {salt!r}); it is embedded in a SQL string literal "
+            "replayed by both engines"
+        )
+    return salt
+
+
 def _bootstrap_u_sql(id_sql: str, salt: str, r: int) -> str:
     """SQL text for one replicate's md5-uniform on [0, 1): the coin of
     (id, salt, replicate). Spark dialect; the DuckDB twin mirrors it
     through the md5_hash60 bridge."""
     return (
-        f"conv(substring(md5(concat_ws(':', {id_sql}, '{salt}', "
+        f"conv(substring(md5(concat_ws(':', {id_sql}, "
+        f"'{_safe_salt(salt)}', "
         f"'{r}')), 1, 15), 16, 10) / 1152921504606846976.0"
     )
 

@@ -1820,18 +1820,22 @@ def negative_samples(
         .filter(F.col("_item").isNotNull())
         .distinct()
     )
+    # localCheckpoint (not persist): the dense index is computed once
+    # and its blocks are released when the frame is garbage-collected,
+    # so repeated calls cannot accumulate pinned pools the caller has
+    # no handle to unpersist (ADVICE r8) -- the connected_components
+    # precedent.
     idx = pool.select(
         "_item",
         (
             F.row_number().over(Window.orderBy("_item")) - 1
         ).alias("_idx"),
-    ).persist()
+    ).localCheckpoint()
     # bounded driver scalar (one long -- the documented collect class):
     # the modulo constant folds into codegen instead of riding a
     # one-row BNLJ through every slot row
     n_items = idx.count()
     if n_items == 0:
-        idx.unpersist()
         raise ValueError("items pool is empty")
 
     slots = (
