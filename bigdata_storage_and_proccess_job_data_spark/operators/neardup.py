@@ -551,13 +551,24 @@ def connected_components(
     B~C; keeping one doc per GROUP needs {A,B,C} as one cluster -- this
     is the cluster step of every dedup pipeline.
 
-    Distributed min-label propagation: each iteration every vertex takes
-    the min label over itself and its neighbors (one shuffle join + one
-    groupBy per iteration); converges in O(cluster diameter) rounds --
-    near-dup clusters are shallow (quasi-cliques from banding), so this
-    terminates in 2-3 rounds in practice, checked by an exact
-    changed-row count each round. Raises if max_iters rounds don't
-    converge (pathological chain -- raise max_iters or pre-bucket).
+    Distributed min-label propagation WITH pointer jumping: each
+    iteration every vertex takes the min label over itself and its
+    neighbors (one shuffle join + one groupBy), then compresses by one
+    label-graph hop (label := label(label) -- path doubling, the
+    classic PRAM shortcut). Without the jump, convergence is O(cluster
+    diameter) rounds, which melts on chain-shaped components (a
+    geometric sparse graph at low similarity thresholds grows a giant
+    component with diameter in the hundreds -- the r9 semantic_dedup
+    sf0.1 regime hit exactly this at 20 rounds); with it, the label
+    distance to the component min doubles per round, so convergence is
+    O(log diameter). Quasi-clique banding clusters still terminate in
+    2-3 rounds; chains of length L need ~log2(L). Each round is checked
+    by an exact changed-row count; raises if max_iters rounds don't
+    converge. Invariant: a vertex's label is always the id of some
+    vertex in its own component (neighbor-min picks a neighbor's label,
+    the jump picks that vertex's label), and at fixpoint adjacent
+    labels are equal, so every component carries its min id exactly --
+    the recursive-CTE cross-check and union-find twins pin this.
 
     Lineage management (the classic iterative-algorithm trap): persisting
     alone caches the DATA but the logical plan still accumulates one
@@ -607,6 +618,21 @@ def connected_components(
                         F.col("component"), F.coalesce("_nmin", F.col("component"))
                     ).alias("component"),
                 )
+            )
+            # pointer jumping: one label-graph hop (label := label of the
+            # vertex the label names). Labels only decrease and always
+            # name a same-component vertex, so this is safe -- and it
+            # turns O(diameter) convergence into O(log diameter).
+            jump = new_labels.select(
+                F.col("id").alias("component"),
+                F.col("component").alias("_jc"),
+            )
+            new_labels = new_labels.join(jump, "component", "left").select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("_jc", F.col("component")),
+                ).alias("component"),
             )
             if (i + 1) % _CHECKPOINT_EVERY == 0:
                 new_labels = new_labels.localCheckpoint()

@@ -1612,34 +1612,11 @@ def skew_distinct_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "zipf_key_skew",
-    tags=("agg", "skew", "diagnostics"),
-    oracle=f"""
-        WITH c AS (
-          SELECT {_ZIPF_COMPANY_SQL} AS k, COUNT(*) AS cnt
-          FROM lineitem GROUP BY 1
-        )
-        SELECT CAST(COUNT(*) AS BIGINT)  AS n_keys,
-               CAST(SUM(cnt) AS BIGINT)  AS n_rows,
-               CAST(MAX(cnt) AS BIGINT)  AS max_key_count,
-               {sql_round('MAX(cnt) * COUNT(*) / SUM(cnt)', 4)} AS skew_ratio
-        FROM c
-    """,
-)
-def zipf_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """key_skew_report exercised on GENUINELY skewed data (the
-    o_custkey variant reports a uniform ~1x ratio): the Zipf company
-    key's skew_ratio lands around key_cardinality x 0.75, the number
-    that says 'one reducer will melt -- reach for salted_two_phase /
-    count_distinct_spread'."""
-    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
-
-    li = load_table(spark, sf_dir, "lineitem")
-    report = aggregates.key_skew_report(li, _zipf_company())
-    return report.select(
-        "n_keys",
-        "n_rows",
-        "max_key_count",
-        stable_round(F.col("skew_ratio"), 4).alias("skew_ratio"),
-    )
+# ---------------------------------------------------------------------------
+# RETIRED r9 (registry.RETIRED["zipf_key_skew"]): same operator
+# (aggregates.key_skew_report) and oracle algebra as the registered
+# key_skew_report query -- only the key expression differed. The Zipf
+# regime stays measured by the skew_distinct_naive/spread headline
+# bench pair (identical _zipf_company key, exact oracle) and the
+# heavy_hitters MEGACORP test. Operator code unchanged.
+# ---------------------------------------------------------------------------

@@ -742,22 +742,9 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Beyond-reference: anti join (set difference on keys)
+# RETIRED r9 (registry.RETIRED["customers_without_orders"]): the plain
+# left-anti join shape stays driver-checked by decontaminated_train
+# (anti-join on the contaminated-id set; test_plans asserts its
+# LeftAnti plan) and the promoted hard_negatives (anti-join before
+# rank); the key-membership complement is urgent_customers_semi.
 # ---------------------------------------------------------------------------
-@register(
-    "customers_without_orders",
-    tags=("join", "setop"),
-    oracle="""
-        SELECT c_custkey, c_name
-        FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-    """,
-)
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (SURVEY.md §2.6 gap list: set operations). The anti
-    join broadcasts whichever side AQE sizes smaller."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")

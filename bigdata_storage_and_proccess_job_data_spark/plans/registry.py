@@ -134,6 +134,60 @@ RETIRED: dict[str, dict[str, str]] = {
             "keeps its unit tests."
         ),
     },
+    "ngram_jaccard_pairs": {
+        "round": "r9",
+        "replaced_by": "semantic_dedup",
+        "coverage": (
+            "its oracle SQL was BYTE-IDENTICAL to minhash_near_dups' "
+            "(the exact inverted-index bigram-Jaccard pipeline), and "
+            "minhash's LSH output is pinned equal to the exact output "
+            "(tests/test_neardup.py), so the entire result set stays "
+            "hash-checked every time minhash_near_dups rows. "
+            "operators/neardup.jaccard_pairs unchanged, unit-tested, "
+            "and still the verify stage inside minhash_dedup_pairs."
+        ),
+    },
+    "contamination_check": {
+        "round": "r9",
+        "replaced_by": "bootstrap_ci",
+        "coverage": (
+            "the identical corpus.contamination_pairs call (same ngram, "
+            "min_shared, train/bench residue split) is the "
+            "`contaminated` CTE of decontaminated_train's oracle -- the "
+            "pair generation and >= 3 threshold are hash-checked "
+            "through the anti-join result every time that query rows; "
+            "the per-pair n_shared values keep full DuckDB parity in "
+            "tests/test_corpus.py (contamination_pairs + "
+            "contamination_fraction tests). Operator code unchanged."
+        ),
+    },
+    "zipf_key_skew": {
+        "round": "r9",
+        "replaced_by": "cuped_adjust",
+        "coverage": (
+            "same operator (aggregates.key_skew_report) and same oracle "
+            "algebra as the registered key_skew_report query -- only "
+            "the key expression differed (Zipf company vs o_custkey). "
+            "The Zipf-regime behavior stays measured by the "
+            "skew_distinct_naive/skew_distinct_spread headline bench "
+            "pair (identical _zipf_company key, exact oracle) and the "
+            "heavy_hitters MEGACORP test. Operator code unchanged."
+        ),
+    },
+    "customers_without_orders": {
+        "round": "r9",
+        "replaced_by": "hard_negatives",
+        "coverage": (
+            "the left-anti-join shape stays driver-checked twice: "
+            "decontaminated_train (anti-join on the contaminated-id "
+            "set) and the promoted hard_negatives (anti-join BEFORE "
+            "rank on (query, neighbor) pairs); the key-membership "
+            "complement is urgent_customers_semi's hash-checked twin. "
+            "test_plans' LeftAnti plan assert now reads "
+            "decontaminated_train's plan. No operator code involved "
+            "(plain DataFrame join)."
+        ),
+    },
 }
 
 

@@ -185,49 +185,13 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Near-dup: exact n-gram Jaccard via inverted-index self-join
+# RETIRED r9 (registry.RETIRED["ngram_jaccard_pairs"]): the exact
+# word-bigram Jaccard pipeline's oracle was byte-identical to
+# minhash_near_dups' oracle below, and LSH output == exact output is
+# test-pinned, so the whole result stays hash-checked whenever
+# minhash_near_dups rows. operators/neardup.jaccard_pairs unchanged,
+# unit-tested, and still the verify stage inside minhash_dedup_pairs.
 # ---------------------------------------------------------------------------
-@register(
-    "ngram_jaccard_pairs",
-    tags=("dedup", "text", "join"),
-    oracle=r"""
-        WITH t AS (
-          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-          FROM documents
-        ),
-        sh AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(range(1, len(toks)),
-                                              i -> toks[i] || ' ' || toks[i+1]))
-                 AS shingles
-          FROM t WHERE len(toks) >= 2
-        ),
-        inv AS (
-          SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle
-          FROM sh
-        ),
-        pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 a.n AS n_a, b.n AS n_b, COUNT(*) AS n_inter
-          FROM inv a JOIN inv b
-            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2, 3, 4
-        )
-        SELECT id_a, id_b, n_inter,
-               CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
-        FROM pairs
-        WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.8
-    """,
-)
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-bigram Jaccard >= 0.8 pairs via inverted-index
-    self-join (operators/neardup.py:jaccard_pairs): candidates are
-    shingle-sharing pairs only -- never an all-pairs cross join. Integer
-    count arithmetic => bit-identical across engines, no rounding."""
-    from bigdata_storage_and_proccess_job_data_spark.operators import neardup
-
-    docs = load_table(spark, sf_dir, "documents")
-    return neardup.jaccard_pairs(docs, "doc_id", "text", ngram=2, threshold=0.8)
 
 
 # ---------------------------------------------------------------------------
@@ -1093,50 +1057,13 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Corpus prep: benchmark-contamination check (cross-set shingle overlap)
+# RETIRED r9 (registry.RETIRED["contamination_check"]): the identical
+# corpus.contamination_pairs call (ngram=5, min_shared=3, % 20 residue
+# split) is the `contaminated` CTE of decontaminated_train's oracle --
+# pair generation and threshold stay hash-checked through the anti-join
+# every time that query rows; per-pair n_shared keeps full DuckDB
+# parity in tests/test_corpus.py. Operator code unchanged.
 # ---------------------------------------------------------------------------
-@register(
-    "contamination_check",
-    tags=("text", "join", "corpus"),
-    oracle=f"""
-        WITH toks AS (
-          SELECT doc_id, {SQL_TOKENS_LOWER} AS t FROM documents
-        ),
-        sh AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(range(1, len(t) - 3),
-                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
-                        t[i+3] || ' ' || t[i+4])) AS shingles
-          FROM toks WHERE len(t) >= 5
-        ),
-        inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-        train AS (SELECT * FROM inv WHERE doc_id % 20 <> 0),
-        bench AS (SELECT * FROM inv WHERE doc_id % 20 = 0)
-        SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
-               CAST(COUNT(*) AS BIGINT) AS n_shared
-        FROM train t JOIN bench b ON t.shingle = b.shingle
-        GROUP BY 1, 2
-        HAVING COUNT(*) >= 3
-    """,
-)
-def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark contamination: train docs (doc_id % 20 != 0) sharing >= 3
-    distinct 5-gram shingles with any 'benchmark' doc (doc_id % 20 == 0)
-    -- the eval-leak scan every training corpus needs
-    (operators/corpus.py:contamination_pairs). Inverted-index equi-join
-    on the shingle, count per pair: sub-quadratic, benchmark side
-    broadcastable."""
-    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
-
-    docs = load_table(spark, sf_dir, "documents")
-    return corpus.contamination_pairs(
-        docs.filter(F.col("doc_id") % 20 != 0),
-        docs.filter(F.col("doc_id") % 20 == 0),
-        "doc_id",
-        "text",
-        ngram=5,
-        min_shared=3,
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -2332,4 +2259,282 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "tokens_available",
         stable_round(F.col("weight"), 4).alias("weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Experiment readouts: Poisson-bootstrap CI (promoted r9; VERDICT r8 #3)
+# ---------------------------------------------------------------------------
+# The oracle replays the md5 coin, the Poisson(1) CDF step, all 40
+# replicate means (one hash aggregate with sibling weighted sums on both
+# engines) and the nearest-rank picks -- lifted verbatim from the
+# oracle-grade parity test that guarded this surface since r8
+# (tests/test_mining.py:test_bootstrap_ci_poisson_replay_and_sanity).
+def _pois1_case_duckdb() -> str:
+    from bigdata_storage_and_proccess_job_data_spark.operators.aggregates import (
+        _POIS1_CDF,
+    )
+
+    return " ".join(
+        f"WHEN u < {t!r} THEN {float(k)}" for k, t in enumerate(_POIS1_CDF)
+    )
+
+
+_BOOT_H = _md5_hash60_sql("o_orderkey::VARCHAR || ':b1:' || r::VARCHAR")
+
+
+@register(
+    "bootstrap_ci",
+    tags=("agg", "stats", "experiment"),
+    oracle=f"""
+        WITH base AS (
+          SELECT o_orderpriority AS k, o_totalprice::DOUBLE AS v,
+                 o_orderkey
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+        ),
+        u AS (
+          SELECT k, v, r,
+                 ({_BOOT_H}) / 1152921504606846976.0 AS u
+          FROM base CROSS JOIN generate_series(0, 39) AS t(r)
+        ),
+        w AS (
+          SELECT k, v, r, (CASE {{case}} ELSE 7.0 END) AS wt FROM u
+        ),
+        reps AS (
+          SELECT k, r, SUM(wt * v) AS s, SUM(wt) AS wsum
+          FROM w GROUP BY k, r
+        ),
+        means AS (
+          SELECT k, s / wsum AS m FROM reps WHERE wsum > 0
+        ),
+        arrs AS (
+          SELECT k, list(m ORDER BY m) AS ms FROM means GROUP BY k
+        ),
+        pt AS (
+          SELECT k, COUNT(*) AS n, AVG(v) AS mean FROM base GROUP BY k
+        )
+        SELECT pt.k AS o_orderpriority, pt.n,
+               {sql_round('pt.mean', 4)} AS mean,
+               {sql_round('ms[GREATEST(1, CAST(ROUND(len(ms) * 0.025) AS INT))]', 4)} AS ci_lo,
+               {sql_round('ms[LEAST(len(ms), CAST(ROUND(len(ms) * 0.975) AS INT))]', 4)} AS ci_hi
+        FROM pt JOIN arrs ON pt.k = arrs.k
+    """.replace("{case}", _pois1_case_duckdb()),
+)
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority mean order value with a 95% Poisson-bootstrap CI
+    (operators/aggregates.py:bootstrap_ci; Chamandy et al. 2012): every
+    row draws 40 deterministic md5-Poisson(1) weights, so ALL replicate
+    means come out of ONE hash aggregate as sibling weighted sums -- no
+    resample shuffle, no second pass. The experiment-readout shape the
+    reference's aggregation cubes point at, with uncertainty attached."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    orders = load_table(spark, sf_dir, "orders")
+    return aggregates.bootstrap_ci(
+        orders,
+        ["o_orderpriority"],
+        "o_totalprice",
+        "o_orderkey",
+        n_boot=40,
+        salt="b1",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Experiment readouts: CUPED variance reduction (promoted r9)
+# ---------------------------------------------------------------------------
+@register(
+    "cuped_adjust",
+    tags=("agg", "stats", "experiment", "join"),
+    oracle=f"""
+        WITH base AS (
+          SELECT o_orderpriority, o_orderkey AS oid,
+                 o_totalprice::DOUBLE AS y,
+                 (o_custkey % 1000)::DOUBLE AS x
+          FROM orders
+        ),
+        fit AS (
+          SELECT o_orderpriority,
+                 CASE WHEN COUNT(*) >= 2 AND var_samp(x) > 0
+                      THEN covar_samp(x, y) / var_samp(x)
+                      ELSE 0.0 END AS theta,
+                 AVG(x) AS mx
+          FROM base WHERE x IS NOT NULL AND y IS NOT NULL
+          GROUP BY o_orderpriority
+        )
+        SELECT b.o_orderpriority, b.oid, b.y, b.x,
+               {sql_round('CASE WHEN b.x IS NOT NULL AND b.y IS NOT NULL '
+                           'AND theta IS NOT NULL '
+                           'THEN b.y - theta * (b.x - mx) END', 4)}
+                 AS metric_cuped
+        FROM base b LEFT JOIN fit USING (o_orderpriority)
+    """,
+)
+def cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted per-order metric (operators/aggregates.py:
+    cuped_adjust; Deng et al. WSDM 2013): theta = cov(x,y)/var(x) fits
+    per group in one hash aggregate, broadcast-joins back, and each
+    row's metric is debiased by its pre-period covariate -- the
+    variance-reduction step in front of every serious A/B readout.
+    Group means are preserved exactly (pinned in test_mining); the
+    covariate here is the deterministic custkey-derived pre-metric so
+    both engines replay the identical fit."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    orders = load_table(spark, sf_dir, "orders")
+    pre = orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("y"),
+        (F.col("o_custkey") % 1000).cast("double").alias("x"),
+        F.col("o_orderkey").alias("oid"),
+    )
+    return aggregates.cuped_adjust(pre, ["o_orderpriority"], "y", "x").select(
+        "o_orderpriority",
+        "oid",
+        "y",
+        "x",
+        stable_round(F.col("metric_cuped"), 4).alias("metric_cuped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity: hard-negative mining (promoted r9; closes the contrastive-
+# training loop on the similarity stack)
+# ---------------------------------------------------------------------------
+@register(
+    "hard_negatives",
+    tags=("similarity", "vector", "join", "anti", "window"),
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 15
+        ),
+        c AS (
+          SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT query_id, neighbor_id, {sql_round(_KNN_SIM, 4)} AS sim
+          FROM q CROSS JOIN c
+          WHERE query_id <> neighbor_id
+            AND query_id % 10 <> neighbor_id % 10
+        )
+        SELECT query_id, neighbor_id, rank, sim
+        FROM (
+          SELECT query_id, neighbor_id, sim,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC
+                 ) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """,
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hardest negatives per anchor (operators/similarity.py:
+    hard_negatives): most-similar corpus vectors that are NOT the
+    anchor's positives (here the deterministic same-residue mod-10
+    relation), anti-joined BEFORE ranking so positives can never crowd
+    true negatives out of the window. Same bounded broadcast-query-set
+    contract as knn_brute_force (the documented BNLJ waiver class)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 15)
+    positives = q.select(F.col("vec_id").alias("anchor_id")).join(
+        emb.select(F.col("vec_id").alias("positive_id")),
+        F.col("anchor_id") % 10 == F.col("positive_id") % 10,
+    )
+    return similarity.hard_negatives(q, emb, positives, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup: SemDeDup cluster-blocked near-dup (promoted r9;
+# VERDICT r8 #6 -- the flagship LLM-curation operator)
+# ---------------------------------------------------------------------------
+_SEMDEDUP_CENT = _md5_hash60_sql("'ivf:3:' || i::VARCHAR || ':' || d::VARCHAR")
+
+
+@register(
+    "semantic_dedup",
+    # not headline: the iterative closure's per-round scheduling
+    # overhead (~15 log-bounded rounds after the r9 pointer-jumping
+    # fix) would add ~25 s at sf0.1 -- a fixed-cost artifact of tiny
+    # per-round frames on local[32], not a scan/shuffle figure worth
+    # benching; wall-time honesty per the IVM precedent (README).
+    tags=("dedup", "similarity", "vector", "graph"),
+    oracle=f"""
+        WITH RECURSIVE e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        cent AS (
+          SELECT i, d,
+                 ({_SEMDEDUP_CENT})::DOUBLE / 576460752303423488.0 - 1.0 AS val
+          FROM range(8) cs(i), range(64) ds(d)
+        ),
+        sims AS (
+          SELECT e.vec_id, c.i, SUM(e.v[c.d + 1] * c.val) AS sim
+          FROM e CROSS JOIN cent c
+          GROUP BY e.vec_id, c.i
+        ),
+        cells AS (
+          SELECT vec_id, i AS cell FROM (
+            SELECT vec_id, i,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY sim DESC, i DESC
+                   ) AS rn
+            FROM sims
+          ) WHERE rn = 1
+        ),
+        pairs AS (
+          SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+          FROM cells ca
+          JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+          JOIN e a ON a.vec_id = ca.vec_id
+          JOIN e b ON b.vec_id = cb.vec_id
+          WHERE list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) *
+                   sqrt(list_dot_product(b.v, b.v))) >= 0.35
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+          SELECT vec_id AS a, vec_id AS b FROM e
+          UNION
+          SELECT r.a, ed.dst FROM reach r JOIN edges ed ON r.b = ed.src
+        ),
+        comp AS (
+          SELECT a AS vec_id, MIN(b) AS component FROM reach GROUP BY a
+        )
+        SELECT c.vec_id, CAST(cl.cell AS INTEGER) AS cell, c.component,
+               c.component = c.vec_id AS is_keeper
+        FROM comp c JOIN cells cl USING (vec_id)
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table
+    (operators/clustering.py:semantic_dedup): md5-derived coarse
+    quantizer assigns cells (engine-portable, same bridge as knn_ivf),
+    cosine pairs form ONLY within a cell -- the paper's own blocking,
+    bounding the quadratic at (n/k)^2 -- then transitive duplicate sets
+    collapse onto their min-id keeper via connected components. The
+    DuckDB twin replays the quantizer, the argmax assignment, the pair
+    graph, the closure (recursive CTE) and the keeper verdicts, so the
+    whole curation decision is value-hashed. Threshold 0.35 exercises
+    multi-node clusters on this fixture (no 0.95-grade synthetic
+    paraphrases exist in it; the planted-duplicate regime is pinned by
+    tests/test_clustering.py's union-find twin)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        clustering,
+        similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.md5_centroids(8, 64, seed=3)
+    return clustering.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.35, centroids=cents
     )

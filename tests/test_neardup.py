@@ -113,6 +113,25 @@ def test_connected_components_chains_and_cliques(spark):
     }
 
 
+def test_connected_components_long_chain_converges_log_rounds(spark):
+    """Pointer-jumping convergence bound (r9): a 200-edge path graph
+    has diameter 200, so plain min-label propagation needs ~200 rounds
+    -- the regime that blew the 20-round cap when semantic_dedup's
+    sf0.1 pair graph grew a chain-shaped giant component. With the
+    label-graph hop the distance to the component min doubles per
+    round, so the DEFAULT max_iters=20 (> log2(200) ~ 8) must converge
+    and still label every vertex with the chain's min id."""
+    n = 201
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a LONG, id_b LONG"
+    )
+    got = {
+        (r.id, r.component)
+        for r in neardup.connected_components(pairs).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+
+
 def test_connected_components_on_minhash_pairs(spark, oracle_sf_dir):
     """End-to-end dedup clustering: exact-dup docs (same normalized text)
     must land in one component of the minhash pair graph."""

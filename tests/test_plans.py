@@ -43,7 +43,9 @@ def test_dimension_joins_broadcast(spark, oracle_sf_dir):
 
 
 def test_anti_join_is_join_not_subquery_scan(spark, oracle_sf_dir):
-    plan = _plan(spark, oracle_sf_dir, "customers_without_orders")
+    # customers_without_orders retired r9; decontaminated_train carries
+    # the LeftAnti shape (anti-join on the contaminated-id set)
+    plan = _plan(spark, oracle_sf_dir, "decontaminated_train")
     assert "LeftAnti" in plan
 
 
@@ -190,6 +192,10 @@ def test_no_scale_antipatterns_anywhere(spark, oracle_sf_dir):
         # ONE-ROW broadcast cross joins (the impute_mean pattern) --
         # O(n x 1), not a candidate explosion
         "unigram_surprisal",
+        # hard_negatives IS the broadcast exact-scoring baseline with an
+        # anti-join on top (similarity.hard_negatives: bounded broadcast
+        # query set x corpus -- the knn_brute_force contract)
+        "hard_negatives",
     }
     hits = []
     for name, qd in QS.items():
@@ -252,7 +258,7 @@ def test_driver_window_is_first_50():
     names that drifted out of the registry."""
     from bigdata_storage_and_proccess_job_data_spark import plans
 
-    window = plans.DRIVER_WINDOW_R8
+    window = plans.DRIVER_WINDOW_R9
     assert len(window) == 50
     assert len(set(window)) == 50
     assert list(QS)[:50] == window
@@ -268,35 +274,29 @@ def test_windows_partition_registry():
     from bigdata_storage_and_proccess_job_data_spark import plans
     from bigdata_storage_and_proccess_job_data_spark.plans import registry
 
-    r8, r9 = set(plans.DRIVER_WINDOW_R8), set(plans.DRIVER_WINDOW_R9_PLAN)
+    r9, r10 = set(plans.DRIVER_WINDOW_R9), set(plans.DRIVER_WINDOW_R10_PLAN)
     names = set(QS)
     assert len(names) == registry.MAX_REGISTERED == 100
-    assert r8 & r9 == set(), sorted(r8 & r9)
-    assert r8 | r9 == names, {
-        "unscheduled": sorted(names - (r8 | r9)),
-        "unknown": sorted((r8 | r9) - names),
+    assert r9 & r10 == set(), sorted(r9 & r10)
+    assert r9 | r10 == names, {
+        "unscheduled": sorted(names - (r9 | r10)),
+        "unknown": sorted((r9 | r10) - names),
     }
-    assert len(r8) == len(r9) == 50
-    # the r7 displacement promise was kept: every query pinned into
-    # DRIVER_WINDOW_R8_PLAN is in the r8 window unless it was retired
-    # this round with a recorded coverage merge, or is one of the three
-    # recorded code-untouched displacements into R9
-    for obligated in plans.DRIVER_WINDOW_R8_PLAN:
-        assert obligated in r8 or obligated in registry.RETIRED or (
-            obligated in r9
-            and obligated
-            in (
-                "setop_except",
-                "setop_intersect",
-                "distinct_customers",
-                "region_rollup",
-            )
+    assert len(r9) == len(r10) == 50
+    # the r8 displacement promise was kept: every query pinned into
+    # DRIVER_WINDOW_R9_PLAN is in the r9 window unless it was retired
+    # this round with a recorded coverage merge, or is the one recorded
+    # code-untouched displacement into R10 (merge_fallback, pushed out
+    # by the changed-code neardup_clusters re-row)
+    for obligated in plans.DRIVER_WINDOW_R9_PLAN:
+        assert obligated in r9 or obligated in registry.RETIRED or (
+            obligated in r10 and obligated == "merge_fallback"
         ), obligated
     # retirement is real: retired names are out of the registry, out of
     # both windows, and re-registration is refused
     for retired in registry.RETIRED:
         assert retired not in names
-        assert retired not in r8 and retired not in r9
+        assert retired not in r9 and retired not in r10
     import pytest
 
     with pytest.raises(ValueError, match="retired"):
@@ -304,7 +304,9 @@ def test_windows_partition_registry():
     with pytest.raises(ValueError, match="retired"):
         registry.register("word_frequencies")(lambda s, d: None)
     with pytest.raises(ValueError, match="retired"):
-        registry.register("dedup_exact_docs")(lambda s, d: None)
+        registry.register("ngram_jaccard_pairs")(lambda s, d: None)
+    with pytest.raises(ValueError, match="retired"):
+        registry.register("customers_without_orders")(lambda s, d: None)
     # the ceiling is enforced at registration time
     with pytest.raises(ValueError, match="ceiling"):
         registry.register("one_query_too_many")(lambda s, d: None)
