@@ -226,6 +226,73 @@ def test_triangles_reciprocal_and_self_edges_collapse(spark):
     assert deg == {1: 2, 2: 2, 3: 2}
 
 
+def test_triangle_edge_iterator_avoids_wedge_blowup(spark, oracle_sf_dir):
+    """VERDICT r8 #7: measure the adjacency-intersect claim against the
+    wedge regime it replaced. On a bench-density graph (mod 2003 at
+    sf0.01 ~ the sf0.1 probe's avg degree ~30): (1) the executed plan's
+    Generate (explode of the array_intersect) emits EXACTLY one row per
+    triangle -- rows produced = answers, the formulation's contract;
+    (2) the wedge count the old self-join formulation would have
+    materialized (sum over oriented out-degrees of C(d, 2)) is >= 20x
+    the triangle count here, so a regression back to wedges would trip
+    this guard loudly; (3) the orientation bound holds: max oriented
+    out-degree <= sqrt(2E) + 1 (the no-hub property that keeps this
+    skew-proof at 100 TB)."""
+    import math
+
+    edges = load_table(spark, oracle_sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 2003).alias("src"),
+        (F.col("l_partkey") % 2003).alias("dst"),
+    )
+    und = graph.undirected_edges(edges, "src", "dst")
+    tri, deg, o = graph._triangle_parts(und)
+    try:
+        # execute tri's OWN physical plan (df.count() builds a different
+        # agg plan whose metrics would not populate this tree)
+        n_tri = int(tri._jdf.queryExecution().toRdd().count())
+
+        def generate_rows(df) -> int:
+            acc: list[int] = []
+
+            def walk(node) -> None:
+                name = node.getClass().getSimpleName()
+                if name == "AdaptiveSparkPlanExec":
+                    walk(node.executedPlan())
+                    return
+                if name.endswith("QueryStageExec"):
+                    walk(node.plan())
+                    return
+                if name == "GenerateExec":
+                    m = node.metrics()
+                    if m.contains("numOutputRows"):
+                        acc.append(int(m.apply("numOutputRows").value()))
+                ch = node.children()
+                for i in range(ch.size()):
+                    walk(ch.apply(i))
+
+            walk(df._jdf.queryExecution().executedPlan())
+            assert acc, "no GenerateExec in the triangle plan"
+            return sum(acc)
+
+        assert generate_rows(tri) == n_tri  # rows produced = triangles
+
+        outdeg = o.groupBy("u").count()
+        row = outdeg.select(
+            F.sum(F.expr("count * (count - 1) / 2")).alias("wedges"),
+            F.max("count").alias("max_out"),
+            F.sum("count").alias("n_edges"),
+        ).first()
+        assert n_tri > 100, n_tri  # the regime is non-trivial
+        assert row.wedges >= 20 * n_tri, (row.wedges, n_tri)
+        assert row.max_out <= math.isqrt(2 * row.n_edges) + 1, (
+            row.max_out,
+            row.n_edges,
+        )
+    finally:
+        o.unpersist()
+        deg.unpersist()
+
+
 def test_triangle_counts_duckdb_parity(spark, sf_dir):
     """Full per-node triangle counts + lcc on a mod-derived lineitem
     graph match DuckDB computing the naive a<b<c three-way join --
