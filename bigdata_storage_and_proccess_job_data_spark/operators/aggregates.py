@@ -2626,3 +2626,173 @@ def cuped_adjust(
             y - F.col("_theta") * (x - F.col("_mx")),
         ),
     ).drop("_theta", "_mx")
+
+
+def rank_sum_test(
+    df,
+    treat_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Mann-Whitney / Wilcoxon rank-sum test statistic per key group --
+    the nonparametric sibling of welch_ttest for metrics whose
+    distributions are heavy-tailed or ordinal (latency, counts,
+    satisfaction scores), where mean-based tests mislead. Returns one
+    row per key with per-arm n, the U statistic for ``group_a``
+    (``u_stat``) and the tie-corrected normal-approximation
+    ``z_stat``. Like welch_ttest it deliberately STOPS at the
+    statistic (no homegrown CDF); threshold z against critical values
+    downstream. NULL values and rows in neither arm are excluded; a
+    degenerate group (an empty arm, or every value tied so the
+    variance is 0) reports NULL z.
+
+    Method: midranks via two windows -- ``rank()`` over value within
+    key gives the min-rank, a count over (key, value) gives the tie
+    size t, midrank = min_rank + (t-1)/2 -- then ONE hash aggregate
+    per key: R_a = sum of arm-a midranks, U_a = R_a - n_a(n_a+1)/2,
+    var(U) = (n_a n_b / 12) * ((n+1) - sum(t^3 - t)/(n(n-1))) where
+    the tie sum folds out of the same per-row t (sum over rows of
+    (t^2 - 1) = sum over distinct values of t^3 - t).
+
+    Scale shape: the rank window sorts each key group within one task
+    -- inherent to rank statistics (a global order per group is the
+    statistic). Right-sized for experiment slices (millions of rows
+    per slice sort comfortably); for ONE giant undivided population,
+    pre-bucket the metric (the DDSketch/quantile route) instead of
+    exact ranks."""
+    from pyspark.sql import Window
+
+    keys = list(keys or [])
+    t = F.col(treat_col)
+    v = F.col(value_col).cast("double")
+    in_a, in_b = t == F.lit(group_a), t == F.lit(group_b)
+    base = df.filter((in_a | in_b) & v.isNotNull()).select(
+        *keys, t.alias("_arm"), v.alias("_v")
+    )
+    w_rank = Window.partitionBy(*keys).orderBy("_v")
+    w_tie = Window.partitionBy(*keys, "_v")
+    ranked = base.select(
+        *keys,
+        "_arm",
+        (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0
+        ).alias("_mid"),
+        F.count(F.lit(1)).over(w_tie).alias("_t"),
+    )
+    a_arm = F.col("_arm") == F.lit(group_a)
+    g = ranked.groupBy(*keys).agg(
+        F.count(F.when(a_arm, 1)).alias("n_a"),
+        F.count(F.when(~a_arm, 1)).alias("n_b"),
+        F.sum(F.when(a_arm, F.col("_mid"))).alias("_ra"),
+        F.sum(F.col("_t") * F.col("_t") - 1).alias("_ties"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    u = F.col("_ra") - na * (na + 1) / 2
+    var_u = (na * nb / 12.0) * (
+        (n + 1) - F.col("_ties") / (n * (n - 1))
+    )
+    return g.select(
+        *keys,
+        "n_a",
+        "n_b",
+        u.alias("u_stat"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var_u > 0),
+            (u - na * nb / 2) / F.sqrt(var_u),
+        ).alias("z_stat"),
+    )
+
+
+def sequential_mixture_test(
+    df,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    theta0: float = 0.0,
+    tau: float | None = None,
+) -> DataFrame:
+    """mSPRT always-valid sequential test (Johari, Koomen, Pekelis,
+    Walsh -- "Peeking at A/B Tests", KDD 2017): the experiment readout
+    you may look at AFTER EVERY EVENT without inflating false
+    positives. For H0: mean = ``theta0`` with a N(theta0, tau^2)
+    mixture prior over the alternative, the mixture likelihood ratio
+    at the n-th observation is
+
+        Lambda_n = sqrt(s2/(s2 + n tau^2))
+                   * exp(n^2 tau^2 (xbar_n - theta0)^2
+                         / (2 s2 (s2 + n tau^2)))
+
+    and the always-valid p-value is the running minimum of
+    1/Lambda -- monotone by construction, so "stop when p < alpha" is
+    valid at any peek. Returns one row per input observation:
+    keys + order_col + (n, xbar, log_lambda, p_always_valid).
+
+    ``tau`` defaults to the per-key sample sd (a readout-time
+    recompute; a LIVE monitor fixes tau a priori -- pass it). s2 is
+    the per-key sample variance of the full series (the paper's
+    plug-in; documented approximation). Degenerate series (variance 0
+    or a single point) report NULL log_lambda and p 1.0.
+
+    Scale shape: one hash agg for (s2, tau), broadcast back; then
+    ONE ordered window per key computes the cumulative (n, sum) pair
+    and the running max of log Lambda -- O(rows), no shuffle beyond
+    the window's key partitioning. ``order_col`` must be unique per
+    key (event sequence / timestamp) -- the peek order IS the
+    statistic, so a nondeterministic order would change p."""
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        *keys, F.col(order_col), v.alias("_v")
+    )
+    fit = base.groupBy(*keys).agg(
+        F.var_samp("_v").alias("_s2"),
+        F.stddev_samp("_v").alias("_sd"),
+        F.count(F.lit(1)).alias("_nn"),
+    )
+    out = base.join(F.broadcast(fit), keys, "left")
+    tau_c = F.lit(float(tau)) if tau is not None else F.col("_sd")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    xbar = F.sum("_v").over(w) / n
+    s2 = F.col("_s2")
+    t2 = tau_c * tau_c
+    denom = s2 + n * t2
+    log_lam = 0.5 * F.log(s2 / denom) + (
+        n * n * t2 * (xbar - F.lit(float(theta0))) * (xbar - F.lit(float(theta0)))
+    ) / (2 * s2 * denom)
+    ok = (
+        s2.isNotNull()
+        & (s2 > 0)
+        & tau_c.isNotNull()
+        & (tau_c > 0)
+        & (F.col("_nn") >= 2)
+    )
+    scored = out.select(
+        *keys,
+        order_col,
+        n.cast("long").alias("n"),
+        xbar.alias("xbar"),
+        F.when(ok, log_lam).alias("log_lambda"),
+    )
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_max = F.max("log_lambda").over(w_run)
+    return scored.withColumn(
+        "p_always_valid",
+        F.when(
+            run_max.isNotNull(), F.least(F.lit(1.0), F.exp(-run_max))
+        ).otherwise(F.lit(1.0)),
+    )

@@ -523,6 +523,11 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # k_core / core_numbers (graph.py) are test-only by design (iterative
 # peel, the connected_components/pagerank precedent; pure-Python
 # decomposition equality in test_graph).
+# Mid-r9 additions with oracle-grade local parity, both R10-promotable
+# (full DuckDB replay in tests/test_mining.py): rank_sum_test
+# (Mann-Whitney tie-corrected z, test_rank_sum_test_pins_and_parity)
+# and sequential_mixture_test (mSPRT always-valid p,
+# test_sequential_mixture_test_monotone_and_parity).
 # kmv_set_ops (KMV distinct sketch, test_analytics)
 # is R9-promotable at ARTIFACT level: the sketch arrays themselves
 # rebuild bit-for-bit in DuckDB (row_number <= k over distinct

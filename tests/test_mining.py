@@ -1513,3 +1513,206 @@ def test_cuped_adjust_variance_reduction_and_parity(spark, oracle_sf_dir):
         FROM base b LEFT JOIN fit USING (o_orderpriority)
     """
     assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_rank_sum_test_pins_and_parity(spark, oracle_sf_dir):
+    """Mann-Whitney rank-sum: (1) hand-math pin on a tiny tied sample
+    (midranks, U, tie-corrected z vs a pure-Python replica); (2) a
+    planted location shift scores |z| >> identical arms ~ 0; (3)
+    degenerate all-tied group reports NULL z; (4) full DuckDB replay
+    parity on orders (arm = orderkey parity, per-priority slices)."""
+    rows = [
+        ("g", "a", 1.0), ("g", "a", 2.0), ("g", "a", 2.0),
+        ("g", "b", 2.0), ("g", "b", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, arm string, v double")
+    got = aggregates.rank_sum_test(df, "arm", "v", "a", "b", ["k"]).first()
+
+    # pure-Python replica with midranks
+    vals = [r[2] for r in rows]
+    import collections
+
+    cnt = collections.Counter(vals)
+    order = sorted(cnt)
+    mid, start = {}, 1
+    for x in order:
+        t = cnt[x]
+        mid[x] = start + (t - 1) / 2
+        start += t
+    ra = sum(mid[r[2]] for r in rows if r[1] == "a")
+    na, nb = 3.0, 2.0
+    n = na + nb
+    u = ra - na * (na + 1) / 2
+    ties = sum(t**3 - t for t in cnt.values())
+    var_u = na * nb / 12 * ((n + 1) - ties / (n * (n - 1)))
+    assert got.n_a == 3 and got.n_b == 2
+    assert abs(got.u_stat - u) < 1e-12
+    assert abs(got.z_stat - (u - na * nb / 2) / var_u**0.5) < 1e-12
+
+    # planted shift vs identical arms
+    import random
+
+    rng = random.Random(5)
+    shifted = [("s", "a", rng.gauss(0, 1)) for _ in range(300)] + [
+        ("s", "b", rng.gauss(2, 1)) for _ in range(300)
+    ]
+    same = [("e", "a", rng.gauss(0, 1)) for _ in range(300)] + [
+        ("e", "b", rng.gauss(0, 1)) for _ in range(300)
+    ]
+    big = spark.createDataFrame(
+        shifted + same, "k string, arm string, v double"
+    )
+    z = {
+        r.k: r.z_stat
+        for r in aggregates.rank_sum_test(
+            big, "arm", "v", "a", "b", ["k"]
+        ).collect()
+    }
+    assert abs(z["s"]) > 10 and abs(z["e"]) < 3
+
+    # all-tied group: var 0 -> NULL z
+    tied = spark.createDataFrame(
+        [("t", "a", 5.0), ("t", "b", 5.0), ("t", "b", 5.0)],
+        "k string, arm string, v double",
+    )
+    r = aggregates.rank_sum_test(tied, "arm", "v", "a", "b", ["k"]).first()
+    assert r.z_stat is None and r.n_a == 1
+
+    # DuckDB replay on orders
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    pre = orders.select(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 2 == 0, "even")
+        .otherwise("odd")
+        .alias("arm"),
+        F.col("o_totalprice").alias("v"),
+    )
+    got_r = aggregates.rank_sum_test(
+        pre, "arm", "v", "even", "odd", ["o_orderpriority"]
+    ).select(
+        "o_orderpriority",
+        "n_a",
+        "n_b",
+        stable_round(F.col("u_stat"), 4).alias("u_stat"),
+        stable_round(F.col("z_stat"), 6).alias("z_stat"),
+    )
+    sql = f"""
+        WITH base AS (
+          SELECT o_orderpriority AS k,
+                 CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,
+                 o_totalprice::DOUBLE AS v
+          FROM orders WHERE o_totalprice IS NOT NULL
+        ),
+        ranked AS (
+          SELECT k, arm,
+                 rank() OVER (PARTITION BY k ORDER BY v)
+                   + (COUNT(*) OVER (PARTITION BY k, v) - 1) / 2.0 AS mid,
+                 COUNT(*) OVER (PARTITION BY k, v) AS t
+          FROM base
+        ),
+        g AS (
+          SELECT k,
+                 COUNT(*) FILTER (arm = 'even') AS n_a,
+                 COUNT(*) FILTER (arm = 'odd')  AS n_b,
+                 SUM(mid) FILTER (arm = 'even') AS ra,
+                 SUM(t * t - 1) AS ties
+          FROM ranked GROUP BY k
+        )
+        SELECT k AS o_orderpriority, n_a, n_b,
+               {sql_round('ra - n_a * (n_a + 1) / 2.0', 4)} AS u_stat,
+               {sql_round(
+                   '(ra - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)'
+                   ' / sqrt((n_a * n_b / 12.0) * ((n_a + n_b + 1)'
+                   ' - ties / ((n_a + n_b) * (n_a + n_b - 1.0))))', 6)}
+                 AS z_stat
+        FROM g
+    """
+    assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_sequential_mixture_test_monotone_and_parity(spark, oracle_sf_dir):
+    """mSPRT always-valid p: (1) p is non-increasing in peek order per
+    key and in [0, 1]; (2) a planted true effect drives p below 0.05
+    while a theta0-true series stays above it; (3) degenerate series
+    (single point / zero variance) report p = 1.0 and NULL log_lambda;
+    (4) full DuckDB replay parity on events ordered by event_id."""
+    import random
+
+    rng = random.Random(11)
+    rows = [("h0", i, rng.gauss(0.0, 1.0)) for i in range(400)] + [
+        ("h1", i, rng.gauss(0.8, 1.0)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = aggregates.sequential_mixture_test(
+        df, ["k"], "t", "v", theta0=0.0, tau=1.0
+    ).collect()
+    by_key: dict = {}
+    for r in sorted(out, key=lambda r: (r.k, r.t)):
+        ps = by_key.setdefault(r.k, [])
+        assert 0.0 <= r.p_always_valid <= 1.0
+        if ps:
+            assert r.p_always_valid <= ps[-1] + 1e-15
+        ps.append(r.p_always_valid)
+    assert by_key["h1"][-1] < 0.05
+    assert by_key["h0"][-1] > 0.05
+
+    deg = spark.createDataFrame(
+        [("one", 1, 5.0), ("flat", 1, 2.0), ("flat", 2, 2.0)],
+        "k string, t long, v double",
+    )
+    for r in aggregates.sequential_mixture_test(
+        deg, ["k"], "t", "v"
+    ).collect():
+        assert r.p_always_valid == 1.0 and r.log_lambda is None
+
+    # DuckDB replay on events (event_id is the unique peek order)
+    events = load_table(spark, oracle_sf_dir, "events")
+    pre = events.select(
+        "event_type", "event_id", F.col("value").alias("v")
+    )
+    got = aggregates.sequential_mixture_test(
+        pre, ["event_type"], "event_id", "v", theta0=50.0, tau=5.0
+    ).select(
+        "event_type",
+        "event_id",
+        "n",
+        stable_round(F.col("xbar"), 6).alias("xbar"),
+        stable_round(F.col("log_lambda"), 6).alias("log_lambda"),
+        stable_round(F.col("p_always_valid"), 6).alias("p_always_valid"),
+    )
+    sql = f"""
+        WITH base AS (
+          SELECT event_type AS k, event_id, value::DOUBLE AS v
+          FROM events WHERE value IS NOT NULL
+        ),
+        fit AS (
+          SELECT k, var_samp(v) AS s2, COUNT(*) AS nn FROM base GROUP BY k
+        ),
+        cum AS (
+          SELECT b.k, b.event_id, f.s2, f.nn,
+                 COUNT(*) OVER w AS n,
+                 SUM(v) OVER w / COUNT(*) OVER w AS xbar
+          FROM base b JOIN fit f USING (k)
+          WINDOW w AS (PARTITION BY b.k ORDER BY b.event_id
+                       ROWS UNBOUNDED PRECEDING)
+        ),
+        scored AS (
+          SELECT k, event_id, n, xbar,
+                 CASE WHEN s2 > 0 AND nn >= 2 THEN
+                   0.5 * ln(s2 / (s2 + n * 25.0))
+                   + (n * n * 25.0 * (xbar - 50.0) * (xbar - 50.0))
+                     / (2 * s2 * (s2 + n * 25.0))
+                 END AS log_lambda
+          FROM cum
+        )
+        SELECT k AS event_type, event_id, n,
+               {sql_round('xbar', 6)} AS xbar,
+               {sql_round('log_lambda', 6)} AS log_lambda,
+               {sql_round(
+                   'COALESCE(LEAST(1.0, exp(-MAX(log_lambda) OVER '
+                   '(PARTITION BY k ORDER BY event_id '
+                   'ROWS UNBOUNDED PRECEDING))), 1.0)', 6)}
+                 AS p_always_valid
+        FROM scored
+    """
+    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
