@@ -2796,3 +2796,73 @@ def sequential_mixture_test(
             run_max.isNotNull(), F.least(F.lit(1.0), F.exp(-run_max))
         ).otherwise(F.lit(1.0)),
     )
+
+
+def global_row_number(
+    df,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based row numbers under a TOTAL order -- without the
+    single-task global sort. ``Window.orderBy(...)`` with no
+    partitionBy moves EVERY row into one task (Spark even warns); at
+    100 TB that is the same melt as an unpartitioned rank window. This
+    is the classic two-phase formulation instead:
+
+      1. range-partition on the order columns (one shuffle; Spark's
+         RangePartitioner samples split points, equal keys land in one
+         partition and partitions are themselves ordered);
+      2. per-partition row_number over a window keyed by the physical
+         partition id -- each task sorts only its own range;
+      3. per-partition counts collect to the driver (bounded by the
+         partition count -- the documented collect class), fold into
+         cumulative offsets, and broadcast back as a join on the
+         partition id: global rn = offset(pid) + local rn.
+
+    ``order_cols`` must be a TOTAL order (append a unique tiebreak
+    column if the prefix has ties) -- row numbers under a partial
+    order are nondeterministic in ANY engine, and this operator
+    refuses to hide that: it computes row_number, not rank, so ties
+    would be broken by partition layout. The result is then
+    bit-reproducible across runs, partitionings and engines.
+
+    Returns the input plus ``out_col`` (BIGINT). percent_rank under a
+    total order = (rn - 1) / (n - 1); ntile(k) = ceil(rn * k / n)."""
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    from pyspark.sql import Window
+
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    ranged = df.repartitionByRange(int(parts), *order_cols).withColumn(
+        "_gpid", F.spark_partition_id()
+    )
+    # cache so the counts pass and the ranked pass see the SAME range
+    # boundaries (RangePartitioner samples; two evaluations could split
+    # differently and misalign the offsets)
+    ranged = ranged.localCheckpoint()
+    counts = {
+        r._gpid: r.cnt
+        for r in ranged.groupBy("_gpid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()],
+        "_gpid INT, _goff LONG",
+    )
+    w = Window.partitionBy("_gpid").orderBy(*order_cols)
+    return (
+        ranged.join(F.broadcast(off_df), "_gpid")
+        .withColumn(
+            out_col,
+            (F.row_number().over(w) + F.col("_goff")).cast("long"),
+        )
+        .drop("_gpid", "_goff")
+    )

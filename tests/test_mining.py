@@ -1716,3 +1716,43 @@ def test_sequential_mixture_test_monotone_and_parity(spark, oracle_sf_dir):
         FROM scored
     """
     assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_global_row_number_no_single_task_sort(spark, oracle_sf_dir):
+    """Two-phase global row numbering: (1) equals the single-partition
+    Window.orderBy() answer exactly under a total order; (2) the plan
+    contains NO SinglePartition exchange (the melt the operator
+    exists to avoid -- the naive form plans one); (3) DuckDB replay
+    parity on orders; (4) refuses an empty order."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, oracle_sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    got = aggregates.global_row_number(
+        orders, ["o_totalprice", "o_orderkey"], num_partitions=16
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+    naive = orders.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy("o_totalprice", "o_orderkey")
+        ).cast("long"),
+    )
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in naive_plan  # the melt being replaced
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+    sql = """
+        SELECT o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+        FROM orders
+    """
+    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
+
+    with pytest.raises(ValueError, match="order_cols"):
+        aggregates.global_row_number(orders, [])
