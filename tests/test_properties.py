@@ -405,3 +405,30 @@ def test_bootstrap_ci_partition_independent_on_generated_values(spark):
         df.repartition(7), ["g"], "v", "id", n_boot=20, salt="pp"
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_global_row_number_partition_independent(spark):
+    """Property: under a total order, global_row_number is a pure
+    function of the row SET -- rn(row) == its 0-based sorted position
+    + 1 regardless of input partitioning or the operator's own
+    partition count. Generated rows with duplicate order-prefix values
+    force the tiebreak column to do its job."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    texts = _examples(90)
+    rows = [
+        (float(len(t) % 7), f"id{i:03d}", t[:6]) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "v double, id string, txt string")
+    want = {
+        row[1]: i + 1
+        for i, row in enumerate(sorted(rows, key=lambda r: (r[0], r[1])))
+    }
+    for reparts, parts in [(1, 4), (13, 16), (5, 3)]:
+        got = {
+            r.id: r.rn
+            for r in aggregates.global_row_number(
+                df.repartition(reparts), ["v", "id"], num_partitions=parts
+            ).collect()
+        }
+        assert got == want, (reparts, parts)
