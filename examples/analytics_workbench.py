@@ -230,6 +230,31 @@ def main() -> None:
     for r in ci_rows.values():
         assert r.ci_lo <= r.mean <= r.ci_hi
 
+    # nonparametric second opinion + peeking-safe monitor (r9): the
+    # rank-sum z ignores the heavy tail entirely, and the mSPRT p is
+    # valid at EVERY peek. On this A/A-shaped split (arms drawn from
+    # the same population, H0: arm mean == the overall mean) both
+    # should read "no effect"
+    rs = aggregates.rank_sum_test(
+        adj, "arm", "y", "control", "treat"
+    ).collect()[0]
+    overall = adj.agg(F.avg("y")).first()[0]
+    seq = aggregates.sequential_mixture_test(
+        adj, ["arm"], "oid", "y", theta0=float(overall)
+    )
+    final_p = {
+        r.arm: r.p_always_valid
+        for r in seq.groupBy("arm")
+        .agg(F.min("p_always_valid").alias("p_always_valid"))
+        .collect()
+    }
+    print(
+        f"== experiment (robust) == rank-sum z={rs.z_stat:.3f}; "
+        "always-valid p (min over every peek): "
+        + ", ".join(f"{a}={p:.3f}" for a, p in sorted(final_p.items()))
+    )
+    assert abs(rs.z_stat) < 4
+
     # -- 8. audience overlap via KMV sketches --------------------------
     sk = aggregates.kmv_sketch(
         orders, "o_custkey", dims=["o_orderpriority"], k=128
