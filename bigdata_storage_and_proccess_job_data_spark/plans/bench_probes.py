@@ -282,6 +282,31 @@ def knn_lsh_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmv_zipf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch build on the hot-key regime that melted the pre-r9
+    formulation: the Zipf company key (MEGACORP = 75% of lineitem) with
+    a high-cardinality value (~343k distinct uids in the hot group at
+    sf0.1) whose full distinct hash set would all have funneled through
+    ONE task's rank-window sort in the old build.
+    The r9 skew-proof build (per-partition partials + exact kmv_merge
+    fold) spreads that state across every reducer; this probe is the
+    measured wall-time record of the shape, the skew_distinct_naive/
+    spread precedent. Estimates land on the same frame so the whole
+    sketch->estimate path executes."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+    from bigdata_storage_and_proccess_job_data_spark.plans.analytics_queries import (
+        _line_uid,
+        _zipf_company,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        _zipf_company().alias("company"), _line_uid().alias("uid")
+    )
+    return aggregates.kmv_estimate(
+        aggregates.kmv_sketch(li, "uid", dims=["company"], k=256), k=256
+    )
+
+
 def bench_probes() -> dict:
     """name -> (spark, sf_dir) -> DataFrame, merged into bench.py's run
     set after the registered headline queries."""
@@ -294,6 +319,7 @@ def bench_probes() -> dict:
         "geo_self_pairs": geo_self_pairs,
         "graph_triangles": graph_triangles,
         "knn_lsh_probed": knn_lsh_probed,
+        "kmv_zipf_build": kmv_zipf_build,
     }
 
 

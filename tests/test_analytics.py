@@ -786,6 +786,43 @@ def test_kmv_sketch_skew_proof_build(spark, oracle_sf_dir):
             assert got[g] == expect, g
 
 
+def test_kmv_zipf_build_probe_estimates_within_band(spark, oracle_sf_dir):
+    """Correctness pin for the bench probe (the skew_distinct precedent:
+    every timed probe carries a value check): on the Zipf company x
+    line-uid frame at sf0.01, each group's KMV estimate is exact below
+    k and within 3/sqrt(k-2) of the exact distinct count above it --
+    including the MEGACORP hot group the probe exists to measure."""
+    from bigdata_storage_and_proccess_job_data_spark.plans import bench_probes
+    from bigdata_storage_and_proccess_job_data_spark.plans.analytics_queries import (
+        _line_uid,
+        _zipf_company,
+    )
+
+    got = {
+        r.company: r.distinct_estimate
+        for r in bench_probes.kmv_zipf_build(
+            spark, oracle_sf_dir
+        ).collect()
+    }
+    li = load_table(spark, oracle_sf_dir, "lineitem").select(
+        _zipf_company().alias("company"), _line_uid().alias("uid")
+    )
+    exact = {
+        r.company: r.n
+        for r in li.groupBy("company")
+        .agg(F.count_distinct("uid").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    k = 256
+    for g, n in exact.items():
+        if n < k:
+            assert got[g] == n, (g, got[g], n)
+        else:
+            assert abs(got[g] - n) <= 3 / (k - 2) ** 0.5 * n, (g, got[g], n)
+    assert exact["MEGACORP"] > 0.5 * sum(exact.values())  # skew premise
+
+
 def test_kmv_set_ops_overlap_math(spark):
     """Intersection/Jaccard estimates -- the question HLL cannot
     answer. Planted integer segments with known overlap: exact when
