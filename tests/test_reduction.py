@@ -1,0 +1,229 @@
+"""Dimensionality reduction: exact Gram-moment PCA and deterministic
+JL sign projection (operators/reduction.py).
+
+Fit correctness = numpy replica parity (driver-side linear algebra,
+the kmeans_update precedent). Apply correctness = exact DuckDB replay
+(list_dot_product is the same sequential fold as vectors.dot, the
+knn_brute_force precedent)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+from bigdata_storage_and_proccess_job_data_spark.functions.numeric import sql_round
+from bigdata_storage_and_proccess_job_data_spark.operators import reduction
+
+
+def _emb_matrix(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r.vec_id)
+    return (
+        np.asarray([r.vec_id for r in rows], dtype=np.int64),
+        np.asarray([r.embedding for r in rows], dtype=np.float64),
+    )
+
+
+def test_gram_moments_match_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, m = _emb_matrix(spark, sf_dir)
+    n, s, g = reduction.gram_moments(emb, "embedding")
+    assert n == len(m)
+    np.testing.assert_allclose(s, m.sum(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(g, m.T @ m, rtol=1e-9)
+
+
+def test_pca_fit_matches_numpy_replica(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, m = _emb_matrix(spark, sf_dir)
+    q = 8
+    model = reduction.pca_fit(emb, "embedding", q)
+
+    cov = np.cov(m, rowvar=False, ddof=1)
+    w, v = np.linalg.eigh((cov + cov.T) / 2.0)
+    order = np.argsort(w)[::-1][:q]
+    np.testing.assert_allclose(model["mean"], m.mean(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(
+        model["eigvals"], w[order], rtol=1e-8
+    )
+    for j, idx in enumerate(order):
+        vec = v[:, idx].copy()
+        i = int(np.argmax(np.abs(vec)))
+        if vec[i] < 0:
+            vec = -vec
+        np.testing.assert_allclose(
+            model["components"][j], vec, atol=1e-8
+        )
+
+
+def test_pca_fit_partition_layout_independent(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = reduction.pca_fit(emb.repartition(1), "embedding", 4)
+    b = reduction.pca_fit(emb.repartition(13), "embedding", 4)
+    np.testing.assert_allclose(a["mean"], b["mean"], rtol=1e-7)
+    np.testing.assert_allclose(a["eigvals"], b["eigvals"], rtol=1e-7)
+    for ca, cb in zip(a["components"], b["components"]):
+        np.testing.assert_allclose(ca, cb, atol=1e-6)
+
+
+def test_pca_full_rank_projection_reconstructs(spark, sf_dir):
+    """q = d: components form an orthonormal basis, so
+    mean + proj @ components reconstructs every vector exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids, m = _emb_matrix(spark, sf_dir)
+    d = m.shape[1]
+    model = reduction.pca_fit(emb, "embedding", d)
+    out = {
+        r.vec_id: np.asarray(r.proj)
+        for r in reduction.pca_apply(emb, "embedding", model).collect()
+    }
+    comps = np.asarray(model["components"])
+    mean = np.asarray(model["mean"])
+    recon = np.stack([out[i] for i in ids]) @ comps + mean
+    np.testing.assert_allclose(recon, m, atol=1e-8)
+
+
+def test_pca_whitening_unit_variance(spark, sf_dir):
+    """Whitened projection: per-component sample variance == 1 and
+    cross-component covariance == 0 (PCA decorrelates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = reduction.pca_fit(emb, "embedding", 6)
+    rows = reduction.pca_apply(
+        emb, "embedding", model, whiten=True
+    ).collect()
+    p = np.stack([np.asarray(r.proj) for r in rows])
+    cov = np.cov(p, rowvar=False, ddof=1)
+    np.testing.assert_allclose(np.diag(cov), np.ones(6), rtol=1e-5)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 1e-6
+
+
+def _duckdb_long_form(sf_dir: str, exprs: list[str]) -> dict:
+    """(vec_id, 1-based component, rounded value) via the same literal
+    dot products, generate_subscripts precedent."""
+    con = duckdb.connect()
+    lst = "[" + ", ".join(exprs) + "]"
+    rows = con.execute(
+        f"""
+        WITH p AS (
+          SELECT vec_id, {lst} AS proj
+          FROM '{sf_dir}/embeddings.parquet'
+        )
+        SELECT vec_id,
+               generate_subscripts(proj, 1) AS j,
+               unnest(proj) AS v
+        FROM p
+        """
+    ).fetchall()
+    return {(r[0], r[1]): r[2] for r in rows}
+
+
+def test_pca_apply_duckdb_exact_parity(spark, sf_dir):
+    """Fixed model + stable rounding -> bit-equal projections in
+    DuckDB (list_dot_product == the sequential fold)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = reduction.pca_fit(emb, "embedding", 3)
+    got = {
+        (r.vec_id, j + 1): v
+        for r in reduction.pca_apply(
+            emb, "embedding", model, digits=6
+        ).collect()
+        for j, v in enumerate(r.proj)
+    }
+    mean_lit = "[" + ", ".join(repr(x) for x in model["mean"]) + "]"
+    exprs = []
+    for comp in model["components"]:
+        comp_lit = "[" + ", ".join(repr(x) for x in comp) + "]"
+        d = (
+            "list_dot_product(list_transform(range(1, 65), "
+            f"i -> embedding[i]::DOUBLE - ({mean_lit})[i]), {comp_lit})"
+        )
+        exprs.append(sql_round(d, 6))
+    want = _duckdb_long_form(sf_dir, exprs)
+    assert got == want
+
+
+def test_jl_project_duckdb_exact_parity(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r.vec_id, j + 1): v
+        for r in reduction.jl_project(
+            emb, "embedding", 64, 8, salt="s1", digits=6
+        ).collect()
+        for j, v in enumerate(r.proj)
+    }
+    exprs = []
+    for row in reduction.jl_signs(64, 8, salt="s1"):
+        lit = "[" + ", ".join(repr(x) for x in row) + "]"
+        exprs.append(
+            sql_round(f"list_dot_product(embedding::DOUBLE[], {lit})", 6)
+        )
+    want = _duckdb_long_form(sf_dir, exprs)
+    assert got == want
+
+
+def test_jl_signs_deterministic_and_balanced():
+    a = reduction.jl_signs(64, 16, salt="x")
+    assert a == reduction.jl_signs(64, 16, salt="x")
+    assert a != reduction.jl_signs(64, 16, salt="y")
+    flat = [x for row in a for x in row]
+    pos = sum(1 for x in flat if x > 0) / len(flat)
+    assert 0.4 < pos < 0.6
+    assert all(abs(abs(x) - 1 / 4.0) < 1e-12 for x in flat)
+
+
+def test_jl_distance_preservation(spark, sf_dir):
+    """64 -> 32 sign projection on the fixture embeddings: pairwise
+    squared distances of a 40-vector subset are preserved within the
+    empirical JL band (median relative error well under sqrt(2/q))."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 40
+    )
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    m = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    prows = reduction.jl_project(emb, "embedding", 64, 32).collect()
+    prows.sort(key=lambda r: r.vec_id)
+    p = np.asarray([r.proj for r in prows], dtype=np.float64)
+
+    def pdists(x):
+        diff = x[:, None, :] - x[None, :, :]
+        return (diff * diff).sum(axis=-1)
+
+    orig, proj = pdists(m), pdists(p)
+    iu = np.triu_indices(len(m), k=1)
+    rel = np.abs(proj[iu] - orig[iu]) / orig[iu]
+    assert np.median(rel) < 0.25
+    assert np.quantile(rel, 0.9) < 0.5
+
+
+def test_reduction_plans_scale_safe(spark, sf_dir):
+    """Plan lint (the registry-sweep discipline applied to library
+    ops): both apply paths are pure expression folds -- no cartesian,
+    no row-Python, no BNLJ; the PCA fit's one Arrow stage is
+    MapInPandas (the knn_arrow precedent), never BatchEvalPython."""
+    from bigdata_storage_and_proccess_job_data_spark.plans import lint
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = reduction.pca_fit(emb, "embedding", 4)
+    for name, df in {
+        "pca_apply": reduction.pca_apply(emb, "embedding", model),
+        "jl_project": reduction.jl_project(emb, "embedding", 64, 8),
+    }.items():
+        df.write.format("noop").mode("overwrite").save()
+        assert lint.lint_plan(df) == [], name
+
+
+def test_pca_fit_rejects_bad_q(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError):
+        reduction.pca_fit(emb, "embedding", 0)
+    with pytest.raises(ValueError):
+        reduction.pca_fit(emb, "embedding", 65)
