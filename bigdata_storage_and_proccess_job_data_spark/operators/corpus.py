@@ -610,6 +610,126 @@ def token_repetition(
     )
 
 
+def ngram_repetition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Gopher's intra-document n-gram repetition rules (Rae et al.
+    2021, Appendix A1) -- the two signals token_repetition's unigram
+    view cannot see: the character fraction of the single most frequent
+    word ``n``-gram, and the character fraction covered by ANY ``n``-gram
+    occurring more than once (overlap-safe: a token position covered by
+    several duplicated grams counts once). Gopher drops docs above
+    thresholds like top-2-gram > 0.20 or dup-5-gram coverage > 0.15;
+    call once per n of interest.
+
+    Conventions (documented because the paper's public text leaves them
+    open, and the DuckDB replay pins them): tokens are the engine's
+    lowercased whitespace tokens; "characters" are token characters
+    (separators excluded), so a gram's char weight is
+    length(gram) - (n-1) and per-occurrence coverage is the sum of its
+    distinct covered token lengths. Top-gram tie-break is deterministic:
+    highest count, then most characters, then lexicographically
+    smallest gram.
+
+    Scale shape: ONE hash aggregation builds per-(doc, gram) counts
+    with their start offsets (collect_list bounded by the doc's own
+    token count -- document grain, not corpus grain); the top-gram rank
+    is a per-doc window over gram-grain rows; duplicate coverage
+    explodes ONLY duplicated occurrences into integer token positions
+    and joins them back to per-position token lengths. Integer ids,
+    grams and positions shuffle -- document bodies never do. No
+    collects, no Python in the row path.
+
+    Returns (id_col, n_chars, top_ngram [null if no grams],
+    top_ngram_char_frac, dup_ngram_char_frac), fractions stable-rounded
+    to 4 digits."""
+    if n < 2:
+        raise ValueError("need n >= 2 (unigrams are token_repetition)")
+    from pyspark.sql import Window
+
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    toks = text.tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).alias("n_chars"),
+        text.word_ngrams(F.col(text_col), n).alias("_grams"),
+        toks.alias("_toks"),
+    )
+    occ = base.select(
+        F.col(id_col), F.posexplode("_grams").alias("_start", "_g")
+    )
+    counts = occ.groupBy(id_col, "_g").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.collect_list("_start").alias("_starts"),
+    )
+    gram_chars = (F.length("_g") - (n - 1)).cast("long")
+    top = (
+        counts.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("_cnt").desc(),
+                    gram_chars.desc(),
+                    F.col("_g").asc(),
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("_g").alias("top_ngram"),
+            (F.col("_cnt") * gram_chars).alias("_top_chars"),
+        )
+    )
+    dup_pos = (
+        counts.filter(F.col("_cnt") >= 2)
+        .select(F.col(id_col), F.explode("_starts").alias("_start"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_start"), F.col("_start") + (n - 1))
+            ).alias("_p"),
+        )
+        .distinct()
+    )
+    pos_lens = base.select(
+        F.col(id_col), F.posexplode("_toks").alias("_p", "_tok")
+    ).select(F.col(id_col), "_p", F.length("_tok").alias("_len"))
+    dup_chars = (
+        dup_pos.join(pos_lens, [id_col, "_p"])
+        .groupBy(id_col)
+        .agg(F.sum("_len").alias("_dup_chars"))
+    )
+    frac = lambda c: F.when(  # noqa: E731
+        F.col("n_chars") > 0,
+        stable_round(
+            F.coalesce(c, F.lit(0)).cast("double")
+            / F.col("n_chars").cast("double"),
+            4,
+        ),
+    ).otherwise(0.0)
+    return (
+        base.select(id_col, "n_chars")
+        .join(top, [id_col], "left")
+        .join(dup_chars, [id_col], "left")
+        .select(
+            F.col(id_col),
+            "n_chars",
+            "top_ngram",
+            frac(F.col("_top_chars")).alias("top_ngram_char_frac"),
+            frac(F.col("_dup_chars")).alias("dup_ngram_char_frac"),
+        )
+    )
+
+
 def stratified_take_k(
     df: DataFrame,
     id_col: str,

@@ -1837,3 +1837,125 @@ def test_negative_samples_semantics_and_parity(spark, oracle_sf_dir):
     """
     con = duckdb_connect(oracle_sf_dir)
     assert compare(out_r, con, sql) == []
+
+
+def test_ngram_repetition_semantics(spark):
+    """Hand-computed Gopher repetition signals at n=2: full-repetition
+    doc (top gram covers everything), all-unique doc (deterministic
+    lexicographic tie-break, zero dup coverage), empty and
+    shorter-than-n docs (no grams: null top, 0.0 fractions)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "x y z w"),
+            (3, ""),
+            (4, "hello"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: r
+        for r in corpus.ngram_repetition(df, "doc_id", "text", n=2).collect()
+    }
+    assert out[1].n_chars == 6
+    assert out[1].top_ngram == "a b"
+    # "a b" occurs 3x, 2 chars each, over 6 token chars
+    assert out[1].top_ngram_char_frac == 1.0
+    # union of duplicated-gram spans covers every position
+    assert out[1].dup_ngram_char_frac == 1.0
+    assert out[2].top_ngram == "x y"  # count/char tie -> lexicographic
+    assert out[2].top_ngram_char_frac == 0.5
+    assert out[2].dup_ngram_char_frac == 0.0
+    for d in (3, 4):
+        assert out[d].top_ngram is None
+        assert out[d].top_ngram_char_frac == 0.0
+        assert out[d].dup_ngram_char_frac == 0.0
+    assert out[4].n_chars == 5
+
+
+def test_ngram_repetition_duckdb_replay_parity(spark, oracle_sf_dir):
+    """Full DuckDB replay at n=3 over the sf0.01 documents table: the
+    same tokenization, gram construction, deterministic top-gram rank,
+    and overlap-safe duplicate coverage -- value-hash parity on every
+    document (the promotable-oracle grade)."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        SQL_TOKENS_LOWER,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    n = 3
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    got = corpus.ngram_repetition(docs, "doc_id", "text", n=n)
+    fr = lambda c: (  # noqa: E731
+        "CASE WHEN n_chars > 0 THEN "
+        + sql_round(f"COALESCE({c}, 0)::DOUBLE / n_chars", 4)
+        + " ELSE 0.0 END"
+    )
+    sql = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(COALESCE(list_sum(list_transform(ts, t -> length(t))), 0) AS BIGINT) AS n_chars,
+                 list_transform(range(1, len(ts) - {n} + 2),
+                                i -> array_to_string(list_slice(ts, i, i + {n - 1}), ' ')) AS gs
+          FROM (SELECT doc_id, {SQL_TOKENS_LOWER} AS ts FROM documents)
+        ),
+        occ AS (
+          SELECT doc_id, generate_subscripts(gs, 1) - 1 AS s, unnest(gs) AS g
+          FROM base
+        ),
+        counts AS (
+          SELECT doc_id, g, COUNT(*) AS cnt, list(s) AS starts
+          FROM occ GROUP BY doc_id, g
+        ),
+        top AS (
+          SELECT doc_id, g AS top_ngram,
+                 cnt * (length(g) - {n - 1}) AS top_chars
+          FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY cnt DESC, length(g) DESC, g ASC) AS rn
+                FROM counts)
+          WHERE rn = 1
+        ),
+        dup_pos AS (
+          SELECT DISTINCT doc_id, s + x AS p
+          FROM (SELECT doc_id, unnest(starts) AS s
+                FROM counts WHERE cnt >= 2),
+               (SELECT unnest(range({n})) AS x)
+        ),
+        pos AS (
+          SELECT doc_id, p, length(tok) AS tok_len
+          FROM (SELECT doc_id, generate_subscripts(ts, 1) - 1 AS p,
+                       unnest(ts) AS tok
+                FROM (SELECT doc_id, {SQL_TOKENS_LOWER} AS ts FROM documents))
+        ),
+        dup_chars AS (
+          SELECT d.doc_id, SUM(p.tok_len) AS dc
+          FROM dup_pos d JOIN pos p ON d.doc_id = p.doc_id AND d.p = p.p
+          GROUP BY d.doc_id
+        )
+        SELECT b.doc_id, b.n_chars, t.top_ngram,
+               {fr("t.top_chars")} AS top_ngram_char_frac,
+               {fr("dc.dc")} AS dup_ngram_char_frac
+        FROM base b
+        LEFT JOIN top t ON b.doc_id = t.doc_id
+        LEFT JOIN dup_chars dc ON b.doc_id = dc.doc_id
+    """
+    errs = compare(got, duckdb_connect(oracle_sf_dir), sql)
+    assert not errs, errs[:5]
+
+
+def test_ngram_repetition_plan_scale_safe(spark, sf_dir):
+    """Registry-sweep discipline for the library op: no cartesian, no
+    row-Python, no BNLJ -- grams and integer positions shuffle, text
+    bodies never do."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.plans import lint
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = corpus.ngram_repetition(docs, "doc_id", "text", n=2)
+    df.write.format("noop").mode("overwrite").save()
+    assert lint.lint_plan(df) == []
