@@ -528,6 +528,15 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # (Mann-Whitney tie-corrected z, test_rank_sum_test_pins_and_parity)
 # and sequential_mixture_test (mSPRT always-valid p,
 # test_sequential_mixture_test_monotone_and_parity).
+# Late-r9 additions, same split: R10-promotable with full DuckDB
+# parity -- reduction.jl_project (deterministic JL sign projection;
+# exact list_dot_product replay, test_reduction.py) and
+# corpus.ngram_repetition (Gopher top/dup n-gram char fractions;
+# full replay, test_corpus.py). reduction.pca_apply with a FIXED
+# model is exact-DuckDB-checkable (literal components), while
+# reduction.pca_fit is test-only by design (driver-side eigh on the
+# one-pass Gram moments -- numpy-replica parity, the kmeans_update
+# precedent).
 # kmv_set_ops (KMV distinct sketch, test_analytics)
 # is R9-promotable at ARTIFACT level: the sketch arrays themselves
 # rebuild bit-for-bit in DuckDB (row_number <= k over distinct

@@ -246,6 +246,40 @@ def main() -> None:
     )
     n_hits = hits.count()
 
+    # 12b. compress vectors BEFORE they index or shuffle: exact
+    # one-pass PCA (Gram-moment pass + driver eigh) reports how much
+    # variance 16 of 64 dims keep, and the deterministic JL sign
+    # projection compresses 4x while roughly preserving squared norms
+    # (Achlioptas) -- at corpus scale this shrinks every downstream
+    # byte (LSH/IVF/PQ indexes, dedup shuffles) by d/q
+    from bigdata_storage_and_proccess_job_data_spark.operators import reduction
+
+    spectrum = reduction.pca_fit(emb, "embedding", 64)
+    ev16 = sum(spectrum["eigvals"][:16]) / sum(spectrum["eigvals"])
+    model16 = {
+        "mean": spectrum["mean"],
+        "components": spectrum["components"][:16],
+        "eigvals": spectrum["eigvals"][:16],
+        "n": spectrum["n"],
+    }
+    white = reduction.pca_apply(emb, "embedding", model16, whiten=True)
+    jl = reduction.jl_project(emb, "embedding", 64, 16, salt="demo")
+    from bigdata_storage_and_proccess_job_data_spark.functions import vectors
+
+    sq = lambda c: F.aggregate(  # noqa: E731
+        vectors.as_double(c), F.lit(0.0), lambda a, v: a + v * v
+    )
+    jl_err = (
+        jl.select(
+            F.avg(
+                F.abs(sq("proj") - sq("embedding")) / sq("embedding")
+            ).alias("e")
+        )
+        .first()
+        .e
+    )
+    n_white = white.count()
+
     # 13. diversify the retrieval: MMR re-rank of each query's top-10 to
     # 3 (penalizing similarity to already-selected hits), so a
     # retrieval-built set doesn't fill with near-copies of the best hit
@@ -299,7 +333,9 @@ def main() -> None:
         f"chunks={n_chunks} seqs={n_seqs} ann_hits={n_hits} "
         f"mmr_kept={n_div} uniform_negs={n_uniform} "
         f"hard_negs={n_hard} bpe_merges={len(merges)} "
-        f"bpe_tokens_50docs={n_bpe_tokens} -> {out_dir}/chunks"
+        f"bpe_tokens_50docs={n_bpe_tokens} "
+        f"pca16_var={ev16:.2f} jl16_norm_err={jl_err:.2f} "
+        f"whitened={n_white} -> {out_dir}/chunks"
     )
     assert n0 >= n_exact >= n_near >= n_decon >= n_clean >= n_mix > 0
     assert straddlers == 0
@@ -310,6 +346,8 @@ def main() -> None:
     assert n_uniform == 5 * 4
     assert n_hard == 5 * 4
     assert len(merges) == 10 and n_bpe_tokens > 0
+    assert 0.1 < ev16 <= 1.0 and n_white == emb.count()
+    assert jl_err < 0.5  # JL at q=16: coarse but norm-preserving
 
 
 if __name__ == "__main__":
