@@ -57,6 +57,15 @@ def get_spark(
         # engine prefers fast planning; errors still carry the full JVM
         # analysis context, just not the Python file:line.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # AQE posts an explain string to the listener bus on EVERY plan
+        # update (AdaptiveSparkPlanExec.onUpdatePlan), built eagerly and
+        # unbounded by default (2^31 chars). A deep funnel plan -- dozens
+        # of chained stages re-deriving shared lineage -- can OOM an 8g
+        # driver just STRINGIFYING its own tree (observed: PlanStringConcat
+        # heap blowout in the corpus workbench). 1 MiB keeps explain/UI
+        # text useful while bounding the debug-string cost; truncation
+        # only ever affects the rendered string, never the plan.
+        .config("spark.sql.maxPlanStringLength", str(1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -80,4 +89,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
     )
+    # bound AQE's per-update explain strings (see get_spark): deep plan
+    # trees must not OOM the driver rendering debug text
+    spark.conf.set("spark.sql.maxPlanStringLength", str(1024 * 1024))
     return spark
