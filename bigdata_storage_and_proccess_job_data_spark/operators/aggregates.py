@@ -2866,3 +2866,311 @@ def global_row_number(
         )
         .drop("_gpid", "_goff")
     )
+
+
+def mutual_information(
+    df,
+    col_a: str,
+    col_b: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Mutual information between two categorical columns, per key
+    group -- the model-free dependence measure feature-selection and
+    drift checks want where correlation only sees linear numeric
+    relationships (does `source` carry information about `lang`? does
+    a feature leak the label?). Returns one row per key with ``n``
+    (scored rows), ``mi`` (nats), per-column entropies ``h_a``/``h_b``
+    and ``nmi`` = mi / sqrt(h_a * h_b) (NULL when either marginal is
+    deterministic -- there is nothing to share information with).
+
+    I(A;B) = sum over observed (a,b) cells of p(a,b) *
+    ln(p(a,b) / (p(a) p(b))). Rows where either side is NULL are
+    excluded (NULL is missingness, not a category; cast it to a
+    sentinel upstream to score it).
+
+    Scale shape: ONE hash aggregate builds the joint contingency frame
+    (one row per observed (key, a, b) cell -- the frame is bounded by
+    CELL cardinality, not row count); marginals fold over that same
+    frame as two window sums partitioned by (key, a) / (key, b), so
+    nothing bigger than the contingency table ever shuffles again, and
+    no cell group concentrates more than its own distinct partners."""
+    from pyspark.sql import Window
+
+    keys = list(keys or [])
+    a, b = F.col(col_a), F.col(col_b)
+    joint = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(*keys, a.alias("_a"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    )
+    w_k = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    w_a = Window.partitionBy(*keys, "_a")
+    w_b = Window.partitionBy(*keys, "_b")
+    n = F.sum("_c").over(w_k)
+    ca = F.sum("_c").over(w_a)
+    cb = F.sum("_c").over(w_b)
+    c = F.col("_c")
+    cells = joint.select(
+        *keys,
+        n.alias("_n"),
+        ((c / n) * F.log(c * n / (ca * cb))).alias("_mi_term"),
+        # entropy terms, divided by the cell's partner count so each
+        # marginal contributes exactly once despite living on every
+        # joint row that shares it
+        (
+            -(ca / n) * F.log(ca / n) / F.count(F.lit(1)).over(w_a)
+        ).alias("_ha_term"),
+        (
+            -(cb / n) * F.log(cb / n) / F.count(F.lit(1)).over(w_b)
+        ).alias("_hb_term"),
+    )
+    g = cells.groupBy(*keys).agg(
+        F.first("_n").cast("long").alias("n"),
+        F.sum("_mi_term").alias("mi"),
+        F.sum("_ha_term").alias("h_a"),
+        F.sum("_hb_term").alias("h_b"),
+    )
+    denom = F.sqrt(F.col("h_a") * F.col("h_b"))
+    return g.select(
+        *keys,
+        "n",
+        "mi",
+        "h_a",
+        "h_b",
+        F.when(denom > 0, F.col("mi") / denom).alias("nmi"),
+    )
+
+
+def diff_in_diff(
+    df,
+    treat_col: str,
+    period_col: str,
+    value_col: str,
+    treated,
+    post,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Difference-in-differences readout per key group -- the
+    quasi-experimental estimator for rollouts WITHOUT randomization (a
+    feature shipped to one region/cohort): the treated group's
+    pre-to-post change minus the control group's, so any shared trend
+    (seasonality, marketing, macro shifts) cancels instead of being
+    credited to the launch. Rows where ``treat_col`` != ``treated``
+    are control; rows where ``period_col`` != ``post`` are pre.
+
+    Returns one row per key: the four cell means/counts
+    (``mean_t_post`` etc.), ``did`` = (t_post - t_pre) - (c_post -
+    c_pre), its large-sample ``se`` = sqrt(sum of cell var/n), and
+    ``z_stat`` = did/se (NULL when any cell is empty or the SE is 0 --
+    a missing cell makes the contrast undefined). Like welch_ttest it
+    stops at the statistic; the parallel-trends ASSUMPTION is the
+    analyst's to defend, not the engine's.
+
+    Scale shape: ONE hash aggregate with conditional sibling
+    aggregates over the four (treat x period) cells -- no per-cell
+    scans, no joins, grouped by ``keys`` so one pass scores every
+    slice."""
+    keys = list(keys or [])
+    v = F.col(value_col).cast("double")
+    is_t = F.col(treat_col) == F.lit(treated)
+    is_p = F.col(period_col) == F.lit(post)
+
+    def cell(ct, cp, fn, alias):
+        cond = (is_t == F.lit(ct)) & (is_p == F.lit(cp))
+        return fn(F.when(cond, v)).alias(alias)
+
+    g = df.filter(v.isNotNull()).groupBy(*keys).agg(
+        cell(True, True, F.count, "n_t_post"),
+        cell(True, False, F.count, "n_t_pre"),
+        cell(False, True, F.count, "n_c_post"),
+        cell(False, False, F.count, "n_c_pre"),
+        cell(True, True, F.avg, "mean_t_post"),
+        cell(True, False, F.avg, "mean_t_pre"),
+        cell(False, True, F.avg, "mean_c_post"),
+        cell(False, False, F.avg, "mean_c_pre"),
+        cell(True, True, F.var_samp, "_v_tt"),
+        cell(True, False, F.var_samp, "_v_tp"),
+        cell(False, True, F.var_samp, "_v_ct"),
+        cell(False, False, F.var_samp, "_v_cp"),
+    )
+    did = (F.col("mean_t_post") - F.col("mean_t_pre")) - (
+        F.col("mean_c_post") - F.col("mean_c_pre")
+    )
+    se = F.sqrt(
+        F.col("_v_tt") / F.col("n_t_post")
+        + F.col("_v_tp") / F.col("n_t_pre")
+        + F.col("_v_ct") / F.col("n_c_post")
+        + F.col("_v_cp") / F.col("n_c_pre")
+    )
+    ok = (
+        (F.col("n_t_post") > 0)
+        & (F.col("n_t_pre") > 0)
+        & (F.col("n_c_post") > 0)
+        & (F.col("n_c_pre") > 0)
+    )
+    return g.select(
+        *keys,
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        "mean_t_pre",
+        "mean_t_post",
+        "mean_c_pre",
+        "mean_c_post",
+        F.when(ok, did).alias("did"),
+        F.when(ok & (se > 0), se).alias("se"),
+        F.when(ok & (se > 0), did / se).alias("z_stat"),
+    )
+
+
+def minimum_detectable_effect(
+    df,
+    treat_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    keys: list[str] | None = None,
+    z_alpha: float = 1.959964,
+    z_power: float = 0.841621,
+) -> DataFrame:
+    """Experiment power readout per key group: given the traffic an
+    experiment ACTUALLY collected, the smallest true mean difference
+    it could reliably have detected -- the number that separates "no
+    effect" from "underpowered" when a test comes back flat, and the
+    sizing input for the next experiment. Returns one row per key with
+    per-arm n, the pooled sd, ``se`` of the mean difference,
+    ``mde_abs`` = (z_alpha + z_power) * se, and ``mde_rel`` = mde_abs
+    / |mean_a| (NULL when the baseline mean is 0).
+
+    Defaults are the conventional two-sided alpha=0.05 (z=1.96),
+    power=0.80 (z=0.84); both z's are PARAMETERS (no homegrown CDF --
+    the welch_ttest discipline). Degenerate groups (an empty arm, or
+    zero variance) report NULL mde.
+
+    Scale shape: ONE hash aggregate with conditional sibling
+    aggregates -- the same single pass as welch_ttest, so one scan
+    sizes every experiment/metric slice."""
+    keys = list(keys or [])
+    t = F.col(treat_col)
+    v = F.col(value_col).cast("double")
+    in_a, in_b = t == F.lit(group_a), t == F.lit(group_b)
+
+    def arm(cond, fn, alias):
+        return fn(F.when(cond, v)).alias(alias)
+
+    g = df.filter((in_a | in_b) & v.isNotNull()).groupBy(*keys).agg(
+        arm(in_a, F.count, "n_a"),
+        arm(in_b, F.count, "n_b"),
+        arm(in_a, F.avg, "mean_a"),
+        arm(in_a, F.var_samp, "_var_a"),
+        arm(in_b, F.var_samp, "_var_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    # pooled variance, the standard sizing assumption
+    s2 = (
+        (na - 1) * F.col("_var_a") + (nb - 1) * F.col("_var_b")
+    ) / (na + nb - 2)
+    se = F.sqrt(s2 * (1 / na + 1 / nb))
+    mde = F.lit(float(z_alpha) + float(z_power)) * se
+    ok = (na > 1) & (nb > 1) & (se > 0)
+    return g.select(
+        *keys,
+        "n_a",
+        "n_b",
+        "mean_a",
+        F.when(ok, F.sqrt(s2)).alias("pooled_sd"),
+        F.when(ok, se).alias("se"),
+        F.when(ok, mde).alias("mde_abs"),
+        F.when(
+            ok & (F.abs(F.col("mean_a")) > 0),
+            mde / F.abs(F.col("mean_a")),
+        ).alias("mde_rel"),
+    )
+
+
+def conformal_interval(
+    cal_df,
+    pred_col: str,
+    actual_col: str,
+    alpha: float = 0.1,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Split-conformal calibration (Vovk et al.; Lei et al. 2018):
+    from a held-out calibration frame of (prediction, actual) pairs,
+    the absolute-residual quantile ``qhat`` such that ``pred +- qhat``
+    covers a fresh point with probability >= 1 - alpha -- a
+    DISTRIBUTION-FREE guarantee needing only exchangeability, which is
+    why it has become the standard cheap uncertainty wrapper around
+    any point forecaster. Returns one row per key: ``n_cal``, ``k_rank``
+    (the order-statistic index ceil((n+1)(1-alpha))), and ``qhat``
+    (NULL when n_cal < k -- too little calibration data to certify the
+    level; widening to +inf is the caller's policy call).
+
+    qhat is the k-th SMALLEST |actual - pred| -- the exact finite-
+    sample order statistic, not an interpolated quantile, so the
+    coverage proof applies verbatim and any engine replays it
+    bit-for-bit. Apply downstream as a broadcast join on ``keys``:
+    lo = pred - qhat, hi = pred + qhat (see conformal_apply). The
+    index column is named ``k_rank`` (not ``k``) so a key column with
+    the conventional short name can't collide with it.
+
+    Scale shape: one rank window per key group (the rank_sum_test
+    trade: an exact order statistic IS a per-group sort) over just the
+    residuals, then one hash agg. Calibration sets are the small split
+    by construction; the 100 TB frame is the one you APPLY to, and
+    that side is a broadcast join of one row per key."""
+    keys = list(keys or [])
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    from pyspark.sql import Window
+
+    r = F.abs(
+        F.col(actual_col).cast("double") - F.col(pred_col).cast("double")
+    )
+    base = cal_df.filter(r.isNotNull()).select(*keys, r.alias("_r"))
+    w_rank = Window.partitionBy(*keys).orderBy("_r")
+    w_all = Window.partitionBy(*keys)
+    lvl = 1.0 - float(alpha)
+    k = F.ceil((F.count(F.lit(1)).over(w_all) + 1) * F.lit(lvl)).cast(
+        "long"
+    )
+    ranked = base.select(
+        *keys,
+        "_r",
+        F.row_number().over(w_rank).alias("_rn"),
+        k.alias("_k"),
+    )
+    return ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        F.first("_k").alias("k_rank"),
+        F.max(
+            F.when(F.col("_rn") == F.col("_k"), F.col("_r"))
+        ).alias("qhat"),
+    )
+
+
+def conformal_apply(
+    df,
+    fit: DataFrame,
+    pred_col: str,
+    keys: list[str] | None = None,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Attach split-conformal bands from ``conformal_interval``'s fit
+    frame: lo/hi = pred -+ qhat, NULL when the key's calibration was
+    too small to certify the level (qhat NULL or key unseen). Broadcast
+    join -- the fit is one row per key, so the 100 TB prediction frame
+    never shuffles."""
+    keys = list(keys or [])
+    sel = fit.select(*keys, "qhat")
+    j = (
+        df.join(F.broadcast(sel), keys, "left")
+        if keys
+        else df.crossJoin(F.broadcast(sel))
+    )
+    p = F.col(pred_col).cast("double")
+    return j.withColumn(lo_col, p - F.col("qhat")).withColumn(
+        hi_col, p + F.col("qhat")
+    ).drop("qhat")

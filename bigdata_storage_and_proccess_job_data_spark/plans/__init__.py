@@ -441,7 +441,13 @@ DRIVER_WINDOW_R9_PLAN = sorted(
 # every existing caller is byte-identical (the guard only raises on
 # reserved names no registered query uses), verified by the local
 # total-parity run over all 100 queries, so no displacement is
-# required. No session.py / catalog.py / numeric.py change this round.
+# required. Session seam (one change this round): session.py caps
+# spark.sql.maxPlanStringLength at 1 MiB (get_spark + tune_session) --
+# AQE's per-update explain strings OOMed an 8g driver on the corpus
+# workbench's funnel-deep plan. The conf bounds the RENDERED DEBUG
+# STRING only (PlanStringConcat truncates the text); it is read by no
+# optimizer rule and cannot alter any plan or result. Safe for all 100
+# queries; re-verified by the local total-parity run post-change.
 DRIVER_WINDOW_R9 = sorted(
     (
         set(DRIVER_WINDOW_R9_PLAN)
@@ -537,6 +543,14 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # reduction.pca_fit is test-only by design (driver-side eigh on the
 # one-pass Gram moments -- numpy-replica parity, the kmeans_update
 # precedent).
+# The round-9 experiment-completeness wave, all R10-promotable with
+# full DuckDB replay parity in tests/test_mining.py:
+# mutual_information (contingency MI + entropies + NMI),
+# diff_in_diff (four-cell DiD with large-sample z),
+# minimum_detectable_effect (post-hoc power / sizing readout), and
+# conformal_interval/conformal_apply (split-conformal exact order
+# statistic + finite-sample coverage test). Plan lint:
+# test_r9_experiment_ops_pass_the_plan_lint.
 # kmv_set_ops (KMV distinct sketch, test_analytics)
 # is R9-promotable at ARTIFACT level: the sketch arrays themselves
 # rebuild bit-for-bit in DuckDB (row_number <= k over distinct

@@ -1756,3 +1756,355 @@ def test_global_row_number_no_single_task_sort(spark, oracle_sf_dir):
 
     with pytest.raises(ValueError, match="order_cols"):
         aggregates.global_row_number(orders, [])
+
+
+def test_mutual_information_pins_and_parity(spark, oracle_sf_dir):
+    """Mutual information: (1) hand-math pin on a 2x2 dependent table
+    vs the exact formula; (2) an independent (balanced product) table
+    scores mi = 0; (3) a deterministic marginal reports NULL nmi; (4)
+    NULL cells are excluded; (5) full DuckDB replay on orders
+    (status x orderkey parity per priority)."""
+    import math
+
+    # perfectly dependent 2x2: b == a
+    dep = spark.createDataFrame(
+        [("k", "0", "0")] * 3 + [("k", "1", "1")] * 7,
+        "k string, a string, b string",
+    )
+    got = aggregates.mutual_information(dep, "a", "b", ["k"]).first()
+    h = -(0.3 * math.log(0.3) + 0.7 * math.log(0.7))
+    assert got.n == 10
+    assert abs(got.mi - h) < 1e-12  # I(A;A) = H(A)
+    assert abs(got.h_a - h) < 1e-12 and abs(got.h_b - h) < 1e-12
+    assert abs(got.nmi - 1.0) < 1e-12
+
+    # independent balanced product: mi exactly 0
+    ind = spark.createDataFrame(
+        [("k", a, b) for a in "xy" for b in "pq" for _ in range(5)],
+        "k string, a string, b string",
+    )
+    r = aggregates.mutual_information(ind, "a", "b", ["k"]).first()
+    assert abs(r.mi) < 1e-12 and abs(r.nmi) < 1e-12
+
+    # deterministic marginal: h_a = 0 -> nmi NULL; NULLs excluded
+    det = spark.createDataFrame(
+        [("k", "only", "p"), ("k", "only", "q"), ("k", None, "q")],
+        "k string, a string, b string",
+    )
+    d = aggregates.mutual_information(det, "a", "b", ["k"]).first()
+    assert d.n == 2 and d.h_a == 0.0 and d.nmi is None
+
+    # DuckDB replay on orders
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    pre = orders.select(
+        "o_orderpriority",
+        F.col("o_orderstatus").alias("a"),
+        (F.col("o_orderkey") % 3).cast("string").alias("b"),
+    )
+    got_r = aggregates.mutual_information(
+        pre, "a", "b", ["o_orderpriority"]
+    ).select(
+        "o_orderpriority",
+        "n",
+        stable_round(F.col("mi"), 8).alias("mi"),
+        stable_round(F.col("h_a"), 8).alias("h_a"),
+        stable_round(F.col("h_b"), 8).alias("h_b"),
+        stable_round(F.col("nmi"), 8).alias("nmi"),
+    )
+    sql = f"""
+        WITH joint AS (
+          SELECT o_orderpriority AS k, o_orderstatus AS a,
+                 CAST(o_orderkey % 3 AS VARCHAR) AS b,
+                 COUNT(*)::DOUBLE AS c
+          FROM orders GROUP BY 1, 2, 3
+        ),
+        cells AS (
+          SELECT k,
+                 SUM(c) OVER (PARTITION BY k) AS n,
+                 SUM(c) OVER (PARTITION BY k, a) AS ca,
+                 SUM(c) OVER (PARTITION BY k, b) AS cb,
+                 COUNT(*) OVER (PARTITION BY k, a) AS ta,
+                 COUNT(*) OVER (PARTITION BY k, b) AS tb,
+                 c
+          FROM joint
+        ),
+        g AS (
+          SELECT k, MAX(n) AS n,
+                 SUM((c / n) * ln(c * n / (ca * cb))) AS mi,
+                 SUM(-(ca / n) * ln(ca / n) / ta) AS h_a,
+                 SUM(-(cb / n) * ln(cb / n) / tb) AS h_b
+          FROM cells GROUP BY k
+        )
+        SELECT k AS o_orderpriority, CAST(n AS BIGINT) AS n,
+               {sql_round('mi', 8)} AS mi,
+               {sql_round('h_a', 8)} AS h_a,
+               {sql_round('h_b', 8)} AS h_b,
+               CASE WHEN sqrt(h_a * h_b) > 0
+                    THEN {sql_round('mi / sqrt(h_a * h_b)', 8)}
+               END AS nmi
+        FROM g
+    """
+    assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_diff_in_diff_pins_and_parity(spark, oracle_sf_dir):
+    """Difference-in-differences: (1) hand-math pin -- a planted lift
+    on the treated-post cell over a shared trend recovers exactly the
+    lift, with the welch-style SE; (2) an empty cell reports NULL did;
+    (3) full DuckDB replay on orders (treat = custkey parity, post =
+    orderdate >= 1995-01-01, per priority)."""
+    rows = (
+        [("k", "t", "pre", 10.0 + d) for d in (-1.0, 0.0, 1.0)]
+        + [("k", "t", "post", 17.0 + d) for d in (-1.0, 0.0, 1.0)]
+        + [("k", "c", "pre", 20.0 + d) for d in (-2.0, 0.0, 2.0)]
+        + [("k", "c", "post", 22.0 + d) for d in (-2.0, 0.0, 2.0)]
+    )
+    df = spark.createDataFrame(rows, "k string, arm string, p string, v double")
+    got = aggregates.diff_in_diff(df, "arm", "p", "v", "t", "post", ["k"]).first()
+    # treated moved +7, control's shared trend +2 -> did = 5
+    assert abs(got.did - 5.0) < 1e-12
+    se = (1.0 / 3 + 1.0 / 3 + 4.0 / 3 + 4.0 / 3) ** 0.5
+    assert abs(got.se - se) < 1e-12
+    assert abs(got.z_stat - 5.0 / se) < 1e-12
+    assert (got.n_t_pre, got.n_t_post, got.n_c_pre, got.n_c_post) == (3, 3, 3, 3)
+
+    # empty treated-post cell -> NULL did
+    noc = spark.createDataFrame(
+        [r for r in rows if not (r[1] == "t" and r[2] == "post")],
+        "k string, arm string, p string, v double",
+    )
+    assert aggregates.diff_in_diff(
+        noc, "arm", "p", "v", "t", "post", ["k"]
+    ).first().did is None
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    pre = orders.select(
+        "o_orderpriority",
+        (F.col("o_custkey") % 2 == 0).alias("arm"),
+        (F.col("o_orderdate") >= F.lit("1995-01-01")).alias("p"),
+        F.col("o_totalprice").alias("v"),
+    )
+    got_r = aggregates.diff_in_diff(
+        pre, "arm", "p", "v", True, True, ["o_orderpriority"]
+    ).select(
+        "o_orderpriority",
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        stable_round(F.col("did"), 6).alias("did"),
+        stable_round(F.col("se"), 6).alias("se"),
+        stable_round(F.col("z_stat"), 6).alias("z_stat"),
+    )
+    sql = f"""
+        WITH base AS (
+          SELECT o_orderpriority AS k,
+                 (o_custkey % 2 = 0) AS t,
+                 (o_orderdate >= DATE '1995-01-01') AS p,
+                 o_totalprice::DOUBLE AS v
+          FROM orders WHERE o_totalprice IS NOT NULL
+        ),
+        g AS (
+          SELECT k,
+                 COUNT(*) FILTER (t AND NOT p)      AS n_t_pre,
+                 COUNT(*) FILTER (t AND p)          AS n_t_post,
+                 COUNT(*) FILTER (NOT t AND NOT p)  AS n_c_pre,
+                 COUNT(*) FILTER (NOT t AND p)      AS n_c_post,
+                 AVG(v) FILTER (t AND NOT p)        AS m_tp,
+                 AVG(v) FILTER (t AND p)            AS m_tq,
+                 AVG(v) FILTER (NOT t AND NOT p)    AS m_cp,
+                 AVG(v) FILTER (NOT t AND p)        AS m_cq,
+                 VAR_SAMP(v) FILTER (t AND NOT p)   AS v_tp,
+                 VAR_SAMP(v) FILTER (t AND p)       AS v_tq,
+                 VAR_SAMP(v) FILTER (NOT t AND NOT p) AS v_cp,
+                 VAR_SAMP(v) FILTER (NOT t AND p)   AS v_cq
+          FROM base GROUP BY k
+        )
+        SELECT k AS o_orderpriority, n_t_pre, n_t_post, n_c_pre, n_c_post,
+               {sql_round('(m_tq - m_tp) - (m_cq - m_cp)', 6)} AS did,
+               {sql_round(
+                   'sqrt(v_tq / n_t_post + v_tp / n_t_pre'
+                   ' + v_cq / n_c_post + v_cp / n_c_pre)', 6)} AS se,
+               {sql_round(
+                   '((m_tq - m_tp) - (m_cq - m_cp))'
+                   ' / sqrt(v_tq / n_t_post + v_tp / n_t_pre'
+                   ' + v_cq / n_c_post + v_cp / n_c_pre)', 6)} AS z_stat
+        FROM g
+    """
+    assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_minimum_detectable_effect_pins_and_parity(spark, oracle_sf_dir):
+    """MDE: (1) hand-math pin (pooled sd, se, z-sum scaling); (2) a
+    single-row arm reports NULL (var undefined); (3) full DuckDB
+    replay on orders (arm = orderkey parity per priority)."""
+    rows = [("k", "a", v) for v in (1.0, 2.0, 3.0, 4.0)] + [
+        ("k", "b", v) for v in (2.0, 4.0, 6.0)
+    ]
+    df = spark.createDataFrame(rows, "k string, arm string, v double")
+    got = aggregates.minimum_detectable_effect(
+        df, "arm", "v", "a", "b", ["k"]
+    ).first()
+    va = 5.0 / 3  # var_samp of 1,2,3,4
+    vb = 4.0
+    s2 = (3 * va + 2 * vb) / 5
+    se = (s2 * (1 / 4 + 1 / 3)) ** 0.5
+    assert got.n_a == 4 and got.n_b == 3
+    assert abs(got.pooled_sd - s2**0.5) < 1e-12
+    assert abs(got.se - se) < 1e-12
+    assert abs(got.mde_abs - (1.959964 + 0.841621) * se) < 1e-12
+    assert abs(got.mde_rel - got.mde_abs / 2.5) < 1e-12
+
+    one = spark.createDataFrame(
+        [("k", "a", 1.0), ("k", "b", 2.0), ("k", "b", 3.0)],
+        "k string, arm string, v double",
+    )
+    assert aggregates.minimum_detectable_effect(
+        one, "arm", "v", "a", "b", ["k"]
+    ).first().mde_abs is None
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    pre = orders.select(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 2 == 0, "even").otherwise("odd").alias("arm"),
+        F.col("o_totalprice").alias("v"),
+    )
+    got_r = aggregates.minimum_detectable_effect(
+        pre, "arm", "v", "even", "odd", ["o_orderpriority"]
+    ).select(
+        "o_orderpriority",
+        "n_a",
+        "n_b",
+        stable_round(F.col("mean_a"), 6).alias("mean_a"),
+        stable_round(F.col("pooled_sd"), 6).alias("pooled_sd"),
+        stable_round(F.col("se"), 6).alias("se"),
+        stable_round(F.col("mde_abs"), 6).alias("mde_abs"),
+        stable_round(F.col("mde_rel"), 8).alias("mde_rel"),
+    )
+    zsum = 1.959964 + 0.841621
+    sql = f"""
+        WITH base AS (
+          SELECT o_orderpriority AS k,
+                 CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,
+                 o_totalprice::DOUBLE AS v
+          FROM orders WHERE o_totalprice IS NOT NULL
+        ),
+        g AS (
+          SELECT k,
+                 COUNT(*) FILTER (arm = 'even') AS n_a,
+                 COUNT(*) FILTER (arm = 'odd')  AS n_b,
+                 AVG(v) FILTER (arm = 'even')   AS mean_a,
+                 VAR_SAMP(v) FILTER (arm = 'even') AS va,
+                 VAR_SAMP(v) FILTER (arm = 'odd')  AS vb
+          FROM base GROUP BY k
+        ),
+        s AS (
+          SELECT k, n_a, n_b, mean_a,
+                 ((n_a - 1) * va + (n_b - 1) * vb) / (n_a + n_b - 2) AS s2,
+                 sqrt(((n_a - 1) * va + (n_b - 1) * vb) / (n_a + n_b - 2)
+                      * (1.0 / n_a + 1.0 / n_b)) AS se
+          FROM g
+        )
+        SELECT k AS o_orderpriority, n_a, n_b,
+               {sql_round('mean_a', 6)} AS mean_a,
+               {sql_round('sqrt(s2)', 6)} AS pooled_sd,
+               {sql_round('se', 6)} AS se,
+               {sql_round(f'{zsum} * se', 6)} AS mde_abs,
+               {sql_round(f'{zsum} * se / abs(mean_a)', 8)} AS mde_rel
+        FROM s
+    """
+    assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_conformal_interval_pins_coverage_and_parity(spark, oracle_sf_dir):
+    """Split conformal: (1) hand pin -- qhat is exactly the
+    ceil((n+1)(1-alpha))-th smallest |residual|; (2) finite-sample
+    guarantee holds empirically on an exchangeable split (coverage >=
+    1 - alpha); (3) n too small for the level -> NULL qhat; (4)
+    conformal_apply attaches lo/hi and leaves unseen keys NULL; (5)
+    full DuckDB replay on lineitem residuals per returnflag."""
+    cal = spark.createDataFrame(
+        [("g", float(i), float(i + (i % 5))) for i in range(20)],
+        "k string, pred double, actual double",
+    )
+    fit = aggregates.conformal_interval(cal, "pred", "actual", 0.2, ["k"])
+    r = fit.first()
+    # residuals: 0,1,2,3,4 each x4; k = ceil(21 * 0.8) = 17 -> 4.0
+    assert (r.n_cal, r.k_rank, r.qhat) == (20, 17, 4.0)
+
+    # coverage on an exchangeable split: iid noise, same law both sides
+    import random
+
+    rng = random.Random(11)
+    pool = [("g", float(i % 50), i % 50 + rng.gauss(0, 2)) for i in range(2000)]
+    both = spark.createDataFrame(
+        pool, "k string, pred double, actual double"
+    )
+    calib = both.filter(F.crc32(F.col("pred").cast("string")) % 2 == 0)
+    fresh = both.subtract(calib)
+    f2 = aggregates.conformal_interval(calib, "pred", "actual", 0.1, ["k"])
+    banded = aggregates.conformal_apply(fresh, f2, "pred", ["k"])
+    cov = banded.agg(
+        F.avg(
+            (
+                (F.col("actual") >= F.col("lo"))
+                & (F.col("actual") <= F.col("hi"))
+            ).cast("double")
+        ).alias("c")
+    ).first().c
+    assert cov >= 0.88  # >= 1 - alpha up to sampling noise
+
+    # too little calibration for the level: k > n -> NULL
+    tiny = spark.createDataFrame(
+        [("g", 1.0, 2.0), ("g", 2.0, 2.5)],
+        "k string, pred double, actual double",
+    )
+    t = aggregates.conformal_interval(tiny, "pred", "actual", 0.1, ["k"]).first()
+    assert t.qhat is None and t.k_rank == 3 and t.n_cal == 2
+
+    # apply: unseen key -> NULL bands
+    new = spark.createDataFrame(
+        [("g", 10.0), ("other", 10.0)], "k string, pred double"
+    )
+    ap = {
+        r.k: (r.lo, r.hi)
+        for r in aggregates.conformal_apply(new, fit, "pred", ["k"]).collect()
+    }
+    assert ap["g"] == (6.0, 14.0) and ap["other"] == (None, None)
+
+    with pytest.raises(ValueError, match="alpha"):
+        aggregates.conformal_interval(cal, "pred", "actual", 1.5, ["k"])
+
+    # DuckDB replay on lineitem: pred = quantity scaled, actual = discount*100
+    li = load_table(spark, oracle_sf_dir, "lineitem")
+    pre = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("pred"),
+        (F.col("l_extendedprice") / 1000.0).alias("actual"),
+    )
+    got_r = aggregates.conformal_interval(
+        pre, "pred", "actual", 0.1, ["l_returnflag"]
+    ).select(
+        "l_returnflag",
+        "n_cal",
+        "k_rank",
+        stable_round(F.col("qhat"), 6).alias("qhat"),
+    )
+    sql = f"""
+        WITH base AS (
+          SELECT l_returnflag AS k,
+                 abs(l_extendedprice / 1000.0 - l_quantity::DOUBLE) AS r
+          FROM lineitem
+        ),
+        ranked AS (
+          SELECT k, r,
+                 ROW_NUMBER() OVER (PARTITION BY k ORDER BY r) AS rn,
+                 CAST(ceil((COUNT(*) OVER (PARTITION BY k) + 1) * 0.9)
+                      AS BIGINT) AS kk
+          FROM base
+        )
+        SELECT k AS l_returnflag, COUNT(*) AS n_cal, MAX(kk) AS k_rank,
+               {sql_round('MAX(CASE WHEN rn = kk THEN r END)', 6)} AS qhat
+        FROM ranked GROUP BY k
+    """
+    assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []

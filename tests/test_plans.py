@@ -620,3 +620,58 @@ def test_late_r8_library_ops_pass_the_plan_lint(spark, oracle_sf_dir):
     )
     assert graph.k_core(e, 2).columns == ["node", "deg"]
     assert graph.core_numbers(e).columns == ["node", "core"]
+
+
+def test_r9_experiment_ops_pass_the_plan_lint(spark, oracle_sf_dir):
+    """The round-9 experiment-readout additions get the registry
+    hygiene check: mutual_information, diff_in_diff,
+    minimum_detectable_effect and the conformal pair are pure
+    DataFrame compositions -- no CartesianProduct, no row-at-a-time
+    Python, no nested-loop joins (conformal_apply's keyed broadcast
+    included)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+    from bigdata_storage_and_proccess_job_data_spark.plans import lint
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    arm = F.when(F.col("o_orderkey") % 2 == 0, "even").otherwise("odd")
+    pre = orders.select(
+        "o_orderpriority",
+        arm.alias("arm"),
+        (F.col("o_orderdate") >= F.lit("1995-01-01")).alias("p"),
+        F.col("o_totalprice").alias("v"),
+        "o_orderstatus",
+    )
+    fit = aggregates.conformal_interval(
+        pre.select(
+            "o_orderpriority",
+            F.col("v").alias("pred"),
+            (F.col("v") * 1.01).alias("actual"),
+        ),
+        "pred",
+        "actual",
+        0.1,
+        ["o_orderpriority"],
+    )
+    clean = {
+        "mutual_information": aggregates.mutual_information(
+            pre, "arm", "o_orderstatus", ["o_orderpriority"]
+        ),
+        "diff_in_diff": aggregates.diff_in_diff(
+            pre, "arm", "p", "v", "even", True, ["o_orderpriority"]
+        ),
+        "minimum_detectable_effect": aggregates.minimum_detectable_effect(
+            pre, "arm", "v", "even", "odd", ["o_orderpriority"]
+        ),
+        "conformal_interval": fit,
+        "conformal_apply": aggregates.conformal_apply(
+            pre.select("o_orderpriority", F.col("v").alias("pred")),
+            fit,
+            "pred",
+            ["o_orderpriority"],
+        ),
+    }
+    for name, df in clean.items():
+        assert lint.lint_plan(df) == [], name
