@@ -432,3 +432,74 @@ def test_global_row_number_partition_independent(spark):
             ).collect()
         }
         assert got == want, (reparts, parts)
+
+
+def test_mutual_information_bounds_on_generated_tables(spark):
+    """Property: on ANY generated two-column categorical table
+    (unicode categories, arbitrary co-occurrence skew), MI is within
+    float fuzz of [0, min(H_A, H_B)], I(A;A) == H(A) exactly, and the
+    statistic is a pure function of the row SET (partition-layout
+    independent). Exact replica computed in pure Python."""
+    import math
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    texts = _examples(160)
+    rows = [
+        (t[:1] or "_", t[1:2] or (t[:1] or "_"))
+        for t in texts
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = aggregates.mutual_information(df, "a", "b").first()
+
+    # pure-Python replica
+    from collections import Counter
+
+    joint = Counter(rows)
+    ca = Counter(r[0] for r in rows)
+    cb = Counter(r[1] for r in rows)
+    n = len(rows)
+    mi = sum(
+        (c / n) * math.log(c * n / (ca[a] * cb[b]))
+        for (a, b), c in joint.items()
+    )
+    ha = -sum((c / n) * math.log(c / n) for c in ca.values())
+    hb = -sum((c / n) * math.log(c / n) for c in cb.values())
+    assert abs(got.mi - mi) < 1e-9
+    assert abs(got.h_a - ha) < 1e-9 and abs(got.h_b - hb) < 1e-9
+    assert -1e-9 <= got.mi <= min(ha, hb) + 1e-9
+
+    # I(A;A) == H(A); partition independence
+    self_mi = aggregates.mutual_information(
+        df.repartition(11), "a", "a"
+    ).first()
+    assert abs(self_mi.mi - ha) < 1e-9
+    again = aggregates.mutual_information(df.repartition(7), "a", "b").first()
+    assert abs(again.mi - got.mi) < 1e-12
+
+
+def test_conformal_qhat_is_the_exact_order_statistic(spark):
+    """Property: conformal_interval's qhat equals the pure-Python
+    k-th smallest |residual| (k = ceil((n+1)(1-alpha))) for ANY
+    generated residual multiset (ties, zeros, unicode-length values),
+    any alpha in a grid, and any partition layout."""
+    import math
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    texts = _examples(100)
+    rows = [
+        ("g", float(i % 9), float(i % 9) + (len(t) % 5) * 0.5)
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "k string, pred double, actual double")
+    res = sorted(abs(a - p) for _, p, a in rows)
+    n = len(res)
+    for alpha in (0.05, 0.1, 0.25, 0.5):
+        k = math.ceil((n + 1) * (1 - alpha))
+        want = res[k - 1] if k <= n else None
+        r = aggregates.conformal_interval(
+            df.repartition(13), "pred", "actual", alpha, ["k"]
+        ).first()
+        assert r.n_cal == n and r.k_rank == k
+        assert r.qhat == want, alpha
