@@ -3174,3 +3174,65 @@ def conformal_apply(
     return j.withColumn(lo_col, p - F.col("qhat")).withColumn(
         hi_col, p + F.col("qhat")
     ).drop("qhat")
+
+
+def srm_check(
+    df,
+    arm_col: str,
+    expected: dict,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Sample-ratio-mismatch check per key group -- the experiment
+    health gate that runs BEFORE any metric readout: when the observed
+    arm split deviates from the designed allocation (``expected``,
+    e.g. {"control": 1, "treat": 1}), assignment is broken (a
+    redirect bug, a bot filter firing asymmetrically, a logging drop)
+    and every downstream statistic is invalid. Industry practice flags
+    chi2 p < 0.001; like welch_ttest this stops at the statistic --
+    threshold ``chi2`` against the critical value for ``dof`` = arms-1
+    downstream (10.83 at dof 1).
+
+    chi2 = sum over arms (obs - n*w)^2 / (n*w) with w the arm's
+    normalized expected weight. Rows whose arm is NOT in ``expected``
+    are counted in ``n_unexpected`` and EXCLUDED from the test (an
+    unknown arm is its own, louder, bug); arms in ``expected`` with
+    zero observed rows still contribute their full expected mass.
+    Returns one row per key: n, n_unexpected, per-arm observed counts
+    (``obs_<arm>``), chi2, dof.
+
+    Scale shape: ONE hash aggregate with one conditional count per
+    designed arm -- the arm list is the experiment design (a handful),
+    so the sibling-aggregate row stays tiny at any row count."""
+    if not expected:
+        raise ValueError("expected must name at least one arm")
+    keys = list(keys or [])
+    total_w = float(sum(expected.values()))
+    if total_w <= 0:
+        raise ValueError("expected weights must sum to > 0")
+    arms = list(expected)
+    a = F.col(arm_col)
+    g = df.groupBy(*keys).agg(
+        F.count(F.when(a.isin(arms), 1)).alias("n"),
+        F.count(
+            F.when(a.isNotNull() & ~a.isin(arms), 1)
+        ).alias("n_unexpected"),
+        *[
+            F.count(F.when(a == F.lit(arm), 1)).alias(f"obs_{arm}")
+            for arm in arms
+        ],
+    )
+    n = F.col("n").cast("double")
+    chi2 = None
+    for arm in arms:
+        w = float(expected[arm]) / total_w
+        exp_n = n * F.lit(w)
+        term = (F.col(f"obs_{arm}") - exp_n) ** 2 / exp_n
+        chi2 = term if chi2 is None else chi2 + term
+    return g.select(
+        *keys,
+        "n",
+        "n_unexpected",
+        *[f"obs_{arm}" for arm in arms],
+        F.when(n > 0, chi2).alias("chi2"),
+        F.lit(len(arms) - 1).alias("dof"),
+    )

@@ -547,7 +547,8 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # full DuckDB replay parity in tests/test_mining.py:
 # mutual_information (contingency MI + entropies + NMI),
 # diff_in_diff (four-cell DiD with large-sample z),
-# minimum_detectable_effect (post-hoc power / sizing readout), and
+# minimum_detectable_effect (post-hoc power / sizing readout),
+# srm_check (sample-ratio-mismatch chi2 health gate), and
 # conformal_interval/conformal_apply (split-conformal exact order
 # statistic + finite-sample coverage test). Plan lint:
 # test_r9_experiment_ops_pass_the_plan_lint.

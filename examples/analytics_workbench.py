@@ -34,6 +34,7 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
+from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from bigdata_storage_and_proccess_job_data_spark.catalog import load_table  # noqa: E402
@@ -254,6 +255,85 @@ def main() -> None:
         + ", ".join(f"{a}={p:.3f}" for a, p in sorted(final_p.items()))
     )
     assert abs(rs.z_stat) < 4
+
+    # completeness wave (late r9): was the flat read just underpowered?
+    # MDE says what THIS traffic could have detected; diff-in-diff shows
+    # the rollout-without-randomization readout (pre/post from the order
+    # date, shared trends cancel); mutual information confirms the arm
+    # coin carries ~zero information about the order's priority (a
+    # randomization health check); and a split-conformal band wraps a
+    # naive per-arm forecast with a distribution-free guarantee
+    srm = aggregates.srm_check(
+        exp, "arm", {"control": 1, "treat": 1}
+    ).first()
+    assert srm.chi2 < 10.83, "sample-ratio mismatch: assignment broken"
+    mde = aggregates.minimum_detectable_effect(
+        exp, "arm", "y", "control", "treat"
+    ).first()
+    arm_coin = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.col("o_custkey").cast("string")), 1, 8
+                ), 16, 10
+            ).cast("long"), F.lit(2)
+        ) == 0, "control"
+    ).otherwise("treat")
+    did = aggregates.diff_in_diff(
+        load_table(spark, SF_DIR, "orders").select(
+            arm_coin.alias("arm"),
+            (F.col("o_orderdate") >= "1998-01-01").alias("post"),
+            F.col("o_totalprice").alias("y"),
+        ),
+        "arm", "post", "y", "treat", True,
+    ).first()
+    mi = aggregates.mutual_information(
+        orders.select(
+            F.when(F.col("o_custkey") % 2 == 0, "even")
+            .otherwise("odd").alias("coin"),
+            "o_orderpriority",
+        ),
+        "coin", "o_orderpriority",
+    ).first()
+    cal = orders.sample(0.5, seed=7).select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("actual"),
+        F.avg("o_totalprice")
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("pred"),
+    )
+    fit = aggregates.conformal_interval(
+        cal, "pred", "actual", alpha=0.2, keys=["o_orderpriority"]
+    )
+    fresh = orders.sample(0.3, seed=8).select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("actual"),
+        F.avg("o_totalprice")
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("pred"),
+    )
+    banded = aggregates.conformal_apply(
+        fresh, fit, "pred", ["o_orderpriority"]
+    )
+    cov = banded.agg(
+        F.avg(
+            (
+                (F.col("actual") >= F.col("lo"))
+                & (F.col("actual") <= F.col("hi"))
+            ).cast("double")
+        )
+    ).first()[0]
+    print(
+        f"== experiment (power/robustness) == srm chi2={srm.chi2:.2f} (pass); mde_rel="
+        f"{mde.mde_rel:.4f} (detectable lift at this traffic); "
+        f"DiD={did.did:.1f} z={did.z_stat:.2f} (A/A rollout, expect ~0); "
+        f"MI(coin; priority)={mi.mi:.2e} nats (~0 = healthy "
+        f"randomization); conformal coverage={cov:.3f} @ 80% target"
+    )
+    assert mde.mde_rel is not None and mde.mde_rel > 0
+    assert abs(did.z_stat) < 4
+    assert mi.mi < 0.01
+    assert cov >= 0.78
 
     # -- 8. audience overlap via KMV sketches --------------------------
     sk = aggregates.kmv_sketch(

@@ -2108,3 +2108,76 @@ def test_conformal_interval_pins_coverage_and_parity(spark, oracle_sf_dir):
         FROM ranked GROUP BY k
     """
     assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_srm_check_pins_and_parity(spark, oracle_sf_dir):
+    """SRM: (1) hand-math pin -- a 60/40 observed split against a
+    designed 50/50 scores the textbook chi2; (2) a healthy split scores
+    ~0 while a broken one exceeds the p<0.001 bar; (3) unknown arms are
+    excluded and counted; (4) a designed arm with zero rows still
+    contributes its expected mass; (5) full DuckDB replay on orders."""
+    rows = [("k", "a")] * 60 + [("k", "b")] * 40 + [("k", "zz")] * 5
+    df = spark.createDataFrame(rows, "k string, arm string")
+    got = aggregates.srm_check(df, "arm", {"a": 1, "b": 1}, ["k"]).first()
+    # exp 50/50 of n=100: chi2 = 100/50 + 100/50 = 4
+    assert got.n == 100 and got.n_unexpected == 5
+    assert (got.obs_a, got.obs_b) == (60, 40)
+    assert abs(got.chi2 - 4.0) < 1e-12 and got.dof == 1
+
+    # missing designed arm: full expected mass still counted
+    solo = spark.createDataFrame([("k", "a")] * 10, "k string, arm string")
+    m = aggregates.srm_check(solo, "arm", {"a": 1, "b": 1}, ["k"]).first()
+    # obs (10,0) vs exp (5,5): chi2 = 25/5 + 25/5 = 10
+    assert abs(m.chi2 - 10.0) < 1e-12 and m.obs_b == 0
+
+    with pytest.raises(ValueError, match="at least one arm"):
+        aggregates.srm_check(df, "arm", {}, ["k"])
+
+    # healthy vs broken at scale + DuckDB replay on orders
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    pre = orders.select(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 2 == 0, "even")
+        .otherwise("odd")
+        .alias("arm"),
+    )
+    healthy = aggregates.srm_check(
+        pre, "arm", {"even": 1, "odd": 1}, ["o_orderpriority"]
+    )
+    assert healthy.agg(F.max("chi2")).first()[0] < 10.83  # p > 0.001
+    broken = aggregates.srm_check(
+        pre.filter(
+            (F.col("arm") == "odd") | (F.col("o_orderpriority") != "1-URGENT")
+        ),
+        "arm",
+        {"even": 1, "odd": 1},
+        ["o_orderpriority"],
+    ).filter(F.col("o_orderpriority") == "1-URGENT")
+    assert broken.first().chi2 > 10.83
+
+    got_r = healthy.select(
+        "o_orderpriority",
+        "n",
+        "n_unexpected",
+        "obs_even",
+        "obs_odd",
+        stable_round(F.col("chi2"), 8).alias("chi2"),
+        "dof",
+    )
+    sql = f"""
+        WITH g AS (
+          SELECT o_orderpriority AS k,
+                 COUNT(*) AS n,
+                 0 AS n_unexpected,
+                 COUNT(*) FILTER (o_orderkey % 2 = 0) AS obs_even,
+                 COUNT(*) FILTER (o_orderkey % 2 = 1) AS obs_odd
+          FROM orders GROUP BY 1
+        )
+        SELECT k AS o_orderpriority, n, n_unexpected, obs_even, obs_odd,
+               {sql_round(
+                   'pow(obs_even - n * 0.5, 2) / (n * 0.5)'
+                   ' + pow(obs_odd - n * 0.5, 2) / (n * 0.5)', 8)} AS chi2,
+               1 AS dof
+        FROM g
+    """
+    assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []

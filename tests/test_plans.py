@@ -625,7 +625,7 @@ def test_late_r8_library_ops_pass_the_plan_lint(spark, oracle_sf_dir):
 def test_r9_experiment_ops_pass_the_plan_lint(spark, oracle_sf_dir):
     """The round-9 experiment-readout additions get the registry
     hygiene check: mutual_information, diff_in_diff,
-    minimum_detectable_effect and the conformal pair are pure
+    minimum_detectable_effect, srm_check and the conformal pair are pure
     DataFrame compositions -- no CartesianProduct, no row-at-a-time
     Python, no nested-loop joins (conformal_apply's keyed broadcast
     included)."""
@@ -664,6 +664,9 @@ def test_r9_experiment_ops_pass_the_plan_lint(spark, oracle_sf_dir):
         ),
         "minimum_detectable_effect": aggregates.minimum_detectable_effect(
             pre, "arm", "v", "even", "odd", ["o_orderpriority"]
+        ),
+        "srm_check": aggregates.srm_check(
+            pre, "arm", {"even": 1, "odd": 1}, ["o_orderpriority"]
         ),
         "conformal_interval": fit,
         "conformal_apply": aggregates.conformal_apply(
