@@ -552,6 +552,11 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # conformal_interval/conformal_apply (split-conformal exact order
 # statistic + finite-sample coverage test). Plan lint:
 # test_r9_experiment_ops_pass_the_plan_lint.
+# Also R10-promotable with full DuckDB replay (bit-exact fingerprint
+# sets on the documents table via the md5_hash60 bridge):
+# corpus.winnow_fingerprints / winnow_matches (MOSS winnowing --
+# ~2/(window+1) of the shingle index's rows with the shared-substring
+# guarantee; test_winnow_fingerprints_replica_guarantee_and_parity).
 # kmv_set_ops (KMV distinct sketch, test_analytics)
 # is R9-promotable at ARTIFACT level: the sketch arrays themselves
 # rebuild bit-for-bit in DuckDB (row_number <= k over distinct

@@ -1959,3 +1959,130 @@ def test_ngram_repetition_plan_scale_safe(spark, sf_dir):
     df = corpus.ngram_repetition(docs, "doc_id", "text", n=2)
     df.write.format("noop").mode("overwrite").save()
     assert lint.lint_plan(df) == []
+
+
+def test_winnow_fingerprints_replica_guarantee_and_parity(spark, oracle_sf_dir):
+    """Winnowing (MOSS): (1) exact pure-Python replica equality on a
+    hand corpus (leftmost-min tie-break, degenerate short docs);
+    (2) the paper's guarantee -- two docs sharing a substring of
+    window + k - 1 tokens share >= 1 fingerprint, surfaced by
+    winnow_matches; (3) density is ~2/(window+1) of the gram count on
+    real text; (4) sub-k docs emit nothing; (5) full DuckDB replay on
+    the documents table via the engine's md5_hash60 bridge."""
+    import hashlib
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from tests.parity import compare, duckdb_connect
+
+    k, w = 3, 4
+
+    def h60(gram: str) -> int:
+        return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+
+    def py_winnow(txt: str, k: int, w: int) -> set:
+        toks = txt.lower().split()
+        grams = [
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        ]
+        hs = [h60(g) for g in grams]
+        if not hs:
+            return set()
+        if len(hs) < w:
+            m = min(range(len(hs)), key=lambda i: (hs[i], i))
+            return {(m, hs[m])}
+        out = set()
+        for s in range(len(hs) - w + 1):
+            m = min(range(s, s + w), key=lambda i: (hs[i], i))
+            out.add((m, hs[m]))
+        return out
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "a b"),          # < k tokens: no grams
+        (4, "a b c"),        # exactly one gram: degenerate window
+        (5, "x y z x y z"),  # repeated grams: dedup via distinct
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        d: set()
+        for d in (1, 2, 4, 5)
+    }
+    for r in corpus.winnow_fingerprints(df, "doc_id", "text", k, w).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for did, txt in docs:
+        assert got.get(did, set()) == py_winnow(txt, k, w), did
+
+    # guarantee: planted shared run of w + k - 1 = 6 tokens
+    shared = "alpha beta gamma delta epsilon zeta"
+    pair = spark.createDataFrame(
+        [
+            (10, "one two three " + shared + " four five six"),
+            (20, "seven eight " + shared + " nine ten eleven twelve"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = corpus.winnow_fingerprints(pair, "doc_id", "text", k, w)
+    m = corpus.winnow_matches(fps, fps, min_shared=1).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    assert m.count() == 1 and m.first().n_shared >= 1
+
+    with pytest.raises(ValueError, match=">= 1"):
+        corpus.winnow_fingerprints(df, "doc_id", "text", 0, w)
+
+    # density + DuckDB replay on real documents
+    real = load_table(spark, oracle_sf_dir, "documents")
+    fps_r = corpus.winnow_fingerprints(real, "doc_id", "text", 5, 8)
+    n_fp = fps_r.count()
+    from bigdata_storage_and_proccess_job_data_spark.functions import text
+
+    n_grams = real.select(F.explode(text.word_ngrams("text", 5))).count()
+    assert 0.1 < n_fp / (n_grams * 2 / 9) < 2.5  # ~2/(w+1) density
+
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        _md5_hash60_sql,
+    )
+
+    got_r = fps_r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.sum(F.col("fp") % 1000003).alias("fp_sum"),
+        F.sum("pos").alias("pos_sum"),
+    )
+    sql = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents WHERE trim(text) <> ''
+        ),
+        grams AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(t[i:i+4], ' ') AS g
+          FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+          WHERE len(t) >= 5
+        ),
+        hashed AS (
+          SELECT doc_id, pos, {_md5_hash60_sql('g')} AS h,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS n
+          FROM grams
+        ),
+        sel AS (
+          SELECT doc_id,
+                 COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wcnt,
+                 min({{'h': h, 'p': pos}}) OVER (PARTITION BY doc_id
+                   ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+                 pos, n
+          FROM hashed
+        ),
+        fps AS (
+          SELECT DISTINCT doc_id, m.p AS pos, m.h AS fp
+          FROM sel WHERE wcnt = 8 OR (n < 8 AND pos = 0)
+        )
+        SELECT doc_id, COUNT(*) AS n_fp,
+               CAST(SUM(fp % 1000003) AS BIGINT) AS fp_sum,
+               CAST(SUM(pos) AS BIGINT) AS pos_sum
+        FROM fps GROUP BY doc_id
+    """
+    assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []

@@ -622,6 +622,14 @@ def test_late_r8_library_ops_pass_the_plan_lint(spark, oracle_sf_dir):
     assert graph.core_numbers(e).columns == ["node", "core"]
 
 
+def __winnow_fps(spark, sf_dir):
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.winnow_fingerprints(docs, "doc_id", "text", 5, 8)
+
+
 def test_r9_experiment_ops_pass_the_plan_lint(spark, oracle_sf_dir):
     """The round-9 experiment-readout additions get the registry
     hygiene check: mutual_information, diff_in_diff,
@@ -668,6 +676,7 @@ def test_r9_experiment_ops_pass_the_plan_lint(spark, oracle_sf_dir):
         "srm_check": aggregates.srm_check(
             pre, "arm", {"even": 1, "odd": 1}, ["o_orderpriority"]
         ),
+        "winnow_fingerprints": __winnow_fps(spark, oracle_sf_dir),
         "conformal_interval": fit,
         "conformal_apply": aggregates.conformal_apply(
             pre.select("o_orderpriority", F.col("v").alias("pred")),
