@@ -42,3 +42,32 @@ def ensure_ltz(df: DataFrame, *cols: str) -> DataFrame:
     return df.withColumns(
         {c: F.col(c).cast("timestamp_ltz") for c in targets}
     )
+
+
+_INTERVAL_RE = None
+
+
+def interval_expr(spec: str):
+    """A validated ``INTERVAL`` Column from a user-supplied duration
+    string ("10 minutes", "1 hour 30 minutes"). The operators that
+    accept duration parameters (as-of tolerance, burst gap,
+    stream-stream join bound) interpolate the string into a SQL
+    expression; restricting it to value-unit pairs keeps that
+    interpolation from ever being a SQL seam (the same discipline as
+    the bootstrap salt's charset check) and turns a typo'd duration
+    into a clear ValueError instead of a parser stack trace."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    global _INTERVAL_RE
+    if _INTERVAL_RE is None:
+        _INTERVAL_RE = re.compile(
+            r"^\s*\d+\s+[A-Za-z]+(\s+\d+\s+[A-Za-z]+)*\s*$"
+        )
+    if not isinstance(spec, str) or not _INTERVAL_RE.match(spec):
+        raise ValueError(
+            f"invalid interval {spec!r}: expected value-unit pairs like "
+            "'10 minutes' or '1 hour 30 minutes'"
+        )
+    return F.expr(f"INTERVAL {spec}")

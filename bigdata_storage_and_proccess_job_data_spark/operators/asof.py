@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from bigdata_storage_and_proccess_job_data_spark.functions.eventtime import interval_expr
+
 
 def asof_join(
     left: DataFrame,
@@ -96,7 +98,7 @@ def asof_join(
     if tolerance is None:
         fresh = F.col("_m").isNotNull()
     else:
-        fresh = F.col("_m.rts") >= (F.col("_ts") - F.expr(f"INTERVAL {tolerance}"))
+        fresh = F.col("_m.rts") >= (F.col("_ts") - interval_expr(tolerance))
     return filled.filter(F.col("_is_right") == 0).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
         *[

@@ -15,6 +15,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bigdata_storage_and_proccess_job_data_spark.functions.eventtime import interval_expr
+
 
 def dedup_by_key(
     df: DataFrame,
@@ -98,7 +100,7 @@ def first_of_burst(
     w = Window.partitionBy(*keys).orderBy(*order)
     prev = F.lag(F.col(ts_col)).over(w)
     keep = prev.isNull() | (
-        F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}")
+        F.col(ts_col) > prev + interval_expr(gap)
     )
     return (
         df.withColumn("_keep", keep)

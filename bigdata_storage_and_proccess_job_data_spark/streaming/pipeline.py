@@ -15,6 +15,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from bigdata_storage_and_proccess_job_data_spark.functions.eventtime import interval_expr
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
@@ -172,7 +174,7 @@ def stream_stream_interval_join(
         # literal: an f-string'd `expr("ts + INTERVAL ...")` would be
         # ambiguous whenever both streams name their event-time column
         # the same (the canonical case)
-        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
+        & (rw[right_ts] <= lw[left_ts] + interval_expr(within))
     )
     return lw.join(rw, cond, how)
 

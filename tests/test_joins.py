@@ -373,3 +373,21 @@ def test_interpolate_linear_timestamps_duckdb_parity(spark, sf_dir):
         """,
     )
     assert problems == [], problems
+
+
+def test_interval_expr_rejects_non_duration_strings(spark):
+    """Duration parameters are interpolated into SQL INTERVAL
+    expressions; the shared validator must reject anything that is not
+    value-unit pairs (the bootstrap-salt charset discipline), and the
+    operators must surface it as a clear ValueError."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.functions.eventtime import (
+        interval_expr,
+    )
+
+    for ok in ("10 minutes", "1 hour 30 minutes", " 2 days "):
+        interval_expr(ok)  # must not raise
+    for bad in ("10; drop", "minutes 10", "1) OR (1=1", "", "10", None):
+        with pytest.raises((ValueError, TypeError)):
+            interval_expr(bad)
