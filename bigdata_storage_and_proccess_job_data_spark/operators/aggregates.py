@@ -3236,3 +3236,121 @@ def srm_check(
         F.when(n > 0, chi2).alias("chi2"),
         F.lit(len(arms) - 1).alias("dof"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    drift: float = 0.5,
+    threshold: float = 5.0,
+    target: float | None = None,
+    scale: float | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Tabular CUSUM (Page) change detection per key -- the sustained
+    mean-shift detector that rate_anomalies' pointwise z-score cannot
+    give: a 0.5-sigma drift that never trips a single-bucket z
+    accumulates in the CUSUM statistic and alarms within a few points.
+    The level-shift complement of seasonal_decompose (structure) and
+    rate_anomalies (spikes) in the time-series set.
+
+    Method, stated so the oracle can replay it: with standardized
+    deviation z_i = (x_i - mu) / sd, the textbook recursions
+    s+_i = max(0, s+_{i-1} + z_i - k) and
+    s-_i = max(0, s-_{i-1} - z_i - k) have the EXACT prefix-extremum
+    closed form s_i = P_i - min(0, min_{j<=i} P_j) where P is the
+    running sum of the increments (y_i = z_i - k resp. -z_i - k) --
+    every reset that max(0, .) performs is a new running minimum of P.
+    That turns an inherently sequential recursion into two running
+    sums + two running mins over ONE sorted window per key: no UDF, no
+    applyInPandas, whole-stage codegen end to end, and DuckDB replays
+    the identical formula (the parity test's oracle).
+
+    ``target``/``scale`` pin mu/sd explicitly (online monitoring
+    against a known baseline); left None they default to the per-key
+    mean / sample stddev via one hash agg broadcast back (offline
+    retrospective scan). Keys whose sd is 0 or NULL (constant or
+    singleton series) emit NULL scores rather than infinities. NULL
+    values are dropped at entry (a skipped reading does not advance
+    the statistic). Ties in ``order_col`` make prefix sums
+    nondeterministic -- pre-compose a tiebreaker like autocorr.
+
+    Scale shape: one bounded hash agg (per-key baseline, rows = keys)
+    broadcast-joined back, then a single sort exchange per key serves
+    all four window expressions -- consecutive Window nodes over the
+    same (partition, order) share one sort. State per task is O(1).
+
+    Returns keys + (order_col, value_col, cusum_pos, cusum_neg,
+    alarm) with alarm = either statistic above ``threshold``.
+
+    Pure Spark composition; no reference analogue (the reference has
+    no window functions at all -- SURVEY.md SS2.6).
+    """
+    if drift < 0:
+        raise ValueError("drift must be >= 0")
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0")
+    if (target is None) != (scale is None):
+        raise ValueError("set both target and scale, or neither")
+    from pyspark.sql import Window
+
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    keys = list(keys)
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(*keys, order_col, v.alias("_v"))
+    if target is None:
+        stats = base.groupBy(*keys).agg(
+            F.avg("_v").alias("_mu"),
+            F.stddev_samp("_v").alias("_sd"),
+        )
+        base = base.join(F.broadcast(stats), keys)
+    else:
+        if scale is not None and scale <= 0:
+            raise ValueError("scale must be > 0")
+        base = base.withColumns(
+            {"_mu": F.lit(float(target)), "_sd": F.lit(float(scale))}
+        )
+    z = F.when(
+        F.col("_sd") > 0, (F.col("_v") - F.col("_mu")) / F.col("_sd")
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    k = F.lit(float(drift))
+    summed = base.withColumns(
+        {
+            "_p": F.sum(z - k).over(w_cum),
+            "_q": F.sum(-z - k).over(w_cum),
+            "_null_seen": F.max(z.isNull().cast("int")).over(w_cum),
+        }
+    )
+    # second Window pass over the SAME (partition, order): running min
+    # of the prefix sums themselves -- no extra exchange or sort
+    ranged = summed.withColumns(
+        {
+            "_pmin": F.min("_p").over(w_cum),
+            "_qmin": F.min("_q").over(w_cum),
+        }
+    )
+    s_pos = F.col("_p") - F.least(F.lit(0.0), F.col("_pmin"))
+    s_neg = F.col("_q") - F.least(F.lit(0.0), F.col("_qmin"))
+    ok = F.col("_null_seen") == 0
+    return ranged.select(
+        *keys,
+        order_col,
+        F.col("_v").alias(value_col),
+        stable_round(F.when(ok, s_pos), digits).alias("cusum_pos"),
+        stable_round(F.when(ok, s_neg), digits).alias("cusum_neg"),
+        F.when(
+            ok,
+            (s_pos > F.lit(float(threshold)))
+            | (s_neg > F.lit(float(threshold))),
+        ).alias("alarm"),
+    )

@@ -557,6 +557,10 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # corpus.winnow_fingerprints / winnow_matches (MOSS winnowing --
 # ~2/(window+1) of the shingle index's rows with the shared-substring
 # guarantee; test_winnow_fingerprints_replica_guarantee_and_parity).
+# aggregates.cusum_changepoints (tabular CUSUM level-shift detection
+# via the exact prefix-extremum closed form -- one sorted window per
+# key, no UDF) is R10-promotable with full DuckDB replay parity
+# (test_cusum_changepoints_pins_and_parity) and lint-swept.
 # kmv_set_ops (KMV distinct sketch, test_analytics)
 # is R9-promotable at ARTIFACT level: the sketch arrays themselves
 # rebuild bit-for-bit in DuckDB (row_number <= k over distinct

@@ -2181,3 +2181,117 @@ def test_srm_check_pins_and_parity(spark, oracle_sf_dir):
         FROM g
     """
     assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_cusum_changepoints_pins_and_parity(spark, oracle_sf_dir):
+    """Tabular CUSUM via the prefix-extremum closed form: (1) a planted
+    +5-unit level shift (k=0.5, h=4, pinned target/scale) alarms on the
+    FIRST post-shift point with the exact textbook recursion values,
+    while the pre-shift run never leaves 0; (2) a downward shift trips
+    the one-sided low statistic only; (3) a transient blip decays at
+    k per step after the excursion ends (the max(0,.) reset is the
+    running-min identity); (4) standardize mode emits NULL scores for a
+    constant key (sd=0) and drops NULL readings at entry; (5) full
+    DuckDB replay parity on hourly event_type counts."""
+    rows = []
+    for i in range(20):
+        rows.append(("shift", i, 10.0))
+    for i in range(20, 30):
+        rows.append(("shift", i, 15.0))
+    for i in range(20):
+        rows.append(("drop", i, 10.0 if i < 10 else 5.0))
+    blip = [10.0] * 5 + [15.0, 15.0] + [10.0] * 13
+    for i, x in enumerate(blip):
+        rows.append(("blip", i, x))
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = aggregates.cusum_changepoints(
+        df, ["k"], "i", "v",
+        drift=0.5, threshold=4.0, target=10.0, scale=1.0,
+    )
+    got = {(r.k, r.i): r for r in out.collect()}
+    # (1) upward shift: flat run pinned at 0, alarm at first shifted point
+    for i in range(20):
+        r = got[("shift", i)]
+        assert r.cusum_pos == 0.0 and r.alarm is False, r
+    # s+ recursion from 0: +4.5 per shifted point (z=5, k=0.5)
+    for j, i in enumerate(range(20, 30)):
+        r = got[("shift", i)]
+        assert r.cusum_pos == pytest.approx(4.5 * (j + 1), abs=1e-6)
+        assert r.alarm is True
+        assert r.cusum_neg == 0.0  # low side never accumulates
+    # (2) downward shift: symmetric on the low statistic
+    r = got[("drop", 10)]
+    assert r.cusum_neg == pytest.approx(4.5, abs=1e-6) and r.alarm is True
+    assert all(got[("drop", i)].cusum_pos == 0.0 for i in range(20))
+    # (3) blip: peaks at 9.0 after two +5 points, then decays by k=0.5
+    assert got[("blip", 6)].cusum_pos == pytest.approx(9.0, abs=1e-6)
+    for j in range(1, 9):
+        assert got[("blip", 6 + j)].cusum_pos == pytest.approx(
+            9.0 - 0.5 * j, abs=1e-6
+        )
+    assert got[("blip", 14)].alarm is True  # decayed to 5.0, still > 4
+    assert got[("blip", 16)].alarm is False  # 4.0 is not > 4: cleared
+    assert got[("blip", 19)].cusum_pos == pytest.approx(2.5, abs=1e-6)
+    # (4) standardize mode: constant key -> NULL scores; NULL dropped
+    df2 = spark.createDataFrame(
+        [("flat", 0, 2.0), ("flat", 1, 2.0), ("flat", 2, 2.0),
+         ("mix", 0, 1.0), ("mix", 1, None), ("mix", 2, 3.0)],
+        "k string, i long, v double",
+    )
+    out2 = aggregates.cusum_changepoints(df2, ["k"], "i", "v")
+    flat = out2.filter(F.col("k") == "flat").collect()
+    assert len(flat) == 3
+    assert all(
+        r.cusum_pos is None and r.cusum_neg is None and r.alarm is None
+        for r in flat
+    )
+    assert out2.filter(F.col("k") == "mix").count() == 2  # NULL dropped
+    # (5) DuckDB replay on hourly event_type counts, standardize mode
+    events = load_table(spark, oracle_sf_dir, "events")
+    per_b = events.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket_start"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    got_r = aggregates.cusum_changepoints(
+        per_b, ["event_type"], "bucket_start", "n",
+        drift=0.5, threshold=5.0, digits=4,
+    )
+    sql = f"""
+        WITH per_b AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                 COUNT(*)::DOUBLE AS n
+          FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+          SELECT event_type, AVG(n) AS mu, STDDEV_SAMP(n) AS sd
+          FROM per_b GROUP BY 1
+        ),
+        z AS (
+          SELECT p.event_type, p.bucket_start, p.n,
+                 CASE WHEN s.sd > 0 THEN (p.n - s.mu) / s.sd END AS z
+          FROM per_b p JOIN stats s USING (event_type)
+        ),
+        pq AS (
+          SELECT *, SUM(z - 0.5) OVER w AS p, SUM(-z - 0.5) OVER w AS q,
+                 MAX(CASE WHEN z IS NULL THEN 1 ELSE 0 END) OVER w AS ns
+          FROM z
+          WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        m AS (
+          SELECT *, MIN(p) OVER w AS pmin, MIN(q) OVER w AS qmin
+          FROM pq
+          WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, bucket_start, n,
+          {sql_round("CASE WHEN ns = 0 THEN p - LEAST(0, pmin) END", 4)}
+            AS cusum_pos,
+          {sql_round("CASE WHEN ns = 0 THEN q - LEAST(0, qmin) END", 4)}
+            AS cusum_neg,
+          CASE WHEN ns = 0 THEN
+            (p - LEAST(0, pmin) > 5.0) OR (q - LEAST(0, qmin) > 5.0)
+          END AS alarm
+        FROM m
+    """
+    assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []

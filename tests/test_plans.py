@@ -677,6 +677,16 @@ def test_r9_experiment_ops_pass_the_plan_lint(spark, oracle_sf_dir):
             pre, "arm", {"even": 1, "odd": 1}, ["o_orderpriority"]
         ),
         "winnow_fingerprints": __winnow_fps(spark, oracle_sf_dir),
+        "cusum_changepoints": aggregates.cusum_changepoints(
+            pre.select(
+                "o_orderpriority",
+                F.col("v").alias("ord"),
+                F.col("v").alias("x"),
+            ),
+            ["o_orderpriority"],
+            "ord",
+            "x",
+        ),
         "conformal_interval": fit,
         "conformal_apply": aggregates.conformal_apply(
             pre.select("o_orderpriority", F.col("v").alias("pred")),
