@@ -810,3 +810,112 @@ def core_numbers(
     raise RuntimeError(
         f"core_numbers exceeded max_core={max_core} levels"
     )
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    max_iter: int = 50,
+    directed: bool = True,
+) -> DataFrame:
+    """Weighted single-source (seed-SET) shortest paths: (node, dist)
+    with dist = minimum total edge weight from any seed, 0.0 for the
+    seeds -- the weighted counterpart of ``shortest_paths``' hop
+    count, for graphs where edges carry cost (latency-weighted service
+    graphs, toll/road networks, negative-log-probability transition
+    graphs where min-sum = max-likelihood path).
+
+    Bellman-Ford as delta iteration, all DataFrame ops: each round
+    joins the FRONTIER (only the nodes whose distance improved last
+    round, not the whole distance table) against the edge list, takes
+    the per-destination min of (dist + w) in one hash agg, and keeps
+    candidates that beat the incumbent via one left join -- O(edges
+    out of the frontier) per round. For nonnegative weights the
+    improved set drains within (hop count of the weighted shortest-
+    path tree) rounds; termination is detected by a one-long frontier
+    count per round (the engine's bounded-scalar discipline) and
+    localCheckpoint bounds lineage each round. Unlike hop-BFS a node
+    can re-enter the frontier when a cheaper longer-hop path arrives
+    later -- that is the relaxation, not a bug.
+
+    Negative weights are rejected up front (one bounded min(weight)
+    scalar): with them Bellman-Ford needs |V|-1 full-edge rounds and a
+    negative-cycle check -- a different cost class; this operator
+    targets the nonnegative (Dijkstra-semantics) case. Raises
+    RuntimeError if ``max_iter`` rounds don't drain the frontier (a
+    diameter larger than max_iter, the connected_components cap
+    precedent) rather than returning silently-unconverged upper
+    bounds. Unreachable nodes are absent from the output.
+
+    No reference analogue (the reference has no joins at all --
+    SURVEY.md SS2.6); public-algorithm shape: delta-stepping /
+    Pregel-style SSSP (Malewicz et al.) restated as DataFrame joins.
+    """
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    e = edges.select(
+        F.col(src).alias("_s"),
+        F.col(dst).alias("_d"),
+        F.col(weight).cast("double").alias("_w"),
+    ).filter(
+        F.col("_s").isNotNull()
+        & F.col("_d").isNotNull()
+        & F.col("_w").isNotNull()
+    )
+    if not directed:
+        e = e.union(
+            e.select(
+                F.col("_d").alias("_s"), F.col("_s").alias("_d"), "_w"
+            )
+        )
+    e = e.persist()
+    try:
+        wmin = e.agg(F.min("_w")).first()[0]  # bounded scalar, once
+        if wmin is not None and wmin < 0:
+            raise ValueError(
+                f"negative edge weight {wmin}: weighted_shortest_paths "
+                "requires nonnegative weights"
+            )
+        seed_col = seeds.columns[0]
+        dist = (
+            seeds.select(F.col(seed_col).alias("node"))
+            .filter(F.col("node").isNotNull())
+            .distinct()
+            .withColumn("dist", F.lit(0.0))
+            .localCheckpoint()
+        )
+        frontier = dist
+        for _ in range(max_iter):
+            cand = (
+                e.join(
+                    frontier.withColumnRenamed("node", "_s"), "_s"
+                )
+                .groupBy(F.col("_d").alias("node"))
+                .agg(F.min(F.col("dist") + F.col("_w")).alias("_cand"))
+            )
+            nxt = (
+                cand.join(dist, "node", "left")
+                .filter(
+                    F.col("dist").isNull()
+                    | (F.col("_cand") < F.col("dist"))
+                )
+                .select("node", F.col("_cand").alias("dist"))
+                .localCheckpoint()
+            )
+            if nxt.count() == 0:  # bounded driver scalar per round
+                return dist
+            dist = (
+                dist.join(nxt.select("node"), "node", "left_anti")
+                .union(nxt)
+                .localCheckpoint()
+            )
+            frontier = nxt
+        raise RuntimeError(
+            f"weighted_shortest_paths did not converge in {max_iter} "
+            "rounds; raise max_iter for high-diameter graphs"
+        )
+    finally:
+        e.unpersist()

@@ -528,7 +528,9 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # exact pure-Python replica equality in test_bpe.py).
 # k_core / core_numbers (graph.py) are test-only by design (iterative
 # peel, the connected_components/pagerank precedent; pure-Python
-# decomposition equality in test_graph).
+# decomposition equality in test_graph), as is the late-r9
+# weighted_shortest_paths (Bellman-Ford delta iteration; exact
+# Dijkstra replica equality in test_graph).
 # Mid-r9 additions with oracle-grade local parity, both R10-promotable
 # (full DuckDB replay in tests/test_mining.py): rank_sum_test
 # (Mann-Whitney tie-corrected z, test_rank_sum_test_pins_and_parity)

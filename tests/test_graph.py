@@ -747,3 +747,78 @@ def test_core_numbers_matches_python_decomposition(spark, oracle_sf_dir):
     mid = max(expect.values()) // 2 or 1
     members = {r.node for r in graph.k_core(edges, mid).collect()}
     assert members == {n for n, c in expect.items() if c >= mid}
+
+
+def test_weighted_shortest_paths_hand_pins(spark):
+    """Weighted SSSP pins: (1) a cheap 2-hop path beats an expensive
+    direct edge; (2) a node RE-IMPROVES when a cheaper longer-hop path
+    arrives a round later (the relaxation shortest_paths' hop-BFS never
+    needs); (3) undirected mode traverses edges both ways; (4)
+    unreachable nodes are absent; (5) negative weights and a too-small
+    max_iter raise."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 5.0),
+            ("a", "d", 10.0), ("c", "d", 2.0),
+            ("x", "y", 1.0),  # disconnected from seed
+        ],
+        "src string, dst string, weight double",
+    )
+    seeds = spark.createDataFrame([("a",)], "n string")
+    d = {r.node: r.dist for r in
+         graph.weighted_shortest_paths(edges, seeds).collect()}
+    # c via a->b->c = 2 (not direct 5); d via a->b->c->d = 4 (not 10,
+    # which the frontier proposes in round 1 and relaxation beats later)
+    assert d == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 4.0}
+    # undirected: y reachable through x only if x is... still not from a
+    und = {r.node: r.dist for r in
+           graph.weighted_shortest_paths(
+               edges, spark.createDataFrame([("y",)], "n string"),
+               directed=False,
+           ).collect()}
+    assert und["x"] == 1.0 and und["y"] == 0.0 and "a" not in und
+    with pytest.raises(ValueError, match="negative"):
+        graph.weighted_shortest_paths(
+            spark.createDataFrame(
+                [("a", "b", -1.0)], "src string, dst string, weight double"
+            ),
+            seeds,
+        ).collect()
+    with pytest.raises(RuntimeError, match="converge"):
+        graph.weighted_shortest_paths(edges, seeds, max_iter=1)
+
+
+def test_weighted_shortest_paths_dijkstra_replica(spark):
+    """Exact equality against a pure-Python Dijkstra on a deterministic
+    50-node multigraph with integer-valued double weights (no float
+    ambiguity: sums of small ints are exact), seeded from two nodes."""
+    import heapq
+
+    n = 50
+    es = []
+    for i in range(n):
+        es.append((i, (i * 7 + 3) % n, float((i % 10) + 1)))
+        es.append((i, (i + 1) % n, float((i % 3) + 2)))
+        es.append((i, (i * 13 + 5) % n, float((i % 5) + 4)))
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for s, t, w in es:
+        adj.setdefault(s, []).append((t, w))
+    seeds = [0, 13]
+    best: dict[int, float] = {}
+    pq = [(0.0, s) for s in seeds]
+    while pq:
+        dcur, u = heapq.heappop(pq)
+        if u in best:
+            continue
+        best[u] = dcur
+        for v, w in adj.get(u, []):
+            if v not in best:
+                heapq.heappush(pq, (dcur + w, v))
+    edges = spark.createDataFrame(es, "src long, dst long, weight double")
+    got = {
+        r.node: r.dist
+        for r in graph.weighted_shortest_paths(
+            edges, spark.createDataFrame([(s,) for s in seeds], "n long")
+        ).collect()
+    }
+    assert got == best
