@@ -3354,3 +3354,122 @@ def cusum_changepoints(
             | (s_neg > F.lit(float(threshold))),
         ).alias("alarm"),
     )
+
+
+def holt_smooth(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + trend) -- the
+    trend-aware extension of ``ewma`` that closes the smoothing set:
+    ewma tracks level only and lags a ramp by (1-alpha)/alpha steps
+    forever; Holt carries an explicit trend state so a steady ramp is
+    tracked exactly (the replica test pins this: on a perfectly linear
+    series the one-step-ahead fit is the series itself, any alpha/beta).
+
+    Recursions (Holt 1957, Hyndman-Athanasopoulos init l_1 = x_1,
+    b_1 = x_2 - x_1, b_1 = 0 for singletons):
+        fitted_t = l_{t-1} + b_{t-1}           (one-step-ahead, NULL at t=1)
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+    Order-sequential with data-dependent state -- no closed window
+    form (unlike cusum_changepoints' prefix-extremum identity), so
+    this joins ewma/bpe_encode as a justified Arrow path: ONE
+    applyInPandas per key group after one shuffle on the keys; per-key
+    series must fit an executor (keys like (series, day) at 100 TB,
+    never one global key). NULL values are dropped at entry (a missing
+    reading neither advances nor decays the state). Ties in
+    ``order_col`` make the recursion nondeterministic -- pre-compose a
+    tiebreaker. Test-only by design (the ewma precedent): exact
+    pure-Python replica equality in tests/test_mining.py.
+
+    Returns input columns + (level, trend, fitted)."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    if not 0 <= beta <= 1:
+        raise ValueError("beta must be in [0, 1]")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    base = df.filter(F.col(value_col).isNotNull())
+    schema = StructType(
+        base.schema.fields
+        + [
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("fitted", DoubleType()),
+        ]
+    )
+
+    def smooth(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        x = pdf[value_col].astype("float64").to_numpy()
+        n = len(x)
+        lev = np.empty(n)
+        tr = np.empty(n)
+        fit = np.full(n, np.nan)
+        if n:
+            lev[0] = x[0]
+            tr[0] = (x[1] - x[0]) if n > 1 else 0.0
+            for t in range(1, n):
+                prev = lev[t - 1] + tr[t - 1]
+                fit[t] = prev
+                lev[t] = alpha * x[t] + (1 - alpha) * prev
+                tr[t] = beta * (lev[t] - lev[t - 1]) + (1 - beta) * tr[
+                    t - 1
+                ]
+        pdf["level"] = lev
+        pdf["trend"] = tr
+        pdf["fitted"] = fit
+        return pdf
+
+    out = base.groupBy(*list(keys)).applyInPandas(smooth, schema=schema)
+    # NaN marks the undefined first fit; surface it as SQL NULL
+    return out.withColumn(
+        "fitted", F.when(~F.isnan("fitted"), F.col("fitted"))
+    )
+
+
+def holt_forecast(
+    smoothed: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    horizon: int,
+) -> DataFrame:
+    """h-step-ahead Holt forecasts from ``holt_smooth`` output: the
+    terminal (level, trend) per key extrapolates linearly,
+    yhat(T+h) = l_T + h*b_T. Pure DataFrame composition on top of the
+    smoothed frame -- one row_number window to find each key's last
+    state (the sort ``holt_smooth`` already shuffled for), then an
+    explode of sequence(1..horizon): rows out = keys x horizon, no
+    re-read of the series. Returns keys + (h, forecast)."""
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    last = (
+        smoothed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*keys, "level", "trend")
+    )
+    return last.select(
+        *keys,
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(horizon)))
+        ).alias("h"),
+        "level",
+        "trend",
+    ).select(
+        *keys,
+        "h",
+        (F.col("level") + F.col("h") * F.col("trend")).alias("forecast"),
+    )

@@ -521,7 +521,7 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # as are seasonal_decompose, survival_curve (Kaplan-Meier),
 # rate_anomalies, gini_coefficient, bootstrap_ci and
 # bootstrap_ratio_ci and cuped_adjust (all aggregates.py,
-# test_mining: full DuckDB replay parity each). Test-only by design: ewma (applyInPandas,
+# test_mining: full DuckDB replay parity each). Test-only by design: ewma + holt_smooth/holt_forecast (applyInPandas,
 # pandas-replica oracle) and kmeans_update (driver-blend math,
 # numpy replica), per the kmeans/heavy_hitters precedents, and
 # bpe_train/bpe_encode (operators/bpe.py -- iterative merge loop;

@@ -2295,3 +2295,72 @@ def test_cusum_changepoints_pins_and_parity(spark, oracle_sf_dir):
         FROM m
     """
     assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_holt_smooth_replica_and_forecast(spark, oracle_sf_dir):
+    """Holt level+trend smoothing: (1) on a perfectly linear series the
+    one-step-ahead fit reproduces the series exactly for ANY alpha/beta
+    (the trend state locks on via the b_1 = x_2 - x_1 init) and the
+    h-step forecast continues the line; (2) exact pure-Python replica
+    equality on hourly event counts per event_type (real ragged
+    series); (3) singleton keys get trend 0 and NULL fit; (4) NULL
+    readings are dropped at entry."""
+    rows = [("lin", i, 2.0 * i + 1.0) for i in range(12)]
+    rows += [("one", 0, 7.0)]
+    rows += [("gap", 0, 1.0), ("gap", 1, None), ("gap", 2, 2.0)]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = aggregates.holt_smooth(df, ["k"], "i", "v", alpha=0.37, beta=0.81)
+    got = {(r.k, r.i): r for r in out.collect()}
+    for i in range(1, 12):
+        assert got[("lin", i)].fitted == pytest.approx(2.0 * i + 1.0)
+        assert got[("lin", i)].trend == pytest.approx(2.0)
+    assert got[("lin", 0)].fitted is None
+    assert got[("one", 0)].trend == 0.0 and got[("one", 0)].fitted is None
+    assert ("gap", 1) not in got and len(
+        [k for k in got if k[0] == "gap"]
+    ) == 2
+    fc = {
+        r.h: r.forecast
+        for r in aggregates.holt_forecast(
+            out.filter(F.col("k") == "lin"), ["k"], "i", horizon=3
+        ).collect()
+    }
+    assert fc == {
+        1: pytest.approx(25.0), 2: pytest.approx(27.0),
+        3: pytest.approx(29.0),
+    }
+
+    # replica on real series: hourly counts per event_type
+    events = load_table(spark, oracle_sf_dir, "events")
+    per_b = events.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("b"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    alpha, beta = 0.42, 0.17
+    smoothed = aggregates.holt_smooth(
+        per_b, ["event_type"], "b", "n", alpha=alpha, beta=beta
+    )
+    series: dict[str, list] = {}
+    for r in sorted(per_b.collect(), key=lambda r: (r.event_type, r.b)):
+        series.setdefault(r.event_type, []).append((r.b, r.n))
+    expect = {}
+    for k, xs in series.items():
+        lev = xs[0][1]
+        tr = (xs[1][1] - xs[0][1]) if len(xs) > 1 else 0.0
+        expect[(k, xs[0][0])] = (lev, tr, None)
+        for t in range(1, len(xs)):
+            prev = lev + tr
+            new_lev = alpha * xs[t][1] + (1 - alpha) * prev
+            tr = beta * (new_lev - lev) + (1 - beta) * tr
+            lev = new_lev
+            expect[(k, xs[t][0])] = (lev, tr, prev)
+    got_r = {(r.event_type, r.b): r for r in smoothed.collect()}
+    assert set(got_r) == set(expect)
+    for key, (lev, tr, fit) in expect.items():
+        r = got_r[key]
+        assert r.level == pytest.approx(lev, rel=1e-12)
+        assert r.trend == pytest.approx(tr, rel=1e-12, abs=1e-12)
+        if fit is None:
+            assert r.fitted is None
+        else:
+            assert r.fitted == pytest.approx(fit, rel=1e-12)
