@@ -168,6 +168,24 @@ def cube_sql(tables: "list[list[list[float]]]") -> str:
     return f"from_json('{payload}', 'array<array<array<double>>>')"
 
 
+def vector_sql(xs: "list[float]") -> str:
+    """SQL text yielding an array<double> constant via ``from_json``
+    of one string literal (see matrix_sql for why not per-element
+    literals). Finite values only."""
+    import json
+
+    for x in xs:
+        _finite_or_raise(x, "vector_sql")
+    payload = json.dumps([float(x) for x in xs], separators=(",", ":"))
+    return f"from_json('{payload}', 'array<double>')"
+
+
+def lit_vector(xs: "list[float]") -> Column:
+    """array<double> parameter constant, one plan node (see
+    matrix_sql)."""
+    return F.expr(vector_sql(xs))
+
+
 def lit_matrix(rows: "list[list[float]]") -> Column:
     """array<array<double>> parameter constant, one plan node (see
     matrix_sql) -- F.lit(nested_list) constructs the literal element

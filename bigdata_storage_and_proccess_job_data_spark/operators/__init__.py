@@ -6,5 +6,6 @@ aggregation cubes + sketches (HLL/CMS/DDSketch/KMV) + robust stats
 time-decayed aggregates, table profiler), market-basket pair mining,
 PageRank, training-corpus prep (chunking, PII, contamination, sampling,
 splits, LM quality scoring, line dedup, BPE tokenizer training,
-negative sampling), ranking/retrieval (BM25, MMR), funnels, and
-multimodal plumbing."""
+negative sampling), ranking/retrieval (BM25, MMR), funnels, linear
+models (one-pass ridge, distributed logistic GD, expression scoring),
+and multimodal plumbing."""

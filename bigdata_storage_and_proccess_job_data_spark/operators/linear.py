@@ -1,0 +1,268 @@
+"""Linear models over feature-array columns: exact one-pass ridge
+regression and distributed logistic regression, with pure-expression
+scoring.
+
+Why this belongs in a training-data engine: the corpus stack's quality
+filters are models -- nb_log_odds (operators/corpus.py) is the
+GENERATIVE fastText-shape filter, and the standard production pairing
+is a DISCRIMINATIVE linear head over the same hashed/embedded features
+(the CCNet/fastText quality-classifier shape, trained on
+good-vs-crawl labels). These fits produce that head without leaving
+the engine, and scoring is a Column expression any registered query
+can compose.
+
+Scale design (100 TB):
+- ``ridge_fit`` is ONE pass, zero shuffles: per-Arrow-batch numpy
+  partials of (n, X^T X, X^T y) fold on the driver (the
+  reduction.gram_moments / knn_arrow precedent), then a d x d solve --
+  driver-side by design, like every published distributed linear
+  solver at modest d (MLlib's own normal-equation path).
+- ``logreg_fit`` is gradient descent: ONE full pass per iteration
+  computing (mean gradient, mean loss) as per-batch numpy partials --
+  no shuffle, bounded driver fold of #batches x (d+2) doubles; the
+  input projection is persisted once so iterations re-read cached
+  columns, not the source. Steps use Armijo-style halving (an extra
+  pass only when the loss fails to drop), so a too-large ``lr``
+  degrades to extra passes, never divergence.
+- Scoring (``score_expr`` / ``prob_expr``) rides the model into the
+  plan as ONE literal array (vectors.lit_matrix's single-node form):
+  whole-stage codegen at scan speed, nothing broadcast, nothing
+  shuffled -- and the sequential fold is bit-equal to DuckDB's
+  list_dot_product, so scored outputs are oracle-checkable (the
+  pca_apply precedent; fits are numpy-replica-checked like
+  kmeans/pca_fit).
+
+No reference analogue (the reference has no model fitting; its
+closest cousin is JobService.java:88-110's global-mean imputation --
+a degenerate intercept-only fit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_storage_and_proccess_job_data_spark.functions import vectors
+
+
+def _xy_partials(df: DataFrame, vec_col: str, label_col: str):
+    """Per-Arrow-batch (n, X^T X, X^T y, sum y, sum y^2) partials of
+    the intercept-augmented design matrix; bounded driver collect."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            y = pdf["_y"].to_numpy().astype(np.float64)
+            m1 = np.hstack([m, np.ones((len(m), 1))])
+            yield pd.DataFrame(
+                {
+                    "n": [len(m)],
+                    "g": [(m1.T @ m1).ravel()],
+                    "xy": [m1.T @ y],
+                    "sy": [float(y.sum())],
+                    "syy": [float((y * y).sum())],
+                }
+            )
+
+    parts = (
+        df.select(
+            vectors.as_double(vec_col).alias("_v"),
+            F.col(label_col).cast("double").alias("_y"),
+        )
+        .filter(F.col("_v").isNotNull() & F.col("_y").isNotNull())
+        .mapInPandas(
+            partial,
+            "n long, g array<double>, xy array<double>, "
+            "sy double, syy double",
+        )
+        .collect()
+    )
+    if not parts:
+        raise ValueError("no rows with non-null features and label")
+    import numpy as np
+
+    n = sum(p.n for p in parts)
+    d1 = len(parts[0].xy)
+    g = np.sum([np.asarray(p.g).reshape(d1, d1) for p in parts], axis=0)
+    xy = np.sum([np.asarray(p.xy) for p in parts], axis=0)
+    sy = float(sum(p.sy for p in parts))
+    syy = float(sum(p.syy for p in parts))
+    return n, g, xy, sy, syy
+
+
+def ridge_fit(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    l2: float = 0.0,
+    fit_intercept: bool = True,
+) -> dict:
+    """Exact ridge regression (ordinary least squares at l2=0) of a
+    double label on an array feature column, via the normal equations
+    (X^T X + l2*I) w = X^T y over intercept-augmented X -- the
+    intercept is never penalized. One distributed pass (see module
+    docstring), O(d^2) driver memory, O(d^3) driver solve.
+
+    Returns {"weights": list[d], "intercept": float, "n": int,
+    "r2": float, "l2": float}; r2 is computed from the same one-pass
+    moments (1 - SSE/SST via the closed form), no second pass."""
+    import numpy as np
+
+    if l2 < 0:
+        raise ValueError("l2 must be >= 0")
+    n, g, xy, sy, syy = _xy_partials(df, vec_col, label_col)
+    d1 = g.shape[0]
+    a = g.copy()
+    reg = np.eye(d1) * float(l2)
+    reg[-1, -1] = 0.0  # intercept unpenalized
+    a += reg
+    if not fit_intercept:
+        a = a[:-1, :-1]
+        xy_eff = xy[:-1]
+    else:
+        xy_eff = xy
+    w = np.linalg.solve(a, xy_eff)
+    if fit_intercept:
+        weights, intercept = w[:-1], float(w[-1])
+    else:
+        weights, intercept = w, 0.0
+    # SSE = y'y - 2 w'X'y + w'X'Xw, SST about the mean (or raw when
+    # no intercept -- the standard convention)
+    full_w = np.append(weights, intercept)
+    sse = syy - 2.0 * full_w @ xy + full_w @ g @ full_w
+    sst = syy - (sy * sy) / n if fit_intercept else syy
+    r2 = float(1.0 - sse / sst) if sst > 0 else float("nan")
+    return {
+        "weights": [float(x) for x in weights],
+        "intercept": intercept,
+        "n": int(n),
+        "r2": r2,
+        "l2": float(l2),
+    }
+
+
+def logreg_fit(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    iters: int = 25,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    tol: float = 1e-8,
+) -> dict:
+    """Binary logistic regression by full-batch gradient descent with
+    Armijo-style halving: one distributed (mean gradient, mean loss)
+    fold per pass (see module docstring), driver-side step. Labels
+    must be 0/1 doubles; features should be standardized
+    (features.standardize_apply) for the default ``lr`` to be a good
+    step -- a hot ``lr`` costs extra halving passes, never divergence.
+    Stops early when the loss improvement falls below ``tol``.
+
+    Returns {"weights": list[d], "intercept": float, "n": int,
+    "loss": list (per accepted step, starting with the w=0 loss),
+    "l2": float}. Test-only by design (iterative, the kmeans/pca_fit
+    precedent): numpy replica equality in tests/test_linear.py."""
+    import numpy as np
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if lr <= 0:
+        raise ValueError("lr must be > 0")
+    if l2 < 0:
+        raise ValueError("l2 must be >= 0")
+    base = (
+        df.select(
+            vectors.as_double(vec_col).alias("_v"),
+            F.col(label_col).cast("double").alias("_y"),
+        )
+        .filter(F.col("_v").isNotNull() & F.col("_y").isNotNull())
+        .persist()
+    )
+    try:
+
+        def grad_loss(w):
+            import pandas as pd
+
+            def partial(batches, w=w):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                    y = pdf["_y"].to_numpy().astype(np.float64)
+                    z = m @ w[:-1] + w[-1]
+                    p = 1.0 / (1.0 + np.exp(-z))
+                    resid = p - y
+                    g = np.append(m.T @ resid, resid.sum())
+                    # log(1+e^z) - y z, stable via logaddexp
+                    loss = float((np.logaddexp(0.0, z) - y * z).sum())
+                    yield pd.DataFrame(
+                        {"n": [len(m)], "g": [g], "loss": [loss]}
+                    )
+
+            parts = base.mapInPandas(
+                partial, "n long, g array<double>, loss double"
+            ).collect()
+            if not parts:
+                raise ValueError(
+                    "no rows with non-null features and label"
+                )
+            n = sum(p.n for p in parts)
+            g = np.sum([np.asarray(p.g) for p in parts], axis=0) / n
+            loss = sum(p.loss for p in parts) / n
+            # l2 on weights only, never the intercept
+            g[:-1] += l2 * w[:-1]
+            loss += 0.5 * l2 * float(w[:-1] @ w[:-1])
+            return n, g, loss
+
+        first = base.first()
+        if first is None:
+            raise ValueError("no rows with non-null features and label")
+        d = len(first["_v"])
+        w = np.zeros(d + 1)
+        n, g, loss = grad_loss(w)
+        history = [loss]
+        step = float(lr)
+        for _ in range(iters):
+            while True:
+                cand = w - step * g
+                _, g2, loss2 = grad_loss(cand)
+                if loss2 <= loss or step < 1e-12:
+                    break
+                step *= 0.5  # Armijo-lite: retry from the same w
+            if abs(loss - loss2) < tol:
+                w, loss = cand, loss2
+                history.append(loss2)
+                break
+            w, g, loss = cand, g2, loss2
+            history.append(loss2)
+        return {
+            "weights": [float(x) for x in w[:-1]],
+            "intercept": float(w[-1]),
+            "n": int(n),
+            "loss": [float(x) for x in history],
+            "l2": float(l2),
+        }
+    finally:
+        base.unpersist()
+
+
+def score_expr(model: dict, vec_col: Column | str) -> Column:
+    """Linear score w . x + b as a pure Column expression: the model
+    rides in as one literal array (vectors.dot's sequential fold --
+    bit-equal to DuckDB list_dot_product, so scored outputs oracle).
+    Works for both fits (ridge prediction / logreg logit)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    w = vectors.lit_vector(model["weights"])
+    return vectors.dot(vectors.as_double(c), w) + F.lit(
+        float(model["intercept"])
+    )
+
+
+def prob_expr(model: dict, vec_col: Column | str) -> Column:
+    """Logistic probability sigmoid(score) as a pure expression."""
+    s = score_expr(model, vec_col)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-s))

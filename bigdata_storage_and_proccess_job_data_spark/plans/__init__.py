@@ -559,6 +559,12 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # corpus.winnow_fingerprints / winnow_matches (MOSS winnowing --
 # ~2/(window+1) of the shingle index's rows with the shared-substring
 # guarantee; test_winnow_fingerprints_replica_guarantee_and_parity).
+# operators/linear.py (ridge_fit / logreg_fit / score_expr): fits are
+# test-only by design (driver-side solve / iterative GD, the
+# kmeans/pca_fit precedent -- numpy replica equality in
+# tests/test_linear.py); SCORING with a pinned literal model is
+# oracle-grade (list_dot_product bridge, full value parity in
+# test_ridge_scores_duckdb_parity) and R10-promotable in that form.
 # aggregates.cusum_changepoints (tabular CUSUM level-shift detection
 # via the exact prefix-extremum closed form -- one sorted window per
 # key, no UDF) is R10-promotable with full DuckDB replay parity

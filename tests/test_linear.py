@@ -1,0 +1,154 @@
+"""Linear models: exact one-pass ridge (planted-recovery + numpy
+normal-equation replica + DuckDB-scored predictions) and logistic GD
+(numpy trajectory replica, separable-data accuracy, l2 shrinkage)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+    sql_round,
+    stable_round,
+)
+from bigdata_storage_and_proccess_job_data_spark.operators import linear
+from tests.parity import compare, duckdb_connect
+
+
+def _planted(spark, oracle_sf_dir):
+    """Embeddings with a planted noiseless linear label:
+    y = 3*v0 - 2*v1 + 0.25*v7 + 0.5."""
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        v.alias("v"),
+        (
+            3.0 * v[0] - 2.0 * v[1] + 0.25 * v[7] + 0.5
+        ).alias("y"),
+    )
+
+
+def test_ridge_fit_recovers_planted_and_matches_numpy(spark, oracle_sf_dir):
+    df = _planted(spark, oracle_sf_dir)
+    m = linear.ridge_fit(df, "v", "y")
+    w = np.asarray(m["weights"])
+    expect = np.zeros(64)
+    expect[0], expect[1], expect[7] = 3.0, -2.0, 0.25
+    assert np.allclose(w, expect, atol=1e-8)
+    assert m["intercept"] == pytest.approx(0.5, abs=1e-8)
+    assert m["r2"] == pytest.approx(1.0, abs=1e-10)
+
+    # numpy normal-equation replica with ridge penalty
+    rows = df.select("v", "y").collect()
+    X = np.array([r.v for r in rows])
+    y = np.array([r.y for r in rows])
+    X1 = np.hstack([X, np.ones((len(X), 1))])
+    for l2 in (0.0, 5.0):
+        got = linear.ridge_fit(df, "v", "y", l2=l2)
+        reg = np.eye(65) * l2
+        reg[-1, -1] = 0.0
+        ref = np.linalg.solve(X1.T @ X1 + reg, X1.T @ y)
+        assert np.allclose(got["weights"], ref[:-1], rtol=1e-8, atol=1e-10)
+        assert got["intercept"] == pytest.approx(ref[-1], abs=1e-8)
+    # penalty shrinks the planted weights
+    shrunk = linear.ridge_fit(df, "v", "y", l2=50.0)
+    assert abs(shrunk["weights"][0]) < 3.0
+    assert np.linalg.norm(shrunk["weights"]) < np.linalg.norm(w)
+
+
+def test_ridge_scores_duckdb_parity(spark, oracle_sf_dir):
+    """score_expr rides the fitted model as one literal array; the
+    sequential fold is bit-equal to DuckDB list_dot_product, so the
+    scored frame value-compares exactly (the pca_apply precedent)."""
+    df = _planted(spark, oracle_sf_dir)
+    m = linear.ridge_fit(df, "v", "y")
+    got = df.select(
+        "vec_id",
+        stable_round(linear.score_expr(m, "v"), 6).alias("pred"),
+    )
+    import json
+
+    w_json = json.dumps(m["weights"], separators=(",", ":"))
+    sql = f"""
+        SELECT vec_id,
+          {sql_round(
+            "list_dot_product(embedding::DOUBLE[], "
+            f"'{w_json}'::JSON::DOUBLE[]) + {m['intercept']!r}", 6)}
+            AS pred
+        FROM embeddings
+    """
+    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_logreg_separable_accuracy_and_replica(spark, oracle_sf_dir):
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    df = emb.select(
+        v.alias("v"), (v[0] > 0).cast("double").alias("y")
+    )
+    m = linear.logreg_fit(df, "v", "y", iters=30, lr=2.0)
+    losses = m["loss"]
+    assert losses[0] == pytest.approx(np.log(2.0), abs=1e-12)
+    assert all(b <= a + 1e-12 for a, b in zip(losses, losses[1:]))
+    acc = df.select(
+        F.avg(
+            (
+                (linear.prob_expr(m, "v") > 0.5).cast("double")
+                == F.col("y")
+            ).cast("double")
+        ).alias("acc")
+    ).first()["acc"]
+    # v0>0 is linearly separable, but 30 fixed GD steps only get the
+    # boundary close -- the pin is "clearly learned", not "converged"
+    assert acc > 0.9
+
+    # exact trajectory replica (no halving at this lr: loss strictly
+    # drops, so both implementations take identical fixed steps)
+    rows = df.collect()
+    X = np.array([r.v for r in rows])
+    y = np.array([r.y for r in rows])
+    n = len(X)
+
+    def gl(w, l2):
+        z = X @ w[:-1] + w[-1]
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = np.append(X.T @ (p - y), (p - y).sum()) / n
+        loss = float((np.logaddexp(0.0, z) - y * z).sum()) / n
+        g[:-1] += l2 * w[:-1]
+        loss += 0.5 * l2 * float(w[:-1] @ w[:-1])
+        return g, loss
+
+    for l2 in (0.0, 0.1):
+        got = linear.logreg_fit(df, "v", "y", iters=8, lr=0.5, l2=l2)
+        w = np.zeros(65)
+        g, loss = gl(w, l2)
+        for _ in range(8):
+            w = w - 0.5 * g
+            g, loss2 = gl(w, l2)
+            if abs(loss - loss2) < 1e-8:
+                break
+            loss = loss2
+        assert np.allclose(got["weights"], w[:-1], rtol=1e-6, atol=1e-9)
+        assert got["intercept"] == pytest.approx(w[-1], abs=1e-9)
+    # heavy l2 shrinks toward the intercept-only model
+    heavy = linear.logreg_fit(df, "v", "y", iters=12, lr=0.5, l2=10.0)
+    light = linear.logreg_fit(df, "v", "y", iters=12, lr=0.5, l2=0.0)
+    assert np.linalg.norm(heavy["weights"]) < np.linalg.norm(
+        light["weights"]
+    )
+
+
+def test_linear_guards(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0], 1.0)], "v array<double>, y double"
+    )
+    with pytest.raises(ValueError, match="l2"):
+        linear.ridge_fit(df, "v", "y", l2=-1.0)
+    with pytest.raises(ValueError, match="lr"):
+        linear.logreg_fit(df, "v", "y", lr=0.0)
+    empty = df.filter(F.col("y").isNull())
+    with pytest.raises(ValueError, match="no rows"):
+        linear.ridge_fit(empty, "v", "y")
