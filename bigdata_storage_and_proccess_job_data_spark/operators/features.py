@@ -169,3 +169,157 @@ def winsorize(
     if keys is None:
         drop.append(_GLOBAL_KEY)
     return out.drop(*drop)
+
+
+def isotonic_fit(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    keys: list[str] | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Isotonic regression per group via pool-adjacent-violators --
+    the nonparametric probability calibrator (Zadrozny-Elkan 2002)
+    that turns a ranker's raw scores into calibrated probabilities:
+    binary_auc measures RANKING, calibration_bins measures the gap,
+    this FIXES the gap with the monotone step function that minimizes
+    squared error. The fit/transform split follows this module's
+    artifact discipline: the model is a small blocks frame (key,
+    x_lo, x_hi, yhat, n), persistable like any other fit.
+
+    Tied scores are pre-pooled in ONE hash aggregate (required for a
+    well-defined monotone fit), so the sequential PAV stack runs over
+    DISTINCT scores only -- the applyInPandas group payload is
+    O(distinct scores), not O(rows), and the pooling is exactly the
+    weighted PAV on tie-group means. PAV itself is order-sequential
+    with a data-dependent pooling stack (no closed window form), so
+    it joins ewma/holt as a justified Arrow path; per-key distinct
+    scores must fit an executor (calibration sets are samples by
+    construction -- millions of distinct scores per key would be
+    over-fit anyway). Replica-tested against a pure-Python PAV.
+
+    Returns one row per pooled block: keys + (x_lo, x_hi, yhat, n)."""
+    d, ks = _with_key(df, keys)
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    tied = (
+        d.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(*ks, F.col(score_col).cast("double").alias("_x"))
+        .agg(
+            F.sum(w * F.col(label_col).cast("double")).alias("_wy"),
+            F.sum(w).alias("_w"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    key_fields = [tied.schema[k] for k in ks]
+    schema = StructType(
+        key_fields
+        + [
+            StructField("x_lo", DoubleType()),
+            StructField("x_hi", DoubleType()),
+            StructField("yhat", DoubleType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def pav(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("_x", kind="mergesort").reset_index(
+            drop=True
+        )
+        x = pdf["_x"].to_numpy()
+        wy = pdf["_wy"].to_numpy()
+        wt = pdf["_w"].to_numpy()
+        cnt = pdf["_n"].to_numpy()
+        # stack of blocks: [sum_wy, sum_w, n, x_lo, x_hi]
+        blocks: list[list[float]] = []
+        for i in range(len(x)):
+            blocks.append([wy[i], wt[i], cnt[i], x[i], x[i]])
+            while (
+                len(blocks) > 1
+                and blocks[-2][0] * blocks[-1][1]
+                >= blocks[-1][0] * blocks[-2][1]
+            ):
+                b = blocks.pop()
+                blocks[-1][0] += b[0]
+                blocks[-1][1] += b[1]
+                blocks[-1][2] += b[2]
+                blocks[-1][4] = b[4]
+        out = pd.DataFrame(
+            {
+                "x_lo": [b[3] for b in blocks],
+                "x_hi": [b[4] for b in blocks],
+                "yhat": [b[0] / b[1] for b in blocks],
+                "n": np.array([b[2] for b in blocks], dtype="int64"),
+            }
+        )
+        for k in ks:
+            out[k] = pdf[k].iloc[0]
+        return out[[*ks, "x_lo", "x_hi", "yhat", "n"]]
+
+    fitted = tied.groupBy(*ks).applyInPandas(pav, schema=schema)
+    if keys is None:
+        fitted = fitted.drop(_GLOBAL_KEY)
+    return fitted
+
+
+def isotonic_apply(
+    df: DataFrame,
+    model: DataFrame,
+    score_col: str,
+    keys: list[str] | None = None,
+    out_col: str = "calibrated",
+) -> DataFrame:
+    """Apply an ``isotonic_fit`` model: the step function evaluated as
+    a pure expression -- blocks fold to ONE sorted-array row per key
+    (collect_list + array_sort in a bounded hash agg; blocks are the
+    artifact, already small), broadcast-joined, then the lookup is
+    size(filter(boundaries <= score)) + element_at: O(blocks) codegen
+    per row, no per-row join fan-out. Scores below the first block
+    clamp to its value, above the last to the last's (sklearn
+    out_of_bounds='clip'); NULL scores and unseen keys emit NULL --
+    never a silently-uncalibrated passthrough."""
+    d, ks = _with_key(df, keys)
+    packed = (
+        model
+        if keys is not None
+        else model.withColumn(_GLOBAL_KEY, F.lit(1))
+    )
+    folded = (
+        packed.groupBy(*ks)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("x_lo", "yhat"))
+            ).alias("_blk")
+        )
+        .select(
+            *ks,
+            F.col("_blk.x_lo").alias("_lo"),
+            F.col("_blk.yhat").alias("_ys"),
+        )
+    )
+    s = F.col(score_col).cast("double")
+    joined = d.join(F.broadcast(folded), ks, "left")
+    idx = F.size(F.filter(F.col("_lo"), lambda t: t <= s))
+    cal = F.when(
+        s.isNotNull() & F.col("_ys").isNotNull(),
+        F.element_at(F.col("_ys"), F.greatest(idx, F.lit(1))),
+    )
+    out = joined.withColumn(out_col, cal).drop("_lo", "_ys")
+    if keys is None:
+        out = out.drop(_GLOBAL_KEY)
+    return out

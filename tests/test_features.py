@@ -151,3 +151,115 @@ def test_features_duckdb_parity(spark, oracle_sf_dir):
         """,
     )
     assert problems == [], problems
+
+
+def _pav_replica(pairs):
+    """Pure-Python weighted PAV over (x, y, w) sorted by x, ties
+    pre-pooled -- the textbook stack algorithm, independently coded."""
+    from collections import OrderedDict
+
+    tied = OrderedDict()
+    for x, y, w in sorted(pairs, key=lambda p: p[0]):
+        wy, wt, n = tied.get(x, (0.0, 0.0, 0))
+        tied[x] = (wy + w * y, wt + w, n + 1)
+    blocks = []  # [wy, w, n, lo, hi]
+    for x, (wy, wt, n) in tied.items():
+        blocks.append([wy, wt, n, x, x])
+        while len(blocks) > 1 and (
+            blocks[-2][0] / blocks[-2][1]
+            >= blocks[-1][0] / blocks[-1][1]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+            blocks[-1][2] += b[2]
+            blocks[-1][4] = b[4]
+    return [
+        (b[3], b[4], b[0] / b[1], b[2]) for b in blocks
+    ]
+
+
+def test_isotonic_fit_hand_pin_and_replica(spark, oracle_sf_dir):
+    """PAV: (1) the classic hand case [0,1,0,0,1,1] pools the middle
+    violators to 1/3; (2) tied scores pre-pool; (3) exact replica
+    equality per key on real data (score = embedding[0], label =
+    embedding[1] > 0 -- noisy, so real pooling happens)."""
+    df = spark.createDataFrame(
+        [(float(i + 1), float(y)) for i, y in enumerate([0, 1, 0, 0, 1, 1])],
+        "s double, y double",
+    )
+    blocks = sorted(
+        (r.x_lo, r.x_hi, r.yhat, r.n)
+        for r in features.isotonic_fit(df, "s", "y").collect()
+    )
+    assert blocks[0] == (1.0, 1.0, 0.0, 1)
+    assert blocks[1][0] == 2.0 and blocks[1][1] == 4.0
+    assert blocks[1][2] == pytest.approx(1 / 3) and blocks[1][3] == 3
+    assert blocks[2] == (5.0, 6.0, 1.0, 2)
+
+    tie = spark.createDataFrame(
+        [(1.0, 0.0), (1.0, 1.0), (2.0, 1.0)], "s double, y double"
+    )
+    tb = sorted(
+        (r.x_lo, r.yhat, r.n)
+        for r in features.isotonic_fit(tie, "s", "y").collect()
+    )
+    assert tb == [(1.0, 0.5, 2), (2.0, 1.0, 1)]
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    data = emb.select(
+        (F.col("label") % 3).alias("k"),
+        v[0].alias("s"),
+        (v[1] > 0).cast("double").alias("y"),
+    )
+    got = {}
+    for r in features.isotonic_fit(data, "s", "y", keys=["k"]).collect():
+        got.setdefault(r.k, []).append((r.x_lo, r.x_hi, r.yhat, r.n))
+    rows = data.collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append((r.s, r.y, 1.0))
+    for k, pairs in by_key.items():
+        expect = _pav_replica(pairs)
+        gb = sorted(got[k])
+        assert len(gb) == len(expect)
+        for g, e in zip(gb, expect):
+            assert g[0] == e[0] and g[1] == e[1] and g[3] == e[3]
+            assert g[2] == pytest.approx(e[2], rel=1e-12)
+        # monotone nondecreasing by construction
+        ys = [b[2] for b in gb]
+        assert ys == sorted(ys)
+
+
+def test_isotonic_apply_clamp_and_self_consistency(spark, oracle_sf_dir):
+    """Applying the model to its own training scores reproduces each
+    block's fitted value; out-of-range scores clamp; unseen keys and
+    NULL scores emit NULL."""
+    df = spark.createDataFrame(
+        [("a", float(i + 1), float(y))
+         for i, y in enumerate([0, 1, 0, 0, 1, 1])],
+        "k string, s double, y double",
+    )
+    model = features.isotonic_fit(df, "s", "y", keys=["k"])
+    applied = features.isotonic_apply(df, model, "s", keys=["k"])
+    got = {r.s: r.calibrated for r in applied.collect()}
+    assert got[1.0] == 0.0
+    for s in (2.0, 3.0, 4.0):
+        assert got[s] == pytest.approx(1 / 3)
+    assert got[5.0] == 1.0 and got[6.0] == 1.0
+    probe = spark.createDataFrame(
+        [("a", -5.0), ("a", 3.5), ("a", 99.0), ("a", None), ("zz", 3.0)],
+        "k string, s double",
+    )
+    cal = {
+        (r.k, r.s): r.calibrated
+        for r in features.isotonic_apply(
+            probe, model, "s", keys=["k"]
+        ).collect()
+    }
+    assert cal[("a", -5.0)] == 0.0  # clamp below
+    assert cal[("a", 3.5)] == pytest.approx(1 / 3)  # inside middle block
+    assert cal[("a", 99.0)] == 1.0  # clamp above
+    assert cal[("a", None)] is None
+    assert cal[("zz", 3.0)] is None  # unseen key: no silent passthrough
