@@ -266,3 +266,74 @@ def attribute_conversions(
             F.col("touch_id").isNull() | (F.col("_rk") == 1)
         ).withColumn("credit", F.lit(1.0)).drop("_rk")
     return credited
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    order_col: str,
+    state_col: str,
+    keys: list[str] | None = None,
+    terminal: str | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (state -> next state) pair, the observed count
+    and conditional probability P(next | current). The user-journey
+    summary beside funnel_counts' fixed cascade -- funnels answer "did
+    the prescribed path happen", transitions answer "what paths
+    actually happen" (drop-off heatmaps, next-action prediction
+    priors, anomalous-flow detection).
+
+    ``terminal`` (e.g. "_end") additionally emits each user's last
+    state transitioning to that sentinel, making rows sum to each
+    user's event count and P(. | s) a proper distribution including
+    exit mass; left None, last events emit no transition (the
+    conditional-probability convention).
+
+    Scale shape: ONE sorted window per user serves lead(); the pair
+    counts are one hash agg; the per-source totals ride a second agg
+    on the ALREADY-AGGREGATED pair frame (rows = distinct pairs, not
+    events) broadcast back -- event rows shuffle once. Ties in
+    ``order_col`` within a user make lead() nondeterministic --
+    pre-compose a tiebreaker (event id). Optional ``keys`` segment
+    the matrix (per cohort / per experiment arm).
+
+    Returns keys + (from_state, to_state, n, prob), prob
+    stable-rounded to ``digits``."""
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    ks = list(keys or [])
+    w = Window.partitionBy(*ks, user_col).orderBy(order_col)
+    nxt = F.lead(F.col(state_col)).over(w)
+    pairs = (
+        df.filter(
+            F.col(state_col).isNotNull() & F.col(order_col).isNotNull()
+        )
+        .select(
+            *ks,
+            F.col(state_col).alias("from_state"),
+            (
+                F.coalesce(nxt, F.lit(terminal))
+                if terminal is not None
+                else nxt
+            ).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy(*ks, "from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy(*ks, "from_state").agg(
+        F.sum("n").alias("_tot")
+    )
+    return pairs.join(F.broadcast(totals), [*ks, "from_state"]).select(
+        *ks,
+        "from_state",
+        "to_state",
+        "n",
+        stable_round(
+            F.col("n").cast("double") / F.col("_tot"), digits
+        ).alias("prob"),
+    )

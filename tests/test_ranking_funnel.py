@@ -464,3 +464,75 @@ def test_attribute_conversions_duckdb_parity(spark, sf_dir):
         """,
     )
     assert problems == [], problems
+
+
+def test_event_transitions_pins_and_parity(spark, oracle_sf_dir):
+    """Markov transitions: (1) hand sequences pin counts and
+    conditional probabilities; (2) terminal mode adds exit mass so
+    each from-state's probs sum to 1 over events, and row totals equal
+    event counts; (3) full DuckDB replay parity on events per
+    event_type pair with a composed (ts, event_id) tiebreaker."""
+    from pyspark.sql import functions as F
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    rows = [
+        ("u1", 1, "x"), ("u1", 2, "y"), ("u1", 3, "x"),
+        ("u2", 1, "y"), ("u2", 2, "y"),
+        ("u3", 1, "x"),  # singleton: no transition without terminal
+    ]
+    df = spark.createDataFrame(rows, "u string, t long, s string")
+    got = {
+        (r.from_state, r.to_state): (r.n, r.prob)
+        for r in funnel.event_transitions(df, "u", "t", "s").collect()
+    }
+    assert got == {
+        ("x", "y"): (1, 1.0),
+        ("y", "x"): (1, 0.5),
+        ("y", "y"): (1, 0.5),
+    }
+    term = {
+        (r.from_state, r.to_state): r.n
+        for r in funnel.event_transitions(
+            df, "u", "t", "s", terminal="_end"
+        ).collect()
+    }
+    assert sum(term.values()) == len(rows)
+    assert term[("x", "_end")] == 2 and term[("y", "_end")] == 1
+    # per-source probabilities sum to 1 in terminal mode
+    probs = funnel.event_transitions(
+        df, "u", "t", "s", terminal="_end"
+    ).groupBy("from_state").agg(F.sum("prob").alias("p")).collect()
+    for r in probs:
+        assert r.p == pytest.approx(1.0, abs=1e-5)
+
+    events = load_table(spark, oracle_sf_dir, "events").withColumn(
+        "_ord", F.struct("ts", "event_id")
+    )
+    got_r = funnel.event_transitions(
+        events, "user_id", "_ord", "event_type", digits=6
+    )
+    sql = f"""
+        WITH nxt AS (
+          SELECT event_type AS from_state,
+                 LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS to_state
+          FROM events
+          WHERE event_type IS NOT NULL
+        ),
+        pairs AS (
+          SELECT from_state, to_state, COUNT(*) AS n
+          FROM nxt WHERE to_state IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_state, to_state, n,
+          {sql_round(
+            "n::DOUBLE / SUM(n) OVER (PARTITION BY from_state)", 6)}
+            AS prob
+        FROM pairs
+    """
+    assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []
