@@ -8,4 +8,4 @@ PageRank, training-corpus prep (chunking, PII, contamination, sampling,
 splits, LM quality scoring, line dedup, BPE tokenizer training,
 negative sampling), ranking/retrieval (BM25, MMR), funnels, linear
 models (one-pass ridge, distributed logistic GD, expression scoring),
-and multimodal plumbing."""
+ALS matrix factorization, and multimodal plumbing."""

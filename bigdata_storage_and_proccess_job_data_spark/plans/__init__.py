@@ -559,6 +559,10 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # corpus.winnow_fingerprints / winnow_matches (MOSS winnowing --
 # ~2/(window+1) of the shingle index's rows with the shared-substring
 # guarantee; test_winnow_fingerprints_replica_guarantee_and_parity).
+# funnel.event_transitions (Markov user-journey matrix) is
+# R10-promotable with full DuckDB replay parity
+# (test_event_transitions_pins_and_parity) -- lead() + two hash aggs,
+# fully SQL-expressible.
 # operators/linear.py (ridge_fit / logreg_fit / score_expr): fits are
 # test-only by design (driver-side solve / iterative GD, the
 # kmeans/pca_fit precedent -- numpy replica equality in

@@ -1,0 +1,106 @@
+"""ALS matrix factorization: md5-deterministic init (bit-equal Python
+twin), run-to-run reproducibility, exact numpy-ALS replica, planted
+low-rank recovery, and unseen-entity NULL scoring."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_storage_and_proccess_job_data_spark.operators import factorization
+
+
+def _planted(spark, n_users=30, n_items=20, rank=3, salt="truth"):
+    uf = factorization.init_factors_py(range(n_users), rank, salt + "_u")
+    itf = factorization.init_factors_py(range(n_items), rank, salt + "_i")
+    rows = [
+        (u, i, float(np.dot(uf[u], itf[i])) * 10.0)
+        for u in range(n_users)
+        for i in range(n_items)
+    ]
+    return spark.createDataFrame(rows, "u long, i long, r double")
+
+
+def test_init_factors_python_twin_bit_equal(spark):
+    df = spark.createDataFrame([(i,) for i in range(7)], "x long")
+    got = {
+        r.id: list(r.factors)
+        for r in factorization.init_factors(df, "x", 4, "s1").collect()
+    }
+    twin = factorization.init_factors_py(range(7), 4, "s1")
+    assert set(got) == set(twin)
+    for k in got:
+        assert got[k] == twin[k]  # bit-equal, not approx
+    scale = 1.0 / 2.0
+    assert all(-scale / 2 <= v < scale / 2 for vs in got.values() for v in vs)
+
+
+def test_als_deterministic_and_recovers_planted(spark):
+    df = _planted(spark)
+    m1 = factorization.als_fit(df, "u", "i", "r", rank=3, iters=8, reg=1e-6)
+    err = factorization.rmse(df, m1, "u", "i", "r")
+    # noiseless rank-3 matrix, rank-3 fit: near-exact reconstruction
+    assert err < 1e-3
+    m2 = factorization.als_fit(df, "u", "i", "r", rank=3, iters=8, reg=1e-6)
+    f1 = sorted((r.id, tuple(r.factors)) for r in m1["user_factors"].collect())
+    f2 = sorted((r.id, tuple(r.factors)) for r in m2["user_factors"].collect())
+    assert f1 == f2  # bit-reproducible run to run
+
+
+def test_als_numpy_replica(spark):
+    """Exact trajectory replica: same md5 init, same sorted-group fold
+    order, same closed-form solves."""
+    n_u, n_i, rank, reg, iters = 12, 8, 2, 0.1, 3
+    df = _planted(spark, n_u, n_i, rank=2, salt="rep")
+    rows = df.collect()
+    r_mat = {}
+    for r in rows:
+        r_mat[(r.u, r.i)] = r.r
+    items = factorization.init_factors_py(range(n_i), rank, "als")
+    items = {i: np.asarray(v) for i, v in items.items()}
+    users = {}
+    for _ in range(iters):
+        for u in range(n_u):
+            pairs = sorted(i for (uu, i) in r_mat if uu == u)
+            y = np.stack([items[i] for i in pairs])
+            rv = np.array([r_mat[(u, i)] for i in pairs])
+            users[u] = np.linalg.solve(
+                y.T @ y + reg * np.eye(rank), y.T @ rv
+            )
+        for i in range(n_i):
+            pairs = sorted(u for (u, ii) in r_mat if ii == i)
+            y = np.stack([users[u] for u in pairs])
+            rv = np.array([r_mat[(u, i)] for u in pairs])
+            items[i] = np.linalg.solve(
+                y.T @ y + reg * np.eye(rank), y.T @ rv
+            )
+    m = factorization.als_fit(
+        df, "u", "i", "r", rank=rank, iters=iters, reg=reg
+    )
+    got_u = {r.id: np.asarray(r.factors)
+             for r in m["user_factors"].collect()}
+    got_i = {r.id: np.asarray(r.factors)
+             for r in m["item_factors"].collect()}
+    for u in range(n_u):
+        assert np.allclose(got_u[u], users[u], rtol=1e-9, atol=1e-12)
+    for i in range(n_i):
+        assert np.allclose(got_i[i], items[i], rtol=1e-9, atol=1e-12)
+
+
+def test_als_predict_unseen_null_and_guards(spark):
+    df = _planted(spark, 6, 4, rank=2)
+    m = factorization.als_fit(df, "u", "i", "r", rank=2, iters=2)
+    probe = spark.createDataFrame(
+        [(0, 0), (0, 999), (999, 0)], "u long, i long"
+    )
+    got = {
+        (r.u, r.i): r.pred
+        for r in factorization.predict(probe, m, "u", "i").collect()
+    }
+    assert got[(0, 0)] is not None
+    assert got[(0, 999)] is None and got[(999, 0)] is None
+    with pytest.raises(ValueError, match="rank"):
+        factorization.als_fit(df, "u", "i", "r", rank=0)
+    with pytest.raises(ValueError, match="reg"):
+        factorization.als_fit(df, "u", "i", "r", reg=-1.0)
