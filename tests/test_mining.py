@@ -2256,6 +2256,11 @@ def test_cusum_changepoints_pins_and_parity(spark, oracle_sf_dir):
         per_b, ["event_type"], "bucket_start", "n",
         drift=0.5, threshold=5.0, digits=4,
     )
+    # the docstring's cost claim, pinned: all four window expressions
+    # (two prefix sums, two running mins, split across two consecutive
+    # Window nodes) ride ONE sort
+    plan = got_r._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Sort ") == 1, plan
     sql = f"""
         WITH per_b AS (
           SELECT event_type, date_trunc('hour', ts) AS bucket_start,

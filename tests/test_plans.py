@@ -697,3 +697,80 @@ def test_r9_experiment_ops_pass_the_plan_lint(spark, oracle_sf_dir):
     }
     for name, df in clean.items():
         assert lint.lint_plan(df) == [], name
+
+
+def test_late_r9_ops_pass_the_plan_lint(spark, oracle_sf_dir):
+    """The late-round-9 additions' query-composable paths get the same
+    registry hygiene check: Markov transitions, isotonic apply, linear
+    scoring, and ALS prediction joins are pure DataFrame compositions
+    -- no CartesianProduct, no row-at-a-time Python, no unwaived
+    nested-loop joins. (Fits that are applyInPandas/iterative by
+    design -- isotonic_fit, als_fit, holt_smooth, logreg_fit -- are
+    replica-tested instead; the lint covers what a registered query
+    would compose.)"""
+    from pyspark.sql import functions as F
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        factorization,
+        features,
+        funnel,
+        linear,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.plans import lint
+
+    events = load_table(spark, oracle_sf_dir, "events")
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    # a REAL column key: a literal key constant-folds the equi-join
+    # into a BNLJ, which is a test artifact, not the operator's plan
+    iso_model = spark.createDataFrame(
+        [("error", 0.0, 0.4, 0.2, 3), ("error", 0.5, 1.0, 0.8, 3),
+         ("click", 0.0, 1.0, 0.5, 2)],
+        "k string, x_lo double, x_hi double, yhat double, n long",
+    )
+    als_model = {
+        "user_factors": factorization.init_factors(
+            events, "user_id", 4
+        ),
+        "item_factors": factorization.init_factors(
+            events.select(
+                F.col("event_type").alias("item")
+            ),
+            "item",
+            4,
+        ),
+        "rank": 4,
+    }
+    lin_model = {"weights": [0.1] * 64, "intercept": 0.5}
+    clean = {
+        "event_transitions": funnel.event_transitions(
+            events.withColumn("_ord", F.struct("ts", "event_id")),
+            "user_id",
+            "_ord",
+            "event_type",
+        ),
+        "isotonic_apply": features.isotonic_apply(
+            events.select(
+                F.col("event_type").alias("k"),
+                F.col("value").alias("s"),
+            ),
+            iso_model,
+            "s",
+            keys=["k"],
+        ),
+        "linear_score": emb.select(
+            "vec_id",
+            linear.score_expr(lin_model, "embedding").alias("score"),
+            linear.prob_expr(lin_model, "embedding").alias("p"),
+        ),
+        "als_predict": factorization.predict(
+            events.select(
+                "user_id", F.col("event_type").alias("item")
+            ),
+            als_model,
+            "user_id",
+            "item",
+        ),
+    }
+    for name, df in clean.items():
+        assert lint.lint_plan(df) == [], name
