@@ -8,6 +8,7 @@ round-tripping each example individually would be ~100 jobs).
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -503,3 +504,49 @@ def test_conformal_qhat_is_the_exact_order_statistic(spark):
         ).first()
         assert r.n_cal == n and r.k_rank == k
         assert r.qhat == want, alpha
+
+
+def test_cusum_closed_form_equals_textbook_recursion(spark):
+    """Property: the prefix-extremum closed form IS the textbook CUSUM
+    recursion (s+ = max(0, s+ + z - k), s- = max(0, s- - z - k)) for
+    arbitrary generated series, and is partition-layout-independent.
+    Values derive from hypothesis text lengths (unicode noise -> ragged
+    positive/negative/zero steps); pinned target/scale isolates the
+    identity from baseline-estimation noise."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    texts = _examples(160)
+    drift, thresh = 0.3, 2.5
+    rows = [
+        (f"g{i % 3}", i, float(len(t) % 13) - 6.0)
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = aggregates.cusum_changepoints(
+        df, ["k"], "i", "v",
+        drift=drift, threshold=thresh, target=0.0, scale=2.0,
+        digits=9,
+    )
+    got = {(r.k, r.i): r for r in out.collect()}
+    series: dict[str, list] = {}
+    for k, i, v in rows:
+        series.setdefault(k, []).append((i, v))
+    for k, xs in series.items():
+        sp = sn = 0.0
+        for i, v in sorted(xs):
+            z = v / 2.0
+            sp = max(0.0, sp + z - drift)
+            sn = max(0.0, sn - z - drift)
+            r = got[(k, i)]
+            assert r.cusum_pos == pytest.approx(sp, abs=1e-8), (k, i)
+            assert r.cusum_neg == pytest.approx(sn, abs=1e-8), (k, i)
+            if min(abs(sp - thresh), abs(sn - thresh)) > 1e-9:
+                assert r.alarm == (sp > thresh or sn > thresh), (k, i)
+    rep = aggregates.cusum_changepoints(
+        df.repartition(11), ["k"], "i", "v",
+        drift=drift, threshold=thresh, target=0.0, scale=2.0,
+        digits=9,
+    ).collect()
+    assert sorted(map(tuple, rep)) == sorted(
+        map(tuple, out.collect())
+    )
