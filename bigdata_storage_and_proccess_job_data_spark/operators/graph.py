@@ -919,3 +919,196 @@ def weighted_shortest_paths(
         )
     finally:
         e.unpersist()
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int,
+    walks_per_node: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+    salt: str = "walk",
+    max_neighbors: int | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """Deterministic uniform random walks over the graph -- the
+    DeepWalk/node2vec(p=q=1) corpus generator (Perozzi et al. 2014):
+    every node starts ``walks_per_node`` walks of ``walk_len`` steps,
+    and the emitted sequences are the skip-gram training corpus that
+    turns a graph into embedding training data (the graph-modality
+    twin of corpus.py's text pipelines). Walks stop early at sinks
+    (nodes with no out-edges).
+
+    Determinism is the repo's md5 coin: step t of walk (node, w) picks
+    neighbor index md5(start:w:t:salt) mod degree within the node's
+    SORTED neighbor array -- a pure function of (start, w, t, salt),
+    reproducible across sessions, partitionings, and engines with no
+    RNG state (pure-Python replica equality is the test).
+
+    Scale shape: adjacency folds ONCE to a sorted neighbor array per
+    node (one hash agg; array_sort of the collected out-set), then
+    each step is ONE equi-join of the O(nodes x walks_per_node)
+    frontier against that adjacency frame plus an O(1) element_at --
+    walk state never grows beyond (walk id, current node), and the
+    per-step join shuffles the frontier, not the graph. Positions
+    accumulate as (walk, pos, node) rows and fold to sequences in one
+    final sort+agg. Hub nodes make adjacency ROWS wide, not the join
+    wide; ``max_neighbors`` md5-downsamples each out-set to a bounded
+    array (deterministic per node) for degree-skewed graphs -- at
+    corpus scale a 10M-degree hub's array must not ride every join.
+    Lineage: the frontier localCheckpoints per step (pagerank's
+    discipline).
+
+    Returns (start, walk, seq: array of nodes, hops)."""
+    if walk_len < 1:
+        raise ValueError("walk_len must be >= 1")
+    if walks_per_node < 1:
+        raise ValueError("walks_per_node must be >= 1")
+    if max_neighbors is not None and max_neighbors < 1:
+        raise ValueError("max_neighbors must be >= 1")
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+    if not directed:
+        e = e.union(
+            e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+        )
+    adj = (
+        e.distinct()
+        .groupBy(F.col("_s").alias("node"))
+        .agg(F.array_sort(F.collect_list("_d")).alias("_nbrs"))
+    )
+    if max_neighbors is not None:
+        # deterministic per-node downsample: rank neighbors by
+        # md5(node:nbr:salt), keep the smallest max_neighbors --
+        # stable under partitioning, and re-sorted so the index coin
+        # stays position-independent
+        coin = (
+            "cast(conv(substring(md5(concat_ws(':', "
+            "cast(node as string), "
+            f"cast(nb as string), '{salt}')), 1, 15), 16, 10) as bigint)"
+        )
+        adj = adj.select(
+            "node",
+            F.expr(
+                "array_sort(slice(array_sort(_nbrs, (a, b) -> "
+                f"case when {coin.replace('nb', 'a')} < "
+                f"{coin.replace('nb', 'b')} then -1 "
+                f"when {coin.replace('nb', 'a')} > "
+                f"{coin.replace('nb', 'b')} then 1 else 0 end), "
+                f"1, {int(max_neighbors)}))"
+            ).alias("_nbrs"),
+        )
+    adj = adj.persist()
+    try:
+        starts = adj.select("node").crossJoin(
+            F.broadcast(
+                adj.sparkSession.range(walks_per_node).select(
+                    F.col("id").cast("int").alias("walk")
+                )
+            )
+        )
+        cur = starts.select(
+            F.col("node").alias("start"),
+            "walk",
+            F.col("node").alias("_cur"),
+        ).localCheckpoint()
+        trail = cur.select(
+            "start", "walk", F.lit(0).alias("pos"),
+            F.col("_cur").alias("node"),
+        )
+        for t in range(1, walk_len + 1):
+            stepped = (
+                cur.join(
+                    adj.withColumnRenamed("node", "_cur"), "_cur"
+                )
+                .select(
+                    "start",
+                    "walk",
+                    F.element_at(
+                        F.col("_nbrs"),
+                        (
+                            F.expr(
+                                "conv(substring(md5(concat_ws(':', "
+                                "cast(start as string), "
+                                "cast(walk as string), "
+                                f"'{t}', '{salt}')), 1, 15), 16, 10)"
+                            ).cast("long")
+                            % F.size("_nbrs")
+                            + 1
+                        ).cast("int"),
+                    ).alias("_cur"),
+                )
+                .localCheckpoint()
+            )
+            trail = trail.union(
+                stepped.select(
+                    "start", "walk", F.lit(t).alias("pos"),
+                    F.col("_cur").alias("node"),
+                )
+            )
+            cur = stepped
+        return (
+            trail.groupBy("start", "walk")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "node"))
+                ).alias("_tr")
+            )
+            .select(
+                "start",
+                "walk",
+                F.col("_tr.node").alias("seq"),
+                (F.size("_tr") - 1).alias("hops"),
+            )
+        )
+    finally:
+        adj.unpersist()
+
+
+def walk_skipgram_pairs(
+    walks: DataFrame,
+    window: int,
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Skip-gram (center, context) pair extraction from walk
+    sequences -- the step that turns ``random_walks`` output into
+    embedding training rows (word2vec over node sequences). For every
+    position i and offset 1..window, emits both directions with the
+    signed offset; pair counts aggregate across all walks.
+
+    Pure expression shape: ONE posexplode of each sequence + a
+    bounded inline offset array -- rows out = positions x 2window
+    before the hash agg, nothing per-row in Python, and the whole
+    thing is SQL-expressible (DuckDB replay in the test).
+
+    Returns (center, context, offset, n)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    offs = [o for o in range(-window, window + 1) if o != 0]
+    return (
+        walks.select(
+            F.posexplode(F.col(seq_col)).alias("_i", "center"),
+            F.col(seq_col).alias("_seq"),
+        )
+        .select(
+            "center",
+            F.explode(
+                F.array(*[F.lit(o) for o in offs])
+            ).alias("offset"),
+            "_i",
+            "_seq",
+        )
+        .select(
+            "center",
+            # get() is 0-based and NULL out of bounds (element_at
+            # raises on index 0, which offset -pos-1 produces)
+            F.get(
+                F.col("_seq"), F.col("_i") + F.col("offset")
+            ).alias("context"),
+            "offset",
+        )
+        .filter(F.col("context").isNotNull())
+        .groupBy("center", "context", "offset")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -822,3 +822,128 @@ def test_weighted_shortest_paths_dijkstra_replica(spark):
         ).collect()
     }
     assert got == best
+
+
+def _md5_idx(parts, n):
+    import hashlib
+
+    h = hashlib.md5(":".join(parts).encode()).hexdigest()[:15]
+    return int(h, 16) % n
+
+
+def test_random_walks_replica_and_invariants(spark):
+    """Deterministic DeepWalk corpus: (1) exact pure-Python replica of
+    every sequence via the same md5 coin; (2) walks stop early at
+    sinks; (3) walks_per_node fan-out; (4) md5 neighbor downsampling
+    replays exactly and bounds the adjacency array."""
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("c", "d"),  # d is a sink
+        ("b", "d"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    L, W = 5, 3
+    got = {
+        (r.start, r.walk): (list(r.seq), r.hops)
+        for r in graph.random_walks(e, L, walks_per_node=W).collect()
+    }
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    adj = {k: sorted(v) for k, v in adj.items()}
+    starts = sorted(adj)  # nodes with out-edges start walks
+    assert set(got) == {(s, w) for s in starts for w in range(W)}
+    for (s, w), (seq, hops) in got.items():
+        cur, expect = s, [s]
+        for t in range(1, L + 1):
+            if cur not in adj:
+                break
+            nbrs = adj[cur]
+            cur = nbrs[_md5_idx([s, str(w), str(t), "walk"], len(nbrs))]
+            expect.append(cur)
+        assert seq == expect, (s, w)
+        assert hops == len(expect) - 1
+        if seq[-1] != "d":
+            assert hops == L  # only the sink cuts a walk short
+
+    # downsample: cap c's out-set {a, d} to 1 via the md5 rank
+    capped = {
+        (r.start, r.walk): list(r.seq)
+        for r in graph.random_walks(
+            e, 3, walks_per_node=1, max_neighbors=1
+        ).collect()
+    }
+    import hashlib
+
+    def rank(node, nb):
+        return int(
+            hashlib.md5(f"{node}:{nb}:walk".encode()).hexdigest()[:15],
+            16,
+        )
+
+    adj1 = {
+        k: sorted(sorted(v, key=lambda nb: rank(k, nb))[:1])
+        for k, v in adj.items()
+    }
+    for (s, w), seq in capped.items():
+        cur, expect = s, [s]
+        for t in range(1, 4):
+            if cur not in adj1:
+                break
+            nbrs = adj1[cur]
+            cur = nbrs[_md5_idx([s, str(w), str(t), "walk"], len(nbrs))]
+            expect.append(cur)
+        assert seq == expect, (s, w)
+
+
+def test_walk_skipgram_pairs_hand_and_duckdb_parity(spark, sf_dir):
+    """Skip-gram extraction: hand pin on one sequence, then full DuckDB
+    replay parity over per-user event-type sequences."""
+    from tests.parity import compare, duckdb_connect
+
+    one = spark.createDataFrame(
+        [(["x", "y", "z"],)], "seq array<string>"
+    )
+    got = {
+        (r.center, r.context, r.offset): r.n
+        for r in graph.walk_skipgram_pairs(one, window=1).collect()
+    }
+    assert got == {
+        ("x", "y", 1): 1, ("y", "x", -1): 1,
+        ("y", "z", 1): 1, ("z", "y", -1): 1,
+    }
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    seqs = (
+        events.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", "event_type")
+                )
+            ).alias("_o")
+        )
+        .select(F.col("_o.event_type").alias("seq"))
+    )
+    got_r = graph.walk_skipgram_pairs(seqs, window=2)
+    sql = """
+        WITH seqs AS (
+          SELECT list(event_type ORDER BY ts, event_id) AS seq
+          FROM events GROUP BY user_id
+        ),
+        pos AS (
+          SELECT seq, unnest(generate_series(1, len(seq))) AS i
+          FROM seqs
+        ),
+        pairs AS (
+          SELECT seq[i] AS center, seq[i + o.o] AS context, o.o AS "offset"
+          FROM pos
+          CROSS JOIN (VALUES (-2), (-1), (1), (2)) o(o)
+          WHERE i + o.o BETWEEN 1 AND len(seq)
+        )
+        SELECT center, context, "offset", COUNT(*) AS n
+        FROM pairs GROUP BY 1, 2, 3
+    """
+    assert compare(got_r, duckdb_connect(sf_dir), sql) == []
