@@ -1112,3 +1112,65 @@ def walk_skipgram_pairs(
         .groupBy("center", "context", "offset")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def pmi_pairs(
+    pairs: DataFrame,
+    center_col: str = "center",
+    context_col: str = "context",
+    n_col: str = "n",
+    shift: float = 1.0,
+    digits: int = 6,
+) -> DataFrame:
+    """(Shifted positive) pointwise mutual information over co-occurrence
+    pair counts: pmi = ln(n * total / (n_center * n_context)) - ln(shift),
+    clamped at 0 (the SPPMI matrix). Levy-Goldberg 2014: word2vec's
+    skip-gram-negative-sampling factorizes exactly this matrix with
+    shift = #negatives -- so ``random_walks`` -> ``walk_skipgram_pairs``
+    -> ``pmi_pairs`` -> ``factorization.als_fit`` (center as user,
+    context as item, sppmi as rating) is a complete deterministic
+    graph-embedding pipeline from public building blocks, and the
+    output vectors feed the existing knn_* / semantic_dedup stack.
+
+    Scale shape: marginals are two hash aggs ON THE PAIR FRAME (rows =
+    distinct pairs, not co-occurrence events) broadcast back; the total
+    is a one-row broadcast scalar via cross join (the engine's
+    documented one-row pattern). Zero-clamped rows are dropped --
+    SPPMI is sparse by construction, and that sparsity is the point at
+    corpus scale.
+
+    Returns (center, context, n, sppmi), sppmi stable-rounded."""
+    if shift < 1.0:
+        raise ValueError("shift must be >= 1 (ln would flip sign)")
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    n = F.col(n_col).cast("double")
+    cm = pairs.groupBy(center_col).agg(
+        F.sum(n_col).alias("_nc")
+    )
+    xm = pairs.groupBy(context_col).agg(
+        F.sum(n_col).alias("_nx")
+    )
+    tot = pairs.agg(F.sum(n_col).alias("_tot"))
+    pmi = (
+        F.log(
+            n
+            * F.col("_tot").cast("double")
+            / (F.col("_nc") * F.col("_nx"))
+        )
+        - F.log(F.lit(float(shift)))
+    )
+    return (
+        pairs.join(F.broadcast(cm), center_col)
+        .join(F.broadcast(xm), context_col)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            center_col,
+            context_col,
+            F.col(n_col).alias("n"),
+            stable_round(pmi, digits).alias("sppmi"),
+        )
+        .filter(F.col("sppmi") > 0)
+    )

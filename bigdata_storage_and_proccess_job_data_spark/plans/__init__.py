@@ -562,7 +562,14 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # funnel.event_transitions (Markov user-journey matrix) is
 # R10-promotable with full DuckDB replay parity
 # (test_event_transitions_pins_and_parity) -- lead() + two hash aggs,
-# fully SQL-expressible.
+# fully SQL-expressible. graph.walk_skipgram_pairs and graph.pmi_pairs
+# are likewise R10-promotable with full DuckDB replay parity
+# (test_walk_skipgram_pairs_hand_and_duckdb_parity,
+# test_pmi_pairs_hand_and_duckdb_parity); graph.random_walks and
+# factorization.als_fit/predict are test-only by design (iterative,
+# md5-deterministic -- exact Python/numpy replicas in test_graph /
+# test_factorization), completing the deterministic graph-embedding
+# chain walks -> skipgram -> SPPMI -> ALS.
 # operators/linear.py (ridge_fit / logreg_fit / score_expr): fits are
 # test-only by design (driver-side solve / iterative GD, the
 # kmeans/pca_fit precedent -- numpy replica equality in

@@ -947,3 +947,103 @@ def test_walk_skipgram_pairs_hand_and_duckdb_parity(spark, sf_dir):
         FROM pairs GROUP BY 1, 2, 3
     """
     assert compare(got_r, duckdb_connect(sf_dir), sql) == []
+
+
+def test_pmi_pairs_hand_and_duckdb_parity(spark, sf_dir):
+    """SPPMI weighting: hand-computable pins, zero-clamp sparsity, and
+    full DuckDB replay parity over the per-user event-sequence pairs;
+    then the walks->pairs->PMI->ALS chain runs end to end and is
+    deterministic."""
+    import math
+
+    from tests.parity import compare, duckdb_connect
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 8), ("a", "c", 2), ("b", "c", 1), ("c", "a", 1)],
+        "center string, context string, n long",
+    )
+    got = {
+        (r.center, r.context): r.sppmi
+        for r in graph.pmi_pairs(pairs).collect()
+    }
+    # total=12; pmi(a,b) = ln(8*12 / (10*8)) = ln(1.2)
+    assert got[("a", "b")] == pytest.approx(math.log(1.2), abs=1e-6)
+    # pmi(b,c) = ln(1*12 / (1*3)) = ln(4)
+    assert got[("b", "c")] == pytest.approx(math.log(4.0), abs=1e-6)
+    # pmi(a,c) = ln(2*12/(10*3)) = ln(0.8) < 0 -> clamped away
+    assert ("a", "c") not in got
+    # shift=4 subtracts ln(4): only b->c (ln 4) survives at exactly 0-
+    shifted = graph.pmi_pairs(pairs, shift=4.0).collect()
+    assert all(r.sppmi > 0 for r in shifted)
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    seqs = (
+        events.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("_o")
+        )
+        .select(F.col("_o.event_type").alias("seq"))
+    )
+    got_r = graph.pmi_pairs(
+        graph.walk_skipgram_pairs(seqs, window=2).drop("offset")
+        .groupBy("center", "context").agg(F.sum("n").alias("n"))
+    )
+    sql = f"""
+        WITH seqs AS (
+          SELECT list(event_type ORDER BY ts, event_id) AS seq
+          FROM events GROUP BY user_id
+        ),
+        pos AS (
+          SELECT seq, unnest(generate_series(1, len(seq))) AS i
+          FROM seqs
+        ),
+        pairs AS (
+          SELECT seq[i] AS center, seq[i + o.o] AS context,
+                 COUNT(*) AS n
+          FROM pos
+          CROSS JOIN (VALUES (-2), (-1), (1), (2)) o(o)
+          WHERE i + o.o BETWEEN 1 AND len(seq)
+          GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT p.center, p.context, p.n,
+                 SUM(p.n) OVER (PARTITION BY p.center) AS nc,
+                 SUM(p.n) OVER (PARTITION BY p.context) AS nx,
+                 SUM(p.n) OVER () AS tot
+          FROM pairs p
+        )
+        SELECT center, context, n,
+          {sql_round("ln(n::DOUBLE * tot / (nc * nx))", 6)} AS sppmi
+        FROM m
+        WHERE {sql_round("ln(n::DOUBLE * tot / (nc * nx))", 6)} > 0
+    """
+    assert compare(got_r, duckdb_connect(sf_dir), sql) == []
+
+    # end-to-end chain determinism on the hand graph
+    from bigdata_storage_and_proccess_job_data_spark.operators import factorization
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    walks = graph.random_walks(e, 6, walks_per_node=4)
+    sg = graph.walk_skipgram_pairs(walks, window=2).groupBy(
+        "center", "context"
+    ).agg(F.sum("n").alias("n"))
+    sppmi = graph.pmi_pairs(sg)
+    m1 = factorization.als_fit(sppmi, "center", "context", "sppmi",
+                               rank=2, iters=3)
+    m2 = factorization.als_fit(sppmi, "center", "context", "sppmi",
+                               rank=2, iters=3)
+    v1 = sorted((r.id, tuple(r.factors))
+                for r in m1["user_factors"].collect())
+    v2 = sorted((r.id, tuple(r.factors))
+                for r in m2["user_factors"].collect())
+    assert v1 == v2 and len(v1) == 3  # bit-reproducible node vectors
