@@ -17,6 +17,13 @@ curation (corpus_pipeline), and incremental ingest; this one is the
   5. geo-dedup: radius self-pairs over derived coordinates
   6. refresh a stored revenue view from a change feed instead of
      recomputing it (agg_state_* -- O(changes), verified equal)
+  7-8. experiment readouts (CUPED, bootstrap CIs, rank-sum, mSPRT,
+     SRM/MDE/DiD/MI, conformal bands on md5-coin splits) and KMV
+     audience overlap
+  9. level-shift monitoring (CUSUM on monthly revenue) + Holt
+     trend forecasts
+  10. graph embeddings: deterministic md5 walks -> skip-gram pairs
+     -> SPPMI -> ALS factor vectors
 
 Every step prints a small summary; nothing wider than bounded top-k
 results ever reaches the driver.
@@ -40,6 +47,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from bigdata_storage_and_proccess_job_data_spark.catalog import load_table  # noqa: E402
 from bigdata_storage_and_proccess_job_data_spark.operators import (  # noqa: E402
     aggregates,
+    factorization,
     features,
     graph,
     spatial,
@@ -295,23 +303,30 @@ def main() -> None:
         ),
         "coin", "o_orderpriority",
     ).first()
-    cal = orders.sample(0.5, seed=7).select(
+    # md5-coin splits, NOT seeded sample(): Spark's sample(seed=) is
+    # partition-layout-dependent (run-to-run coverage wobbled across
+    # the 80% line), while the repo's md5 coin is a pure function of
+    # the row key -- deterministic splits, and disjoint by range
+    split_coin = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.col("o_orderkey").cast("string")), 1, 15
+            ), 16, 10
+        ).cast("long"), F.lit(100)
+    )
+    scored_orders = orders.select(
         "o_orderpriority",
         F.col("o_totalprice").alias("actual"),
         F.avg("o_totalprice")
         .over(Window.partitionBy("o_orderpriority"))
         .alias("pred"),
+        split_coin.alias("_coin"),
     )
+    cal = scored_orders.filter(F.col("_coin") < 50)
     fit = aggregates.conformal_interval(
         cal, "pred", "actual", alpha=0.2, keys=["o_orderpriority"]
     )
-    fresh = orders.sample(0.3, seed=8).select(
-        "o_orderpriority",
-        F.col("o_totalprice").alias("actual"),
-        F.avg("o_totalprice")
-        .over(Window.partitionBy("o_orderpriority"))
-        .alias("pred"),
-    )
+    fresh = scored_orders.filter(F.col("_coin") >= 70)
     banded = aggregates.conformal_apply(
         fresh, fit, "pred", ["o_orderpriority"]
     )
@@ -354,6 +369,58 @@ def main() -> None:
             f"union ~{ov.union_estimate}, both ~{ov.intersection_estimate:.0f}"
         )
         assert ov.union_estimate > 0
+
+    # -- 9. level-shift monitoring + trend forecast --------------------
+    per_day = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", "o_orderdate").alias("m"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    cus = aggregates.cusum_changepoints(
+        per_day, ["o_orderpriority"], "m", "rev",
+        drift=0.5, threshold=5.0,
+    )
+    n_alarms = cus.filter(F.col("alarm")).count()
+    holt = aggregates.holt_smooth(
+        per_day, ["o_orderpriority"], "m", "rev", alpha=0.4, beta=0.2
+    )
+    fc = aggregates.holt_forecast(
+        holt, ["o_orderpriority"], "m", horizon=3
+    )
+    print(
+        f"== monitoring == cusum alarms on monthly revenue: {n_alarms}; "
+        f"holt 3-month forecasts: {fc.count()} rows"
+    )
+    assert fc.count() == per_day.select("o_orderpriority").distinct().count() * 3
+
+    # -- 10. graph embeddings: walks -> skipgram -> SPPMI -> ALS -------
+    inter = (
+        load_table(spark, SF_DIR, "lineitem").select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") % 200).alias("dst"),
+        )
+        .limit(4000)
+    )
+    walks = graph.random_walks(inter, walk_len=4, walks_per_node=1,
+                               directed=False, max_neighbors=16)
+    sg = (
+        graph.walk_skipgram_pairs(walks, window=2)
+        .groupBy("center", "context")
+        .agg(F.sum("n").alias("n"))
+    )
+    sppmi = graph.pmi_pairs(sg)
+    emb_model = factorization.als_fit(
+        sppmi, "center", "context", "sppmi", rank=8, iters=3, reg=0.05
+    )
+    n_vec = emb_model["user_factors"].count()
+    print(
+        f"== graph embeddings == {n_vec} node vectors from "
+        f"{sppmi.count()} SPPMI pairs (deterministic md5 walks)"
+    )
+    assert n_vec > 0
 
     print("workbench done")
 
