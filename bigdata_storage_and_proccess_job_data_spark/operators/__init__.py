@@ -8,4 +8,5 @@ PageRank, training-corpus prep (chunking, PII, contamination, sampling,
 splits, LM quality scoring, line dedup, BPE tokenizer training,
 negative sampling), ranking/retrieval (BM25, MMR), funnels, linear
 models (one-pass ridge, distributed logistic GD, expression scoring),
-ALS matrix factorization, and multimodal plumbing."""
+ALS matrix factorization, privacy release (DP noisy counts,
+k-anonymity), and multimodal plumbing."""
