@@ -256,3 +256,120 @@ def mmr_rerank(
         "relevance",
         "mmr_score",
     )
+
+
+def ranking_metrics(
+    recs: DataFrame,
+    truth: DataFrame,
+    query_col: str,
+    item_col: str,
+    k: int = 10,
+    rank_col: str | None = None,
+    score_col: str | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Retrieval evaluation per query: precision@k, recall@k, MRR@k,
+    and NDCG@k (binary relevance) -- the offline quality readout for
+    every ranker in the engine (bm25_topk, knn_* ANN paths, ALS
+    recommendations, hybrid rerank). ``recs`` is the system output
+    (query, item, rank or score); ``truth`` the relevant set (query,
+    item). Pass ``rank_col`` when ranks are materialized, else
+    ``score_col`` and ranks derive as row_number over score DESC with
+    a deterministic item-id tiebreak.
+
+    Definitions (stated so the oracle replays them): hits = relevant
+    items at rank <= k; precision = hits/k (k the DENOMINATOR even
+    when fewer recs exist -- the retrieval convention); recall =
+    hits/|truth|; MRR = 1/min(hit rank), 0 when no hit in k; DCG =
+    sum over hits of 1/log2(rank+1); IDCG = the perfect-ordering DCG
+    of min(k, |truth|) items (an expression fold over
+    sequence(1..m) -- constant-foldable, no join); NDCG = DCG/IDCG.
+    Queries present in ``recs`` but with an EMPTY truth set emit NULL
+    recall/NDCG (undefined, never silently 0); queries in ``truth``
+    that the system never answered emit all-zero metrics -- missing
+    queries are a ranker failure the mean must see, not a dropped row.
+
+    Scale shape: one window per query for the rank (skipped entirely
+    with ``rank_col``), one equi-join against the truth frame on
+    (query, item), one hash agg per side, one outer merge of two
+    per-query frames -- rows shuffled are recommendation and truth
+    rows, never item catalogs.
+
+    Returns (query, n_rel, hits, precision_at_k, recall_at_k, mrr,
+    ndcg), rounded with stable_round."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if (rank_col is None) == (score_col is None):
+        raise ValueError("pass exactly one of rank_col / score_col")
+    q, it = F.col(query_col), F.col(item_col)
+    r = recs.filter(q.isNotNull() & it.isNotNull())
+    if rank_col is None:
+        w = Window.partitionBy(query_col).orderBy(
+            F.col(score_col).desc(), it
+        )
+        r = r.withColumn("_rk", F.row_number().over(w))
+    else:
+        r = r.withColumn("_rk", F.col(rank_col).cast("long"))
+    r = r.filter(F.col("_rk") <= k).select(
+        q.alias("_q"), it.alias("_i"), "_rk"
+    )
+    t = (
+        truth.filter(q.isNotNull() & it.isNotNull())
+        .select(q.alias("_q"), it.alias("_i"))
+        .distinct()
+    )
+    n_rel = t.groupBy("_q").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = (
+        r.join(t, ["_q", "_i"])
+        .groupBy("_q")
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            F.min("_rk").alias("_first"),
+            F.sum(
+                F.lit(1.0) / F.log2(F.col("_rk") + F.lit(1.0))
+            ).alias("_dcg"),
+        )
+    )
+    answered = r.select("_q").distinct()
+    base = (
+        answered.join(n_rel, "_q", "full")
+        .join(hits, "_q", "left")
+        .select(
+            "_q",
+            F.coalesce(F.col("n_rel"), F.lit(0)).alias("n_rel"),
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            "_first",
+            F.coalesce(F.col("_dcg"), F.lit(0.0)).alias("_dcg"),
+        )
+    )
+    m = F.least(F.col("n_rel"), F.lit(k))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), m),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.lit(1.0) / F.log2(i.cast("double") + F.lit(1.0)),
+    )
+    return base.select(
+        F.col("_q").alias(query_col),
+        "n_rel",
+        "hits",
+        stable_round(
+            F.col("hits").cast("double") / F.lit(float(k)), digits
+        ).alias("precision_at_k"),
+        stable_round(
+            F.when(
+                F.col("n_rel") > 0,
+                F.col("hits").cast("double") / F.col("n_rel"),
+            ),
+            digits,
+        ).alias("recall_at_k"),
+        stable_round(
+            F.coalesce(
+                F.lit(1.0) / F.col("_first").cast("double"), F.lit(0.0)
+            ),
+            digits,
+        ).alias("mrr"),
+        stable_round(
+            F.when(F.col("n_rel") > 0, F.col("_dcg") / idcg), digits
+        ).alias("ndcg"),
+    )

@@ -536,3 +536,105 @@ def test_event_transitions_pins_and_parity(spark, oracle_sf_dir):
         FROM pairs
     """
     assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_ranking_metrics_pins_and_parity(spark, oracle_sf_dir):
+    """Retrieval eval: (1) hand-computable precision/recall/MRR/NDCG
+    pins incl. the empty-truth NULL and unanswered-query zero
+    conventions; (2) full DuckDB replay parity on a supplier->part
+    recommendation task derived from lineitem."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    recs = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "x", 2), ("q1", "b", 3), ("q1", "c", 4),
+         ("q2", "z", 1)],
+        "q string, i string, rk long",
+    )
+    truth = spark.createDataFrame(
+        [("q1", "a"), ("q1", "b"), ("q1", "c"), ("q3", "m")],
+        "q string, i string",
+    )
+    got = {
+        r.q: r
+        for r in ranking.ranking_metrics(
+            recs, truth, "q", "i", k=3, rank_col="rk"
+        ).collect()
+    }
+    r1 = got["q1"]
+    assert (r1.n_rel, r1.hits) == (3, 2)
+    assert r1.precision_at_k == pytest.approx(2 / 3, abs=1e-6)
+    assert r1.recall_at_k == pytest.approx(2 / 3, abs=1e-6)
+    assert r1.mrr == 1.0
+    dcg = 1.0 + 1.0 / math.log2(4.0)
+    idcg = 1.0 + 1.0 / math.log2(3.0) + 0.5
+    assert r1.ndcg == pytest.approx(dcg / idcg, abs=1e-6)
+    r2 = got["q2"]  # answered, nothing relevant exists
+    assert r2.hits == 0 and r2.precision_at_k == 0.0
+    assert r2.recall_at_k is None and r2.ndcg is None and r2.mrr == 0.0
+    r3 = got["q3"]  # never answered: all-zero, not dropped
+    assert (r3.hits, r3.mrr, r3.ndcg) == (0, 0.0, 0.0)
+    assert r3.recall_at_k == 0.0
+
+    li = load_table(spark, oracle_sf_dir, "lineitem")
+    pairs = li.groupBy(
+        (F.col("l_suppkey") % 20).alias("q"),
+        (F.col("l_partkey") % 100).alias("i"),
+    ).agg(
+        F.sum("l_extendedprice").alias("score"),
+        F.sum("l_quantity").alias("qty"),
+    )
+    got_r = ranking.ranking_metrics(
+        pairs, pairs.filter(F.col("qty") > 400), "q", "i",
+        k=5, score_col="score",
+    )
+    sql = f"""
+        WITH pairs AS (
+          SELECT l_suppkey % 20 AS q, l_partkey % 100 AS i,
+                 SUM(l_extendedprice) AS score, SUM(l_quantity) AS qty
+          FROM lineitem GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT q, i, ROW_NUMBER() OVER (
+            PARTITION BY q ORDER BY score DESC, i
+          ) AS rk
+          FROM pairs
+        ),
+        r AS (SELECT * FROM ranked WHERE rk <= 5),
+        t AS (SELECT DISTINCT q, i FROM pairs WHERE qty > 400),
+        n_rel AS (SELECT q, COUNT(*) AS n_rel FROM t GROUP BY 1),
+        hits AS (
+          SELECT r.q, COUNT(*) AS hits, MIN(r.rk) AS frst,
+                 SUM(1.0 / log2(r.rk + 1.0)) AS dcg
+          FROM r JOIN t ON r.q = t.q AND r.i = t.i
+          GROUP BY 1
+        ),
+        base AS (
+          SELECT COALESCE(a.q, n.q) AS q,
+                 COALESCE(n.n_rel, 0) AS n_rel,
+                 COALESCE(h.hits, 0) AS hits, h.frst,
+                 COALESCE(h.dcg, 0.0) AS dcg
+          FROM (SELECT DISTINCT q FROM r) a
+          FULL JOIN n_rel n USING (q)
+          LEFT JOIN hits h ON COALESCE(a.q, n.q) = h.q
+        )
+        SELECT q, n_rel, hits,
+          {sql_round("hits / 5.0", 6)} AS precision_at_k,
+          {sql_round(
+            "CASE WHEN n_rel > 0 THEN hits::DOUBLE / n_rel END", 6)}
+            AS recall_at_k,
+          {sql_round("COALESCE(1.0 / frst, 0.0)", 6)} AS mrr,
+          {sql_round(
+            "CASE WHEN n_rel > 0 THEN dcg / list_sum(list_transform("
+            "generate_series(1, LEAST(n_rel, 5)), "
+            "x -> 1.0 / log2(x + 1.0))) END", 6)} AS ndcg
+        FROM base
+    """
+    assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []
