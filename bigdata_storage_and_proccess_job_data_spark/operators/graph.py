@@ -933,7 +933,8 @@ def random_walks(
 ) -> DataFrame:
     """Deterministic uniform random walks over the graph -- the
     DeepWalk/node2vec(p=q=1) corpus generator (Perozzi et al. 2014):
-    every node starts ``walks_per_node`` walks of ``walk_len`` steps,
+    every node WITH AT LEAST ONE OUT-EDGE starts ``walks_per_node``
+    walks of ``walk_len`` steps (pure sinks have no step to take),
     and the emitted sequences are the skip-gram training corpus that
     turns a graph into embedding training data (the graph-modality
     twin of corpus.py's text pipelines). Walks stop early at sinks

@@ -572,7 +572,9 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # chain walks -> skipgram -> SPPMI -> ALS.
 # privacy.dp_noisy_counts and privacy.k_anonymity_report are both
 # R10-promotable with bit-exact DuckDB replay (test_privacy.py; the
-# DP release replays through the md5_hash60 bridge).
+# DP release replays through the md5_hash60 bridge), as is
+# ranking.ranking_metrics (full replay parity in
+# test_ranking_metrics_pins_and_parity).
 # operators/linear.py (ridge_fit / logreg_fit / score_expr): fits are
 # test-only by design (driver-side solve / iterative GD, the
 # kmeans/pca_fit precedent -- numpy replica equality in
