@@ -104,3 +104,39 @@ def test_als_predict_unseen_null_and_guards(spark):
         factorization.als_fit(df, "u", "i", "r", rank=0)
     with pytest.raises(ValueError, match="reg"):
         factorization.als_fit(df, "u", "i", "r", reg=-1.0)
+
+
+def test_als_recommendations_score_well_on_planted_structure(spark):
+    """Integration glue: ALS recs on noiseless planted low-rank
+    ratings, evaluated with ranking_metrics -- each user's true top-5
+    items should be mostly recovered (NDCG/recall well above chance),
+    tying the factorization and retrieval-evaluation stacks together."""
+    from pyspark.sql import Window
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import ranking
+
+    df = _planted(spark, n_users=25, n_items=30, rank=3)
+    m = factorization.als_fit(df, "u", "i", "r", rank=3, iters=8,
+                              reg=1e-4)
+    scored = factorization.predict(
+        df.select("u", "i"), m, "u", "i"
+    )
+    truth = (
+        df.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("u").orderBy(F.col("r").desc(), "i")
+            ),
+        )
+        .filter(F.col("_rk") <= 5)
+        .select("u", "i")
+    )
+    metrics = ranking.ranking_metrics(
+        scored, truth, "u", "i", k=5, score_col="pred"
+    )
+    row = metrics.agg(
+        F.avg("ndcg").alias("ndcg"), F.avg("recall_at_k").alias("rec")
+    ).first()
+    # chance recall@5 of 5 planted items among 30 is ~0.17; the
+    # reconstruction is near-exact, so recovery should be near 1
+    assert row.rec > 0.9 and row.ndcg > 0.9
