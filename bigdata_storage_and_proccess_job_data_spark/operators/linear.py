@@ -266,3 +266,120 @@ def prob_expr(model: dict, vec_col: Column | str) -> Column:
     """Logistic probability sigmoid(score) as a pure expression."""
     s = score_expr(model, vec_col)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-s))
+
+
+def quantile_fit(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    tau: float = 0.5,
+    iters: int = 40,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    tol: float = 1e-9,
+) -> dict:
+    """Linear quantile regression (Koenker-Bassett pinball loss) by
+    the same full-batch GD harness as ``logreg_fit``: the conditional
+    tau-quantile model that turns a point forecast into calibrated
+    bands (fit tau = 0.1/0.5/0.9 for a P10/P50/P90 envelope -- the
+    parametric cousin of ``conformal_interval``'s distribution-free
+    band, useful when the band must EXTRAPOLATE with features).
+
+    Pinball loss rho_tau(r) = r*(tau - 1{r<0}) with r = y - w.x - b;
+    subgradient wrt w is -(tau - 1{r<0})*x, folded exactly like
+    logreg's (mean gradient, mean loss) one pass per step, Armijo
+    halving plus step RE-GROWTH after accepted steps (doubling back
+    toward ``lr``) -- a subgradient method needs steps that adapt both
+    ways or it stalls at the first halving. The loss is
+    piecewise-linear, so GD oscillates near the optimum rather than
+    converging tightly -- ``tol`` stops on loss plateau; for exact
+    solutions at small n use an LP solver offline, this operator
+    targets corpus-scale approximate fits (the band direction and
+    separation converge long before the last decimal of the slope).
+
+    Returns the same dict shape as logreg_fit. Test-only by design
+    (iterative; numpy replica + quantile-recovery pins in
+    tests/test_linear.py); scoring rides ``score_expr``."""
+    import numpy as np
+
+    if not 0 < tau < 1:
+        raise ValueError("tau must be in (0, 1)")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if lr <= 0:
+        raise ValueError("lr must be > 0")
+    if l2 < 0:
+        raise ValueError("l2 must be >= 0")
+    base = (
+        df.select(
+            vectors.as_double(vec_col).alias("_v"),
+            F.col(label_col).cast("double").alias("_y"),
+        )
+        .filter(F.col("_v").isNotNull() & F.col("_y").isNotNull())
+        .persist()
+    )
+    try:
+
+        def grad_loss(w):
+            import pandas as pd
+
+            def partial(batches, w=w):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                    y = pdf["_y"].to_numpy().astype(np.float64)
+                    r = y - (m @ w[:-1] + w[-1])
+                    s = tau - (r < 0).astype(np.float64)
+                    g = np.append(m.T @ (-s), -s.sum())
+                    loss = float((r * s).sum())
+                    yield pd.DataFrame(
+                        {"n": [len(m)], "g": [g], "loss": [loss]}
+                    )
+
+            parts = base.mapInPandas(
+                partial, "n long, g array<double>, loss double"
+            ).collect()
+            if not parts:
+                raise ValueError(
+                    "no rows with non-null features and label"
+                )
+            n = sum(p.n for p in parts)
+            g = np.sum([np.asarray(p.g) for p in parts], axis=0) / n
+            loss = sum(p.loss for p in parts) / n
+            g[:-1] += l2 * w[:-1]
+            loss += 0.5 * l2 * float(w[:-1] @ w[:-1])
+            return n, g, loss
+
+        first = base.first()
+        if first is None:
+            raise ValueError("no rows with non-null features and label")
+        d = len(first["_v"])
+        w = np.zeros(d + 1)
+        n, g, loss = grad_loss(w)
+        history = [loss]
+        step = float(lr)
+        for _ in range(iters):
+            while True:
+                cand = w - step * g
+                _, g2, loss2 = grad_loss(cand)
+                if loss2 <= loss or step < 1e-12:
+                    break
+                step *= 0.5
+            if abs(loss - loss2) < tol:
+                w, loss = cand, loss2
+                history.append(loss2)
+                break
+            w, g, loss = cand, g2, loss2
+            history.append(loss2)
+            step = min(step * 2.0, float(lr))  # re-grow after accept
+        return {
+            "weights": [float(x) for x in w[:-1]],
+            "intercept": float(w[-1]),
+            "n": int(n),
+            "loss": [float(x) for x in history],
+            "l2": float(l2),
+            "tau": float(tau),
+        }
+    finally:
+        base.unpersist()

@@ -152,3 +152,76 @@ def test_linear_guards(spark):
     empty = df.filter(F.col("y").isNull())
     with pytest.raises(ValueError, match="no rows"):
         linear.ridge_fit(empty, "v", "y")
+
+
+def test_quantile_fit_recovers_quantiles_and_replica(spark, oracle_sf_dir):
+    """Pinball GD: (1) on data whose conditional distribution is a
+    known two-point mixture, tau=0.9 pulls the fit toward the upper
+    branch and tau=0.1 toward the lower; (2) exact numpy trajectory
+    replica (same harness contract as logreg)."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    # y = 2*v0 + eps where eps is +1 (30%) / -1 (70%) by md5 coin:
+    # the conditional 0.9-quantile is 2*v0 + 1, the 0.1-quantile 2*v0 - 1
+    coin = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+            16, 10,
+        ).cast("long"),
+        F.lit(10),
+    )
+    df = emb.select(
+        v.alias("v"),
+        (2.0 * v[0] + F.when(coin < 3, 1.0).otherwise(-1.0)).alias("y"),
+    )
+    hi = linear.quantile_fit(df, "v", "y", tau=0.9, iters=60, lr=2.0)
+    lo = linear.quantile_fit(df, "v", "y", tau=0.1, iters=60, lr=2.0)
+    # 60 subgradient passes pin the BAND, not the last decimal of the
+    # slope: both fits see the positive v0 slope, the intercepts
+    # bracket the +-1 mixture branches with clear separation
+    assert hi["weights"][0] > 0.5 and lo["weights"][0] > 0.5
+    assert hi["intercept"] > 0.4 and lo["intercept"] < -0.4
+    assert hi["intercept"] - lo["intercept"] > 1.0
+    # both losses decreased from the w=0 start
+    assert hi["loss"][-1] < hi["loss"][0]
+    assert lo["loss"][-1] < lo["loss"][0]
+
+    rows = df.collect()
+    X = np.array([r.v for r in rows])
+    y = np.array([r.y for r in rows])
+    n = len(X)
+    tau, l2 = 0.65, 0.05
+
+    def gl(w):
+        r = y - (X @ w[:-1] + w[-1])
+        s = tau - (r < 0).astype(float)
+        g = np.append(X.T @ (-s), -s.sum()) / n
+        loss = float((r * s).sum()) / n
+        g[:-1] += l2 * w[:-1]
+        loss += 0.5 * l2 * float(w[:-1] @ w[:-1])
+        return g, loss
+
+    got = linear.quantile_fit(
+        df, "v", "y", tau=tau, iters=6, lr=0.25, l2=l2
+    )
+    w = np.zeros(65)
+    g, loss = gl(w)
+    step = 0.25
+    for _ in range(6):
+        while True:
+            cand = w - step * g
+            g2, loss2 = gl(cand)
+            if loss2 <= loss or step < 1e-12:
+                break
+            step *= 0.5
+        if abs(loss - loss2) < 1e-9:
+            w, loss = cand, loss2
+            break
+        w, g, loss = cand, g2, loss2
+        step = min(step * 2.0, 0.25)  # mirror the re-growth policy
+    assert np.allclose(got["weights"], w[:-1], rtol=1e-6, atol=1e-9)
+    assert got["intercept"] == pytest.approx(w[-1], abs=1e-9)
+    with pytest.raises(ValueError, match="tau"):
+        linear.quantile_fit(df, "v", "y", tau=1.5)
