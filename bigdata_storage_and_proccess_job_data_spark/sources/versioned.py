@@ -1268,3 +1268,140 @@ def scd2_join(
             *[F.col(f"_h.{c}").alias(c) for c in dim_cols],
         )
     )
+
+
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo=None,
+    hi=None,
+    expected: int | str | None = "auto",
+) -> dict:
+    """Copy-on-write DELETE with manifest-pruned file reuse: remove
+    rows where ``col`` BETWEEN lo AND hi (inclusive; None = unbounded
+    side) as one new snapshot commit, REWRITING ONLY the files whose
+    stats intersect the predicate and HARD-LINKING every other data
+    file into the new snapshot unchanged (clone_table's zero-copy
+    trick applied per file). This is the Delta/Iceberg copy-on-write
+    DELETE: on a 5-year table clustered by date, deleting one day
+    touches ~1/1800 of the files and links the rest at metadata price
+    -- the GDPR-erasure / bad-batch-rollback shape that a full rewrite
+    cannot afford at 100 TB. Snapshot isolation holds: readers of
+    older versions see the deleted rows until vacuum(), exactly like
+    every other commit.
+
+    Rows with NULL ``col`` never match a range and are always kept.
+    Without a stats manifest every file is "affected" (conservative
+    full rewrite -- still correct). If NO row matches, no new version
+    is committed (report says so). The new snapshot's stats manifest
+    is rebuilt from parquet footers (KB-priced metadata walk); a bloom
+    manifest, when present, is rebuilt with the same recorded columns
+    and k (one column-projection scan -- splicing per-file entries for
+    linked files is the upgrade path at extreme file counts).
+    ``expected`` follows optimize_table's optimistic-concurrency
+    default ("auto" pins the version being read, so a racing ingest
+    fails this commit closed instead of losing rows).
+
+    Returns {"version", "files_linked", "files_rewritten",
+    "rows_deleted"} -- version is None when nothing matched."""
+    import glob as _glob
+
+    if lo is None and hi is None:
+        raise ValueError(
+            "unbounded delete: give at least one bound (for truncate, "
+            "commit an empty frame explicitly)"
+        )
+    pinned = current_version(table_dir)
+    if pinned is None:
+        raise FileNotFoundError(f"{table_dir} has no committed version")
+    if expected == "auto":
+        expected = pinned
+    snap = os.path.join(table_dir, f"v={pinned}")
+    all_files = sorted(_glob.glob(os.path.join(snap, "*.parquet")))
+    if not all_files:
+        raise FileNotFoundError(f"{snap} holds no parquet files")
+    affected = prune_files(snap, col, lo, hi)
+    survivors = sorted(set(all_files) - set(affected))
+    c = F.col(col)
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (c >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (c <= F.lit(hi))
+    n_del = 0
+    if affected:
+        aff = spark.read.parquet(*affected)
+        n_del = aff.filter(pred).count()
+    if n_del == 0:
+        return {
+            "version": None,
+            "files_linked": 0,
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+        }
+    if expected is not None:
+        cur = current_version(table_dir) or 0
+        if cur != expected:
+            raise ConcurrentCommitError(
+                f"{table_dir}: expected v{expected}, found v{cur}"
+            )
+    nxt = (max(versions(table_dir), default=0)) + 1
+    while not _claim(table_dir, f"._claim_v{nxt}"):
+        nxt += 1
+    new_snap = os.path.join(table_dir, f"v={nxt}")
+    os.makedirs(new_snap)
+    for path in survivors:
+        os.link(
+            path, os.path.join(new_snap, os.path.basename(path))
+        )
+    # rewrite only the affected files, predicate complement (NULL kept)
+    kept = aff.filter(~F.coalesce(pred, F.lit(False)))
+    kept.write.mode("append").parquet(new_snap)
+    old_stats = read_stats_manifest(snap)
+    if old_stats is not None:
+        stats_cols = sorted(
+            {
+                cname
+                for per in old_stats.values()
+                for cname in per
+                if cname != "__nrows__"
+            }
+        )
+        write_stats_manifest(new_snap, stats_cols)
+    bloom_path = os.path.join(snap, _BLOOM)
+    if os.path.exists(bloom_path):
+        with open(bloom_path) as fh:
+            payload = json.load(fh)
+        bloom_cols = sorted(
+            {
+                cname
+                for per in payload.get("files", {}).values()
+                for cname in per
+            }
+        )
+        if bloom_cols:
+            write_bloom_manifest(
+                spark, new_snap, bloom_cols, k=payload.get("k", 5)
+            )
+    meta = commit_meta(table_dir, version=pinned)
+    if meta is not None:
+        with open(os.path.join(new_snap, _META), "w") as fh:
+            json.dump(meta, fh)
+    if expected is not None and not _claim(
+        table_dir, f"._commit_from_v{expected}"
+    ):
+        raise ConcurrentCommitError(
+            f"{table_dir}: another writer already committed the "
+            f"transition out of v{expected}"
+        )
+    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._latest_")
+    with os.fdopen(fd, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, _pointer_path(table_dir))
+    return {
+        "version": nxt,
+        "files_linked": len(survivors),
+        "files_rewritten": len(affected),
+        "rows_deleted": int(n_del),
+    }

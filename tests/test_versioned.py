@@ -1606,3 +1606,115 @@ def test_agg_state_variance_maintenance(spark):
         A.agg_state_init(old, keys, ms), keys, ms
     )
     assert "var_val" not in plain.columns
+
+
+def test_delete_where_links_survivors_and_rewrites_affected(spark, tmp_path):
+    """Copy-on-write DELETE: (1) only files whose stats intersect the
+    predicate are rewritten, the rest HARD-LINK into the new snapshot
+    (same inode -- metadata price); (2) results equal full-scan minus
+    matches, NULL keys kept; (3) snapshot isolation: the old version
+    still shows the deleted rows; (4) the new snapshot's stats
+    manifest still prunes; (5) zero-match deletes commit nothing."""
+    import glob
+    import os
+
+    table = str(tmp_path / "del_table")
+    df = spark.range(0, 8000).selectExpr(
+        "CASE WHEN id % 1000 = 999 THEN NULL ELSE id END AS k",
+        "id % 97 AS payload",
+    )
+    v1 = versioned.commit_version(
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        table,
+        stats_cols=["k"],
+    )
+    n_nulls = df.filter(F.col("k").isNull()).count()
+    old_files = glob.glob(f"{table}/v={v1}/*.parquet")
+    report = versioned.delete_where(spark, table, "k", 2000, 2499)
+    assert report["version"] == v1 + 1
+    assert report["rows_deleted"] == 500
+    assert report["files_rewritten"] < len(old_files)
+    assert (
+        report["files_linked"] + report["files_rewritten"]
+        == len(old_files)
+    )
+    # linked file shares its inode with the old snapshot's copy
+    new_snap = f"{table}/v={report['version']}"
+    old_inodes = {os.stat(p).st_ino for p in old_files}
+    linked = [
+        p
+        for p in glob.glob(f"{new_snap}/*.parquet")
+        if os.stat(p).st_ino in old_inodes
+    ]
+    assert len(linked) == report["files_linked"] > 0
+    now = versioned.read_version(spark, table)
+    assert now.count() == 8000 - 500
+    assert now.filter(F.col("k").between(2000, 2499)).count() == 0
+    assert now.filter(F.col("k").isNull()).count() == n_nulls  # kept
+    # snapshot isolation: v1 unchanged
+    before = versioned.read_version(spark, table, version=v1)
+    assert before.filter(F.col("k").between(2000, 2499)).count() == 500
+    # manifest rebuilt: pruning on the new snapshot still works and
+    # equals scan+filter
+    kept_files = versioned.prune_files(new_snap, "k", 3000, 3099)
+    assert 0 < len(kept_files) < len(glob.glob(f"{new_snap}/*.parquet"))
+    pruned = versioned.read_version(
+        spark, table, prune=("k", 3000, 3099)
+    )
+    assert pruned.count() == 100
+    # zero-match delete: no commit
+    r0 = versioned.delete_where(spark, table, "k", 2000, 2499)
+    assert r0["version"] is None and r0["rows_deleted"] == 0
+    assert versioned.current_version(table) == report["version"]
+
+
+def test_delete_where_no_manifest_and_concurrency(spark, tmp_path):
+    """Without a stats manifest every file is conservatively rewritten
+    (correct, just unpruned); a stale ``expected`` fails closed; an
+    unbounded delete is rejected."""
+    import glob
+
+    import pytest
+
+    table = str(tmp_path / "del_plain")
+    df = spark.range(0, 1000).selectExpr("id AS k", "id % 7 AS p")
+    v1 = versioned.commit_version(df.repartition(4), table)
+    n_files = len(glob.glob(f"{table}/v={v1}/*.parquet"))
+    report = versioned.delete_where(spark, table, "k", 10, 19)
+    assert report["files_rewritten"] == n_files
+    assert report["files_linked"] == 0
+    assert versioned.read_version(spark, table).count() == 990
+    with pytest.raises(versioned.ConcurrentCommitError):
+        versioned.delete_where(spark, table, "k", 0, 5, expected=v1)
+    with pytest.raises(ValueError, match="unbounded"):
+        versioned.delete_where(spark, table, "k")
+
+
+def test_delete_where_rebuilds_bloom(spark, tmp_path):
+    """A bloom-manifested table keeps equality pruning after a delete:
+    the new snapshot's bloom is rebuilt with the recorded columns and
+    lookups on surviving keys stay exact."""
+    table = str(tmp_path / "del_bloom")
+    df = spark.range(0, 4000).selectExpr(
+        "CAST(id AS STRING) AS key", "id AS k", "id % 11 AS p"
+    )
+    v1 = versioned.commit_version(
+        df.repartitionByRange(6, "k").sortWithinPartitions("k"),
+        table,
+        stats_cols=["k"],
+    )
+    versioned.write_bloom_manifest(spark, f"{table}/v={v1}", ["key"])
+    report = versioned.delete_where(spark, table, "k", 100, 199)
+    new_snap = f"{table}/v={report['version']}"
+    import os
+
+    assert os.path.exists(os.path.join(new_snap, "_bloom.json"))
+    kept = versioned.prune_files_bloom(new_snap, "key", "3000")
+    assert 0 < len(kept)
+    got = versioned.read_version(
+        spark, table, prune_eq=("key", "3000")
+    )
+    assert got.count() == 1
+    assert versioned.read_version(
+        spark, table, prune_eq=("key", "150")
+    ).count() == 0  # deleted key: bloom may keep files, filter is exact
