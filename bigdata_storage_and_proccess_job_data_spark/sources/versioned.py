@@ -1270,47 +1270,28 @@ def scd2_join(
     )
 
 
-def delete_where(
+def _cow_rewrite(
     spark: SparkSession,
     table_dir: str,
     col: str,
-    lo=None,
-    hi=None,
-    expected: int | str | None = "auto",
+    lo,
+    hi,
+    rewrite,
+    expected: int | str | None,
+    count_key: str,
 ) -> dict:
-    """Copy-on-write DELETE with manifest-pruned file reuse: remove
-    rows where ``col`` BETWEEN lo AND hi (inclusive; None = unbounded
-    side) as one new snapshot commit, REWRITING ONLY the files whose
-    stats intersect the predicate and HARD-LINKING every other data
-    file into the new snapshot unchanged (clone_table's zero-copy
-    trick applied per file). This is the Delta/Iceberg copy-on-write
-    DELETE: on a 5-year table clustered by date, deleting one day
-    touches ~1/1800 of the files and links the rest at metadata price
-    -- the GDPR-erasure / bad-batch-rollback shape that a full rewrite
-    cannot afford at 100 TB. Snapshot isolation holds: readers of
-    older versions see the deleted rows until vacuum(), exactly like
-    every other commit.
-
-    Rows with NULL ``col`` never match a range and are always kept.
-    Without a stats manifest every file is "affected" (conservative
-    full rewrite -- still correct). If NO row matches, no new version
-    is committed (report says so). The new snapshot's stats manifest
-    is rebuilt from parquet footers (KB-priced metadata walk); a bloom
-    manifest, when present, is rebuilt with the same recorded columns
-    and k (one column-projection scan -- splicing per-file entries for
-    linked files is the upgrade path at extreme file counts).
-    ``expected`` follows optimize_table's optimistic-concurrency
-    default ("auto" pins the version being read, so a racing ingest
-    fails this commit closed instead of losing rows).
-
-    Returns {"version", "files_linked", "files_rewritten",
-    "rows_deleted"} -- version is None when nothing matched."""
+    """Shared copy-on-write core for delete_where / update_where:
+    stats-prune the affected files, hard-link the rest into the next
+    snapshot, replace the affected files with ``rewrite(aff, pred)``,
+    rebuild manifests, publish under the commit protocol. See
+    delete_where for the full semantics discussion."""
     import glob as _glob
 
     if lo is None and hi is None:
         raise ValueError(
-            "unbounded delete: give at least one bound (for truncate, "
-            "commit an empty frame explicitly)"
+            "unbounded predicate: give at least one bound (for a "
+            "whole-table rewrite, commit the transformed frame "
+            "explicitly)"
         )
     pinned = current_version(table_dir)
     if pinned is None:
@@ -1329,16 +1310,17 @@ def delete_where(
         pred = pred & (c >= F.lit(lo))
     if hi is not None:
         pred = pred & (c <= F.lit(hi))
-    n_del = 0
+    n_match = 0
+    aff = None
     if affected:
         aff = spark.read.parquet(*affected)
-        n_del = aff.filter(pred).count()
-    if n_del == 0:
+        n_match = aff.filter(pred).count()
+    if n_match == 0:
         return {
             "version": None,
             "files_linked": 0,
             "files_rewritten": 0,
-            "rows_deleted": 0,
+            count_key: 0,
         }
     if expected is not None:
         cur = current_version(table_dir) or 0
@@ -1355,9 +1337,7 @@ def delete_where(
         os.link(
             path, os.path.join(new_snap, os.path.basename(path))
         )
-    # rewrite only the affected files, predicate complement (NULL kept)
-    kept = aff.filter(~F.coalesce(pred, F.lit(False)))
-    kept.write.mode("append").parquet(new_snap)
+    rewrite(aff, pred).write.mode("append").parquet(new_snap)
     old_stats = read_stats_manifest(snap)
     if old_stats is not None:
         stats_cols = sorted(
@@ -1403,5 +1383,101 @@ def delete_where(
         "version": nxt,
         "files_linked": len(survivors),
         "files_rewritten": len(affected),
-        "rows_deleted": int(n_del),
+        count_key: int(n_match),
     }
+
+
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo=None,
+    hi=None,
+    expected: int | str | None = "auto",
+) -> dict:
+    """Copy-on-write DELETE with manifest-pruned file reuse: remove
+    rows where ``col`` BETWEEN lo AND hi (inclusive; None = unbounded
+    side) as one new snapshot commit, REWRITING ONLY the files whose
+    stats intersect the predicate and HARD-LINKING every other data
+    file into the new snapshot unchanged (clone_table's zero-copy
+    trick applied per file). This is the Delta/Iceberg copy-on-write
+    DELETE: on a 5-year table clustered by date, deleting one day
+    touches ~1/1800 of the files and links the rest at metadata price
+    -- the GDPR-erasure / bad-batch-rollback shape that a full rewrite
+    cannot afford at 100 TB. Snapshot isolation holds: readers of
+    older versions see the deleted rows until vacuum(), exactly like
+    every other commit.
+
+    Rows with NULL ``col`` never match a range and are always kept.
+    Without a stats manifest every file is "affected" (conservative
+    full rewrite -- still correct). If NO row matches, no new version
+    is committed (report says so). The new snapshot's stats manifest
+    is rebuilt from parquet footers (KB-priced metadata walk); a bloom
+    manifest, when present, is rebuilt with the same recorded columns
+    and k (one column-projection scan -- splicing per-file entries for
+    linked files is the upgrade path at extreme file counts).
+    ``expected`` follows optimize_table's optimistic-concurrency
+    default ("auto" pins the version being read, so a racing ingest
+    fails this commit closed instead of losing rows).
+
+    Returns {"version", "files_linked", "files_rewritten",
+    "rows_deleted"} -- version is None when nothing matched."""
+    return _cow_rewrite(
+        spark,
+        table_dir,
+        col,
+        lo,
+        hi,
+        # predicate complement; NULL col is kept by coalesce(False)
+        lambda aff, pred: aff.filter(~F.coalesce(pred, F.lit(False))),
+        expected,
+        "rows_deleted",
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo,
+    hi,
+    set_exprs: "dict[str, Column]",
+    expected: int | str | None = "auto",
+) -> dict:
+    """Copy-on-write UPDATE: SET the ``set_exprs`` columns (name ->
+    Column expression, evaluated against the current row) on rows
+    where ``col`` BETWEEN lo AND hi, sharing delete_where's pruned
+    link-or-rewrite core -- only stats-intersecting files rewrite,
+    everything else hard-links; same manifests, concurrency, NULL and
+    zero-match semantics. The targeted-correction shape (backfill a
+    bad day's rate, redact a span of user rows to tombstone values)
+    at file-touch cost proportional to the predicate's spread, not
+    the table.
+
+    ``set_exprs`` may only assign EXISTING columns (a schema change is
+    a different operation -- every linked file must stay
+    schema-identical to the rewritten ones).
+
+    Returns {"version", "files_linked", "files_rewritten",
+    "rows_updated"} -- version None when nothing matched."""
+    if not set_exprs:
+        raise ValueError("set_exprs must assign at least one column")
+
+    def rewrite(aff: DataFrame, pred):
+        missing = [c for c in set_exprs if c not in aff.columns]
+        if missing:
+            raise ValueError(
+                f"update_where may only set existing columns; "
+                f"missing: {missing}"
+            )
+        cond = F.coalesce(pred, F.lit(False))
+        return aff.withColumns(
+            {
+                name: F.when(cond, expr).otherwise(F.col(name))
+                for name, expr in set_exprs.items()
+            }
+        )
+
+    return _cow_rewrite(
+        spark, table_dir, col, lo, hi, rewrite, expected, "rows_updated"
+    )

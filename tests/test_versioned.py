@@ -1718,3 +1718,55 @@ def test_delete_where_rebuilds_bloom(spark, tmp_path):
     assert versioned.read_version(
         spark, table, prune_eq=("key", "150")
     ).count() == 0  # deleted key: bloom may keep files, filter is exact
+
+
+def test_update_where_targets_files_and_preserves_rest(spark, tmp_path):
+    """Copy-on-write UPDATE: matching rows get the SET expressions
+    (evaluated against the current row), non-matching rows -- in both
+    rewritten and linked files -- are byte-identical; schema changes
+    are rejected; zero-match updates commit nothing."""
+    import glob
+
+    import pytest
+
+    table = str(tmp_path / "upd_table")
+    df = spark.range(0, 6000).selectExpr(
+        "id AS k", "CAST(id % 100 AS DOUBLE) AS price", "id % 5 AS grp"
+    )
+    v1 = versioned.commit_version(
+        df.repartitionByRange(6, "k").sortWithinPartitions("k"),
+        table,
+        stats_cols=["k"],
+    )
+    n_files = len(glob.glob(f"{table}/v={v1}/*.parquet"))
+    report = versioned.update_where(
+        spark, table, "k", 1000, 1499,
+        {"price": F.col("price") * 2 + F.col("grp")},
+    )
+    assert report["rows_updated"] == 500
+    assert 0 < report["files_rewritten"] < n_files
+    assert report["files_linked"] + report["files_rewritten"] == n_files
+    now = versioned.read_version(spark, table)
+    hit = now.filter(F.col("k").between(1000, 1499))
+    assert hit.filter(
+        F.col("price") != (F.col("k") % 100) * 2 + F.col("k") % 5
+    ).count() == 0
+    untouched = now.filter(~F.col("k").between(1000, 1499))
+    assert untouched.filter(
+        F.col("price") != (F.col("k") % 100).cast("double")
+    ).count() == 0
+    assert now.count() == 6000  # updates never change row count
+    # old version unchanged (snapshot isolation)
+    old = versioned.read_version(spark, table, version=v1)
+    assert old.filter(
+        (F.col("k") == 1000) & (F.col("price") == 0.0)
+    ).count() == 1
+    with pytest.raises(ValueError, match="existing columns"):
+        versioned.update_where(
+            spark, table, "k", 0, 10, {"new_col": F.lit(1)}
+        )
+    r0 = versioned.update_where(
+        spark, table, "k", 10_000_000, 10_000_001,
+        {"price": F.lit(0.0)},
+    )
+    assert r0["version"] is None and r0["rows_updated"] == 0
