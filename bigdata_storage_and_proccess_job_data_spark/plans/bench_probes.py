@@ -307,6 +307,78 @@ def kmv_zipf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cow_delete_band(spark: SparkSession, sf_dir: str, version):
+    """Clone the probe table at ``version`` (zero-copy hard links),
+    delete a mid-range ~1% o_orderkey band, report the file-touch
+    accounting. The clone makes the probe repeatable: every call
+    mutates a fresh metadata-priced copy, never the shared layout."""
+    import shutil
+
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    dest = ensure_versioned_table(spark, sf_dir)
+    ck = f"vtmax:{sf_dir}"
+    kmax = _KEY_CACHE.get(ck)
+    if kmax is None:
+        kmax = (
+            load_table(spark, sf_dir, "orders")
+            .agg(F.max("o_orderkey").alias("k"))
+            .first()[0]
+        )
+        _KEY_CACHE[ck] = kmax
+    lo = kmax // 2
+    hi = lo + max(1, kmax // 100)
+    tmp = tempfile.mkdtemp(prefix="sgraft_cow_")
+    try:
+        clone_dir = os.path.join(tmp, "t")
+        versioned.clone_table(dest, clone_dir, version=version)
+        rep = versioned.delete_where(
+            spark, clone_dir, "o_orderkey", lo, hi
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    rep["files_rewritten"],
+                    rep["files_linked"],
+                    rep["rows_deleted"],
+                )
+            ],
+            "files_rewritten int, files_linked int, rows_deleted long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def cow_delete_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE of a ~1% key band on the post-OPTIMIZE
+    range-clustered snapshot: the stats manifest proves all but ~1 of
+    16 files disjoint from the band, so the commit hard-links ~15
+    files and rewrites ~1 -- DML cost proportional to the predicate's
+    spread. Measured twin of cow_delete_fragmented (the
+    skew_distinct_naive/spread precedent): same delete, same table,
+    the LAYOUT is the only variable."""
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    dest = ensure_versioned_table(spark, sf_dir)
+    return _cow_delete_band(
+        spark, sf_dir, versioned.current_version(dest)
+    )
+
+
+def cow_delete_fragmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME ~1% band delete against the pre-OPTIMIZE fragmented
+    snapshot: every ingest-interleaved file spans nearly the full key
+    range, the manifest can prove nothing disjoint, and the commit
+    rewrites every file -- the full-rewrite cost OPTIMIZE + stats
+    exist to avoid, measured."""
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    dest = ensure_versioned_table(spark, sf_dir)
+    return _cow_delete_band(
+        spark, sf_dir, versioned.current_version(dest) - 1
+    )
+
+
 def bench_probes() -> dict:
     """name -> (spark, sf_dir) -> DataFrame, merged into bench.py's run
     set after the registered headline queries."""
@@ -320,6 +392,8 @@ def bench_probes() -> dict:
         "graph_triangles": graph_triangles,
         "knn_lsh_probed": knn_lsh_probed,
         "kmv_zipf_build": kmv_zipf_build,
+        "cow_delete_clustered": cow_delete_clustered,
+        "cow_delete_fragmented": cow_delete_fragmented,
     }
 
 

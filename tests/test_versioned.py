@@ -1770,3 +1770,20 @@ def test_update_where_targets_files_and_preserves_rest(spark, tmp_path):
         {"price": F.lit(0.0)},
     )
     assert r0["version"] is None and r0["rows_updated"] == 0
+
+
+def test_cow_probe_pair_layout_accounting(spark, sf_dir):
+    """The bench probe pair's scale claim, pinned at test scale: the
+    SAME band delete rewrites a strict minority of files on the
+    range-clustered snapshot and every file on the fragmented one,
+    with identical rows_deleted (layout is the only variable)."""
+    from bigdata_storage_and_proccess_job_data_spark.plans import bench_probes
+
+    clustered = bench_probes.cow_delete_clustered(spark, sf_dir).first()
+    fragmented = bench_probes.cow_delete_fragmented(spark, sf_dir).first()
+    assert clustered.rows_deleted == fragmented.rows_deleted > 0
+    assert clustered.files_rewritten < (
+        clustered.files_rewritten + clustered.files_linked
+    )
+    assert fragmented.files_linked == 0
+    assert clustered.files_rewritten < fragmented.files_rewritten
