@@ -809,6 +809,7 @@ def apply_changes(
     expected: int | None = None,
     stats_cols: list[str] | None = None,
     merge_schema: bool = False,
+    prune: bool = False,
 ) -> int:
     """MERGE-style change application onto a versioned table: ``changes``
     carries the table's columns plus ``op_col`` in {'upsert','delete'}.
@@ -838,7 +839,14 @@ def apply_changes(
     spark_job.py:78-80 upserts; deletes had no reference path at all)
     expressed as immutable snapshots + one anti-join -- the
     copy-on-write MERGE shape, which at 100 TB pairs with partition
-    pruning so only touched partitions rewrite."""
+    pruning so only touched partitions rewrite.
+
+    ``prune=True`` (requires merge_schema=False) upgrades the commit
+    to the delete_where file-reuse core: files whose key stats are
+    disjoint from the batch's [min, max] key band HARD-LINK into the
+    new snapshot and only intersecting files rewrite -- the clustered-
+    table + banded-batch ingest shape touches a handful of files; a
+    scattered batch degrades gracefully to the full rewrite."""
     # the batch is read three times (op validation, upsert slice,
     # touched-key set) -- persist once so the lineage isn't re-evaluated
     # per use; a change batch is small relative to the table by nature
@@ -862,6 +870,43 @@ def apply_changes(
                 "evolution (new columns added, missing columns NULL-filled)"
             )
         touched = changes.select(F.col(key)).distinct()
+        if prune:
+            if merge_schema:
+                raise ValueError(
+                    "prune=True cannot combine with merge_schema=True: "
+                    "hard-linked files keep the OLD schema, so an "
+                    "additive-evolution commit must rewrite every file"
+                )
+            # COW MERGE (the delete_where/_cow_rewrite core): only the
+            # files whose key stats intersect the batch's [min, max]
+            # key band can contain a touched key, so everything else
+            # hard-links. The win is the common ingest shape -- a
+            # key/time-clustered table receiving a banded batch (late
+            # data in a recent window) rewrites a handful of files; a
+            # scattered batch degrades to the full rewrite, never to a
+            # wrong answer. always_commit: pure inserts (no base row
+            # in the band) still need their commit.
+            bounds = changes.agg(
+                F.min(F.col(key)).alias("lo"), F.max(F.col(key)).alias("hi")
+            ).first()
+            if bounds.lo is None:
+                return commit_version(
+                    base, table_dir, expected=expected, stats_cols=stats_cols
+                )
+            report = _cow_rewrite(
+                spark,
+                table_dir,
+                key,
+                bounds.lo,
+                bounds.hi,
+                lambda aff, _pred: aff.join(
+                    touched, key, "left_anti"
+                ).unionByName(upserts),
+                expected if expected is not None else None,
+                "rows_in_band",
+                always_commit=True,
+            )
+            return report["version"]
         survivors = base.join(touched, key, "left_anti")
         return commit_version(
             survivors.unionByName(upserts, allowMissingColumns=merge_schema),
@@ -1279,6 +1324,7 @@ def _cow_rewrite(
     rewrite,
     expected: int | str | None,
     count_key: str,
+    always_commit: bool = False,
 ) -> dict:
     """Shared copy-on-write core for delete_where / update_where:
     stats-prune the affected files, hard-link the rest into the next
@@ -1311,11 +1357,15 @@ def _cow_rewrite(
     if hi is not None:
         pred = pred & (c <= F.lit(hi))
     n_match = 0
-    aff = None
     if affected:
         aff = spark.read.parquet(*affected)
         n_match = aff.filter(pred).count()
-    if n_match == 0:
+    else:
+        # no file intersects (e.g. a pure-insert merge band beyond
+        # every range): an empty, schema-correct frame keeps the
+        # rewrite callback uniform
+        aff = spark.read.parquet(all_files[0]).filter(F.lit(False))
+    if n_match == 0 and not always_commit:
         return {
             "version": None,
             "files_linked": 0,

@@ -1787,3 +1787,67 @@ def test_cow_probe_pair_layout_accounting(spark, sf_dir):
     )
     assert fragmented.files_linked == 0
     assert clustered.files_rewritten < fragmented.files_rewritten
+
+
+def test_apply_changes_pruned_equals_full_and_links(spark, tmp_path):
+    """prune=True MERGE: identical table content to the unpruned
+    apply_changes on a twin table, with the majority of files
+    hard-linked for a banded batch (inode-verified); a pure-insert
+    batch beyond every key range links everything and still commits;
+    merge_schema combination is rejected."""
+    import glob
+    import os
+
+    import pytest
+
+    def build(where):
+        t = str(tmp_path / where)
+        df = spark.range(0, 6000).selectExpr(
+            "id AS k", "id % 13 AS p"
+        )
+        versioned.commit_version(
+            df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+            t,
+            stats_cols=["k"],
+        )
+        return t
+
+    a, b = build("pruned"), build("full")
+    batch = spark.range(1000, 1100).selectExpr(
+        "id AS k", "id AS p", "'upsert' AS _op"
+    ).union(
+        spark.range(1100, 1150).selectExpr(
+            "id AS k", "CAST(NULL AS BIGINT) AS p", "'delete' AS _op"
+        )
+    )
+    old_files = glob.glob(f"{a}/v=1/*.parquet")
+    va = versioned.apply_changes(spark, a, batch, "k", prune=True)
+    vb = versioned.apply_changes(spark, b, batch, "k")
+    got_a = sorted(
+        map(tuple, versioned.read_version(spark, a).collect())
+    )
+    got_b = sorted(
+        map(tuple, versioned.read_version(spark, b).collect())
+    )
+    assert got_a == got_b
+    assert len(got_a) == 6000 - 50
+    # banded batch -> most files linked
+    old_inodes = {os.stat(p).st_ino for p in old_files}
+    new_files = glob.glob(f"{a}/v={va}/*.parquet")
+    linked = [
+        p for p in new_files if os.stat(p).st_ino in old_inodes
+    ]
+    assert len(linked) >= len(old_files) - 2 > 0
+    # pure inserts beyond every range: all files link, rows appear
+    ins = spark.range(50_000, 50_010).selectExpr(
+        "id AS k", "id AS p", "'upsert' AS _op"
+    )
+    v2 = versioned.apply_changes(spark, a, ins, "k", prune=True)
+    assert v2 == va + 1
+    now = versioned.read_version(spark, a)
+    assert now.filter(F.col("k") >= 50_000).count() == 10
+    assert now.count() == len(got_a) + 10
+    with pytest.raises(ValueError, match="merge_schema"):
+        versioned.apply_changes(
+            spark, a, ins, "k", prune=True, merge_schema=True
+        )
