@@ -1347,6 +1347,15 @@ def _cow_rewrite(
     snap = os.path.join(table_dir, f"v={pinned}")
     all_files = sorted(_glob.glob(os.path.join(snap, "*.parquet")))
     if not all_files:
+        import glob as _g
+
+        if _g.glob(os.path.join(snap, "*", "")):
+            raise ValueError(
+                f"{snap} is a hive-partitioned snapshot: the COW "
+                "file-reuse core works on flat stats-manifested "
+                "layouts; rewrite the touched PARTITIONS instead "
+                "(read, transform, commit_version(partition_by=...))"
+            )
         raise FileNotFoundError(f"{snap} holds no parquet files")
     affected = prune_files(snap, col, lo, hi)
     survivors = sorted(set(all_files) - set(affected))

@@ -1851,3 +1851,34 @@ def test_apply_changes_pruned_equals_full_and_links(spark, tmp_path):
         versioned.apply_changes(
             spark, a, ins, "k", prune=True, merge_schema=True
         )
+
+
+def test_delete_where_partitioned_rejected_and_vacuum_safe(spark, tmp_path):
+    """(1) COW DML on a hive-partitioned snapshot fails with a clear
+    redirect (flat layouts only); (2) vacuuming the pre-delete version
+    does not disturb the new snapshot's hard-linked files -- the
+    shared inodes survive until the last directory entry drops."""
+    import pytest
+
+    part = str(tmp_path / "part_table")
+    df = spark.range(0, 300).selectExpr("id AS k", "id % 3 AS pt")
+    versioned.commit_version(df, part, partition_by=["pt"])
+    with pytest.raises(ValueError, match="partitioned snapshot"):
+        versioned.delete_where(spark, part, "k", 0, 10)
+
+    flat = str(tmp_path / "flat_table")
+    df2 = spark.range(0, 4000).selectExpr("id AS k", "id % 7 AS p")
+    v1 = versioned.commit_version(
+        df2.repartitionByRange(6, "k").sortWithinPartitions("k"),
+        flat,
+        stats_cols=["k"],
+    )
+    rep = versioned.delete_where(spark, flat, "k", 500, 599)
+    assert rep["files_linked"] > 0
+    removed = versioned.vacuum(flat, keep=1)
+    assert v1 in removed
+    now = versioned.read_version(spark, flat)
+    assert now.count() == 4000 - 100  # linked inodes intact post-vacuum
+    assert now.agg(F.sum("k")).first()[0] == sum(
+        k for k in range(4000) if not 500 <= k <= 599
+    )
