@@ -550,3 +550,60 @@ def test_cusum_closed_form_equals_textbook_recursion(spark):
     assert sorted(map(tuple, rep)) == sorted(
         map(tuple, out.collect())
     )
+
+
+def test_cow_dml_content_equals_plain_filter_on_generated_bands(
+    spark, tmp_path
+):
+    """Property: for arbitrary delete bands (interior, boundary,
+    beyond-range, inverted-empty) over arbitrary cluster widths,
+    delete_where's surviving content EXACTLY equals the plain
+    filter's, the file accounting sums, and update_where preserves
+    row count while transforming exactly the band."""
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    texts = _examples(40)
+    n = 3000
+    base_rows = [(i, float(len(texts[i % len(texts)]))) for i in range(n)]
+    bands = [
+        (100, 250), (0, 0), (2999, 2999), (2800, 5000),
+        (-50, -1), (1500, 1500), (0, 2999),
+    ]
+    for bi, (lo, hi) in enumerate(bands):
+        table = str(tmp_path / f"cow_prop_{bi}")
+        df = spark.createDataFrame(base_rows, "k long, v double")
+        versioned.commit_version(
+            df.repartitionByRange(5, "k").sortWithinPartitions("k"),
+            table,
+            stats_cols=["k"],
+        )
+        rep = versioned.delete_where(spark, table, "k", lo, hi)
+        expect = sorted(
+            (k, v) for k, v in base_rows if not lo <= k <= hi
+        )
+        if rep["version"] is None:
+            assert len(expect) == n  # nothing matched, no commit
+            continue
+        got = sorted(
+            map(tuple, versioned.read_version(spark, table).collect())
+        )
+        assert got == expect, (lo, hi)
+        assert rep["rows_deleted"] == n - len(expect)
+    # update: band transform only, count preserved
+    table = str(tmp_path / "cow_prop_upd")
+    df = spark.createDataFrame(base_rows, "k long, v double")
+    versioned.commit_version(
+        df.repartitionByRange(5, "k").sortWithinPartitions("k"),
+        table,
+        stats_cols=["k"],
+    )
+    rep = versioned.update_where(
+        spark, table, "k", 500, 700, {"v": F.col("v") + 1000.0}
+    )
+    got = dict(versioned.read_version(spark, table).collect())
+    for k, v in base_rows:
+        if 500 <= k <= 700:
+            assert got[k] == v + 1000.0
+        else:
+            assert got[k] == v
+    assert rep["rows_updated"] == 201
