@@ -902,9 +902,10 @@ def apply_changes(
                 lambda aff, _pred: aff.join(
                     touched, key, "left_anti"
                 ).unionByName(upserts),
-                expected if expected is not None else None,
+                expected,
                 "rows_in_band",
                 always_commit=True,
+                stats_cols_override=stats_cols,
             )
             return report["version"]
         survivors = base.join(touched, key, "left_anti")
@@ -1325,6 +1326,7 @@ def _cow_rewrite(
     expected: int | str | None,
     count_key: str,
     always_commit: bool = False,
+    stats_cols_override: "list[str] | None" = None,
 ) -> dict:
     """Shared copy-on-write core for delete_where / update_where:
     stats-prune the affected files, hard-link the rest into the next
@@ -1398,7 +1400,9 @@ def _cow_rewrite(
         )
     rewrite(aff, pred).write.mode("append").parquet(new_snap)
     old_stats = read_stats_manifest(snap)
-    if old_stats is not None:
+    if stats_cols_override is not None:
+        write_stats_manifest(new_snap, list(stats_cols_override))
+    elif old_stats is not None:
         stats_cols = sorted(
             {
                 cname
