@@ -2094,3 +2094,74 @@ def winnow_matches(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= int(min_shared))
     )
+
+
+def mask_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rate: float = 0.15,
+    salt: str = "mlm",
+    mask_token: str = "[MASK]",
+) -> DataFrame:
+    """Deterministic MLM-style token masking -- the denoising-objective
+    data prep (BERT's 15% masking / the token half of T5 span
+    corruption): each whitespace token flips an md5 coin keyed by
+    (doc id, position, salt) and masked positions emit BOTH the
+    corrupted input and the recovery targets. The coin is the repo's
+    determinism primitive, so the SAME corpus + salt always yields the
+    SAME masked dataset across sessions, partitionings, and engines --
+    an epoch re-generates by changing the salt, not by storing masks.
+
+    Pure expression shape: ONE tokenize + index-aware array
+    transforms -- no explode, no shuffle, no Python; rows out = rows
+    in, and the whole derivation runs inside whole-stage codegen at
+    scan speed. (The DuckDB oracle replays it via generate_subscripts,
+    value-identical through the md5_hash60 bridge.)
+
+    Returns id + (masked_text, n_tokens, n_masked,
+    targets: array<struct<pos int, token string>>) with 0-based
+    positions; NULL text yields an empty-token row (no silent drop)."""
+    if not 0 < rate < 1:
+        raise ValueError("rate must be in (0, 1)")
+    from bigdata_storage_and_proccess_job_data_spark.functions import text
+
+    toks = text.tokens(F.coalesce(F.col(text_col), F.lit("")))
+    # coin(i) < rate, keyed by (id, 0-based position, salt); the
+    # 60-bit md5 prefix over 2^60 is the bootstrap/jl coin
+    threshold = int(rate * float(1 << 60))
+    # spelled as ONE parsed SQL expression so the transform lambda's
+    # index variable rides inside the coin, byte-identical to the
+    # oracle's replay text
+    coin_sql = (
+        "cast(conv(substring(md5(concat_ws(':', "
+        f"cast(`{id_col}` as string), cast(i as string), '{salt}')), "
+        "1, 15), 16, 10) as bigint)"
+    )
+    masked_arr = F.expr(
+        f"transform(_toks, (t, i) -> case when {coin_sql} < "
+        f"{threshold} then '{mask_token}' else t end)"
+    )
+    targets = F.expr(
+        f"filter(transform(_toks, (t, i) -> struct(i as pos, t as "
+        f"token, ({coin_sql} < {threshold}) as _hit)), s -> s._hit)"
+    )
+    return (
+        df.select(id_col, toks.alias("_toks"))
+        .select(
+            id_col,
+            F.array_join(masked_arr, " ").alias("masked_text"),
+            F.size("_toks").alias("n_tokens"),
+            targets.alias("_tg"),
+        )
+        .select(
+            id_col,
+            "masked_text",
+            "n_tokens",
+            F.size("_tg").alias("n_masked"),
+            F.expr(
+                "transform(_tg, s -> struct(s.pos as pos, "
+                "s.token as token))"
+            ).alias("targets"),
+        )
+    )

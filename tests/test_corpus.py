@@ -2086,3 +2086,108 @@ def test_winnow_fingerprints_replica_guarantee_and_parity(spark, oracle_sf_dir):
         FROM fps GROUP BY doc_id
     """
     assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_mask_tokens_twin_rate_and_duckdb_parity(spark, oracle_sf_dir):
+    """Deterministic MLM masking: (1) bit-equal pure-Python coin twin
+    on a hand corpus (mask positions, corrupted text, recovery
+    targets); (2) partition-layout independence; (3) corpus mask
+    fraction ~= rate; (4) full DuckDB replay parity on documents
+    through the md5_hash60 bridge."""
+    import hashlib
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        _md5_hash60_sql,
+    )
+
+    rate, salt = 0.3, "ep1"
+    thr = int(rate * float(1 << 60))
+
+    def coin(doc, i):
+        h = hashlib.md5(f"{doc}:{i}:{salt}".encode()).hexdigest()[:15]
+        return int(h, 16) < thr
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, ""),
+        (3, None),
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in corpus.mask_tokens(
+            df, "doc_id", "text", rate=rate, salt=salt
+        ).collect()
+    }
+    for doc_id, txt in docs:
+        toks = (txt or "").strip().split()
+        want_masked = [
+            "[MASK]" if coin(doc_id, i) else t
+            for i, t in enumerate(toks)
+        ]
+        r = out[doc_id]
+        assert r.masked_text == " ".join(want_masked), doc_id
+        assert r.n_tokens == len(toks)
+        want_targets = [
+            (i, t) for i, t in enumerate(toks) if coin(doc_id, i)
+        ]
+        assert [(t.pos, t.token) for t in r.targets] == want_targets
+        assert r.n_masked == len(want_targets)
+
+    real = load_table(spark, oracle_sf_dir, "documents")
+    got = corpus.mask_tokens(real, "doc_id", "text", rate=0.15)
+    a = sorted(
+        (r.doc_id, r.masked_text, r.n_masked) for r in got.collect()
+    )
+    b = sorted(
+        (r.doc_id, r.masked_text, r.n_masked)
+        for r in corpus.mask_tokens(
+            real.repartition(17), "doc_id", "text", rate=0.15
+        ).collect()
+    )
+    assert a == b  # pure function of (id, pos, salt)
+    agg = got.agg(
+        F.sum("n_masked").alias("m"), F.sum("n_tokens").alias("n")
+    ).first()
+    assert abs(agg.m / agg.n - 0.15) < 0.01  # corpus-level rate
+
+    h = _md5_hash60_sql("doc_id::VARCHAR || ':' || (i - 1)::VARCHAR || ':mlm'")
+    thr15 = int(0.15 * float(1 << 60))
+    sql = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN trim(COALESCE(text, '')) = ''
+                      THEN []::VARCHAR[]
+                      ELSE string_split_regex(trim(text), '\\s+') END AS t
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+          FROM toks
+        ),
+        coined AS (
+          SELECT doc_id, t, i, ({h}) < {thr15} AS hit
+          FROM pos
+        ),
+        agg AS (
+          SELECT doc_id,
+                 string_agg(CASE WHEN hit THEN '[MASK]' ELSE t[i] END,
+                            ' ' ORDER BY i) AS masked_text,
+                 COUNT(*) FILTER (hit) AS n_masked
+          FROM coined GROUP BY doc_id
+        )
+        SELECT k.doc_id,
+               COALESCE(a.masked_text, '') AS masked_text,
+               len(k.t)::BIGINT AS n_tokens,
+               COALESCE(a.n_masked, 0)::BIGINT AS n_masked
+        FROM toks k LEFT JOIN agg a USING (doc_id)
+    """
+    from tests.parity import compare, duckdb_connect
+
+    assert compare(
+        got.select("doc_id", "masked_text", "n_tokens", "n_masked"),
+        duckdb_connect(oracle_sf_dir),
+        sql,
+    ) == []
