@@ -572,9 +572,18 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # chain walks -> skipgram -> SPPMI -> ALS.
 # privacy.dp_noisy_counts and privacy.k_anonymity_report are both
 # R10-promotable with bit-exact DuckDB replay (test_privacy.py; the
-# DP release replays through the md5_hash60 bridge), as is
+# DP release replays through the md5_hash60 bridge), as are
 # ranking.ranking_metrics (full replay parity in
-# test_ranking_metrics_pins_and_parity).
+# test_ranking_metrics_pins_and_parity) and corpus.mask_tokens (MLM
+# masking; bit-equal coin twin + full replay,
+# test_mask_tokens_twin_rate_and_duckdb_parity). The COW DML family
+# (versioned.delete_where / update_where / apply_changes(prune=True))
+# is storage-maintenance, test+probe-pinned (the optimize_table
+# precedent -- not registry material); its scale record is the
+# cow_delete_clustered/_fragmented bench pair. linear.quantile_fit
+# and factorization.als_fit follow the logreg/kmeans test-only
+# precedent (numpy replicas); isotonic_fit is applyInPandas PAV with
+# a pure-Python replica (test_features.py).
 # operators/linear.py (ridge_fit / logreg_fit / score_expr): fits are
 # test-only by design (driver-side solve / iterative GD, the
 # kmeans/pca_fit precedent -- numpy replica equality in
