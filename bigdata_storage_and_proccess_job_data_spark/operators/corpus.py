@@ -2165,3 +2165,44 @@ def mask_tokens(
             ).alias("targets"),
         )
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str,
+    out_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    1-based position under the total order md5(id, salt) -- the
+    data-loading permutation for an epoch. A new epoch is a new salt,
+    never a stored permutation: the order is a pure function of
+    (id, salt), reproducible across sessions, partitionings, and
+    resumptions mid-epoch (position k is always the same example), and
+    two epochs' orders are as uncorrelated as their salts' hashes.
+
+    Scale shape: the md5 rank column is one expression; positions come
+    from global_row_number's two-phase form (range partition +
+    per-partition row_number + bounded offset fold) -- NO single-task
+    global sort, the melt Window.orderBy() would plan. The (hash, id)
+    compound key is total (ids are unique by contract; the id itself
+    breaks any 60-bit hash collision), so positions are
+    bit-reproducible.
+
+    Returns input + (out_col: BIGINT, 1..n)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators.aggregates import (
+        _safe_salt,
+        global_row_number,
+    )
+
+    coined = df.withColumn(
+        "_shuffle_h",
+        F.expr(
+            "conv(substring(md5(concat_ws(':', "
+            f"cast(`{id_col}` as string), '{_safe_salt(salt)}')), "
+            "1, 15), 16, 10)"
+        ).cast("long"),
+    )
+    return global_row_number(
+        coined, ["_shuffle_h", id_col], out_col=out_col
+    ).drop("_shuffle_h")

@@ -2191,3 +2191,53 @@ def test_mask_tokens_twin_rate_and_duckdb_parity(spark, oracle_sf_dir):
         duckdb_connect(oracle_sf_dir),
         sql,
     ) == []
+
+
+def test_epoch_shuffle_deterministic_total_order_and_parity(
+    spark, oracle_sf_dir
+):
+    """Epoch shuffling: (1) positions are a permutation of 1..n; (2)
+    bit-reproducible under repartition; (3) two salts give visibly
+    different orders; (4) the plan has NO SinglePartition exchange
+    (two-phase, not the Window.orderBy melt); (5) full DuckDB replay
+    parity via the md5_hash60 bridge."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        _md5_hash60_sql,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    a = corpus.epoch_shuffle(docs, "doc_id", "ep1")
+    rows = a.select("doc_id", "shuffle_pos").collect()
+    n = len(rows)
+    assert sorted(r.shuffle_pos for r in rows) == list(range(1, n + 1))
+    b = {
+        r.doc_id: r.shuffle_pos
+        for r in corpus.epoch_shuffle(
+            docs.repartition(23), "doc_id", "ep1"
+        ).select("doc_id", "shuffle_pos").collect()
+    }
+    assert all(b[r.doc_id] == r.shuffle_pos for r in rows)
+    c = {
+        r.doc_id: r.shuffle_pos
+        for r in corpus.epoch_shuffle(docs, "doc_id", "ep2")
+        .select("doc_id", "shuffle_pos")
+        .collect()
+    }
+    moved = sum(1 for r in rows if c[r.doc_id] != r.shuffle_pos)
+    assert moved > n * 0.99  # a fresh salt is a fresh permutation
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+    h = _md5_hash60_sql("doc_id::VARCHAR || ':ep1'")
+    sql = f"""
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY ({h}), doc_id) AS shuffle_pos
+        FROM documents
+    """
+    assert compare(
+        a.select("doc_id", "shuffle_pos"),
+        duckdb_connect(oracle_sf_dir),
+        sql,
+    ) == []
