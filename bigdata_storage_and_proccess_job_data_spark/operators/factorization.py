@@ -17,7 +17,15 @@ Scale design (100 TB of interactions):
   applyInPandas per solved entity whose payload is (its ratings x
   rank) doubles -- the per-group bound is a single user's/item's
   history, never the matrix. The d x d normal-equation solve is
-  closed-form; nothing iterative happens inside a group.
+  closed-form; nothing iterative happens inside a group. Honest
+  hub caveat: power-law interaction data makes a head item's
+  history ITSELF huge (every applyInPandas op's per-group bound);
+  pre-cap with a deterministic per-pair md5 coin
+  (corpus.deterministic_sample on the hot side) before fitting --
+  a bounded uniform sample of a 100M-row history loses nothing a
+  rank-8 least-squares solve could have used. The blocked
+  formulation (MLlib's user-block x item-block joins) is the
+  upgrade path if exact hub histories ever matter.
 - Factor frames are O(entities x rank) rows, localCheckpointed per
   half-step (the pagerank/connected_components lineage discipline).
 - Initialization is the repo's md5 determinism coin -- factors are a

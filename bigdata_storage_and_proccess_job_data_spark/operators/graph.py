@@ -1138,7 +1138,9 @@ def pmi_pairs(
     is a one-row broadcast scalar via cross join (the engine's
     documented one-row pattern). Zero-clamped rows are dropped --
     SPPMI is sparse by construction, and that sparsity is the point at
-    corpus scale.
+    corpus scale. Contract: ``pairs`` must be PRE-AGGREGATED (one row
+    per (center, context), e.g. walk_skipgram_pairs output summed over
+    offsets) -- duplicate pair rows would double-count the marginals.
 
     Returns (center, context, n, sppmi), sppmi stable-rounded."""
     if shift < 1.0:

@@ -224,6 +224,17 @@ def main() -> None:
     )
     n_seqs = packed.select("source", "seq_id").distinct().count()
 
+    # 10b. epoch order + denoising targets: position every doc under
+    # the md5(id, epoch-salt) permutation (a new epoch is a new salt)
+    # and emit MLM-masked input/target pairs -- the last mile before
+    # the data loader
+    shuffled = corpus.epoch_shuffle(docs, "doc_id", "epoch0")
+    masked = corpus.mask_tokens(docs, "doc_id", "text", rate=0.15)
+    mask_frac = masked.agg(
+        (F.sum("n_masked") / F.sum("n_tokens")).alias("f")
+    ).first()["f"]
+    n_pos = shuffled.select("shuffle_pos").distinct().count()
+
     # 11. land z-ordered by (doc, chunk length) for two-dim skipping
     from bigdata_storage_and_proccess_job_data_spark.functions import zorder
 
@@ -330,7 +341,9 @@ def main() -> None:
         f"mixed={n_mix} (shortfalls={short or 'none'}) "
         f"splits={split_sizes} straddling_groups={straddlers} "
         f"dup_spans={n_spans} "
-        f"chunks={n_chunks} seqs={n_seqs} ann_hits={n_hits} "
+        f"chunks={n_chunks} seqs={n_seqs} "
+        f"epoch_positions={n_pos} mask_frac={mask_frac:.3f} "
+        f"ann_hits={n_hits} "
         f"mmr_kept={n_div} uniform_negs={n_uniform} "
         f"hard_negs={n_hard} bpe_merges={len(merges)} "
         f"bpe_tokens_50docs={n_bpe_tokens} "
@@ -341,6 +354,8 @@ def main() -> None:
     assert straddlers == 0
     assert n_chunks >= n_mix
     assert n_seqs > 0
+    assert n_pos == n_clean  # a permutation: one distinct pos per doc
+    assert 0.1 < mask_frac < 0.2
     assert n_hits == 5 * 10
     assert n_div == 5 * 3
     assert n_uniform == 5 * 4
