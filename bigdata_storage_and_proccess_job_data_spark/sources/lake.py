@@ -387,3 +387,33 @@ def read_evolved(spark: SparkSession, path: str) -> DataFrame:
     """Union-schema read over an evolved log (mergeSchema reconciles the
     per-file footers; absent columns are null)."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_avro_lake(
+    spark: SparkSession, path: str, schema: "StructType | None" = None
+) -> DataFrame:
+    """Avro ingest (the remaining row-oriented lake format beside the
+    JSON/CSV readers; the Kafka-ecosystem interchange format the
+    reference's pipeline would meet first). Package-gated exactly like
+    kafka_stream (streaming/pipeline.py): the built-in external module
+    org.apache.spark:spark-avro_2.13:<spark-version> is not bundled
+    with pyspark, so absence fails fast with the exact --packages
+    coordinate instead of a deep NoClassDefFoundError mid-plan.
+    An explicit ``schema`` skips inference (the read_json_lake
+    rationale)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    try:
+        return reader.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - version-dependent type
+        if "AVRO" in str(exc).upper() or "avro" in str(exc):
+            ver = spark.version
+            raise RuntimeError(
+                "Avro support needs the external spark-avro module: "
+                "start the session with --packages "
+                f"org.apache.spark:spark-avro_2.13:{ver} "
+                "(not bundled with pyspark; the kafka_stream gate "
+                "precedent)"
+            ) from exc
+        raise

@@ -503,3 +503,14 @@ def test_orc_lake_roundtrip_prune_and_pushdown(spark, sf_dir, tmp_path):
     assert "PushedFilters" in plan and "o_totalprice" in plan.split(
         "PushedFilters"
     )[1].split("]")[0], plan
+
+
+def test_avro_reader_fails_clearly_without_package(spark, tmp_path):
+    """The sandbox has no spark-avro module: the gate must fail fast
+    naming the exact --packages coordinate (the kafka_stream gate
+    precedent), never a deep NoClassDefFoundError mid-plan."""
+    import pytest
+
+    with pytest.raises(Exception) as ei:
+        lake.read_avro_lake(spark, str(tmp_path / "nothing.avro"))
+    assert "spark-avro" in str(ei.value)
