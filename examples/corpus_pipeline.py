@@ -354,7 +354,7 @@ def main() -> None:
     assert straddlers == 0
     assert n_chunks >= n_mix
     assert n_seqs > 0
-    assert n_pos == n_clean  # a permutation: one distinct pos per doc
+    assert n_pos == n_mix  # a permutation: one distinct pos per doc
     assert 0.1 < mask_frac < 0.2
     assert n_hits == 5 * 10
     assert n_div == 5 * 3
