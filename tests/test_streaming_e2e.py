@@ -367,3 +367,85 @@ def test_agg_state_merge_equals_union_init(spark):
     assert sorted(merged.collect(), key=str) == sorted(
         direct.collect(), key=str
     )
+
+
+def test_maintain_sketch_stream_equals_monolithic_build(spark, tmp_path):
+    """Streaming KMV maintenance: two checkpointed runs fold two file
+    batches into the versioned sketch table, and the maintained
+    artifact is BIT-EQUAL to the monolithic batch sketch over all rows
+    ever seen (the exact merge law, end to end through foreachBatch +
+    commit); estimates and replay semantics ride along."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    schema = StructType(
+        [
+            StructField("seg", StringType()),
+            StructField("uid", LongType()),
+        ]
+    )
+    in_dir = str(tmp_path / "sk_in")
+    table = str(tmp_path / "sk_table")
+    ckpt = str(tmp_path / "sk_ckpt")
+    k = 16
+
+    batch1 = [("m", i % 40) for i in range(200)] + [
+        ("w", i % 25) for i in range(100)
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    def run_once():
+        q = pipeline.maintain_sketch_stream(
+            pipeline.file_stream(spark, in_dir, schema),
+            table,
+            "uid",
+            ckpt,
+            dims=["seg"],
+            k=k,
+        )
+        q.awaitTermination()
+
+    run_once()
+    batch2 = [("m", 1000 + i) for i in range(30)] + [("w", i) for i in range(25, 31)]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_once()
+
+    got = {
+        r.seg: list(r.sketch)
+        for r in versioned.read_version(spark, table).collect()
+    }
+    mono = {
+        r.seg: list(r.sketch)
+        for r in aggregates.kmv_sketch(
+            spark.createDataFrame(batch1 + batch2, schema),
+            "uid",
+            dims=["seg"],
+            k=k,
+        ).collect()
+    }
+    assert got == mono  # bit-equal: merge law end to end
+    est = {
+        r.seg: r.distinct_estimate
+        for r in aggregates.kmv_estimate(
+            versioned.read_version(spark, table), k=k
+        ).collect()
+    }
+    # w saw 31 distinct uids (> k: estimated), m saw 70 (> k)
+    assert est["w"] > 16 and est["m"] > 16
+    # replay of an already-folded batch id no-ops
+    v_before = versioned.current_version(table)
+    meta = versioned.commit_meta(table)
+    applied = pipeline._apply_sketch_batch(
+        spark.createDataFrame(batch2, schema),
+        meta["last_batch"],
+        table,
+        "uid",
+        ["seg"],
+        k,
+    )
+    assert applied is False
+    assert versioned.current_version(table) == v_before
