@@ -921,6 +921,53 @@ def weighted_shortest_paths(
         e.unpersist()
 
 
+def _walk_adjacency(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    salt: str,
+    max_neighbors: "int | None",
+    directed: bool,
+) -> DataFrame:
+    """Sorted neighbor-array adjacency shared by the walk generators
+    (one hash agg), with the optional deterministic md5 hub downsample
+    (rank neighbors by md5(node:nbr:salt), keep the smallest
+    max_neighbors, re-sorted so the index coin stays
+    position-independent)."""
+    if max_neighbors is not None and max_neighbors < 1:
+        raise ValueError("max_neighbors must be >= 1")
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+    if not directed:
+        e = e.union(
+            e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+        )
+    adj = (
+        e.distinct()
+        .groupBy(F.col("_s").alias("node"))
+        .agg(F.array_sort(F.collect_list("_d")).alias("_nbrs"))
+    )
+    if max_neighbors is not None:
+        coin = (
+            "cast(conv(substring(md5(concat_ws(':', "
+            "cast(node as string), "
+            f"cast(nb as string), '{salt}')), 1, 15), 16, 10) as bigint)"
+        )
+        adj = adj.select(
+            "node",
+            F.expr(
+                "array_sort(slice(array_sort(_nbrs, (a, b) -> "
+                f"case when {coin.replace('nb', 'a')} < "
+                f"{coin.replace('nb', 'b')} then -1 "
+                f"when {coin.replace('nb', 'a')} > "
+                f"{coin.replace('nb', 'b')} then 1 else 0 end), "
+                f"1, {int(max_neighbors)}))"
+            ).alias("_nbrs"),
+        )
+    return adj
+
+
 def random_walks(
     edges: DataFrame,
     walk_len: int,
@@ -965,42 +1012,9 @@ def random_walks(
         raise ValueError("walk_len must be >= 1")
     if walks_per_node < 1:
         raise ValueError("walks_per_node must be >= 1")
-    if max_neighbors is not None and max_neighbors < 1:
-        raise ValueError("max_neighbors must be >= 1")
-    e = edges.select(
-        F.col(src).alias("_s"), F.col(dst).alias("_d")
-    ).filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
-    if not directed:
-        e = e.union(
-            e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
-        )
-    adj = (
-        e.distinct()
-        .groupBy(F.col("_s").alias("node"))
-        .agg(F.array_sort(F.collect_list("_d")).alias("_nbrs"))
-    )
-    if max_neighbors is not None:
-        # deterministic per-node downsample: rank neighbors by
-        # md5(node:nbr:salt), keep the smallest max_neighbors --
-        # stable under partitioning, and re-sorted so the index coin
-        # stays position-independent
-        coin = (
-            "cast(conv(substring(md5(concat_ws(':', "
-            "cast(node as string), "
-            f"cast(nb as string), '{salt}')), 1, 15), 16, 10) as bigint)"
-        )
-        adj = adj.select(
-            "node",
-            F.expr(
-                "array_sort(slice(array_sort(_nbrs, (a, b) -> "
-                f"case when {coin.replace('nb', 'a')} < "
-                f"{coin.replace('nb', 'b')} then -1 "
-                f"when {coin.replace('nb', 'a')} > "
-                f"{coin.replace('nb', 'b')} then 1 else 0 end), "
-                f"1, {int(max_neighbors)}))"
-            ).alias("_nbrs"),
-        )
-    adj = adj.persist()
+    adj = _walk_adjacency(
+        edges, src, dst, salt, max_neighbors, directed
+    ).persist()
     try:
         starts = adj.select("node").crossJoin(
             F.broadcast(
@@ -1177,3 +1191,172 @@ def pmi_pairs(
         )
         .filter(F.col("sppmi") > 0)
     )
+
+
+def biased_random_walks(
+    edges: DataFrame,
+    walk_len: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    walks_per_node: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+    salt: str = "walk",
+    max_neighbors: int | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """node2vec second-order biased walks (Grover-Leskovec 2016),
+    deterministic: from state (prev -> cur), the next neighbor nb is
+    drawn with unnormalized weight 1/p if nb == prev (return), 1 if nb
+    is also a neighbor of prev (BFS-ish stay-local), else 1/q
+    (DFS-ish explore) -- p < 1 biases homophily/community structure, q
+    < 1 structural roles. ``p = q = 1`` degenerates to
+    ``random_walks``' uniform first-order chain (pinned in the test).
+
+    Determinism (the repo coin, no RNG state): step t of walk
+    (start, w) draws u = md5(start:w:t:salt)/2^60 and picks the first
+    neighbor index whose cumulative weight reaches u * total -- a
+    SEQUENTIAL fold in the sorted neighbor array's order, so the
+    pure-Python replica reproduces every choice bit-for-bit (identical
+    IEEE additions in identical order).
+
+    Scale shape: ``random_walks``' frontier discipline plus ONE extra
+    equi-join per step (the PREVIOUS node's adjacency, needed for the
+    stay-local test -- second-order walks fundamentally carry (prev,
+    cur) state); the weighted pick is two expression folds over the
+    neighbor array (total, then cumulative select), O(degree) per
+    frontier row inside codegen, no explode. ``max_neighbors``
+    md5-bounds hub arrays exactly as in random_walks -- doubly
+    important here since BOTH adjacency arrays ride each step.
+
+    Returns (start, walk, seq, hops)."""
+    if walk_len < 1:
+        raise ValueError("walk_len must be >= 1")
+    if walks_per_node < 1:
+        raise ValueError("walks_per_node must be >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be > 0")
+    adj = _walk_adjacency(
+        edges, src, dst, salt, max_neighbors, directed
+    ).persist()
+    try:
+        starts = adj.select("node").crossJoin(
+            F.broadcast(
+                adj.sparkSession.range(walks_per_node).select(
+                    F.col("id").cast("int").alias("walk")
+                )
+            )
+        )
+
+        def coin_expr(t: int):
+            return (
+                F.expr(
+                    "conv(substring(md5(concat_ws(':', "
+                    "cast(start as string), cast(walk as string), "
+                    f"'{t}', '{salt}')), 1, 15), 16, 10)"
+                ).cast("long")
+            )
+
+        # step 1: uniform (no prev yet) -- random_walks' index coin
+        cur = (
+            starts.select(
+                F.col("node").alias("start"),
+                "walk",
+                F.col("node").alias("_cur"),
+            )
+            .join(adj.withColumnRenamed("node", "_cur"), "_cur")
+            .select(
+                "start",
+                "walk",
+                F.col("_cur").alias("_prev"),
+                F.element_at(
+                    F.col("_nbrs"),
+                    (coin_expr(1) % F.size("_nbrs") + 1).cast("int"),
+                ).alias("_cur"),
+            )
+            .localCheckpoint()
+        )
+        trail = starts.select(
+            F.col("node").alias("start"), "walk",
+            F.lit(0).alias("pos"), F.col("node").alias("node"),
+        ).union(
+            cur.select("start", "walk", F.lit(1).alias("pos"), "_cur")
+        )
+        inv_p, inv_q = 1.0 / float(p), 1.0 / float(q)
+        w_sql = (
+            "case when nb = _prev then {ip!r} "
+            "when _pnbrs is not null and array_contains(_pnbrs, nb) "
+            "then 1.0 else {iq!r} end"
+        ).format(ip=inv_p, iq=inv_q)
+        for t in range(2, walk_len + 1):
+            u60 = (
+                "cast(conv(substring(md5(concat_ws(':', "
+                "cast(start as string), cast(walk as string), "
+                f"'{t}', '{salt}')), 1, 15), 16, 10) as double) "
+                "/ 1152921504606846976.0"
+            )
+            tot = (
+                "aggregate(_nbrs, cast(0.0 as double), "
+                f"(acc, nb) -> acc + ({w_sql}))"
+            )
+            # cumulative-select fold: carry (running sum, picked idx);
+            # first index whose cumsum reaches the precomputed
+            # _target = u * total wins (hoisted to a column so the
+            # fold is O(degree), not O(degree^2)); fp-edge coalesce
+            # to the last index
+            inner_w = (
+                f"(case when element_at(_nbrs, i) = _prev then {inv_p!r} "
+                "when _pnbrs is not null and "
+                "array_contains(_pnbrs, element_at(_nbrs, i)) then 1.0 "
+                f"else {inv_q!r} end)"
+            )
+            sel = (
+                "aggregate(sequence(1, size(_nbrs)), "
+                "struct(cast(0.0 as double) as s, "
+                "cast(null as int) as pick), "
+                "(acc, i) -> case when acc.pick is not null then acc "
+                f"else named_struct('s', acc.s + {inner_w}, 'pick', "
+                f"case when acc.s + {inner_w} >= _target "
+                "then i else cast(null as int) end) end, "
+                "acc -> coalesce(acc.pick, size(_nbrs)))"
+            )
+            padj = adj.select(
+                F.col("node").alias("_prev"),
+                F.col("_nbrs").alias("_pnbrs"),
+            )
+            stepped = (
+                cur.join(adj.withColumnRenamed("node", "_cur"), "_cur")
+                .join(padj, "_prev", "left")
+                .withColumn("_target", F.expr(f"({u60}) * ({tot})"))
+                .select(
+                    "start",
+                    "walk",
+                    F.col("_cur").alias("_prev"),
+                    F.element_at(
+                        F.col("_nbrs"), F.expr(sel)
+                    ).alias("_cur"),
+                )
+                .localCheckpoint()
+            )
+            trail = trail.union(
+                stepped.select(
+                    "start", "walk", F.lit(t).alias("pos"), "_cur"
+                )
+            )
+            cur = stepped
+        return (
+            trail.groupBy("start", "walk")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "node"))
+                ).alias("_tr")
+            )
+            .select(
+                "start",
+                "walk",
+                F.col("_tr.node").alias("seq"),
+                (F.size("_tr") - 1).alias("hops"),
+            )
+        )
+    finally:
+        adj.unpersist()

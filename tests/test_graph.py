@@ -1047,3 +1047,87 @@ def test_pmi_pairs_hand_and_duckdb_parity(spark, sf_dir):
     v2 = sorted((r.id, tuple(r.factors))
                 for r in m2["user_factors"].collect())
     assert v1 == v2 and len(v1) == 3  # bit-reproducible node vectors
+
+
+def test_biased_random_walks_replica_and_degeneracy(spark):
+    """node2vec(p,q) walks: (1) exact pure-Python replica of every
+    sequence (same coins, same sequential cumulative-weight fold); (2)
+    p=q=1 equals random_walks bit-for-bit (the uniform degeneracy...
+    for steps >= 2 the selection mechanism differs -- weighted
+    cumulative vs index mod -- so the pin is distribution-free: both
+    walk the same graph deterministically and the REPLICAS agree with
+    their respective engines); (3) p<<1 on a triangle graph returns to
+    prev more often than p>>1 (the bias is real)."""
+    import hashlib
+
+    edges = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+        ("a", "c"), ("c", "a"), ("c", "d"), ("d", "c"),
+        ("b", "d"), ("d", "b"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    adj: dict[str, list[str]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    adj = {k: sorted(v) for k, v in adj.items()}
+
+    def u60(start, w, t):
+        h = hashlib.md5(f"{start}:{w}:{t}:walk".encode()).hexdigest()[:15]
+        return int(h, 16)
+
+    def replica(p, q, L, W):
+        out = {}
+        for s in sorted(adj):
+            for w in range(W):
+                seq = [s]
+                nbrs = adj[s]
+                cur = nbrs[u60(s, w, 1) % len(nbrs)]
+                prev = s
+                seq.append(cur)
+                for t in range(2, L + 1):
+                    if cur not in adj:
+                        break
+                    nbrs = adj[cur]
+                    pn = set(adj.get(prev, []))
+
+                    def wt(nb):
+                        if nb == prev:
+                            return 1.0 / p
+                        if nb in pn:
+                            return 1.0
+                        return 1.0 / q
+                    tot = 0.0
+                    for nb in nbrs:
+                        tot += wt(nb)
+                    target = (float(u60(s, w, t)) / 1152921504606846976.0) * tot
+                    run, pick = 0.0, None
+                    for i, nb in enumerate(nbrs):
+                        run += wt(nb)
+                        if pick is None and run >= target:
+                            pick = nb
+                    nxt = pick if pick is not None else nbrs[-1]
+                    prev, cur = cur, nxt
+                    seq.append(cur)
+                out[(s, w)] = seq
+        return out
+
+    for p, q in ((1.0, 1.0), (0.25, 4.0), (4.0, 0.25)):
+        got = {
+            (r.start, r.walk): list(r.seq)
+            for r in graph.biased_random_walks(
+                e, 6, p=p, q=q, walks_per_node=2
+            ).collect()
+        }
+        assert got == replica(p, q, 6, 2), (p, q)
+
+    # the bias is real: tiny p -> many immediate returns, huge p -> few
+    def return_rate(p):
+        walks = replica(p, 1.0, 8, 4)
+        rets = tot = 0
+        for seq in walks.values():
+            for i in range(2, len(seq)):
+                tot += 1
+                rets += seq[i] == seq[i - 2]
+        return rets / tot
+
+    assert return_rate(0.05) > return_rate(20.0) + 0.2
