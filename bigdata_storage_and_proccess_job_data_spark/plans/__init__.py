@@ -448,6 +448,19 @@ DRIVER_WINDOW_R9_PLAN = sorted(
 # STRING only (PlanStringConcat truncates the text); it is read by no
 # optimizer rule and cannot alter any plan or result. Safe for all 100
 # queries; re-verified by the local total-parity run post-change.
+# Late-r9 additions audit (the same rule, re-applied): every new
+# operator this wave (cusum/holt/isotonic/event_transitions/linear/
+# factorization/privacy/ranking_metrics/walks+SPPMI/mask_tokens/
+# epoch_shuffle/maintain_sketch_stream/read_avro_lake) is ADDITIVE --
+# new functions or new files, no registered query's body or callee
+# changed. sources/versioned.py gained the COW DML core
+# (_cow_rewrite/delete_where/update_where) and apply_changes grew an
+# opt-in prune= parameter whose default path is byte-identical (the
+# only registered query on versioned.py, snapshot_change_feed, drives
+# change_feed -- untouched); graph.py's random_walks adjacency was
+# factored into _walk_adjacency (both functions new this round, not
+# registered). No displacement required; the local total-parity gate
+# re-ran green after the wave.
 DRIVER_WINDOW_R9 = sorted(
     (
         set(DRIVER_WINDOW_R9_PLAN)
