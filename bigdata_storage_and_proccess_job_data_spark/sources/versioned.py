@@ -1327,6 +1327,7 @@ def _cow_rewrite(
     count_key: str,
     always_commit: bool = False,
     stats_cols_override: "list[str] | None" = None,
+    eq=None,
 ) -> dict:
     """Shared copy-on-write core for delete_where / update_where:
     stats-prune the affected files, hard-link the rest into the next
@@ -1335,7 +1336,9 @@ def _cow_rewrite(
     delete_where for the full semantics discussion."""
     import glob as _glob
 
-    if lo is None and hi is None:
+    if eq is not None and (lo is not None or hi is not None):
+        raise ValueError("eq is mutually exclusive with lo/hi")
+    if eq is None and lo is None and hi is None:
         raise ValueError(
             "unbounded predicate: give at least one bound (for a "
             "whole-table rewrite, commit the transformed frame "
@@ -1359,10 +1362,23 @@ def _cow_rewrite(
                 "(read, transform, commit_version(partition_by=...))"
             )
         raise FileNotFoundError(f"{snap} holds no parquet files")
-    affected = prune_files(snap, col, lo, hi)
+    if eq is not None:
+        # both pruners are conservative keeps, so their INTERSECTION
+        # is safe: range stats exclude files whose [min, max] misses
+        # the value, the bloom (when present) excludes files whose
+        # bitmap proves absence -- the unsorted-high-cardinality-key
+        # erasure case where only the bloom bites
+        affected = sorted(
+            set(prune_files(snap, col, eq, eq))
+            & set(prune_files_bloom(snap, col, eq))
+        )
+    else:
+        affected = prune_files(snap, col, lo, hi)
     survivors = sorted(set(all_files) - set(affected))
     c = F.col(col)
     pred = F.lit(True)
+    if eq is not None:
+        pred = c == F.lit(eq)
     if lo is not None:
         pred = pred & (c >= F.lit(lo))
     if hi is not None:
@@ -1457,6 +1473,7 @@ def delete_where(
     lo=None,
     hi=None,
     expected: int | str | None = "auto",
+    eq=None,
 ) -> dict:
     """Copy-on-write DELETE with manifest-pruned file reuse: remove
     rows where ``col`` BETWEEN lo AND hi (inclusive; None = unbounded
@@ -1483,6 +1500,12 @@ def delete_where(
     default ("auto" pins the version being read, so a racing ingest
     fails this commit closed instead of losing rows).
 
+    ``eq=value`` (mutually exclusive with lo/hi) deletes by EQUALITY
+    and prunes through BOTH manifests -- range stats plus, when
+    present, the bloom (prune_files_bloom): the GDPR user-id erasure
+    case, where an unsorted high-cardinality key spans every file's
+    [min, max] and only an absence-proving structure can skip.
+
     Returns {"version", "files_linked", "files_rewritten",
     "rows_deleted"} -- version is None when nothing matched."""
     return _cow_rewrite(
@@ -1495,6 +1518,7 @@ def delete_where(
         lambda aff, pred: aff.filter(~F.coalesce(pred, F.lit(False))),
         expected,
         "rows_deleted",
+        eq=eq,
     )
 
 

@@ -1882,3 +1882,42 @@ def test_delete_where_partitioned_rejected_and_vacuum_safe(spark, tmp_path):
     assert now.agg(F.sum("k")).first()[0] == sum(
         k for k in range(4000) if not 500 <= k <= 599
     )
+
+
+def test_delete_eq_prunes_through_bloom(spark, tmp_path):
+    """Equality erasure (the GDPR shape): on a FRAGMENTED layout where
+    every file's [min, max] spans the key range, range stats keep all
+    files but the bloom manifest proves absence -- the delete rewrites
+    only the bloom-admitting file(s), links the rest, and the content
+    equals the plain filter."""
+    import glob
+
+    table = str(tmp_path / "eq_table")
+    # interleaved layout: key i goes to file i % 6 -> every file spans
+    # nearly the full range
+    df = spark.range(0, 6000).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS key", "id % 9 AS p"
+    )
+    versioned.commit_version(
+        df.repartition(6, "p"), table, stats_cols=["k"]
+    )
+    snap = f"{table}/v=1"
+    versioned.write_bloom_manifest(spark, snap, ["key"])
+    n_files = len(glob.glob(f"{snap}/*.parquet"))
+    # sanity: range stats alone keep (nearly) all files on this
+    # interleaved layout -- the key spans every file's [min, max]
+    range_keep = len(versioned.prune_files(snap, "k", 3333, 3333))
+    assert range_keep >= n_files - 1
+
+    rep = versioned.delete_where(spark, table, "key", eq="3333")
+    assert rep["rows_deleted"] == 1
+    assert rep["files_rewritten"] < range_keep  # the bloom bit
+    assert rep["files_linked"] + rep["files_rewritten"] == n_files
+    now = versioned.read_version(spark, table)
+    assert now.count() == 5999
+    assert now.filter(F.col("key") == "3333").count() == 0
+    # eq and range bounds are mutually exclusive; eq + lo raises
+    import pytest
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        versioned.delete_where(spark, table, "key", lo="1", eq="2")
