@@ -1526,10 +1526,11 @@ def update_where(
     spark: SparkSession,
     table_dir: str,
     col: str,
-    lo,
-    hi,
-    set_exprs: "dict[str, Column]",
+    lo=None,
+    hi=None,
+    set_exprs: "dict[str, Column] | None" = None,
     expected: int | str | None = "auto",
+    eq=None,
 ) -> dict:
     """Copy-on-write UPDATE: SET the ``set_exprs`` columns (name ->
     Column expression, evaluated against the current row) on rows
@@ -1544,6 +1545,12 @@ def update_where(
     ``set_exprs`` may only assign EXISTING columns (a schema change is
     a different operation -- every linked file must stay
     schema-identical to the rewritten ones).
+
+    ``eq=value`` (mutually exclusive with lo/hi) updates by EQUALITY
+    with the same range+bloom double pruning as delete_where(eq=) --
+    the tombstone-redaction twin of equality erasure (SET the PII
+    columns to sentinels for ONE user id, touching only the files
+    whose bloom admits the key).
 
     Returns {"version", "files_linked", "files_rewritten",
     "rows_updated"} -- version None when nothing matched."""
@@ -1566,5 +1573,6 @@ def update_where(
         )
 
     return _cow_rewrite(
-        spark, table_dir, col, lo, hi, rewrite, expected, "rows_updated"
+        spark, table_dir, col, lo, hi, rewrite, expected,
+        "rows_updated", eq=eq,
     )

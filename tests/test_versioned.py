@@ -1921,3 +1921,29 @@ def test_delete_eq_prunes_through_bloom(spark, tmp_path):
 
     with pytest.raises(ValueError, match="mutually exclusive"):
         versioned.delete_where(spark, table, "key", lo="1", eq="2")
+
+
+def test_update_eq_tombstones_one_key_via_bloom(spark, tmp_path):
+    """Equality redaction: SET sentinel values for ONE key on an
+    interleaved layout -- bloom-pruned file touch, every other row
+    byte-identical, count preserved."""
+    import glob
+
+    table = str(tmp_path / "eq_upd")
+    df = spark.range(0, 5000).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS key",
+        "CAST(id AS STRING) AS email", "id % 9 AS p"
+    )
+    versioned.commit_version(df.repartition(6, "p"), table, stats_cols=["k"])
+    versioned.write_bloom_manifest(spark, f"{table}/v=1", ["key"])
+    n_files = len(glob.glob(f"{table}/v=1/*.parquet"))
+    rep = versioned.update_where(
+        spark, table, "key",
+        set_exprs={"email": F.lit("[REDACTED]")}, eq="777",
+    )
+    assert rep["rows_updated"] == 1
+    assert rep["files_rewritten"] < n_files
+    now = versioned.read_version(spark, table)
+    assert now.count() == 5000
+    assert now.filter(F.col("key") == "777").first().email == "[REDACTED]"
+    assert now.filter(F.col("email") == "[REDACTED]").count() == 1
