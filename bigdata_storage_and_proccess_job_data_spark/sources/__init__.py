@@ -1,3 +1,6 @@
-"""Sources & sinks: partitioned parquet lake, JSON ingest, keyed upsert
-sinks (the engine-side replacements for the reference's MinIO JSON lake,
-Elasticsearch doc-id upserts, and Cassandra agg tables)."""
+"""Sources & sinks: partitioned parquet lake, JSON/CSV ingest (Avro
+package-gated), keyed upsert sinks (the engine-side replacements for the
+reference's MinIO JSON lake, Elasticsearch doc-id upserts, and Cassandra
+agg tables), and the versioned table format (snapshot isolation, time
+travel, stats/bloom manifests, OPTIMIZE/Z-order, SCD2, change feeds,
+copy-on-write MERGE/DELETE/UPDATE with file reuse, clone, vacuum)."""
