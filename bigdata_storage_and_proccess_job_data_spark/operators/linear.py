@@ -383,3 +383,84 @@ def quantile_fit(
         }
     finally:
         base.unpersist()
+
+
+def ipw_ate(
+    df: DataFrame,
+    model: dict,
+    treat_col: str,
+    y_col: str,
+    vec_col: str,
+    clip: float = 0.05,
+    keys: "list[str] | None" = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect -- the
+    observational-data causal readout that completes the experiment
+    set (diff_in_diff handles parallel-trends designs, cuped_adjust
+    randomized ones; IPW handles confounded treatment assignment with
+    measured covariates): weight each unit by 1/P(its own arm | x)
+    using a fitted propensity ``model`` (logreg_fit on treatment vs
+    features), then the Horvitz-Thompson arm means difference
+    estimates the ATE.
+
+    Propensities CLIP to [clip, 1-clip] (the standard positivity
+    guard: a unit with e(x) ~ 0 would dominate the estimate with
+    unbounded weight). Emitted per key slice: n per arm, weighted
+    means, ate = mu1 - mu0, plus the effective sample sizes
+    (Kish: (sum w)^2 / sum w^2) that tell you how much data the
+    weighting really left you -- an honest-variance readout without
+    pretending to a closed-form SE (bootstrap_ci over the weighted
+    frame is the companion).
+
+    Scale shape: scoring is a pure expression (the model rides in as
+    ONE literal array -- score_expr), the readout ONE hash agg of
+    conditional sibling aggregates; with a PINNED literal model the
+    whole operator is DuckDB-replayable exactly (the scoring-parity
+    precedent), which the test does."""
+    if not 0 <= clip < 0.5:
+        raise ValueError("clip must be in [0, 0.5)")
+    ks = list(keys or [])
+    e = prob_expr(model, vec_col)
+    e = F.least(F.greatest(e, F.lit(float(clip))), F.lit(1.0 - clip))
+    t = F.col(treat_col).cast("double")
+    y = F.col(y_col).cast("double")
+    w = t / e + (F.lit(1.0) - t) / (F.lit(1.0) - e)
+    base = df.filter(
+        F.col(treat_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *ks, t.alias("_t"), y.alias("_y"), w.alias("_w")
+    )
+    tt = F.col("_t")
+    ww = F.col("_w")
+    yy = F.col("_y")
+    g = base.groupBy(*ks).agg(
+        F.count(F.when(tt == 1.0, 1)).alias("n_treat"),
+        F.count(F.when(tt == 0.0, 1)).alias("n_control"),
+        F.sum(F.when(tt == 1.0, ww * yy)).alias("_swy1"),
+        F.sum(F.when(tt == 1.0, ww)).alias("_sw1"),
+        F.sum(F.when(tt == 1.0, ww * ww)).alias("_sww1"),
+        F.sum(F.when(tt == 0.0, ww * yy)).alias("_swy0"),
+        F.sum(F.when(tt == 0.0, ww)).alias("_sw0"),
+        F.sum(F.when(tt == 0.0, ww * ww)).alias("_sww0"),
+    )
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    mu1 = F.col("_swy1") / F.col("_sw1")
+    mu0 = F.col("_swy0") / F.col("_sw0")
+    return g.select(
+        *ks,
+        "n_treat",
+        "n_control",
+        stable_round(mu1, digits).alias("mu_treat"),
+        stable_round(mu0, digits).alias("mu_control"),
+        stable_round(mu1 - mu0, digits).alias("ate"),
+        stable_round(
+            F.col("_sw1") ** 2 / F.col("_sww1"), digits
+        ).alias("ess_treat"),
+        stable_round(
+            F.col("_sw0") ** 2 / F.col("_sww0"), digits
+        ).alias("ess_control"),
+    )

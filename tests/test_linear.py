@@ -225,3 +225,103 @@ def test_quantile_fit_recovers_quantiles_and_replica(spark, oracle_sf_dir):
     assert got["intercept"] == pytest.approx(w[-1], abs=1e-9)
     with pytest.raises(ValueError, match="tau"):
         linear.quantile_fit(df, "v", "y", tau=1.5)
+
+
+def test_ipw_ate_debiases_confounding_and_duckdb_parity(
+    spark, oracle_sf_dir
+):
+    """IPW: planted confounding (v0 raises BOTH treatment propensity
+    and outcome) biases the naive arm difference upward; weighting by
+    the true propensity model recovers the planted effect. With the
+    pinned literal model the whole operator replays exactly in DuckDB
+    (scoring-parity precedent)."""
+    import math
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    u = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
+            16, 10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    ) / 1_000_000.0
+    e_true = F.lit(1.0) / (F.lit(1.0) + F.exp(-12.0 * v[0]))
+    tau = 2.0
+    df = emb.select(
+        "vec_id",
+        v.alias("x"),
+        (u < e_true).cast("double").alias("t"),
+        v[0].alias("v0"),
+    ).withColumn("y", 5.0 + tau * F.col("t") + 8.0 * F.col("v0"))
+    naive = df.groupBy().agg(
+        (
+            F.avg(F.when(F.col("t") == 1.0, F.col("y")))
+            - F.avg(F.when(F.col("t") == 0.0, F.col("y")))
+        ).alias("d")
+    ).first()["d"]
+    assert naive > tau + 0.3  # confounding inflates the naive readout
+
+    model = {"weights": [12.0] + [0.0] * 63, "intercept": 0.0}
+    got = linear.ipw_ate(df, model, "t", "y", "x", clip=0.02).first()
+    assert abs(got.ate - tau) < 0.15  # debiased
+    assert got.ess_treat < got.n_treat  # weighting pays in ESS
+    assert got.ess_control < got.n_control
+
+    import json
+
+    w_json = json.dumps(model["weights"], separators=(",", ":"))
+    e_sql = (
+        "1.0 / (1.0 + exp(-(list_dot_product(embedding::DOUBLE[], "
+        f"'{w_json}'::JSON::DOUBLE[]) + 0.0)))"
+    )
+    sql = f"""
+        WITH base AS (
+          SELECT vec_id, embedding, embedding[1]::DOUBLE AS v0,
+            CASE WHEN
+              ({_md5_u_sql()}) < 1.0/(1.0+exp(-12.0*embedding[1]::DOUBLE))
+            THEN 1.0 ELSE 0.0 END AS t
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT t, 5.0 + 2.0 * t + 8.0 * v0 AS y,
+                 LEAST(GREATEST(({e_sql}), 0.02), 0.98) AS e
+          FROM base
+        ),
+        wtd AS (
+          SELECT t, y, t / e + (1.0 - t) / (1.0 - e) AS w FROM scored
+        )
+        SELECT
+          COUNT(*) FILTER (t = 1.0) AS n_treat,
+          COUNT(*) FILTER (t = 0.0) AS n_control,
+          {sql_round("SUM(w*y) FILTER (t=1.0) / SUM(w) FILTER (t=1.0)", 6)}
+            AS mu_treat,
+          {sql_round("SUM(w*y) FILTER (t=0.0) / SUM(w) FILTER (t=0.0)", 6)}
+            AS mu_control,
+          {sql_round(
+            "SUM(w*y) FILTER (t=1.0) / SUM(w) FILTER (t=1.0) - "
+            "SUM(w*y) FILTER (t=0.0) / SUM(w) FILTER (t=0.0)", 6)} AS ate,
+          {sql_round(
+            "POW(SUM(w) FILTER (t=1.0), 2) / SUM(w*w) FILTER (t=1.0)", 6)}
+            AS ess_treat,
+          {sql_round(
+            "POW(SUM(w) FILTER (t=0.0), 2) / SUM(w*w) FILTER (t=0.0)", 6)}
+            AS ess_control
+        FROM wtd
+    """
+    assert compare(
+        linear.ipw_ate(df, model, "t", "y", "x", clip=0.02),
+        duckdb_connect(oracle_sf_dir),
+        sql,
+    ) == []
+
+
+def _md5_u_sql():
+    """DuckDB twin of the test's treatment coin: 60-bit md5 prefix of
+    vec_id mod 1e6 over 1e6 (the md5_hash60 bridge)."""
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        _md5_hash60_sql,
+    )
+
+    h = _md5_hash60_sql("vec_id::VARCHAR")
+    return f"(({h}) % 1000000) / 1000000.0"
