@@ -464,3 +464,66 @@ def ipw_ate(
             F.col("_sw0") ** 2 / F.col("_sww0"), digits
         ).alias("ess_control"),
     )
+
+
+def aipw_ate(
+    df: DataFrame,
+    propensity_model: dict,
+    outcome_model_treat: dict,
+    outcome_model_control: dict,
+    treat_col: str,
+    y_col: str,
+    vec_col: str,
+    clip: float = 0.05,
+    keys: "list[str] | None" = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Doubly-robust AIPW treatment effect (Robins-Rotnitzky-Zhao):
+    per unit, psi = m1(x) - m0(x) + t*(y - m1(x))/e(x)
+    - (1-t)*(y - m0(x))/(1 - e(x)), and ATE = mean(psi). Consistent
+    when EITHER the propensity model OR the outcome models are right
+    -- the property the test pins from both directions (each nuisance
+    deliberately broken in turn). Fit the nuisances with logreg_fit
+    (propensity) and per-arm ridge_fit (outcomes); all three ride in
+    as literal arrays.
+
+    Same scale shape as ipw_ate: three pure-expression scores + ONE
+    hash agg of psi's mean/variance per key slice; with pinned models
+    the whole readout replays exactly in DuckDB. The psi variance /
+    n gives the standard AIPW large-sample SE -- emitted as se so the
+    readout is a confidence statement, not just a point."""
+    if not 0 <= clip < 0.5:
+        raise ValueError("clip must be in [0, 0.5)")
+    ks = list(keys or [])
+    e = prob_expr(propensity_model, vec_col)
+    e = F.least(F.greatest(e, F.lit(float(clip))), F.lit(1.0 - clip))
+    m1 = score_expr(outcome_model_treat, vec_col)
+    m0 = score_expr(outcome_model_control, vec_col)
+    t = F.col(treat_col).cast("double")
+    y = F.col(y_col).cast("double")
+    psi = (
+        m1
+        - m0
+        + t * (y - m1) / e
+        - (F.lit(1.0) - t) * (y - m0) / (F.lit(1.0) - e)
+    )
+    base = df.filter(
+        F.col(treat_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*ks, psi.alias("_psi"))
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    g = base.groupBy(*ks).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_psi").alias("_ate"),
+        F.var_samp("_psi").alias("_var"),
+    )
+    return g.select(
+        *ks,
+        "n",
+        stable_round(F.col("_ate"), digits).alias("ate"),
+        stable_round(
+            F.sqrt(F.col("_var") / F.col("n")), digits
+        ).alias("se"),
+    )

@@ -325,3 +325,96 @@ def _md5_u_sql():
 
     h = _md5_hash60_sql("vec_id::VARCHAR")
     return f"(({h}) % 1000000) / 1000000.0"
+
+
+def test_aipw_double_robustness(spark, oracle_sf_dir):
+    """AIPW's defining property, pinned from both directions: with the
+    TRUE outcome models and a WRONG propensity the estimate stays on
+    the planted effect, and with the TRUE propensity and WRONG outcome
+    models it also stays -- while plain IPW with the same wrong
+    propensity drifts. Plus DuckDB replay parity with pinned models."""
+    import json
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    u = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
+            16, 10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    ) / 1_000_000.0
+    e_true = F.lit(1.0) / (F.lit(1.0) + F.exp(-12.0 * v[0]))
+    tau = 2.0
+    df = emb.select(
+        "vec_id", v.alias("x"),
+        (u < e_true).cast("double").alias("t"),
+        v[0].alias("v0"),
+    ).withColumn("y", 5.0 + tau * F.col("t") + 8.0 * F.col("v0"))
+    prop_true = {"weights": [12.0] + [0.0] * 63, "intercept": 0.0}
+    prop_wrong = {"weights": [0.0] * 64, "intercept": 0.0}  # e=0.5 flat
+    m1_true = {"weights": [8.0] + [0.0] * 63, "intercept": 7.0}
+    m0_true = {"weights": [8.0] + [0.0] * 63, "intercept": 5.0}
+    m_wrong = {"weights": [0.0] * 64, "intercept": 0.0}
+
+    # wrong propensity + true outcomes: still on target
+    a1 = linear.aipw_ate(
+        df, prop_wrong, m1_true, m0_true, "t", "y", "x"
+    ).first()
+    assert abs(a1.ate - tau) < 0.05
+    # true propensity + wrong outcomes: unbiased but HIGH-VARIANCE
+    # (zero outcome models leave uncentered residuals riding raw
+    # Horvitz-Thompson weights) -- the honest pin is the estimator's
+    # own standard error, which AIPW emits for exactly this reason
+    a2 = linear.aipw_ate(
+        df, prop_true, m_wrong, m_wrong, "t", "y", "x", clip=0.02
+    ).first()
+    assert abs(a2.ate - tau) < 3.0 * a2.se
+    # plain IPW under the same wrong propensity drifts (the contrast)
+    ipw_wrong = linear.ipw_ate(
+        df, prop_wrong, "t", "y", "x"
+    ).first()
+    assert abs(ipw_wrong.ate - tau) > abs(a1.ate - tau)
+    # noiseless true outcome models make psi = tau for EVERY unit --
+    # zero variance is the correct readout, not a bug
+    assert a1.se == 0.0 and a1.ate == pytest.approx(tau, abs=1e-6)
+    assert a2.se > 0
+
+    w_json = json.dumps(prop_true["weights"], separators=(",", ":"))
+    e_sql = (
+        "LEAST(GREATEST(1.0 / (1.0 + exp(-(list_dot_product("
+        f"embedding::DOUBLE[], '{w_json}'::JSON::DOUBLE[])))), 0.02), "
+        "0.98)"
+    )
+    m1_json = json.dumps(m1_true["weights"], separators=(",", ":"))
+    sql = f"""
+        WITH base AS (
+          SELECT embedding, embedding[1]::DOUBLE AS v0,
+            CASE WHEN
+              ({_md5_u_sql()}) < 1.0/(1.0+exp(-12.0*embedding[1]::DOUBLE))
+            THEN 1.0 ELSE 0.0 END AS t
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT t, 5.0 + 2.0 * t + 8.0 * v0 AS y,
+            ({e_sql}) AS e,
+            list_dot_product(embedding::DOUBLE[],
+              '{m1_json}'::JSON::DOUBLE[]) + 7.0 AS m1,
+            list_dot_product(embedding::DOUBLE[],
+              '{m1_json}'::JSON::DOUBLE[]) + 5.0 AS m0
+          FROM base
+        ),
+        psi AS (
+          SELECT m1 - m0 + t * (y - m1) / e
+                 - (1.0 - t) * (y - m0) / (1.0 - e) AS p
+          FROM scored
+        )
+        SELECT COUNT(*) AS n,
+          {sql_round("AVG(p)", 6)} AS ate,
+          {sql_round("sqrt(VAR_SAMP(p) / COUNT(*))", 6)} AS se
+        FROM psi
+    """
+    got = linear.aipw_ate(
+        df, prop_true, m1_true, m0_true, "t", "y", "x", clip=0.02
+    )
+    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
