@@ -451,7 +451,8 @@ DRIVER_WINDOW_R9_PLAN = sorted(
 # Late-r9 additions audit (the same rule, re-applied): every new
 # operator this wave (cusum/holt/isotonic/event_transitions/linear/
 # factorization/privacy/ranking_metrics/walks+SPPMI/mask_tokens/
-# epoch_shuffle/maintain_sketch_stream/read_avro_lake) is ADDITIVE --
+# epoch_shuffle/maintain_sketch_stream/read_avro_lake/ipw_ate/
+# aipw_ate/biased_random_walks/COW eq-modes) is ADDITIVE --
 # new functions or new files, no registered query's body or callee
 # changed. sources/versioned.py gained the COW DML core
 # (_cow_rewrite/delete_where/update_where) and apply_changes grew an
@@ -587,7 +588,10 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # R10-promotable with bit-exact DuckDB replay (test_privacy.py; the
 # DP release replays through the md5_hash60 bridge), as are
 # ranking.ranking_metrics (full replay parity in
-# test_ranking_metrics_pins_and_parity) and corpus.mask_tokens (MLM
+# test_ranking_metrics_pins_and_parity), linear.ipw_ate/aipw_ate
+# (pinned-model causal readouts, full replay parity in
+# test_linear.py -- completing the causal set around diff_in_diff/
+# cuped_adjust), and corpus.mask_tokens (MLM
 # masking; bit-equal coin twin + full replay,
 # test_mask_tokens_twin_rate_and_duckdb_parity). The COW DML family
 # (versioned.delete_where / update_where / apply_changes(prune=True))
