@@ -6,6 +6,11 @@ sort-merge join; the helpers here cover the cases it cannot:
 - null_skew_left_join: NULL join keys all hash to one partition and can
   never match anyway -- route them around the shuffle entirely and union
   back, so a 30%-null foreign key costs 0 shuffle for the null slice.
+- hot_key_split_join: when the hot key VALUES are known (detect_hot_keys
+  or key_skew_report), the hot slice joins map-side against a broadcast
+  of the other side's hot rows -- hot fact rows never shuffle AT ALL,
+  strictly better than AQE's skew split, which still shuffles the hot
+  rows (just in chunks).
 - compact_upserts: fold an append-only upsert log (sources/lake.py:
   upsert_by_key) into a snapshot so readers stop paying the log-replay
   dedup; the offline-compaction half of the ES-style upsert semantics.
@@ -50,6 +55,99 @@ def null_skew_left_join(
             continue
         null_key = null_key.withColumn(c, F.lit(None).cast(rtypes[c]))
     return with_key.unionByName(null_key)
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key: str,
+    top: int = 16,
+    min_share: float = 0.01,
+) -> list:
+    """Key values that each carry >= ``min_share`` of the table's rows,
+    at most ``top`` of them -- the explicit hot list hot_key_split_join
+    joins map-side. ONE pass over ``df``: a per-key count (map-side
+    partial combine makes the shuffle uniform even when the key itself
+    is the skewed one -- each task emits one partial row per key it
+    saw), then total + top-k read off that small counts frame, never the
+    fact table. The collect is bounded at ``top`` rows by construction.
+
+    Companion diagnostic: aggregates.key_skew_report gives the ratio
+    that says whether splitting is worth it at all."""
+    if not 0.0 < min_share <= 1.0:
+        raise ValueError(f"min_share must be in (0, 1]: {min_share}")
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+    # total as a one-row broadcast scalar (the repo's cross-join-scalar
+    # pattern) -- NOT an unpartitioned window over the counts frame,
+    # which would funnel a billion-key cardinality through one task
+    total = counts.agg(F.sum("_n").alias("_total"))
+    rows = (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("_n") >= F.col("_total") * F.lit(min_share))
+        .orderBy(F.desc("_n"), F.col(key))  # TakeOrdered: partial top-k
+        .limit(top)
+        .select(key)
+        .collect()
+    )
+    return [r[0] for r in rows if r[0] is not None]
+
+
+def hot_key_split_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    hot_keys: list,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join split on a known hot-key list: rows whose ``key`` is in
+    ``hot_keys`` join map-side against a BROADCAST of the other side's
+    hot rows; everything else takes the normal shuffled path; the two
+    slices union. Result identical to ``left.join(right, key, how)``.
+
+    Why this beats AQE at 100 TB: OptimizeSkewedJoin splits a skewed
+    sort-merge partition into chunks, but every hot row still crosses
+    the wire into those chunks. Here the hot slice's fact rows NEVER
+    shuffle -- the only movement is the broadcast of the other side's
+    hot rows (a handful of rows for a handful of keys, by definition of
+    "hot dimension key"), and the cold shuffle is uniform. Pair with
+    detect_hot_keys (one uniform counting pass) or a cached skew report.
+
+    ``how``: "inner" or "left". NULL left keys can never equi-match:
+    inner drops them (same as the plain join); left routes them down the
+    cold path, whose left join emits them with null right columns.
+    Non-key column-name collisions are rejected up front (the
+    null_skew_left_join convention); the joined key appears once
+    (``on=<name>`` semantics). ``hot_keys`` must be a bounded in-list
+    (<= 1000 -- beyond that the isin literal bloats every task's plan;
+    a list that size means the key isn't "a few hot values" and wants
+    salted_two_phase-style spreading instead)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left': {how!r}")
+    if not hot_keys:
+        raise ValueError("hot_keys is empty: use a plain join")
+    if len(hot_keys) > 1000:
+        raise ValueError(
+            f"{len(hot_keys)} hot keys: an in-list this size belongs in a "
+            "join, not a broadcast split -- salt instead"
+        )
+    if any(k is None for k in hot_keys):
+        raise ValueError("NULL is not a joinable hot key")
+    overlap = (set(left.columns) & set(right.columns)) - {key}
+    if overlap:
+        raise ValueError(
+            f"non-key column names collide: {sorted(overlap)}; rename before joining"
+        )
+    is_hot = F.col(key).isin(hot_keys)
+    left_hot = left.filter(is_hot)
+    right_hot = right.filter(is_hot)
+    right_cold = right.filter(~is_hot)  # NULL right keys never match: drop
+    if how == "left":
+        # keep NULL-key rows: ~is_hot is NULL for them, so name them
+        left_cold = left.filter(~is_hot | F.col(key).isNull())
+    else:
+        left_cold = left.filter(~is_hot)
+    hot_joined = left_hot.join(F.broadcast(right_hot), key, how)
+    cold_joined = left_cold.join(right_cold, key, how)
+    return hot_joined.unionByName(cold_joined)
 
 
 def compact_upserts(

@@ -454,7 +454,10 @@ DRIVER_WINDOW_R9_PLAN = sorted(
 # epoch_shuffle/maintain_sketch_stream/read_avro_lake/ipw_ate/
 # aipw_ate/biased_random_walks/COW eq-modes) is ADDITIVE --
 # new functions or new files, no registered query's body or callee
-# changed. sources/versioned.py gained the COW DML core
+# changed. Same for the restart-wave additions (operators/joins.py
+# detect_hot_keys + hot_key_split_join; corpus/tokenizer ops below):
+# append-only functions; null_skew_enriched (the one registered query
+# on joins.py) calls null_skew_left_join, untouched. sources/versioned.py gained the COW DML core
 # (_cow_rewrite/delete_where/update_where) and apply_changes grew an
 # opt-in prune= parameter whose default path is byte-identical (the
 # only registered query on versioned.py, snapshot_change_feed, drives
@@ -573,6 +576,12 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # corpus.winnow_fingerprints / winnow_matches (MOSS winnowing --
 # ~2/(window+1) of the shingle index's rows with the shared-substring
 # guarantee; test_winnow_fingerprints_replica_guarantee_and_parity).
+# joins.hot_key_split_join (known-hot-key broadcast/shuffle split --
+# hot fact rows never shuffle, the step past AQE's chunked skew split)
+# is R10-promotable with full DuckDB replay parity
+# (test_hot_key_split_join_duckdb_parity) plus a plan pin that the hot
+# slice really broadcasts; detect_hot_keys is its bounded-collect
+# detection partner (<= top rows, one uniform counting pass).
 # funnel.event_transitions (Markov user-journey matrix) is
 # R10-promotable with full DuckDB replay parity
 # (test_event_transitions_pins_and_parity) -- lead() + two hash aggs,

@@ -391,3 +391,151 @@ def test_interval_expr_rejects_non_duration_strings(spark):
     for bad in ("10; drop", "minutes 10", "1) OR (1=1", "", "10", None):
         with pytest.raises((ValueError, TypeError)):
             interval_expr(bad)
+
+
+# ---------------------------------------------------------------------------
+# Hot-key split join
+# ---------------------------------------------------------------------------
+def _skewed_orders(spark, sf_dir):
+    """Orders with a deliberately Zipf custkey: ~75% of rows map to one
+    hot customer (the skewed_hot_key_agg shape, on a join key)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 4 != 0, F.lit(7))
+            .otherwise(F.col("o_custkey"))
+            .alias("c_custkey"),
+            "o_totalprice",
+        )
+    )
+
+
+def test_hot_key_split_join_matches_plain_inner(spark, sf_dir):
+    orders = _skewed_orders(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    split = joins.hot_key_split_join(orders, customer, "c_custkey", [7])
+    plain = orders.join(customer, "c_custkey", "inner")
+    key = lambda r: (r.c_custkey, r.o_orderkey, r.c_mktsegment)  # noqa: E731
+    assert sorted(split.columns) == sorted(plain.columns)
+    assert sorted(map(key, split.collect())) == sorted(map(key, plain.collect()))
+
+
+def test_hot_key_split_join_matches_plain_left_with_nulls(spark, sf_dir):
+    orders = _skewed_orders(spark, sf_dir).withColumn(
+        # poison some keys with NULL and some with an unmatched value
+        "c_custkey",
+        F.when(F.col("o_orderkey") % 11 == 0, None)
+        .when(F.col("o_orderkey") % 13 == 0, F.lit(-1))
+        .otherwise(F.col("c_custkey")),
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    split = joins.hot_key_split_join(orders, customer, "c_custkey", [7], how="left")
+    plain = orders.join(customer, "c_custkey", "left")
+    key = lambda r: (r.c_custkey, r.o_orderkey, r.c_mktsegment)  # noqa: E731
+    skey = lambda t: tuple(str(x) for x in t)  # None-safe sort # noqa: E731
+    got = sorted(map(key, split.collect()), key=skey)
+    want = sorted(map(key, plain.collect()), key=skey)
+    assert got == want
+    # NULL and unmatched keys really are present with null right columns
+    assert any(r[0] is None and r[2] is None for r in got)
+    assert any(r[0] == -1 and r[2] is None for r in got)
+
+
+def test_hot_key_split_join_duckdb_parity(spark, sf_dir):
+    from tests.parity import compare, duckdb_connect
+
+    orders = _skewed_orders(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    out = joins.hot_key_split_join(orders, customer, "c_custkey", [7])
+    con = duckdb_connect(sf_dir)
+    problems = compare(
+        out,
+        con,
+        """
+        WITH o AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 4 <> 0 THEN 7
+                      ELSE o_custkey END AS c_custkey,
+                 o_totalprice
+          FROM orders
+        )
+        SELECT o.c_custkey, o.o_orderkey, o.o_totalprice, c.c_mktsegment
+        FROM o JOIN customer c USING (c_custkey)
+        """,
+    )
+    assert problems == [], problems
+
+
+def test_hot_key_split_join_plan_broadcasts_hot_slice(spark, sf_dir):
+    """The physical plan must show the split: a BroadcastHashJoin (hot
+    slice -- its fact rows never shuffle) unioned with a shuffled join
+    for the cold slice."""
+    orders = _skewed_orders(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    # force the COLD path to stay a shuffle join: drop the broadcast
+    # threshold so only the explicit F.broadcast survives
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        split = joins.hot_key_split_join(orders, customer, "c_custkey", [7])
+        split.write.format("noop").mode("overwrite").save()
+        plan = split._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_detect_hot_keys_finds_the_zipf_key(spark, sf_dir):
+    orders = _skewed_orders(spark, sf_dir)
+    hot = joins.detect_hot_keys(orders, "c_custkey", top=4, min_share=0.05)
+    assert hot == [7]  # ~75% of rows; nothing else clears 5%
+    # a uniform key yields no hot values at any meaningful share (sf0.001
+    # orders spread ~1% per active customer, so 2% clears the ties)
+    assert (
+        joins.detect_hot_keys(
+            load_table(spark, sf_dir, "orders"), "o_custkey", min_share=0.02
+        )
+        == []
+    )
+
+
+def test_hot_key_split_join_rejections(spark, sf_dir):
+    import pytest
+
+    orders = _skewed_orders(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    with pytest.raises(ValueError, match="how"):
+        joins.hot_key_split_join(orders, customer, "c_custkey", [7], how="full")
+    with pytest.raises(ValueError, match="empty"):
+        joins.hot_key_split_join(orders, customer, "c_custkey", [])
+    with pytest.raises(ValueError, match="NULL"):
+        joins.hot_key_split_join(orders, customer, "c_custkey", [7, None])
+    with pytest.raises(ValueError, match="hot keys"):
+        joins.hot_key_split_join(
+            orders, customer, "c_custkey", list(range(1001))
+        )
+    with pytest.raises(ValueError, match="collide"):
+        joins.hot_key_split_join(
+            orders.withColumn("c_mktsegment", F.lit("x")),
+            customer,
+            "c_custkey",
+            [7],
+        )
