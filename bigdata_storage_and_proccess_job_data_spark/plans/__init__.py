@@ -542,7 +542,11 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # pandas-replica oracle) and kmeans_update (driver-blend math,
 # numpy replica), per the kmeans/heavy_hitters precedents, and
 # bpe_train/bpe_encode (operators/bpe.py -- iterative merge loop;
-# exact pure-Python replica equality in test_bpe.py).
+# exact pure-Python replica equality in test_bpe.py), and
+# unigram_fit/unigram_encode (operators/unigram_lm.py -- the
+# SentencePiece-style hard-EM twin of BPE; iterative, same precedent,
+# bit-equal pure-Python replica in test_unigram_lm.py incl. integer
+# E-step counts so no float-order drift can enter the aggregation).
 # k_core / core_numbers (graph.py) are test-only by design (iterative
 # peel, the connected_components/pagerank precedent; pure-Python
 # decomposition equality in test_graph), as is the late-r9
