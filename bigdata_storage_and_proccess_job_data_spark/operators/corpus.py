@@ -2206,3 +2206,62 @@ def epoch_shuffle(
     return global_row_number(
         coined, ["_shuffle_h", id_col], out_col=out_col
     ).drop("_shuffle_h")
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    difficulty_col: str,
+    salt: str,
+    n_stages: int = 4,
+    out_col: str = "curriculum_pos",
+) -> DataFrame:
+    """Deterministic curriculum training order: rows ramp easy -> hard
+    across ``n_stages`` difficulty-quantile stages, shuffled WITHIN each
+    stage (so batches are not difficulty-sorted inside a stage -- the
+    standard curriculum-learning loader order, Bengio et al. 2009).
+
+    Two two-phase global row numbers, both skew-free (the epoch_shuffle
+    machinery -- range partition + per-partition row_number + bounded
+    offset fold; NO single-task Window.orderBy melt):
+      1. rank by (difficulty, id), stage = ceil(rank * n_stages / n)
+         (exact ntile; n arrives as a one-row broadcast scalar);
+      2. position by (stage, md5(id, salt), id) -- the same md5 coin as
+         epoch_shuffle, so a new salt reshuffles within stages while
+         stage assignment (a pure function of difficulty) is salt-free.
+
+    NULL difficulty sorts FIRST (Spark ASC semantics; oracles must say
+    NULLS FIRST). Returns input + (stage: INT 1..n_stages, out_col:
+    BIGINT 1..n), bit-reproducible across runs and partitionings."""
+    from bigdata_storage_and_proccess_job_data_spark.operators.aggregates import (
+        _safe_salt,
+        global_row_number,
+    )
+
+    if n_stages < 1:
+        raise ValueError(f"n_stages must be >= 1: {n_stages}")
+    ranked = global_row_number(
+        df, [difficulty_col, id_col], out_col="_diff_rn"
+    )
+    total = ranked.agg(F.max("_diff_rn").alias("_n"))
+    staged = (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            "stage",
+            F.ceil(
+                F.col("_diff_rn") * F.lit(n_stages) / F.col("_n")
+            ).cast("int"),
+        )
+        .drop("_diff_rn", "_n")
+    )
+    coined = staged.withColumn(
+        "_cur_h",
+        F.expr(
+            "conv(substring(md5(concat_ws(':', "
+            f"cast(`{id_col}` as string), '{_safe_salt(salt)}')), "
+            "1, 15), 16, 10)"
+        ).cast("long"),
+    )
+    return global_row_number(
+        coined, ["stage", "_cur_h", id_col], out_col=out_col
+    ).drop("_cur_h")

@@ -580,6 +580,10 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # corpus.winnow_fingerprints / winnow_matches (MOSS winnowing --
 # ~2/(window+1) of the shingle index's rows with the shared-substring
 # guarantee; test_winnow_fingerprints_replica_guarantee_and_parity).
+# corpus.curriculum_order (easy->hard staged loader order, shuffled
+# within stages on the epoch_shuffle coin; two two-phase global row
+# numbers, no single-task sort) is R10-promotable with full DuckDB
+# replay parity (test_curriculum_order_ramp_shuffle_and_parity).
 # joins.hot_key_split_join (known-hot-key broadcast/shuffle split --
 # hot fact rows never shuffle, the step past AQE's chunked skew split)
 # is R10-promotable with full DuckDB replay parity

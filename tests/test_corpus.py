@@ -2241,3 +2241,98 @@ def test_epoch_shuffle_deterministic_total_order_and_parity(
         duckdb_connect(oracle_sf_dir),
         sql,
     ) == []
+
+
+def test_curriculum_order_ramp_shuffle_and_parity(spark, oracle_sf_dir):
+    """Curriculum ordering: (1) stage means of difficulty are strictly
+    increasing (the ramp) and stages are balanced; (2) within a stage
+    the order is shuffled, not difficulty-sorted; (3) bit-reproducible
+    under repartition; a fresh salt reshuffles within stages but never
+    reassigns stages; (4) the plan has no SinglePartition exchange;
+    (5) full DuckDB replay parity (ntile + md5 coin)."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        _md5_hash60_sql,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    docs = load_table(spark, oracle_sf_dir, "documents").withColumn(
+        "difficulty", F.length("text").cast("double")
+    )
+    out = corpus.curriculum_order(
+        docs, "doc_id", "difficulty", salt="c1", n_stages=4
+    )
+    rows = out.select("doc_id", "difficulty", "stage", "curriculum_pos").collect()
+    n = len(rows)
+    assert sorted(r.curriculum_pos for r in rows) == list(range(1, n + 1))
+    by_stage: dict[int, list] = {}
+    for r in rows:
+        by_stage.setdefault(r.stage, []).append(r)
+    assert sorted(by_stage) == [1, 2, 3, 4]
+    sizes = [len(v) for _, v in sorted(by_stage.items())]
+    assert max(sizes) - min(sizes) <= 1  # exact ntile balance
+    means = [
+        sum(r.difficulty for r in v) / len(v)
+        for _, v in sorted(by_stage.items())
+    ]
+    assert means == sorted(means) and means[0] < means[-1]
+    # stages occupy contiguous position blocks (the ramp IS the order)
+    maxpos = {s: max(r.curriculum_pos for r in v) for s, v in by_stage.items()}
+    minpos = {s: min(r.curriculum_pos for r in v) for s, v in by_stage.items()}
+    assert maxpos[1] < minpos[2] and maxpos[2] < minpos[3]
+    # within-stage shuffle: difficulty is NOT monotone in position
+    s1 = sorted(by_stage[1], key=lambda r: r.curriculum_pos)
+    inversions = sum(
+        1 for a, b in zip(s1, s1[1:]) if a.difficulty > b.difficulty
+    )
+    assert inversions > len(s1) * 0.2
+
+    # reproducible under repartition; salt moves order within stage only
+    again = {
+        r.doc_id: (r.stage, r.curriculum_pos)
+        for r in corpus.curriculum_order(
+            docs.repartition(17), "doc_id", "difficulty", salt="c1",
+            n_stages=4,
+        ).select("doc_id", "stage", "curriculum_pos").collect()
+    }
+    assert all(again[r.doc_id] == (r.stage, r.curriculum_pos) for r in rows)
+    fresh = {
+        r.doc_id: (r.stage, r.curriculum_pos)
+        for r in corpus.curriculum_order(
+            docs, "doc_id", "difficulty", salt="c2", n_stages=4
+        ).select("doc_id", "stage", "curriculum_pos").collect()
+    }
+    assert all(fresh[r.doc_id][0] == r.stage for r in rows)
+    moved = sum(1 for r in rows if fresh[r.doc_id][1] != r.curriculum_pos)
+    assert moved > n * 0.9
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+    h = _md5_hash60_sql("doc_id::VARCHAR || ':c1'")
+    sql = f"""
+        WITH ranked AS (
+          SELECT doc_id, length(text)::DOUBLE AS difficulty,
+                 ROW_NUMBER() OVER (
+                   ORDER BY length(text)::DOUBLE NULLS FIRST, doc_id
+                 ) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM documents
+        )
+        SELECT doc_id,
+               CEIL(rn * 4.0 / n)::INT AS stage,
+               ROW_NUMBER() OVER (
+                 ORDER BY CEIL(rn * 4.0 / n)::INT, ({h}), doc_id
+               ) AS curriculum_pos
+        FROM ranked
+    """
+    assert compare(
+        out.select("doc_id", "stage", "curriculum_pos"),
+        duckdb_connect(oracle_sf_dir),
+        sql,
+    ) == []
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_stages"):
+        corpus.curriculum_order(docs, "doc_id", "difficulty", "s", n_stages=0)
