@@ -306,3 +306,60 @@ def semantic_dedup(
             ).alias("is_keeper"),
         )
     )
+
+
+def davies_bouldin(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> float:
+    """Davies-Bouldin index of a centroid set over the corpus: mean over
+    clusters of max_{j!=i} (S_i + S_j) / M_ij, with S_i the mean
+    Euclidean distance of a cell's UNIT vectors to its unit centroid and
+    M_ij the distance between unit centroids -- the spherical-k-means
+    flavor of the classic internal quality score (lower = tighter,
+    better-separated; Davies & Bouldin 1979). Complements
+    kmeans_objective (which has no separation term, so it cannot see
+    two centroids collapsing onto one cloud).
+
+    One scan: argmax-cosine assignment inside codegen, one k-row hash
+    agg of per-cell mean distance (sqrt(2 - 2 cos) on unit vectors);
+    the k x k centroid-distance matrix and the max-ratio fold run on
+    the driver (bounded: k rows, k^2 floats). Cells no vector landed in
+    are skipped (their S is undefined); a single non-empty cell returns
+    0.0 by convention."""
+    import math as _math
+
+    cents = [[float(x) for x in row] for row in _normalized(centroids)]
+    sims = F.array_max(_cell_sims("_v", cents))
+    per = (
+        _unit_vectors(corpus, vec_col)
+        .select(
+            sims["cell"].alias("_cell"),
+            F.sqrt(
+                F.greatest(2.0 - 2.0 * sims["sim"], F.lit(0.0))
+            ).alias("_d"),
+        )
+        .groupBy("_cell")
+        .agg(F.avg("_d").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .collect()  # bounded: k rows
+    )
+    scatter = {r["_cell"]: float(r["_s"]) for r in per}
+    live = sorted(scatter)
+    if len(live) <= 1:
+        return 0.0
+    worst = []
+    for i in live:
+        best = 0.0
+        for j in live:
+            if j == i:
+                continue
+            m = _math.sqrt(
+                max(
+                    sum((a - b) ** 2 for a, b in zip(cents[i], cents[j])),
+                    1e-300,
+                )
+            )
+            best = max(best, (scatter[i] + scatter[j]) / m)
+        worst.append(best)
+    return float(sum(worst) / len(worst))

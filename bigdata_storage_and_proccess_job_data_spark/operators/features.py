@@ -323,3 +323,70 @@ def isotonic_apply(
     if keys is None:
         out = out.drop(_GLOBAL_KEY)
     return out
+
+
+def target_encode_fit(
+    df: DataFrame,
+    keys: list[str],
+    target_col: str,
+    smoothing: float = 20.0,
+) -> DataFrame:
+    """Smoothed target-encoding artifact: per category key, the target's
+    sum and non-null count, plus the smoothing constant carried on every
+    row (the artifact is self-describing -- apply never re-asks). ONE
+    hash aggregation; artifact is O(categories), not O(rows).
+
+    Encoding applied later: (sum + m * prior) / (count + m) with prior =
+    the global target mean DERIVED FROM THE ARTIFACT (so serving never
+    touches training rows). The m-smoothing shrinks rare categories
+    toward the prior -- the standard mean-encoding regularizer
+    (Micci-Barreca 2001)."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0: {smoothing}")
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    y = F.col(target_col).cast("double")
+    return df.groupBy(*keys).agg(
+        F.sum(y).alias("_te_sum"),
+        F.count(y).alias("_te_cnt"),
+        F.lit(float(smoothing)).alias("_te_m"),
+    )
+
+
+def target_encode_apply(
+    df: DataFrame,
+    artifact: DataFrame,
+    keys: list[str],
+    out_col: str = "te",
+    loo_target: str | None = None,
+) -> DataFrame:
+    """Apply a target_encode_fit artifact: broadcast join on the keys,
+    codegen'd shrinkage expression, data side never shuffles. Unseen
+    categories (and all-null-target ones) encode to the global prior.
+
+    ``loo_target``: when encoding the TRAINING frame itself, name the
+    target column here and each row's own target is left out --
+    ((sum - y) + m * prior) / ((count - 1) + m) -- so the feature never
+    contains the row's own label (the leakage that makes naive mean
+    encoding overfit); a count-1 category falls back to the prior, and
+    a null-target row has nothing to remove. Serving frames omit it."""
+    stats = artifact.agg(
+        (F.sum("_te_sum") / F.sum("_te_cnt")).alias("_te_prior"),
+        F.max("_te_m").alias("_m"),
+    )
+    joined = df.join(F.broadcast(artifact.drop("_te_m")), keys, "left").crossJoin(
+        F.broadcast(stats)
+    )
+    prior, m = F.col("_te_prior"), F.col("_m")
+    if loo_target is None:
+        s, c = F.col("_te_sum"), F.col("_te_cnt")
+    else:
+        y = F.col(loo_target).cast("double")
+        s = F.col("_te_sum") - F.coalesce(y, F.lit(0.0))
+        c = F.col("_te_cnt") - y.isNotNull().cast("long")
+    enc = F.when(
+        F.col("_te_cnt").isNull() | (F.col("_te_cnt") == 0), prior
+    ).otherwise((s + m * prior) / (c + m))
+    return joined.withColumn(out_col, enc).drop(
+        "_te_sum", "_te_cnt", "_te_prior", "_m"
+    )

@@ -219,3 +219,76 @@ def jl_project(
             c = stable_round(c, digits)
         cols.append(c)
     return df.withColumn(out_col, F.array(*cols))
+
+
+def mahalanobis_fit(df: DataFrame, vec_col: str, ridge: float = 1e-9) -> dict:
+    """Multivariate outlier model: mean vector + INVERSE covariance of
+    an embedding column, from the same one-pass gram_moments as pca_fit
+    plus an O(d^3) driver inversion (numpy-replica-tested, the
+    pca_fit/kmeans precedent). ``ridge`` adds a tiny diagonal before
+    inverting so a near-singular covariance (collinear dims) fails soft
+    instead of exploding; raise it for aggressively degenerate data.
+
+    Returns a plain-python model dict (enters plans as literals):
+    {"mean": [d], "inv_cov": [[d]] * d, "n": int}."""
+    import numpy as np
+
+    n, s, g = gram_moments(df, vec_col)
+    if n < 2:
+        raise ValueError("mahalanobis_fit needs at least 2 vectors")
+    d = len(s)
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    cov = (cov + cov.T) / 2.0 + float(ridge) * np.eye(d)
+    inv = np.linalg.inv(cov)
+    inv = (inv + inv.T) / 2.0  # exact-symmetrize fp residue
+    return {
+        "mean": [float(x) for x in mean],
+        "inv_cov": [[float(x) for x in row] for row in inv],
+        "n": int(n),
+    }
+
+
+def mahalanobis_apply(
+    df: DataFrame,
+    model: dict,
+    vec_col: str,
+    out_col: str = "maha_dist",
+) -> DataFrame:
+    """Squared-root Mahalanobis distance sqrt((x-m)^T S^-1 (x-m)) per
+    row under a FIXED model -- pure codegen'd higher-order-function
+    expressions over literal mean/inverse-covariance (zero shuffles,
+    zero UDFs; the ridge-score scoring-with-pinned-model precedent, so
+    it is exact-oracle checkable). NULL vectors yield NULL. The classic
+    multivariate outlier score: under multivariate normality the square
+    is chi2(d), so e.g. sqrt(chi2_ppf(0.999, d)) is a natural cut."""
+    mean = model["mean"]
+    inv = model["inv_cov"]
+    d = len(mean)
+    if any(len(r) != d for r in inv) or len(inv) != d:
+        raise ValueError("inv_cov must be d x d matching mean")
+    mean_lit = F.array(*[F.lit(float(x)) for x in mean])
+    rows_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in r]) for r in inv]
+    )
+    v = vectors.as_double(vec_col)
+    centered = F.zip_with(v, mean_lit, lambda a, b: a - b)
+    out = df.withColumn("_mh_c", centered)
+    c = F.col("_mh_c")
+    # q = S^-1 c (one dot per literal row), then d^2 = c . q
+    q = F.transform(
+        rows_lit,
+        lambda r: F.aggregate(
+            F.zip_with(r, c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    d2 = F.aggregate(
+        F.zip_with(c, q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return out.withColumn(
+        out_col, F.sqrt(F.greatest(d2, F.lit(0.0)))
+    ).drop("_mh_c")

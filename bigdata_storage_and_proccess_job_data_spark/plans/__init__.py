@@ -580,6 +580,17 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # corpus.winnow_fingerprints / winnow_matches (MOSS winnowing --
 # ~2/(window+1) of the shingle index's rows with the shared-substring
 # guarantee; test_winnow_fingerprints_replica_guarantee_and_parity).
+# features.target_encode_fit/apply (smoothed LOO mean encoding,
+# Micci-Barreca shrinkage; artifact O(categories), broadcast apply) is
+# R10-promotable with full DuckDB replay parity
+# (test_target_encode_loo_semantics_and_parity).
+# reduction.mahalanobis_fit is test-only by design (gram_moments +
+# driver inversion, the pca_fit precedent; numpy replica equality),
+# while mahalanobis_apply with a PINNED model is oracle-grade
+# (test_mahalanobis_apply_duckdb_parity, the ridge_scores precedent).
+# clustering.davies_bouldin is test-only by design (internal quality
+# readout over the iterative kmeans family; independent numpy replica
+# + separation-ordering pins in test_clustering.py).
 # corpus.curriculum_order (easy->hard staged loader order, shuffled
 # within stages on the epoch_shuffle coin; two two-phase global row
 # numbers, no single-task sort) is R10-promotable with full DuckDB

@@ -314,3 +314,50 @@ def test_kmeans_update_minibatch_math(spark):
         clustering.kmeans_update(df, cent0, [1.0], decay=0.5)
     with pytest.raises(ValueError):
         clustering.kmeans_update(df, cent0, counts0, decay=0.0)
+
+
+def test_davies_bouldin_numpy_replica_and_separation(spark):
+    """DBI matches an independent numpy computation on blobs, ranks a
+    good centroid set below a collapsed one (separation term working),
+    and degenerates to 0.0 when only one cell is populated."""
+    x, _ = _blobs()
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = clustering.kmeans_fit(
+        df, vec_col="embedding", n_centroids=3, sample_size=120,
+        refine_iters=4,
+    )
+    got = clustering.davies_bouldin(df, cents, "embedding")
+
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    c = np.asarray(cents, dtype=np.float64)
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    sims = xn @ c.T
+    assign = sims.argmax(axis=1)
+    live = sorted(set(assign.tolist()))
+    scatter = {}
+    for i in live:
+        m = xn[assign == i]
+        d = np.sqrt(np.maximum(2.0 - 2.0 * (m @ c[i]), 0.0))
+        scatter[i] = d.mean()
+    worst = []
+    for i in live:
+        r = 0.0
+        for j in live:
+            if i == j:
+                continue
+            mij = np.linalg.norm(c[i] - c[j])
+            r = max(r, (scatter[i] + scatter[j]) / mij)
+        worst.append(r)
+    want = sum(worst) / len(worst)
+    assert abs(got - want) < 1e-9
+
+    # collapsed centroids (two nearly identical) score WORSE (higher)
+    bad = [cents[0], list(np.asarray(cents[0]) + 1e-3), cents[2]]
+    assert clustering.davies_bouldin(df, bad, "embedding") > got
+
+    # a single populated cell has no separation story: 0.0
+    one = clustering.davies_bouldin(df, [cents[0]], "embedding")
+    assert one == 0.0

@@ -263,3 +263,70 @@ def test_isotonic_apply_clamp_and_self_consistency(spark, oracle_sf_dir):
     assert cal[("a", 99.0)] == 1.0  # clamp above
     assert cal[("a", None)] is None
     assert cal[("zz", 3.0)] is None  # unseen key: no silent passthrough
+
+
+def test_target_encode_loo_semantics_and_parity(spark, oracle_sf_dir):
+    """Smoothed target encoding: (1) hand math on a tiny frame incl.
+    unseen-category prior fallback, count-1 LOO prior fallback, and
+    null-target exclusion; (2) full DuckDB replay parity of the LOO
+    encoding on orders; (3) serving apply (no LOO) parity too."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.operators import features
+    from tests.parity import compare, duckdb_connect
+
+    train = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 40.0), ("b", None), ("c", 30.0)],
+        "k string, y double",
+    )
+    art = features.target_encode_fit(train, ["k"], "y", smoothing=2.0)
+    # prior = (10+20+40+30)/4 = 25
+    enc = {
+        (r.k, r.y): r.te
+        for r in features.target_encode_apply(
+            train, art, ["k"], loo_target="y"
+        ).collect()
+    }
+    assert abs(enc[("a", 10.0)] - (20.0 + 2 * 25.0) / 3.0) < 1e-12
+    assert abs(enc[("c", 30.0)] - 25.0) < 1e-12  # count-1 LOO -> prior
+    assert abs(enc[("b", None)] - (40.0 + 2 * 25.0) / 3.0) < 1e-12  # nothing to remove
+    serve = spark.createDataFrame([("a",), ("zz",)], "k string")
+    got = {
+        r.k: r.te
+        for r in features.target_encode_apply(serve, art, ["k"]).collect()
+    }
+    assert abs(got["a"] - (30.0 + 2 * 25.0) / 4.0) < 1e-12
+    assert abs(got["zz"] - 25.0) < 1e-12  # unseen -> prior
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    art = features.target_encode_fit(
+        orders, ["o_orderpriority"], "o_totalprice", smoothing=20.0
+    )
+    out = features.target_encode_apply(
+        orders, art, ["o_orderpriority"], loo_target="o_totalprice"
+    ).select(
+        "o_orderkey", stable_round(F.col("te"), 4).alias("te")
+    )
+    sql = f"""
+        WITH art AS (
+          SELECT o_orderpriority,
+                 SUM(o_totalprice) AS s,
+                 COUNT(o_totalprice) AS c
+          FROM orders GROUP BY 1
+        ), pr AS (SELECT SUM(s) / SUM(c) AS prior FROM art)
+        SELECT o.o_orderkey,
+               {sql_round('((a.s - o.o_totalprice) + 20.0 * pr.prior)'
+                          ' / ((a.c - 1) + 20.0)', 4)} AS te
+        FROM orders o JOIN art a USING (o_orderpriority), pr
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="smoothing"):
+        features.target_encode_fit(train, ["k"], "y", smoothing=0.0)
+    with _pytest.raises(ValueError, match="keys"):
+        features.target_encode_fit(train, [], "y")

@@ -227,3 +227,78 @@ def test_pca_fit_rejects_bad_q(spark, sf_dir):
         reduction.pca_fit(emb, "embedding", 0)
     with pytest.raises(ValueError):
         reduction.pca_fit(emb, "embedding", 65)
+
+
+def test_mahalanobis_fit_numpy_replica_and_apply(spark, sf_dir):
+    """Fit matches numpy (mean + inverse ridged covariance), apply
+    matches the einsum quadratic form, and the chi2 shape holds: the
+    mean squared distance over the fitting data is ~d."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids, X = _emb_matrix(spark, sf_dir)
+    model = reduction.mahalanobis_fit(emb, "embedding", ridge=1e-6)
+    mean = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False, ddof=1) + 1e-6 * np.eye(X.shape[1])
+    inv = np.linalg.inv((cov + cov.T) / 2.0)
+    inv = (inv + inv.T) / 2.0
+    assert np.allclose(model["mean"], mean, rtol=1e-9, atol=1e-12)
+    assert np.allclose(model["inv_cov"], inv, rtol=1e-6, atol=1e-9)
+    assert model["n"] == len(X)
+
+    out = {
+        r.vec_id: r.maha_dist
+        for r in reduction.mahalanobis_apply(
+            emb, model, "embedding"
+        ).select("vec_id", "maha_dist").collect()
+    }
+    C = X - np.asarray(model["mean"])
+    A = np.asarray(model["inv_cov"])
+    want = np.sqrt(np.maximum(np.einsum("ij,jk,ik->i", C, A, C), 0.0))
+    got = np.asarray([out[i] for i in ids])
+    assert np.allclose(got, want, rtol=1e-7, atol=1e-9)
+    # mean d^2 ~ d for the fitting sample (exact identity for the
+    # empirical covariance up to the ridge: trace argument)
+    assert abs((got**2).mean() - X.shape[1]) < 0.5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="d x d"):
+        reduction.mahalanobis_apply(
+            emb, {"mean": [0.0, 0.0], "inv_cov": [[1.0]]}, "embedding"
+        )
+
+
+def test_mahalanobis_apply_duckdb_parity(spark, oracle_sf_dir):
+    """Scoring with a PINNED literal model replays exactly in DuckDB
+    (the ridge_scores precedent): same quadratic form via a flat
+    literal matrix and two generate_series indices."""
+    from tests.parity import compare, duckdb_connect
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    model = reduction.mahalanobis_fit(emb, "embedding", ridge=1e-3)
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
+    )
+
+    out = reduction.mahalanobis_apply(emb, model, "embedding").select(
+        "vec_id", stable_round(F.col("maha_dist"), 4).alias("maha_dist")
+    )
+    d = len(model["mean"])
+    mean_sql = "[" + ", ".join(repr(x) for x in model["mean"]) + "]"
+    flat = [x for row in model["inv_cov"] for x in row]
+    a_sql = "[" + ", ".join(repr(x) for x in flat) + "]"
+    inner = f"""
+        SELECT e.vec_id,
+               SUM(({a_sql})[(i.i - 1) * {d} + j.j]
+                   * (e.embedding[i.i]::DOUBLE - ({mean_sql})[i.i])
+                   * (e.embedding[j.j]::DOUBLE - ({mean_sql})[j.j])) AS d2
+        FROM embeddings e,
+             generate_series(1, {d}) i(i),
+             generate_series(1, {d}) j(j)
+        GROUP BY e.vec_id
+    """
+    sql = f"""
+        SELECT vec_id,
+               {sql_round('sqrt(greatest(d2, 0.0))', 4)} AS maha_dist
+        FROM ({inner})
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
