@@ -580,6 +580,11 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # corpus.winnow_fingerprints / winnow_matches (MOSS winnowing --
 # ~2/(window+1) of the shingle index's rows with the shared-substring
 # guarantee; test_winnow_fingerprints_replica_guarantee_and_parity).
+# lake.write_training_shards (ordered size-bounded loader shards with
+# a read-back manifest; one uniform hash shuffle + per-shard bounded
+# sort) is storage-maintenance, test-pinned (physical file order
+# asserted from parquet, the optimize_table precedent -- not registry
+# material).
 # features.target_encode_fit/apply (smoothed LOO mean encoding,
 # Micci-Barreca shrinkage; artifact O(categories), broadcast apply) is
 # R10-promotable with full DuckDB replay parity

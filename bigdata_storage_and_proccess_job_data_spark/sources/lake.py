@@ -417,3 +417,51 @@ def read_avro_lake(
                 "precedent)"
             ) from exc
         raise
+
+
+def write_training_shards(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    shard_rows: int,
+) -> DataFrame:
+    """The loader's last mile after epoch_shuffle / curriculum_order:
+    materialize a totally-ordered frame as size-bounded ORDERED shards a
+    training loader can stream sequentially without sorting anything.
+    Shard k holds positions [k * shard_rows + 1, (k + 1) * shard_rows]
+    of the 1-based ``order_col``; rows inside each shard file are
+    PHYSICALLY sorted by position (parquet preserves row order, and the
+    hash-by-shard repartition puts a whole shard in one task, so the
+    partitionBy writer emits one sorted file per shard unless
+    spark.sql.files.maxRecordsPerFile forces a split -- leave it unset
+    for loader-facing output).
+
+    Scale shape: one hash shuffle on the shard id (uniform by
+    construction -- equal-size blocks of a permutation), one
+    within-task sort bounded at shard_rows rows; no global sort, no
+    driver rows. Returns the manifest read back FROM DISK (shard,
+    n_rows, min/max position) -- self-verifying metadata, one row per
+    shard; write it beside the corpus if the loader wants it."""
+    if shard_rows < 1:
+        raise ValueError(f"shard_rows must be >= 1: {shard_rows}")
+    shard = (
+        (F.col(order_col).cast("long") - F.lit(1)) / F.lit(int(shard_rows))
+    ).cast("long")
+    (
+        df.withColumn("shard", shard)
+        .repartition(F.col("shard"))
+        .sortWithinPartitions("shard", order_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(order_col).alias("min_pos"),
+            F.max(order_col).alias("max_pos"),
+        )
+    )

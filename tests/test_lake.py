@@ -514,3 +514,42 @@ def test_avro_reader_fails_clearly_without_package(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         lake.read_avro_lake(spark, str(tmp_path / "nothing.avro"))
     assert "spark-avro" in str(ei.value)
+
+
+def test_write_training_shards_ordered_files_and_manifest(
+    spark, sf_dir, tmp_path
+):
+    """Shards hold contiguous position blocks, each shard is ONE parquet
+    file whose physical row order is the training order, and the
+    manifest read back from disk agrees."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ordered = corpus.epoch_shuffle(docs, "doc_id", "ep9")
+    out = str(tmp_path / "shards")
+    manifest = lake.write_training_shards(
+        spark, ordered, out, "shuffle_pos", shard_rows=64
+    )
+    n = docs.count()
+    rows = {r.shard: r for r in manifest.collect()}
+    assert sorted(rows) == list(range((n + 63) // 64))
+    for s, r in rows.items():
+        assert r.min_pos == s * 64 + 1
+        assert r.max_pos == min((s + 1) * 64, n)
+        assert r.n_rows == r.max_pos - r.min_pos + 1
+    # physical order inside each shard file IS the training order
+    for s in rows:
+        files = glob.glob(f"{out}/shard={s}/*.parquet")
+        assert len(files) == 1, files
+        pos = pq.read_table(files[0]).column("shuffle_pos").to_pylist()
+        assert pos == sorted(pos) and len(pos) == rows[s].n_rows
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shard_rows"):
+        lake.write_training_shards(spark, ordered, out, "shuffle_pos", 0)
