@@ -580,6 +580,12 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # corpus.winnow_fingerprints / winnow_matches (MOSS winnowing --
 # ~2/(window+1) of the shingle index's rows with the shared-substring
 # guarantee; test_winnow_fingerprints_replica_guarantee_and_parity).
+# sources/transactions.py (cross-table atomic commit: staged
+# snapshots + one manifest-pointer swap, roll-forward recovery,
+# txn_read snapshot isolation across the set) is storage-maintenance,
+# test-pinned incl. a simulated crash window (test_transactions.py;
+# the versioned.py commit-protocol precedent -- not registry
+# material).
 # lake.write_training_shards (ordered size-bounded loader shards with
 # a read-back manifest; one uniform hash shuffle + per-shard bounded
 # sort) is storage-maintenance, test-pinned (physical file order

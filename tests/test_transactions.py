@@ -1,0 +1,127 @@
+"""Cross-table transactions: all-or-nothing visibility, crash-window
+roll-forward recovery, version pinning via carry, optimistic CAS."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_storage_and_proccess_job_data_spark.sources import (
+    transactions as tx,
+)
+from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "x int")
+
+
+def _xs(df):
+    return sorted(r.x for r in df.collect())
+
+
+def test_txn_commit_publishes_all_tables_atomically(spark, tmp_path):
+    txd = str(tmp_path / "txn")
+    fact, agg = str(tmp_path / "fact"), str(tmp_path / "agg")
+    t1 = tx.txn_commit(
+        txd,
+        {"fact": (_df(spark, [1, 2]), fact), "agg": (_df(spark, [10]), agg)},
+    )
+    assert t1 == 1
+    assert _xs(tx.txn_read(spark, txd, "fact")) == [1, 2]
+    assert _xs(tx.txn_read(spark, txd, "agg")) == [10]
+    # per-table pointers rolled forward too
+    assert versioned.current_version(fact) == 1
+    assert versioned.current_version(agg) == 1
+
+    t2 = tx.txn_commit(
+        txd,
+        {"fact": (_df(spark, [1, 2, 3]), fact), "agg": (_df(spark, [13]), agg)},
+    )
+    assert t2 == 2
+    # past txn stays readable as a consistent pair (time travel)
+    assert _xs(tx.txn_read(spark, txd, "fact", txn=1)) == [1, 2]
+    assert _xs(tx.txn_read(spark, txd, "agg", txn=1)) == [10]
+    assert _xs(tx.txn_read(spark, txd, "agg")) == [13]
+
+    with pytest.raises(KeyError, match="not in transaction scope"):
+        tx.txn_read(spark, txd, "nope")
+    with pytest.raises(ValueError, match="empty"):
+        tx.txn_commit(txd, {})
+
+
+def test_txn_crash_window_recovery_and_isolation(spark, tmp_path):
+    """roll_forward=False simulates a crash between the txn commit point
+    and the per-table flips: txn readers already see the new epoch
+    (manifest is the truth), per-table readers still see the old one,
+    and txn_recover repairs the pointers idempotently."""
+    txd = str(tmp_path / "txn")
+    fact, agg = str(tmp_path / "fact"), str(tmp_path / "agg")
+    tx.txn_commit(
+        txd,
+        {"fact": (_df(spark, [1]), fact), "agg": (_df(spark, [10]), agg)},
+    )
+    tx.txn_commit(
+        txd,
+        {"fact": (_df(spark, [1, 2]), fact), "agg": (_df(spark, [12]), agg)},
+        roll_forward=False,
+    )
+    # txn view: new epoch, both tables together
+    assert _xs(tx.txn_read(spark, txd, "fact")) == [1, 2]
+    assert _xs(tx.txn_read(spark, txd, "agg")) == [12]
+    # per-table view: still the OLD epoch for both (no torn pair)
+    assert _xs(versioned.read_version(spark, fact)) == [1]
+    assert _xs(versioned.read_version(spark, agg)) == [10]
+    moved = tx.txn_recover(txd)
+    assert sorted(moved) == sorted([fact, agg])
+    assert _xs(versioned.read_version(spark, fact)) == [1, 2]
+    assert _xs(versioned.read_version(spark, agg)) == [12]
+    assert tx.txn_recover(txd) == []  # idempotent
+
+
+def test_txn_carry_pins_unwritten_tables(spark, tmp_path):
+    txd = str(tmp_path / "txn")
+    fact, dim = str(tmp_path / "fact"), str(tmp_path / "dim")
+    tx.txn_commit(
+        txd,
+        {"fact": (_df(spark, [1]), fact), "dim": (_df(spark, [7]), dim)},
+    )
+    # dim advances OUTSIDE the txn scope (single-table commit)
+    versioned.commit_version(_df(spark, [8]), dim)
+    # next txn writes only fact, carries dim at its CURRENT version
+    tx.txn_commit(
+        txd, {"fact": (_df(spark, [1, 2]), fact)}, carry={"dim": dim}
+    )
+    assert _xs(tx.txn_read(spark, txd, "dim")) == [8]
+    assert _xs(tx.txn_read(spark, txd, "dim", txn=1)) == [7]
+    # recover never rewinds a table that moved AHEAD of the manifest
+    versioned.commit_version(_df(spark, [9]), dim)
+    assert tx.txn_recover(txd) == []
+    assert versioned.current_version(dim) == 3
+
+    with pytest.raises(ValueError, match="both written and carried"):
+        tx.txn_commit(
+            txd, {"dim": (_df(spark, [0]), dim)}, carry={"dim": dim}
+        )
+    with pytest.raises(FileNotFoundError, match="no committed version"):
+        tx.txn_commit(
+            txd,
+            {"fact": (_df(spark, [1]), fact)},
+            carry={"ghost": str(tmp_path / "ghost")},
+        )
+
+
+def test_txn_optimistic_cas(spark, tmp_path):
+    txd = str(tmp_path / "txn")
+    fact = str(tmp_path / "fact")
+    t1 = tx.txn_commit(txd, {"fact": (_df(spark, [1]), fact)})
+    tx.txn_commit(
+        txd, {"fact": (_df(spark, [2]), fact)}, expected=t1
+    )
+    with pytest.raises(versioned.ConcurrentCommitError):
+        tx.txn_commit(
+            txd, {"fact": (_df(spark, [3]), fact)}, expected=t1
+        )
+    with pytest.raises(versioned.ConcurrentCommitError, match="expected"):
+        tx.txn_commit(
+            txd, {"fact": (_df(spark, [3]), fact)}, expected=99
+        )
