@@ -2265,3 +2265,55 @@ def curriculum_order(
     return global_row_number(
         coined, ["stage", "_cur_h", id_col], out_col=out_col
     ).drop("_cur_h")
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_col: str = "word",
+) -> DataFrame:
+    """Per-document out-of-vocabulary readout against a vocabulary
+    TABLE: (id, n_tokens, n_oov, oov_rate). The tokenizer-health gate a
+    corpus pipeline runs before training -- a rising oov_rate means the
+    vocabulary (word list, or the word-level slice of a subword vocab)
+    no longer fits the corpus mix. Tokens are lowercased whitespace
+    words (text.tokens, the corpus-wide convention); matching is exact.
+
+    Scale shape: one explode to token rows, one BROADCAST left join
+    against the vocabulary (bounded: a vocab is model-sized metadata,
+    not corpus-sized -- AQE demotes to shuffle if a caller passes
+    something huge), one hash agg back to doc grain. Empty documents
+    report n_tokens 0 with NULL oov_rate."""
+    from bigdata_storage_and_proccess_job_data_spark.functions import text
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            text.tokens(F.lower(F.col(text_col)))
+        ).alias("_tok"),
+    )
+    v = vocab.select(
+        F.col(word_col).alias("_tok"), F.lit(True).alias("_in_vocab")
+    ).distinct()
+    return (
+        toks.join(F.broadcast(v), "_tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_tok").alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.col("_tok").isNotNull() & F.col("_in_vocab").isNull(),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_oov") / F.col("n_tokens"),
+            ),
+        )
+    )

@@ -602,6 +602,9 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # clustering.davies_bouldin is test-only by design (internal quality
 # readout over the iterative kmeans family; independent numpy replica
 # + separation-ordering pins in test_clustering.py).
+# corpus.vocab_coverage (per-doc OOV rate vs a vocabulary table; one
+# explode + broadcast join + hash agg) is R10-promotable with full
+# DuckDB replay parity (test_vocab_coverage_semantics_and_parity).
 # corpus.curriculum_order (easy->hard staged loader order, shuffled
 # within stages on the epoch_shuffle coin; two two-phase global row
 # numbers, no single-task sort) is R10-promotable with full DuckDB

@@ -2336,3 +2336,72 @@ def test_curriculum_order_ramp_shuffle_and_parity(spark, oracle_sf_dir):
 
     with _pytest.raises(ValueError, match="n_stages"):
         corpus.curriculum_order(docs, "doc_id", "difficulty", "s", n_stages=0)
+
+
+def test_vocab_coverage_semantics_and_parity(spark, oracle_sf_dir):
+    """OOV readout: hand math on a tiny frame (empty doc -> NULL rate,
+    dup vocab rows collapse), and full DuckDB replay parity on the
+    documents table against a frequent-words vocabulary."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        SQL_TOKENS_LOWER,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    tiny = spark.createDataFrame(
+        [(1, "the cat THE dog"), (2, ""), (3, "zz zz")],
+        "doc_id int, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("the",), ("the",), ("cat",)], "word string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in corpus.vocab_coverage(tiny, vocab).collect()
+    }
+    assert got[1] == (4, 1, 0.25)  # dog is OOV; THE lowercases in
+    assert got[2] == (0, 0, None)
+    assert got[3] == (2, 2, 1.0)
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    # vocabulary = words appearing >= 20 times in the corpus itself
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(F.trim("text")), r"\s+")
+        ).alias("word")
+    ).groupBy("word").count().filter(F.col("count") >= 20).select("word")
+    out = corpus.vocab_coverage(docs, words).select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        stable_round(F.col("oov_rate"), 6).alias("oov_rate"),
+    )
+    sql = f"""
+        WITH vocab AS (
+          SELECT word FROM (
+            SELECT unnest({SQL_TOKENS_LOWER}) AS word FROM documents
+          ) GROUP BY word HAVING COUNT(*) >= 20
+        ),
+        toks AS (
+          SELECT doc_id, unnest({SQL_TOKENS_LOWER}) AS tok FROM documents
+        ),
+        per AS (
+          SELECT t.doc_id,
+                 COUNT(*) AS n_tokens,
+                 SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov
+          FROM toks t LEFT JOIN vocab v ON t.tok = v.word
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               COALESCE(p.n_oov, 0) AS n_oov,
+               CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                    THEN {sql_round('p.n_oov * 1.0 / p.n_tokens', 6)}
+               END AS oov_rate
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
