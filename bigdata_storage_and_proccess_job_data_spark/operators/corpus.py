@@ -2317,3 +2317,154 @@ def vocab_coverage(
             ),
         )
     )
+
+
+def kn_bigram_tables(
+    ref: DataFrame, text_col: str = "text"
+) -> "tuple[DataFrame, DataFrame, DataFrame, float]":
+    """Interpolated Kneser-Ney bigram model fit on a reference corpus --
+    the KenLM-lineage smoothing CCNet-style quality filters standardize
+    on (Kneser & Ney 1995; Chen & Goodman 1999), completing the LM
+    ladder above the add-alpha unigram and Jelinek-Mercer bigram fits.
+
+    Returns (bi, ctx, cont, discount):
+      bi   (prev, token, c)            raw bigram counts, unpruned;
+      ctx  (prev, c_prev, n_after)     context total + distinct
+                                       continuation count N1+(prev, .);
+      cont (token, p_cont)             continuation probability
+                                       N1+(., w) / (T + 1), plus one
+                                       token-IS-NULL row carrying the
+                                       OOV share 1 / (T + 1) (the
+                                       unigram_logprob_table OOV-row
+                                       convention; T = bigram types);
+      discount                         D = n1 / (n1 + 2 n2) estimated
+                                       from singleton/doubleton bigram
+                                       type counts (Ney et al. 1994);
+                                       0.75 fallback when the estimate
+                                       degenerates (no singletons, or
+                                       no doubletons -- the formula
+                                       then hits its 0/1 boundary).
+
+    Scale shape: one explode + three hash aggs; the only driver traffic
+    is the ONE (n1, n2) row for the discount. Artifacts are stored
+    frames like the other LM tables."""
+    pairs = ref.select(
+        F.explode(
+            _bigram_pairs(text.tokens(F.lower(F.col(text_col))))
+        ).alias("_z")
+    ).select(
+        F.col("_z.prev").alias("prev"), F.col("_z.token").alias("token")
+    )
+    bi = (
+        pairs.groupBy("prev", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # three consumers below; fit once
+    )
+    ctx = bi.groupBy("prev").agg(
+        F.sum("c").alias("c_prev"), F.count(F.lit(1)).alias("n_after")
+    )
+    before = bi.groupBy("token").agg(F.count(F.lit(1)).alias("_n_before"))
+    total = before.agg(F.sum("_n_before").alias("_t"))
+    seen = before.crossJoin(F.broadcast(total)).select(
+        "token",
+        (F.col("_n_before") / (F.col("_t") + 1)).alias("p_cont"),
+    )
+    oov = total.select(
+        F.lit(None).cast("string").alias("token"),
+        (F.lit(1.0) / (F.col("_t") + 1)).alias("p_cont"),
+    )
+    cont = seen.unionByName(oov)
+    row = bi.agg(
+        F.sum((F.col("c") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("n2"),
+    ).collect()[0]  # bounded: ONE row for the discount estimate
+    n1, n2 = int(row["n1"] or 0), int(row["n2"] or 0)
+    discount = n1 / (n1 + 2 * n2) if (n1 > 0 and n2 > 0) else 0.75
+    return bi, ctx, cont, float(discount)
+
+
+def kn_surprisal(
+    docs: DataFrame,
+    bi: DataFrame,
+    ctx: DataFrame,
+    cont: DataFrame,
+    discount: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mean token surprisal under the interpolated Kneser-Ney bigram
+    model: p(w | prev) = max(c - D, 0) / c_prev
+                         + D * N1+(prev, .) / c_prev * p_cont(w),
+    full backoff to p_cont for an unseen context, the first token of a
+    document scored by p_cont alone (no context -- the no-BOS
+    convention bigram_surprisal documents), and OOV tokens carrying the
+    continuation table's reserved 1/(T+1) share, so p is never zero.
+
+    Same scale shape as bigram_surprisal: one explode, one broadcast
+    join on the bounded continuation table, one shuffle join against
+    the bigram artifact, one hash agg to doc grain. Returns (id_col,
+    n_tokens, surprisal = -mean ln p); empty docs n_tokens 0 with NULL
+    surprisal."""
+    if not 0 < discount < 1:
+        raise ValueError(f"discount must be in (0, 1): {discount}")
+    toks = docs.select(
+        F.col(id_col), text.tokens(F.lower(F.col(text_col))).alias("_tk")
+    )
+    first = toks.filter(F.size("_tk") >= 1).select(
+        id_col,
+        F.lit(None).cast("string").alias("prev"),
+        F.element_at("_tk", 1).alias("token"),
+    )
+    rest = toks.filter(F.size("_tk") > 1).select(
+        id_col, F.explode(_bigram_pairs(F.col("_tk"))).alias("_z")
+    ).select(
+        id_col,
+        F.col("_z.prev").alias("prev"),
+        F.col("_z.token").alias("token"),
+    )
+    oov = cont.filter(F.col("token").isNull()).select(
+        F.col("p_cont").alias("_oov_pc")
+    )
+    d = F.lit(float(discount))
+    scored = (
+        first.unionByName(rest)
+        .join(
+            F.broadcast(
+                cont.filter(F.col("token").isNotNull()).withColumnRenamed(
+                    "p_cont", "_pc_seen"
+                )
+            ),
+            "token",
+            "left",
+        )
+        .crossJoin(F.broadcast(oov))
+        .withColumn("_pc", F.coalesce(F.col("_pc_seen"), F.col("_oov_pc")))
+        .join(ctx, "prev", "left")
+        .join(bi, ["prev", "token"], "left")
+        .withColumn(
+            "_p",
+            F.when(
+                F.col("prev").isNull() | F.col("c_prev").isNull(),
+                F.col("_pc"),
+            ).otherwise(
+                F.greatest(
+                    F.coalesce(F.col("c"), F.lit(0)) - d, F.lit(0.0)
+                )
+                / F.col("c_prev")
+                + d * F.col("n_after") / F.col("c_prev") * F.col("_pc")
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.avg(F.log("_p"))).alias("surprisal"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "surprisal",
+        )
+    )

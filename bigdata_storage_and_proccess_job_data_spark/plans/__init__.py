@@ -602,6 +602,12 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # clustering.davies_bouldin is test-only by design (internal quality
 # readout over the iterative kmeans family; independent numpy replica
 # + separation-ordering pins in test_clustering.py).
+# corpus.kn_bigram_tables/kn_surprisal (interpolated Kneser-Ney --
+# estimated discount, continuation probs with a reserved OOV share;
+# one explode + three hash aggs to fit, the bigram_surprisal join
+# shape to score) is R10-promotable with full DuckDB replay parity
+# (test_kn_surprisal_continuation_pin_and_parity, incl. the
+# 'francisco'-after-'san' continuation pin JM bigrams cannot see).
 # corpus.vocab_coverage (per-doc OOV rate vs a vocabulary table; one
 # explode + broadcast join + hash agg) is R10-promotable with full
 # DuckDB replay parity (test_vocab_coverage_semantics_and_parity).

@@ -2405,3 +2405,121 @@ def test_vocab_coverage_semantics_and_parity(spark, oracle_sf_dir):
         FROM documents d LEFT JOIN per p USING (doc_id)
     """
     assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_kn_surprisal_continuation_pin_and_parity(spark, oracle_sf_dir):
+    """Interpolated Kneser-Ney: (1) the continuation-probability
+    signature -- a word frequent in ONE context only ('francisco' after
+    'san') is penalized in a NOVEL context versus an equally-frequent
+    versatile word, which plain ML/JM bigrams cannot see; (2) word
+    order still matters and the empty/one-token conventions hold; (3)
+    the whole fit+score (counts, contexts, continuation table with the
+    reserved OOV share, estimated discount) replays value-for-value in
+    DuckDB with the discount passed as a literal."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.plans.scale_queries import (
+        SQL_TOKENS_LOWER,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    # 'francisco' always follows 'san' (8x); 'common' appears 8x after 8
+    # DIFFERENT words. Same unigram frequency, different versatility.
+    ref_rows = [(i, "san francisco") for i in range(8)] + [
+        (100 + i, f"w{i} common") for i in range(8)
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id LONG, text STRING")
+    bi, ctx, cont, d = corpus.kn_bigram_tables(ref)
+    probe = spark.createDataFrame(
+        [
+            (1, "novel francisco"),
+            (2, "novel common"),
+            (3, "san francisco"),
+            (4, "francisco san"),  # broken order
+            (5, "the"),
+            (6, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: r
+        for r in corpus.kn_surprisal(probe, bi, ctx, cont, d).collect()
+    }
+    assert got[1].surprisal > got[2].surprisal  # low continuation prob
+    assert got[3].surprisal < got[4].surprisal  # order sensitivity
+    assert got[5].n_tokens == 1 and got[5].surprisal is not None
+    assert got[6].n_tokens == 0 and got[6].surprisal is None
+    with pytest.raises(ValueError, match="discount"):
+        corpus.kn_surprisal(probe, bi, ctx, cont, 1.5)
+
+    # --- cross-engine parity over the real corpus
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    bi_r, ctx_r, cont_r, d_r = corpus.kn_bigram_tables(docs)
+    assert 0 < d_r < 1
+    scored = corpus.kn_surprisal(docs, bi_r, ctx_r, cont_r, d_r).select(
+        "doc_id",
+        "n_tokens",
+        stable_round(F.col("surprisal"), 4).alias("surprisal"),
+    )
+    D = repr(float(d_r))
+    sql = f"""
+        WITH base AS (SELECT doc_id, {SQL_TOKENS_LOWER} AS l FROM documents),
+        zips AS (
+          SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+          FROM base WHERE len(l) > 1
+        ),
+        bc AS (
+          SELECT z[1] AS prev, z[2] AS token, COUNT(*) AS c
+          FROM zips GROUP BY 1, 2
+        ),
+        ctx AS (
+          SELECT prev, SUM(c) AS c_prev, COUNT(*) AS n_after
+          FROM bc GROUP BY prev
+        ),
+        tot AS (SELECT COUNT(*)::DOUBLE AS t FROM bc),
+        cont AS (
+          SELECT token, COUNT(*) / ((SELECT t FROM tot) + 1) AS p_cont
+          FROM bc GROUP BY token
+        ),
+        allt AS (
+          SELECT doc_id, NULL::VARCHAR AS prev, l[1] AS token
+          FROM base WHERE len(l) >= 1
+          UNION ALL
+          SELECT doc_id, z[1] AS prev, z[2] AS token FROM zips
+        ),
+        j AS (
+          SELECT a.doc_id, a.prev, a.token,
+                 COALESCE(cont.p_cont,
+                          1.0 / ((SELECT t FROM tot) + 1)) AS pc
+          FROM allt a LEFT JOIN cont ON a.token = cont.token
+        ),
+        jc AS (
+          SELECT j.*, ctx.c_prev, ctx.n_after
+          FROM j LEFT JOIN ctx ON j.prev = ctx.prev
+        ),
+        jb AS (
+          SELECT jc.*, bc.c
+          FROM jc LEFT JOIN bc
+            ON jc.prev = bc.prev AND jc.token = bc.token
+        ),
+        perdoc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 -AVG(ln(CASE WHEN prev IS NULL OR c_prev IS NULL THEN pc
+                              ELSE greatest(COALESCE(c, 0) - {D}, 0.0)
+                                     / c_prev
+                                   + {D} * n_after / c_prev * pc
+                         END)) AS s
+          FROM jb GROUP BY doc_id
+        )
+        SELECT b.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+               {sql_round("p.s", 4)} AS surprisal
+        FROM (SELECT DISTINCT doc_id FROM documents) b
+        LEFT JOIN perdoc p USING (doc_id)
+    """
+    errs = compare(scored, duckdb_connect(oracle_sf_dir), sql)
+    assert not errs, errs[:5]
