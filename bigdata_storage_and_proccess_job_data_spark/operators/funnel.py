@@ -337,3 +337,63 @@ def event_transitions(
             F.col("n").cast("double") / F.col("_tot"), digits
         ).alias("prob"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    period, tracked across subsequent periods -- the standard
+    growth-analytics readout next to funnel_counts/sessionize. Returns
+    (cohort, period_offset, n_users, retention) where retention =
+    active users at the offset / cohort size (offset 0 is 1.0 by
+    construction; a cohort-period pair with no activity simply has no
+    row -- readers pivot and fill 0).
+
+    ``period``: 'day' | 'week' | 'month' (date_trunc grains; week is
+    ISO-Monday on both engines, so the oracle matches exactly). Offsets
+    are calendar-period differences, not elapsed-time buckets.
+
+    Scale shape: one (user, period) distinct (the value acts as its own
+    salt -- a hot user spreads, the count_distinct_spread argument),
+    one min-per-user hash agg, a shuffle join back on the user key, one
+    hash agg to (cohort, offset), and a broadcast join of the bounded
+    cohort-size table. NULL users/timestamps are excluded."""
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"period must be day|week|month: {period!r}")
+    u, t = F.col(user_col), F.col(ts_col)
+    active = (
+        events.filter(u.isNotNull() & t.isNotNull())
+        .select(
+            u.alias("_u"),
+            F.date_trunc(period, t).cast("date").alias("_p"),
+        )
+        .distinct()
+    )
+    firsts = active.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    if period == "month":
+        off = (
+            (F.year("_p") - F.year("_cohort")) * 12
+            + (F.month("_p") - F.month("_cohort"))
+        ).cast("long")
+    elif period == "week":
+        off = (F.datediff("_p", "_cohort") / 7).cast("long")
+    else:
+        off = F.datediff("_p", "_cohort").cast("long")
+    cells = (
+        active.join(firsts, "_u")
+        .select(F.col("_cohort").alias("cohort"), off.alias("period_offset"))
+        .groupBy("cohort", "period_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    sizes = firsts.groupBy(F.col("_cohort").alias("cohort")).agg(
+        F.count(F.lit(1)).alias("_size")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort")
+        .withColumn("retention", F.col("n_users") / F.col("_size"))
+        .drop("_size")
+    )

@@ -638,3 +638,80 @@ def test_ranking_metrics_pins_and_parity(spark, oracle_sf_dir):
         FROM base
     """
     assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_cohort_retention_hand_pins_and_parity(spark, oracle_sf_dir):
+    """Cohort retention: (1) hand matrix on a four-user toy (cohort
+    assignment by first activity, offset-0 retention 1.0, dropouts
+    leave no row, NULL users/timestamps excluded); (2) full DuckDB
+    replay parity on the events table at week grain; (3) month offsets
+    are calendar differences (Jan 31 -> Feb 1 is one month)."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from pyspark.sql import functions as F
+    from tests.parity import compare, duckdb_connect
+
+    d = datetime.datetime
+    rows = [
+        (1, d(2024, 1, 1)), (1, d(2024, 1, 9)),   # w0 cohort, back w1
+        (2, d(2024, 1, 2)),                        # w0 cohort, gone
+        (3, d(2024, 1, 8)), (3, d(2024, 1, 22)),  # w1 cohort, back w2
+        (None, d(2024, 1, 1)), (4, None),          # excluded
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort.isoformat(), r.period_offset): (r.n_users, r.retention)
+        for r in funnel.cohort_retention(ev).collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 0.5)
+    assert got[("2024-01-08", 0)] == (1, 1.0)
+    assert got[("2024-01-08", 2)] == (1, 1.0)
+    assert len(got) == 4  # no zero-filled rows
+
+    mv = spark.createDataFrame(
+        [(1, d(2024, 1, 31)), (1, d(2024, 2, 1))], "user_id long, ts timestamp"
+    )
+    m = {
+        r.period_offset
+        for r in funnel.cohort_retention(mv, period="month").collect()
+    }
+    assert m == {0, 1}
+
+    with pytest.raises(ValueError, match="period"):
+        funnel.cohort_retention(ev, period="quarter")
+
+    events = load_table(spark, oracle_sf_dir, "events")
+    out = funnel.cohort_retention(events, period="week").select(
+        "cohort",
+        "period_offset",
+        "n_users",
+        stable_round(F.col("retention"), 6).alias("retention"),
+    )
+    sql = f"""
+        WITH active AS (
+          SELECT DISTINCT user_id AS u,
+                 date_trunc('week', ts)::DATE AS p
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        firsts AS (SELECT u, MIN(p) AS cohort FROM active GROUP BY u),
+        cells AS (
+          SELECT f.cohort,
+                 CAST(date_diff('day', f.cohort, a.p) / 7 AS BIGINT)
+                   AS period_offset,
+                 CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM active a JOIN firsts f USING (u)
+          GROUP BY 1, 2
+        ),
+        sizes AS (
+          SELECT cohort, COUNT(*) AS sz FROM firsts GROUP BY cohort
+        )
+        SELECT c.cohort, c.period_offset, c.n_users,
+               {sql_round('c.n_users * 1.0 / s.sz', 6)} AS retention
+        FROM cells c JOIN sizes s USING (cohort)
+    """
+    errs = compare(out, duckdb_connect(oracle_sf_dir), sql)
+    assert not errs, errs[:5]
