@@ -3473,3 +3473,62 @@ def holt_forecast(
         "h",
         (F.col("level") + F.col("h") * F.col("trend")).alias("forecast"),
     )
+
+
+def anova_oneway(
+    df,
+    group_col: str,
+    value_col: str,
+    keys: "list[str] | None" = None,
+):
+    """One-way ANOVA F statistic per key slice -- the k-group
+    generalization completing the two-sample family (welch_ttest,
+    proportion_ztest, rank_sum_test): does ANY of k arms differ in
+    mean? One row per key with n, k, the between/within sum-of-squares
+    decomposition, degrees of freedom, and ``f_stat``. Deliberately
+    stops at the statistic (no F-distribution CDF in Spark SQL -- the
+    welch_ttest rationale); threshold downstream.
+
+    Scale shape: TWO hash aggregations, both uniform -- per (keys,
+    group) moment sums (n, sum, sum of squares; map-side combined),
+    then per keys the closed-form decomposition
+    SS_between = sum(s_g^2 / n_g) - S^2 / n,
+    SS_within  = sum(ss_g) - sum(s_g^2 / n_g)
+    -- no join between arms, no second scan. NULL values and NULL
+    group labels are excluded."""
+    keys = keys or []
+    v = F.col(value_col).cast("double")
+    per_group = (
+        df.filter(F.col(group_col).isNotNull() & v.isNotNull())
+        .groupBy(*keys, group_col)
+        .agg(
+            F.count(v).alias("_n"),
+            F.sum(v).alias("_s"),
+            F.sum(v * v).alias("_ss"),
+        )
+    )
+    g = per_group.groupBy(*keys).agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("_s").alias("_gs"),
+        F.sum("_ss").alias("_gss"),
+        F.sum(F.col("_s") * F.col("_s") / F.col("_n")).alias("_between_raw"),
+    )
+    ss_between = F.col("_between_raw") - F.col("_gs") * F.col("_gs") / F.col("n")
+    ss_within = F.col("_gss") - F.col("_between_raw")
+    df_b = (F.col("k") - 1).cast("long")
+    df_w = (F.col("n") - F.col("k")).cast("long")
+    f_stat = F.when(
+        (df_b > 0) & (df_w > 0) & (ss_within > 0),
+        (ss_between / df_b) / (ss_within / df_w),
+    )
+    return g.select(
+        *keys,
+        "n",
+        "k",
+        ss_between.alias("ss_between"),
+        ss_within.alias("ss_within"),
+        df_b.alias("df_between"),
+        df_w.alias("df_within"),
+        f_stat.alias("f_stat"),
+    )

@@ -569,6 +569,9 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # The round-9 experiment-completeness wave, all R10-promotable with
 # full DuckDB replay parity in tests/test_mining.py:
 # mutual_information (contingency MI + entropies + NMI),
+# anova_oneway (k-group F decomposition in two uniform hash aggs;
+# parity on counts/dofs/f_stat -- the SS columns cancel ~1e14 moments
+# and are pinned by hand math instead, noted in the test),
 # diff_in_diff (four-cell DiD with large-sample z),
 # minimum_detectable_effect (post-hoc power / sizing readout),
 # srm_check (sample-ratio-mismatch chi2 health gate), and

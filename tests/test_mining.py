@@ -2369,3 +2369,92 @@ def test_holt_smooth_replica_and_forecast(spark, oracle_sf_dir):
             assert r.fitted is None
         else:
             assert r.fitted == pytest.approx(fit, rel=1e-12)
+
+
+def test_anova_oneway_hand_math_and_parity(spark, oracle_sf_dir):
+    """One-way ANOVA: (1) textbook hand example reproduces exactly
+    (three groups, known F), identical-group data gives F ~ 0, and the
+    degenerate guards (single group, zero within-variance) yield NULL;
+    (2) full DuckDB replay parity per key slice on orders."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    rows = (
+        [("a", v) for v in [1.0, 2.0, 3.0]]
+        + [("b", v) for v in [2.0, 3.0, 4.0]]
+        + [("c", v) for v in [5.0, 6.0, 7.0]]
+        + [("a", None), (None, 9.0)]  # excluded
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = aggregates.anova_oneway(df, "g", "v").collect()[0]
+    # grand mean 33/9; SSB = 3*(2-11/3)^2+3*(3-11/3)^2+3*(6-11/3)^2 = 26
+    # SSW = 3 groups x 2 each; F = (26/2)/(6/6) = 13
+    assert r.n == 9 and r.k == 3
+    assert r.ss_between == pytest.approx(26.0, abs=1e-9)
+    assert r.ss_within == pytest.approx(6.0, abs=1e-9)
+    assert r.f_stat == pytest.approx(13.0, abs=1e-9)
+
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)], "g string, v double"
+    )
+    assert aggregates.anova_oneway(same, "g", "v").collect()[0].f_stat == (
+        pytest.approx(0.0, abs=1e-12)
+    )
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    assert aggregates.anova_oneway(one, "g", "v").collect()[0].f_stat is None
+    const = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "g string, v double"
+    )
+    assert aggregates.anova_oneway(const, "g", "v").collect()[0].f_stat is None
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    # the SS columns subtract near-equal ~1e14 moment sums, so their
+    # absolute float drift (~0.1) defeats any fixed rounding; the RATIO
+    # is relatively stable to ~1e-12, so parity compares counts, dofs
+    # and f_stat (the hand pin above checks the SS decomposition on
+    # cancellation-free magnitudes)
+    out = aggregates.anova_oneway(
+        orders, "o_orderpriority", "o_totalprice", keys=["o_orderstatus"]
+    ).select(
+        "o_orderstatus",
+        "n",
+        "k",
+        "df_between",
+        "df_within",
+        stable_round(F.col("f_stat"), 6).alias("f_stat"),
+    )
+    sql = f"""
+        WITH pg AS (
+          SELECT o_orderstatus, o_orderpriority,
+                 COUNT(o_totalprice) AS n,
+                 SUM(o_totalprice) AS s,
+                 SUM(o_totalprice * o_totalprice) AS ss
+          FROM orders
+          WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        g AS (
+          SELECT o_orderstatus,
+                 CAST(SUM(n) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS k,
+                 SUM(s) AS gs, SUM(ss) AS gss,
+                 SUM(s * s / n) AS braw
+          FROM pg GROUP BY 1
+        )
+        SELECT o_orderstatus, n, k,
+               k - 1 AS df_between,
+               n - k AS df_within,
+               CASE WHEN k > 1 AND n > k AND (gss - braw) > 0 THEN
+                 {sql_round('((braw - gs * gs / n) / (k - 1))'
+                            ' / ((gss - braw) / (n - k))', 6)}
+               END AS f_stat
+        FROM g
+    """
+    errs = compare(out, duckdb_connect(oracle_sf_dir), sql)
+    assert not errs, errs[:5]
