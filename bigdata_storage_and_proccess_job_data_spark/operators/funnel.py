@@ -339,7 +339,7 @@ def event_transitions(
     )
 
 
-def cohort_retention(
+def retention_matrix(
     events: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
@@ -347,7 +347,12 @@ def cohort_retention(
 ) -> DataFrame:
     """Cohort retention matrix: users grouped by their FIRST-activity
     period, tracked across subsequent periods -- the standard
-    growth-analytics readout next to funnel_counts/sessionize. Returns
+    growth-analytics readout next to funnel_counts/sessionize. The
+    operator-library generalization of the registered cohort_retention
+    query (plans/analytics_queries.py -- SIGNUP-anchored weekly counts,
+    single-scan window form): this one anchors on first activity of any
+    kind, parameterizes the calendar grain, and emits the retention
+    RATIO against broadcast cohort sizes. Returns
     (cohort, period_offset, n_users, retention) where retention =
     active users at the offset / cohort size (offset 0 is 1.0 by
     construction; a cohort-period pair with no activity simply has no

@@ -627,10 +627,12 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # funnel.event_transitions (Markov user-journey matrix) is
 # R10-promotable with full DuckDB replay parity
 # (test_event_transitions_pins_and_parity) -- lead() + two hash aggs,
-# fully SQL-expressible. funnel.cohort_retention (first-activity
-# cohort matrix at day/week/month grain; distinct + two hash aggs +
-# broadcast cohort sizes) is likewise R10-promotable with full DuckDB
-# replay parity (test_cohort_retention_hand_pins_and_parity). graph.walk_skipgram_pairs and graph.pmi_pairs
+# fully SQL-expressible. funnel.retention_matrix (first-activity
+# cohort matrix at day/week/month grain with retention ratios; the
+# library generalization of the REGISTERED signup-anchored
+# cohort_retention query -- relation stated in both docstrings) is
+# likewise R10-promotable with full DuckDB replay parity
+# (test_retention_matrix_hand_pins_and_parity). graph.walk_skipgram_pairs and graph.pmi_pairs
 # are likewise R10-promotable with full DuckDB replay parity
 # (test_walk_skipgram_pairs_hand_and_duckdb_parity,
 # test_pmi_pairs_hand_and_duckdb_parity); graph.random_walks and

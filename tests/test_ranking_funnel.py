@@ -640,7 +640,7 @@ def test_ranking_metrics_pins_and_parity(spark, oracle_sf_dir):
     assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []
 
 
-def test_cohort_retention_hand_pins_and_parity(spark, oracle_sf_dir):
+def test_retention_matrix_hand_pins_and_parity(spark, oracle_sf_dir):
     """Cohort retention: (1) hand matrix on a four-user toy (cohort
     assignment by first activity, offset-0 retention 1.0, dropouts
     leave no row, NULL users/timestamps excluded); (2) full DuckDB
@@ -664,7 +664,7 @@ def test_cohort_retention_hand_pins_and_parity(spark, oracle_sf_dir):
     ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
     got = {
         (r.cohort.isoformat(), r.period_offset): (r.n_users, r.retention)
-        for r in funnel.cohort_retention(ev).collect()
+        for r in funnel.retention_matrix(ev).collect()
     }
     assert got[("2024-01-01", 0)] == (2, 1.0)
     assert got[("2024-01-01", 1)] == (1, 0.5)
@@ -677,15 +677,15 @@ def test_cohort_retention_hand_pins_and_parity(spark, oracle_sf_dir):
     )
     m = {
         r.period_offset
-        for r in funnel.cohort_retention(mv, period="month").collect()
+        for r in funnel.retention_matrix(mv, period="month").collect()
     }
     assert m == {0, 1}
 
     with pytest.raises(ValueError, match="period"):
-        funnel.cohort_retention(ev, period="quarter")
+        funnel.retention_matrix(ev, period="quarter")
 
     events = load_table(spark, oracle_sf_dir, "events")
-    out = funnel.cohort_retention(events, period="week").select(
+    out = funnel.retention_matrix(events, period="week").select(
         "cohort",
         "period_offset",
         "n_users",
