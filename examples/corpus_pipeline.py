@@ -235,6 +235,55 @@ def main() -> None:
     ).first()["f"]
     n_pos = shuffled.select("shuffle_pos").distinct().count()
 
+    # 10c. curriculum schedule + sharded materialization: stage docs
+    # easy->hard by token count (stage = difficulty quantile), shuffle
+    # within stages, then land ordered size-bounded shards the loader
+    # streams sequentially -- manifest read back from disk
+    from bigdata_storage_and_proccess_job_data_spark.sources import lake
+
+    staged = corpus.curriculum_order(
+        docs.withColumn(
+            "difficulty", text.token_count(F.col("text")).cast("double")
+        ),
+        "doc_id",
+        "difficulty",
+        salt="curr0",
+        n_stages=4,
+    )
+    manifest = lake.write_training_shards(
+        spark, staged, f"{out_dir}/shards", "curriculum_pos", shard_rows=64
+    )
+    n_shards = manifest.count()
+
+    # 10d. tokenizer health: a unigram-LM piece vocabulary next to the
+    # BPE merges, and the word-level OOV gate against the corpus's own
+    # frequent words
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        unigram_lm,
+    )
+
+    uni_vocab = unigram_lm.unigram_fit(
+        docs.limit(60), "text", vocab_size=64, seed_size=256,
+        max_piece_len=4,
+    )
+    n_pieces = len(uni_vocab)
+    freq_words = (
+        docs.select(F.explode(text.tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word").count().filter(F.col("count") >= 10).select("word")
+    )
+    oov = corpus.vocab_coverage(docs, freq_words).agg(
+        F.avg("oov_rate").alias("r")
+    ).first()["r"]
+
+    # 10e. fluency scoring under interpolated Kneser-Ney (the KenLM-
+    # lineage smoothing): fit on the surviving corpus, score it
+    kn_bi, kn_ctx, kn_cont, kn_d = corpus.kn_bigram_tables(docs)
+    kn_mean = (
+        corpus.kn_surprisal(docs, kn_bi, kn_ctx, kn_cont, kn_d)
+        .agg(F.avg("surprisal").alias("s"))
+        .first()["s"]
+    )
+
     # 11. land z-ordered by (doc, chunk length) for two-dim skipping
     from bigdata_storage_and_proccess_job_data_spark.functions import zorder
 
@@ -343,6 +392,8 @@ def main() -> None:
         f"dup_spans={n_spans} "
         f"chunks={n_chunks} seqs={n_seqs} "
         f"epoch_positions={n_pos} mask_frac={mask_frac:.3f} "
+        f"shards={n_shards} uni_pieces={n_pieces} "
+        f"oov_rate={oov:.3f} kn_D={kn_d:.3f} kn_surprisal={kn_mean:.2f} "
         f"ann_hits={n_hits} "
         f"mmr_kept={n_div} uniform_negs={n_uniform} "
         f"hard_negs={n_hard} bpe_merges={len(merges)} "
@@ -356,6 +407,9 @@ def main() -> None:
     assert n_seqs > 0
     assert n_pos == n_mix  # a permutation: one distinct pos per doc
     assert 0.1 < mask_frac < 0.2
+    assert n_shards == -(-n_mix // 64)  # ceil: every position landed
+    assert n_pieces > 0 and 0.0 <= oov < 0.5 and 0 < kn_d < 1
+    assert kn_mean > 0
     assert n_hits == 5 * 10
     assert n_div == 5 * 3
     assert n_uniform == 5 * 4
