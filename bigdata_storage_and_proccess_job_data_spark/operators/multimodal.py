@@ -226,3 +226,71 @@ def resize_media(
             )
 
     return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def fake_phash(content: bytes) -> int:
+    """STUB perceptual hash (deterministic, byte-space locality): 64
+    bits, bit i = XOR-parity of the i-th of 64 equal byte chunks, so
+    editing k bytes flips at most k bits -- honest Hamming locality
+    without a pixel decode. A real implementation computes aHash/pHash
+    on decoded pixels (PIL not in this container); swap via the
+    phash_fn parameter."""
+    n = len(content)
+    bits = 0
+    for i in range(64):
+        lo, hi = (i * n) // 64, ((i + 1) * n) // 64
+        x = 0
+        for byte in content[lo:hi]:
+            x ^= byte
+        bits |= (bin(x).count("1") & 1) << i
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def media_phash(
+    df: DataFrame,
+    phash_fn: Callable[[bytes], int] = fake_phash,
+    out_col: str = "phash",
+) -> DataFrame:
+    """BINARY media -> 64-bit perceptual fingerprint (BIGINT) via
+    Arrow-batched mapInPandas -- the image-dedup front half. The
+    content column is dropped on output, so everything downstream
+    (banding, joins, clustering) moves 8-byte signatures, never
+    payloads."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    out_col: pdf["content"].map(phash_fn).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema=f"media_id long, kind string, {out_col} long"
+    )
+
+
+def media_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    phash_fn: Callable[[bytes], int] = fake_phash,
+) -> DataFrame:
+    """Perceptual near-duplicate media pairs: fingerprint (media_phash)
+    then Hamming-band blocking (neardup.hamming_candidates) -- the
+    image twin of the text simhash pipeline, completing the multimodal
+    dedup story. Pigeonhole gives EXACT recall for
+    max_hamming <= bands - 1; larger radii trade recall for fewer
+    buckets. Returns (id_a, id_b, hamming); bytes never shuffle."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import neardup
+
+    return neardup.hamming_candidates(
+        media_phash(df, phash_fn=phash_fn),
+        "media_id",
+        "phash",
+        max_hamming=max_hamming,
+        bands=bands,
+    )

@@ -721,3 +721,75 @@ def lsh_plan(
         # among safe plans, minimize verify-stage waste
         return min(ok, key=lambda p: p["p_at_half_threshold"])
     return max(plans, key=lambda p: p["p_at_threshold"])
+
+
+def hamming_candidates(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs among PRECOMPUTED 64-bit signatures (BIGINT
+    column): band into ``bands`` chunks, bucket-join on equal chunks
+    (pigeonhole: hamming <= bands-1 guarantees a shared band -- exact
+    recall there; beyond it banding trades recall), filter by exact
+    bit_count(xor). The signature-agnostic half of simhash_candidates
+    (which stays fused to its token pipeline because a rowed registered
+    query pins that body -- refactor deferred to a window where
+    simhash_near_dups rotates in): feed it simhashes, media perceptual
+    hashes (multimodal.media_near_dups), or any other Hamming-space
+    fingerprint. Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Scale shape: signatures shuffle by (band, chunk) -- 16 bytes per
+    row regardless of payload width; content never moves."""
+    if not 1 <= bands <= 64 or 64 % bands != 0:
+        raise ValueError(f"bands must divide 64: {bands}")
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0: {max_hamming}")
+    width = 64 // bands
+    banded = df.select(
+        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig")
+    ).select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.shiftrightunsigned(F.col("_sig"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "_sig", "b.band", "b.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("sig_a"),
+            F.col("b._sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast(
+                "int"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -624,6 +624,12 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # (test_hot_key_split_join_duckdb_parity) plus a plan pin that the hot
 # slice really broadcasts; detect_hot_keys is its bounded-collect
 # detection partner (<= top rows, one uniform counting pass).
+# neardup.hamming_candidates (signature-agnostic 64-bit Hamming band
+# join) + multimodal.media_phash/media_near_dups (perceptual media
+# dedup over the injectable-codec plumbing; payloads never shuffle)
+# are test-pinned: exact brute-force pair equality inside the
+# pigeonhole bound + byte-locality pins (test_multimodal.py); the
+# codec half is the documented stub, so no oracle row applies.
 # funnel.event_transitions (Markov user-journey matrix) is
 # R10-promotable with full DuckDB replay parity
 # (test_event_transitions_pins_and_parity) -- lead() + two hash aggs,

@@ -117,3 +117,68 @@ def test_media_features_knn_query_recall(spark, sf_dir):
     want = {(r.query_id, r.neighbor_id) for r in exact}
     recall = len(got & want) / len(want)
     assert recall >= 0.5, f"media ANN recall {recall:.2f}"
+
+
+def test_media_near_dups_exact_recall_and_locality(spark):
+    """Perceptual media dedup: (1) fake_phash has genuine byte-space
+    Hamming locality (k byte edits flip <= k bits); (2) at
+    max_hamming <= bands-1 the banded join reproduces the brute-force
+    pair set EXACTLY (pigeonhole recall guarantee); (3) at a larger
+    radius candidates stay a subset of brute force with correct
+    distances; (4) bands validation; (5) payloads never shuffle --
+    the banded frame carries only (id, sig, band, chunk)."""
+    import itertools
+
+    base = bytearray(M.encode_fake_media(640, 480, 1) + b"\x00" * 640)
+    payloads = {10: bytes(base)}
+    for i, flips in [(11, [100]), (12, [100, 300]), (13, [50, 200, 400])]:
+        b = bytearray(base)
+        for pos in flips:
+            b[pos] ^= 0xFF
+        payloads[i] = bytes(b)
+    # a far-away payload: different everywhere
+    payloads[99] = bytes(bytearray((i * 37) % 251 for i in range(650)))
+    rows = [(i, "image", p, f"s3://x/{i}") for i, p in payloads.items()]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary, uri string"
+    )
+
+    hashes = {i: M.fake_phash(p) for i, p in payloads.items()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(hashes[10], hashes[11]) <= 1
+    assert ham(hashes[10], hashes[12]) <= 2
+    assert ham(hashes[10], hashes[13]) <= 3
+    assert ham(hashes[10], hashes[99]) > 8
+
+    def brute(radius):
+        return sorted(
+            (a, b, ham(hashes[a], hashes[b]))
+            for a, b in itertools.combinations(sorted(payloads), 2)
+            if ham(hashes[a], hashes[b]) <= radius
+        )
+
+    got3 = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in M.media_near_dups(df, max_hamming=3, bands=4).collect()
+    )
+    assert got3 == brute(3)  # exact recall inside the pigeonhole bound
+
+    got6 = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in M.media_near_dups(df, max_hamming=6, bands=4).collect()
+    )
+    assert set(got6) <= set(brute(6))
+    assert got3 and set(got3) <= set(got6)
+
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import neardup
+
+    with pytest.raises(ValueError, match="divide"):
+        neardup.hamming_candidates(
+            M.media_phash(df), "media_id", "phash", bands=5
+        )
+    with pytest.raises(ValueError, match="max_hamming"):
+        neardup.hamming_candidates(
+            M.media_phash(df), "media_id", "phash", max_hamming=-1
+        )
