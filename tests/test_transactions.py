@@ -125,3 +125,71 @@ def test_txn_optimistic_cas(spark, tmp_path):
         tx.txn_commit(
             txd, {"fact": (_df(spark, [3]), fact)}, expected=99
         )
+
+
+def test_txn_commit_composes_with_streaming_foreach_batch(spark, tmp_path):
+    """The cross-table layer in a streaming pipeline: every micro-batch
+    publishes the accumulated fact rows AND their derived aggregate as
+    ONE transaction, so a reader resolving both tables through any txn
+    id always sees a consistent pair (agg == aggregate of fact at that
+    txn, for every txn) -- the reference's detail-plus-cube fan-out
+    made atomic. The micro-batch id rides the manifest-adjacent fact
+    snapshot via its version history (one txn per non-empty batch)."""
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "src")
+    fact, agg = str(tmp_path / "fact"), str(tmp_path / "agg")
+    txd = str(tmp_path / "txn")
+    spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "id long, seg long, v double",
+    ).repartition(3).write.json(src_dir)
+
+    stream = spark.readStream.schema("id long, seg long, v double").option(
+        "maxFilesPerTrigger", 1
+    ).json(src_dir)
+
+    state = {"seen": None}
+
+    def publish(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        seen = (
+            state["seen"].unionByName(batch_df)
+            if state["seen"] is not None
+            else batch_df
+        )
+        state["seen"] = seen.localCheckpoint()
+        cube = state["seen"].groupBy("seg").agg(
+            F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")
+        )
+        tx.txn_commit(
+            txd,
+            {"fact": (state["seen"], fact), "agg": (cube, agg)},
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(publish)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    last = tx.txn_current(txd)
+    assert last and last >= 2  # several micro-batches committed
+    for t in range(1, last + 1):
+        f = tx.txn_read(spark, txd, "fact", txn=t)
+        a = {
+            r.seg: (r.total, r.n)
+            for r in tx.txn_read(spark, txd, "agg", txn=t).collect()
+        }
+        want = {
+            r.seg: (r.total, r.n)
+            for r in f.groupBy("seg")
+            .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert a == want  # every txn is a consistent fact/agg pair
+    # the final pair covers the whole source
+    assert tx.txn_read(spark, txd, "fact", txn=last).count() == 30
