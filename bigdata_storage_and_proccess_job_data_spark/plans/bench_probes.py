@@ -394,6 +394,8 @@ def bench_probes() -> dict:
         "kmv_zipf_build": kmv_zipf_build,
         "cow_delete_clustered": cow_delete_clustered,
         "cow_delete_fragmented": cow_delete_fragmented,
+        "join_bucketed": join_bucketed,
+        "join_shuffled": join_shuffled,
     }
 
 
@@ -522,3 +524,92 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") % 20011).alias("dst"),
     )
     return graph.triangle_counts(edges)
+
+
+# per-process memo: bucketed bench tables registered for this sf_dir
+_BUCKETED_READY: set = set()
+
+
+def ensure_bucketed(spark: SparkSession, sf_dir: str) -> None:
+    """Register orders/lineitem bucketed by their join key (16 buckets,
+    bucket-sorted) as catalog tables, ONCE per process per fixture dir.
+    A write-time investment paid in bench.py's untimed warmup pass --
+    the recurring cost being measured is the co-located join. The
+    in-memory catalog forgets tables between processes, so each bench
+    run re-writes them (seconds, untimed); table files live under a
+    fixture-keyed temp dir like ensure_lake's mirror."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUCKETED_READY:
+        return
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        f"sgraft_buckets_{hashlib.md5(key.encode()).hexdigest()[:12]}",
+    )
+    for t, k in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"bench_b_{t}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        lake.write_bucketed(
+            load_table(spark, sf_dir, t),
+            name,
+            k,
+            n_buckets=16,
+            path=os.path.join(dest, t),
+            sort_key=k,
+        )
+    _BUCKETED_READY.add(key)
+
+
+def _order_lines_agg(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The shared fact-fact join body of the bucketed/shuffled twin:
+    sort-merge join pinned by hint (so the twin never degenerates into
+    a broadcast and the EXCHANGE is the only variable), then a small
+    hash agg so the timed region is join-dominated."""
+    return (
+        lineitem.hint("merge")
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias(
+                "volume"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over PRE-BUCKETED tables: both sides bucketed on
+    the join key with the same bucket count, so the sort-merge join
+    plans ZERO Exchange (and zero Sort, buckets are key-sorted) -- the
+    write-once/join-many layout. Twin: join_shuffled, same body over
+    the plain mirror; the measured delta is the shuffle both fact
+    tables avoid here, THE recurring win bucketing buys at 100 TB.
+
+    Wall-time honesty (the incr_agg_refresh precedent): on local[32]
+    the avoided exchange is a memory-to-memory copy, so the measured
+    gap is small (~10-15% at sf0.1); the SCALE figure is the plan --
+    tests/test_bucketing.py pins zero Exchange below this join while
+    the twin carries one per side, and on a 1000-executor cluster that
+    exchange is the network shuffle of both fact tables."""
+    ensure_bucketed(spark, sf_dir)
+    return _order_lines_agg(
+        spark.table("bench_b_orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        spark.table("bench_b_lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_quantity"
+        ),
+    )
+
+
+def join_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_bucketed's twin over the plain (unbucketed) mirror: the
+    identical join body pays the full both-sides shuffle every run."""
+    return _order_lines_agg(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_quantity"
+        ),
+    )

@@ -86,3 +86,36 @@ def test_bucketed_groupby_skips_exchange(spark, no_broadcast, bucketed_tables):
     )
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, f"bucket-key groupBy shuffled:\n{plan}"
+
+
+def test_bench_join_twin_equal_results_and_exchange_free(spark, sf_dir):
+    """The bench twin pair join_bucketed/join_shuffled returns identical
+    results, and the bucketed plan carries NO Exchange while the
+    shuffled twin carries one per side."""
+    from bigdata_storage_and_proccess_job_data_spark.plans import bench_probes
+
+    b = bench_probes.join_bucketed(spark, sf_dir)
+    s = bench_probes.join_shuffled(spark, sf_dir)
+    rb = {r.o_orderpriority: (r.volume, r.n_lines) for r in b.collect()}
+    rs = {r.o_orderpriority: (r.volume, r.n_lines) for r in s.collect()}
+    assert sorted(rb) == sorted(rs) and rb
+    for k in rb:  # double sums fold in partition order: approx-equal
+        assert rb[k][1] == rs[k][1]
+        assert abs(rb[k][0] - rs[k][0]) <= 1e-6 * abs(rs[k][0])
+    # AQE's toString appends an "Initial Plan" copy -- keep the final
+    # tree only, then look below the join: the agg's own exchange sits
+    # ABOVE it, so any hashpartitioning below the join is a join-input
+    # shuffle
+    pb = (
+        b._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    ps = (
+        s._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "SortMergeJoin" in pb and "SortMergeJoin" in ps
+    below_join_b = pb.split("SortMergeJoin", 1)[1]
+    below_join_s = ps.split("SortMergeJoin", 1)[1]
+    assert "Exchange hashpartitioning" not in below_join_b, pb
+    assert "Exchange hashpartitioning" in below_join_s, ps
