@@ -118,3 +118,51 @@ def k_anonymity_report(
         F.min("_n").alias("min_group_size"),
         F.min("_n").alias("anonymity_k"),
     )
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    salt: str,
+    prefix_map: "dict[str, str] | None" = None,
+) -> DataFrame:
+    """Deterministic column pseudonymization: each named column is
+    replaced by a salted md5 token (hex, optionally prefixed per column
+    for readability, e.g. ``usr_3fa9...``). Same input + same salt =>
+    same token EVERYWHERE, so joins and group-bys keep working across
+    tables pseudonymized with the same salt -- referential integrity
+    without the raw identifier; rotating the salt unlinks every
+    release from the previous one (and from the raw values, absent the
+    salt). NULLs stay NULL. This is tokenization, not DP: frequency
+    structure survives (by design -- that is what keeps analytics
+    working); pair with dp_noisy_counts / k_anonymity_report when the
+    release needs distributional protection too.
+
+    Pure codegen'd expressions (one md5 per cell, zero shuffles, zero
+    UDFs), bit-reproducible across engines via the md5 bridge, so the
+    whole release replays exactly in DuckDB."""
+    from bigdata_storage_and_proccess_job_data_spark.operators.aggregates import (
+        _safe_salt,
+    )
+
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    ssalt = _safe_salt(salt)
+    out = {}
+    for c in cols:
+        pfx = (prefix_map or {}).get(c, "")
+        if pfx and not pfx.replace("_", "").isalnum():
+            raise ValueError(f"suspicious prefix for {c!r}: {pfx!r}")
+        token = F.concat(
+            F.lit(pfx),
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(c), F.col(c).cast("string"), F.lit(ssalt)
+                )
+            ),
+        )
+        out[c] = F.when(F.col(c).isNotNull(), token)
+    return df.withColumns(out)

@@ -646,6 +646,10 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # md5-deterministic -- exact Python/numpy replicas in test_graph /
 # test_factorization), completing the deterministic graph-embedding
 # chain walks -> skipgram -> SPPMI -> ALS.
+# privacy.pseudonymize (deterministic salted tokenization with
+# referential integrity and per-column domain separation; pure md5
+# expressions) is R10-promotable with bit-exact DuckDB replay
+# (test_pseudonymize_referential_integrity_and_parity).
 # privacy.dp_noisy_counts and privacy.k_anonymity_report are both
 # R10-promotable with bit-exact DuckDB replay (test_privacy.py; the
 # DP release replays through the md5_hash60 bridge), as are

@@ -116,3 +116,64 @@ def test_k_anonymity_report_pins_and_parity(spark, oracle_sf_dir):
         FROM g
     """
     assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_pseudonymize_referential_integrity_and_parity(spark, oracle_sf_dir):
+    """Tokenization: (1) deterministic and referentially intact -- the
+    same customer key tokenizes identically in two frames, so their
+    join survives pseudonymization with matching cardinality; (2) a
+    rotated salt unlinks releases; (3) NULLs stay NULL, per-column
+    domain separation (same value in different columns gets different
+    tokens); (4) bit-exact DuckDB replay of the released frame."""
+    from pyspark.sql import functions as F
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.operators import privacy
+    from tests.parity import compare, duckdb_connect
+
+    cust = load_table(spark, oracle_sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    orders = load_table(spark, oracle_sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    )
+    pc = privacy.pseudonymize(
+        cust, ["c_custkey", "c_name"], salt="rel1",
+        prefix_map={"c_custkey": "usr_"},
+    )
+    po = privacy.pseudonymize(orders, ["c_custkey"], salt="rel1",
+                              prefix_map={"c_custkey": "usr_"})
+    joined = po.join(pc, "c_custkey")
+    plain = orders.join(cust, "c_custkey")
+    assert joined.count() == plain.count()  # referential integrity
+    # token never equals the raw value; rotation unlinks
+    p2 = privacy.pseudonymize(cust, ["c_custkey"], salt="rel2")
+    a = {r.c_custkey for r in pc.select("c_custkey").collect()}
+    b = {r.c_custkey for r in p2.select("c_custkey").collect()}
+    assert a.isdisjoint(b)
+
+    tiny = spark.createDataFrame(
+        [("x", "x"), (None, "y")], "u string, v string"
+    )
+    t = privacy.pseudonymize(tiny, ["u", "v"], salt="s").collect()
+    assert t[1].u is None and t[1].v is not None
+    assert t[0].u != t[0].v  # column-name domain separation
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        privacy.pseudonymize(tiny, [], "s")
+    with _pytest.raises(ValueError, match="not in frame"):
+        privacy.pseudonymize(tiny, ["zz"], "s")
+    with _pytest.raises(ValueError, match="prefix"):
+        privacy.pseudonymize(tiny, ["u"], "s", prefix_map={"u": "a;b"})
+
+    out = pc.select("c_custkey", "c_name", "c_mktsegment")
+    sql = """
+        SELECT 'usr_' || md5('c_custkey:' || c_custkey::VARCHAR || ':rel1')
+                 AS c_custkey,
+               md5('c_name:' || c_name || ':rel1') AS c_name,
+               c_mktsegment
+        FROM customer
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
