@@ -2468,3 +2468,49 @@ def kn_surprisal(
             "surprisal",
         )
     )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "compression_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed bytes / UTF-8
+    bytes) -- the cheap holistic redundancy signal web-corpus filters
+    use beside the structured Gopher rules: machine-generated or
+    boilerplate-heavy text compresses far below prose, and a near-1
+    ratio flags high-entropy noise (base64 blobs, minified code).
+    Complements ngram_repetition (which sees REPEATED n-grams but not
+    low-entropy structure) -- threshold both. Empty/NULL text yields
+    NULL.
+
+    Arrow path (pandas_udf): DEFLATE is an inherently sequential
+    bit-stream with no expression form -- the ewma/bpe_encode
+    justification; zlib at a fixed level is deterministic across
+    platforms, so the pure-Python replica test is bit-exact. One batch
+    pass, no shuffle. Test-only by design (DuckDB has no zlib)."""
+    if not 1 <= level <= 9:
+        raise ValueError(f"level must be 1..9: {level}")
+    from pyspark.sql.functions import pandas_udf
+
+    # annotations are strings under `from __future__ import annotations`
+    # and pandas is imported lazily here, so the hint names the builtin
+    # pandas path explicitly (resolvable from module globals)
+    def _ratio(col):
+        import zlib
+
+        def one(t):
+            if t is None or t == "":
+                return None
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return col.map(one)
+
+    ratio = pandas_udf(_ratio, "double")
+
+    return docs.select(
+        F.col(id_col), ratio(F.col(text_col)).alias(out_col)
+    )

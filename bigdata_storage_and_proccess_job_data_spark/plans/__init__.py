@@ -605,6 +605,10 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # clustering.davies_bouldin is test-only by design (internal quality
 # readout over the iterative kmeans family; independent numpy replica
 # + separation-ordering pins in test_clustering.py).
+# corpus.compression_ratio (zlib redundancy signal beside the Gopher
+# rules) is test-only by design (DEFLATE has no expression or DuckDB
+# form -- the ewma/bpe_encode Arrow precedent; bit-exact pure-Python
+# replica since zlib at a fixed level is deterministic).
 # corpus.kn_bigram_tables/kn_surprisal (interpolated Kneser-Ney --
 # estimated discount, continuation probs with a reserved OOV share;
 # one explode + three hash aggs to fit, the bigram_surprisal join

@@ -2523,3 +2523,56 @@ def test_kn_surprisal_continuation_pin_and_parity(spark, oracle_sf_dir):
     """
     errs = compare(scored, duckdb_connect(oracle_sf_dir), sql)
     assert not errs, errs[:5]
+
+
+def test_compression_ratio_replica_and_signal(spark, oracle_sf_dir):
+    """zlib redundancy signal: bit-exact against a pure-Python replica
+    on real documents (fixed level => deterministic DEFLATE), ordered
+    as expected across text classes (repeated boilerplate << prose <<
+    high-entropy noise), and NULL on empty/NULL text."""
+    import zlib
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents").filter(
+        F.col("doc_id") < 80
+    )
+    got = {
+        r.doc_id: r.compression_ratio
+        for r in corpus.compression_ratio(docs).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        raw = r.text.encode("utf-8")
+        want = (
+            len(zlib.compress(raw, 6)) / len(raw) if raw else None
+        )
+        assert got[r.doc_id] == want  # bit-exact
+
+    probe = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 40),
+            (2, "spam " * 400),
+            (
+                3,
+                "".join(  # chained md5 hex: genuinely incompressible
+                    __import__("hashlib").md5(str(i).encode()).hexdigest()
+                    for i in range(60)
+                ),
+            ),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    p = {
+        r.doc_id: r.compression_ratio
+        for r in corpus.compression_ratio(probe).collect()
+    }
+    # both repetitive classes compress away; high-entropy noise doesn't
+    assert max(p[1], p[2]) < 0.1 < p[3] and p[3] > 0.5
+    assert p[4] is None and p[5] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="level"):
+        corpus.compression_ratio(probe, level=0)
