@@ -422,6 +422,85 @@ def main() -> None:
     )
     assert n_vec > 0
 
+    # -- 11. k-group tests, growth matrix, leakage-safe features -------
+    orders = load_table(spark, SF_DIR, "orders")
+    an = aggregates.anova_oneway(
+        orders, "o_orderpriority", "o_totalprice", keys=["o_orderstatus"]
+    ).collect()
+    from bigdata_storage_and_proccess_job_data_spark.operators import funnel
+
+    ret = funnel.retention_matrix(
+        load_table(spark, SF_DIR, "events"), period="week"
+    )
+    week0 = ret.filter(F.col("period_offset") == 0).count()
+    art = features.target_encode_fit(
+        orders, ["o_orderpriority"], "o_totalprice", smoothing=20.0
+    )
+    enc = features.target_encode_apply(
+        orders, art, ["o_orderpriority"], loo_target="o_totalprice"
+    )
+    print(
+        f"== cohorts/tests/features == anova slices: "
+        f"{[(r.o_orderstatus, round(r.f_stat, 2)) for r in an]}; "
+        f"retention cohorts: {week0}; target-encoded rows: {enc.count()}"
+    )
+    assert week0 > 0 and enc.count() == orders.count()
+    assert all(r.f_stat is not None for r in an)
+
+    # -- 12. embedding hygiene: multivariate outliers + cluster quality
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        clustering,
+        reduction,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    maha_model = reduction.mahalanobis_fit(emb, "embedding", ridge=1e-6)
+    outliers = (
+        reduction.mahalanobis_apply(emb, maha_model, "embedding")
+        .orderBy(F.desc("maha_dist"))
+        .limit(5)
+        .count()
+    )
+    cents = clustering.kmeans_fit(
+        emb, vec_col="embedding", n_centroids=8, sample_size=256,
+        refine_iters=3,
+    )
+    dbi = clustering.davies_bouldin(emb, cents, "embedding")
+    print(
+        f"== embedding hygiene == top outliers: {outliers}; "
+        f"davies-bouldin at k=8: {dbi:.3f}"
+    )
+    assert outliers == 5 and dbi > 0
+
+    # -- 13. publish fact + cube atomically (cross-table txn) ----------
+    from bigdata_storage_and_proccess_job_data_spark.sources import (
+        transactions as tx,
+    )
+
+    txd = os.path.join(work, "txn")
+    cube = orders.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("rev"), F.count(F.lit(1)).alias("n")
+    )
+    t = tx.txn_commit(
+        txd,
+        {
+            "orders_snapshot": (
+                orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+                os.path.join(work, "t_orders"),
+            ),
+            "priority_cube": (cube, os.path.join(work, "t_cube")),
+        },
+    )
+    pair_ok = (
+        tx.txn_read(spark, txd, "priority_cube", txn=t).count()
+        == tx.txn_read(spark, txd, "orders_snapshot", txn=t)
+        .select("o_orderpriority")
+        .distinct()
+        .count()
+    )
+    print(f"== txn == fact+cube published as txn {t}; consistent: {pair_ok}")
+    assert pair_ok
+
     print("workbench done")
 
 
