@@ -3532,3 +3532,123 @@ def anova_oneway(
         df_w.alias("df_within"),
         f_stat.alias("f_stat"),
     )
+
+
+def global_running_sum(
+    df,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global prefix sum under a TOTAL order, without the single-task
+    sort an unpartitioned Window.orderBy would plan -- the cumulative
+    twin of global_row_number (same two-phase shape): range-partition
+    on the order columns, per-partition running sum, per-partition
+    TOTALS collect to the driver (bounded by the partition count, the
+    documented collect class) and fold into offsets broadcast back.
+    running_sum(row) = offset(partition) + partition-local prefix sum.
+
+    ``order_cols`` must be a total order (append a unique tiebreak) --
+    prefix sums under ties are layout-dependent in any engine. NULL
+    values in ``val_col`` contribute 0 (SUM semantics). DOUBLE values
+    fold in partition order, so two different input layouts can differ
+    in the last ulp (range boundaries re-sample); integer/decimal
+    inputs are exact. Round before comparing across engines. The primitive
+    under ranked cumulative distributions: Pareto/ABC concentration,
+    Lorenz curves, cumulative-share cutoffs -- all at key cardinality,
+    all skew-free."""
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    from pyspark.sql import Window
+
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    ranged = df.repartitionByRange(int(parts), *order_cols).withColumn(
+        "_gpid", F.spark_partition_id()
+    )
+    # cache so the totals pass and the summed pass see the SAME range
+    # boundaries (the global_row_number argument)
+    ranged = ranged.localCheckpoint()
+    v = F.coalesce(F.col(val_col).cast("double"), F.lit(0.0))
+    totals = {
+        r._gpid: r.t
+        for r in ranged.groupBy("_gpid").agg(F.sum(v).alias("t")).collect()
+    }
+    offsets, acc = {}, 0.0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0.0
+    off_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()],
+        "_gpid INT, _goff DOUBLE",
+    )
+    w = (
+        Window.partitionBy("_gpid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(off_df), "_gpid")
+        .withColumn(out_col, F.sum(v).over(w) + F.col("_goff"))
+        .drop("_gpid", "_goff")
+    )
+
+
+def abc_classes(
+    df,
+    key_col: str,
+    value_col: str,
+    a_share: float = 0.8,
+    b_share: float = 0.95,
+) -> DataFrame:
+    """Pareto/ABC concentration analysis: per-key value totals ranked
+    descending, cumulative share of the grand total, and the classic
+    class split -- 'A' while cumulative share <= ``a_share``, 'B' up to
+    ``b_share``, 'C' beyond (the first key always classes 'A' even if
+    it alone exceeds the cut: classes are by the PRIOR cumulative
+    share, so every key belongs to the class its prefix enters).
+    Returns (key, total, rank, cum_share, abc).
+
+    Scale shape: one hash agg to key grain, then the two-phase
+    global_running_sum + global_row_number machinery over the
+    key-cardinality frame (both skew-free, no single-task sort); the
+    grand total arrives as a one-row broadcast scalar. NULL keys are
+    excluded; a zero/negative grand total raises (shares undefined)."""
+    if not 0 < a_share < b_share <= 1:
+        raise ValueError(
+            f"need 0 < a_share < b_share <= 1: {a_share}, {b_share}"
+        )
+    per_key = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.sum(F.col(value_col).cast("double")).alias("total"))
+    )
+    order = [F.col("total").desc(), F.col(key_col)]
+    ranked = global_row_number(
+        per_key.select(key_col, "total"), order, out_col="rank"
+    )
+    summed = global_running_sum(ranked, order, "total", out_col="_cum")
+    grand = summed.agg(F.sum("total").alias("_g"))
+    out = summed.crossJoin(F.broadcast(grand))
+    gt = F.col("_g")
+    # the positivity guard lives INSIDE the selected column so it stays
+    # lazy yet cannot be pruned away: any row evaluated with a
+    # non-positive grand total raises
+    share = F.when(gt > 0, F.col("_cum") / gt).otherwise(
+        F.raise_error(F.lit("abc_classes: grand total must be positive"))
+    )
+    prior = (F.col("_cum") - F.col("total")) / gt
+    cls = (
+        F.when(prior < F.lit(a_share), F.lit("A"))
+        .when(prior < F.lit(b_share), F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return out.select(
+        key_col,
+        "total",
+        "rank",
+        share.alias("cum_share"),
+        cls.alias("abc"),
+    )

@@ -569,6 +569,14 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # The round-9 experiment-completeness wave, all R10-promotable with
 # full DuckDB replay parity in tests/test_mining.py:
 # mutual_information (contingency MI + entropies + NMI),
+# global_running_sum (the skew-free two-phase PREFIX-SUM twin of
+# global_row_number) + abc_classes (Pareto/ABC concentration with the
+# prior-share class rule) are R10-promotable with full DuckDB replay
+# parity (test_global_running_sum_and_abc_classes, incl. a
+# no-SinglePartition plan pin). functions/text.py script_profile
+# (Unicode script mix + dominant script, pure regexp_count
+# expressions -- the pre-lang_id routing signal) likewise
+# (test_script_profile_hand_pins_and_parity).
 # anova_oneway (k-group F decomposition in two uniform hash aggs;
 # parity on counts/dofs/f_stat -- the SS columns cancel ~1e14 moments
 # and are pinned by hand math instead, noted in the test),

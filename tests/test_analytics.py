@@ -872,3 +872,74 @@ def test_kmv_set_ops_overlap_math(spark):
     assert row.jaccard == 0.0 and row.intersection_estimate == 0.0
     assert row.left_only_estimate == 0.0
     assert row.union_estimate == round(row.right_only_estimate)
+
+
+def test_script_profile_hand_pins_and_parity(spark, oracle_sf_dir):
+    """Unicode script mix: (1) hand-pinned fractions on controlled
+    multilingual strings incl. the dominant-script tiebreak and the
+    empty-text degenerate; (2) DuckDB replays the Latin fraction and
+    char counts on real documents via the RE2 script classes."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions import text
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    rows = [
+        (1, "hello мир"),          # 5 latin + 3 cyrillic of 8
+        (2, "Ελληνικά κείμενο"),   # all greek
+        (3, "日本語 テキスト 한글"),  # all cjk (han+katakana+hangul)
+        (4, "مرحبا"),              # all arabic
+        (5, "12345 !!"),           # no script chars at all
+        (6, "   "),                # whitespace-only
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: r.p
+        for r in df.select(
+            "id", text.script_profile("text").alias("p")
+        ).collect()
+    }
+    assert got[1].n_chars == 8
+    assert abs(got[1].latin_frac - 5 / 8) < 1e-12
+    assert abs(got[1].cyrillic_frac - 3 / 8) < 1e-12
+    assert got[1].dominant == "latin"
+    assert got[2].dominant == "greek" and got[2].greek_frac == 1.0
+    assert got[3].dominant == "cjk" and got[3].cjk_frac == 1.0
+    assert got[4].dominant == "arabic" and got[4].arabic_frac == 1.0
+    assert got[5].dominant == "other" and got[5].latin_frac == 0.0
+    assert got[6].n_chars == 0 and got[6].dominant == "other"
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    out = docs.select(
+        "doc_id", text.script_profile("text").alias("p")
+    ).select(
+        "doc_id",
+        F.col("p.n_chars").alias("n_chars"),
+        stable_round(F.col("p.latin_frac"), 6).alias("latin_frac"),
+        F.col("p.dominant").alias("dominant"),
+    )
+    sql = f"""
+        WITH b AS (
+          SELECT doc_id,
+                 regexp_replace(text, '\\s', '', 'g') AS body
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 length(body) AS n_chars,
+                 length(body) - length(
+                   regexp_replace(body, '\\p{{Latin}}', '', 'g')
+                 ) AS n_latin
+          FROM b
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               {sql_round('n_latin * 1.0 / greatest(n_chars, 1)', 6)}
+                 AS latin_frac,
+               CASE WHEN n_latin > 0 THEN 'latin' ELSE 'other' END
+                 AS dominant
+        FROM m
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []

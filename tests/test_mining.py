@@ -2458,3 +2458,95 @@ def test_anova_oneway_hand_math_and_parity(spark, oracle_sf_dir):
     """
     errs = compare(out, duckdb_connect(oracle_sf_dir), sql)
     assert not errs, errs[:5]
+
+
+def test_global_running_sum_and_abc_classes(spark, oracle_sf_dir):
+    """Skew-free cumulative machinery: (1) global_running_sum equals the
+    single-window formulation exactly and is partition-invariant; (2)
+    abc_classes reproduces DuckDB's window formulation value-for-value
+    on customer revenue, with the documented prior-share class rule;
+    (3) plan carries no SinglePartition exchange; (4) validation."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    rs = aggregates.global_running_sum(
+        orders.select("o_orderkey", "o_totalprice"),
+        ["o_orderkey"],
+        "o_totalprice",
+    )
+    got = {r.o_orderkey: r.running_sum for r in rs.collect()}
+    rows = sorted(
+        (r.o_orderkey, r.o_totalprice)
+        for r in orders.select("o_orderkey", "o_totalprice").collect()
+    )
+    acc = 0.0
+    for k, v in rows:
+        acc += v
+        assert abs(got[k] - acc) < 1e-6 * max(1.0, abs(acc))
+    again = {
+        r.o_orderkey: r.running_sum
+        for r in aggregates.global_running_sum(
+            orders.select("o_orderkey", "o_totalprice").repartition(13),
+            ["o_orderkey"],
+            "o_totalprice",
+        ).collect()
+    }
+    # partition-invariant up to float fold order: range boundaries
+    # re-sample under a new layout, so double sums differ in the last
+    # ulp (integers/decimals are exact); see the operator docstring
+    for k in got:
+        assert abs(got[k] - again[k]) <= 1e-9 * max(1.0, abs(got[k]))
+    plan = rs._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+    abc = aggregates.abc_classes(
+        orders, "o_custkey", "o_totalprice", a_share=0.5, b_share=0.8
+    )
+    out = abc.select(
+        "o_custkey",
+        stable_round(F.col("total"), 2).alias("total"),
+        "rank",
+        stable_round(F.col("cum_share"), 6).alias("cum_share"),
+        "abc",
+    )
+    sql = f"""
+        WITH per AS (
+          SELECT o_custkey, SUM(o_totalprice) AS total
+          FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+        ),
+        w AS (
+          SELECT o_custkey, total,
+                 ROW_NUMBER() OVER (ORDER BY total DESC, o_custkey)
+                   AS rank,
+                 SUM(total) OVER (ORDER BY total DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 SUM(total) OVER () AS g
+          FROM per
+        )
+        SELECT o_custkey, {sql_round('total', 2)} AS total,
+               CAST(rank AS BIGINT) AS rank,
+               {sql_round('cum / g', 6)} AS cum_share,
+               CASE WHEN (cum - total) / g < 0.5 THEN 'A'
+                    WHEN (cum - total) / g < 0.8 THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM w
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+    # class rule sanity: ranks within a class are contiguous, A first
+    seq = [r.abc for r in abc.orderBy("rank").collect()]
+    assert seq[0] == "A" and "".join(sorted(set(seq))) == "ABC"
+    assert seq == sorted(seq)  # A block, then B block, then C block
+
+    with pytest.raises(ValueError, match="a_share"):
+        aggregates.abc_classes(orders, "o_custkey", "o_totalprice",
+                               a_share=0.9, b_share=0.5)
+    with pytest.raises(ValueError, match="order_cols"):
+        aggregates.global_running_sum(orders, [], "o_totalprice")
