@@ -607,3 +607,115 @@ def test_cow_dml_content_equals_plain_filter_on_generated_bands(
         else:
             assert got[k] == v
     assert rep["rows_updated"] == 201
+
+
+def test_hot_key_split_join_equals_plain_join_on_generated_skew(spark):
+    """For generated skewed left frames (Zipfy hot values, NULLs,
+    unmatched keys) and an arbitrary hot list, hot_key_split_join is
+    row-for-row the plain join -- inner and left, one Spark round."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import joins
+
+    drawn: list[tuple] = []
+
+    @settings(
+        max_examples=150, database=None, derandomize=True,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        st.one_of(st.none(), st.integers(0, 6)),  # key (0,1 hot-ish)
+        st.integers(0, 99),
+    )
+    def grab(k, v):
+        drawn.append((k, v))
+
+    grab()
+    left = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(drawn)],
+        "rid long, k int, v int",
+    )
+    right = spark.createDataFrame(
+        [(k, f"r{k}") for k in range(0, 5)], "k int, tag string"
+    )
+    skey = lambda r: tuple(str(x) for x in r)  # noqa: E731
+    for how in ("inner", "left"):
+        fast = joins.hot_key_split_join(left, right, "k", [0, 1], how=how)
+        plain = left.join(right, "k", how)
+        a = sorted((map(skey, ((r.k, r.rid, r.v, r.tag) for r in fast.collect()))))
+        b = sorted((map(skey, ((r.k, r.rid, r.v, r.tag) for r in plain.collect()))))
+        assert a == b, how
+
+
+def test_curriculum_order_permutation_under_ties(spark):
+    """Constant and heavily-tied difficulties: positions stay a
+    permutation, stages stay balanced (exact ntile), and the order is
+    reproducible -- ties must not leak layout into the schedule."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    n = 211
+    df = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(n)],  # 3-way massive ties
+        "id long, diff double",
+    )
+    out = corpus.curriculum_order(df, "id", "diff", salt="t", n_stages=5)
+    rows = out.select("id", "stage", "curriculum_pos").collect()
+    assert sorted(r.curriculum_pos for r in rows) == list(range(1, n + 1))
+    sizes = {}
+    for r in rows:
+        sizes[r.stage] = sizes.get(r.stage, 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    again = {
+        r.id: (r.stage, r.curriculum_pos)
+        for r in corpus.curriculum_order(
+            df.repartition(7), "id", "diff", salt="t", n_stages=5
+        ).collect()
+    }
+    assert all(again[r.id] == (r.stage, r.curriculum_pos) for r in rows)
+
+
+def test_hamming_candidates_exact_recall_on_generated_signatures(spark):
+    """Generated 64-bit signatures: every pair within the pigeonhole
+    radius (bands-1) is found, every reported distance is exact."""
+    import itertools
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import neardup
+
+    sigs: list[int] = []
+
+    @settings(
+        max_examples=60, database=None, derandomize=True,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(st.integers(0, (1 << 64) - 1), st.integers(0, 5))
+    def grab(s, flips):
+        sigs.append(s)
+        # plant near-dups: flip a few random-ish bits of the previous
+        if len(sigs) >= 2 and flips:
+            base = sigs[-2]
+            for j in range(flips):
+                base ^= 1 << ((s >> (6 * j)) & 63)
+            sigs.append(base)
+
+    grab()
+    signed = [x - (1 << 64) if x >= (1 << 63) else x for x in sigs]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(signed)], "id long, sig long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in neardup.hamming_candidates(
+            df, "id", "sig", max_hamming=3, bands=4
+        ).collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    want = {
+        (a, b): ham(signed[a], signed[b])
+        for a, b in itertools.combinations(range(len(signed)), 2)
+        if ham(signed[a], signed[b]) <= 3
+    }
+    assert got == want
