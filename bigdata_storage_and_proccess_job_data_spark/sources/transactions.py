@@ -198,3 +198,43 @@ def txn_read(
     return versioned.read_version(
         spark, entry["dir"], version=entry["version"]
     )
+
+
+def txn_vacuum(txn_dir: str, keep: int = 1) -> list[int]:
+    """Drop all but the newest ``keep`` transaction manifests, never the
+    committed one; clear txn claims for the dropped ids and completed
+    CAS markers (the versioned.vacuum conventions at the txn layer).
+    Returns the txn ids removed.
+
+    Scope note: this removes MANIFESTS only -- the table snapshots an
+    old manifest referenced stay until each table's own
+    versioned.vacuum(keep=...) drops them, and vice versa a table
+    vacuum can strand an old manifest's time travel (txn_read of a
+    vacuumed version raises FileNotFoundError). Retention policy should
+    keep at least as many table versions as transactions: one txn per
+    commit means table keep >= txn keep suffices."""
+    committed = txn_current(txn_dir)
+    ids = sorted(
+        int(name[2:-5])
+        for name in os.listdir(txn_dir)
+        if name.startswith("t=")
+        and name.endswith(".json")
+        and name[2:-5].isdigit()
+    )
+    drop = [t for t in ids[: max(0, len(ids) - keep)] if t != committed]
+    for t in drop:
+        os.remove(os.path.join(txn_dir, f"t={t}.json"))
+        try:
+            os.remove(os.path.join(txn_dir, f"._txn_claim_{t}"))
+        except FileNotFoundError:
+            pass
+    if committed is not None:
+        for name in os.listdir(txn_dir):
+            if name.startswith("._txn_from_"):
+                tail = name[len("._txn_from_"):]
+                if tail.isdigit() and int(tail) < committed:
+                    try:
+                        os.remove(os.path.join(txn_dir, name))
+                    except FileNotFoundError:
+                        pass
+    return drop

@@ -193,3 +193,39 @@ def test_txn_commit_composes_with_streaming_foreach_batch(spark, tmp_path):
         assert a == want  # every txn is a consistent fact/agg pair
     # the final pair covers the whole source
     assert tx.txn_read(spark, txd, "fact", txn=last).count() == 30
+
+
+def test_txn_vacuum_keeps_committed_and_clears_markers(spark, tmp_path):
+    import os
+
+    txd = str(tmp_path / "txn")
+    fact = str(tmp_path / "fact")
+    last = None
+    for i in range(4):
+        last = tx.txn_commit(
+            txd,
+            {"fact": (_df(spark, list(range(i + 1))), fact)},
+            expected=last,
+        )
+    assert tx.txn_current(txd) == 4
+    dropped = tx.txn_vacuum(txd, keep=2)
+    assert dropped == [1, 2]
+    # committed + keep window readable; dropped manifests raise
+    assert _xs(tx.txn_read(spark, txd, "fact", txn=4)) == [0, 1, 2, 3]
+    assert _xs(tx.txn_read(spark, txd, "fact", txn=3)) == [0, 1, 2]
+    with pytest.raises(FileNotFoundError):
+        tx.txn_manifest(txd, 1)
+    # completed CAS markers (every transition below the committed txn
+    # finished by definition -- an in-flight writer would hold
+    # ._txn_from_4) are gone, and expected-mode commits still work
+    leftover = [
+        n for n in os.listdir(txd) if n.startswith("._txn_from_")
+    ]
+    assert leftover == []
+    # keep=1 never drops the committed manifest
+    assert tx.txn_vacuum(txd, keep=1) == [3]
+    assert tx.txn_current(txd) == 4
+    assert _xs(tx.txn_read(spark, txd, "fact")) == [0, 1, 2, 3]
+    assert tx.txn_commit(
+        txd, {"fact": (_df(spark, [9]), fact)}, expected=4
+    ) == 5
