@@ -150,6 +150,15 @@ def txn_commit(
     if expected is not None and not _claim(
         txn_dir, f"._txn_from_{expected}"
     ):
+        # remove the loser's manifest so time travel can never resolve
+        # an id that was never committed (its staged snapshots stay --
+        # unreachable data, cleared by the tables' own vacuum like any
+        # orphaned claim); a crash before this cleanup leaves the
+        # orphan until txn_vacuum ages it out
+        try:
+            os.remove(os.path.join(txn_dir, f"t={nxt}.json"))
+        except FileNotFoundError:
+            pass
         raise ConcurrentCommitError(
             f"{txn_dir}: another writer already committed the "
             f"transition out of txn {expected}"

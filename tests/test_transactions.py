@@ -229,3 +229,69 @@ def test_txn_vacuum_keeps_committed_and_clears_markers(spark, tmp_path):
     assert tx.txn_commit(
         txd, {"fact": (_df(spark, [9]), fact)}, expected=4
     ) == 5
+
+
+def test_txn_two_writer_race_loser_always_fails(spark, tmp_path):
+    """A REAL two-thread race on the same expected txn (the
+    versioned.py race-test precedent at the transaction layer): exactly
+    one writer commits, the loser gets ConcurrentCommitError, and the
+    committed manifest is a consistent (fact, agg) pair from ONE writer
+    -- never a torn mix across writers."""
+    import threading
+
+    txd = str(tmp_path / "txn")
+    fact, agg = str(tmp_path / "fact"), str(tmp_path / "agg")
+    base = tx.txn_commit(
+        txd,
+        {"fact": (_df(spark, [0]), fact), "agg": (_df(spark, [100]), agg)},
+    )
+    expected = base
+    for round_no in range(3):
+        results: dict[str, object] = {}
+        barrier = threading.Barrier(2)
+
+        def writer(tag: str, mark: int) -> None:
+            barrier.wait()
+            try:
+                results[tag] = tx.txn_commit(
+                    txd,
+                    {
+                        "fact": (_df(spark, [mark]), fact),
+                        "agg": (_df(spark, [100 + mark]), agg),
+                    },
+                    expected=expected,
+                )
+            except tx.ConcurrentCommitError as exc:
+                results[tag] = exc
+
+        ts = [
+            threading.Thread(target=writer, args=(t, m))
+            for t, m in (("a", 10 + round_no), ("b", 50 + round_no))
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        wins = [t for t, r in results.items() if isinstance(r, int)]
+        losses = [
+            t
+            for t, r in results.items()
+            if isinstance(r, tx.ConcurrentCommitError)
+        ]
+        assert len(wins) == 1 and len(losses) == 1, results
+        committed = results[wins[0]]
+        f = _xs(tx.txn_read(spark, txd, "fact", txn=committed))
+        a = _xs(tx.txn_read(spark, txd, "agg", txn=committed))
+        # the pair comes from the SAME writer (fact mark + 100 == agg)
+        assert len(f) == 1 and len(a) == 1 and a[0] == f[0] + 100
+        # the loser's manifest is cleaned up: no orphaned txn id is
+        # time-travel readable
+        import os as _os
+
+        ids = {
+            int(n[2:-5])
+            for n in _os.listdir(txd)
+            if n.startswith("t=") and n.endswith(".json")
+        }
+        assert committed in ids and all(i <= committed for i in ids)
+        expected = committed
