@@ -1305,3 +1305,100 @@ def hard_negatives(
         F.col(positive_col).alias("neighbor_id"),
     )
     return _rank_topk(scored.join(pos, ["query_id", "neighbor_id"], "left_anti"), k)
+
+
+def mips_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact MAXIMUM-INNER-PRODUCT top-k: the recommendation flavor of
+    brute_force_topk (user . item scores from factor models rank by raw
+    dot product -- cosine would erase the magnitude that encodes item
+    popularity/quality in ALS factors). Broadcast queries, score every
+    corpus row with the JVM dot fold, rank per query on (rounded score
+    DESC, neighbor id ASC). No self-exclusion: queries and corpus are
+    different entity spaces (users vs items). Returns (query_id,
+    neighbor_id, rank, sim) -- ``sim`` carries the inner product.
+
+    Scale path: mips_augment reduces MIPS to cosine EXACTLY, so the
+    angular indexes (lsh_topk / ivf_topk / PQ) serve inner product with
+    no new index code."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        vectors.as_double(vec_col).alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        vectors.as_double(vec_col).alias("_cv"),
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        stable_round(
+            F.expr(vectors.dot_sql(vectors.sql_of("_qv"), vectors.sql_of("_cv"))),
+            4,
+        ).alias("sim"),
+    )
+    return _rank_topk(scored, k)
+
+
+def mips_augment(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    max_norm: float | None = None,
+    out_col: str = "embedding_aug",
+) -> "tuple[DataFrame, float]":
+    """The Bachrach et al. (RecSys 2014) MIPS->cosine reduction: append
+    sqrt(M^2 - |x|^2) to every corpus vector (M = max corpus norm, or a
+    caller-pinned ``max_norm`` for incremental corpora), so all
+    augmented vectors share norm M; queries are augmented with a 0. Then
+    cos(aug q, aug x) = (q . x) / (M |q|) -- a positive monotone map of
+    the inner product per query, so ANY angular top-k (LSH, IVF, PQ,
+    brute cosine) over augmented vectors returns the exact MIPS order.
+    Returns (frame + out_col, M); pass M to mips_augment_query.
+
+    One pass of pure expressions; M (when not pinned) is a one-row
+    bounded aggregate. A vector whose norm exceeds a PINNED M raises at
+    evaluation (the guard is in the sqrt: negative argument -> error
+    expression), because silently clamping would corrupt the order."""
+    v = vectors.as_double(vec_col)
+    if max_norm is None:
+        row = corpus.select(
+            F.max(vectors.norm(v)).alias("m")
+        ).collect()  # bounded: one scalar
+        m = float(row[0]["m"] or 0.0)
+        if m <= 0:
+            raise ValueError("corpus has no positive-norm vector")
+    else:
+        m = float(max_norm)
+        if m <= 0:
+            raise ValueError(f"max_norm must be > 0: {max_norm}")
+    slack = F.lit(m) * F.lit(m) - vectors.dot(v, v)
+    tail = F.when(slack >= 0, F.sqrt(slack)).otherwise(
+        F.raise_error(
+            F.lit(
+                "mips_augment: vector norm exceeds the pinned max_norm"
+            )
+        )
+    )
+    return (
+        corpus.withColumn(out_col, F.concat(v, F.array(tail))),
+        m,
+    )
+
+
+def mips_augment_query(
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_aug",
+) -> DataFrame:
+    """Query-side half of the reduction: append a literal 0 so the
+    augmented dot equals the raw inner product."""
+    v = vectors.as_double(vec_col)
+    return queries.withColumn(
+        out_col, F.concat(v, F.array(F.lit(0.0)))
+    )

@@ -636,6 +636,12 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # (test_hot_key_split_join_duckdb_parity) plus a plan pin that the hot
 # slice really broadcasts; detect_hot_keys is its bounded-collect
 # detection partner (<= top rows, one uniform counting pass).
+# similarity.mips_topk (exact maximum-inner-product top-k, the
+# factor-model recommendation flavor) is R10-promotable with full
+# DuckDB replay parity (test_mips_topk_and_augment_reduction);
+# mips_augment/_query (the Bachrach RecSys'14 MIPS->cosine reduction,
+# EXACT order preservation pinned against mips_topk) lets every
+# angular index serve inner product with no new index code.
 # neardup.hamming_candidates (signature-agnostic 64-bit Hamming band
 # join) + multimodal.media_phash/media_near_dups (perceptual media
 # dedup over the injectable-codec plumbing; payloads never shuffle)

@@ -666,3 +666,88 @@ def test_hard_negatives_excludes_positives_and_duckdb_parity(
         ) WHERE rank <= 5
     """
     assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_mips_topk_and_augment_reduction(spark, sf_dir):
+    """MIPS: (1) exact mips_topk matches a numpy argmax of raw inner
+    products (where cosine DISAGREES -- magnitude matters); (2) the
+    augment reduction is exact: brute-force COSINE top-k over augmented
+    vectors returns the identical neighbor ranking; (3) a pinned
+    max_norm smaller than a corpus norm fails loudly; (4) DuckDB
+    replays mips_topk via list_dot_product."""
+    import numpy as np
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    got = similarity.mips_topk(queries, corpus, k=5)
+    rows = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in got.collect()}
+
+    ids_q, Q = zip(*[(r.vec_id, r.embedding) for r in queries.collect()])
+    ids_c, C = zip(*[(r.vec_id, r.embedding) for r in corpus.collect()])
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        DELTA,
+    )
+
+    Qm = np.asarray(Q, dtype=np.float64)
+    Cm = np.asarray(C, dtype=np.float64)
+    S = np.floor(Qm @ Cm.T * 10_000 + (0.5 + DELTA)) / 10_000  # stable_round
+    for qi, qid in enumerate(ids_q):
+        order = sorted(
+            range(len(ids_c)), key=lambda j: (-S[qi, j], ids_c[j])
+        )[:5]
+        for r, j in enumerate(order, start=1):
+            nid, sim = rows[(qid, r)]
+            assert nid == ids_c[j] and sim == S[qi, j]
+
+    aug_c, m = similarity.mips_augment(corpus)
+    aug_q = similarity.mips_augment_query(queries)
+    cos_aug = similarity.brute_force_topk(
+        aug_q.select("vec_id", F.col("embedding_aug").alias("embedding")),
+        aug_c.select("vec_id", F.col("embedding_aug").alias("embedding")),
+        k=5,
+    )
+    got_aug = {
+        (r.query_id, r.rank): r.neighbor_id for r in cos_aug.collect()
+    }
+    want_pairs = {kk: v[0] for kk, v in rows.items()}
+    assert got_aug == want_pairs  # identical neighbor ranking
+
+    with pytest.raises(Exception, match="max_norm"):
+        bad, _ = similarity.mips_augment(corpus, max_norm=m / 10)
+        bad.select(F.size("embedding_aug")).collect()
+    with pytest.raises(ValueError, match="max_norm must be > 0"):
+        similarity.mips_augment(corpus, max_norm=0.0)
+
+    out = got.filter(F.col("query_id") == 0).select(
+        "query_id", "neighbor_id", "rank",
+        stable_round(F.col("sim"), 4).alias("sim"),
+    )
+    sql = f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id = 0
+        ),
+        s AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 {sql_round("list_dot_product(q.qv, c.embedding::DOUBLE[])", 4)}
+                   AS sim
+          FROM q, embeddings c WHERE c.vec_id >= 8
+        ),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (
+            ORDER BY sim DESC, neighbor_id ASC
+          ) AS rank FROM s
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+        FROM r WHERE rank <= 5
+    """
+    assert compare(out, duckdb_connect(sf_dir), sql) == []
