@@ -271,3 +271,65 @@ def rmse(
         )
     ).first()
     return float(row[0]) if row and row[0] is not None else float("nan")
+
+
+def recommend_topk(
+    model: dict,
+    k: int = 10,
+    seen: DataFrame | None = None,
+    user_col: str = "user",
+    item_col: str = "item",
+) -> DataFrame:
+    """Per-user top-k item recommendations from a fitted ALS model: the
+    factor frames rank by RAW inner product (similarity.mips_topk --
+    cosine would erase the magnitude ALS encodes as item quality), with
+    the user's already-interacted items excluded via an anti-join on
+    ``seen`` (pass the training interactions; None scores the full
+    catalog). Returns (user_col, item_col, rank, score); ranks are
+    re-numbered AFTER the exclusion so every user gets k fresh items.
+
+    Scale shape: mips_topk broadcasts the user factors and scores item
+    batches map-side with a deterministic (rounded score DESC, item id)
+    order; the exclusion anti-join shuffles only (user, item) id pairs.
+    Over-fetch: k + the user's max seen count would be exact; this
+    fetches 4k + 16 candidates before exclusion (documented bound --
+    a user who has seen more than 3k + 16 of their own top candidates
+    gets fewer than k rows; raise ``k`` headroom upstream for
+    heavy-history users, or pre-cap history like the ALS hub recipe)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        similarity,
+    )
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    fetch = 4 * k + 16
+    cand = similarity.mips_topk(
+        model["user_factors"].select("id", F.col("factors").alias("embedding")),
+        model["item_factors"].select("id", F.col("factors").alias("embedding")),
+        query_id="id",
+        corpus_id="id",
+        vec_col="embedding",
+        k=fetch,
+    ).select(
+        F.col("query_id").alias(user_col),
+        F.col("neighbor_id").alias(item_col),
+        F.col("sim").alias("score"),
+    )
+    if seen is not None:
+        s = seen.select(
+            F.col(user_col).alias(user_col), F.col(item_col).alias(item_col)
+        ).distinct()
+        cand = cand.join(s, [user_col, item_col], "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("score").desc(), F.col(item_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            user_col, item_col, F.col("rank").cast("long").alias("rank"),
+            "score",
+        )
+    )

@@ -636,6 +636,10 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # (test_hot_key_split_join_duckdb_parity) plus a plan pin that the hot
 # slice really broadcasts; detect_hot_keys is its bounded-collect
 # detection partner (<= top rows, one uniform counting pass).
+# factorization.recommend_topk (ALS factors -> MIPS candidates ->
+# seen-item anti-join -> re-ranked fresh top-k, with a documented
+# over-fetch bound) is test-pinned by exact numpy re-ranking agreement
+# (test_recommend_topk_excludes_seen_and_matches_predict_order).
 # similarity.mips_topk (exact maximum-inner-product top-k, the
 # factor-model recommendation flavor) is R10-promotable with full
 # DuckDB replay parity (test_mips_topk_and_augment_reduction);

@@ -140,3 +140,52 @@ def test_als_recommendations_score_well_on_planted_structure(spark):
     # chance recall@5 of 5 planted items among 30 is ~0.17; the
     # reconstruction is near-exact, so recovery should be near 1
     assert row.rec > 0.9 and row.ndcg > 0.9
+
+
+def test_recommend_topk_excludes_seen_and_matches_predict_order(spark):
+    """The recommendation last mile: (1) recommended items never
+    include the user's seen interactions; (2) per-user order equals the
+    predict() scores ranked descending over the unseen catalog (exact
+    agreement with a numpy re-ranking from the model's own factors);
+    (3) every user gets exactly k fresh items when the catalog allows;
+    (4) validation."""
+    import numpy as np
+
+    df = _planted(spark, n_users=20, n_items=24, rank=3)
+    m = factorization.als_fit(df, "u", "i", "r", rank=3, iters=6, reg=1e-4)
+    seen = df.select("u", "i").filter(F.col("i") % 3 == 0)
+    recs = factorization.recommend_topk(
+        m, k=5, seen=seen, user_col="u", item_col="i"
+    )
+    rows = recs.collect()
+    seen_set = {(r.u, r.i) for r in seen.collect()}
+    assert all((r.u, r.i) not in seen_set for r in rows)
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.u, []).append((r.rank, r.i, r.score))
+    assert all(len(v) == 5 for v in per_user.values())
+    assert len(per_user) == 20
+
+    uf = {r.id: r.factors for r in m["user_factors"].collect()}
+    itf = {r.id: r.factors for r in m["item_factors"].collect()}
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        DELTA,
+    )
+
+    for u, got in per_user.items():
+        scores = {
+            i: float(
+                np.floor(
+                    np.dot(uf[u], f) * 10_000 + (0.5 + DELTA)
+                ) / 10_000
+            )
+            for i, f in itf.items()
+            if (u, i) not in seen_set
+        }
+        want = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:5]
+        assert [(i, s) for _, i, s in sorted(got)] == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        factorization.recommend_topk(m, k=0)
