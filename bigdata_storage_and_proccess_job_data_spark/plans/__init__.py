@@ -454,10 +454,29 @@ DRIVER_WINDOW_R9_PLAN = sorted(
 # epoch_shuffle/maintain_sketch_stream/read_avro_lake/ipw_ate/
 # aipw_ate/biased_random_walks/COW eq-modes) is ADDITIVE --
 # new functions or new files, no registered query's body or callee
-# changed. Same for the restart-wave additions (operators/joins.py
-# detect_hot_keys + hot_key_split_join; corpus/tokenizer ops below):
-# append-only functions; null_skew_enriched (the one registered query
-# on joins.py) calls null_skew_left_join, untouched. sources/versioned.py gained the COW DML core
+# changed. Same for the restart-wave additions (the driver restarted
+# round 9; all verified additive -- new functions or new files only,
+# no registered query's body or callee changed): joins.py
+# detect_hot_keys/hot_key_split_join (null_skew_enriched, the one
+# registered query on joins.py, calls null_skew_left_join --
+# untouched); operators/unigram_lm.py (new file); corpus.py
+# curriculum_order/vocab_coverage/kn_bigram_tables/kn_surprisal/
+# compression_ratio; features.py target_encode_*; reduction.py
+# mahalanobis_*; clustering.py davies_bouldin; funnel.py
+# retention_matrix; aggregates.py anova_oneway/global_running_sum/
+# abc_classes; functions/text.py SCRIPT_CLASSES/script_profile;
+# privacy.py pseudonymize; similarity.py mips_topk/mips_augment*;
+# factorization.py recommend_topk; neardup.py hamming_candidates;
+# multimodal.py fake_phash/media_phash/media_near_dups; lake.py
+# write_training_shards; sources/transactions.py (new file);
+# plans/bench_probes.py ensure_bucketed + join_bucketed/join_shuffled
+# (bench-only). Catalog-seam note (per the standing addendum below):
+# catalog.py gained analyze_table -- a NEW function issuing ANALYZE
+# on saved tables only; load_table/register_views/_read_parquet_cached
+# are byte-untouched and no registered query calls analyze_table or
+# reads catalog statistics (CBO stays off in the engine session), so
+# no plan or value can change for any of the 100 queries; re-verified
+# by the local total-parity run (test_oracle_parity) after the wave. sources/versioned.py gained the COW DML core
 # (_cow_rewrite/delete_where/update_where) and apply_changes grew an
 # opt-in prune= parameter whose default path is byte-identical (the
 # only registered query on versioned.py, snapshot_change_feed, drives
