@@ -3540,6 +3540,7 @@ def global_running_sum(
     val_col: str,
     out_col: str = "running_sum",
     num_partitions: int | None = None,
+    rn_col: str | None = None,
 ) -> DataFrame:
     """Global prefix sum under a TOTAL order, without the single-task
     sort an unpartitioned Window.orderBy would plan -- the cumulative
@@ -3554,7 +3555,13 @@ def global_running_sum(
     values in ``val_col`` contribute 0 (SUM semantics). DOUBLE values
     fold in partition order, so two different input layouts can differ
     in the last ulp (range boundaries re-sample); integer/decimal
-    inputs are exact. Round before comparing across engines. The primitive
+    inputs are exact. Round before comparing across engines.
+
+    ``rn_col``: also emit the global ROW NUMBER under the same order,
+    from the same ranged pass, window and offsets collect -- callers
+    needing both (abc_classes) pay one range shuffle and one
+    checkpoint instead of running global_row_number separately (review
+    finding: the unfused pair doubled the operator's dominant cost). The primitive
     under ranked cumulative distributions: Pareto/ABC concentration,
     Lorenz curves, cumulative-share cutoffs -- all at key cardinality,
     all skew-free."""
@@ -3572,28 +3579,37 @@ def global_running_sum(
     # boundaries (the global_row_number argument)
     ranged = ranged.localCheckpoint()
     v = F.coalesce(F.col(val_col).cast("double"), F.lit(0.0))
-    totals = {
-        r._gpid: r.t
-        for r in ranged.groupBy("_gpid").agg(F.sum(v).alias("t")).collect()
+    stats = {
+        r._gpid: (r.t, r.c)
+        for r in ranged.groupBy("_gpid")
+        .agg(F.sum(v).alias("t"), F.count(F.lit(1)).alias("c"))
+        .collect()
     }
-    offsets, acc = {}, 0.0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid] or 0.0
+    rows = []
+    s_acc, c_acc = 0.0, 0
+    for pid in sorted(stats):
+        rows.append((pid, s_acc, c_acc))
+        t, c = stats[pid]
+        s_acc += t or 0.0
+        c_acc += c
     off_df = df.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()],
-        "_gpid INT, _goff DOUBLE",
+        rows, "_gpid INT, _gsoff DOUBLE, _gcoff LONG"
     )
     w = (
         Window.partitionBy("_gpid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        ranged.join(F.broadcast(off_df), "_gpid")
-        .withColumn(out_col, F.sum(v).over(w) + F.col("_goff"))
-        .drop("_gpid", "_goff")
+    out = ranged.join(F.broadcast(off_df), "_gpid").withColumn(
+        out_col, F.sum(v).over(w) + F.col("_gsoff")
     )
+    if rn_col is not None:
+        wr = Window.partitionBy("_gpid").orderBy(*order_cols)
+        out = out.withColumn(
+            rn_col,
+            (F.row_number().over(wr) + F.col("_gcoff")).cast("long"),
+        )
+    return out.drop("_gpid", "_gsoff", "_gcoff")
 
 
 def abc_classes(
@@ -3626,25 +3642,29 @@ def abc_classes(
         .agg(F.sum(F.col(value_col).cast("double")).alias("total"))
     )
     order = [F.col("total").desc(), F.col(key_col)]
-    ranked = global_row_number(
-        per_key.select(key_col, "total"), order, out_col="rank"
+    # ONE fused two-phase pass yields both the rank and the prefix sum
+    summed = global_running_sum(
+        per_key.select(key_col, "total"), order, "total",
+        out_col="_cum", rn_col="rank",
     )
-    summed = global_running_sum(ranked, order, "total", out_col="_cum")
     grand = summed.agg(F.sum("total").alias("_g"))
     out = summed.crossJoin(F.broadcast(grand))
     gt = F.col("_g")
-    # the positivity guard lives INSIDE the selected column so it stays
-    # lazy yet cannot be pruned away: any row evaluated with a
-    # non-positive grand total raises
-    share = F.when(gt > 0, F.col("_cum") / gt).otherwise(
-        F.raise_error(F.lit("abc_classes: grand total must be positive"))
+    # the positivity guard lives inside EVERY derived column (share AND
+    # class), because a caller selecting only `abc` lets Catalyst prune
+    # cum_share -- a guard in one column alone vanishes with it
+    # (review finding)
+    err = F.raise_error(
+        F.lit("abc_classes: grand total must be positive")
     )
+    share = F.when(gt > 0, F.col("_cum") / gt).otherwise(err)
     prior = (F.col("_cum") - F.col("total")) / gt
-    cls = (
+    cls = F.when(
+        gt > 0,
         F.when(prior < F.lit(a_share), F.lit("A"))
         .when(prior < F.lit(b_share), F.lit("B"))
-        .otherwise(F.lit("C"))
-    )
+        .otherwise(F.lit("C")),
+    ).otherwise(err.cast("string"))
     return out.select(
         key_col,
         "total",

@@ -2400,9 +2400,11 @@ def kn_surprisal(
     convention bigram_surprisal documents), and OOV tokens carrying the
     continuation table's reserved 1/(T+1) share, so p is never zero.
 
-    Same scale shape as bigram_surprisal: one explode, one broadcast
-    join on the bounded continuation table, one shuffle join against
-    the bigram artifact, one hash agg to doc grain. Returns (id_col,
+    Same scale shape as bigram_surprisal: one explode, broadcast joins
+    on the two bounded vocab-sized tables (cont AND ctx -- review
+    caught ctx shuffling the full token frame a second time), one
+    shuffle join against the bigram artifact, one hash agg to doc
+    grain. Returns (id_col,
     n_tokens, surprisal = -mean ln p); empty docs n_tokens 0 with NULL
     surprisal."""
     if not 0 < discount < 1:
@@ -2439,7 +2441,7 @@ def kn_surprisal(
         )
         .crossJoin(F.broadcast(oov))
         .withColumn("_pc", F.coalesce(F.col("_pc_seen"), F.col("_oov_pc")))
-        .join(ctx, "prev", "left")
+        .join(F.broadcast(ctx), "prev", "left")  # vocab-sized, like cont
         .join(bi, ["prev", "token"], "left")
         .withColumn(
             "_p",

@@ -63,9 +63,11 @@ def detect_hot_keys(
     top: int = 16,
     min_share: float = 0.01,
 ) -> list:
-    """Key values that each carry >= ``min_share`` of the table's rows,
-    at most ``top`` of them -- the explicit hot list hot_key_split_join
-    joins map-side. ONE pass over ``df``: a per-key count (map-side
+    """Key values that each carry >= ``min_share`` of the table's
+    NON-NULL-key rows, at most ``top`` of them -- the explicit hot list
+    hot_key_split_join joins map-side (NULL keys are excluded before
+    ranking: they cannot equi-match, and a hot NULL group must not eat
+    a ranked slot). ONE pass over ``df``: a per-key count (map-side
     partial combine makes the shuffle uniform even when the key itself
     is the skewed one -- each task emits one partial row per key it
     saw), then total + top-k read off that small counts frame, never the
@@ -75,7 +77,15 @@ def detect_hot_keys(
     that says whether splitting is worth it at all."""
     if not 0.0 < min_share <= 1.0:
         raise ValueError(f"min_share must be in (0, 1]: {min_share}")
-    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+    # NULLs can never be joinable hot keys, and a hot NULL group (the
+    # null_skew_left_join motivating case) must not consume one of the
+    # ``top`` ranked slots before the Python-side strip (review
+    # finding) -- exclude them before ranking
+    counts = (
+        df.filter(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
     # total as a one-row broadcast scalar (the repo's cross-join-scalar
     # pattern) -- NOT an unpartitioned window over the counts frame,
     # which would funnel a billion-key cardinality through one task
@@ -88,7 +98,7 @@ def detect_hot_keys(
         .select(key)
         .collect()
     )
-    return [r[0] for r in rows if r[0] is not None]
+    return [r[0] for r in rows]
 
 
 def hot_key_split_join(

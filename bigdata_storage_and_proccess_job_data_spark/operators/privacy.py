@@ -125,18 +125,26 @@ def pseudonymize(
     cols: list[str],
     salt: str,
     prefix_map: "dict[str, str] | None" = None,
+    domain_map: "dict[str, str] | None" = None,
 ) -> DataFrame:
     """Deterministic column pseudonymization: each named column is
     replaced by a salted md5 token (hex, optionally prefixed per column
     for readability, e.g. ``usr_3fa9...``). Same input + same salt =>
-    same token EVERYWHERE, so joins and group-bys keep working across
-    tables pseudonymized with the same salt -- referential integrity
-    without the raw identifier; rotating the salt unlinks every
-    release from the previous one (and from the raw values, absent the
-    salt). NULLs stay NULL. This is tokenization, not DP: frequency
-    structure survives (by design -- that is what keeps analytics
-    working); pair with dp_noisy_counts / k_anonymity_report when the
-    release needs distributional protection too.
+    same token EVERYWHERE -- including across DIFFERENTLY-NAMED FK/PK
+    columns (o_custkey vs c_custkey), because the column name is
+    deliberately NOT part of the hash (review finding: hashing the
+    name silently unlinked every foreign key whose sides are named
+    differently). Joins and group-bys therefore keep working across
+    tables pseudonymized with the same salt; rotating the salt unlinks
+    every release from the previous one (and from the raw values,
+    absent the salt). NULLs stay NULL.
+
+    ``domain_map``: column -> domain label for callers who WANT
+    distinct token spaces (e.g. user ids vs device ids that share
+    values but must not link); both sides of a joinable pair must use
+    the same label. This is tokenization, not DP: frequency structure
+    survives by design; pair with dp_noisy_counts /
+    k_anonymity_report for distributional protection.
 
     Pure codegen'd expressions (one md5 per cell, zero shuffles, zero
     UDFs), bit-reproducible across engines via the md5 bridge, so the
@@ -156,13 +164,13 @@ def pseudonymize(
         pfx = (prefix_map or {}).get(c, "")
         if pfx and not pfx.replace("_", "").isalnum():
             raise ValueError(f"suspicious prefix for {c!r}: {pfx!r}")
-        token = F.concat(
-            F.lit(pfx),
-            F.md5(
-                F.concat_ws(
-                    ":", F.lit(c), F.col(c).cast("string"), F.lit(ssalt)
-                )
-            ),
-        )
+        dom = (domain_map or {}).get(c, "")
+        if dom and not dom.replace("_", "").isalnum():
+            raise ValueError(f"suspicious domain for {c!r}: {dom!r}")
+        parts = ([F.lit(dom)] if dom else []) + [
+            F.col(c).cast("string"),
+            F.lit(ssalt),
+        ]
+        token = F.concat(F.lit(pfx), F.md5(F.concat_ws(":", *parts)))
         out[c] = F.when(F.col(c).isNotNull(), token)
     return df.withColumns(out)

@@ -1362,9 +1362,12 @@ def mips_augment(
     Returns (frame + out_col, M); pass M to mips_augment_query.
 
     One pass of pure expressions; M (when not pinned) is a one-row
-    bounded aggregate. A vector whose norm exceeds a PINNED M raises at
-    evaluation (the guard is in the sqrt: negative argument -> error
-    expression), because silently clamping would corrupt the order."""
+    bounded aggregate. A vector whose norm MATERIALLY exceeds a pinned
+    M raises at evaluation, because silently clamping would corrupt
+    the order -- but slack within float error of zero clamps to 0:
+    fl(sqrt(S))^2 rounds below S for about half of all squared norms,
+    so the corpus's own max-norm vector would otherwise trip the guard
+    spuriously (found by review, reproduced on [1,1,1])."""
     v = vectors.as_double(vec_col)
     if max_norm is None:
         row = corpus.select(
@@ -1377,8 +1380,10 @@ def mips_augment(
         m = float(max_norm)
         if m <= 0:
             raise ValueError(f"max_norm must be > 0: {max_norm}")
-    slack = F.lit(m) * F.lit(m) - vectors.dot(v, v)
-    tail = F.when(slack >= 0, F.sqrt(slack)).otherwise(
+    m2 = m * m
+    eps = 1e-9 * m2  # relative: distinguishes fp residue from real excess
+    slack = F.lit(m2) - vectors.dot(v, v)
+    tail = F.when(slack >= -eps, F.sqrt(F.greatest(slack, F.lit(0.0)))).otherwise(
         F.raise_error(
             F.lit(
                 "mips_augment: vector norm exceeds the pinned max_norm"

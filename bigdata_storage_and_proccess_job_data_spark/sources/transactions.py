@@ -171,16 +171,31 @@ def txn_commit(
 
 def txn_recover(txn_dir: str) -> list[str]:
     """Roll per-table pointers forward to the committed manifest --
-    idempotent, safe to run any time: a table's pointer moves only if
-    it is BEHIND the manifest's version (a newer single-table commit is
-    never rewound). Returns the table dirs whose pointers moved. Run
-    after a crash between a txn's commit point and its roll-forward."""
+    idempotent: a table's pointer moves only if it is BEHIND the
+    manifest's version, so a newer single-table commit observed at the
+    check is never rewound. Returns the table dirs whose pointers
+    moved.
+
+    Concurrency contract (review finding): the check-then-flip is NOT
+    atomic against a scope writer committing between the read and the
+    flip -- run recovery while scope writers are quiesced, which is the
+    crash-recovery setting it exists for (writers restart AFTER
+    recovery; the module's single-writer-per-scope cadence). The
+    in-commit roll-forward is safe under that cadence because the
+    committing writer IS the scope's writer. The version re-read
+    immediately before each flip shrinks the exposure to the
+    out-of-contract case but cannot close it."""
     man = txn_manifest(txn_dir)
     moved = []
     for name in sorted(man["tables"]):
         entry = man["tables"][name]
         cur = versioned.current_version(entry["dir"]) or 0
         if cur < entry["version"]:
+            # re-read at the last instant (see contract note above)
+            if (versioned.current_version(entry["dir"]) or 0) >= entry[
+                "version"
+            ]:
+                continue
             _flip_pointer(entry["dir"], entry["version"])
             moved.append(entry["dir"])
     return moved

@@ -135,16 +135,18 @@ def test_pseudonymize_referential_integrity_and_parity(spark, oracle_sf_dir):
         "c_custkey", "c_name", "c_mktsegment"
     )
     orders = load_table(spark, oracle_sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+        "o_custkey", "o_orderkey"
     )
     pc = privacy.pseudonymize(
         cust, ["c_custkey", "c_name"], salt="rel1",
         prefix_map={"c_custkey": "usr_"},
     )
-    po = privacy.pseudonymize(orders, ["c_custkey"], salt="rel1",
-                              prefix_map={"c_custkey": "usr_"})
-    joined = po.join(pc, "c_custkey")
-    plain = orders.join(cust, "c_custkey")
+    # DIFFERENTLY-NAMED FK/PK sides (the review-found case): tokens
+    # must still line up, so the released join keeps full cardinality
+    po = privacy.pseudonymize(orders, ["o_custkey"], salt="rel1",
+                              prefix_map={"o_custkey": "usr_"})
+    joined = po.join(pc, po.o_custkey == pc.c_custkey)
+    plain = orders.join(cust, orders.o_custkey == cust.c_custkey)
     assert joined.count() == plain.count()  # referential integrity
     # token never equals the raw value; rotation unlinks
     p2 = privacy.pseudonymize(cust, ["c_custkey"], salt="rel2")
@@ -157,7 +159,11 @@ def test_pseudonymize_referential_integrity_and_parity(spark, oracle_sf_dir):
     )
     t = privacy.pseudonymize(tiny, ["u", "v"], salt="s").collect()
     assert t[1].u is None and t[1].v is not None
-    assert t[0].u != t[0].v  # column-name domain separation
+    assert t[0].u == t[0].v  # same value, same salt => same token
+    td = privacy.pseudonymize(
+        tiny, ["u", "v"], salt="s", domain_map={"u": "usr", "v": "dev"}
+    ).collect()
+    assert td[0].u != td[0].v  # explicit domains unlink on request
 
     import pytest as _pytest
 
@@ -167,12 +173,13 @@ def test_pseudonymize_referential_integrity_and_parity(spark, oracle_sf_dir):
         privacy.pseudonymize(tiny, ["zz"], "s")
     with _pytest.raises(ValueError, match="prefix"):
         privacy.pseudonymize(tiny, ["u"], "s", prefix_map={"u": "a;b"})
+    with _pytest.raises(ValueError, match="domain"):
+        privacy.pseudonymize(tiny, ["u"], "s", domain_map={"u": "a;b"})
 
     out = pc.select("c_custkey", "c_name", "c_mktsegment")
     sql = """
-        SELECT 'usr_' || md5('c_custkey:' || c_custkey::VARCHAR || ':rel1')
-                 AS c_custkey,
-               md5('c_name:' || c_name || ':rel1') AS c_name,
+        SELECT 'usr_' || md5(c_custkey::VARCHAR || ':rel1') AS c_custkey,
+               md5(c_name || ':rel1') AS c_name,
                c_mktsegment
         FROM customer
     """
