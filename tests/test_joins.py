@@ -539,3 +539,17 @@ def test_hot_key_split_join_rejections(spark, sf_dir):
             "c_custkey",
             [7],
         )
+
+
+def test_detect_hot_keys_null_group_never_eats_a_slot(spark):
+    """Review regression: a table whose MOST FREQUENT key is NULL (the
+    null-skew FK case) must still return every real hot value -- the
+    NULL group is excluded before ranking, not stripped after."""
+    rows = (
+        [(None, 0)] * 50  # the hottest "group"
+        + [(k, 0) for k in range(4) for _ in range(10)]  # 4 real hot keys
+        + [(k, 0) for k in range(100, 110)]  # long tail
+    )
+    df = spark.createDataFrame(rows, "k int, v int")
+    hot = joins.detect_hot_keys(df, "k", top=4, min_share=0.05)
+    assert hot == [0, 1, 2, 3]

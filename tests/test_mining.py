@@ -2550,3 +2550,17 @@ def test_global_running_sum_and_abc_classes(spark, oracle_sf_dir):
                                a_share=0.9, b_share=0.5)
     with pytest.raises(ValueError, match="order_cols"):
         aggregates.global_running_sum(orders, [], "o_totalprice")
+
+
+def test_abc_classes_guard_survives_column_pruning(spark):
+    """Review regression: selecting ONLY the class column must still
+    raise on a non-positive grand total -- the guard lives in every
+    derived column, so Catalyst cannot prune it away."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    neg = spark.createDataFrame(
+        [("a", -5.0), ("b", -1.0)], "k string, v double"
+    )
+    with pytest.raises((Py4JJavaError, Exception), match="grand total"):
+        aggregates.abc_classes(neg, "k", "v").select("k", "abc").collect()

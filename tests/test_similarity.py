@@ -751,3 +751,18 @@ def test_mips_topk_and_augment_reduction(spark, sf_dir):
         FROM r WHERE rank <= 5
     """
     assert compare(out, duckdb_connect(sf_dir), sql) == []
+
+
+def test_mips_augment_survives_its_own_max_norm_vector(spark):
+    """Review regression: fl(sqrt(S))^2 rounds below S for ~half of all
+    squared norms ([1,1,1] -> S=3.0), so the corpus's own max-norm
+    vector must clamp its fp-negative slack to 0, not raise."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0, 1.0]), (2, [0.5, 0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    aug, m = similarity.mips_augment(df)
+    rows = {r.vec_id: r.embedding_aug for r in aug.collect()}
+    assert abs(m * m - 3.0) < 1e-12
+    assert rows[1][-1] == 0.0  # clamped, not raised
+    assert rows[2][-1] > 0.0
