@@ -774,3 +774,85 @@ def test_late_r9_ops_pass_the_plan_lint(spark, oracle_sf_dir):
     }
     for name, df in clean.items():
         assert lint.lint_plan(df) == [], name
+
+
+def test_restart_wave_ops_pass_the_plan_lint(spark, oracle_sf_dir):
+    """The restart-wave additions' query-composable paths ride the same
+    registry hygiene sweep: no CartesianProduct, no row-at-a-time
+    Python, no unwaived nested-loop joins. (Arrow/iterative-by-design
+    paths -- unigram_fit, compression_ratio, media_phash, mips of the
+    brute kind uses an explicit broadcast cross join waived at the
+    registry level like knn_brute_force -- are replica-tested instead;
+    detect_hot_keys/abc_classes bound their collects by contract.)"""
+    from pyspark.sql import functions as F
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        aggregates,
+        corpus,
+        features,
+        funnel,
+        joins,
+        privacy,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.plans import lint
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    events = load_table(spark, oracle_sf_dir, "events")
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    customer = load_table(spark, oracle_sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    te = features.target_encode_fit(
+        orders, ["o_orderpriority"], "o_totalprice"
+    )
+    vocab = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).distinct().limit(500)
+    kn_bi, kn_ctx, kn_cont, kn_d = corpus.kn_bigram_tables(docs.limit(50))
+    clean = {
+        "hot_key_split_join": joins.hot_key_split_join(
+            orders.select(
+                "o_orderkey",
+                F.col("o_custkey").alias("c_custkey"),
+            ),
+            customer,
+            "c_custkey",
+            [7],
+        ),
+        "curriculum_order": corpus.curriculum_order(
+            docs.withColumn("d", F.length("text").cast("double")),
+            "doc_id",
+            "d",
+            salt="lint",
+        ),
+        "vocab_coverage": corpus.vocab_coverage(docs, vocab),
+        "kn_surprisal": corpus.kn_surprisal(
+            docs, kn_bi, kn_ctx, kn_cont, kn_d
+        ),
+        "retention_matrix": funnel.retention_matrix(events),
+        "anova_oneway": aggregates.anova_oneway(
+            orders, "o_orderpriority", "o_totalprice"
+        ),
+        "abc_classes": aggregates.abc_classes(
+            orders, "o_custkey", "o_totalprice"
+        ),
+        "target_encode_apply": features.target_encode_apply(
+            orders, te, ["o_orderpriority"], loo_target="o_totalprice"
+        ),
+        "pseudonymize": privacy.pseudonymize(
+            customer, ["c_custkey"], salt="lint"
+        ),
+    }
+    # ops that carry a DOCUMENTED one-row scalar as a broadcast cross
+    # join (grand totals, OOV mass, artifact-derived priors) take the
+    # registry's standing waiver; everything else must be BNLJ-free
+    scalar_waived = {
+        "kn_surprisal",          # one-row OOV continuation mass
+        "abc_classes",           # one-row grand total
+        "curriculum_order",      # one-row n for the exact ntile
+        "target_encode_apply",   # one-row prior/smoothing stats
+    }
+    for name, df in clean.items():
+        allow = name in scalar_waived
+        assert lint.lint_plan(df, allow_bnlj=allow) == [], name
