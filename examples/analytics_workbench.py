@@ -416,11 +416,20 @@ def main() -> None:
         sppmi, "center", "context", "sppmi", rank=8, iters=3, reg=0.05
     )
     n_vec = emb_model["user_factors"].count()
+    recs = factorization.recommend_topk(
+        emb_model, k=3,
+        seen=sppmi.select(
+            F.col("center").alias("user"), F.col("context").alias("item")
+        ),
+        user_col="user", item_col="item",
+    )
+    n_rec_users = recs.select("user").distinct().count()
     print(
         f"== graph embeddings == {n_vec} node vectors from "
-        f"{sppmi.count()} SPPMI pairs (deterministic md5 walks)"
+        f"{sppmi.count()} SPPMI pairs (deterministic md5 walks); "
+        f"MIPS top-3 fresh recommendations for {n_rec_users} nodes"
     )
-    assert n_vec > 0
+    assert n_vec > 0 and n_rec_users > 0
 
     # -- 11. k-group tests, growth matrix, leakage-safe features -------
     orders = load_table(spark, SF_DIR, "orders")
