@@ -616,6 +616,12 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # test-pinned incl. a simulated crash window (test_transactions.py;
 # the versioned.py commit-protocol precedent -- not registry
 # material).
+# streaming/pipeline.py maintain_quantile_stream (DDSketch quantile
+# artifacts maintained per micro-batch; ADDITIVE merge makes the
+# atomic batch-id marker correctness-critical, unlike KMV's
+# idempotent union -- stated in the docstring) is streaming-by-nature,
+# test-pinned bit-equal to the monolithic batch sketch end to end
+# (test_maintain_quantile_stream_equals_monolithic_and_guards_replay).
 # lake.write_training_shards (ordered size-bounded loader shards with
 # a read-back manifest; one uniform hash shuffle + per-shard bounded
 # sort) is storage-maintenance, test-pinned (physical file order

@@ -576,3 +576,89 @@ def maintain_sketch_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _apply_dd_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_dir: str,
+    col: str,
+    dims: list[str] | None,
+    gamma: float,
+) -> bool:
+    """One micro-batch of the maintained-quantile sink (the
+    _apply_sketch_batch shape). Returns False on empty batches and
+    recognized replays.
+
+    CONTRAST with the KMV sink: DDSketch merge is ADDITIVE (bin counts
+    SUM), not a set union -- folding the same batch twice double-counts
+    every bin and silently skews every quantile. The batch-id marker is
+    therefore correctness-critical here, not just a wasted-work saver:
+    the marker is written in the SAME atomic commit as the merged state
+    (commit_version meta), so a replayed foreachBatch call after a
+    crash either sees its own marker (skip) or the pre-batch state
+    (apply) -- never half."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    if batch_df.isEmpty():
+        return False
+    spark = batch_df.sparkSession
+    cur = versioned.current_version(table_dir)
+    partial = aggregates.dd_sketch(batch_df, col, gamma=gamma, dims=dims)
+    if cur is not None:
+        meta = versioned.commit_meta(table_dir, cur) or {}
+        if meta.get("last_batch", -1) >= batch_id:
+            return False
+        state = versioned.read_version(spark, table_dir, cur)
+        new_state = aggregates.dd_merge(
+            state.unionByName(partial), dims=dims
+        )
+    else:
+        new_state = partial
+    versioned.commit_version(
+        new_state,
+        table_dir,
+        expected=cur,
+        meta={"last_batch": batch_id},
+    )
+    return True
+
+
+def maintain_quantile_stream(
+    df: DataFrame,
+    table_dir: str,
+    col: str,
+    checkpoint_dir: str,
+    dims: list[str] | None = None,
+    gamma: float = 1.02,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously-maintained QUANTILE sketches: every micro-batch
+    builds per-group DDSketch bin counts and sums them into a versioned
+    artifact table -- the streaming p50/p99 dashboard that exact
+    streaming percentiles cannot give without unbounded state. Per
+    trigger the work is O(batch) + a merge over (groups x bins) longs;
+    the raw stream is never re-read, and readers take
+    aggregates.dd_quantile over read_version(...) at full snapshot
+    isolation. Completes the maintained-artifact pair with
+    maintain_sketch_stream (KMV distinct counts): distinct + quantiles,
+    both O(changes) per trigger.
+
+    Exactness: bin counts are integers and the merge law is exact
+    (dd_merge sums), so the maintained artifact is BIT-EQUAL to the
+    monolithic batch sketch over all rows ever seen -- asserted end to
+    end in the test. Replay safety comes from the batch-id marker
+    committed atomically with the state (see _apply_dd_batch: additive
+    merges make the marker correctness-critical, unlike KMV's
+    idempotent union)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _apply_dd_batch(batch_df, batch_id, table_dir, col, dims, gamma)
+
+    writer = df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

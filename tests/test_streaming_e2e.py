@@ -449,3 +449,101 @@ def test_maintain_sketch_stream_equals_monolithic_build(spark, tmp_path):
     )
     assert applied is False
     assert versioned.current_version(table) == v_before
+
+
+def test_maintain_quantile_stream_equals_monolithic_and_guards_replay(
+    spark, tmp_path
+):
+    """Streaming DDSketch maintenance: two checkpointed runs fold two
+    file batches into the versioned quantile table, the maintained
+    artifact is BIT-EQUAL to the monolithic batch sketch (integer bin
+    counts, exact additive merge), quantile readouts ride along, and a
+    REPLAYED batch id is a no-op -- correctness-critical here, because
+    an additive merge double-counts on replay (unlike the KMV union)."""
+    from pyspark.sql.types import DoubleType
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    schema = StructType(
+        [
+            StructField("seg", StringType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+    in_dir = str(tmp_path / "dd_in")
+    table = str(tmp_path / "dd_table")
+    ckpt = str(tmp_path / "dd_ckpt")
+
+    batch1 = [("m", float(1 + i % 97)) for i in range(300)] + [
+        ("w", float(10 + i % 13)) for i in range(150)
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    def run_once():
+        q = pipeline.maintain_quantile_stream(
+            pipeline.file_stream(spark, in_dir, schema),
+            table,
+            "v",
+            ckpt,
+            dims=["seg"],
+            gamma=1.05,
+        )
+        q.awaitTermination()
+
+    run_once()
+    batch2 = [("m", 500.0 + i) for i in range(40)] + [("w", 0.0), ("w", -3.0)]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_once()
+
+    got = {
+        (r.seg, r.bin): r.cnt
+        for r in versioned.read_version(spark, table).collect()
+    }
+    mono = {
+        (r.seg, r.bin): r.cnt
+        for r in aggregates.dd_sketch(
+            spark.createDataFrame(batch1 + batch2, schema),
+            "v",
+            gamma=1.05,
+            dims=["seg"],
+        ).collect()
+    }
+    assert got == mono  # bit-equal: exact additive merge end to end
+
+    # quantile readout within the gamma guarantee on the true p50
+    q50 = {
+        r.seg: r.q
+        for r in aggregates.dd_quantile(
+            versioned.read_version(spark, table), 0.5, gamma=1.05,
+            dims=["seg"],
+        ).select("seg", F.col("quantile_estimate").alias("q")).collect()
+    }
+    import statistics
+
+    true_m = statistics.median(
+        [v for s, v in batch1 + batch2 if s == "m" and v > 0]
+    )
+    assert abs(q50["m"] - true_m) <= 0.07 * true_m  # ~gamma band
+
+    # replay guard: same batch id again is a no-op (would double-count)
+    cur = versioned.current_version(table)
+    meta = versioned.commit_meta(table, cur)
+    last = meta["last_batch"]
+    replay = spark.createDataFrame(batch2, schema)
+    assert (
+        pipeline._apply_dd_batch(replay, last, table, "v", ["seg"], 1.05)
+        is False
+    )
+    assert versioned.current_version(table) == cur
+    # a NEW batch id applies
+    assert (
+        pipeline._apply_dd_batch(
+            replay, last + 1, table, "v", ["seg"], 1.05
+        )
+        is True
+    )
