@@ -587,7 +587,8 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Wall-time honesty (the incr_agg_refresh precedent): on local[32]
     the avoided exchange is a memory-to-memory copy, so the measured
-    gap is small (~10-15% at sf0.1); the SCALE figure is the plan --
+    gap is modest (5-iter medians at sf0.1: 0.62 s vs the twin's
+    0.80 s, ~23%); the SCALE figure is the plan --
     tests/test_bucketing.py pins zero Exchange below this join while
     the twin carries one per side, and on a 1000-executor cluster that
     exchange is the network shuffle of both fact tables."""
