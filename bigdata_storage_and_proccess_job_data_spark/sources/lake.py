@@ -433,9 +433,9 @@ def write_training_shards(
     of the 1-based ``order_col``; rows inside each shard file are
     PHYSICALLY sorted by position (parquet preserves row order, and the
     hash-by-shard repartition puts a whole shard in one task, so the
-    partitionBy writer emits one sorted file per shard unless
-    spark.sql.files.maxRecordsPerFile forces a split -- leave it unset
-    for loader-facing output).
+    partitionBy writer emits one sorted file per shard; the writer
+    pins maxRecordsPerFile=0 locally so a session-level split setting
+    cannot break the one-file-per-shard loader contract).
 
     Scale shape: one hash shuffle on the shard id (uniform by
     construction -- equal-size blocks of a permutation), one
@@ -453,6 +453,7 @@ def write_training_shards(
         .repartition(F.col("shard"))
         .sortWithinPartitions("shard", order_col)
         .write.mode("overwrite")
+        .option("maxRecordsPerFile", 0)  # pin the one-file contract
         .partitionBy("shard")
         .parquet(path)
     )

@@ -537,6 +537,26 @@ def test_write_training_shards_ordered_files_and_manifest(
     )
     n = docs.count()
     rows = {r.shard: r for r in manifest.collect()}
+    # the contract survives a hostile session split setting: the writer
+    # pins maxRecordsPerFile=0 locally
+    prev = spark.conf.get("spark.sql.files.maxRecordsPerFile", None)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "7")
+    try:
+        out2 = str(tmp_path / "shards2")
+        lake.write_training_shards(
+            spark, ordered, out2, "shuffle_pos", shard_rows=64
+        )
+        import glob as _glob
+
+        assert all(
+            len(_glob.glob(f"{out2}/shard={s_}/*.parquet")) == 1
+            for s_ in rows
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        else:
+            spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
     assert sorted(rows) == list(range((n + 63) // 64))
     for s, r in rows.items():
         assert r.min_pos == s * 64 + 1
