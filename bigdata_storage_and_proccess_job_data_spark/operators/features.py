@@ -390,3 +390,129 @@ def target_encode_apply(
     return joined.withColumn(out_col, enc).drop(
         "_te_sum", "_te_cnt", "_te_prior", "_m"
     )
+
+
+def hbos_fit(
+    df: DataFrame,
+    cols: list[str],
+    n_bins: int = 10,
+) -> dict:
+    """Histogram-Based Outlier Score model (Goldstein & Dengel 2012):
+    per feature, an equal-WIDTH histogram over [min, max] -- the
+    density-estimation complement to Mahalanobis (which assumes one
+    Gaussian ellipsoid; HBOS sees multi-modal and skewed densities,
+    feature-independently). Equal-width, not quantile bins: quantile
+    bins equalize densities by construction, which would erase the
+    signal.
+
+    Returns a plain-python model (the pca_fit/mahalanobis precedent --
+    it enters plans as literals): {col: {"min", "width", "n",
+    "counts": [n_bins]}}. TWO passes: one sibling min/max aggregate for
+    every feature, one hash agg of bin counts (all features in a single
+    explode); driver state is cols x n_bins longs. NULLs are excluded
+    per feature; a constant feature gets width 0 and scores 0
+    everywhere (no information)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2: {n_bins}")
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        aggs += [F.min(v).alias(f"_lo_{c}"), F.max(v).alias(f"_hi_{c}")]
+    row = df.agg(*aggs).collect()[0]  # bounded: one row
+    meta = {}
+    for c in cols:
+        lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
+        if lo is None:
+            raise ValueError(f"column {c!r} has no non-null values")
+        meta[c] = {
+            "min": float(lo),
+            "width": (float(hi) - float(lo)) / n_bins,
+        }
+    # one pass for all features: (feature, bin) count via explode
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("f"),
+                        _hbos_bin(
+                            F.col(c).cast("double"),
+                            meta[c]["min"],
+                            meta[c]["width"],
+                            n_bins,
+                        ).alias("b"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.f", "p.b").filter(F.col("b").isNotNull())
+    counts = (
+        pairs.groupBy("f", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: cols x n_bins rows
+    )
+    model = {}
+    for c in cols:
+        bins = [0] * n_bins
+        model[c] = {
+            "min": meta[c]["min"],
+            "width": meta[c]["width"],
+            "counts": bins,
+            "n": 0,
+        }
+    for r in counts:
+        model[r["f"]]["counts"][r["b"]] = int(r["n"])
+        model[r["f"]]["n"] += int(r["n"])
+    return model
+
+
+def _hbos_bin(v, lo: float, width: float, n_bins: int):
+    """Bin index 0..n_bins-1 with the max value folded into the last
+    bin; NULL for NULL input; bin 0 for a constant feature."""
+    if width <= 0:
+        return F.when(v.isNotNull(), F.lit(0))
+    idx = F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
+    return F.when(
+        v.isNotNull(),
+        F.greatest(F.least(idx, F.lit(n_bins - 1)), F.lit(0)),
+    )
+
+
+def hbos_apply(
+    df: DataFrame,
+    model: dict,
+    out_col: str = "hbos",
+) -> DataFrame:
+    """HBOS score under a FIXED model: sum over features of
+    log10(max_count / count(bin(x))), pure literal expressions (zero
+    shuffles, zero UDFs -- exact-oracle checkable, the ridge/
+    Mahalanobis scoring precedent). Higher = more anomalous. Per
+    feature: counts are floored at 0.5 (an empty bin scores high but
+    finite), out-of-range values clamp to the edge bins (serving drift
+    lands in the extreme bin rather than erroring), NULL contributes 0
+    (missingness is not anomaly here -- gate NULLs upstream), and a
+    constant feature contributes 0."""
+    import math as _math
+
+    total = F.lit(0.0)
+    for c, m in model.items():
+        n_bins = len(m["counts"])
+        b = _hbos_bin(
+            F.col(c).cast("double"), m["min"], m["width"], n_bins
+        )
+        max_cnt = max(max(m["counts"]), 1)
+        scores = [
+            _math.log10(max_cnt / max(cnt, 0.5)) for cnt in m["counts"]
+        ]
+        lut = F.array(*[F.lit(s) for s in scores])
+        # explicit NULL-bin guard: element_at over an all-literal array
+        # with a NULL index does NOT reliably null-propagate (observed
+        # returning the last element on Spark 4.1), so never feed it one
+        contrib = F.when(
+            b.isNotNull(), F.element_at(lut, b + F.lit(1))
+        ).otherwise(F.lit(0.0))
+        total = total + contrib
+    return df.withColumn(out_col, total)

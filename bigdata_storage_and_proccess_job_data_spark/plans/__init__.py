@@ -631,6 +631,12 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # Micci-Barreca shrinkage; artifact O(categories), broadcast apply) is
 # R10-promotable with full DuckDB replay parity
 # (test_target_encode_loo_semantics_and_parity).
+# features.hbos_fit is test-only by design (driver-bounded
+# histogram model, the pca_fit precedent -- two passes, cols x bins
+# driver state), while hbos_apply with a pinned model is oracle-grade
+# (test_hbos_fit_apply_semantics_and_parity -- full DuckDB literal-LUT
+# replay, planted-outlier ranking, NULL/constant/empty-bin pins; the
+# density-based anomaly complement to Mahalanobis).
 # reduction.mahalanobis_fit is test-only by design (gram_moments +
 # driver inversion, the pca_fit precedent; numpy replica equality),
 # while mahalanobis_apply with a PINNED model is oracle-grade

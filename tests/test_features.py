@@ -330,3 +330,105 @@ def test_target_encode_loo_semantics_and_parity(spark, oracle_sf_dir):
         features.target_encode_fit(train, ["k"], "y", smoothing=0.0)
     with _pytest.raises(ValueError, match="keys"):
         features.target_encode_fit(train, [], "y")
+
+
+def test_hbos_fit_apply_semantics_and_parity(spark, oracle_sf_dir):
+    """HBOS: (1) hand histogram on a controlled frame -- a point in the
+    dense bin scores near 0, a point in an empty region scores high,
+    NULL contributes 0, constant features contribute 0; (2) a planted
+    outlier tops the ranking on real orders columns; (3) full DuckDB
+    replay of the scoring with the model as literals."""
+    import pytest as _pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.operators import features
+    from tests.parity import compare, duckdb_connect
+
+    rows = [(float(x), 5.0) for x in [0, 1, 1, 1, 2, 2, 9]] + [(None, 5.0)]
+    df = spark.createDataFrame(rows, "a double, c double")
+    m = features.hbos_fit(df, ["a", "c"], n_bins=3)
+    # a: [0,3) x5? bins over [0,9]: width 3 -> bin0 has 0,1,1,1,2,2 = 6;
+    # bin1 empty; bin2 has 9 (max folds in)
+    assert m["a"]["counts"] == [6, 0, 1]
+    assert m["c"]["width"] == 0.0  # constant feature
+    scored = {
+        (r.a, r.c): r.hbos
+        for r in features.hbos_apply(df, m).collect()
+    }
+    import math
+
+    assert scored[(1.0, 5.0)] == _pytest.approx(0.0, abs=1e-12)
+    assert scored[(9.0, 5.0)] == _pytest.approx(math.log10(6 / 1), abs=1e-12)
+    assert scored[(None, 5.0)] == _pytest.approx(0.0, abs=1e-12)
+    # empty-bin probe: 4.5 falls in bin1 (count floored at 0.5)
+    probe = spark.createDataFrame([(4.5, 5.0)], "a double, c double")
+    assert features.hbos_apply(probe, m).collect()[0].hbos == (
+        _pytest.approx(math.log10(6 / 0.5), abs=1e-12)
+    )
+
+    orders = load_table(spark, oracle_sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("p"),
+        (F.col("o_custkey") % 100).cast("double").alias("s"),
+    )
+    planted = orders.unionByName(
+        spark.createDataFrame(
+            [(999_999_999, 10_000_000.0, 9999.0)],
+            "o_orderkey long, p double, s double",
+        )
+    )
+    model = features.hbos_fit(planted, ["p", "s"], n_bins=20)
+    top = (
+        features.hbos_apply(planted, model)
+        .orderBy(F.desc("hbos"), "o_orderkey")
+        .limit(1)
+        .collect()[0]
+    )
+    assert top.o_orderkey == 999_999_999
+
+    out = features.hbos_apply(orders, model).select(
+        "o_orderkey", stable_round(F.col("hbos"), 6).alias("hbos")
+    )
+    import math as _m
+
+    def lut_sql(col, mm):
+        n_bins = len(mm["counts"])
+        mx = max(max(mm["counts"]), 1)
+        scores = ", ".join(
+            repr(_m.log10(mx / max(cnt, 0.5))) for cnt in mm["counts"]
+        )
+        if mm["width"] <= 0:
+            return f"CASE WHEN {col} IS NOT NULL THEN ([{scores}])[1] ELSE 0.0 END"
+        idx = (
+            f"greatest(least(floor(({col} - {mm['min']!r}) / "
+            f"{mm['width']!r})::INT, {n_bins - 1}), 0)"
+        )
+        return (
+            f"CASE WHEN {col} IS NOT NULL THEN ([{scores}])[{idx} + 1] "
+            f"ELSE 0.0 END"
+        )
+
+    sql = f"""
+        SELECT o_orderkey,
+               {sql_round(
+                   lut_sql("o_totalprice", model["p"])
+                   + " + "
+                   + lut_sql("(o_custkey % 100)::DOUBLE", model["s"]),
+                   6,
+               )} AS hbos
+        FROM orders
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        features.hbos_fit(df, ["a"], n_bins=1)
+    with _pytest.raises(ValueError, match="non-empty"):
+        features.hbos_fit(df, [])
+    with _pytest.raises(ValueError, match="no non-null"):
+        features.hbos_fit(
+            spark.createDataFrame([(None,)], "a double"), ["a"]
+        )
