@@ -3672,3 +3672,81 @@ def abc_classes(
         share.alias("cum_share"),
         cls.alias("abc"),
     )
+
+
+def rfm_scores(
+    df,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    as_of,
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM segmentation: per user, Recency (days since last activity,
+    relative to ``as_of``), Frequency (events), Monetary (summed value),
+    each scored 1..n_bins by EXACT population quantile, plus the classic
+    rule-table segment label -- the standard customer-value readout
+    next to abc_classes/retention_matrix. Returns (user, recency_days,
+    frequency, monetary, r_score, f_score, m_score, segment).
+
+    Scores are exact ntiles computed skew-free: rank by (metric,
+    user) via the two-phase global_row_number (NO single-task window),
+    score = ceil(rank * n_bins / n_users); recency ranks DESCENDING so
+    the MOST RECENT users score highest -- every score reads "higher =
+    better". Ties break on the user id, so scoring is bit-reproducible
+    and engine-replayable.
+
+    Segment rules (documented fixed table; r/f on the 1..n scale
+    normalized to quintile semantics): champion (r,f both top-2),
+    loyal (both top-3), new (top-2 recency, bottom-1 frequency),
+    at_risk (bottom-2 recency, top-3 frequency), hibernating (both
+    bottom-2), else regular. NULL users/timestamps are excluded; NULL
+    values count 0 toward monetary."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2: {n_bins}")
+    u, t = F.col(user_col), F.col(ts_col)
+    per_user = (
+        df.filter(u.isNotNull() & t.isNotNull())
+        .groupBy(u.alias("user"))
+        .agg(
+            F.datediff(
+                F.lit(as_of).cast("date"), F.max(t).cast("date")
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.coalesce(F.col(value_col).cast("double"), F.lit(0.0))
+            ).alias("monetary"),
+        )
+    ).localCheckpoint()  # three rank passes read the SAME frame
+    n_users = per_user.count()  # bounded driver scalar
+    if n_users == 0:
+        raise ValueError("no users with non-null id and timestamp")
+
+    def score(frame, metric, desc: bool, out: str):
+        order = [
+            F.col(metric).desc() if desc else F.col(metric).asc(),
+            F.col("user"),
+        ]
+        ranked = global_row_number(frame, order, out_col="_rn")
+        return ranked.withColumn(
+            out,
+            F.ceil(F.col("_rn") * n_bins / F.lit(n_users)).cast("int"),
+        ).drop("_rn")
+
+    scored = score(per_user, "recency_days", desc=True, out="r_score")
+    scored = score(scored, "frequency", desc=False, out="f_score")
+    scored = score(scored, "monetary", desc=False, out="m_score")
+    r, f = F.col("r_score"), F.col("f_score")
+    # thresholds scale with n_bins (quintile semantics at the default)
+    hi2 = n_bins - 1  # top-2 band starts here at n_bins=5 -> 4
+    hi3 = n_bins - 2
+    lo2 = 2
+    seg = (
+        F.when((r >= hi2) & (f >= hi2), F.lit("champion"))
+        .when((r >= hi2) & (f <= 1), F.lit("new"))
+        .when((r >= hi3) & (f >= hi3), F.lit("loyal"))
+        .when((r <= lo2) & (f >= hi3), F.lit("at_risk"))
+        .when((r <= lo2) & (f <= lo2), F.lit("hibernating"))
+        .otherwise(F.lit("regular"))
+    )
+    return scored.withColumn("segment", seg)

@@ -588,6 +588,10 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # The round-9 experiment-completeness wave, all R10-promotable with
 # full DuckDB replay parity in tests/test_mining.py:
 # mutual_information (contingency MI + entropies + NMI),
+# aggregates.rfm_scores (recency/frequency/monetary exact-ntile
+# segmentation on the two-phase rank, classic rule-table labels) is
+# R10-promotable with full DuckDB replay parity
+# (test_rfm_scores_semantics_and_parity).
 # global_running_sum (the skew-free two-phase PREFIX-SUM twin of
 # global_row_number) + abc_classes (Pareto/ABC concentration with the
 # prior-share class rule) are R10-promotable with full DuckDB replay

@@ -2564,3 +2564,95 @@ def test_abc_classes_guard_survives_column_pruning(spark):
     )
     with pytest.raises((Py4JJavaError, Exception), match="grand total"):
         aggregates.abc_classes(neg, "k", "v").select("k", "abc").collect()
+
+
+def test_rfm_scores_semantics_and_parity(spark, oracle_sf_dir):
+    """RFM: (1) hand pins on a controlled frame -- recency scores read
+    "higher = more recent", segment rules fire as documented, NULL
+    exclusions; (2) full DuckDB replay on the events table (exact
+    two-phase ntiles == window ntile under the same total order)."""
+    import datetime
+
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    d = datetime.datetime
+    rows = (
+        [(1, d(2024, 3, 30), 10.0)] * 6          # recent + frequent
+        + [(2, d(2024, 1, 1), 1.0)] * 2          # stale + rare-ish
+        + [(3, d(2024, 3, 29), 2.0)]             # recent + rare -> new
+        + [(4, d(2024, 2, 1), 5.0)] * 4          # mid
+        + [(5, d(2024, 3, 15), 3.0)] * 5
+        + [(None, d(2024, 3, 30), 9.0), (9, None, 9.0)]  # excluded
+    )
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, v double")
+    out = {
+        r.user: r
+        for r in aggregates.rfm_scores(
+            ev, "user_id", "ts", "v", as_of="2024-04-01", n_bins=5
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].segment == "champion"
+    assert out[3].segment == "new"
+    assert out[2].segment == "hibernating"
+    assert out[1].r_score > out[2].r_score  # higher = more recent
+    assert out[1].monetary == 60.0 and out[1].frequency == 6
+    assert out[3].f_score == 1  # uniquely rarest after the tiebreak
+    with pytest.raises(ValueError, match="n_bins"):
+        aggregates.rfm_scores(ev, "user_id", "ts", "v", "2024-04-01", 1)
+
+    events = load_table(spark, oracle_sf_dir, "events")
+    got = aggregates.rfm_scores(
+        events, "user_id", "ts", "value", as_of="2024-07-01", n_bins=5
+    ).select(
+        "user",
+        "recency_days",
+        "frequency",
+        stable_round(F.col("monetary"), 4).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        "segment",
+    )
+    sql = f"""
+        WITH per AS (
+          SELECT user_id AS u,
+                 date_diff('day', MAX(ts)::DATE, DATE '2024-07-01')
+                   AS recency_days,
+                 COUNT(*) AS frequency,
+                 SUM(COALESCE(value, 0.0)) AS monetary
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1
+        ),
+        n AS (SELECT COUNT(*)::DOUBLE AS c FROM per),
+        sc AS (
+          SELECT u, recency_days, frequency, monetary,
+            CEIL(ROW_NUMBER() OVER (ORDER BY recency_days DESC, u)
+                 * 5 / (SELECT c FROM n))::INT AS r_score,
+            CEIL(ROW_NUMBER() OVER (ORDER BY frequency ASC, u)
+                 * 5 / (SELECT c FROM n))::INT AS f_score,
+            CEIL(ROW_NUMBER() OVER (ORDER BY monetary ASC, u)
+                 * 5 / (SELECT c FROM n))::INT AS m_score
+          FROM per
+        )
+        SELECT u AS user, CAST(recency_days AS INT) AS recency_days,
+               CAST(frequency AS BIGINT) AS frequency,
+               {sql_round('monetary', 4)} AS monetary,
+               r_score, f_score, m_score,
+               CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                    WHEN r_score >= 4 AND f_score <= 1 THEN 'new'
+                    WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+                    WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                    WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                    ELSE 'regular' END AS segment
+        FROM sc
+    """
+    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
