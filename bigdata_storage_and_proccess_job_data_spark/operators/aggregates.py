@@ -3750,3 +3750,141 @@ def rfm_scores(
         .otherwise(F.lit("regular"))
     )
     return scored.withColumn("segment", seg)
+
+
+def weighted_quantile(
+    df,
+    keys: "list[str] | None",
+    val_col: str,
+    weight_col: str,
+    q: float,
+    out: str = "wq",
+) -> DataFrame:
+    """EXACT weighted q-quantile per key group -- the weighted
+    percentile Spark SQL lacks (percentile/percentile_approx weight
+    every row equally; survey weights, token counts, or dollar weights
+    need this form). Definition: the smallest value whose cumulative
+    weight reaches q * total weight (the left-continuous inverse CDF --
+    deterministic, no interpolation, engine-replayable).
+
+    One partitioned window per key (ordered by value with the weight
+    cumsum) + one hash agg: keyed windows spread across reducers, so
+    unlike a GLOBAL quantile there is no single-task melt -- per-key
+    state is that key's rows, the same bound as any keyed window in
+    the engine (a single pathological key wants the global_running_sum
+    two-phase treatment instead). Rows with NULL value or NULL/
+    non-positive weight are excluded; a group with no surviving rows
+    emits no row."""
+    if not 0 < q <= 1:
+        raise ValueError(f"q must be in (0, 1]: {q}")
+    keys = keys or []
+    from pyspark.sql import Window
+
+    v = F.col(val_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    base = df.filter(v.isNotNull() & w.isNotNull() & (w > 0)).select(
+        *keys, v.alias("_v"), w.alias("_w")
+    )
+    win = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*[F.col(k) for k in keys])
+    cum = base.withColumn("_cw", F.sum("_w").over(win)).withColumn(
+        "_tw", F.sum("_w").over(tot)
+    )
+    hit = cum.filter(F.col("_cw") >= F.lit(q) * F.col("_tw"))
+    return hit.groupBy(*keys).agg(F.min("_v").alias(out))
+
+
+def logrank_test(
+    df,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+    group_a,
+    group_b,
+    keys: "list[str] | None" = None,
+) -> DataFrame:
+    """Two-sample log-rank test per key slice -- "do these two arms
+    have the same survival curve?", the hypothesis test completing the
+    Kaplan-Meier readout (survival_curve draws the curves; this says
+    whether their difference is signal). Input rows are subjects
+    (duration, event 1/0-censored, arm label); output one row per key
+    with per-arm subject/event counts, the observed-minus-expected sum
+    O_a - E_a, its hypergeometric variance, and ``z_stat`` =
+    (O_a - E_a) / sqrt(V) (chi2 = z^2 at 1 dof). Stops at the
+    statistic -- no chi2 CDF in Spark SQL, the welch_ttest rationale.
+
+    At each distinct event time t: E_a += d_t * nA_t / n_t and
+    V += d_t * (nA_t/n_t) * (1 - nA_t/n_t) * (n_t - d_t)/(n_t - 1)
+    (V term 0 when n_t = 1), with at-risk counts nA_t/n_t = subjects
+    of duration >= t -- computed as a REVERSE running sum over the
+    per-(key, time) frame (bounded: distinct times, not subjects), so
+    the whole test is one hash agg + one ordered window per key + one
+    final agg. NULL durations/events and rows in neither arm are
+    excluded."""
+    keys = keys or []
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    in_a, in_b = g == F.lit(group_a), g == F.lit(group_b)
+    ev = F.col(event_col).cast("double")
+    base = df.filter(
+        (in_a | in_b)
+        & F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+    )
+    per_t = base.groupBy(*keys, F.col(duration_col).alias("t")).agg(
+        F.sum(F.when(in_a, ev).otherwise(0.0)).alias("_d_a"),
+        F.sum(ev).alias("_d"),
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("double").alias("_m_a"),
+        F.count(F.lit(1)).cast("double").alias("_m"),
+    )
+    w_rev = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risked = per_t.withColumn("_n_a", F.sum("_m_a").over(w_rev)).withColumn(
+        "_n", F.sum("_m").over(w_rev)
+    )
+    p = F.col("_n_a") / F.col("_n")
+    vterm = F.when(
+        F.col("_n") > 1,
+        F.col("_d")
+        * p
+        * (1 - p)
+        * (F.col("_n") - F.col("_d"))
+        / (F.col("_n") - 1),
+    ).otherwise(F.lit(0.0))
+    terms = risked.filter(F.col("_d") > 0).select(
+        *keys,
+        (F.col("_d_a") - F.col("_d") * p).alias("_ome"),
+        vterm.alias("_v"),
+    )
+    stats = terms.groupBy(*keys).agg(
+        F.sum("_ome").alias("o_minus_e"), F.sum("_v").alias("variance")
+    )
+    counts = base.groupBy(*keys).agg(
+        F.sum(in_a.cast("long")).alias("n_a"),
+        F.sum(in_b.cast("long")).alias("n_b"),
+        F.sum(F.when(in_a, ev).otherwise(0.0)).cast("long").alias("events_a"),
+        F.sum(F.when(in_b, ev).otherwise(0.0)).cast("long").alias("events_b"),
+    )
+    joined = counts.join(stats, keys) if keys else counts.crossJoin(stats)
+    z = F.when(
+        F.col("variance") > 0,
+        F.col("o_minus_e") / F.sqrt(F.col("variance")),
+    )
+    return joined.select(
+        *keys,
+        "n_a",
+        "n_b",
+        "events_a",
+        "events_b",
+        "o_minus_e",
+        "variance",
+        z.alias("z_stat"),
+    )

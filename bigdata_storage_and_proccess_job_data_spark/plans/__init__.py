@@ -588,6 +588,13 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # The round-9 experiment-completeness wave, all R10-promotable with
 # full DuckDB replay parity in tests/test_mining.py:
 # mutual_information (contingency MI + entropies + NMI),
+# aggregates.weighted_quantile (exact left-continuous weighted
+# percentile per key -- the weighted form Spark SQL lacks) and
+# aggregates.logrank_test (two-sample survival-curve test completing
+# the Kaplan-Meier family; hypergeometric O-E/V over the bounded
+# per-time frame) are both R10-promotable with full DuckDB replay
+# parity (test_weighted_quantile_hand_math_and_parity,
+# test_logrank_test_textbook_and_parity).
 # aggregates.rfm_scores (recency/frequency/monetary exact-ntile
 # segmentation on the two-phase rank, classic rule-table labels) is
 # R10-promotable with full DuckDB replay parity

@@ -2656,3 +2656,198 @@ def test_rfm_scores_semantics_and_parity(spark, oracle_sf_dir):
         FROM sc
     """
     assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_weighted_quantile_hand_math_and_parity(spark, oracle_sf_dir):
+    """Exact weighted quantiles: (1) hand pins -- weights shift the
+    median off the unweighted one, weight-1 everywhere reduces to the
+    plain left-continuous quantile, exclusions; (2) full DuckDB replay
+    per key on lineitem (price weighted by quantity)."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    rows = [
+        ("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 10.0),
+        ("a", None, 5.0), ("a", 9.0, None), ("a", 9.0, 0.0),
+        ("b", 5.0, 2.0), ("b", 7.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    got = {
+        r.k: r.wq
+        for r in aggregates.weighted_quantile(
+            df, ["k"], "v", "w", q=0.5
+        ).collect()
+    }
+    # a: weights 1,1,10 of 12; cum at v=3 is 12 >= 6 -> median 3 (the
+    # heavy tail value); unweighted median of {1,2,3} would be 2
+    assert got["a"] == 3.0
+    assert got["b"] == 5.0  # cum 2 >= 2 at the first value
+    ones = {
+        r.k: r.wq
+        for r in aggregates.weighted_quantile(
+            df.filter(F.col("v") < 9.0).withColumn("w", F.lit(1.0)),
+            ["k"], "v", "w", q=0.5,
+        ).collect()
+    }
+    assert ones["a"] == 2.0  # weight-1 reduces to the plain quantile
+    with pytest.raises(ValueError, match="q must be"):
+        aggregates.weighted_quantile(df, ["k"], "v", "w", q=0.0)
+
+    li = load_table(spark, oracle_sf_dir, "lineitem")
+    out = aggregates.weighted_quantile(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", q=0.9
+    ).select("l_returnflag", stable_round(F.col("wq"), 4).alias("wq"))
+    sql = f"""
+        WITH base AS (
+          SELECT l_returnflag AS k, l_extendedprice AS v,
+                 l_quantity AS w
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+        ),
+        c AS (
+          SELECT k, v,
+                 SUM(w) OVER (PARTITION BY k ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cw,
+                 SUM(w) OVER (PARTITION BY k) AS tw
+          FROM base
+        )
+        SELECT k AS l_returnflag, {sql_round('MIN(v)', 4)} AS wq
+        FROM c WHERE cw >= 0.9 * tw GROUP BY k
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_logrank_test_textbook_and_parity(spark, oracle_sf_dir):
+    """Log-rank: (1) identical arms give O-E ~ 0; a planted hazard
+    difference gives |z| large with the sign of the worse arm; (2) a
+    small worked example matches a pure-Python hypergeometric
+    computation exactly; (3) full DuckDB replay on synthetic-durations
+    from orders."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    rows = [
+        ("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 0),
+        ("b", 1.0, 0), ("b", 2.0, 1), ("b", 4.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "arm string, dur double, e int")
+    r = aggregates.logrank_test(df, "arm", "dur", "e", "a", "b").collect()[0]
+    # pure-Python replica of the same formula
+    subs = [(g, d, e) for g, d, e in rows]
+    times = sorted({d for _, d, e in subs if e == 1})
+    ome = var = 0.0
+    for t in times:
+        at = [(g, d, e) for g, d, e in subs if d >= t]
+        n = len(at)
+        na = sum(1 for g, _, _ in at if g == "a")
+        d_t = sum(1 for _, d, e in at if d == t and e == 1)
+        da = sum(1 for g, d, e in at if g == "a" and d == t and e == 1)
+        ome += da - d_t * na / n
+        if n > 1:
+            var += d_t * (na / n) * (1 - na / n) * (n - d_t) / (n - 1)
+    assert r.o_minus_e == pytest.approx(ome, abs=1e-12)
+    assert r.variance == pytest.approx(var, abs=1e-12)
+    assert r.n_a == 3 and r.n_b == 3 and r.events_a == 2 and r.events_b == 2
+
+    # identical arms -> z ~ 0; planted hazard gap -> |z| large, a worse
+    import random
+
+    rng = random.Random(7)
+    same = [("a" if i % 2 == 0 else "b", float(rng.randint(1, 50)), 1)
+            for i in range(400)]
+    z0 = aggregates.logrank_test(
+        spark.createDataFrame(same, "arm string, dur double, e int"),
+        "arm", "dur", "e", "a", "b",
+    ).collect()[0].z_stat
+    assert abs(z0) < 2.5
+    gap = [("a", float(rng.randint(1, 20)), 1) for i in range(200)] + [
+        ("b", float(rng.randint(30, 80)), 1) for i in range(200)
+    ]
+    zg = aggregates.logrank_test(
+        spark.createDataFrame(gap, "arm string, dur double, e int"),
+        "arm", "dur", "e", "a", "b",
+    ).collect()[0].z_stat
+    assert zg > 8  # arm a dies first: observed >> expected
+
+    orders = load_table(spark, oracle_sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 2 == 0, "a").otherwise("b").alias("arm"),
+        (F.col("o_orderkey") % 37).cast("double").alias("dur"),
+        (F.col("o_custkey") % 3 != 0).cast("int").alias("e"),
+        "o_orderstatus",
+    )
+    got = aggregates.logrank_test(
+        orders, "arm", "dur", "e", "a", "b", keys=["o_orderstatus"]
+    ).select(
+        "o_orderstatus", "n_a", "n_b", "events_a", "events_b",
+        stable_round(F.col("o_minus_e"), 6).alias("o_minus_e"),
+        stable_round(F.col("variance"), 6).alias("variance"),
+        stable_round(F.col("z_stat"), 6).alias("z_stat"),
+    )
+    sql = f"""
+        WITH base AS (
+          SELECT o_orderstatus AS k,
+                 CASE WHEN o_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+                 (o_orderkey % 37)::DOUBLE AS dur,
+                 CASE WHEN o_custkey % 3 <> 0 THEN 1 ELSE 0 END AS e
+          FROM orders
+        ),
+        per_t AS (
+          SELECT k, dur AS t,
+                 SUM(CASE WHEN arm = 'a' THEN e ELSE 0 END)::DOUBLE AS d_a,
+                 SUM(e)::DOUBLE AS d,
+                 SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END)::DOUBLE AS m_a,
+                 COUNT(*)::DOUBLE AS m
+          FROM base GROUP BY 1, 2
+        ),
+        risked AS (
+          SELECT *, SUM(m_a) OVER (PARTITION BY k ORDER BY t DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS n_a_t,
+                    SUM(m) OVER (PARTITION BY k ORDER BY t DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS n_t
+          FROM per_t
+        ),
+        terms AS (
+          SELECT k, d_a - d * n_a_t / n_t AS ome,
+                 CASE WHEN n_t > 1 THEN
+                   d * (n_a_t / n_t) * (1 - n_a_t / n_t)
+                     * (n_t - d) / (n_t - 1)
+                 ELSE 0.0 END AS v
+          FROM risked WHERE d > 0
+        ),
+        stats AS (
+          SELECT k, SUM(ome) AS ome, SUM(v) AS v FROM terms GROUP BY k
+        ),
+        counts AS (
+          SELECT k,
+                 SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS n_a,
+                 SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS n_b,
+                 SUM(CASE WHEN arm = 'a' THEN e ELSE 0 END) AS events_a,
+                 SUM(CASE WHEN arm = 'b' THEN e ELSE 0 END) AS events_b
+          FROM base GROUP BY k
+        )
+        SELECT c.k AS o_orderstatus,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(events_a AS BIGINT) AS events_a,
+               CAST(events_b AS BIGINT) AS events_b,
+               {sql_round('s.ome', 6)} AS o_minus_e,
+               {sql_round('s.v', 6)} AS variance,
+               CASE WHEN s.v > 0 THEN {sql_round('s.ome / sqrt(s.v)', 6)}
+               END AS z_stat
+        FROM counts c JOIN stats s USING (k)
+    """
+    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
