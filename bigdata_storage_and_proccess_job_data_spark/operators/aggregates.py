@@ -3888,3 +3888,89 @@ def logrank_test(
         "variance",
         z.alias("z_stat"),
     )
+
+
+def backtest_forecast(
+    df,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    horizon: int = 3,
+    folds: int = 3,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Rolling-origin backtest for the Holt forecaster -- the
+    evaluation harness forecasting needs the way ranking_metrics
+    evaluates rankers: ``folds`` cut points per key, each fitting on
+    the series PREFIX and scoring the next ``horizon`` actuals.
+    Returns one row per key with per-fold-averaged mae, mape (NULL if
+    any actual is 0 in a fold -- undefined, not infinite), rmse, and
+    n_scored -- the number of (fold, h) pairs that had an actual.
+
+    Origins are the last ``folds`` positions that leave a full horizon
+    AND at least 2 prefix points (Holt needs level+trend); series too
+    short for any origin emit no row. Iterative by design (one
+    holt_smooth pass per fold -- each a keyed Arrow pass; folds is a
+    small constant), the kmeans/holt precedent: replica-tested rather
+    than SQL-oracled, with the forecast join itself pure DataFrame
+    composition. Cost: folds x (one sorted keyed pass + one broadcast-
+    sized forecast join); the series is never collected."""
+    if horizon < 1 or folds < 1:
+        raise ValueError("horizon and folds must be >= 1")
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(order_col)
+    wn = Window.partitionBy(*[F.col(k) for k in keys])
+    indexed = (
+        df.filter(
+            F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .localCheckpoint()  # every fold reads the SAME indexed frame
+    )
+    per_fold = []
+    for f in range(folds):
+        # origin: prefix length n - horizon - f (latest folds first)
+        cut = F.col("_n") - F.lit(horizon + f)
+        train = indexed.filter((F.col("_i") <= cut) & (cut >= 2))
+        if train.isEmpty():
+            continue
+        sm = holt_smooth(
+            train, keys, order_col, value_col, alpha=alpha, beta=beta
+        )
+        fc = holt_forecast(sm, keys, order_col, horizon).withColumn(
+            "_fold", F.lit(f)
+        )
+        actual = indexed.select(
+            *keys,
+            (F.col("_i") - cut).cast("int").alias("h"),
+            F.col(value_col).cast("double").alias("_y"),
+        ).filter((F.col("h") >= 1) & (F.col("h") <= horizon))
+        per_fold.append(
+            fc.join(actual, keys + ["h"]).select(
+                *keys,
+                "_fold",
+                "h",
+                (F.col("forecast") - F.col("_y")).alias("_err"),
+                F.col("_y").alias("_actual"),
+            )
+        )
+    if not per_fold:
+        raise ValueError(
+            "no fold has >= 2 prefix points plus a full horizon"
+        )
+    allf = per_fold[0]
+    for x in per_fold[1:]:
+        allf = allf.unionByName(x)
+    return allf.groupBy(*keys).agg(
+        F.avg(F.abs(F.col("_err"))).alias("mae"),
+        F.when(
+            F.sum((F.col("_actual") == 0).cast("int")) == 0,
+            F.avg(F.abs(F.col("_err") / F.col("_actual"))),
+        ).alias("mape"),
+        F.sqrt(F.avg(F.col("_err") * F.col("_err"))).alias("rmse"),
+        F.count(F.lit(1)).alias("n_scored"),
+    )

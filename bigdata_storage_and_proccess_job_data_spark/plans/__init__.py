@@ -588,6 +588,11 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # The round-9 experiment-completeness wave, all R10-promotable with
 # full DuckDB replay parity in tests/test_mining.py:
 # mutual_information (contingency MI + entropies + NMI),
+# aggregates.backtest_forecast (rolling-origin Holt evaluation --
+# folds x keyed Arrow passes, iterative by design, the kmeans/holt
+# precedent) is test-pinned: exact-ramp zero-error plus a pure-Python
+# rolling-origin replica (test_backtest_forecast_linear_exact_and_
+# replica).
 # aggregates.weighted_quantile (exact left-continuous weighted
 # percentile per key -- the weighted form Spark SQL lacks) and
 # aggregates.logrank_test (two-sample survival-curve test completing

@@ -2851,3 +2851,67 @@ def test_logrank_test_textbook_and_parity(spark, oracle_sf_dir):
         FROM counts c JOIN stats s USING (k)
     """
     assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_backtest_forecast_linear_exact_and_replica(spark):
+    """Rolling-origin Holt backtest: (1) a perfectly linear series
+    forecasts exactly at every fold (Holt tracks ramps exactly), so all
+    errors are ~0 and n_scored = folds * horizon; (2) on a noisy series
+    the metrics equal an independent pure-Python rolling-origin replica
+    (same Holt recursion, same origins); (3) validation."""
+    import math
+
+    import pytest
+
+    lin = [("k", i, 10.0 + 3.0 * i) for i in range(1, 21)]
+    df = spark.createDataFrame(lin, "k string, t int, v double")
+    r = aggregates.backtest_forecast(
+        df, ["k"], "t", "v", horizon=3, folds=2, alpha=0.5, beta=0.3
+    ).collect()[0]
+    assert r.n_scored == 6
+    assert r.mae == pytest.approx(0.0, abs=1e-9)
+    assert r.rmse == pytest.approx(0.0, abs=1e-9)
+    assert r.mape == pytest.approx(0.0, abs=1e-12)
+
+    vals = [
+        float(v)
+        for v in [5, 7, 6, 9, 12, 11, 15, 14, 18, 21, 19, 24, 23, 27, 30]
+    ]
+    noisy = spark.createDataFrame(
+        [("k", i + 1, v) for i, v in enumerate(vals)],
+        "k string, t int, v double",
+    )
+    got = aggregates.backtest_forecast(
+        noisy, ["k"], "t", "v", horizon=2, folds=3, alpha=0.4, beta=0.2
+    ).collect()[0]
+
+    def holt_fit(series, alpha, beta):
+        l, b = series[0], series[1] - series[0]
+        for y in series[1:]:
+            l_new = alpha * y + (1 - alpha) * (l + b)
+            b = beta * (l_new - l) + (1 - beta) * b
+            l = l_new
+        return l, b
+
+    errs = []
+    n = len(vals)
+    for f in range(3):
+        cut = n - 2 - f
+        l, b = holt_fit(vals[:cut], 0.4, 0.2)
+        for h in (1, 2):
+            errs.append((l + h * b) - vals[cut + h - 1])
+    mae = sum(abs(e) for e in errs) / len(errs)
+    rmse = math.sqrt(sum(e * e for e in errs) / len(errs))
+    assert got.n_scored == 6
+    assert got.mae == pytest.approx(mae, rel=1e-9)
+    assert got.rmse == pytest.approx(rmse, rel=1e-9)
+
+    with pytest.raises(ValueError, match="horizon"):
+        aggregates.backtest_forecast(df, ["k"], "t", "v", horizon=0)
+    short = spark.createDataFrame(
+        [("k", 1, 1.0), ("k", 2, 2.0)], "k string, t int, v double"
+    )
+    with pytest.raises(ValueError, match="no fold"):
+        aggregates.backtest_forecast(
+            short, ["k"], "t", "v", horizon=3, folds=2
+        )
