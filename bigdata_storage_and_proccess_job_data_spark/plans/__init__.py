@@ -632,6 +632,10 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # test-pinned incl. a simulated crash window (test_transactions.py;
 # the versioned.py commit-protocol precedent -- not registry
 # material).
+# streaming/pipeline.py maintain_frequency_stream (CMS point
+# frequencies, the trio-completing additive twin -- same marker
+# criticality) is test-pinned bit-equal to the monolithic sketch
+# (test_maintain_frequency_stream_equals_monolithic).
 # streaming/pipeline.py maintain_quantile_stream (DDSketch quantile
 # artifacts maintained per micro-batch; ADDITIVE merge makes the
 # atomic batch-id marker correctness-critical, unlike KMV's

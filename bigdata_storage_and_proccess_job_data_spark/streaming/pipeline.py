@@ -662,3 +662,78 @@ def maintain_quantile_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _apply_cms_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_dir: str,
+    key: str,
+    width: int,
+    depth: int,
+    weight_col: str | None,
+) -> bool:
+    """One micro-batch of the maintained-frequency sink (the
+    _apply_dd_batch shape; CMS merge is ADDITIVE like DDSketch, so the
+    atomically-committed batch-id marker is correctness-critical --
+    a replay would inflate every cell and CMS's one-sided guarantee
+    would silently widen)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    if batch_df.isEmpty():
+        return False
+    spark = batch_df.sparkSession
+    cur = versioned.current_version(table_dir)
+    partial = aggregates.cms_sketch(
+        batch_df, key, width=width, depth=depth, weight_col=weight_col
+    )
+    if cur is not None:
+        meta = versioned.commit_meta(table_dir, cur) or {}
+        if meta.get("last_batch", -1) >= batch_id:
+            return False
+        state = versioned.read_version(spark, table_dir, cur)
+        new_state = aggregates.cms_merge(state.unionByName(partial))
+    else:
+        new_state = partial
+    versioned.commit_version(
+        new_state,
+        table_dir,
+        expected=cur,
+        meta={"last_batch": batch_id},
+    )
+    return True
+
+
+def maintain_frequency_stream(
+    df: DataFrame,
+    table_dir: str,
+    key: str,
+    checkpoint_dir: str,
+    width: int = 2048,
+    depth: int = 5,
+    weight_col: str | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously-maintained FREQUENCY sketch: per micro-batch CMS
+    partials sum cell-wise into a versioned artifact table, completing
+    the maintained-sketch trio (maintain_sketch_stream = KMV distinct,
+    maintain_quantile_stream = DDSketch quantiles, this = CMS point
+    frequencies): "how often has key X appeared, ever" at O(batch) per
+    trigger with the raw stream never re-read. Readers take
+    aggregates.cms_lookup over read_version(...) with CMS's one-sided
+    guarantee intact, because cell-wise sums of per-batch sketches
+    equal the monolithic sketch EXACTLY (integer counts, exact merge
+    law -- asserted end to end in the test)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _apply_cms_batch(
+            batch_df, batch_id, table_dir, key, width, depth, weight_col
+        )
+
+    writer = df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

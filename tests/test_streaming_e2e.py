@@ -547,3 +547,79 @@ def test_maintain_quantile_stream_equals_monolithic_and_guards_replay(
         )
         is True
     )
+
+
+def test_maintain_frequency_stream_equals_monolithic(spark, tmp_path):
+    """Streaming CMS maintenance: two checkpointed runs fold two file
+    batches into the versioned frequency table, bit-equal to the
+    monolithic batch sketch; point lookups keep the one-sided
+    guarantee; replay is a no-op (additive merge, marker-guarded)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
+
+    schema = StructType([StructField("k", StringType())])
+    in_dir = str(tmp_path / "cms_in")
+    table = str(tmp_path / "cms_table")
+    ckpt = str(tmp_path / "cms_ckpt")
+
+    batch1 = [(f"k{i % 30}",) for i in range(300)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    def run_once():
+        q = pipeline.maintain_frequency_stream(
+            pipeline.file_stream(spark, in_dir, schema),
+            table,
+            "k",
+            ckpt,
+            width=256,
+            depth=4,
+        )
+        q.awaitTermination()
+
+    run_once()
+    batch2 = [("hot",)] * 50 + [(f"k{i}",) for i in range(5)]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_once()
+
+    got = {
+        (r.row, r.bucket): r.cnt
+        for r in versioned.read_version(spark, table).collect()
+    }
+    mono = {
+        (r.row, r.bucket): r.cnt
+        for r in aggregates.cms_sketch(
+            spark.createDataFrame(batch1 + batch2, schema),
+            "k",
+            width=256,
+            depth=4,
+        ).collect()
+    }
+    assert got == mono  # bit-equal: exact additive merge end to end
+
+    est = {
+        r.k: r.estimate
+        for r in aggregates.cms_lookup(
+            versioned.read_version(spark, table),
+            spark.createDataFrame([("hot",), ("k0",)], schema),
+            "k",
+            width=256,
+            depth=4,
+        ).collect()
+    }
+    assert est["hot"] >= 50  # one-sided: never undercounts
+    assert est["k0"] >= 11
+
+    cur = versioned.current_version(table)
+    last = versioned.commit_meta(table, cur)["last_batch"]
+    assert (
+        pipeline._apply_cms_batch(
+            spark.createDataFrame(batch2, schema), last, table, "k",
+            256, 4, None,
+        )
+        is False
+    )
+    assert versioned.current_version(table) == cur
