@@ -3974,3 +3974,78 @@ def backtest_forecast(
         F.sqrt(F.avg(F.col("_err") * F.col("_err"))).alias("rmse"),
         F.count(F.lit(1)).alias("n_scored"),
     )
+
+
+def benford_report(
+    df,
+    col: str,
+    keys: "list[str] | None" = None,
+) -> DataFrame:
+    """Benford first-digit audit per key slice -- the classic
+    fabricated-numbers screen (Benford 1938; Nigrini's forensic
+    accounting use): naturally-occurring multi-scale positive amounts
+    have first-digit frequencies log10(1 + 1/d), while invented or
+    constrained numbers usually don't. Returns one row per (key,
+    digit 1..9) with observed count, observed share, the Benford
+    expected share, plus the per-key chi2 statistic (8 dof) repeated on
+    each row for thresholding -- stops at the statistic, the
+    welch_ttest rationale. Only strictly-positive finite values are
+    audited (n excludes the rest); digits a slice never produced
+    still emit a row with zero count, so the chi2 is over all 9 cells.
+
+    Scale shape: first digit = floor(v / 10^floor(log10 v)) in pure
+    expressions, ONE hash agg to (keys, digit), a broadcast join of
+    the 9-row digit table to fill absent digits, one windowless re-agg
+    for the per-key totals (broadcast back). Not a skew concern at any
+    size: the digit frame is keys x 9."""
+    import math as _math
+
+    keys = keys or []
+    v = F.col(col).cast("double")
+    digit = F.floor(
+        v / F.pow(F.lit(10.0), F.floor(F.log10(v)))
+    ).cast("int")
+    counted = (
+        df.filter(v.isNotNull() & (v > 0) & ~F.isnan(v))
+        .groupBy(*keys, digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_digit"))
+    )
+    spark = df.sparkSession
+    digits = spark.createDataFrame(
+        [(d, _math.log10(1 + 1 / d)) for d in range(1, 10)],
+        "digit INT, expected_share DOUBLE",
+    )
+    key_slices = counted.select(*keys).distinct() if keys else None
+    grid = (
+        key_slices.crossJoin(F.broadcast(digits))
+        if keys
+        else digits
+    )
+    full = grid.join(counted, [*keys, "digit"], "left").withColumn(
+        "n_digit", F.coalesce(F.col("n_digit"), F.lit(0))
+    )
+    totals = full.groupBy(*keys).agg(F.sum("n_digit").alias("_n"))
+    out = (
+        full.join(F.broadcast(totals), keys)
+        if keys
+        else full.crossJoin(F.broadcast(totals))
+    )
+    from pyspark.sql import Window
+
+    obs = F.col("n_digit") / F.col("_n")
+    cell = F.pow(
+        F.col("n_digit") - F.col("_n") * F.col("expected_share"), 2
+    ) / (F.col("_n") * F.col("expected_share"))
+    # window over the DIGIT frame: exactly 9 rows per key (keyless: 9
+    # rows total), so even the unpartitioned case is bounded
+    chi_w = F.sum(cell).over(
+        Window.partitionBy(*[F.col(k) for k in keys])
+    )
+    return out.select(
+        *keys,
+        "digit",
+        "n_digit",
+        F.when(F.col("_n") > 0, obs).alias("observed_share"),
+        "expected_share",
+        F.when(F.col("_n") > 0, chi_w).alias("chi2"),
+    )

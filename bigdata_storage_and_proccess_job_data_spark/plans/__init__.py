@@ -588,6 +588,9 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # The round-9 experiment-completeness wave, all R10-promotable with
 # full DuckDB replay parity in tests/test_mining.py:
 # mutual_information (contingency MI + entropies + NMI),
+# aggregates.benford_report (first-digit forensic audit with per-key
+# chi2 over the always-9-cell digit grid) is R10-promotable with full
+# DuckDB replay parity (test_benford_report_semantics_and_parity).
 # aggregates.backtest_forecast (rolling-origin Holt evaluation --
 # folds x keyed Arrow passes, iterative by design, the kmeans/holt
 # precedent) is test-pinned: exact-ramp zero-error plus a pure-Python

@@ -2915,3 +2915,94 @@ def test_backtest_forecast_linear_exact_and_replica(spark):
         aggregates.backtest_forecast(
             short, ["k"], "t", "v", horizon=3, folds=2
         )
+
+
+def test_benford_report_semantics_and_parity(spark, oracle_sf_dir):
+    """Benford audit: (1) a perfectly Benford-distributed sample scores
+    chi2 ~ 0 while a uniform-first-digit sample scores high; (2) absent
+    digits emit zero-count rows (9 cells always); exclusions
+    (non-positive/NULL); (3) full DuckDB replay on order prices per
+    status."""
+    import math
+
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    benford = []
+    for d in range(1, 10):
+        benford += [float(d)] * round(1000 * math.log10(1 + 1 / d))
+    uniform = [float(d) for d in range(1, 10)] * 111
+    df = spark.createDataFrame(
+        [("b", v) for v in benford] + [("u", v) for v in uniform]
+        + [("b", -5.0), ("b", 0.0), ("b", None)],
+        "k string, v double",
+    )
+    rep = aggregates.benford_report(df, "v", keys=["k"])
+    chi = {r.k: r.chi2 for r in rep.select("k", "chi2").distinct().collect()}
+    assert chi["b"] < 1.0  # rounding residue only
+    assert chi["u"] > 100.0
+    rows_b = {r.digit: r.n_digit for r in rep.filter(F.col("k") == "b").collect()}
+    assert set(rows_b) == set(range(1, 10))
+    assert sum(rows_b.values()) == len(benford)  # exclusions worked
+
+    # a slice missing digits still carries 9 cells with zero counts
+    sparse = spark.createDataFrame([("s", 1.0), ("s", 19.0)], "k string, v double")
+    srows = {
+        r.digit: r.n_digit
+        for r in aggregates.benford_report(sparse, "v", keys=["k"]).collect()
+    }
+    assert srows[1] == 2 and all(srows[d] == 0 for d in range(2, 10))
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    got = aggregates.benford_report(
+        orders, "o_totalprice", keys=["o_orderstatus"]
+    ).select(
+        "o_orderstatus",
+        "digit",
+        "n_digit",
+        stable_round(F.col("observed_share"), 6).alias("observed_share"),
+        stable_round(F.col("expected_share"), 6).alias("expected_share"),
+        stable_round(F.col("chi2"), 4).alias("chi2"),
+    )
+    sql = f"""
+        WITH base AS (
+          SELECT o_orderstatus AS k,
+                 FLOOR(o_totalprice
+                       / POWER(10, FLOOR(LOG10(o_totalprice))))::INT
+                   AS digit
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+        ),
+        counted AS (
+          SELECT k, digit, COUNT(*)::BIGINT AS n_digit
+          FROM base GROUP BY 1, 2
+        ),
+        digits AS (
+          SELECT d AS digit, LOG10(1 + 1.0 / d) AS expected_share
+          FROM generate_series(1, 9) g(d)
+        ),
+        grid AS (
+          SELECT k, digit, expected_share
+          FROM (SELECT DISTINCT k FROM counted), digits
+        ),
+        full_g AS (
+          SELECT g.k, g.digit, g.expected_share,
+                 COALESCE(c.n_digit, 0) AS n_digit
+          FROM grid g LEFT JOIN counted c USING (k, digit)
+        ),
+        tot AS (SELECT k, SUM(n_digit) AS n FROM full_g GROUP BY k)
+        SELECT f.k AS o_orderstatus, f.digit, f.n_digit,
+               {sql_round('f.n_digit * 1.0 / t.n', 6)} AS observed_share,
+               {sql_round('f.expected_share', 6)} AS expected_share,
+               {sql_round('''SUM(POWER(f.n_digit - t.n * f.expected_share, 2)
+                    / (t.n * f.expected_share))
+                    OVER (PARTITION BY f.k)''', 4)} AS chi2
+        FROM full_g f JOIN tot t USING (k)
+    """
+    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
