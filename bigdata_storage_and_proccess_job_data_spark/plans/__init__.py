@@ -629,6 +629,12 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # corpus.winnow_fingerprints / winnow_matches (MOSS winnowing --
 # ~2/(window+1) of the shingle index's rows with the shared-substring
 # guarantee; test_winnow_fingerprints_replica_guarantee_and_parity).
+# versioned.forget_value/verify_absent (right-to-be-forgotten:
+# bloom-pruned COW delete + full-history vacuum + an INDEPENDENT
+# audit scan that does not trust the manifests; deliberately the one
+# operation that breaks time travel, stated) are storage-maintenance,
+# test-pinned incl. a planted-violation audit failure
+# (test_forget_value_erases_history_and_verifies).
 # sources/transactions.py (cross-table atomic commit: staged
 # snapshots + one manifest-pointer swap, roll-forward recovery,
 # txn_read snapshot isolation across the set) is storage-maintenance,

@@ -1576,3 +1576,60 @@ def update_where(
         spark, table_dir, col, lo, hi, rewrite, expected,
         "rows_updated", eq=eq,
     )
+
+
+def forget_value(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    value,
+) -> dict:
+    """Right-to-be-forgotten erasure, end to end: COW-delete every row
+    where ``col`` equals ``value`` (delete_where's eq mode -- bloom-
+    pruned where a manifest exists), then vacuum ALL history (keep=1),
+    because a deletion that older snapshots can still time-travel to
+    is not an erasure. Returns the delete report plus
+    {"versions_purged": [...], "verified": bool} -- ``verified`` is
+    verify_absent's actual post-purge scan, not an assumption.
+
+    This is deliberately the one operation that breaks time travel:
+    every prior version dies, exactly like Delta's VACUUM-after-DELETE
+    erasure recipe. Callers wanting auditability should export
+    commit_meta / table_stats BEFORE calling. NULL never equals a
+    value; pass each value separately for multi-subject requests
+    (each is one COW commit -- batch subjects upstream when erasing
+    many at once)."""
+    if value is None:
+        raise ValueError("NULL never equals a value; nothing to forget")
+    report = delete_where(spark, table_dir, col, eq=value)
+    purged = vacuum(table_dir, keep=1)
+    report["versions_purged"] = purged
+    report["verified"] = verify_absent(spark, table_dir, col, value)
+    return report
+
+
+def verify_absent(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    value,
+) -> bool:
+    """Certify that NO retained snapshot of the table contains rows
+    where ``col`` equals ``value`` -- the erasure audit regulators ask
+    for, as an actual scan rather than a promise. Every version still
+    on disk (committed or not) is read and counted; manifests are NOT
+    trusted for the certification (a bloom can only prove absence
+    per-file, and the point of an audit is independence from the
+    structures the delete itself maintained). Cost: one filtered scan
+    per retained snapshot -- run it after vacuum, when one snapshot
+    remains."""
+    for v in versions(table_dir):
+        snap = os.path.join(table_dir, f"v={v}")
+        n = (
+            spark.read.parquet(snap)
+            .filter(F.col(col) == F.lit(value))
+            .count()
+        )
+        if n > 0:
+            return False
+    return True

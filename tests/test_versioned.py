@@ -1947,3 +1947,49 @@ def test_update_eq_tombstones_one_key_via_bloom(spark, tmp_path):
     assert now.count() == 5000
     assert now.filter(F.col("key") == "777").first().email == "[REDACTED]"
     assert now.filter(F.col("email") == "[REDACTED]").count() == 1
+
+
+def test_forget_value_erases_history_and_verifies(spark, tmp_path):
+    """RTBF composition: after forget_value the subject's rows are gone
+    from EVERY retained snapshot (time travel to them is dead --
+    versions purged), the audit scan certifies it, other subjects'
+    rows survive, and a tampered table fails verification."""
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"user_{i % 5}", float(i)) for i in range(100)],
+        "id long, uid string, v double",
+    )
+    import os as _os
+
+    v1 = versioned.commit_version(df, path, stats_cols=["id"])
+    versioned.write_bloom_manifest(
+        spark, _os.path.join(path, f"v={v1}"), ["uid"]
+    )
+    # a second commit so there is real history to purge
+    versioned.commit_version(
+        df.withColumn("v", F.col("v") + 1), path, expected=v1,
+        stats_cols=["id"],
+    )
+    report = versioned.forget_value(spark, path, "uid", "user_3")
+    assert report["verified"] is True
+    assert report["versions_purged"]  # old snapshots really died
+    assert versioned.versions(path) == [versioned.current_version(path)]
+    remaining = versioned.read_version(spark, path)
+    assert remaining.filter(F.col("uid") == "user_3").count() == 0
+    assert remaining.count() == 80  # the other 4 subjects survive
+
+    # the audit is a real scan: plant a violating row in a new version
+    versioned.commit_version(
+        remaining.unionByName(
+            spark.createDataFrame(
+                [(999, "user_3", 0.0)], "id long, uid string, v double"
+            )
+        ),
+        path,
+    )
+    assert versioned.verify_absent(spark, path, "uid", "user_3") is False
+
+    import pytest
+
+    with pytest.raises(ValueError, match="NULL"):
+        versioned.forget_value(spark, path, "uid", None)
