@@ -373,3 +373,92 @@ def ranking_metrics(
             F.when(F.col("n_rel") > 0, F.col("_dcg") / idcg), digits
         ).alias("ndcg"),
     )
+
+
+def catalog_coverage(
+    recs: DataFrame,
+    catalog: DataFrame,
+    item_col: str = "item",
+) -> DataFrame:
+    """Aggregate catalog coverage of a recommendation set: how much of
+    the catalog EVER gets recommended -- the popularity-bias smoke
+    alarm accuracy metrics can't ring (a recommender that shows
+    everyone the same 10 blockbusters can still score high NDCG).
+    Returns ONE row: (n_catalog, n_recommended, coverage). Items
+    recommended but absent from the catalog (stale recs) count in
+    neither numerator nor denominator -- they are a data bug, not
+    coverage. Two distinct counts + one broadcast semi-join."""
+    cat = catalog.select(F.col(item_col).alias("_i")).distinct()
+    rec = (
+        recs.select(F.col(item_col).alias("_i"))
+        .distinct()
+        .join(cat, "_i", "left_semi")
+    )
+    return cat.agg(F.count(F.lit(1)).alias("n_catalog")).crossJoin(
+        F.broadcast(rec.agg(F.count(F.lit(1)).alias("n_recommended")))
+    ).select(
+        "n_catalog",
+        "n_recommended",
+        (F.col("n_recommended") / F.col("n_catalog")).alias("coverage"),
+    )
+
+
+def intra_list_diversity(
+    recs: DataFrame,
+    item_vecs: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-user intra-list diversity: mean pairwise COSINE DISTANCE
+    (1 - cosine) over the user's recommended items' embeddings -- the
+    standard redundancy readout next to accuracy (all-near-duplicate
+    lists score ~0; mmr_rerank exists to push this up without
+    sacrificing relevance, and this is its measurement). Returns
+    (user, k_items, ild); users with fewer than 2 embedded items emit
+    NULL ild (no pair to measure).
+
+    Scale shape: one broadcast join attaches vectors (item metadata is
+    dimension-sized), then a self-join WITHIN each user bounded by
+    item_col ordering -- k(k-1)/2 rows per user for top-k lists, never
+    a cross-corpus product -- and one hash agg back to user grain."""
+    from bigdata_storage_and_proccess_job_data_spark.functions import (
+        vectors,
+    )
+
+    withv = recs.select(
+        F.col(user_col).alias("_u"), F.col(item_col).alias("_i")
+    ).join(
+        F.broadcast(
+            item_vecs.select(
+                F.col(item_col).alias("_i"),
+                vectors.as_double(vec_col).alias("_v"),
+            )
+        ),
+        "_i",
+    )
+    a = withv.alias("a")
+    b = withv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._u") == F.col("b._u"))
+        & (F.col("a._i") < F.col("b._i")),
+    ).select(
+        F.col("a._u").alias("_u"),
+        (
+            1.0
+            - vectors.cosine_expr(F.col("a._v"), F.col("b._v"))
+        ).alias("_d"),
+    )
+    n_items = withv.groupBy("_u").agg(
+        F.count(F.lit(1)).alias("k_items")
+    )
+    ild = pairs.groupBy("_u").agg(F.avg("_d").alias("ild"))
+    return (
+        n_items.join(ild, "_u", "left")
+        .select(
+            F.col("_u").alias(user_col),
+            "k_items",
+            "ild",
+        )
+    )

@@ -700,6 +700,10 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # seen-item anti-join -> re-ranked fresh top-k, with a documented
 # over-fetch bound) is test-pinned by exact numpy re-ranking agreement
 # (test_recommend_topk_excludes_seen_and_matches_predict_order).
+# ranking.catalog_coverage / intra_list_diversity (popularity-bias
+# and redundancy readouts beside ranking_metrics; per-user k^2 pair
+# join, never cross-corpus) are R10-promotable with full DuckDB
+# replay parity (test_rec_diversity_and_coverage_metrics).
 # similarity.mips_topk (exact maximum-inner-product top-k, the
 # factor-model recommendation flavor) is R10-promotable with full
 # DuckDB replay parity (test_mips_topk_and_augment_reduction);

@@ -715,3 +715,78 @@ def test_retention_matrix_hand_pins_and_parity(spark, oracle_sf_dir):
     """
     errs = compare(out, duckdb_connect(oracle_sf_dir), sql)
     assert not errs, errs[:5]
+
+
+def test_rec_diversity_and_coverage_metrics(spark, sf_dir):
+    """Coverage + ILD: (1) hand pins -- identical-vector lists score
+    ILD ~0, orthogonal lists ~1, singleton lists NULL; coverage counts
+    distinct in-catalog items only; (2) DuckDB replays both on real
+    embeddings with recommendations derived from vec ids."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from pyspark.sql import functions as F
+    from tests.parity import compare, duckdb_connect
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]), (2, [1.0, 0.0]),       # identical pair
+            (3, [0.0, 1.0]), (4, [1.0, 0.0]),       # orthogonal pair
+            (5, [1.0, 1.0]),
+        ],
+        "item long, embedding array<double>",
+    )
+    recs = spark.createDataFrame(
+        [("u1", 1), ("u1", 2), ("u2", 3), ("u2", 4), ("u3", 5),
+         ("u4", 99)],  # 99: stale rec, not in catalog
+        "user string, item long",
+    )
+    ild = {
+        r.user: (r.k_items, r.ild)
+        for r in ranking.intra_list_diversity(recs, vecs).collect()
+    }
+    assert ild["u1"][1] == _approx(0.0)
+    assert ild["u2"][1] == _approx(1.0)
+    assert ild["u3"] == (1, None)  # singleton: no pair
+    assert "u4" not in ild  # no embedded items at all
+    cov = ranking.catalog_coverage(recs, vecs, item_col="item").collect()[0]
+    assert (cov.n_catalog, cov.n_recommended) == (5, 5)
+    assert cov.coverage == _approx(1.0)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    myrecs = emb.select(
+        (F.col("vec_id") % 20).alias("user"),
+        F.col("vec_id").alias("item"),
+    ).filter(F.col("vec_id") < 100)
+    got = ranking.intra_list_diversity(
+        myrecs, emb.select(F.col("vec_id").alias("item"), "embedding")
+    ).select(
+        "user", "k_items", stable_round(F.col("ild"), 6).alias("ild")
+    )
+    sql = f"""
+        WITH recs AS (
+          SELECT vec_id % 20 AS u, vec_id AS i,
+                 embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < 100
+        ),
+        pairs AS (
+          SELECT a.u,
+                 1.0 - list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) AS d
+          FROM recs a JOIN recs b ON a.u = b.u AND a.i < b.i
+        ),
+        n AS (SELECT u, COUNT(*)::BIGINT AS k_items FROM recs GROUP BY u),
+        il AS (SELECT u, AVG(d) AS ild FROM pairs GROUP BY u)
+        SELECT n.u AS user, n.k_items, {sql_round('il.ild', 6)} AS ild
+        FROM n LEFT JOIN il ON n.u = il.u
+    """
+    assert compare(got, duckdb_connect(sf_dir), sql) == []
+
+
+def _approx(x, tol=1e-9):
+    import pytest
+
+    return pytest.approx(x, abs=tol)
