@@ -3702,8 +3702,14 @@ def rfm_scores(
     at_risk (bottom-2 recency, top-3 frequency), hibernating (both
     bottom-2), else regular. NULL users/timestamps are excluded; NULL
     values count 0 toward monetary."""
-    if n_bins < 2:
-        raise ValueError(f"n_bins must be >= 2: {n_bins}")
+    if n_bins < 4:
+        # review: at n_bins=2 every user is 'champion' and at 3 the
+        # hibernating rule is unreachable -- the rule table needs at
+        # least a top-2/bottom-2 band separation
+        raise ValueError(
+            f"n_bins must be >= 4 (the rule table degenerates below "
+            f"quartiles): {n_bins}"
+        )
     u, t = F.col(user_col), F.col(ts_col)
     per_user = (
         df.filter(u.isNotNull() & t.isNotNull())
@@ -3795,7 +3801,14 @@ def weighted_quantile(
         "_tw", F.sum("_w").over(tot)
     )
     hit = cum.filter(F.col("_cw") >= F.lit(q) * F.col("_tw"))
-    return hit.groupBy(*keys).agg(F.min("_v").alias(out))
+    # the NULL filter makes the keyless form honor "no surviving rows
+    # emits no row" too: a global agg over an empty frame returns one
+    # NULL row (review), and no legitimate group can yield a NULL min
+    return (
+        hit.groupBy(*keys)
+        .agg(F.min("_v").alias(out))
+        .filter(F.col(out).isNotNull())
+    )
 
 
 def logrank_test(
@@ -3823,16 +3836,21 @@ def logrank_test(
     of duration >= t -- computed as a REVERSE running sum over the
     per-(key, time) frame (bounded: distinct times, not subjects), so
     the whole test is one hash agg + one ordered window per key + one
-    final agg. NULL durations/events and rows in neither arm are
-    excluded."""
+    final agg. NULL durations/events, rows in neither arm, and NULL
+    key values (review: the counts-stats join would otherwise silently
+    drop the slice) are excluded."""
     keys = keys or []
     from pyspark.sql import Window
 
     g = F.col(group_col)
     in_a, in_b = g == F.lit(group_a), g == F.lit(group_b)
     ev = F.col(event_col).cast("double")
+    nn = F.lit(True)
+    for k in keys:
+        nn = nn & F.col(k).isNotNull()
     base = df.filter(
-        (in_a | in_b)
+        nn
+        & (in_a | in_b)
         & F.col(duration_col).isNotNull()
         & F.col(event_col).isNotNull()
     )
@@ -3923,9 +3941,14 @@ def backtest_forecast(
     keys = list(keys)
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(order_col)
     wn = Window.partitionBy(*[F.col(k) for k in keys])
+    nn = F.lit(True)
+    for k in keys:
+        nn = nn & F.col(k).isNotNull()
+    # NULL key values are excluded (review: the forecast-to-actual
+    # join would otherwise silently omit the series from every fold)
     indexed = (
         df.filter(
-            F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+            nn & F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
         )
         .withColumn("_i", F.row_number().over(w))
         .withColumn("_n", F.count(F.lit(1)).over(wn))
@@ -3992,6 +4015,9 @@ def benford_report(
     welch_ttest rationale. Only strictly-positive finite values are
     audited (n excludes the rest); digits a slice never produced
     still emit a row with zero count, so the chi2 is over all 9 cells.
+    NULL key values are excluded up front (the NULL-is-missingness
+    convention; review: the grid join would otherwise silently drop
+    the slice instead of auditing it).
 
     Scale shape: first digit = floor(v / 10^floor(log10 v)) in pure
     expressions, ONE hash agg to (keys, digit), a broadcast join of
@@ -4005,8 +4031,11 @@ def benford_report(
     digit = F.floor(
         v / F.pow(F.lit(10.0), F.floor(F.log10(v)))
     ).cast("int")
+    nn = F.lit(True)
+    for k in keys:
+        nn = nn & F.col(k).isNotNull()
     counted = (
-        df.filter(v.isNotNull() & (v > 0) & ~F.isnan(v))
+        df.filter(nn & v.isNotNull() & (v > 0) & ~F.isnan(v))
         .groupBy(*keys, digit.alias("digit"))
         .agg(F.count(F.lit(1)).alias("n_digit"))
     )

@@ -418,7 +418,7 @@ def hbos_fit(
         raise ValueError("cols must be non-empty")
     aggs = []
     for c in cols:
-        v = F.col(c).cast("double")
+        v = _hbos_finite(F.col(c).cast("double"))
         aggs += [F.min(v).alias(f"_lo_{c}"), F.max(v).alias(f"_hi_{c}")]
     row = df.agg(*aggs).collect()[0]  # bounded: one row
     meta = {}
@@ -469,9 +469,24 @@ def hbos_fit(
     return model
 
 
+def _hbos_finite(v):
+    """NULL out NaN/Infinity (review finding: one NaN value made the
+    width NaN, which passed the width<=0 check and silently collapsed
+    every row into bin 0 -- non-finite values are excluded like NULLs
+    instead)."""
+    return F.when(
+        ~F.isnan(v)
+        & (v != F.lit(float("inf")))
+        & (v != F.lit(float("-inf"))),
+        v,
+    )
+
+
 def _hbos_bin(v, lo: float, width: float, n_bins: int):
     """Bin index 0..n_bins-1 with the max value folded into the last
-    bin; NULL for NULL input; bin 0 for a constant feature."""
+    bin; NULL for NULL/non-finite input; bin 0 for a constant
+    feature."""
+    v = _hbos_finite(v)
     if width <= 0:
         return F.when(v.isNotNull(), F.lit(0))
     idx = F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")

@@ -387,8 +387,14 @@ def catalog_coverage(
     Returns ONE row: (n_catalog, n_recommended, coverage). Items
     recommended but absent from the catalog (stale recs) count in
     neither numerator nor denominator -- they are a data bug, not
-    coverage. Two distinct counts + one broadcast semi-join."""
-    cat = catalog.select(F.col(item_col).alias("_i")).distinct()
+    coverage; NULL catalog items are excluded the same way (review:
+    they could never be matched, capping coverage below 1.0 forever).
+    Two distinct counts + one broadcast semi-join."""
+    cat = (
+        catalog.select(F.col(item_col).alias("_i"))
+        .filter(F.col("_i").isNotNull())
+        .distinct()
+    )
     rec = (
         recs.select(F.col(item_col).alias("_i"))
         .distinct()
@@ -428,7 +434,9 @@ def intra_list_diversity(
 
     withv = recs.select(
         F.col(user_col).alias("_u"), F.col(item_col).alias("_i")
-    ).join(
+    ).distinct().join(  # review: duplicate rec rows would inflate
+        # k_items and double-weight their pairs in the average
+
         F.broadcast(
             item_vecs.select(
                 F.col(item_col).alias("_i"),

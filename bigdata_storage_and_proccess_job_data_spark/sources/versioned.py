@@ -1622,14 +1622,26 @@ def verify_absent(
     per-file, and the point of an audit is independence from the
     structures the delete itself maintained). Cost: one filtered scan
     per retained snapshot -- run it after vacuum, when one snapshot
-    remains."""
+    remains.
+
+    Degenerate snapshots certify vacuously instead of crashing the
+    audit (review finding -- forget_value would otherwise raise AFTER
+    the erasure already ran and lose its report): a claimed-but-empty
+    dir (writer crashed mid-write) holds no data files and therefore
+    no rows; a pre-schema-evolution snapshot that never HAD ``col``
+    cannot hold a value of it."""
     for v in versions(table_dir):
         snap = os.path.join(table_dir, f"v={v}")
-        n = (
-            spark.read.parquet(snap)
-            .filter(F.col(col) == F.lit(value))
-            .count()
+        has_data = any(
+            name.endswith(".parquet")
+            for _root, _dirs, files in os.walk(snap)
+            for name in files
         )
-        if n > 0:
+        if not has_data:
+            continue  # orphaned claim: zero rows by construction
+        df = spark.read.parquet(snap)
+        if col not in df.columns:
+            continue  # column never existed in this snapshot
+        if df.filter(F.col(col) == F.lit(value)).count() > 0:
             return False
     return True

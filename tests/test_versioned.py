@@ -1989,6 +1989,19 @@ def test_forget_value_erases_history_and_verifies(spark, tmp_path):
     )
     assert versioned.verify_absent(spark, path, "uid", "user_3") is False
 
+    # degenerate snapshots certify vacuously instead of crashing the
+    # audit: an orphaned empty claim dir and a pre-evolution snapshot
+    # without the column
+    _os.makedirs(_os.path.join(path, "v=999"), exist_ok=True)
+    assert versioned.verify_absent(spark, path, "uid", "user_3") is False
+    # (False because of the planted violation above, not a crash)
+    spark.createDataFrame([(1,)], "other long").write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(path, "v=1000"))
+    assert isinstance(
+        versioned.verify_absent(spark, path, "uid", "nobody"), bool
+    )
+
     import pytest
 
     with pytest.raises(ValueError, match="NULL"):
