@@ -529,6 +529,23 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # session/config flip may never ship dark on the 50 out-of-window
 # queries.
 
+# R10 promotion priorities (builder's note for the next curation
+# pass, the executed-R9 precedent): of the restart wave's
+# oracle-grade surfaces, the highest-information picks are
+# (1) retention_matrix (the growth readout; natural paired retirement:
+# cohort_retention, whose signup-anchored weekly counts are the
+# special case its oracle subsumes -- relation already
+# cross-referenced in both docstrings); (2) hot_key_split_join (the
+# skew-join counterpart to the registered skew-agg pair; candidate
+# retirement from the join family where coverage merges cleanly);
+# (3) kn_surprisal (the LM ladder's top rung -- candidate retirement:
+# bigram_surprisal, whose JM interpolation is the weaker smoothing on
+# the same join shape, keeping unigram_surprisal as the family's
+# second row); (4) weighted_quantile or abc_classes (ranked-
+# distribution family); (5) rfm_scores or benford_report (analytics
+# readouts). All carry full DuckDB replay parity in tests named in
+# the notes above; every promotion needs its paired retirement
+# recorded in registry.RETIRED per the saturation rule.
 # R8 promotion candidates (note for the next curation pass, the r7
 # VERDICT-#4 procedure): late-r7 surfaces with oracle-grade local parity
 # already written, each needing a paired retirement to enter the
