@@ -4078,3 +4078,50 @@ def benford_report(
         "expected_share",
         F.when(F.col("_n") > 0, chi_w).alias("chi2"),
     )
+
+
+def freshness_report(
+    df,
+    keys: "list[str] | None",
+    ts_col: str,
+    as_of,
+    sla_seconds: int,
+) -> DataFrame:
+    """Data-freshness SLA readout per key slice (source, partition,
+    feed): latest event time, lag behind ``as_of`` in seconds, row
+    count, and a boolean ``within_sla`` -- the first gate an operating
+    pipeline checks before believing ANY downstream metric (a green
+    aggregate over a feed that stopped arriving yesterday is the worst
+    kind of wrong). ``as_of`` is an explicit timestamp, never now():
+    determinism and engine replay over wall-clock convenience. Slices
+    with only NULL timestamps report NULL last_ts/lag and
+    within_sla = false (unknown freshness fails closed). ONE hash
+    aggregation; NULL key values are excluded (the convention)."""
+    if sla_seconds <= 0:
+        raise ValueError(f"sla_seconds must be > 0: {sla_seconds}")
+    keys = keys or []
+    nn = F.lit(True)
+    for k in keys:
+        nn = nn & F.col(k).isNotNull()
+    t = F.col(ts_col)
+    agg = (
+        df.filter(nn)
+        .groupBy(*keys)
+        .agg(
+            F.max(t).alias("last_ts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    lag = (
+        F.unix_timestamp(F.lit(as_of).cast("timestamp"))
+        - F.unix_timestamp(F.col("last_ts"))
+    ).cast("long")
+    return agg.select(
+        *keys,
+        "last_ts",
+        lag.alias("lag_seconds"),
+        "n_rows",
+        F.coalesce(
+            lag <= F.lit(int(sla_seconds)), F.lit(False)
+        ).alias("within_sla"),
+    )

@@ -605,6 +605,10 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # The round-9 experiment-completeness wave, all R10-promotable with
 # full DuckDB replay parity in tests/test_mining.py:
 # mutual_information (contingency MI + entropies + NMI),
+# aggregates.freshness_report (per-slice SLA gate: last event time,
+# lag vs an explicit as_of, fail-closed on unknown freshness) is
+# R10-promotable with full DuckDB replay parity
+# (test_freshness_report_sla_and_parity).
 # aggregates.benford_report (first-digit forensic audit with per-key
 # chi2 over the always-9-cell digit grid) is R10-promotable with full
 # DuckDB replay parity (test_benford_report_semantics_and_parity).

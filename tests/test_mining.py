@@ -3006,3 +3006,58 @@ def test_benford_report_semantics_and_parity(spark, oracle_sf_dir):
         FROM full_g f JOIN tot t USING (k)
     """
     assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_freshness_report_sla_and_parity(spark, oracle_sf_dir):
+    """Freshness gate: hand pins (fresh passes, stale fails, all-NULL
+    fails closed, NULL keys excluded) + DuckDB replay on events by
+    type."""
+    import datetime
+
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from tests.parity import compare, duckdb_connect
+
+    d = datetime.datetime
+    rows = [
+        ("a", d(2024, 1, 1, 12, 0, 0)),
+        ("a", d(2024, 1, 1, 11, 0, 0)),
+        ("b", d(2024, 1, 1, 6, 0, 0)),
+        ("c", None),
+        (None, d(2024, 1, 1, 12, 0, 0)),
+    ]
+    ev = spark.createDataFrame(rows, "src string, ts timestamp")
+    got = {
+        r.src: r
+        for r in aggregates.freshness_report(
+            ev, ["src"], "ts", "2024-01-01 13:00:00", sla_seconds=7200
+        ).collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"].within_sla is True and got["a"].lag_seconds == 3600
+    assert got["b"].within_sla is False and got["b"].lag_seconds == 25200
+    assert got["c"].within_sla is False and got["c"].lag_seconds is None
+    with pytest.raises(ValueError, match="sla_seconds"):
+        aggregates.freshness_report(ev, ["src"], "ts", "2024-01-01", 0)
+
+    events = load_table(spark, oracle_sf_dir, "events")
+    out = aggregates.freshness_report(
+        events, ["event_type"], "ts", "2024-07-01 00:00:00",
+        sla_seconds=86400 * 30,
+    ).withColumn("last_ts", F.col("last_ts").cast("timestamp_ntz"))
+    sql = """
+        SELECT event_type,
+               MAX(ts) AS last_ts,
+               CAST(date_diff('second', MAX(ts),
+                    TIMESTAMP '2024-07-01 00:00:00') AS BIGINT)
+                 AS lag_seconds,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               COALESCE(date_diff('second', MAX(ts),
+                    TIMESTAMP '2024-07-01 00:00:00') <= 86400 * 30,
+                    false) AS within_sla
+        FROM events
+        WHERE event_type IS NOT NULL
+        GROUP BY event_type
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
