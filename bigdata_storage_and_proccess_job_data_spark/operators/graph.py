@@ -1360,3 +1360,76 @@ def biased_random_walks(
         )
     finally:
         adj.unpersist()
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> float:
+    """Newman modularity Q of a community assignment over the
+    UNDIRECTED simple graph (duplicate/reversed edges collapse,
+    self-loops drop -- the triangle-counting conventions): Q =
+    sum over communities of [ e_c / m  -  (d_c / 2m)^2 ], with e_c =
+    within-community edges, d_c = total degree of the community's
+    nodes, m = edge count. The internal quality readout for
+    label_propagation that davies_bouldin is for k-means: Q near 0 =
+    no better than random, ~0.3+ = real structure (Newman 2006).
+    Endpoints without a label contribute degree mass but no
+    within-edges (they belong to no community -- penalizing, not
+    ignoring, unlabeled coverage).
+
+    Fully distributed: canonical-edge dedup, two label joins, two hash
+    aggs, ONE summary row to the driver. Returns 0.0 for an empty
+    graph (no structure to score)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_a"),
+            F.greatest(F.col(src), F.col(dst)).alias("_b"),
+        )
+        .filter(
+            F.col("_a").isNotNull()
+            & F.col("_b").isNotNull()
+            & (F.col("_a") != F.col("_b"))
+        )
+        .distinct()
+        .localCheckpoint()  # three consumers below
+    )
+    la = labels.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_l")
+    ).distinct()
+    m_row = e.agg(F.count(F.lit(1)).alias("m")).collect()[0]
+    m = int(m_row["m"])
+    if m == 0:
+        return 0.0
+    both = (
+        e.join(la.withColumnRenamed("_n", "_a").withColumnRenamed("_l", "_la"), "_a")
+        .join(la.withColumnRenamed("_n", "_b").withColumnRenamed("_l", "_lb"), "_b")
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_ec"))
+    )
+    deg = (
+        e.select(F.col("_a").alias("_n"))
+        .unionAll(e.select(F.col("_b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .join(la, "_n")
+        .groupBy(F.col("_l").alias("_c"))
+        .agg(F.sum("_d").alias("_dc"))
+    )
+    row = (
+        deg.join(both, "_c", "left")
+        .select(
+            (
+                F.coalesce(F.col("_ec"), F.lit(0)) / F.lit(float(m))
+                - F.pow(F.col("_dc") / F.lit(2.0 * m), 2)
+            ).alias("_q")
+        )
+        .agg(F.sum("_q").alias("q"))
+        .collect()[0]  # bounded: ONE summary row
+    )
+    return float(row["q"] or 0.0)

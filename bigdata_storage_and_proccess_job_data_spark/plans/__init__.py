@@ -691,7 +691,11 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # driver inversion, the pca_fit precedent; numpy replica equality),
 # while mahalanobis_apply with a PINNED model is oracle-grade
 # (test_mahalanobis_apply_duckdb_parity, the ridge_scores precedent).
-# clustering.davies_bouldin is test-only by design (internal quality
+# graph.modularity (Newman Q for label_propagation communities --
+# two label joins + two hash aggs, one summary row) is test-only by
+# design like its k-means counterpart (pure-Python Newman replica +
+# structure-ordering pins, test_modularity_replica_and_structure_
+# ordering). clustering.davies_bouldin is test-only by design (internal quality
 # readout over the iterative kmeans family; independent numpy replica
 # + separation-ordering pins in test_clustering.py).
 # corpus.compression_ratio (zlib redundancy signal beside the Gopher

@@ -1131,3 +1131,63 @@ def test_biased_random_walks_replica_and_degeneracy(spark):
         return rets / tot
 
     assert return_rate(0.05) > return_rate(20.0) + 0.2
+
+
+def test_modularity_replica_and_structure_ordering(spark):
+    """Modularity: (1) exact agreement with a pure-Python Newman Q on a
+    two-clique-plus-bridge graph; (2) the true communities score higher
+    than a random assignment and than one-big-community (~0); (3)
+    unlabeled endpoints penalize; empty graph scores 0."""
+    import itertools
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import graph
+
+    # two 4-cliques joined by one bridge edge
+    cliq1 = list(itertools.combinations([0, 1, 2, 3], 2))
+    cliq2 = list(itertools.combinations([10, 11, 12, 13], 2))
+    eds = cliq1 + cliq2 + [(3, 10)]
+    edges = spark.createDataFrame(eds, "src long, dst long")
+    good = spark.createDataFrame(
+        [(n, n // 10) for n in [0, 1, 2, 3, 10, 11, 12, 13]],
+        "node long, label long",
+    )
+
+    def q_replica(eds, lab):
+        m = len(eds)
+        deg = {}
+        for a, b in eds:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        comms = set(lab.values())
+        q = 0.0
+        for c in comms:
+            ec = sum(
+                1 for a, b in eds if lab.get(a) == c and lab.get(b) == c
+            )
+            dc = sum(d for n, d in deg.items() if lab.get(n) == c)
+            q += ec / m - (dc / (2 * m)) ** 2
+        return q
+
+    lab = {n: n // 10 for n in [0, 1, 2, 3, 10, 11, 12, 13]}
+    got = graph.modularity(edges, good)
+    assert abs(got - q_replica(eds, lab)) < 1e-12
+    assert got > 0.3  # real structure
+
+    one = spark.createDataFrame(
+        [(n, 0) for n in lab], "node long, label long"
+    )
+    assert abs(graph.modularity(edges, one)) < 1e-12  # e/m=1, (1)^2=1
+    alt = spark.createDataFrame(
+        [(n, n % 2) for n in lab], "node long, label long"
+    )
+    assert graph.modularity(edges, alt) < got  # scrambled is worse
+
+    # unlabeled node: its degree mass penalizes, within-edges drop
+    partial = spark.createDataFrame(
+        [(n, n // 10) for n in [0, 1, 2, 10, 11, 12, 13]],
+        "node long, label long",
+    )
+    assert graph.modularity(edges, partial) < got
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert graph.modularity(empty, good) == 0.0
