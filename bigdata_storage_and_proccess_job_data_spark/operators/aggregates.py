@@ -3838,7 +3838,12 @@ def logrank_test(
     the whole test is one hash agg + one ordered window per key + one
     final agg. NULL durations/events, rows in neither arm, and NULL
     key values (review: the counts-stats join would otherwise silently
-    drop the slice) are excluded."""
+    drop the slice) are excluded. A slice whose rows are ALL censored
+    has no event times at all -- it still emits its subject counts,
+    with o_minus_e = variance = 0.0 (sums over an empty set) and NULL
+    z_stat (the test is undefined at zero variance); review: the
+    earlier inner counts-stats join made such a slice vanish
+    entirely."""
     keys = keys or []
     from pyspark.sql import Window
 
@@ -3891,19 +3896,26 @@ def logrank_test(
         F.sum(F.when(in_a, ev).otherwise(0.0)).cast("long").alias("events_a"),
         F.sum(F.when(in_b, ev).otherwise(0.0)).cast("long").alias("events_b"),
     )
-    joined = counts.join(stats, keys) if keys else counts.crossJoin(stats)
-    z = F.when(
-        F.col("variance") > 0,
-        F.col("o_minus_e") / F.sqrt(F.col("variance")),
-    )
+    # LEFT join so an all-censored slice (stats has no row for it --
+    # every per-time row was filtered by _d > 0) still emits its
+    # counts; keyless uses a single-row broadcast left join for the
+    # same reason (crossJoin against an EMPTY stats frame drops the
+    # counts row outright).
+    if keys:
+        joined = counts.join(stats, keys, "left")
+    else:
+        joined = counts.join(F.broadcast(stats), F.lit(True), "left")
+    ome = F.coalesce(F.col("o_minus_e"), F.lit(0.0))
+    var = F.coalesce(F.col("variance"), F.lit(0.0))
+    z = F.when(var > 0, ome / F.sqrt(var))
     return joined.select(
         *keys,
         "n_a",
         "n_b",
         "events_a",
         "events_b",
-        "o_minus_e",
-        "variance",
+        ome.alias("o_minus_e"),
+        var.alias("variance"),
         z.alias("z_stat"),
     )
 
@@ -3922,9 +3934,12 @@ def backtest_forecast(
     evaluation harness forecasting needs the way ranking_metrics
     evaluates rankers: ``folds`` cut points per key, each fitting on
     the series PREFIX and scoring the next ``horizon`` actuals.
-    Returns one row per key with per-fold-averaged mae, mape (NULL if
-    any actual is 0 in a fold -- undefined, not infinite), rmse, and
-    n_scored -- the number of (fold, h) pairs that had an actual.
+    Returns one row per key with mae/rmse/n_scored over ALL scored
+    (fold, h) pairs, and mape averaged over the NON-DEGENERATE folds:
+    a fold containing a zero actual is excluded from mape (undefined
+    there, not infinite -- review: the earlier per-key blanket NULL
+    was coarser than this documented per-fold exclusion), and mape is
+    NULL only when every fold is degenerate.
 
     Origins are the last ``folds`` positions that leave a full horizon
     AND at least 2 prefix points (Holt needs level+trend); series too
@@ -3988,15 +4003,31 @@ def backtest_forecast(
     allf = per_fold[0]
     for x in per_fold[1:]:
         allf = allf.unionByName(x)
-    return allf.groupBy(*keys).agg(
+    allf = allf.localCheckpoint()  # two aggs below read the same frame
+    flat = allf.groupBy(*keys).agg(
         F.avg(F.abs(F.col("_err"))).alias("mae"),
-        F.when(
-            F.sum((F.col("_actual") == 0).cast("int")) == 0,
-            F.avg(F.abs(F.col("_err") / F.col("_actual"))),
-        ).alias("mape"),
         F.sqrt(F.avg(F.col("_err") * F.col("_err"))).alias("rmse"),
         F.count(F.lit(1)).alias("n_scored"),
     )
+    # mape per FOLD (NULL for a fold containing a zero actual), then
+    # averaged over the non-degenerate folds -- avg skips NULLs, so
+    # mape is NULL only when every fold is degenerate
+    # try_divide: ANSI mode would otherwise throw DIVIDE_BY_ZERO on the
+    # zero-actual rows BEFORE the when() guard can null the fold out
+    per_fold_mape = allf.groupBy(*keys, "_fold").agg(
+        F.when(
+            F.sum((F.col("_actual") == 0).cast("int")) == 0,
+            F.avg(F.abs(F.try_divide(F.col("_err"), F.col("_actual")))),
+        ).alias("_mape_f")
+    )
+    mape = per_fold_mape.groupBy(*keys).agg(
+        F.avg("_mape_f").alias("mape")
+    )
+    if keys:
+        joined = flat.join(mape, keys)
+    else:
+        joined = flat.join(F.broadcast(mape), F.lit(True), "left")
+    return joined.select(*keys, "mae", "mape", "rmse", "n_scored")
 
 
 def benford_report(

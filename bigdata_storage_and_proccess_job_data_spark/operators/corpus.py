@@ -2279,7 +2279,10 @@ def vocab_coverage(
     corpus pipeline runs before training -- a rising oov_rate means the
     vocabulary (word list, or the word-level slice of a subword vocab)
     no longer fits the corpus mix. Tokens are lowercased whitespace
-    words (text.tokens, the corpus-wide convention); matching is exact.
+    words (text.tokens, the corpus-wide convention); the vocab side is
+    lowercased too before matching (review: an uppercase vocab entry
+    could otherwise never match and silently inflated n_oov), so
+    matching is exact on the lowercased forms.
 
     Scale shape: one explode to token rows, one BROADCAST left join
     against the vocabulary (bounded: a vocab is model-sized metadata,
@@ -2295,7 +2298,8 @@ def vocab_coverage(
         ).alias("_tok"),
     )
     v = vocab.select(
-        F.col(word_col).alias("_tok"), F.lit(True).alias("_in_vocab")
+        F.lower(F.col(word_col)).alias("_tok"),
+        F.lit(True).alias("_in_vocab"),
     ).distinct()
     return (
         toks.join(F.broadcast(v), "_tok", "left")

@@ -255,7 +255,11 @@ def media_phash(
     Arrow-batched mapInPandas -- the image-dedup front half. The
     content column is dropped on output, so everything downstream
     (banding, joins, clustering) moves 8-byte signatures, never
-    payloads."""
+    payloads. NULL content propagates as NULL phash (review: the batch
+    guards None BEFORE calling phash_fn, so a NULL payload row follows
+    the library's NULL-propagation convention instead of raising
+    TypeError mid-job -- and injected phash_fns don't each need their
+    own guard)."""
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -264,7 +268,9 @@ def media_phash(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    out_col: pdf["content"].map(phash_fn).astype("int64"),
+                    out_col: pdf["content"]
+                    .map(lambda b: None if b is None else phash_fn(b))
+                    .astype("Int64"),  # nullable int64 -> NULL phash
                 }
             )
 
@@ -284,11 +290,15 @@ def media_near_dups(
     image twin of the text simhash pipeline, completing the multimodal
     dedup story. Pigeonhole gives EXACT recall for
     max_hamming <= bands - 1; larger radii trade recall for fewer
-    buckets. Returns (id_a, id_b, hamming); bytes never shuffle."""
+    buckets. Returns (id_a, id_b, hamming); bytes never shuffle. Rows
+    with NULL content (NULL phash) are excluded -- no payload, nothing
+    to near-match."""
     from bigdata_storage_and_proccess_job_data_spark.operators import neardup
 
     return neardup.hamming_candidates(
-        media_phash(df, phash_fn=phash_fn),
+        media_phash(df, phash_fn=phash_fn).filter(
+            F.col("phash").isNotNull()
+        ),
         "media_id",
         "phash",
         max_hamming=max_hamming,

@@ -421,8 +421,14 @@ def intra_list_diversity(
     standard redundancy readout next to accuracy (all-near-duplicate
     lists score ~0; mmr_rerank exists to push this up without
     sacrificing relevance, and this is its measurement). Returns
-    (user, k_items, ild); users with fewer than 2 embedded items emit
-    NULL ild (no pair to measure).
+    (user, k_items, ild): k_items counts the user's DISTINCT
+    recommended items (embedded or not), ild averages over the pairs
+    that both have embeddings; users with fewer than 2 embedded items
+    emit the row with NULL ild (no pair to measure) -- review: the
+    user list and k_items are derived from recs BEFORE the vector
+    join, so a user none of whose items have embeddings still emits a
+    row instead of silently vanishing (and missing embeddings no
+    longer shrink k_items).
 
     Scale shape: one broadcast join attaches vectors (item metadata is
     dimension-sized), then a self-join WITHIN each user bounded by
@@ -432,11 +438,12 @@ def intra_list_diversity(
         vectors,
     )
 
-    withv = recs.select(
+    base = recs.select(
         F.col(user_col).alias("_u"), F.col(item_col).alias("_i")
-    ).distinct().join(  # review: duplicate rec rows would inflate
-        # k_items and double-weight their pairs in the average
-
+    ).distinct()  # review: duplicate rec rows would inflate
+    # k_items and double-weight their pairs in the average
+    n_items = base.groupBy("_u").agg(F.count(F.lit(1)).alias("k_items"))
+    withv = base.join(
         F.broadcast(
             item_vecs.select(
                 F.col(item_col).alias("_i"),
@@ -457,9 +464,6 @@ def intra_list_diversity(
             1.0
             - vectors.cosine_expr(F.col("a._v"), F.col("b._v"))
         ).alias("_d"),
-    )
-    n_items = withv.groupBy("_u").agg(
-        F.count(F.lit(1)).alias("k_items")
     )
     ild = pairs.groupBy("_u").agg(F.avg("_d").alias("ild"))
     return (

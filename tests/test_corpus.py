@@ -2366,6 +2366,17 @@ def test_vocab_coverage_semantics_and_parity(spark, oracle_sf_dir):
     assert got[1] == (4, 1, 0.25)  # dog is OOV; THE lowercases in
     assert got[2] == (0, 0, None)
     assert got[3] == (2, 2, 1.0)
+    # the VOCAB side lowercases too (review: an uppercase vocab entry
+    # could never match a lowercased token and inflated n_oov)
+    upper_vocab = spark.createDataFrame(
+        [("The",), ("CAT",), ("Dog",)], "word string"
+    )
+    got_u = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in corpus.vocab_coverage(tiny, upper_vocab).collect()
+    }
+    assert got_u[1] == (4, 0, 0.0)  # the/cat/dog all match case-blind
+    assert got_u[3] == (2, 2, 1.0)
 
     docs = load_table(spark, oracle_sf_dir, "documents")
     # vocabulary = words appearing >= 20 times in the corpus itself

@@ -2782,6 +2782,34 @@ def test_logrank_test_textbook_and_parity(spark, oracle_sf_dir):
     ).collect()[0].z_stat
     assert zg > 8  # arm a dies first: observed >> expected
 
+    # an ALL-censored slice still reports its subject counts (review:
+    # the earlier inner counts-stats join silently dropped it) -- with
+    # zero o_minus_e/variance (empty sums) and NULL z_stat, keyed and
+    # keyless both
+    cens = spark.createDataFrame(
+        [("a", 5.0, 0), ("a", 7.0, 0), ("b", 6.0, 0)],
+        "arm string, dur double, e int",
+    )
+    rc = aggregates.logrank_test(cens, "arm", "dur", "e", "a", "b").collect()
+    assert len(rc) == 1
+    assert (rc[0].n_a, rc[0].n_b, rc[0].events_a, rc[0].events_b) == (
+        2, 1, 0, 0,
+    )
+    assert rc[0].o_minus_e == 0.0 and rc[0].variance == 0.0
+    assert rc[0].z_stat is None
+    mixed = cens.withColumn("k", F.lit("dead")).unionByName(
+        df.withColumn("k", F.lit("live"))
+    )
+    by_k = {
+        r.k: r
+        for r in aggregates.logrank_test(
+            mixed, "arm", "dur", "e", "a", "b", keys=["k"]
+        ).collect()
+    }
+    assert set(by_k) == {"dead", "live"}
+    assert by_k["dead"].z_stat is None and by_k["dead"].variance == 0.0
+    assert by_k["live"].variance == pytest.approx(var, abs=1e-12)
+
     orders = load_table(spark, oracle_sf_dir, "orders").select(
         F.when(F.col("o_orderkey") % 2 == 0, "a").otherwise("b").alias("arm"),
         (F.col("o_orderkey") % 37).cast("double").alias("dur"),
@@ -2844,11 +2872,12 @@ def test_logrank_test_textbook_and_parity(spark, oracle_sf_dir):
                CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
                CAST(events_a AS BIGINT) AS events_a,
                CAST(events_b AS BIGINT) AS events_b,
-               {sql_round('s.ome', 6)} AS o_minus_e,
-               {sql_round('s.v', 6)} AS variance,
-               CASE WHEN s.v > 0 THEN {sql_round('s.ome / sqrt(s.v)', 6)}
+               {sql_round('COALESCE(s.ome, 0.0)', 6)} AS o_minus_e,
+               {sql_round('COALESCE(s.v, 0.0)', 6)} AS variance,
+               CASE WHEN COALESCE(s.v, 0.0) > 0
+                    THEN {sql_round('s.ome / sqrt(s.v)', 6)}
                END AS z_stat
-        FROM counts c JOIN stats s USING (k)
+        FROM counts c LEFT JOIN stats s USING (k)
     """
     assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
 
@@ -2905,6 +2934,31 @@ def test_backtest_forecast_linear_exact_and_replica(spark):
     assert got.n_scored == 6
     assert got.mae == pytest.approx(mae, rel=1e-9)
     assert got.rmse == pytest.approx(rmse, rel=1e-9)
+
+    # mape excludes DEGENERATE folds per fold (review: the earlier
+    # guard blanket-nulled the key when ANY fold had a zero actual):
+    # horizon=1, folds=2 -> fold 0 scores vals2[-1]=0 (degenerate),
+    # fold 1 scores vals2[-2]=27 (fine) -- mape comes from fold 1 only
+    vals2 = vals[:-2] + [27.0, 0.0]
+    zero_tail = spark.createDataFrame(
+        [("k", i + 1, v) for i, v in enumerate(vals2)],
+        "k string, t int, v double",
+    )
+    gz = aggregates.backtest_forecast(
+        zero_tail, ["k"], "t", "v", horizon=1, folds=2, alpha=0.4, beta=0.2
+    ).collect()[0]
+    l1, b1 = holt_fit(vals2[:-2], 0.4, 0.2)
+    assert gz.mape == pytest.approx(abs((l1 + b1) - 27.0) / 27.0, rel=1e-9)
+    assert gz.n_scored == 2  # mae/rmse still cover both folds
+    # every fold degenerate -> NULL mape
+    allz = spark.createDataFrame(
+        [("k", i + 1, v) for i, v in enumerate([5.0, 6.0, 7.0, 0.0, 0.0])],
+        "k string, t int, v double",
+    )
+    ga = aggregates.backtest_forecast(
+        allz, ["k"], "t", "v", horizon=1, folds=2, alpha=0.4, beta=0.2
+    ).collect()[0]
+    assert ga.mape is None and ga.mae is not None
 
     with pytest.raises(ValueError, match="horizon"):
         aggregates.backtest_forecast(df, ["k"], "t", "v", horizon=0)

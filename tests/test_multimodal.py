@@ -170,6 +170,24 @@ def test_media_near_dups_exact_recall_and_locality(spark):
     assert set(got6) <= set(brute(6))
     assert got3 and set(got3) <= set(got6)
 
+    # NULL content follows the NULL-propagation convention (review:
+    # fake_phash on None raised TypeError mid-job): media_phash emits
+    # NULL phash, media_near_dups excludes the row, answers unchanged
+    with_null = df.unionByName(
+        spark.createDataFrame(
+            [(55, "image", None, "s3://x/55")],
+            "media_id long, kind string, content binary, uri string",
+        )
+    )
+    ph = {r.media_id: r.phash for r in M.media_phash(with_null).collect()}
+    assert ph[55] is None and ph[10] == hashes[10]
+    got3n = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in M.media_near_dups(with_null, max_hamming=3, bands=4)
+        .collect()
+    )
+    assert got3n == got3
+
     import pytest
 
     from bigdata_storage_and_proccess_job_data_spark.operators import neardup

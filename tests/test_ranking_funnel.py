@@ -750,7 +750,9 @@ def test_rec_diversity_and_coverage_metrics(spark, sf_dir):
     assert ild["u1"][1] == _approx(0.0)
     assert ild["u2"][1] == _approx(1.0)
     assert ild["u3"] == (1, None)  # singleton: no pair
-    assert "u4" not in ild  # no embedded items at all
+    # review: a user with NO embedded items still emits a row (NULL
+    # ild), and k_items counts recommended items, not embedded ones
+    assert ild["u4"] == (1, None)
     cov = ranking.catalog_coverage(recs, vecs, item_col="item").collect()[0]
     assert (cov.n_catalog, cov.n_recommended) == (5, 5)
     assert cov.coverage == _approx(1.0)
