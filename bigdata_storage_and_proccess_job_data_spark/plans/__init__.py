@@ -529,6 +529,79 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # session/config flip may never ship dark on the 50 out-of-window
 # queries.
 
+# Round-10 window, AS RUN -- R10_PLAN with this round's registry
+# changes applied by the standing displacement procedure:
+#
+#   OUT, retired r10 (registry.RETIRED records each coverage merge):
+#     - null_skew_enriched   (in R10_PLAN; skew-join row moves to the
+#       promoted hot_key_split_join, same operators/joins.py module;
+#       null_skew_left_join keeps its plain-join-equality tests)
+#     - median_metrics       (in R10_PLAN; exact interpolated
+#       percentiles stay hash-checked via category_percentiles'
+#       quantile_cont oracle; slot rows the weighted form instead)
+#     - customer_value_ranks (in R10_PLAN; ranking readout moves to
+#       the promoted rfm_scores -- skew-free two-phase ntiles; the
+#       window built-ins keep DuckDB parity in
+#       test_analytics.py::test_rank_family_window_parity)
+#     - cohort_retention     (NOT in R10_PLAN -- green r9 row; its
+#       generalization retention_matrix is the promoted query, the
+#       ledger's own pairing. Retiring an out-of-plan query means the
+#       promotion fills a slot the plan didn't free -- covered by the
+#       stat_moments displacement below)
+#   IN, new-code rule (registered this round, must row now -- the
+#   promotion ledger's picks 1/2/4/5, each carrying full DuckDB
+#   replay parity in tests since the r9 restart wave):
+#     - retention_matrix (month grain; week grain stays test-pinned)
+#     - hot_key_split_join (known-hot-key broadcast/shuffle split
+#       with the plan pin that the hot slice really broadcasts)
+#     - weighted_quantile (exact left-continuous weighted percentile)
+#     - rfm_scores (exact skew-free quintile segmentation)
+#   OUT, displaced to the round-11 plan (code untouched this round,
+#   green r8 row; R11 MUST carry it, pinned by DRIVER_WINDOW_R11_PLAN
+#   and the partition test -- the merge_fallback precedent):
+#     - stat_moments (beyond-reference moments agg; its shape -- one
+#       hash agg of count/mean/stddev/skew/kurtosis -- stays
+#       hash-checked meanwhile through company_stats_v2 and
+#       pricing_summary rows)
+#
+# Changed-code audit for round 10 so far (per the seam addendum):
+# the five review fixes (operators/aggregates.py logrank_test +
+# backtest_forecast, operators/corpus.py vocab_coverage,
+# operators/ranking.py intra_list_diversity, operators/multimodal.py
+# media_phash/media_near_dups) touch only functions no registered
+# query calls -- bm25_search/hybrid_search call ranking's BM25/fusion
+# half, media_features_exact calls media_features/decode, and the
+# logrank/backtest/vocab surfaces are test-only -- so no displacement
+# is required; the local total-parity gate (test_oracle_parity, all
+# 100 queries vs DuckDB at sf0.01) re-ran green after the fixes. No
+# session.py / catalog.py / numeric.py change this round so far.
+DRIVER_WINDOW_R10 = sorted(
+    (
+        set(DRIVER_WINDOW_R10_PLAN)
+        - {
+            "null_skew_enriched",
+            "median_metrics",
+            "customer_value_ranks",
+            "stat_moments",
+        }
+    )
+    | {
+        "retention_matrix",
+        "hot_key_split_join",
+        "weighted_quantile",
+        "rfm_scores",
+    }
+)
+
+# Round-11 obligation, pinned NOW: the exact complement of
+# DRIVER_WINDOW_R10 in the post-r10 registry -- the R9 window minus
+# the retired cohort_retention, plus the displaced stat_moments.
+# test_plans.py asserts R10 ∪ R11_PLAN == registry, R10 ∩ R11_PLAN
+# == ∅.
+DRIVER_WINDOW_R11_PLAN = sorted(
+    (set(DRIVER_WINDOW_R9) - {"cohort_retention"}) | {"stat_moments"}
+)
+
 # R10 promotion priorities (builder's note for the next curation
 # pass, the executed-R9 precedent): of the restart wave's
 # oracle-grade surfaces, the highest-information picks are
@@ -546,6 +619,16 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # readouts). All carry full DuckDB replay parity in tests named in
 # the notes above; every promotion needs its paired retirement
 # recorded in registry.RETIRED per the saturation rule.
+# EXECUTED r10: picks 1 (retention_matrix <- cohort_retention),
+# 2 (hot_key_split_join <- null_skew_enriched), 4 (weighted_quantile
+# <- median_metrics) and 5 (rfm_scores <- customer_value_ranks).
+# Pick 3 (kn_surprisal) was NOT executed: its named retirement,
+# bigram_surprisal, turned out never to have been registered (it was
+# an oracle-grade test-only candidate from the late-r7 wave), and no
+# other registered corpus query's coverage merges cleanly into the
+# Kneser-Ney fit -- unigram_surprisal stays the LM family's driver
+# row and kn_surprisal keeps its full fit+score DuckDB parity test.
+# A future promotion wants a genuinely-subsumed retirement first.
 # R8 promotion candidates (note for the next curation pass, the r7
 # VERDICT-#4 procedure): late-r7 surfaces with oracle-grade local parity
 # already written, each needing a paired retirement to enter the
@@ -981,4 +1064,4 @@ DRIVER_WINDOW_R3 = [
     "impute_mean",  # A9/X2
 ]
 
-set_driver_order(DRIVER_WINDOW_R9)
+set_driver_order(DRIVER_WINDOW_R10)

@@ -595,71 +595,125 @@ def cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Exact median / interpolated percentile aggregates
+# Exact WEIGHTED quantile per key (the weighted form Spark SQL lacks)
+# RETIRED r10 (registry.RETIRED["median_metrics"]): the exact
+# interpolated percentile family (F.median / F.percentile ==
+# quantile_cont) stays driver-checked through category_percentiles'
+# oracle; this slot now rows the weighted left-continuous form.
 # ---------------------------------------------------------------------------
 @register(
-    "median_metrics",
-    tags=("agg", "percentile"),
+    "weighted_quantile",
+    tags=("agg", "percentile", "window"),
     oracle=f"""
-        SELECT l_returnflag,
-               {sql_round('median(l_extendedprice)', 2)} AS median_price,
-               {sql_round('quantile_cont(l_quantity, 0.9)', 2)} AS p90_qty
-        FROM lineitem
-        GROUP BY l_returnflag
-    """,
-)
-def median_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated median and p90 per return flag (F.median /
-    F.percentile). Exact percentiles buffer per-group values -- right for
-    low-cardinality groups; high-cardinality rollups use
-    percentile_approx (category_percentiles) at scale."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        stable_round(F.median("l_extendedprice"), 2).alias("median_price"),
-        stable_round(F.percentile("l_quantity", F.lit(0.9)), 2).alias("p90_qty"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Rank-family window functions: ntile / percent_rank / cume_dist
-# ---------------------------------------------------------------------------
-@register(
-    "customer_value_ranks",
-    tags=("window", "rank"),
-    oracle=f"""
-        WITH spend AS (
-          SELECT o_custkey AS custkey,
-                 {sql_round('SUM(o_totalprice)', 2)} AS total_spend
-          FROM orders
-          GROUP BY o_custkey
+        WITH base AS (
+          SELECT l_returnflag AS k, l_extendedprice AS v, l_quantity AS w
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+        ),
+        c AS (
+          SELECT k, v,
+                 SUM(w) OVER (PARTITION BY k ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cw,
+                 SUM(w) OVER (PARTITION BY k) AS tw
+          FROM base
         )
-        SELECT custkey, total_spend,
-               CAST(ntile(4) OVER w AS BIGINT)       AS spend_quartile,
-               {sql_round('percent_rank() OVER w', 4)} AS pct_rank,
-               {sql_round('cume_dist() OVER w', 4)}    AS cume
-        FROM spend
-        WINDOW w AS (ORDER BY total_spend, custkey)
+        SELECT k AS l_returnflag, {sql_round('MIN(v)', 4)} AS wq
+        FROM c WHERE cw >= 0.5 * tw GROUP BY k
     """,
 )
-def customer_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer spend quartiles + distribution ranks (ntile/percent_rank/
-    cume_dist over one shared ordered window). The un-partitioned window
-    is a deliberate single-reducer stage over the AGGREGATED frame
-    (|customers| rows, not |orders|) -- at 100 TB you window per
-    partition key instead; this exercises the global-ordering form."""
-    from pyspark.sql import Window
-
-    orders = load_table(spark, sf_dir, "orders")
-    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        stable_round(F.sum("o_totalprice"), 2).alias("total_spend")
+def weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag (operators/
+    aggregates.py:weighted_quantile): the smallest price whose
+    cumulative quantity weight reaches half the group's total -- the
+    left-continuous weighted percentile Spark SQL has no built-in for
+    (percentile/percentile_approx weight every row equally; survey
+    weights, token counts, and dollar weights need this form). One
+    keyed ordered window for the weight cumsum + one hash agg; keyed
+    windows spread across reducers, so no single-task melt. The weight
+    sums are exact (integer-valued quantities), so the threshold
+    comparison is bit-deterministic across engines."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        aggregates,
     )
-    w = Window.orderBy("total_spend", "custkey")
-    return spend.select(
-        "custkey",
-        "total_spend",
-        F.ntile(4).over(w).cast("bigint").alias("spend_quartile"),
-        stable_round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        stable_round(F.cume_dist().over(w), 4).alias("cume"),
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return aggregates.weighted_quantile(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", q=0.5
+    ).select("l_returnflag", stable_round(F.col("wq"), 4).alias("wq"))
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (exact skew-free ntiles + rule-table labels)
+# RETIRED r10 (registry.RETIRED["customer_value_ranks"]): the
+# customer-value ranking readout moved to rfm_scores, whose exact
+# two-phase ceil-rank scores equal window ntile under the same total
+# order; the ntile/percent_rank/cume_dist built-ins keep full DuckDB
+# parity in tests/test_analytics.py::test_rank_family_window_parity.
+# ---------------------------------------------------------------------------
+@register(
+    "rfm_scores",
+    tags=("agg", "window", "rank"),
+    oracle=f"""
+        WITH per AS (
+          SELECT user_id AS u,
+                 date_diff('day', MAX(ts)::DATE, DATE '2024-07-01')
+                   AS recency_days,
+                 COUNT(*) AS frequency,
+                 SUM(COALESCE(value, 0.0)) AS monetary
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1
+        ),
+        n AS (SELECT COUNT(*)::DOUBLE AS c FROM per),
+        sc AS (
+          SELECT u, recency_days, frequency, monetary,
+            CEIL(ROW_NUMBER() OVER (ORDER BY recency_days DESC, u)
+                 * 5 / (SELECT c FROM n))::INT AS r_score,
+            CEIL(ROW_NUMBER() OVER (ORDER BY frequency ASC, u)
+                 * 5 / (SELECT c FROM n))::INT AS f_score,
+            CEIL(ROW_NUMBER() OVER (ORDER BY monetary ASC, u)
+                 * 5 / (SELECT c FROM n))::INT AS m_score
+          FROM per
+        )
+        SELECT u AS user, CAST(recency_days AS INT) AS recency_days,
+               CAST(frequency AS BIGINT) AS frequency,
+               {sql_round('monetary', 4)} AS monetary,
+               r_score, f_score, m_score,
+               CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                    WHEN r_score >= 4 AND f_score <= 1 THEN 'new'
+                    WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+                    WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                    WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                    ELSE 'regular' END AS segment
+        FROM sc
+    """,
+)
+def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of event users (operators/aggregates.py:
+    rfm_scores): recency/frequency/monetary per user, each scored 1..5
+    by EXACT population quintile computed with the two-phase skew-free
+    global_row_number (no single-task window -- the retired
+    customer_value_ranks deliberately exercised the single-reducer
+    global-window form; this is the shape you actually run at 100 TB),
+    plus the classic rule-table segment label. Ties break on the user
+    id, so the scoring is bit-reproducible and engine-replayable."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        aggregates,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return aggregates.rfm_scores(
+        events, "user_id", "ts", "value", as_of="2024-07-01", n_bins=5
+    ).select(
+        "user",
+        "recency_days",
+        "frequency",
+        stable_round(F.col("monetary"), 4).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        "segment",
     )
 
 
@@ -1022,40 +1076,51 @@ def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Null-skew left join (NULL keys bypass the shuffle)
+# Hot-key split join (known hot keys broadcast; fact rows never shuffle)
+# RETIRED r10 (registry.RETIRED["null_skew_enriched"]): the skew-join
+# family's driver row moved to this query -- same module
+# (operators/joins.py), the general known-hot-value form of the NULL
+# special case; null_skew_left_join keeps its plain-join-equality unit
+# tests.
 # ---------------------------------------------------------------------------
 @register(
-    "null_skew_enriched",
+    "hot_key_split_join",
     tags=("join", "skew"),
     oracle="""
         WITH o AS (
           SELECT o_orderkey,
-                 CASE WHEN o_orderkey % 3 = 0 THEN NULL
-                      ELSE o_custkey END AS custkey
+                 CASE WHEN o_orderkey % 4 <> 0 THEN 7
+                      ELSE o_custkey END AS c_custkey,
+                 o_totalprice
           FROM orders
         )
-        SELECT o.o_orderkey, o.custkey, c.c_mktsegment
-        FROM o LEFT JOIN customer c ON o.custkey = c.c_custkey
+        SELECT o.c_custkey, o.o_orderkey, o.o_totalprice, c.c_mktsegment
+        FROM o JOIN customer c USING (c_custkey)
     """,
 )
-def null_skew_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT join where a third of the foreign keys are NULL
-    (operators/joins.py:null_skew_left_join): the NULL slice -- which
-    would all hash to ONE reducer and can never match anyway -- bypasses
-    the shuffle entirely and unions back with null right columns.
-    Value-identical to the oracle's plain LEFT JOIN."""
+def hot_key_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-join via known-hot-key split (operators/joins.py:
+    hot_key_split_join): three quarters of the fact's foreign keys are
+    forced onto ONE customer, and the split routes that hot slice
+    map-side against a broadcast of the single hot dimension row while
+    the cold remainder takes a uniform shuffle -- the step past AQE's
+    chunked skew split, because the hot fact rows never cross the wire
+    at all. Value-identical to the oracle's plain inner join;
+    test_joins.py pins the BroadcastHashJoin + shuffled-join union in
+    the physical plan."""
     from bigdata_storage_and_proccess_job_data_spark.operators import joins
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.when(F.col("o_orderkey") % 3 == 0, None)
+        F.when(F.col("o_orderkey") % 4 != 0, F.lit(7))
         .otherwise(F.col("o_custkey"))
-        .alias("custkey"),
+        .alias("c_custkey"),
+        "o_totalprice",
     )
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    return joins.null_skew_left_join(orders, customer, "custkey", "c_custkey")
+    return joins.hot_key_split_join(orders, customer, "c_custkey", [7])
 
 
 # ---------------------------------------------------------------------------
@@ -1331,72 +1396,60 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Cohort retention: signup week x activity-week offset
+# Cohort retention matrix: first-activity month x month offset
+# RETIRED r10 (registry.RETIRED["cohort_retention"]): the signup-
+# anchored weekly special case was subsumed by this query's operator
+# (funnel.retention_matrix -- the relation both docstrings had
+# cross-referenced since r9); its single-scan conditional-min-window
+# form stays unit-covered by the funnel test file.
 # ---------------------------------------------------------------------------
 @register(
-    "cohort_retention",
+    "retention_matrix",
     tags=("events", "agg", "join"),
-    oracle="""
-        WITH signup AS (
-          SELECT user_id,
-                 CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
-          FROM events WHERE event_type = 'signup' GROUP BY user_id
+    oracle=f"""
+        WITH active AS (
+          SELECT DISTINCT user_id AS u,
+                 CAST(date_trunc('day', ts) AS DATE) AS p
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         ),
-        activity AS (
-          SELECT DISTINCT user_id,
-                 CAST(date_trunc('week', ts) AS DATE) AS activity_week
-          FROM events
+        firsts AS (SELECT u, MIN(p) AS cohort FROM active GROUP BY u),
+        cells AS (
+          SELECT f.cohort,
+                 CAST(date_diff('day', f.cohort, a.p) AS BIGINT)
+                   AS period_offset,
+                 CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM active a JOIN firsts f USING (u)
+          GROUP BY 1, 2
+        ),
+        sizes AS (
+          SELECT cohort, COUNT(*) AS sz FROM firsts GROUP BY cohort
         )
-        SELECT cohort_week,
-               CAST(date_diff('day', cohort_week, activity_week) / 7
-                    AS BIGINT)                          AS week_offset,
-               CAST(COUNT(DISTINCT user_id) AS BIGINT)  AS users
-        FROM activity JOIN signup USING (user_id)
-        WHERE activity_week >= cohort_week
-        GROUP BY cohort_week, week_offset
+        SELECT c.cohort, c.period_offset, c.n_users,
+               {sql_round('c.n_users * 1.0 / s.sz', 6)} AS retention
+        FROM cells c JOIN sizes s USING (cohort)
     """,
 )
-def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort retention: users grouped by their first-signup week
-    (ISO Monday truncation), counted as retained in every later week
-    they show ANY event. ONE scan of the event table: reduce to
-    (user, week, had_signup) in the first aggregation, derive each
-    user's cohort week as the min signup week via a user-partitioned
-    window over that already-tiny frame (a signup's week IS the week of
-    the earliest signup timestamp, so no raw timestamps survive the
-    first reduction), then count distinct users per (cohort, offset).
-    The two-scan join formulation reads the 100 TB table twice for the
-    same answer."""
-    from pyspark.sql import Window
+def retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix at DAY grain (operators/funnel.py:
+    retention_matrix): users grouped by their first-activity day,
+    counted in every later day they show any event, with the retention
+    ratio against broadcast cohort sizes -- the growth readout
+    generalizing the retired signup-anchored cohort_retention (r10
+    coverage merge). Day grain because the fixture's events span one
+    month -- coarser grains collapse the matrix to a near-single cell;
+    the week-grain and month-offset forms keep full DuckDB parity in
+    tests/test_ranking_funnel.py. Scale shape: one (user, day)
+    distinct (the value is its own salt), one min-per-user hash agg,
+    one shuffle join on the user key, one hash agg to (cohort, offset),
+    one broadcast join of the bounded cohort-size table."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import funnel
 
     ev = load_table(spark, sf_dir, "events")
-    per_week = (
-        ev.select(
-            "user_id",
-            F.date_trunc("week", F.col("ts")).cast("date").alias(
-                "activity_week"
-            ),
-            (F.col("event_type") == "signup").alias("_is_signup"),
-        )
-        .groupBy("user_id", "activity_week")
-        .agg(F.max("_is_signup").alias("_signed_up"))
-    )
-    w = Window.partitionBy("user_id")
-    with_cohort = per_week.withColumn(
-        "cohort_week",
-        F.min(F.when(F.col("_signed_up"), F.col("activity_week"))).over(w),
-    )
-    return (
-        with_cohort.filter(F.col("activity_week") >= F.col("cohort_week"))
-        .groupBy(
-            "cohort_week",
-            (
-                F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
-            )
-            .cast("long")
-            .alias("week_offset"),
-        )
-        .agg(F.count_distinct("user_id").alias("users"))
+    return funnel.retention_matrix(ev, period="day").select(
+        "cohort",
+        "period_offset",
+        "n_users",
+        stable_round(F.col("retention"), 6).alias("retention"),
     )
 
 

@@ -188,6 +188,68 @@ RETIRED: dict[str, dict[str, str]] = {
             "(plain DataFrame join)."
         ),
     },
+    "cohort_retention": {
+        "round": "r10",
+        "replaced_by": "retention_matrix",
+        "coverage": (
+            "the signup-anchored weekly cohort counts are the special "
+            "case of funnel.retention_matrix (first-activity anchor, "
+            "parameterized grain, adds the retention ratio) -- the "
+            "relation both docstrings have cross-referenced since r9. "
+            "The registered retention_matrix query rows the month "
+            "grain; the week grain keeps full DuckDB replay parity in "
+            "tests/test_ranking_funnel.py::"
+            "test_retention_matrix_hand_pins_and_parity. The retired "
+            "query's one unique piece -- a conditional min over "
+            "signup-typed events inside a user window -- is the same "
+            "min-when window shape hash-checked by dedup_within_delay "
+            "and event_paths_top every round. No operator code "
+            "involved (the query was inline DataFrame composition)."
+        ),
+    },
+    "null_skew_enriched": {
+        "round": "r10",
+        "replaced_by": "hot_key_split_join",
+        "coverage": (
+            "the skew-join family's driver row moved within the same "
+            "module (operators/joins.py) to the general known-hot-key "
+            "split; null_skew_left_join keeps its plain-left-join "
+            "equality tests (tests/test_joins.py: matches_plain, "
+            "same_key_name, collision rejection), and the NULL-key "
+            "routing it special-cases is also the hot_key_split_join "
+            "left-mode path pinned in test_hot_key_split_join_"
+            "duckdb_parity. Operator code unchanged."
+        ),
+    },
+    "median_metrics": {
+        "round": "r10",
+        "replaced_by": "weighted_quantile",
+        "coverage": (
+            "exact interpolated percentiles (F.median / F.percentile "
+            "== DuckDB median / quantile_cont) stay hash-checked every "
+            "round through category_percentiles' oracle (p25/p50/p75 "
+            "on the same lineitem measures) and the MAD pipeline test "
+            "in test_rollup.py; the slot now rows the WEIGHTED "
+            "left-continuous quantile, the form Spark SQL lacks "
+            "entirely. No operator code involved (inline aggregates)."
+        ),
+    },
+    "customer_value_ranks": {
+        "round": "r10",
+        "replaced_by": "rfm_scores",
+        "coverage": (
+            "the customer-value ranking readout moved to rfm_scores, "
+            "whose exact two-phase ceil-rank quintiles equal window "
+            "ntile under the same total order (pinned in "
+            "test_rfm_scores_semantics_and_parity) and which ranks "
+            "skew-free (global_row_number) instead of the retired "
+            "query's deliberate single-reducer global window; the "
+            "ntile/percent_rank/cume_dist built-ins keep full DuckDB "
+            "parity in tests/test_analytics.py::"
+            "test_rank_family_window_parity (the retired oracle moved "
+            "there verbatim). No operator code involved."
+        ),
+    },
 }
 
 

@@ -943,3 +943,47 @@ def test_script_profile_hand_pins_and_parity(spark, oracle_sf_dir):
         FROM m
     """
     assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_rank_family_window_parity(spark, oracle_sf_dir):
+    """ntile / percent_rank / cume_dist over one shared ordered window
+    replay value-for-value in DuckDB -- the retired customer_value_ranks
+    query's oracle, carried here verbatim as its r10 coverage merge
+    (registry.RETIRED): the registered rank row is now rfm_scores'
+    skew-free two-phase form, and this pins the window built-ins it no
+    longer exercises."""
+    from pyspark.sql import Window
+
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        stable_round(F.sum("o_totalprice"), 2).alias("total_spend")
+    )
+    w = Window.orderBy("total_spend", "custkey")
+    out = spend.select(
+        "custkey",
+        "total_spend",
+        F.ntile(4).over(w).cast("bigint").alias("spend_quartile"),
+        stable_round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        stable_round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+    sql = f"""
+        WITH spend AS (
+          SELECT o_custkey AS custkey,
+                 {sql_round('SUM(o_totalprice)', 2)} AS total_spend
+          FROM orders
+          GROUP BY o_custkey
+        )
+        SELECT custkey, total_spend,
+               CAST(ntile(4) OVER w AS BIGINT)       AS spend_quartile,
+               {sql_round('percent_rank() OVER w', 4)} AS pct_rank,
+               {sql_round('cume_dist() OVER w', 4)}    AS cume
+        FROM spend
+        WINDOW w AS (ORDER BY total_spend, custkey)
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []

@@ -258,7 +258,7 @@ def test_driver_window_is_first_50():
     names that drifted out of the registry."""
     from bigdata_storage_and_proccess_job_data_spark import plans
 
-    window = plans.DRIVER_WINDOW_R9
+    window = plans.DRIVER_WINDOW_R10
     assert len(window) == 50
     assert len(set(window)) == 50
     assert list(QS)[:50] == window
@@ -274,29 +274,30 @@ def test_windows_partition_registry():
     from bigdata_storage_and_proccess_job_data_spark import plans
     from bigdata_storage_and_proccess_job_data_spark.plans import registry
 
-    r9, r10 = set(plans.DRIVER_WINDOW_R9), set(plans.DRIVER_WINDOW_R10_PLAN)
+    r10, r11 = set(plans.DRIVER_WINDOW_R10), set(plans.DRIVER_WINDOW_R11_PLAN)
     names = set(QS)
     assert len(names) == registry.MAX_REGISTERED == 100
-    assert r9 & r10 == set(), sorted(r9 & r10)
-    assert r9 | r10 == names, {
-        "unscheduled": sorted(names - (r9 | r10)),
-        "unknown": sorted((r9 | r10) - names),
+    assert r10 & r11 == set(), sorted(r10 & r11)
+    assert r10 | r11 == names, {
+        "unscheduled": sorted(names - (r10 | r11)),
+        "unknown": sorted((r10 | r11) - names),
     }
-    assert len(r9) == len(r10) == 50
-    # the r8 displacement promise was kept: every query pinned into
-    # DRIVER_WINDOW_R9_PLAN is in the r9 window unless it was retired
+    assert len(r10) == len(r11) == 50
+    # the r9 displacement promise was kept: every query pinned into
+    # DRIVER_WINDOW_R10_PLAN is in the r10 window unless it was retired
     # this round with a recorded coverage merge, or is the one recorded
-    # code-untouched displacement into R10 (merge_fallback, pushed out
-    # by the changed-code neardup_clusters re-row)
-    for obligated in plans.DRIVER_WINDOW_R9_PLAN:
-        assert obligated in r9 or obligated in registry.RETIRED or (
-            obligated in r10 and obligated == "merge_fallback"
+    # code-untouched displacement into R11 (stat_moments, pushed out by
+    # the retirement of the out-of-plan cohort_retention whose promoted
+    # replacement retention_matrix must row now)
+    for obligated in plans.DRIVER_WINDOW_R10_PLAN:
+        assert obligated in r10 or obligated in registry.RETIRED or (
+            obligated in r11 and obligated == "stat_moments"
         ), obligated
     # retirement is real: retired names are out of the registry, out of
     # both windows, and re-registration is refused
     for retired in registry.RETIRED:
         assert retired not in names
-        assert retired not in r9 and retired not in r10
+        assert retired not in r10 and retired not in r11
     import pytest
 
     with pytest.raises(ValueError, match="retired"):
