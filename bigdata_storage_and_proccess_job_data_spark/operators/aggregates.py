@@ -4156,3 +4156,80 @@ def freshness_report(
             lag <= F.lit(int(sla_seconds)), F.lit(False)
         ).alias("within_sla"),
     )
+
+
+def bh_adjust(
+    df,
+    p_col: str,
+    alpha: float = 0.05,
+    keys: "list[str] | None" = None,
+    q_out: str = "q_value",
+    reject_out: str = "reject",
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment per key family -- the
+    multiple-testing control an experiment platform runs over its
+    per-metric p-values (welch_ttest / proportion_ztest / rank_sum_test
+    / srm_check all stop at a statistic or p; when a readout tests
+    dozens of metrics at once, raw p <= alpha inflates the false
+    discovery rate, and BH 1995 is the standard correction). Input
+    rows are tests; output is the input plus ``q_value`` (the BH
+    adjusted p: q_i = min_{j >= i} p_(j) * m / j, capped at 1) and
+    ``reject`` (q <= alpha -- equivalent to the classic step-up rule).
+
+    Ties are safe: tied p-values provably receive the SAME q whatever
+    order the window breaks them in (the running min from the tail
+    always reaches the tie group's smallest m/j raw value), so the
+    output is deterministic with no tiebreak column required.
+
+    Scale shape: one partitioned window per key family, ordered by p,
+    carrying the per-family count and the reverse running min -- the
+    per-key state is that family's tests (metrics-sized, never
+    row-sized). Rows with NULL p are excluded (nothing was tested);
+    p outside [0, 1] raises rather than silently corrupting every
+    other q in the family."""
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    keys = keys or []
+    from pyspark.sql import Window
+
+    p = F.col(p_col).cast("double")
+    base = df.filter(p.isNotNull())
+    # fail loud on malformed p BEFORE it poisons the family's ranks:
+    # raise_error only evaluates on an offending row
+    checked = base.withColumn(
+        "_p",
+        F.when(
+            (p >= 0) & (p <= 1), p
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"bh_adjust: {p_col} outside [0, 1]: "),
+                    p.cast("string"),
+                )
+            )
+        ),
+    )
+    part = [F.col(k) for k in keys]
+    w_rank = Window.partitionBy(*part).orderBy("_p")
+    w_all = Window.partitionBy(*part)
+    ranked = checked.withColumn("_rn", F.row_number().over(w_rank)).withColumn(
+        "_m", F.count(F.lit(1)).over(w_all)
+    )
+    # the tail min MUST traverse by the (unique) rank, not by p: with
+    # tied p, a p-ordered desc window visits the tie group in arbitrary
+    # order and a row's running min can miss the partner holding the
+    # group's smallest m/j raw value
+    w_tail = (
+        Window.partitionBy(*part)
+        .orderBy(F.col("_rn").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    q = F.least(
+        F.min(F.col("_p") * F.col("_m") / F.col("_rn")).over(w_tail),
+        F.lit(1.0),
+    )
+    return (
+        ranked.withColumn(q_out, q)
+        .withColumn(reject_out, F.col(q_out) <= F.lit(alpha))
+        .drop("_p", "_rn", "_m")
+    )

@@ -575,6 +575,15 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # is required; the local total-parity gate (test_oracle_parity, all
 # 100 queries vs DuckDB at sf0.01) re-ran green after the fixes. No
 # session.py / catalog.py / numeric.py change this round so far.
+# Mid-r10 additions audit (same rule): bh_adjust (aggregates.py),
+# calibration_report (linear.py) and psi_report (features.py) are
+# ADDITIVE -- new functions appended, no registered query's body or
+# callee changed; all three are R11-promotable with full DuckDB
+# replay parity (test_bh_adjust_textbook_ties_and_parity,
+# test_calibration_report_pins_and_parity,
+# test_psi_report_drift_pins_and_parity -- the last replays with the
+# fitted cut points as literals, the pinned-model precedent, plus a
+# quantile_cont equality pin on the cuts).
 DRIVER_WINDOW_R10 = sorted(
     (
         set(DRIVER_WINDOW_R10_PLAN)

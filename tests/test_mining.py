@@ -3115,3 +3115,107 @@ def test_freshness_report_sla_and_parity(spark, oracle_sf_dir):
         GROUP BY event_type
     """
     assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_bh_adjust_textbook_ties_and_parity(spark, oracle_sf_dir):
+    """Benjamini-Hochberg: (1) hand math -- q is the tail running min
+    of p*m/rank capped at 1, step-up rejections at alpha; (2) tied
+    p-values receive the SAME q (order-invariant); (3) p outside [0,1]
+    fails loud; (4) full DuckDB replay per key family on
+    orders-derived p-values."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    ps = [0.005, 0.011, 0.02, 0.04, 0.13]
+    df = spark.createDataFrame(
+        [(f"m{i}", p) for i, p in enumerate(ps)], "metric string, p double"
+    )
+    got = {
+        r.metric: (r.q_value, r.reject)
+        for r in aggregates.bh_adjust(df, "p", alpha=0.05).collect()
+    }
+    # raw p*m/rank = [.025, .0275, .0333.., .05, .13]; already monotone
+    assert got["m0"][0] == pytest.approx(0.005 * 5 / 1)
+    assert got["m1"][0] == pytest.approx(0.011 * 5 / 2)
+    assert got["m2"][0] == pytest.approx(0.02 * 5 / 3)
+    assert got["m3"][0] == pytest.approx(0.04 * 5 / 4)
+    assert got["m4"][0] == pytest.approx(0.13)
+    assert [got[f"m{i}"][1] for i in range(5)] == [
+        True, True, True, True, False,
+    ]
+    # the cap and the tail-min: a late small p drags earlier qs down
+    ps2 = [0.9, 0.8, 0.04, 1.0]
+    df2 = spark.createDataFrame(
+        [(f"m{i}", p) for i, p in enumerate(ps2)], "metric string, p double"
+    )
+    got2 = {
+        r.metric: r.q_value
+        for r in aggregates.bh_adjust(df2, "p").collect()
+    }
+    assert got2["m2"] == pytest.approx(0.04 * 4 / 1)
+    assert got2["m3"] == 1.0  # capped
+    assert got2["m0"] == got2["m3"] == got2["m1"] == 1.0
+
+    # ties: identical p -> identical q, whatever rank order they drew
+    tied = spark.createDataFrame(
+        [("a", 0.02), ("b", 0.02), ("c", 0.02), ("d", 0.5)],
+        "metric string, p double",
+    )
+    tq = {r.metric: r.q_value for r in aggregates.bh_adjust(tied, "p").collect()}
+    assert tq["a"] == tq["b"] == tq["c"] == pytest.approx(0.02 * 4 / 3)
+
+    with pytest.raises(Exception, match="outside"):
+        aggregates.bh_adjust(
+            spark.createDataFrame([("x", 1.5)], "metric string, p double"),
+            "p",
+        ).collect()
+    with pytest.raises(ValueError, match="alpha"):
+        aggregates.bh_adjust(df, "p", alpha=0.0)
+
+    orders = load_table(spark, oracle_sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderkey",
+        ((F.col("o_orderkey") % 97) / 96.0).alias("p"),
+    )
+    out = aggregates.bh_adjust(
+        orders, "p", alpha=0.05, keys=["o_orderstatus"]
+    ).select(
+        "o_orderstatus",
+        "o_orderkey",
+        stable_round(F.col("p"), 6).alias("p"),
+        stable_round(F.col("q_value"), 6).alias("q_value"),
+        "reject",
+    )
+    sql = f"""
+        WITH base AS (
+          SELECT o_orderstatus AS k, o_orderkey,
+                 (o_orderkey % 97) / 96.0 AS p
+          FROM orders
+        ),
+        r AS (
+          SELECT k, o_orderkey, p,
+                 ROW_NUMBER() OVER (PARTITION BY k ORDER BY p) AS rn,
+                 COUNT(*) OVER (PARTITION BY k) AS m
+          FROM base
+        ),
+        qv AS (
+          SELECT k, o_orderkey, p,
+                 LEAST(MIN(p * m / rn) OVER (
+                   PARTITION BY k ORDER BY rn DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ), 1.0) AS q
+          FROM r
+        )
+        SELECT k AS o_orderstatus, o_orderkey,
+               {sql_round('p', 6)} AS p,
+               {sql_round('q', 6)} AS q_value,
+               q <= 0.05 AS reject
+        FROM qv
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
