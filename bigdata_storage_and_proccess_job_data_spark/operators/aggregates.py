@@ -1692,12 +1692,22 @@ def calibration_bins(
     score_col: str,
     bins: int = 10,
     keys: list[str] | None = None,
+    summaries: bool = False,
 ):
     """Reliability-diagram data: scores bucket onto a fixed [0, 1)
     grid (floor to 1/bins steps, score 1.0 clamps into the top bin)
     and each bin reports n, mean predicted score, observed positive
     rate, and the gap -- the calibration readout next to binary_auc's
-    ranking readout. One hash agg; empty bins simply absent."""
+    ranking readout. One hash agg; empty bins simply absent.
+
+    ``summaries=True`` appends three more columns (Guo et al. 2017
+    shape -- a ranker can order perfectly while its probabilities are
+    wildly over-confident, and a quality filter thresholded at p>=0.9
+    needs that 0.9 to MEAN 0.9): per-bin ``abs_gap``, plus two per-key
+    scalars repeated on each row (the benford_report convention) --
+    ``ece``, the expected calibration error sum(n_b/N * |gap_b|), and
+    ``brier``, mean (score - label)^2. One broadcast-sized window over
+    the keys x bins frame; default False keeps the original schema."""
     if bins < 2:
         raise ValueError("bins must be >= 2")
     keys = keys or []
@@ -1709,13 +1719,26 @@ def calibration_bins(
     base = df.filter(lab.isNotNull() & s.isNotNull()).select(
         *keys, b.alias("bin"), lab.alias("_y"), s.alias("_s")
     )
-    return base.groupBy(*keys, "bin").agg(
+    y = F.col("_y").cast("double")
+    binned = base.groupBy(*keys, "bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("_s").alias("mean_score"),
-        F.avg(F.col("_y").cast("double")).alias("observed_rate"),
-        (
-            F.avg(F.col("_y").cast("double")) - F.avg("_s")
-        ).alias("gap"),
+        F.avg(y).alias("observed_rate"),
+        (F.avg(y) - F.avg("_s")).alias("gap"),
+        F.sum((F.col("_s") - y) * (F.col("_s") - y)).alias("_se"),
+    )
+    if not summaries:
+        return binned.drop("_se")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    tot = F.sum("n").over(w)
+    gap = F.abs(F.col("gap"))
+    return (
+        binned.withColumn("abs_gap", gap)
+        .withColumn("ece", F.sum(F.col("n") * gap).over(w) / tot)
+        .withColumn("brier", F.sum("_se").over(w) / tot)
+        .drop("_se")
     )
 
 
@@ -4232,4 +4255,140 @@ def bh_adjust(
         ranked.withColumn(q_out, q)
         .withColumn(reject_out, F.col(q_out) <= F.lit(alpha))
         .drop("_p", "_rn", "_m")
+    )
+
+
+def fk_integrity_report(
+    fact,
+    dim,
+    fk_col: str,
+    pk_col: str,
+) -> DataFrame:
+    """Cross-table referential-integrity gate -- the check
+    expectation_report (single-table rules) and freshness_report
+    (staleness) cannot make: does every foreign key actually resolve?
+    An orphaned FK silently becomes a dropped row at the next inner
+    join or a NULL-enriched row at the next left join; this reports it
+    BEFORE the join does. Returns ONE row:
+
+      n_fact, n_null_fk     fact rows / rows with NULL fk (excused --
+                            NULL means "no parent", not "bad parent")
+      n_orphans             non-null fks with NO matching pk
+      orphan_rate           n_orphans / non-null fks (NULL if none)
+      n_dim, n_dup_pk       dim rows / rows beyond the first per pk
+                            (a dup pk makes joins fan out)
+      ok                    n_orphans = 0 AND n_dup_pk = 0
+
+    Scale shape: the orphan count is a LEFT ANTI join on the fk (the
+    decontaminated_train shape -- broadcastable dim key set, never a
+    fan-out), the dup count is count - count_distinct in one dim agg,
+    and the three bounded one-row frames meet in broadcast joins. The
+    fact table is scanned once, projected to the fk column only."""
+    fk, pk = F.col(fk_col), F.col(pk_col)
+    fact_keys = fact.select(fk.alias("_fk"))
+    dim_keys = dim.select(pk.alias("_pk"))
+    fact_agg = fact_keys.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.sum(F.col("_fk").isNull().cast("long")).alias("n_null_fk"),
+    )
+    orphans = (
+        fact_keys.filter(F.col("_fk").isNotNull())
+        .join(dim_keys, F.col("_fk") == F.col("_pk"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    dim_agg = dim_keys.agg(
+        F.count(F.lit(1)).alias("n_dim"),
+        (F.count("_pk") - F.count_distinct("_pk")).alias("n_dup_pk"),
+    )
+    joined = fact_agg.join(F.broadcast(orphans), F.lit(True)).join(
+        F.broadcast(dim_agg), F.lit(True)
+    )
+    nonnull = F.col("n_fact") - F.col("n_null_fk")
+    return joined.select(
+        "n_fact",
+        "n_null_fk",
+        "n_orphans",
+        F.when(
+            nonnull > 0, F.col("n_orphans") / nonnull
+        ).alias("orphan_rate"),
+        "n_dim",
+        "n_dup_pk",
+        (
+            (F.col("n_orphans") == 0) & (F.col("n_dup_pk") == 0)
+        ).alias("ok"),
+    )
+
+
+def ks_test(
+    df_a,
+    df_b,
+    val_col: str,
+    keys: "list[str] | None" = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per key slice -- the
+    nonparametric distribution-drift test beside psi_report (PSI needs
+    binning and an eps clamp; KS is exact and binning-free, the right
+    gate when the drift might live between bin edges). D = the maximum
+    absolute ECDF gap, evaluated exactly at every distinct value (ties
+    pre-aggregate, so the ECDFs step correctly). Returns one row per
+    key: (keys, n_a, n_b, d_stat) -- stops at the statistic (the
+    welch_ttest rationale; reject when d_stat > c(alpha) *
+    sqrt((n_a + n_b) / (n_a * n_b)), c(0.05) ~ 1.358).
+
+    Scale shape: one hash agg per side to (keys, value) counts, a
+    union, one ordered window per key for the two running sums
+    (bounded by the key's DISTINCT values, not its rows), one final
+    hash agg for the max gap. NULL values are excluded; a key present
+    in only one side emits no row (no second ECDF to compare --
+    detect one-sided keys with fk_integrity_report / a join audit)."""
+    keys = keys or []
+    from pyspark.sql import Window
+
+    def side(df, is_a: bool):
+        nn = F.lit(True)
+        for k in keys:
+            nn = nn & F.col(k).isNotNull()
+        v = F.col(val_col).cast("double")
+        c = F.col("_c")
+        zero = F.lit(0).cast("long")
+        return (
+            df.filter(nn & v.isNotNull())
+            .groupBy(*keys, v.alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .select(
+                *keys,
+                "_v",
+                (c if is_a else zero).alias("_ca"),
+                (zero if is_a else c).alias("_cb"),
+            )
+        )
+
+    u = side(df_a, True).unionByName(side(df_b, False))
+    per_v = u.groupBy(*keys, "_v").agg(
+        F.sum("_ca").alias("_da"), F.sum("_cb").alias("_db")
+    )
+    part = [F.col(k) for k in keys]
+    w_cum = (
+        Window.partitionBy(*part)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*part)
+    stepped = (
+        per_v.withColumn("_cum_a", F.sum("_da").over(w_cum))
+        .withColumn("_cum_b", F.sum("_db").over(w_cum))
+        .withColumn("_n_a", F.sum("_da").over(w_all))
+        .withColumn("_n_b", F.sum("_db").over(w_all))
+    )
+    gap = F.abs(
+        F.col("_cum_a") / F.col("_n_a") - F.col("_cum_b") / F.col("_n_b")
+    )
+    return (
+        stepped.filter((F.col("_n_a") > 0) & (F.col("_n_b") > 0))
+        .groupBy(*keys)
+        .agg(
+            F.max("_n_a").cast("long").alias("n_a"),
+            F.max("_n_b").cast("long").alias("n_b"),
+            F.max(gap).alias("d_stat"),
+        )
     )

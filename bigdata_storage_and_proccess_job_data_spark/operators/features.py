@@ -619,3 +619,85 @@ def psi_report(
         term.alias("psi_term"),
     )
     return out.withColumn("psi", F.sum("psi_term").over(w))
+
+
+def woe_fit(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    eps: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence fit for a categorical feature against a
+    binary label -- the credit-scoring-standard encoding next to
+    target_encode (Siddiqi 2006 shape): per category,
+    woe = ln(pos_share / neg_share) with ``eps`` added to both class
+    counts (the classic half-event adjustment, so a pure category gets
+    a large-but-finite woe instead of an infinity), and the
+    information-value term iv_term = (pos_share - neg_share) * woe.
+    Returns one row per category: (category, n, n_pos, n_neg, woe,
+    iv_term) plus the feature's total ``iv`` repeated on each row (the
+    benford_report convention; rule of thumb: iv < 0.02 useless,
+    0.1-0.3 medium, > 0.5 suspicious). Shares use the RAW class totals
+    (only the per-category numerators are smoothed), so woe values
+    from the same fit are comparable.
+
+    Rows with NULL category are a real level ("missing" carries
+    signal) and keep their own row; NULL labels are excluded. Labels
+    must be 0/1-valued numerics. Scale shape: ONE hash agg to
+    O(categories), a bounded one-row totals frame met in a broadcast
+    join -- the artifact is model-sized, the target_encode/hbos
+    precedent."""
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0: {eps}")
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("double")
+    base = df.filter(y.isNotNull()).select(
+        F.col(cat_col).alias("category"), y.alias("_y")
+    )
+    per = base.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").cast("long").alias("n_pos"),
+        F.sum(F.lit(1.0) - F.col("_y")).cast("long").alias("n_neg"),
+    )
+    tot = base.agg(
+        F.sum("_y").alias("_tp"),
+        F.sum(F.lit(1.0) - F.col("_y")).alias("_tn"),
+    )
+    j = per.join(F.broadcast(tot), F.lit(True))
+    pos_share = (F.col("n_pos") + F.lit(eps)) / F.col("_tp")
+    neg_share = (F.col("n_neg") + F.lit(eps)) / F.col("_tn")
+    woe = F.log(pos_share / neg_share)
+    return j.select(
+        "category",
+        "n",
+        "n_pos",
+        "n_neg",
+        woe.alias("woe"),
+        ((pos_share - neg_share) * woe).alias("iv_term"),
+    ).withColumn(
+        # global window over O(categories) rows: bounded by design
+        "iv",
+        F.sum("iv_term").over(Window.partitionBy()),
+    )
+
+
+def woe_apply(
+    df: DataFrame,
+    model: DataFrame,
+    cat_col: str,
+    out_col: str = "woe",
+) -> DataFrame:
+    """Attach a fitted weight-of-evidence score to each row by
+    category -- a broadcast join of the O(categories) artifact (the
+    standardize/target_encode apply convention). Categories unseen at
+    fit time get NULL (surface the drift; impute downstream if you
+    must), including rows whose category is NULL when the fit never
+    saw a NULL level. The null-safe equality (<=>) lets a fitted
+    "missing" level match NULL rows."""
+    m = model.select(
+        F.col("category").alias("_woe_cat"), F.col("woe").alias(out_col)
+    )
+    return df.join(
+        F.broadcast(m), F.col(cat_col).eqNullSafe(F.col("_woe_cat")), "left"
+    ).drop("_woe_cat")

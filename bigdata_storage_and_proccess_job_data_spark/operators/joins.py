@@ -121,6 +121,16 @@ def hot_key_split_join(
     "hot dimension key"), and the cold shuffle is uniform. Pair with
     detect_hot_keys (one uniform counting pass) or a cached skew report.
 
+    The price, stated: the two filtered branches are TWO pruned scans
+    of each input (no exchange exists for Spark to reuse across them --
+    the join_hot_naive/join_hot_split bench twin records exactly 2x
+    rows_read). The split wins when the avoided movement (network
+    shuffle write+read+sort of the hot slice) outweighs a second local
+    columnar read of the join columns -- true on a real cluster with a
+    meaningfully hot slice, NOT necessarily true on a single JVM where
+    a "shuffle" is a memory copy; measure with the bench pair before
+    adopting at small scale.
+
     ``how``: "inner" or "left". NULL left keys can never equi-match:
     inner drops them (same as the plain join); left routes them down the
     cold path, whose left join emits them with null right columns.
@@ -192,3 +202,89 @@ def compact_upserts(
     os.rename(base, old)
     os.rename(tmp, base)
     shutil.rmtree(old)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: "list[str]",
+    compare_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Row-level diff of two snapshots of the same logical table -- the
+    data-regression check a pipeline runs between yesterday's output
+    and today's (snapshot_change_feed serves versioned tables; this
+    serves ANY two frames). Returns one row per key present in either
+    side: (keys..., status, changed_cols) with status in
+    'added' (new only) / 'removed' (old only) / 'changed' (both, some
+    compared column differs) / 'unchanged', and changed_cols the array
+    of differing column names in ``compare_cols`` order (empty array
+    unless status = 'changed'). Comparison is null-safe per column
+    (NULL -> value counts as a change, NULL -> NULL does not).
+
+    ``compare_cols`` defaults to every shared non-key column. Keys are
+    assumed unique per side (the snapshot convention); a duplicate key
+    fans out exactly like any join would -- run fk_integrity_report /
+    a dedup first if that is not guaranteed. NULL key values are
+    excluded (the convention; a NULL key matches nothing anyway under
+    equi-join semantics and would misreport as added+removed).
+
+    Scale shape: ONE full outer join on the keys, everything else
+    codegen'd expressions -- no windows, no second shuffle. At 100 TB
+    both sides shuffle once on the same key (co-partitioned if both
+    are bucketed on it, in which case the exchange disappears)."""
+    if not keys:
+        raise ValueError("keys is empty: a diff needs a row identity")
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    missing = [
+        c
+        for c in list(keys) + list(compare_cols)
+        if c not in old.columns or c not in new.columns
+    ]
+    if missing:
+        raise ValueError(f"columns missing from a side: {missing}")
+    nn = F.lit(True)
+    for k in keys:
+        nn = nn & F.col(k).isNotNull()
+    o = old.filter(nn).select(
+        *keys,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.filter(nn).select(
+        *keys,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, keys, "full_outer")
+    diffs = [
+        F.when(
+            ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+        )
+        for c in compare_cols
+    ]
+    changed = (
+        F.array_compact(F.array(*diffs))
+        if compare_cols
+        else F.array().cast("array<string>")
+    )
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.size("_changed") > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("_changed", changed)
+        .withColumn("status", status)
+        .select(
+            *keys,
+            "status",
+            F.when(
+                F.col("status") == "changed", F.col("_changed")
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("changed_cols"),
+        )
+    )

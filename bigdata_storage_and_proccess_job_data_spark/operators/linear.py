@@ -528,78 +528,3 @@ def aipw_ate(
         ).alias("se"),
     )
 
-
-def calibration_report(
-    df: DataFrame,
-    score_col: str,
-    label_col: str,
-    n_bins: int = 10,
-    keys: "list[str] | None" = None,
-) -> DataFrame:
-    """Probability-calibration readout for a scored binary outcome --
-    the evaluation ranking_metrics cannot see (a ranker can order
-    perfectly while its probabilities are wildly over-confident; a
-    quality filter thresholded at p>=0.9 needs that 0.9 to MEAN 0.9).
-    Standard reliability-diagram binning (Guo et al. 2017 shape):
-    scores cut into ``n_bins`` equal-width bins on [0, 1]; per bin the
-    mean predicted probability (confidence) vs the observed positive
-    rate (accuracy). Returns one row per (key, bin) with n, confidence,
-    accuracy, abs_gap, plus two per-key summary columns repeated on
-    each row (the benford_report convention): ``ece`` -- the expected
-    calibration error sum(n_b/N * |acc_b - conf_b|) -- and ``brier``
-    -- mean (score - label)^2.
-
-    Bin edges: bin = least(floor(score * n_bins), n_bins - 1), so 1.0
-    lands in the top bin instead of its own. Empty bins emit no row
-    (they contribute nothing to ECE). Rows with NULL score/label are
-    excluded; scores outside [0, 1] raise (a score that is not a
-    probability poisons every summary -- fail loud, the bh_adjust
-    convention). Labels must be 0/1-valued numerics.
-
-    Scale shape: ONE hash agg to (keys, bin) -- at most keys x n_bins
-    rows -- then a broadcast-sized window for the per-key summaries.
-    Nothing row-sized survives the first aggregation."""
-    if n_bins < 2:
-        raise ValueError(f"n_bins must be >= 2: {n_bins}")
-    keys = keys or []
-    from pyspark.sql import Window
-
-    s = F.col(score_col).cast("double")
-    y = F.col(label_col).cast("double")
-    base = df.filter(s.isNotNull() & y.isNotNull())
-    checked = base.withColumn(
-        "_s",
-        F.when((s >= 0) & (s <= 1), s).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"calibration_report: {score_col} outside "
-                        "[0, 1]: "
-                    ),
-                    s.cast("string"),
-                )
-            )
-        ),
-    )
-    binned = checked.groupBy(
-        *keys,
-        F.least(
-            F.floor(F.col("_s") * n_bins), F.lit(n_bins - 1)
-        ).cast("int").alias("bin"),
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("_s").alias("confidence"),
-        F.avg(y).alias("accuracy"),
-        F.sum((F.col("_s") - y) * (F.col("_s") - y)).alias("_se"),
-    )
-    w = Window.partitionBy(*[F.col(k) for k in keys])
-    tot = F.sum("n").over(w)
-    gap = F.abs(F.col("accuracy") - F.col("confidence"))
-    return (
-        binned.withColumn("abs_gap", gap)
-        .withColumn(
-            "ece", F.sum(F.col("n") * gap).over(w) / tot
-        )
-        .withColumn("brier", F.sum("_se").over(w) / tot)
-        .drop("_se")
-    )

@@ -576,14 +576,32 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # 100 queries vs DuckDB at sf0.01) re-ran green after the fixes. No
 # session.py / catalog.py / numeric.py change this round so far.
 # Mid-r10 additions audit (same rule): bh_adjust (aggregates.py),
-# calibration_report (linear.py) and psi_report (features.py) are
-# ADDITIVE -- new functions appended, no registered query's body or
-# callee changed; all three are R11-promotable with full DuckDB
+# calibration_bins' opt-in summaries=True (aggregates.py -- ece/
+# brier/abs_gap appended to the existing reliability frame; default
+# schema byte-identical, the original test still pins it) and
+# psi_report (features.py) are ADDITIVE -- no registered query's body
+# or callee changed; all three are R11-promotable with full DuckDB
 # replay parity (test_bh_adjust_textbook_ties_and_parity,
-# test_calibration_report_pins_and_parity,
+# test_calibration_summaries_pins_and_parity,
 # test_psi_report_drift_pins_and_parity -- the last replays with the
 # fitted cut points as literals, the pinned-model precedent, plus a
 # quantile_cont equality pin on the cuts).
+# Late-r10 additions audit (same rule, still additive-only):
+# woe_fit/woe_apply (features.py -- WOE/IV credit-scoring encoding)
+# and fk_integrity_report (aggregates.py -- cross-table FK audit, the
+# check expectation_report can't make) are R11-promotable with full
+# DuckDB replay parity (test_woe_fit_apply_semantics_and_parity,
+# test_fk_integrity_report_semantics_and_parity). bench_probes.py
+# gained the join_hot_naive/join_hot_split measured twin (bench-only,
+# not registry material -- the join_bucketed/join_shuffled precedent);
+# the registered hot_key_split_join query is unaffected (its body was
+# written this round and rows this round). Also additive:
+# ks_test (aggregates.py -- exact two-sample Kolmogorov-Smirnov per
+# key, the binning-free drift twin of psi_report) and table_diff
+# (joins.py -- snapshot row-diff with null-safe per-column change
+# arrays, the any-two-frames twin of snapshot_change_feed), both
+# R11-promotable with full DuckDB replay parity
+# (test_ks_test_pins_and_parity, test_table_diff_statuses_and_parity).
 DRIVER_WINDOW_R10 = sorted(
     (
         set(DRIVER_WINDOW_R10_PLAN)
@@ -610,6 +628,32 @@ DRIVER_WINDOW_R10 = sorted(
 DRIVER_WINDOW_R11_PLAN = sorted(
     (set(DRIVER_WINDOW_R9) - {"cohort_retention"}) | {"stat_moments"}
 )
+
+# R11 promotion priorities (builder's note for the next curation pass,
+# the executed-R9/R10 precedent). Highest-information picks among the
+# oracle-grade surfaces, each with a CONCRETE paired-retirement
+# candidate this time (the kn_surprisal lesson: verify the retiree is
+# actually registered before planning on it):
+# (1) bh_adjust -- the experiment family's missing multiple-testing
+#     control; natural retirement: funnel_latency (one-row
+#     time-to-convert stats whose gap arithmetic is event_gaps'
+#     hash-checked shape and whose funnel coverage stays driver-
+#     checked by funnel_view_click_purchase + view_click_attribution).
+# (2) ks_test or psi_report -- the drift gate family; candidate
+#     retirement: key_skew_report (its max/mean algebra is a strict
+#     sub-shape of the skew bench pair's oracle and the heavy_hitters
+#     tests; the skew family keeps skewed_hot_key_agg +
+#     skew_distinct_naive/spread driver rows).
+# (3) table_diff -- the snapshot-regression readout; candidate
+#     retirement: setop_except (the diff's removed-status is except's
+#     shape row-for-row; setop_intersect stays as the family's row).
+# (4) fk_integrity_report -- the join-health gate; candidate
+#     retirement: dq_orders_report (same expectation_report operator
+#     family; the single-table rule bundle stays unit-tested and its
+#     null/range/dup rules are sub-expressions of the audit's).
+# All carry full DuckDB replay parity in the tests named in the
+# audit notes above; every promotion needs its retirement recorded in
+# registry.RETIRED per the saturation rule.
 
 # R10 promotion priorities (builder's note for the next curation
 # pass, the executed-R9 precedent): of the restart wave's

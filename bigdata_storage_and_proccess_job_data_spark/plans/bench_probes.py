@@ -396,6 +396,8 @@ def bench_probes() -> dict:
         "cow_delete_fragmented": cow_delete_fragmented,
         "join_bucketed": join_bucketed,
         "join_shuffled": join_shuffled,
+        "join_hot_naive": join_hot_naive,
+        "join_hot_split": join_hot_split,
     }
 
 
@@ -613,4 +615,68 @@ def join_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_extendedprice", "l_quantity"
         ),
+    )
+
+
+def _skew_join_sides(spark: SparkSession, sf_dir: str):
+    """Shared frames of the hot-key join twin: lineitem as a fact whose
+    foreign key is forced 75% onto ONE customer (the Zipf-head regime),
+    customer as the dimension. The dim carries a merge hint pinning
+    sort-merge on every non-broadcast path: at sf0.1 a 15k-row dim
+    would auto-broadcast, which has no skew problem to solve -- the pin
+    simulates the big-dim regime the operator exists for (a dimension
+    too large to broadcast whole), while the split's explicit
+    F.broadcast of the FEW hot rows still applies, exactly the
+    operator's asymmetry at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 4 != 0, F.lit(7))
+        .otherwise((F.col("l_orderkey") % 1500) + 1)
+        .alias("c_custkey"),
+        "l_extendedprice",
+        "l_quantity",
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .hint("merge")
+    )
+    return li, cust
+
+
+def _skew_join_agg(joined: DataFrame) -> DataFrame:
+    return joined.groupBy("c_mktsegment").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias(
+            "volume"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def join_hot_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed fact-dim join, naive path: one sort-merge join where 75%
+    of the fact rows hash to a single reducer partition (AQE's skew
+    split stays ON, so this twin measures Spark's own best-effort
+    chunking -- every hot row still crosses the wire into the chunks).
+    Twin: join_hot_split."""
+    li, cust = _skew_join_sides(spark, sf_dir)
+    return _skew_join_agg(li.join(cust, "c_custkey"))
+
+
+def join_hot_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_hot_naive's twin through operators/joins.py:
+    hot_key_split_join -- the hot slice (75% of the fact) joins
+    map-side against a broadcast of the ONE hot dimension row and never
+    shuffles; only the uniform cold remainder pays the sort-merge
+    exchange. Wall-time honesty (the skew_distinct precedent): on one
+    JVM the avoided shuffle is a memory copy while the split pays TWO
+    pruned fact scans (rows_read records exactly 2x the naive twin's),
+    so the local pair is a wash -- the scale figure is the plan
+    (BroadcastHashJoin over the hot slice unioned with the shuffled
+    cold join, pinned in tests/test_joins.py), where the avoided
+    movement is 75% of the fact over the network."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import joins
+
+    li, cust = _skew_join_sides(spark, sf_dir)
+    return _skew_join_agg(
+        joins.hot_key_split_join(li, cust, "c_custkey", [7])
     )

@@ -539,3 +539,93 @@ def test_psi_report_drift_pins_and_parity(spark, oracle_sf_dir):
         FROM t
     """
     assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_woe_fit_apply_semantics_and_parity(spark, oracle_sf_dir):
+    """Weight of evidence: (1) hand math -- a positive-heavy category
+    gets woe > 0, a balanced one ~0, the eps adjustment keeps a pure
+    category finite, NULL category is its own level; (2) apply is a
+    broadcast lookup with NULL for unseen categories and null-safe
+    matching for the missing level; (3) full DuckDB replay on orders
+    (segment category vs a parity label)."""
+    import math
+
+    rows = (
+        [("a", 1.0)] * 8 + [("a", 0.0)] * 2      # positive-heavy
+        + [("b", 1.0)] * 5 + [("b", 0.0)] * 5    # balanced
+        + [("c", 1.0)] * 3                        # pure positive
+        + [(None, 0.0)] * 4                       # missing level
+        + [("a", None)]                           # excluded
+    )
+    df = spark.createDataFrame(rows, "cat string, y double")
+    fit = features.woe_fit(df, "cat", "y", eps=0.5)
+    got = {r.category: r for r in fit.collect()}
+    tp, tn = 16.0, 11.0
+    woe_a = math.log(((8 + 0.5) / tp) / ((2 + 0.5) / tn))
+    assert got["a"].woe == pytest.approx(woe_a)
+    assert got["a"].n == 10 and got["a"].n_pos == 8
+    # a 50/50 category is NEGATIVE evidence when the population skews
+    # positive (16 pos vs 11 neg): woe = ln((5.5/16)/(5.5/11))
+    assert got["b"].woe == pytest.approx(math.log(11 / 16))
+    assert got["c"].woe > 0 and math.isfinite(got["c"].woe)
+    assert got[None].n == 4  # NULL category kept as a level
+    iv = sum(r.iv_term for r in got.values())
+    assert got["a"].iv == pytest.approx(iv)
+    with pytest.raises(ValueError, match="eps"):
+        features.woe_fit(df, "cat", "y", eps=0.0)
+
+    applied = {
+        r.cat: r.woe
+        for r in features.woe_apply(
+            spark.createDataFrame(
+                [("a",), ("zz",), (None,)], "cat string"
+            ),
+            fit,
+            "cat",
+        ).collect()
+    }
+    assert applied["a"] == pytest.approx(woe_a)
+    assert applied["zz"] is None  # unseen -> NULL, surfaced
+    assert applied[None] == got[None].woe  # null-safe missing match
+
+    orders = load_table(spark, oracle_sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_custkey") % 2).cast("double").alias("y"),
+    )
+    out = features.woe_fit(orders, "o_orderpriority", "y").select(
+        "category",
+        "n",
+        "n_pos",
+        "n_neg",
+        stable_round(F.col("woe"), 6).alias("woe"),
+        stable_round(F.col("iv_term"), 8).alias("iv_term"),
+        stable_round(F.col("iv"), 8).alias("iv"),
+    )
+    sql = f"""
+        WITH base AS (
+          SELECT o_orderpriority AS category,
+                 CAST(o_custkey % 2 AS DOUBLE) AS y
+          FROM orders
+        ),
+        per AS (
+          SELECT category, COUNT(*)::BIGINT AS n,
+                 CAST(SUM(y) AS BIGINT) AS n_pos,
+                 CAST(SUM(1.0 - y) AS BIGINT) AS n_neg
+          FROM base GROUP BY category
+        ),
+        tot AS (SELECT SUM(y) AS tp, SUM(1.0 - y) AS tn FROM base),
+        w AS (
+          SELECT category, n, n_pos, n_neg,
+                 ln(((n_pos + 0.5) / tp) / ((n_neg + 0.5) / tn)) AS woe,
+                 ((n_pos + 0.5) / tp - (n_neg + 0.5) / tn)
+                   * ln(((n_pos + 0.5) / tp) / ((n_neg + 0.5) / tn))
+                   AS iv_term
+          FROM per, tot
+        )
+        SELECT category, n, n_pos, n_neg,
+               {sql_round('woe', 6)} AS woe,
+               {sql_round('iv_term', 8)} AS iv_term,
+               {sql_round('SUM(iv_term) OVER ()', 8)} AS iv
+        FROM w
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []

@@ -553,3 +553,127 @@ def test_detect_hot_keys_null_group_never_eats_a_slot(spark):
     df = spark.createDataFrame(rows, "k int, v int")
     hot = joins.detect_hot_keys(df, "k", top=4, min_share=0.05)
     assert hot == [0, 1, 2, 3]
+
+
+def test_table_diff_statuses_and_parity(spark, sf_dir):
+    """Snapshot diff: (1) hand pins -- added/removed/changed/unchanged,
+    null-safe per-column change detection, NULL keys excluded,
+    validation; (2) full DuckDB replay on orders vs a mutated orders
+    snapshot (price bumps, deletes, inserts)."""
+    import pytest
+
+    from tests.parity import compare, duckdb_connect
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", None),
+            (3, "c", 30.0),
+            (4, "d", 40.0),
+            (None, "x", 0.0),
+        ],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),      # unchanged
+            (2, "b", 20.0),      # NULL -> value: changed
+            (3, "zz", 30.0),     # s changed
+            (5, "e", 50.0),      # added
+            (None, "y", 1.0),
+        ],
+        "k long, s string, v double",
+    )
+    got = {
+        r.k: (r.status, list(r.changed_cols))
+        for r in joins.table_diff(old, new, ["k"]).collect()
+    }
+    assert got[1] == ("unchanged", [])
+    assert got[2] == ("changed", ["v"])
+    assert got[3] == ("changed", ["s"])
+    assert got[4] == ("removed", [])
+    assert got[5] == ("added", [])
+    assert None not in got  # NULL keys excluded
+    assert len(got) == 5
+
+    # compare_cols narrows the diff: with only s compared, row 2 reads
+    # unchanged
+    narrowed = {
+        r.k: r.status
+        for r in joins.table_diff(old, new, ["k"], ["s"]).collect()
+    }
+    assert narrowed[2] == "unchanged" and narrowed[3] == "changed"
+
+    with pytest.raises(ValueError, match="keys is empty"):
+        joins.table_diff(old, new, [])
+    with pytest.raises(ValueError, match="missing"):
+        joins.table_diff(old, new, ["k"], ["nope"])
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mutated = (
+        orders.filter(F.col("o_orderkey") % 11 != 0)  # deletes
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            ).limit(0)  # keep schema; inserts built below
+        )
+    )
+    inserts = spark.createDataFrame(
+        [(10_000_001, "O", 1.0), (10_000_002, "F", 2.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    mutated = mutated.unionByName(inserts)
+    got_big = joins.table_diff(orders, mutated, ["o_orderkey"]).select(
+        "o_orderkey",
+        "status",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+    )
+    sql = """
+        WITH o AS (
+          SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p
+          FROM orders
+        ),
+        n AS (
+          SELECT o_orderkey AS k, o_orderstatus AS s,
+                 CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                      ELSE o_totalprice END AS p
+          FROM orders WHERE o_orderkey % 11 <> 0
+          UNION ALL
+          SELECT * FROM (VALUES (10000001, 'O', 1.0),
+                                (10000002, 'F', 2.0)) t(k, s, p)
+        ),
+        j AS (
+          SELECT COALESCE(o.k, n.k) AS k,
+                 o.k IS NOT NULL AS in_old,
+                 n.k IS NOT NULL AS in_new,
+                 list_filter([
+                   CASE WHEN o.s IS DISTINCT FROM n.s THEN 's' END,
+                   CASE WHEN o.p IS DISTINCT FROM n.p THEN 'p' END
+                 ], x -> x IS NOT NULL) AS ch
+          FROM o FULL OUTER JOIN n ON o.k = n.k
+        )
+        SELECT k AS o_orderkey,
+               CASE WHEN NOT in_old THEN 'added'
+                    WHEN NOT in_new THEN 'removed'
+                    WHEN len(ch) > 0 THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               CASE WHEN in_old AND in_new AND len(ch) > 0
+                    THEN list_aggregate(
+                      list_transform(ch, x ->
+                        CASE x WHEN 's' THEN 'o_orderstatus'
+                               ELSE 'o_totalprice' END),
+                      'string_agg', ',')
+                    ELSE '' END AS changed_cols
+        FROM j
+    """
+    assert compare(got_big, duckdb_connect(sf_dir), sql) == []

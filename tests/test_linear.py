@@ -419,103 +419,3 @@ def test_aipw_double_robustness(spark, oracle_sf_dir):
     )
     assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
 
-
-def test_calibration_report_pins_and_parity(spark, oracle_sf_dir):
-    """Calibration: (1) a perfectly calibrated score column gives
-    accuracy == confidence per bin and ece ~ 0 while a uniformly
-    over-confident one shows the gap; (2) bin edges -- score 1.0 lands
-    in the top bin; (3) out-of-range scores fail loud; (4) full DuckDB
-    replay on orders-derived scores per status."""
-    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
-        sql_round,
-        stable_round,
-    )
-
-    # perfectly calibrated: within each bin, positive rate == score
-    rows = []
-    for conf, n in [(0.25, 8), (0.75, 8)]:
-        pos = int(conf * n)
-        rows += [(conf, 1.0)] * pos + [(conf, 0.0)] * (n - pos)
-    cal = spark.createDataFrame(rows, "s double, y double")
-    out = {
-        r.bin: r
-        for r in linear.calibration_report(cal, "s", "y", n_bins=4).collect()
-    }
-    assert set(out) == {1, 3}
-    assert out[1].accuracy == pytest.approx(0.25)
-    assert out[1].confidence == pytest.approx(0.25)
-    assert out[1].ece == pytest.approx(0.0, abs=1e-12)
-    # brier for a calibrated constant-score bin = mean p(1-p) pooled
-    assert out[1].brier == pytest.approx(
-        (0.25 * 0.75 + 0.75 * 0.25) / 2
-    )
-    # overconfident: says 0.9, delivers 0.5
-    over = spark.createDataFrame(
-        [(0.9, 1.0), (0.9, 0.0)] * 10, "s double, y double"
-    )
-    o = linear.calibration_report(over, "s", "y", n_bins=10).collect()[0]
-    assert o.abs_gap == pytest.approx(0.4)
-    assert o.ece == pytest.approx(0.4)
-    # score exactly 1.0 -> top bin, not bin n
-    edge = spark.createDataFrame(
-        [(1.0, 1.0), (0.0, 0.0)], "s double, y double"
-    )
-    bins = {
-        r.bin for r in linear.calibration_report(edge, "s", "y", 10).collect()
-    }
-    assert bins == {0, 9}
-    with pytest.raises(Exception, match="outside"):
-        linear.calibration_report(
-            spark.createDataFrame([(1.2, 1.0)], "s double, y double"),
-            "s", "y",
-        ).collect()
-    with pytest.raises(ValueError, match="n_bins"):
-        linear.calibration_report(edge, "s", "y", n_bins=1)
-
-    orders = load_table(spark, oracle_sf_dir, "orders").select(
-        "o_orderstatus",
-        ((F.col("o_orderkey") % 100) / 99.0).alias("s"),
-        (F.col("o_custkey") % 2).cast("double").alias("y"),
-    )
-    got = linear.calibration_report(
-        orders, "s", "y", n_bins=10, keys=["o_orderstatus"]
-    ).select(
-        "o_orderstatus",
-        "bin",
-        "n",
-        stable_round(F.col("confidence"), 6).alias("confidence"),
-        stable_round(F.col("accuracy"), 6).alias("accuracy"),
-        stable_round(F.col("abs_gap"), 6).alias("abs_gap"),
-        stable_round(F.col("ece"), 6).alias("ece"),
-        stable_round(F.col("brier"), 6).alias("brier"),
-    )
-    sql = f"""
-        WITH base AS (
-          SELECT o_orderstatus AS k,
-                 (o_orderkey % 100) / 99.0 AS s,
-                 CAST(o_custkey % 2 AS DOUBLE) AS y
-          FROM orders
-        ),
-        b AS (
-          SELECT k, LEAST(FLOOR(s * 10), 9)::INT AS bin,
-                 COUNT(*)::BIGINT AS n,
-                 AVG(s) AS confidence,
-                 AVG(y) AS accuracy,
-                 SUM((s - y) * (s - y)) AS se
-          FROM base GROUP BY 1, 2
-        )
-        SELECT k AS o_orderstatus, bin, n,
-               {sql_round('confidence', 6)} AS confidence,
-               {sql_round('accuracy', 6)} AS accuracy,
-               {sql_round('ABS(accuracy - confidence)', 6)} AS abs_gap,
-               {sql_round(
-                   'SUM(n * ABS(accuracy - confidence)) OVER '
-                   '(PARTITION BY k) / SUM(n) OVER (PARTITION BY k)', 6
-               )} AS ece,
-               {sql_round(
-                   'SUM(se) OVER (PARTITION BY k) / '
-                   'SUM(n) OVER (PARTITION BY k)', 6
-               )} AS brier
-        FROM b
-    """
-    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []

@@ -3219,3 +3219,285 @@ def test_bh_adjust_textbook_ties_and_parity(spark, oracle_sf_dir):
         FROM qv
     """
     assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_fk_integrity_report_semantics_and_parity(spark, oracle_sf_dir):
+    """Cross-table FK audit: (1) hand pins -- orphans counted only
+    among non-null fks, NULL fks excused, duplicate pks flagged, ok
+    only when both are zero; (2) full DuckDB replay on orders ->
+    customer with planted orphans."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    fact = spark.createDataFrame(
+        [(1,), (2,), (2,), (99,), (None,)], "fk long"
+    )
+    dim = spark.createDataFrame([(1,), (2,), (2,)], "pk long")
+    r = aggregates.fk_integrity_report(fact, dim, "fk", "pk").collect()[0]
+    assert (r.n_fact, r.n_null_fk, r.n_orphans) == (5, 1, 1)  # 99 only
+    assert r.orphan_rate == 1 / 4
+    assert (r.n_dim, r.n_dup_pk) == (3, 1)
+    assert r.ok is False
+    clean = aggregates.fk_integrity_report(
+        fact.filter(F.col("fk") != 99),
+        dim.distinct(),
+        "fk",
+        "pk",
+    ).collect()[0]
+    assert clean.ok is True and clean.n_orphans == 0
+
+    # all-null fk frame: rate NULL, not a division error
+    nulls = spark.createDataFrame([(None,), (None,)], "fk long")
+    rn = aggregates.fk_integrity_report(
+        nulls, dim.distinct(), "fk", "pk"
+    ).collect()[0]
+    assert rn.orphan_rate is None and rn.ok is True
+
+    orders = load_table(spark, oracle_sf_dir, "orders").select(
+        # plant orphans: shift 1/7th of the custkeys out of range
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_custkey") + 1_000_000
+        ).otherwise(F.col("o_custkey")).alias("fk")
+    )
+    customer = load_table(spark, oracle_sf_dir, "customer")
+    got = aggregates.fk_integrity_report(
+        orders, customer, "fk", "c_custkey"
+    ).select(
+        "n_fact",
+        "n_null_fk",
+        "n_orphans",
+        stable_round(F.col("orphan_rate"), 6).alias("orphan_rate"),
+        "n_dim",
+        "n_dup_pk",
+        "ok",
+    )
+    sql = f"""
+        WITH f AS (
+          SELECT CASE WHEN o_orderkey % 7 = 0
+                      THEN o_custkey + 1000000
+                      ELSE o_custkey END AS fk
+          FROM orders
+        ),
+        fa AS (
+          SELECT COUNT(*)::BIGINT AS n_fact,
+                 SUM(CASE WHEN fk IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_null_fk
+          FROM f
+        ),
+        o AS (
+          SELECT COUNT(*)::BIGINT AS n_orphans
+          FROM f WHERE fk IS NOT NULL
+            AND fk NOT IN (SELECT c_custkey FROM customer)
+        ),
+        d AS (
+          SELECT COUNT(*)::BIGINT AS n_dim,
+                 (COUNT(c_custkey) - COUNT(DISTINCT c_custkey))::BIGINT
+                   AS n_dup_pk
+          FROM customer
+        )
+        SELECT n_fact, n_null_fk, n_orphans,
+               {sql_round('n_orphans * 1.0 / (n_fact - n_null_fk)', 6)}
+                 AS orphan_rate,
+               n_dim, n_dup_pk,
+               n_orphans = 0 AND n_dup_pk = 0 AS ok
+        FROM fa, o, d
+    """
+    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_ks_test_pins_and_parity(spark, oracle_sf_dir):
+    """Two-sample KS: (1) identical samples score D = 0, disjoint
+    ranges D = 1; (2) a shifted sample matches a pure-Python ECDF
+    replica exactly (ties included); (3) one-sided keys emit no row;
+    (4) full DuckDB replay on an even/odd orders split per status."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    a = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    same = aggregates.ks_test(a, a, "v").collect()[0]
+    assert same.d_stat == 0.0 and same.n_a == same.n_b == 10
+    b = spark.createDataFrame(
+        [(float(i + 100),) for i in range(7)], "v double"
+    )
+    apart = aggregates.ks_test(a, b, "v").collect()[0]
+    assert apart.d_stat == 1.0 and apart.n_b == 7
+
+    # replica with ties: a = [1,2,2,3], b = [2,3,3,4]
+    xa, xb = [1.0, 2.0, 2.0, 3.0], [2.0, 3.0, 3.0, 4.0]
+    fa = spark.createDataFrame([(v,) for v in xa], "v double")
+    fb = spark.createDataFrame([(v,) for v in xb], "v double")
+    got = aggregates.ks_test(fa, fb, "v").collect()[0]
+
+    def ecdf(xs, t):
+        return sum(1 for x in xs if x <= t) / len(xs)
+
+    want = max(
+        abs(ecdf(xa, t) - ecdf(xb, t)) for t in sorted(set(xa + xb))
+    )
+    assert got.d_stat == pytest.approx(want)
+
+    keyed = aggregates.ks_test(
+        fa.withColumn("k", F.lit("only_a")),
+        fb.withColumn("k", F.lit("only_b")),
+        "v",
+        keys=["k"],
+    ).collect()
+    assert keyed == []  # no shared key slice -> no comparable ECDFs
+
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    ev = orders.filter(F.col("o_orderkey") % 2 == 0)
+    od = orders.filter(F.col("o_orderkey") % 2 == 1)
+    out = aggregates.ks_test(
+        ev, od, "o_totalprice", keys=["o_orderstatus"]
+    ).select(
+        "o_orderstatus",
+        "n_a",
+        "n_b",
+        stable_round(F.col("d_stat"), 8).alias("d_stat"),
+    )
+    sql = f"""
+        WITH a AS (
+          SELECT o_orderstatus AS k, o_totalprice AS v,
+                 COUNT(*) AS ca, 0 AS cb
+          FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        b AS (
+          SELECT o_orderstatus AS k, o_totalprice AS v,
+                 0 AS ca, COUNT(*) AS cb
+          FROM orders WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        u AS (
+          SELECT k, v, SUM(ca) AS da, SUM(cb) AS db
+          FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+          GROUP BY 1, 2
+        ),
+        c AS (
+          SELECT k, v,
+                 SUM(da) OVER (PARTITION BY k ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_a,
+                 SUM(db) OVER (PARTITION BY k ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_b,
+                 SUM(da) OVER (PARTITION BY k) AS n_a,
+                 SUM(db) OVER (PARTITION BY k) AS n_b
+          FROM u
+        )
+        SELECT k AS o_orderstatus,
+               CAST(MAX(n_a) AS BIGINT) AS n_a,
+               CAST(MAX(n_b) AS BIGINT) AS n_b,
+               {sql_round(
+                   'MAX(ABS(cum_a * 1.0 / n_a - cum_b * 1.0 / n_b))', 8
+               )} AS d_stat
+        FROM c WHERE n_a > 0 AND n_b > 0
+        GROUP BY k
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_calibration_summaries_pins_and_parity(spark, oracle_sf_dir):
+    """calibration_bins(summaries=True): (1) a perfectly calibrated
+    score column gives ece ~ 0 and the pooled Brier of p(1-p); an
+    over-confident one shows the gap in both abs_gap and ece; (2) the
+    default schema is unchanged (no summary columns); (3) full DuckDB
+    replay on orders-derived scores per status."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    rows = []
+    for conf, n in [(0.25, 8), (0.75, 8)]:
+        pos = int(conf * n)
+        rows += [(True, conf)] * pos + [(False, conf)] * (n - pos)
+    cal = spark.createDataFrame(rows, "y boolean, s double")
+    out = {
+        r.bin: r
+        for r in aggregates.calibration_bins(
+            cal, "y", "s", bins=4, summaries=True
+        ).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1].observed_rate == pytest.approx(0.25)
+    assert out[1].mean_score == pytest.approx(0.25)
+    assert out[1].ece == pytest.approx(0.0, abs=1e-12)
+    assert out[1].brier == pytest.approx((0.25 * 0.75 + 0.75 * 0.25) / 2)
+    # overconfident: says 0.9, delivers 0.5
+    over = spark.createDataFrame(
+        [(True, 0.9), (False, 0.9)] * 10, "y boolean, s double"
+    )
+    o = aggregates.calibration_bins(
+        over, "y", "s", bins=10, summaries=True
+    ).collect()[0]
+    assert o.abs_gap == pytest.approx(0.4)
+    assert o.ece == pytest.approx(0.4)
+    # default schema unchanged
+    plain = aggregates.calibration_bins(over, "y", "s", bins=10)
+    assert plain.columns == ["bin", "n", "mean_score", "observed_rate", "gap"]
+
+    orders = load_table(spark, oracle_sf_dir, "orders").select(
+        "o_orderstatus",
+        (F.col("o_custkey") % 2 == 0).alias("y"),
+        ((F.col("o_orderkey") % 100) / 99.0).alias("s"),
+    )
+    got = aggregates.calibration_bins(
+        orders, "y", "s", bins=10, keys=["o_orderstatus"], summaries=True
+    ).select(
+        "o_orderstatus",
+        "bin",
+        "n",
+        stable_round(F.col("mean_score"), 6).alias("mean_score"),
+        stable_round(F.col("observed_rate"), 6).alias("observed_rate"),
+        stable_round(F.col("gap"), 6).alias("gap"),
+        stable_round(F.col("abs_gap"), 6).alias("abs_gap"),
+        stable_round(F.col("ece"), 6).alias("ece"),
+        stable_round(F.col("brier"), 6).alias("brier"),
+    )
+    sql = f"""
+        WITH base AS (
+          SELECT o_orderstatus AS k,
+                 CAST(o_custkey % 2 = 0 AS DOUBLE) AS y,
+                 (o_orderkey % 100) / 99.0 AS s
+          FROM orders
+        ),
+        b AS (
+          SELECT k, LEAST(FLOOR(s * 10), 9)::INT AS bin,
+                 COUNT(*)::BIGINT AS n,
+                 AVG(s) AS mean_score,
+                 AVG(y) AS observed_rate,
+                 AVG(y) - AVG(s) AS gap,
+                 SUM((s - y) * (s - y)) AS se
+          FROM base GROUP BY 1, 2
+        )
+        SELECT k AS o_orderstatus, bin, n,
+               {sql_round('mean_score', 6)} AS mean_score,
+               {sql_round('observed_rate', 6)} AS observed_rate,
+               {sql_round('gap', 6)} AS gap,
+               {sql_round('ABS(gap)', 6)} AS abs_gap,
+               {sql_round(
+                   'SUM(n * ABS(gap)) OVER (PARTITION BY k) '
+                   '/ SUM(n) OVER (PARTITION BY k)', 6
+               )} AS ece,
+               {sql_round(
+                   'SUM(se) OVER (PARTITION BY k) '
+                   '/ SUM(n) OVER (PARTITION BY k)', 6
+               )} AS brier
+        FROM b
+    """
+    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
