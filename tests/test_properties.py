@@ -719,3 +719,239 @@ def test_hamming_candidates_exact_recall_on_generated_signatures(spark):
         if ham(signed[a], signed[b]) <= 3
     }
     assert got == want
+
+
+def test_bh_adjust_invariants_and_replica_on_generated_pvalues(spark):
+    """BH q-values on generated p-batches (duplicates + extremes
+    forced in): (1) exact equality with an independent pure-Python
+    step-up replica; (2) p <= q <= 1 everywhere; (3) q is monotone in
+    the p order, so the rejection set is always a p-prefix; (4) the
+    result is partition-count invariant; (5) tied p share one q."""
+    from hypothesis import HealthCheck, given, settings
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        aggregates,
+    )
+
+    batches: list[list[float]] = []
+
+    @settings(
+        max_examples=25,
+        database=None,
+        derandomize=True,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        st.lists(
+            st.floats(
+                min_value=0.0,
+                max_value=1.0,
+                allow_nan=False,
+                width=64,
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def grab(ps):
+        batches.append(ps)
+
+    grab()
+    batches.append([0.0, 0.0, 1.0, 1.0, 0.5, 0.5, 0.5])  # ties + extremes
+
+    def bh_replica(ps):
+        m = len(ps)
+        order = sorted(range(m), key=lambda i: ps[i])
+        q = [0.0] * m
+        best = 1.0
+        for rank in range(m, 0, -1):
+            i = order[rank - 1]
+            best = min(best, ps[i] * m / rank)
+            q[i] = best
+        return q
+
+    rows = [
+        (b, i, p)
+        for b, ps in enumerate(batches)
+        for i, p in enumerate(ps)
+    ]
+    df = spark.createDataFrame(rows, "batch int, i int, p double")
+    got = {
+        (r.batch, r.i): r.q_value
+        for r in aggregates.bh_adjust(df, "p", keys=["batch"]).collect()
+    }
+    got13 = {
+        (r.batch, r.i): r.q_value
+        for r in aggregates.bh_adjust(
+            df.repartition(13), "p", keys=["batch"]
+        ).collect()
+    }
+    assert got == got13  # partition invariance
+    for b, ps in enumerate(batches):
+        want = bh_replica(ps)
+        by_p = {}
+        for i, p in enumerate(ps):
+            q = got[(b, i)]
+            assert q == pytest.approx(want[i], abs=1e-12), (b, i, ps)
+            assert p - 1e-12 <= q <= 1.0 + 1e-12
+            by_p.setdefault(p, set()).add(round(q, 15))
+        for p, qs in by_p.items():
+            assert len(qs) == 1, (b, p, qs)  # tied p -> one q
+        # monotone in p order
+        seq = [got[(b, i)] for i in sorted(range(len(ps)), key=lambda i: ps[i])]
+        assert all(a <= x + 1e-12 for a, x in zip(seq, seq[1:]))
+
+
+def test_ks_test_replica_and_invariants_on_generated_samples(spark):
+    """Two-sample KS on generated pairs (shared values forced so ties
+    cross sides): exact agreement with a pure-Python ECDF max-gap
+    replica, 0 <= D <= 1, D(x, x) == 0, symmetry D(a,b) == D(b,a),
+    and partition-count invariance."""
+    from hypothesis import HealthCheck, given, settings
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        aggregates,
+    )
+
+    pairs: list[tuple[list[float], list[float]]] = []
+
+    @settings(
+        max_examples=15,
+        database=None,
+        derandomize=True,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=9),
+            min_size=1,
+            max_size=20,
+        ),
+        st.lists(
+            st.integers(min_value=0, max_value=9),
+            min_size=1,
+            max_size=20,
+        ),
+    )
+    def grab(xa, xb):
+        pairs.append(([float(x) for x in xa], [float(x) for x in xb]))
+
+    grab()
+
+    def ks_replica(xa, xb):
+        pts = sorted(set(xa) | set(xb))
+        return max(
+            abs(
+                sum(1 for x in xa if x <= t) / len(xa)
+                - sum(1 for x in xb if x <= t) / len(xb)
+            )
+            for t in pts
+        )
+
+    rows_a = [(k, v) for k, (xa, _) in enumerate(pairs) for v in xa]
+    rows_b = [(k, v) for k, (_, xb) in enumerate(pairs) for v in xb]
+    fa = spark.createDataFrame(rows_a, "k int, v double")
+    fb = spark.createDataFrame(rows_b, "k int, v double")
+    got = {
+        r.k: r.d_stat
+        for r in aggregates.ks_test(fa, fb, "v", keys=["k"]).collect()
+    }
+    got_swap = {
+        r.k: r.d_stat
+        for r in aggregates.ks_test(fb, fa, "v", keys=["k"]).collect()
+    }
+    got_part = {
+        r.k: r.d_stat
+        for r in aggregates.ks_test(
+            fa.repartition(7), fb.repartition(3), "v", keys=["k"]
+        ).collect()
+    }
+    self_d = {
+        r.k: r.d_stat
+        for r in aggregates.ks_test(fa, fa, "v", keys=["k"]).collect()
+    }
+    for k, (xa, xb) in enumerate(pairs):
+        assert got[k] == pytest.approx(ks_replica(xa, xb), abs=1e-12), (
+            k, xa, xb,
+        )
+        assert 0.0 <= got[k] <= 1.0
+        assert got[k] == pytest.approx(got_swap[k], abs=1e-12)
+        assert got[k] == pytest.approx(got_part[k], abs=1e-12)
+        assert self_d[k] == 0.0
+
+
+def test_table_diff_involution_on_generated_snapshots(spark):
+    """table_diff on generated old/new snapshots: statuses cover the
+    key union exactly once; diff(x, x) is all-unchanged; swapping the
+    sides maps added <-> removed and preserves changed keys and their
+    changed-column sets."""
+    from hypothesis import HealthCheck, given, settings
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import joins
+
+    cases: list[tuple[dict, dict]] = []
+
+    @settings(
+        max_examples=15,
+        database=None,
+        derandomize=True,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=12),
+            st.tuples(
+                st.sampled_from(["x", "y", None]),
+                st.sampled_from([1.0, 2.0, None]),
+            ),
+            max_size=10,
+        ),
+        st.dictionaries(
+            st.integers(min_value=0, max_value=12),
+            st.tuples(
+                st.sampled_from(["x", "y", None]),
+                st.sampled_from([1.0, 2.0, None]),
+            ),
+            max_size=10,
+        ),
+    )
+    def grab(old, new):
+        cases.append((old, new))
+
+    grab()
+
+    def frame(side, tag):
+        rows = [
+            (case_id, k, v[0], v[1])
+            for case_id, pair in enumerate(cases)
+            for k, v in pair[tag].items()
+        ]
+        return spark.createDataFrame(
+            rows, "case int, k long, s string, v double"
+        )
+
+    old_f, new_f = frame(cases, 0), frame(cases, 1)
+    fwd = {
+        (r.case, r.k): (r.status, tuple(sorted(r.changed_cols)))
+        for r in joins.table_diff(old_f, new_f, ["case", "k"]).collect()
+    }
+    rev = {
+        (r.case, r.k): (r.status, tuple(sorted(r.changed_cols)))
+        for r in joins.table_diff(new_f, old_f, ["case", "k"]).collect()
+    }
+    self_d = joins.table_diff(old_f, old_f, ["case", "k"]).collect()
+    assert all(r.status == "unchanged" for r in self_d)
+    flip = {"added": "removed", "removed": "added"}
+    for case_id, (old, new) in enumerate(cases):
+        keys = set(old) | set(new)
+        assert {
+            k for (c, k) in fwd if c == case_id
+        } == keys  # exactly the union, once
+        for k in keys:
+            st_f, ch_f = fwd[(case_id, k)]
+            st_r, ch_r = rev[(case_id, k)]
+            assert st_r == flip.get(st_f, st_f), (case_id, k)
+            if st_f == "changed":
+                assert ch_f == ch_r and len(ch_f) > 0
+            else:
+                assert ch_f == () and ch_r == ()
