@@ -1,0 +1,164 @@
+"""Pipeline-health gate demo: the pre-publish checks an operating data
+pipeline runs BEFORE trusting and shipping a nightly output -- the
+round-10 monitoring suite composed end to end:
+
+  1. freshness gate: did every feed actually arrive inside its SLA?
+     (a green metric over a feed that stopped yesterday is the worst
+     kind of wrong)
+  2. referential integrity: do the fact's foreign keys resolve, and is
+     the dimension key unique? (an orphan becomes a silently-dropped
+     row at the next inner join)
+  3. snapshot diff: what changed against yesterday's published output
+     -- added/removed/changed keys with the changed-column sets
+  4. distribution drift, two ways: PSI against reference-quantile bins
+     (the banded scorecard) and exact two-sample KS (binning-free,
+     catches drift between bin edges)
+  5. score-quality gates: reliability bins with ECE/Brier summaries for
+     a probability column, WOE/IV for a categorical feature's signal
+  6. many-metrics readout with FDR control: per-segment tests produce a
+     family of p-values; Benjamini-Hochberg q-values decide which
+     segment alarms survive multiple testing
+
+Every gate is one or two hash aggregations over bounded frames; the raw
+tables never join each other except the one keyed diff. Nothing wider
+than bounded summaries reaches the driver.
+
+Run:  python examples/pipeline_health.py   (reads sf0.001, ~60 s)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bigdata_storage_and_proccess_job_data_spark.catalog import load_table  # noqa: E402
+from bigdata_storage_and_proccess_job_data_spark.operators import (  # noqa: E402
+    aggregates,
+    features,
+    joins,
+)
+from bigdata_storage_and_proccess_job_data_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark(app_name="pipeline-health")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    events = load_table(spark, SF_DIR, "events")
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer")
+
+    # -- 1. freshness SLA ----------------------------------------------
+    fresh = aggregates.freshness_report(
+        events,
+        ["event_type"],
+        "ts",
+        as_of="2024-02-01 00:00:00",
+        sla_seconds=3 * 86400,
+    )
+    print("== freshness (3-day SLA at 2024-02-01) ==")
+    for r in fresh.orderBy("event_type").collect():
+        flag = "OK " if r.within_sla else "LATE"
+        print(f"  [{flag}] {r.event_type}: lag={r.lag_seconds}s n={r.n_rows}")
+
+    # -- 2. referential integrity --------------------------------------
+    fk = aggregates.fk_integrity_report(
+        orders, customer, "o_custkey", "c_custkey"
+    ).collect()[0]
+    print("== fk integrity (orders.o_custkey -> customer) ==")
+    print(
+        f"  facts={fk.n_fact} null_fk={fk.n_null_fk} orphans={fk.n_orphans} "
+        f"dup_pk={fk.n_dup_pk} ok={fk.ok}"
+    )
+
+    # -- 3. snapshot diff vs "yesterday" --------------------------------
+    yesterday = orders.filter(F.col("o_orderkey") % 13 != 0)
+    today = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 1.01
+        ).otherwise(F.col("o_totalprice")),
+    )
+    diff = joins.table_diff(
+        yesterday, today, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    print("== snapshot diff (today vs yesterday) ==")
+    for r in diff.groupBy("status").count().orderBy("status").collect():
+        print(f"  {r.status}: {r['count']}")
+
+    # -- 4. drift gates -------------------------------------------------
+    ref = orders.filter(F.col("o_orderkey") % 2 == 0)
+    cur = orders.filter(F.col("o_orderkey") % 2 == 1)
+    psi = features.psi_report(ref, cur, "o_totalprice", n_bins=10)
+    total_psi = psi.select("psi").first()[0]
+    ks = aggregates.ks_test(ref, cur, "o_totalprice").collect()[0]
+    print("== drift (even/odd A/A split: both gates should be quiet) ==")
+    print(f"  psi={total_psi:.5f} (alarm at 0.25)")
+    print(f"  ks d={ks.d_stat:.5f} over n={ks.n_a}/{ks.n_b}")
+
+    # -- 5. score-quality gates ------------------------------------------
+    scored = orders.select(
+        (F.col("o_custkey") % 2 == 0).alias("converted"),
+        ((F.col("o_orderkey") % 100) / 99.0).alias("p_model"),
+        "o_orderpriority",
+    )
+    calib = aggregates.calibration_bins(
+        scored, "converted", "p_model", bins=10, summaries=True
+    )
+    head = calib.select("ece", "brier").first()
+    print("== calibration (synthetic scores vs parity label) ==")
+    print(f"  ece={head.ece:.4f} brier={head.brier:.4f}")
+    woe = features.woe_fit(
+        scored.withColumn("y", F.col("converted").cast("int")),
+        "o_orderpriority",
+        "y",
+    )
+    iv = woe.select("iv").first()[0]
+    print(f"  priority->conversion IV={iv:.5f} (useless below 0.02)")
+
+    # -- 6. per-segment alarms with FDR control ---------------------------
+    # one Welch test per market segment: value of even vs odd custkeys
+    seg = (
+        orders.join(
+            customer.select("c_custkey", "c_mktsegment"),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .select(
+            "c_mktsegment",
+            (F.col("o_custkey") % 2 == 0).alias("arm"),
+            "o_totalprice",
+        )
+    )
+    welch = aggregates.welch_ttest(
+        seg, "arm", "o_totalprice", True, False, keys=["c_mktsegment"]
+    )
+    # large-sample two-sided p from the t statistic. The engine's test
+    # operators deliberately stop at the statistic (no normal/chi2 CDF
+    # in Spark SQL); for the demo the logistic approximation
+    # Phi(x) ~ sigmoid(1.702 x) is plenty (max abs error ~0.01)
+    welch_p = welch.withColumn(
+        "p",
+        2 * (1 - F.lit(1.0) / (1 + F.exp(-1.702 * F.abs(F.col("t_stat"))))),
+    )
+    alarms = aggregates.bh_adjust(welch_p, "p", alpha=0.05)
+    print("== per-segment alarms (A/A arms: BH should reject nothing) ==")
+    for r in alarms.orderBy("c_mktsegment").collect():
+        print(
+            f"  {r.c_mktsegment}: p={r.p:.3f} q={r.q_value:.3f} "
+            f"reject={r.reject}"
+        )
+
+    spark.stop()
+    print("pipeline health: all gates evaluated")
+
+
+if __name__ == "__main__":
+    main()
