@@ -4324,6 +4324,7 @@ def ks_test(
     df_b,
     val_col: str,
     keys: "list[str] | None" = None,
+    quantize: "int | None" = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic per key slice -- the
     nonparametric distribution-drift test beside psi_report (PSI needs
@@ -4338,9 +4339,18 @@ def ks_test(
     Scale shape: one hash agg per side to (keys, value) counts, a
     union, one ordered window per key for the two running sums
     (bounded by the key's DISTINCT values, not its rows), one final
-    hash agg for the max gap. NULL values are excluded; a key present
-    in only one side emits no row (no second ECDF to compare --
-    detect one-sided keys with fk_integrity_report / a join audit)."""
+    hash agg for the max gap. The honest caveat (the skew_distinct
+    lesson): on a CONTINUOUS column distinct ~ rows, so a hot key's --
+    or the keyless form's single global -- window degenerates to a
+    row-sized single-task sort. ``quantize=d`` rounds values to d
+    decimal places first (pure expression, map-side), bounding the
+    window at the grid's cardinality; the statistic becomes the exact
+    KS of the quantized distributions, which brackets the true D
+    within one grid cell's probability mass -- the right trade at
+    100 TB (or use psi_report's fixed-bin form). NULL values are
+    excluded; a key present in only one side emits no row (no second
+    ECDF to compare -- detect one-sided keys with fk_integrity_report
+    / a join audit)."""
     keys = keys or []
     from pyspark.sql import Window
 
@@ -4349,6 +4359,8 @@ def ks_test(
         for k in keys:
             nn = nn & F.col(k).isNotNull()
         v = F.col(val_col).cast("double")
+        if quantize is not None:
+            v = F.round(v, quantize)
         c = F.col("_c")
         zero = F.lit(0).cast("long")
         return (

@@ -3354,6 +3354,17 @@ def test_ks_test_pins_and_parity(spark, oracle_sf_dir):
     ).collect()
     assert keyed == []  # no shared key slice -> no comparable ECDFs
 
+    # quantize bounds the window's distinct frame; on already-gridded
+    # values it is a no-op, and on jittered values it recovers the
+    # exact grid-level statistic
+    gq = aggregates.ks_test(fa, fb, "v", quantize=0).collect()[0]
+    assert gq.d_stat == pytest.approx(got.d_stat)
+    jit_a = fa.withColumn("v", F.col("v") + 1e-9)
+    assert (
+        aggregates.ks_test(jit_a, fa, "v", quantize=3).collect()[0].d_stat
+        == 0.0
+    )
+
     orders = load_table(spark, oracle_sf_dir, "orders")
     ev = orders.filter(F.col("o_orderkey") % 2 == 0)
     od = orders.filter(F.col("o_orderkey") % 2 == 1)
