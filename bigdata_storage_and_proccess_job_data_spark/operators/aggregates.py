@@ -4327,8 +4327,8 @@ def ks_test(
     quantize: "int | None" = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic per key slice -- the
-    nonparametric distribution-drift test beside psi_report (PSI needs
-    binning and an eps clamp; KS is exact and binning-free, the right
+    nonparametric distribution-drift test beside psi_bins (PSI needs
+    binning and smoothing; KS is exact and binning-free, the right
     gate when the drift might live between bin edges). D = the maximum
     absolute ECDF gap, evaluated exactly at every distinct value (ties
     pre-aggregate, so the ECDFs step correctly). Returns one row per
@@ -4347,7 +4347,7 @@ def ks_test(
     window at the grid's cardinality; the statistic becomes the exact
     KS of the quantized distributions, which brackets the true D
     within one grid cell's probability mass -- the right trade at
-    100 TB (or use psi_report's fixed-bin form). NULL values are
+    100 TB (or use psi_bins' fixed-bin form). NULL values are
     excluded; a key present in only one side emits no row (no second
     ECDF to compare -- detect one-sided keys with fk_integrity_report
     / a join audit)."""

@@ -533,94 +533,6 @@ def hbos_apply(
     return df.withColumn(out_col, total)
 
 
-def psi_report(
-    ref: DataFrame,
-    cur: DataFrame,
-    col: str,
-    n_bins: int = 10,
-    eps: float = 1e-6,
-) -> DataFrame:
-    """Population Stability Index between a REFERENCE snapshot and a
-    CURRENT batch -- the standard drift gate a serving/training
-    pipeline runs before trusting a feature (rule of thumb: PSI < 0.1
-    stable, 0.1-0.25 investigate, > 0.25 shifted). Bins come from the
-    reference's exact interpolated quantiles (i/n_bins cut points, the
-    quantile_bins_fit convention), so the reference's shares are
-    ~uniform by construction and the index measures how far the
-    current batch drifts off them:
-
-        psi = sum_b (cur_share_b - ref_share_b)
-                    * ln(cur_share_b / ref_share_b)
-
-    with both shares clamped at ``eps`` so an empty bin contributes a
-    large-but-finite term instead of an infinity. Returns one row per
-    bin: (bin, ref_n, cur_n, ref_share, cur_share, psi_term) plus the
-    total ``psi`` repeated on each row (the benford_report
-    convention). NULL values are excluded on both sides; duplicate
-    quantile cut points (a mass point spanning multiple quantiles)
-    collapse, so degenerate distributions yield fewer, honest bins.
-
-    Scale shape: one exact-percentile aggregation over the reference
-    (ONE bounded driver collect of <= n_bins - 1 doubles -- the
-    documented k-scalars pattern), then binning is a pure literal
-    expression fold on both sides, one hash agg each to <= n_bins
-    rows, a full outer join of the two bounded bin frames, and global
-    windows over <= n_bins rows for totals. Nothing row-sized
-    survives the per-side aggregations; the raw frames never join."""
-    if n_bins < 2:
-        raise ValueError(f"n_bins must be >= 2: {n_bins}")
-    if not 0 < eps < 0.5:
-        raise ValueError(f"eps must be in (0, 0.5): {eps}")
-    from pyspark.sql import Window
-
-    v = F.col(col).cast("double")
-    qs = [i / n_bins for i in range(1, n_bins)]
-    cut_row = (
-        ref.filter(v.isNotNull())
-        .agg(
-            F.percentile(v, F.array(*[F.lit(q) for q in qs])).alias("_c")
-        )
-        .first()  # bounded: n_bins - 1 doubles (documented collect)
-    )
-    if cut_row is None or cut_row["_c"] is None:
-        raise ValueError(f"psi_report: reference has no non-null {col!r}")
-    cuts = sorted(set(cut_row["_c"]))
-
-    def bin_of(side: DataFrame, n_name: str) -> DataFrame:
-        b = F.lit(0)
-        for c in cuts:
-            b = b + (v > F.lit(float(c))).cast("int")
-        return (
-            side.filter(v.isNotNull())
-            .groupBy(b.alias("bin"))
-            .agg(F.count(F.lit(1)).alias(n_name))
-        )
-
-    joined = bin_of(ref, "ref_n").join(
-        bin_of(cur, "cur_n"), "bin", "full_outer"
-    ).select(
-        "bin",
-        F.coalesce(F.col("ref_n"), F.lit(0)).alias("ref_n"),
-        F.coalesce(F.col("cur_n"), F.lit(0)).alias("cur_n"),
-    )
-    w = Window.partitionBy()  # <= n_bins + 1 rows: bounded by design
-    ref_share = F.col("ref_n") / F.sum("ref_n").over(w)
-    cur_share = F.col("cur_n") / F.sum("cur_n").over(w)
-    term = (cur_share - ref_share) * F.log(
-        F.greatest(cur_share, F.lit(eps))
-        / F.greatest(ref_share, F.lit(eps))
-    )
-    out = joined.select(
-        "bin",
-        "ref_n",
-        "cur_n",
-        ref_share.alias("ref_share"),
-        cur_share.alias("cur_share"),
-        term.alias("psi_term"),
-    )
-    return out.withColumn("psi", F.sum("psi_term").over(w))
-
-
 def woe_fit(
     df: DataFrame,
     cat_col: str,

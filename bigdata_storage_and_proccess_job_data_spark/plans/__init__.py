@@ -575,17 +575,18 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # is required; the local total-parity gate (test_oracle_parity, all
 # 100 queries vs DuckDB at sf0.01) re-ran green after the fixes. No
 # session.py / catalog.py / numeric.py change this round so far.
-# Mid-r10 additions audit (same rule): bh_adjust (aggregates.py),
+# Mid-r10 additions audit (same rule): bh_adjust (aggregates.py) and
 # calibration_bins' opt-in summaries=True (aggregates.py -- ece/
 # brier/abs_gap appended to the existing reliability frame; default
-# schema byte-identical, the original test still pins it) and
-# psi_report (features.py) are ADDITIVE -- no registered query's body
-# or callee changed; all three are R11-promotable with full DuckDB
-# replay parity (test_bh_adjust_textbook_ties_and_parity,
-# test_calibration_summaries_pins_and_parity,
-# test_psi_report_drift_pins_and_parity -- the last replays with the
-# fitted cut points as literals, the pinned-model precedent, plus a
-# quantile_cont equality pin on the cuts).
+# schema byte-identical, the original test still pins it) are
+# ADDITIVE -- no registered query's body or callee changed; both are
+# R11-promotable with full DuckDB replay parity
+# (test_bh_adjust_textbook_ties_and_parity,
+# test_calibration_summaries_pins_and_parity). Process note, recorded
+# for honesty: a features.psi_report written mid-round duplicated the
+# existing aggregates.psi_bins (registered in COVERAGE since r7 with
+# its own DuckDB parity test) and was REMOVED the same round --
+# grep the operator inventory before writing, not after.
 # Late-r10 additions audit (same rule, still additive-only):
 # woe_fit/woe_apply (features.py -- WOE/IV credit-scoring encoding)
 # and fk_integrity_report (aggregates.py -- cross-table FK audit, the
@@ -597,7 +598,7 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # the registered hot_key_split_join query is unaffected (its body was
 # written this round and rows this round). Also additive:
 # ks_test (aggregates.py -- exact two-sample Kolmogorov-Smirnov per
-# key, the binning-free drift twin of psi_report) and table_diff
+# key, the binning-free drift twin of psi_bins) and table_diff
 # (joins.py -- snapshot row-diff with null-safe per-column change
 # arrays, the any-two-frames twin of snapshot_change_feed), both
 # R11-promotable with full DuckDB replay parity
@@ -639,7 +640,7 @@ DRIVER_WINDOW_R11_PLAN = sorted(
 #     time-to-convert stats whose gap arithmetic is event_gaps'
 #     hash-checked shape and whose funnel coverage stays driver-
 #     checked by funnel_view_click_purchase + view_click_attribution).
-# (2) ks_test or psi_report -- the drift gate family; candidate
+# (2) ks_test -- the drift gate family; candidate
 #     retirement: key_skew_report (its max/mean algebra is a strict
 #     sub-shape of the skew bench pair's oracle and the heavy_hitters
 #     tests; the skew family keeps skewed_hot_key_agg +

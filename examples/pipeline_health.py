@@ -11,8 +11,8 @@ round-10 monitoring suite composed end to end:
   3. snapshot diff: what changed against yesterday's published output
      -- added/removed/changed keys with the changed-column sets
   4. distribution drift, two ways: PSI against reference-quantile bins
-     (the banded scorecard) and exact two-sample KS (binning-free,
-     catches drift between bin edges)
+     (psi_bins, the banded scorecard) and exact two-sample KS
+     (binning-free, catches drift between bin edges)
   5. score-quality gates: reliability bins with ECE/Brier summaries for
      a probability column, WOE/IV for a categorical feature's signal
   6. many-metrics readout with FDR control: per-segment tests produce a
@@ -97,8 +97,8 @@ def main() -> None:
     # -- 4. drift gates -------------------------------------------------
     ref = orders.filter(F.col("o_orderkey") % 2 == 0)
     cur = orders.filter(F.col("o_orderkey") % 2 == 1)
-    psi = features.psi_report(ref, cur, "o_totalprice", n_bins=10)
-    total_psi = psi.select("psi").first()[0]
+    psi = aggregates.psi_bins(ref, cur, "o_totalprice", bins=10)
+    total_psi = psi.agg(F.sum("contrib")).first()[0]
     ks = aggregates.ks_test(ref, cur, "o_totalprice").collect()[0]
     print("== drift (even/odd A/A split: both gates should be quiet) ==")
     print(f"  psi={total_psi:.5f} (alarm at 0.25)")

@@ -434,113 +434,6 @@ def test_hbos_fit_apply_semantics_and_parity(spark, oracle_sf_dir):
         )
 
 
-def test_psi_report_drift_pins_and_parity(spark, oracle_sf_dir):
-    """PSI drift gate: (1) an identical current batch scores psi ~ 0
-    with ~uniform reference shares; (2) a shifted batch clears the 0.25
-    'shifted' threshold, with empty-bin terms finite via the eps
-    clamp; (3) a degenerate (constant) reference collapses duplicate
-    cut points into fewer honest bins; (4) full DuckDB replay on an
-    even/odd orders split with the fitted cut points passed as
-    literals (the pinned-model precedent), plus a pin that the cuts
-    equal quantile_cont's."""
-    ref = spark.createDataFrame(
-        [(float(i),) for i in range(100)], "v double"
-    )
-    rows = features.psi_report(ref, ref, "v", n_bins=5).collect()
-    assert len(rows) == 5
-    for r in rows:
-        assert r.ref_share == pytest.approx(0.2, abs=0.02)
-        assert r.psi_term == pytest.approx(0.0, abs=1e-12)
-        assert r.psi == pytest.approx(0.0, abs=1e-12)
-    shifted = spark.createDataFrame(
-        [(float(i + 200),) for i in range(100)], "v double"
-    )
-    drifted = features.psi_report(ref, shifted, "v", n_bins=5).collect()
-    assert drifted[0].psi > 0.25  # everything lands in the top bin
-    top = max(drifted, key=lambda r: r.bin)
-    assert top.cur_share == pytest.approx(1.0)
-
-    const = spark.createDataFrame([(7.0,)] * 50, "v double")
-    degen = features.psi_report(const, const, "v", n_bins=10).collect()
-    assert len(degen) == 1  # all cut points collapsed
-
-    with pytest.raises(ValueError, match="no non-null"):
-        features.psi_report(
-            spark.createDataFrame([(None,)], "v double"), ref, "v"
-        )
-    with pytest.raises(ValueError, match="n_bins"):
-        features.psi_report(ref, ref, "v", n_bins=1)
-
-    orders = load_table(spark, oracle_sf_dir, "orders")
-    r_side = orders.filter(F.col("o_orderkey") % 2 == 0)
-    c_side = orders.filter(F.col("o_orderkey") % 2 == 1)
-    got = features.psi_report(r_side, c_side, "o_totalprice", n_bins=8).select(
-        "bin",
-        "ref_n",
-        "cur_n",
-        stable_round(F.col("ref_share"), 6).alias("ref_share"),
-        stable_round(F.col("cur_share"), 6).alias("cur_share"),
-        stable_round(F.col("psi_term"), 8).alias("psi_term"),
-        stable_round(F.col("psi"), 8).alias("psi"),
-    )
-    # replay with the SAME cut points the operator fitted (exact
-    # percentile == quantile_cont, pinned below)
-    cuts = [
-        r[0]
-        for r in duckdb_connect(oracle_sf_dir).execute(
-            """
-            SELECT UNNEST(quantile_cont(o_totalprice,
-                   [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]))
-            FROM orders WHERE o_orderkey % 2 = 0
-            """
-        ).fetchall()
-    ]
-    assert len(set(cuts)) == 7
-    bin_expr = " + ".join(
-        f"(CASE WHEN v > {c!r} THEN 1 ELSE 0 END)" for c in sorted(cuts)
-    )
-    sql = f"""
-        WITH r AS (
-          SELECT o_totalprice AS v FROM orders
-          WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
-        ),
-        c AS (
-          SELECT o_totalprice AS v FROM orders
-          WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
-        ),
-        rb AS (SELECT {bin_expr} AS bin, COUNT(*) AS ref_n FROM r GROUP BY 1),
-        cb AS (SELECT {bin_expr} AS bin, COUNT(*) AS cur_n FROM c GROUP BY 1),
-        j AS (
-          SELECT COALESCE(rb.bin, cb.bin) AS bin,
-                 COALESCE(ref_n, 0) AS ref_n,
-                 COALESCE(cur_n, 0) AS cur_n
-          FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin
-        ),
-        s AS (
-          SELECT bin, ref_n, cur_n,
-                 ref_n * 1.0 / SUM(ref_n) OVER () AS ref_share,
-                 cur_n * 1.0 / SUM(cur_n) OVER () AS cur_share
-          FROM j
-        ),
-        t AS (
-          SELECT bin, ref_n, cur_n, ref_share, cur_share,
-                 (cur_share - ref_share)
-                   * ln(GREATEST(cur_share, 1e-6)
-                        / GREATEST(ref_share, 1e-6)) AS psi_term
-          FROM s
-        )
-        SELECT CAST(bin AS INT) AS bin,
-               CAST(ref_n AS BIGINT) AS ref_n,
-               CAST(cur_n AS BIGINT) AS cur_n,
-               {sql_round('ref_share', 6)} AS ref_share,
-               {sql_round('cur_share', 6)} AS cur_share,
-               {sql_round('psi_term', 8)} AS psi_term,
-               {sql_round('SUM(psi_term) OVER ()', 8)} AS psi
-        FROM t
-    """
-    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
-
-
 def test_woe_fit_apply_semantics_and_parity(spark, oracle_sf_dir):
     """Weight of evidence: (1) hand math -- a positive-heavy category
     gets woe > 0, a balanced one ~0, the eps adjustment keeps a pure
