@@ -4275,34 +4275,51 @@ def fk_integrity_report(
                             NULL means "no parent", not "bad parent")
       n_orphans             non-null fks with NO matching pk
       orphan_rate           n_orphans / non-null fks (NULL if none)
-      n_dim, n_dup_pk       dim rows / rows beyond the first per pk
-                            (a dup pk makes joins fan out)
-      ok                    n_orphans = 0 AND n_dup_pk = 0
+      n_dim, n_dup_pk       dim rows / rows beyond the first per
+                            non-null pk (a dup pk makes joins fan out)
+      n_null_pk             dim rows whose pk is NULL -- they can
+                            never match any fk, the dim-side defect
+                            (review: count/count_distinct both skip
+                            NULLs, so these rows were invisible to
+                            n_dup_pk and ok said True over a broken
+                            dimension)
+      ok                    n_orphans = 0 AND n_dup_pk = 0 AND
+                            n_null_pk = 0
 
-    Scale shape: the orphan count is a LEFT ANTI join on the fk (the
-    decontaminated_train shape -- broadcastable dim key set, never a
-    fan-out), the dup count is count - count_distinct in one dim agg,
-    and the three bounded one-row frames meet in broadcast joins. The
-    fact table is scanned once, projected to the fk column only."""
+    Scale shape: ONE scan of the fact projected to the fk column,
+    LEFT-joined against the DISTINCT non-null dim key set (one
+    shuffle; dedup first so a dup pk cannot fan the fact out), then
+    one conditional-count hash agg gives n_fact / n_null_fk /
+    n_orphans together (review: the earlier agg + separate anti-join
+    read the fact twice -- the docstring claimed one scan, the plan
+    disagreed); the dim stats are one agg on the dim side, and the
+    two bounded one-row frames meet in a broadcast join."""
     fk, pk = F.col(fk_col), F.col(pk_col)
     fact_keys = fact.select(fk.alias("_fk"))
     dim_keys = dim.select(pk.alias("_pk"))
-    fact_agg = fact_keys.agg(
-        F.count(F.lit(1)).alias("n_fact"),
-        F.sum(F.col("_fk").isNull().cast("long")).alias("n_null_fk"),
+    hits = (
+        dim_keys.filter(F.col("_pk").isNotNull())
+        .distinct()
+        .withColumn("_hit", F.lit(True))
     )
-    orphans = (
-        fact_keys.filter(F.col("_fk").isNotNull())
-        .join(dim_keys, F.col("_fk") == F.col("_pk"), "left_anti")
-        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    fact_agg = (
+        fact_keys.join(hits, F.col("_fk") == F.col("_pk"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_fact"),
+            F.sum(F.col("_fk").isNull().cast("long")).alias("n_null_fk"),
+            F.sum(
+                (
+                    F.col("_fk").isNotNull() & F.col("_hit").isNull()
+                ).cast("long")
+            ).alias("n_orphans"),
+        )
     )
     dim_agg = dim_keys.agg(
         F.count(F.lit(1)).alias("n_dim"),
         (F.count("_pk") - F.count_distinct("_pk")).alias("n_dup_pk"),
+        F.sum(F.col("_pk").isNull().cast("long")).alias("n_null_pk"),
     )
-    joined = fact_agg.join(F.broadcast(orphans), F.lit(True)).join(
-        F.broadcast(dim_agg), F.lit(True)
-    )
+    joined = fact_agg.join(F.broadcast(dim_agg), F.lit(True))
     nonnull = F.col("n_fact") - F.col("n_null_fk")
     return joined.select(
         "n_fact",
@@ -4313,8 +4330,11 @@ def fk_integrity_report(
         ).alias("orphan_rate"),
         "n_dim",
         "n_dup_pk",
+        "n_null_pk",
         (
-            (F.col("n_orphans") == 0) & (F.col("n_dup_pk") == 0)
+            (F.col("n_orphans") == 0)
+            & (F.col("n_dup_pk") == 0)
+            & (F.col("n_null_pk") == 0)
         ).alias("ok"),
     )
 

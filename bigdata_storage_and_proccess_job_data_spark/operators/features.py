@@ -555,10 +555,15 @@ def woe_fit(
 
     Rows with NULL category are a real level ("missing" carries
     signal) and keep their own row; NULL labels are excluded. Labels
-    must be 0/1-valued numerics. Scale shape: ONE hash agg to
-    O(categories), a bounded one-row totals frame met in a broadcast
-    join -- the artifact is model-sized, the target_encode/hbos
-    precedent."""
+    must be 0/1-valued numerics; a single-class population (no
+    positives, or no negatives) has no evidence to weigh and fails
+    loud via an in-plan raise (review: the raw class totals are NOT
+    eps-smoothed -- only per-category numerators are -- so a zero
+    total would otherwise crash as an opaque ANSI DIVIDE_BY_ZERO
+    mid-job). Scale shape: ONE hash agg to O(categories); the class
+    totals fold from that bounded artifact (review: not from a second
+    row-level scan), met in a broadcast join -- the artifact is
+    model-sized, the target_encode/hbos precedent."""
     if eps <= 0:
         raise ValueError(f"eps must be > 0: {eps}")
     from pyspark.sql import Window
@@ -572,13 +577,24 @@ def woe_fit(
         F.sum("_y").cast("long").alias("n_pos"),
         F.sum(F.lit(1.0) - F.col("_y")).cast("long").alias("n_neg"),
     )
-    tot = base.agg(
-        F.sum("_y").alias("_tp"),
-        F.sum(F.lit(1.0) - F.col("_y")).alias("_tn"),
+    tot = per.agg(
+        F.sum("n_pos").cast("double").alias("_tp"),
+        F.sum("n_neg").cast("double").alias("_tn"),
     )
+
+    def _checked(col, name):
+        return F.when(col > 0, col).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"woe_fit: label population has no {name} -- "
+                    "single-class labels carry no evidence to weigh"
+                )
+            )
+        )
+
     j = per.join(F.broadcast(tot), F.lit(True))
-    pos_share = (F.col("n_pos") + F.lit(eps)) / F.col("_tp")
-    neg_share = (F.col("n_neg") + F.lit(eps)) / F.col("_tn")
+    pos_share = (F.col("n_pos") + F.lit(eps)) / _checked(F.col("_tp"), "positives")
+    neg_share = (F.col("n_neg") + F.lit(eps)) / _checked(F.col("_tn"), "negatives")
     woe = F.log(pos_share / neg_share)
     return j.select(
         "category",

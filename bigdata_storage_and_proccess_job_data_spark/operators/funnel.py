@@ -348,9 +348,11 @@ def retention_matrix(
     """Cohort retention matrix: users grouped by their FIRST-activity
     period, tracked across subsequent periods -- the standard
     growth-analytics readout next to funnel_counts/sessionize. The
-    operator-library generalization of the registered cohort_retention
-    query (plans/analytics_queries.py -- SIGNUP-anchored weekly counts,
-    single-scan window form): this one anchors on first activity of any
+    operator-library generalization of the former cohort_retention
+    query (SIGNUP-anchored weekly counts, single-scan window form --
+    retired r10 into this operator's registered retention_matrix
+    query; the coverage-merge record lives in plans/registry.py
+    RETIRED): this one anchors on first activity of any
     kind, parameterizes the calendar grain, and emits the retention
     RATIO against broadcast cohort sizes. Returns
     (cohort, period_offset, n_users, retention) where retention =

@@ -551,7 +551,8 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 #   IN, new-code rule (registered this round, must row now -- the
 #   promotion ledger's picks 1/2/4/5, each carrying full DuckDB
 #   replay parity in tests since the r9 restart wave):
-#     - retention_matrix (month grain; week grain stays test-pinned)
+#     - retention_matrix (day grain -- the fixture's events span one
+#       month; week grain + month-offset math stay test-pinned)
 #     - hot_key_split_join (known-hot-key broadcast/shuffle split
 #       with the plan pin that the hot slice really broadcasts)
 #     - weighted_quantile (exact left-continuous weighted percentile)

@@ -196,8 +196,11 @@ RETIRED: dict[str, dict[str, str]] = {
             "case of funnel.retention_matrix (first-activity anchor, "
             "parameterized grain, adds the retention ratio) -- the "
             "relation both docstrings have cross-referenced since r9. "
-            "The registered retention_matrix query rows the month "
-            "grain; the week grain keeps full DuckDB replay parity in "
+            "The registered retention_matrix query rows the DAY grain "
+            "(the fixture's events span one month, so coarser grains "
+            "collapse to a near-single cell); the week grain and the "
+            "month-offset calendar arithmetic keep full DuckDB replay "
+            "parity in "
             "tests/test_ranking_funnel.py::"
             "test_retention_matrix_hand_pins_and_parity. The retired "
             "query's one unique piece -- a conditional min over "

@@ -466,6 +466,17 @@ def test_woe_fit_apply_semantics_and_parity(spark, oracle_sf_dir):
     assert got["a"].iv == pytest.approx(iv)
     with pytest.raises(ValueError, match="eps"):
         features.woe_fit(df, "cat", "y", eps=0.0)
+    # single-class labels fail LOUD (review: the raw class totals are
+    # not eps-smoothed, so this used to surface as an opaque ANSI
+    # DIVIDE_BY_ZERO mid-job)
+    with pytest.raises(Exception, match="single-class"):
+        features.woe_fit(
+            spark.createDataFrame(
+                [("a", 0.0), ("b", 0.0)], "cat string, y double"
+            ),
+            "cat",
+            "y",
+        ).collect()
 
     applied = {
         r.cat: r.woe

@@ -620,13 +620,6 @@ def test_table_diff_statuses_and_parity(spark, sf_dir):
                 F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
             ).otherwise(F.col("o_totalprice")),
         )
-        .unionByName(
-            orders.select(
-                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
-                "o_orderstatus",
-                "o_totalprice",
-            ).limit(0)  # keep schema; inserts built below
-        )
     )
     inserts = spark.createDataFrame(
         [(10_000_001, "O", 1.0), (10_000_002, "F", 2.0)],

@@ -3240,8 +3240,11 @@ def test_fk_integrity_report_semantics_and_parity(spark, oracle_sf_dir):
     r = aggregates.fk_integrity_report(fact, dim, "fk", "pk").collect()[0]
     assert (r.n_fact, r.n_null_fk, r.n_orphans) == (5, 1, 1)  # 99 only
     assert r.orphan_rate == 1 / 4
-    assert (r.n_dim, r.n_dup_pk) == (3, 1)
+    assert (r.n_dim, r.n_dup_pk, r.n_null_pk) == (3, 1, 0)
     assert r.ok is False
+    # the dup pk must NOT fan the fact's counts out (join is against
+    # the distinct key set)
+    assert r.n_fact == 5
     clean = aggregates.fk_integrity_report(
         fact.filter(F.col("fk") != 99),
         dim.distinct(),
@@ -3249,6 +3252,17 @@ def test_fk_integrity_report_semantics_and_parity(spark, oracle_sf_dir):
         "pk",
     ).collect()[0]
     assert clean.ok is True and clean.n_orphans == 0
+    # NULL pks are dim-side defects, surfaced and failing the gate
+    # (review: count/count_distinct both skip NULLs, so they were
+    # invisible to n_dup_pk and ok read True over a broken dimension)
+    null_dim = spark.createDataFrame(
+        [(None,), (None,), (1,), (2,)], "pk long"
+    )
+    rnp = aggregates.fk_integrity_report(
+        fact.filter(F.col("fk") != 99), null_dim, "fk", "pk"
+    ).collect()[0]
+    assert (rnp.n_null_pk, rnp.n_dup_pk, rnp.n_orphans) == (2, 0, 0)
+    assert rnp.ok is False
 
     # all-null fk frame: rate NULL, not a division error
     nulls = spark.createDataFrame([(None,), (None,)], "fk long")
@@ -3273,6 +3287,7 @@ def test_fk_integrity_report_semantics_and_parity(spark, oracle_sf_dir):
         stable_round(F.col("orphan_rate"), 6).alias("orphan_rate"),
         "n_dim",
         "n_dup_pk",
+        "n_null_pk",
         "ok",
     )
     sql = f"""
@@ -3296,14 +3311,16 @@ def test_fk_integrity_report_semantics_and_parity(spark, oracle_sf_dir):
         d AS (
           SELECT COUNT(*)::BIGINT AS n_dim,
                  (COUNT(c_custkey) - COUNT(DISTINCT c_custkey))::BIGINT
-                   AS n_dup_pk
+                   AS n_dup_pk,
+                 SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_null_pk
           FROM customer
         )
         SELECT n_fact, n_null_fk, n_orphans,
                {sql_round('n_orphans * 1.0 / (n_fact - n_null_fk)', 6)}
                  AS orphan_rate,
-               n_dim, n_dup_pk,
-               n_orphans = 0 AND n_dup_pk = 0 AS ok
+               n_dim, n_dup_pk, n_null_pk,
+               n_orphans = 0 AND n_dup_pk = 0 AND n_null_pk = 0 AS ok
         FROM fa, o, d
     """
     assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []

@@ -920,7 +920,7 @@ def test_table_diff_involution_on_generated_snapshots(spark):
 
     grab()
 
-    def frame(side, tag):
+    def frame(tag):
         rows = [
             (case_id, k, v[0], v[1])
             for case_id, pair in enumerate(cases)
@@ -930,7 +930,7 @@ def test_table_diff_involution_on_generated_snapshots(spark):
             rows, "case int, k long, s string, v double"
         )
 
-    old_f, new_f = frame(cases, 0), frame(cases, 1)
+    old_f, new_f = frame(0), frame(1)
     fwd = {
         (r.case, r.k): (r.status, tuple(sorted(r.changed_cols)))
         for r in joins.table_diff(old_f, new_f, ["case", "k"]).collect()
