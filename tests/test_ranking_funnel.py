@@ -673,13 +673,20 @@ def test_retention_matrix_hand_pins_and_parity(spark, oracle_sf_dir):
     assert len(got) == 4  # no zero-filled rows
 
     mv = spark.createDataFrame(
-        [(1, d(2024, 1, 31)), (1, d(2024, 2, 1))], "user_id long, ts timestamp"
+        [(1, d(2024, 1, 31)), (1, d(2024, 2, 1)), (1, d(2024, 3, 1)),
+         (2, d(2023, 12, 15)), (2, d(2024, 2, 20))],
+        "user_id long, ts timestamp",
     )
     m = {
-        r.period_offset
+        (r.cohort.isoformat(), r.period_offset)
         for r in funnel.retention_matrix(mv, period="month").collect()
     }
-    assert m == {0, 1}
+    # calendar-month offsets: Jan 31 -> Feb 1 is 1, -> Mar 1 is 2; the
+    # year boundary counts through December (Dec -> Feb = 2)
+    assert m == {
+        ("2024-01-01", 0), ("2024-01-01", 1), ("2024-01-01", 2),
+        ("2023-12-01", 0), ("2023-12-01", 2),
+    }
 
     with pytest.raises(ValueError, match="period"):
         funnel.retention_matrix(ev, period="quarter")
@@ -714,6 +721,41 @@ def test_retention_matrix_hand_pins_and_parity(spark, oracle_sf_dir):
         FROM cells c JOIN sizes s USING (cohort)
     """
     errs = compare(out, duckdb_connect(oracle_sf_dir), sql)
+    assert not errs, errs[:5]
+
+    # the registered query rows DAY grain; the MONTH grain's calendar
+    # arithmetic replays in DuckDB too (the fixture spans one month so
+    # the matrix is small, but the values are bitwise-checked)
+    out_m = funnel.retention_matrix(events, period="month").select(
+        "cohort",
+        "period_offset",
+        "n_users",
+        stable_round(F.col("retention"), 6).alias("retention"),
+    )
+    sql_m = f"""
+        WITH active AS (
+          SELECT DISTINCT user_id AS u,
+                 date_trunc('month', ts)::DATE AS p
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        firsts AS (SELECT u, MIN(p) AS cohort FROM active GROUP BY u),
+        cells AS (
+          SELECT f.cohort,
+                 CAST((year(a.p) - year(f.cohort)) * 12
+                      + (month(a.p) - month(f.cohort)) AS BIGINT)
+                   AS period_offset,
+                 CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM active a JOIN firsts f USING (u)
+          GROUP BY 1, 2
+        ),
+        sizes AS (
+          SELECT cohort, COUNT(*) AS sz FROM firsts GROUP BY cohort
+        )
+        SELECT c.cohort, c.period_offset, c.n_users,
+               {sql_round('c.n_users * 1.0 / s.sz', 6)} AS retention
+        FROM cells c JOIN sizes s USING (cohort)
+    """
+    errs = compare(out_m, duckdb_connect(oracle_sf_dir), sql_m)
     assert not errs, errs[:5]
 
 
