@@ -4424,3 +4424,196 @@ def ks_test(
             F.max(gap).alias("d_stat"),
         )
     )
+
+
+def cohen_kappa(
+    df,
+    item_col: str,
+    rater_col: str,
+    label_col: str,
+    rater_a,
+    rater_b,
+    keys: "list[str] | None" = None,
+) -> DataFrame:
+    """Cohen's kappa between two named raters -- the
+    chance-corrected inter-annotator agreement a labeling pipeline
+    gates on before trusting human labels as training truth (raw
+    percent agreement flatters imbalanced label sets; kappa subtracts
+    the agreement two raters would reach by marginal chance alone).
+    Input rows are (item, rater, label) assignments; output one row
+    per key slice: (keys, n_items, po, pe, kappa) over the items BOTH
+    raters labeled, with po = observed agreement, pe = sum over
+    classes of the two raters' marginal shares multiplied, and
+    kappa = (po - pe) / (1 - pe) -- NULL when pe = 1 (both raters
+    constant: chance explains everything, the statistic is undefined).
+    Landis-Koch reading: < 0.2 slight, 0.4-0.6 moderate, > 0.8 almost
+    perfect.
+
+    A rater labeling an item more than once is a data bug that would
+    fan the item join out -- deduped deterministically to the MIN
+    label per (item, rater) so the statistic stays well-defined
+    (document upstream fixes with fk_integrity_report-style audits).
+    NULL labels/items are excluded. Scale shape: one hash agg per
+    rater slice to (item, label), one equi-join on the item, one
+    conditional agg for po, two class-marginal hash aggs (bounded by
+    the label alphabet) joined for pe -- items shuffle once each."""
+    keys = keys or []
+    nn = F.lit(True)
+    for k in keys:
+        nn = nn & F.col(k).isNotNull()
+    base = df.filter(
+        nn
+        & F.col(item_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    )
+
+    def rater(val, out):
+        return (
+            base.filter(F.col(rater_col) == F.lit(val))
+            .groupBy(*keys, F.col(item_col).alias("_item"))
+            .agg(F.min(F.col(label_col)).alias(out))
+        )
+
+    paired = rater(rater_a, "_la").join(
+        rater(rater_b, "_lb"), keys + ["_item"]
+    )
+    counts = paired.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.avg((F.col("_la") == F.col("_lb")).cast("double")).alias("po"),
+    )
+    ma = paired.groupBy(*keys, F.col("_la").alias("_cls")).agg(
+        F.count(F.lit(1)).alias("_ca")
+    )
+    mb = paired.groupBy(*keys, F.col("_lb").alias("_cls")).agg(
+        F.count(F.lit(1)).alias("_cb")
+    )
+    pe = (
+        ma.join(mb, keys + ["_cls"])
+        .groupBy(*keys)
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_pe_num"))
+    )
+    if keys:
+        joined = counts.join(pe, keys, "left")
+    else:
+        joined = counts.join(F.broadcast(pe), F.lit(True), "left")
+    # a class pair both raters never share leaves pe empty: pe = 0
+    pe_col = F.coalesce(
+        F.col("_pe_num") / (F.col("n_items") * F.col("n_items")),
+        F.lit(0.0),
+    )
+    kappa = F.when(
+        pe_col < 1, (F.col("po") - pe_col) / (1 - pe_col)
+    )
+    return joined.select(
+        *keys,
+        "n_items",
+        "po",
+        pe_col.alias("pe"),
+        kappa.alias("kappa"),
+    )
+
+
+def fleiss_kappa(
+    df,
+    item_col: str,
+    label_col: str,
+    keys: "list[str] | None" = None,
+) -> DataFrame:
+    """Fleiss' kappa for MANY raters -- the multi-annotator
+    generalization of cohen_kappa (crowdsourced labeling rarely has
+    two fixed raters; Fleiss 1971 measures agreement from the per-item
+    label distribution alone, raters anonymous and interchangeable).
+    Input rows are (item, label) assignments -- one per rating; output
+    one row per key slice: (keys, n_items, n_raters, po, pe, kappa).
+    The classic statistic requires the SAME number of ratings per
+    item; items with a different count than the slice's modal count
+    are excluded and the kept share is reported as ``coverage`` (the
+    no-silent-caps convention -- a coverage well below 1.0 means the
+    rating design is ragged and wants per-item weighting upstream).
+    kappa is NULL when pe = 1 or n_raters < 2.
+
+    Scale shape: one hash agg to (item, label) counts, one to per-item
+    totals, a modal-count agg, then P_i = (sum c^2 - n) / (n (n - 1))
+    per item and class shares for pe -- every frame after the first
+    agg is item- or class-bounded; nothing joins the raw ratings."""
+    keys = keys or []
+    from pyspark.sql import Window
+
+    nn = F.lit(True)
+    for k in keys:
+        nn = nn & F.col(k).isNotNull()
+    base = df.filter(
+        nn
+        & F.col(item_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    )
+    cell = base.groupBy(
+        *keys, F.col(item_col).alias("_item"), F.col(label_col).alias("_cls")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    per_item = cell.groupBy(*keys, "_item").agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_ss"),
+    )
+    # modal ratings-per-item count per slice (the Fleiss design n)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col("_cnt").desc(), F.col("_n").asc()
+    )
+    modal = (
+        per_item.groupBy(*keys, "_n")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(*keys, F.col("_n").alias("_design_n"), "_cnt")
+    )
+    if keys:
+        kept = per_item.join(modal, keys)
+    else:
+        kept = per_item.join(F.broadcast(modal), F.lit(True))
+    kept = kept.filter(F.col("_n") == F.col("_design_n"))
+    totals = kept.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.max("_design_n").alias("n_raters"),
+        F.avg(
+            F.when(
+                F.col("_n") > 1,
+                (F.col("_ss") - F.col("_n"))
+                / (F.col("_n") * (F.col("_n") - 1)),
+            )
+        ).alias("po"),
+    )
+    share_base = cell.join(
+        kept.select(*keys, "_item"), keys + ["_item"], "left_semi"
+    )
+    pe = (
+        share_base.groupBy(*keys, "_cls")
+        .agg(F.sum("_c").alias("_ck"))
+        .groupBy(*keys)
+        .agg(
+            (
+                F.sum(F.col("_ck") * F.col("_ck"))
+                / (F.sum("_ck") * F.sum("_ck"))
+            ).alias("pe")
+        )
+    )
+    cov = per_item.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n_all")
+    )
+    if keys:
+        joined = totals.join(pe, keys).join(cov, keys)
+    else:
+        joined = totals.join(F.broadcast(pe), F.lit(True)).join(
+            F.broadcast(cov), F.lit(True)
+        )
+    kappa = F.when(
+        (F.col("pe") < 1) & (F.col("n_raters") >= 2),
+        (F.col("po") - F.col("pe")) / (1 - F.col("pe")),
+    )
+    return joined.select(
+        *keys,
+        "n_items",
+        "n_raters",
+        "po",
+        "pe",
+        kappa.alias("kappa"),
+        (F.col("n_items") / F.col("_n_all")).alias("coverage"),
+    )

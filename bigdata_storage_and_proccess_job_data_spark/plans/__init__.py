@@ -583,7 +583,11 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # ADDITIVE -- no registered query's body or callee changed; both are
 # R11-promotable with full DuckDB replay parity
 # (test_bh_adjust_textbook_ties_and_parity,
-# test_calibration_summaries_pins_and_parity). Process note, recorded
+# test_calibration_summaries_pins_and_parity). Late-r10, same split:
+# cohen_kappa / fleiss_kappa (aggregates.py -- inter-annotator
+# agreement, the labeling-QA gates; textbook pins + full DuckDB
+# replay in test_kappa_textbook_pins_and_parity) are additive and
+# R11-promotable. Process note, recorded
 # for honesty: a features.psi_report written mid-round duplicated the
 # existing aggregates.psi_bins (registered in COVERAGE since r7 with
 # its own DuckDB parity test) and was REMOVED the same round --

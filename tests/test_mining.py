@@ -3529,3 +3529,199 @@ def test_calibration_summaries_pins_and_parity(spark, oracle_sf_dir):
         FROM b
     """
     assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_kappa_textbook_pins_and_parity(spark, oracle_sf_dir):
+    """Inter-annotator agreement: (1) Cohen's kappa reproduces the
+    classic 2x2 worked example (po=0.7, pe=0.5, kappa=0.4), perfect
+    and constant-rater edges; (2) Fleiss' kappa reproduces the
+    Fleiss/Wikipedia 10-subject x 14-rater table (kappa ~ 0.210) and
+    filters ragged items with the coverage readout; (3) both replay
+    value-for-value in DuckDB on orders-derived ratings."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    # classic 2x2: 20 yes/yes, 15 no/no, 5 yes/no, 10 no/yes
+    rows = []
+    i = 0
+    for a, b, n in [("y", "y", 20), ("n", "n", 15), ("y", "n", 5), ("n", "y", 10)]:
+        for _ in range(n):
+            rows += [(i, "A", a), (i, "B", b)]
+            i += 1
+    df = spark.createDataFrame(rows, "item long, rater string, label string")
+    r = aggregates.cohen_kappa(df, "item", "rater", "label", "A", "B").collect()[0]
+    assert r.n_items == 50
+    assert r.po == pytest.approx(0.7)
+    assert r.pe == pytest.approx(0.5)
+    assert r.kappa == pytest.approx(0.4)
+    # identical constant raters: chance explains everything -> NULL
+    agree = spark.createDataFrame(
+        [(i, w, "same") for i in range(4) for w in ("A", "B")],
+        "item long, rater string, label string",
+    )
+    rc = aggregates.cohen_kappa(
+        agree, "item", "rater", "label", "A", "B"
+    ).collect()[0]
+    assert rc.po == 1.0 and rc.pe == 1.0 and rc.kappa is None
+
+    # Fleiss 1971 / Wikipedia table: N=10 subjects, n=14 raters, k=5
+    table = [
+        [0, 0, 0, 0, 14], [0, 2, 6, 4, 2], [0, 0, 3, 5, 6],
+        [0, 3, 9, 2, 0], [2, 2, 8, 1, 1], [7, 7, 0, 0, 0],
+        [3, 2, 6, 3, 0], [2, 5, 3, 2, 2], [6, 5, 2, 1, 0],
+        [0, 2, 2, 3, 7],
+    ]
+    frows = [
+        (s, f"c{c}")
+        for s, counts in enumerate(table)
+        for c, n in enumerate(counts)
+        for _ in range(n)
+    ]
+    fdf = spark.createDataFrame(frows, "item long, label string")
+    fr = aggregates.fleiss_kappa(fdf, "item", "label").collect()[0]
+    assert fr.n_items == 10 and fr.n_raters == 14
+    assert fr.po == pytest.approx(0.378, abs=5e-4)
+    assert fr.pe == pytest.approx(0.2128, abs=5e-4)
+    assert fr.kappa == pytest.approx(0.210, abs=1e-3)
+    assert fr.coverage == 1.0
+    # ragged items are excluded with the kept share reported
+    ragged = fdf.unionByName(
+        spark.createDataFrame(
+            [(99, "c0"), (99, "c0"), (98, "c1")], "item long, label string"
+        )
+    )
+    fr2 = aggregates.fleiss_kappa(ragged, "item", "label").collect()[0]
+    assert fr2.n_items == 10 and fr2.coverage == pytest.approx(10 / 12)
+    assert fr2.kappa == pytest.approx(fr.kappa)
+
+    # DuckDB parity: two synthetic raters over shared order items
+    orders = load_table(spark, oracle_sf_dir, "orders").select(
+        F.floor(F.col("o_orderkey") / 2).alias("item"),
+        F.when(F.col("o_orderkey") % 2 == 0, "A").otherwise("B").alias(
+            "rater"
+        ),
+        F.col("o_orderpriority").alias("label"),
+        "o_orderstatus",
+    )
+    got = aggregates.cohen_kappa(
+        orders, "item", "rater", "label", "A", "B", keys=["o_orderstatus"]
+    ).select(
+        "o_orderstatus",
+        "n_items",
+        stable_round(F.col("po"), 6).alias("po"),
+        stable_round(F.col("pe"), 6).alias("pe"),
+        stable_round(F.col("kappa"), 6).alias("kappa"),
+    )
+    sql = f"""
+        WITH base AS (
+          SELECT o_orderstatus AS k,
+                 CAST(FLOOR(o_orderkey / 2) AS BIGINT) AS item,
+                 CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END
+                   AS rater,
+                 o_orderpriority AS label
+          FROM orders
+        ),
+        ra AS (
+          SELECT k, item, MIN(label) AS la FROM base
+          WHERE rater = 'A' GROUP BY 1, 2
+        ),
+        rb AS (
+          SELECT k, item, MIN(label) AS lb FROM base
+          WHERE rater = 'B' GROUP BY 1, 2
+        ),
+        p AS (SELECT ra.k, la, lb FROM ra JOIN rb USING (k, item)),
+        c AS (
+          SELECT k, COUNT(*)::BIGINT AS n_items,
+                 AVG(CASE WHEN la = lb THEN 1.0 ELSE 0.0 END) AS po
+          FROM p GROUP BY k
+        ),
+        ma AS (SELECT k, la AS cls, COUNT(*) AS ca FROM p GROUP BY 1, 2),
+        mb AS (SELECT k, lb AS cls, COUNT(*) AS cb FROM p GROUP BY 1, 2),
+        pe AS (
+          SELECT ma.k, SUM(ca * cb) AS pe_num
+          FROM ma JOIN mb ON ma.k = mb.k AND ma.cls = mb.cls
+          GROUP BY ma.k
+        )
+        SELECT c.k AS o_orderstatus, n_items,
+               {sql_round('po', 6)} AS po,
+               {sql_round(
+                   'COALESCE(pe_num * 1.0 / (n_items * n_items), 0.0)', 6
+               )} AS pe,
+               CASE WHEN COALESCE(pe_num * 1.0 / (n_items * n_items), 0.0)
+                         < 1
+                    THEN {sql_round(
+                        '(po - pe_num * 1.0 / (n_items * n_items)) '
+                        '/ (1 - pe_num * 1.0 / (n_items * n_items))', 6
+                    )}
+               END AS kappa
+        FROM c LEFT JOIN pe ON c.k = pe.k
+    """
+    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
+
+    # DuckDB parity for Fleiss on per-customer order ratings (ragged by
+    # construction, so the modal filter and coverage are live)
+    ratings = load_table(spark, oracle_sf_dir, "orders").select(
+        F.col("o_custkey").alias("item"),
+        F.col("o_orderpriority").alias("label"),
+    )
+    gotf = aggregates.fleiss_kappa(ratings, "item", "label").select(
+        "n_items",
+        "n_raters",
+        stable_round(F.col("po"), 6).alias("po"),
+        stable_round(F.col("pe"), 6).alias("pe"),
+        stable_round(F.col("kappa"), 6).alias("kappa"),
+        stable_round(F.col("coverage"), 6).alias("coverage"),
+    )
+    sqlf = f"""
+        WITH cell AS (
+          SELECT o_custkey AS item, o_orderpriority AS cls,
+                 COUNT(*) AS c
+          FROM orders GROUP BY 1, 2
+        ),
+        per_item AS (
+          SELECT item, SUM(c) AS n, SUM(c * c) AS ss
+          FROM cell GROUP BY item
+        ),
+        modal AS (
+          SELECT n AS design_n FROM (
+            SELECT n, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, n ASC)
+                     AS rk
+            FROM per_item GROUP BY n
+          ) WHERE rk = 1
+        ),
+        kept AS (
+          SELECT p.* FROM per_item p, modal m WHERE p.n = m.design_n
+        ),
+        tot AS (
+          SELECT COUNT(*)::BIGINT AS n_items,
+                 CAST(MAX(n) AS BIGINT) AS n_raters,
+                 AVG(CASE WHEN n > 1
+                     THEN (ss - n) * 1.0 / (n * (n - 1)) END) AS po
+          FROM kept
+        ),
+        pe AS (
+          SELECT SUM(ck * ck) * 1.0 / (SUM(ck) * SUM(ck)) AS pe
+          FROM (
+            SELECT cls, SUM(c) AS ck FROM cell
+            WHERE item IN (SELECT item FROM kept)
+            GROUP BY cls
+          )
+        ),
+        cov AS (SELECT COUNT(*)::BIGINT AS n_all FROM per_item)
+        SELECT n_items, n_raters,
+               {sql_round('po', 6)} AS po,
+               {sql_round('pe', 6)} AS pe,
+               CASE WHEN pe < 1 AND n_raters >= 2
+                    THEN {sql_round('(po - pe) / (1 - pe)', 6)}
+               END AS kappa,
+               {sql_round('n_items * 1.0 / n_all', 6)} AS coverage
+        FROM tot, pe, cov
+    """
+    assert compare(gotf, duckdb_connect(oracle_sf_dir), sqlf) == []
