@@ -955,3 +955,87 @@ def test_table_diff_involution_on_generated_snapshots(spark):
                 assert ch_f == ch_r and len(ch_f) > 0
             else:
                 assert ch_f == () and ch_r == ()
+
+
+def test_weighted_quantile_reduction_and_scale_invariance(spark):
+    """weighted_quantile on generated (value, integer-weight) groups:
+    (1) exact equality with a pure-Python left-continuous weighted
+    quantile replica at several q; (2) unit weights reduce to the
+    plain left-continuous quantile; (3) multiplying every weight by a
+    constant changes nothing; (4) repartitioning changes nothing --
+    the newly driver-gated query's operator, pinned beyond its
+    fixture."""
+    from hypothesis import HealthCheck, given, settings
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        aggregates,
+    )
+
+    groups: list[list[tuple[float, float]]] = []
+
+    @settings(
+        max_examples=20,
+        database=None,
+        derandomize=True,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-5, max_value=9),
+                st.integers(min_value=1, max_value=6),
+            ),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    def grab(pairs):
+        groups.append([(float(v), float(w)) for v, w in pairs])
+
+    grab()
+
+    def replica(pairs, q):
+        total = sum(w for _, w in pairs)
+        cum = 0.0
+        for v, w in sorted(pairs):
+            cum += w
+            if cum >= q * total:
+                return v
+        return pairs[-1][0]
+
+    rows = [
+        (g, v, w) for g, pairs in enumerate(groups) for v, w in pairs
+    ]
+    df = spark.createDataFrame(rows, "g int, v double, w double")
+    for q in (0.25, 0.5, 0.9, 1.0):
+        got = {
+            r.g: r.wq
+            for r in aggregates.weighted_quantile(
+                df, ["g"], "v", "w", q=q
+            ).collect()
+        }
+        scaled = {
+            r.g: r.wq
+            for r in aggregates.weighted_quantile(
+                df.withColumn("w", F.col("w") * 7.0), ["g"], "v", "w", q=q
+            ).collect()
+        }
+        parts = {
+            r.g: r.wq
+            for r in aggregates.weighted_quantile(
+                df.repartition(11), ["g"], "v", "w", q=q
+            ).collect()
+        }
+        ones = {
+            r.g: r.wq
+            for r in aggregates.weighted_quantile(
+                df.withColumn("w", F.lit(1.0)), ["g"], "v", "w", q=q
+            ).collect()
+        }
+        for g, pairs in enumerate(groups):
+            assert got[g] == replica(pairs, q), (g, q, pairs)
+            assert scaled[g] == got[g], (g, q)
+            assert parts[g] == got[g], (g, q)
+            assert ones[g] == replica(
+                [(v, 1.0) for v, _ in pairs], q
+            ), (g, q)
