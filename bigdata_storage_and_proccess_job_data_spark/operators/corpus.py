@@ -2520,3 +2520,118 @@ def compression_ratio(
     return docs.select(
         F.col(id_col), ratio(F.col(text_col)).alias(out_col)
     )
+
+
+def consensus_labels(
+    ratings: DataFrame,
+    item_col: str = "doc_id",
+    label_col: str = "label",
+    weight_col: "str | None" = None,
+    min_ratings: int = 1,
+) -> DataFrame:
+    """Majority-vote label aggregation -- the step that turns raw
+    multi-annotator ratings into ONE training label per item (the
+    production half of the labeling story whose QA half is
+    aggregates.cohen_kappa / fleiss_kappa: kappa says whether raters
+    agree enough to trust; this produces the label once they do).
+    Input rows are (item, label) ratings, one per rating; output one
+    row per item with >= ``min_ratings`` ratings:
+
+      (item, label, n_ratings, n_for, share, unanimous)
+
+    where label is the (optionally ``weight_col``-weighted) plurality
+    winner with ties broken deterministically on the label's sort
+    order (bit-reproducible, engine-replayable -- the md5-coin
+    convention's spirit), n_for/share count the winner's votes/weight
+    share, and unanimous flags share = 1.0. Downstream filters on
+    share are the standard confidence gate (e.g. keep share >= 2/3).
+
+    NULL items/labels are excluded; NULL or non-positive weights are
+    excluded (a zero-weight rating is a no-op by definition). Scale
+    shape: one hash agg to (item, label) vote cells, one plurality
+    window over each item's DISTINCT labels (alphabet-bounded, never
+    rating-bounded), one per-item totals agg joined back -- raw
+    ratings shuffle once."""
+    if min_ratings < 1:
+        raise ValueError(f"min_ratings must be >= 1: {min_ratings}")
+    from pyspark.sql import Window
+
+    it, lb = F.col(item_col), F.col(label_col)
+    base = ratings.filter(it.isNotNull() & lb.isNotNull())
+    if weight_col is not None:
+        w = F.col(weight_col).cast("double")
+        base = base.filter(w.isNotNull() & (w > 0))
+    else:
+        w = F.lit(1.0)
+    cells = base.groupBy(
+        it.alias("_item"), lb.alias("_label")
+    ).agg(
+        F.sum(w).alias("_v"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    totals = cells.groupBy("_item").agg(
+        F.sum("_n").alias("n_ratings"), F.sum("_v").alias("_tot")
+    )
+    win = Window.partitionBy("_item").orderBy(
+        F.col("_v").desc(), F.col("_label").asc()
+    )
+    winners = (
+        cells.withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") == 1)
+        .join(totals, "_item")
+        .filter(F.col("n_ratings") >= min_ratings)
+    )
+    share = F.col("_v") / F.col("_tot")
+    return winners.select(
+        F.col("_item").alias(item_col),
+        F.col("_label").alias(label_col),
+        "n_ratings",
+        F.col("_n").alias("n_for"),
+        share.alias("share"),
+        (share == 1.0).alias("unanimous"),
+    )
+
+
+def rater_quality(
+    ratings: DataFrame,
+    item_col: str = "doc_id",
+    rater_col: str = "rater",
+    label_col: str = "label",
+    min_ratings: int = 1,
+) -> DataFrame:
+    """Per-rater agreement against the majority consensus -- the
+    proxy-accuracy readout that finds weak or adversarial annotators
+    without any gold labels (the Dawid-Skene intuition, kept at its
+    one-iteration closed form: consensus first, then each rater scored
+    against it). Returns one row per rater:
+
+      (rater, n_rated, n_agree, agree_rate)
+
+    over the items that HAVE a consensus (consensus_labels semantics,
+    unweighted). The honest caveat, stated: a rater's own votes are
+    inside the consensus they are scored against, so small rater
+    pools flatter everyone equally (the standard leave-one-out
+    refinement needs per-rater consensus recomputes -- O(raters)
+    passes; run THIS first and only escalate for raters near a
+    threshold). NULL raters are excluded like NULL items/labels.
+
+    Scale shape: consensus_labels' two bounded aggs, then ONE
+    broadcast-or-shuffle equi-join of ratings to the per-item winner
+    and one rater hash agg."""
+    r = F.col(rater_col)
+    base = ratings.filter(r.isNotNull())
+    consensus = consensus_labels(
+        base, item_col, label_col, min_ratings=min_ratings
+    ).select(
+        F.col(item_col).alias("_item"),
+        F.col(label_col).alias("_win"),
+    )
+    it, lb = F.col(item_col), F.col(label_col)
+    joined = base.filter(it.isNotNull() & lb.isNotNull()).join(
+        consensus, it == F.col("_item")
+    )
+    return joined.groupBy(r.alias("rater")).agg(
+        F.count(F.lit(1)).alias("n_rated"),
+        F.sum((lb == F.col("_win")).cast("long")).alias("n_agree"),
+        F.avg((lb == F.col("_win")).cast("double")).alias("agree_rate"),
+    )

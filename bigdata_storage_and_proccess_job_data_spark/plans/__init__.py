@@ -587,7 +587,10 @@ DRIVER_WINDOW_R10_PLAN = sorted(
 # cohen_kappa / fleiss_kappa (aggregates.py -- inter-annotator
 # agreement, the labeling-QA gates; textbook pins + full DuckDB
 # replay in test_kappa_textbook_pins_and_parity) are additive and
-# R11-promotable. Process note, recorded
+# R11-promotable, as are corpus.consensus_labels / rater_quality
+# (majority-vote label aggregation + no-gold annotator screening --
+# the production half of the same labeling story; full DuckDB replay
+# in test_consensus_labels_and_rater_quality). Process note, recorded
 # for honesty: a features.psi_report written mid-round duplicated the
 # existing aggregates.psi_bins (registered in COVERAGE since r7 with
 # its own DuckDB parity test) and was REMOVED the same round --

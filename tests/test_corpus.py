@@ -2587,3 +2587,138 @@ def test_compression_ratio_replica_and_signal(spark, oracle_sf_dir):
 
     with _pytest.raises(ValueError, match="level"):
         corpus.compression_ratio(probe, level=0)
+
+
+def test_consensus_labels_and_rater_quality(spark, oracle_sf_dir):
+    """Label aggregation: (1) hand pins -- plurality winner,
+    deterministic tie-break on label order, weighted votes flip the
+    winner, min_ratings gate, unanimity flag; (2) rater_quality scores
+    each rater against the consensus (planted bad rater scores low);
+    (3) both replay value-for-value in DuckDB on orders-derived
+    ratings."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    rows = [
+        (1, "r1", "cat"), (1, "r2", "cat"), (1, "r3", "dog"),
+        (2, "r1", "dog"), (2, "r2", "cat"),          # tie -> 'cat' (asc)
+        (3, "r1", "owl"),                             # single rating
+        (4, "r1", "cat"), (4, "r2", "cat"),           # unanimous
+        (None, "r1", "cat"), (5, "r2", None),         # excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, rater string, label string")
+    got = {
+        r.doc_id: (r.label, r.n_ratings, r.n_for, r.share, r.unanimous)
+        for r in corpus.consensus_labels(df).collect()
+    }
+    assert got[1] == ("cat", 3, 2, pytest.approx(2 / 3), False)
+    assert got[2][0] == "cat" and got[2][3] == pytest.approx(0.5)
+    assert got[3] == ("owl", 1, 1, 1.0, True)
+    assert got[4][4] is True
+    assert set(got) == {1, 2, 3, 4}
+    gated = {
+        r.doc_id
+        for r in corpus.consensus_labels(df, min_ratings=2).collect()
+    }
+    assert gated == {1, 2, 4}
+    # weights flip a plurality: doc 1's dog rater carries weight 5
+    wdf = df.filter(F.col("doc_id") == 1).withColumn(
+        "wt", F.when(F.col("rater") == "r3", 5.0).otherwise(1.0)
+    )
+    ww = corpus.consensus_labels(wdf, weight_col="wt").collect()[0]
+    assert ww.label == "dog" and ww.share == pytest.approx(5 / 7)
+    with pytest.raises(ValueError, match="min_ratings"):
+        corpus.consensus_labels(df, min_ratings=0)
+
+    # rater quality: r_bad disagrees with every consensus
+    many = [
+        (i, r, "a") for i in range(10) for r in ("r1", "r2", "r3")
+    ] + [(i, "r_bad", "b") for i in range(10)]
+    q = {
+        r.rater: r.agree_rate
+        for r in corpus.rater_quality(
+            spark.createDataFrame(
+                many, "doc_id long, rater string, label string"
+            )
+        ).collect()
+    }
+    assert q["r1"] == 1.0 and q["r_bad"] == 0.0
+
+    orders = load_table(spark, oracle_sf_dir, "orders").select(
+        (F.col("o_custkey") % 500).alias("doc_id"),
+        F.concat(F.lit("r"), (F.col("o_orderkey") % 7).cast("string"))
+        .alias("rater"),
+        F.col("o_orderpriority").alias("label"),
+    )
+    gotc = corpus.consensus_labels(orders, min_ratings=2).select(
+        "doc_id",
+        "label",
+        "n_ratings",
+        "n_for",
+        stable_round(F.col("share"), 6).alias("share"),
+        "unanimous",
+    )
+    sql = f"""
+        WITH cells AS (
+          SELECT o_custkey % 500 AS doc_id, o_orderpriority AS label,
+                 COUNT(*) AS v, COUNT(*)::BIGINT AS n
+          FROM orders GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_ratings,
+                 SUM(v) AS tot
+          FROM cells GROUP BY doc_id
+        ),
+        win AS (
+          SELECT doc_id, label, v, n,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY v DESC, label ASC) AS rk
+          FROM cells
+        )
+        SELECT w.doc_id, w.label, t.n_ratings, w.n AS n_for,
+               {sql_round('w.v * 1.0 / t.tot', 6)} AS share,
+               w.v * 1.0 / t.tot = 1.0 AS unanimous
+        FROM win w JOIN tot t USING (doc_id)
+        WHERE w.rk = 1 AND t.n_ratings >= 2
+    """
+    assert compare(gotc, duckdb_connect(oracle_sf_dir), sql) == []
+
+    gotq = corpus.rater_quality(orders).select(
+        "rater",
+        "n_rated",
+        "n_agree",
+        stable_round(F.col("agree_rate"), 6).alias("agree_rate"),
+    )
+    sqlq = f"""
+        WITH base AS (
+          SELECT o_custkey % 500 AS doc_id,
+                 'r' || CAST(o_orderkey % 7 AS VARCHAR) AS rater,
+                 o_orderpriority AS label
+          FROM orders
+        ),
+        cells AS (
+          SELECT doc_id, label, COUNT(*) AS v FROM base GROUP BY 1, 2
+        ),
+        win AS (
+          SELECT doc_id, label AS winner,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY v DESC, label ASC) AS rk
+          FROM cells
+        )
+        SELECT b.rater, COUNT(*)::BIGINT AS n_rated,
+               SUM(CASE WHEN b.label = w.winner THEN 1 ELSE 0 END)::BIGINT
+                 AS n_agree,
+               {sql_round(
+                   'AVG(CASE WHEN b.label = w.winner '
+                   'THEN 1.0 ELSE 0.0 END)', 6
+               )} AS agree_rate
+        FROM base b JOIN win w ON b.doc_id = w.doc_id AND w.rk = 1
+        GROUP BY b.rater
+    """
+    assert compare(gotq, duckdb_connect(oracle_sf_dir), sqlq) == []
