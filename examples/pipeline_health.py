@@ -18,6 +18,9 @@ round-10 monitoring suite composed end to end:
   6. many-metrics readout with FDR control: per-segment tests produce a
      family of p-values; Benjamini-Hochberg q-values decide which
      segment alarms survive multiple testing
+  7. labeling QA: Fleiss' kappa over synthetic multi-annotator ratings,
+     majority-vote consensus labels, and the no-gold rater screen that
+     catches the planted adversarial annotator
 
 Every gate is one or two hash aggregations over bounded frames; the raw
 tables never join each other except the one keyed diff. Nothing wider
@@ -155,6 +158,43 @@ def main() -> None:
             f"  {r.c_mktsegment}: p={r.p:.3f} q={r.q_value:.3f} "
             f"reject={r.reject}"
         )
+
+    # -- 7. labeling QA ---------------------------------------------------
+    # synthetic ratings: 4 raters label each doc with its parity class;
+    # rater r3 is adversarial on every third doc
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    ratings = None
+    for i in range(4):
+        truth = F.when(F.col("doc_id") % 2 == 0, "ham").otherwise("spam")
+        lab = (
+            F.when(
+                (F.lit(i) == 3) & (F.col("doc_id") % 3 == 0),
+                F.when(truth == "ham", "spam").otherwise("ham"),
+            ).otherwise(truth)
+        )
+        part = docs.select(
+            "doc_id", F.lit(f"r{i}").alias("rater"), lab.alias("label")
+        )
+        ratings = part if ratings is None else ratings.unionByName(part)
+    fk_r = aggregates.fleiss_kappa(ratings, "doc_id", "label").collect()[0]
+    cons = corpus.consensus_labels(ratings, "doc_id", "label")
+    n_unanimous = cons.filter(F.col("unanimous")).count()
+    quality = {
+        r.rater: r.agree_rate
+        for r in corpus.rater_quality(
+            ratings, "doc_id", "rater", "label"
+        ).collect()
+    }
+    print("== labeling QA (rater r3 adversarial on 1/3 of docs) ==")
+    print(f"  fleiss kappa={fk_r.kappa:.3f} over {fk_r.n_items} docs")
+    print(
+        f"  consensus: {cons.count()} labels, {n_unanimous} unanimous"
+    )
+    for rt in sorted(quality):
+        print(f"  {rt}: agree_rate={quality[rt]:.3f}")
+    assert min(quality, key=quality.get) == "r3"
 
     spark.stop()
     print("pipeline health: all gates evaluated")
