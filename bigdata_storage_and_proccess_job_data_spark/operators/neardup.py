@@ -325,6 +325,117 @@ def verify_jaccard(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    ngram: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT asymmetric n-gram containment pairs: C(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| -- the dedup signal
+    Jaccard structurally misses: a short document quoted whole inside a
+    long one (boilerplate wrapping an article, a README pasted into a
+    mega-doc) has containment ~1 but Jaccard ~n_small/n_big, far below
+    any near-dup threshold. Returns unordered pairs where the MAX
+    direction clears ``threshold``: (id_a, id_b, n_a, n_b, n_inter,
+    containment_a, containment_b) with id_a < id_b -- the caller reads
+    which side is contained from whichever containment is larger.
+
+    Completeness (the jaccard_pairs prefix-filter argument, adapted to
+    the asymmetric measure): order each doc's distinct shingles by
+    global rarity and index the first n - ceil(t*n) + 1. If
+    C(A in B) >= t then A's intersection misses at most (1-t)*n_A of
+    A's own shingles, so at least one of A's prefix shingles lies in B
+    -- joining A-prefixes against B's FULL shingle postings can not
+    drop a qualifying pair in either direction (each pair is probed
+    from both sides). Candidates are then verified exactly on the full
+    arrays (verify_jaccard's two-hash-join shape), so false positives
+    are impossible.
+
+    Scale shape: one shingle-frequency groupBy, one per-doc re-sort,
+    one prefix-vs-full equi-join on the shingle, two hash joins to
+    verify -- no driver collects, no all-pairs. The honest caveat: the
+    FULL-side posting list of a corpus-stopword shingle is long, so the
+    candidate volume is sum over shingles of prefix_df x full_df --
+    bounded in practice because prefixes keep only each doc's RAREST
+    shingles, but a pathological corpus of near-identical boilerplate
+    degrades toward the quadratic truth (every doc genuinely contains
+    every other; the output itself is quadratic there)."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    sized = sized_shingles(df, id_col, content_col, ngram)
+    exploded = sized.select("_id", "_n", F.explode("_sh").alias("shingle"))
+    freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        exploded.join(freq, "shingle")
+        .groupBy("_id", "_n")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
+            ).alias("_ranked")
+        )
+    )
+    prefix_len = (
+        F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    ).cast("int")
+    prefix = ranked.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.slice("_ranked", F.lit(1), prefix_len),
+                lambda s: s.getField("shingle"),
+            )
+        ).alias("shingle"),
+    )
+    cands = (
+        prefix.alias("a")
+        .join(
+            exploded.select("_id", "shingle").alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .select(
+            F.least(F.col("a._id"), F.col("b._id")).alias("id_a"),
+            F.greatest(F.col("a._id"), F.col("b._id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            sized.select(
+                F.col("_id").alias("id_a"),
+                F.col("_sh").alias("_sha"),
+                F.col("_n").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sized.select(
+                F.col("_id").alias("id_b"),
+                F.col("_sh").alias("_shb"),
+                F.col("_n").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("_sha", "_shb")).cast("long")
+        )
+        .withColumn(
+            "containment_a", F.col("n_inter") / F.col("n_a")
+        )
+        .withColumn(
+            "containment_b", F.col("n_inter") / F.col("n_b")
+        )
+    )
+    return verified.filter(
+        F.greatest("containment_a", "containment_b") >= threshold
+    ).select(
+        "id_a", "id_b", "n_a", "n_b", "n_inter",
+        "containment_a", "containment_b",
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,

@@ -2722,3 +2722,117 @@ def test_consensus_labels_and_rater_quality(spark, oracle_sf_dir):
         GROUP BY b.rater
     """
     assert compare(gotq, duckdb_connect(oracle_sf_dir), sqlq) == []
+
+
+def test_ngram_overlap_clipping_and_parity(spark, oracle_sf_dir):
+    """ROUGE/BLEU overlap: (1) hand math with a repeated gram -- the
+    clip means stuffing 'the cat' twice earns credit only for the
+    reference's counts; (2) identical texts score 1/1/1; (3) a side
+    shorter than the gram order reads NULL, not 0; (4) NULL texts are
+    excluded; (5) full DuckDB unigram replay on documents against a
+    prefix-slice reference."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat the cat sat", "the cat sat on the mat"),
+            (2, "same text", "same text"),
+            (3, "a", "b c"),          # cand has zero bigrams
+            (4, None, "x y"),         # excluded
+        ],
+        "id long, cand string, ref string",
+    )
+    got = {
+        r.id: r for r in corpus.ngram_overlap(df, "id", "cand", "ref").collect()
+    }
+    assert 4 not in got
+    # cand unigrams: the:2 cat:2 sat:1 (5); ref: the:2 cat:1 sat:1 on:1
+    # mat:1 (6); clipped = 2 + 1 + 1 = 4
+    assert (got[1].n_cand, got[1].n_ref, got[1].n_match) == (5, 6, 4)
+    assert got[1].precision == pytest.approx(4 / 5)
+    assert got[1].recall == pytest.approx(4 / 6)
+    p, r_ = 4 / 5, 4 / 6
+    assert got[1].f1 == pytest.approx(2 * p * r_ / (p + r_))
+    assert (
+        got[2].precision == got[2].recall == got[2].f1 == 1.0
+    )
+    bi = {
+        r.id: r
+        for r in corpus.ngram_overlap(df, "id", "cand", "ref", ngram=2)
+        .collect()
+    }
+    assert bi[3].n_cand == 0
+    assert bi[3].precision is None and bi[3].f1 is None
+    assert bi[3].recall == 0.0  # ref has one bigram, nothing matched
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="ngram"):
+        corpus.ngram_overlap(df, "id", "cand", "ref", ngram=0)
+
+    docs = load_table(spark, oracle_sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    ).select(
+        "doc_id",
+        F.col("text").alias("cand"),
+        F.substring(F.col("text"), 1, 100).alias("ref"),
+    )
+    out = corpus.ngram_overlap(docs, "doc_id", "cand", "ref").select(
+        "doc_id",
+        "n_cand",
+        "n_ref",
+        "n_match",
+        stable_round(F.col("precision"), 8).alias("precision"),
+        stable_round(F.col("recall"), 8).alias("recall"),
+        stable_round(F.col("f1"), 8).alias("f1"),
+    )
+    sql = rf"""
+        WITH base AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS ct,
+                 CASE WHEN trim(substr(text, 1, 100)) = '' THEN []
+                      ELSE string_split_regex(
+                        lower(trim(substr(text, 1, 100))), '\s+')
+                 END AS rt
+          FROM documents WHERE trim(text) <> '' AND text IS NOT NULL
+        ),
+        c AS (
+          SELECT doc_id, unnest(ct) AS g FROM base
+        ),
+        cc AS (SELECT doc_id, g, COUNT(*) AS cc FROM c GROUP BY 1, 2),
+        r AS (
+          SELECT doc_id, unnest(rt) AS g FROM base
+        ),
+        rc AS (SELECT doc_id, g, COUNT(*) AS rc FROM r GROUP BY 1, 2),
+        m AS (
+          SELECT cc.doc_id, SUM(LEAST(cc.cc, rc.rc)) AS n_match
+          FROM cc JOIN rc ON cc.doc_id = rc.doc_id AND cc.g = rc.g
+          GROUP BY 1
+        ),
+        s AS (
+          SELECT b.doc_id,
+                 CAST(len(ct) AS BIGINT) AS n_cand,
+                 CAST(len(rt) AS BIGINT) AS n_ref,
+                 CAST(COALESCE(m.n_match, 0) AS BIGINT) AS n_match
+          FROM base b LEFT JOIN m ON b.doc_id = m.doc_id
+        ),
+        pr AS (
+          SELECT doc_id, n_cand, n_ref, n_match,
+                 CASE WHEN n_cand > 0 THEN n_match * 1.0 / n_cand END AS p,
+                 CASE WHEN n_ref > 0 THEN n_match * 1.0 / n_ref END AS r
+          FROM s
+        )
+        SELECT doc_id, n_cand, n_ref, n_match,
+               {sql_round('p', 8)} AS precision,
+               {sql_round('r', 8)} AS recall,
+               {sql_round(
+                   'CASE WHEN p IS NOT NULL AND r IS NOT NULL AND p + r > 0 '
+                   'THEN 2 * p * r / (p + r) END', 8
+               )} AS f1
+        FROM pr
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []

@@ -477,6 +477,19 @@ def test_woe_fit_apply_semantics_and_parity(spark, oracle_sf_dir):
             "cat",
             "y",
         ).collect()
+    # out-of-domain labels fail LOUD (r10 ADVICE: a fractional or
+    # out-of-range label used to truncate silently through
+    # cast('long') on n_pos/n_neg and corrupt every woe/IV)
+    for bad in (0.5, 2.0, -1.0):
+        with pytest.raises(Exception, match="outside"):
+            features.woe_fit(
+                spark.createDataFrame(
+                    [("a", 1.0), ("a", 0.0), ("b", bad)],
+                    "cat string, y double",
+                ),
+                "cat",
+                "y",
+            ).collect()
 
     applied = {
         r.cat: r.woe

@@ -3270,6 +3270,22 @@ def test_fk_integrity_report_semantics_and_parity(spark, oracle_sf_dir):
         nulls, dim.distinct(), "fk", "pk"
     ).collect()[0]
     assert rn.orphan_rate is None and rn.ok is True
+    # EMPTY fact frame (r10 ADVICE): zero-row conditional sums coalesce
+    # to 0 -- counts are defined and ok=true, not NULLs a gate cannot
+    # branch on ("clean" vs "no data" is readable from n_fact)
+    empty = spark.createDataFrame([], "fk long")
+    re_ = aggregates.fk_integrity_report(
+        empty, dim.distinct(), "fk", "pk"
+    ).collect()[0]
+    assert (re_.n_fact, re_.n_null_fk, re_.n_orphans) == (0, 0, 0)
+    assert re_.orphan_rate is None and re_.ok is True
+    # empty dim too: every defect count 0, the fact's fks all orphan
+    no_dim = spark.createDataFrame([], "pk long")
+    rd = aggregates.fk_integrity_report(
+        fact, no_dim, "fk", "pk"
+    ).collect()[0]
+    assert (rd.n_dim, rd.n_dup_pk, rd.n_null_pk) == (0, 0, 0)
+    assert rd.n_orphans == 4 and rd.ok is False
 
     orders = load_table(spark, oracle_sf_dir, "orders").select(
         # plant orphans: shift 1/7th of the custkeys out of range
@@ -3381,6 +3397,12 @@ def test_ks_test_pins_and_parity(spark, oracle_sf_dir):
         aggregates.ks_test(jit_a, fa, "v", quantize=3).collect()[0].d_stat
         == 0.0
     )
+    # SAFE BY DEFAULT (r10 verdict #1): the naive call quantizes at 6
+    # decimals -- sub-grid jitter vanishes under the default, and the
+    # UNBOUNDED exact form is the explicit opt-in (quantize=None)
+    assert aggregates.ks_test(jit_a, fa, "v").collect()[0].d_stat == 0.0
+    exact = aggregates.ks_test(jit_a, fa, "v", quantize=None).collect()[0]
+    assert exact.d_stat == pytest.approx(0.5)  # every step offset by 1e-9
 
     orders = load_table(spark, oracle_sf_dir, "orders")
     ev = orders.filter(F.col("o_orderkey") % 2 == 0)
@@ -3725,3 +3747,341 @@ def test_kappa_textbook_pins_and_parity(spark, oracle_sf_dir):
         FROM tot, pe, cov
     """
     assert compare(gotf, duckdb_connect(oracle_sf_dir), sqlf) == []
+
+
+def test_classification_report_pins_and_parity(spark, oracle_sf_dir):
+    """Confusion metrics: (1) hand pins -- a known tp/fp/fn/tn split
+    gives the textbook precision/recall/f1; (2) degenerate slices are
+    NULL, not 0 or a crash (no predicted positives -> precision NULL,
+    no actual positives -> recall NULL, f1 NULL when an input is);
+    (3) out-of-domain labels fail loud; (4) full DuckDB replay on
+    orders per status with deterministic key-derived label/pred."""
+    rows = (
+        [(1.0, 1.0)] * 3      # tp
+        + [(0.0, 1.0)] * 1    # fp
+        + [(1.0, 0.0)] * 2    # fn
+        + [(0.0, 0.0)] * 4    # tn
+        + [(None, 1.0), (1.0, None)]  # excluded
+    )
+    df = spark.createDataFrame(rows, "y double, p double")
+    r = aggregates.classification_report(df, "y", "p").collect()[0]
+    assert (r.n, r.tp, r.fp, r.fn, r.tn) == (10, 3, 1, 2, 4)
+    assert r.accuracy == pytest.approx(0.7)
+    assert r.precision == pytest.approx(3 / 4)
+    assert r.recall == pytest.approx(3 / 5)
+    assert r.f1 == pytest.approx(2 * (3 / 4) * (3 / 5) / (3 / 4 + 3 / 5))
+
+    # never predicts positive: precision undefined, recall 0, f1 NULL
+    never = spark.createDataFrame(
+        [(1.0, 0.0), (0.0, 0.0)], "y double, p double"
+    )
+    rn = aggregates.classification_report(never, "y", "p").collect()[0]
+    assert rn.precision is None and rn.recall == 0.0 and rn.f1 is None
+    # no actual positives: recall undefined
+    nop = spark.createDataFrame(
+        [(0.0, 1.0), (0.0, 0.0)], "y double, p double"
+    )
+    rp = aggregates.classification_report(nop, "y", "p").collect()[0]
+    assert rp.recall is None and rp.precision == 0.0 and rp.f1 is None
+    # booleans cast cleanly
+    rb = aggregates.classification_report(
+        spark.createDataFrame([(True, True), (False, True)],
+                              "y boolean, p boolean"),
+        "y",
+        "p",
+    ).collect()[0]
+    assert (rb.tp, rb.fp) == (1, 1)
+    with pytest.raises(Exception, match="outside"):
+        aggregates.classification_report(
+            spark.createDataFrame([(0.5, 1.0)], "y double, p double"),
+            "y",
+            "p",
+        ).collect()
+
+    orders = load_table(spark, oracle_sf_dir, "orders").select(
+        "o_orderstatus",
+        (F.col("o_custkey") % 2).cast("double").alias("y"),
+        (F.col("o_orderkey") % 3 == 0).cast("double").alias("p"),
+    )
+    out = aggregates.classification_report(
+        orders, "y", "p", keys=["o_orderstatus"]
+    ).select(
+        "o_orderstatus",
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        stable_round(F.col("accuracy"), 8).alias("accuracy"),
+        stable_round(F.col("precision"), 8).alias("precision"),
+        stable_round(F.col("recall"), 8).alias("recall"),
+        stable_round(F.col("f1"), 8).alias("f1"),
+    )
+    sql = f"""
+        WITH base AS (
+          SELECT o_orderstatus AS k,
+                 (o_custkey % 2 = 1) AS y,
+                 (o_orderkey % 3 = 0) AS p
+          FROM orders
+        ),
+        c AS (
+          SELECT k, COUNT(*)::BIGINT AS n,
+                 SUM(CASE WHEN y AND p THEN 1 ELSE 0 END)::BIGINT AS tp,
+                 SUM(CASE WHEN NOT y AND p THEN 1 ELSE 0 END)::BIGINT AS fp,
+                 SUM(CASE WHEN y AND NOT p THEN 1 ELSE 0 END)::BIGINT AS fn,
+                 SUM(CASE WHEN NOT y AND NOT p THEN 1 ELSE 0 END)::BIGINT
+                   AS tn
+          FROM base GROUP BY k
+        ),
+        m AS (
+          SELECT k, n, tp, fp, fn, tn,
+                 (tp + tn) * 1.0 / n AS accuracy,
+                 CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) END
+                   AS precision,
+                 CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) END
+                   AS recall
+          FROM c
+        )
+        SELECT k AS o_orderstatus, n, tp, fp, fn, tn,
+               {sql_round('accuracy', 8)} AS accuracy,
+               {sql_round('precision', 8)} AS precision,
+               {sql_round('recall', 8)} AS recall,
+               {sql_round(
+                   'CASE WHEN precision IS NOT NULL AND recall IS NOT NULL '
+                   'AND precision + recall > 0 THEN 2 * precision * recall '
+                   '/ (precision + recall) END', 8
+               )} AS f1
+        FROM m
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_disparity_report_pins_and_parity(spark, oracle_sf_dir):
+    """Fairness slices: (1) hand pins -- two groups with planted rate
+    gaps report the exact dp/eo/fpr gaps against the POOLED rates;
+    (2) a group with no positives has NULL tpr and NULL eo_gap (absence
+    of evidence, not zero disparity); (3) NULL group is a real level;
+    (4) full DuckDB replay on orders grouped by priority."""
+    # group a: 4 rows, pred+ on 2 (rate .5); group b: 4 rows, pred+ 1
+    rows = [
+        ("a", 1.0, 1.0), ("a", 1.0, 1.0), ("a", 0.0, 0.0), ("a", 0.0, 0.0),
+        ("b", 1.0, 0.0), ("b", 0.0, 1.0), ("b", 0.0, 0.0), ("b", 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, y double, p double")
+    got = {
+        r.g: r for r in aggregates.disparity_report(df, "g", "y", "p").collect()
+    }
+    assert got["a"].positive_rate == pytest.approx(0.5)
+    assert got["b"].positive_rate == pytest.approx(0.25)
+    pooled_rate = 3 / 8
+    assert got["a"].positive_rate_overall == pytest.approx(pooled_rate)
+    assert got["a"].dp_gap == pytest.approx(0.5 - pooled_rate)
+    assert got["b"].dp_gap == pytest.approx(0.25 - pooled_rate)
+    # tpr: a = 2/2, b = 0/1; pooled = 2/3
+    assert got["a"].tpr == pytest.approx(1.0)
+    assert got["b"].tpr == pytest.approx(0.0)
+    assert got["a"].eo_gap == pytest.approx(1.0 - 2 / 3)
+    # fpr: a = 0/2, b = 1/3; pooled = 1/5
+    assert got["a"].fpr == pytest.approx(0.0)
+    assert got["b"].fpr == pytest.approx(1 / 3)
+    assert got["b"].fpr_gap == pytest.approx(1 / 3 - 1 / 5)
+
+    # a group with no positives: tpr/eo_gap NULL, the rest defined
+    nopos = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("b", 0.0, 1.0), ("b", 0.0, 0.0)],
+        "g string, y double, p double",
+    )
+    gb = {
+        r.g: r
+        for r in aggregates.disparity_report(nopos, "g", "y", "p").collect()
+    }
+    assert gb["b"].tpr is None and gb["b"].eo_gap is None
+    assert gb["b"].fpr == pytest.approx(0.5)
+    # NULL group is a level of its own
+    withnull = spark.createDataFrame(
+        [(None, 1.0, 1.0), ("a", 0.0, 0.0)], "g string, y double, p double"
+    )
+    gn = {
+        r.g: r
+        for r in aggregates.disparity_report(
+            withnull, "g", "y", "p"
+        ).collect()
+    }
+    assert None in gn and gn[None].n == 1
+
+    orders = load_table(spark, oracle_sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_custkey") % 2).cast("double").alias("y"),
+        (F.col("o_orderkey") % 3 == 0).cast("double").alias("p"),
+    )
+    out = aggregates.disparity_report(
+        orders, "o_orderpriority", "y", "p"
+    ).select(
+        "o_orderpriority",
+        "n",
+        stable_round(F.col("positive_rate"), 8).alias("positive_rate"),
+        stable_round(F.col("tpr"), 8).alias("tpr"),
+        stable_round(F.col("fpr"), 8).alias("fpr"),
+        stable_round(F.col("dp_gap"), 8).alias("dp_gap"),
+        stable_round(F.col("eo_gap"), 8).alias("eo_gap"),
+        stable_round(F.col("fpr_gap"), 8).alias("fpr_gap"),
+    )
+    sql = f"""
+        WITH base AS (
+          SELECT o_orderpriority AS g,
+                 (o_custkey % 2 = 1) AS y,
+                 (o_orderkey % 3 = 0) AS p
+          FROM orders
+        ),
+        c AS (
+          SELECT g, COUNT(*)::BIGINT AS n,
+                 SUM(CASE WHEN p THEN 1 ELSE 0 END) AS npp,
+                 SUM(CASE WHEN y THEN 1 ELSE 0 END) AS npos,
+                 SUM(CASE WHEN y AND p THEN 1 ELSE 0 END) AS tp,
+                 SUM(CASE WHEN NOT y AND p THEN 1 ELSE 0 END) AS fp
+          FROM base GROUP BY g
+        ),
+        t AS (
+          SELECT g, n, npp, npos, tp, fp,
+                 SUM(n) OVER () AS t_n, SUM(npp) OVER () AS t_pp,
+                 SUM(npos) OVER () AS t_pos, SUM(tp) OVER () AS t_tp,
+                 SUM(fp) OVER () AS t_fp
+          FROM c
+        )
+        SELECT g AS o_orderpriority, n,
+               {sql_round('npp * 1.0 / n', 8)} AS positive_rate,
+               {sql_round(
+                   'CASE WHEN npos > 0 THEN tp * 1.0 / npos END', 8
+               )} AS tpr,
+               {sql_round(
+                   'CASE WHEN n - npos > 0 THEN fp * 1.0 / (n - npos) END', 8
+               )} AS fpr,
+               {sql_round('npp * 1.0 / n - t_pp * 1.0 / t_n', 8)} AS dp_gap,
+               {sql_round(
+                   'CASE WHEN npos > 0 AND t_pos > 0 THEN tp * 1.0 / npos '
+                   '- t_tp * 1.0 / t_pos END', 8
+               )} AS eo_gap,
+               {sql_round(
+                   'CASE WHEN n - npos > 0 AND t_n - t_pos > 0 THEN '
+                   'fp * 1.0 / (n - npos) - t_fp * 1.0 / (t_n - t_pos) END',
+                   8
+               )} AS fpr_gap
+        FROM t
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_lift_table_pins_and_parity(spark, oracle_sf_dir):
+    """Lift/gains: (1) a perfectly separating score puts every positive
+    in the top buckets -- bucket-1 lift = 1/base_rate, cum_capture
+    reaches 1.0 and stays; (2) zero positives -> NULL lift/capture,
+    never 0/0; (3) empty input -> empty table; (4) validation;
+    (5) full DuckDB replay on orders with a deterministic key-derived
+    score (independent of the label, so lift hovers ~1)."""
+    # 20 rows, ids 0..19, score = 20 - id (desc by id), positives = the
+    # 4 top-scored ids 0..3 -> base rate .2; 5 buckets of 4 rows
+    rows = [(i, float(20 - i), 1.0 if i < 4 else 0.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, s double, y double")
+    got = {
+        r.bucket: r
+        for r in aggregates.lift_table(df, "s", "y", "id", n_buckets=5)
+        .collect()
+    }
+    assert sorted(got) == [1, 2, 3, 4, 5]
+    assert got[1].n == 4 and got[1].n_pos == 4
+    assert got[1].response_rate == pytest.approx(1.0)
+    assert got[1].lift == pytest.approx(1.0 / 0.2)
+    assert got[1].cum_capture == pytest.approx(1.0)
+    assert got[5].cum_capture == pytest.approx(1.0)
+    assert got[5].cum_lift == pytest.approx(1.0)
+    assert got[3].n_pos == 0 and got[3].lift == pytest.approx(0.0)
+    assert [got[b].cum_n for b in range(1, 6)] == [4, 8, 12, 16, 20]
+
+    # zero positives: rates defined, lift/capture NULL
+    nop = aggregates.lift_table(
+        df.withColumn("y", F.lit(0.0)), "s", "y", "id", n_buckets=4
+    ).collect()
+    assert all(r.lift is None and r.cum_capture is None for r in nop)
+    # empty input: empty frame, stable schema
+    empty = aggregates.lift_table(
+        df.filter(F.lit(False)), "s", "y", "id"
+    )
+    assert empty.count() == 0
+    assert empty.columns == [
+        "bucket", "n", "n_pos", "response_rate", "lift",
+        "cum_n", "cum_pos", "cum_capture", "cum_lift",
+    ]
+    with pytest.raises(ValueError, match="n_buckets"):
+        aggregates.lift_table(df, "s", "y", "id", n_buckets=1)
+    with pytest.raises(Exception, match="outside"):
+        aggregates.lift_table(
+            spark.createDataFrame([(1, 0.5, 2.0)], "id long, s double, y double"),
+            "s",
+            "y",
+            "id",
+        ).collect()
+
+    orders = load_table(spark, oracle_sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        ((F.col("o_orderkey") % 97) / 96.0).alias("s"),
+        (F.col("o_custkey") % 2).cast("double").alias("y"),
+    )
+    out = aggregates.lift_table(orders, "s", "y", "id", n_buckets=10).select(
+        "bucket",
+        "n",
+        "n_pos",
+        stable_round(F.col("response_rate"), 8).alias("response_rate"),
+        stable_round(F.col("lift"), 8).alias("lift"),
+        "cum_n",
+        "cum_pos",
+        stable_round(F.col("cum_capture"), 8).alias("cum_capture"),
+        stable_round(F.col("cum_lift"), 8).alias("cum_lift"),
+    )
+    sql = f"""
+        WITH base AS (
+          SELECT o_orderkey AS id,
+                 (o_orderkey % 97) / 96.0 AS s,
+                 (o_custkey % 2 = 1) AS y
+          FROM orders
+        ),
+        n AS (SELECT COUNT(*)::DOUBLE AS c FROM base),
+        r AS (
+          SELECT CEIL(ROW_NUMBER() OVER (ORDER BY s DESC, id) * 10
+                      / (SELECT c FROM n))::INT AS bucket,
+                 y
+          FROM base
+        ),
+        per AS (
+          SELECT bucket, COUNT(*)::BIGINT AS n,
+                 SUM(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos
+          FROM r GROUP BY bucket
+        ),
+        c AS (
+          SELECT bucket, n, n_pos,
+                 SUM(n) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_n,
+                 SUM(n_pos) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_pos,
+                 SUM(n) OVER () AS t_n, SUM(n_pos) OVER () AS t_pos
+          FROM per
+        )
+        SELECT bucket, n, n_pos,
+               {sql_round('n_pos * 1.0 / n', 8)} AS response_rate,
+               {sql_round(
+                   'CASE WHEN t_pos > 0 THEN (n_pos * 1.0 / n) '
+                   '/ (t_pos * 1.0 / t_n) END', 8
+               )} AS lift,
+               CAST(cum_n AS BIGINT) AS cum_n,
+               CAST(cum_pos AS BIGINT) AS cum_pos,
+               {sql_round(
+                   'CASE WHEN t_pos > 0 THEN cum_pos * 1.0 / t_pos END', 8
+               )} AS cum_capture,
+               {sql_round(
+                   'CASE WHEN t_pos > 0 THEN (cum_pos * 1.0 / cum_n) '
+                   '/ (t_pos * 1.0 / t_n) END', 8
+               )} AS cum_lift
+        FROM c
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []

@@ -1039,3 +1039,141 @@ def test_weighted_quantile_reduction_and_scale_invariance(spark):
             assert ones[g] == replica(
                 [(v, 1.0) for v, _ in pairs], q
             ), (g, q)
+
+
+def test_classification_report_replica_on_generated_confusions(spark):
+    """classification_report on generated (y, p) batches: exact
+    agreement with a pure-Python confusion replica, cell counts
+    partition n, accuracy/precision/recall/f1 match the textbook
+    formulas with the documented NULL degeneracies, and the metrics
+    are invariant to partition count."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as hst
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        aggregates,
+    )
+
+    batches: list[list[tuple[int, int]]] = []
+
+    @settings(
+        max_examples=12,
+        database=None,
+        derandomize=True,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        hst.lists(
+            hst.tuples(
+                hst.integers(min_value=0, max_value=1),
+                hst.integers(min_value=0, max_value=1),
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def grab(pairs):
+        batches.append(pairs)
+
+    grab()
+
+    rows = [
+        (k, float(y), float(p))
+        for k, pairs in enumerate(batches)
+        for y, p in pairs
+    ]
+    df = spark.createDataFrame(rows, "k int, y double, p double")
+    got = {
+        r.k: r
+        for r in aggregates.classification_report(
+            df, "y", "p", keys=["k"]
+        ).collect()
+    }
+    got_part = {
+        r.k: r
+        for r in aggregates.classification_report(
+            df.repartition(7), "y", "p", keys=["k"]
+        ).collect()
+    }
+    for k, pairs in enumerate(batches):
+        tp = sum(1 for y, p in pairs if y and p)
+        fp = sum(1 for y, p in pairs if not y and p)
+        fn = sum(1 for y, p in pairs if y and not p)
+        tn = sum(1 for y, p in pairs if not y and not p)
+        r = got[k]
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+        assert r.tp + r.fp + r.fn + r.tn == r.n == len(pairs)
+        assert r.accuracy == pytest.approx((tp + tn) / len(pairs))
+        if tp + fp == 0:
+            assert r.precision is None
+        else:
+            assert r.precision == pytest.approx(tp / (tp + fp))
+        if tp + fn == 0:
+            assert r.recall is None
+        else:
+            assert r.recall == pytest.approx(tp / (tp + fn))
+        if r.precision is None or r.recall is None or (
+            r.precision + r.recall == 0
+        ):
+            assert r.f1 is None
+        else:
+            assert r.f1 == pytest.approx(
+                2 * r.precision * r.recall / (r.precision + r.recall)
+            )
+        rp = got_part[k]
+        assert (rp.tp, rp.fp, rp.fn, rp.tn) == (tp, fp, fn, tn)
+
+
+def test_ngram_overlap_invariants_on_generated_texts(spark):
+    """ngram_overlap on generated token sequences: swapping candidate
+    and reference swaps precision and recall exactly (the clip is
+    symmetric), all ratios live in [0, 1], self-overlap is identically
+    1, and n_match never exceeds either side's gram count."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as hst
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    vocab = ["aa", "bb", "cc", "dd"]
+    pairs: list[tuple[str, str]] = []
+
+    @settings(
+        max_examples=15,
+        database=None,
+        derandomize=True,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        hst.lists(hst.sampled_from(vocab), min_size=1, max_size=12),
+        hst.lists(hst.sampled_from(vocab), min_size=1, max_size=12),
+    )
+    def grab(a, b):
+        pairs.append((" ".join(a), " ".join(b)))
+
+    grab()
+
+    df = spark.createDataFrame(
+        [(i, c, r) for i, (c, r) in enumerate(pairs)],
+        "id int, cand string, ref string",
+    )
+    fwd = {
+        r.id: r
+        for r in corpus.ngram_overlap(df, "id", "cand", "ref").collect()
+    }
+    rev = {
+        r.id: r
+        for r in corpus.ngram_overlap(df, "id", "ref", "cand").collect()
+    }
+    selfo = {
+        r.id: r
+        for r in corpus.ngram_overlap(df, "id", "cand", "cand").collect()
+    }
+    for i in range(len(pairs)):
+        f, b, s = fwd[i], rev[i], selfo[i]
+        assert f.n_match == b.n_match
+        assert f.n_match <= min(f.n_cand, f.n_ref)
+        assert f.precision == pytest.approx(b.recall)
+        assert f.recall == pytest.approx(b.precision)
+        for v in (f.precision, f.recall, f.f1):
+            assert v is None or 0.0 <= v <= 1.0
+        assert s.precision == s.recall == s.f1 == 1.0
