@@ -663,6 +663,153 @@ DRIVER_WINDOW_R11_PLAN = sorted(
 # All carry full DuckDB replay parity in the tests named in the
 # audit notes above; every promotion needs its retirement recorded in
 # registry.RETIRED per the saturation rule.
+# EXECUTED r11: all four, exactly as written (retirements recorded in
+# registry.RETIRED; registered in plans/scale_queries.py for
+# bh_adjust/ks_test and plans/analytics_queries.py for table_diff/
+# fk_integrity_report, each oracle lifted verbatim from the parity
+# test that guarded the surface since r10).
+
+# Round-11 window, AS RUN -- R11_PLAN with this round's registry
+# changes applied by the standing displacement procedure:
+#
+#   OUT, retired r11 (registry.RETIRED records each coverage merge):
+#     - funnel_latency   (in R11_PLAN; gap arithmetic is event_gaps'
+#       hash-checked shape, funnel population stays driver-checked by
+#       funnel_view_click_purchase + view_click_attribution)
+#     - key_skew_report  (in R11_PLAN; max/mean algebra is a strict
+#       sub-shape of the skew bench pair's oracle; the skew family
+#       keeps three driver rows)
+#     - setop_except     (in R11_PLAN; EXCEPT is table_diff's
+#       removed-status row-for-row; setop_intersect keeps the family's
+#       other row)
+#     - dq_orders_report (NOT in R11_PLAN -- green r10 row; its
+#       single-table rule bundle is a sub-expression of the promoted
+#       fk_integrity_report's audit. Retiring an out-of-plan query
+#       means the promotion fills a slot the plan didn't free --
+#       covered by the event_paths_top displacement below, the
+#       cohort_retention/stat_moments precedent)
+#   IN, new-code rule (registered this round, must row now -- the
+#   executed R11 ledger's four picks, each carrying full DuckDB
+#   replay parity since r10):
+#     - bh_adjust (per-status BH q-values over orders-derived p)
+#     - ks_test (even/odd o_totalprice drift per status, under the
+#       NEW safe default quantize=6 -- verdict r10 #1, a no-op on
+#       2-decimal prices so the oracle needs no rounding CTE)
+#     - table_diff (orders vs mutated snapshot, CSV-flattened
+#       changed_cols)
+#     - fk_integrity_report (orders->customer audit with planted
+#       orphans + planted NULL fks)
+#   OUT, displaced to the round-12 plan (code untouched this round,
+#   green r9 row; pinned by DRIVER_WINDOW_R12_PLAN and the partition
+#   test -- the merge_fallback/stat_moments precedent):
+#     - event_paths_top (chosen deliberately: it is ALSO the R12
+#       ledger's named retiree for consensus_labels, so R12 either
+#       retires it with the recorded coverage merge -- superseding the
+#       row obligation, the cohort_retention precedent -- or, if the
+#       R12 promotion is not executed, MUST row it)
+#   Freshness obligation EXECUTED: stat_moments (r8 row, displaced
+#   from R10 -- the registry's oldest row) is in R11_PLAN and rows
+#   this round, closing the three-round gap the r10 verdict flagged.
+#
+# Changed-code audit for round 11 (per the seam addendum):
+#   - operators/aggregates.py ks_test: quantize now DEFAULTS to 6
+#     (verdict #1, safe-by-default). ks_test is newly registered THIS
+#     round, so the change rows immediately; no other registered query
+#     calls it. Parity re-proven under the new default
+#     (test_ks_test_pins_and_parity, + the explicit quantize=None
+#     opt-in pin).
+#   - operators/aggregates.py fk_integrity_report: zero-row
+#     conditional sums coalesce to 0 (r10 ADVICE #2); newly registered
+#     this round, rows immediately; empty-fact/empty-dim pins added.
+#   - operators/features.py woe_fit: in-plan raise on labels outside
+#     {0, 1} (r10 ADVICE #1); woe_fit is NOT called by any registered
+#     query (R12-promotable surface), test pins added.
+#   - categorical_entropy / mutual_information / woe_fit docstrings:
+#     cardinality-assumption sentence (verdict #4); no behavior
+#     change.
+#   - bench.py: full summary now written to bench_summary.json sidecar
+#     + compact stdout line (verdict #2); not a registry seam.
+# Mid-r11 additions audit (same rule, additive-only): the model-eval/
+# fairness wave -- classification_report (confusion counts +
+# precision/recall/f1 per key, ONE conditional hash agg),
+# disparity_report (per-group positive-rate/TPR/FPR + gaps vs pooled,
+# the fairness slices readout; pooled fold = window over the post-agg
+# group frame) and lift_table (decile lift/cumulative gains via the
+# two-phase global_row_number rank, the rfm precedent) -- all in
+# operators/aggregates.py, none called by any registered query, each
+# with full DuckDB replay parity (test_mining.py:
+# test_classification_report_pins_and_parity /
+# test_disparity_report_pins_and_parity /
+# test_lift_table_pins_and_parity) and the plan-lint sweep
+# (test_plans.py:test_r11_eval_ops_pass_the_plan_lint). All three are
+# R12+-promotable once paired retirees are named. A shared _binary01
+# domain guard (the bh_adjust/woe_fit raise pattern) backs all three.
+# Same-rule additions, dedup/eval half of the wave:
+# neardup.containment_pairs (asymmetric n-gram containment -- the
+# quoted-subset class Jaccard structurally misses; prefix-vs-full
+# posting equi-join + exact verify, full brute-force DuckDB replay in
+# test_neardup.py) and corpus.ngram_overlap (per-row clipped ROUGE-N/
+# BLEU-precision overlap; two (id, gram) hash aggs + one clip join,
+# full DuckDB replay in test_corpus.py). Both additive -- no
+# registered query's body or callee changed; both lint-swept in
+# test_r11_eval_ops_pass_the_plan_lint.
+# No session.py / catalog.py / numeric.py change this round. The
+# local total-parity gate (test_oracle_parity, all 100 queries vs
+# DuckDB at sf0.01) re-ran green after the wave.
+DRIVER_WINDOW_R11 = sorted(
+    (
+        set(DRIVER_WINDOW_R11_PLAN)
+        - {
+            "funnel_latency",
+            "key_skew_report",
+            "setop_except",
+            "event_paths_top",
+        }
+    )
+    | {
+        "bh_adjust",
+        "ks_test",
+        "table_diff",
+        "fk_integrity_report",
+    }
+)
+
+# Round-12 obligation, pinned NOW: the exact complement of
+# DRIVER_WINDOW_R11 in the post-r11 registry -- the R10 window minus
+# the retired dq_orders_report, plus the displaced event_paths_top.
+# test_plans.py asserts R11 ∪ R12_PLAN == registry, R11 ∩ R12_PLAN
+# == ∅.
+DRIVER_WINDOW_R12_PLAN = sorted(
+    (set(DRIVER_WINDOW_R10) - {"dq_orders_report"}) | {"event_paths_top"}
+)
+
+# R12 promotion priorities (builder's note for the next curation pass,
+# the executed-R10/R11 precedent). Both candidates carry full DuckDB
+# replay parity TODAY and both named retirees are VERIFIED REGISTERED
+# this round (the kn_surprisal lesson):
+# (1) consensus_labels (operators/corpus.py -- majority-vote label
+#     aggregation with deterministic tie handling, the labeling-QA
+#     production step; parity in
+#     test_consensus_labels_and_rater_quality). Retirement:
+#     event_paths_top -- its plurality-per-group window (top event
+#     path per user by count with a deterministic tiebreak) is exactly
+#     consensus_labels' plurality window shape, hash-checked every
+#     time the promoted query rows; the sessionization it feeds stays
+#     driver-checked by dedup_within_delay / view_click_attribution.
+#     event_paths_top is ALREADY parked in DRIVER_WINDOW_R12_PLAN by
+#     this round's displacement, so the retirement frees an in-plan
+#     slot cleanly.
+# (2) fleiss_kappa (operators/aggregates.py -- inter-annotator
+#     agreement for N raters; textbook pins + parity in
+#     test_kappa_textbook_pins_and_parity). Retirement:
+#     urgent_customers_semi -- the semi-join membership shape keeps
+#     TWO driver rows (decontaminated_train's anti side and
+#     hard_negatives' anti-before-rank); the left-semi plan itself
+#     stays pinned in test_plans' lint sweep over those rows.
+#     urgent_customers_semi is in DRIVER_WINDOW_R12_PLAN (rowed r10),
+#     so this retirement is in-plan and frees its slot cleanly.
+# Every promotion needs its retirement recorded in registry.RETIRED
+# per the saturation rule.
 
 # R10 promotion priorities (builder's note for the next curation
 # pass, the executed-R9 precedent): of the restart wave's
@@ -1126,4 +1273,4 @@ DRIVER_WINDOW_R3 = [
     "impute_mean",  # A9/X2
 ]
 
-set_driver_order(DRIVER_WINDOW_R10)
+set_driver_order(DRIVER_WINDOW_R11)

@@ -942,31 +942,11 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Set op: EXCEPT (customers in BUILDING segment with no urgent orders)
+# setop_except RETIRED r11 (registry.RETIRED["setop_except"]): its
+# EXCEPT shape is table_diff's removed-status row-for-row; the promoted
+# table_diff query now carries the family's driver row, and
+# setop_intersect keeps the set-op family's other row.
 # ---------------------------------------------------------------------------
-@register(
-    "setop_except",
-    tags=("setop",),
-    oracle="""
-        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-        EXCEPT
-        SELECT o_custkey AS c_custkey FROM orders
-        WHERE o_orderpriority = '1-URGENT'
-    """,
-)
-def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct set difference) -- plans as a left-anti join
-    after per-side distinct; completes the set-op family alongside
-    setop_intersect and the anti-join query (§2.6 gap list)."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
-        "c_custkey"
-    )
-    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    return building.subtract(urgent)
 
 
 # ---------------------------------------------------------------------------
@@ -1304,48 +1284,164 @@ def order_window_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Data-quality expectations (single-pass violation report)
+# Data quality: cross-table FK audit (promoted r11; dq_orders_report
+# RETIRED the same round -- registry.RETIRED["dq_orders_report"]: the
+# single-table expectation_report bundle's null/range/dup rules are
+# sub-expressions of this audit's, and the operator keeps its own
+# oracle-grade unit test)
 # ---------------------------------------------------------------------------
 @register(
-    "dq_orders_report",
-    tags=("agg", "quality"),
-    oracle="""
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-                 AS null_custkey,
-               CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
-                 AS nonpositive_price,
-               CAST(SUM(CASE WHEN o_orderdate BETWEEN DATE '1990-01-01'
-                                  AND DATE '2000-12-31' THEN 0 ELSE 1 END)
-                    AS BIGINT) AS date_out_of_range,
-               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
-                 AS duplicate_keys
-        FROM orders
+    "fk_integrity_report",
+    tags=("agg", "join", "quality"),
+    oracle=f"""
+        WITH f AS (
+          SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                      WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000
+                      ELSE o_custkey END AS fk
+          FROM orders
+        ),
+        fa AS (
+          SELECT COUNT(*)::BIGINT AS n_fact,
+                 COALESCE(SUM(CASE WHEN fk IS NULL THEN 1 ELSE 0 END),
+                          0)::BIGINT AS n_null_fk
+          FROM f
+        ),
+        o AS (
+          SELECT COUNT(*)::BIGINT AS n_orphans
+          FROM f WHERE fk IS NOT NULL
+            AND fk NOT IN (SELECT c_custkey FROM customer)
+        ),
+        d AS (
+          SELECT COUNT(*)::BIGINT AS n_dim,
+                 (COUNT(c_custkey) - COUNT(DISTINCT c_custkey))::BIGINT
+                   AS n_dup_pk,
+                 COALESCE(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END),
+                          0)::BIGINT AS n_null_pk
+          FROM customer
+        )
+        SELECT n_fact, n_null_fk, n_orphans,
+               {sql_round('n_orphans * 1.0 / (n_fact - n_null_fk)', 6)}
+                 AS orphan_rate,
+               n_dim, n_dup_pk, n_null_pk,
+               n_orphans = 0 AND n_dup_pk = 0 AND n_null_pk = 0 AS ok
+        FROM fa, o, d
     """,
 )
-def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-quality gate (operators/aggregates.py:expectation_report):
-    null FK, non-positive amounts, out-of-range dates, duplicate keys --
-    ALL rules in one partial+final aggregation pass over one scan (the
-    dbt-test/Deequ shape without N per-rule scans). Key uniqueness rides
-    the same pass via extra_aggs (count - count_distinct)."""
+def fk_integrity_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity gate (operators/aggregates.py:
+    fk_integrity_report) on orders -> customer with deterministic
+    planted defects: every 7th order's custkey shifted out of range
+    (orphans) and every 13th NULLed (excused missingness) -- the
+    join-health check the retired single-table dq_orders_report could
+    not make. Scale shape: one fact scan projected to the fk,
+    left-joined against the DISTINCT dim key set (one shuffle), one
+    conditional-count hash agg per side, the two one-row frames meeting
+    in a broadcast join."""
     from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
 
-    orders = load_table(spark, sf_dir, "orders")
-    return aggregates.expectation_report(
-        orders,
-        {
-            "null_custkey": F.col("o_custkey").isNotNull(),
-            "nonpositive_price": F.col("o_totalprice") > 0,
-            "date_out_of_range": F.col("o_orderdate").between(
-                "1990-01-01", "2000-12-31"
-            ),
-        },
-        extra_aggs={
-            "duplicate_keys": (
-                F.count(F.lit(1)) - F.count_distinct("o_orderkey")
-            ).cast("long")
-        },
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None).cast("long"))
+        .when(F.col("o_orderkey") % 7 == 0, F.col("o_custkey") + 1_000_000)
+        .otherwise(F.col("o_custkey"))
+        .alias("fk")
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    return aggregates.fk_integrity_report(
+        orders, customer, "fk", "c_custkey"
+    ).select(
+        "n_fact",
+        "n_null_fk",
+        "n_orphans",
+        stable_round(F.col("orphan_rate"), 6).alias("orphan_rate"),
+        "n_dim",
+        "n_dup_pk",
+        "n_null_pk",
+        "ok",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data quality: snapshot row-diff (promoted r11; setop_except RETIRED
+# the same round -- the diff's removed-status is EXCEPT's shape
+# row-for-row, see registry.RETIRED["setop_except"])
+# ---------------------------------------------------------------------------
+@register(
+    "table_diff",
+    tags=("join", "quality", "setop"),
+    oracle="""
+        WITH o AS (
+          SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p
+          FROM orders
+        ),
+        n AS (
+          SELECT o_orderkey AS k, o_orderstatus AS s,
+                 CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                      ELSE o_totalprice END AS p
+          FROM orders WHERE o_orderkey % 11 <> 0
+          UNION ALL
+          SELECT * FROM (VALUES (10000001, 'O', 1.0),
+                                (10000002, 'F', 2.0)) t(k, s, p)
+        ),
+        j AS (
+          SELECT COALESCE(o.k, n.k) AS k,
+                 o.k IS NOT NULL AS in_old,
+                 n.k IS NOT NULL AS in_new,
+                 list_filter([
+                   CASE WHEN o.s IS DISTINCT FROM n.s THEN 's' END,
+                   CASE WHEN o.p IS DISTINCT FROM n.p THEN 'p' END
+                 ], x -> x IS NOT NULL) AS ch
+          FROM o FULL OUTER JOIN n ON o.k = n.k
+        )
+        SELECT k AS o_orderkey,
+               CASE WHEN NOT in_old THEN 'added'
+                    WHEN NOT in_new THEN 'removed'
+                    WHEN len(ch) > 0 THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               CASE WHEN in_old AND in_new AND len(ch) > 0
+                    THEN list_aggregate(
+                      list_transform(ch, x ->
+                        CASE x WHEN 's' THEN 'o_orderstatus'
+                               ELSE 'o_totalprice' END),
+                      'string_agg', ',')
+                    ELSE '' END AS changed_cols
+        FROM j
+    """,
+)
+def table_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (operators/joins.py:table_diff) of
+    orders against a deterministically mutated copy -- every 11th row
+    deleted, every 5th price bumped, two rows inserted -- the
+    data-regression readout a pipeline runs between yesterday's output
+    and today's (snapshot_change_feed serves versioned tables; this
+    serves ANY two frames). changed_cols is flattened to a CSV string
+    so the driver's column-sorted value hash sees identical scalars on
+    both engines. Scale shape: ONE full-outer join on the key,
+    everything else codegen'd null-safe column comparisons -- no
+    windows, no second shuffle."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import joins
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mutated = (
+        orders.filter(F.col("o_orderkey") % 11 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(10_000_001, "O", 1.0), (10_000_002, "F", 2.0)],
+                "o_orderkey long, o_orderstatus string, o_totalprice double",
+            )
+        )
+    )
+    return joins.table_diff(orders, mutated, ["o_orderkey"]).select(
+        "o_orderkey",
+        "status",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
     )
 
 
@@ -1522,64 +1618,12 @@ def event_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Funnel latency: time-to-convert stats for funnel completers
 # ---------------------------------------------------------------------------
-@register(
-    "funnel_latency",
-    tags=("events", "funnel", "agg"),
-    oracle=f"""
-        WITH s1 AS (
-          SELECT user_id, MIN(ts) AS t1 FROM events
-          WHERE event_type = 'view' GROUP BY user_id
-        ),
-        s2 AS (
-          SELECT e.user_id, MIN(e.ts) AS t2
-          FROM events e JOIN s1 USING (user_id)
-          WHERE e.event_type = 'click' AND e.ts > s1.t1
-          GROUP BY e.user_id
-        ),
-        s3 AS (
-          SELECT e.user_id, s1.t1, MIN(e.ts) AS t3
-          FROM events e
-          JOIN s2 USING (user_id)
-          JOIN s1 USING (user_id)
-          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
-          GROUP BY e.user_id, s1.t1
-        ),
-        lat AS (
-          SELECT (epoch_us(t3) - epoch_us(t1)) / 1e6 AS secs FROM s3
-        )
-        SELECT CAST(COUNT(*) AS BIGINT)          AS n_converted,
-               {sql_round('AVG(secs)', 3)}       AS avg_s,
-               {sql_round('quantile_cont(secs, 0.50)', 3)} AS p50_s,
-               {sql_round('MAX(secs)', 3)}       AS max_s
-        FROM lat
-    """,
-)
-def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-to-convert for users who completed the full view -> click ->
-    purchase funnel: count, mean, exact median, max of (purchase time -
-    view time) in seconds. Rides funnel_times' single-scan window
-    cascade; the latency aggregation runs over one tiny per-user row
-    set. Microsecond-exact arithmetic (unix_micros), the event_gaps
-    pattern, so both engines compute identical fractional seconds."""
-    from bigdata_storage_and_proccess_job_data_spark.operators import funnel
-
-    ev = load_table(spark, sf_dir, "events")
-    times = funnel.funnel_times(ev, ["view", "click", "purchase"])
-    lat = times.filter(F.col("t_purchase").isNotNull()).select(
-        (
-            (
-                F.unix_micros(F.col("t_purchase"))
-                - F.unix_micros(F.col("t_view"))
-            )
-            / 1e6
-        ).alias("secs")
-    )
-    return lat.agg(
-        F.count(F.lit(1)).cast("long").alias("n_converted"),
-        stable_round(F.avg("secs"), 3).alias("avg_s"),
-        stable_round(F.percentile("secs", F.lit(0.5)), 3).alias("p50_s"),
-        stable_round(F.max("secs"), 3).alias("max_s"),
-    )
+# funnel_latency RETIRED r11 (registry.RETIRED["funnel_latency"]): its
+# time-to-convert gap arithmetic is event_gaps' hash-checked shape, and
+# the funnel population stays driver-checked by
+# funnel_view_click_purchase + view_click_attribution; the slot rows
+# the promoted bh_adjust (the experiment family's missing
+# multiple-testing control). funnel.funnel_times keeps its unit tests.
 
 
 # ---------------------------------------------------------------------------

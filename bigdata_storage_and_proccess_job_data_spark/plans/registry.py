@@ -237,6 +237,68 @@ RETIRED: dict[str, dict[str, str]] = {
             "entirely. No operator code involved (inline aggregates)."
         ),
     },
+    "funnel_latency": {
+        "round": "r11",
+        "replaced_by": "bh_adjust",
+        "coverage": (
+            "one-row time-to-convert stats whose microsecond gap "
+            "arithmetic (unix_micros difference / 1e6) is event_gaps' "
+            "hash-checked shape, and whose funnel population stays "
+            "driver-checked by funnel_view_click_purchase + "
+            "view_click_attribution (the same funnel_times window "
+            "cascade feeds all three); the count/mean/median/max "
+            "readout over a bounded per-user frame is stat_moments' / "
+            "pricing_summary's hash-checked form. funnel.funnel_times "
+            "keeps its unit tests (tests/test_ranking_funnel.py). The "
+            "slot rows bh_adjust -- the experiment family's missing "
+            "multiple-testing control."
+        ),
+    },
+    "key_skew_report": {
+        "round": "r11",
+        "replaced_by": "ks_test",
+        "coverage": (
+            "its max/mean key-count algebra is a strict sub-shape of "
+            "the skew bench pair's oracle (skew_distinct_naive/spread "
+            "share the count-per-key CTE) and the heavy_hitters "
+            "MEGACORP tests; the skew family keeps THREE driver rows "
+            "(skewed_hot_key_agg, skew_distinct_naive, "
+            "skew_distinct_spread) plus the hot_key_split_join row. "
+            "operators/aggregates.key_skew_report is unchanged, "
+            "unit-tested, and still feeds detect-then-rewrite examples. "
+            "The slot rows ks_test -- the binning-free drift gate."
+        ),
+    },
+    "setop_except": {
+        "round": "r11",
+        "replaced_by": "table_diff",
+        "coverage": (
+            "EXCEPT (distinct set difference, planned as left-anti "
+            "after per-side distinct) is table_diff's removed-status "
+            "row-for-row: a key present in old and absent in new is "
+            "exactly the EXCEPT membership, hash-checked every time "
+            "the promoted table_diff rows; setop_intersect keeps the "
+            "set-op family's other driver row and the left-anti plan "
+            "shape stays driver-checked by decontaminated_train and "
+            "hard_negatives. No operator code involved (the query was "
+            "a plain DataFrame.subtract)."
+        ),
+    },
+    "dq_orders_report": {
+        "round": "r11",
+        "replaced_by": "fk_integrity_report",
+        "coverage": (
+            "same quality-gate operator family: the single-table "
+            "expectation_report rule bundle (null / range / duplicate "
+            "counts folded in one conditional-count hash agg) is a "
+            "sub-expression of fk_integrity_report's audit (null-fk, "
+            "dup-pk and null-pk counts use the identical "
+            "sum-of-cast-bool form, hash-checked every time the "
+            "promoted query rows). expectation_report keeps its own "
+            "DuckDB-parity unit tests (tests/test_mining.py) and its "
+            "freshness_report / psi_bins siblings keep theirs."
+        ),
+    },
     "customer_value_ranks": {
         "round": "r10",
         "replaced_by": "rfm_scores",

@@ -1637,36 +1637,147 @@ def stratified_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Ops diagnostic: key-distribution skew report
+# key_skew_report RETIRED r11 (registry.RETIRED["key_skew_report"]):
+# its max/mean algebra is a strict sub-shape of the skew bench pair's
+# oracle and the heavy_hitters tests; the skew family keeps
+# skewed_hot_key_agg + skew_distinct_naive/spread driver rows, and the
+# slot rows the promoted ks_test (the binning-free drift gate).
+# operators/aggregates.key_skew_report is unchanged and unit-tested.
+# ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Experiment readouts: Benjamini-Hochberg FDR control (promoted r11;
+# funnel_latency retired -- see registry.RETIRED["funnel_latency"])
 # ---------------------------------------------------------------------------
 @register(
-    "key_skew_report",
-    tags=("agg", "diagnostics"),
+    "bh_adjust",
+    tags=("agg", "stats", "experiment", "window"),
     oracle=f"""
-        WITH c AS (
-          SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY 1
+        WITH base AS (
+          SELECT o_orderstatus AS k, o_orderkey,
+                 (o_orderkey % 97) / 96.0 AS p
+          FROM orders
+        ),
+        r AS (
+          SELECT k, o_orderkey, p,
+                 ROW_NUMBER() OVER (PARTITION BY k ORDER BY p) AS rn,
+                 COUNT(*) OVER (PARTITION BY k) AS m
+          FROM base
+        ),
+        qv AS (
+          SELECT k, o_orderkey, p,
+                 LEAST(MIN(p * m / rn) OVER (
+                   PARTITION BY k ORDER BY rn DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ), 1.0) AS q
+          FROM r
         )
-        SELECT CAST(COUNT(*) AS BIGINT)  AS n_keys,
-               CAST(SUM(cnt) AS BIGINT)  AS n_rows,
-               CAST(MAX(cnt) AS BIGINT)  AS max_key_count,
-               {sql_round('MAX(cnt) * COUNT(*) / SUM(cnt)', 4)} AS skew_ratio
-        FROM c
+        SELECT k AS o_orderstatus, o_orderkey,
+               {sql_round('p', 6)} AS p,
+               {sql_round('q', 6)} AS q_value,
+               q <= 0.05 AS reject
+        FROM qv
     """,
 )
-def key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Key-distribution diagnostic on orders.o_custkey
-    (operators/aggregates.py:key_skew_report): skew_ratio = max key
-    count over mean key count, the pre-flight number for choosing
-    between a plain groupBy and salted_two_phase."""
+def bh_adjust_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment per key family
+    (operators/aggregates.py:bh_adjust; BH 1995) over deterministic
+    orders-derived p-values -- the multiple-testing control the
+    experiment stack (welch_ttest / bootstrap_ci / cuped_adjust) was
+    missing: raw p <= alpha over dozens of metrics inflates the false
+    discovery rate. Tie-safe (the running min traverses by the UNIQUE
+    rank, so tied p provably share one q) and fails loud on p outside
+    [0, 1]. Scale shape: one partitioned window per key family ordered
+    by p -- per-key state is that family's tests, metrics-sized."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderkey",
+        ((F.col("o_orderkey") % 97) / 96.0).alias("p"),
+    )
+    return aggregates.bh_adjust(
+        orders, "p", alpha=0.05, keys=["o_orderstatus"]
+    ).select(
+        "o_orderstatus",
+        "o_orderkey",
+        stable_round(F.col("p"), 6).alias("p"),
+        stable_round(F.col("q_value"), 6).alias("q_value"),
+        "reject",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Drift gate: exact two-sample Kolmogorov-Smirnov (promoted r11;
+# key_skew_report retired -- see the note above)
+# ---------------------------------------------------------------------------
+@register(
+    "ks_test",
+    tags=("agg", "stats", "diagnostics", "window"),
+    oracle=f"""
+        WITH a AS (
+          SELECT o_orderstatus AS k, o_totalprice AS v,
+                 COUNT(*) AS ca, 0 AS cb
+          FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        b AS (
+          SELECT o_orderstatus AS k, o_totalprice AS v,
+                 0 AS ca, COUNT(*) AS cb
+          FROM orders WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        u AS (
+          SELECT k, v, SUM(ca) AS da, SUM(cb) AS db
+          FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+          GROUP BY 1, 2
+        ),
+        c AS (
+          SELECT k, v,
+                 SUM(da) OVER (PARTITION BY k ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_a,
+                 SUM(db) OVER (PARTITION BY k ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_b,
+                 SUM(da) OVER (PARTITION BY k) AS n_a,
+                 SUM(db) OVER (PARTITION BY k) AS n_b
+          FROM u
+        )
+        SELECT k AS o_orderstatus,
+               CAST(MAX(n_a) AS BIGINT) AS n_a,
+               CAST(MAX(n_b) AS BIGINT) AS n_b,
+               {sql_round(
+                   'MAX(ABS(cum_a * 1.0 / n_a - cum_b * 1.0 / n_b))', 8
+               )} AS d_stat
+        FROM c WHERE n_a > 0 AND n_b > 0
+        GROUP BY k
+    """,
+)
+def ks_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic per order status between the
+    even- and odd-orderkey halves of orders' o_totalprice
+    (operators/aggregates.py:ks_test) -- the binning-free drift gate
+    beside psi_bins, exact at every distinct value with ties
+    pre-aggregated. Runs under the SAFE DEFAULT quantize=6 (r11): a
+    no-op on 2-decimal prices, so the oracle needs no rounding CTE,
+    while a truly continuous column would have its per-key window
+    bounded at the 1e-6 grid. Scale shape: one hash agg per side to
+    (key, value) counts, one ordered window per key over the DISTINCT
+    values, one final hash agg for the max ECDF gap."""
     from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
 
     orders = load_table(spark, sf_dir, "orders")
-    report = aggregates.key_skew_report(orders, "o_custkey")
-    return report.select(
-        "n_keys",
-        "n_rows",
-        "max_key_count",
-        stable_round(F.col("skew_ratio"), 4).alias("skew_ratio"),
+    ev = orders.filter(F.col("o_orderkey") % 2 == 0)
+    od = orders.filter(F.col("o_orderkey") % 2 == 1)
+    return aggregates.ks_test(
+        ev, od, "o_totalprice", keys=["o_orderstatus"]
+    ).select(
+        "o_orderstatus",
+        "n_a",
+        "n_b",
+        stable_round(F.col("d_stat"), 8).alias("d_stat"),
     )
 
 

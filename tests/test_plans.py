@@ -196,6 +196,10 @@ def test_no_scale_antipatterns_anywhere(spark, oracle_sf_dir):
         # anti-join on top (similarity.hard_negatives: bounded broadcast
         # query set x corpus -- the knn_brute_force contract)
         "hard_negatives",
+        # fk_integrity_report's final step joins TWO ONE-ROW aggregate
+        # frames (fact-side counts x dim-side counts) on a literal TRUE
+        # -- the impute_mean one-row broadcast scalar pattern, O(1 x 1)
+        "fk_integrity_report",
     }
     hits = []
     for name, qd in QS.items():
@@ -258,7 +262,7 @@ def test_driver_window_is_first_50():
     names that drifted out of the registry."""
     from bigdata_storage_and_proccess_job_data_spark import plans
 
-    window = plans.DRIVER_WINDOW_R10
+    window = plans.DRIVER_WINDOW_R11
     assert len(window) == 50
     assert len(set(window)) == 50
     assert list(QS)[:50] == window
@@ -274,30 +278,34 @@ def test_windows_partition_registry():
     from bigdata_storage_and_proccess_job_data_spark import plans
     from bigdata_storage_and_proccess_job_data_spark.plans import registry
 
-    r10, r11 = set(plans.DRIVER_WINDOW_R10), set(plans.DRIVER_WINDOW_R11_PLAN)
+    r11, r12 = set(plans.DRIVER_WINDOW_R11), set(plans.DRIVER_WINDOW_R12_PLAN)
     names = set(QS)
     assert len(names) == registry.MAX_REGISTERED == 100
-    assert r10 & r11 == set(), sorted(r10 & r11)
-    assert r10 | r11 == names, {
-        "unscheduled": sorted(names - (r10 | r11)),
-        "unknown": sorted((r10 | r11) - names),
+    assert r11 & r12 == set(), sorted(r11 & r12)
+    assert r11 | r12 == names, {
+        "unscheduled": sorted(names - (r11 | r12)),
+        "unknown": sorted((r11 | r12) - names),
     }
-    assert len(r10) == len(r11) == 50
-    # the r9 displacement promise was kept: every query pinned into
-    # DRIVER_WINDOW_R10_PLAN is in the r10 window unless it was retired
+    assert len(r11) == len(r12) == 50
+    # the r10 displacement promise was kept: every query pinned into
+    # DRIVER_WINDOW_R11_PLAN is in the r11 window unless it was retired
     # this round with a recorded coverage merge, or is the one recorded
-    # code-untouched displacement into R11 (stat_moments, pushed out by
-    # the retirement of the out-of-plan cohort_retention whose promoted
-    # replacement retention_matrix must row now)
-    for obligated in plans.DRIVER_WINDOW_R10_PLAN:
-        assert obligated in r10 or obligated in registry.RETIRED or (
-            obligated in r11 and obligated == "stat_moments"
+    # code-untouched displacement into R12 (event_paths_top, pushed out
+    # by the retirement of the out-of-plan dq_orders_report whose
+    # promoted replacement fk_integrity_report must row now; it is also
+    # the R12 ledger's named retiree, see plans/__init__.py)
+    for obligated in plans.DRIVER_WINDOW_R11_PLAN:
+        assert obligated in r11 or obligated in registry.RETIRED or (
+            obligated in r12 and obligated == "event_paths_top"
         ), obligated
+    # the r10 verdict's freshness MUST: stat_moments (displaced r10,
+    # r8 row -- the registry's oldest) rows this round
+    assert "stat_moments" in r11
     # retirement is real: retired names are out of the registry, out of
     # both windows, and re-registration is refused
     for retired in registry.RETIRED:
         assert retired not in names
-        assert retired not in r10 and retired not in r11
+        assert retired not in r11 and retired not in r12
     import pytest
 
     with pytest.raises(ValueError, match="retired"):
@@ -857,3 +865,61 @@ def test_restart_wave_ops_pass_the_plan_lint(spark, oracle_sf_dir):
     for name, df in clean.items():
         allow = name in scalar_waived
         assert lint.lint_plan(df, allow_bnlj=allow) == [], name
+
+
+def test_r11_eval_ops_pass_the_plan_lint(spark, oracle_sf_dir):
+    """The r11 model-eval/fairness wave rides the same hygiene sweep:
+    classification_report is one conditional hash agg,
+    disparity_report's pooled fold is a window over the post-agg group
+    frame, and lift_table's rank pass is the two-phase
+    global_row_number (whose bounded offset join is a broadcast --
+    never a nested loop). No CartesianProduct, no row-at-a-time
+    Python, no unwaived BNLJ."""
+    from pyspark.sql import functions as F
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        aggregates,
+        corpus,
+        neardup,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.plans import lint
+
+    orders = load_table(spark, oracle_sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_orderkey").alias("id"),
+        ((F.col("o_orderkey") % 97) / 96.0).alias("s"),
+        (F.col("o_custkey") % 2).cast("double").alias("y"),
+        (F.col("o_orderkey") % 3 == 0).cast("double").alias("p"),
+    )
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    clean = {
+        "classification_report": aggregates.classification_report(
+            orders, "y", "p", keys=["o_orderstatus"]
+        ),
+        "disparity_report": aggregates.disparity_report(
+            orders, "o_orderpriority", "y", "p"
+        ),
+        "lift_table": aggregates.lift_table(
+            orders, "s", "y", "id", n_buckets=10
+        ),
+        # containment's prefix-vs-full posting join and ngram_overlap's
+        # (id, gram)-keyed clip join must both be equi-joins, never a
+        # nested loop over documents
+        "containment_pairs": neardup.containment_pairs(
+            docs, "doc_id", "text", ngram=2, threshold=0.8
+        ),
+        "ngram_overlap": corpus.ngram_overlap(
+            docs.select(
+                "doc_id",
+                F.col("text").alias("cand"),
+                F.substring("text", 1, 100).alias("ref"),
+            ),
+            "doc_id",
+            "cand",
+            "ref",
+        ),
+    }
+    for name, df in clean.items():
+        assert lint.lint_plan(df) == [], name
