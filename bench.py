@@ -195,24 +195,37 @@ def main() -> None:
         if statistics.median(ts) > 0
     ]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "value_min": round(sum(timings_min.values()), 3),
-                "queries_min": timings_min,
-                "rows_read": rows_read,
-                "sf": sf_num,
-                "iters": max(1, iters),
-                "spread": round(
-                    statistics.mean(spreads) if spreads else 0.0, 3
-                ),
-            }
-        )
+    summary = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "value_min": round(sum(timings_min.values()), 3),
+        "queries_min": timings_min,
+        "rows_read": rows_read,
+        "sf": sf_num,
+        "iters": max(1, iters),
+        "spread": round(statistics.mean(spreads) if spreads else 0.0, 3),
+    }
+    # The driver's BENCH_r{N}.json keeps only the LAST 2,000 chars of
+    # stdout (r10 verdict #2: the full three-map line overflowed that
+    # tail, cutting queries' head and leaving parsed: null). Two-part
+    # fix: (1) the WHOLE summary goes to a sidecar file next to this
+    # script, committed with the round, so every map survives verbatim;
+    # (2) the stdout line drops rows_read and queries_min (sidecar-only
+    # -- they are diagnostics, not the headline) so the one JSON line
+    # the driver parses stays well under the tail budget.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_summary.json"
     )
+    with open(sidecar, "w") as fh:
+        json.dump(summary, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    stdout_line = {
+        k: v for k, v in summary.items() if k not in ("rows_read", "queries_min")
+    }
+    stdout_line["sidecar"] = "bench_summary.json"
+    print(json.dumps(stdout_line))
 
 
 if __name__ == "__main__":
