@@ -21,6 +21,10 @@ round-10 monitoring suite composed end to end:
   7. labeling QA: Fleiss' kappa over synthetic multi-annotator ratings,
      majority-vote consensus labels, and the no-gold rater screen that
      catches the planted adversarial annotator
+  8. model-eval gate (r11): confusion metrics (classification_report),
+     per-segment fairness slices vs the pooled rates (disparity_report)
+     and the top-decile budget readout (lift_table) for a thresholded
+     filter model, all from deterministic key-derived scores
 
 Every gate is one or two hash aggregations over bounded frames; the raw
 tables never join each other except the one keyed diff. Nothing wider
@@ -195,6 +199,47 @@ def main() -> None:
     for rt in sorted(quality):
         print(f"  {rt}: agree_rate={quality[rt]:.3f}")
     assert min(quality, key=quality.get) == "r3"
+
+    # -- 8. model-eval gate (r11 wave) ------------------------------------
+    # a filter model's thresholded predictions, judged three ways before
+    # it gates real data: confusion metrics per slice
+    # (classification_report), disaggregated fairness slices
+    # (disparity_report -- does the filter hit one segment harder than
+    # the pooled rate?), and the budget question (lift_table -- if we
+    # only review the top decile by score, what share of positives do
+    # we catch?). Deterministic key-derived score/label so the demo
+    # replays bit-identically.
+    orders_m = load_table(spark, SF_DIR, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderkey").alias("id"),
+        ((F.col("o_orderkey") % 97) / 96.0).alias("score"),
+        (F.col("o_custkey") % 2).cast("double").alias("y"),
+    ).withColumn("pred", (F.col("score") > 0.5).cast("double"))
+    rep = aggregates.classification_report(orders_m, "y", "pred").collect()[0]
+    print("== model-eval gate (independent score: expect ~coin metrics) ==")
+    print(
+        f"  n={rep.n} precision={rep.precision:.3f} "
+        f"recall={rep.recall:.3f} f1={rep.f1:.3f}"
+    )
+    disp = aggregates.disparity_report(
+        orders_m, "o_orderpriority", "y", "pred"
+    )
+    worst = disp.orderBy(F.abs(F.col("dp_gap")).desc()).first()
+    print(
+        f"  widest demographic-parity gap: {worst.o_orderpriority} "
+        f"({worst.dp_gap:+.4f} vs pooled)"
+    )
+    top = {
+        r.bucket: r
+        for r in aggregates.lift_table(
+            orders_m, "score", "y", "id", n_buckets=10
+        ).collect()
+    }
+    print(
+        f"  top decile: lift={top[1].lift:.3f} "
+        f"captures {top[1].cum_capture:.1%} of positives "
+        f"(random would capture 10%)"
+    )
 
     spark.stop()
     print("pipeline health: all gates evaluated")
