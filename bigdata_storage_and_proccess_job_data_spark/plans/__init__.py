@@ -753,6 +753,16 @@ DRIVER_WINDOW_R11_PLAN = sorted(
 # full DuckDB replay in test_corpus.py). Both additive -- no
 # registered query's body or callee changed; both lint-swept in
 # test_r11_eval_ops_pass_the_plan_lint.
+# Late-r11 addition (same rule): aggregates.cusum_alarms -- sequential
+# CUSUM change-point alarms per key, computed exactly via the
+# prefix-sum-minus-running-min closed form (one ordered window, no
+# recursion/UDF); replica pins + integer-exact DuckDB replay parity +
+# Hypothesis closed-form==recursion property; lint-swept. Additive;
+# R12+-promotable. Its parity test documents a cross-engine float
+# lesson: windowed SUM summation order differs between engines
+# (DuckDB segment tree vs left-to-right), so long fractional running
+# sums drift by ULPs -- oracle-gated running sums should be
+# integer-exact or short.
 # No session.py / catalog.py / numeric.py change this round. The
 # local total-parity gate (test_oracle_parity, all 100 queries vs
 # DuckDB at sf0.01) re-ran green after the wave.
