@@ -2658,7 +2658,10 @@ def ngram_overlap(
     ratio stays NULL (nothing to score -- not a flattering 0), f1 NULL
     whenever either input is (or both are 0). Rows with a NULL text on
     either side are excluded (unscored is not wrong -- the
-    classification_report convention).
+    classification_report convention). ``id_col`` must be unique per
+    row (the table_diff keys convention): a duplicated id would merge
+    its rows' gram counts and fan the final size join out -- dedup
+    first if that is not guaranteed.
 
     Scale shape: two explode -> (id, gram) hash aggs (each bounded by
     one document's grams per key -- no corpus-wide hot key is
