@@ -288,3 +288,99 @@ def table_diff(
             .alias("changed_cols"),
         )
     )
+
+
+def join_size_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: "str | None" = None,
+) -> DataFrame:
+    """EXACT inner-join size pre-flight -- the number AQE only learns
+    mid-query and a planner's estimate can miss by orders of magnitude:
+    before shuffling two fact tables, compute exactly how many rows the
+    equi-join would emit and how much of that lands on the single
+    hottest key. |A join B| = sum over matched keys of cl * cr, which
+    needs only the per-key COUNT frames -- the key column shuffles, the
+    payloads never move, so the report costs a fraction of the join it
+    sizes. Read it to choose the strategy: tiny right side -> broadcast;
+    top_share near 1 -> salt or hot_key_split_join (feed detect_hot_keys
+    the same key); huge n_out_inner on both-sides-large -> bucket both
+    on the key and co-locate.
+
+    Returns ONE row:
+      n_left, n_right              input row counts
+      n_left_null_key / n_right_…  rows whose key is NULL (join nothing
+                                   under equi-join semantics, excused
+                                   like fk_integrity_report's NULL fks)
+      n_left_keys / n_right_keys   distinct non-null keys per side
+      n_matched_keys               keys present on BOTH sides
+      n_out_inner                  EXACT inner-join output rows
+      max_key_out                  the hottest key's output contribution
+      top_share                    max_key_out / n_out_inner (NULL when
+                                   the join is empty)
+
+    Every count is defined on empty inputs (zero-row sums coalesce to
+    0 -- the fk_integrity_report r10-ADVICE convention). Scale shape:
+    one key-grain hash agg per side, one equi-join of the two DISTINCT
+    key frames, three bounded one-row aggregates met by broadcast
+    joins."""
+    rk = right_key or left_key
+    zero = F.lit(0).cast("long")
+
+    def side(df, key):
+        return (
+            df.select(F.col(key).alias("_k"))
+            .groupBy("_k")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+
+    def side_stats(keyed, n_name, null_name, keys_name):
+        return keyed.agg(
+            F.coalesce(F.sum("_c"), zero).alias(n_name),
+            F.coalesce(
+                F.sum(F.when(F.col("_k").isNull(), F.col("_c"))), zero
+            ).alias(null_name),
+            F.count(F.when(F.col("_k").isNotNull(), F.lit(1))).alias(
+                keys_name
+            ),
+        )
+    l_keys, r_keys = side(left, left_key), side(right, rk)
+    l_stats = side_stats(l_keys, "n_left", "n_left_null_key", "n_left_keys")
+    r_stats = side_stats(
+        r_keys, "n_right", "n_right_null_key", "n_right_keys"
+    )
+    matched = l_keys.filter(F.col("_k").isNotNull()).join(
+        r_keys.filter(F.col("_k").isNotNull()).withColumnRenamed(
+            "_c", "_cr"
+        ),
+        "_k",
+    )
+    m_stats = matched.agg(
+        F.count(F.lit(1)).alias("n_matched_keys"),
+        F.coalesce(F.sum(F.col("_c") * F.col("_cr")), zero).alias(
+            "n_out_inner"
+        ),
+        F.coalesce(F.max(F.col("_c") * F.col("_cr")), zero).alias(
+            "max_key_out"
+        ),
+    )
+    joined = (
+        l_stats.join(F.broadcast(r_stats), F.lit(True))
+        .join(F.broadcast(m_stats), F.lit(True))
+    )
+    return joined.select(
+        "n_left",
+        "n_right",
+        "n_left_null_key",
+        "n_right_null_key",
+        "n_left_keys",
+        "n_right_keys",
+        "n_matched_keys",
+        "n_out_inner",
+        "max_key_out",
+        F.when(
+            F.col("n_out_inner") > 0,
+            F.col("max_key_out") / F.col("n_out_inner"),
+        ).alias("top_share"),
+    )

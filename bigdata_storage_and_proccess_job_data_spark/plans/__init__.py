@@ -763,6 +763,13 @@ DRIVER_WINDOW_R11_PLAN = sorted(
 # (DuckDB segment tree vs left-to-right), so long fractional running
 # sums drift by ULPs -- oracle-gated running sums should be
 # integer-exact or short.
+# Also late-r11, additive: joins.join_size_report -- the exact
+# inner-join size + hot-key-share pre-flight (two key-grain aggs, one
+# distinct-key equi-join; payloads never shuffle) that picks between
+# broadcast / salting / bucketing BEFORE the join runs; hand pins +
+# report==executed-join equality + planted-orphan DuckDB replay
+# parity; lint-swept (its one-row scalar assembly takes the
+# impute_mean broadcast-cross-join waiver class).
 # No session.py / catalog.py / numeric.py change this round. The
 # local total-parity gate (test_oracle_parity, all 100 queries vs
 # DuckDB at sf0.01) re-ran green after the wave.

@@ -670,3 +670,101 @@ def test_table_diff_statuses_and_parity(spark, sf_dir):
         FROM j
     """
     assert compare(got_big, duckdb_connect(sf_dir), sql) == []
+
+
+def test_join_size_report_exactness_and_parity(spark, sf_dir):
+    """Join-size pre-flight: (1) hand pins -- per-key products sum to
+    the exact inner-join size, NULL keys excused on both sides, the
+    hot key's share reads correctly; (2) the report equals the
+    actually-executed join's count on the same frames; (3) empty
+    sides give defined zeros and NULL top_share; (4) full DuckDB
+    replay on orders x customer with planted orphans."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (9,), (None,)], "k long"
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,), (None,)], "k long"
+    )
+    r = joins.join_size_report(left, right, "k").collect()[0]
+    assert (r.n_left, r.n_right) == (6, 6)
+    assert (r.n_left_null_key, r.n_right_null_key) == (1, 2)
+    assert (r.n_left_keys, r.n_right_keys) == (3, 3)
+    assert r.n_matched_keys == 2            # keys 1 and 2
+    assert r.n_out_inner == 3 * 2 + 1 * 1   # 7
+    assert r.max_key_out == 6 and r.top_share == pytest.approx(6 / 7)
+    # the report must equal the executed join, NULLs and all
+    assert left.join(right, "k").count() == r.n_out_inner
+
+    empty = spark.createDataFrame([], "k long")
+    re_ = joins.join_size_report(empty, right, "k").collect()[0]
+    assert (re_.n_left, re_.n_out_inner, re_.max_key_out) == (0, 0, 0)
+    assert re_.top_share is None
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_custkey") + 1_000_000
+        ).otherwise(F.col("o_custkey")).alias("fk")
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    out = joins.join_size_report(orders, customer, "fk", "c_custkey").select(
+        "n_left",
+        "n_right",
+        "n_left_null_key",
+        "n_right_null_key",
+        "n_left_keys",
+        "n_right_keys",
+        "n_matched_keys",
+        "n_out_inner",
+        "max_key_out",
+        stable_round(F.col("top_share"), 8).alias("top_share"),
+    )
+    sql = f"""
+        WITH f AS (
+          SELECT CASE WHEN o_orderkey % 7 = 0
+                      THEN o_custkey + 1000000
+                      ELSE o_custkey END AS k
+          FROM orders
+        ),
+        lk AS (SELECT k, COUNT(*) AS c FROM f GROUP BY k),
+        rk AS (SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY 1),
+        ls AS (
+          SELECT COALESCE(SUM(c), 0)::BIGINT AS n_left,
+                 COALESCE(SUM(CASE WHEN k IS NULL THEN c END), 0)::BIGINT
+                   AS n_left_null_key,
+                 COUNT(CASE WHEN k IS NOT NULL THEN 1 END)::BIGINT
+                   AS n_left_keys
+          FROM lk
+        ),
+        rs AS (
+          SELECT COALESCE(SUM(c), 0)::BIGINT AS n_right,
+                 COALESCE(SUM(CASE WHEN k IS NULL THEN c END), 0)::BIGINT
+                   AS n_right_null_key,
+                 COUNT(CASE WHEN k IS NOT NULL THEN 1 END)::BIGINT
+                   AS n_right_keys
+          FROM rk
+        ),
+        ms AS (
+          SELECT COUNT(*)::BIGINT AS n_matched_keys,
+                 COALESCE(SUM(lk.c * rk.c), 0)::BIGINT AS n_out_inner,
+                 COALESCE(MAX(lk.c * rk.c), 0)::BIGINT AS max_key_out
+          FROM lk JOIN rk USING (k)
+          WHERE k IS NOT NULL
+        )
+        SELECT n_left, n_right, n_left_null_key, n_right_null_key,
+               n_left_keys, n_right_keys, n_matched_keys, n_out_inner,
+               max_key_out,
+               {sql_round(
+                   'CASE WHEN n_out_inner > 0 '
+                   'THEN max_key_out * 1.0 / n_out_inner END', 8
+               )} AS top_share
+        FROM ls, rs, ms
+    """
+    assert compare(out, duckdb_connect(sf_dir), sql) == []

@@ -933,3 +933,15 @@ def test_r11_eval_ops_pass_the_plan_lint(spark, oracle_sf_dir):
     }
     for name, df in clean.items():
         assert lint.lint_plan(df) == [], name
+    # join_size_report's final assembly is three ONE-ROW aggregate
+    # frames met by broadcast cross joins -- the impute_mean /
+    # fk_integrity_report scalar-waiver class; the key-grain join
+    # itself must stay an equi-join
+    from bigdata_storage_and_proccess_job_data_spark.operators import joins
+
+    jsr = joins.join_size_report(
+        orders, load_table(spark, oracle_sf_dir, "customer"),
+        "id", "c_custkey",
+    )
+    assert lint.lint_plan(jsr, allow_bnlj=True) == []
+    assert "CartesianProduct" not in jsr._jdf.queryExecution().executedPlan().toString()
