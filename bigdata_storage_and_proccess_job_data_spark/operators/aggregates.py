@@ -3341,7 +3341,14 @@ def cusum_changepoints(
             F.avg("_v").alias("_mu"),
             F.stddev_samp("_v").alias("_sd"),
         )
-        base = base.join(F.broadcast(stats), keys)
+        # keyless self-fit: stats is ONE row, and join([]) is an error
+        # -- attach it as a broadcast scalar (the impute_mean pattern;
+        # found when the pipeline_health demo ran the global form)
+        base = (
+            base.join(F.broadcast(stats), keys)
+            if keys
+            else base.join(F.broadcast(stats), F.lit(True))
+        )
     else:
         if scale is not None and scale <= 0:
             raise ValueError("scale must be > 0")
@@ -4903,115 +4910,4 @@ def lift_table(
             ),
         )
         .orderBy("bucket")
-    )
-
-
-def cusum_alarms(
-    df,
-    ts_col: str,
-    value_col: str,
-    keys: "list[str] | None" = None,
-    target: "float | None" = None,
-    allowance: float = 0.0,
-    threshold: float = 5.0,
-) -> DataFrame:
-    """One-sided-pair CUSUM control chart per key over an ordered
-    metric series -- the SEQUENTIAL drift gate beside psi_bins/ks_test
-    (those compare two finished samples; CUSUM watches a running
-    series and flags the first sustained level shift, Page 1954).
-    S+_t = max(0, S+_{t-1} + (x_t - target - allowance)) accumulates
-    upward drift, S-_t the mirror for drops; an alarm fires when
-    either side exceeds ``threshold`` (in the value's own units --
-    classic tuning: allowance = half the shift you want to catch,
-    threshold ~ 4-5 sigma of the per-period metric).
-
-    Distributed exactness: the max(0, .) recursion is NOT a window
-    function, but it has the classic closed form over prefix sums --
-    S+_t = P_t - min(0, min_{j<=t} P_j) with P_t the running sum of
-    the excess (x - target - allowance) -- so both sides compute as
-    ONE ordered window per key (prefix sum + running min/max), no
-    recursion, no UDF, bit-identical to the sequential definition
-    (pinned against a pure-Python recursion replica in tests).
-
-    ``target`` is the in-control mean; None fits it from the series
-    itself (per-key mean via one window -- fine for retrospective
-    audits, but a live gate should pin the target from a REFERENCE
-    period, else a slow drift re-centers its own baseline). Returns
-    the input keys + (ts, value, s_pos, s_neg, alarm) per row.
-
-    Honesty notes (the ks_test standard): (1) the window is ordered by
-    ``ts_col`` ALONE, so the timestamp must be unique per key -- run
-    this on PER-PERIOD aggregated metrics (daily counts, hourly
-    means), where uniqueness is structural and the per-key state is
-    period-count-sized, not on raw events (row-sized window, and tied
-    timestamps would make the tie-internal running min order-dependent
-    -- it raises instead); (2) NULL values/timestamps are excluded
-    before differencing (a missing period contributes no drift
-    evidence)."""
-    keys = keys or []
-    from pyspark.sql import Window
-
-    t, v = F.col(ts_col), F.col(value_col).cast("double")
-    nn = F.lit(True)
-    for k in keys:
-        nn = nn & F.col(k).isNotNull()
-    base = df.filter(nn & t.isNotNull() & v.isNotNull()).select(
-        *keys, t.alias("_ts"), v.alias("_v")
-    )
-    part = [F.col(k) for k in keys]
-    w_all = Window.partitionBy(*part)
-    # duplicate-ts guard: an in-plan raise the first time any (key, ts)
-    # slot holds two rows. The raise is folded into the VALUE column
-    # (the bh_adjust pattern) -- a free-standing guard column would be
-    # pruned away unconsumed and never evaluate.
-    w_ts = Window.partitionBy(*part, F.col("_ts"))
-    checked = base.withColumn(
-        "_v",
-        F.when(
-            F.count(F.lit(1)).over(w_ts) == 1, F.col("_v")
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"cusum_alarms: duplicate {ts_col} within a key "
-                        "slice -- aggregate to unique periods first: "
-                    ),
-                    F.col("_ts").cast("string"),
-                )
-            )
-        ),
-    )
-    # materialize the fitted target BEFORE the cumulative window: a
-    # window expression cannot nest inside another window's argument
-    with_mu = checked.withColumn(
-        "_mu",
-        F.lit(float(target))
-        if target is not None
-        else F.avg("_v").over(w_all),
-    )
-    w_cum = (
-        Window.partitionBy(*part)
-        .orderBy("_ts")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    up = F.col("_v") - F.col("_mu") - F.lit(allowance)
-    dn = F.col("_mu") - F.lit(allowance) - F.col("_v")
-    stepped = with_mu.withColumn("_p_up", F.sum(up).over(w_cum)).withColumn(
-        "_p_dn", F.sum(dn).over(w_cum)
-    )
-    s_pos = F.col("_p_up") - F.least(
-        F.lit(0.0), F.min("_p_up").over(w_cum)
-    )
-    s_neg = F.col("_p_dn") - F.least(
-        F.lit(0.0), F.min("_p_dn").over(w_cum)
-    )
-    return stepped.select(
-        *keys,
-        F.col("_ts").alias(ts_col),
-        F.col("_v").alias(value_col),
-        s_pos.alias("s_pos"),
-        s_neg.alias("s_neg"),
-        (
-            (s_pos > F.lit(threshold)) | (s_neg > F.lit(threshold))
-        ).alias("alarm"),
     )

@@ -753,16 +753,21 @@ DRIVER_WINDOW_R11_PLAN = sorted(
 # full DuckDB replay in test_corpus.py). Both additive -- no
 # registered query's body or callee changed; both lint-swept in
 # test_r11_eval_ops_pass_the_plan_lint.
-# Late-r11 addition (same rule): aggregates.cusum_alarms -- sequential
-# CUSUM change-point alarms per key, computed exactly via the
-# prefix-sum-minus-running-min closed form (one ordered window, no
-# recursion/UDF); replica pins + integer-exact DuckDB replay parity +
-# Hypothesis closed-form==recursion property; lint-swept. Additive;
-# R12+-promotable. Its parity test documents a cross-engine float
-# lesson: windowed SUM summation order differs between engines
-# (DuckDB segment tree vs left-to-right), so long fractional running
-# sums drift by ULPs -- oracle-gated running sums should be
-# integer-exact or short.
+# Process slip, recorded for honesty (the r10 psi_report precedent,
+# and the SAME failure mode): a late-r11 aggregates.cusum_alarms
+# DUPLICATED the existing aggregates.cusum_changepoints (registered in
+# COVERAGE since the r8 time-series wave with the identical
+# prefix-extremum closed form, full DuckDB parity, a shared-sort plan
+# assert and its own Hypothesis property) and was REMOVED the same
+# round -- grep the operator inventory BEFORE writing, not after; the
+# README's numbered wave list is part of that inventory. One durable
+# artifact from the duplicate's parity work is kept as a working rule:
+# windowed SUM summation order differs across engines (DuckDB's
+# segment tree vs left-to-right), so oracle-gated long fractional
+# running sums drift by ULPs -- use integer-exact series or short
+# windows (cusum_changepoints' existing parity already rounds via its
+# digits knob). The pipeline_health example's sequential-drift section
+# now demos cusum_changepoints, as it should have from the start.
 # Also late-r11, additive: joins.join_size_report -- the exact
 # inner-join size + hot-key-share pre-flight (two key-grain aggs, one
 # distinct-key equi-join; payloads never shuffle) that picks between

@@ -13,8 +13,8 @@ round-10 monitoring suite composed end to end:
   4. distribution drift, three ways: PSI against reference-quantile
      bins (psi_bins, the banded scorecard), exact two-sample KS
      (binning-free, catches drift between bin edges), and sequential
-     CUSUM over the daily metric series (r11: flags the first
-     sustained level shift instead of comparing finished samples)
+     CUSUM over the daily metric series (cusum_changepoints: flags the
+     first sustained level shift instead of comparing finished samples)
   5. score-quality gates: reliability bins with ECE/Brier summaries for
      a probability column, WOE/IV for a categorical feature's signal
   6. many-metrics readout with FDR control: per-segment tests produce a
@@ -112,14 +112,15 @@ def main() -> None:
     print("== drift (even/odd A/A split: both gates should be quiet) ==")
     print(f"  psi={total_psi:.5f} (alarm at 0.25)")
     print(f"  ks d={ks.d_stat:.5f} over n={ks.n_a}/{ks.n_b}")
-    # sequential counterpart (r11): CUSUM over the DAILY order-count
-    # series -- psi/ks compare two finished samples; this watches the
-    # series itself and flags the first sustained level shift
+    # sequential counterpart: CUSUM over the DAILY order-count series
+    # -- psi/ks compare two finished samples; this watches the series
+    # itself and flags the first sustained level shift
+    # (aggregates.cusum_changepoints, the r8 time-series wave)
     daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.count(F.lit(1)).cast("double").alias("n_orders")
     )
-    cu = aggregates.cusum_alarms(
-        daily, "d", "n_orders", allowance=2.0, threshold=40.0
+    cu = aggregates.cusum_changepoints(
+        daily, [], "d", "n_orders", drift=0.5, threshold=8.0
     )
     n_alarms = cu.filter(F.col("alarm")).count()
     print(f"  cusum: {n_alarms} alarm days over {cu.count()} (flat series)")

@@ -2302,6 +2302,32 @@ def test_cusum_changepoints_pins_and_parity(spark, oracle_sf_dir):
     assert compare(got_r, duckdb_connect(oracle_sf_dir), sql) == []
 
 
+
+def test_cusum_changepoints_keyless_self_fit(spark):
+    """Regression (r11): the GLOBAL form -- keys=[] with a self-fitted
+    baseline -- used to crash (DataFrame.join([]) on the one-row stats
+    frame); it now attaches as a broadcast scalar. The keyless output
+    must equal the identical series run under a constant key."""
+    xs = [10.0, 11.0, 9.0, 10.0, 16.0, 17.0, 16.5, 18.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(xs)], "i long, v double"
+    )
+    keyless = {
+        r.i: (r.cusum_pos, r.cusum_neg, r.alarm)
+        for r in aggregates.cusum_changepoints(
+            df, [], "i", "v", drift=0.5, threshold=1.0
+        ).collect()
+    }
+    keyed = {
+        r.i: (r.cusum_pos, r.cusum_neg, r.alarm)
+        for r in aggregates.cusum_changepoints(
+            df.withColumn("g", F.lit("all")), ["g"], "i", "v",
+            drift=0.5, threshold=1.0,
+        ).collect()
+    }
+    assert keyless == keyed and len(keyless) == len(xs)
+    assert any(a for _, _, a in keyless.values())  # the shift alarms
+
 def test_holt_smooth_replica_and_forecast(spark, oracle_sf_dir):
     """Holt level+trend smoothing: (1) on a perfectly linear series the
     one-step-ahead fit reproduces the series exactly for ANY alpha/beta
@@ -4083,114 +4109,5 @@ def test_lift_table_pins_and_parity(spark, oracle_sf_dir):
                    '/ (t_pos * 1.0 / t_n) END', 8
                )} AS cum_lift
         FROM c
-    """
-    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
-
-
-def test_cusum_alarms_replica_and_parity(spark, oracle_sf_dir):
-    """CUSUM: (1) the closed form (prefix sum minus running min)
-    reproduces the sequential max(0, .) recursion EXACTLY on a planted
-    level shift -- including the alarm firing at the right period --
-    and on a sign-mixed series under a self-fitted target; (2)
-    duplicate timestamps within a key fail loud; (3) full DuckDB
-    replay of both sides' statistics on daily per-status order
-    totals."""
-
-    def replica(xs, mu, k):
-        sp, sn, out = 0.0, 0.0, []
-        for x in xs:
-            sp = max(0.0, sp + (x - mu - k))
-            sn = max(0.0, sn + (mu - k - x))
-            out.append((sp, sn))
-        return out
-
-    xs = [0.0, 0.0, 0.0, 0.0, 3.0, 3.0, 3.0, 3.0]
-    df = spark.createDataFrame(
-        [(i, v) for i, v in enumerate(xs)], "ts int, v double"
-    )
-    got = (
-        aggregates.cusum_alarms(
-            df, "ts", "v", target=0.0, allowance=0.5, threshold=5.0
-        )
-        .orderBy("ts")
-        .collect()
-    )
-    want = replica(xs, 0.0, 0.5)
-    for r, (sp, sn) in zip(got, want):
-        assert r.s_pos == pytest.approx(sp, abs=1e-12), r.ts
-        assert r.s_neg == pytest.approx(sn, abs=1e-12), r.ts
-    # shift of +3 with allowance .5: evidence accrues 2.5/period, so
-    # the alarm fires on the THIRD post-shift period (7.5 > 5), not the
-    # first
-    assert [r.alarm for r in got] == [False] * 6 + [True] * 2
-
-    # sign-mixed series, self-fitted target (mu = series mean)
-    ys = [2.0, -1.0, 4.0, 0.0, -3.0, 5.0, 1.0, -2.0, 0.5]
-    df2 = spark.createDataFrame(
-        [(i, v) for i, v in enumerate(ys)], "ts int, v double"
-    )
-    got2 = (
-        aggregates.cusum_alarms(df2, "ts", "v", allowance=0.25)
-        .orderBy("ts")
-        .collect()
-    )
-    mu = sum(ys) / len(ys)
-    for r, (sp, sn) in zip(got2, replica(ys, mu, 0.25)):
-        assert r.s_pos == pytest.approx(sp, abs=1e-9), r.ts
-        assert r.s_neg == pytest.approx(sn, abs=1e-9), r.ts
-
-    dup = spark.createDataFrame(
-        [(1, 1.0), (1, 2.0)], "ts int, v double"
-    )
-    with pytest.raises(Exception, match="duplicate"):
-        aggregates.cusum_alarms(dup, "ts", "v", target=0.0).collect()
-
-    # parity: DAILY ORDER COUNTS per status (unique (key, ts) by
-    # construction) against an INTEGER target/allowance, so every
-    # prefix sum is an exact small integer in double -- windowed SUM
-    # summation order differs across engines (DuckDB's segment-tree
-    # window is not left-to-right), so fractional series drift by ULPs
-    # over thousands of periods; integers agree bit-exact in any
-    # order. The fractional self-fitted form is pinned by the replica
-    # above; the alarm boolean is likewise hand-pinned (a statistic
-    # one ULP from the threshold could flip it across engines).
-    orders = load_table(spark, oracle_sf_dir, "orders")
-    daily = orders.groupBy(
-        "o_orderstatus", F.col("o_orderdate").alias("d")
-    ).agg(F.count(F.lit(1)).cast("double").alias("m"))
-    out = aggregates.cusum_alarms(
-        daily, "d", "m", keys=["o_orderstatus"], target=2.0, allowance=1.0
-    ).select(
-        "o_orderstatus",
-        F.col("d").cast("timestamp_ntz").alias("d"),
-        F.col("m").cast("long").alias("m"),
-        F.col("s_pos").cast("long").alias("s_pos"),
-        F.col("s_neg").cast("long").alias("s_neg"),
-    )
-    sql = """
-        WITH daily AS (
-          SELECT o_orderstatus AS k, o_orderdate AS d,
-                 COUNT(*)::DOUBLE AS m
-          FROM orders GROUP BY 1, 2
-        ),
-        p AS (
-          SELECT k, d, m,
-                 SUM(m - 3.0) OVER (PARTITION BY k ORDER BY d
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS p_up,
-                 SUM(1.0 - m) OVER (PARTITION BY k ORDER BY d
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS p_dn
-          FROM daily
-        )
-        SELECT k AS o_orderstatus, d,
-               CAST(m AS BIGINT) AS m,
-               CAST(p_up - LEAST(0.0, MIN(p_up) OVER (PARTITION BY k
-                 ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
-                 CURRENT ROW)) AS BIGINT) AS s_pos,
-               CAST(p_dn - LEAST(0.0, MIN(p_dn) OVER (PARTITION BY k
-                 ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
-                 CURRENT ROW)) AS BIGINT) AS s_neg
-        FROM p
     """
     assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []

@@ -920,16 +920,6 @@ def test_r11_eval_ops_pass_the_plan_lint(spark, oracle_sf_dir):
             "cand",
             "ref",
         ),
-        # cusum over per-period aggregates: keyed ordered windows only
-        "cusum_alarms": aggregates.cusum_alarms(
-            orders.groupBy(
-                "o_orderstatus", F.col("id").alias("d")
-            ).agg(F.count(F.lit(1)).cast("double").alias("m")),
-            "d",
-            "m",
-            keys=["o_orderstatus"],
-            target=2.0,
-        ),
     }
     for name, df in clean.items():
         assert lint.lint_plan(df) == [], name

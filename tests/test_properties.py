@@ -1177,69 +1177,3 @@ def test_ngram_overlap_invariants_on_generated_texts(spark):
         for v in (f.precision, f.recall, f.f1):
             assert v is None or 0.0 <= v <= 1.0
         assert s.precision == s.recall == s.f1 == 1.0
-
-
-def test_cusum_closed_form_equals_recursion_on_generated_series(spark):
-    """cusum_alarms' prefix-sum/running-min closed form must equal the
-    sequential max(0, .) recursion on generated integer series for
-    both sides, under a fixed target and under the self-fitted mean,
-    and be invariant to input partitioning."""
-    from hypothesis import HealthCheck, given, settings
-    from hypothesis import strategies as hst
-
-    from bigdata_storage_and_proccess_job_data_spark.operators import (
-        aggregates,
-    )
-
-    series: list[list[float]] = []
-
-    @settings(
-        max_examples=12,
-        database=None,
-        derandomize=True,
-        suppress_health_check=list(HealthCheck),
-    )
-    @given(
-        hst.lists(
-            hst.integers(min_value=-5, max_value=9), min_size=1, max_size=25
-        )
-    )
-    def grab(xs):
-        series.append([float(x) for x in xs])
-
-    grab()
-
-    def replica(xs, mu, k):
-        sp, sn, out = 0.0, 0.0, []
-        for x in xs:
-            sp = max(0.0, sp + (x - mu - k))
-            sn = max(0.0, sn + (mu - k - x))
-            out.append((sp, sn))
-        return out
-
-    rows = [
-        (g, i, v) for g, xs in enumerate(series) for i, v in enumerate(xs)
-    ]
-    df = spark.createDataFrame(rows, "g int, ts int, v double")
-    for kwargs, mu_of in [
-        ({"target": 1.0, "allowance": 0.5}, lambda xs: 1.0),
-        ({"allowance": 0.25}, lambda xs: sum(xs) / len(xs)),
-    ]:
-        got = {
-            (r.g, r.ts): (r.s_pos, r.s_neg)
-            for r in aggregates.cusum_alarms(
-                df, "ts", "v", keys=["g"], **kwargs
-            ).collect()
-        }
-        got_part = {
-            (r.g, r.ts): (r.s_pos, r.s_neg)
-            for r in aggregates.cusum_alarms(
-                df.repartition(7), "ts", "v", keys=["g"], **kwargs
-            ).collect()
-        }
-        for g, xs in enumerate(series):
-            want = replica(xs, mu_of(xs), kwargs["allowance"])
-            for i, (sp, sn) in enumerate(want):
-                assert got[(g, i)][0] == pytest.approx(sp, abs=1e-9)
-                assert got[(g, i)][1] == pytest.approx(sn, abs=1e-9)
-                assert got_part[(g, i)] == got[(g, i)]
