@@ -2718,3 +2718,53 @@ def ngram_overlap(
             2 * precision * recall / (precision + recall),
         ).alias("f1"),
     )
+
+
+def balanced_shards(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Assign every row to one of ``n_shards`` so the per-shard WEIGHT
+    totals come out near-equal -- the write-side step before
+    ``df.write.partitionBy('shard')`` produces training files a data
+    loader can stream round-robin without one shard finishing epochs
+    early: hash-partitioning balances ROW counts, but token-weighted
+    corpora are Zipfian enough that equal row counts can be 2-3x apart
+    in tokens. Returns the input plus a ``shard`` column (0-based INT).
+
+    Method: rank rows by weight DESCENDING (id tiebreak -- a total
+    order, so the assignment is deterministic and engine-replayable)
+    and deal them out serpentine (boustrophedon): block b = (rank-1)
+    div n, position p = (rank-1) mod n, shard = p on even blocks and
+    n-1-p on odd blocks. Each block of n rows adds one row per shard,
+    and reversing direction every block means the shard that got the
+    heaviest row of one block gets the lightest of the next -- the
+    classic one-pass approximation of longest-processing-time
+    scheduling, with NO driver-side greedy state (an actual LPT heap
+    is inherently sequential; serpentine is its order-preserving
+    window form and lands within one block-spread of it in practice).
+
+    NULL ids are excluded (no stable tiebreak); NULL weights rank as
+    weight 0 (they must land somewhere, and nothing is lighter).
+    Scale shape: ONE two-phase global rank (global_row_number -- no
+    single-task window), then pure expressions; nothing collects
+    beyond the rank's bounded per-partition offsets."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    from bigdata_storage_and_proccess_job_data_spark.operators.aggregates import (
+        global_row_number,
+    )
+
+    base = df.filter(F.col(id_col).isNotNull()).withColumn(
+        "_neg_w",
+        -F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0)),
+    )
+    ranked = global_row_number(base, ["_neg_w", id_col], "_srn")
+    blk = ((F.col("_srn") - 1) / n_shards).cast("long")
+    pos = ((F.col("_srn") - 1) % n_shards).cast("long")
+    shard = F.when(blk % 2 == 0, pos).otherwise(n_shards - 1 - pos)
+    return ranked.withColumn("shard", shard.cast("int")).drop(
+        "_neg_w", "_srn"
+    )

@@ -775,6 +775,11 @@ DRIVER_WINDOW_R11_PLAN = sorted(
 # report==executed-join equality + planted-orphan DuckDB replay
 # parity; lint-swept (its one-row scalar assembly takes the
 # impute_mean broadcast-cross-join waiver class).
+# And corpus.balanced_shards -- weight-balanced training-shard
+# assignment via a serpentine deal over the two-phase global rank
+# (equal-token shards where hash partitioning only equalizes rows;
+# grep-first verified NEW this time); hand-pinned serpentine totals +
+# full DuckDB replay parity + lint sweep. Additive.
 # No session.py / catalog.py / numeric.py change this round. The
 # local total-parity gate (test_oracle_parity, all 100 queries vs
 # DuckDB at sf0.01) re-ran green after the wave.

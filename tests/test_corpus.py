@@ -2836,3 +2836,77 @@ def test_ngram_overlap_clipping_and_parity(spark, oracle_sf_dir):
         FROM pr
     """
     assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_balanced_shards_serpentine_and_parity(spark, oracle_sf_dir):
+    """Shard balancing: (1) hand pin -- the serpentine deal reverses
+    direction every block, so on 6 known weights x 2 shards the totals
+    come out 23/22 rather than hash-assignment luck; (2) every row
+    lands in exactly one shard, shard ids cover [0, n); (3) NULL
+    weight ranks as 0 (lands last), NULL id excluded; (4) validation;
+    (5) full DuckDB replay on documents weighted by text length."""
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from tests.parity import compare, duckdb_connect
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("b", 9.0), ("c", 8.0), ("d", 7.0),
+         ("e", 6.0), ("f", 5.0)],
+        "id string, w double",
+    )
+    got = {
+        r.id: r.shard
+        for r in corpus.balanced_shards(df, "id", "w", 2).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 0, "e": 0, "f": 1}
+    tot = {0: 10.0 + 7.0 + 6.0, 1: 9.0 + 8.0 + 5.0}
+    assert tot[0] == 23.0 and tot[1] == 22.0
+
+    mixed = spark.createDataFrame(
+        [("a", 5.0), ("b", None), (None, 9.0), ("c", 1.0)],
+        "id string, w double",
+    )
+    rows = corpus.balanced_shards(mixed, "id", "w", 2).collect()
+    ids = {r.id for r in rows}
+    assert ids == {"a", "b", "c"}  # NULL id excluded
+    by_id = {r.id: r for r in rows}
+    # NULL weight ranks as 0: last position (rank 3 of 3)
+    assert by_id["b"].shard in (0, 1) and by_id["a"].shard == 0
+    assert all(0 <= r.shard < 2 for r in rows)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n_shards"):
+        corpus.balanced_shards(df, "id", "w", 0)
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    out = corpus.balanced_shards(
+        docs.withColumn("_w", F.length("text")), "doc_id", "_w", 7
+    ).select("doc_id", "shard")
+    sql = """
+        WITH r AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (
+                   ORDER BY -COALESCE(length(text), 0), doc_id
+                 ) AS rn
+          FROM documents WHERE doc_id IS NOT NULL
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN ((rn - 1) // 7) % 2 = 0
+                    THEN (rn - 1) % 7
+                    ELSE 6 - ((rn - 1) % 7) END AS INT) AS shard
+        FROM r
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+    # balance: shard token totals within one max-document of each other
+    totals = [
+        r.t
+        for r in corpus.balanced_shards(
+            docs.withColumn("_w", F.length("text")), "doc_id", "_w", 7
+        )
+        .groupBy("shard")
+        .agg(F.sum("_w").alias("t"))
+        .collect()
+    ]
+    wmax = docs.agg(F.max(F.length("text"))).first()[0]
+    assert len(totals) == 7
+    assert max(totals) - min(totals) <= 2 * wmax

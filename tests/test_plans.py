@@ -920,6 +920,14 @@ def test_r11_eval_ops_pass_the_plan_lint(spark, oracle_sf_dir):
             "cand",
             "ref",
         ),
+        # serpentine shard dealing rides the two-phase global rank --
+        # no single-task window may appear
+        "balanced_shards": corpus.balanced_shards(
+            docs.select("doc_id", F.length("text").alias("_w")),
+            "doc_id",
+            "_w",
+            7,
+        ),
     }
     for name, df in clean.items():
         assert lint.lint_plan(df) == [], name
