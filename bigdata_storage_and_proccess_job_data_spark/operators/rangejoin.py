@@ -139,3 +139,90 @@ def interval_overlap_join(
         )
     )
     return joined.drop("_bin")
+
+
+def merge_intervals(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    keys: "list[str] | None" = None,
+    max_gap: "float | None" = None,
+) -> DataFrame:
+    """Coalesce overlapping-or-touching intervals per key into maximal
+    disjoint spans -- the gaps-and-islands reduction that turns
+    duplicate_ngram_spans' per-match token windows into excisable
+    regions, activity spans into usage sessions, and fragmented SCD
+    validity rows into clean timelines. Returns one row per merged
+    island: (keys..., span_start, span_end, n_spans) with n_spans the
+    count of input intervals absorbed.
+
+    Method (the classic window form, no recursion): order each key's
+    intervals by (start, end); a row STARTS a new island iff its start
+    exceeds the running maximum of all PRECEDING ends -- every reset of
+    the merge is a new-island flag, and the running sum of flags is the
+    island id; one hash agg per island finishes. Tie order within equal
+    starts cannot change the merged output: a tied row's start is <=
+    its partner's end (valid intervals have start <= end), so tied rows
+    always land in one island whichever the window visits first.
+
+    ``max_gap`` (same units as the columns, numeric columns only --
+    pre-cast timestamps to epoch seconds) also merges islands separated
+    by at most that gap: start <= prev_end + max_gap. Left None the
+    rule is touch-or-overlap on the columns' native type (timestamps
+    included). Rows with a NULL start or end are excluded; an inverted
+    interval (end < start) raises in-plan rather than silently seeding
+    an island that can never absorb anything. Scale shape: one ordered
+    window per key (state bounded by that key's intervals -- per-key
+    spans, not global rows; an unkeyed call over a row-sized table is
+    the documented ks_test-style melt) + one hash agg."""
+    keys = keys or []
+    from pyspark.sql import Window
+
+    s, e = F.col(start_col), F.col(end_col)
+    nn = F.lit(True)
+    for k in keys:
+        nn = nn & F.col(k).isNotNull()
+    base = df.filter(nn & s.isNotNull() & e.isNotNull()).select(
+        *keys,
+        s.alias("_s"),
+        # inverted-interval guard folded into the consumed column (the
+        # bh_adjust pattern -- a free-standing guard would be pruned)
+        F.when(e >= s, e).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"merge_intervals: {end_col} < {start_col}: "
+                    ),
+                    e.cast("string"),
+                )
+            )
+        ).alias("_e"),
+    )
+    part = [F.col(k) for k in keys]
+    w_prev = (
+        Window.partitionBy(*part)
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max("_e").over(w_prev)
+    if max_gap is not None:
+        if max_gap < 0:
+            raise ValueError(f"max_gap must be >= 0: {max_gap}")
+        reach = prev_end.cast("double") + F.lit(float(max_gap))
+        new_island = F.col("_s").cast("double") > reach
+    else:
+        new_island = F.col("_s") > prev_end
+    flagged = base.withColumn(
+        "_new", F.coalesce(new_island, F.lit(True)).cast("long")
+    )
+    w_cum = (
+        Window.partitionBy(*part)
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("_island", F.sum("_new").over(w_cum))
+    return islands.groupBy(*keys, "_island").agg(
+        F.min("_s").alias("span_start"),
+        F.max("_e").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    ).drop("_island")

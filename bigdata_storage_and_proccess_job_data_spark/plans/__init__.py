@@ -780,6 +780,12 @@ DRIVER_WINDOW_R11_PLAN = sorted(
 # (equal-token shards where hash partitioning only equalizes rows;
 # grep-first verified NEW this time); hand-pinned serpentine totals +
 # full DuckDB replay parity + lint sweep. Additive.
+# And rangejoin.merge_intervals -- gaps-and-islands interval
+# coalescing per key (the follow-on duplicate_ngram_spans' excision
+# pipeline wants; grep-first verified the interval family has joins
+# but no merge); overlap/touch/gap pins, inverted-interval in-plan
+# raise, native-timestamp support, full DuckDB replay parity, lint
+# sweep. Additive.
 # No session.py / catalog.py / numeric.py change this round. The
 # local total-parity gate (test_oracle_parity, all 100 queries vs
 # DuckDB at sf0.01) re-ran green after the wave.

@@ -768,3 +768,118 @@ def test_join_size_report_exactness_and_parity(spark, sf_dir):
         FROM ls, rs, ms
     """
     assert compare(out, duckdb_connect(sf_dir), sql) == []
+
+
+def test_merge_intervals_islands_and_parity(spark, sf_dir):
+    """Interval coalescing: (1) hand pins -- overlap and touch both
+    merge, disjoint spans stay apart, max_gap bridges gaps up to the
+    tolerance; (2) ties and exact-duplicate intervals land in one
+    island; (3) NULL endpoints excluded, inverted intervals fail loud;
+    (4) native timestamp intervals merge without casts; (5) full
+    DuckDB replay on integer intervals derived from orders per
+    status."""
+    import pytest
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        rangejoin,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (4.0, 8.0), (9.0, 10.0), (10.0, 12.0), (15.0, 20.0)],
+        "s double, e double",
+    )
+    got = sorted(
+        (r.span_start, r.span_end, r.n_spans)
+        for r in rangejoin.merge_intervals(df, "s", "e").collect()
+    )
+    assert got == [(1.0, 8.0, 2), (9.0, 12.0, 2), (15.0, 20.0, 1)]
+    gapped = sorted(
+        (r.span_start, r.span_end, r.n_spans)
+        for r in rangejoin.merge_intervals(df, "s", "e", max_gap=3.0)
+        .collect()
+    )
+    assert gapped == [(1.0, 20.0, 5)]
+
+    dup = spark.createDataFrame(
+        [(5.0, 10.0), (5.0, 10.0), (5.0, 7.0), (20.0, 21.0)],
+        "s double, e double",
+    )
+    gd = sorted(
+        (r.span_start, r.span_end, r.n_spans)
+        for r in rangejoin.merge_intervals(dup, "s", "e").collect()
+    )
+    assert gd == [(5.0, 10.0, 3), (20.0, 21.0, 1)]
+
+    nulls = spark.createDataFrame(
+        [(None, 5.0), (1.0, None), (1.0, 2.0)], "s double, e double"
+    )
+    assert rangejoin.merge_intervals(nulls, "s", "e").count() == 1
+    with pytest.raises(Exception, match="merge_intervals"):
+        rangejoin.merge_intervals(
+            spark.createDataFrame([(5.0, 1.0)], "s double, e double"),
+            "s",
+            "e",
+        ).collect()
+    with pytest.raises(ValueError, match="max_gap"):
+        rangejoin.merge_intervals(df, "s", "e", max_gap=-1.0)
+
+    # native timestamps (no cast needed when max_gap is None)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    merged = rangejoin.merge_intervals(ev, "s", "e", keys=["user_id"])
+    assert merged.count() < ev.count()  # something coalesced
+    assert merged.filter(F.col("span_end") < F.col("span_start")).count() == 0
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        (F.col("o_orderkey") % 1000).alias("s"),
+        ((F.col("o_orderkey") % 1000) + (F.col("o_custkey") % 50)).alias(
+            "e"
+        ),
+    )
+    out = rangejoin.merge_intervals(
+        orders, "s", "e", keys=["o_orderstatus"]
+    ).select(
+        "o_orderstatus",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_spans",
+    )
+    sql = """
+        WITH base AS (
+          SELECT o_orderstatus AS k,
+                 o_orderkey % 1000 AS s,
+                 (o_orderkey % 1000) + (o_custkey % 50) AS e
+          FROM orders
+        ),
+        f AS (
+          SELECT k, s, e,
+                 CASE WHEN MAX(e) OVER (
+                        PARTITION BY k ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ) IS NULL
+                      OR s > MAX(e) OVER (
+                        PARTITION BY k ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      )
+                      THEN 1 ELSE 0 END AS new
+          FROM base
+        ),
+        i AS (
+          SELECT k, s, e,
+                 SUM(new) OVER (PARTITION BY k ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+          FROM f
+        )
+        SELECT k AS o_orderstatus,
+               CAST(MIN(s) AS BIGINT) AS span_start,
+               CAST(MAX(e) AS BIGINT) AS span_end,
+               COUNT(*)::BIGINT AS n_spans
+        FROM i GROUP BY k, island
+    """
+    assert compare(out, duckdb_connect(sf_dir), sql) == []

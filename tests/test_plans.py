@@ -882,6 +882,7 @@ def test_r11_eval_ops_pass_the_plan_lint(spark, oracle_sf_dir):
         aggregates,
         corpus,
         neardup,
+        rangejoin,
     )
     from bigdata_storage_and_proccess_job_data_spark.plans import lint
 
@@ -927,6 +928,17 @@ def test_r11_eval_ops_pass_the_plan_lint(spark, oracle_sf_dir):
             "doc_id",
             "_w",
             7,
+        ),
+        # interval coalescing: one keyed ordered window + one hash agg
+        "merge_intervals": rangejoin.merge_intervals(
+            orders.select(
+                "o_orderstatus",
+                (F.col("id") % 1000).alias("s"),
+                ((F.col("id") % 1000) + 25).alias("e"),
+            ),
+            "s",
+            "e",
+            keys=["o_orderstatus"],
         ),
     }
     for name, df in clean.items():
