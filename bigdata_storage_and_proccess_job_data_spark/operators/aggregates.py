@@ -4911,3 +4911,122 @@ def lift_table(
         )
         .orderBy("bucket")
     )
+
+
+def profile_diff(
+    old,
+    new,
+    cols: "Sequence[str] | None" = None,
+    distinct: str = "approx",
+    null_frac_tol: float = 0.01,
+    distinct_ratio_tol: float = 0.5,
+    mean_shift_tol: float = 0.25,
+    digits: int = 4,
+) -> DataFrame:
+    """Column-level diff of two snapshots' PROFILES -- the schema-drift
+    alarm beside table_diff's row-level one: table_diff answers "which
+    rows changed", this answers "did a column's SHAPE change" (a feed
+    that silently starts sending NULLs, an id column collapsing to one
+    value, a unit change shifting every mean) even when row counts look
+    normal. Profiles both frames with profile_table (ONE agg pass per
+    side), full-outer joins the two bounded column frames, and grades
+    each column:
+
+      status        'added' / 'removed' (schema change),
+                    'dtype_changed' (same name, new type),
+                    'drifted' (any tripped check), 'stable'
+      flags         array of tripped checks in fixed order, the
+                    table_diff changed_cols convention:
+                    'null_frac'  |null_frac delta| > null_frac_tol
+                    'n_distinct' cardinality ratio outside
+                                 [1/(1+tol), 1+tol] (both sides > 0)
+                    'mean'       |mean delta| > mean_shift_tol *
+                                 stddev_old (numeric, stddev_old > 0)
+      plus the per-side evidence columns (null_frac / n_distinct /
+      mean / stddev, old and new) so the alarm is auditable in place.
+
+    A check whose inputs are missing on either side (non-numeric mean,
+    zero stddev, zero distincts) abstains rather than alarms -- absence
+    of evidence is not drift (the disparity_report convention).
+    ``distinct='approx'`` is the 100 TB default (HLL); remember approx
+    counts jitter run to run -- widen distinct_ratio_tol rather than
+    reading single-digit deltas. Scale shape: two one-pass profile
+    aggs, then everything operates on the two O(columns) frames met in
+    a broadcast full-outer join."""
+    if null_frac_tol < 0 or distinct_ratio_tol < 0 or mean_shift_tol < 0:
+        raise ValueError("tolerances must be >= 0")
+    o = profile_table(old, cols=cols, distinct=distinct, digits=digits)
+    n = profile_table(new, cols=cols, distinct=distinct, digits=digits)
+    os_ = o.select(
+        "column",
+        *[F.col(c).alias(f"{c}_old") for c in (
+            "dtype", "null_frac", "n_distinct", "mean", "stddev"
+        )],
+    )
+    ns = n.select(
+        "column",
+        *[F.col(c).alias(f"{c}_new") for c in (
+            "dtype", "null_frac", "n_distinct", "mean", "stddev"
+        )],
+    )
+    j = os_.join(F.broadcast(ns), "column", "full_outer")
+    in_old = F.col("dtype_old").isNotNull()
+    in_new = F.col("dtype_new").isNotNull()
+    nf_trip = (
+        F.abs(F.col("null_frac_new") - F.col("null_frac_old"))
+        > F.lit(null_frac_tol)
+    )
+    ratio_hi = F.lit(1.0 + distinct_ratio_tol)
+    nd_old, nd_new = F.col("n_distinct_old"), F.col("n_distinct_new")
+    nd_trip = (
+        (nd_old > 0)
+        & (nd_new > 0)
+        & (
+            (nd_new.cast("double") / nd_old > ratio_hi)
+            | (nd_old.cast("double") / nd_new > ratio_hi)
+        )
+    )
+    mean_trip = (
+        F.col("mean_old").isNotNull()
+        & F.col("mean_new").isNotNull()
+        & (F.col("stddev_old") > 0)
+        & (
+            F.abs(F.col("mean_new") - F.col("mean_old"))
+            > F.lit(mean_shift_tol) * F.col("stddev_old")
+        )
+    )
+    flags = F.array_compact(
+        F.array(
+            F.when(F.coalesce(nf_trip, F.lit(False)), F.lit("null_frac")),
+            F.when(F.coalesce(nd_trip, F.lit(False)), F.lit("n_distinct")),
+            F.when(F.coalesce(mean_trip, F.lit(False)), F.lit("mean")),
+        )
+    )
+    status = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(F.col("dtype_old") != F.col("dtype_new"), F.lit("dtype_changed"))
+        .when(F.size("_flags") > 0, F.lit("drifted"))
+        .otherwise(F.lit("stable"))
+    )
+    return (
+        j.withColumn("_flags", flags)
+        .withColumn("status", status)
+        .select(
+            "column",
+            "status",
+            F.when(F.col("status").isin("drifted"), F.col("_flags"))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("flags"),
+            "dtype_old",
+            "dtype_new",
+            "null_frac_old",
+            "null_frac_new",
+            "n_distinct_old",
+            "n_distinct_new",
+            "mean_old",
+            "mean_new",
+            "stddev_old",
+            "stddev_new",
+        )
+    )

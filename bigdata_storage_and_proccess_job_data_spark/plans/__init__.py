@@ -786,6 +786,12 @@ DRIVER_WINDOW_R11_PLAN = sorted(
 # but no merge); overlap/touch/gap pins, inverted-interval in-plan
 # raise, native-timestamp support, full DuckDB replay parity, lint
 # sweep. Additive.
+# And aggregates.profile_diff -- the column-level schema-drift alarm
+# beside table_diff's row-level one (two profile_table passes +
+# broadcast full-outer join on the bounded column frames; grep-first:
+# profile_table exists, its snapshot DIFF did not); status/flags
+# pins, abstention semantics, full exact-distinct DuckDB replay
+# parity, lint sweep. Additive.
 # No session.py / catalog.py / numeric.py change this round. The
 # local total-parity gate (test_oracle_parity, all 100 queries vs
 # DuckDB at sf0.01) re-ran green after the wave.

@@ -4111,3 +4111,154 @@ def test_lift_table_pins_and_parity(spark, oracle_sf_dir):
         FROM c
     """
     assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_profile_diff_statuses_and_parity(spark, oracle_sf_dir):
+    """Column-profile diff: (1) hand pins -- a NULL influx trips
+    null_frac, a planted mean shift trips mean, added/removed/dtype
+    changes classify before drift checks, a stable column stays
+    stable; (2) abstention -- a non-numeric column can never trip
+    mean, zero distincts never trip n_distinct; (3) full DuckDB
+    replay on orders vs a mutated snapshot (exact distincts)."""
+    old = spark.createDataFrame(
+        [(i, float(i % 10), "x", i % 3) for i in range(100)],
+        "a long, b double, c string, e long",
+    )
+    new = spark.createDataFrame(
+        [
+            (
+                i if i % 2 == 0 else None,   # 50% nulls in a
+                float(i % 10) + 100.0,        # huge mean shift in b
+                "x",                          # c stable
+                str(i % 3),                   # e dtype long -> string
+                1.0,                          # d added
+            )
+            for i in range(100)
+        ],
+        "a long, b double, c string, e string, d double",
+    )
+    got = {
+        r.column: r
+        for r in aggregates.profile_diff(
+            old, new, distinct="exact"
+        ).collect()
+    }
+    # a: 50% of values go NULL, which also halves the distinct count --
+    # both checks trip, in the fixed flag order
+    assert got["a"].status == "drifted" and list(got["a"].flags) == [
+        "null_frac",
+        "n_distinct",
+    ]
+    assert got["b"].status == "drifted" and "mean" in got["b"].flags
+    assert got["c"].status == "stable" and list(got["c"].flags) == []
+    assert got["e"].status == "dtype_changed"
+    assert got["d"].status == "added" and got["d"].dtype_old is None
+    # removed: diff the other way round
+    rev = {
+        r.column: r
+        for r in aggregates.profile_diff(
+            new, old, distinct="exact"
+        ).collect()
+    }
+    assert rev["d"].status == "removed"
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="tolerances"):
+        aggregates.profile_diff(old, new, null_frac_tol=-1.0)
+
+    orders = load_table(spark, oracle_sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    mutated = orders.select(
+        F.when(F.col("o_custkey") % 13 != 0, F.col("o_custkey")).alias(
+            "o_custkey"
+        ),
+        (F.col("o_totalprice") + 100000.0).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    out = aggregates.profile_diff(
+        orders, mutated, distinct="exact"
+    ).select(
+        "column",
+        "status",
+        F.array_join("flags", ",").alias("flags"),
+        "null_frac_old",
+        "null_frac_new",
+        "n_distinct_old",
+        "n_distinct_new",
+        "mean_old",
+        "mean_new",
+    )
+    sql = f"""
+        WITH po AS (
+          SELECT 'o_custkey' AS "column",
+                 {sql_round('SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)', 4)} AS nf,
+                 COUNT(DISTINCT o_custkey)::BIGINT AS nd,
+                 {sql_round('AVG(o_custkey)', 4)} AS mean,
+                 {sql_round('stddev_samp(o_custkey)', 4)} AS sd
+          FROM orders
+          UNION ALL
+          SELECT 'o_totalprice',
+                 {sql_round('SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)', 4)},
+                 COUNT(DISTINCT o_totalprice)::BIGINT,
+                 {sql_round('AVG(o_totalprice)', 4)},
+                 {sql_round('stddev_samp(o_totalprice)', 4)}
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderstatus',
+                 {sql_round('SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)', 4)},
+                 COUNT(DISTINCT o_orderstatus)::BIGINT,
+                 NULL, NULL
+          FROM orders
+        ),
+        pn AS (
+          SELECT 'o_custkey' AS "column",
+                 {sql_round('SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)', 4)} AS nf,
+                 COUNT(DISTINCT k)::BIGINT AS nd,
+                 {sql_round('AVG(k)', 4)} AS mean,
+                 {sql_round('stddev_samp(k)', 4)} AS sd
+          FROM (SELECT CASE WHEN o_custkey % 13 <> 0 THEN o_custkey END AS k
+                FROM orders)
+          UNION ALL
+          SELECT 'o_totalprice',
+                 {sql_round('SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)', 4)},
+                 COUNT(DISTINCT p)::BIGINT,
+                 {sql_round('AVG(p)', 4)},
+                 {sql_round('stddev_samp(p)', 4)}
+          FROM (SELECT o_totalprice + 100000.0 AS p FROM orders)
+          UNION ALL
+          SELECT 'o_orderstatus',
+                 {sql_round('SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)', 4)},
+                 COUNT(DISTINCT o_orderstatus)::BIGINT,
+                 NULL, NULL
+          FROM orders
+        ),
+        d AS (
+          SELECT po."column",
+                 ABS(pn.nf - po.nf) > 0.01 AS nf_trip,
+                 po.nd > 0 AND pn.nd > 0 AND (
+                   pn.nd * 1.0 / po.nd > 1.5 OR po.nd * 1.0 / pn.nd > 1.5
+                 ) AS nd_trip,
+                 po.mean IS NOT NULL AND pn.mean IS NOT NULL
+                   AND po.sd > 0
+                   AND ABS(pn.mean - po.mean) > 0.25 * po.sd AS mean_trip,
+                 po.nf AS null_frac_old, pn.nf AS null_frac_new,
+                 po.nd AS n_distinct_old, pn.nd AS n_distinct_new,
+                 po.mean AS mean_old, pn.mean AS mean_new
+          FROM po JOIN pn USING ("column")
+        )
+        SELECT "column",
+               CASE WHEN COALESCE(nf_trip, false) OR COALESCE(nd_trip, false)
+                      OR COALESCE(mean_trip, false)
+                    THEN 'drifted' ELSE 'stable' END AS status,
+               COALESCE(list_aggregate(list_filter([
+                 CASE WHEN COALESCE(nf_trip, false) THEN 'null_frac' END,
+                 CASE WHEN COALESCE(nd_trip, false) THEN 'n_distinct' END,
+                 CASE WHEN COALESCE(mean_trip, false) THEN 'mean' END
+               ], x -> x IS NOT NULL), 'string_agg', ','), '') AS flags,
+               null_frac_old, null_frac_new,
+               n_distinct_old, n_distinct_new,
+               mean_old, mean_new
+        FROM d
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []

@@ -929,6 +929,13 @@ def test_r11_eval_ops_pass_the_plan_lint(spark, oracle_sf_dir):
             "_w",
             7,
         ),
+        # two one-pass profile aggs + a broadcast equi-join on the
+        # bounded column frames
+        "profile_diff": aggregates.profile_diff(
+            orders.select("id", "s", "y"),
+            orders.select("id", (F.col("s") + 1.0).alias("s"), "p"),
+            distinct="approx",
+        ),
         # interval coalescing: one keyed ordered window + one hash agg
         "merge_intervals": rangejoin.merge_intervals(
             orders.select(
