@@ -8,8 +8,10 @@ round-10 monitoring suite composed end to end:
   2. referential integrity: do the fact's foreign keys resolve, and is
      the dimension key unique? (an orphan becomes a silently-dropped
      row at the next inner join)
-  3. snapshot diff: what changed against yesterday's published output
-     -- added/removed/changed keys with the changed-column sets
+  3. snapshot diff, both grains: row-level (table_diff --
+     added/removed/changed keys with the changed-column sets) and
+     column-level (profile_diff, r11 -- did any column's null rate,
+     cardinality or mean SHAPE change, even where row counts look fine)
   4. distribution drift, three ways: PSI against reference-quantile
      bins (psi_bins, the banded scorecard), exact two-sample KS
      (binning-free, catches drift between bin edges), and sequential
@@ -102,6 +104,18 @@ def main() -> None:
     print("== snapshot diff (today vs yesterday) ==")
     for r in diff.groupBy("status").count().orderBy("status").collect():
         print(f"  {r.status}: {r['count']}")
+    # the column-level twin (r11): did any column's SHAPE change, even
+    # where row counts look normal? the 1% price bump is well under the
+    # mean-shift tolerance, so the profile reads stable across the board
+    prof = aggregates.profile_diff(
+        yesterday.select("o_custkey", "o_totalprice", "o_orderstatus"),
+        today.select("o_custkey", "o_totalprice", "o_orderstatus"),
+    )
+    drifted = {
+        r.column: list(r.flags)
+        for r in prof.filter(F.col("status") != "stable").collect()
+    }
+    print(f"  column profiles: {'all stable' if not drifted else drifted}")
 
     # -- 4. drift gates -------------------------------------------------
     ref = orders.filter(F.col("o_orderkey") % 2 == 0)
