@@ -962,3 +962,60 @@ def test_r11_eval_ops_pass_the_plan_lint(spark, oracle_sf_dir):
     )
     assert lint.lint_plan(jsr, allow_bnlj=True) == []
     assert "CartesianProduct" not in jsr._jdf.queryExecution().executedPlan().toString()
+
+
+def test_r11_promoted_query_plan_pins(spark, oracle_sf_dir):
+    """Physical-plan pins for the four queries promoted in r11 -- the
+    properties that make them scale must stay in the plan:
+
+    - bh_adjust: all three window passes (rank, family count, tail
+      min) share ONE hash exchange on the key family; nothing ever
+      moves to a single partition.
+    - ks_test: keyed throughout -- per-side aggs and the ECDF window
+      partition on the key, zero SinglePartition exchanges (the
+      keyless melt the safe default exists for can't reappear here).
+    - table_diff: exactly ONE join (the full-outer on the key), both
+      sides exchanged on that key, no second shuffle for the
+      changed-cols logic.
+    - fk_integrity_report: exactly ONE BroadcastNestedLoopJoin -- the
+      waived one-row scalar assembly -- and the only SinglePartition
+      exchanges are the two one-row aggregate finals."""
+    import re
+
+    def plan(name):
+        return (
+            QS[name]
+            .fn(spark, oracle_sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p = plan("bh_adjust")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
+    assert "Exchange SinglePartition" not in p
+    assert set(re.findall(r"hashpartitioning\((\w+)", p)) == {
+        "o_orderstatus"
+    }
+
+    p = plan("ks_test")
+    assert "Exchange SinglePartition" not in p
+    assert set(re.findall(r"hashpartitioning\((\w+)", p)) == {
+        "o_orderstatus"
+    }
+
+    p = plan("table_diff")
+    joins_n = (
+        p.count("SortMergeJoin")
+        + p.count("ShuffledHashJoin")
+        + p.count("BroadcastHashJoin")
+    )
+    assert joins_n == 1, p
+    assert "Exchange SinglePartition" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    p = plan("fk_integrity_report")
+    assert p.count("BroadcastNestedLoopJoin") == 1, p
+    # one-row finals only: at most the fact-side and dim-side
+    # aggregate completions
+    assert p.count("Exchange SinglePartition") <= 2, p
