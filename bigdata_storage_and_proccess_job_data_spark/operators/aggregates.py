@@ -4693,7 +4693,10 @@ def classification_report(
     either input is (or both are 0 -- the 0/0 harmonic mean). Labels
     and predictions must be 0/1-valued (booleans cast cleanly); out-of-
     domain values fail loud via _binary01, rows with a NULL on either
-    side are excluded (unscored is not wrong).
+    side are excluded (unscored is not wrong). NULL key values form
+    their own slice (plain groupBy semantics -- an unattributed
+    segment is still a segment; disparity_report, whose gaps compare
+    against a pooled denominator, EXCLUDES null keys instead).
 
     Scale shape: ONE conditional-count hash aggregate over one scan --
     all four confusion cells are sibling sums, the expectation_report
