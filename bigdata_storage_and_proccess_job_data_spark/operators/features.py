@@ -647,3 +647,125 @@ def woe_apply(
     return df.join(
         F.broadcast(m), F.col(cat_col).eqNullSafe(F.col("_woe_cat")), "left"
     ).drop("_woe_cat")
+
+
+def rake_weights(
+    df: DataFrame,
+    margins: "dict[str, dict]",
+    max_iter: int = 50,
+    tol: float = 1e-9,
+    max_cells: int = 100_000,
+    out_col: str = "rake_weight",
+) -> DataFrame:
+    """Raking / iterative proportional fitting (Deming-Stephan 1940):
+    attach survey-style post-stratification weights so the WEIGHTED
+    marginal distribution of each listed column matches a target --
+    the reweighting step before reading eval metrics off a sample
+    whose demographics drifted from production (an eval set that
+    over-samples one source/language/segment silently biases every
+    aggregate; raking fixes all margins simultaneously where simple
+    per-column reweighting fixes one and breaks another).
+
+    ``margins`` maps column -> {category: target_share}; shares per
+    column must sum to 1 (validated), and every observed category must
+    appear in its target (a category the target says nothing about
+    fails loud rather than silently keeping weight 1). Rows with a
+    NULL in any raked column are excluded (give missingness its own
+    level upstream to weight it). Returns the input plus ``out_col``:
+    the fitted weight of the row's CELL, normalized so weights average
+    1 over the kept rows.
+
+    Scale shape (the kmeans/centroid precedent -- fit on a bounded
+    artifact, apply distributed): ONE hash agg folds the data to the
+    cell frame (one row per observed combination of the raked columns,
+    bounded by the product of the alphabets and guarded by
+    ``max_cells``), the IPF loop runs driver-side in pure Python over
+    that model-sized table (deterministic -- no RNG, no partition
+    dependence), and the fitted weights broadcast-join back to rows.
+    Convergence: stops when every achieved margin is within ``tol`` of
+    target; raises if max_iter passes without converging (classic IPF
+    converges whenever the targets are feasible for the observed
+    support; an infeasible zero-cell pattern is a data problem this
+    surfaces rather than hides)."""
+    if not margins:
+        raise ValueError("margins is empty: nothing to rake")
+    cols = list(margins)
+    for c, m in margins.items():
+        if not m:
+            raise ValueError(f"rake_weights: empty target margin for {c!r}")
+        total = float(sum(m.values()))
+        if abs(total - 1.0) > 1e-6:
+            raise ValueError(
+                f"rake_weights: target shares for {c!r} sum to {total}, "
+                "expected 1"
+            )
+    nn = F.lit(True)
+    for c in cols:
+        nn = nn & F.col(c).isNotNull()
+    kept = df.filter(nn)
+    cells = [
+        (tuple(getattr(r, c) for c in cols), r["_n"])
+        for r in kept.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    ]
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"rake_weights: {len(cells)} observed cells exceeds "
+            f"max_cells={max_cells} -- rake on lower-cardinality "
+            "columns (bin/hash first)"
+        )
+    for vals, _ in cells:
+        for c, v in zip(cols, vals):
+            if v not in margins[c]:
+                raise ValueError(
+                    f"rake_weights: observed {c}={v!r} missing from its "
+                    "target margin"
+                )
+    n_total = float(sum(n for _, n in cells))
+    w = {vals: 1.0 for vals, _ in cells}
+    converged = False
+    for _ in range(max_iter):
+        worst = 0.0
+        for i, c in enumerate(cols):
+            achieved: dict = {}
+            for (vals, n) in cells:
+                achieved[vals[i]] = achieved.get(vals[i], 0.0) + n * w[vals]
+            mass = sum(achieved.values())
+            for (vals, n) in cells:
+                share = achieved[vals[i]] / mass
+                target = margins[c][vals[i]]
+                w[vals] *= target / share
+        # convergence check on ALL margins after a full sweep
+        for i, c in enumerate(cols):
+            achieved = {}
+            for (vals, n) in cells:
+                achieved[vals[i]] = achieved.get(vals[i], 0.0) + n * w[vals]
+            mass = sum(achieved.values())
+            for v, t in margins[c].items():
+                worst = max(worst, abs(achieved.get(v, 0.0) / mass - t))
+        if worst <= tol:
+            converged = True
+            break
+    if not converged:
+        raise ValueError(
+            f"rake_weights: not converged after {max_iter} sweeps "
+            f"(worst margin gap {worst:.3g}) -- targets may be "
+            "infeasible for the observed support (zero cells)"
+        )
+    # normalize to mean weight 1 over kept rows
+    mean_w = sum(n * w[vals] for vals, n in cells) / n_total
+    rows = [
+        tuple(list(vals) + [w[vals] / mean_w]) for vals, _ in cells
+    ]
+    schema = kept.select(*cols).schema.add(out_col, "double")
+    wdf = df.sparkSession.createDataFrame(rows, schema)
+    renamed = wdf.select(
+        *[F.col(c).alias(f"_rk_{c}") for c in cols], out_col
+    )
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & (F.col(c) == F.col(f"_rk_{c}"))
+    return kept.join(F.broadcast(renamed), cond, "left").drop(
+        *[f"_rk_{c}" for c in cols]
+    )

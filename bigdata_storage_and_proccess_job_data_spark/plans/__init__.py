@@ -792,6 +792,13 @@ DRIVER_WINDOW_R11_PLAN = sorted(
 # profile_table exists, its snapshot DIFF did not); status/flags
 # pins, abstention semantics, full exact-distinct DuckDB replay
 # parity, lint sweep. Additive.
+# And features.rake_weights -- raking/IPF post-stratification weights
+# (grep-first: absent; ipw/aipw reweight by propensity, this matches
+# MARGINS). Fit = deterministic pure-Python IPF over the bounded
+# collected cell frame (the kmeans-centroid collect class, max_cells
+# guarded); apply = broadcast equi-join. Test-grade (iterative fit,
+# the kmeans precedent): both-margins pin, guards, infeasibility
+# raise; lint-swept. Additive.
 # No session.py / catalog.py / numeric.py change this round. The
 # local total-parity gate (test_oracle_parity, all 100 queries vs
 # DuckDB at sf0.01) re-ran green after the wave.

@@ -546,3 +546,63 @@ def test_woe_fit_apply_semantics_and_parity(spark, oracle_sf_dir):
         FROM w
     """
     assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_rake_weights_ipf_margins_and_guards(spark):
+    """Raking: (1) on a classic 2x2 with mismatched margins the fitted
+    weights reproduce BOTH target margins simultaneously (weighted
+    shares within tol) and average 1 over kept rows; (2) a NULL in a
+    raked column drops the row; (3) guards -- unknown observed
+    category, shares not summing to 1, empty margins, cell-count cap;
+    (4) infeasible targets (support only on the diagonal) fail loud as
+    non-convergence rather than looping forever."""
+    rows = (
+        [("a1", "b1")] * 30
+        + [("a1", "b2")] * 70
+        + [("a2", "b1")] * 60
+        + [("a2", "b2")] * 40
+        + [(None, "b1")] * 5  # excluded
+    )
+    df = spark.createDataFrame(rows, "A string, B string")
+    out = features.rake_weights(
+        df,
+        {"A": {"a1": 0.5, "a2": 0.5}, "B": {"b1": 0.6, "b2": 0.4}},
+    )
+    assert out.count() == 200  # NULL-A rows dropped
+    tot = out.agg(F.sum("rake_weight")).first()[0]
+    assert tot == pytest.approx(200.0)  # mean weight 1
+    for col, targets in [
+        ("A", {"a1": 0.5, "a2": 0.5}),
+        ("B", {"b1": 0.6, "b2": 0.4}),
+    ]:
+        got = {
+            r[col]: r.s / tot
+            for r in out.groupBy(col)
+            .agg(F.sum("rake_weight").alias("s"))
+            .collect()
+        }
+        for v, t in targets.items():
+            assert got[v] == pytest.approx(t, abs=1e-6), (col, v)
+
+    with pytest.raises(ValueError, match="missing from its target"):
+        features.rake_weights(df, {"A": {"a1": 1.0}})
+    with pytest.raises(ValueError, match="sum to"):
+        features.rake_weights(df, {"A": {"a1": 0.5, "a2": 0.4}})
+    with pytest.raises(ValueError, match="empty"):
+        features.rake_weights(df, {})
+    with pytest.raises(ValueError, match="max_cells"):
+        features.rake_weights(
+            df,
+            {"A": {"a1": 0.5, "a2": 0.5}, "B": {"b1": 0.6, "b2": 0.4}},
+            max_cells=2,
+        )
+
+    diag = spark.createDataFrame(
+        [("a1", "b1")] * 50 + [("a2", "b2")] * 50, "A string, B string"
+    )
+    with pytest.raises(ValueError, match="not converged"):
+        features.rake_weights(
+            diag,
+            {"A": {"a1": 0.5, "a2": 0.5}, "B": {"b1": 0.9, "b2": 0.1}},
+            max_iter=30,
+        )

@@ -881,6 +881,7 @@ def test_r11_eval_ops_pass_the_plan_lint(spark, oracle_sf_dir):
     from bigdata_storage_and_proccess_job_data_spark.operators import (
         aggregates,
         corpus,
+        features,
         neardup,
         rangejoin,
     )
@@ -946,6 +947,19 @@ def test_r11_eval_ops_pass_the_plan_lint(spark, oracle_sf_dir):
             "s",
             "e",
             keys=["o_orderstatus"],
+        ),
+        # raking: the IPF fit collects the BOUNDED cell frame (the
+        # kmeans-centroid collect class); the returned apply must be a
+        # broadcast equi-join, never a nested loop
+        "rake_weights": features.rake_weights(
+            load_table(spark, oracle_sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus",
+                (F.col("o_orderkey") % 2).cast("string").alias("par"),
+            ),
+            {
+                "o_orderstatus": {"O": 0.4, "F": 0.4, "P": 0.2},
+                "par": {"0": 0.5, "1": 0.5},
+            },
         ),
     }
     for name, df in clean.items():
