@@ -4695,8 +4695,9 @@ def classification_report(
     domain values fail loud via _binary01, rows with a NULL on either
     side are excluded (unscored is not wrong). NULL key values form
     their own slice (plain groupBy semantics -- an unattributed
-    segment is still a segment; disparity_report, whose gaps compare
-    against a pooled denominator, EXCLUDES null keys instead).
+    segment is still a segment; disparity_report keeps the same rule
+    for its group column -- a NULL group is a real slice and its
+    counts feed the pooled denominators its gaps compare against).
 
     Scale shape: ONE conditional-count hash aggregate over one scan --
     all four confusion cells are sibling sums, the expectation_report

@@ -669,7 +669,15 @@ def rake_weights(
     ``margins`` maps column -> {category: target_share}; shares per
     column must sum to 1 (validated), and every observed category must
     appear in its target (a category the target says nothing about
-    fails loud rather than silently keeping weight 1). Rows with a
+    fails loud rather than silently keeping weight 1). A 0.0 target
+    share is legal and means "exclude this category": its cells rake
+    to weight 0 and stay out of every other margin's denominator from
+    then on (a cell whose achieved share is already 0 is skipped, not
+    divided by -- its weight is correct by definition). If a POSITIVE
+    target sits entirely on zero-weight support (every cell of that
+    category was zeroed by another margin), no rescaling can ever
+    reach it: that infeasibility raises immediately instead of
+    surfacing as a division error mid-sweep. Rows with a
     NULL in any raked column are excluded (give missingness its own
     level upstream to weight it). Returns the input plus ``out_col``:
     the fitted weight of the row's CELL, normalized so weights average
@@ -732,9 +740,29 @@ def rake_weights(
             for (vals, n) in cells:
                 achieved[vals[i]] = achieved.get(vals[i], 0.0) + n * w[vals]
             mass = sum(achieved.values())
+            if mass == 0.0:
+                raise ValueError(
+                    "rake_weights: every observed cell sits in a "
+                    "zero-target category -- targets are infeasible "
+                    "for the observed support"
+                )
             for (vals, n) in cells:
                 share = achieved[vals[i]] / mass
                 target = margins[c][vals[i]]
+                if share == 0.0:
+                    # already-zeroed support (a 0.0 target on another
+                    # margin). target 0 -> weight 0 is exactly right,
+                    # skip; positive target -> no multiplicative
+                    # rescale of zero mass can ever reach it
+                    if target > 0.0:
+                        raise ValueError(
+                            f"rake_weights: target for {c}={vals[i]!r} "
+                            f"is {target} but all of its observed "
+                            "cells were zeroed by another margin's "
+                            "0.0 target -- infeasible for the "
+                            "observed support"
+                        )
+                    continue
                 w[vals] *= target / share
         # convergence check on ALL margins after a full sweep
         for i, c in enumerate(cols):

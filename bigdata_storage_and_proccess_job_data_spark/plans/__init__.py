@@ -856,6 +856,92 @@ DRIVER_WINDOW_R12_PLAN = sorted(
 #     so this retirement is in-plan and frees its slot cleanly.
 # Every promotion needs its retirement recorded in registry.RETIRED
 # per the saturation rule.
+# EXECUTED r12: both picks, exactly as pinned above --
+# (1) consensus_labels <- event_paths_top and (2) fleiss_kappa <-
+# urgent_customers_semi (both retirees were in DRIVER_WINDOW_R12_PLAN,
+# so both retirements are in-plan and displace nothing; coverage
+# merges recorded in registry.RETIRED, RETIRED at 22). This also
+# discharges the event_paths_top freshness tripwire the r11 verdict
+# flagged: its row obligation is superseded by the recorded
+# retirement (the cohort_retention precedent).
+
+# Round-12 window: the pinned DRIVER_WINDOW_R12_PLAN with the two
+# executed ledger swaps applied. Changed-code audit for round 12 (per
+# the seam addendum):
+#   - plans/scale_queries.py consensus_labels / fleiss_kappa: NEW
+#     registrations this round (the promoted queries); both row
+#     immediately. The underlying operators (corpus.consensus_labels,
+#     aggregates.fleiss_kappa) are code-UNCHANGED since their r11
+#     parity tests.
+#   - operators/features.py rake_weights: zero-target-share fix (r11
+#     ADVICE #1 -- share==0 cells no longer divide by zero; a 0.0
+#     target over a present cell zeroes it and converges, an
+#     infeasible positive target over a zeroed cell raises). NOT
+#     called by any registered query (test-grade surface, the kmeans
+#     precedent); parity + pins in tests/test_features.py.
+#   - operators/aggregates.py classification_report: DOCSTRING-only
+#     cross-reference fix (r11 ADVICE #2); no behavior change, not
+#     called by any registered query.
+#   - No registered query's body or callee changed otherwise; no
+#     session.py / catalog.py / numeric.py change this round.
+DRIVER_WINDOW_R12 = sorted(
+    (
+        set(DRIVER_WINDOW_R12_PLAN)
+        - {
+            "event_paths_top",
+            "urgent_customers_semi",
+        }
+    )
+    | {
+        "consensus_labels",
+        "fleiss_kappa",
+    }
+)
+
+# Round-13 obligation, pinned NOW: the exact complement of
+# DRIVER_WINDOW_R12 in the post-r12 registry. Because both r12
+# retirees sat inside R12_PLAN and both promotions row in R12, the
+# complement is EXACTLY the r11 window -- every query there holds a
+# green r11 row. test_plans.py asserts R12 ∪ R13_PLAN == registry,
+# R12 ∩ R13_PLAN == ∅.
+DRIVER_WINDOW_R13_PLAN = sorted(DRIVER_WINDOW_R11)
+
+# R13 promotion priorities (builder's note for the next curation pass,
+# the executed-R10/R11/R12 precedent). All candidates carry full DuckDB
+# replay parity TODAY and every named retiree is VERIFIED REGISTERED
+# this round (the kn_surprisal lesson):
+# (1) profile_diff (operators/aggregates.py -- the column-level drift
+#     diff beside table_diff's row-level one; parity in
+#     test_mining.py:test_profile_diff_pins_and_parity). Retirement:
+#     snapshot_change_feed -- its version-over-version row change feed
+#     is table_diff's added/removed/changed classification computed
+#     from the versioned-table seam, and that seam's time-travel /
+#     MERGE surface keeps its own driver row (orders_merge_upsert) and
+#     the full test_versioned.py suite; the row-diff shape itself
+#     stays hash-checked every round table_diff rows.
+# (2) merge_intervals (operators/rangejoin.py -- gaps-and-islands
+#     interval coalescing; parity in
+#     test_spatial.py:test_merge_intervals_pins_and_parity).
+#     Retirement: interval_overlap_pairs -- pairwise interval overlap
+#     via the same bin-and-verify range machinery that
+#     range_join_incidents keeps driver-rowed every rotation (the two
+#     queries share the binning CTE form verbatim); coalescing is the
+#     islands half of the same family and carries the richer oracle.
+# (3) classification_report (operators/aggregates.py -- confusion
+#     counts + precision/recall/F1 gate; parity in
+#     test_mining.py:test_classification_report_pins_and_parity).
+#     Retirement: small_quantity_revenue -- a single-table
+#     conditional-sum readout (CASE-gated SUM/AVG over one scan) that
+#     is exactly classification_report's sibling-conditional-sum plan
+#     shape with fewer cells; pricing_summary keeps the multi-measure
+#     single-scan readout's driver row every rotation.
+# Parked R13+ (ledger space permitting, same bar): lift_table,
+# disparity_report, join_size_report, balanced_shards,
+# containment_pairs, ngram_overlap, and an ivfpq query (knn_ivfpq --
+# the md5-codebook trick that graduated knn_pq applies verbatim; the
+# only ANN family member without a registry row).
+# Every promotion needs its retirement recorded in registry.RETIRED
+# per the saturation rule.
 
 # R10 promotion priorities (builder's note for the next curation
 # pass, the executed-R9 precedent): of the restart wave's
@@ -1319,4 +1405,4 @@ DRIVER_WINDOW_R3 = [
     "impute_mean",  # A9/X2
 ]
 
-set_driver_order(DRIVER_WINDOW_R11)
+set_driver_order(DRIVER_WINDOW_R12)

@@ -1215,30 +1215,13 @@ def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Semi join (EXISTS)
 # ---------------------------------------------------------------------------
-@register(
-    "urgent_customers_semi",
-    tags=("join", "semi"),
-    oracle="""
-        SELECT c_custkey, c_mktsegment
-        FROM customer c
-        WHERE EXISTS (
-          SELECT 1 FROM orders o
-          WHERE o.o_custkey = c.c_custkey
-            AND o.o_orderpriority = '1-URGENT'
-        )
-    """,
-)
-def urgent_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXISTS as a left-semi join: customers with at least one urgent
-    order, each emitted once no matter how many matches -- the semi
-    completes the join family (inner/left/anti/semi/asof/range). The
-    probe side never duplicates, so output is bounded by |customer|."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
-    return customer.join(
-        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
-    ).select("c_custkey", "c_mktsegment")
+# urgent_customers_semi RETIRED r12
+# (registry.RETIRED["urgent_customers_semi"]): the EXISTS/left-semi
+# membership shape keeps two driver rows (decontaminated_train,
+# hard_negatives) and the lint sweep's left-semi plan pin; the slot
+# rows the promoted fleiss_kappa (the labeling-QA family's
+# multi-rater agreement gate), whose kept-items semi join exercises
+# the same plan shape under an oracle hash every round.
 
 
 # ---------------------------------------------------------------------------
@@ -1552,67 +1535,14 @@ def retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Path analysis: top 3-step event sequences
 # ---------------------------------------------------------------------------
-@register(
-    "event_paths_top",
-    tags=("events", "window", "agg"),
-    oracle="""
-        WITH seq AS (
-          SELECT user_id, event_type,
-                 LEAD(event_type, 1) OVER w AS s2,
-                 LEAD(event_type, 2) OVER w AS s3
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        )
-        SELECT path, n_occurrences
-        FROM (
-          SELECT event_type || ' > ' || s2 || ' > ' || s3 AS path,
-                 CAST(COUNT(*) AS BIGINT) AS n_occurrences,
-                 ROW_NUMBER() OVER (
-                   ORDER BY COUNT(*) DESC,
-                            event_type || ' > ' || s2 || ' > ' || s3 ASC
-                 ) AS rn
-          FROM seq
-          WHERE event_type IS NOT NULL AND s2 IS NOT NULL
-            AND s3 IS NOT NULL
-          GROUP BY path
-        )
-        WHERE rn <= 20
-    """,
-)
-def event_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top 20 three-step per-user event sequences (path analysis): lead
-    windows over (ts, event_id) build each consecutive triple, one count
-    aggregation, TakeOrdered top-k -- no global sort, and the window /
-    groupBy stages are the only shuffles. The deterministic (ts,
-    event_id) tiebreak makes paths reproducible across engines."""
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "event_type",
-        F.lead("event_type", 1).over(w).alias("s2"),
-        F.lead("event_type", 2).over(w).alias("s3"),
-    ).filter(
-        # all three steps non-null ON BOTH SIDES (ADVICE r4): Spark's
-        # concat_ws silently skips NULL segments while the oracle's ||
-        # propagates NULL, so a NULL event_type would otherwise produce
-        # a shortened path here and a dropped path there
-        F.col("event_type").isNotNull()
-        & F.col("s2").isNotNull()
-        & F.col("s3").isNotNull()
-    )
-    counted = (
-        seq.select(
-            F.concat_ws(" > ", "event_type", "s2", "s3").alias("path")
-        )
-        .groupBy("path")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
-    )
-    return (
-        counted.orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
-        .limit(20)
-    )
+# event_paths_top RETIRED r12 (registry.RETIRED["event_paths_top"]):
+# its plurality window (count-desc / value-asc row_number winner) is
+# exactly the promoted consensus_labels' winner window, hash-checked
+# every round that query rows; the lead-window sequence shape stays
+# driver-checked by dedup_within_delay / event_gaps /
+# view_click_attribution and the count-then-TakeOrdered top-k by
+# topk_per_group / unigram_surprisal. The query was inline (lead +
+# groupBy + limit) -- no operator code removed.
 
 
 # ---------------------------------------------------------------------------

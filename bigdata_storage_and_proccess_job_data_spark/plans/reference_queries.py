@@ -746,5 +746,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # left-anti join shape stays driver-checked by decontaminated_train
 # (anti-join on the contaminated-id set; test_plans asserts its
 # LeftAnti plan) and the promoted hard_negatives (anti-join before
-# rank); the key-membership complement is urgent_customers_semi.
+# rank); the key-membership complement (left-semi) is pinned by
+# fleiss_kappa's kept-items join since urgent_customers_semi retired
+# (r12).
 # ---------------------------------------------------------------------------

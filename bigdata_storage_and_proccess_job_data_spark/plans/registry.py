@@ -315,6 +315,37 @@ RETIRED: dict[str, dict[str, str]] = {
             "there verbatim). No operator code involved."
         ),
     },
+    "event_paths_top": {
+        "round": "r12",
+        "replaced_by": "consensus_labels",
+        "coverage": (
+            "its plurality-per-group window (top path per count with a "
+            "deterministic count-desc/value-asc row_number tiebreak) is "
+            "exactly consensus_labels' winner window, hash-checked "
+            "every time the promoted query rows; the lead-window "
+            "event-sequence shape stays driver-checked by "
+            "dedup_within_delay (lag gaps), event_gaps (lead deltas) "
+            "and view_click_attribution (ordered per-user pairing), "
+            "and the count-then-TakeOrdered top-k plan stays "
+            "driver-checked by topk_per_group / unigram_surprisal. No "
+            "operator code involved (the query was inline lead + "
+            "groupBy + limit)."
+        ),
+    },
+    "urgent_customers_semi": {
+        "round": "r12",
+        "replaced_by": "fleiss_kappa",
+        "coverage": (
+            "EXISTS-as-left-semi membership keeps TWO driver rows "
+            "(decontaminated_train's anti/semi contamination split and "
+            "hard_negatives' anti-before-rank), and the left-semi plan "
+            "shape itself stays pinned by the test_plans lint sweep "
+            "over those rows plus fleiss_kappa's own kept-items semi "
+            "join (cell-vs-kept, hash-checked every time the promoted "
+            "query rows). No operator code involved (the query was a "
+            "plain filter + left_semi join)."
+        ),
+    },
 }
 
 

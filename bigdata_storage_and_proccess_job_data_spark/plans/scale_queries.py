@@ -1782,6 +1782,163 @@ def ks_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Labeling QA: majority-vote consensus labels (promoted r12;
+# event_paths_top RETIRED the same round --
+# registry.RETIRED["event_paths_top"]: its plurality window is exactly
+# this winner window, and its lead-sequence / top-k shapes keep their
+# own driver rows)
+# ---------------------------------------------------------------------------
+@register(
+    "consensus_labels",
+    tags=("agg", "window", "labeling", "corpus"),
+    oracle=f"""
+        WITH cells AS (
+          SELECT o_custkey % 500 AS doc_id, o_orderpriority AS label,
+                 COUNT(*) AS v, COUNT(*)::BIGINT AS n
+          FROM orders GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_ratings,
+                 SUM(v) AS tot
+          FROM cells GROUP BY doc_id
+        ),
+        win AS (
+          SELECT doc_id, label, v, n,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY v DESC, label ASC) AS rk
+          FROM cells
+        )
+        SELECT w.doc_id, w.label, t.n_ratings, w.n AS n_for,
+               {sql_round('w.v * 1.0 / t.tot', 6)} AS share,
+               w.v * 1.0 / t.tot = 1.0 AS unanimous
+        FROM win w JOIN tot t USING (doc_id)
+        WHERE w.rk = 1 AND t.n_ratings >= 2
+    """,
+)
+def consensus_labels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote label aggregation (operators/corpus.py:
+    consensus_labels) over orders-derived ratings: each synthetic doc
+    (o_custkey % 500) is 'rated' with every priority its orders carry,
+    and the plurality winner -- deterministic count-desc / label-asc
+    tiebreak -- becomes its consensus label with vote share and the
+    unanimity flag, gated at min_ratings=2. The labeling-QA production
+    step whose agreement gate is fleiss_kappa. Scale shape: one hash
+    agg to (item, label) vote cells, one plurality window over each
+    item's DISTINCT labels (alphabet-bounded), one per-item totals agg
+    joined back -- raw ratings shuffle once."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    ratings = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 500).alias("doc_id"),
+        F.col("o_orderpriority").alias("label"),
+    )
+    return corpus.consensus_labels(ratings, min_ratings=2).select(
+        "doc_id",
+        "label",
+        "n_ratings",
+        "n_for",
+        stable_round(F.col("share"), 6).alias("share"),
+        "unanimous",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Labeling QA: Fleiss' kappa multi-rater agreement (promoted r12;
+# urgent_customers_semi RETIRED the same round --
+# registry.RETIRED["urgent_customers_semi"]: the left-semi shape keeps
+# two driver rows and this query's kept-items semi join)
+# ---------------------------------------------------------------------------
+@register(
+    "fleiss_kappa",
+    tags=("agg", "stats", "labeling", "semi"),
+    oracle=f"""
+        WITH cell AS (
+          SELECT o_orderstatus AS k, o_custkey AS item,
+                 o_orderpriority AS cls, COUNT(*) AS c
+          FROM orders GROUP BY 1, 2, 3
+        ),
+        per_item AS (
+          SELECT k, item, SUM(c) AS n, SUM(c * c) AS ss
+          FROM cell GROUP BY 1, 2
+        ),
+        modal AS (
+          SELECT k, n AS design_n FROM (
+            SELECT k, n,
+                   ROW_NUMBER() OVER (PARTITION BY k
+                     ORDER BY COUNT(*) DESC, n ASC) AS rk
+            FROM per_item GROUP BY k, n
+          ) WHERE rk = 1
+        ),
+        kept AS (
+          SELECT p.* FROM per_item p
+          JOIN modal m ON p.k = m.k AND p.n = m.design_n
+        ),
+        tot AS (
+          SELECT k, COUNT(*)::BIGINT AS n_items,
+                 CAST(MAX(n) AS BIGINT) AS n_raters,
+                 AVG(CASE WHEN n > 1
+                     THEN (ss - n) * 1.0 / (n * (n - 1)) END) AS po
+          FROM kept GROUP BY k
+        ),
+        pe AS (
+          SELECT k, SUM(ck * ck) * 1.0 / (SUM(ck) * SUM(ck)) AS pe
+          FROM (
+            SELECT c.k, c.cls, SUM(c.c) AS ck
+            FROM cell c
+            JOIN kept kp ON c.k = kp.k AND c.item = kp.item
+            GROUP BY 1, 2
+          ) GROUP BY k
+        ),
+        cov AS (
+          SELECT k, COUNT(*)::BIGINT AS n_all FROM per_item GROUP BY k
+        )
+        SELECT tot.k AS o_orderstatus, n_items, n_raters,
+               {sql_round('po', 6)} AS po,
+               {sql_round('pe', 6)} AS pe,
+               CASE WHEN pe < 1 AND n_raters >= 2
+                    THEN {sql_round('(po - pe) / (1 - pe)', 6)}
+               END AS kappa,
+               {sql_round('n_items * 1.0 / n_all', 6)} AS coverage
+        FROM tot
+        JOIN pe ON tot.k = pe.k
+        JOIN cov ON tot.k = cov.k
+    """,
+)
+def fleiss_kappa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa per order status (operators/aggregates.py:
+    fleiss_kappa): each customer is an 'item' rated once per order with
+    the order's priority, raters anonymous -- the multi-annotator
+    agreement gate beside cohen_kappa, with the classic equal-ratings
+    design enforced by the modal-count filter and the excluded share
+    reported as coverage (ragged by construction here, so the filter
+    and the coverage readout are live at the driver). Scale shape: one
+    hash agg to (key, item, label) cells, item-bounded frames from
+    there (per-item totals, modal window over distinct counts,
+    kept-items left-semi, class-share agg) -- the raw ratings shuffle
+    once and never join back."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import (
+        aggregates,
+    )
+
+    ratings = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.col("o_custkey").alias("item"),
+        F.col("o_orderpriority").alias("label"),
+    )
+    return aggregates.fleiss_kappa(
+        ratings, "item", "label", keys=["o_orderstatus"]
+    ).select(
+        "o_orderstatus",
+        "n_items",
+        "n_raters",
+        stable_round(F.col("po"), 6).alias("po"),
+        stable_round(F.col("pe"), 6).alias("pe"),
+        stable_round(F.col("kappa"), 6).alias("kappa"),
+        stable_round(F.col("coverage"), 6).alias("coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hybrid retrieval: BM25 candidates -> embedding-cosine rerank
 # ---------------------------------------------------------------------------
 # The cosine and the BM25 CTE chain reuse the exact expression forms the

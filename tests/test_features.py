@@ -606,3 +606,130 @@ def test_rake_weights_ipf_margins_and_guards(spark):
             {"A": {"a1": 0.5, "a2": 0.5}, "B": {"b1": 0.9, "b2": 0.1}},
             max_iter=30,
         )
+
+
+def test_rake_weights_zero_target_share(spark):
+    """A 0.0 target share is a legal 'exclude this category' (r11
+    ADVICE): (1) its cells rake to weight 0 and every other margin
+    still converges on the surviving mass (pre-fix this was a
+    ZeroDivisionError in the NEXT margin's sweep); (2) a POSITIVE
+    target whose entire observed support was zeroed by another
+    margin's 0.0 fails loud as infeasible; (3) so does a margin whose
+    every observed category is zero-targeted."""
+    rows = (
+        [("a1", "x")] * 10
+        + [("a1", "y")] * 10
+        + [("a2", "x")] * 20
+        + [("a2", "y")] * 20
+    )
+    zdf = spark.createDataFrame(rows, "A string, B string")
+    out = features.rake_weights(
+        zdf, {"A": {"a1": 0.0, "a2": 1.0}, "B": {"x": 0.5, "y": 0.5}}
+    )
+    per = {
+        (r.A, r.B): r.rake_weight
+        for r in out.select("A", "B", "rake_weight").distinct().collect()
+    }
+    assert per[("a1", "x")] == 0.0 and per[("a1", "y")] == 0.0
+    assert per[("a2", "x")] > 0 and per[("a2", "y")] > 0
+    tot = out.agg(F.sum("rake_weight")).first()[0]
+    assert tot == pytest.approx(60.0)  # mean weight 1 over ALL kept rows
+    shares = {
+        (r.A, r.B): r.s / tot
+        for r in out.groupBy("A", "B")
+        .agg(F.sum("rake_weight").alias("s"))
+        .collect()
+    }
+    assert shares[("a2", "x")] == pytest.approx(0.5, abs=1e-6)
+    assert shares[("a2", "y")] == pytest.approx(0.5, abs=1e-6)
+
+    # y's only support sits under the zero-targeted a1: infeasible
+    bad = spark.createDataFrame(
+        [("a1", "y")] * 10 + [("a2", "x")] * 10, "A string, B string"
+    )
+    with pytest.raises(ValueError, match="infeasible"):
+        features.rake_weights(
+            bad, {"A": {"a1": 0.0, "a2": 1.0}, "B": {"x": 0.5, "y": 0.5}}
+        )
+
+    # every observed category zero-targeted: total mass hits 0
+    allzero = spark.createDataFrame(
+        [("a1", "x")] * 10 + [("a1", "y")] * 10, "A string, B string"
+    )
+    with pytest.raises(ValueError, match="infeasible"):
+        features.rake_weights(
+            allzero,
+            {"A": {"a1": 0.0, "a2": 1.0}, "B": {"x": 0.5, "y": 0.5}},
+        )
+
+
+def _ipf_replica(cells, margins, max_iter, tol):
+    """Pure-Python IPF replica over a SORTED cell frame -- the
+    operator's loop re-implemented independently (the isotonic/ALS
+    replica standard). The IPF limit is unique for feasible targets,
+    so iteration order only moves ULPs; both sides run to the same
+    tol and the comparison rounds."""
+    cols = list(margins)
+    w = {vals: 1.0 for vals, _ in cells}
+    for _ in range(max_iter):
+        for i, c in enumerate(cols):
+            achieved: dict = {}
+            for vals, n in cells:
+                achieved[vals[i]] = achieved.get(vals[i], 0.0) + n * w[vals]
+            mass = sum(achieved.values())
+            for vals, n in cells:
+                share = achieved[vals[i]] / mass
+                if share == 0.0:
+                    continue
+                w[vals] *= margins[c][vals[i]] / share
+        worst = 0.0
+        for i, c in enumerate(cols):
+            achieved = {}
+            for vals, n in cells:
+                achieved[vals[i]] = achieved.get(vals[i], 0.0) + n * w[vals]
+            mass = sum(achieved.values())
+            for v, t in margins[c].items():
+                worst = max(worst, abs(achieved.get(v, 0.0) / mass - t))
+        if worst <= tol:
+            break
+    n_total = float(sum(n for _, n in cells))
+    mean_w = sum(n * w[vals] for vals, n in cells) / n_total
+    return {vals: w[vals] / mean_w for vals, _ in cells}
+
+
+def test_rake_weights_duckdb_replay_parity(spark, oracle_sf_dir):
+    """Cross-engine value parity for the IPF fit (VERDICT r11 #3): the
+    classic 2x2 (30/70/60/40 raked to 50/50 x 60/40) is fitted by an
+    independent pure-Python replica, and DuckDB replays the CELL FRAME
+    + WEIGHT APPLICATION with the replica's fitted weights as literals
+    -- every one of the 200 output rows must hash-match rake_weights'
+    frame value-for-value."""
+    spec = [("a1", "b1", 30), ("a1", "b2", 70), ("a2", "b1", 60), ("a2", "b2", 40)]
+    margins = {"A": {"a1": 0.5, "a2": 0.5}, "B": {"b1": 0.6, "b2": 0.4}}
+    rows = [(a, b) for a, b, n in spec for _ in range(n)]
+    df = spark.createDataFrame(rows, "A string, B string")
+    got = features.rake_weights(
+        df, margins, max_iter=500, tol=1e-12
+    ).select(
+        "A", "B", stable_round(F.col("rake_weight"), 6).alias("rake_weight")
+    )
+    fitted = _ipf_replica(
+        [((a, b), float(n)) for a, b, n in sorted(spec)],
+        margins,
+        max_iter=500,
+        tol=1e-12,
+    )
+    values = ", ".join(
+        f"('{a}', '{b}', {n}, CAST({fitted[(a, b)]!r} AS DOUBLE))"
+        for a, b, n in spec
+    )
+    sql = f"""
+        WITH spec(A, B, n, w) AS (VALUES {values}),
+        expanded AS (
+          SELECT A, B, {sql_round('w', 6)} AS rake_weight,
+                 UNNEST(generate_series(1, n)) AS i
+          FROM spec
+        )
+        SELECT A, B, rake_weight FROM expanded
+    """
+    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []

@@ -149,7 +149,11 @@ def test_unpivot_is_single_pass_expand(spark, oracle_sf_dir):
 
 
 def test_semi_join_and_grouping_sets_shapes(spark, oracle_sf_dir):
-    plan = _plan(spark, oracle_sf_dir, "urgent_customers_semi")
+    # the left-semi plan shape, post the r12 urgent_customers_semi
+    # retirement: fleiss_kappa's kept-items membership join is the
+    # family's in-window pin (decontaminated_train / hard_negatives
+    # keep the anti side)
+    plan = _plan(spark, oracle_sf_dir, "fleiss_kappa")
     assert "LeftSemi" in plan
     plan = _plan(spark, oracle_sf_dir, "grouping_sets_mix")
     assert plan.count("Expand") == 1 and "Union" not in plan
@@ -262,7 +266,7 @@ def test_driver_window_is_first_50():
     names that drifted out of the registry."""
     from bigdata_storage_and_proccess_job_data_spark import plans
 
-    window = plans.DRIVER_WINDOW_R11
+    window = plans.DRIVER_WINDOW_R12
     assert len(window) == 50
     assert len(set(window)) == 50
     assert list(QS)[:50] == window
@@ -278,34 +282,35 @@ def test_windows_partition_registry():
     from bigdata_storage_and_proccess_job_data_spark import plans
     from bigdata_storage_and_proccess_job_data_spark.plans import registry
 
-    r11, r12 = set(plans.DRIVER_WINDOW_R11), set(plans.DRIVER_WINDOW_R12_PLAN)
+    r12, r13 = set(plans.DRIVER_WINDOW_R12), set(plans.DRIVER_WINDOW_R13_PLAN)
     names = set(QS)
     assert len(names) == registry.MAX_REGISTERED == 100
-    assert r11 & r12 == set(), sorted(r11 & r12)
-    assert r11 | r12 == names, {
-        "unscheduled": sorted(names - (r11 | r12)),
-        "unknown": sorted((r11 | r12) - names),
+    assert r12 & r13 == set(), sorted(r12 & r13)
+    assert r12 | r13 == names, {
+        "unscheduled": sorted(names - (r12 | r13)),
+        "unknown": sorted((r12 | r13) - names),
     }
-    assert len(r11) == len(r12) == 50
-    # the r10 displacement promise was kept: every query pinned into
-    # DRIVER_WINDOW_R11_PLAN is in the r11 window unless it was retired
-    # this round with a recorded coverage merge, or is the one recorded
-    # code-untouched displacement into R12 (event_paths_top, pushed out
-    # by the retirement of the out-of-plan dq_orders_report whose
-    # promoted replacement fk_integrity_report must row now; it is also
-    # the R12 ledger's named retiree, see plans/__init__.py)
-    for obligated in plans.DRIVER_WINDOW_R11_PLAN:
-        assert obligated in r11 or obligated in registry.RETIRED or (
-            obligated in r12 and obligated == "event_paths_top"
-        ), obligated
-    # the r10 verdict's freshness MUST: stat_moments (displaced r10,
-    # r8 row -- the registry's oldest) rows this round
-    assert "stat_moments" in r11
+    assert len(r12) == len(r13) == 50
+    # the r11 displacement promise was kept: every query pinned into
+    # DRIVER_WINDOW_R12_PLAN is in the r12 window unless it was retired
+    # this round with a recorded coverage merge (the executed R12
+    # ledger: event_paths_top -> consensus_labels,
+    # urgent_customers_semi -> fleiss_kappa -- both retirees were
+    # in-plan, so nothing is displaced into R13)
+    for obligated in plans.DRIVER_WINDOW_R12_PLAN:
+        assert obligated in r12 or obligated in registry.RETIRED, obligated
+    # the executed R12 ledger: both promotions row THIS round (new
+    # registrations never ship without a row), and the
+    # event_paths_top freshness tripwire (last row r9) is discharged
+    # by its recorded retirement, the cohort_retention precedent
+    assert "consensus_labels" in r12 and "fleiss_kappa" in r12
+    assert "event_paths_top" in registry.RETIRED
+    assert "urgent_customers_semi" in registry.RETIRED
     # retirement is real: retired names are out of the registry, out of
     # both windows, and re-registration is refused
     for retired in registry.RETIRED:
         assert retired not in names
-        assert retired not in r11 and retired not in r12
+        assert retired not in r12 and retired not in r13
     import pytest
 
     with pytest.raises(ValueError, match="retired"):
