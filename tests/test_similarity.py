@@ -436,6 +436,130 @@ def test_ivfpq_incremental_append(spark, tmp_path):
     )
 
 
+def test_knn_ivfpq_oracle_parity(spark, oracle_sf_dir):
+    """Full DuckDB replay parity for the IVF-PQ search path -- the
+    knn_ivfpq driver candidate (VERDICT r11 #7, parked R13+-promotable
+    in plans/__init__.py). The md5-codebook trick that graduated knn_pq
+    composed with knn_ivf's md5 coarse quantizer: cells and codebooks
+    are both md5-derived, so the oracle independently rebuilds the
+    quantizer AND the codebooks, re-runs cell assignment (np.argmax
+    tiebreak = LOWEST cell id, unlike ivf_topk's array-max HIGHEST --
+    encode_ivfpq is a different implementation and the oracle mirrors
+    IT), probe ranking, PQ encoding, the probe-pruned ADC sum and the
+    rank -- every value hash-matched. residual=False keeps the codes
+    flat-PQ-compatible, exactly what the registered query would run;
+    residual-quantization quality keeps its own recall tests."""
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+    )
+    from bigdata_storage_and_proccess_job_data_spark.plans import (
+        scale_queries as sq,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    cents = similarity.md5_centroids(16, 64, seed=9, scale=1.0)
+    books = similarity.md5_codebooks(m=8, n_codes=16, dsub=8, seed=42, scale=0.35)
+    index = similarity.encode_ivfpq(emb, cents, books, residual=False)
+    got = similarity.ivfpq_topk_from_index(
+        emb.filter(F.col("vec_id") < 20),
+        index,
+        cents,
+        books,
+        k=5,
+        n_probe=4,
+        residual=False,
+    )
+    sql = f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id,
+                 list_transform(
+                   v, x -> x / sqrt(list_dot_product(v, v))
+                 ) AS nv
+          FROM e WHERE sqrt(list_dot_product(v, v)) > 0
+        ),
+        ccent AS (
+          SELECT i, d,
+                 ({sq._IVF_CENT_COMPONENT})::DOUBLE
+                   / 576460752303423488.0 - 1.0 AS val
+          FROM range(16) cs(i), range(64) ds(d)
+        ),
+        csims AS (
+          SELECT n.vec_id, c.i, SUM(n.nv[c.d + 1] * c.val) AS sim
+          FROM n CROSS JOIN ccent c
+          GROUP BY n.vec_id, c.i
+        ),
+        cells AS (
+          SELECT vec_id, i AS cell FROM (
+            SELECT vec_id, i,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY sim DESC, i ASC
+                   ) AS rn
+            FROM csims
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id, i AS cell FROM (
+            SELECT vec_id, i,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY sim DESC, i ASC
+                   ) AS rn
+            FROM csims WHERE vec_id < 20
+          ) WHERE rn <= 4
+        ),
+        pcent AS (
+          SELECT j, c, t,
+                 (({sq._PQ_CENT_COMPONENT})::DOUBLE
+                   / 576460752303423488.0 - 1.0) * 0.35 AS val
+          FROM range(8) js(j), range(16) cs(c), range(8) ts(t)
+        ),
+        enc AS (
+          SELECT n.vec_id, ct.j, ct.c,
+                 -2.0 * SUM(n.nv[ct.j * 8 + ct.t + 1] * ct.val)
+                   + SUM(ct.val * ct.val) AS d2
+          FROM n CROSS JOIN pcent ct
+          GROUP BY n.vec_id, ct.j, ct.c
+        ),
+        codes AS (
+          SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC
+                   ) AS rn
+            FROM enc
+          ) WHERE rn = 1
+        ),
+        adc AS (
+          SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id,
+                 SUM(q.nv[cd.j * 8 + ct.t + 1] * ct.val) AS sim_raw
+          FROM probes p
+          JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.vec_id
+          JOIN codes cd ON cd.vec_id = cl.vec_id
+          JOIN pcent ct ON ct.j = cd.j AND ct.c = cd.c
+          JOIN n q ON q.vec_id = p.vec_id
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 {sql_round('sim_raw', 4)} AS sim
+          FROM adc
+        )
+        SELECT query_id, neighbor_id, rank, sim
+        FROM (
+          SELECT query_id, neighbor_id, sim,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC
+                 ) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """
+    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
+
+
 def test_pq_rejects_dim_mismatch(spark):
     import pytest
 
