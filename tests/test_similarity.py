@@ -560,6 +560,119 @@ def test_knn_ivfpq_oracle_parity(spark, oracle_sf_dir):
     assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
 
 
+def test_sq8_encode_semantics(spark):
+    """SQ8 storage semantics: (1) codes live in [-127, 127] and the
+    absmax component maps to exactly +/-127; (2) dequantization error
+    is <= scale/2 per component; (3) a zero-norm vector is excluded;
+    (4) a one-hot vector round-trips exactly (its normalized form is
+    the code grid's own point)."""
+    rows = [
+        (1, [3.0, -4.0, 0.0, 0.0]),       # norm 5, absmax 0.8
+        (2, [0.0, 0.0, 0.0, 2.5]),        # one-hot: nv = e_4
+        (3, [0.0, 0.0, 0.0, 0.0]),        # zero norm: excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.neighbor_id: r for r in similarity.sq8_encode(df).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert max(abs(c) for c in r1.codes) == 127
+    assert all(-127 <= c <= 127 for c in r1.codes)
+    nv = [0.6, -0.8, 0.0, 0.0]
+    for c, x in zip(r1.codes, nv):
+        assert abs(c * r1.scale - x) <= r1.scale / 2 + 1e-12
+    r2 = got[2]
+    assert r2.codes == [0, 0, 0, 127]
+    assert abs(127 * r2.scale - 1.0) < 1e-12
+
+
+def test_sq8_topk_recall_and_sim_error(spark, oracle_sf_dir):
+    """The compressed brute-force scan is near-exact on the fixture:
+    top-5 by SQ8-dequantized cosine recalls >= 0.9 of the exact top-5,
+    and every approximate sim is within 0.02 of the exact value for
+    the same pair (8-bit symmetric quantization of unit vectors bounds
+    the dot error by ~dim * scale/2 with scale ~ absmax/127)."""
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    index = similarity.sq8_encode(emb)
+    approx = similarity.sq8_topk(queries, index, k=5).collect()
+    exact = similarity.brute_force_topk(queries, emb, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.9, f"SQ8 recall {recall:.2f}"
+    exact_sim = {(r.query_id, r.neighbor_id): r.sim for r in exact}
+    for r in approx:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_sim:
+            assert abs(r.sim - exact_sim[key]) <= 0.02, key
+
+
+def test_sq8_duckdb_replay_parity(spark, oracle_sf_dir):
+    """Full DuckDB replay of the whole SQ8 path -- normalize, per-row
+    absmax scale, int8 encode (floor grid), dequantize, cosine, rank --
+    value-hash-matched cross-engine (the knn_sq8 candidate's oracle
+    form, same status as test_knn_ivfpq_oracle_parity)."""
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    got = similarity.sq8_topk(
+        emb.filter(F.col("vec_id") < 20), similarity.sq8_encode(emb), k=5
+    )
+    cos = (
+        "CASE WHEN sqrt(list_dot_product(q.v, q.v)) > 0 "
+        "AND sqrt(list_dot_product(d.dv, d.dv)) > 0 "
+        "THEN list_dot_product(q.v, d.dv) / "
+        "(sqrt(list_dot_product(q.v, q.v)) * "
+        "sqrt(list_dot_product(d.dv, d.dv))) END"
+    )
+    sql = f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id,
+                 list_transform(
+                   v, x -> x / sqrt(list_dot_product(v, v))
+                 ) AS nv
+          FROM e WHERE sqrt(list_dot_product(v, v)) > 0
+        ),
+        enc AS (
+          SELECT vec_id,
+                 list_max(list_transform(nv, x -> abs(x))) / 127.0 AS s,
+                 list_transform(nv, x -> floor(x /
+                   (list_max(list_transform(nv, y -> abs(y))) / 127.0)
+                   + 0.5)) AS cd
+          FROM n
+        ),
+        dec AS (
+          SELECT vec_id, list_transform(cd, c -> c * s) AS dv FROM enc
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                 {sql_round(cos, 4)} AS sim
+          FROM (SELECT vec_id, v FROM e WHERE vec_id < 20) q
+          CROSS JOIN dec d
+          WHERE q.vec_id <> d.vec_id
+        )
+        SELECT query_id, neighbor_id, rank, sim
+        FROM (
+          SELECT query_id, neighbor_id, sim,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC
+                 ) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """
+    assert compare(got, duckdb_connect(oracle_sf_dir), sql) == []
+    # the whole path is native expressions: no Python row boundary
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_pq_rejects_dim_mismatch(spark):
     import pytest
 
