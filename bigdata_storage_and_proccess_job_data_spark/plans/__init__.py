@@ -884,6 +884,19 @@ DRIVER_WINDOW_R12_PLAN = sorted(
 #     called by any registered query.
 #   - No registered query's body or callee changed otherwise; no
 #     session.py / catalog.py / numeric.py change this round.
+# Mid-r12 additions audit (additive-only, the r11 pattern):
+#   - similarity.sq8_encode / sq8_topk (per-vector absmax int8 scalar
+#     quantization + compressed brute-force rerank): NEW operators,
+#     called by no registered query; full DuckDB replay parity +
+#     native-plan assert in tests/test_similarity.py. Grep-first ran
+#     against OP_INDEX.md (which killed two other candidates this
+#     round: diff_in_diff and autocorr already existed).
+#   - tests/test_similarity.py test_knn_ivfpq_oracle_parity: the
+#     knn_ivfpq promotion candidate's full SQL-recomputable oracle
+#     (VERDICT r11 #7) -- test-only, no operator code changed.
+#   - tools/op_index.py + OP_INDEX.md + tests/test_op_index.py: the
+#     duplicate-operator guard (VERDICT r11 #4) -- dev tooling, no
+#     engine code changed.
 DRIVER_WINDOW_R12 = sorted(
     (
         set(DRIVER_WINDOW_R12_PLAN)
