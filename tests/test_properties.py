@@ -1177,3 +1177,76 @@ def test_ngram_overlap_invariants_on_generated_texts(spark):
         for v in (f.precision, f.recall, f.f1):
             assert v is None or 0.0 <= v <= 1.0
         assert s.precision == s.recall == s.f1 == 1.0
+
+
+def test_sq8_invariants_on_generated_vectors(spark):
+    """Property: for ANY finite vector (components spanning 12 orders
+    of magnitude, negatives, exact zeros) SQ8 encoding satisfies its
+    storage contract -- codes in [-127, 127], the absmax component
+    hits exactly +/-127, dequantization error <= scale/2 per
+    component -- and is SCALE-INVARIANT (encode(c*v) == encode(v) for
+    any positive c, since the normalized direction is what's stored).
+    Zero vectors are excluded. One Spark job per frame."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import similarity
+
+    collected: list[list[float]] = []
+
+    @settings(
+        max_examples=80,
+        database=None,
+        derandomize=True,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        st.lists(
+            st.floats(
+                allow_nan=False,
+                allow_infinity=False,
+                min_value=-1e6,
+                max_value=1e6,
+            ),
+            min_size=6,
+            max_size=6,
+        )
+    )
+    def grab(v):
+        collected.append(v)
+
+    grab()
+    rows = [(i, v) for i, v in enumerate(collected)] + [
+        (9_000, [0.0] * 6)  # zero vector: excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.neighbor_id: r for r in similarity.sq8_encode(df).collect()}
+    assert 9_000 not in got
+    import math
+
+    for i, v in enumerate(collected):
+        nrm = math.sqrt(sum(x * x for x in v))
+        if nrm == 0:
+            assert i not in got
+            continue
+        r = got[i]
+        nv = [x / nrm for x in v]
+        assert max(abs(c) for c in r.codes) == 127
+        assert all(-127 <= c <= 127 for c in r.codes)
+        assert r.scale == pytest.approx(max(abs(x) for x in nv) / 127.0)
+        for c, x in zip(r.codes, nv):
+            assert abs(c * r.scale - x) <= r.scale / 2 + 1e-12 * abs(x)
+    # scale invariance: multiplying every vector by 1e3 changes nothing
+    scaled = df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * 1000.0).alias("embedding"),
+    )
+    got2 = {
+        r.neighbor_id: (r.scale, list(r.codes))
+        for r in similarity.sq8_encode(scaled).collect()
+    }
+    for i in got:
+        s1, c1 = got[i].scale, list(got[i].codes)
+        s2, c2 = got2[i]
+        assert c1 == c2, i
+        assert s1 == pytest.approx(s2, rel=1e-12)
