@@ -4570,10 +4570,12 @@ def fleiss_kappa(
     rating design is ragged and wants per-item weighting upstream).
     kappa is NULL when pe = 1 or n_raters < 2.
 
-    Scale shape: one hash agg to (item, label) counts, one to per-item
-    totals, a modal-count agg, then P_i = (sum c^2 - n) / (n (n - 1))
-    per item and class shares for pe -- every frame after the first
-    agg is item- or class-bounded; nothing joins the raw ratings."""
+    Scale shape: one hash agg to (item, label) counts -- checkpointed,
+    as is the per-item frame, so the raw ratings are scanned and
+    aggregated exactly ONCE across the statistic's five consumers --
+    then P_i = (sum c^2 - n) / (n (n - 1)) per item and class shares
+    for pe; every frame after the first agg is item- or class-bounded
+    and nothing joins the raw ratings."""
     keys = keys or []
     from pyspark.sql import Window
 
@@ -4588,10 +4590,16 @@ def fleiss_kappa(
     cell = base.groupBy(
         *keys, F.col(item_col).alias("_item"), F.col(label_col).alias("_cls")
     ).agg(F.count(F.lit(1)).alias("_c"))
+    # cell is read twice (per_item, class shares) and per_item four
+    # times (modal, kept, coverage, totals): checkpoint both bounded
+    # frames so the raw ratings are scanned and aggregated exactly
+    # ONCE (the bh_adjust convention; without it the physical plan
+    # recomputes the base agg once per consumer -- 5 scans)
+    cell = cell.localCheckpoint()
     per_item = cell.groupBy(*keys, "_item").agg(
         F.sum("_c").alias("_n"),
         F.sum(F.col("_c") * F.col("_c")).alias("_ss"),
-    )
+    ).localCheckpoint()
     # modal ratings-per-item count per slice (the Fleiss design n)
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
         F.col("_cnt").desc(), F.col("_n").asc()

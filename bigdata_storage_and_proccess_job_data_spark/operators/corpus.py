@@ -2548,10 +2548,11 @@ def consensus_labels(
 
     NULL items/labels are excluded; NULL or non-positive weights are
     excluded (a zero-weight rating is a no-op by definition). Scale
-    shape: one hash agg to (item, label) vote cells, one plurality
+    shape: one hash agg to (item, label) vote cells -- checkpointed,
+    so the raw ratings are scanned and aggregated exactly ONCE even
+    though two consumers read the cell frame -- then one plurality
     window over each item's DISTINCT labels (alphabet-bounded, never
-    rating-bounded), one per-item totals agg joined back -- raw
-    ratings shuffle once."""
+    rating-bounded) and one per-item totals agg joined back."""
     if min_ratings < 1:
         raise ValueError(f"min_ratings must be >= 1: {min_ratings}")
     from pyspark.sql import Window
@@ -2569,6 +2570,10 @@ def consensus_labels(
         F.sum(w).alias("_v"),
         F.count(F.lit(1)).alias("_n"),
     )
+    # the totals agg AND the winner window both read the cell frame:
+    # without this the raw ratings would be scanned and re-aggregated
+    # once per consumer (the bh_adjust localCheckpoint convention)
+    cells = cells.localCheckpoint()
     totals = cells.groupBy("_item").agg(
         F.sum("_n").alias("n_ratings"), F.sum("_v").alias("_tot")
     )

@@ -870,9 +870,16 @@ DRIVER_WINDOW_R12_PLAN = sorted(
 # the seam addendum):
 #   - plans/scale_queries.py consensus_labels / fleiss_kappa: NEW
 #     registrations this round (the promoted queries); both row
-#     immediately. The underlying operators (corpus.consensus_labels,
-#     aggregates.fleiss_kappa) are code-UNCHANGED since their r11
-#     parity tests.
+#     immediately. The underlying operators gained a scale fix the
+#     same round (the changed code rows NOW, as the rule requires):
+#     corpus.consensus_labels checkpoints its cell frame and
+#     aggregates.fleiss_kappa its cell + per-item frames (the
+#     bh_adjust localCheckpoint convention), collapsing 4 -> 2 and
+#     19 -> 10 hash exchanges respectively -- the physical plans had
+#     been recomputing the base ratings agg once per consumer (up to
+#     5 raw scans); now the raw ratings are scanned exactly once.
+#     Values unchanged (parity re-run green); plan pins added
+#     (test_plans.py:test_r12_promoted_query_plan_pins).
 #   - operators/features.py rake_weights: zero-target-share fix (r11
 #     ADVICE #1 -- share==0 cells no longer divide by zero; a 0.0
 #     target over a present cell zeroes it and converges, an

@@ -1038,3 +1038,44 @@ def test_r11_promoted_query_plan_pins(spark, oracle_sf_dir):
     # one-row finals only: at most the fact-side and dim-side
     # aggregate completions
     assert p.count("Exchange SinglePartition") <= 2, p
+
+
+def test_r12_promoted_query_plan_pins(spark, oracle_sf_dir):
+    """Physical-plan pins for the two queries promoted in r12. Both
+    operators checkpoint their base cell aggregation (the bh_adjust
+    localCheckpoint convention), so the raw ratings are scanned and
+    aggregated exactly once; the inspected plan is everything
+    DOWNSTREAM of that frame and must stay keyed end-to-end:
+
+    - consensus_labels: exactly TWO hash exchanges over the cell frame
+      (totals agg + winner window share the item key), zero
+      SinglePartition, no nested loops.
+    - fleiss_kappa: every exchange carries the slice key (the keyless
+      melt a global modal filter could cause can't reappear), zero
+      SinglePartition, the kept-items membership is a real LeftSemi,
+      no nested loops."""
+    import re
+
+    def plan(name):
+        return (
+            QS[name]
+            .fn(spark, oracle_sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p = plan("consensus_labels")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 2, p
+    assert "Exchange SinglePartition" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+    p = plan("fleiss_kappa")
+    assert "Exchange SinglePartition" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p
+    # keyed end-to-end: every hash exchange includes the slice key
+    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "o_orderstatus" in keys, p
