@@ -1272,8 +1272,18 @@ def unigram_logprob_table(
         ref.select(F.explode(text.tokens(F.lower(F.col(text_col)))).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
+        # counts feeds the top-V cut AND the N scalar, top feeds the V
+        # scalar AND the vocab rows: checkpoint the one frame that
+        # embodies the raw-corpus scan (the bh_adjust convention) so
+        # the reference corpus is tokenized and counted exactly ONCE
+        # per fit, not once per consumer chain
+        .localCheckpoint()
     )
-    top = counts.orderBy(F.col("c").desc(), F.col("t").asc()).limit(vocab_size)
+    top = (
+        counts.orderBy(F.col("c").desc(), F.col("t").asc())
+        .limit(vocab_size)
+        .localCheckpoint()
+    )
     scalars = counts.agg(
         F.sum("c").cast("double").alias("_n"),
     ).crossJoin(top.agg(F.count(F.lit(1)).cast("double").alias("_v")))
@@ -1289,7 +1299,9 @@ def unigram_logprob_table(
             - F.log(F.col("_n") + alpha * (F.col("_v") + 1))
         ).alias("logp"),
     )
-    return in_vocab.unionByName(oov)
+    # the returned model frame is itself read twice by every scorer
+    # (in-vocab broadcast side + OOV fallback row)
+    return in_vocab.unionByName(oov).localCheckpoint()
 
 
 def unigram_surprisal(

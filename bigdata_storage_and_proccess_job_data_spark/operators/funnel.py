@@ -379,8 +379,17 @@ def retention_matrix(
             F.date_trunc(period, t).cast("date").alias("_p"),
         )
         .distinct()
+        # active feeds firsts AND the cells join, firsts feeds cells
+        # AND sizes: checkpoint both bounded frames (the bh_adjust
+        # convention) so the raw events are scanned and deduped
+        # exactly ONCE, not once per consumer chain (3 scans before)
+        .localCheckpoint()
     )
-    firsts = active.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    firsts = (
+        active.groupBy("_u")
+        .agg(F.min("_p").alias("_cohort"))
+        .localCheckpoint()
+    )
     if period == "month":
         off = (
             (F.year("_p") - F.year("_cohort")) * 12

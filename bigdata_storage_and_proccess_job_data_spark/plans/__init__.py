@@ -880,6 +880,24 @@ DRIVER_WINDOW_R12_PLAN = sorted(
 #     5 raw scans); now the raw ratings are scanned exactly once.
 #     Values unchanged (parity re-run green); plan pins added
 #     (test_plans.py:test_r12_promoted_query_plan_pins).
+#   - operators/corpus.py unigram_logprob_table and
+#     operators/funnel.py retention_matrix: the SAME
+#     recompute-per-consumer defect, found by a full-registry
+#     duplicate-scan audit this round (every registered query's
+#     executed plan grepped for repeated parquet scans of one table):
+#     the LM fit re-tokenized the reference corpus up to 9 extra
+#     times (documents x10 in unigram_surprisal's plan), the
+#     retention matrix re-deduped events once per consumer chain
+#     (events x3). Both now checkpoint their bounded post-agg frames;
+#     unigram_surprisal's plan reads documents twice (score explode +
+#     empty-doc re-attach -- different projections, inherent),
+#     retention_matrix's once. BOTH registered queries are R12-window
+#     members, so the changed code rows this round as the rule
+#     requires. Remaining multi-scan entries in the audit are
+#     two-sided by construction (self-joins, query-vs-corpus, skew
+#     twins) or plan-text artifacts of persisted iterative lineage
+#     (neardup_clusters -- cached at runtime, the documented
+#     connected_components trade).
 #   - operators/features.py rake_weights: zero-target-share fix (r11
 #     ADVICE #1 -- share==0 cells no longer divide by zero; a 0.0
 #     target over a present cell zeroes it and converges, an
