@@ -1079,3 +1079,32 @@ def test_r12_promoted_query_plan_pins(spark, oracle_sf_dir):
     # keyed end-to-end: every hash exchange includes the slice key
     for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p):
         assert "o_orderstatus" in keys, p
+
+
+def test_scan_once_pins(spark, oracle_sf_dir):
+    """Duplicate-scan regression pins (the r12 audit): a branching
+    dataflow that forgets to checkpoint its shared post-agg frame
+    recomputes the base scan once per consumer -- the executed plans
+    below must keep their audited scan counts. unigram_surprisal reads
+    documents exactly twice (score explode + empty-doc re-attach, two
+    different projections; the LM FIT's scan is checkpointed out),
+    while retention_matrix and the two r12 labeling queries show ZERO
+    raw scans downstream -- their single base scan runs inside the
+    eager checkpoint and everything returned derives from the
+    checkpointed frames."""
+    import re
+
+    def scans(name, table):
+        p = (
+            QS[name]
+            .fn(spark, oracle_sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        return len(re.findall(rf"{table}\.parquet", p))
+
+    assert scans("unigram_surprisal", "documents") == 2
+    assert scans("retention_matrix", "events") == 0
+    assert scans("consensus_labels", "orders") == 0
+    assert scans("fleiss_kappa", "orders") == 0
