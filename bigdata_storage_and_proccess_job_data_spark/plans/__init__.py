@@ -893,11 +893,18 @@ DRIVER_WINDOW_R12_PLAN = sorted(
 #     empty-doc re-attach -- different projections, inherent),
 #     retention_matrix's once. BOTH registered queries are R12-window
 #     members, so the changed code rows this round as the rule
-#     requires. Remaining multi-scan entries in the audit are
+#     requires. Same fix, same rule: daily_activity_gapfill (in-window)
+#     checkpoints its daily frame -- events scan once, not twice.
+#     Remaining multi-scan entries in the audit are
 #     two-sided by construction (self-joins, query-vs-corpus, skew
 #     twins) or plan-text artifacts of persisted iterative lineage
 #     (neardup_clusters -- cached at runtime, the documented
-#     connected_components trade).
+#     connected_components trade). The audit is durable:
+#     tools/scan_audit.py, with regression pins in
+#     test_plans.py::test_scan_once_pins. Out-of-window queries with
+#     the same one-row-bounds pattern (impute_mean's global mean) are
+#     DEFERRED to R13 when they row again -- changed code never ships
+#     on a stale row.
 #   - operators/features.py rake_weights: zero-target-share fix (r11
 #     ADVICE #1 -- share==0 cells no longer divide by zero; a 0.0
 #     target over a present cell zeroes it and converges, an

@@ -1133,11 +1133,16 @@ def daily_activity_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     a row, zero-filled where no events happened -- the gap-filling step
     timeseries stores build in (and plain SQL lacks). sequence(lo, hi)
     explodes per user (bounded by span days), then a left join back to
-    the daily counts; both sides shuffle on (user, day) only."""
+    the daily counts; both sides shuffle on (user, day) only. The
+    daily frame feeds the span agg AND the join back, so it is
+    checkpointed (the bh_adjust convention) -- raw events scan and
+    aggregate exactly once, not once per consumer."""
     events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = (
+        events.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     span = daily.groupBy("user_id").agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")
     )

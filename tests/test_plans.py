@@ -1108,3 +1108,4 @@ def test_scan_once_pins(spark, oracle_sf_dir):
     assert scans("retention_matrix", "events") == 0
     assert scans("consensus_labels", "orders") == 0
     assert scans("fleiss_kappa", "orders") == 0
+    assert scans("daily_activity_gapfill", "events") == 0
