@@ -19,7 +19,10 @@ it nightly over a raw document lake:
  10. pack the surviving docs into 512-token training streams per source
  11. land the chunks z-ordered by (source bucket, length) for skipping
  12. build the PQ retrieval index over the embeddings and serve an ANN
-     query batch from the stored codes (ADC)
+     query batch from the stored codes (ADC), then rerank the
+     candidates against the SQ8 int8 store -- coarse index for recall,
+     compressed store for precision, raw vectors never read at query
+     time
 
 Run:  python examples/corpus_pipeline.py   (reads sf0.001, ~60 s)
 """
@@ -306,6 +309,21 @@ def main() -> None:
     )
     n_hits = hits.count()
 
+    # 12a. the rerank tier between PQ codes and raw vectors: SQ8 stores
+    # the normalized vector at 8 bits/component (~4-8x smaller scans,
+    # no fit pass, no model artifact) -- candidates come from the
+    # coarse PQ index, precision from the compressed store, and the
+    # raw vector column is never read at query time
+    sq8_store = similarity.sq8_encode(emb)
+    sq8_store.write.parquet(f"{out_dir}/sq8_index")
+    cand_ids = hits.select("neighbor_id").distinct()
+    rerank_pool = spark.read.parquet(f"{out_dir}/sq8_index").join(
+        cand_ids, "neighbor_id", "left_semi"
+    )
+    n_rerank = similarity.sq8_topk(
+        emb.filter(F.col("vec_id") < 5), rerank_pool, k=5
+    ).count()
+
     # 12b. compress vectors BEFORE they index or shuffle: exact
     # one-pass PCA (Gram-moment pass + driver eigh) reports how much
     # variance 16 of 64 dims keep, and the deterministic JL sign
@@ -394,7 +412,7 @@ def main() -> None:
         f"epoch_positions={n_pos} mask_frac={mask_frac:.3f} "
         f"shards={n_shards} uni_pieces={n_pieces} "
         f"oov_rate={oov:.3f} kn_D={kn_d:.3f} kn_surprisal={kn_mean:.2f} "
-        f"ann_hits={n_hits} "
+        f"ann_hits={n_hits} sq8_reranked={n_rerank} "
         f"mmr_kept={n_div} uniform_negs={n_uniform} "
         f"hard_negs={n_hard} bpe_merges={len(merges)} "
         f"bpe_tokens_50docs={n_bpe_tokens} "
