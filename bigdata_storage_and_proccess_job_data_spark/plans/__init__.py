@@ -982,9 +982,12 @@ DRIVER_WINDOW_R13_PLAN = sorted(DRIVER_WINDOW_R11)
 #     single-scan readout's driver row every rotation.
 # Parked R13+ (ledger space permitting, same bar): lift_table,
 # disparity_report, join_size_report, balanced_shards,
-# containment_pairs, ngram_overlap, and an ivfpq query (knn_ivfpq --
-# the md5-codebook trick that graduated knn_pq applies verbatim; the
-# only ANN family member without a registry row).
+# containment_pairs, ngram_overlap, an ivfpq query (knn_ivfpq -- the
+# md5-codebook trick that graduated knn_pq applies verbatim; full
+# SQL-recomputable oracle already proven in
+# test_similarity.py:test_knn_ivfpq_oracle_parity), and knn_sq8 (the
+# r12 scalar-quantization rerank tier; full replay oracle proven in
+# test_sq8_duckdb_replay_parity).
 # Every promotion needs its retirement recorded in registry.RETIRED
 # per the saturation rule.
 
