@@ -897,9 +897,11 @@ DRIVER_WINDOW_R12_PLAN = sorted(
 #     checkpoints its daily frame -- events scan once, not twice.
 #     Remaining multi-scan entries in the audit are
 #     two-sided by construction (self-joins, query-vs-corpus, skew
-#     twins) or plan-text artifacts of persisted iterative lineage
-#     (neardup_clusters -- cached at runtime, the documented
-#     connected_components trade). The audit is durable:
+#     twins) or plan-text artifacts of PERSISTED shared frames that
+#     are computed once at runtime (neardup_clusters' iterative
+#     lineage; minhash_dedup_pairs' shingle frame -- "tokenized ONCE,
+#     persisted, shared by signature and verification paths" is its
+#     documented design, the x4 is the cache's printed lineage). The audit is durable:
 #     tools/scan_audit.py, with regression pins in
 #     test_plans.py::test_scan_once_pins. Out-of-window queries with
 #     the same one-row-bounds pattern (impute_mean's global mean) are
