@@ -1250,3 +1250,49 @@ def test_sq8_invariants_on_generated_vectors(spark):
         s2, c2 = got2[i]
         assert c1 == c2, i
         assert s1 == pytest.approx(s2, rel=1e-12)
+
+
+def test_consensus_labels_replica_on_generated_ratings(spark):
+    """Property for the r12-promoted plurality winner: on ANY generated
+    (item, label) rating multiset (unicode labels, duplicate ratings,
+    skewed item sizes), consensus_labels equals a pure-Python replica
+    (max votes, ties to the lexicographically smallest label), its
+    share/unanimity invariants hold, and the output is a pure function
+    of the row SET (repartitioning changes nothing). One Spark job per
+    frame."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    texts = _examples(180)
+    rows = [
+        (i % 23, (t[:3] or "_") if i % 7 else "tie")
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, label string")
+    got = {
+        r.doc_id: (r.label, r.n_ratings, r.n_for, r.share, r.unanimous)
+        for r in corpus.consensus_labels(df).collect()
+    }
+
+    from collections import Counter, defaultdict
+
+    votes: dict[int, Counter] = defaultdict(Counter)
+    for i, lb in rows:
+        votes[i][lb] += 1
+    assert set(got) == set(votes)
+    for item, c in votes.items():
+        # replica tiebreak: max count, then LEXICOGRAPHICALLY SMALLEST
+        top = max(c.values())
+        winner = min(lb for lb, n in c.items() if n == top)
+        lbl, n_ratings, n_for, share, unanimous = got[item]
+        assert lbl == winner, (item, lbl, winner, dict(c))
+        assert n_ratings == sum(c.values())
+        assert n_for == c[winner] == top
+        assert share == pytest.approx(top / sum(c.values()))
+        assert unanimous == (top == sum(c.values()))
+        assert 0 < share <= 1 and n_for <= n_ratings
+
+    re_got = {
+        r.doc_id: (r.label, r.n_ratings, r.n_for, r.share, r.unanimous)
+        for r in corpus.consensus_labels(df.repartition(13)).collect()
+    }
+    assert re_got == got
