@@ -1296,3 +1296,52 @@ def test_consensus_labels_replica_on_generated_ratings(spark):
         for r in corpus.consensus_labels(df.repartition(13)).collect()
     }
     assert re_got == got
+
+
+def test_fleiss_kappa_replica_on_generated_ratings(spark):
+    """Property for the r12-promoted agreement gate: on ANY generated
+    (item, label) rating table (ragged by construction, unicode
+    labels), fleiss_kappa equals a pure-Python replica of the Fleiss
+    statistic -- modal design count with ties to the SMALLEST n,
+    ragged items excluded, po/pe/kappa/coverage recomputed from first
+    principles -- and po/pe stay inside [0, 1]."""
+    from collections import Counter, defaultdict
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    texts = _examples(200)
+    rows = [
+        (i % 17, (t[:2] or "_") if i % 5 else "maj")
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "item long, label string")
+    r = aggregates.fleiss_kappa(df, "item", "label").collect()[0]
+
+    cells: dict[int, Counter] = defaultdict(Counter)
+    for i, lb in rows:
+        cells[i][lb] += 1
+    per_item = {i: (sum(c.values()), sum(v * v for v in c.values()))
+                for i, c in cells.items()}
+    n_counts = Counter(n for n, _ in per_item.values())
+    top = max(n_counts.values())
+    design_n = min(n for n, cnt in n_counts.items() if cnt == top)
+    kept = {i for i, (n, _) in per_item.items() if n == design_n}
+    assert r.n_items == len(kept)
+    assert r.n_raters == design_n
+    assert r.coverage == pytest.approx(len(kept) / len(per_item))
+    if design_n > 1:
+        po = sum(
+            (per_item[i][1] - design_n) / (design_n * (design_n - 1))
+            for i in kept
+        ) / len(kept)
+        assert r.po == pytest.approx(po)
+        assert 0.0 <= r.po <= 1.0
+    ck = Counter()
+    for i in kept:
+        ck.update(cells[i])
+    tot = sum(ck.values())
+    pe = sum(v * v for v in ck.values()) / (tot * tot)
+    assert r.pe == pytest.approx(pe)
+    assert 0.0 <= r.pe <= 1.0
+    if pe < 1 and design_n >= 2:
+        assert r.kappa == pytest.approx((po - pe) / (1 - pe))
