@@ -931,6 +931,15 @@ DRIVER_WINDOW_R12_PLAN = sorted(
 #   - tools/op_index.py + OP_INDEX.md + tests/test_op_index.py: the
 #     duplicate-operator guard (VERDICT r11 #4) -- dev tooling, no
 #     engine code changed.
+#   - corpus.bradley_terry_fit (pairwise preference aggregation, the
+#     RLHF rung of the labeling-QA family beside the promoted
+#     consensus_labels/fleiss_kappa; grep-first ran against
+#     OP_INDEX.md -- no preference/tournament operator existed):
+#     NEW operator, called by no registered query; replica-grade tests
+#     (closed-form pin, MM replica equality, moment condition, five
+#     loud guards) in test_corpus.py. Iterative driver-side fit over
+#     the bounded pair frame -- the kmeans/rake collect class, so
+#     test-grade by the established convention.
 DRIVER_WINDOW_R12 = sorted(
     (
         set(DRIVER_WINDOW_R12_PLAN)

@@ -2910,3 +2910,118 @@ def test_balanced_shards_serpentine_and_parity(spark, oracle_sf_dir):
     wmax = docs.agg(F.max(F.length("text"))).first()[0]
     assert len(totals) == 7
     assert max(totals) - min(totals) <= 2 * wmax
+
+
+def test_bradley_terry_fit_pins_replica_and_guards(spark):
+    """Pairwise preference aggregation (the RLHF labeling-QA rung):
+    (1) the two-item closed form -- a 30-10 record gives strength
+    ratio 3 under geometric-mean-1 normalization, so P(a beats b) =
+    0.75; (2) a transitive tournament orders strengths; (3) the MLE
+    moment condition holds at the fixed point (expected wins equal
+    observed wins per item); (4) the fit is a pure function of the
+    judgment SET (repartition-invariant) and equals an independent
+    pure-Python MM replica; (5) identifiability fails loud --
+    disconnected graph, diverging MLE at alpha=0 (fixed by alpha>0),
+    self-comparison, item cap."""
+    import math
+
+    two = spark.createDataFrame(
+        [("a", "b")] * 30 + [("b", "a")] * 10, "winner string, loser string"
+    )
+    got = {r.item: r for r in corpus.bradley_terry_fit(two).collect()}
+    assert got["a"].strength == pytest.approx(math.sqrt(3.0))
+    assert got["b"].strength == pytest.approx(1 / math.sqrt(3.0))
+    sa, sb = got["a"].strength, got["b"].strength
+    assert sa / (sa + sb) == pytest.approx(0.75)
+    assert (got["a"].n_wins, got["a"].n_losses, got["a"].n_games) == (30, 10, 40)
+
+    games = (
+        [("A", "B")] * 30 + [("B", "A")] * 10
+        + [("B", "C")] * 25 + [("C", "B")] * 15
+        + [("A", "C")] * 20 + [("C", "A")] * 5
+    )
+    df = spark.createDataFrame(games, "winner string, loser string")
+    fit = {r.item: r for r in corpus.bradley_terry_fit(df).collect()}
+    assert fit["A"].strength > fit["B"].strength > fit["C"].strength
+    # MLE moment condition: expected wins == observed wins per item
+    from collections import Counter
+
+    n_games = Counter()
+    wins = Counter()
+    for w, l in games:
+        wins[w] += 1
+        n_games[frozenset((w, l))] += 1
+    for i in fit:
+        exp_wins = sum(
+            n * fit[i].strength / (fit[i].strength + fit[j].strength)
+            for pair, n in n_games.items()
+            if i in pair
+            for j in pair - {i}
+        )
+        assert exp_wins == pytest.approx(wins[i], rel=1e-6), i
+    # partition independence
+    refit = {
+        r.item: r.strength
+        for r in corpus.bradley_terry_fit(df.repartition(7)).collect()
+    }
+    assert refit == {i: r.strength for i, r in fit.items()}
+
+    # independent pure-Python MM replica (same sorted sweep order)
+    def replica(pairs, iters=500, tol=1e-10):
+        beats = Counter(pairs)
+        items = sorted({x for p in pairs for x in p})
+        g_cnt: Counter = Counter()
+        w_cnt: Counter = Counter()
+        for (a, b), n in beats.items():
+            w_cnt[a] += n
+            g_cnt[tuple(sorted((a, b)))] += n
+        opp = {i: [] for i in items}
+        for (a, b), n in g_cnt.items():
+            opp[a].append((b, n))
+            opp[b].append((a, n))
+        s = {i: 1.0 for i in items}
+        for _ in range(iters):
+            worst = 0.0
+            for i in items:
+                new = w_cnt[i] / sum(n / (s[i] + s[j]) for j, n in opp[i])
+                worst = max(worst, abs(new - s[i]) / s[i])
+                s[i] = new
+            gm = math.exp(sum(math.log(v) for v in s.values()) / len(s))
+            s = {i: v / gm for i, v in s.items()}
+            if worst <= tol:
+                break
+        return s
+
+    want = replica(games)
+    for i in fit:
+        assert fit[i].strength == pytest.approx(want[i], rel=1e-9), i
+
+    # guards
+    disc = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], "winner string, loser string"
+    )
+    with pytest.raises(ValueError, match="disconnected"):
+        corpus.bradley_terry_fit(disc)
+    onesided = spark.createDataFrame(
+        [("a", "b")] * 5, "winner string, loser string"
+    )
+    with pytest.raises(ValueError, match="diverges"):
+        corpus.bradley_terry_fit(onesided)
+    reg = {
+        r.item: r.strength
+        for r in corpus.bradley_terry_fit(onesided, alpha=0.5).collect()
+    }
+    assert reg["a"] > 1.0 > reg["b"]
+    with pytest.raises(ValueError, match="self-comparison"):
+        corpus.bradley_terry_fit(
+            spark.createDataFrame(
+                [("a", "a"), ("a", "b"), ("b", "a")],
+                "winner string, loser string",
+            )
+        )
+    with pytest.raises(ValueError, match="exceeds"):
+        corpus.bradley_terry_fit(df, max_items=2)
+    with pytest.raises(ValueError, match="2 distinct"):
+        corpus.bradley_terry_fit(
+            spark.createDataFrame([], "winner string, loser string")
+        )
