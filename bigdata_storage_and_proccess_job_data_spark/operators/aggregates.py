@@ -4925,6 +4925,80 @@ def lift_table(
     )
 
 
+def pass_at_k(
+    df,
+    problem_col: str,
+    correct_col: str,
+    ks: "Sequence[int]" = (1, 10, 100),
+) -> DataFrame:
+    """Unbiased pass@k estimator per problem (Chen et al. 2021,
+    "Evaluating Large Language Models Trained on Code", eq. 1) -- the
+    sampled-generation eval gate beside classification_report's
+    thresholded one: draw n samples per problem, count c correct, and
+    estimate the probability that at least one of k samples passes,
+
+        pass@k = 1 - C(n-c, k) / C(n, k)
+               = 1 - prod_{j=0..k-1} (n - c - j) / (n - j)
+
+    computed in the numerically stable product form (never raw
+    factorials -- C(10000, 100) overflows anything). Returns one row
+    per problem: (problem, n_samples, n_correct, pass_at_{k}...).
+
+    Estimator edges, honest by construction: a problem with fewer than
+    k samples reports NULL for that k (the estimator is undefined at
+    n < k -- abstention, not a flattering number); n - c < k
+    short-circuits to exactly 1.0 (some draw of k must contain a
+    correct sample -- also where the product's zero factor lands, kept
+    explicit so -0.0 noise can't leak). ``correct`` must be 0/1-valued
+    (fails loud via _binary01); NULL-correct rows are excluded
+    (unscored is not wrong); a NULL problem id is a real slice (the
+    classification_report groupBy rule).
+
+    Scale shape: ONE hash aggregate over one scan to the
+    problems-bounded frame, then per-row k-term fold expressions
+    (F.aggregate over a k-length sequence -- JVM-side, no UDF, no
+    second pass). try_divide keeps the fold total even if an
+    engine evaluates a guarded branch speculatively (the ANSI
+    division-in-aggregate rule)."""
+    ks = list(dict.fromkeys(int(k) for k in ks))
+    if not ks:
+        raise ValueError("pass_at_k: ks must be non-empty")
+    for k in ks:
+        if k < 1:
+            raise ValueError(f"pass_at_k: every k must be >= 1: {k}")
+    y = _binary01(F.col(correct_col), "pass_at_k", correct_col)
+    agg = (
+        df.filter(F.col(correct_col).isNotNull())
+        .select(F.col(problem_col).alias("problem"), (y == 1).alias("_c"))
+        .groupBy("problem")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(F.col("_c").cast("long")).alias("n_correct"),
+        )
+    )
+    n, c = F.col("n_samples"), F.col("n_correct")
+    nd, cd = n.cast("double"), c.cast("double")
+
+    def est(k: int):
+        prod = F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(1.0),
+            lambda acc, j: acc * F.try_divide(nd - cd - j, nd - j),
+        )
+        return (
+            F.when(n < k, F.lit(None).cast("double"))
+            .when(n - c < k, F.lit(1.0))
+            .otherwise(F.lit(1.0) - prod)
+        )
+
+    return agg.select(
+        "problem",
+        "n_samples",
+        "n_correct",
+        *[est(k).alias(f"pass_at_{k}") for k in ks],
+    )
+
+
 def profile_diff(
     old,
     new,

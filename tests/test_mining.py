@@ -4262,3 +4262,88 @@ def test_profile_diff_statuses_and_parity(spark, oracle_sf_dir):
         FROM d
     """
     assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_pass_at_k_pins_and_parity(spark, oracle_sf_dir):
+    """Unbiased pass@k (Chen et al. 2021): (1) closed-form pins -- n=5
+    c=2 gives pass@1 = c/n = 0.4, pass@3 = 1 - C(3,3)/C(5,3) = 0.9,
+    pass@4 = 1.0 (n-c < k short-circuit), pass@6 = NULL (undefined at
+    n < k); (2) monotone non-decreasing in k; (3) NULL-correct rows
+    excluded, NULL problem id is a real slice; (4) out-of-domain
+    correct values and bad ks fail loud; (5) full DuckDB replay on
+    orders -- DuckDB's list_reduce folds the same ordered product as
+    Spark's F.aggregate, so the estimates hash-match bit-for-bit."""
+    rows = [("A", 1.0)] * 2 + [("A", 0.0)] * 3 + [("B", 1.0)] * 1 + [
+        ("B", None)
+    ]
+    df = spark.createDataFrame(rows, "problem string, ok double")
+    got = {
+        r.problem: r
+        for r in aggregates.pass_at_k(
+            df, "problem", "ok", ks=(1, 3, 4, 6)
+        ).collect()
+    }
+    a = got["A"]
+    assert (a.n_samples, a.n_correct) == (5, 2)
+    assert a.pass_at_1 == pytest.approx(0.4)
+    assert a.pass_at_3 == pytest.approx(0.9)
+    assert a.pass_at_4 == 1.0
+    assert a.pass_at_6 is None
+    # B: the NULL-correct row is excluded -> n=1, c=1
+    b = got["B"]
+    assert (b.n_samples, b.n_correct) == (1, 1)
+    assert b.pass_at_1 == 1.0 and b.pass_at_3 is None
+    # monotone in k where defined
+    ks = list(range(1, 6))
+    mono = aggregates.pass_at_k(df, "problem", "ok", ks=ks).collect()
+    for r in mono:
+        vals = [r[f"pass_at_{k}"] for k in ks]
+        defined = [v for v in vals if v is not None]
+        assert defined == sorted(defined), r
+    # NULL problem id is a slice of its own
+    withnull = spark.createDataFrame(
+        [(None, 1.0), (None, 0.0)], "problem string, ok double"
+    )
+    nr = aggregates.pass_at_k(withnull, "problem", "ok", ks=(1,)).collect()
+    assert len(nr) == 1 and nr[0].n_samples == 2
+    # guards
+    with pytest.raises(Exception, match="outside"):
+        aggregates.pass_at_k(
+            spark.createDataFrame([("A", 0.5)], "problem string, ok double"),
+            "problem",
+            "ok",
+            ks=(1,),
+        ).collect()
+    with pytest.raises(ValueError, match="non-empty"):
+        aggregates.pass_at_k(df, "problem", "ok", ks=())
+    with pytest.raises(ValueError, match=">= 1"):
+        aggregates.pass_at_k(df, "problem", "ok", ks=(1, 0))
+
+    # full replay: problems = custkey buckets, correct = key-derived
+    orders = load_table(spark, oracle_sf_dir, "orders").select(
+        (F.col("o_custkey") % 50).alias("problem"),
+        (F.col("o_orderkey") % 7 == 0).cast("double").alias("ok"),
+    )
+    out = aggregates.pass_at_k(orders, "problem", "ok", ks=(1, 5, 10))
+    ests = ", ".join(
+        f"""CASE WHEN n < {k} THEN NULL
+                 WHEN n - c < {k} THEN 1.0
+                 ELSE 1.0 - list_reduce(
+                   list_transform(range(0, {k}),
+                                  j -> (n - c - j) * 1.0 / (n - j)),
+                   (x, y) -> x * y)
+            END AS pass_at_{k}"""
+        for k in (1, 5, 10)
+    )
+    sql = f"""
+        WITH agg AS (
+          SELECT o_custkey % 50 AS problem,
+                 COUNT(*)::BIGINT AS n,
+                 SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS c
+          FROM orders GROUP BY 1
+        )
+        SELECT problem, n AS n_samples, c AS n_correct, {ests}
+        FROM agg
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
