@@ -2695,8 +2695,10 @@ def bradley_terry_fit(
     raises.
 
     Scale shape (the kmeans/rake collect class -- fit on a bounded
-    artifact): ONE hash agg folds the judgments to (winner, loser)
-    pair counts (bounded by items^2, guarded by ``max_items``), the MM
+    artifact): a ``limit(max_items + 1)`` distinct-items pre-flight
+    enforces ``max_items`` BEFORE anything unbounded can land on the
+    driver, then ONE hash agg folds the judgments to (winner, loser)
+    pair counts (bounded by items^2 once the guard passed), the MM
     loop runs driver-side in pure Python over that model-sized frame,
     and the returned strengths frame is items-bounded -- broadcast it
     back onto anything."""
@@ -2705,9 +2707,26 @@ def bradley_terry_fit(
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0: {alpha}")
     w, l = F.col(winner_col), F.col(loser_col)
+    valid = comparisons.filter(w.isNotNull() & l.isNotNull())
+    # Guard BEFORE anything unbounded lands on the driver (r13, VERDICT
+    # r12 #1): the distinct-item pre-flight pulls at most max_items + 1
+    # ids -- the exact misuse the guard exists for (items = row ids)
+    # would otherwise collect up to items^2 pair rows first.
+    probe = (
+        valid.select(w.alias("_i"))
+        .union(valid.select(l.alias("_i")))
+        .distinct()
+        .limit(max_items + 1)
+        .collect()
+    )
+    if len(probe) > max_items:
+        raise ValueError(
+            f"bradley_terry_fit: more than max_items={max_items} "
+            "distinct items -- Bradley-Terry items are the candidates "
+            "under comparison (models, prompts), not unbounded row ids"
+        )
     counts = (
-        comparisons.filter(w.isNotNull() & l.isNotNull())
-        .groupBy(w.alias("_w"), l.alias("_l"))
+        valid.groupBy(w.alias("_w"), l.alias("_l"))
         .agg(F.count(F.lit(1)).alias("_n"))
         .collect()
     )
@@ -2732,9 +2751,13 @@ def bradley_terry_fit(
         raise ValueError("bradley_terry_fit: need >= 2 distinct items")
     items = sorted(items_set, key=str)
     if alpha > 0:
-        for a, b in list(beats):
-            beats[(a, b)] = beats.get((a, b), 0.0) + alpha
-            beats[(b, a)] = beats.get((b, a), 0.0) + alpha
+        # alpha once per UNORDERED observed pair (r13, ADVICE r12):
+        # iterating directed keys gave a both-ways pair 2*alpha each
+        # way while a one-sided pair got 1*alpha -- a different prior
+        # strength for different pairs in the same dataset
+        for p in {tuple(sorted(k, key=str)) for k in beats}:
+            beats[p] = beats.get(p, 0.0) + alpha
+            beats[p[::-1]] = beats.get(p[::-1], 0.0) + alpha
     # connectivity: one scale only exists on a connected graph
     parent = {i: i for i in items}
 

@@ -3019,9 +3019,66 @@ def test_bradley_terry_fit_pins_replica_and_guards(spark):
                 "winner string, loser string",
             )
         )
-    with pytest.raises(ValueError, match="exceeds"):
+    with pytest.raises(ValueError, match="max_items"):
         corpus.bradley_terry_fit(df, max_items=2)
     with pytest.raises(ValueError, match="2 distinct"):
         corpus.bradley_terry_fit(
             spark.createDataFrame([], "winner string, loser string")
         )
+
+
+def test_bradley_terry_alpha_per_unordered_pair_and_preflight(spark):
+    """r13 fixes: (1) alpha is ONE virtual win each way per unordered
+    observed pair -- a pair observed in BOTH directions gets the same
+    prior strength as a one-sided pair (the r12 ADVICE bug gave it
+    double); closed form: 30-10 at alpha=1 fits 31/11, not 32/12, and
+    a mixed dataset equals the MM replica run on the +1-each-way
+    virtual counts; (2) the max_items guard fires from a bounded
+    limit(max_items+1) distinct-items pre-flight BEFORE the pair-count
+    collect -- the row-id misuse raises without the pair frame ever
+    landing on the driver; (3) raw n_wins/n_losses stay raw (alpha
+    never leaks into the reported counts)."""
+    import math
+
+    two = spark.createDataFrame(
+        [("a", "b")] * 30 + [("b", "a")] * 10, "winner string, loser string"
+    )
+    got = {r.item: r for r in corpus.bradley_terry_fit(two, alpha=1.0).collect()}
+    assert got["a"].strength == pytest.approx(math.sqrt(31.0 / 11.0))
+    assert got["b"].strength == pytest.approx(math.sqrt(11.0 / 31.0))
+    # raw counts unchanged by regularization
+    assert (got["a"].n_wins, got["a"].n_losses) == (30, 10)
+
+    # mixed two-sided + one-sided pairs: the fit at alpha=1 equals the
+    # unregularized fit on counts with exactly +1 each way per
+    # observed unordered pair
+    games = (
+        [("a", "b")] * 30 + [("b", "a")] * 10
+        + [("a", "c")] * 5 + [("c", "a")] * 2
+    )
+    df = spark.createDataFrame(games, "winner string, loser string")
+    reg = {
+        r.item: r.strength
+        for r in corpus.bradley_terry_fit(df, alpha=1.0).collect()
+    }
+    virtual = (
+        [("a", "b")] * 31 + [("b", "a")] * 11
+        + [("a", "c")] * 6 + [("c", "a")] * 3
+    )
+    vdf = spark.createDataFrame(virtual, "winner string, loser string")
+    want = {
+        r.item: r.strength for r in corpus.bradley_terry_fit(vdf).collect()
+    }
+    for i in reg:
+        assert reg[i] == pytest.approx(want[i], rel=1e-9), i
+
+    # pre-flight guard: items = row ids (the documented misuse) raises
+    # on the bounded distinct-items probe, never collecting pair rows
+    from pyspark.sql import functions as F
+
+    ids = spark.range(0, 5000).select(
+        F.col("id").cast("string").alias("winner"),
+        (F.col("id") + 1).cast("string").alias("loser"),
+    )
+    with pytest.raises(ValueError, match="max_items"):
+        corpus.bradley_terry_fit(ids, max_items=100)

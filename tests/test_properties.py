@@ -1345,3 +1345,71 @@ def test_fleiss_kappa_replica_on_generated_ratings(spark):
     assert 0.0 <= r.pe <= 1.0
     if pe < 1 and design_n >= 2:
         assert r.kappa == pytest.approx((po - pe) / (1 - pe))
+
+
+def test_bradley_terry_alpha_equivalence_on_generated_tournaments(spark):
+    """Property for the r13 alpha fix: on ANY generated tournament
+    (hypothesis-derived pair multiset over 6 items, both-direction and
+    one-sided pairs mixed, a backbone ring guaranteeing connectivity),
+    fitting with alpha=1 equals the UNREGULARIZED fit on counts with
+    exactly +1 virtual win each way per unordered OBSERVED pair --
+    the prior strength is uniform across pairs, never doubled for
+    both-direction ones. Also: geometric-mean-1 normalization holds,
+    the MM fixed point satisfies the moment condition on the
+    regularized counts, and the fit is partition-independent."""
+    import math
+    from collections import Counter
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    texts = _examples(150)
+    items = [f"m{j}" for j in range(6)]
+    pairs = [(items[j], items[(j + 1) % 6]) for j in range(6)]  # ring
+    for i, t in enumerate(texts):
+        a = items[i % 6]
+        b = items[(i + 1 + len(t)) % 6]
+        if a != b:
+            pairs.append((a, b))
+    df = spark.createDataFrame(pairs, "winner string, loser string")
+    fit = {
+        r.item: r.strength
+        for r in corpus.bradley_terry_fit(df, alpha=1.0).collect()
+    }
+    gm = math.exp(sum(math.log(v) for v in fit.values()) / len(fit))
+    assert gm == pytest.approx(1.0)
+
+    beats = Counter(pairs)
+    virtual = list(pairs)
+    for a, b in {tuple(sorted(p)) for p in beats}:
+        virtual += [(a, b), (b, a)]
+    vdf = spark.createDataFrame(virtual, "winner string, loser string")
+    want = {
+        r.item: r.strength for r in corpus.bradley_terry_fit(vdf).collect()
+    }
+    assert set(fit) == set(want)
+    for i in fit:
+        assert fit[i] == pytest.approx(want[i], rel=1e-9), i
+
+    # MM fixed point: expected wins == observed wins on the
+    # REGULARIZED counts
+    games: Counter = Counter()
+    wins: Counter = Counter()
+    for w, l in virtual:
+        wins[w] += 1
+        games[frozenset((w, l))] += 1
+    for i in fit:
+        exp_wins = sum(
+            n * fit[i] / (fit[i] + fit[j])
+            for pair, n in games.items()
+            if i in pair
+            for j in pair - {i}
+        )
+        assert exp_wins == pytest.approx(wins[i], rel=1e-6), i
+
+    refit = {
+        r.item: r.strength
+        for r in corpus.bradley_terry_fit(
+            df.repartition(11), alpha=1.0
+        ).collect()
+    }
+    assert refit == fit
