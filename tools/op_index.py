@@ -39,7 +39,9 @@ PKG = "bigdata_storage_and_proccess_job_data_spark"
 # plans/ is the registry surface (driver queries over the operators),
 # not the operator inventory itself -- its duplicate guard is the
 # registry's own duplicate-name refusal.
-EXCLUDE_SUBPACKAGES = (".plans",)
+# exact dotted-path segments (r13, ADVICE r12: substring matching would
+# silently drop a future 'plansomething' module from the guard)
+EXCLUDE_SUBPACKAGES = ("plans",)
 
 STOPWORDS = frozenset(
     """
@@ -129,7 +131,8 @@ def discover() -> list[tuple[str, str, str, frozenset]]:
     for mi in sorted(
         pkgutil.walk_packages(pkg.__path__, PKG + "."), key=lambda m: m.name
     ):
-        if any(x in mi.name for x in EXCLUDE_SUBPACKAGES) or mi.ispkg:
+        segs = mi.name.split(".")
+        if any(x in segs for x in EXCLUDE_SUBPACKAGES) or mi.ispkg:
             continue
         mod = importlib.import_module(mi.name)
         rel = mi.name[len(PKG) + 1 :]

