@@ -212,8 +212,8 @@ def table_diff(
 ) -> DataFrame:
     """Row-level diff of two snapshots of the same logical table -- the
     data-regression check a pipeline runs between yesterday's output
-    and today's (snapshot_change_feed serves versioned tables; this
-    serves ANY two frames). Returns one row per key present in either
+    and today's (sources/versioned.py:change_feed serves versioned
+    tables; this serves ANY two frames). Returns one row per key present in either
     side: (keys..., status, changed_cols) with status in
     'added' (new only) / 'removed' (old only) / 'changed' (both, some
     compared column differs) / 'unchanged', and changed_cols the array

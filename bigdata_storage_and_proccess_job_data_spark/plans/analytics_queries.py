@@ -812,42 +812,85 @@ def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Correlated scalar subquery (TPC-H Q17 shape)
+# Model-eval gate: confusion counts + precision/recall/F1 (promoted r13;
+# small_quantity_revenue RETIRED the same round -- the correlated-
+# scalar-subquery family keeps priority_with_late_lines' driver row and
+# the Q17 query text keeps its decorrelation plan pin + full DuckDB
+# value parity in tests/test_plans.py::test_correlated_scalar_subquery
+# -- see registry.RETIRED["small_quantity_revenue"])
 # ---------------------------------------------------------------------------
 @register(
-    "small_quantity_revenue",
-    tags=("subquery", "join", "agg", "sql"),
+    "classification_report",
+    tags=("agg", "eval", "quality"),
     oracle=f"""
-        SELECT p_brand,
-               {sql_round("SUM(l_extendedprice) / 7.0", 2)} AS avg_weekly_revenue,
-               CAST(COUNT(*) AS BIGINT)                     AS n_lines
-        FROM lineitem JOIN part ON p_partkey = l_partkey
-        WHERE l_quantity < (
-          SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
-          WHERE l2.l_partkey = part.p_partkey
+        WITH base AS (
+          SELECT o_orderstatus AS k,
+                 (o_custkey % 2 = 1) AS y,
+                 (o_orderkey % 3 = 0) AS p
+          FROM orders
+        ),
+        c AS (
+          SELECT k, COUNT(*)::BIGINT AS n,
+                 SUM(CASE WHEN y AND p THEN 1 ELSE 0 END)::BIGINT AS tp,
+                 SUM(CASE WHEN NOT y AND p THEN 1 ELSE 0 END)::BIGINT AS fp,
+                 SUM(CASE WHEN y AND NOT p THEN 1 ELSE 0 END)::BIGINT AS fn,
+                 SUM(CASE WHEN NOT y AND NOT p THEN 1 ELSE 0 END)::BIGINT
+                   AS tn
+          FROM base GROUP BY k
+        ),
+        m AS (
+          SELECT k, n, tp, fp, fn, tn,
+                 (tp + tn) * 1.0 / n AS accuracy,
+                 CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) END
+                   AS precision,
+                 CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) END
+                   AS recall
+          FROM c
         )
-        GROUP BY p_brand
+        SELECT k AS o_orderstatus, n, tp, fp, fn, tn,
+               {sql_round('accuracy', 8)} AS accuracy,
+               {sql_round('precision', 8)} AS precision,
+               {sql_round('recall', 8)} AS recall,
+               {sql_round(
+                   'CASE WHEN precision IS NOT NULL AND recall IS NOT NULL '
+                   'AND precision + recall > 0 THEN 2 * precision * recall '
+                   '/ (precision + recall) END', 8
+               )} AS f1
+        FROM m
     """,
 )
-def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subquery (no reference analogue -- §2.6 gap):
-    per-part average quantity gates each lineitem. Written as SQL so
-    Catalyst's de-correlation rewrites it into an aggregate + join (a
-    hand-rolled groupBy-then-join produces the same plan; the point is
-    the declarative form stays scalable -- one shuffle on l_partkey, no
-    per-row subquery execution)."""
-    register_views(spark, sf_dir)
-    return spark.sql(f"""
-        SELECT p_brand,
-               {sql_round("SUM(l_extendedprice) / 7.0", 2)} AS avg_weekly_revenue,
-               CAST(COUNT(*) AS BIGINT) AS n_lines
-        FROM lineitem JOIN part ON p_partkey = l_partkey
-        WHERE l_quantity < (
-          SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
-          WHERE l2.l_partkey = part.p_partkey
-        )
-        GROUP BY p_brand
-    """)
+def classification_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice confusion matrix + precision/recall/F1
+    (operators/aggregates.py:classification_report) over orders with
+    deterministic key-derived label/prediction -- the model-eval gate a
+    labeling pipeline runs before shipping a filter model. ONE
+    conditional hash aggregation per key (tp/fp/fn/tn as sibling
+    CASE-gated sums); degenerate slices report NULL, not 0 (no predicted
+    positives -> precision NULL), and the oracle recomputes every metric
+    from the same counts. Oracle lifted verbatim from the parity test
+    that guarded this surface since r11
+    (tests/test_mining.py:test_classification_report_pins_and_parity)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        (F.col("o_custkey") % 2).cast("double").alias("y"),
+        (F.col("o_orderkey") % 3 == 0).cast("double").alias("p"),
+    )
+    return aggregates.classification_report(
+        orders, "y", "p", keys=["o_orderstatus"]
+    ).select(
+        "o_orderstatus",
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        stable_round(F.col("accuracy"), 8).alias("accuracy"),
+        stable_round(F.col("precision"), 8).alias("precision"),
+        stable_round(F.col("recall"), 8).alias("recall"),
+        stable_round(F.col("f1"), 8).alias("f1"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -997,61 +1040,76 @@ def skewed_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Interval-overlap (range x range) join
+# Interval coalescing: gaps-and-islands merge (promoted r13;
+# interval_overlap_pairs RETIRED the same round -- pairwise overlap via
+# the identical bin-and-verify machinery stays driver-rowed by
+# range_join_incidents every rotation, and interval_overlap_join keeps
+# its unit + plan-pin tests -- see
+# registry.RETIRED["interval_overlap_pairs"])
 # ---------------------------------------------------------------------------
 @register(
-    "interval_overlap_pairs",
-    tags=("join", "range"),
+    "merge_intervals",
+    tags=("window", "range", "agg"),
     oracle="""
-        WITH a AS (
-          SELECT event_id AS a_id, ts AS a_start,
-                 ts + INTERVAL 11 MINUTE AS a_end
-          FROM events WHERE event_id % 83 = 0
+        WITH base AS (
+          SELECT o_orderstatus AS k,
+                 o_orderkey % 1000 AS s,
+                 (o_orderkey % 1000) + (o_custkey % 50) AS e
+          FROM orders
         ),
-        b AS (
-          SELECT event_id AS b_id, ts - INTERVAL 3 MINUTE AS b_start,
-                 ts + INTERVAL 4 MINUTE AS b_end
-          FROM events WHERE event_id % 59 = 0
+        f AS (
+          SELECT k, s, e,
+                 CASE WHEN MAX(e) OVER (
+                        PARTITION BY k ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ) IS NULL
+                      OR s > MAX(e) OVER (
+                        PARTITION BY k ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      )
+                      THEN 1 ELSE 0 END AS new
+          FROM base
+        ),
+        i AS (
+          SELECT k, s, e,
+                 SUM(new) OVER (PARTITION BY k ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+          FROM f
         )
-        SELECT a_id, b_id,
-               CAST(date_diff('second', greatest(a_start, b_start),
-                              least(a_end, b_end)) AS BIGINT)
-                 AS overlap_seconds
-        FROM a JOIN b ON a_start < b_end AND b_start < a_end
+        SELECT k AS o_orderstatus,
+               CAST(MIN(s) AS BIGINT) AS span_start,
+               CAST(MAX(e) AS BIGINT) AS span_end,
+               COUNT(*)::BIGINT AS n_spans
+        FROM i GROUP BY k, island
     """,
 )
-def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range x range join (operators/rangejoin.py:interval_overlap_join):
-    two derived interval families joined on span overlap via
-    bin-and-verify with the later-start dedup rule -- each overlapping
-    pair survives in exactly ONE shared bin, so no distinct shuffle. The
-    oracle runs the naive theta join (fine at oracle SF; quadratic at
-    scale, which is the point of the operator)."""
-    from bigdata_storage_and_proccess_job_data_spark.operators.rangejoin import (
-        interval_overlap_join,
-    )
+def merge_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing per key
+    (operators/rangejoin.py:merge_intervals) on integer intervals
+    derived from orders: overlapping or touching spans merge into one
+    island via the running-max-of-prior-ends window, disjoint spans stay
+    apart -- the span-consolidation step duplicate_ngram_spans' excision
+    pipeline wants. One keyed sort-window pass + one hash agg per
+    island; no join, no self-pairing. Oracle lifted verbatim from the
+    parity test that guarded this surface since r11
+    (tests/test_joins.py:test_merge_intervals_islands_and_parity)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import rangejoin
 
-    events = load_table(spark, sf_dir, "events")
-    a = events.filter(F.col("event_id") % 83 == 0).select(
-        F.col("event_id").alias("a_id"),
-        F.col("ts").alias("a_start"),
-        (F.col("ts") + F.expr("INTERVAL 11 MINUTES")).alias("a_end"),
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        (F.col("o_orderkey") % 1000).alias("s"),
+        ((F.col("o_orderkey") % 1000) + (F.col("o_custkey") % 50)).alias(
+            "e"
+        ),
     )
-    b = events.filter(F.col("event_id") % 59 == 0).select(
-        F.col("event_id").alias("b_id"),
-        (F.col("ts") - F.expr("INTERVAL 3 MINUTES")).alias("b_start"),
-        (F.col("ts") + F.expr("INTERVAL 4 MINUTES")).alias("b_end"),
-    )
-    joined = interval_overlap_join(
-        a, b, ("a_start", "a_end"), ("b_start", "b_end"), bin_seconds=240
-    )
-    return joined.select(
-        "a_id",
-        "b_id",
-        (
-            F.least(F.col("a_end"), F.col("b_end")).cast("long")
-            - F.greatest(F.col("a_start"), F.col("b_start")).cast("long")
-        ).alias("overlap_seconds"),
+    return rangejoin.merge_intervals(
+        orders, "s", "e", keys=["o_orderstatus"]
+    ).select(
+        "o_orderstatus",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_spans",
     )
 
 
@@ -1430,6 +1488,131 @@ def table_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "status",
         F.array_join("changed_cols", ",").alias("changed_cols"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data quality: column-profile drift diff (promoted r13; the
+# column-level sibling of table_diff's row-level diff.
+# snapshot_change_feed RETIRED the same round -- the full-outer
+# null-safe diff classification is table_diff's hash-checked shape
+# row-for-row, and the versioned-table seam (commit/time-travel/MERGE/
+# CDF) keeps tests/test_versioned.py incl. the change_feed pins -- see
+# registry.RETIRED["snapshot_change_feed"])
+# ---------------------------------------------------------------------------
+@register(
+    "profile_diff",
+    tags=("agg", "quality", "drift"),
+    oracle=f"""
+        WITH po AS (
+          SELECT 'o_custkey' AS "column",
+                 {sql_round('SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)', 4)} AS nf,
+                 COUNT(DISTINCT o_custkey)::BIGINT AS nd,
+                 {sql_round('AVG(o_custkey)', 4)} AS mean,
+                 {sql_round('stddev_samp(o_custkey)', 4)} AS sd
+          FROM orders
+          UNION ALL
+          SELECT 'o_totalprice',
+                 {sql_round('SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)', 4)},
+                 COUNT(DISTINCT o_totalprice)::BIGINT,
+                 {sql_round('AVG(o_totalprice)', 4)},
+                 {sql_round('stddev_samp(o_totalprice)', 4)}
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderstatus',
+                 {sql_round('SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)', 4)},
+                 COUNT(DISTINCT o_orderstatus)::BIGINT,
+                 NULL, NULL
+          FROM orders
+        ),
+        pn AS (
+          SELECT 'o_custkey' AS "column",
+                 {sql_round('SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)', 4)} AS nf,
+                 COUNT(DISTINCT k)::BIGINT AS nd,
+                 {sql_round('AVG(k)', 4)} AS mean,
+                 {sql_round('stddev_samp(k)', 4)} AS sd
+          FROM (SELECT CASE WHEN o_custkey % 13 <> 0 THEN o_custkey END AS k
+                FROM orders)
+          UNION ALL
+          SELECT 'o_totalprice',
+                 {sql_round('SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)', 4)},
+                 COUNT(DISTINCT p)::BIGINT,
+                 {sql_round('AVG(p)', 4)},
+                 {sql_round('stddev_samp(p)', 4)}
+          FROM (SELECT o_totalprice + 100000.0 AS p FROM orders)
+          UNION ALL
+          SELECT 'o_orderstatus',
+                 {sql_round('SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)', 4)},
+                 COUNT(DISTINCT o_orderstatus)::BIGINT,
+                 NULL, NULL
+          FROM orders
+        ),
+        d AS (
+          SELECT po."column",
+                 ABS(pn.nf - po.nf) > 0.01 AS nf_trip,
+                 po.nd > 0 AND pn.nd > 0 AND (
+                   pn.nd * 1.0 / po.nd > 1.5 OR po.nd * 1.0 / pn.nd > 1.5
+                 ) AS nd_trip,
+                 po.mean IS NOT NULL AND pn.mean IS NOT NULL
+                   AND po.sd > 0
+                   AND ABS(pn.mean - po.mean) > 0.25 * po.sd AS mean_trip,
+                 po.nf AS null_frac_old, pn.nf AS null_frac_new,
+                 po.nd AS n_distinct_old, pn.nd AS n_distinct_new,
+                 po.mean AS mean_old, pn.mean AS mean_new
+          FROM po JOIN pn USING ("column")
+        )
+        SELECT "column",
+               CASE WHEN COALESCE(nf_trip, false) OR COALESCE(nd_trip, false)
+                      OR COALESCE(mean_trip, false)
+                    THEN 'drifted' ELSE 'stable' END AS status,
+               COALESCE(list_aggregate(list_filter([
+                 CASE WHEN COALESCE(nf_trip, false) THEN 'null_frac' END,
+                 CASE WHEN COALESCE(nd_trip, false) THEN 'n_distinct' END,
+                 CASE WHEN COALESCE(mean_trip, false) THEN 'mean' END
+               ], x -> x IS NOT NULL), 'string_agg', ','), '') AS flags,
+               null_frac_old, null_frac_new,
+               n_distinct_old, n_distinct_new,
+               mean_old, mean_new
+        FROM d
+    """,
+)
+def profile_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile drift diff
+    (operators/aggregates.py:profile_diff) of orders against a
+    deterministically mutated snapshot -- every 13th custkey nulled (a
+    NULL influx that also halves distincts) and every price shifted by a
+    constant (a mean shift) -- the schema/distribution drift alarm a
+    pipeline runs beside table_diff's row-level one. Scale shape: one
+    profile aggregation per side (sibling conditional sums per column,
+    exact distincts here; approx_count_distinct is the stated scale
+    default), then a broadcast full-outer join on the BOUNDED per-column
+    frames. flags flatten to CSV for the driver's scalar hash. Oracle
+    lifted verbatim from the parity test that guarded this surface since
+    r11 (tests/test_mining.py:test_profile_diff_statuses_and_parity)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    mutated = orders.select(
+        F.when(F.col("o_custkey") % 13 != 0, F.col("o_custkey")).alias(
+            "o_custkey"
+        ),
+        (F.col("o_totalprice") + 100000.0).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return aggregates.profile_diff(
+        orders, mutated, distinct="exact"
+    ).select(
+        "column",
+        "status",
+        F.array_join("flags", ",").alias("flags"),
+        "null_frac_old",
+        "null_frac_new",
+        "n_distinct_old",
+        "n_distinct_new",
+        "mean_old",
+        "mean_new",
     )
 
 

@@ -664,12 +664,19 @@ def union_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference X2 (JobService.java:70-110) deterministic variant: fill
     missing values with the global mean of the valid pool. The mean is a
-    1-row aggregate cross-joined (broadcast) back -- no driver collect, no
-    second scan of a cached frame at scale."""
+    1-row aggregate cross-joined (broadcast) back -- no driver collect.
+
+    Scan-once (r13, the fix the r12 audit deferred to this window
+    round): the ONE-ROW mean frame is localCheckpointed before the
+    cross join, so the imputation plan scans orders exactly once --
+    lazily, the mean subtree re-scanned the base table inside every
+    job that consumed the joined frame. The bounded-post-agg rule:
+    checkpoint the 1-row mean, never the corpus-sized base. Pinned in
+    tests/test_plans.py::test_scan_once_pins."""
     orders = load_table(spark, sf_dir, "orders")
     val = F.when(F.col("o_orderstatus") != "F", F.col("o_totalprice"))
     base = orders.select("o_orderkey", val.alias("val"))
-    mean = base.agg(F.avg("val").alias("global_mean"))
+    mean = base.agg(F.avg("val").alias("global_mean")).localCheckpoint()
     return base.crossJoin(F.broadcast(mean)).select(
         "o_orderkey",
         stable_round(F.coalesce(F.col("val"), F.col("global_mean")), 4).alias(

@@ -346,6 +346,62 @@ RETIRED: dict[str, dict[str, str]] = {
             "plain filter + left_semi join)."
         ),
     },
+    "snapshot_change_feed": {
+        "round": "r13",
+        "replaced_by": "profile_diff",
+        "coverage": (
+            "the full-outer null-safe key join + whole-row IS DISTINCT "
+            "FROM change classification is table_diff's hash-checked "
+            "shape row-for-row (both oracles share the FULL OUTER JOIN "
+            "+ struct-inequality form; table_diff stays driver-rowed "
+            "every rotation), and the versioned-table seam the query "
+            "exercised (commit_version / time travel / diff_versions -> "
+            "change_feed / MERGE) keeps the full tests/test_versioned.py "
+            "suite including the change_feed classification pins. "
+            "CORRECTION recorded at execution time: the pinned r12 "
+            "ledger cited an 'orders_merge_upsert' driver row for the "
+            "versioned seam -- no such query was ever registered; the "
+            "seam's coverage is the test suite plus table_diff's "
+            "row-diff shape, as stated here. sources/versioned.py "
+            "unchanged."
+        ),
+    },
+    "interval_overlap_pairs": {
+        "round": "r13",
+        "replaced_by": "merge_intervals",
+        "coverage": (
+            "pairwise interval overlap via bin-and-verify stays "
+            "driver-rowed by range_join_incidents every rotation (the "
+            "two queries share the binning equi-join machinery in "
+            "operators/rangejoin.py -- point-in-span is the same bin "
+            "join with a degenerate probe span), and "
+            "interval_overlap_join keeps its unit tests plus the "
+            "no-nested-loop plan pin "
+            "(tests/test_joins.py). The promoted merge_intervals is "
+            "the islands half of the same interval family with the "
+            "richer oracle (running-max window + island agg)."
+        ),
+    },
+    "small_quantity_revenue": {
+        "round": "r13",
+        "replaced_by": "classification_report",
+        "coverage": (
+            "the correlated-subquery family keeps "
+            "priority_with_late_lines' driver row (correlated EXISTS, "
+            "TPC-H Q4 shape, de-correlated to a left-semi join), and "
+            "the retired Q17 scalar-subquery query text moved VERBATIM "
+            "into tests/test_plans.py::"
+            "test_correlated_scalar_subquery_decorrelates_and_values, "
+            "which now asserts BOTH the decorrelation plan shape (no "
+            "NestedLoop) and full DuckDB value parity every suite run. "
+            "CORRECTION recorded at execution time: the pinned r12 "
+            "ledger described this query as a single-table conditional-"
+            "sum readout -- it was the registry's correlated SCALAR "
+            "subquery row; the retirement stands on the EXISTS row + "
+            "the upgraded oracle-grade test, as stated here. No "
+            "operator code involved (the query was inline spark.sql)."
+        ),
+    },
 }
 
 

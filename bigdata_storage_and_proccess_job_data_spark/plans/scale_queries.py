@@ -1262,80 +1262,18 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Versioned table: snapshot change feed (CDF semantics, exact oracle)
+# RETIRED r13: snapshot_change_feed (versioned-table CDF change feed).
+# Registering profile_diff at the 100-query ceiling required a
+# retirement; the full record is
+# registry.RETIRED["snapshot_change_feed"] and the name is permanently
+# reserved. Coverage: change_feed's full-outer null-safe key join +
+# whole-row IS DISTINCT FROM classification is table_diff's
+# hash-checked shape row-for-row (both oracles share the FULL OUTER
+# JOIN + struct-inequality form; table_diff stays driver-rowed every
+# rotation), and the versioned-table seam itself (commit_version /
+# time travel / MERGE / diff_versions -> change_feed) keeps the full
+# tests/test_versioned.py suite. sources/versioned.py unchanged.
 # ---------------------------------------------------------------------------
-@register(
-    "snapshot_change_feed",
-    tags=("table-format", "join", "cdc"),
-    oracle="""
-        WITH old AS (
-          SELECT * FROM orders WHERE o_orderkey % 8 <> 6
-        ),
-        new AS (
-          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-                 o_orderdate,
-                 CASE WHEN o_orderkey % 8 = 1 THEN o_orderpriority || '+'
-                      ELSE o_orderpriority END AS o_orderpriority
-          FROM orders WHERE o_orderkey % 8 <> 3
-        )
-        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
-               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
-                    WHEN n.o_orderkey IS NULL THEN 'delete'
-                    ELSE 'update' END AS change_type,
-               o.o_orderstatus   AS before_status,
-               n.o_orderstatus   AS after_status,
-               o.o_orderpriority AS before_priority,
-               n.o_orderpriority AS after_priority,
-               o.o_totalprice    AS before_price,
-               n.o_totalprice    AS after_price
-        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
-        WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
-           OR ROW(o.o_custkey, o.o_orderstatus, o.o_totalprice,
-                  o.o_orderdate, o.o_orderpriority)
-              IS DISTINCT FROM
-              ROW(n.o_custkey, n.o_orderstatus, n.o_totalprice,
-                  n.o_orderdate, n.o_orderpriority)
-    """,
-)
-def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-level change feed between two table snapshots
-    (sources/versioned.py:change_feed -- the operator behind
-    diff_versions, VERDICT r5 #6): one full-outer null-safe key join,
-    change classification by whole-row struct equality (exact, no
-    hash-collision blind spot), unchanged rows absent. The snapshots
-    here are two derived views of ``orders`` -- keys = 3 (mod 8) exist
-    only in the old one (deletes), = 6 (mod 8) only in the new one
-    (inserts), and = 1 (mod 8) carry a mutated priority (updates) -- so
-    all three change classes are hash-checked. Output flattens the
-    before/after structs to scalar columns (the driver compare hashes
-    scalars; the struct-building path itself is what the operator runs).
-    The stored-snapshot form (commit_version -> diff_versions over a
-    table dir) runs the same operator and is pinned by
-    tests/test_versioned.py. Scale: ONE keyed shuffle of the two
-    snapshots -- the incremental-consumer alternative to full
-    downstream recompute."""
-    from bigdata_storage_and_proccess_job_data_spark.sources import versioned
-
-    orders = load_table(spark, sf_dir, "orders")
-    old = orders.filter(F.col("o_orderkey") % 8 != 6)
-    new = orders.filter(F.col("o_orderkey") % 8 != 3).withColumn(
-        "o_orderpriority",
-        F.when(
-            F.col("o_orderkey") % 8 == 1,
-            F.concat(F.col("o_orderpriority"), F.lit("+")),
-        ).otherwise(F.col("o_orderpriority")),
-    )
-    feed = versioned.change_feed(old, new, "o_orderkey")
-    return feed.select(
-        "o_orderkey",
-        "change_type",
-        F.col("before.o_orderstatus").alias("before_status"),
-        F.col("after.o_orderstatus").alias("after_status"),
-        F.col("before.o_orderpriority").alias("before_priority"),
-        F.col("after.o_orderpriority").alias("after_priority"),
-        F.col("before.o_totalprice").alias("before_price"),
-        F.col("after.o_totalprice").alias("after_price"),
-    )
 
 
 # ---------------------------------------------------------------------------
