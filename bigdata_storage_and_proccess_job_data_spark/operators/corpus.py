@@ -2840,6 +2840,95 @@ def bradley_terry_fit(
     )
 
 
+def win_rate_pairs(
+    comparisons: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Per-pair win rates with Wilson score intervals -- the leaderboard
+    table beside bradley_terry_fit's global strengths: BT answers "how
+    strong is each candidate overall", THIS answers "how sure are we
+    about each individual matchup" (the head-to-head readout an eval
+    report prints, with uncertainty that stays honest at small n --
+    Wilson never leaves [0, 1] and never collapses to a zero-width
+    interval the way the normal approximation does at p-hat of 0 or 1).
+    One row per unordered observed pair, sides canonicalized so
+    ``item_a`` < ``item_b`` by string order:
+
+      (item_a, item_b, n_games, wins_a, win_rate_a, wilson_lo,
+       wilson_hi)
+
+    where win_rate_a = wins_a / n_games and [wilson_lo, wilson_hi] is
+    the Wilson (1927) score interval at critical value ``z`` (default
+    the two-sided 95% normal quantile):
+
+      center = (p + z^2/2n) / (1 + z^2/n)
+      half   = z * sqrt(p(1-p)/n + z^2/4n^2) / (1 + z^2/n)
+
+    NULL endpoints are excluded (unscored is not wrong); a
+    self-comparison (winner == loser) is corrupt input and fails loud
+    in-plan (the bradley_terry_fit rule, folded into a consumed column
+    so the guard cannot be pruned). Ties are not modeled: split a tie
+    as one win each way upstream, same as BT.
+
+    Scale shape: ONE hash aggregation over one scan to the
+    pairs-bounded frame (canonicalize sides row-wise, count games and
+    a-wins as sibling sums); the Wilson algebra is closed-form column
+    arithmetic on the post-agg frame. Nothing collects; output is
+    items^2-bounded."""
+    if z <= 0:
+        raise ValueError(f"win_rate_pairs: z must be > 0: {z}")
+    w, l = F.col(winner_col), F.col(loser_col)
+    ws, ls = w.cast("string"), l.cast("string")
+    # self-comparison guard folded into the CONSUMED item_a column
+    # (a free-standing guard column would be pruned and never evaluate)
+    item_a = F.when(
+        ws == ls,
+        F.raise_error(
+            F.concat(
+                F.lit("win_rate_pairs: self-comparison "),
+                ws,
+                F.lit(" beats itself -- corrupt input (drop or fix "
+                      "upstream)"),
+            )
+        ),
+    ).otherwise(F.when(ws < ls, w).otherwise(l))
+    item_b = F.when(ws < ls, l).otherwise(w)
+    agg = (
+        comparisons.filter(w.isNotNull() & l.isNotNull())
+        .select(
+            item_a.alias("item_a"),
+            item_b.alias("item_b"),
+            (ws < ls).cast("long").alias("_a_won"),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_games"),
+            F.sum("_a_won").alias("wins_a"),
+        )
+    )
+    n = F.col("n_games").cast("double")
+    p = F.col("wins_a").cast("double") / n
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        / denom
+    )
+    return agg.select(
+        "item_a",
+        "item_b",
+        "n_games",
+        "wins_a",
+        p.alias("win_rate_a"),
+        (center - half).alias("wilson_lo"),
+        (center + half).alias("wilson_hi"),
+    )
+
+
 def ngram_overlap(
     df: DataFrame,
     id_col: str,

@@ -1079,6 +1079,16 @@ DRIVER_WINDOW_R13_PLAN = sorted(DRIVER_WINDOW_R11)
 #     ordered product (bit-equal, no rounding CTE needed) in
 #     tests/test_mining.py:test_pass_at_k_pins_and_parity, plus the
 #     eval-ops plan-lint sweep.
+#   - corpus.win_rate_pairs (head-to-head win rates + Wilson score
+#     intervals, the leaderboard uncertainty readout beside
+#     bradley_terry_fit's global strengths; grep-first: no
+#     win-rate/Wilson operator existed, BT reports per-ITEM counts
+#     only): NEW operator, called by no registered query; textbook
+#     Wilson pins + full DuckDB replay parity in
+#     tests/test_corpus.py:test_win_rate_pairs_pins_wilson_and_parity,
+#     plus the eval-ops plan-lint sweep. ONE hash agg; in-plan
+#     self-comparison raise folded into the consumed item_a column
+#     (the bh_adjust pattern).
 DRIVER_WINDOW_R13 = sorted(
     (
         set(DRIVER_WINDOW_R13_PLAN)

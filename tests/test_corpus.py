@@ -3082,3 +3082,115 @@ def test_bradley_terry_alpha_per_unordered_pair_and_preflight(spark):
     )
     with pytest.raises(ValueError, match="max_items"):
         corpus.bradley_terry_fit(ids, max_items=100)
+
+
+def test_win_rate_pairs_pins_wilson_and_parity(spark, oracle_sf_dir):
+    """Head-to-head win rates with Wilson intervals (the leaderboard
+    companion to bradley_terry_fit): (1) hand pins -- a 30-10 matchup
+    reports p=0.75 with the textbook Wilson bounds (python replica of
+    the same algebra); a winless side pins wilson_lo to exactly 0 and
+    keeps hi inside (0,1) -- the small-n honesty the normal
+    approximation loses; (2) sides canonicalize to string order and
+    every output pair is unordered-unique; (3) NULL endpoints are
+    excluded, self-comparisons fail loud in-plan, z <= 0 raises;
+    (4) full DuckDB replay on orders-derived matchups."""
+    import math
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        sql_round,
+        stable_round,
+    )
+    from tests.parity import compare, duckdb_connect
+
+    df = spark.createDataFrame(
+        [("a", "b")] * 30 + [("b", "a")] * 10 + [("d", "c")] * 5
+        + [(None, "a"), ("a", None)],
+        "winner string, loser string",
+    )
+    got = {
+        (r.item_a, r.item_b): r
+        for r in corpus.win_rate_pairs(df).collect()
+    }
+    assert set(got) == {("a", "b"), ("c", "d")}
+    ab = got[("a", "b")]
+    assert (ab.n_games, ab.wins_a) == (40, 30)
+    assert ab.win_rate_a == pytest.approx(0.75)
+
+    def wilson(p, n, zc=1.959963984540054):
+        z2 = zc * zc
+        denom = 1.0 + z2 / n
+        center = (p + z2 / (2 * n)) / denom
+        half = zc * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / denom
+        return center - half, center + half
+
+    lo, hi = wilson(0.75, 40)
+    assert ab.wilson_lo == pytest.approx(lo)
+    assert ab.wilson_hi == pytest.approx(hi)
+    assert 0 < ab.wilson_lo < 0.75 < ab.wilson_hi < 1
+    cd = got[("c", "d")]  # c never won: canonicalized a-side is winless
+    assert (cd.n_games, cd.wins_a) == (5, 0)
+    assert cd.win_rate_a == 0.0
+    assert cd.wilson_lo == 0.0 and 0 < cd.wilson_hi < 1
+
+    with pytest.raises(Exception, match="self-comparison"):
+        corpus.win_rate_pairs(
+            spark.createDataFrame(
+                [("a", "a"), ("a", "b")], "winner string, loser string"
+            )
+        ).collect()
+    with pytest.raises(ValueError, match="z must be"):
+        corpus.win_rate_pairs(df, z=0.0)
+
+    orders = load_table(spark, oracle_sf_dir, "orders").select(
+        F.concat(F.lit("m"), (F.col("o_orderkey") % 7).cast("string")).alias(
+            "winner"
+        ),
+        F.concat(F.lit("m"), (F.col("o_custkey") % 7).cast("string")).alias(
+            "loser"
+        ),
+    ).filter(F.col("winner") != F.col("loser"))
+    out = corpus.win_rate_pairs(orders).select(
+        "item_a",
+        "item_b",
+        "n_games",
+        "wins_a",
+        stable_round(F.col("win_rate_a"), 8).alias("win_rate_a"),
+        stable_round(F.col("wilson_lo"), 8).alias("wilson_lo"),
+        stable_round(F.col("wilson_hi"), 8).alias("wilson_hi"),
+    )
+    z = 1.959963984540054
+    sql = f"""
+        WITH base AS (
+          SELECT 'm' || CAST(o_orderkey % 7 AS VARCHAR) AS w,
+                 'm' || CAST(o_custkey % 7 AS VARCHAR) AS l
+          FROM orders
+          WHERE 'm' || CAST(o_orderkey % 7 AS VARCHAR)
+                <> 'm' || CAST(o_custkey % 7 AS VARCHAR)
+        ),
+        agg AS (
+          SELECT CASE WHEN w < l THEN w ELSE l END AS item_a,
+                 CASE WHEN w < l THEN l ELSE w END AS item_b,
+                 COUNT(*)::BIGINT AS n_games,
+                 SUM(CASE WHEN w < l THEN 1 ELSE 0 END)::BIGINT AS wins_a
+          FROM base GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT item_a, item_b, n_games, wins_a,
+                 wins_a * 1.0 / n_games AS p,
+                 n_games * 1.0 AS n
+          FROM agg
+        )
+        SELECT item_a, item_b, n_games, wins_a,
+               {sql_round('p', 8)} AS win_rate_a,
+               {sql_round(
+                   f'(p + {z}*{z}/(2*n)) / (1.0 + {z}*{z}/n) '
+                   f'- {z} * sqrt(p*(1-p)/n + {z}*{z}/(4*n*n)) '
+                   f'/ (1.0 + {z}*{z}/n)', 8)} AS wilson_lo,
+               {sql_round(
+                   f'(p + {z}*{z}/(2*n)) / (1.0 + {z}*{z}/n) '
+                   f'+ {z} * sqrt(p*(1-p)/n + {z}*{z}/(4*n*n)) '
+                   f'/ (1.0 + {z}*{z}/n)', 8)} AS wilson_hi
+        FROM m
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []

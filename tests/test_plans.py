@@ -976,6 +976,18 @@ def test_r11_eval_ops_pass_the_plan_lint(spark, oracle_sf_dir):
         "pass_at_k": aggregates.pass_at_k(
             orders.select("id", "y"), "id", "y", ks=(1, 5)
         ),
+        # win-rate matrix: ONE hash agg to the pairs-bounded frame,
+        # Wilson algebra post-agg (r13 addition)
+        "win_rate_pairs": corpus.win_rate_pairs(
+            orders.select(
+                F.concat(F.lit("m"), (F.col("id") % 5).cast("string")).alias(
+                    "winner"
+                ),
+                F.concat(F.lit("m"), (F.col("id") % 3).cast("string")).alias(
+                    "loser"
+                ),
+            ).filter(F.col("winner") != F.col("loser"))
+        ),
         # two one-pass profile aggs + a broadcast equi-join on the
         # bounded column frames
         "profile_diff": aggregates.profile_diff(
