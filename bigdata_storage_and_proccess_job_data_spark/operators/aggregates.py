@@ -4665,6 +4665,104 @@ def fleiss_kappa(
     )
 
 
+def krippendorff_alpha(
+    df,
+    item_col: str,
+    label_col: str,
+    keys: "list[str] | None" = None,
+) -> DataFrame:
+    """Krippendorff's alpha for nominal labels (Krippendorff 2004 ch.
+    11) -- the agreement gate for RAGGED rating designs, exactly where
+    fleiss_kappa abstains: Fleiss requires the same number of ratings
+    per item and EXCLUDES off-design items (reported as coverage);
+    alpha weighs every pairable value, so a crowdsourcing run where
+    items got 2, 3, or 5 ratings is measured whole. Input rows are
+    (item, label) assignments; output one row per key slice:
+
+      (keys..., n_items, n_values, do, de, alpha, coverage)
+
+    with, over PAIRABLE items (n_u >= 2 ratings; singletons carry no
+    agreement information and count only against ``coverage``):
+
+      D_o = (1/N)        * sum_u (n_u^2 - sum_c n_uc^2) / (n_u - 1)
+      D_e = (1/(N(N-1))) * (N^2 - sum_c N_c^2)
+      alpha = 1 - D_o / D_e
+
+    where N = total pairable values and N_c the per-category totals.
+    alpha is NULL when N < 2 or D_e = 0 (one observed category: no
+    disagreement is expected, so none can be measured -- abstention,
+    not a flattering 1.0); an all-singleton keyless input emits one
+    abstention row (n_items 0, alpha NULL, coverage 0.0). Perfect
+    agreement gives exactly 1.0; chance-level labeling sits near 0;
+    systematic disagreement goes negative.
+
+    Scale shape (the fleiss_kappa convention): one hash agg to
+    (item, label) cells -- checkpointed, as is the per-item frame, so
+    the raw ratings are scanned exactly once across the statistic's
+    consumers -- then everything downstream is item- or class-bounded;
+    nothing joins the raw ratings. The KEYLESS final assembly joins
+    three ONE-ROW frames via broadcast cross join (the documented
+    impute_mean waiver class; with keys it is plain equi-joins on the
+    key)."""
+    keys = keys or []
+    nn = F.lit(True)
+    for k in keys:
+        nn = nn & F.col(k).isNotNull()
+    base = df.filter(
+        nn
+        & F.col(item_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    )
+    cell = base.groupBy(
+        *keys, F.col(item_col).alias("_item"), F.col(label_col).alias("_cls")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    # read twice (per-item fold, class totals): checkpoint the bounded
+    # post-agg frames so raw ratings aggregate exactly once
+    cell = cell.localCheckpoint()
+    per_item = cell.groupBy(*keys, "_item").agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_ss"),
+    ).localCheckpoint()
+    pairable = per_item.filter(F.col("_n") >= 2)
+    totals = pairable.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("_n").alias("n_values"),
+        F.sum(
+            (F.col("_n") * F.col("_n") - F.col("_ss"))
+            / (F.col("_n") - 1)
+        ).alias("_do_num"),
+    )
+    cls_tot = (
+        cell.join(
+            pairable.select(*keys, "_item"), keys + ["_item"], "left_semi"
+        )
+        .groupBy(*keys, "_cls")
+        .agg(F.sum("_c").alias("_nc"))
+        .groupBy(*keys)
+        .agg(F.sum(F.col("_nc") * F.col("_nc")).alias("_ss_cls"))
+    )
+    cov = per_item.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n_all"))
+    if keys:
+        joined = totals.join(cls_tot, keys).join(cov, keys)
+    else:
+        joined = totals.join(F.broadcast(cls_tot), F.lit(True)).join(
+            F.broadcast(cov), F.lit(True)
+        )
+    n = F.col("n_values").cast("double")
+    do = F.col("_do_num") / n
+    de = (n * n - F.col("_ss_cls")) / (n * (n - 1))
+    alpha = F.when((n >= 2) & (de > 0), 1 - do / de)
+    return joined.select(
+        *keys,
+        "n_items",
+        "n_values",
+        do.alias("do"),
+        F.when(n >= 2, de).alias("de"),
+        alpha.alias("alpha"),
+        (F.col("n_items") / F.col("_n_all")).alias("coverage"),
+    )
+
+
 def _binary01(col, fn_name: str, col_name: str):
     """Cast to double and fail LOUD on values outside {0, 1} -- the
     shared domain guard for binary-label operators (the bh_adjust /

@@ -1089,6 +1089,17 @@ DRIVER_WINDOW_R13_PLAN = sorted(DRIVER_WINDOW_R11)
 #     plus the eval-ops plan-lint sweep. ONE hash agg; in-plan
 #     self-comparison raise folded into the consumed item_a column
 #     (the bh_adjust pattern).
+#   - aggregates.krippendorff_alpha (nominal Krippendorff 2004 --
+#     the agreement gate for RAGGED designs, weighing every pairable
+#     value exactly where fleiss_kappa's modal filter excludes items;
+#     grep-first: cohen/fleiss exist, no alpha): NEW operator, called
+#     by no registered query; exact hand pins (0 / 1 / 0.5),
+#     first-principles replica, full DuckDB replay on the ragged
+#     fleiss fixture (test_mining.py:
+#     test_krippendorff_alpha_pins_replica_and_parity); fleiss's
+#     checkpoint-the-bounded-frames scan-once shape; keyed form lints
+#     clean, keyless one-row final takes the documented
+#     join_size_report waiver.
 DRIVER_WINDOW_R13 = sorted(
     (
         set(DRIVER_WINDOW_R13_PLAN)

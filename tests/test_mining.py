@@ -4347,3 +4347,127 @@ def test_pass_at_k_pins_and_parity(spark, oracle_sf_dir):
         FROM agg
     """
     assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_krippendorff_alpha_pins_replica_and_parity(spark, oracle_sf_dir):
+    """Krippendorff's alpha, nominal (the ragged-design agreement gate
+    fleiss_kappa abstains on): (1) exact hand pins -- {aa, ab} sits at
+    chance (alpha = 0), {aa, bb} at perfect agreement (1.0), a
+    {aaa, bb, ab, singleton} design computes alpha = 0.5 by hand with
+    coverage 3/4; (2) one observed category abstains (De = 0 -> NULL),
+    as does an all-singleton input (vanishing slice); (3) equals a
+    first-principles python replica on a generated ragged multiset and
+    is a pure function of the row SET; (4) full DuckDB replay on the
+    same ragged per-customer order ratings fleiss_kappa's parity
+    uses -- alpha sees ALL pairable items, not just the modal-n ones."""
+    import math
+
+    def k(rows):
+        df = spark.createDataFrame(rows, "item long, label string")
+        out = aggregates.krippendorff_alpha(df, "item", "label").collect()
+        return out[0] if out else None
+
+    r = k([(1, "a"), (1, "a"), (2, "a"), (2, "b")])
+    assert r.alpha == pytest.approx(0.0)
+    assert r.do == pytest.approx(0.5) and r.de == pytest.approx(0.5)
+    r = k([(1, "a"), (1, "a"), (2, "b"), (2, "b")])
+    assert r.alpha == pytest.approx(1.0)
+    hand = k(
+        [(1, "a"), (1, "a"), (1, "a"), (2, "b"), (2, "b"),
+         (3, "a"), (3, "b"), (4, "c")]
+    )
+    assert hand.alpha == pytest.approx(0.5)
+    assert (hand.n_items, hand.n_values) == (3, 7)
+    assert hand.coverage == pytest.approx(3 / 4)
+    # abstentions: one category -> De = 0 -> NULL; all singletons ->
+    # keyless global agg emits ONE abstention row (nothing pairable,
+    # coverage exactly 0 -- not a flattering 1.0)
+    r = k([(1, "a"), (1, "a"), (2, "a"), (2, "a")])
+    assert r.alpha is None and r.de == 0.0
+    r = k([(1, "a"), (2, "b"), (3, "c")])
+    assert r.n_items == 0 and r.alpha is None and r.coverage == 0.0
+
+    # first-principles replica on a deterministic ragged multiset
+    rows = [
+        (i % 29, f"l{(i * 7 + i // 13) % 4}") for i in range(173)
+    ]
+    df = spark.createDataFrame(rows, "item long, label string")
+    got = aggregates.krippendorff_alpha(df, "item", "label").collect()[0]
+
+    from collections import Counter, defaultdict
+
+    cells: dict[int, Counter] = defaultdict(Counter)
+    for i, lb in rows:
+        cells[i][lb] += 1
+    pair = {i: c for i, c in cells.items() if sum(c.values()) >= 2}
+    N = sum(sum(c.values()) for c in pair.values())
+    do = sum(
+        (sum(c.values()) ** 2 - sum(v * v for v in c.values()))
+        / (sum(c.values()) - 1)
+        for c in pair.values()
+    ) / N
+    nc = Counter()
+    for c in pair.values():
+        nc.update(c)
+    de = (N * N - sum(v * v for v in nc.values())) / (N * (N - 1))
+    assert got.n_values == N
+    assert got.do == pytest.approx(do)
+    assert got.de == pytest.approx(de)
+    assert got.alpha == pytest.approx(1 - do / de)
+    assert got.coverage == pytest.approx(len(pair) / len(cells))
+    re_got = aggregates.krippendorff_alpha(
+        df.repartition(13), "item", "label"
+    ).collect()[0]
+    assert re_got.alpha == got.alpha
+
+    # DuckDB replay on ragged per-customer ratings (the fleiss fixture)
+    ratings = load_table(spark, oracle_sf_dir, "orders").select(
+        F.col("o_custkey").alias("item"),
+        F.col("o_orderpriority").alias("label"),
+    )
+    out = aggregates.krippendorff_alpha(ratings, "item", "label").select(
+        "n_items",
+        "n_values",
+        stable_round(F.col("do"), 6).alias("do"),
+        stable_round(F.col("de"), 6).alias("de"),
+        stable_round(F.col("alpha"), 6).alias("alpha"),
+        stable_round(F.col("coverage"), 6).alias("coverage"),
+    )
+    sql = f"""
+        WITH cell AS (
+          SELECT o_custkey AS item, o_orderpriority AS cls,
+                 COUNT(*) AS c
+          FROM orders GROUP BY 1, 2
+        ),
+        per_item AS (
+          SELECT item, SUM(c) AS n, SUM(c * c) AS ss
+          FROM cell GROUP BY 1
+        ),
+        pairable AS (SELECT * FROM per_item WHERE n >= 2),
+        tot AS (
+          SELECT COUNT(*)::BIGINT AS n_items,
+                 CAST(SUM(n) AS BIGINT) AS n_values,
+                 SUM((n * n - ss) * 1.0 / (n - 1)) AS do_num
+          FROM pairable
+        ),
+        cls_tot AS (
+          SELECT SUM(nc * nc) AS ss_cls FROM (
+            SELECT cls, SUM(c) AS nc
+            FROM cell JOIN pairable USING (item)
+            GROUP BY cls
+          )
+        ),
+        cov AS (SELECT COUNT(*)::BIGINT AS n_all FROM per_item)
+        SELECT n_items, n_values,
+               {sql_round('do_num / n_values', 6)} AS do,
+               {sql_round(
+                   '(n_values * 1.0 * n_values - ss_cls) '
+                   '/ (n_values * 1.0 * (n_values - 1))', 6)} AS de,
+               {sql_round(
+                   '1 - (do_num / n_values) / '
+                   '((n_values * 1.0 * n_values - ss_cls) '
+                   '/ (n_values * 1.0 * (n_values - 1)))', 6)} AS alpha,
+               {sql_round('n_items * 1.0 / n_all', 6)} AS coverage
+        FROM tot, cls_tot, cov
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []

@@ -976,6 +976,21 @@ def test_r11_eval_ops_pass_the_plan_lint(spark, oracle_sf_dir):
         "pass_at_k": aggregates.pass_at_k(
             orders.select("id", "y"), "id", "y", ks=(1, 5)
         ),
+        # krippendorff (keyed): cell agg -> checkpointed bounded
+        # frames, class totals via left-semi on pairable items, final
+        # assembly equi-joins on the key (r13 addition; the keyless
+        # one-row-frames form is waived below, the join_size_report
+        # precedent)
+        "krippendorff_alpha": aggregates.krippendorff_alpha(
+            orders.select(
+                (F.col("id") % 40).alias("item"),
+                "o_orderstatus",
+                "o_orderpriority",
+            ),
+            "item",
+            "o_orderpriority",
+            keys=["o_orderstatus"],
+        ),
         # win-rate matrix: ONE hash agg to the pairs-bounded frame,
         # Wilson algebra post-agg (r13 addition)
         "win_rate_pairs": corpus.win_rate_pairs(
@@ -1034,6 +1049,15 @@ def test_r11_eval_ops_pass_the_plan_lint(spark, oracle_sf_dir):
     )
     assert lint.lint_plan(jsr, allow_bnlj=True) == []
     assert "CartesianProduct" not in jsr._jdf.queryExecution().executedPlan().toString()
+    # KEYLESS krippendorff_alpha shares the same waiver: its final
+    # assembly is three ONE-ROW frames met by broadcast cross joins
+    ka = aggregates.krippendorff_alpha(
+        orders.select((F.col("id") % 40).alias("item"), "o_orderstatus"),
+        "item",
+        "o_orderstatus",
+    )
+    assert lint.lint_plan(ka, allow_bnlj=True) == []
+    assert "CartesianProduct" not in ka._jdf.queryExecution().executedPlan().toString()
 
 
 def test_r11_promoted_query_plan_pins(spark, oracle_sf_dir):
