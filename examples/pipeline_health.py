@@ -24,7 +24,12 @@ round-10 monitoring suite composed end to end:
      segment alarms survive multiple testing
   7. labeling QA: Fleiss' kappa over synthetic multi-annotator ratings,
      majority-vote consensus labels, and the no-gold rater screen that
-     catches the planted adversarial annotator
+     catches the planted adversarial annotator; then the ragged-design
+     rerun (r13) -- Krippendorff's alpha weighs every pairable value
+     where Fleiss' modal filter drops a third of the docs -- and
+     preference QA: disagreements as (winner, loser) games into
+     per-matchup Wilson win rates and Bradley-Terry strengths (the
+     adversarial rater lands last)
   8. model-eval gate (r11): confusion metrics (classification_report),
      per-segment fairness slices vs the pooled rates (disparity_report)
      and the top-decile budget readout (lift_table) for a thresholded
@@ -227,6 +232,60 @@ def main() -> None:
     for rt in sorted(quality):
         print(f"  {rt}: agree_rate={quality[rt]:.3f}")
     assert min(quality, key=quality.get) == "r3"
+
+    # -- 7b. ragged-design agreement + preference QA (r13 wave) -----------
+    # drop every third rating: the design goes ragged, fleiss' modal
+    # filter would exclude the 3-rating docs (coverage < 1), while
+    # krippendorff's alpha weighs every pairable value
+    ragged = ratings.filter(
+        ~((F.col("rater") == "r0") & (F.col("doc_id") % 3 == 1))
+    )
+    ka = aggregates.krippendorff_alpha(ragged, "doc_id", "label").collect()[0]
+    fk_ragged = aggregates.fleiss_kappa(ragged, "doc_id", "label").collect()[0]
+    print("== ragged agreement (every 3rd doc loses rater r0) ==")
+    print(
+        f"  krippendorff alpha={ka.alpha:.3f} over ALL {ka.n_items} "
+        f"pairable docs (coverage={ka.coverage:.2f})"
+    )
+    print(
+        f"  fleiss (modal filter) keeps {fk_ragged.n_items} docs "
+        f"(coverage={fk_ragged.coverage:.2f}) -- alpha sees the rest"
+    )
+    assert ka.coverage > fk_ragged.coverage
+    # pairwise preference QA: consensus-vs-rater judgments as (winner,
+    # loser) games -> per-matchup win rates with Wilson uncertainty,
+    # then Bradley-Terry strengths; the adversarial rater lands last
+    wins = None
+    for i in range(4):
+        ri = ratings.filter(F.col("rater") == f"r{i}").select(
+            "doc_id", F.col("label").alias(f"_l{i}")
+        )
+        wins = ri if wins is None else wins.join(ri, "doc_id")
+    truth = F.when(F.col("doc_id") % 2 == 0, "ham").otherwise("spam")
+    games = None
+    for i in range(4):
+        for j in range(i + 1, 4):
+            gi = wins.filter(
+                (F.col(f"_l{i}") == truth) & (F.col(f"_l{j}") != truth)
+            ).select(F.lit(f"r{i}").alias("winner"), F.lit(f"r{j}").alias("loser"))
+            gj = wins.filter(
+                (F.col(f"_l{j}") == truth) & (F.col(f"_l{i}") != truth)
+            ).select(F.lit(f"r{j}").alias("winner"), F.lit(f"r{i}").alias("loser"))
+            games = gi if games is None else games.unionByName(gi)
+            games = games.unionByName(gj)
+    wr = corpus.win_rate_pairs(games)
+    print("== preference QA (who labels truth when raters disagree?) ==")
+    for r in wr.orderBy("item_a", "item_b").collect():
+        print(
+            f"  {r.item_a} vs {r.item_b}: {r.wins_a}/{r.n_games} "
+            f"wilson=[{r.wilson_lo:.2f}, {r.wilson_hi:.2f}]"
+        )
+    bt = {
+        r.item: r.strength
+        for r in corpus.bradley_terry_fit(games, alpha=1.0).collect()
+    }
+    print("  bradley-terry strengths:", {k: round(v, 3) for k, v in sorted(bt.items())})
+    assert min(bt, key=bt.get) == "r3"
 
     # -- 8. model-eval gate (r11 wave) ------------------------------------
     # a filter model's thresholded predictions, judged three ways before
