@@ -1413,3 +1413,55 @@ def test_bradley_terry_alpha_equivalence_on_generated_tournaments(spark):
         ).collect()
     }
     assert refit == fit
+
+
+def test_krippendorff_alpha_replica_on_generated_ratings(spark):
+    """Property for the r13 agreement gate: on ANY generated ragged
+    (item, label) rating table (unicode labels, singleton items mixed
+    in), krippendorff_alpha equals a first-principles python replica
+    -- pairable units n >= 2 only, D_o from per-unit category counts,
+    D_e from pooled pairable category totals -- D_o and D_e stay in
+    [0, 1], coverage counts exactly the pairable share, and the
+    statistic is a pure function of the row SET."""
+    from collections import Counter, defaultdict
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    texts = _examples(220)
+    rows = [
+        (i % 31, (t[:2] or "_") if i % 6 else "maj")
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "item long, label string")
+    r = aggregates.krippendorff_alpha(df, "item", "label").collect()[0]
+
+    cells: dict[int, Counter] = defaultdict(Counter)
+    for i, lb in rows:
+        cells[i][lb] += 1
+    pair = {i: c for i, c in cells.items() if sum(c.values()) >= 2}
+    assert r.n_items == len(pair)
+    assert r.coverage == pytest.approx(len(pair) / len(cells))
+    if not pair:
+        assert r.alpha is None
+        return
+    N = sum(sum(c.values()) for c in pair.values())
+    assert r.n_values == N
+    do = sum(
+        (sum(c.values()) ** 2 - sum(v * v for v in c.values()))
+        / (sum(c.values()) - 1)
+        for c in pair.values()
+    ) / N
+    nc = Counter()
+    for c in pair.values():
+        nc.update(c)
+    de = (N * N - sum(v * v for v in nc.values())) / (N * (N - 1))
+    assert r.do == pytest.approx(do) and 0.0 <= r.do <= 1.0
+    assert r.de == pytest.approx(de) and 0.0 <= r.de <= 1.0
+    if de > 0:
+        assert r.alpha == pytest.approx(1 - do / de)
+    else:
+        assert r.alpha is None
+    re_r = aggregates.krippendorff_alpha(
+        df.repartition(9), "item", "label"
+    ).collect()[0]
+    assert re_r.alpha == r.alpha
