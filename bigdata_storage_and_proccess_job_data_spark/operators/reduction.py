@@ -292,3 +292,77 @@ def mahalanobis_apply(
     return out.withColumn(
         out_col, F.sqrt(F.greatest(d2, F.lit(0.0)))
     ).drop("_mh_c")
+
+
+def frechet_distance(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str,
+    ridge: float = 0.0,
+) -> dict:
+    """Frechet distance between the Gaussian fits of two embedding
+    sets (Dowson & Landau 1982; applied to learned embeddings this is
+    the FID statistic of Heusel et al. 2017):
+
+      d^2 = |m_a - m_b|^2 + Tr(C_a + C_b - 2 (C_a C_b)^{1/2})
+
+    -- the DISTRIBUTION-level drift gate for embedding columns: a new
+    crawl/source's embedding cloud against the reference corpus.
+    Near-dup and cosine top-k see individual rows; this sees the whole
+    cloud's shape move (a mean shift, a variance collapse, a rotated
+    covariance) even when no single pair is close. Zero iff the two
+    Gaussian fits coincide; symmetric in its arguments.
+
+    Computation: ONE gram_moments pass per side (Arrow-batched numpy
+    partials, bounded driver fold -- nothing data-sized collects),
+    then O(d^3) driver eigendecompositions (the pca_fit/kmeans
+    numpy-replica precedent). The cross term uses the symmetric PSD
+    form Tr((C_a C_b)^{1/2}) = Tr((S C_b S)^{1/2}) with S = C_a^{1/2},
+    so only `eigh` on symmetric matrices is needed (no general sqrtm);
+    tiny negative eigenvalues from fp roundoff are clipped at 0, and
+    the final d^2 is clipped at 0. ``ridge`` adds a diagonal to both
+    covariances before the cross term for aggressively degenerate
+    inputs (rank-deficient clouds, n barely above d).
+
+    Returns a plain-python dict:
+    {"frechet2", "frechet", "mean_term", "trace_term", "n_a", "n_b"}
+    where frechet2 = mean_term + trace_term."""
+    import numpy as np
+
+    if ridge < 0:
+        raise ValueError(f"frechet_distance: ridge must be >= 0: {ridge}")
+
+    def fit(df, side):
+        n, s, g = gram_moments(df, vec_col)
+        if n < 2:
+            raise ValueError(
+                f"frechet_distance: side {side} needs >= 2 vectors, got {n}"
+            )
+        mean = s / n
+        cov = (g - n * np.outer(mean, mean)) / (n - 1)
+        cov = (cov + cov.T) / 2.0 + float(ridge) * np.eye(len(s))
+        return n, mean, cov
+
+    n_a, m_a, c_a = fit(df_a, "a")
+    n_b, m_b, c_b = fit(df_b, "b")
+    if len(m_a) != len(m_b):
+        raise ValueError(
+            f"frechet_distance: dimension mismatch {len(m_a)} vs {len(m_b)}"
+        )
+    diff = m_a - m_b
+    mean_term = float(diff @ diff)
+    wa, va = np.linalg.eigh(c_a)
+    s_a = (va * np.sqrt(np.clip(wa, 0.0, None))) @ va.T
+    inner = s_a @ c_b @ s_a
+    wm = np.linalg.eigvalsh((inner + inner.T) / 2.0)
+    tr_cross = float(np.sqrt(np.clip(wm, 0.0, None)).sum())
+    trace_term = float(np.trace(c_a) + np.trace(c_b) - 2.0 * tr_cross)
+    d2 = max(0.0, mean_term + trace_term)
+    return {
+        "frechet2": d2,
+        "frechet": float(np.sqrt(d2)),
+        "mean_term": mean_term,
+        "trace_term": trace_term,
+        "n_a": int(n_a),
+        "n_b": int(n_b),
+    }

@@ -1100,6 +1100,14 @@ DRIVER_WINDOW_R13_PLAN = sorted(DRIVER_WINDOW_R11)
 #     checkpoint-the-bounded-frames scan-once shape; keyed form lints
 #     clean, keyless one-row final takes the documented
 #     join_size_report waiver.
+#   - reduction.frechet_distance (Frechet/FID distance between two
+#     embedding clouds' Gaussian fits -- the distribution-level drift
+#     gate; grep-first: gram_moments/pca/mahalanobis exist, no
+#     set-vs-set distribution statistic did): NEW operator composing
+#     the existing one-pass gram_moments per side + O(d^3) driver
+#     eigh (the pca_fit/kmeans numpy-replica class, test-grade by the
+#     established convention); closed-form pins + rotation invariance
+#     + replica in test_reduction.py.
 DRIVER_WINDOW_R13 = sorted(
     (
         set(DRIVER_WINDOW_R13_PLAN)

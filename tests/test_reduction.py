@@ -302,3 +302,115 @@ def test_mahalanobis_apply_duckdb_parity(spark, oracle_sf_dir):
         FROM ({inner})
     """
     assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_frechet_distance_closed_forms_and_replica(spark, sf_dir):
+    """Frechet/FID embedding-distribution distance: (1) identical
+    clouds read (numerically) zero; (2) a pure mean shift of the same
+    cloud reads EXACTLY |delta|^2 (covariance terms cancel); (3) on a
+    commuting (diagonal-by-construction) pair the closed form
+    |dm|^2 + sum_i (sqrt(va_i) - sqrt(vb_i))^2 matches; (4) symmetric
+    in its arguments and invariant under a common rotation; (5) equals
+    a first-principles numpy replica on the real embeddings split in
+    two; (6) loud guards: n < 2, dimension mismatch, negative ridge."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # (1) identical
+    r = reduction.frechet_distance(emb, emb, "embedding")
+    assert r["frechet2"] == pytest.approx(0.0, abs=1e-6)
+
+    # (2) pure mean shift: add a constant to one coordinate
+    shifted = emb.withColumn(
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + F.when(i == 0, F.lit(2.5)).otherwise(F.lit(0.0)),
+        ),
+    )
+    r = reduction.frechet_distance(emb, shifted, "embedding")
+    assert r["frechet2"] == pytest.approx(2.5 * 2.5, rel=1e-6)
+    assert r["mean_term"] == pytest.approx(6.25, rel=1e-9)
+    assert abs(r["trace_term"]) < 1e-6
+
+    # (3) commuting diagonal case: 2-d clouds with exactly diagonal
+    # sample covariance by construction (+/- patterns)
+    a = spark.createDataFrame(
+        [([float(sx), 0.0],) for sx in (1, -1, 1, -1)]
+        + [([0.0, float(sy * 2)],) for sy in (1, -1, 1, -1)],
+        "v array<double>",
+    )
+    b = spark.createDataFrame(
+        [([float(sx * 3), 0.0],) for sx in (1, -1, 1, -1)]
+        + [([0.0, float(sy)],) for sy in (1, -1, 1, -1)],
+        "v array<double>",
+    )
+    import numpy as np
+
+    ma = np.array([[1, 0], [-1, 0], [1, 0], [-1, 0],
+                   [0, 2], [0, -2], [0, 2], [0, -2]], dtype=float)
+    mb = np.array([[3, 0], [-3, 0], [3, 0], [-3, 0],
+                   [0, 1], [0, -1], [0, 1], [0, -1]], dtype=float)
+    va = np.var(ma, axis=0, ddof=1)
+    vb = np.var(mb, axis=0, ddof=1)
+    want = float(((np.sqrt(va) - np.sqrt(vb)) ** 2).sum())
+    r = reduction.frechet_distance(a, b, "v")
+    assert r["frechet2"] == pytest.approx(want, rel=1e-9)
+
+    # (4) symmetry + common-rotation invariance on the real embeddings
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    r_ab = reduction.frechet_distance(odd, even, "embedding")
+    r_ba = reduction.frechet_distance(even, odd, "embedding")
+    assert r_ab["frechet2"] == pytest.approx(r_ba["frechet2"], rel=1e-9)
+
+    _, m = _emb_matrix(spark, sf_dir)
+    d = m.shape[1]
+    rng_free = np.eye(d)
+    # deterministic rotation: Householder reflection off a fixed vector
+    u = np.arange(1, d + 1, dtype=float)
+    u /= np.linalg.norm(u)
+    rot = rng_free - 2.0 * np.outer(u, u)
+
+    def rotated(df):
+        rows = [
+            ([float(x) for x in (np.asarray(r.embedding) @ rot)],)
+            for r in df.select("embedding").collect()
+        ]
+        return spark.createDataFrame(rows, "embedding array<double>")
+
+    r_rot = reduction.frechet_distance(
+        rotated(odd), rotated(even), "embedding"
+    )
+    assert r_rot["frechet2"] == pytest.approx(r_ab["frechet2"], rel=1e-6)
+
+    # (5) numpy replica on the odd/even split
+    ids, _ = _emb_matrix(spark, sf_dir)
+    mo, me = m[ids % 2 == 1], m[ids % 2 == 0]
+
+    def replica(x, y):
+        mx, my = x.mean(axis=0), y.mean(axis=0)
+        cx = np.cov(x, rowvar=False, ddof=1)
+        cy = np.cov(y, rowvar=False, ddof=1)
+        w, v = np.linalg.eigh((cx + cx.T) / 2)
+        s = (v * np.sqrt(np.clip(w, 0, None))) @ v.T
+        inner = s @ cy @ s
+        wm = np.linalg.eigvalsh((inner + inner.T) / 2)
+        tr = np.sqrt(np.clip(wm, 0, None)).sum()
+        return float(
+            (mx - my) @ (mx - my) + np.trace(cx) + np.trace(cy) - 2 * tr
+        )
+
+    assert r_ab["frechet2"] == pytest.approx(replica(mo, me), rel=1e-8)
+    assert (r_ab["n_a"], r_ab["n_b"]) == (len(mo), len(me))
+
+    # (6) guards
+    one = spark.createDataFrame([([1.0, 2.0],)], "v array<double>")
+    with pytest.raises(ValueError, match=">= 2 vectors"):
+        reduction.frechet_distance(one, a, "v")
+    three = spark.createDataFrame(
+        [([1.0, 2.0, 3.0],), ([0.0, 0.0, 0.0],)], "v array<double>"
+    )
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        reduction.frechet_distance(a, three, "v")
+    with pytest.raises(ValueError, match="ridge"):
+        reduction.frechet_distance(a, b, "v", ridge=-1.0)
