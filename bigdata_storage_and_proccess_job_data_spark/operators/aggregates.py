@@ -5064,6 +5064,11 @@ def pass_at_k(
     for k in ks:
         if k < 1:
             raise ValueError(f"pass_at_k: every k must be >= 1: {k}")
+        if k > 10_000:
+            # each k costs a k-length fold expression per output row;
+            # sampled-eval k is tens-to-hundreds, so an unbounded k is
+            # a misuse (and 1 - pass@k underflows double long before)
+            raise ValueError(f"pass_at_k: k too large (max 10000): {k}")
     y = _binary01(F.col(correct_col), "pass_at_k", correct_col)
     agg = (
         df.filter(F.col(correct_col).isNotNull())

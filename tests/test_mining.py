@@ -4318,6 +4318,8 @@ def test_pass_at_k_pins_and_parity(spark, oracle_sf_dir):
         aggregates.pass_at_k(df, "problem", "ok", ks=())
     with pytest.raises(ValueError, match=">= 1"):
         aggregates.pass_at_k(df, "problem", "ok", ks=(1, 0))
+    with pytest.raises(ValueError, match="too large"):
+        aggregates.pass_at_k(df, "problem", "ok", ks=(20_000,))
 
     # full replay: problems = custkey buckets, correct = key-derived
     orders = load_table(spark, oracle_sf_dir, "orders").select(
