@@ -1585,8 +1585,11 @@ def profile_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs beside table_diff's row-level one. Scale shape: one
     profile aggregation per side (sibling conditional sums per column,
     exact distincts here; approx_count_distinct is the stated scale
-    default), then a broadcast full-outer join on the BOUNDED per-column
-    frames. flags flatten to CSV for the driver's scalar hash. Oracle
+    default), then ONE full-outer sort-merge join on the BOUNDED
+    per-column frames (columns x 1 rows a side; full outer cannot
+    broadcast in Spark -- the SMJ inputs are column-count-sized, so
+    the sort is free). flags flatten to CSV for the driver's scalar
+    hash. Plan pinned in test_r13_promoted_query_plan_pins. Oracle
     lifted verbatim from the parity test that guarded this surface since
     r11 (tests/test_mining.py:test_profile_diff_statuses_and_parity)."""
     from bigdata_storage_and_proccess_job_data_spark.operators import aggregates

@@ -1158,6 +1158,55 @@ def test_r12_promoted_query_plan_pins(spark, oracle_sf_dir):
         assert "o_orderstatus" in keys, p
 
 
+def test_r13_promoted_query_plan_pins(spark, oracle_sf_dir):
+    """Physical-plan pins for the three queries promoted in r13:
+
+    - classification_report: ONE pruned scan, ONE conditional hash agg
+      (partial+final pair), keyed on the slice throughout -- no joins,
+      no windows, no SinglePartition.
+    - merge_intervals: ONE pruned scan, the island window + island agg
+      both keyed on o_orderstatus -- no joins, no SinglePartition.
+    - profile_diff: exactly TWO scans (old vs mutated snapshot --
+      two-sided by construction, the table_diff class), exactly ONE
+      full-outer SortMergeJoin on the BOUNDED per-column frames (full
+      outer cannot broadcast; its inputs are column-count-sized), and
+      at most the two one-row per-side profile finals as
+      SinglePartition exchanges."""
+    import re
+
+    def plan(name):
+        return (
+            QS[name]
+            .fn(spark, oracle_sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p = plan("classification_report")
+    assert p.count("FileScan") == 1, p
+    assert "Exchange SinglePartition" not in p
+    assert "Join" not in p and "Window" not in p
+    assert set(re.findall(r"hashpartitioning\((\w+)", p)) == {
+        "o_orderstatus"
+    }
+
+    p = plan("merge_intervals")
+    assert p.count("FileScan") == 1, p
+    assert "Exchange SinglePartition" not in p
+    assert "Join" not in p
+    assert set(re.findall(r"hashpartitioning\((\w+)", p)) == {
+        "o_orderstatus"
+    }
+
+    p = plan("profile_diff")
+    assert p.count("FileScan") == 2, p
+    assert p.count("SortMergeJoin") == 1, p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange SinglePartition") <= 2, p
+
+
 def test_scan_once_pins(spark, oracle_sf_dir):
     """Duplicate-scan regression pins (the r12 audit): a branching
     dataflow that forgets to checkpoint its shared post-agg frame
