@@ -34,6 +34,9 @@ round-10 monitoring suite composed end to end:
      per-segment fairness slices vs the pooled rates (disparity_report)
      and the top-decile budget readout (lift_table) for a thresholded
      filter model, all from deterministic key-derived scores
+  9. embedding-distribution drift gate (r13): frechet/FID distance
+     between two clouds' Gaussian fits -- near zero on a
+     same-distribution split, loud on a planted mean shift
 
 Every gate is one or two hash aggregations over bounded frames; the raw
 tables never join each other except the one keyed diff. Nothing wider
@@ -327,6 +330,33 @@ def main() -> None:
         f"captures {top[1].cum_capture:.1%} of positives "
         f"(random would capture 10%)"
     )
+
+    # -- 9. embedding-distribution drift gate (r13) ------------------------
+    # frechet/FID distance between two embedding clouds' Gaussian fits:
+    # a same-distribution split reads near zero, a planted mean shift
+    # reads ~|delta|^2 -- the gate that fires when a new source's
+    # embedding cloud lands somewhere else entirely, even though no
+    # individual pair is a near-dup
+    from bigdata_storage_and_proccess_job_data_spark.operators import reduction
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    same = emb.filter(F.col("vec_id") % 2 == 1)
+    shifted = same.withColumn(
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + F.when(i < 4, F.lit(1.0)).otherwise(F.lit(0.0)),
+        ),
+    )
+    ok = reduction.frechet_distance(ref, same, "embedding")
+    bad = reduction.frechet_distance(ref, shifted, "embedding")
+    print("== embedding drift gate (frechet^2 between cloud fits) ==")
+    print(
+        f"  same distribution: {ok['frechet2']:.4f}   "
+        f"planted 4-dim shift: {bad['frechet2']:.4f}"
+    )
+    assert bad["frechet2"] > 10 * max(ok["frechet2"], 1e-9)
 
     spark.stop()
     print("pipeline health: all gates evaluated")
