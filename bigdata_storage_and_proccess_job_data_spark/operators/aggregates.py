@@ -5102,6 +5102,81 @@ def pass_at_k(
     )
 
 
+def mcnemar_test(
+    df,
+    a_col: str,
+    b_col: str,
+    keys: "list[str] | None" = None,
+) -> DataFrame:
+    """McNemar's paired test (McNemar 1947) -- the "did model B
+    actually beat model A" significance gate the eval family needed:
+    classification_report grades each model alone, pass_at_k grades
+    sampled generation, THIS asks whether two models' per-item
+    correctness on the SAME eval set differs beyond chance. Input rows
+    are paired binary outcomes (one row per eval item; ``a_col`` /
+    ``b_col`` = each model's correctness, 0/1 via the shared _binary01
+    loud guard). Only DISCORDANT items carry signal: with b = items
+    only B got right and a = items only A got right,
+
+      statistic           = (b - a)^2 / (a + b)          ~ chi2(1)
+      statistic_corrected = (|b - a| - 1)^2 / (a + b)    (Edwards CC)
+
+    Returns one row per key slice: (keys..., n, both_right,
+    both_wrong, a_only, b_only, accuracy_a, accuracy_b, statistic,
+    statistic_corrected). Following the chi_square convention the
+    p-value lookup stays with the caller (chi2(1): 3.841 = p 0.05,
+    6.635 = p 0.01); both statistics are NULL when there are no
+    discordant items (the models are indistinguishable on the slice --
+    abstention, not significance), and the corrected form is also NULL
+    when |b - a| < 1 would drive it negative (it is a small-count
+    guard, not a statistic of its own there). Rows with a NULL on
+    either side are excluded (unscored is not wrong); a NULL key is a
+    real slice.
+
+    Scale shape: ONE conditional hash aggregate over one scan -- all
+    four concordance cells are sibling sums, the classification_report
+    form; the statistics are closed-form column algebra on the
+    post-agg frame."""
+    keys = keys or []
+    a = _binary01(F.col(a_col), "mcnemar_test", a_col)
+    b = _binary01(F.col(b_col), "mcnemar_test", b_col)
+    base = df.filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).select(*keys, (a == 1).alias("_a"), (b == 1).alias("_b"))
+    cell = lambda x, y: F.sum(  # noqa: E731
+        ((F.col("_a") == x) & (F.col("_b") == y)).cast("long")
+    )
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        cell(True, True).alias("both_right"),
+        cell(False, False).alias("both_wrong"),
+        cell(True, False).alias("a_only"),
+        cell(False, True).alias("b_only"),
+    )
+    ao, bo = F.col("a_only").cast("double"), F.col("b_only").cast("double")
+    disc = ao + bo
+    diff = F.abs(bo - ao)
+    return agg.select(
+        *keys,
+        "n",
+        "both_right",
+        "both_wrong",
+        "a_only",
+        "b_only",
+        ((F.col("both_right") + F.col("a_only")) / F.col("n")).alias(
+            "accuracy_a"
+        ),
+        ((F.col("both_right") + F.col("b_only")) / F.col("n")).alias(
+            "accuracy_b"
+        ),
+        F.when(disc > 0, diff * diff / disc).alias("statistic"),
+        F.when(
+            (disc > 0) & (diff >= 1),
+            (diff - 1) * (diff - 1) / disc,
+        ).alias("statistic_corrected"),
+    )
+
+
 def profile_diff(
     old,
     new,

@@ -1100,6 +1100,14 @@ DRIVER_WINDOW_R13_PLAN = sorted(DRIVER_WINDOW_R11)
 #     checkpoint-the-bounded-frames scan-once shape; keyed form lints
 #     clean, keyless one-row final takes the documented
 #     join_size_report waiver.
+#   - aggregates.mcnemar_test (McNemar 1947 paired-model significance
+#     gate on shared eval items; grep-first: chi_square tests
+#     INDEPENDENCE of two categoricals, no paired marginal-homogeneity
+#     test existed): NEW operator, called by no registered query;
+#     textbook pin + abstention edges + full DuckDB replay parity
+#     (test_mining.py:test_mcnemar_test_pins_and_parity) + the
+#     eval-ops plan-lint sweep. ONE conditional hash agg, the
+#     classification_report form.
 #   - reduction.frechet_distance (Frechet/FID distance between two
 #     embedding clouds' Gaussian fits -- the distribution-level drift
 #     gate; grep-first: gram_moments/pca/mahalanobis exist, no

@@ -4473,3 +4473,108 @@ def test_krippendorff_alpha_pins_replica_and_parity(spark, oracle_sf_dir):
         FROM tot, cls_tot, cov
     """
     assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []
+
+
+def test_mcnemar_test_pins_and_parity(spark, oracle_sf_dir):
+    """McNemar paired-model gate: (1) textbook pin -- the classic
+    59/6/16/80 discordant table gives statistic (16-6)^2/22 = 4.545
+    and corrected (10-1)^2/22 = 3.682; (2) no discordant items ->
+    NULL statistics (indistinguishable models abstain); (3) |b-a| < 1
+    never drives the corrected form negative; (4) NULL rows excluded,
+    out-of-domain fails loud; (5) accuracies recompute from the cells;
+    (6) full DuckDB replay on orders per status with key-derived
+    paired outcomes."""
+    rows = (
+        [(1.0, 1.0)] * 59 + [(0.0, 0.0)] * 80
+        + [(1.0, 0.0)] * 6 + [(0.0, 1.0)] * 16
+        + [(None, 1.0), (1.0, None)]
+    )
+    df = spark.createDataFrame(rows, "a double, b double")
+    r = aggregates.mcnemar_test(df, "a", "b").collect()[0]
+    assert (r.n, r.both_right, r.both_wrong, r.a_only, r.b_only) == (
+        161, 59, 80, 6, 16
+    )
+    assert r.statistic == pytest.approx((16 - 6) ** 2 / 22)
+    assert r.statistic_corrected == pytest.approx((10 - 1) ** 2 / 22)
+    assert r.accuracy_a == pytest.approx(65 / 161)
+    assert r.accuracy_b == pytest.approx(75 / 161)
+
+    # concordant-only: abstain
+    conc = spark.createDataFrame(
+        [(1.0, 1.0)] * 3 + [(0.0, 0.0)] * 2, "a double, b double"
+    )
+    rc = aggregates.mcnemar_test(conc, "a", "b").collect()[0]
+    assert rc.statistic is None and rc.statistic_corrected is None
+    # tie on discordant counts: raw statistic exactly 0, corrected NULL
+    # (|b-a| = 0 < 1)
+    tie = spark.createDataFrame(
+        [(1.0, 0.0), (0.0, 1.0)], "a double, b double"
+    )
+    rt = aggregates.mcnemar_test(tie, "a", "b").collect()[0]
+    assert rt.statistic == 0.0 and rt.statistic_corrected is None
+    with pytest.raises(Exception, match="outside"):
+        aggregates.mcnemar_test(
+            spark.createDataFrame([(0.5, 1.0)], "a double, b double"),
+            "a",
+            "b",
+        ).collect()
+
+    orders = load_table(spark, oracle_sf_dir, "orders").select(
+        "o_orderstatus",
+        (F.col("o_orderkey") % 3 == 0).cast("double").alias("a"),
+        (F.col("o_orderkey") % 5 == 0).cast("double").alias("b"),
+    )
+    out = aggregates.mcnemar_test(
+        orders, "a", "b", keys=["o_orderstatus"]
+    ).select(
+        "o_orderstatus",
+        "n",
+        "both_right",
+        "both_wrong",
+        "a_only",
+        "b_only",
+        stable_round(F.col("accuracy_a"), 8).alias("accuracy_a"),
+        stable_round(F.col("accuracy_b"), 8).alias("accuracy_b"),
+        stable_round(F.col("statistic"), 8).alias("statistic"),
+        stable_round(F.col("statistic_corrected"), 8).alias(
+            "statistic_corrected"
+        ),
+    )
+    sql = f"""
+        WITH base AS (
+          SELECT o_orderstatus AS k,
+                 (o_orderkey % 3 = 0) AS a,
+                 (o_orderkey % 5 = 0) AS b
+          FROM orders
+        ),
+        c AS (
+          SELECT k, COUNT(*)::BIGINT AS n,
+                 SUM(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT
+                   AS both_right,
+                 SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT
+                   AS both_wrong,
+                 SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT
+                   AS a_only,
+                 SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT
+                   AS b_only
+          FROM base GROUP BY k
+        )
+        SELECT k AS o_orderstatus, n, both_right, both_wrong, a_only,
+               b_only,
+               {sql_round('(both_right + a_only) * 1.0 / n', 8)}
+                 AS accuracy_a,
+               {sql_round('(both_right + b_only) * 1.0 / n', 8)}
+                 AS accuracy_b,
+               {sql_round(
+                   'CASE WHEN a_only + b_only > 0 THEN '
+                   'ABS(b_only - a_only) * 1.0 * ABS(b_only - a_only) '
+                   '/ (a_only + b_only) END', 8)} AS statistic,
+               {sql_round(
+                   'CASE WHEN a_only + b_only > 0 '
+                   'AND ABS(b_only - a_only) >= 1 THEN '
+                   '(ABS(b_only - a_only) - 1.0) '
+                   '* (ABS(b_only - a_only) - 1.0) '
+                   '/ (a_only + b_only) END', 8)} AS statistic_corrected
+        FROM c
+    """
+    assert compare(out, duckdb_connect(oracle_sf_dir), sql) == []

@@ -976,6 +976,14 @@ def test_r11_eval_ops_pass_the_plan_lint(spark, oracle_sf_dir):
         "pass_at_k": aggregates.pass_at_k(
             orders.select("id", "y"), "id", "y", ks=(1, 5)
         ),
+        # mcnemar: ONE conditional hash agg, closed-form algebra
+        # post-agg (r13 addition)
+        "mcnemar_test": aggregates.mcnemar_test(
+            orders.select("o_orderstatus", "y", "p"),
+            "y",
+            "p",
+            keys=["o_orderstatus"],
+        ),
         # krippendorff (keyed): cell agg -> checkpointed bounded
         # frames, class totals via left-semi on pairable items, final
         # assembly equi-joins on the key (r13 addition; the keyless
