@@ -330,6 +330,27 @@ def main() -> None:
         f"captures {top[1].cum_capture:.1%} of positives "
         f"(random would capture 10%)"
     )
+    # paired significance (r13): challenger = the same model with a
+    # shifted threshold, judged on the SAME items -- McNemar's
+    # discordant-pairs statistic decides if the accuracy delta is
+    # real or noise before anyone swaps models
+    paired = orders_m.select(
+        (F.col("pred") == F.col("y")).cast("double").alias("right_a"),
+        ((F.col("score") > 0.4).cast("double") == F.col("y"))
+        .cast("double")
+        .alias("right_b"),
+    )
+    mn = aggregates.mcnemar_test(paired, "right_a", "right_b").collect()[0]
+    verdict = (
+        "significant at 0.05"
+        if mn.statistic is not None and mn.statistic > 3.841
+        else "not significant"
+    )
+    print(
+        f"  challenger threshold 0.4 vs 0.5: acc {mn.accuracy_a:.3f} -> "
+        f"{mn.accuracy_b:.3f}, discordant {mn.a_only}+{mn.b_only}, "
+        f"mcnemar={mn.statistic:.2f} ({verdict})"
+    )
 
     # -- 9. embedding-distribution drift gate (r13) ------------------------
     # frechet/FID distance between two embedding clouds' Gaussian fits:
