@@ -4691,8 +4691,11 @@ def krippendorff_alpha(
     where N = total pairable values and N_c the per-category totals.
     alpha is NULL when N < 2 or D_e = 0 (one observed category: no
     disagreement is expected, so none can be measured -- abstention,
-    not a flattering 1.0); an all-singleton keyless input emits one
-    abstention row (n_items 0, alpha NULL, coverage 0.0). Perfect
+    not a flattering 1.0); an all-singleton input emits an abstention
+    row (n_items 0, alpha NULL, coverage 0.0) -- one row keyless, and
+    one row PER all-singleton key slice in the keyed form (the keyed
+    assembly drives from the all-slices coverage frame with left
+    joins, so no slice vanishes; r13 ADVICE). Perfect
     agreement gives exactly 1.0; chance-level labeling sits near 0;
     systematic disagreement goes negative.
 
@@ -4743,7 +4746,13 @@ def krippendorff_alpha(
     )
     cov = per_item.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n_all"))
     if keys:
-        joined = totals.join(cls_tot, keys).join(cov, keys)
+        # drive the assembly from cov -- the one frame with EVERY key
+        # slice -- via LEFT joins: a slice whose items are all
+        # singletons has no totals/cls_tot row, and an inner join
+        # would make it vanish instead of emitting the documented
+        # abstention row (n_items 0, alpha NULL, coverage 0.0) the
+        # keyless path produces (r13 ADVICE)
+        joined = cov.join(totals, keys, "left").join(cls_tot, keys, "left")
     else:
         joined = totals.join(F.broadcast(cls_tot), F.lit(True)).join(
             F.broadcast(cov), F.lit(True)
@@ -4752,14 +4761,15 @@ def krippendorff_alpha(
     do = F.col("_do_num") / n
     de = (n * n - F.col("_ss_cls")) / (n * (n - 1))
     alpha = F.when((n >= 2) & (de > 0), 1 - do / de)
+    n_items = F.coalesce(F.col("n_items"), F.lit(0).cast("long"))
     return joined.select(
         *keys,
-        "n_items",
+        n_items.alias("n_items"),
         "n_values",
         do.alias("do"),
         F.when(n >= 2, de).alias("de"),
         alpha.alias("alpha"),
-        (F.col("n_items") / F.col("_n_all")).alias("coverage"),
+        (n_items / F.col("_n_all")).alias("coverage"),
     )
 
 
@@ -5058,6 +5068,11 @@ def pass_at_k(
     second pass). try_divide keeps the fold total even if an
     engine evaluates a guarded branch speculatively (the ANSI
     division-in-aggregate rule)."""
+    for k in ks:
+        # fail loud like the other guards -- int(2.7) would silently
+        # compute pass@2 (r13 ADVICE)
+        if int(k) != k:
+            raise ValueError(f"pass_at_k: every k must be an integer: {k}")
     ks = list(dict.fromkeys(int(k) for k in ks))
     if not ks:
         raise ValueError("pass_at_k: ks must be non-empty")

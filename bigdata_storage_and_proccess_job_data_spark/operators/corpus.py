@@ -2701,7 +2701,12 @@ def bradley_terry_fit(
     pair counts (bounded by items^2 once the guard passed), the MM
     loop runs driver-side in pure Python over that model-sized frame,
     and the returned strengths frame is items-bounded -- broadcast it
-    back onto anything."""
+    back onto anything. The pre-flight is a SECOND full scan of
+    ``comparisons`` plus a distinct shuffle on every call, paid even
+    on well-bounded inputs -- the deliberate price of failing loud
+    before the collect rather than after (r13 ADVICE records the
+    trade; cache/checkpoint the comparisons frame upstream if the
+    double scan matters)."""
     if max_items < 2:
         raise ValueError(f"max_items must be >= 2: {max_items}")
     if alpha < 0:

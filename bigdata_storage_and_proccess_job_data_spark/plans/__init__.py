@@ -1200,6 +1200,103 @@ DRIVER_WINDOW_R14_PLAN = sorted(
 #     by sql_surface_nation_sales / nation_revenue_share.
 # Every promotion needs its retirement recorded in registry.RETIRED
 # per the saturation rule.
+# EXECUTED r14: all four picks, exactly as pinned --
+# knn_ivfpq <- knn_pq, knn_sq8 <- knn_brute_force,
+# join_size_report <- skew_distinct_naive (naive bench twin moved to
+# plans/bench_probes.py in the same commit, benched under the same
+# entry name), balanced_shards <- region_rollup. All four retirees were
+# IN-plan (R14_PLAN), so nothing further was displaced. TWO rationale
+# corrections caught at execution time (the r13 re-verify precedent),
+# recorded in the registry.RETIRED notes: (a) brute_force_topk is NOT
+# literally "the rerank stage of hard_negatives/knn_sq8" -- those paths
+# share its broadcast-scorer shape and _rank_topk tail but do not call
+# the function; function-level coverage is knn_arrow (byte-identical
+# oracle) + ann_recall (direct call). (b) grouping_sets_mix's explicit
+# sets are the two DISJOINT margins, not "the rollup chain"; the
+# chain containment comes from cube_segment_priority's CUBE.
+
+# The round-14 driver window: the pinned R14 obligation with the four
+# executed ledger swaps applied (every retiree sat inside R14_PLAN, so
+# the swap is 1:1 and nothing else moved).
+DRIVER_WINDOW_R14 = sorted(
+    (
+        set(DRIVER_WINDOW_R14_PLAN)
+        - {
+            "knn_pq",
+            "knn_brute_force",
+            "skew_distinct_naive",
+            "region_rollup",
+        }
+    )
+    | {
+        "knn_ivfpq",
+        "knn_sq8",
+        "join_size_report",
+        "balanced_shards",
+    }
+)
+
+# Round-15 obligation, pinned NOW: the exact complement of
+# DRIVER_WINDOW_R14 in the post-r14 registry. All four r14 retirees
+# were in-plan, so the complement is just the r13 window carried
+# forward unchanged. test_plans.py asserts R14 ∪ R15_PLAN == registry,
+# R14 ∩ R15_PLAN == ∅.
+DRIVER_WINDOW_R15_PLAN = sorted(DRIVER_WINDOW_R13)
+
+# R15 promotion priorities (builder's note for the next curation pass,
+# the executed-R10..R14 precedent), plus the PARKED-POOL POLICY the r13
+# verdict asked for (What's wrong #2).
+#
+# Policy for the oracle-grade parked pool (operators with full DuckDB
+# replay parity but no driver row), so the queue is governed rather
+# than unbounded:
+# - PERMANENTLY test-grade by convention (never ledger candidates):
+#   frechet_distance (driver eigh -- the kmeans/pca numpy-replica
+#   class, not SQL-expressible end-to-end); containment_pairs and
+#   ngram_overlap (the near-dup family already holds four driver rows
+#   -- minhash/simhash/embedding/semantic -- plus neardup_clusters; a
+#   fifth row re-checks machinery those rows already hash-check, so
+#   these two stay at full-replay-parity test grade).
+# - QUEUED with named targets (promotion order): r15 takes pass_at_k
+#   and krippendorff_alpha (below); win_rate_pairs is the named R16
+#   eval pick (natural retiree: bootstrap_ci -- both are uncertainty
+#   intervals on an eval aggregate; Wilson is the closed-form one-agg
+#   scale path, and the md5-deterministic resample machinery keeps its
+#   full parity tests in test_mining.py); mcnemar_test and lift_table /
+#   disparity_report queue behind it for r16+ as slots open.
+#
+# R15 ledger -- two promotions, both verified-registered retirees at
+# pin time:
+# (1) pass_at_k (operators/aggregates.py:5026 -- the eval family's
+#     first driver row, the r13 verdict's highest-information pick:
+#     bit-exact DuckDB list_reduce ordered-fold replay, a new estimator
+#     class for the registry; full replay parity in
+#     tests/test_mining.py:test_pass_at_k_pins_and_parity).
+#     Retirement: bm25_search (VERIFIED registered, IN R15_PLAN -- no
+#     displacement): hybrid_search's oracle replays the ENTIRE BM25
+#     stage (same tokenize/tf/df/score CTE chain, same query terms,
+#     top-50 vs top-20) before its rerank, so BM25 scoring stays
+#     hash-checked every time hybrid_search rows; ranking.bm25_topk
+#     keeps its direct parity tests and the _bm25_lazy plan probe
+#     rides hybrid_search.
+# (2) krippendorff_alpha (operators/aggregates.py:4746 -- the
+#     labeling-QA family's ragged-design generalization; full replay
+#     parity at test_mining.py:4354 + Hypothesis replica at
+#     test_properties.py:1418). Retirement: fleiss_kappa (VERIFIED
+#     registered; OUT of R15_PLAN -- it sits in the r14 window -- so
+#     executing this pick displaces ONE in-plan query to R16_PLAN; pin
+#     the displaced query as bootstrap_ci so it DOUBLES as the named
+#     R16 retiree for win_rate_pairs, the event_paths_top trick):
+#     alpha on complete nominal designs measures the same
+#     chance-corrected multi-rater agreement as Fleiss' kappa and
+#     degenerates to near-identical values there (the kn_surprisal <-
+#     bigram_surprisal "weaker member of the same family" pattern,
+#     this time with the retiree's exact statistic staying fully
+#     parity-tested in test_mining.py); consensus_labels keeps the
+#     family's winner-window driver row.
+# Every promotion needs its retirement recorded in registry.RETIRED
+# per the saturation rule; RE-VERIFY this prose at execution time (the
+# r13/r14 precedent: five rationale errors caught across two rounds).
 
 # R10 promotion priorities (builder's note for the next curation
 # pass, the executed-R9 precedent): of the restart wave's
@@ -1663,4 +1760,4 @@ DRIVER_WINDOW_R3 = [
     "impute_mean",  # A9/X2
 ]
 
-set_driver_order(DRIVER_WINDOW_R13)
+set_driver_order(DRIVER_WINDOW_R14)

@@ -66,42 +66,16 @@ def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Rollup (hierarchical subtotals)
 # ---------------------------------------------------------------------------
-@register(
-    "region_rollup",
-    tags=("agg", "rollup"),
-    oracle=f"""
-        SELECT r_name AS region, n_name AS country,
-               COUNT(c_custkey)               AS customer_count,
-               {sql_round("SUM(c_acctbal)", 2)}   AS total_balance
-        FROM customer
-        JOIN nation ON c_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        GROUP BY ROLLUP (r_name, n_name)
-    """,
-)
-def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP(region, country): per-country rows + per-region subtotals +
-    grand total in one pass (SURVEY.md §2.6: grouping sets absent from
-    the reference). Spark expands to grouping sets before the hash agg."""
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    joined = customer.join(
-        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
-    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-    return (
-        joined.select(
-            F.col("r_name").alias("region"),
-            F.col("n_name").alias("country"),
-            "c_custkey",
-            "c_acctbal",
-        )
-        .rollup("region", "country")
-        .agg(
-            F.count("c_custkey").alias("customer_count"),
-            stable_round(F.sum("c_acctbal"), 2).alias("total_balance"),
-        )
-    )
+# region_rollup RETIRED r14 (registry.RETIRED["region_rollup"], the R14
+# ledger's balanced_shards slot): ROLLUP's grouping-set expansion
+# (Expand + hash agg + grouping-id NULL levels) stays plan-and-value
+# hash-checked every rotation by cube_segment_priority (CUBE strictly
+# contains the ROLLUP levels) and grouping_sets_mix (the explicit
+# GROUPING SETS Expand surface), and the broadcast dim-chain join by
+# sql_surface_nation_sales / nation_revenue_share. The exact
+# ROLLUP(region, country) shape stays value-tested in
+# tests/test_analytics.py:test_rollup_has_subtotals_and_grand_total.
+# The query was inline -- no operator code removed.
 
 
 # ---------------------------------------------------------------------------
@@ -1785,24 +1759,15 @@ def _line_uid() -> "F.Column":
     )
 
 
-@register(
-    "skew_distinct_naive",
-    headline=True,
-    tags=("agg", "skew", "distinct"),
-    oracle=_SKEW_DISTINCT_ORACLE,
-)
-def skew_distinct_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct-line-uid count per company, written the way users
-    write it: groupBy(key).agg(size(collect_set(v))). Correct, but the
-    hot key's every distinct value funnels through ONE reducer's set
-    buffer -- the partial sets of all map tasks merge in a single task.
-    Benchmarked (headline) against skew_distinct_spread on the same
-    Zipf key to measure what the rewrite buys (VERDICT r4 #6); at
-    100 TB this shape is an OOM, kept here as the measured baseline."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy(_zipf_company().alias("company")).agg(
-        F.size(F.collect_set(_line_uid())).cast("long").alias("n_line_uids")
-    )
+# skew_distinct_naive RETIRED r14 (registry.RETIRED
+# ["skew_distinct_naive"], the R14 ledger's join_size_report slot): its
+# oracle was BYTE-IDENTICAL to skew_distinct_spread's
+# (_SKEW_DISTINCT_ORACLE above is shared), so the exact distinct counts
+# stay hash-checked every time the spread twin rows. The naive/
+# optimized MEASURED-TWIN convention survives the retirement: the naive
+# probe moved to plans/bench_probes.py (bench-only, the point_lookup
+# precedent) in the same commit, still benched under the same
+# "skew_distinct_naive" entry name so BENCH history stays comparable.
 
 
 @register(
@@ -1827,6 +1792,92 @@ def skew_distinct_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         _line_uid(),
         key_name="company",
         out="n_line_uids",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join planning: exact join-size + hot-key-share pre-flight -- promoted
+# r14 (the pinned R14 ledger, VERDICT r13 #1)
+# ---------------------------------------------------------------------------
+@register(
+    "join_size_report",
+    tags=("join", "skew", "agg"),
+    oracle=f"""
+        WITH f AS (
+          SELECT CASE WHEN o_orderkey % 7 = 0
+                      THEN o_custkey + 1000000
+                      ELSE o_custkey END AS k
+          FROM orders
+        ),
+        lk AS (SELECT k, COUNT(*) AS c FROM f GROUP BY k),
+        rk AS (SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY 1),
+        ls AS (
+          SELECT COALESCE(SUM(c), 0)::BIGINT AS n_left,
+                 COALESCE(SUM(CASE WHEN k IS NULL THEN c END), 0)::BIGINT
+                   AS n_left_null_key,
+                 COUNT(CASE WHEN k IS NOT NULL THEN 1 END)::BIGINT
+                   AS n_left_keys
+          FROM lk
+        ),
+        rs AS (
+          SELECT COALESCE(SUM(c), 0)::BIGINT AS n_right,
+                 COALESCE(SUM(CASE WHEN k IS NULL THEN c END), 0)::BIGINT
+                   AS n_right_null_key,
+                 COUNT(CASE WHEN k IS NOT NULL THEN 1 END)::BIGINT
+                   AS n_right_keys
+          FROM rk
+        ),
+        ms AS (
+          SELECT COUNT(*)::BIGINT AS n_matched_keys,
+                 COALESCE(SUM(lk.c * rk.c), 0)::BIGINT AS n_out_inner,
+                 COALESCE(MAX(lk.c * rk.c), 0)::BIGINT AS max_key_out
+          FROM lk JOIN rk USING (k)
+          WHERE k IS NOT NULL
+        )
+        SELECT n_left, n_right, n_left_null_key, n_right_null_key,
+               n_left_keys, n_right_keys, n_matched_keys, n_out_inner,
+               max_key_out,
+               {sql_round(
+                   'CASE WHEN n_out_inner > 0 '
+                   'THEN max_key_out * 1.0 / n_out_inner END', 8
+               )} AS top_share
+        FROM ls, rs, ms
+    """,
+)
+def join_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inner-join size + hot-key-share pre-flight
+    (operators/joins.py:join_size_report) over orders x customer with
+    ~1/7 of the fk values perturbed into planted orphans: computes
+    EXACTLY how many rows the equi-join would emit (sum over matched
+    keys of cl*cr), NULL-key counts per side, and the hottest key's
+    output share -- the number AQE only learns mid-query, read BEFORE
+    the shuffle to pick broadcast vs salt vs bucket. Report ==
+    executed-join equality, empty-side zero semantics, and full DuckDB
+    replay are pinned in
+    tests/test_joins.py:test_join_size_report_exactness_and_parity
+    (same oracle). Scale shape: one key-grain hash agg per side, one
+    equi-join of the two DISTINCT key frames (payloads never move),
+    three bounded one-row aggregates met by one-row broadcast cross
+    joins (the impute_mean waiver class)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import joins
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_custkey") + 1_000_000
+        ).otherwise(F.col("o_custkey")).alias("fk")
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    return joins.join_size_report(orders, customer, "fk", "c_custkey").select(
+        "n_left",
+        "n_right",
+        "n_left_null_key",
+        "n_right_null_key",
+        "n_left_keys",
+        "n_right_keys",
+        "n_matched_keys",
+        "n_out_inner",
+        "max_key_out",
+        stable_round(F.col("top_share"), 8).alias("top_share"),
     )
 
 

@@ -379,10 +379,35 @@ def cow_delete_fragmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skew_distinct_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The naive half of the skew-distinct MEASURED TWIN, moved here
+    from the registry when it retired r14 (registry.RETIRED
+    ["skew_distinct_naive"]; its oracle was byte-identical to the
+    still-registered skew_distinct_spread's). Exact distinct-line-uid
+    count per Zipf company, written the way users write it:
+    groupBy(key).agg(size(collect_set(v))) -- correct, but the hot
+    key's every distinct value funnels through ONE reducer's set
+    buffer. Benched under the same entry name as before so
+    BENCH_r{{N}}.json history stays comparable; the wall-time delta vs
+    skew_distinct_spread is the README's skew-machinery number
+    (VERDICT r4 #6). At 100 TB this shape is an OOM -- kept as the
+    measured baseline only."""
+    from bigdata_storage_and_proccess_job_data_spark.plans.analytics_queries import (
+        _line_uid,
+        _zipf_company,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(_zipf_company().alias("company")).agg(
+        F.size(F.collect_set(_line_uid())).cast("long").alias("n_line_uids")
+    )
+
+
 def bench_probes() -> dict:
     """name -> (spark, sf_dir) -> DataFrame, merged into bench.py's run
     set after the registered headline queries."""
     return {
+        "skew_distinct_naive": skew_distinct_naive,
         "point_lookup_lineitem": point_lookup_lineitem,
         "version_prune_orders": version_prune_orders,
         "version_bloom_lookup": version_bloom_lookup,

@@ -402,6 +402,80 @@ RETIRED: dict[str, dict[str, str]] = {
             "operator code involved (the query was inline spark.sql)."
         ),
     },
+    "knn_pq": {
+        "round": "r14",
+        "replaced_by": "knn_ivfpq",
+        "coverage": (
+            "the promoted knn_ivfpq runs the SAME md5 codebooks "
+            "(m=8, n_codes=16, seed=42, scale=0.35) and the same "
+            "ADC scoring on its cell-pruned candidate side, and full "
+            "probe with residual=False degenerates to EXACTLY "
+            "pq_topk_from_codes (tests/test_similarity.py:"
+            "test_ivfpq_full_probe_equals_pq), so the PQ encode + LUT "
+            "sum + rank path stays value-hashed every time knn_ivfpq "
+            "rows. _PQ_TOPK_SQL stays in plans/scale_queries.py as the "
+            "flat-PQ half of the IVF-PQ oracle; the flat-PQ quality "
+            "floor moved to a direct-operator test "
+            "(test_similarity.py:test_pq_quality_and_md5_codebooks). "
+            "encode_pq / pq_topk_from_codes operator code unchanged."
+        ),
+    },
+    "knn_brute_force": {
+        "round": "r14",
+        "replaced_by": "knn_sq8",
+        "coverage": (
+            "its oracle was BYTE-IDENTICAL to knn_arrow's (_KNN_ORACLE "
+            "in plans/scale_queries.py is shared; the "
+            "ngram_jaccard_pairs precedent), so the exact cosine top-5 "
+            "result set stays hash-checked every time knn_arrow rows. "
+            "brute_force_topk itself stays the exact stage INSIDE "
+            "ann_recall's driver row (called directly there) and keeps "
+            "its operator tests. CORRECTION recorded at execution "
+            "time: the pinned r13 ledger also called brute_force_topk "
+            "'the rerank stage of hard_negatives/knn_sq8' -- those "
+            "paths share its broadcast-scorer SHAPE and _rank_topk "
+            "ranking tail but do not call the function; the function-"
+            "level coverage is knn_arrow + ann_recall, as stated here. "
+            "Operator code unchanged."
+        ),
+    },
+    "skew_distinct_naive": {
+        "round": "r14",
+        "replaced_by": "join_size_report",
+        "coverage": (
+            "its oracle was BYTE-IDENTICAL to skew_distinct_spread's "
+            "(_SKEW_DISTINCT_ORACLE in plans/analytics_queries.py is "
+            "shared), so the exact Zipf-key distinct counts stay "
+            "hash-checked every time the spread twin rows. The "
+            "naive/optimized MEASURED-TWIN convention survives: the "
+            "naive probe moved to plans/bench_probes.py in the same "
+            "commit, benched under the same entry name, so "
+            "BENCH_r{N}.json keeps the skew-machinery delta."
+        ),
+    },
+    "region_rollup": {
+        "round": "r14",
+        "replaced_by": "balanced_shards",
+        "coverage": (
+            "ROLLUP's grouping-set expansion (Expand + hash agg + "
+            "grouping-id NULL levels) stays plan-and-value hash-checked "
+            "every rotation by cube_segment_priority (CUBE strictly "
+            "contains the ROLLUP levels of the same two-dim lattice) "
+            "plus grouping_sets_mix (the explicit GROUPING SETS Expand "
+            "surface), and the broadcast dim-chain join by "
+            "sql_surface_nation_sales / nation_revenue_share. "
+            "CORRECTION recorded at execution time: the pinned r13 "
+            "ledger said grouping_sets_mix's sets include 'the rollup "
+            "chain' -- its sets are the two DISJOINT margins "
+            "((segment),(priority)), not the chain; the chain "
+            "containment comes from CUBE, as stated here. The exact "
+            "ROLLUP(region, country) query body moved VERBATIM into "
+            "tests/test_analytics.py:"
+            "test_rollup_has_subtotals_and_grand_total, which keeps "
+            "the subtotal/grand-total value pins every suite run. The "
+            "query was inline -- no operator code removed."
+        ),
+    },
 }
 
 

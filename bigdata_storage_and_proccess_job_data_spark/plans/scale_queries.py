@@ -389,22 +389,12 @@ _KNN_ORACLE = f"""
     """
 
 
-@register(
-    "knn_brute_force",
-    tags=("similarity", "vector", "join", "window"),
-    oracle=_KNN_ORACLE,
-)
-def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 for a 20-vector query set against the full
-    embedding corpus (operators/similarity.py:brute_force_topk):
-    broadcast queries x corpus, window-ranked per query with
-    deterministic (rounded sim, id) ordering."""
-    from bigdata_storage_and_proccess_job_data_spark.operators import similarity
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.brute_force_topk(
-        emb.filter(F.col("vec_id") < 20), emb, k=5
-    )
+# knn_brute_force RETIRED r14 (registry.RETIRED["knn_brute_force"],
+# the R14 ledger's knn_sq8 slot): its oracle was BYTE-IDENTICAL to
+# knn_arrow's (_KNN_ORACLE above is shared), so the exact top-5 result
+# set stays hash-checked every time knn_arrow rows; brute_force_topk
+# itself stays the exact stage INSIDE ann_recall's driver row and
+# keeps its operator tests. Operator code unchanged.
 
 
 @register(
@@ -2234,30 +2224,235 @@ _PQ_TOPK_SQL = f"""
     """
 
 
+# knn_pq RETIRED r14 (registry.RETIRED["knn_pq"], the R14 ledger's
+# knn_ivfpq slot): knn_ivfpq below runs the same md5 codebooks and the
+# same ADC scoring on the cell-pruned candidate side -- and full probe
+# with residual=False degenerates to EXACTLY pq_topk_from_codes
+# (tests/test_similarity.py:test_ivfpq_full_probe_equals_pq) -- so the
+# PQ search path stays value-hashed every time knn_ivfpq rows.
+# _PQ_TOPK_SQL above stays: it is the flat-PQ half of the IVF-PQ
+# oracle's CTE chain and encode_pq/pq_topk_from_codes keep their own
+# full parity tests. Operator code unchanged.
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: IVF-pruned PQ/ADC top-k -- promoted r14 (the pinned
+# R14 ledger, VERDICT r13 #1). The ANN ladder's top rung: the md5
+# coarse quantizer that graduated knn_ivf composes with the md5
+# codebooks that graduated knn_pq, so the oracle independently rebuilds
+# BOTH models and replays cell assignment (encode_ivfpq's np.argmax
+# tiebreak = LOWEST cell id -- unlike ivf_topk's array_max HIGHEST; the
+# SQL mirrors the implementation it checks), probe ranking, PQ
+# encoding, the probe-pruned ADC sum and the rank -- every value
+# hash-matched. residual=False keeps the codes flat-PQ-compatible;
+# residual-quantization quality keeps its recall tests
+# (test_ivfpq_residual_codes_are_more_accurate).
+# ---------------------------------------------------------------------------
+_IVFPQ_TOPK_SQL = f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id,
+                 list_transform(
+                   v, x -> x / sqrt(list_dot_product(v, v))
+                 ) AS nv
+          FROM e WHERE sqrt(list_dot_product(v, v)) > 0
+        ),
+        ccent AS (
+          SELECT i, d,
+                 ({_IVF_CENT_COMPONENT})::DOUBLE
+                   / 576460752303423488.0 - 1.0 AS val
+          FROM range(16) cs(i), range(64) ds(d)
+        ),
+        csims AS (
+          SELECT n.vec_id, c.i, SUM(n.nv[c.d + 1] * c.val) AS sim
+          FROM n CROSS JOIN ccent c
+          GROUP BY n.vec_id, c.i
+        ),
+        cells AS (
+          SELECT vec_id, i AS cell FROM (
+            SELECT vec_id, i,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY sim DESC, i ASC
+                   ) AS rn
+            FROM csims
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id, i AS cell FROM (
+            SELECT vec_id, i,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY sim DESC, i ASC
+                   ) AS rn
+            FROM csims WHERE vec_id < 20
+          ) WHERE rn <= 4
+        ),
+        pcent AS (
+          SELECT j, c, t,
+                 (({_PQ_CENT_COMPONENT})::DOUBLE
+                   / 576460752303423488.0 - 1.0) * 0.35 AS val
+          FROM range(8) js(j), range(16) cs(c), range(8) ts(t)
+        ),
+        enc AS (
+          SELECT n.vec_id, ct.j, ct.c,
+                 -2.0 * SUM(n.nv[ct.j * 8 + ct.t + 1] * ct.val)
+                   + SUM(ct.val * ct.val) AS d2
+          FROM n CROSS JOIN pcent ct
+          GROUP BY n.vec_id, ct.j, ct.c
+        ),
+        codes AS (
+          SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC
+                   ) AS rn
+            FROM enc
+          ) WHERE rn = 1
+        ),
+        adc AS (
+          SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id,
+                 SUM(q.nv[cd.j * 8 + ct.t + 1] * ct.val) AS sim_raw
+          FROM probes p
+          JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.vec_id
+          JOIN codes cd ON cd.vec_id = cl.vec_id
+          JOIN pcent ct ON ct.j = cd.j AND ct.c = cd.c
+          JOIN n q ON q.vec_id = p.vec_id
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 {sql_round("sim_raw", 4)} AS sim
+          FROM adc
+        )
+        SELECT query_id, neighbor_id, rank, sim
+        FROM (
+          SELECT query_id, neighbor_id, sim,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC
+                 ) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """
+
+
 @register(
-    "knn_pq",
-    tags=("similarity", "vector", "pandas-udf", "sketch"),
-    oracle=_PQ_TOPK_SQL,
+    "knn_ivfpq",
+    tags=("similarity", "vector", "pandas-udf", "sketch", "join"),
+    oracle=_IVFPQ_TOPK_SQL,
 )
-def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 by product quantization + asymmetric distance
-    (operators/similarity.py:encode_pq -> pq_topk_from_codes): the
-    corpus is stored as m=8 4-bit-ish codes (16 codes/subspace over
-    64-dim embeddings) and every query scores rows by m LUT lookups --
-    the raw vectors are never touched at query time. Codebooks are
-    md5-derived (similarity.md5_codebooks) so the DuckDB oracle
-    reconstructs them exactly and re-runs the whole encode + ADC + rank
-    path; the codes column is the persistent index artifact at scale
-    (64x smaller than the vectors)."""
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 over a stored IVF-PQ index
+    (operators/similarity.py:encode_ivfpq -> ivfpq_topk_from_index,
+    the FAISS IVFPQ composition, Jegou et al. 2011): each query probes
+    its 4 nearest of 16 md5-derived cells (a cell equi-join -- on a
+    cell-partitioned index this is partition pruning), and only the
+    surviving candidates score by ADC against the query's broadcast
+    lookup tables -- m LUT lookups per candidate, the raw vectors never
+    read at query time. Full DuckDB replay parity proven in
+    tests/test_similarity.py:test_knn_ivfpq_oracle_parity (same oracle
+    string). At 100 TB: query cost is (n_probe/n_centroids) x the
+    PQ-compressed corpus -- the pruning of IVF stacked on the 64x
+    compression of PQ."""
     from bigdata_storage_and_proccess_job_data_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.md5_centroids(16, 64, seed=9, scale=1.0)
     books = similarity.md5_codebooks(
         m=8, n_codes=16, dsub=8, seed=42, scale=0.35
     )
-    codes = similarity.encode_pq(emb, books)
-    return similarity.pq_topk_from_codes(
-        emb.filter(F.col("vec_id") < 20), codes, books, k=5
+    index = similarity.encode_ivfpq(emb, cents, books, residual=False)
+    return similarity.ivfpq_topk_from_index(
+        emb.filter(F.col("vec_id") < 20),
+        index,
+        cents,
+        books,
+        k=5,
+        n_probe=4,
+        residual=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: int8 scalar-quantized rerank tier -- promoted r14
+# (the pinned R14 ledger, VERDICT r13 #1). The storage tier between raw
+# vectors and PQ codes: per-row absmax-symmetric int8 with no trained
+# artifact, so the ENTIRE path -- normalize, scale, floor-grid encode,
+# dequantize, cosine, rank -- replays in SQL with no md5 bridge needed.
+# ---------------------------------------------------------------------------
+_SQ8_COS = (
+    "CASE WHEN sqrt(list_dot_product(q.v, q.v)) > 0 "
+    "AND sqrt(list_dot_product(d.dv, d.dv)) > 0 "
+    "THEN list_dot_product(q.v, d.dv) / "
+    "(sqrt(list_dot_product(q.v, q.v)) * "
+    "sqrt(list_dot_product(d.dv, d.dv))) END"
+)
+_SQ8_TOPK_SQL = f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id,
+                 list_transform(
+                   v, x -> x / sqrt(list_dot_product(v, v))
+                 ) AS nv
+          FROM e WHERE sqrt(list_dot_product(v, v)) > 0
+        ),
+        enc AS (
+          SELECT vec_id,
+                 list_max(list_transform(nv, x -> abs(x))) / 127.0 AS s,
+                 list_transform(nv, x -> floor(x /
+                   (list_max(list_transform(nv, y -> abs(y))) / 127.0)
+                   + 0.5)) AS cd
+          FROM n
+        ),
+        dec AS (
+          SELECT vec_id, list_transform(cd, c -> c * s) AS dv FROM enc
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                 {sql_round(_SQ8_COS, 4)} AS sim
+          FROM (SELECT vec_id, v FROM e WHERE vec_id < 20) q
+          CROSS JOIN dec d
+          WHERE q.vec_id <> d.vec_id
+        )
+        SELECT query_id, neighbor_id, rank, sim
+        FROM (
+          SELECT query_id, neighbor_id, sim,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC
+                 ) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """
+
+
+@register(
+    "knn_sq8",
+    tags=("similarity", "vector", "expr"),
+    oracle=_SQ8_TOPK_SQL,
+)
+def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-5 over an int8 scalar-quantized store
+    (operators/similarity.py:sq8_encode -> sq8_topk): every vector
+    L2-normalizes, takes its own absmax/127 scale and stores int8
+    codes; queries score against the DEQUANTIZED codes -- the
+    compressed brute-force rerank reading ~1 byte per component where
+    the raw scan reads 8. Same deliberate broadcast exact-scoring
+    baseline class as the retired knn_brute_force (the documented BNLJ
+    waiver): this IS the rerank stage that runs after the pruned
+    lsh/ivf/pq candidate passes. Everything is native expressions
+    inside whole-stage codegen -- no Python row boundary (plan-pinned).
+    Full DuckDB replay parity proven in
+    tests/test_similarity.py:test_sq8_duckdb_replay_parity (same oracle
+    string)."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.sq8_topk(
+        emb.filter(F.col("vec_id") < 20), similarity.sq8_encode(emb), k=5
     )
 
 
@@ -2306,6 +2501,52 @@ def weighted_take_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="source",
         salt="s",
     ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Corpus write planning: weight-balanced training shards -- promoted r14
+# (the pinned R14 ledger, VERDICT r13 #1)
+# ---------------------------------------------------------------------------
+@register(
+    "balanced_shards",
+    tags=("corpus", "window", "sample"),
+    oracle="""
+        WITH r AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (
+                   ORDER BY -COALESCE(length(text), 0), doc_id
+                 ) AS rn
+          FROM documents WHERE doc_id IS NOT NULL
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN ((rn - 1) // 7) % 2 = 0
+                    THEN (rn - 1) % 7
+                    ELSE 6 - ((rn - 1) % 7) END AS INT) AS shard
+        FROM r
+    """,
+)
+def balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-balanced shard assignment over documents weighted by text
+    length (operators/corpus.py:balanced_shards): rank by weight
+    descending with the doc_id tiebreak, then deal serpentine
+    (boustrophedon) over 7 shards -- the one-pass order-preserving form
+    of longest-processing-time scheduling, so per-shard TOKEN totals
+    come out near-equal where hash partitioning only balances row
+    counts. The write-side step before
+    ``df.write.partitionBy('shard')`` produces training files a loader
+    streams round-robin without one shard finishing epochs early.
+    Deterministic total order => full DuckDB replay parity
+    (tests/test_corpus.py:test_balanced_shards_serpentine_and_parity,
+    same oracle; balance bound pinned there too). Scale shape: ONE
+    two-phase global rank (aggregates.global_row_number -- bounded
+    per-partition offsets, no single-task window), then pure
+    expressions."""
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.balanced_shards(
+        docs.withColumn("_w", F.length("text")), "doc_id", "_w", 7
+    ).select("doc_id", "shard")
 
 
 # ---------------------------------------------------------------------------

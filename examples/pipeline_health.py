@@ -33,7 +33,10 @@ round-10 monitoring suite composed end to end:
   8. model-eval gate (r11): confusion metrics (classification_report),
      per-segment fairness slices vs the pooled rates (disparity_report)
      and the top-decile budget readout (lift_table) for a thresholded
-     filter model, all from deterministic key-derived scores
+     filter model, all from deterministic key-derived scores; then the
+     paired-significance rung (mcnemar_test, r13) and the
+     sampled-generation rung (pass_at_k, r13) -- ragged sample counts
+     abstain honestly at k > n
   9. embedding-distribution drift gate (r13): frechet/FID distance
      between two clouds' Gaussian fits -- near zero on a
      same-distribution split, loud on a planted mean shift
@@ -350,6 +353,37 @@ def main() -> None:
         f"  challenger threshold 0.4 vs 0.5: acc {mn.accuracy_a:.3f} -> "
         f"{mn.accuracy_b:.3f}, discordant {mn.a_only}+{mn.b_only}, "
         f"mcnemar={mn.statistic:.2f} ({verdict})"
+    )
+    # sampled-generation gate (r13): the thresholded metrics above
+    # judge ONE answer per item; a sampling model is judged by pass@k
+    # -- draw n generations per problem, count the correct ones, and
+    # estimate P(at least one of k passes) with the unbiased Chen et
+    # al. estimator. Problems get RAGGED sample counts on purpose:
+    # pass@10 abstains (NULL) on problems with fewer than 10 draws
+    # instead of flattering them.
+    gens = load_table(spark, SF_DIR, "orders").select(
+        # floor(sqrt) makes the per-problem sample counts genuinely
+        # ragged (~1 draw for problem 0 up to ~75 for problem 39), so
+        # the k=10 abstention path actually shows up below
+        F.floor(F.sqrt(F.col("o_orderkey") % 1600)).alias("problem"),
+        # deterministic per-sample verdict: ~30% of generations pass
+        ((F.col("o_orderkey") * 31 + F.col("o_custkey")) % 10 < 3)
+        .cast("double")
+        .alias("ok"),
+    )
+    pk = aggregates.pass_at_k(gens, "problem", "ok", ks=(1, 5, 10))
+    summary = pk.agg(
+        F.avg("pass_at_1").alias("p1"),
+        F.avg("pass_at_5").alias("p5"),
+        F.avg("pass_at_10").alias("p10"),
+        F.sum(F.col("pass_at_10").isNull().cast("long")).alias("abstained"),
+        F.count(F.lit(1)).alias("problems"),
+    ).collect()[0]
+    print(
+        f"  sampled-generation gate: pass@1={summary.p1:.3f} "
+        f"pass@5={summary.p5:.3f} pass@10={summary.p10:.3f} "
+        f"({summary.abstained}/{summary.problems} problems abstain "
+        f"at k=10: fewer than 10 draws)"
     )
 
     # -- 9. embedding-distribution drift gate (r13) ------------------------

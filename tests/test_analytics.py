@@ -19,11 +19,35 @@ def test_approx_distinct_within_tolerance(spark, oracle_sf_dir):
 
 
 def test_rollup_has_subtotals_and_grand_total(spark, oracle_sf_dir):
-    from bigdata_storage_and_proccess_job_data_spark.plans.analytics_queries import (
-        region_rollup,
+    """The exact ROLLUP(region, country) body of the r14-retired
+    region_rollup query (registry.RETIRED["region_rollup"] -- the
+    grouping-set Expand shape stays driver-rowed by
+    cube_segment_priority / grouping_sets_mix; this test keeps the
+    rollup level semantics value-pinned)."""
+    from bigdata_storage_and_proccess_job_data_spark.functions.numeric import (
+        stable_round,
     )
 
-    rows = region_rollup(spark, oracle_sf_dir).collect()
+    customer = load_table(spark, oracle_sf_dir, "customer")
+    nation = load_table(spark, oracle_sf_dir, "nation")
+    region = load_table(spark, oracle_sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    rolled = (
+        joined.select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("country"),
+            "c_custkey",
+            "c_acctbal",
+        )
+        .rollup("region", "country")
+        .agg(
+            F.count("c_custkey").alias("customer_count"),
+            stable_round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+    rows = rolled.collect()
     grand = [r for r in rows if r.region is None and r.country is None]
     region_subs = [r for r in rows if r.region is not None and r.country is None]
     details = [r for r in rows if r.country is not None]

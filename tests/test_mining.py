@@ -4320,6 +4320,9 @@ def test_pass_at_k_pins_and_parity(spark, oracle_sf_dir):
         aggregates.pass_at_k(df, "problem", "ok", ks=(1, 0))
     with pytest.raises(ValueError, match="too large"):
         aggregates.pass_at_k(df, "problem", "ok", ks=(20_000,))
+    with pytest.raises(ValueError, match="integer"):
+        # int(2.7) would silently compute pass@2 (r13 ADVICE)
+        aggregates.pass_at_k(df, "problem", "ok", ks=(2.7,))
 
     # full replay: problems = custkey buckets, correct = key-derived
     orders = load_table(spark, oracle_sf_dir, "orders").select(
@@ -4388,6 +4391,25 @@ def test_krippendorff_alpha_pins_replica_and_parity(spark, oracle_sf_dir):
     assert r.alpha is None and r.de == 0.0
     r = k([(1, "a"), (2, "b"), (3, "c")])
     assert r.n_items == 0 and r.alpha is None and r.coverage == 0.0
+    # keyed form: an all-singleton SLICE also gets its abstention row
+    # (r13 ADVICE -- the inner-join assembly used to drop it), while a
+    # sibling pairable slice computes normally
+    keyed = spark.createDataFrame(
+        [("g1", 1, "a"), ("g1", 2, "b"), ("g1", 3, "c"),
+         ("g2", 1, "a"), ("g2", 1, "a"), ("g2", 2, "b"), ("g2", 2, "b")],
+        "grp string, item long, label string",
+    )
+    by_g = {
+        r.grp: r
+        for r in aggregates.krippendorff_alpha(
+            keyed, "item", "label", keys=["grp"]
+        ).collect()
+    }
+    assert set(by_g) == {"g1", "g2"}
+    assert by_g["g1"].n_items == 0
+    assert by_g["g1"].alpha is None and by_g["g1"].coverage == 0.0
+    assert by_g["g2"].alpha == pytest.approx(1.0)
+    assert by_g["g2"].coverage == pytest.approx(1.0)
 
     # first-principles replica on a deterministic ragged multiset
     rows = [

@@ -204,17 +204,27 @@ def test_no_scale_antipatterns_anywhere(spark, oracle_sf_dir):
     BroadcastNestedLoopJoin exemptions are LABEL-scoped (ADVICE r5: a
     name-scoped exemption would also mask a future real BNLJ in the
     eager queries' returned frames, which are LocalTableScans today):
-    knn_brute_force / ann_recall / media_features_exact's probe ARE the
-    broadcast exact-scoring baseline (similarity.brute_force_topk: tiny
-    broadcast query set x corpus, the documented correctness anchor for
-    the bucketed ANN paths), and impute_mean / bm25_search's probe /
-    hybrid_search's probe (the bm25 pipeline) attach a ONE-ROW broadcast
-    scalar frame (global mean; (N, avgdl)) -- O(n x 1).
+    knn_sq8 / ann_recall / media_features_exact's probe ARE the
+    broadcast exact-scoring baseline (similarity.brute_force_topk /
+    sq8_topk: tiny broadcast query set x corpus, the documented
+    correctness anchor / rerank tier for the bucketed ANN paths), and
+    impute_mean / join_size_report / bm25_search's probe /
+    hybrid_search's probe (the bm25 pipeline) attach ONE-ROW broadcast
+    scalar frames (global mean; side/match stats; (N, avgdl)) --
+    O(n x 1) or O(1 x 1).
     CartesianProduct and BatchEvalPython have no exemptions anywhere."""
     from bigdata_storage_and_proccess_job_data_spark.plans import lint
 
     bnlj_ok = {
-        "knn_brute_force",
+        # knn_sq8 IS the broadcast exact-scoring rerank baseline (the
+        # retired knn_brute_force's documented waiver class: tiny
+        # broadcast query set x dequantized corpus; the pruned paths
+        # are lsh/ivf/ivfpq)
+        "knn_sq8",
+        # join_size_report's final step joins three ONE-ROW aggregate
+        # frames on a literal TRUE -- the fk_integrity_report one-row
+        # broadcast scalar pattern, O(1 x 1)
+        "join_size_report",
         "media_features_exact#probe1",
         "impute_mean",
         "bm25_search#probe1",
@@ -294,7 +304,7 @@ def test_driver_window_is_first_50():
     names that drifted out of the registry."""
     from bigdata_storage_and_proccess_job_data_spark import plans
 
-    window = plans.DRIVER_WINDOW_R13
+    window = plans.DRIVER_WINDOW_R14
     assert len(window) == 50
     assert len(set(window)) == 50
     assert list(QS)[:50] == window
@@ -310,43 +320,42 @@ def test_windows_partition_registry():
     from bigdata_storage_and_proccess_job_data_spark import plans
     from bigdata_storage_and_proccess_job_data_spark.plans import registry
 
-    r13, r14 = set(plans.DRIVER_WINDOW_R13), set(plans.DRIVER_WINDOW_R14_PLAN)
+    r14, r15 = set(plans.DRIVER_WINDOW_R14), set(plans.DRIVER_WINDOW_R15_PLAN)
     names = set(QS)
     assert len(names) == registry.MAX_REGISTERED == 100
-    assert r13 & r14 == set(), sorted(r13 & r14)
-    assert r13 | r14 == names, {
-        "unscheduled": sorted(names - (r13 | r14)),
-        "unknown": sorted((r13 | r14) - names),
+    assert r14 & r15 == set(), sorted(r14 & r15)
+    assert r14 | r15 == names, {
+        "unscheduled": sorted(names - (r14 | r15)),
+        "unknown": sorted((r14 | r15) - names),
     }
-    assert len(r13) == len(r14) == 50
-    # the r12 displacement promise was kept: every query pinned into
-    # DRIVER_WINDOW_R13_PLAN is in the r13 window unless it was retired
-    # this round with a recorded coverage merge OR deliberately
-    # displaced into the R14 plan (the executed R13 ledger retired
-    # three OUT-of-plan queries, so three in-plan queries -- knn_pq,
-    # skew_distinct_naive, region_rollup -- are displaced, each doubling
-    # as the pinned R14 ledger's named retiree, the event_paths_top
-    # precedent)
-    displaced = {"knn_pq", "skew_distinct_naive", "region_rollup"}
-    assert displaced <= r14
-    for obligated in plans.DRIVER_WINDOW_R13_PLAN:
-        assert (
-            obligated in r13
-            or obligated in registry.RETIRED
-            or obligated in displaced
-        ), obligated
-    # the executed R13 ledger: all three promotions row THIS round (new
-    # registrations never ship without a row), all three retirees are
+    assert len(r14) == len(r15) == 50
+    # the r13 displacement promise was kept: every query pinned into
+    # DRIVER_WINDOW_R14_PLAN is in the r14 window unless it was retired
+    # this round with a recorded coverage merge (the executed R14
+    # ledger's four retirees were all IN-plan, so the four swaps are
+    # 1:1 and nothing was displaced further)
+    for obligated in plans.DRIVER_WINDOW_R14_PLAN:
+        assert obligated in r14 or obligated in registry.RETIRED, obligated
+    # the executed R14 ledger: all four promotions row THIS round (new
+    # registrations never ship without a row), all four retirees are
     # recorded with coverage merges
-    assert {"profile_diff", "merge_intervals", "classification_report"} <= r13
-    assert "snapshot_change_feed" in registry.RETIRED
-    assert "interval_overlap_pairs" in registry.RETIRED
-    assert "small_quantity_revenue" in registry.RETIRED
+    assert {
+        "knn_ivfpq",
+        "knn_sq8",
+        "join_size_report",
+        "balanced_shards",
+    } <= r14
+    assert "knn_pq" in registry.RETIRED
+    assert "knn_brute_force" in registry.RETIRED
+    assert "skew_distinct_naive" in registry.RETIRED
+    assert "region_rollup" in registry.RETIRED
+    # the r15 complement is the r13 window carried forward unchanged
+    assert r15 == set(plans.DRIVER_WINDOW_R13)
     # retirement is real: retired names are out of the registry, out of
     # both windows, and re-registration is refused
     for retired in registry.RETIRED:
         assert retired not in names
-        assert retired not in r13 and retired not in r14
+        assert retired not in r14 and retired not in r15
     import pytest
 
     with pytest.raises(ValueError, match="retired"):
@@ -1213,6 +1222,73 @@ def test_r13_promoted_query_plan_pins(spark, oracle_sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert p.count("Exchange SinglePartition") <= 2, p
+
+
+def test_r14_promoted_query_plan_pins(spark, oracle_sf_dir):
+    """Physical-plan pins for the four queries promoted in r14:
+
+    - knn_ivfpq: ONE embeddings scan; candidates come from the CELL
+      equi-join (never a nested loop or cartesian), the ADC pass is
+      Arrow mapInPandas (never row-at-a-time BatchEvalPython), and the
+      only hash exchange key is the per-query rank partition.
+    - knn_sq8: the documented broadcast exact-rerank baseline -- its
+      ONE BroadcastNestedLoopJoin is the waived bounded-query-set
+      broadcast; everything else is native expressions (no Python
+      boundary of any kind).
+    - join_size_report: key-grain aggs shuffle on the key only; the
+      per-side key frames deliberately RE-SCAN per consumer (two scans
+      per side -- at 100 TB re-reading parquet beats materializing a
+      billion-distinct-key frame, the documented scan-once exception
+      for corpus-sized frames), and the one-row stat assemblies are
+      the only SinglePartition exchanges / BNLJs.
+    - balanced_shards: the two-phase global rank -- NO SinglePartition
+      exchange anywhere (the whole point vs a global Window.orderBy),
+      the one Window keyed by the range-partition id, offsets met by a
+      broadcast join."""
+    import re
+
+    def plan(name):
+        return (
+            QS[name]
+            .fn(spark, oracle_sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p = plan("knn_ivfpq")
+    assert p.count("FileScan") == 1, p
+    assert "Exchange SinglePartition" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" in p
+    assert set(re.findall(r"hashpartitioning\((\w+)", p)) == {"query_id"}
+
+    p = plan("knn_sq8")
+    assert p.count("FileScan") == 2, p
+    assert "Exchange SinglePartition" not in p
+    assert p.count("BroadcastNestedLoopJoin") == 1, p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert set(re.findall(r"hashpartitioning\((\w+)", p)) == {"query_id"}
+
+    p = plan("join_size_report")
+    assert p.count("FileScan") == 4, p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 2, p
+    assert p.count("Exchange SinglePartition") <= 3, p
+    assert set(re.findall(r"hashpartitioning\((\w+)", p)) == {"_k"}
+
+    p = plan("balanced_shards")
+    assert "Exchange SinglePartition" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert p.count("Window") == 1, p
+    assert set(re.findall(r"hashpartitioning\((\w+)", p)) == {"_gpid"}
 
 
 def test_scan_once_pins(spark, oracle_sf_dir):

@@ -1465,3 +1465,89 @@ def test_krippendorff_alpha_replica_on_generated_ratings(spark):
         df.repartition(9), "item", "label"
     ).collect()[0]
     assert re_r.alpha == r.alpha
+
+
+def test_win_rate_pairs_wilson_invariants_on_generated_tournaments(spark):
+    """Property for the r13 head-to-head readout (VERDICT r13 #4,
+    matching its siblings' first-principles replicas): on ANY generated
+    tournament (unicode item names, ragged pair counts), win_rate_pairs
+    equals a pure-python Wilson replica, and the interval obeys the
+    textbook invariants -- endpoints in [0, 1], the interval CONTAINS
+    p-hat, reversing every game maps [lo, hi] to [1-hi, 1-lo] (side
+    symmetry), and doubling the evidence at the same p-hat strictly
+    shrinks the width (n-monotonicity)."""
+    import math
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import corpus
+
+    texts = _examples(200)
+    items = [(t[:2] or "_") for t in texts]
+    games = []
+    for i in range(0, len(items) - 1, 2):
+        a, b = items[i], items[i + 1]
+        if a == b:
+            b = a + "x"
+        # deterministic outcome from the text lengths
+        w, l = (a, b) if (len(texts[i]) + i) % 3 else (b, a)
+        games.append((w, l))
+    df = spark.createDataFrame(games, "winner string, loser string")
+    rows = corpus.win_rate_pairs(df).collect()
+
+    # pure-python replica
+    from collections import Counter
+
+    n_games: Counter = Counter()
+    wins_a: Counter = Counter()
+    for w, l in games:
+        a, b = (w, l) if w < l else (l, w)
+        n_games[(a, b)] += 1
+        wins_a[(a, b)] += 1 if w == a else 0
+    z = 1.959963984540054
+
+    def wilson(p, n):
+        z2 = z * z
+        denom = 1 + z2 / n
+        center = (p + z2 / (2 * n)) / denom
+        half = z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / denom
+        return center - half, center + half
+
+    assert {(r.item_a, r.item_b) for r in rows} == set(n_games)
+    for r in rows:
+        key = (r.item_a, r.item_b)
+        assert r.item_a < r.item_b
+        assert r.n_games == n_games[key] and r.wins_a == wins_a[key]
+        p = wins_a[key] / n_games[key]
+        assert r.win_rate_a == pytest.approx(p)
+        lo, hi = wilson(p, n_games[key])
+        assert r.wilson_lo == pytest.approx(lo)
+        assert r.wilson_hi == pytest.approx(hi)
+        # invariants: [0,1]-bounded, contains p-hat, never zero-width
+        assert 0.0 <= r.wilson_lo <= r.win_rate_a <= r.wilson_hi <= 1.0
+        assert r.wilson_hi - r.wilson_lo > 0.0
+
+    # side symmetry: reversing every game maps the interval to its
+    # mirror image around 1/2
+    rev = spark.createDataFrame(
+        [(l, w) for w, l in games], "winner string, loser string"
+    )
+    mirrored = {
+        (r.item_a, r.item_b): r for r in corpus.win_rate_pairs(rev).collect()
+    }
+    for r in rows:
+        m = mirrored[(r.item_a, r.item_b)]
+        assert m.n_games == r.n_games
+        assert m.wins_a == r.n_games - r.wins_a
+        assert m.wilson_lo == pytest.approx(1.0 - r.wilson_hi)
+        assert m.wilson_hi == pytest.approx(1.0 - r.wilson_lo)
+
+    # n-monotonicity: the same tournament twice has identical p-hat per
+    # pair but double the evidence -- every interval strictly narrows
+    doubled = {
+        (r.item_a, r.item_b): r
+        for r in corpus.win_rate_pairs(df.union(df)).collect()
+    }
+    for r in rows:
+        d = doubled[(r.item_a, r.item_b)]
+        assert d.n_games == 2 * r.n_games
+        assert d.win_rate_a == pytest.approx(r.win_rate_a)
+        assert (d.wilson_hi - d.wilson_lo) < (r.wilson_hi - r.wilson_lo)

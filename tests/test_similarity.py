@@ -714,15 +714,16 @@ def test_ann_recall_registered_query(spark, oracle_sf_dir):
     assert got == again
 
 
-def test_knn_pq_registered_query_quality_and_codebooks(spark, oracle_sf_dir):
-    """knn_pq (registered r7, VERDICT r6 #5): md5-derived codebooks are
-    deterministic and in [-1, 1); the registered query's ADC top-5
+def test_pq_quality_and_md5_codebooks(spark, oracle_sf_dir):
+    """Flat-PQ quality floor (was the knn_pq registered-query test
+    until that row retired r14 into knn_ivfpq -- registry.RETIRED
+    ["knn_pq"] names this test as the kept floor): md5-derived
+    codebooks are deterministic and in [-scale, scale); the ADC top-5
     reaches a real recall floor against the exact top-5 -- random
     codebooks quantize worse than k-means-fit ones, but the search must
-    still rank meaningfully, or the hash-matched oracle would only be
-    proving reproducible noise."""
+    still rank meaningfully, or the hash-matched IVF-PQ oracle would
+    only be proving reproducible noise."""
     from bigdata_storage_and_proccess_job_data_spark.operators import similarity
-    from bigdata_storage_and_proccess_job_data_spark.plans import all_queries
 
     kw = dict(m=8, n_codes=16, dsub=8, seed=42, scale=0.35)
     books = similarity.md5_codebooks(**kw)
@@ -732,10 +733,11 @@ def test_knn_pq_registered_query_quality_and_codebooks(spark, oracle_sf_dir):
     assert all(-0.35 <= v < 0.35 for v in flat)
     assert books != similarity.md5_codebooks(**{**kw, "seed": 7})
 
-    pq_rows = all_queries()["knn_pq"].fn(spark, oracle_sf_dir).collect()
-    exact_rows = (
-        all_queries()["knn_brute_force"].fn(spark, oracle_sf_dir).collect()
-    )
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    codes = similarity.encode_pq(emb, books)
+    pq_rows = similarity.pq_topk_from_codes(q, codes, books, k=5).collect()
+    exact_rows = similarity.brute_force_topk(q, emb, k=5).collect()
     got = {(r.query_id, r.neighbor_id) for r in pq_rows}
     want = {(r.query_id, r.neighbor_id) for r in exact_rows}
     by_q: dict[int, int] = {}
