@@ -1551,3 +1551,71 @@ def test_win_rate_pairs_wilson_invariants_on_generated_tournaments(spark):
         assert d.n_games == 2 * r.n_games
         assert d.win_rate_a == pytest.approx(r.win_rate_a)
         assert (d.wilson_hi - d.wilson_lo) < (r.wilson_hi - r.wilson_lo)
+
+
+def test_mcnemar_replica_on_generated_paired_outcomes(spark):
+    """Property for the r13 paired-significance gate (completing the
+    sibling set -- BT, krippendorff, fleiss, consensus, pass_at_k, SQ8,
+    win_rate all carry generated-input replicas): on ANY generated
+    paired 0/1 outcome table with key slices, mcnemar_test equals a
+    pure-python replica cell for cell, the statistic is invariant
+    under swapping the two models (it is squared in b - a), and the
+    no-discordance / small-count abstentions hold."""
+    from collections import Counter
+
+    from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
+
+    texts = _examples(240)
+    rows = [
+        (
+            f"g{len(t) % 3}",
+            1.0 if (len(t) + i) % 4 else 0.0,
+            1.0 if (i * 7 + len(t)) % 5 > 1 else 0.0,
+        )
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "grp string, a double, b double")
+    got = {
+        r.grp: r
+        for r in aggregates.mcnemar_test(df, "a", "b", keys=["grp"]).collect()
+    }
+
+    cells: dict[str, Counter] = {}
+    for g, a, b in rows:
+        cells.setdefault(g, Counter())[(a, b)] += 1
+    assert set(got) == set(cells)
+    for g, c in cells.items():
+        r = got[g]
+        a_only, b_only = c[(1.0, 0.0)], c[(0.0, 1.0)]
+        assert (r.both_right, r.both_wrong) == (c[(1.0, 1.0)], c[(0.0, 0.0)])
+        assert (r.a_only, r.b_only) == (a_only, b_only)
+        n = sum(c.values())
+        assert r.n == n
+        assert r.accuracy_a == pytest.approx((c[(1.0, 1.0)] + a_only) / n)
+        assert r.accuracy_b == pytest.approx((c[(1.0, 1.0)] + b_only) / n)
+        d = a_only + b_only
+        if d == 0:
+            assert r.statistic is None and r.statistic_corrected is None
+        else:
+            assert r.statistic == pytest.approx((b_only - a_only) ** 2 / d)
+            if abs(b_only - a_only) >= 1:
+                assert r.statistic_corrected == pytest.approx(
+                    (abs(b_only - a_only) - 1) ** 2 / d
+                )
+            else:
+                assert r.statistic_corrected is None
+
+    # model-swap symmetry: the statistic is even in (b - a); the cells
+    # and accuracies mirror
+    swapped = {
+        r.grp: r
+        for r in aggregates.mcnemar_test(df, "b", "a", keys=["grp"]).collect()
+    }
+    for g, r in got.items():
+        s = swapped[g]
+        assert (s.a_only, s.b_only) == (r.b_only, r.a_only)
+        assert s.accuracy_a == r.accuracy_b and s.accuracy_b == r.accuracy_a
+        if r.statistic is None:
+            assert s.statistic is None
+        else:
+            assert s.statistic == pytest.approx(r.statistic)
