@@ -56,6 +56,34 @@ def test_rollup_has_subtotals_and_grand_total(spark, oracle_sf_dir):
     assert len(region_subs) == 5
 
 
+def test_skew_distinct_naive_probe_equals_spread_twin(spark, oracle_sf_dir):
+    """The naive skew-distinct twin left the registry r14 (retired into
+    join_size_report) and moved to plans/bench_probes.py -- which also
+    moved it out of the every-round oracle hash. This pins the measured
+    twin's CORRECTNESS link directly: the bench probe's collect_set
+    plan must produce exactly the still-registered spread rewrite's
+    result frame (same Zipf key, same distinct counts), so the bench
+    pair keeps comparing two verified-equal computations."""
+    from bigdata_storage_and_proccess_job_data_spark.plans import (
+        analytics_queries,
+        bench_probes,
+    )
+
+    naive = {
+        r.company: r.n_line_uids
+        for r in bench_probes.skew_distinct_naive(
+            spark, oracle_sf_dir
+        ).collect()
+    }
+    spread = {
+        r.company: r.n_line_uids
+        for r in analytics_queries.skew_distinct_spread(
+            spark, oracle_sf_dir
+        ).collect()
+    }
+    assert naive == spread and len(naive) > 1
+
+
 def test_count_distinct_spread_ignores_null_values(spark):
     """COUNT(DISTINCT v) and size(collect_set(v)) both skip NULLs; the
     skew-safe pair rewrite must agree -- including a key whose values
