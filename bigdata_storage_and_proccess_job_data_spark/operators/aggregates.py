@@ -1860,17 +1860,23 @@ def kmv_sketch(
     estimate is EXACT). NULL keys are excluded (COUNT DISTINCT
     semantics).
 
-    Skew-proof build (no rank window): a map-side-combined distinct over
-    (dims, hash) first reduces the frame to one row per distinct key;
-    then each post-shuffle partition folds ITS OWN slice of a group into
-    a partial sketch (group x spark_partition_id), cut at k; finally the
-    partials fold with the exact kmv_merge law. No task ever sorts a hot
-    group's full distinct set -- a partial's state is bounded by its
-    partition-local distincts (~group/shuffle-partitions, the distinct
-    shuffle is uniform on the hash), and the final merge state per group
-    is at most (shuffle partitions x k) longs. The result is
-    deterministic regardless of partitioning: the k smallest of a union
-    are each among the k smallest of their source partition.
+    Skew-proof build (no rank window, no global distinct): each SCAN
+    partition folds its own slice of a group into a partial sketch
+    (collect_set dedups partition-locally, sorted and cut at k per
+    group x spark_partition_id); the partials then fold with the exact
+    kmv_merge law, whose array_distinct removes cross-partition
+    duplicates. No task ever sorts a hot group's full distinct set -- a
+    partial's state is bounded by its partition-local distincts (<= the
+    partition's row count, the same bound as any map-side combine), and
+    the final merge state per group is at most (input partitions x k)
+    longs. The result is deterministic regardless of partitioning: the
+    k smallest distinct of a union are each among the k smallest
+    distinct of their source partition. (r14: the previous build paid a
+    full exchange of every (dims, hash) row for an exact global
+    distinct BEFORE sketching; the partition-local collect_set makes
+    that shuffle unnecessary -- only the bounded partial sketches cross
+    the wire, and the merged result is bit-identical by the subset
+    argument.)
 
     The artifact is mergeable EXACTLY (kmv_merge): per-day sketches
     compose into any window's sketch bit-for-bit -- same incremental
@@ -1880,16 +1886,14 @@ def kmv_sketch(
     from .neardup import md5_hash60
 
     keys = [F.col(d) for d in (dims or [])]
-    hashed = (
-        df.filter(F.col(key).isNotNull())
-        .select(*keys, md5_hash60(F.col(key).cast("string")).alias("_h"))
-        .distinct()
+    hashed = df.filter(F.col(key).isNotNull()).select(
+        *keys, md5_hash60(F.col(key).cast("string")).alias("_h")
     )
     partial = (
         hashed.withColumn("_p", F.spark_partition_id())
         .groupBy(*[F.col(d) for d in (dims or [])], F.col("_p"))
         .agg(
-            F.slice(F.array_sort(F.collect_list("_h")), 1, k).alias(
+            F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias(
                 "sketch"
             )
         )
@@ -4727,12 +4731,22 @@ def krippendorff_alpha(
         F.sum(F.col("_c") * F.col("_c")).alias("_ss"),
     ).localCheckpoint()
     pairable = per_item.filter(F.col("_n") >= 2)
+    # D_o numerator as an exact DECIMAL sum: the per-item term is a
+    # deterministically-rounded decimal(38,10) quotient and decimal
+    # addition is exact, so the fold is identical under ANY
+    # partitioning -- a plain double sum here returned last-ULP
+    # different alpha depending on partition merge order (r14 green
+    # fix: the replica test pins repartition-invariance). Operand
+    # precisions chosen so Spark's divide rule keeps scale 10 with no
+    # precision loss (28 + 10 = 38).
     totals = pairable.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum("_n").alias("n_values"),
         F.sum(
-            (F.col("_n") * F.col("_n") - F.col("_ss"))
-            / (F.col("_n") - 1)
+            (F.col("_n") * F.col("_n") - F.col("_ss")).cast(
+                "decimal(28,0)"
+            )
+            / (F.col("_n") - 1).cast("decimal(9,0)")
         ).alias("_do_num"),
     )
     cls_tot = (
@@ -4758,7 +4772,7 @@ def krippendorff_alpha(
             F.broadcast(cov), F.lit(True)
         )
     n = F.col("n_values").cast("double")
-    do = F.col("_do_num") / n
+    do = F.col("_do_num").cast("double") / n
     de = (n * n - F.col("_ss_cls")) / (n * (n - 1))
     alpha = F.when((n >= 2) & (de > 0), 1 - do / de)
     n_items = F.coalesce(F.col("n_items"), F.lit(0).cast("long"))

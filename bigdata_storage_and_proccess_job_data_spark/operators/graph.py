@@ -275,7 +275,7 @@ def _orient_by(und: DataFrame, deg: DataFrame) -> DataFrame:
 def _triangle_parts(und: DataFrame):
     """Shared core of the triangle family over a CANONICAL undirected
     frame (distinct, a < b -- i.e. undirected_edges output, ideally
-    persisted by the caller). Returns ``(tri, deg, o)``:
+    persisted by the caller). Returns ``(tri, deg, adj)``:
 
     - ``tri``: the LAZY (x, y, z) triangle list, x < y < z;
     - ``deg``: the PERSISTED (node, _deg) frame the orientation was
@@ -283,54 +283,69 @@ def _triangle_parts(und: DataFrame):
       consumers (triangle_counts, clustering_coefficients) reuse it as
       the node universe instead of re-exploding + distinct-shuffling
       the edge set;
-    - ``o``: the PERSISTED oriented frame, read twice (adjacency
-      build + edge stream).
+    - ``adj``: the PERSISTED sorted-adjacency frame (u, _nbrs) -- the
+      ONLY materialized intermediate, V rows of O(sqrt(|E|)) longs.
 
     Formulation: edge-iterator over sorted adjacency arrays (Latapy's
     compact-forward on the degree-ordered DAG). Each oriented edge
     (u, v) finds its triangles as array_intersect(out(u), out(v)) --
     orientation makes each triangle x->y, x->z, y->z (x < y < z in
     (deg, id) order) match at exactly ONE edge, (x, y), with z in both
-    out-sets. All intersection work is codegen'd JVM array math; rows
-    produced = actual triangles, never the ~C(out-deg, 2)-fold wedge
-    blow-up of the wedge-self-join formulation this replaced
-    (measured 1.5x end-to-end on the sf0.1 probe: 10.6M wedges vs
-    ~36k triangles from 600k edges). Per-node adjacency rows are
-    O(sqrt(|E|)) longs by the orientation bound, so no hub row can
-    melt an executor; when the edge set is driver-broadcastable
-    (<=4M rows) the two adjacency joins broadcast and the edge stream
-    never shuffles, else they are plain equi-joins on u / v.
+    out-sets. All intersection work is codegen'd JVM array math; the
+    intersect explode produces one row per actual triangle, never the
+    ~C(out-deg, 2)-fold wedge blow-up of the wedge-self-join
+    formulation this replaced (measured 1.5x end-to-end on the sf0.1
+    probe: 10.6M wedges vs ~36k triangles from 600k edges). Per-node
+    adjacency rows are O(sqrt(|E|)) longs by the orientation bound, so
+    no hub row can melt an executor.
+
+    r14 restructure (one persist, one join, one materializing job --
+    was two persists, a count-only job, and two adjacency joins): the
+    edge stream is re-derived by EXPLODING the cached adjacency --
+    (u, out(u), v) for v in out(u) -- which attaches out(u) for free,
+    so only out(v) needs attaching, via a single equi-join on v
+    (broadcast when the edge set is driver-broadcastable, <=4M edges;
+    plain equi-join otherwise -- the same shuffle class as before:
+    the wide (out(u))-carrying rows cross the wire once either way).
+    The oriented frame itself is never cached and the broadcast gate's
+    edge count comes from the same job that fills the adjacency cache
+    (sum of out-degrees == |E|), so the old per-call count(*)-only
+    pass over the oriented joins is gone. Same triangles, bit for bit.
 
     The caller must materialize everything derived from ``tri`` before
-    unpersisting ``deg`` and ``o``."""
+    unpersisting ``deg`` and ``adj``."""
     deg = _node_degrees(und).persist()
     try:
-        o = _orient_by(und, deg).persist()
+        o = _orient_by(und, deg)
+        adj = o.groupBy("u").agg(
+            F.array_sort(F.collect_list("v")).alias("_nbrs")
+        ).persist()
     except Exception:
         deg.unpersist()
         raise
     try:
-        # fills the persist both consumers read, and the count gates
-        # the broadcast decision below
-        n_edges = o.count()
+        # ONE materializing job: orients, groups, fills adj's cache
+        # (and deg's, through the orientation's broadcast of it), and
+        # returns the edge count that gates the broadcast decision
+        n_edges = int(
+            adj.agg(F.sum(F.size("_nbrs")).alias("n")).first()["n"] or 0
+        )
     except Exception:
-        o.unpersist()
+        adj.unpersist()
         deg.unpersist()
         raise
-    adj = o.groupBy("u").agg(
-        F.array_sort(F.collect_list("v")).alias("_nbrs")
-    )
-    adj_u = adj.select(
-        F.col("u").alias("_ju"), F.col("_nbrs").alias("_nu")
+    edge_stream = adj.select(
+        "u",
+        F.col("_nbrs").alias("_nu"),
+        F.explode("_nbrs").alias("v"),
     )
     adj_v = adj.select(
         F.col("u").alias("_jv"), F.col("_nbrs").alias("_nv")
     )
     if n_edges <= 4_000_000:
-        adj_u, adj_v = F.broadcast(adj_u), F.broadcast(adj_v)
+        adj_v = F.broadcast(adj_v)
     tri = (
-        o.join(adj_u, F.col("u") == F.col("_ju"))
-        .join(adj_v, F.col("v") == F.col("_jv"))
+        edge_stream.join(adj_v, F.col("v") == F.col("_jv"))
         .select(
             "u",
             "v",
@@ -342,7 +357,7 @@ def _triangle_parts(und: DataFrame):
             F.greatest("u", "v", "_z").alias("z"),
         )
     )
-    return tri, deg, o
+    return tri, deg, adj
 
 
 def triangles(
@@ -369,12 +384,12 @@ def triangles(
         if assume_undirected
         else undirected_edges(edges, src, dst)
     )
-    tri, deg, o = _triangle_parts(und)
+    tri, deg, adj = _triangle_parts(und)
     try:
         # Materialize before releasing the oriented frame.
         return tri.localCheckpoint()
     finally:
-        o.unpersist()
+        adj.unpersist()
         deg.unpersist()
 
 
@@ -399,7 +414,7 @@ def triangle_counts(
         else undirected_edges(edges, src, dst).persist()
     )
     try:
-        tri, deg, o = _triangle_parts(und)
+        tri, deg, adj = _triangle_parts(und)
         try:
             per_node = (
                 tri.select(
@@ -418,7 +433,7 @@ def triangle_counts(
             )
             return out.localCheckpoint()
         finally:
-            o.unpersist()
+            adj.unpersist()
             deg.unpersist()
     finally:
         if not assume_undirected:
@@ -437,7 +452,7 @@ def clustering_coefficients(
     once per call."""
     und = undirected_edges(edges, src, dst).persist()
     try:
-        tri, deg, o = _triangle_parts(und)
+        tri, deg, adj = _triangle_parts(und)
     except Exception:
         und.unpersist()
         raise
@@ -464,7 +479,7 @@ def clustering_coefficients(
         )
         return out.localCheckpoint()
     finally:
-        o.unpersist()
+        adj.unpersist()
         deg.unpersist()
         und.unpersist()
 

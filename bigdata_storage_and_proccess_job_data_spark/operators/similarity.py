@@ -493,19 +493,30 @@ def lsh_topk(
         if n_probes == 1
         else _probe_buckets("`_qv`", tables, n_probes)
     )
+    # candidate stage shuffles only (id, table, bucket) -- never the
+    # vectors (r14, the cosine_neardup_pairs shape): the old path
+    # carried _qv/_cv through dropDuplicates, which plans as a
+    # SortAggregate on first(array) (two sorts around the exchange)
+    # and ships every candidate's vectors twice. Dedup the bare id
+    # pairs (a HashAggregate over two longs), then re-attach vectors
+    # by id for surviving pairs only -- same pairs, same cosines,
+    # same output.
     qb = q.select(
-        "query_id", "_qv", F.explode(q_buckets).alias("b")
-    ).select("query_id", "_qv", "b.table", "b.bucket")
+        "query_id", F.explode(q_buckets).alias("b")
+    ).select("query_id", "b.table", "b.bucket")
     cb = c.select(
         "neighbor_id",
-        "_cv",
         F.explode(_bucket_array("_cv", tables)).alias("b"),
-    ).select("neighbor_id", "_cv", "b.table", "b.bucket")
-    scored = (
+    ).select("neighbor_id", "b.table", "b.bucket")
+    pairs = (
         qb.join(cb, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = (
+        pairs.join(q, "query_id")
+        .join(c, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",

@@ -245,7 +245,7 @@ def test_triangle_edge_iterator_avoids_wedge_blowup(spark, oracle_sf_dir):
         (F.col("l_partkey") % 2003).alias("dst"),
     )
     und = graph.undirected_edges(edges, "src", "dst")
-    tri, deg, o = graph._triangle_parts(und)
+    tri, deg, adj = graph._triangle_parts(und)
     try:
         # execute tri's OWN physical plan (df.count() builds a different
         # agg plan whose metrics would not populate this tree)
@@ -274,14 +274,21 @@ def test_triangle_edge_iterator_avoids_wedge_blowup(spark, oracle_sf_dir):
             assert acc, "no GenerateExec in the triangle plan"
             return sum(acc)
 
-        assert generate_rows(tri) == n_tri  # rows produced = triangles
-
-        outdeg = o.groupBy("u").count()
+        outdeg = adj.select(F.size("_nbrs").alias("count"))
         row = outdeg.select(
             F.sum(F.expr("count * (count - 1) / 2")).alias("wedges"),
             F.max("count").alias("max_out"),
             F.sum("count").alias("n_edges"),
         ).first()
+        # the r14 plan has exactly TWO Generates: the adjacency explode
+        # re-deriving the edge stream (|E| rows) and the intersect
+        # explode (ONE row per triangle) -- a regression back to the
+        # wedge formulation would still blow past this sum by >= 20x
+        assert generate_rows(tri) == n_tri + row.n_edges, (
+            generate_rows(tri),
+            n_tri,
+            row.n_edges,
+        )
         assert n_tri > 100, n_tri  # the regime is non-trivial
         assert row.wedges >= 20 * n_tri, (row.wedges, n_tri)
         assert row.max_out <= math.isqrt(2 * row.n_edges) + 1, (
@@ -289,7 +296,7 @@ def test_triangle_edge_iterator_avoids_wedge_blowup(spark, oracle_sf_dir):
             row.n_edges,
         )
     finally:
-        o.unpersist()
+        adj.unpersist()
         deg.unpersist()
 
 
