@@ -40,6 +40,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # skip the memo (no cheap stat) and infer as before.
 _SCHEMA_CACHE: dict = {}
 
+# Floor under which _spread never repartitions (r14): for a frame this
+# small the round-robin exchange -- a full shuffle stage plus its tasks
+# -- costs more wall-clock than ANY single-core pass over the bytes
+# (even a regex-heavy projection streams 256 KiB in single-digit ms),
+# and such frames are dim-table-shaped (nation/region/supplier/part):
+# consumed via a broadcast that a 16-way spread only delays. Bytes-
+# based, so the guard is scale-adaptive by itself -- the same table at
+# a bigger scale factor crosses the floor and spreads as before. Env-
+# tunable for deployments whose small frames feed unusually CPU-heavy
+# per-row work (the sf0.1 documents/embeddings tables sit above the
+# default precisely because theirs -- tokenization, vector math -- do).
+_SPREAD_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", str(256 * 1024))
+)
+
 
 def _read_parquet_cached(spark: SparkSession, path: str):
     """Returns ``(df, schema)`` -- schema is the StructType either from
@@ -85,6 +100,8 @@ def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     if stats is None:
         return df
     n_files, total = stats
+    if total < _SPREAD_MIN_BYTES:
+        return df
     max_bytes = parse_byte_conf(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
     )

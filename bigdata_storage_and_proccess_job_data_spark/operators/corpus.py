@@ -2695,31 +2695,48 @@ def bradley_terry_fit(
     raises.
 
     Scale shape (the kmeans/rake collect class -- fit on a bounded
-    artifact): a ``limit(max_items + 1)`` distinct-items pre-flight
-    enforces ``max_items`` BEFORE anything unbounded can land on the
-    driver, then ONE hash agg folds the judgments to (winner, loser)
-    pair counts (bounded by items^2 once the guard passed), the MM
-    loop runs driver-side in pure Python over that model-sized frame,
-    and the returned strengths frame is items-bounded -- broadcast it
-    back onto anything. The pre-flight is a SECOND full scan of
-    ``comparisons`` plus a distinct shuffle on every call, paid even
-    on well-bounded inputs -- the deliberate price of failing loud
-    before the collect rather than after (r13 ADVICE records the
-    trade; cache/checkpoint the comparisons frame upstream if the
-    double scan matters)."""
+    artifact): ONE hash agg folds the judgments to (winner, loser)
+    pair counts -- the only full scan of ``comparisons`` -- and the
+    pair frame is localCheckpointed ON THE EXECUTORS (never the
+    driver; distinct pairs are <= the map-side-combined distinct
+    shuffle the old two-scan build paid anyway). A
+    ``limit(max_items + 1)`` distinct-items probe over that
+    checkpointed frame then enforces ``max_items`` BEFORE anything
+    unbounded lands on the driver (the row-id misuse still raises on
+    a bounded probe, r13's guard-before-collect), and only a
+    guard-passed frame is collected (bounded by items^2 by
+    construction). The MM loop runs driver-side in pure Python over
+    that model-sized frame, and the returned strengths frame is
+    items-bounded -- broadcast it back onto anything. (r14, closing
+    the r13 ADVICE double-scan note: the guard previously cost a
+    second full scan plus a distinct-union shuffle per call; deriving
+    it from the checkpointed pair frame removes both. Like the other
+    checkpointing operators, the fold now launches its Spark job
+    eagerly at call time -- CHANGELOG-recorded.)"""
     if max_items < 2:
         raise ValueError(f"max_items must be >= 2: {max_items}")
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0: {alpha}")
     w, l = F.col(winner_col), F.col(loser_col)
     valid = comparisons.filter(w.isNotNull() & l.isNotNull())
+    # ONE scan: fold to pair counts and pin the result on the
+    # executors; the guard probe and the collect both read the
+    # checkpoint, so raw comparisons are scanned exactly once (r14 --
+    # the pre-flight previously re-scanned them plus a distinct-union
+    # shuffle per call).
+    pair_counts = (
+        valid.groupBy(w.alias("_w"), l.alias("_l"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint()
+    )
     # Guard BEFORE anything unbounded lands on the driver (r13, VERDICT
-    # r12 #1): the distinct-item pre-flight pulls at most max_items + 1
-    # ids -- the exact misuse the guard exists for (items = row ids)
-    # would otherwise collect up to items^2 pair rows first.
+    # r12 #1): the distinct-item probe pulls at most max_items + 1 ids
+    # from the (executor-side) pair frame -- the exact misuse the guard
+    # exists for (items = row ids) would otherwise collect up to
+    # items^2 pair rows first.
     probe = (
-        valid.select(w.alias("_i"))
-        .union(valid.select(l.alias("_i")))
+        pair_counts.select(F.col("_w").alias("_i"))
+        .union(pair_counts.select(F.col("_l").alias("_i")))
         .distinct()
         .limit(max_items + 1)
         .collect()
@@ -2730,11 +2747,7 @@ def bradley_terry_fit(
             "distinct items -- Bradley-Terry items are the candidates "
             "under comparison (models, prompts), not unbounded row ids"
         )
-    counts = (
-        valid.groupBy(w.alias("_w"), l.alias("_l"))
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .collect()
-    )
+    counts = pair_counts.collect()
     beats: dict[tuple, float] = {}
     items_set = set()
     for r in sorted(counts, key=lambda r: (str(r._w), str(r._l))):

@@ -1759,6 +1759,19 @@ def _line_uid() -> "F.Column":
     )
 
 
+def _line_uid_long() -> "F.Column":
+    # The same per-row-unique line uid packed INJECTIVELY into a long
+    # (l_linenumber is 1..7 in the TPC-H-shaped fixtures, so *8 + ln
+    # never collides with another line): COUNT(DISTINCT) over an
+    # injective image is the identical number, and the skew twins'
+    # distinct shuffle moves 8-byte longs instead of ~10-char strings
+    # -- the guide's "narrower types" lever (r14; ~2x fewer exchange
+    # bytes AND long-keyed hash aggs instead of string-keyed). The
+    # string form stays for kmv_zipf_build, whose md5-keyed sketch
+    # values are defined over the string uid.
+    return F.col("l_orderkey") * 8 + F.col("l_linenumber")
+
+
 # skew_distinct_naive RETIRED r14 (registry.RETIRED
 # ["skew_distinct_naive"], the R14 ledger's join_size_report slot): its
 # oracle was BYTE-IDENTICAL to skew_distinct_spread's
@@ -1789,7 +1802,7 @@ def skew_distinct_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.count_distinct_spread(
         li,
         _zipf_company(),
-        _line_uid(),
+        _line_uid_long(),
         key_name="company",
         out="n_line_uids",
     )

@@ -391,15 +391,22 @@ def skew_distinct_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     BENCH_r{{N}}.json history stays comparable; the wall-time delta vs
     skew_distinct_spread is the README's skew-machinery number
     (VERDICT r4 #6). At 100 TB this shape is an OOM -- kept as the
-    measured baseline only."""
+    measured baseline only. r14: both twins take the uid as the packed
+    long (_line_uid_long) so the naive/spread delta stays an
+    apples-to-apples algorithm comparison after the spread side's
+    narrower-types rewrite; the counts are unchanged (injective
+    image), pinned by test_skew_distinct_naive_probe_equals_spread_twin
+    and the shared oracle."""
     from bigdata_storage_and_proccess_job_data_spark.plans.analytics_queries import (
-        _line_uid,
+        _line_uid_long,
         _zipf_company,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy(_zipf_company().alias("company")).agg(
-        F.size(F.collect_set(_line_uid())).cast("long").alias("n_line_uids")
+        F.size(F.collect_set(_line_uid_long()))
+        .cast("long")
+        .alias("n_line_uids")
     )
 
 

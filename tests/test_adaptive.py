@@ -54,7 +54,14 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        lineitem = load_table(spark, sf_dir, "lineitem").withColumn(
+        # repartition(16): OptimizeSkewedJoin splits a hot reduce
+        # partition at MAP-BLOCK boundaries, so the fact side must come
+        # from multiple map tasks -- true for any at-scale scan, but
+        # the sf0.001 fixture sits under catalog._SPREAD_MIN_BYTES
+        # (r14) and would otherwise scan as ONE block AQE cannot split
+        lineitem = load_table(spark, sf_dir, "lineitem").repartition(
+            16
+        ).withColumn(
             # poison: 90% of rows share one join key -- the classic hot key
             "skew_key",
             F.when(F.col("l_orderkey") % 10 != 0, F.lit(1)).otherwise(

@@ -573,3 +573,26 @@ def test_write_training_shards_ordered_files_and_manifest(
 
     with _pytest.raises(ValueError, match="shard_rows"):
         lake.write_training_shards(spark, ordered, out, "shuffle_pos", 0)
+
+
+def test_spread_floor_skips_tiny_tables_only(spark, sf_dir):
+    """catalog._spread (r14): a table under _SPREAD_MIN_BYTES loads
+    with NO repartition exchange -- the round-robin costs more than any
+    single-core pass over so few bytes and the frame is broadcast-bound
+    downstream -- while a single-file table above the floor still
+    spreads (the fixture-scan parallelism the helper exists for)."""
+    for tiny in ("nation", "region"):
+        plan = (
+            load_table(spark, sf_dir, tiny)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, (tiny, plan)
+    big = (
+        load_table(spark, "/root/testdata/sf0.1", "lineitem")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "RoundRobinPartitioning" in big, big
