@@ -275,9 +275,13 @@ def _orient_by(und: DataFrame, deg: DataFrame) -> DataFrame:
 def _triangle_parts(und: DataFrame):
     """Shared core of the triangle family over a CANONICAL undirected
     frame (distinct, a < b -- i.e. undirected_edges output, ideally
-    persisted by the caller). Returns ``(tri, deg, adj)``:
+    persisted by the caller). Returns ``(tri, hits, deg, adj)``:
 
     - ``tri``: the LAZY (x, y, z) triangle list, x < y < z;
+    - ``hits``: the LAZY pre-explode (u, v, _zs) frame tri derives
+      from -- one row per oriented edge with its full intersect
+      array; _per_node_counts folds it to corner counts without the
+      triangle-list explode;
     - ``deg``: the PERSISTED (node, _deg) frame the orientation was
       built from -- it contains every node of the graph, so per-node
       consumers (triangle_counts, clustering_coefficients) reuse it as
@@ -344,20 +348,56 @@ def _triangle_parts(und: DataFrame):
     )
     if n_edges <= 4_000_000:
         adj_v = F.broadcast(adj_v)
-    tri = (
-        edge_stream.join(adj_v, F.col("v") == F.col("_jv"))
-        .select(
-            "u",
-            "v",
-            F.explode(F.array_intersect("_nu", "_nv")).alias("_z"),
-        )
-        .select(
-            F.least("u", "v", "_z").alias("x"),
-            F.expr("array_sort(array(u, v, _z))[1]").alias("y"),
-            F.greatest("u", "v", "_z").alias("z"),
-        )
+    # hits: one row per oriented edge with the FULL intersect array --
+    # the shared pre-explode frame. tri explodes it to the (x,y,z)
+    # list; _per_node_counts folds it to corner counts WITHOUT ever
+    # materializing 3 rows per triangle (r14).
+    hits = edge_stream.join(adj_v, F.col("v") == F.col("_jv")).select(
+        "u", "v", F.array_intersect("_nu", "_nv").alias("_zs")
     )
-    return tri, deg, adj
+    tri = hits.select(
+        "u", "v", F.explode("_zs").alias("_z")
+    ).select(
+        F.least("u", "v", "_z").alias("x"),
+        F.expr("array_sort(array(u, v, _z))[1]").alias("y"),
+        F.greatest("u", "v", "_z").alias("z"),
+    )
+    return tri, hits, deg, adj
+
+
+def _per_node_counts(hits: DataFrame) -> DataFrame:
+    """(node, triangles) from the pre-explode hits frame in ONE pass:
+    each edge (u, v) with S = out(u) & out(v) closes |S| triangles at
+    u and at v and one at every z in S, so the corner attribution is
+    [struct(u, |S|), struct(v, |S|)] ++ transform(S, z -> (z, 1)),
+    exploded once and summed. 2|E| + T rows through a single Generate
+    and the hash agg -- the previous build exploded the triangle list
+    and then exploded array(x, y, z) on top of it, pushing 3T rows
+    (plus a least/mid/greatest ordering projection per triangle)
+    through the agg; at the bench probe's 52M triangles that is ~155M
+    avoidable rows (r14). Counts are identical: both enumerate each
+    (triangle, corner) incidence exactly once."""
+    c = F.size("_zs")
+    corner = F.explode(
+        F.concat(
+            F.array(
+                F.struct(F.col("u").alias("node"), c.alias("_c")),
+                F.struct(F.col("v").alias("node"), c.alias("_c")),
+            ),
+            F.transform(
+                "_zs",
+                lambda z: F.struct(
+                    z.alias("node"), F.lit(1).alias("_c")
+                ),
+            ),
+        )
+    ).alias("e")
+    return (
+        hits.select(corner)
+        .select("e.node", "e._c")
+        .groupBy("node")
+        .agg(F.sum("_c").cast("long").alias("triangles"))
+    )
 
 
 def triangles(
@@ -384,7 +424,7 @@ def triangles(
         if assume_undirected
         else undirected_edges(edges, src, dst)
     )
-    tri, deg, adj = _triangle_parts(und)
+    tri, _hits, deg, adj = _triangle_parts(und)
     try:
         # Materialize before releasing the oriented frame.
         return tri.localCheckpoint()
@@ -407,22 +447,18 @@ def triangle_counts(
     20k-row per-node aggregate is the only thing checkpointed, never
     the raw triangle list (r8 -- the old path checkpointed the full
     (x,y,z) list just to release the oriented cache, paying an extra
-    job barrier in the most expensive headline probe)."""
+    job barrier in the most expensive headline probe). Counts fold
+    straight off the per-edge intersect arrays (_per_node_counts,
+    r14) -- the (x,y,z) list is never materialized here at all."""
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         if assume_undirected
         else undirected_edges(edges, src, dst).persist()
     )
     try:
-        tri, deg, adj = _triangle_parts(und)
+        _tri, hits, deg, adj = _triangle_parts(und)
         try:
-            per_node = (
-                tri.select(
-                    F.explode(F.array("x", "y", "z")).alias("node")
-                )
-                .groupBy("node")
-                .agg(F.count(F.lit(1)).alias("triangles"))
-            )
+            per_node = _per_node_counts(hits)
             out = (
                 deg.select("node")
                 .join(per_node, "node", "left")
@@ -452,16 +488,12 @@ def clustering_coefficients(
     once per call."""
     und = undirected_edges(edges, src, dst).persist()
     try:
-        tri, deg, adj = _triangle_parts(und)
+        _tri, hits, deg, adj = _triangle_parts(und)
     except Exception:
         und.unpersist()
         raise
     try:
-        per_node = (
-            tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("triangles"))
-        )
+        per_node = _per_node_counts(hits)
         out = (
             deg.join(per_node, "node", "left")
             .select(
