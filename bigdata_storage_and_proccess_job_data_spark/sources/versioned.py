@@ -452,6 +452,132 @@ def _bloom_bits(d: int, k: int, target_fpp: float) -> int:
     return max(64, ((int(math.ceil(m)) + 63) // 64) * 64)
 
 
+def _bloom_position_exprs(k: int) -> "list":
+    """The k md5-derived bit-position hash expressions over the string
+    column ``_v`` -- MUST stay bit-identical to _bloom_pos (the Python
+    probe twin): md5(f"{i}:{value}") 15-hex-digit prefix as a long,
+    reduced mod m by the caller."""
+    return [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("_v"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        for i in range(k)
+    ]
+
+
+def _bloom_words(spark: SparkSession, pairs: DataFrame, m_by_file: dict, k: int):
+    """Collect (file-basename ``_b``, word-index ``_w``, ``_bits``) rows
+    for per-file bloom bitmaps: broadcast-join each value row to its
+    file's bitmap size, derive the k bit positions, fold to word grain
+    with a bit_or hash agg. ``pairs`` must carry ``_b`` and a non-null
+    string ``_v``; duplicate values only re-OR the same bits, so callers
+    may skip deduplication when the distinct pass is not otherwise
+    needed."""
+    sizes = spark.createDataFrame(
+        [(f, mm) for f, mm in m_by_file.items()],
+        "_b string, _m long",
+    )
+    return (
+        pairs.join(F.broadcast(sizes), "_b")
+        .select(
+            "_b",
+            F.explode(F.array(*_bloom_position_exprs(k))).alias("_h"),
+            "_m",
+        )
+        .select("_b", (F.col("_h") % F.col("_m")).alias("_p"))
+        .select(
+            "_b",
+            (F.col("_p") / 64).cast("int").alias("_w"),
+            # expr form: pyspark's shiftleft only takes a literal int
+            # for numBits, not a Column
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))"
+            ).alias("_bit"),
+        )
+        .groupBy("_b", "_w")
+        .agg(F.bit_or("_bit").alias("_bits"))
+        .collect()
+    )
+
+
+def _bloom_rebuild_spliced(
+    spark: SparkSession,
+    new_snap: str,
+    old_payload: dict,
+    linked_names: set,
+) -> None:
+    """Rebuild a per-file-sized bloom manifest after a COW commit
+    WITHOUT rescanning linked files: a hard-linked file is byte-
+    identical to its source, so its (file, col) entries carry over
+    verbatim; only the freshly written files are scanned, in ONE job
+    per column (no distinct exchange, no persist, no counts pass --
+    the write_bloom_manifest build pays those to size each bitmap from
+    its file's exact distinct count). Here each new file's ``m`` comes
+    from its parquet footer row count instead: an upper bound on the
+    distinct count, so the bitmap is the same size for unique keys and
+    conservatively larger otherwise -- the false-positive rate only
+    improves, and pruning correctness is m-independent because every
+    entry stores its own ``m`` next to its words."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    k = old_payload.get("k", 5)
+    cols = sorted(
+        {
+            cname
+            for per in old_payload.get("files", {}).values()
+            for cname in per
+        }
+    )
+    out: dict[str, dict] = {
+        fname: entry
+        for fname, entry in old_payload.get("files", {}).items()
+        if fname in linked_names
+    }
+    new_paths = [
+        p
+        for p in sorted(_glob.glob(os.path.join(new_snap, "*.parquet")))
+        if os.path.basename(p) not in linked_names
+    ]
+    if cols and new_paths:
+        m_by_file = {
+            os.path.basename(p): _bloom_bits(
+                _pq.ParquetFile(p).metadata.num_rows, k, 0.01
+            )
+            for p in new_paths
+        }
+        df = spark.read.parquet(*new_paths)
+        for col in cols:
+            pairs = df.select(
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("_b"),
+                F.col(col).cast("string").alias("_v"),
+            ).filter(F.col("_v").isNotNull())
+            per_file_words: dict[str, dict[str, int]] = {}
+            for r in _bloom_words(spark, pairs, m_by_file, k):
+                per_file_words.setdefault(r._b, {})[str(r._w)] = r._bits
+            # files that produced no rows (all-NULL col) stay absent:
+            # conservative keep on probe, same as a fresh build
+            for fname, wmap in per_file_words.items():
+                out.setdefault(fname, {})[col] = {
+                    "m": m_by_file[fname],
+                    "words": wmap,
+                }
+    payload = {"m": None, "k": k, "files": out}
+    tmp = os.path.join(new_snap, f".{_BLOOM}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, os.path.join(new_snap, _BLOOM))
+
+
 def write_bloom_manifest(
     spark: SparkSession,
     snapshot_dir: str,
@@ -522,46 +648,13 @@ def write_bloom_manifest(
                 for f, d in counts.items()
             }
             if m_by_file:
-                sizes = spark.createDataFrame(
-                    [(f, mm) for f, mm in m_by_file.items()],
-                    "_b string, _m long",
-                )
-                raw_exprs = [
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat(F.lit(f"{i}:"), F.col("_v"))),
-                            1,
-                            15,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    for i in range(k)
-                ]
-                words = (
+                words = _bloom_words(
+                    spark,
                     pairs.withColumn(
                         "_b", F.element_at(F.split("_f", "/"), -1)
-                    )
-                    .join(F.broadcast(sizes), "_b")
-                    .select(
-                        "_b",
-                        F.explode(F.array(*raw_exprs)).alias("_h"),
-                        "_m",
-                    )
-                    .select("_b", (F.col("_h") % F.col("_m")).alias("_p"))
-                    .select(
-                        "_b",
-                        (F.col("_p") / 64).cast("int").alias("_w"),
-                        # expr form: pyspark's shiftleft only takes a
-                        # literal int for numBits, not a Column
-                        F.expr(
-                            "shiftleft(CAST(1 AS BIGINT),"
-                            " CAST(_p % 64 AS INT))"
-                        ).alias("_bit"),
-                    )
-                    .groupBy("_b", "_w")
-                    .agg(F.bit_or("_bit").alias("_bits"))
-                    .collect()
+                    ),
+                    m_by_file,
+                    k,
                 )
             else:
                 words = []
@@ -1377,6 +1470,15 @@ def _cow_rewrite(
     else:
         affected = prune_files(snap, col, lo, hi)
     survivors = sorted(set(all_files) - set(affected))
+    if not affected and not always_commit:
+        # no file's stats intersect the predicate: provably zero
+        # matches without running a single job
+        return {
+            "version": None,
+            "files_linked": 0,
+            "files_rewritten": 0,
+            count_key: 0,
+        }
     c = F.col(col)
     pred = F.lit(True)
     if eq is not None:
@@ -1385,22 +1487,23 @@ def _cow_rewrite(
         pred = pred & (c >= F.lit(lo))
     if hi is not None:
         pred = pred & (c <= F.lit(hi))
-    n_match = 0
     if affected:
         aff = spark.read.parquet(*affected)
-        n_match = aff.filter(pred).count()
     else:
         # no file intersects (e.g. a pure-insert merge band beyond
         # every range): an empty, schema-correct frame keeps the
         # rewrite callback uniform
         aff = spark.read.parquet(all_files[0]).filter(F.lit(False))
-    if n_match == 0 and not always_commit:
-        return {
-            "version": None,
-            "files_linked": 0,
-            "files_rewritten": 0,
-            count_key: 0,
-        }
+    # the match count rides the rewrite job as an observed metric
+    # (CollectMetrics above the affected-file scan) instead of a
+    # separate count pass -- the affected files are scanned ONCE per
+    # commit (r14). Requires the rewrite callback to route ``aff``
+    # into its output exactly once (all three callers do: filter,
+    # withColumns, one anti-join branch).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    aff = aff.observe(obs, F.count(F.when(pred, True)).alias("n"))
     if expected is not None:
         cur = current_version(table_dir) or 0
         if cur != expected:
@@ -1417,6 +1520,26 @@ def _cow_rewrite(
             path, os.path.join(new_snap, os.path.basename(path))
         )
     rewrite(aff, pred).write.mode("append").parquet(new_snap)
+    n_match = int(obs.get["n"] or 0)
+    if n_match == 0 and not always_commit:
+        # zero matches inside stats-intersecting files (a gap in the
+        # [min, max] band): the staged snapshot is discarded before the
+        # pointer ever moves -- readers never saw it, and the claim
+        # marker is released so the version number is reusable. Net
+        # observable behavior matches the old pre-count: no commit.
+        import shutil
+
+        shutil.rmtree(new_snap, ignore_errors=True)
+        try:
+            os.remove(os.path.join(table_dir, f"._claim_v{nxt}"))
+        except FileNotFoundError:
+            pass
+        return {
+            "version": None,
+            "files_linked": 0,
+            "files_rewritten": 0,
+            count_key: 0,
+        }
     old_stats = read_stats_manifest(snap)
     if stats_cols_override is not None:
         write_stats_manifest(new_snap, list(stats_cols_override))
@@ -1434,17 +1557,29 @@ def _cow_rewrite(
     if os.path.exists(bloom_path):
         with open(bloom_path) as fh:
             payload = json.load(fh)
-        bloom_cols = sorted(
-            {
-                cname
-                for per in payload.get("files", {}).values()
-                for cname in per
-            }
-        )
-        if bloom_cols:
-            write_bloom_manifest(
-                spark, new_snap, bloom_cols, k=payload.get("k", 5)
+        if payload.get("m") is None:
+            # per-file-sized manifest (the r8+ default): splice linked
+            # files' entries verbatim, rescan only the rewritten files
+            # (one job per column -- see _bloom_rebuild_spliced)
+            _bloom_rebuild_spliced(
+                spark,
+                new_snap,
+                payload,
+                {os.path.basename(p) for p in survivors},
             )
+        else:
+            # legacy fixed-m manifest: full rebuild, per-file sizing
+            bloom_cols = sorted(
+                {
+                    cname
+                    for per in payload.get("files", {}).values()
+                    for cname in per
+                }
+            )
+            if bloom_cols:
+                write_bloom_manifest(
+                    spark, new_snap, bloom_cols, k=payload.get("k", 5)
+                )
     meta = commit_meta(table_dir, version=pinned)
     if meta is not None:
         with open(os.path.join(new_snap, _META), "w") as fh:
@@ -1493,11 +1628,17 @@ def delete_where(
     Rows with NULL ``col`` never match a range and are always kept.
     Without a stats manifest every file is "affected" (conservative
     full rewrite -- still correct). If NO row matches, no new version
-    is committed (report says so). The new snapshot's stats manifest
-    is rebuilt from parquet footers (KB-priced metadata walk); a bloom
-    manifest, when present, is rebuilt with the same recorded columns
-    and k (one column-projection scan -- splicing per-file entries for
-    linked files is the upgrade path at extreme file counts).
+    is committed (report says so); when the stats manifest already
+    proves zero matches, not a single job runs, and when matches only
+    vanish inside a stats-intersecting band the staged snapshot is
+    discarded before the pointer moves (r14 -- the match count rides
+    the rewrite job as an observed metric, so affected files are
+    scanned once, not twice). The new snapshot's stats manifest is
+    rebuilt from parquet footers (KB-priced metadata walk); a bloom
+    manifest, when present, is maintained by SPLICING linked files'
+    per-file entries verbatim and rescanning only the rewritten files
+    in one job (_bloom_rebuild_spliced; legacy fixed-m manifests fall
+    back to a full per-file-sized rebuild).
     ``expected`` follows optimize_table's optimistic-concurrency
     default ("auto" pins the version being read, so a racing ingest
     fails this commit closed instead of losing rows).

@@ -1692,6 +1692,111 @@ def test_delete_where_no_manifest_and_concurrency(spark, tmp_path):
         versioned.delete_where(spark, table, "k")
 
 
+def test_cow_bloom_splice_links_verbatim_rebuilds_rewritten(
+    spark, tmp_path
+):
+    """The r14 COW bloom maintenance: (1) hard-linked files' bloom
+    entries are spliced into the new manifest BYTE-IDENTICAL to the old
+    one (the file content is the same inode -- rescanning it could only
+    reproduce the same bits); (2) rewritten files get fresh entries that
+    match a canonical write_bloom_manifest build bit-for-bit when the
+    key is unique per row (footer row count == distinct count => same
+    m => same words); (3) pruning on the spliced manifest stays exact
+    for surviving keys."""
+    import glob
+    import json
+    import os
+
+    table = str(tmp_path / "splice_bloom")
+    df = spark.range(0, 4000).selectExpr(
+        "CAST(id AS STRING) AS key", "id AS k", "id % 11 AS p"
+    )
+    v1 = versioned.commit_version(
+        df.repartitionByRange(6, "k").sortWithinPartitions("k"),
+        table,
+        stats_cols=["k"],
+    )
+    versioned.write_bloom_manifest(spark, f"{table}/v={v1}", ["key"])
+    with open(f"{table}/v={v1}/_bloom.json") as fh:
+        old = json.load(fh)
+    report = versioned.delete_where(spark, table, "k", 100, 199)
+    new_snap = f"{table}/v={report['version']}"
+    with open(os.path.join(new_snap, "_bloom.json")) as fh:
+        new = json.load(fh)
+    assert new["m"] is None and new["k"] == old["k"]
+    # linked files: entries spliced verbatim
+    old_inodes = {
+        os.stat(p).st_ino: os.path.basename(p)
+        for p in glob.glob(f"{table}/v={v1}/*.parquet")
+    }
+    linked = {
+        os.path.basename(p)
+        for p in glob.glob(f"{new_snap}/*.parquet")
+        if os.stat(p).st_ino in old_inodes
+    }
+    assert len(linked) == report["files_linked"] > 0
+    for fname in linked:
+        assert new["files"][fname] == old["files"][fname]
+    # rewritten files: fresh entries, bit-identical to a canonical
+    # rebuild (unique key => same per-file sizing)
+    rewritten = set(new["files"]) - linked
+    assert len(rewritten) == report["files_rewritten"] > 0
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="splice_check_")
+    try:
+        for fname in rewritten:
+            os.link(
+                os.path.join(new_snap, fname),
+                os.path.join(scratch, fname),
+            )
+        canonical = versioned.write_bloom_manifest(
+            spark, scratch, ["key"], k=new["k"]
+        )["files"]
+        for fname in rewritten:
+            got = new["files"][fname]["key"]
+            want = canonical[fname]["key"]
+            assert got["m"] == want["m"]
+            assert {
+                w: int(b) for w, b in got["words"].items()
+            } == {w: int(b) for w, b in want["words"].items()}
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    # pruning on the spliced manifest: surviving key found, exact read
+    assert (
+        versioned.read_version(
+            spark, table, prune_eq=("key", "3000")
+        ).count()
+        == 1
+    )
+
+
+def test_cow_zero_match_in_band_rolls_back(spark, tmp_path):
+    """A delete whose band intersects file stats but matches NO row
+    (a gap inside [min, max]) commits nothing: version None, pointer
+    unchanged, no orphaned snapshot dir, and the staged version number
+    is released for the next real commit."""
+    table = str(tmp_path / "gap_table")
+    df = spark.sql(
+        "SELECT explode(sequence(0, 99)) AS k UNION ALL "
+        "SELECT explode(sequence(300, 399)) AS k"
+    ).selectExpr("k", "k % 7 AS p")
+    v1 = versioned.commit_version(df.coalesce(1), table, stats_cols=["k"])
+    # file stats span [0, 399]; the band 150-250 is a gap
+    affected = versioned.prune_files(f"{table}/v={v1}", "k", 150, 250)
+    assert affected, "test premise: the gap band must intersect stats"
+    r0 = versioned.delete_where(spark, table, "k", 150, 250)
+    assert r0["version"] is None and r0["rows_deleted"] == 0
+    assert versioned.current_version(table) == v1
+    assert versioned.versions(table) == [v1]  # staged dir removed
+    # the claim marker was released: the next commit takes v1+1
+    report = versioned.delete_where(spark, table, "k", 0, 9)
+    assert report["version"] == v1 + 1
+    assert report["rows_deleted"] == 10
+    assert versioned.read_version(spark, table).count() == 190
+
+
 def test_delete_where_rebuilds_bloom(spark, tmp_path):
     """A bloom-manifested table keeps equality pruning after a delete:
     the new snapshot's bloom is rebuilt with the recorded columns and
