@@ -1760,4 +1760,11 @@ DRIVER_WINDOW_R3 = [
     "impute_mean",  # A9/X2
 ]
 
-set_driver_order(DRIVER_WINDOW_R14)
+# Round 15 (optimization round 2): rotate the driver's checked half to
+# the pinned R15 obligation -- the exact complement of the r14 window,
+# so every registered query is oracle-re-checked within the two-round
+# cycle. No ledger swaps this round (optimization rounds add no
+# features), so the executed window IS the pinned plan verbatim.
+DRIVER_WINDOW_R15 = list(DRIVER_WINDOW_R15_PLAN)
+
+set_driver_order(DRIVER_WINDOW_R15)

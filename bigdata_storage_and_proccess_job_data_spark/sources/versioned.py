@@ -524,40 +524,82 @@ def _bloom_words(spark: SparkSession, pairs: DataFrame, m_by_file: dict, k: int)
     )
 
 
+def _bloom_entry_d_bound(entry: dict, k: int, target_fpp: float) -> int:
+    """Distinct-count upper bound for an existing per-file bloom entry:
+    the stored ``d`` when present (r15+ manifests record the bound the
+    bitmap was sized from), else inverted from ``m`` -- _bloom_bits
+    only ever rounds m UP from k*d / -ln(1-fpp^(1/k)), so
+    d <= m * -ln(1-fpp^(1/k)) / k holds and its floor is a valid
+    integer bound."""
+    import math
+
+    d = entry.get("d")
+    if d is not None:
+        return int(d)
+    return int(
+        entry["m"] * (-math.log(1.0 - target_fpp ** (1.0 / k))) / k
+    )
+
+
 def _bloom_rebuild_spliced(
     spark: SparkSession,
     new_snap: str,
     old_payload: dict,
     linked_names: set,
+    changed_cols: "set | frozenset" = frozenset(),
 ) -> None:
     """Rebuild a per-file-sized bloom manifest after a COW commit
     WITHOUT rescanning linked files: a hard-linked file is byte-
     identical to its source, so its (file, col) entries carry over
     verbatim; only the freshly written files are scanned, in ONE job
     per column (no distinct exchange, no persist, no counts pass --
-    the write_bloom_manifest build pays those to size each bitmap from
-    its file's exact distinct count). Here each new file's ``m`` comes
-    from its parquet footer row count instead: an upper bound on the
-    distinct count, so the bitmap is the same size for unique keys and
-    conservatively larger otherwise -- the false-positive rate only
-    improves, and pruning correctness is m-independent because every
-    entry stores its own ``m`` next to its words."""
+    the write_bloom_manifest exact build pays those to size each
+    bitmap from its file's exact distinct count). Each new file's
+    ``m`` comes from a distinct-count UPPER BOUND instead:
+
+      min(parquet footer row count,
+          sum of the rewritten-away files' recorded bounds for the col)
+
+    The second term is sound because a COW rewrite's output rows are a
+    subset of the affected files' rows, so a column's new distinct set
+    is a subset of the union of those files' old value sets (absent
+    old entries are all-NULL files contributing zero values) -- UNLESS
+    the rewrite may have CHANGED the column's values (update_where
+    set_exprs; passed as ``changed_cols``), in which case only the
+    footer row count bounds it. r14 sized from the row count alone,
+    which inflated low-NDV columns' bitmaps ~rows/NDV-fold per rewrite
+    (VERDICT r14 #3); the cap keeps them near the exact build's size
+    while the unique-key case stays bit-identical (bound == row count).
+    FP rate only ever improves vs target; pruning correctness is
+    m-independent because every entry stores its own ``m``. The sizing
+    target_fpp comes from the manifest payload when recorded (r15+;
+    older manifests sized at the 0.01 default)."""
     import glob as _glob
 
     import pyarrow.parquet as _pq
 
     k = old_payload.get("k", 5)
-    cols = sorted(
-        {
-            cname
-            for per in old_payload.get("files", {}).values()
-            for cname in per
-        }
-    )
+    target_fpp = old_payload.get("target_fpp") or 0.01
+    old_files = old_payload.get("files", {})
+    cols = sorted({cname for per in old_files.values() for cname in per})
     out: dict[str, dict] = {
         fname: entry
-        for fname, entry in old_payload.get("files", {}).items()
+        for fname, entry in old_files.items()
         if fname in linked_names
+    }
+    # distinct-count budget per column: what the rewritten-away files'
+    # entries claimed, summed (absent entry == all-NULL col in that
+    # file == zero distinct values)
+    rewritten_away = [
+        per for fname, per in old_files.items() if fname not in linked_names
+    ]
+    cap_by_col = {
+        col: sum(
+            _bloom_entry_d_bound(per[col], k, target_fpp)
+            for per in rewritten_away
+            if col in per
+        )
+        for col in cols
     }
     new_paths = [
         p
@@ -565,14 +607,24 @@ def _bloom_rebuild_spliced(
         if os.path.basename(p) not in linked_names
     ]
     if cols and new_paths:
-        m_by_file = {
-            os.path.basename(p): _bloom_bits(
-                _pq.ParquetFile(p).metadata.num_rows, k, 0.01
-            )
+        rows_by_file = {
+            os.path.basename(p): _pq.ParquetFile(p).metadata.num_rows
             for p in new_paths
         }
         df = spark.read.parquet(*new_paths)
         for col in cols:
+            d_by_file = {
+                f: (
+                    rows
+                    if col in changed_cols
+                    else min(rows, cap_by_col[col])
+                )
+                for f, rows in rows_by_file.items()
+            }
+            m_by_file = {
+                f: _bloom_bits(d, k, target_fpp)
+                for f, d in d_by_file.items()
+            }
             pairs = df.select(
                 F.element_at(
                     F.split(F.input_file_name(), "/"), -1
@@ -587,9 +639,15 @@ def _bloom_rebuild_spliced(
             for fname, wmap in per_file_words.items():
                 out.setdefault(fname, {})[col] = {
                     "m": m_by_file[fname],
+                    "d": d_by_file[fname],
                     "words": wmap,
                 }
-    payload = {"m": None, "k": k, "files": out}
+    payload = {
+        "m": None,
+        "k": k,
+        "target_fpp": target_fpp,
+        "files": out,
+    }
     tmp = os.path.join(new_snap, f".{_BLOOM}.tmp")
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
@@ -603,6 +661,7 @@ def write_bloom_manifest(
     m: int | None = None,
     k: int = 5,
     target_fpp: float = 0.01,
+    sizing: str = "exact",
 ) -> dict:
     """Per-file BLOOM bitmaps for equality pruning -- the skipping power
     min/max zones can't give: a high-cardinality key written unsorted
@@ -632,10 +691,31 @@ def write_bloom_manifest(
     a file whose fill factor then exceeds 0.5 -- past the optimal-fill
     point, FP deteriorating toward "keeps everything" -- raises a
     saturation warning naming the file and its fill. A false positive
-    only ever costs a kept file, never correctness."""
+    only ever costs a kept file, never correctness.
+
+    ``sizing`` (r15, VERDICT r14 #6): the default ``"exact"`` sizes
+    each bitmap from its file's exact distinct count -- one distinct
+    exchange + a persisted intermediate + two collect jobs per column,
+    the right spend for a long-lived layout. ``sizing="footer"`` is
+    the bulk-(re)build fast path: each file's bitmap is sized from its
+    parquet FOOTER ROW COUNT (a KB-priced metadata read, no distinct
+    exchange, no persist, ONE job per column -- duplicate values just
+    re-OR the same bits, so deduplication is unnecessary when the
+    distinct counts are not otherwise needed). The row count is an
+    upper bound on the distinct count: bit-identical manifests for
+    unique-per-row keys, conservatively larger (never saturated)
+    bitmaps otherwise. Mutually exclusive with an explicit ``m``.
+    Every entry records the distinct-count bound ``d`` it was sized
+    from and the payload records ``target_fpp`` -- COW splice rebuilds
+    (_bloom_rebuild_spliced) reuse both to cap rewritten files' sizes
+    and keep the original FP target."""
     import json
     import warnings
 
+    if sizing not in ("exact", "footer"):
+        raise ValueError(f"sizing must be 'exact' or 'footer': {sizing!r}")
+    if m is not None and sizing == "footer":
+        raise ValueError("sizing='footer' is mutually exclusive with m")
     if m is not None and (m < 64 or m % 64 != 0):
         raise ValueError("m must be a positive multiple of 64")
     if k < 1:
@@ -644,6 +724,48 @@ def write_bloom_manifest(
         raise ValueError("target_fpp must be in (0, 1)")
     df = spark.read.parquet(snapshot_dir)
     out: dict[str, dict] = {}
+    if sizing == "footer":
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        rows_by_file = {
+            os.path.basename(p): _pq.ParquetFile(p).metadata.num_rows
+            for p in sorted(
+                _glob.glob(os.path.join(snapshot_dir, "*.parquet"))
+            )
+        }
+        m_by_file = {
+            f: _bloom_bits(d, k, target_fpp)
+            for f, d in rows_by_file.items()
+        }
+        for col in cols:
+            pairs = df.select(
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("_b"),
+                F.col(col).cast("string").alias("_v"),
+            ).filter(F.col("_v").isNotNull())
+            per_file_words: dict[str, dict[str, int]] = {}
+            for r in _bloom_words(spark, pairs, m_by_file, k):
+                per_file_words.setdefault(r._b, {})[str(r._w)] = r._bits
+            for fname, wmap in per_file_words.items():
+                out.setdefault(fname, {})[col] = {
+                    "m": m_by_file[fname],
+                    "d": rows_by_file[fname],
+                    "words": wmap,
+                }
+        payload = {
+            "m": None,
+            "k": k,
+            "target_fpp": target_fpp,
+            "files": out,
+        }
+        tmp = os.path.join(snapshot_dir, f".{_BLOOM}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, os.path.join(snapshot_dir, _BLOOM))
+        return payload
     for col in cols:
         pairs = (
             df.select(
@@ -691,8 +813,12 @@ def write_bloom_manifest(
                     f"distinct keys -- pass m=None for per-file sizing",
                     stacklevel=2,
                 )
-            out.setdefault(fname, {})[col] = {"m": mf, "words": wmap}
-    payload = {"m": m, "k": k, "files": out}
+            out.setdefault(fname, {})[col] = {
+                "m": mf,
+                "d": counts[fname],
+                "words": wmap,
+            }
+    payload = {"m": m, "k": k, "target_fpp": target_fpp, "files": out}
     tmp = os.path.join(snapshot_dir, f".{_BLOOM}.tmp")
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
@@ -1019,6 +1145,12 @@ def apply_changes(
                 "rows_in_band",
                 always_commit=True,
                 stats_cols_override=stats_cols,
+                # MERGE rewrites union NEW upsert rows into the
+                # rewritten files, so no column's value set is bounded
+                # by the old affected entries -- the bloom splice must
+                # size every column from footer row counts (r14
+                # behavior), never the old-entry distinct cap
+                changed_cols=frozenset(upserts.columns),
             )
             return report["version"]
         survivors = base.join(touched, key, "left_anti")
@@ -1429,6 +1561,29 @@ def scd2_join(
     )
 
 
+def _collect_metrics_count(df: DataFrame, name: str) -> int:
+    """Number of CollectMetrics nodes named ``name`` in ``df``'s
+    analyzed logical plan -- the enforcement walk for _cow_rewrite's
+    observe-exactly-once contract. Walks the JVM tree directly (no
+    plan-string grep, which maxPlanStringLength could truncate)."""
+
+    def walk(jnode) -> int:
+        n = (
+            1
+            if (
+                jnode.nodeName() == "CollectMetrics"
+                and jnode.name() == name
+            )
+            else 0
+        )
+        ch = jnode.children()
+        for i in range(ch.size()):
+            n += walk(ch.apply(i))
+        return n
+
+    return walk(df._jdf.queryExecution().analyzed())
+
+
 def _cow_rewrite(
     spark: SparkSession,
     table_dir: str,
@@ -1441,6 +1596,7 @@ def _cow_rewrite(
     always_commit: bool = False,
     stats_cols_override: "list[str] | None" = None,
     eq=None,
+    changed_cols: "set | frozenset" = frozenset(),
 ) -> dict:
     """Shared copy-on-write core for delete_where / update_where:
     stats-prune the affected files, hard-link the rest into the next
@@ -1515,13 +1671,36 @@ def _cow_rewrite(
     # the match count rides the rewrite job as an observed metric
     # (CollectMetrics above the affected-file scan) instead of a
     # separate count pass -- the affected files are scanned ONCE per
-    # commit (r14). Requires the rewrite callback to route ``aff``
-    # into its output exactly once (all three callers do: filter,
-    # withColumns, one anti-join branch).
+    # commit (r14). CONTRACT (r15, enforced below): the rewrite
+    # callback must route ``aff`` into its output EXACTLY ONCE -- zero
+    # routes would make obs.get block forever (the metric never
+    # fires), two routes (a union / self-join of ``aff``) would
+    # double-count matches and silently corrupt rows_deleted /
+    # rows_updated and the zero-match rollback decision. The analyzed
+    # plan of the callback's output is checked for exactly one
+    # CollectMetrics node carrying this commit's unique observation
+    # name BEFORE any side effect (no claim, no dir, no job), so a
+    # misbehaving callback raises instead of committing a wrong count.
+    import uuid
+
     from pyspark.sql import Observation
 
-    obs = Observation()
+    obs_name = f"_cow_n_match_{uuid.uuid4().hex}"
+    obs = Observation(obs_name)
     aff = aff.observe(obs, F.count(F.when(pred, True)).alias("n"))
+    out = rewrite(aff, pred)
+    n_obs = _collect_metrics_count(out, obs_name)
+    if n_obs != 1:
+        raise ValueError(
+            f"_cow_rewrite: the rewrite callback must route the "
+            f"observed affected-file frame into its output exactly "
+            f"once (found {n_obs} CollectMetrics node(s) for "
+            f"{obs_name!r}); zero routes would hang the match-count "
+            f"observation, multiple routes would double-count matches. "
+            f"Derive the output from ``aff`` by filter/withColumns/"
+            f"join -- a pure-insert callback must still reference it "
+            f"once (e.g. union an aff.filter(lit(False)) branch)."
+        )
     if expected is not None:
         cur = current_version(table_dir) or 0
         if cur != expected:
@@ -1537,17 +1716,21 @@ def _cow_rewrite(
         os.link(
             path, os.path.join(new_snap, os.path.basename(path))
         )
-    rewrite(aff, pred).write.mode("append").parquet(new_snap)
+    out.write.mode("append").parquet(new_snap)
     n_match = int(obs.get["n"] or 0)
     if n_match == 0 and not always_commit:
         # zero matches inside stats-intersecting files (a gap in the
         # [min, max] band): the staged snapshot is discarded before the
-        # pointer ever moves -- readers never saw it, and the claim
-        # marker is released so the version number is reusable. Net
-        # observable behavior matches the old pre-count: no commit.
+        # pointer ever moves -- readers never saw it (staged dirs are
+        # not readable until the pointer moves), and the claim marker
+        # is released so the version number is reusable. Net observable
+        # behavior matches the old pre-count: no commit. The rmtree is
+        # strict (no ignore_errors) and runs BEFORE the claim release:
+        # a half-deleted dir with the claim already gone would make the
+        # next claimant's os.makedirs raise FileExistsError.
         import shutil
 
-        shutil.rmtree(new_snap, ignore_errors=True)
+        shutil.rmtree(new_snap)
         try:
             os.remove(os.path.join(table_dir, f"._claim_v{nxt}"))
         except FileNotFoundError:
@@ -1584,6 +1767,7 @@ def _cow_rewrite(
                 new_snap,
                 payload,
                 {os.path.basename(p) for p in survivors},
+                changed_cols=changed_cols,
             )
         else:
             # legacy fixed-m manifest: full rebuild, per-file sizing
@@ -1736,6 +1920,10 @@ def update_where(
     return _cow_rewrite(
         spark, table_dir, col, lo, hi, rewrite, expected,
         "rows_updated", eq=eq,
+        # SET columns' values may change in rewritten files, so the
+        # bloom splice must not cap their bitmap sizes by the old
+        # entries' distinct bounds (untouched columns keep the cap)
+        changed_cols=frozenset(set_exprs),
     )
 
 

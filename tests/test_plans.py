@@ -304,10 +304,13 @@ def test_driver_window_is_first_50():
     names that drifted out of the registry."""
     from bigdata_storage_and_proccess_job_data_spark import plans
 
-    window = plans.DRIVER_WINDOW_R14
+    window = plans.DRIVER_WINDOW_R15
     assert len(window) == 50
     assert len(set(window)) == 50
     assert list(QS)[:50] == window
+    # r15 executes the pinned plan verbatim (optimization rounds run no
+    # ledger swaps)
+    assert window == list(plans.DRIVER_WINDOW_R15_PLAN)
 
 
 def test_windows_partition_registry():
