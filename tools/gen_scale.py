@@ -20,6 +20,10 @@ fully deterministic (no rand()):
   the corpus grows without creating factor-many exact duplicates of
   every vector. Copy 0 is the source verbatim -- the probes' query
   set (vec_id < 20) is unchanged.
+- ``events``: event_id / user_id shifted by max+1; ts shifted by
+  c * (span + 1 hour), so each copy's incident windows stay disjoint
+  from every other copy's events (range-join output scales linearly,
+  per-incident results identical to the source copy's).
 
 Usage:
     python -m tools.gen_scale SRC_SF_DIR DEST_DIR FACTOR
@@ -107,8 +111,36 @@ def main() -> None:
     out.repartition(max(4, factor // 2)).write.mode("overwrite").parquet(
         f"{dest}/embeddings.parquet"
     )
+
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    em = ev.agg(
+        F.max("event_id"),
+        F.max("user_id"),
+        F.min(F.col("ts").cast("timestamp_ltz").cast("long")),
+        F.max(F.col("ts").cast("timestamp_ltz").cast("long")),
+    ).first()
+    span_s = int(em[3]) - int(em[2]) + 3600  # +1h: copies never overlap
+    parts = []
+    for c in range(factor):
+        part = ev
+        if c:
+            part = part.withColumns(
+                {
+                    "event_id": F.col("event_id") + F.lit((int(em[0]) + 1) * c),
+                    "user_id": F.col("user_id") + F.lit((int(em[1]) + 1) * c),
+                    "ts": F.timestamp_add("SECOND", F.lit(span_s * c), F.col("ts")),
+                }
+            )
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    spark.sparkContext.setJobDescription(f"gen_scale events x{factor}")
+    out.repartition(max(8, factor)).write.mode("overwrite").parquet(
+        f"{dest}/events.parquet"
+    )
     spark.sparkContext.setJobDescription(None)
-    print(f"wrote lineitem/orders/embeddings x{factor} under {dest}")
+    print(f"wrote lineitem/orders/embeddings/events x{factor} under {dest}")
 
 
 if __name__ == "__main__":
