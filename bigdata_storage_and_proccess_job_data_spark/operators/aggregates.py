@@ -1860,46 +1860,49 @@ def kmv_sketch(
     estimate is EXACT). NULL keys are excluded (COUNT DISTINCT
     semantics).
 
-    Skew-proof build (no rank window, no global distinct): each SCAN
-    partition folds its own slice of a group into a partial sketch
-    (collect_set dedups partition-locally, sorted and cut at k per
-    group x spark_partition_id); the partials then fold with the exact
-    kmv_merge law, whose array_distinct removes cross-partition
-    duplicates. No task ever sorts a hot group's full distinct set -- a
-    partial's state is bounded by its partition-local distincts (<= the
-    partition's row count, the same bound as any map-side combine), and
-    the final merge state per group is at most (input partitions x k)
-    longs. The result is deterministic regardless of partitioning: the
-    k smallest distinct of a union are each among the k smallest
-    distinct of their source partition. (r14: the previous build paid a
-    full exchange of every (dims, hash) row for an exact global
-    distinct BEFORE sketching; the partition-local collect_set makes
-    that shuffle unnecessary -- only the bounded partial sketches cross
-    the wire, and the merged result is bit-identical by the subset
-    argument.)
+    Skew-proof build, ONE bounded exchange (r15): a dense_rank <= k
+    filter over a (dims)-partitioned window plans as WindowGroupLimit,
+    whose PARTIAL mode prunes every scan partition to its k smallest
+    DISTINCT hashes (all copies -- dense_rank ties share a rank)
+    BEFORE the exchange, so at most ~k rows per group per input
+    partition ever cross the wire; the final window re-ranks the
+    survivors and one exchange-free hash agg (already partitioned by
+    dims) folds them into the sorted, deduped, k-cut sketch array.
+    No task ever sorts a hot group's full distinct set -- the final
+    window's state per group is at most (input partitions x k) rows,
+    the same bound the r14 per-partition-partial + kmv_merge fold had.
+    Bit-identical to that fold (and to a global distinct + sort) by
+    the subset argument: the k smallest distinct of a union are each
+    among the k smallest distinct of their source partition. (r14
+    shipped each (group x partition) collect_set WHOLE -- the slice
+    was a post-aggregation projection evaluated after the exchange,
+    so the shuffle carried every partition-local distinct hash, ~the
+    full dataset on near-unique keys; measured 69 MB at sf1 on the
+    kmv_zipf_build probe vs ~1 MB with the WindowGroupLimit pre-cut.)
 
     The artifact is mergeable EXACTLY (kmv_merge): per-day sketches
     compose into any window's sketch bit-for-bit -- same incremental
     contract as hll_sketch, plus set ops (kmv_set_ops)."""
     if k < 2:
         raise ValueError("k must be >= 2")
+    from pyspark.sql import Window
+
     from .neardup import md5_hash60
 
     keys = [F.col(d) for d in (dims or [])]
     hashed = df.filter(F.col(key).isNotNull()).select(
         *keys, md5_hash60(F.col(key).cast("string")).alias("_h")
     )
-    partial = (
-        hashed.withColumn("_p", F.spark_partition_id())
-        .groupBy(*[F.col(d) for d in (dims or [])], F.col("_p"))
-        .agg(
-            F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias(
-                "sketch"
-            )
-        )
-        .drop("_p")
+    w = Window.partitionBy(*keys).orderBy("_h")
+    cut = hashed.withColumn("_r", F.dense_rank().over(w)).filter(
+        F.col("_r") <= k
     )
-    return kmv_merge(partial, dims=dims, k=k)
+    sketch = F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias(
+        "sketch"
+    )
+    if dims:
+        return cut.groupBy(*[F.col(d) for d in dims]).agg(sketch)
+    return cut.agg(sketch)
 
 
 def kmv_merge(

@@ -28,6 +28,8 @@ the documented scalar collects elsewhere in the engine.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -308,9 +310,9 @@ def _triangle_parts(und: DataFrame):
     edge stream is re-derived by EXPLODING the cached adjacency --
     (u, out(u), v) for v in out(u) -- which attaches out(u) for free,
     so only out(v) needs attaching, via a single equi-join on v
-    (broadcast when the edge set is driver-broadcastable, <=4M edges;
-    plain equi-join otherwise -- the same shuffle class as before:
-    the wide (out(u))-carrying rows cross the wire once either way).
+    (broadcast under the bytes-based gate at the join below; plain
+    equi-join otherwise -- then the wide (out(u))-carrying rows cross
+    the wire once, ~avg-degree x the adjacency's own size).
     The oriented frame itself is never cached and the broadcast gate's
     edge count comes from the same job that fills the adjacency cache
     (sum of out-degrees == |E|), so the old per-call count(*)-only
@@ -346,7 +348,26 @@ def _triangle_parts(und: DataFrame):
     adj_v = adj.select(
         F.col("u").alias("_jv"), F.col("_nbrs").alias("_nv")
     )
-    if n_edges <= 4_000_000:
+    # bytes-based broadcast gate (r15; was a 4M-EDGE count): the
+    # adjacency's payload is 8 bytes per oriented edge (one long per
+    # neighbor) -- estimate 16 B/edge with array + row overhead, and
+    # broadcast below the byte budget. Broadcasting costs O(adj bytes)
+    # per executor ONCE; the shuffle alternative ships every edge row
+    # WITH its out(u) array -- sum over edges of |out(u)| longs, i.e.
+    # ~avg-degree x the adjacency size (measured at the sf1 spot
+    # fixture: 2.0 GB shuffled for a 42 MB adjacency, avg degree
+    # ~265). The default budget (256 MiB ~= 16M edges) is the "few
+    # hundred MB an executor comfortably holds" class, 3% of the 8g
+    # default driver heap -- not a fixture constant (the sf0.1 probe
+    # fits either gate); SPARK_GRAFT_TRI_BROADCAST_MAX_BYTES tunes it
+    # for small-driver deployments. Billion-edge graphs (~16 GB)
+    # correctly stay on the shuffle path.
+    max_bytes = int(
+        os.environ.get(
+            "SPARK_GRAFT_TRI_BROADCAST_MAX_BYTES", str(256 << 20)
+        )
+    )
+    if 16 * n_edges <= max_bytes:
         adj_v = F.broadcast(adj_v)
     # hits: one row per oriented edge with the FULL intersect array --
     # the shared pre-explode frame. tri explodes it to the (x,y,z)

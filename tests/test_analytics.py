@@ -786,15 +786,21 @@ def test_kmv_sketch_estimates_merge_law_and_duckdb_parity(
 
 def test_kmv_sketch_skew_proof_build(spark, oracle_sf_dir):
     """VERDICT r8 #1: the sketch build must never funnel a hot group's
-    full distinct set through one task. (1) The plan contains NO rank
-    window (the old build's Window.partitionBy(dims).orderBy(_h) moved
-    every distinct hash of a group into a single task's sort; the
-    bounded build folds per-partition partials with the exact merge
-    law instead). (2) On the planted Zipf company fixture (MEGACORP =
-    75% of rows) the result still equals the definitional k smallest
-    distinct hashes -- partitioning cannot change the answer. Holds for
-    dims=None too (ADVICE r8: the unpartitioned window was the worst
-    case -- ALL distinct hashes in one task)."""
+    full distinct set through one task. (1) The plan's rank window is
+    admissible ONLY behind a PARTIAL-mode WindowGroupLimit below the
+    exchange: the map side prunes every partition to its k smallest
+    distinct hashes before anything crosses the wire, so the final
+    task per group holds at most (partitions x k) rows -- never the
+    hot group's full distinct set (the pre-r9 build's naked
+    Window.partitionBy(dims).orderBy(_h) had no such cut; the r9-r14
+    partial-fold build bounded task STATE but shipped each
+    partition's whole distinct set through the exchange -- 69 MB at
+    the sf1 spot fixture -- which the r15 pre-cut reduces to ~k rows
+    per group per partition). (2) On the planted Zipf company fixture
+    (MEGACORP = 75% of rows) the result still equals the definitional
+    k smallest distinct hashes -- partitioning cannot change the
+    answer. Holds for dims=None too (ADVICE r8: the unpartitioned
+    window was the worst case -- ALL distinct hashes in one task)."""
     from bigdata_storage_and_proccess_job_data_spark.operators import aggregates
     from bigdata_storage_and_proccess_job_data_spark.operators.neardup import (
         md5_hash60,
@@ -812,7 +818,11 @@ def test_kmv_sketch_skew_proof_build(spark, oracle_sf_dir):
     for dims in (["company"], None):
         sk = aggregates.kmv_sketch(df, "buyer", dims=dims, k=k)
         plan = sk._jdf.queryExecution().executedPlan().toString()
-        assert "Window" not in plan, plan
+        if "Window" in plan:
+            assert "dense_rank(_h#" in plan, plan
+            assert plan.count("WindowGroupLimit") == 2, plan
+            assert f", {k}, Partial" in plan, plan
+            assert f", {k}, Final" in plan, plan
 
         # definitional reference: k smallest distinct hashes per group,
         # computed by an ordinary sort-limit per group (test-side only)

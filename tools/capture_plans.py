@@ -1,5 +1,5 @@
 """Capture .explain("formatted") for every bench entry (registered
-headline queries + bench-only probes) into plans/r14/<name>_<tag>.txt.
+headline queries + bench-only probes) into plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<tag>.txt (default r15).
 
 Usage: python tools/capture_plans.py <tag> [name ...]
   tag     -- suffix for the output files (before / after)
@@ -39,7 +39,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
