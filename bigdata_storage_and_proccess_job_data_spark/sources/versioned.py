@@ -479,14 +479,20 @@ def _bloom_words(spark: SparkSession, pairs: DataFrame, m_by_file: dict, k: int)
     duplicate values only re-OR the same bits, so callers may skip
     deduplication when the distinct pass is not otherwise needed.
 
-    Size attachment: for snapshots of up to ~1k files the per-file
-    ``m`` rides as a LITERAL map expression -- no sizes frame, no
-    broadcast exchange, no join (measured -30% on the rebuild job);
-    past that the literal would bloat the plan, so a broadcast join on
-    a sizes frame takes over (identical output either way)."""
+    Size attachment: for small snapshots the per-file ``m`` rides as a
+    LITERAL map expression -- no sizes frame, no broadcast exchange,
+    no join (measured -30% on the rebuild job at a few dozen files);
+    but GetMapValue on a literal map is a LINEAR key scan per row, so
+    the boundary is where per-row compares overtake the join's fixed
+    cost. Measured (r15, 2M value rows, interleaved A/B): literal
+    wins at <=100 files (1.11 s vs 1.23 s min), loses at 200
+    (1.30 vs 1.14) and degrades linearly past it (1000 files: 2.97 vs
+    1.17; 2000: 5.11 vs 1.09) -- the r14 1,000-file boundary was a
+    guess and sat ~2.5x past the crossover. 128 splits the bracketed
+    [100, 200) crossover; identical output either way."""
     from itertools import chain
 
-    if len(m_by_file) <= 1000:
+    if len(m_by_file) <= 128:
         mexpr = F.create_map(
             *chain.from_iterable(
                 (F.lit(f), F.lit(mm)) for f, mm in m_by_file.items()
