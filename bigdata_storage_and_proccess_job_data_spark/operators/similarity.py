@@ -434,6 +434,23 @@ def _probe_buckets(
     )
 
 
+def _plan_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for ``df``'s optimized plan (file-size
+    derived for parquet scans, scaled through projections) -- a NO-JOB
+    signal, the same statistic the broadcast-join planner reads.
+    Unknown (internal API moved) degrades to "huge", which selects the
+    scale-safe shape."""
+    try:
+        return int(
+            df._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+        )
+    except Exception:
+        return 1 << 62
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -493,14 +510,60 @@ def lsh_topk(
         if n_probes == 1
         else _probe_buckets("`_qv`", tables, n_probes)
     )
-    # candidate stage shuffles only (id, table, bucket) -- never the
-    # vectors (r14, the cosine_neardup_pairs shape): the old path
-    # carried _qv/_cv through dropDuplicates, which plans as a
-    # SortAggregate on first(array) (two sorts around the exchange)
-    # and ships every candidate's vectors twice. Dedup the bare id
-    # pairs (a HashAggregate over two longs), then re-attach vectors
-    # by id for surviving pairs only -- same pairs, same cosines,
-    # same output.
+    # TWO CANDIDATE SHAPES, size-gated (r15, VERDICT r14 #8). The
+    # narrow two-pass shape (r14, the cosine_neardup_pairs shape)
+    # shuffles only (id, table, bucket) -- never the vectors -- dedups
+    # the bare id pairs with a HashAggregate, and re-attaches vectors
+    # by id for surviving pairs only: at corpus scale this is the only
+    # shape that survives, because the single-pass alternative ships
+    # every candidate's TWO vectors through a SortAggregate (n_tables
+    # copies of the corpus through the bucket exchange plus the
+    # candidate-volume sort). But the re-attach costs a SECOND corpus
+    # scan + vector decode (nothing is cached in a query path), which
+    # DOMINATES while the bucket payload is modest: measured at the
+    # sf1 spot fixture (67.5k vectors x 8 tables ~= 276 MB decoded
+    # payload, interleaved A/B, results identical) the single-pass
+    # shape is 2.8x faster (1.28 s vs 3.37 s) despite shuffling 11x
+    # more bytes (75 vs 7 MB) -- local exchange is cheaper than a
+    # second parquet array decode. The gate reads Catalyst's no-job
+    # size estimate for the corpus (the statistic the broadcast
+    # planner uses) times n_tables: single-pass below the budget
+    # (default 1 GiB -- an order of magnitude past the largest
+    # measured single-pass WIN, conservative toward the scale-safe
+    # shape; SPARK_GRAFT_LSH_SINGLE_PASS_MAX_BYTES tunes it),
+    # two-pass above. Same pairs, same cosines, same output either
+    # way -- the dedup keeps one row per (query_id, neighbor_id) and
+    # both vectors are functionally determined by the ids.
+    import os as _os
+
+    max_single = int(
+        _os.environ.get(
+            "SPARK_GRAFT_LSH_SINGLE_PASS_MAX_BYTES", str(1 << 30)
+        )
+    )
+    if n_tables * _plan_bytes(c) <= max_single:
+        qb = q.select(
+            "query_id", "_qv", F.explode(q_buckets).alias("b")
+        ).select("query_id", "_qv", "b.table", "b.bucket")
+        cb = c.select(
+            "neighbor_id",
+            "_cv",
+            F.explode(_bucket_array("_cv", tables)).alias("b"),
+        ).select("neighbor_id", "_cv", "b.table", "b.bucket")
+        scored = (
+            qb.join(cb, ["table", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "_qv", "_cv")
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .select(
+                "query_id",
+                "neighbor_id",
+                stable_round(
+                    vectors.cosine_expr("_qv", "_cv"), 4
+                ).alias("sim"),
+            )
+        )
+        return _rank_topk(scored, k)
     qb = q.select(
         "query_id", F.explode(q_buckets).alias("b")
     ).select("query_id", "b.table", "b.bucket")
