@@ -1198,3 +1198,29 @@ def test_modularity_replica_and_structure_ordering(spark):
 
     empty = spark.createDataFrame([], "src long, dst long")
     assert graph.modularity(empty, good) == 0.0
+
+
+def test_triangle_broadcast_gate_paths_identical(spark, monkeypatch):
+    """r15 bytes-based adjacency broadcast gate: forcing the shuffle
+    path (budget=1) and the broadcast path (default 256 MiB) yields
+    identical per-node triangle counts on a planted graph -- the gate
+    is a join-strategy choice, never a semantics one."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(7)
+    edges = spark.createDataFrame(
+        [(rnd.randrange(60), rnd.randrange(60)) for _ in range(600)],
+        "src long, dst long",
+    )
+    monkeypatch.setenv("SPARK_GRAFT_TRI_BROADCAST_MAX_BYTES", "1")
+    shuffled = {
+        (r.node, r.triangles) for r in graph.triangle_counts(edges).collect()
+    }
+    monkeypatch.delenv("SPARK_GRAFT_TRI_BROADCAST_MAX_BYTES")
+    bcast = {
+        (r.node, r.triangles) for r in graph.triangle_counts(edges).collect()
+    }
+    assert shuffled == bcast
+    assert sum(t for _, t in bcast) > 0  # the planted graph has triangles

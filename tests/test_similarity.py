@@ -1005,3 +1005,43 @@ def test_mips_augment_survives_its_own_max_norm_vector(spark):
     assert abs(m * m - 3.0) < 1e-12
     assert rows[1][-1] == 0.0  # clamped, not raised
     assert rows[2][-1] > 0.0
+
+
+def test_lsh_topk_size_gate_paths_identical(spark, oracle_sf_dir, monkeypatch):
+    """r15 size gate (VERDICT r14 #8): lsh_topk picks the single-pass
+    candidate shape (vectors ride the bucket join, SortAggregate dedup,
+    ONE corpus scan) under the byte budget and the narrow two-pass
+    shape (bare-id HashAggregate dedup + re-attach joins) above it --
+    and the two paths are RESULT-IDENTICAL, because the dedup keys are
+    the id pair and both vectors are functionally determined by the
+    ids. Also pins that the gate reads plan statistics only (the
+    returned frame stays lazy -- building it runs no job)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_storage_and_proccess_job_data_spark.catalog import load_table
+    from bigdata_storage_and_proccess_job_data_spark.operators import similarity
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = set(tracker.getJobIdsForGroup(None) or [])
+
+    monkeypatch.delenv("SPARK_GRAFT_LSH_SINGLE_PASS_MAX_BYTES", raising=False)
+    single = similarity.lsh_topk(q, emb, k=5)
+    monkeypatch.setenv("SPARK_GRAFT_LSH_SINGLE_PASS_MAX_BYTES", "1")
+    double = similarity.lsh_topk(q, emb, k=5)
+
+    # gate decision is statistics-only: no Spark job ran during build
+    assert set(tracker.getJobIdsForGroup(None) or []) == jobs_before
+
+    p_single = single._jdf.queryExecution().executedPlan().toString()
+    p_double = double._jdf.queryExecution().executedPlan().toString()
+    # the tiny oracle corpus sits under the default budget: single-pass
+    # dedups with a SortAggregate; the forced two-pass path must not
+    assert "SortAggregate" in p_single
+    assert "SortAggregate" not in p_double
+
+    got_s = sorted(tuple(r) for r in single.collect())
+    got_d = sorted(tuple(r) for r in double.collect())
+    assert got_s == got_d and got_s
